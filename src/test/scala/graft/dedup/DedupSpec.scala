@@ -1,0 +1,56 @@
+package graft.dedup
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "The quick brown fox jumps over the lazy dog!"), // exact dup of 1 after normalize
+    (3L, "the quick brown fox jumps over the sleepy dog and then rests"), // near-dup
+    (4L, "completely different content about spark query engines and shuffles"),
+    (5L, "zz") // too short for 3-shingles
+  ).toDF("doc_id", "text")
+
+  test("exactGroups collapses normalized duplicates to min id") {
+    val g = Dedup.exactGroups(docs, "doc_id", "text").collect()
+    val dup = g.filter(_.getAs[Long]("dup_cnt") == 2)
+    assert(dup.length == 1 && dup(0).getAs[Long]("keep_id") == 1L)
+    assert(g.length == 4) // 5 docs, one merged pair
+  }
+
+  test("dropExactDuplicates keeps one row per content") {
+    val kept = Dedup.dropExactDuplicates(docs, "doc_id", "text").collect()
+    assert(kept.length == 4)
+    assert(!kept.map(_.getAs[Long]("doc_id")).contains(2L))
+  }
+
+  test("jaccardPairs finds the constructed near-dup and not the unrelated doc") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.3)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(pairs.contains((1L, 2L))) // identical → jaccard 1.0
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L))) // near-dup
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash LSH pairs always include exact duplicates") {
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(pairs.contains((1L, 2L))) // identical signatures land in every band together
+  }
+
+  test("simhash of identical content is identical; different content differs") {
+    val sigs = Dedup.simhashSignatures(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(4L))
+  }
+
+  test("simhashPairs reports hamming 0 for exact dups under default maxDist") {
+    val p = Dedup.simhashPairs(docs, "doc_id", "text")
+      .collect().map(r => ((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")), r.getAs[Long]("hamming"))).toMap
+    assert(p.get((1L, 2L)).contains(0L))
+  }
+}
