@@ -396,7 +396,114 @@ object SparkEntry {
       t(s, d, "documents").select(
         col("doc_id"),
         octet_length(col("text").cast("binary")).as("n_bytes"),
-        length(col("text")).as("n_chars")))
+        length(col("text")).as("n_chars"))),
+
+    // ---- ML layer (SURVEY §2.8) -----------------------------------------
+    // M3 one-hot: engine-comparable dummy columns
+    "m3_onehot" -> ((s, d) => {
+      val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+      t(s, d, "customer").select(
+        col("c_custkey") +:
+          segs.map(g => when(col("c_mktsegment") === g, 1).otherwise(0)
+            .as("seg_" + g.toLowerCase.take(4))): _*)
+    }),
+
+    // M11/M12: confusion matrix + threshold metrics for a deterministic
+    // rule-based score (score = totalprice/500k, label = urgent|high)
+    "m11_confusion" -> ((s, d) => {
+      val scored = t(s, d, "orders").select(
+        (col("o_totalprice") / 500000.0).as("score"),
+        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1.0).otherwise(0.0).as("y"))
+      graft.ml.Metrics.confusionMatrix(scored, "score", "y", 0.5)
+    }),
+
+    // M9: exact Mann-Whitney AUC, distributed, engine-comparable
+    "ml_auc_rank" -> ((s, d) => {
+      val scored = t(s, d, "orders").select(
+        col("o_totalprice").as("score"),
+        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1.0).otherwise(0.0).as("y"))
+      graft.ml.Metrics.aucRocDf(scored, "score", "y")
+    }),
+
+    // M9: stepwise ROC curve points over distinct thresholds
+    "ml_roc_points" -> ((s, d) => {
+      val scored = t(s, d, "orders").select(
+        round(col("o_totalprice") / 100000.0, 0).as("score"),
+        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1.0).otherwise(0.0).as("y"))
+      graft.ml.Metrics.rocPoints(scored, "score", "y")
+    }),
+
+    // M13: chi-squared over the (priority × big-order) contingency table
+    "ml_chi2" -> ((s, d) => {
+      val xy = t(s, d, "orders").select(
+        col("o_orderpriority").as("prio"),
+        when(col("o_totalprice") > 300000, 1).otherwise(0).as("y"))
+      graft.ml.FeatureScoring.chi2Contingency(xy, "prio", "y")
+    }),
+
+    // M13: plug-in mutual information for two discrete features at once
+    "ml_mutual_info" -> ((s, d) => {
+      val xy = t(s, d, "orders").select(
+        col("o_orderpriority"), col("o_orderstatus"),
+        when(col("o_totalprice") > 300000, 1).otherwise(0).as("y"))
+      graft.ml.FeatureScoring.mutualInfoAll(xy, Seq("o_orderpriority", "o_orderstatus"), "y")
+        .select(col("feature"), round(col("mutual_info"), 6).as("mi"))
+    }),
+
+    // M1-adjacent: corpus vocabulary by document frequency (top-50,
+    // deterministic tiebreak) — the relational core of CountVectorizer
+    "vocab_topdf" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(explode(array_distinct(TextOps.tokens(col("text")))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("df"))
+        .orderBy(desc("df"), asc("term"))
+        .limit(50)),
+
+    // M1/M2: the full clean→tokenize→stopword→lemmatize→CountVectorizer
+    // pipeline; emits (term, index) vocabulary rows (rows-only: vocab
+    // tie-order is model-internal)
+    "ml_text_vocab" -> ((s, d) => {
+      val (_, model) = graft.text.TextFeaturizer.fit(
+        t(s, d, "documents"), "text", vocabSize = 100)
+      import s.implicits._
+      model.vocabulary.zipWithIndex.toSeq.toDF("term", "vocab_idx")
+    }),
+
+    // M5+M9: RF scores → AUC (rows-only: tree RNG is engine-specific)
+    "ml_rf_auc" -> ((s, d) => {
+      val (train, test) = graft.ml.Features.splitByHash(graft.ml.Features.assembled(s, d), "id")
+      val scored = graft.ml.TrainHarness.randomForestScores(
+        train, test, "features", "label", numTrees = 50)
+      graft.ml.Metrics.aucRocDf(scored, "score", "label")
+    }),
+
+    // M16: resampler benchmark table over L1 LR (rows-only)
+    "ml_train_bench" -> ((s, d) => {
+      val (train, test) = graft.ml.Features.splitByHash(graft.ml.Features.assembled(s, d), "id")
+      val strategies = Seq(
+        "base" -> train,
+        "undersample" -> graft.ml.Resamplers.randomUndersample(train, "label"),
+        "oversample" -> graft.ml.Resamplers.randomOversample(train, "label"))
+      import s.implicits._
+      strategies.map { case (name, resampled) =>
+        val scored = graft.ml.TrainHarness.logisticL1Scores(resampled, test, "features", "label")
+        val auc = graft.ml.Metrics.aucRoc(scored, "score", "label")
+        val m = graft.ml.Metrics.thresholdMetrics(scored, "score", "label", 0.5).collect()(0)
+        (name, auc, m.getAs[Double]("accuracy"), m.getAs[Double]("recall"))
+      }.toDF("strategy", "auc_roc", "accuracy", "recall")
+    }),
+
+    // O9/O10: SMOTE + NearMiss class balance on a deterministic subsample
+    "ml_smote_counts" -> ((s, d) => {
+      val sub = graft.ml.Features.assembled(s, d).filter(pmod(col("id"), lit(5L)) === 0L)
+      val sm = graft.ml.Resamplers.smote(sub, "id", "label", "features")
+        .groupBy("label").agg(count(lit(1)).as("cnt"))
+        .withColumn("strategy", lit("smote"))
+      val nm = graft.ml.Resamplers.nearMiss(sub, "id", "label", "features")
+        .groupBy("label").agg(count(lit(1)).as("cnt"))
+        .withColumn("strategy", lit("nearmiss"))
+      sm.unionByName(nm)
+    })
   )
 
   // ----------------------------------------------------------------------
@@ -669,6 +776,99 @@ object SparkEntry {
         |SELECT user_id, session_id, count(*) AS n_events FROM z GROUP BY 1, 2""".stripMargin,
 
     "mm_binary_meta" ->
-      "SELECT doc_id, octet_length(encode(text)) AS n_bytes, length(text) AS n_chars FROM documents"
+      "SELECT doc_id, octet_length(encode(text)) AS n_bytes, length(text) AS n_chars FROM documents",
+
+    "m3_onehot" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END AS seg_auto,
+        |  CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS seg_buil,
+        |  CASE WHEN c_mktsegment = 'FURNITURE' THEN 1 ELSE 0 END AS seg_furn,
+        |  CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 1 ELSE 0 END AS seg_hous,
+        |  CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END AS seg_mach
+        |FROM customer""".stripMargin,
+
+    "m11_confusion" ->
+      """SELECT CASE WHEN o_totalprice / 500000.0 > 0.5 THEN 1 ELSE 0 END AS prediction,
+        |       CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END AS label,
+        |       count(*) AS cnt
+        |FROM orders GROUP BY 1, 2""".stripMargin,
+
+    "ml_auc_rank" ->
+      """WITH s AS (
+        |  SELECT o_totalprice AS score,
+        |         CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END AS y
+        |  FROM orders
+        |), g AS (
+        |  SELECT score, SUM(y) AS np, SUM(1 - y) AS nn FROM s GROUP BY 1
+        |), r AS (
+        |  SELECT np, nn,
+        |         COALESCE(SUM(np + nn) OVER (ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+        |  FROM g
+        |)
+        |SELECT (SUM(np * (cumb + (np + nn + 1) / 2.0)) - CAST(SUM(np) AS DOUBLE) * (SUM(np) + 1) / 2.0)
+        |       / (CAST(SUM(np) AS DOUBLE) * SUM(nn)) AS auc_roc
+        |FROM r""".stripMargin,
+
+    "ml_roc_points" ->
+      """WITH s AS (
+        |  SELECT round(o_totalprice / 100000.0, 0) AS score,
+        |         CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END AS y
+        |  FROM orders
+        |), g AS (
+        |  SELECT score AS threshold, SUM(y) AS np, SUM(1 - y) AS nn FROM s GROUP BY 1
+        |)
+        |SELECT threshold,
+        |       CAST(SUM(nn) OVER (ORDER BY threshold DESC ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+        |         / SUM(nn) OVER () AS fpr,
+        |       CAST(SUM(np) OVER (ORDER BY threshold DESC ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+        |         / SUM(np) OVER () AS tpr
+        |FROM g""".stripMargin,
+
+    "ml_chi2" ->
+      """WITH joint AS (
+        |  SELECT o_orderpriority AS x,
+        |         CASE WHEN o_totalprice > 300000 THEN 1 ELSE 0 END AS y,
+        |         count(*) AS nxy
+        |  FROM orders GROUP BY 1, 2
+        |), e AS (
+        |  SELECT nxy,
+        |         SUM(nxy) OVER () AS n,
+        |         SUM(nxy) OVER (PARTITION BY x) AS nx,
+        |         SUM(nxy) OVER (PARTITION BY y) AS ny
+        |  FROM joint
+        |)
+        |SELECT round(SUM((nxy - CAST(nx AS DOUBLE) * ny / n) * (nxy - CAST(nx AS DOUBLE) * ny / n)
+        |         / (CAST(nx AS DOUBLE) * ny / n)), 6) AS chi2_stat,
+        |       count(*) AS n_cells
+        |FROM e""".stripMargin,
+
+    "ml_mutual_info" ->
+      """WITH stacked AS (
+        |  SELECT 'o_orderpriority' AS feature, o_orderpriority AS x,
+        |         CAST(CASE WHEN o_totalprice > 300000 THEN 1 ELSE 0 END AS VARCHAR) AS y FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', o_orderstatus,
+        |         CAST(CASE WHEN o_totalprice > 300000 THEN 1 ELSE 0 END AS VARCHAR) FROM orders
+        |), joint AS (
+        |  SELECT feature, x, y, count(*) AS nxy FROM stacked GROUP BY 1, 2, 3
+        |), e AS (
+        |  SELECT feature, nxy,
+        |         SUM(nxy) OVER (PARTITION BY feature) AS n,
+        |         SUM(nxy) OVER (PARTITION BY feature, x) AS nx,
+        |         SUM(nxy) OVER (PARTITION BY feature, y) AS ny
+        |  FROM joint
+        |)
+        |SELECT feature,
+        |       round(SUM((CAST(nxy AS DOUBLE) / n) * ln(CAST(nxy AS DOUBLE) * n / (CAST(nx AS DOUBLE) * ny))), 6) AS mi
+        |FROM e GROUP BY 1""".stripMargin,
+
+    "vocab_topdf" ->
+      """WITH terms AS (
+        |  SELECT unnest(list_distinct(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> ''))) AS term
+        |  FROM documents
+        |), dfs AS (
+        |  SELECT term, count(*) AS df FROM terms GROUP BY 1
+        |)
+        |SELECT term, df FROM dfs ORDER BY df DESC, term ASC LIMIT 50""".stripMargin
   )
 }

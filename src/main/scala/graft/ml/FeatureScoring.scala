@@ -1,0 +1,91 @@
+package graft.ml
+
+import org.apache.spark.ml.linalg.Vector
+import org.apache.spark.ml.stat.ChiSquareTest
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Feature-scoring operators (reference M13,
+  * Hap880_Final_Project.py:633-639): chi-squared via `ml.stat` and a
+  * distributed plug-in mutual-information estimator.
+  */
+object FeatureScoring {
+
+  /** Chi-squared statistics per feature of a Vector column vs a label. */
+  def chi2(df: DataFrame, featuresCol: String, labelCol: String): DataFrame = {
+    val r = ChiSquareTest.test(df, featuresCol, labelCol).head()
+    val stats = r.getAs[Vector]("statistics").toArray
+    val pvals = r.getAs[Vector]("pValues").toArray
+    val s = org.apache.spark.sql.SparkSession.active
+    import s.implicits._
+    stats.zip(pvals).zipWithIndex
+      .map { case ((st, p), i) => (i, st, p) }.toSeq
+      .toDF("feature_idx", "chi2_stat", "p_value")
+  }
+
+  /** Pearson chi-squared statistic of a DISCRETE feature column vs the
+    * label, computed as a pure DataFrame aggregation over the contingency
+    * table: sum over cells of (obs − exp)²/exp with exp = rowTot·colTot/n.
+    * Engine-comparable (same formula is plain SQL); `ml.stat.ChiSquareTest`
+    * is the Vector-column variant of the same statistic.
+    */
+  def chi2Contingency(df: DataFrame, featureCol: String, labelCol: String): DataFrame = {
+    val joint = df.groupBy(col(featureCol).as("x"), col(labelCol).as("y"))
+      .agg(count(lit(1)).as("nxy"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    val wx   = org.apache.spark.sql.expressions.Window.partitionBy("x")
+    val wy   = org.apache.spark.sql.expressions.Window.partitionBy("y")
+    joint
+      .withColumn("n", sum("nxy").over(wAll))
+      .withColumn("nx", sum("nxy").over(wx))
+      .withColumn("ny", sum("nxy").over(wy))
+      .withColumn("exp", col("nx").cast("double") * col("ny") / col("n"))
+      .withColumn("term", (col("nxy") - col("exp")) * (col("nxy") - col("exp")) / col("exp"))
+      .agg(round(sum("term"), 6).as("chi2_stat"), count(lit(1)).as("n_cells"))
+  }
+
+  /** Plug-in mutual information I(X;Y) between a DISCRETE column and the
+    * label: one groupBy over the joint, driver-side sum over the (tiny)
+    * contingency table. For continuous features, bucketize first
+    * (QuantileDiscretizer / Recodes.histBucket) — reference discretizes
+    * implicitly via sklearn's nearest-neighbor estimator; we pin the
+    * plug-in estimate (SURVEY M13: "custom").
+    */
+  def mutualInfo(df: DataFrame, featureCol: String, labelCol: String): Double = {
+    val joint = df
+      .groupBy(col(featureCol).as("x"), col(labelCol).as("y"))
+      .agg(count(lit(1)).as("nxy"))
+      .collect()
+    val n = joint.map(_.getLong(2)).sum.toDouble
+    val px = joint.groupBy(_.get(0)).map { case (k, rs) => k -> rs.map(_.getLong(2)).sum / n }
+    val py = joint.groupBy(_.get(1)).map { case (k, rs) => k -> rs.map(_.getLong(2)).sum / n }
+    joint.map { r =>
+      val pxy = r.getLong(2) / n
+      pxy * math.log(pxy / (px(r.get(0)) * py(r.get(1))))
+    }.sum
+  }
+
+  /** Mutual information for many discrete feature columns at once —
+    * unpivot (stack) + a single joint-count aggregation, so the cost is
+    * one shuffle regardless of how many features are scored.
+    */
+  def mutualInfoAll(df: DataFrame, featureCols: Seq[String], labelCol: String): DataFrame = {
+    val s = org.apache.spark.sql.SparkSession.active
+    import s.implicits._
+    val stacked = df.select(
+      explode(array(featureCols.map(c =>
+        struct(lit(c).as("feature"), col(c).cast("string").as("x"))): _*)).as("fx"),
+      col(labelCol).cast("string").as("y"))
+      .select(col("fx.feature").as("feature"), col("fx.x").as("x"), col("y"))
+    val joint = stacked.groupBy("feature", "x", "y").agg(count(lit(1)).as("nxy")).cache()
+    val nPerFeature = joint.groupBy("feature").agg(sum("nxy").as("n"))
+    val px = joint.groupBy("feature", "x").agg(sum("nxy").as("nx"))
+    val py = joint.groupBy("feature", "y").agg(sum("nxy").as("ny"))
+    joint
+      .join(nPerFeature, "feature").join(px, Seq("feature", "x")).join(py, Seq("feature", "y"))
+      .withColumn("term",
+        (col("nxy") / col("n")) *
+          log((col("nxy") * col("n")).cast("double") / (col("nx") * col("ny"))))
+      .groupBy("feature").agg(sum("term").as("mutual_info"))
+  }
+}

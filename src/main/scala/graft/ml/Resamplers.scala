@@ -1,0 +1,147 @@
+package graft.ml
+
+import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+import org.apache.spark.ml.linalg.{Vector, Vectors}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Class-rebalancing operators (reference O4/O8–O11,
+  * Hap880_Final_Project.py:447,683-687,814-817).
+  *
+  * Random under/over-sampling are pure narrow `sample`/`union` plans — no
+  * shuffle at all. SMOTE and NearMiss need k-nearest-neighbors, which is
+  * quadratic done naively; both use `BucketedRandomProjectionLSH`
+  * approximate joins so the candidate space is bucket-local — the only
+  * formulation that survives 100 TB (SURVEY §7.5.1). Rows are keyed by an
+  * explicit `idCol` (never by vector equality — UDT comparisons don't
+  * partition/join reliably).
+  */
+object Resamplers {
+
+  private def classCounts(df: DataFrame, labelCol: String): (Long, Long) = {
+    val counts = df.groupBy(labelCol).count().collect()
+      .map(r => r.get(0).toString.toDouble -> r.getLong(1)).toMap
+    (counts.getOrElse(1.0, 0L), counts.getOrElse(0.0, 0L))
+  }
+
+  /** Sample the majority class down to ~minority size (reference O4/O11). */
+  def randomUndersample(df: DataFrame, labelCol: String, seed: Long = 42L): DataFrame = {
+    val (nPos, nNeg) = classCounts(df, labelCol)
+    if (nPos == 0 || nNeg == 0) return df
+    val (minority, majority, frac) =
+      if (nPos < nNeg) (col(labelCol) === 1.0, col(labelCol) =!= 1.0, nPos.toDouble / nNeg)
+      else (col(labelCol) =!= 1.0, col(labelCol) === 1.0, nNeg.toDouble / nPos)
+    df.filter(minority)
+      .unionByName(df.filter(majority).sample(withReplacement = false, frac, seed))
+  }
+
+  /** Duplicate the minority class up to ~majority size (reference O8). */
+  def randomOversample(df: DataFrame, labelCol: String, seed: Long = 42L): DataFrame = {
+    val (nPos, nNeg) = classCounts(df, labelCol)
+    if (nPos == 0 || nNeg == 0) return df
+    val (minority, majority, frac) =
+      if (nPos < nNeg) (col(labelCol) === 1.0, col(labelCol) =!= 1.0, nNeg.toDouble / nPos)
+      else (col(labelCol) =!= 1.0, col(labelCol) === 1.0, nPos.toDouble / nNeg)
+    df.filter(majority)
+      .unionByName(df.filter(minority).sample(withReplacement = true, frac, seed))
+  }
+
+  /** SMOTE (reference O9): for each minority point, find approximate
+    * same-class neighbors via random-projection LSH, pick one
+    * pseudo-randomly (seeded, deterministic), and emit a synthetic point
+    * on the connecting segment. Returns (idCol=-1, featuresCol, labelCol)
+    * synthetic rows unioned onto the original (id, features, label)
+    * projection, replicated to approach class balance.
+    */
+  def smote(
+      df: DataFrame,
+      idCol: String,
+      labelCol: String,
+      featuresCol: String,
+      seed: Long = 42L,
+      bucketLength: Double = 2.0,
+      k: Int = 5
+  ): DataFrame = {
+    val base = df.select(col(idCol), col(featuresCol), col(labelCol))
+    val (nPos, nNeg) = classCounts(df, labelCol)
+    if (nPos == 0 || nNeg == 0 || nPos == nNeg) return base
+    val minorityLabel = if (nPos < nNeg) 1.0 else 0.0
+    val nMin = math.min(nPos, nNeg); val nMaj = math.max(nPos, nNeg)
+
+    val minority = base.filter(col(labelCol) === minorityLabel)
+    val lsh = new BucketedRandomProjectionLSH()
+      .setInputCol(featuresCol).setOutputCol("_hashes")
+      .setBucketLength(bucketLength).setNumHashTables(3).setSeed(seed)
+    val model = lsh.fit(minority)
+    val pairs = model
+      .approxSimilarityJoin(minority, minority, Double.MaxValue, "_dist")
+      .filter(col(s"datasetA.$idCol") =!= col(s"datasetB.$idCol"))
+      .select(
+        col(s"datasetA.$idCol").as("_ida"),
+        col(s"datasetA.$featuresCol").as("_x"),
+        col(s"datasetB.$idCol").as("_idb"),
+        col(s"datasetB.$featuresCol").as("_nbr"),
+        col("_dist"))
+    val w = Window.partitionBy("_ida").orderBy(col("_dist"), col("_idb"))
+    val nearest = pairs.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= k)
+    val interpolate = udf { (x: Vector, nbr: Vector, frac: Double) =>
+      val xa = x.toArray; val na = nbr.toArray
+      Vectors.dense(Array.tabulate(xa.length)(i => xa(i) + frac * (na(i) - xa(i))))
+    }
+    val multiplier = math.max(1L, (nMaj - nMin) / nMin)
+    val synthOne = nearest
+      .withColumn("_pick", pmod(xxhash64(col("_ida"), lit(seed)), lit(k.toLong)) + 1L)
+      .filter(col("_rn") === col("_pick"))
+      .withColumn("_frac",
+        pmod(xxhash64(col("_ida"), col("_idb"), lit(seed)), lit(1000L)).cast("double") / 1000.0)
+    val synth = synthOne
+      .crossJoin(org.apache.spark.sql.SparkSession.active.range(multiplier).toDF("_rep"))
+      .select(
+        lit(-1L).cast("long").as(idCol),
+        interpolate(col("_x"), col("_nbr"),
+          // vary the interpolation fraction per replica, staying in [0,1)
+          pmod(col("_frac") + col("_rep") * 0.37, lit(1.0))).as(featuresCol),
+        lit(minorityLabel).as(labelCol))
+    base.unionByName(synth)
+  }
+
+  /** NearMiss (reference O10): keep the majority points with the smallest
+    * mean distance to their approximate minority neighbors, trimmed to
+    * minority size; minority kept whole.
+    */
+  def nearMiss(
+      df: DataFrame,
+      idCol: String,
+      labelCol: String,
+      featuresCol: String,
+      seed: Long = 42L,
+      bucketLength: Double = 2.0
+  ): DataFrame = {
+    val (nPos, nNeg) = classCounts(df, labelCol)
+    if (nPos == 0 || nNeg == 0 || nPos == nNeg) return df
+    val minorityLabel = if (nPos < nNeg) 1.0 else 0.0
+    val nMin = math.min(nPos, nNeg)
+    val minority = df.filter(col(labelCol) === minorityLabel)
+    val majority = df.filter(col(labelCol) =!= minorityLabel)
+
+    val lsh = new BucketedRandomProjectionLSH()
+      .setInputCol(featuresCol).setOutputCol("_hashes")
+      .setBucketLength(bucketLength).setNumHashTables(3).setSeed(seed)
+    val model = lsh.fit(df)
+    val dists = model
+      .approxSimilarityJoin(majority, minority, Double.MaxValue, "_dist")
+      .select(col(s"datasetA.$idCol").as("_maj_id"), col("_dist"))
+      .groupBy("_maj_id").agg(avg("_dist").as("_mean_dist"))
+    // LSH only yields candidates sharing a bucket; majority rows with no
+    // cross-class candidate rank last (deterministically by id) so the
+    // result always has exactly nMin majority rows.
+    val all = majority.select(col(idCol).as("_maj_id"))
+      .join(dists, Seq("_maj_id"), "left")
+      .withColumn("_mean_dist", coalesce(col("_mean_dist"), lit(Double.MaxValue)))
+    val keep = all.orderBy(col("_mean_dist"), col("_maj_id")).limit(nMin.toInt)
+    majority
+      .join(keep, majority(idCol) === keep("_maj_id"), "left_semi")
+      .unionByName(minority)
+  }
+}

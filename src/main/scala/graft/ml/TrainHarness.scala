@@ -1,0 +1,96 @@
+package graft.ml
+
+import org.apache.spark.ml.classification.{LogisticRegression, RandomForestClassifier}
+import org.apache.spark.ml.evaluation.MulticlassClassificationEvaluator
+import org.apache.spark.ml.functions.vector_to_array
+import org.apache.spark.ml.tuning.{CrossValidator, ParamGridBuilder}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The reference's modeling stage (M5–M8, M16): RF / L1-LR training,
+  * probability extraction, CV grid search, and the resampler×model
+  * benchmark harness (Hap880_Final_Project.py:471-534, 796-861).
+  *
+  * The training set is cached before `fit` — RF/LR iterate over it many
+  * times; without the cache every tree/iteration re-reads the scan.
+  */
+object TrainHarness {
+
+  /** RF fit + P(class=1) scores on the test set (reference M5). */
+  def randomForestScores(
+      train: DataFrame, test: DataFrame,
+      featuresCol: String, labelCol: String,
+      numTrees: Int = 300, seed: Long = 42L
+  ): DataFrame = {
+    val rf = new RandomForestClassifier()
+      .setFeaturesCol(featuresCol).setLabelCol(labelCol)
+      .setNumTrees(numTrees).setSeed(seed)
+    val model = rf.fit(train.cache())
+    model.transform(test)
+      .withColumn("score", vector_to_array(col("probability"))(1))
+  }
+
+  /** L1 logistic regression scores (reference M7: penalty='l1'). */
+  def logisticL1Scores(
+      train: DataFrame, test: DataFrame,
+      featuresCol: String, labelCol: String,
+      regParam: Double = 0.01, maxIter: Int = 50
+  ): DataFrame = {
+    val lr = new LogisticRegression()
+      .setFeaturesCol(featuresCol).setLabelCol(labelCol)
+      .setElasticNetParam(1.0).setRegParam(regParam).setMaxIter(maxIter)
+    val model = lr.fit(train.cache())
+    model.transform(test)
+      .withColumn("score", vector_to_array(col("probability"))(1))
+  }
+
+  /** 5-fold CV over LR regularization strengths (reference M8's
+    * GridSearchCV over C∈{.01,.1,1,10}, scoring=accuracy).
+    */
+  def gridSearchLr(
+      train: DataFrame, featuresCol: String, labelCol: String,
+      regParams: Seq[Double] = Seq(0.1, 0.01, 0.001, 0.0001),
+      numFolds: Int = 5, seed: Long = 42L
+  ): (Double, Double) = {
+    val lr = new LogisticRegression()
+      .setFeaturesCol(featuresCol).setLabelCol(labelCol)
+      .setElasticNetParam(1.0).setMaxIter(50)
+    val grid = new ParamGridBuilder().addGrid(lr.regParam, regParams).build()
+    val cv = new CrossValidator()
+      .setEstimator(lr)
+      .setEvaluator(new MulticlassClassificationEvaluator()
+        .setLabelCol(labelCol).setMetricName("accuracy"))
+      .setEstimatorParamMaps(grid).setNumFolds(numFolds).setSeed(seed)
+    val model = cv.fit(train.cache())
+    val bestIdx = model.avgMetrics.zipWithIndex.maxBy(_._1)._2
+    val bestReg = model.getEstimatorParamMaps(bestIdx).get(lr.regParam).get
+    (bestReg, model.avgMetrics(bestIdx))
+  }
+
+  /** The M16 benchmark: resampling strategy × metrics table. Returns one
+    * row per strategy with AUC-ROC and threshold metrics — the engine's
+    * top-level "query" (reference py:796-861 builds the same table).
+    */
+  def benchmark(
+      train: DataFrame, test: DataFrame,
+      idCol: String, featuresCol: String, labelCol: String,
+      seed: Long = 42L
+  ): DataFrame = {
+    val strategies: Seq[(String, DataFrame)] = Seq(
+      "base"       -> train,
+      "undersample" -> Resamplers.randomUndersample(train, labelCol, seed),
+      "oversample"  -> Resamplers.randomOversample(train, labelCol, seed),
+      "smote"       -> Resamplers.smote(train, idCol, labelCol, featuresCol, seed),
+      "nearmiss"    -> Resamplers.nearMiss(train, idCol, labelCol, featuresCol, seed)
+    )
+    val s = org.apache.spark.sql.SparkSession.active
+    import s.implicits._
+    strategies.map { case (name, resampled) =>
+      val scored = logisticL1Scores(resampled, test, featuresCol, labelCol)
+      val auc = Metrics.aucRoc(scored, "score", labelCol)
+      val m = Metrics.thresholdMetrics(scored, "score", labelCol, 0.5).collect()(0)
+      (name, auc, m.getAs[Double]("accuracy"), m.getAs[Double]("recall"),
+        m.getAs[Double]("precision_"), m.getAs[Double]("specificity"))
+    }.toDF("strategy", "auc_roc", "accuracy", "recall", "precision_", "specificity")
+  }
+}
