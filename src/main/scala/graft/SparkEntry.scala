@@ -398,6 +398,60 @@ object SparkEntry {
         octet_length(col("text").cast("binary")).as("n_bytes"),
         length(col("text")).as("n_chars"))),
 
+    // P9: schema-predicate projection (select_dtypes analog)
+    "p9_numeric_proj" -> ((s, d) =>
+      graft.ops.SchemaOps.selectNumeric(t(s, d, "customer"))),
+
+    // E2: per-column null counts in one aggregation pass
+    "e2_null_counts" -> ((s, d) => {
+      val firstShip = t(s, d, "lineitem")
+        .groupBy("l_orderkey").agg(min("l_shipdate").as("first_ship"))
+      val joined = t(s, d, "orders")
+        .join(firstShip, col("o_orderkey") === col("l_orderkey"), "left")
+        .select("o_orderkey", "first_ship")
+      graft.ops.SchemaOps.nullCounts(joined)
+    }),
+
+    // M10: stepwise PR curve points
+    "ml_pr_points" -> ((s, d) => {
+      val scored = t(s, d, "orders").select(
+        round(col("o_totalprice") / 100000.0, 0).as("score"),
+        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1.0).otherwise(0.0).as("y"))
+      graft.ml.Metrics.prPoints(scored, "score", "y")
+    }),
+
+    // M8: 5-fold CV grid over L1-LR regularization (rows-only; fold RNG)
+    "ml_cv_grid" -> ((s, d) => {
+      val sub = graft.ml.Features.assembled(s, d).filter(pmod(col("id"), lit(5L)) === 0L)
+      val (bestReg, bestAcc) = graft.ml.TrainHarness.gridSearchLr(
+        sub, "features", "label", regParams = Seq(0.1, 0.01), numFolds = 3)
+      import s.implicits._
+      Seq((bestReg, bestAcc)).toDF("best_reg_param", "best_cv_accuracy")
+    }),
+
+    // M6: RF tree-count sweep (rows-only)
+    "ml_rf_sweep" -> ((s, d) => {
+      val sub = graft.ml.Features.assembled(s, d).filter(pmod(col("id"), lit(5L)) === 0L)
+      val (train, test) = graft.ml.Features.splitByHash(sub, "id")
+      graft.ml.TrainHarness.rfSweep(train, test, "features", "label", Seq(20, 50))
+    }),
+
+    // multimodal decode plumbing (deterministic stub decoder — see
+    // graft.multimodal.Multimodal): binary payload → feature vector;
+    // byte-chunk frame sampling
+    "mm_decode_stub" -> ((s, d) => {
+      val bt = graft.multimodal.Multimodal.toBinaryTable(
+        t(s, d, "documents"), "doc_id", "text", "text/plain")
+      graft.multimodal.Multimodal.decodeFeatures(bt, "doc_id", dim = 16)
+    }),
+
+    "mm_chunks" -> ((s, d) => {
+      val bt = graft.multimodal.Multimodal.toBinaryTable(
+        t(s, d, "documents"), "doc_id", "text", "text/plain")
+      graft.multimodal.Multimodal.sampleChunks(bt, "doc_id")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_sampled"), sum("chunk_bytes").as("sum_bytes"))
+    }),
+
     // ---- ML layer (SURVEY §2.8) -----------------------------------------
     // M3 one-hot: engine-comparable dummy columns
     "m3_onehot" -> ((s, d) => {
@@ -495,7 +549,10 @@ object SparkEntry {
 
     // O9/O10: SMOTE + NearMiss class balance on a deterministic subsample
     "ml_smote_counts" -> ((s, d) => {
-      val sub = graft.ml.Features.assembled(s, d).filter(pmod(col("id"), lit(5L)) === 0L)
+      // cache: both resamplers evaluate the feature pipeline repeatedly
+      // (class counts, LSH fit, join sides)
+      val sub = graft.ml.Features.assembled(s, d)
+        .filter(pmod(col("id"), lit(5L)) === 0L).cache()
       val sm = graft.ml.Resamplers.smote(sub, "id", "label", "features")
         .groupBy("label").agg(count(lit(1)).as("cnt"))
         .withColumn("strategy", lit("smote"))
@@ -777,6 +834,47 @@ object SparkEntry {
 
     "mm_binary_meta" ->
       "SELECT doc_id, octet_length(encode(text)) AS n_bytes, length(text) AS n_chars FROM documents",
+
+    "p9_numeric_proj" ->
+      "SELECT c_custkey, c_nationkey, c_acctbal FROM customer",
+
+    "e2_null_counts" ->
+      """SELECT count(*) AS total_rows,
+        |  CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_o_orderkey,
+        |  CAST(SUM(CASE WHEN f.first_ship IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_first_ship
+        |FROM orders LEFT JOIN
+        |  (SELECT l_orderkey, min(l_shipdate) AS first_ship FROM lineitem GROUP BY 1) f
+        |  ON o_orderkey = f.l_orderkey""".stripMargin,
+
+    "ml_pr_points" ->
+      """WITH s AS (
+        |  SELECT round(o_totalprice / 100000.0, 0) AS score,
+        |         CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END AS y
+        |  FROM orders
+        |), g AS (
+        |  SELECT score AS threshold, SUM(y) AS np, SUM(1 - y) AS nn FROM s GROUP BY 1
+        |)
+        |SELECT threshold,
+        |       CAST(SUM(np) OVER (ORDER BY threshold DESC ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+        |         / SUM(np) OVER () AS recall,
+        |       CAST(SUM(np) OVER (ORDER BY threshold DESC ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+        |         / (SUM(np) OVER (ORDER BY threshold DESC ROWS UNBOUNDED PRECEDING)
+        |            + SUM(nn) OVER (ORDER BY threshold DESC ROWS UNBOUNDED PRECEDING)) AS precision_
+        |FROM g""".stripMargin,
+
+    "mm_chunks" ->
+      """WITH x AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS n,
+        |         GREATEST(CAST(CEIL(octet_length(encode(text)) / 64.0) AS INTEGER), 1) AS nc
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST((nc - 1) // 4 + 1 AS BIGINT) AS n_sampled,
+        |  CAST(CASE WHEN n = 0 THEN 0
+        |       ELSE 64 * ((nc - 1) // 4 + 1) -
+        |            CASE WHEN (nc - 1) % 4 = 0 AND n % 64 <> 0 THEN 64 - (n % 64) ELSE 0 END
+        |       END AS BIGINT) AS sum_bytes
+        |FROM x""".stripMargin,
 
     "m3_onehot" ->
       """SELECT c_custkey,

@@ -51,8 +51,11 @@ object Dedup {
       threshold: Double,
       maxShingleDf: Option[Long] = None
   ): DataFrame = {
+    // materialize tokens behind a projection boundary so the regex split
+    // runs once per doc, not once per shingle reference
     val sh0 = docs
-      .select(col(idCol).as("doc_id"), explode(TextOps.shingles(col(textCol), n)).as("shingle"))
+      .select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("_toks"))
+      .select(col("doc_id"), explode(TextOps.shinglesFromTokens(col("_toks"), n)).as("shingle"))
     val sh = maxShingleDf match {
       case Some(cap) =>
         // document-frequency cap: drop shingles appearing in > cap docs
@@ -89,7 +92,8 @@ object Dedup {
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String, n: Int, k: Int): DataFrame = {
     val sh = docs
-      .select(col(idCol).as("doc_id"), explode(TextOps.shingles(col(textCol), n)).as("shingle"))
+      .select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("_toks"))
+      .select(col("doc_id"), explode(TextOps.shinglesFromTokens(col("_toks"), n)).as("shingle"))
       .withColumn("h", pmod(crc32(col("shingle").cast("binary")).cast("long"), lit(MinhashPrime)))
     val minAggs = (0 until k).map { i =>
       val a = 1L + 2L * i // odd multipliers

@@ -1,0 +1,15 @@
+package graft.functions
+
+import graft.expr.{Lemmatize, LemmatizeAll}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graftshim.Shim
+
+/** Column-API entry points for the engine's native Catalyst expressions. */
+object GraftFunctions {
+
+  def lemmatize(c: Column): Column =
+    Shim.column(Lemmatize(Shim.expression(c)))
+
+  def lemmatize_all(c: Column): Column =
+    Shim.column(LemmatizeAll(Shim.expression(c)))
+}

@@ -61,7 +61,8 @@ object Resamplers {
       featuresCol: String,
       seed: Long = 42L,
       bucketLength: Double = 2.0,
-      k: Int = 5
+      k: Int = 5,
+      neighborRadius: Double = 3.0
   ): DataFrame = {
     val base = df.select(col(idCol), col(featuresCol), col(labelCol))
     val (nPos, nNeg) = classCounts(df, labelCol)
@@ -70,12 +71,21 @@ object Resamplers {
     val nMin = math.min(nPos, nNeg); val nMaj = math.max(nPos, nNeg)
 
     val minority = base.filter(col(labelCol) === minorityLabel)
+    // Cost shape: only `needed` synthetic rows are ever emitted, so only
+    // ~needed seed points are joined — a deterministic hash-sample, not
+    // the full minority. The join radius is finite (features are
+    // standardized, so a constant radius is meaningful): an unbounded
+    // approxSimilarityJoin degenerates to bucket-cross-products and was
+    // measured 20× slower at sf0.1.
+    val needed = nMaj - nMin
+    val seedPermille = math.min(1000L, math.max(1L, needed * 1000L / nMin))
+    val seeds = minority.filter(pmod(xxhash64(col(idCol), lit(seed)), lit(1000L)) < seedPermille)
     val lsh = new BucketedRandomProjectionLSH()
       .setInputCol(featuresCol).setOutputCol("_hashes")
       .setBucketLength(bucketLength).setNumHashTables(3).setSeed(seed)
     val model = lsh.fit(minority)
     val pairs = model
-      .approxSimilarityJoin(minority, minority, Double.MaxValue, "_dist")
+      .approxSimilarityJoin(seeds, minority, neighborRadius, "_dist")
       .filter(col(s"datasetA.$idCol") =!= col(s"datasetB.$idCol"))
       .select(
         col(s"datasetA.$idCol").as("_ida"),
@@ -89,7 +99,7 @@ object Resamplers {
       val xa = x.toArray; val na = nbr.toArray
       Vectors.dense(Array.tabulate(xa.length)(i => xa(i) + frac * (na(i) - xa(i))))
     }
-    val multiplier = math.max(1L, (nMaj - nMin) / nMin)
+    val multiplier = math.max(1L, needed / math.max(1L, nMin * seedPermille / 1000L))
     val synthOne = nearest
       .withColumn("_pick", pmod(xxhash64(col("_ida"), lit(seed)), lit(k.toLong)) + 1L)
       .filter(col("_rn") === col("_pick"))
@@ -116,7 +126,8 @@ object Resamplers {
       labelCol: String,
       featuresCol: String,
       seed: Long = 42L,
-      bucketLength: Double = 2.0
+      bucketLength: Double = 2.0,
+      neighborRadius: Double = 3.0
   ): DataFrame = {
     val (nPos, nNeg) = classCounts(df, labelCol)
     if (nPos == 0 || nNeg == 0 || nPos == nNeg) return df
@@ -129,8 +140,12 @@ object Resamplers {
       .setInputCol(featuresCol).setOutputCol("_hashes")
       .setBucketLength(bucketLength).setNumHashTables(3).setSeed(seed)
     val model = lsh.fit(df)
+    // Finite radius: an unbounded approxSimilarityJoin materializes every
+    // bucket-sharing (majority × minority) pair — the measured 100 TB
+    // killer. Majority rows with no in-radius candidate are handled by
+    // the deterministic top-up below.
     val dists = model
-      .approxSimilarityJoin(majority, minority, Double.MaxValue, "_dist")
+      .approxSimilarityJoin(majority, minority, neighborRadius, "_dist")
       .select(col(s"datasetA.$idCol").as("_maj_id"), col("_dist"))
       .groupBy("_maj_id").agg(avg("_dist").as("_mean_dist"))
     // LSH only yields candidates sharing a bucket; majority rows with no

@@ -67,6 +67,24 @@ object TrainHarness {
     (bestReg, model.avgMetrics(bestIdx))
   }
 
+  /** RF hyperparameter sweep (reference M6: n_estimators ∈ 100..900,
+    * py:580-618): driver loop over tree counts, one (numTrees, auc) row
+    * each. The train/test sets are cached once across the whole sweep.
+    */
+  def rfSweep(
+      train: DataFrame, test: DataFrame,
+      featuresCol: String, labelCol: String,
+      treeCounts: Seq[Int] = Seq(50, 100, 200), seed: Long = 42L
+  ): DataFrame = {
+    val s = org.apache.spark.sql.SparkSession.active
+    import s.implicits._
+    train.cache(); test.cache()
+    treeCounts.map { n =>
+      val scored = randomForestScores(train, test, featuresCol, labelCol, n, seed)
+      n -> Metrics.aucRoc(scored, "score", labelCol)
+    }.toDF("num_trees", "auc_roc")
+  }
+
   /** The M16 benchmark: resampling strategy × metrics table. Returns one
     * row per strategy with AUC-ROC and threshold metrics — the engine's
     * top-level "query" (reference py:796-861 builds the same table).

@@ -1,0 +1,99 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: opaque `binary` payloads + typed metadata
+  * structs, with decode/feature-extraction as per-partition batch
+  * operators.
+  *
+  * Design for 100 TB: the payload column stays opaque bytes end-to-end —
+  * Parquet stores it page-compressed, Catalyst prunes it whenever a query
+  * doesn't touch it, and decode happens per-partition (batched) so a real
+  * decoder (image/audio lib) amortizes initialization per partition, not
+  * per row. The decode step itself is a clearly-marked deterministic STUB
+  * (no media libs in this container, SURVEY-prompt contract); everything
+  * around it — schema, batching, partitioning, output shape — is real.
+  */
+object Multimodal {
+
+  val metaSchema: StructType = StructType(Seq(
+    StructField("modality", StringType, nullable = false),
+    StructField("n_bytes", IntegerType, nullable = false),
+    StructField("checksum", LongType, nullable = false)
+  ))
+
+  /** Wrap a string column as a (payload: binary, meta: struct) pair —
+    * the canonical multimodal row shape. In production the payload comes
+    * off object storage; here it is synthesized from text so the plumbing
+    * is exercised end-to-end.
+    */
+  def toBinaryTable(df: DataFrame, idCol: String, textCol: String, modality: String): DataFrame =
+    df.select(
+      col(idCol),
+      col(textCol).cast("binary").as("payload"),
+      struct(
+        lit(modality).as("modality"),
+        octet_length(col(textCol).cast("binary")).as("n_bytes"),
+        crc32(col(textCol).cast("binary")).as("checksum")
+      ).as("meta"))
+
+  /** ==== STUB DECODER ====
+    * Stands in for an image/audio decode (PIL/ffmpeg-style). Produces a
+    * deterministic fixed-width "feature vector" from the payload bytes:
+    * byte-histogram moments — so specs can pin exact outputs. A real
+    * decoder drops in here with the same (Iterator[Row] => Iterator[Row])
+    * batch signature.
+    */
+  private def stubDecode(bytes: Array[Byte], dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    if (bytes == null || bytes.isEmpty) return out
+    var i = 0
+    while (i < bytes.length) {
+      out(java.lang.Byte.toUnsignedInt(bytes(i)) % dim) += 1.0f
+      i += 1
+    }
+    var j = 0
+    while (j < dim) { out(j) /= bytes.length; j += 1 }
+    out
+  }
+
+  /** Per-partition batched decode → feature column. `mapPartitions` keeps
+    * the (stub) decoder's init cost per-partition and the rows streaming.
+    */
+  def decodeFeatures(binTable: DataFrame, idCol: String, dim: Int = 16): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)
+    ))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    binTable.select(col(idCol), col("payload")).mapPartitions { rows =>
+      // a real decoder initializes its native context HERE, once per partition
+      rows.map { r =>
+        val id = r.getLong(0)
+        val payload = r.getAs[Array[Byte]](1)
+        Row(id, stubDecode(payload, dim).toSeq)
+      }
+    }(enc)
+  }
+
+  /** Frame-sampling analog: deterministic byte-range samples of the
+    * payload ("every k-th chunk"), the video-frame-extraction shape:
+    * one input row → n (frame_idx, frame_bytes) rows via a generator.
+    */
+  def sampleChunks(binTable: DataFrame, idCol: String, chunkBytes: Int = 64, everyK: Int = 4): DataFrame = {
+    val nChunks = ceil(octet_length(col("payload")).cast("double") / chunkBytes).cast("int")
+    binTable
+      .select(
+        col(idCol),
+        posexplode(
+          transform(
+            sequence(lit(0), greatest(nChunks - 1, lit(0))),
+            i => substring(col("payload"), i * chunkBytes + 1, lit(chunkBytes))
+          )
+        ).as(Seq("chunk_idx", "chunk")))
+      .filter(pmod(col("chunk_idx"), lit(everyK)) === 0)
+      .select(col(idCol), col("chunk_idx"), col("chunk"), octet_length(col("chunk")).as("chunk_bytes"))
+  }
+}

@@ -18,6 +18,10 @@ import org.apache.spark.sql.functions._
   */
 object TextFeaturizer {
 
+  /** UDF form kept for comparison/testing; the pipeline uses the native
+    * `LemmatizeAll` Catalyst expression (codegen'd, no serialization
+    * boundary — see graft.expr.LemmatizeExpression).
+    */
   val lemmatizeTokens = udf { toks: Seq[String] => Lemmatizer.lemmatize(toks) }
 
   /** Pre-tokenization scrub: lowercase, strip newlines/punct/digits
@@ -56,7 +60,7 @@ object TextFeaturizer {
     val cleaned = clean(docs, textCol, "_clean")
     remover
       .transform(tokenizer.transform(cleaned))
-      .withColumn("lemmas", lemmatizeTokens(col("_kept")))
+      .withColumn("lemmas", graft.functions.GraftFunctions.lemmatize_all(col("_kept")))
       .drop("_clean", "_toks", "_kept")
   }
 }

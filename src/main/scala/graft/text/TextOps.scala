@@ -128,9 +128,18 @@ object TextOps {
   /** Word n-gram shingles of the token array (for Jaccard/MinHash dedup).
     * Guard the short-text case explicitly: Spark's `sequence(1, 0)` counts
     * DOWN rather than producing an empty array.
+    *
+    * PERF: prefer `shinglesFromTokens` over a materialized token COLUMN.
+    * This convenience form embeds the tokenization subtree at every
+    * `element_at` reference; if Catalyst doesn't hoist it, the regex
+    * split re-runs per shingle element (measured 10×+ slowdowns).
     */
-  def shingles(c: Column, n: Int): Column = {
-    val toks = tokens(c)
+  def shingles(c: Column, n: Int): Column = shinglesFromTokens(tokens(c), n)
+
+  /** Shingles from an already-computed token array column (pass an
+    * attribute, i.e. a column produced by a previous projection).
+    */
+  def shinglesFromTokens(toks: Column, n: Int): Column =
     when(size(toks) < n, array().cast("array<string>"))
       .otherwise(
         array_distinct(
@@ -140,5 +149,4 @@ object TextOps {
           )
         )
       )
-  }
 }

@@ -1,0 +1,42 @@
+package graft.multimodal
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "hello world"),
+    (2L, ""),
+    (3L, "aaaa")
+  ).toDF("doc_id", "text")
+
+  test("toBinaryTable carries payload bytes + typed metadata") {
+    val bt = Multimodal.toBinaryTable(docs, "doc_id", "text", "text/plain")
+    val r = bt.filter(col("doc_id") === 1L).select("meta.n_bytes", "meta.modality").collect()(0)
+    assert(r.getInt(0) == 11 && r.getString(1) == "text/plain")
+    val payload = bt.filter(col("doc_id") === 1L).select("payload").collect()(0).getAs[Array[Byte]](0)
+    assert(new String(payload, "UTF-8") == "hello world")
+  }
+
+  test("decodeFeatures: per-partition stub decode emits normalized histograms") {
+    val bt = Multimodal.toBinaryTable(docs, "doc_id", "text", "text/plain")
+    val feats = Multimodal.decodeFeatures(bt, "doc_id", dim = 16).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(feats(1L).length == 16)
+    assert(math.abs(feats(1L).sum - 1.0f) < 1e-5) // normalized histogram
+    assert(feats(2L).sum == 0.0f)                 // empty payload -> zero vector
+    // 'aaaa' -> all mass on bucket 'a'(97) % 16 = 1
+    assert(feats(3L)(1) == 1.0f)
+  }
+
+  test("sampleChunks emits every k-th fixed-size byte chunk") {
+    val long = Seq((9L, "x" * 300)).toDF("doc_id", "text")
+    val bt = Multimodal.toBinaryTable(long, "doc_id", "text", "text/plain")
+    val chunks = Multimodal.sampleChunks(bt, "doc_id", chunkBytes = 64, everyK = 2).collect()
+    // 300 bytes -> 5 chunks (64,64,64,64,44); every 2nd -> idx 0,2,4
+    assert(chunks.map(_.getAs[Int]("chunk_idx")).sorted.toSeq == Seq(0, 2, 4))
+    assert(chunks.find(_.getAs[Int]("chunk_idx") == 4).get.getAs[Int]("chunk_bytes") == 44)
+  }
+}

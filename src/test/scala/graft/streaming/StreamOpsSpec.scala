@@ -1,0 +1,67 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+class StreamOpsSpec extends SparkSpecBase {
+  import StreamOps._
+
+  private def ts(min: Int): Timestamp = new Timestamp(3600L * 1000 + min * 60000L)
+
+  test("windowedCounts aggregates tumbling event-time windows over a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    input.addData(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(10), 1, "click", 2.0),
+      Event(3, ts(70), 2, "view", 3.0) // next hour window
+    )
+    val q = windowedCounts(input.toDF(), "1 hour", "2 hours")
+      .writeStream.format("memory").queryName("wc").outputMode(OutputMode.Update()).start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("wc").collect()
+        .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("cnt"))).toSet
+      assert(rows == Set(("click", 2L), ("view", 1L)))
+    } finally q.stop()
+  }
+
+  test("sessionize splits on gaps and counts per session (streaming state)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    input.addData(
+      Event(1, ts(0), 1, "a", 0.0),
+      Event(2, ts(5), 1, "a", 0.0),   // same session (5 min gap)
+      Event(3, ts(60), 1, "a", 0.0),  // 55 min gap > 30 min -> new session
+      Event(4, ts(0), 2, "b", 0.0)
+    )
+    val q = sessionize(input.toDS(), gapSeconds = 1800L)
+      .writeStream.format("memory").queryName("sess").outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("sess").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_id"), r.getAs[Long]("n_events"))).toSet
+      // user 1: closed session 0 with 2 events, open session 1 with 1 event
+      assert(rows.contains((1L, 0L, 2L)))
+      assert(rows.contains((1L, 1L, 1L)))
+      assert(rows.contains((2L, 0L, 1L)))
+    } finally q.stop()
+  }
+
+  test("batch/stream parity: windowedCounts matches the batch ev_hour_agg shape") {
+    import spark.implicits._
+    val batch = Seq(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(10), 1, "click", 2.0),
+      Event(3, ts(70), 2, "view", 3.0)
+    ).toDF()
+    val out = windowedCounts(batch).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("cnt"))).toSet
+    assert(out == Set(("click", 2L), ("view", 1L)))
+  }
+}

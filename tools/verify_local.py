@@ -58,13 +58,17 @@ def main():
         path = os.path.join(out_dir, name)
         if not os.path.isdir(path):
             continue
+        if name not in oracle:
+            try:
+                n = con.execute(f"SELECT count(*) FROM '{path}/*.parquet'").fetchone()[0]
+                noracle.append((name, n))
+            except Exception as e:
+                bad.append((name, f"READ FAIL: {e}"))
+            continue
         try:
             mine = canon(con, f"SELECT * FROM '{path}/*.parquet'")
         except Exception as e:
             bad.append((name, f"READ FAIL: {e}"))
-            continue
-        if name not in oracle:
-            noracle.append((name, len(mine)))
             continue
         try:
             theirs = canon(con, oracle[name])
