@@ -274,6 +274,14 @@ object SparkEntry {
         .limit(25)
         .select("o_orderkey", "o_totalprice")),
 
+    // W3/W4 at scale: custom TopKPerKey physical operator (bounded heaps +
+    // map-side partial, one exchange) — verified against the window-SQL oracle
+    "w5_topk_per_key" -> ((s, d) =>
+      graft.plans.TopKPerKey(
+        t(s, d, "orders"), Seq("o_custkey"),
+        Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice")),
+
     "cohort_label" -> ((s, d) =>
       cohort(s, d).select("o_orderkey", "next_time", "days_next", "label")),
 
@@ -725,6 +733,13 @@ object SparkEntry {
 
     "w4_topk" ->
       "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25",
+
+    "w5_topk_per_key" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders
+        |) WHERE rn <= 3""".stripMargin,
 
     "cohort_label" -> cohortSqlCore,
 
