@@ -288,12 +288,57 @@ object SparkEntry {
     "cohort_counts" -> ((s, d) =>
       cohort(s, d).groupBy("label").agg(count(lit(1)).as("cnt"))),
 
+    // A3+A4 literal composition (reference :156-164): group-collect →
+    // explode → pivot-count matrix
+    "a4_explode_pivot" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_orderkey").agg(collect_list("l_returnflag").as("cats"))
+        .select(col("l_orderkey"), explode(col("cats")).as("cat"))
+        .groupBy("l_orderkey").pivot("cat", Seq("A", "N", "R")).agg(count(lit(1)))
+        .na.fill(0, Seq("A", "N", "R"))
+        .withColumnRenamed("A", "cat_a")
+        .withColumnRenamed("N", "cat_n")
+        .withColumnRenamed("R", "cat_r")),
+
+    // skew-safe salted aggregation — exact same result as plain GROUP BY
+    "skew_salted_agg" -> ((s, d) =>
+      graft.ops.SkewOps.saltedAgg(
+        t(s, d, "lineitem"), "l_returnflag", col("l_quantity").cast("decimal(18,2)"))
+        .select(
+          col("l_returnflag"), col("cnt"),
+          col("sum_v").cast("double").as("sum_qty"),
+          col("min_v").cast("double").as("min_qty"),
+          col("max_v").cast("double").as("max_qty"))),
+
+    // SQL front-end: the same engine through spark.sql (TPC-H Q3 shape)
+    "sql_q3_shipping" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      s.sql(SparkEntry.q3Sql)
+    }),
+
     // ---- O*: set ops / sampling -----------------------------------------
     "o5_union_agg" -> ((s, d) => {
       val a = t(s, d, "orders").filter(col("o_totalprice") > 400000)
       val b = t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT")
       a.unionByName(b).groupBy("o_orderstatus").agg(count(lit(1)).as("cnt"))
     }),
+
+    // O2: deterministic full shuffle (orderBy rand(seed)); rows-only —
+    // permutation is engine-specific, determinism pinned by spec
+    "o2_shuffle" -> ((s, d) =>
+      t(s, d, "orders").orderBy(rand(42)).limit(100).select("o_orderkey")),
+
+    // A2 scale path: approximate distinct (HLL sketch); rows-only
+    "a2_approx_distinct" -> ((s, d) =>
+      t(s, d, "lineitem").agg(
+        approx_count_distinct(col("l_partkey")).as("approx_d_part"),
+        countDistinct(col("l_partkey")).as("exact_d_part"))),
+
+    // full §3.1+§3.2+§3.3 composition (rows-only: LR internals)
+    "pipeline_e2e" -> ((s, d) =>
+      graft.pipeline.ReadmissionPipeline.run(s, d)),
 
     // seeded sampling: no cross-engine oracle (RNG streams differ);
     // driver records rows-only. Determinism is pinned by specs.
@@ -571,9 +616,38 @@ object SparkEntry {
     })
   )
 
+  /** TPC-H Q3 shape, written once in the dialect-intersection of Spark SQL
+    * and DuckDB — the engine runs it via spark.sql, the oracle verbatim.
+    */
+  val q3Sql: String =
+    """SELECT o_orderkey, o_orderdate,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+      |GROUP BY o_orderkey, o_orderdate""".stripMargin
+
   // ----------------------------------------------------------------------
 
   def oracleSql: Map[String, String] = Map(
+    "sql_q3_shipping" -> q3Sql,
+
+    "a4_explode_pivot" ->
+      """SELECT l_orderkey,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS cat_a,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS cat_n,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS cat_r
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "skew_salted_agg" ->
+      """SELECT l_returnflag, count(*) AS cnt,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(MIN(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS min_qty,
+        |  CAST(MAX(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS max_qty
+        |FROM lineitem GROUP BY 1""".stripMargin,
     "s2_scan_region" -> "SELECT r_regionkey, r_name FROM region",
 
     "p_proj_filter" ->
