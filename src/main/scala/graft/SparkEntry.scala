@@ -420,6 +420,15 @@ object SparkEntry {
         "vec_id", "embedding", k = 5, nprobe = 2)
     }),
 
+    // embedding-cosine near-dup: high-threshold pairs as dedup candidates,
+    // keep-min-id winner per pair
+    "d_embed_neardup" -> ((s, d) =>
+      Similarity.cosinePairs(t(s, d, "embeddings"), "vec_id", "embedding", threshold = 0.45)
+        .select(
+          least(col("id_a"), col("id_b")).as("keep_id"),
+          greatest(col("id_a"), col("id_b")).as("dup_id"),
+          col("cosine"))),
+
     // ---- events / sessionization ----------------------------------------
     "ev_hour_agg" -> ((s, d) =>
       Tables.events(s, d)
@@ -886,6 +895,18 @@ object SparkEntry {
         |       CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
         |FROM pairs JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
         |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.05""".stripMargin,
+
+    "d_embed_neardup" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i])) /
+        |    (sqrt(list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * a.e[i]))) *
+        |     sqrt(list_sum(list_transform(range(1, len(b.e) + 1), i -> b.e[i] * b.e[i])))) AS cosine
+        |  FROM v a, v b WHERE a.vec_id < b.vec_id
+        |)
+        |SELECT LEAST(id_a, id_b) AS keep_id, GREATEST(id_a, id_b) AS dup_id, cosine
+        |FROM p WHERE cosine >= 0.45""".stripMargin,
 
     "sim_cosine_pairs" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
