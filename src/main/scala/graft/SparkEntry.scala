@@ -453,6 +453,22 @@ object SparkEntry {
         .groupBy("user_id", "session_id").agg(count(lit(1)).as("n_events"))
     }),
 
+    // semi-structured props extraction (regex form, engine-comparable)
+    "ev_props_extract" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("k", regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast("int"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), sum(col("k").cast("long")).as("sum_k"),
+          min("k").as("min_k"), max("k").as("max_k"))),
+
+    // M13 vector form: ml.stat.ChiSquareTest over assembled features
+    // (rows-only: stat library internals)
+    "ml_chi2_vec" -> ((s, d) => {
+      val sub = graft.ml.Features.assembled(s, d)
+        .filter(pmod(col("id"), lit(10L)) === 0L)
+      graft.ml.FeatureScoring.chi2(sub, "features", "label")
+    }),
+
     // ---- multimodal plumbing --------------------------------------------
     "mm_binary_meta" -> ((s, d) =>
       t(s, d, "documents").select(
@@ -925,6 +941,13 @@ object SparkEntry {
         |       count(DISTINCT user_id) AS d_users,
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "ev_props_extract" ->
+      """SELECT event_type, count(*) AS cnt,
+        |  CAST(SUM(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER)) AS BIGINT) AS sum_k,
+        |  MIN(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER)) AS min_k,
+        |  MAX(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER)) AS max_k
+        |FROM events GROUP BY 1""".stripMargin,
 
     "ev_sessionize" ->
       """WITH x AS (
