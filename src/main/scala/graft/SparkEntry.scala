@@ -134,6 +134,25 @@ object SparkEntry {
         Recodes.dictDecode(col("n_nationkey"),
           Map(0 -> "ZERO", 1 -> "ONE", 2 -> "TWO", 5 -> "FIVE")).as("decoded"))),
 
+    // E12: age-in-years with negative clamp (MIMIC DOB-shift analog):
+    // deliberately reversed difference produces negatives -> clamp to 90
+    "e12_age_clamp" -> ((s, d) =>
+      t(s, d, "lineitem").join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .withColumn("years_raw", floor(datediff(col("o_orderdate"), col("l_shipdate")) / 365.0))
+        .withColumn("years", when(col("years_raw") < 0, 90L).otherwise(col("years_raw")))
+        .groupBy("years").agg(count(lit(1)).as("cnt"))),
+
+    // P11: any-null row drop after an outer join
+    "p11_dropna" -> ((s, d) => {
+      val firstShip = t(s, d, "lineitem")
+        .groupBy("l_orderkey").agg(min("l_shipdate").as("first_ship"))
+      t(s, d, "orders")
+        .join(firstShip, col("o_orderkey") === col("l_orderkey"), "left")
+        .select("o_orderkey", "first_ship")
+        .na.drop()
+        .agg(count(lit(1)).as("cnt_after_dropna"))
+    }),
+
     "e14_contains_frac" -> ((s, d) =>
       t(s, d, "documents").agg(
         avg(when(col("text").contains("spark"), 1.0).otherwise(0.0)).as("frac_spark"),
@@ -461,12 +480,16 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"), sum(col("k").cast("long")).as("sum_k"),
           min("k").as("min_k"), max("k").as("max_k"))),
 
-    // M13 vector form: ml.stat.ChiSquareTest over assembled features
-    // (rows-only: stat library internals)
+    // M13 vector form: ml.stat.ChiSquareTest over the CATEGORICAL one-hot
+    // features (chi2 is a contingency test — continuous scaled features
+    // explode its per-distinct-value cardinality). Rows-only.
     "ml_chi2_vec" -> ((s, d) => {
-      val sub = graft.ml.Features.assembled(s, d)
+      val raw = graft.ml.Features.orderFeatureTable(s, d)
         .filter(pmod(col("id"), lit(10L)) === 0L)
-      graft.ml.FeatureScoring.chi2(sub, "features", "label")
+      val asm = new org.apache.spark.ml.feature.VectorAssembler()
+        .setInputCols(Array("prio_1", "prio_2", "prio_3", "prio_4", "prio_5"))
+        .setOutputCol("features")
+      graft.ml.FeatureScoring.chi2(asm.transform(raw), "features", "label")
     }),
 
     // ---- multimodal plumbing --------------------------------------------
@@ -505,6 +528,28 @@ object SparkEntry {
         sub, "features", "label", regParams = Seq(0.1, 0.01), numFolds = 3)
       import s.implicits._
       Seq((bestReg, bestAcc)).toDF("best_reg_param", "best_cv_accuracy")
+    }),
+
+    // M14: top-n feature-selection sweep ranked by mutual information
+    // (rows-only: LR internals)
+    "ml_feature_select" -> ((s, d) => {
+      val sub = graft.ml.Features.assembled(s, d).filter(pmod(col("id"), lit(10L)) === 0L)
+      // rank continuous features by plug-in MI over bucketized copies
+      // (reference M14 ranks by mutual_info_classif then takes top-n)
+      val disc = graft.ml.Features.orderFeatureTable(s, d)
+        .filter(pmod(col("id"), lit(10L)) === 0L)
+        .select(
+          col("label"),
+          floor(col("o_totalprice") / 100000.0).as("o_totalprice"),
+          col("n_lines"),
+          floor(col("sum_qty") / 50.0).as("sum_qty"),
+          floor(col("avg_discount") * 20.0).as("avg_discount"),
+          floor(col("c_acctbal") / 2000.0).as("c_acctbal"))
+      val mi = graft.ml.FeatureScoring.mutualInfoAll(
+        disc, Seq("o_totalprice", "n_lines", "sum_qty", "avg_discount", "c_acctbal"), "label")
+      val (train, test) = graft.ml.Features.splitByHash(sub, "id")
+      graft.ml.TrainHarness.featureSelectionSweep(
+        train, test, "features", "label", mi, Seq(2, 5))
     }),
 
     // M6: RF tree-count sweep (rows-only)
@@ -727,6 +772,21 @@ object SparkEntry {
         |            WHEN n_nationkey = 2 THEN 'TWO' WHEN n_nationkey = 5 THEN 'FIVE'
         |            ELSE CAST(n_nationkey AS VARCHAR) END AS decoded
         |FROM nation""".stripMargin,
+
+    "e12_age_clamp" ->
+      """WITH x AS (
+        |  SELECT CAST(FLOOR(date_diff('day', l_shipdate, o_orderdate) / 365.0) AS BIGINT) AS years_raw
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |)
+        |SELECT CASE WHEN years_raw < 0 THEN 90 ELSE years_raw END AS years, count(*) AS cnt
+        |FROM x GROUP BY 1""".stripMargin,
+
+    "p11_dropna" ->
+      """SELECT count(*) AS cnt_after_dropna
+        |FROM orders LEFT JOIN
+        |  (SELECT l_orderkey, min(l_shipdate) AS first_ship FROM lineitem GROUP BY 1) f
+        |  ON o_orderkey = f.l_orderkey
+        |WHERE o_orderkey IS NOT NULL AND f.first_ship IS NOT NULL""".stripMargin,
 
     "e14_contains_frac" ->
       """SELECT avg(CASE WHEN text LIKE '%spark%' THEN 1.0 ELSE 0.0 END) AS frac_spark,

@@ -85,6 +85,33 @@ object TrainHarness {
     }.toDF("num_trees", "auc_roc")
   }
 
+  /** Top-n feature-selection sweep (reference M14, py:645-658): rank
+    * features by mutual information with the label, keep the top n via
+    * VectorSlicer, retrain, record AUC — one row per n.
+    */
+  def featureSelectionSweep(
+      train: DataFrame, test: DataFrame,
+      featuresCol: String, labelCol: String,
+      mi: DataFrame, // (feature_idx or feature name, mutual_info)
+      ns: Seq[Int], seed: Long = 42L
+  ): DataFrame = {
+    val s = org.apache.spark.sql.SparkSession.active
+    import s.implicits._
+    val ranked = mi.orderBy(col("mutual_info").desc, col("feature")).collect()
+      .map(_.getString(0))
+    train.cache(); test.cache()
+    ns.map { n =>
+      val keep = ranked.take(n)
+      val slicer = new org.apache.spark.ml.feature.VectorSlicer()
+        .setInputCol(featuresCol).setOutputCol("_sliced")
+        .setIndices(keep.map(f => Features.featureCols.indexOf(f)).filter(_ >= 0).sorted.toArray)
+      val trainS = slicer.transform(train).drop(featuresCol).withColumnRenamed("_sliced", featuresCol)
+      val testS  = slicer.transform(test).drop(featuresCol).withColumnRenamed("_sliced", featuresCol)
+      val scored = logisticL1Scores(trainS, testS, featuresCol, labelCol)
+      (n, Metrics.aucRoc(scored, "score", labelCol))
+    }.toDF("n_features", "auc_roc")
+  }
+
   /** The M16 benchmark: resampling strategy × metrics table. Returns one
     * row per strategy with AUC-ROC and threshold metrics — the engine's
     * top-level "query" (reference py:796-861 builds the same table).
