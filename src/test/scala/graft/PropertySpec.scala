@@ -1,0 +1,96 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.ops.{CohortOps, Recodes}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property tests (SURVEY §5.3): semantic invariants checked over
+  * generated inputs rather than fixed fixtures. Generators are sampled
+  * with fixed seeds (no scalatest-scalacheck bridge in the offline
+  * dependency cache), so every run checks the same derived cases.
+  */
+class PropertySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).map(i => g.pureApply(Gen.Parameters.default, Seed(42L + i)))
+
+  private def forAll[A](g: Gen[A], n: Int = 5)(check: A => Unit): Unit =
+    samples(g, n).foreach(check)
+
+  private val eventGen: Gen[List[(Long, Long, Int, String)]] = for {
+    n <- Gen.choose(1, 25)
+    rows <- Gen.listOfN(n, for {
+      entity <- Gen.choose(1L, 4L)
+      id     <- Gen.choose(1L, 1000000L)
+      day    <- Gen.choose(0, 200)
+      typ    <- Gen.oneOf("EMERGENCY", "URGENT", "ELECTIVE")
+    } yield (entity, id, day, typ))
+  } yield rows.distinctBy(r => (r._1, r._2))
+
+  test("W2 backfill property: next_time equals the first non-excluded successor's time") {
+    forAll(eventGen) { rows =>
+      if (rows.nonEmpty) {
+        val df = rows.map { case (e, id, day, t) =>
+          (e, id, new Timestamp(86400000L * day), t)
+        }.toDF("entity", "event_id", "time", "etype")
+        val out = CohortOps
+          .labelNextEvent(df, "entity", "time", "etype", "event_id", "ELECTIVE", 30.0)
+          .select("entity", "event_id", "next_time").collect()
+          .map(r => (r.getLong(0), r.getLong(1)) -> Option(r.getTimestamp(2))).toMap
+        // reference model: sort per entity, next = first LATER row (strictly
+        // after in (time, id) order) whose type != ELECTIVE
+        val byEntity = rows.groupBy(_._1)
+        byEntity.foreach { case (entity, evs) =>
+          val sorted = evs.sortBy(r => (r._3, r._2))
+          sorted.zipWithIndex.foreach { case ((_, id, _, _), i) =>
+            val expected = sorted.drop(i + 1).find(_._4 != "ELECTIVE")
+              .map(r => new Timestamp(86400000L * r._3))
+            assert(out((entity, id)) == expected,
+              s"entity $entity event $id: got ${out((entity, id))}, want $expected in $sorted")
+          }
+        }
+      }
+    }
+  }
+
+  test("E10 bucket property: chained ranges are total over their union and first-match-wins") {
+    val ranges = Seq((0.0, 10.0, "a"), (5.0, 20.0, "b"), (20.0, 30.0, "c"))
+    forAll(Gen.listOfN(30, Gen.choose(-5.0, 35.0))) { vs =>
+      if (vs.nonEmpty) {
+        val out = vs.toDF("v")
+          .select(col("v"), Recodes.rangeBucket(col("v"), ranges, lit("other")).as("b"))
+          .collect().map(r => r.getDouble(0) -> r.getString(1))
+        out.foreach { case (v, b) =>
+          val expected = ranges.find { case (lo, hi, _) => v >= lo && v <= hi }
+            .map(_._3).getOrElse("other")
+          assert(b == expected, s"$v -> $b, want $expected")
+        }
+      }
+    }
+  }
+
+  test("O5 union property: unionByName preserves row counts") {
+    forAll(Gen.zip(Gen.choose(0, 50), Gen.choose(0, 50))) { case (na, nb) =>
+      val a = (1 to na).map(i => (i.toLong, "a")).toDF("id", "src")
+      val b = (1 to nb).map(i => (i.toLong, "b")).toDF("id", "src")
+      assert(a.unionByName(b).count() == na.toLong + nb)
+    }
+  }
+
+  test("A7 property: confusion counters always sum to n") {
+    forAll(Gen.listOfN(40, Gen.zip(Gen.choose(0.0, 1.0), Gen.oneOf(0.0, 1.0)))) { rows =>
+      if (rows.nonEmpty) {
+        val m = graft.ml.Metrics
+          .thresholdMetrics(rows.toDF("score", "y"), "score", "y", 0.5)
+          .collect()(0)
+        val total = m.getAs[Long]("tp") + m.getAs[Long]("fp") +
+          m.getAs[Long]("tn") + m.getAs[Long]("fn")
+        assert(total == rows.length)
+      }
+    }
+  }
+}
