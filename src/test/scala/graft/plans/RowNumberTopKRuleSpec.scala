@@ -1,0 +1,54 @@
+package graft.plans
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class RowNumberTopKRuleSpec extends SparkSpecBase {
+
+  private def windowForm() = {
+    val orders = graft.core.Tables.orders(spark, sfDir)
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    orders.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice") // drops rn
+  }
+
+  test("rule rewrites row_number window + filter + drop into TopKPerKey") {
+    val expected = windowForm().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet // before install
+
+    RowNumberTopK.install(spark)
+    try {
+      val rewritten = windowForm()
+      val tree = rewritten.queryExecution.optimizedPlan.toString
+      assert(tree.contains("TopKPerKeyNode") || tree.contains("TopKPerKey"),
+        s"rule did not fire:\n$tree")
+      val got = rewritten.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected)
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ eq RowNumberTopKRule)
+    }
+  }
+
+  test("rule does NOT fire when rn survives the projection") {
+    RowNumberTopK.install(spark)
+    try {
+      val orders = graft.core.Tables.orders(spark, sfDir)
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      val keepRn = orders.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .select("o_custkey", "rn")
+      val tree = keepRn.queryExecution.optimizedPlan.toString
+      assert(!tree.contains("TopKPerKey"), tree)
+      // rn values still correct
+      assert(keepRn.collect().forall(_.getInt(1) <= 2))
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ eq RowNumberTopKRule)
+    }
+  }
+}
