@@ -114,6 +114,14 @@ object SparkEntry {
             .otherwise("OTHER"))
         .groupBy("color_std").agg(count(lit(1)).as("cnt"))),
 
+    // E6: literal-list membership recode
+    "e6_isin_recode" -> ((s, d) =>
+      t(s, d, "orders")
+        .withColumn("prio_grp",
+          when(col("o_orderpriority").isin("4-NOT SPECIFIED", "5-LOW"), "OTHER/UNKNOWN")
+            .otherwise(col("o_orderpriority")))
+        .groupBy("prio_grp").agg(count(lit(1)).as("cnt"))),
+
     "e8_substr_cast" -> ((s, d) =>
       t(s, d, "part")
         .withColumn("brand_num", substring(col("p_brand"), 7, 2).cast("int"))
@@ -195,6 +203,15 @@ object SparkEntry {
         .select("o_orderkey", "o_custkey")
     }),
 
+    // J3 analog: multi-hop dimension chain, all dims broadcast
+    "j3_threeway" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("l_extendedprice")).as("revenue"))),
+
     "j8_semi_join" -> ((s, d) => {
       val bigOrders = t(s, d, "orders").filter(col("o_totalprice") > 400000)
       t(s, d, "customer")
@@ -274,6 +291,18 @@ object SparkEntry {
       t(s, d, "orders").select(
         col("o_orderkey"), col("o_custkey"),
         lead(col("o_orderdate"), 1).over(w).as("next_order_ts"))
+    }),
+
+    // W2 standalone: null-out + forward-backfill within partition
+    "w2_backfill" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wFwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      t(s, d, "orders")
+        .withColumn("nxt", lead(col("o_orderdate"), 1).over(w))
+        .withColumn("nxt_ty", lead(col("o_orderpriority"), 1).over(w))
+        .withColumn("nxt", when(col("nxt_ty") === "5-LOW", lit(null)).otherwise(col("nxt")))
+        .withColumn("next_nonlow_ts", first(col("nxt"), ignoreNulls = true).over(wFwd))
+        .select("o_orderkey", "next_nonlow_ts")
     }),
 
     "w3_last_per_group" -> ((s, d) => {
@@ -395,6 +424,14 @@ object SparkEntry {
         TextOps.tokenCount(col("text")).as("n_tokens"),
         TextOps.stopwordCount(col("text")).as("n_stop"),
         TextOps.alphaRatio(col("text")).as("alpha_ratio"))),
+
+    // text quality components (exact integer-ratio arithmetic)
+    "t_quality" -> ((s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"),
+        TextOps.alphaRatio(col("text")).as("alpha_ratio"),
+        TextOps.stopwordRatio(col("text")).as("stop_ratio"),
+        TextOps.meanTokenLen(col("text")).as("mean_tok_len"))),
 
     "t_lang_id" -> ((s, d) =>
       t(s, d, "documents")
@@ -816,6 +853,54 @@ object SparkEntry {
     "j7_anti_join" ->
       """SELECT o_orderkey, o_custkey FROM orders
         |WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')""".stripMargin,
+
+    "j3_threeway" ->
+      """SELECT r_name, count(*) AS cnt,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1""".stripMargin,
+
+    "w2_backfill" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_orderdate,
+        |         LEAD(o_orderdate) OVER w AS nxt,
+        |         LEAD(o_orderpriority) OVER w AS nxt_ty
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |), nulled AS (
+        |  SELECT o_orderkey, o_custkey, o_orderdate,
+        |         CASE WHEN nxt_ty = '5-LOW' THEN NULL ELSE nxt END AS nxt2
+        |  FROM base
+        |)
+        |SELECT o_orderkey,
+        |       first_value(nxt2 IGNORE NULLS) OVER (
+        |         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_nonlow_ts
+        |FROM nulled""".stripMargin,
+
+    "e6_isin_recode" ->
+      """SELECT CASE WHEN o_orderpriority IN ('4-NOT SPECIFIED','5-LOW') THEN 'OTHER/UNKNOWN'
+        |            ELSE o_orderpriority END AS prio_grp, count(*) AS cnt
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "t_quality" ->
+      """WITH toks AS (
+        |  SELECT doc_id, text,
+        |         list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '') AS t
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / length(text) AS alpha_ratio,
+        |  CASE WHEN len(t) = 0 THEN 0.0 ELSE
+        |    CAST(len(list_filter(t, x -> list_contains(['a','an','the','and','or','of','to','in','on','at','for','is','are','was','were','be','been','it','its','this','that','with','as','by','from','not','no','but','if','then','so'], x))) AS DOUBLE) / len(t)
+        |  END AS stop_ratio,
+        |  CASE WHEN len(t) = 0 THEN 0.0 ELSE
+        |    CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t)
+        |  END AS mean_tok_len
+        |FROM toks""".stripMargin,
 
     "j8_semi_join" ->
       """SELECT c_custkey, c_name FROM customer
