@@ -11,6 +11,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // same session config as Verify: top-k window plans use TopKPerKey
+    graft.plans.RowNumberTopK.install(spark)
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // a failed query must surface as -1, not masquerade as a fast run

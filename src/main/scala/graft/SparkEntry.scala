@@ -71,6 +71,20 @@ object SparkEntry {
     // ---- S*: scans / sources --------------------------------------------
     "s2_scan_region" -> ((s, d) => t(s, d, "region").select("r_regionkey", "r_name")),
 
+    // S6 sink closed-loop: write nation to CSV, read it back with an
+    // explicit schema, hash-compare against the DuckDB view of the same
+    // parquet table — proves quoting/typing survive the roundtrip.
+    "s6_csv_roundtrip" -> ((s, d) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_s6_csv_${new java.io.File(d).getName}"
+      graft.core.Sinks.csv(
+        t(s, d, "nation").select("n_nationkey", "n_name", "n_regionkey"),
+        out, singleFile = true)
+      s.read
+        .option("header", "true")
+        .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+        .csv(out)
+    }),
+
     // ---- P*: projections / filters --------------------------------------
     "p_proj_filter" -> ((s, d) =>
       t(s, d, "customer")
@@ -446,12 +460,22 @@ object SparkEntry {
       t(s, d, "documents").select(
         col("doc_id"), TextOps.rollingHash(col("text")).as("rhash"))),
 
+    // E13/E16 standalone: the newline-scrub + punct/digit-strip normalize
+    // step, oracled directly (regexp_replace is in the dialect intersection)
+    "t_normalize" -> ((s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"), TextOps.normalize(col("text")).as("norm_text"))),
+
     // ---- dedup -----------------------------------------------------------
     "d_exact_groups" -> ((s, d) =>
       Dedup.exactGroups(t(s, d, "documents"), "doc_id", "text")),
 
+    // document-frequency cap ON: shingles in >100 docs are dropped before
+    // the inverted-index self-join (uncapped hot shingles are O(df²) pair
+    // bombs at scale — Dedup.scala skew note). Oracle applies the same cap.
     "d_jaccard_pairs" -> ((s, d) =>
-      Dedup.jaccardPairs(t(s, d, "documents"), "doc_id", "text", n = 3, threshold = 0.05)),
+      Dedup.jaccardPairs(t(s, d, "documents"), "doc_id", "text", n = 3, threshold = 0.05,
+        maxShingleDf = Some(100L))),
 
     "d_minhash_pairs" -> ((s, d) =>
       Dedup.minhashLshPairs(t(s, d, "documents"), "doc_id", "text")),
@@ -476,14 +500,15 @@ object SparkEntry {
         "vec_id", "embedding", k = 5, nprobe = 2)
     }),
 
-    // embedding-cosine near-dup: high-threshold pairs as dedup candidates,
-    // keep-min-id winner per pair
+    // embedding-cosine near-dup: the PRODUCTION path is RHP-LSH banding
+    // (sub-quadratic candidate generation + exact-cosine verify), not the
+    // O(n²) crossJoin — `sim_cosine_pairs` remains the exact oracle tier.
+    // The DuckDB oracle mirrors the same deterministic algorithm (same
+    // seeded sign matrix, integer-quantized projections), so correctness
+    // is verified exactly without depending on LSH recall.
     "d_embed_neardup" -> ((s, d) =>
-      Similarity.cosinePairs(t(s, d, "embeddings"), "vec_id", "embedding", threshold = 0.45)
-        .select(
-          least(col("id_a"), col("id_b")).as("keep_id"),
-          greatest(col("id_a"), col("id_b")).as("dup_id"),
-          col("cosine"))),
+      Similarity.rhpNearDupPairs(t(s, d, "embeddings"), "vec_id", "embedding",
+        dim = 64, threshold = 0.45)),
 
     // ---- events / sessionization ----------------------------------------
     "ev_hour_agg" -> ((s, d) =>
@@ -599,10 +624,21 @@ object SparkEntry {
     // multimodal decode plumbing (deterministic stub decoder — see
     // graft.multimodal.Multimodal): binary payload → feature vector;
     // byte-chunk frame sampling
+    // Exploded to (doc_id, idx, cnt) rows: the stub's float features are
+    // byte-histogram ratios, so value*n_bytes rounds exactly back to the
+    // integer bucket count — oracle-hashable (an array<float> column is
+    // not) and DuckDB-expressible via the hex low-nibble of each byte.
     "mm_decode_stub" -> ((s, d) => {
       val bt = graft.multimodal.Multimodal.toBinaryTable(
         t(s, d, "documents"), "doc_id", "text", "text/plain")
-      graft.multimodal.Multimodal.decodeFeatures(bt, "doc_id", dim = 16)
+      val feat = graft.multimodal.Multimodal.decodeFeatures(bt, "doc_id", dim = 16)
+      feat
+        .join(bt.select(col("doc_id"), col("meta.n_bytes").as("_n")), Seq("doc_id"))
+        .select(col("doc_id"), col("_n"), posexplode(col("features")).as(Seq("idx", "value")))
+        .select(
+          col("doc_id"),
+          col("idx").cast("int").as("idx"),
+          round(col("value").cast("double") * col("_n")).cast("long").as("cnt"))
     }),
 
     "mm_chunks" -> ((s, d) => {
@@ -705,6 +741,20 @@ object SparkEntry {
         val m = graft.ml.Metrics.thresholdMetrics(scored, "score", "label", 0.5).collect()(0)
         (name, auc, m.getAs[Double]("accuracy"), m.getAs[Double]("recall"))
       }.toDF("strategy", "auc_roc", "accuracy", "recall")
+    }),
+
+    // M15: decision-function margin scores (rows-only: LR fit internals).
+    // Emits the margin/probability consistency counters — n_inconsistent
+    // must be 0 ((margin>0) ⇔ (prob>0.5)); the spec pins the same invariant.
+    "ml_lr_margin" -> ((s, d) => {
+      val sub = graft.ml.Features.assembled(s, d).filter(pmod(col("id"), lit(10L)) === 0L)
+      val (train, test) = graft.ml.Features.splitByHash(sub, "id")
+      val scored = graft.ml.TrainHarness.logisticL1Margins(train, test, "features", "label")
+      scored.agg(
+        count(lit(1)).as("n_test"),
+        sum(when(col("margin") > 0, 1L).otherwise(0L)).as("n_margin_pos"),
+        sum(when((col("margin") > 0) =!= (col("score") > 0.5), 1L).otherwise(0L))
+          .as("n_inconsistent"))
     }),
 
     // O9/O10: SMOTE + NearMiss class balance on a deterministic subsample
@@ -1040,12 +1090,16 @@ object SparkEntry {
       """WITH toks AS (
         |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '') AS t
         |  FROM documents
-        |), sh AS (
+        |), sh0 AS (
         |  SELECT DISTINCT doc_id, shingle FROM (
         |    SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
         |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
         |    FROM toks WHERE len(t) >= 3
         |  )
+        |), keep AS (
+        |  SELECT shingle FROM sh0 GROUP BY 1 HAVING count(*) <= 100
+        |), sh AS (
+        |  SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN keep USING (shingle)
         |), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
         |pairs AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
@@ -1058,16 +1112,8 @@ object SparkEntry {
         |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.05""".stripMargin,
 
     "d_embed_neardup" ->
-      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-        |p AS (
-        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |    list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i])) /
-        |    (sqrt(list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * a.e[i]))) *
-        |     sqrt(list_sum(list_transform(range(1, len(b.e) + 1), i -> b.e[i] * b.e[i])))) AS cosine
-        |  FROM v a, v b WHERE a.vec_id < b.vec_id
-        |)
-        |SELECT LEAST(id_a, id_b) AS keep_id, GREATEST(id_a, id_b) AS dup_id, cosine
-        |FROM p WHERE cosine >= 0.45""".stripMargin,
+      Similarity.rhpNearDupOracleSql("embeddings", "vec_id", "embedding",
+        dim = 64, threshold = 0.45),
 
     "sim_cosine_pairs" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
@@ -1154,6 +1200,27 @@ object SparkEntry {
         |       END AS BIGINT) AS sum_bytes
         |FROM x""".stripMargin,
 
+    // stub decoder mirror: feature idx = byte % 16 = low nibble of each
+    // UTF-8 byte = 2nd hex char of each byte pair in hex(blob); cnt is the
+    // per-nibble byte count (all 16 idx rows emitted, zeros included)
+    "mm_decode_stub" ->
+      """WITH h AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+        |  FROM documents
+        |), nib AS (
+        |  SELECT doc_id,
+        |         strpos('0123456789ABCDEF',
+        |                unnest(list_transform(range(1, n + 1), i -> substring(hx, 2*i, 1)))) - 1 AS idx
+        |  FROM h
+        |), cnt AS (
+        |  SELECT doc_id, idx, count(*) AS c FROM nib GROUP BY 1, 2
+        |), grid AS (
+        |  SELECT doc_id, unnest(range(0, 16)) AS idx FROM h
+        |)
+        |SELECT g.doc_id, CAST(g.idx AS INTEGER) AS idx,
+        |       CAST(COALESCE(c.c, 0) AS BIGINT) AS cnt
+        |FROM grid g LEFT JOIN cnt c ON g.doc_id = c.doc_id AND g.idx = c.idx""".stripMargin,
+
     "m3_onehot" ->
       """SELECT c_custkey,
         |  CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END AS seg_auto,
@@ -1237,6 +1304,14 @@ object SparkEntry {
         |SELECT feature,
         |       round(SUM((CAST(nxy AS DOUBLE) / n) * ln(CAST(nxy AS DOUBLE) * n / (CAST(nx AS DOUBLE) * ny))), 6) AS mi
         |FROM e GROUP BY 1""".stripMargin,
+
+    "t_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[\r\n]', ' ', 'g'), '[^a-z ]', ' ', 'g')) AS norm_text
+        |FROM documents""".stripMargin,
+
+    "s6_csv_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation",
 
     "vocab_topdf" ->
       """WITH terms AS (

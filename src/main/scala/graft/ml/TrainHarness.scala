@@ -44,6 +44,25 @@ object TrainHarness {
       .withColumn("score", vector_to_array(col("probability"))(1))
   }
 
+  /** L1-LR decision scores (reference M15: `lr.decision_function(X)`,
+    * Hap880_Final_Project.py:844): the raw log-odds margin alongside the
+    * probability. `margin > 0 ⇔ probability > 0.5` (sigmoid is monotone) —
+    * the spec-pinned invariant.
+    */
+  def logisticL1Margins(
+      train: DataFrame, test: DataFrame,
+      featuresCol: String, labelCol: String,
+      regParam: Double = 0.01, maxIter: Int = 50
+  ): DataFrame = {
+    val lr = new LogisticRegression()
+      .setFeaturesCol(featuresCol).setLabelCol(labelCol)
+      .setElasticNetParam(1.0).setRegParam(regParam).setMaxIter(maxIter)
+    val model = lr.fit(train.cache())
+    model.transform(test)
+      .withColumn("margin", vector_to_array(col("rawPrediction"))(1))
+      .withColumn("score", vector_to_array(col("probability"))(1))
+  }
+
   /** 5-fold CV over LR regularization strengths (reference M8's
     * GridSearchCV over C∈{.01,.1,1,10}, scoring=accuracy).
     */
