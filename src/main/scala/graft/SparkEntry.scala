@@ -494,8 +494,7 @@ object SparkEntry {
 
     "sim_ivf_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
-      val centroids = emb.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("cluster_id"), col("embedding").as("cvec"))
+      val centroids = Similarity.kmeansCentroids(emb, "embedding", k = 16)
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), centroids,
         "vec_id", "embedding", k = 5, nprobe = 2)
     }),

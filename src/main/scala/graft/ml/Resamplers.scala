@@ -154,7 +154,9 @@ object Resamplers {
     val all = majority.select(col(idCol).as("_maj_id"))
       .join(dists, Seq("_maj_id"), "left")
       .withColumn("_mean_dist", coalesce(col("_mean_dist"), lit(Double.MaxValue)))
-    val keep = all.orderBy(col("_mean_dist"), col("_maj_id")).limit(nMin.toInt)
+    // exact distributed selection — never a TakeOrdered of nMin rows
+    // through the driver (nMin is minority-class size: billions at scale)
+    val keep = graft.ops.GlobalTopN.topN(all, nMin, col("_mean_dist"), col("_maj_id"))
     majority
       .join(keep, majority(idCol) === keep("_maj_id"), "left_semi")
       .unionByName(minority)

@@ -48,6 +48,12 @@ class ResamplersSpec extends SparkSpecBase {
     assert(c(1.0) == 5 && c(0.0) == 5)
   }
 
+  test("nearMiss selection never plans a TakeOrderedAndProject (driver funnel)") {
+    val plan = Resamplers.nearMiss(df, "id", "label", "features", bucketLength = 5.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("resampling is deterministic under a fixed seed") {
     val a = counts(Resamplers.randomOversample(df, "label", seed = 7))
     val b = counts(Resamplers.randomOversample(df, "label", seed = 7))

@@ -41,6 +41,54 @@ class SimilaritySpec extends SparkSpecBase {
     assert(out.forall(_.getAs[Long]("neighbor_id") != 0L))
   }
 
+  // 40 seeded random unit-ish vectors + 10 noisy near-copies (cos ≈ 0.999)
+  private def plantedCorpus() = {
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 40).map(i => (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    val dups = (0 until 10).map { i =>
+      (100L + i, base(i)._2.map(x => x + 0.01f * rnd.nextGaussian().toFloat))
+    }
+    (base ++ dups).toDF("vec_id", "embedding")
+  }
+
+  test("rhpNearDupPairs: full recall on planted near-dups, subset of exact pairs") {
+    val corpus = plantedCorpus()
+    val lsh = Similarity.rhpNearDupPairs(corpus, "vec_id", "embedding",
+      dim = 16, threshold = 0.95)
+      .collect().map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("dup_id"))).toSet
+    val exact = Similarity.cosinePairs(corpus, "vec_id", "embedding", 0.95)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    // precision is exact by construction (candidates are cosine-verified)
+    assert(lsh.subsetOf(exact))
+    // at cos≈0.999 the per-pair miss probability is ~1e-5 — all planted
+    // pairs must surface through the band join
+    val planted = (0 until 10).map(i => (i.toLong, 100L + i)).toSet
+    assert(planted.subsetOf(lsh), s"missed planted dups: ${planted -- lsh}")
+  }
+
+  test("rhpNearDupOracleSql is deterministic and embeds the sign matrix") {
+    val a = Similarity.rhpNearDupOracleSql("embeddings", "vec_id", "embedding", 64, 0.45)
+    val b = Similarity.rhpNearDupOracleSql("embeddings", "vec_id", "embedding", 64, 0.45)
+    assert(a == b)
+    assert(a.contains("UNION ALL") && a.contains("list_sum"))
+  }
+
+  test("kmeansCentroids + ivfTopK: recall vs brute force pinned on testdata") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 10)
+    val centroids = Similarity.kmeansCentroids(emb, "embedding", k = 8)
+    assert(centroids.count() == 8)
+    val ivf = Similarity.ivfTopK(emb, queries, centroids, "vec_id", "embedding", k = 5, nprobe = 3)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val brute = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (ivf & brute).size.toDouble / brute.size
+    // unclustered gaussian test vectors are IVF's worst case; on real
+    // (clustered) embeddings recall at nprobe/nClusters=3/8 is far higher
+    info(s"IVF recall@5 nprobe=3/8: $recall")
+    assert(recall >= 0.5, s"recall dropped to $recall")
+  }
+
   test("ivfTopK returns neighbors from probed clusters only") {
     val centroids = vecs.filter(col("vec_id") < 2)
       .select(col("vec_id").as("cluster_id"), col("embedding").as("cvec"))
