@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.expr.{Lemmatize, LemmatizeAll}
+import graft.expr.{DotProduct, Lemmatize, LemmatizeAll}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.graftshim.Shim
 
@@ -12,4 +12,7 @@ object GraftFunctions {
 
   def lemmatize_all(c: Column): Column =
     Shim.column(LemmatizeAll(Shim.expression(c)))
+
+  def dot_product(a: Column, b: Column): Column =
+    Shim.column(DotProduct(Shim.expression(a), Shim.expression(b)))
 }
