@@ -1304,6 +1304,21 @@ object SparkEntry {
         |       round(SUM((CAST(nxy AS DOUBLE) / n) * ln(CAST(nxy AS DOUBLE) * n / (CAST(nx AS DOUBLE) * ny))), 6) AS mi
         |FROM e GROUP BY 1""".stripMargin,
 
+    "sim_topk" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.query_id, c.vec_id AS neighbor_id,
+        |    list_sum(list_transform(range(1, len(c.e) + 1), i -> q.qe[i] * c.e[i])) /
+        |    (sqrt(list_sum(list_transform(range(1, len(q.qe) + 1), i -> q.qe[i] * q.qe[i]))) *
+        |     sqrt(list_sum(list_transform(range(1, len(c.e) + 1), i -> c.e[i] * c.e[i])))) AS cosine
+        |  FROM v c, q WHERE q.query_id <> c.vec_id
+        |)
+        |SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        |  FROM scored
+        |) WHERE rank <= 5""".stripMargin,
+
     "t_normalize" ->
       """SELECT doc_id,
         |  trim(regexp_replace(regexp_replace(lower(text), '[\r\n]', ' ', 'g'), '[^a-z ]', ' ', 'g')) AS norm_text
@@ -1311,6 +1326,12 @@ object SparkEntry {
 
     "s6_csv_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+
+    "d_minhash_pairs" ->
+      Dedup.minhashLshOracleSql("documents", "doc_id", "text"),
+
+    "d_simhash_sigs" ->
+      Dedup.simhashOracleSql("documents", "doc_id", "text"),
 
     "vocab_topdf" ->
       """WITH terms AS (

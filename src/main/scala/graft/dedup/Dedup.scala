@@ -1,7 +1,7 @@
 package graft.dedup
 
 import graft.text.TextOps
-import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -82,9 +82,19 @@ object Dedup {
 
   private val MinhashPrime = 2147483647L // 2^31 - 1
 
+  /** 60-bit engine-portable hash: the top 15 hex chars of md5. MD5 over
+    * UTF-8 is identical in every engine (DuckDB mirrors it as
+    * `CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)`), and 60 bits keeps
+    * every downstream product/shift inside a signed 64-bit range — which
+    * makes the MinHash/SimHash outputs exactly DuckDB-oracle-able, unlike
+    * crc32/xxhash64 (engine-specific).
+    */
+  private[dedup] def md5Hash60(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
   /** MinHash signature table: one row per doc, k minhash columns mh_0..mh_{k-1}.
     *
-    * Shape: explode shingles once (one crc32 per shingle), then ONE
+    * Shape: explode shingles once (one md5 per shingle), then ONE
     * hash-aggregate computing all k permutation-mins simultaneously —
     * a single pass and a single shuffle on doc_id. (A nested
     * higher-order-function formulation recomputes the shingle hashes k×
@@ -94,7 +104,7 @@ object Dedup {
     val sh = docs
       .select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("_toks"))
       .select(col("doc_id"), explode(TextOps.shinglesFromTokens(col("_toks"), n)).as("shingle"))
-      .withColumn("h", pmod(crc32(col("shingle").cast("binary")).cast("long"), lit(MinhashPrime)))
+      .withColumn("h", pmod(md5Hash60(col("shingle")), lit(MinhashPrime)))
     val minAggs = (0 until k).map { i =>
       val a = 1L + 2L * i // odd multipliers
       val b = 7L + 131L * i
@@ -120,9 +130,13 @@ object Dedup {
       rowsPerBand: Int = 4
   ): DataFrame = {
     val sig = minhashSignatures(docs, idCol, textCol, n, bands * rowsPerBand)
+    // bucket = the band's raw value tuple (string-joined): collision-free
+    // and engine-portable, unlike murmur `hash(...)`; a deployment that
+    // wants fixed-width keys can wrap it in any hash without changing
+    // which docs meet
     val bandStructs = (0 until bands).map { b =>
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh_$i"))
-      struct(lit(b).as("band"), hash(cols: _*).as("bucket"))
+      struct(lit(b).as("band"), concat_ws("_", cols: _*).as("bucket"))
     }
     val banded = sig
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
@@ -137,27 +151,99 @@ object Dedup {
       .distinct()
   }
 
-  /** 64-bit SimHash signature table: per-bit majority vote of token
+  /** DuckDB oracle for `minhashLshPairs`: the same md5-60bit hash, the
+    * same (a·h+b) mod p permutation mins, the same value-tuple banding —
+    * generated from the same constants, so the driver hash-compares the
+    * sub-quadratic LSH path exactly.
+    */
+  def minhashLshOracleSql(
+      table: String, idCol: String, textCol: String,
+      n: Int = 3, bands: Int = 8, rowsPerBand: Int = 4
+  ): String = {
+    val shingleExpr = (0 until n).map(j => s"t[i+$j]").mkString(" || ' ' || ")
+    val minAggs = (0 until bands * rowsPerBand).map { i =>
+      val a = 1L + 2L * i; val b = 7L + 131L * i
+      s"min((h0 * $a + $b) % $MinhashPrime) AS mh_$i"
+    }.mkString(",\n  ")
+    val bandSelects = (0 until bands).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => s"mh_$i").mkString(", ")
+      s"SELECT doc_id, $b AS band, concat_ws('_', $cols) AS bucket FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH toks AS (
+       |  SELECT $idCol AS doc_id, list_filter(regexp_split_to_array(lower($textCol), '[^a-z]+'), x -> x <> '') AS t
+       |  FROM $table
+       |), sh AS (
+       |  SELECT DISTINCT doc_id, shingle FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len(t) - ${n - 2}),
+       |           i -> $shingleExpr)) AS shingle
+       |    FROM toks WHERE len(t) >= $n
+       |  )
+       |), h AS (
+       |  SELECT doc_id, CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) % $MinhashPrime AS h0
+       |  FROM sh
+       |), sig AS (
+       |  SELECT doc_id,
+       |  $minAggs
+       |  FROM h GROUP BY doc_id
+       |), banded AS (
+       |  $bandSelects
+       |)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM banded a JOIN banded b
+       |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id""".stripMargin
+  }
+
+  /** DuckDB oracle for `simhashSignatures`: same 60-bit md5 token hash,
+    * same per-bit majority votes, same bit assembly (sum of distinct
+    * powers of two — never overflows 60 bits).
+    */
+  def simhashOracleSql(table: String, idCol: String, textCol: String): String = {
+    val votes = (0 until SimhashBits)
+      .map(b => s"SUM(CASE WHEN (th >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v_$b")
+      .mkString(",\n  ")
+    val assemble = (0 until SimhashBits)
+      .map(b => s"(CASE WHEN v_$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT $idCol AS doc_id,
+       |         unnest(list_filter(regexp_split_to_array(lower($textCol), '[^a-z]+'), x -> x <> '')) AS tok
+       |  FROM $table
+       |), h AS (
+       |  SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS th FROM toks
+       |), v AS (
+       |  SELECT doc_id,
+       |  $votes
+       |  FROM h GROUP BY doc_id
+       |)
+       |SELECT doc_id, $assemble AS simhash FROM v""".stripMargin
+  }
+
+  /** SimHash bit width: 60 (the md5-derived portable hash's width). */
+  val SimhashBits = 60
+
+  /** 60-bit SimHash signature table: per-bit majority vote of token
     * hashes. Same single-pass shape as minhash: explode tokens once
-    * (one xxhash64 per token), ONE aggregate computing all 64 bit-votes,
-    * then assemble the signature with bitwise ORs.
+    * (one md5 per token), ONE aggregate computing all 60 bit-votes,
+    * then assemble the signature with bitwise ORs. 60 bits (not 64)
+    * because the portable hash is 60-bit — all values stay positive and
+    * every step mirrors exactly into the DuckDB oracle.
     */
   def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = docs
       .select(col(idCol).as("doc_id"), explode(TextOps.tokens(col(textCol))).as("tok"))
-      .withColumn("th", xxhash64(col("tok")))
-    val votes = (0 until 64).map { bit =>
+      .withColumn("th", md5Hash60(col("tok")))
+    val votes = (0 until SimhashBits).map { bit =>
       sum(when(shiftright(col("th"), bit).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"v_$bit")
     }
     val voted = toks.groupBy("doc_id").agg(votes.head, votes.tail: _*)
-    val sig = (0 until 64).foldLeft(lit(0L)) { case (acc, bit) =>
+    val sig = (0 until SimhashBits).foldLeft(lit(0L)) { case (acc, bit) =>
       acc.bitwiseOR(when(col(s"v_$bit") > 0, shiftleft(lit(1L), bit)).otherwise(0L))
     }
     voted.select(col("doc_id"), sig.as("simhash"))
   }
 
   /** SimHash near-dup pairs: hamming distance ≤ maxDist, candidate
-    * generation via 4-way band blocking on 16-bit chunks (two chunks must
+    * generation via 4-way band blocking on 15-bit chunks (two chunks must
     * match exactly for dist ≤ maxDist when maxDist < 4 — pigeonhole).
     */
   def simhashPairs(
@@ -170,7 +256,7 @@ object Dedup {
     val chunked = sigs.select(
       col("doc_id"), col("sh"),
       posexplode(array((0 until 4).map { i =>
-        shiftright(col("sh"), i * 16).bitwiseAND(0xffffL)
+        shiftright(col("sh"), i * 15).bitwiseAND(0x7fffL)
       }: _*))
     ).select(col("doc_id"), col("sh"), col("pos").as("chunk_idx"), col("col").as("chunk"))
     val hamming = {
