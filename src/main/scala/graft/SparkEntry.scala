@@ -1330,6 +1330,14 @@ object SparkEntry {
     "d_minhash_pairs" ->
       Dedup.minhashLshOracleSql("documents", "doc_id", "text"),
 
+    "t_rolling_hash" ->
+      """SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(17 AS BIGINT),
+        |    list_transform(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> ''),
+        |      t -> CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT))),
+        |    (acc, h) -> (acc * 31 + h) % 2147483647) AS rhash
+        |FROM documents""".stripMargin,
+
     "d_simhash_sigs" ->
       Dedup.simhashOracleSql("documents", "doc_id", "text"),
 

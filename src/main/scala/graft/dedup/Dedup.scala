@@ -82,15 +82,8 @@ object Dedup {
 
   private val MinhashPrime = 2147483647L // 2^31 - 1
 
-  /** 60-bit engine-portable hash: the top 15 hex chars of md5. MD5 over
-    * UTF-8 is identical in every engine (DuckDB mirrors it as
-    * `CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)`), and 60 bits keeps
-    * every downstream product/shift inside a signed 64-bit range — which
-    * makes the MinHash/SimHash outputs exactly DuckDB-oracle-able, unlike
-    * crc32/xxhash64 (engine-specific).
-    */
-  private[dedup] def md5Hash60(c: Column): Column =
-    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+  /** 60-bit engine-portable hash — see TextOps.md5Hash60. */
+  private[dedup] def md5Hash60(c: Column): Column = TextOps.md5Hash60(c)
 
   /** MinHash signature table: one row per doc, k minhash columns mh_0..mh_{k-1}.
     *

@@ -113,16 +113,27 @@ object TextOps {
   def fingerprintMd5(c: Column): Column =
     md5(array_join(tokens(c), " "))
 
+  /** 60-bit engine-portable token hash: top 15 hex chars of md5. MD5 over
+    * UTF-8 is identical in every engine (DuckDB:
+    * `CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)`), and 60 bits keeps
+    * downstream modular arithmetic inside signed 64-bit — the primitive
+    * that makes rolling-hash / MinHash / SimHash outputs exactly
+    * DuckDB-oracle-able (crc32/xxhash64 are engine-specific).
+    */
+  def md5Hash60(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
   /** Polynomial rolling hash over the token stream (base-31 mod 2^31-1) —
     * the document-fingerprint primitive for shingling. Modular so it never
-    * overflows under ANSI arithmetic; pure higher-order-function
-    * expression; deterministic.
+    * overflows under ANSI arithmetic (acc < 2^31, token hash < 2^60 →
+    * acc*31 + h < 2^61); pure higher-order-function expression;
+    * deterministic and engine-portable via `md5Hash60`.
     */
   def rollingHash(c: Column): Column =
     aggregate(
       tokens(c),
       lit(17L),
-      (acc, t) => pmod(acc * lit(31L) + crc32(t.cast("binary")).cast("long"), lit(2147483647L))
+      (acc, t) => pmod(acc * lit(31L) + md5Hash60(t), lit(2147483647L))
     )
 
   /** Word n-gram shingles of the token array (for Jaccard/MinHash dedup).
