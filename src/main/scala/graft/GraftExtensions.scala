@@ -1,8 +1,9 @@
 package graft
 
-import graft.expr.{Lemmatize, LemmatizeAll, LemmatizeExpression}
+import graft.expr.{DotProduct, Lemmatize, LemmatizeAll, LemmatizeExpression}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
 /** SparkSessionExtensions injector: registers the engine's native
   * expressions so they are callable from SQL (`SELECT lemmatize(word)`)
@@ -25,10 +26,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       LemmatizeExpression.lemmatizeAllInfo,
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         LemmatizeAll(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("dot_product"),
+      GraftExtensions.dotProductInfo,
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        DotProduct(children(0), children(1))))
   }
 }
 
 object GraftExtensions {
+  val dotProductInfo = new ExpressionInfo(classOf[DotProduct].getName, "dot_product")
+
   /** Register the same functions into an already-running session
     * (extensions normally apply at session build time).
     */
@@ -42,5 +50,9 @@ object GraftExtensions {
       FunctionIdentifier("lemmatize_all"), LemmatizeExpression.lemmatizeAllInfo,
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         LemmatizeAll(children.head))
+    reg.registerFunction(
+      FunctionIdentifier("dot_product"), dotProductInfo,
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        DotProduct(children(0), children(1)))
   }
 }

@@ -38,6 +38,14 @@ class LemmatizeExpressionSpec extends SparkSpecBase {
     assert(r.getSeq[String](1).toList == List("wife", "run"))
   }
 
+  test("SQL registration: SELECT dot_product(...) works after register()") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT dot_product(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+        "array(CAST(3.0 AS FLOAT), CAST(0.5 AS FLOAT))) AS d").collect()(0)
+    assert(math.abs(r.getDouble(0) - 4.0) < 1e-12)
+  }
+
   test("expression survives inside higher-order transform (stays codegen'd)") {
     val out = Seq(Seq("makes", "taken")).toDF("toks")
       .select(transform(col("toks"), t => GraftFunctions.lemmatize(t)).as("l"))
