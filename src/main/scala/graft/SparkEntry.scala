@@ -85,6 +85,34 @@ object SparkEntry {
         .csv(out)
     }),
 
+    // S7 partitioned-parquet sink closed-loop: write orders partitioned by
+    // o_orderpriority, read back filtered on the partition column. The
+    // filter never touches row data — it prunes whole directories at
+    // planning time (PartitionPruneSpec asserts exactly one of five
+    // partitions is scanned). At 100 TB this is the layout decision that
+    // turns "scan everything" into "scan 1/5th".
+    "s7_partitioned_prune" -> ((s, d) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_s7_part_${new java.io.File(d).getName}"
+      graft.core.Sinks.parquet(
+        t(s, d, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"),
+        out, partitionBy = Seq("o_orderpriority"))
+      s.read.parquet(out)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sum_price"))
+    }),
+
+    // Structured Streaming, oracled: the hourly windowed aggregation runs
+    // as a REAL stream (file source → watermark → incremental state →
+    // AvailableNow drain) and must produce the byte-identical answer to
+    // the batch/DuckDB form — stream/batch parity as a hash-checked
+    // invariant, not just a spec assertion.
+    "ev_stream_hourly" -> ((s, d) =>
+      graft.streaming.StreamOps.runToCompletion(
+        graft.streaming.StreamOps.windowedCountsExact(
+          graft.streaming.StreamOps.eventsStream(s, d)),
+        "graft_ev_stream_hourly")),
+
     // ---- P*: projections / filters --------------------------------------
     "p_proj_filter" -> ((s, d) =>
       t(s, d, "customer")
@@ -1326,6 +1354,16 @@ object SparkEntry {
 
     "s6_csv_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+
+    "s7_partitioned_prune" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1""".stripMargin,
+
+    "ev_stream_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour_ts, event_type, count(*) AS cnt,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     "d_minhash_pairs" ->
       Dedup.minhashLshOracleSql("documents", "doc_id", "text"),

@@ -2,9 +2,10 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types.LongType
 
 /** Structured Streaming variants of the engine's event operators
   * (SURVEY §7.6 — engine extension; the reference itself has no streams).
@@ -36,6 +37,70 @@ object StreamOps {
       .groupBy(window(col("ts"), windowLength).as("w"), col("event_type"))
       .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"), col("cnt"), col("sum_value"))
+
+  /** Oracle-aligned variant of [[windowedCounts]]: value sums accumulate in
+    * exact decimal (order-independent) and emit as double, so the result is
+    * bit-identical to a batch engine's `date_trunc('hour') … GROUP BY`.
+    * (`countDistinct` is omitted — distinct aggregation is unsupported in
+    * streaming; the batch `ev_hour_agg` covers it.)
+    */
+  def windowedCountsExact(
+      events: DataFrame,
+      windowLength: String = "1 hour",
+      watermark: String = "2 hours"
+  ): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLength).as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("w.start").as("hour_ts"), col("event_type"), col("cnt"), col("sum_value"))
+
+  /** Open the events parquet as a STREAM (file source), normalizing the
+    * ns-precision `ts` exactly like `Tables.events` does for batch.
+    * The file source is the bounded stand-in for Kafka here: same
+    * micro-batch execution, same incremental state machinery.
+    */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema // one footer read
+    // the file stream source requires a directory to monitor; the test
+    // table is a single file, so stage it into a per-sf temp directory
+    // (a production stream would already be a landing directory / Kafka)
+    val srcDir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), s"graft_stream_src_${new java.io.File(dir).getName}")
+    java.nio.file.Files.createDirectories(srcDir)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(path), srcDir.resolve("events.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val raw = spark.readStream.schema(schema).parquet(srcDir.toString)
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _        => raw
+    }
+  }
+
+  /** Run a streaming aggregation to completion over a bounded source:
+    * `Trigger.AvailableNow` drains all available input through the normal
+    * incremental micro-batch path (partial aggregates + state store), then
+    * stops. Complete-mode memory sink holds only the aggregated result
+    * (windows × types — cardinality-bounded, never raw events). This is
+    * what makes a streaming query oracle-able: the drained result must
+    * equal the batch/DuckDB answer on the same input.
+    */
+  def runToCompletion(aggregated: DataFrame, queryName: String): DataFrame = {
+    val spark = aggregated.sparkSession
+    spark.catalog.dropTempView(queryName)
+    val q = aggregated.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
 
   /** Gap-based sessionization with explicit keyed state
     * (`flatMapGroupsWithState`): a session closes when no event arrives

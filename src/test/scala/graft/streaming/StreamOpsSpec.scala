@@ -64,4 +64,18 @@ class StreamOpsSpec extends SparkSpecBase {
       .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("cnt"))).toSet
     assert(out == Set(("click", 2L), ("view", 1L)))
   }
+
+  test("AvailableNow drain over real events parquet equals the batch answer exactly") {
+    import org.apache.spark.sql.functions._
+    val streamed = StreamOps.runToCompletion(
+      StreamOps.windowedCountsExact(StreamOps.eventsStream(spark, sfDir)),
+      "spec_ev_stream")
+    val batch = graft.core.Tables.events(spark, sfDir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour_ts"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+    assert(streamed.count() > 0)
+    // exact set equality, including the decimal-accumulated double sums
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
 }
