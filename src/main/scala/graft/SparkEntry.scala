@@ -569,6 +569,20 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"), sum(col("k").cast("long")).as("sum_k"),
           min("k").as("min_k"), max("k").as("max_k"))),
 
+    // semi-structured props via NATIVE JSON parsing (from_json with an
+    // explicit schema — codegen'd Jackson parse, no UDF), oracled against
+    // DuckDB's json_extract. The schema-on-read contract is what scales:
+    // a typed struct column downstream, never per-query regexes.
+    "ev_props_json" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+            .getField("k").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), sum(col("k").cast("long")).as("sum_k"),
+          countDistinct(col("k")).as("d_k"))),
+
     // M13 vector form: ml.stat.ChiSquareTest over the CATEGORICAL one-hot
     // features (chi2 is a contingency test — continuous scaled features
     // explode its per-distinct-value cardinality). Rows-only.
@@ -1165,6 +1179,12 @@ object SparkEntry {
         |  CAST(SUM(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER)) AS BIGINT) AS sum_k,
         |  MIN(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER)) AS min_k,
         |  MAX(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER)) AS max_k
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "ev_props_json" ->
+      """SELECT event_type, count(*) AS cnt,
+        |  CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+        |  count(DISTINCT CAST(json_extract(props, '$.k') AS INTEGER)) AS d_k
         |FROM events GROUP BY 1""".stripMargin,
 
     "ev_sessionize" ->
