@@ -127,7 +127,8 @@ object Resamplers {
       featuresCol: String,
       seed: Long = 42L,
       bucketLength: Double = 2.0,
-      neighborRadius: Double = 3.0
+      neighborRadius: Double = 3.0,
+      minoritySampleTarget: Long = 2000L
   ): DataFrame = {
     val (nPos, nNeg) = classCounts(df, labelCol)
     if (nPos == 0 || nNeg == 0 || nPos == nNeg) return df
@@ -140,12 +141,25 @@ object Resamplers {
       .setInputCol(featuresCol).setOutputCol("_hashes")
       .setBucketLength(bucketLength).setNumHashTables(3).setSeed(seed)
     val model = lsh.fit(df)
-    // Finite radius: an unbounded approxSimilarityJoin materializes every
-    // bucket-sharing (majority × minority) pair — the measured 100 TB
-    // killer. Majority rows with no in-radius candidate are handled by
-    // the deterministic top-up below.
+    // Two things keep the kNN join linear in |majority| (it is the cost
+    // center of this operator — measured 24 s of a 35 s query at sf0.1):
+    //  1. finite radius — an unbounded approxSimilarityJoin materializes
+    //     every bucket-sharing (majority × minority) pair;
+    //  2. the mean-distance ranking only needs an ESTIMATOR, so the
+    //     minority side is a deterministic hash-sample (~minoritySampleTarget
+    //     rows): the join is majority × sample, not majority × minority —
+    //     at 100 TB the difference between O(n) and O(n·m).
+    // Both join inputs are slimmed to (id, features) so the hash-explode
+    // shuffle never carries payload columns. Majority rows with no
+    // in-radius candidate are handled by the deterministic top-up below.
+    val samplePermille = math.min(1000L, math.max(1L, minoritySampleTarget * 1000L / nMin))
+    val minoritySample = minority
+      .filter(pmod(xxhash64(col(idCol), lit(seed)), lit(1000L)) < samplePermille)
+      .select(col(idCol), col(featuresCol))
     val dists = model
-      .approxSimilarityJoin(majority, minority, neighborRadius, "_dist")
+      .approxSimilarityJoin(
+        majority.select(col(idCol), col(featuresCol)), minoritySample,
+        neighborRadius, "_dist")
       .select(col(s"datasetA.$idCol").as("_maj_id"), col("_dist"))
       .groupBy("_maj_id").agg(avg("_dist").as("_mean_dist"))
     // LSH only yields candidates sharing a bucket; majority rows with no
