@@ -102,6 +102,24 @@ object StreamOps {
     spark.table(queryName)
   }
 
+  /** Streaming exact dedup (the streaming face of `Dedup.exactGroups`):
+    * drop events whose key was already seen within the watermark horizon.
+    * `dropDuplicatesWithinWatermark` keeps one state entry per key and
+    * EVICTS it once the watermark passes — state is bounded by (arrival
+    * rate × watermark), not by stream lifetime, which is what makes exact
+    * dedup possible on an unbounded stream at all. (Classic
+    * `dropDuplicates` on a stream never evicts — unbounded state.)
+    */
+  def dedupStream(
+      events: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String = "ts",
+      watermark: String = "2 hours"
+  ): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Gap-based sessionization with explicit keyed state
     * (`flatMapGroupsWithState`): a session closes when no event arrives
     * within `gapSeconds` of the previous one (event time). Emits one

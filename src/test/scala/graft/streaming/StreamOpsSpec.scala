@@ -65,6 +65,25 @@ class StreamOpsSpec extends SparkSpecBase {
     assert(out == Set(("click", 2L), ("view", 1L)))
   }
 
+  test("dedupStream drops within-watermark duplicate keys, keeps distinct ones") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    input.addData(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(1, ts(5), 1, "click", 1.0),  // duplicate event_id within watermark
+      Event(2, ts(10), 2, "view", 2.0)
+    )
+    val q = StreamOps.dedupStream(input.toDF(), Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream").collect().map(_.getAs[Long]("event_id")).sorted
+      assert(ids.toSeq == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
   test("AvailableNow drain over real events parquet equals the batch answer exactly") {
     import org.apache.spark.sql.functions._
     val streamed = StreamOps.runToCompletion(
