@@ -408,6 +408,28 @@ object SparkEntry {
       s.sql(SparkEntry.q3Sql)
     }),
 
+    // SQL front-end, SHARED-TEXT tier: the identical SQL string is both the
+    // Spark query and the DuckDB oracle — one source of truth, proving the
+    // SQL surface speaks the ANSI dialect intersection (multi-dim ROLLUP,
+    // correlated EXISTS, SQL windows) rather than a private variant.
+    "sql_rollup_agg" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      s.sql(SparkEntry.rollupSql)
+    }),
+
+    "sql_exists_open" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      s.sql(SparkEntry.existsSql)
+    }),
+
+    // the SQL row_number()=1 pattern — RowNumberTopKRule rewrites this into
+    // the bounded-heap TopKPerKey operator when installed (Verify/Bench do)
+    "sql_window_top" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      s.sql(SparkEntry.windowTopSql)
+    }),
+
     // ---- O*: set ops / sampling -----------------------------------------
     "o5_union_agg" -> ((s, d) => {
       val a = t(s, d, "orders").filter(col("o_totalprice") > 400000)
@@ -828,10 +850,37 @@ object SparkEntry {
       |  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
       |GROUP BY o_orderkey, o_orderdate""".stripMargin
 
+  /** Shared-text SQL: runs verbatim on Spark AND DuckDB. */
+  val rollupSql: String =
+    """SELECT o_orderpriority, o_orderstatus, count(*) AS cnt
+      |FROM orders
+      |GROUP BY ROLLUP (o_orderpriority, o_orderstatus)""".stripMargin
+
+  val existsSql: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey
+      |                AND l_discount > 0.05 AND l_quantity > 30)
+      |GROUP BY o_orderpriority""".stripMargin
+
+  val windowTopSql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice
+      |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+      |             row_number() OVER (PARTITION BY o_custkey
+      |                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |      FROM orders) t
+      |WHERE rn = 1""".stripMargin
+
   // ----------------------------------------------------------------------
 
   def oracleSql: Map[String, String] = Map(
     "sql_q3_shipping" -> q3Sql,
+    "sql_rollup_agg" -> rollupSql,
+    "sql_exists_open" -> existsSql,
+    "sql_window_top" -> windowTopSql,
 
     "a4_explode_pivot" ->
       """SELECT l_orderkey,
