@@ -33,6 +33,24 @@ class RowNumberTopKRuleSpec extends SparkSpecBase {
     }
   }
 
+  test("rule fires through the SQL front-end (sql_window_top pattern)") {
+    RowNumberTopK.install(spark)
+    try {
+      graft.core.Tables.orders(spark, sfDir).createOrReplaceTempView("orders")
+      val df = spark.sql(graft.SparkEntry.windowTopSql)
+      val tree = df.queryExecution.optimizedPlan.toString
+      assert(tree.contains("TopKPerKey"), s"rule did not fire on SQL form:\n$tree")
+      // one row per customer, the max-price order
+      val n = df.count()
+      val customers = graft.core.Tables.orders(spark, sfDir)
+        .select("o_custkey").distinct().count()
+      assert(n == customers)
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ eq RowNumberTopKRule)
+    }
+  }
+
   test("rule does NOT fire when rn survives the projection") {
     RowNumberTopK.install(spark)
     try {
