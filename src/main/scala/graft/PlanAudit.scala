@@ -57,6 +57,11 @@ object PlanAudit {
         |`TopKPerKeyFinal`: partial top-k BEFORE the shuffle bounds shuffle
         |volume to k rows per (partition, key) — the agg-style two-phase
         |shape applied to ranking.""",
+    "sql_window_top" ->
+      """The same row_number()=1 pattern arriving through the SQL front-end:
+        |`RowNumberTopKRule` recognizes the parsed plan and the TopKPerKey
+        |operator appears here too — optimizer rules work per plan shape,
+        |not per API, so SQL users get the bounded-heap path for free.""",
     "s7_partitioned_prune" ->
       """`PartitionFilters: [isnotnull(o_orderpriority), (o_orderpriority =
         |1-URGENT)]` on the scan and a 1-of-5 partition selection at planning
