@@ -3,7 +3,7 @@ package graft
 import graft.expr.{DotProduct, Lemmatize, LemmatizeAll, LemmatizeExpression}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 /** SparkSessionExtensions injector: registers the engine's native
   * expressions so they are callable from SQL (`SELECT lemmatize(word)`)
@@ -15,44 +15,42 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * or  .config("spark.sql.extensions", "graft.GraftExtensions")
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("lemmatize"),
-      LemmatizeExpression.lemmatizeInfo,
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        Lemmatize(children.head)))
-    ext.injectFunction((
-      FunctionIdentifier("lemmatize_all"),
-      LemmatizeExpression.lemmatizeAllInfo,
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        LemmatizeAll(children.head)))
-    ext.injectFunction((
-      FunctionIdentifier("dot_product"),
-      GraftExtensions.dotProductInfo,
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        DotProduct(children(0), children(1))))
-  }
+  import GraftExtensions._
+  override def apply(ext: SparkSessionExtensions): Unit =
+    builders.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
 }
 
 object GraftExtensions {
   val dotProductInfo = new ExpressionInfo(classOf[DotProduct].getName, "dot_product")
+
+  /** Arity-checked builder: a wrong-arity SQL call must fail analysis with
+    * a clear message, not crash resolution with an IndexOutOfBounds.
+    */
+  private def arity(name: String, n: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    children => {
+      if (children.length != n) throw new IllegalArgumentException(
+        s"$name requires exactly $n argument(s), got ${children.length}")
+      build(children)
+    }
+
+  private val builders: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("lemmatize", LemmatizeExpression.lemmatizeInfo,
+      arity("lemmatize", 1)(c => Lemmatize(c.head))),
+    ("lemmatize_all", LemmatizeExpression.lemmatizeAllInfo,
+      arity("lemmatize_all", 1)(c => LemmatizeAll(c.head))),
+    ("dot_product", dotProductInfo,
+      arity("dot_product", 2)(c => DotProduct(c(0), c(1)))))
 
   /** Register the same functions into an already-running session
     * (extensions normally apply at session build time).
     */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.registerFunction(
-      FunctionIdentifier("lemmatize"), LemmatizeExpression.lemmatizeInfo,
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        Lemmatize(children.head))
-    reg.registerFunction(
-      FunctionIdentifier("lemmatize_all"), LemmatizeExpression.lemmatizeAllInfo,
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        LemmatizeAll(children.head))
-    reg.registerFunction(
-      FunctionIdentifier("dot_product"), dotProductInfo,
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        DotProduct(children(0), children(1)))
+    builders.foreach { case (name, info, builder) =>
+      reg.registerFunction(FunctionIdentifier(name), info, builder)
+    }
   }
 }

@@ -695,6 +695,10 @@ object SparkEntry {
       val bt = graft.multimodal.Multimodal.toBinaryTable(
         t(s, d, "documents"), "doc_id", "text", "text/plain")
       val feat = graft.multimodal.Multimodal.decodeFeatures(bt, "doc_id", dim = 16)
+      // ratio * n rounds back to the EXACT integer nibble count while the
+      // count fits a float's 24-bit mantissa (< ~8.4M bytes per nibble
+      // bucket ≈ a 134 MB single document) — payloads here are KBs; a
+      // real decoder for larger media would emit counts, not ratios
       feat
         .join(bt.select(col("doc_id"), col("meta.n_bytes").as("_n")), Seq("doc_id"))
         .select(col("doc_id"), col("_n"), posexplode(col("features")).as(Seq("idx", "value")))

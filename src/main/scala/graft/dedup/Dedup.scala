@@ -236,8 +236,9 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs: hamming distance ≤ maxDist, candidate
-    * generation via 4-way band blocking on 15-bit chunks (two chunks must
-    * match exactly for dist ≤ maxDist when maxDist < 4 — pigeonhole).
+    * generation via 4-way band blocking on 15-bit chunks. Pigeonhole: with
+    * 4 chunks and ≤ 3 differing bits, at least ONE chunk matches exactly —
+    * the single-chunk equi-join below is recall-lossless for maxDist < 4.
     */
   def simhashPairs(
       docs: DataFrame,

@@ -19,9 +19,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * Numerics are IDENTICAL to the HOF form by construction: each element is
   * widened float→double exactly, products accumulate left-to-right in
   * double — so DuckDB-oracle hashes are unchanged. A null element poisons
-  * the result to null (like `zip_with` arithmetic); arrays of unequal
-  * length dot over the common prefix (like `zip_with`'s null-padding +
-  * poisoning... callers use fixed-dim embeddings).
+  * the result to null (like `zip_with` arithmetic), and so does a LENGTH
+  * MISMATCH (matching `zip_with`'s null-padding + poisoning): a
+  * wrong-dimension embedding surfaces as NULL, never as a
+  * plausible-but-wrong prefix dot.
   */
 case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
 
@@ -46,7 +47,8 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    if (a.numElements() != b.numElements()) return null
+    val n = a.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -67,8 +69,11 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
       def get(arr: String, idx: String, t: DataType): String =
         if (t == FloatType) s"(double) $arr.getFloat($idx)" else s"$arr.getDouble($idx)"
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |final int $n = $a.numElements();
          |double $acc = 0.0;
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |}
          |for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
          |  if ($a.isNullAt($i) || $b.isNullAt($i)) {
          |    ${ev.isNull} = true;

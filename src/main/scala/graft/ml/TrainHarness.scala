@@ -30,19 +30,16 @@ object TrainHarness {
       .withColumn("score", vector_to_array(col("probability"))(1))
   }
 
-  /** L1 logistic regression scores (reference M7: penalty='l1'). */
+  /** L1 logistic regression scores (reference M7: penalty='l1').
+    * One model, one config — the margins variant below owns the fit.
+    */
   def logisticL1Scores(
       train: DataFrame, test: DataFrame,
       featuresCol: String, labelCol: String,
       regParam: Double = 0.01, maxIter: Int = 50
-  ): DataFrame = {
-    val lr = new LogisticRegression()
-      .setFeaturesCol(featuresCol).setLabelCol(labelCol)
-      .setElasticNetParam(1.0).setRegParam(regParam).setMaxIter(maxIter)
-    val model = lr.fit(train.cache())
-    model.transform(test)
-      .withColumn("score", vector_to_array(col("probability"))(1))
-  }
+  ): DataFrame =
+    logisticL1Margins(train, test, featuresCol, labelCol, regParam, maxIter)
+      .drop("margin")
 
   /** L1-LR decision scores (reference M15: `lr.decision_function(X)`,
     * Hap880_Final_Project.py:844): the raw log-odds margin alongside the

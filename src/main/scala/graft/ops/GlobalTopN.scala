@@ -11,12 +11,12 @@ import org.apache.spark.sql.functions._
   * "minority-class size" (billions at 100 TB, and `.toInt` overflows).
   * A global `Window.orderBy` sorts everything in ONE task. This instead:
   *
-  *   1. range-repartitions on the sort key (Spark samples split points),
-  *      sorting within partitions — the same machinery as a distributed
-  *      ORDER BY, all executor-side;
+  *   1. range-repartitions on the sort key (Spark samples split points) —
+  *      the same machinery as a distributed ORDER BY, all executor-side;
   *   2. collects only the P per-partition row COUNTS to the driver;
-  *   3. keeps whole partitions strictly below the rank boundary, and
-  *      row_number-filters ONLY the single partition straddling it.
+  *   3. keeps whole partitions strictly below the rank boundary (as a set —
+  *      no sort needed), and row_number-filters ONLY the single partition
+  *      straddling the boundary (the one sort that happens).
   *
   * Exactness does not depend on the (seeded, deterministic) range
   * sampling being balanced — skewed bounds only move work between
@@ -29,13 +29,17 @@ object GlobalTopN {
     require(ord.nonEmpty, "topN needs at least one ordering column")
     if (n <= 0L) return df.limit(0)
     val parts = math.max(1, df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
-    // cached: pass 1 counts ranks, pass 2 selects; without it the range
-    // shuffle + sort runs twice
+    // NOT cached, and NOT sorted: the per-partition counts depend only on
+    // the range partitioning, so the count job and the result job share the
+    // one shuffle (Spark reuses the map stage across jobs on this lineage);
+    // only the single boundary partition ever gets sorted, inside its
+    // row_number window. A cache here would pin a full copy of the input
+    // per invocation for the session lifetime — the result is top-n AS A
+    // SET, so intra-partition order is never needed for the kept-whole
+    // partitions.
     val ranged = df
       .repartitionByRange(parts, ord: _*)
-      .sortWithinPartitions(ord: _*)
       .withColumn("_pid", spark_partition_id())
-      .cache()
     val counts: Map[Int, Long] = ranged.groupBy("_pid").count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val cum = (0 until parts).scanLeft(0L)((acc, p) => acc + counts.getOrElse(p, 0L))

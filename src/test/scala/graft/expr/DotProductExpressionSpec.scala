@@ -42,6 +42,16 @@ class DotProductExpressionSpec extends SparkSpecBase {
     assert(out(2).isNullAt(0))
   }
 
+  test("length mismatch → null (matches zip_with null-padding + poisoning)") {
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f))).toDF("a", "b")
+    val native = df.select(dot_product(col("a"), col("b")).as("d")).collect()(0)
+    assert(native.isNullAt(0), "wrong-dimension input must surface as NULL, not a prefix dot")
+    val hof = df.select(aggregate(
+      zip_with(col("a"), col("b"), (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v).as("d")).collect()(0)
+    assert(hof.isNullAt(0)) // the HOF form agrees
+  }
+
   test("interpreted eval agrees with codegen") {
     val df = Seq((Array(1.5f, -2.5f), Array(2.0f, 3.0f))).toDF("a", "b")
     // filter forces a codegen path; collect-side select covers eval

@@ -46,6 +46,15 @@ class LemmatizeExpressionSpec extends SparkSpecBase {
     assert(math.abs(r.getDouble(0) - 4.0) < 1e-12)
   }
 
+  test("wrong-arity SQL call fails analysis with a clear message, not an index crash") {
+    GraftExtensions.register(spark)
+    val e = intercept[Exception](spark.sql("SELECT dot_product(array(1.0))").collect())
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+    assert(messages(e).exists(m => m != null && m.contains("requires exactly 2")),
+      s"got: ${e.getMessage}")
+  }
+
   test("expression survives inside higher-order transform (stays codegen'd)") {
     val out = Seq(Seq("makes", "taken")).toDF("toks")
       .select(transform(col("toks"), t => GraftFunctions.lemmatize(t)).as("l"))
