@@ -29,17 +29,20 @@ object GlobalTopN {
     require(ord.nonEmpty, "topN needs at least one ordering column")
     if (n <= 0L) return df.limit(0)
     val parts = math.max(1, df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
-    // NOT cached, and NOT sorted: the per-partition counts depend only on
-    // the range partitioning, so the count job and the result job share the
-    // one shuffle (Spark reuses the map stage across jobs on this lineage);
-    // only the single boundary partition ever gets sorted, inside its
-    // row_number window. A cache here would pin a full copy of the input
-    // per invocation for the session lifetime — the result is top-n AS A
-    // SET, so intra-partition order is never needed for the kept-whole
-    // partitions.
+    // Cached ON PURPOSE: the counts pass and the selection pass are separate
+    // QueryExecutions, and Spark does not reuse exchanges across plans — an
+    // uncached two-pass re-executes the caller's entire upstream (for
+    // NearMiss that is the LSH kNN join; measured 2× the whole query).
+    // The pin is bounded by contract: pass the SLIM (key, ord) projection,
+    // not a payload table — the keep-set join pattern NearMiss uses. Spill-
+    // safe (MEMORY_AND_DISK); lives until the session ends or the caller
+    // unpersists (Spark has no post-materialization unpersist hook for a
+    // lazily-consumed result). No sort: counts need only the partitioning;
+    // the single boundary partition sorts inside its row_number window.
     val ranged = df
       .repartitionByRange(parts, ord: _*)
       .withColumn("_pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts: Map[Int, Long] = ranged.groupBy("_pid").count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val cum = (0 until parts).scanLeft(0L)((acc, p) => acc + counts.getOrElse(p, 0L))
