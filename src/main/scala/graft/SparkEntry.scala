@@ -974,7 +974,7 @@ object SparkEntry {
         |       count(*) AS n FROM documents""".stripMargin,
 
     "hist_totalprice" ->
-      "SELECT CAST(FLOOR(o_totalprice / 50000) * 50000 AS BIGINT) AS bucket, count(*) AS cnt FROM orders GROUP BY 1",
+      "SELECT CAST(FLOOR(o_totalprice / 50000) * 50000 AS DOUBLE) AS bucket, count(*) AS cnt FROM orders GROUP BY 1",
 
     "j2_join_agg" ->
       """SELECT c_mktsegment, count(*) AS cnt,
@@ -1037,7 +1037,9 @@ object SparkEntry {
         |  FROM documents
         |)
         |SELECT doc_id,
-        |  CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / length(text) AS alpha_ratio,
+        |  CASE WHEN length(text) = 0 THEN 0.0 ELSE
+        |    CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / length(text)
+        |  END AS alpha_ratio,
         |  CASE WHEN len(t) = 0 THEN 0.0 ELSE
         |    CAST(len(list_filter(t, x -> list_contains(['a','an','the','and','or','of','to','in','on','at','for','is','are','was','were','be','been','it','its','this','that','with','as','by','from','not','no','but','if','then','so'], x))) AS DOUBLE) / len(t)
         |  END AS stop_ratio,
@@ -1172,11 +1174,17 @@ object SparkEntry {
 
     "t_fingerprint" ->
       """SELECT doc_id,
-        |  md5(array_to_string(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> ''), ' ')) AS fingerprint
+        |  CASE WHEN len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')) = 0
+        |       THEN md5(lower(text))
+        |       ELSE md5(array_to_string(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> ''), ' '))
+        |  END AS fingerprint
         |FROM documents""".stripMargin,
 
     "d_exact_groups" ->
-      """SELECT md5(array_to_string(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> ''), ' ')) AS sig,
+      """SELECT CASE WHEN len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')) = 0
+        |       THEN md5(lower(text))
+        |       ELSE md5(array_to_string(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> ''), ' '))
+        |  END AS sig,
         |       count(*) AS dup_cnt, min(doc_id) AS keep_id
         |FROM documents GROUP BY 1""".stripMargin,
 

@@ -246,6 +246,9 @@ object Dedup {
       textCol: String,
       maxDist: Int = 3
   ): DataFrame = {
+    require(maxDist >= 0 && maxDist < 4,
+      s"simhashPairs blocking is recall-lossless only for maxDist < 4 " +
+        s"(4 chunks, pigeonhole); got $maxDist — use more/narrower chunks for larger radii")
     val sigs = simhashSignatures(docs, idCol, textCol).withColumnRenamed("simhash", "sh")
     val chunked = sigs.select(
       col("doc_id"), col("sh"),

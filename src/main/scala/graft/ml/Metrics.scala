@@ -90,7 +90,10 @@ object Metrics {
     */
   def aucRoc(scored: DataFrame, scoreCol: String, labelCol: String): Double = {
     val r = aucRocDf(scored, scoreCol, labelCol).collect()(0)
-    if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+    val v = if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+    // single-class input: nPos*nNeg = 0 and the double division yields NaN
+    // (not null) — normalize to the documented 0.0 fallback
+    if (v.isNaN) 0.0 else v
   }
 
   /** Distributed AUC as a 1-row DataFrame (column `auc_roc`). All rank
@@ -117,8 +120,12 @@ object Metrics {
         sum(col("np")).as("nPos"),
         sum(col("nn")).as("nNeg"))
       .select(
-        ((col("posRankSum") - col("nPos").cast("double") * (col("nPos") + 1) / 2.0) /
-          (col("nPos").cast("double") * col("nNeg"))).as("auc_roc"))
+        // single-class guard: CaseWhen is lazy, so the ANSI-throwing /0 in
+        // the otherwise-branch is never evaluated when a class is absent
+        when(col("nPos") === 0L || col("nNeg") === 0L, lit(null).cast("double"))
+          .otherwise(
+            (col("posRankSum") - col("nPos").cast("double") * (col("nPos") + 1) / 2.0) /
+              (col("nPos").cast("double") * col("nNeg"))).as("auc_roc"))
   }
 
   /** ROC curve points (fpr, tpr) at every distinct score threshold,

@@ -63,17 +63,19 @@ object Multimodal {
     * the (stub) decoder's init cost per-partition and the rows streaming.
     */
   def decodeFeatures(binTable: DataFrame, idCol: String, dim: Int = 16): DataFrame = {
+    // carry the caller's id field through verbatim (any type) — hardcoding
+    // LongType crashed for int/string ids and lied in the output schema
+    val idField = binTable.schema(idCol)
     val schema = StructType(Seq(
-      StructField(idCol, LongType, nullable = false),
+      idField,
       StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)
     ))
     val enc = org.apache.spark.sql.Encoders.row(schema)
     binTable.select(col(idCol), col("payload")).mapPartitions { rows =>
       // a real decoder initializes its native context HERE, once per partition
       rows.map { r =>
-        val id = r.getLong(0)
         val payload = r.getAs[Array[Byte]](1)
-        Row(id, stubDecode(payload, dim).toSeq)
+        Row(r.get(0), stubDecode(payload, dim).toSeq)
       }
     }(enc)
   }
@@ -87,11 +89,15 @@ object Multimodal {
     binTable
       .select(
         col(idCol),
+        // empty/null payloads produce ZERO rows (posexplode of null drops
+        // the row) — the old greatest(…, 0) guard emitted one phantom
+        // empty chunk for a 0-byte payload
         posexplode(
-          transform(
-            sequence(lit(0), greatest(nChunks - 1, lit(0))),
-            i => substring(col("payload"), i * chunkBytes + 1, lit(chunkBytes))
-          )
+          when(nChunks > 0,
+            transform(
+              sequence(lit(0), nChunks - 1),
+              i => substring(col("payload"), i * chunkBytes + 1, lit(chunkBytes))
+            ))
         ).as(Seq("chunk_idx", "chunk")))
       .filter(pmod(col("chunk_idx"), lit(everyK)) === 0)
       .select(col(idCol), col("chunk_idx"), col("chunk"), octet_length(col("chunk")).as("chunk_bytes"))

@@ -49,7 +49,10 @@ object Recodes {
     df.withColumn(colName, when(col(colName).isin(top: _*), col(colName)).otherwise(lit(other)))
   }
 
-  /** Histogram binning (plt.hist analog, py:66): floor(col/width)*width. */
+  /** Histogram binning (plt.hist analog, py:66): floor(col/width)*width.
+    * The bucket start stays DOUBLE: a long cast would merge adjacent bins
+    * for any fractional width (0.2 and 0.7 both → bucket 0 at width 0.5).
+    */
   def histBucket(c: Column, width: Double): Column =
-    (floor(c / width) * width).cast("long")
+    floor(c / width) * width
 }

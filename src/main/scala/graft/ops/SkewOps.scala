@@ -19,9 +19,21 @@ import org.apache.spark.sql.functions._
   */
 object SkewOps {
 
+  /** DETERMINISTIC salt: a content hash over every input column. A salt
+    * from `monotonically_increasing_id()`/`rand()` is a shuffle key that
+    * changes on task retry (SPARK-23207-class): after a fetch failure the
+    * recomputed rows re-route to different (key, salt) reducers and the
+    * aggregate double-counts or drops rows. Content hashing is stable
+    * under recomputation. Caveat: rows identical in EVERY column share a
+    * salt — a hot key whose rows are full duplicates won't spread; feed a
+    * unique id column through `df` if that shape is possible.
+    */
+  private def contentSalt(df: DataFrame, saltBuckets: Int): Column =
+    pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(saltBuckets.toLong))
+
   /** count per key, salted. */
   def saltedCount(df: DataFrame, keyCol: String, saltBuckets: Int = 16): DataFrame =
-    df.withColumn("_salt", pmod(xxhash64(monotonically_increasing_id()), lit(saltBuckets.toLong)))
+    df.withColumn("_salt", contentSalt(df, saltBuckets))
       .groupBy(col(keyCol), col("_salt"))
       .agg(count(lit(1)).as("_partial"))
       .groupBy(col(keyCol))
@@ -29,7 +41,7 @@ object SkewOps {
 
   /** sum/count/min/max per key, salted — the general algebraic pattern. */
   def saltedAgg(df: DataFrame, keyCol: String, valueCol: Column, saltBuckets: Int = 16): DataFrame =
-    df.withColumn("_salt", pmod(xxhash64(monotonically_increasing_id()), lit(saltBuckets.toLong)))
+    df.withColumn("_salt", contentSalt(df, saltBuckets))
       .withColumn("_v", valueCol)
       .groupBy(col(keyCol), col("_salt"))
       .agg(

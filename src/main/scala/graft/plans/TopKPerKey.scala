@@ -112,8 +112,10 @@ object TopKPerKey {
     val spark = df.sparkSession
     install(spark)
     val analyzed = Shim.logicalPlan(df)
-    val resolve = analyzed.output.map(a => a.name -> a).toMap
-    val keys = keyCols.map(n => resolve(n).asInstanceOf[Expression])
+    // resolve key names through df.col: honors spark.sql.caseSensitive
+    // (a name→attribute map is case-sensitive and silently picks the last
+    // duplicate) and raises a proper ambiguity error on duplicate names
+    val keys = keyCols.map(n => Shim.catalystExpression(spark, df.col(n)))
     val order = orderCols.map { c =>
       // eager conversion: the lazy wrapper leaks non-serializable column
       // AST nodes into the physical plan's closures

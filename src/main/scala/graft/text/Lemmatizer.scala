@@ -32,6 +32,15 @@ object Lemmatizer {
 
   private def vowel(c: Char): Boolean = "aeiou".indexOf(c) >= 0
 
+  /** Doubled final consonant that -ed/-ing stemming should undouble
+    * ("runn" → "run"), EXCLUDING letters whose doubles are legitimate
+    * base-word endings (Porter's l/s/z, plus f): "tell", "pass", "buzz",
+    * "stuff" stay whole.
+    */
+  private def undoubles(stem: String): Boolean =
+    stem.length >= 2 && stem.last == stem(stem.length - 2) &&
+      !vowel(stem.last) && "lszf".indexOf(stem.last) < 0
+
   /** Lemmatize one lowercase token. Unknown/short tokens pass through.
     * Exceptions are consulted BEFORE the length guard ("is" → "be").
     */
@@ -50,17 +59,17 @@ object Lemmatizer {
         else if (w.endsWith("es")) w.dropRight(1) // e.g. "makes" -> "make"
         else if (w.endsWith("ing") && w.length > 5) {
           val stem = w.dropRight(3)
-          // doubled final consonant: "running" -> "run"
-          if (stem.length >= 2 && stem.last == stem(stem.length - 2) && !vowel(stem.last))
-            stem.dropRight(1)
+          // doubled final consonant: "running" -> "run". Porter's exclusion
+          // set (l, s, z; plus f) keeps legitimate double-consonant bases
+          // whole: "telling" -> "tell", "passing" -> "pass", not "tel"/"pas"
+          if (undoubles(stem)) stem.dropRight(1)
           // CVC stems usually re-add 'e': "making" -> "make"
           else if (stem.length >= 2 && !vowel(stem.last) && vowel(stem(stem.length - 2))) stem + "e"
           else stem
         }
         else if (w.endsWith("ed") && w.length > 4) {
           val stem = w.dropRight(2)
-          if (stem.length >= 2 && stem.last == stem(stem.length - 2) && !vowel(stem.last))
-            stem.dropRight(1)
+          if (undoubles(stem)) stem.dropRight(1) // "stopped" -> "stop"
           else if (stem.endsWith("i")) stem.dropRight(1) + "y" // "tried" -> "try"
           else stem
         }

@@ -53,12 +53,17 @@ object TextOps {
   def stopwordCount(c: Column): Column =
     size(filter(tokens(c), t => t.isin(stopwords.map(s => s: Any): _*)))
 
-  /** Quality-score components (length / punctuation / stopword ratios). */
+  /** Quality-score components (length / punctuation / stopword ratios).
+    * Zero-length guard: 0.0/0 in doubles is NaN, which would poison
+    * qualityScore and every downstream average for empty documents.
+    */
   def alphaRatio(c: Column): Column =
-    length(regexp_replace(lower(c), "[^a-z]", "")).cast("double") / length(c)
+    when(length(c) === 0, 0.0)
+      .otherwise(length(regexp_replace(lower(c), "[^a-z]", "")).cast("double") / length(c))
 
   def punctRatio(c: Column): Column =
-    length(regexp_replace(c, "[^.,;:!?]", "")).cast("double") / length(c)
+    when(length(c) === 0, 0.0)
+      .otherwise(length(regexp_replace(c, "[^.,;:!?]", "")).cast("double") / length(c))
 
   def stopwordRatio(c: Column): Column =
     when(tokenCount(c) === 0, 0.0)
@@ -109,9 +114,14 @@ object TextOps {
 
   /** Stable content fingerprint: md5 of the normalized token stream.
     * Identical across engines (MD5 over UTF-8 is engine-independent).
+    * Token-free content (digits-only, punctuation-only, non-Latin scripts)
+    * falls back to md5 of the lowercased RAW text — otherwise every such
+    * document would hash to md5("") and exact dedup would collapse all of
+    * them into one group (silent data loss).
     */
   def fingerprintMd5(c: Column): Column =
-    md5(array_join(tokens(c), " "))
+    when(size(tokens(c)) === 0, md5(lower(c)))
+      .otherwise(md5(array_join(tokens(c), " ")))
 
   /** 60-bit engine-portable token hash: top 15 hex chars of md5. MD5 over
     * UTF-8 is identical in every engine (DuckDB:

@@ -48,6 +48,11 @@ class DedupSpec extends SparkSpecBase {
     assert(sigs(1L) != sigs(4L))
   }
 
+  test("simhashPairs rejects maxDist beyond the pigeonhole guarantee") {
+    intercept[IllegalArgumentException](
+      Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 4))
+  }
+
   test("simhashPairs reports hamming 0 for exact dups under default maxDist") {
     val p = Dedup.simhashPairs(docs, "doc_id", "text")
       .collect().map(r => ((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")), r.getAs[Long]("hamming"))).toMap

@@ -25,6 +25,13 @@ class MetricsSpec extends SparkSpecBase {
     assert(Metrics.aucRoc(inverted, "score", "y") == 0.0)
   }
 
+  test("single-class input gives AUC 0.0, never NaN") {
+    val onlyPos = Seq((0.9, 1.0), (0.4, 1.0)).toDF("score", "y")
+    assert(Metrics.aucRoc(onlyPos, "score", "y") == 0.0)
+    val onlyNeg = Seq((0.9, 0.0), (0.4, 0.0)).toDF("score", "y")
+    assert(Metrics.aucRoc(onlyNeg, "score", "y") == 0.0)
+  }
+
   test("thresholdMetrics counts and ratios at 0.5") {
     val m = Metrics.thresholdMetrics(scored, "score", "y", 0.5).collect()(0)
     assert(m.getAs[Long]("tp") == 3 && m.getAs[Long]("fp") == 2)

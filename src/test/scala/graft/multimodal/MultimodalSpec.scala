@@ -39,4 +39,18 @@ class MultimodalSpec extends SparkSpecBase {
     assert(chunks.map(_.getAs[Int]("chunk_idx")).sorted.toSeq == Seq(0, 2, 4))
     assert(chunks.find(_.getAs[Int]("chunk_idx") == 4).get.getAs[Int]("chunk_bytes") == 44)
   }
+
+  test("sampleChunks: empty payload yields zero rows, not a phantom chunk") {
+    val bt = Multimodal.toBinaryTable(docs, "doc_id", "text", "text/plain")
+    val empty = Multimodal.sampleChunks(bt.filter(col("doc_id") === 2L), "doc_id")
+    assert(empty.count() == 0)
+  }
+
+  test("decodeFeatures carries a non-long id column through verbatim") {
+    val sdocs = Seq(("d1", "abc"), ("d2", "xyz")).toDF("doc_id", "text")
+    val bt = Multimodal.toBinaryTable(sdocs, "doc_id", "text", "text/plain")
+    val out = Multimodal.decodeFeatures(bt, "doc_id", dim = 4)
+    assert(out.schema("doc_id").dataType == org.apache.spark.sql.types.StringType)
+    assert(out.collect().map(_.getString(0)).toSet == Set("d1", "d2"))
+  }
 }

@@ -39,7 +39,14 @@ class RecodesSpec extends SparkSpecBase {
   test("histBucket floors into fixed-width bins") {
     val out = Seq(0.0, 49.9, 50.0, 149.0).toDF("v")
       .select(Recodes.histBucket(col("v"), 50.0).as("b"))
-      .collect().map(_.getLong(0)).toSeq
-    assert(out == Seq(0L, 0L, 50L, 100L))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(out == Seq(0.0, 0.0, 50.0, 100.0))
+  }
+
+  test("histBucket keeps fractional-width bins distinct (no long collapse)") {
+    val out = Seq(0.2, 0.7, 1.2).toDF("v")
+      .select(Recodes.histBucket(col("v"), 0.5).as("b"))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(out == Seq(0.0, 0.5, 1.0))
   }
 }

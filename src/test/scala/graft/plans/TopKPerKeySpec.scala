@@ -19,6 +19,12 @@ class TopKPerKeySpec extends SparkSpecBase {
     assert(out == Set(("a", 2L), ("a", 4L), ("b", 5L), ("b", 6L), ("c", 7L)))
   }
 
+  test("key names resolve case-insensitively (like groupBy)") {
+    val out = TopKPerKey(df, Seq("K"), Seq(col("v").desc, col("id").asc), 1)
+      .collect().map(_.getLong(1)).toSet
+    assert(out == Set(2L, 6L, 7L))
+  }
+
   test("matches the window row_number formulation on real data") {
     val orders = graft.core.Tables.orders(spark, sfDir)
     val viaOp = TopKPerKey(orders, Seq("o_custkey"),

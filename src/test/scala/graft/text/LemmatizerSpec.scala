@@ -25,6 +25,16 @@ class LemmatizerSpec extends AnyFunSuite {
     assert(Lemmatizer.lemma("stopped") == "stop")
   }
 
+  test("undoubling excludes l/s/z/f: legitimate double-consonant bases stay whole") {
+    assert(Lemmatizer.lemma("passed") == "pass")
+    assert(Lemmatizer.lemma("telling") == "tell")
+    assert(Lemmatizer.lemma("missed") == "miss")
+    assert(Lemmatizer.lemma("falling") == "fall")
+    assert(Lemmatizer.lemma("stuffed") == "stuff")
+    assert(Lemmatizer.lemma("buzzing") == "buzz")
+    assert(Lemmatizer.lemma("stopping") == "stop") // still undoubles elsewhere
+  }
+
   test("short and unknown tokens pass through") {
     assert(Lemmatizer.lemma("is") == "be")
     assert(Lemmatizer.lemma("ab") == "ab")

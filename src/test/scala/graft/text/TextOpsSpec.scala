@@ -35,6 +35,18 @@ class TextOpsSpec extends SparkSpecBase {
     assert(ar == 0.5)
   }
 
+  test("empty string: ratios and quality are 0.0, never NaN") {
+    assert(one[Double](TextOps.alphaRatio(col("t")), "") == 0.0)
+    assert(one[Double](TextOps.punctRatio(col("t")), "") == 0.0)
+    assert(one[Double](TextOps.qualityScore(col("t")), "") == 0.0)
+  }
+
+  test("token-free documents keep DISTINCT fingerprints (raw-text fallback)") {
+    val fp1 = one[String](TextOps.fingerprintMd5(col("t")), "911")
+    val fp2 = one[String](TextOps.fingerprintMd5(col("t")), "411")
+    assert(fp1 != fp2, "digits-only docs must not collapse to md5 of empty")
+  }
+
   test("rollingHash and fingerprint are deterministic and ignore case/punct") {
     val a = one[Long](TextOps.rollingHash(col("t")), "Hello World")
     val b = one[Long](TextOps.rollingHash(col("t")), "hello, world!")
