@@ -42,7 +42,7 @@ object SparkEntry {
       |         LEAD(o_orderdate) OVER w AS nxt_ts,
       |         LEAD(o_orderpriority) OVER w AS nxt_ty
       |  FROM orders
-      |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey)
       |), nulled AS (
       |  SELECT o_orderkey, o_custkey, o_orderdate,
       |         CASE WHEN nxt_ty = '5-LOW' THEN NULL ELSE nxt_ts END AS nxt_ts2
@@ -50,7 +50,7 @@ object SparkEntry {
       |), filled AS (
       |  SELECT o_orderkey, o_custkey, o_orderdate,
       |         first_value(nxt_ts2 IGNORE NULLS) OVER (
-      |           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |           PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey
       |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_time
       |  FROM nulled
       |)
@@ -996,7 +996,7 @@ object SparkEntry {
 
     "j7_anti_join" ->
       """SELECT o_orderkey, o_custkey FROM orders
-        |WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')""".stripMargin,
+        |WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey AND c_mktsegment = 'BUILDING')""".stripMargin,
 
     "j3_threeway" ->
       """SELECT r_name, count(*) AS cnt,
@@ -1013,7 +1013,7 @@ object SparkEntry {
         |         LEAD(o_orderdate) OVER w AS nxt,
         |         LEAD(o_orderpriority) OVER w AS nxt_ty
         |  FROM orders
-        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey)
         |), nulled AS (
         |  SELECT o_orderkey, o_custkey, o_orderdate,
         |         CASE WHEN nxt_ty = '5-LOW' THEN NULL ELSE nxt END AS nxt2
@@ -1021,7 +1021,7 @@ object SparkEntry {
         |)
         |SELECT o_orderkey,
         |       first_value(nxt2 IGNORE NULLS) OVER (
-        |         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |         PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey
         |         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_nonlow_ts
         |FROM nulled""".stripMargin,
 
@@ -1111,23 +1111,23 @@ object SparkEntry {
 
     "w1_lead_next" ->
       """SELECT o_orderkey, o_custkey,
-        |       LEAD(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_order_ts
+        |       LEAD(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey) AS next_order_ts
         |FROM orders""".stripMargin,
 
     "w3_last_per_group" ->
       """SELECT l_orderkey, l_linenumber, l_partkey FROM (
         |  SELECT l_orderkey, l_linenumber, l_partkey,
-        |         ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber DESC, l_partkey DESC) AS rn
+        |         ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber DESC NULLS LAST, l_partkey DESC NULLS LAST) AS rn
         |  FROM lineitem
         |) WHERE rn = 1""".stripMargin,
 
     "w4_topk" ->
-      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25",
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC NULLS LAST, o_orderkey ASC LIMIT 25",
 
     "w5_topk_per_key" ->
       """SELECT o_custkey, o_orderkey, o_totalprice FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
-        |         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC NULLS LAST, o_orderkey ASC) AS rn
         |  FROM orders
         |) WHERE rn <= 3""".stripMargin,
 
@@ -1148,16 +1148,19 @@ object SparkEntry {
         |  CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')) AS INTEGER) AS n_tokens,
         |  CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
         |       x -> list_contains(['a','an','the','and','or','of','to','in','on','at','for','is','are','was','were','be','been','it','its','this','that','with','as','by','from','not','no','but','if','then','so'], x))) AS INTEGER) AS n_stop,
-        |  CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / length(text) AS alpha_ratio
+        |  CASE WHEN length(text) = 0 THEN 0.0 ELSE
+        |    CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / length(text)
+        |  END AS alpha_ratio
         |FROM documents""".stripMargin,
 
     "t_lang_id" ->
       """WITH scored AS (
         |  SELECT lang AS actual_lang,
+        |    regexp_matches(text, '[\x{4e00}-\x{9fff}]') AS is_cjk,
         |    list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '') AS toks
         |  FROM documents
         |), h AS (
-        |  SELECT actual_lang,
+        |  SELECT actual_lang, is_cjk,
         |    len(list_filter(toks, x -> list_contains(['the','and','of','is','with'], x))) AS en,
         |    len(list_filter(toks, x -> list_contains(['el','la','de','que','los'], x))) AS es,
         |    len(list_filter(toks, x -> list_contains(['le','la','de','et','les'], x))) AS fr,
@@ -1165,7 +1168,8 @@ object SparkEntry {
         |  FROM scored
         |)
         |SELECT actual_lang,
-        |  CASE WHEN en >= es AND en >= fr AND en >= de THEN 'en'
+        |  CASE WHEN is_cjk THEN 'zh'
+        |       WHEN en >= es AND en >= fr AND en >= de THEN 'en'
         |       WHEN es >= fr AND es >= de THEN 'es'
         |       WHEN fr >= de THEN 'fr'
         |       ELSE 'de' END AS pred_lang,
@@ -1237,9 +1241,9 @@ object SparkEntry {
 
     "ev_props_extract" ->
       """SELECT event_type, count(*) AS cnt,
-        |  CAST(SUM(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER)) AS BIGINT) AS sum_k,
-        |  MIN(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER)) AS min_k,
-        |  MAX(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER)) AS max_k
+        |  CAST(SUM(TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER)) AS BIGINT) AS sum_k,
+        |  MIN(TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER)) AS min_k,
+        |  MAX(TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER)) AS max_k
         |FROM events GROUP BY 1""".stripMargin,
 
     "ev_props_json" ->
@@ -1251,7 +1255,7 @@ object SparkEntry {
     "ev_sessionize" ->
       """WITH x AS (
         |  SELECT user_id, event_id, date_trunc('second', ts) AS ts2,
-        |         LAG(date_trunc('second', ts)) OVER (PARTITION BY user_id ORDER BY date_trunc('second', ts), event_id) AS prev
+        |         LAG(date_trunc('second', ts)) OVER (PARTITION BY user_id ORDER BY date_trunc('second', ts) NULLS FIRST, event_id) AS prev
         |  FROM events
         |), y AS (
         |  SELECT user_id, event_id, ts2,
@@ -1259,7 +1263,7 @@ object SparkEntry {
         |  FROM x
         |), z AS (
         |  SELECT user_id,
-        |         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts2, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts2 NULLS FIRST, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         |  FROM y
         |)
         |SELECT user_id, session_id, count(*) AS n_events FROM z GROUP BY 1, 2""".stripMargin,

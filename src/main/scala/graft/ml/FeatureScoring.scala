@@ -77,12 +77,17 @@ object FeatureScoring {
         struct(lit(c).as("feature"), col(c).cast("string").as("x"))): _*)).as("fx"),
       col(labelCol).cast("string").as("y"))
       .select(col("fx.feature").as("feature"), col("fx.x").as("x"), col("y"))
-    val joint = stacked.groupBy("feature", "x", "y").agg(count(lit(1)).as("nxy")).cache()
-    val nPerFeature = joint.groupBy("feature").agg(sum("nxy").as("n"))
-    val px = joint.groupBy("feature", "x").agg(sum("nxy").as("nx"))
-    val py = joint.groupBy("feature", "y").agg(sum("nxy").as("ny"))
-    joint
-      .join(nPerFeature, "feature").join(px, Seq("feature", "x")).join(py, Seq("feature", "y"))
+    // marginals via windows over the contingency table, not self-joins:
+    // window partitions group NULL category values together (null-safe,
+    // matching the driver-side mutualInfo), while an equi-join would drop
+    // every NULL-valued cell from the sum; also one pass, nothing cached
+    val wf = org.apache.spark.sql.expressions.Window.partitionBy("feature")
+    val wx = org.apache.spark.sql.expressions.Window.partitionBy("feature", "x")
+    val wy = org.apache.spark.sql.expressions.Window.partitionBy("feature", "y")
+    stacked.groupBy("feature", "x", "y").agg(count(lit(1)).as("nxy"))
+      .withColumn("n", sum("nxy").over(wf))
+      .withColumn("nx", sum("nxy").over(wx))
+      .withColumn("ny", sum("nxy").over(wy))
       .withColumn("term",
         (col("nxy") / col("n")) *
           log((col("nxy") * col("n")).cast("double") / (col("nx") * col("ny"))))

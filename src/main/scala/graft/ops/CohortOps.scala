@@ -49,7 +49,12 @@ object CohortOps {
     df.withColumn(nt, lead(col(timeCol), 1).over(w))
       .withColumn(nty, lead(col(typeCol), 1).over(w))
       // capture next_type BEFORE the null-out (py:48-50 order), then skip
-      // excluded next events by nulling and backfilling from the suffix
+      // excluded next events by nulling and backfilling from the suffix.
+      // The two backfills are deliberately COLUMN-INDEPENDENT — pandas
+      // bfill works per column, so with null values in timeCol the
+      // (next_time, next_type) pair can come from different rows in BOTH
+      // engines; reference-faithful, and a non-issue when timeCol is
+      // non-null (the cohort precondition)
       .withColumn(nt, when(col(nty) === excludedType, lit(null)).otherwise(col(nt)))
       .withColumn(nty, when(col(nty) === excludedType, lit(null)).otherwise(col(nty)))
       .withColumn(nt, first(col(nt), ignoreNulls = true).over(wFwd))

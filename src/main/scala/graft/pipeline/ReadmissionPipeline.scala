@@ -2,7 +2,6 @@ package graft.pipeline
 
 import graft.core.Tables
 import graft.ml.{Features, Metrics, Resamplers, TrainHarness}
-import graft.ops.CohortOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -40,21 +39,27 @@ object ReadmissionPipeline {
 
   /** Full composed pipeline → one metrics row per resampling strategy. */
   def run(s: SparkSession, dir: String, seed: Long = 42L): DataFrame = {
-    // 1. cohort (§3.1)
-    val cohort = CohortOps.labelNextEvent(
-      Tables.orders(s, dir),
-      entityCol = "o_custkey", timeCol = "o_orderdate", typeCol = "o_orderpriority",
-      tieCol = "o_orderkey", excludedType = "5-LOW", horizonDays = 30.0)
-
-    // 2. category matrix (§3.2), joined on the order key
-    val cats = categoryMatrix(s, dir)
-
-    // 3. assemble features (reuses the ml.Features one-hots + scaler)
+    // 1+3. cohort labeling (§3.1) + scaled numeric/one-hot features:
+    // Features.assembled computes the cohort labels internally (same
+    // labelNextEvent windows) and is session-memoized
     val base = Features.assembled(s, dir)
 
-    val full = base
+    // 2. category matrix (§3.2), joined on the order key and CONCATENATED
+    // into the model's feature vector — the join alone would leave the
+    // category counts as dead columns the trainer never sees
+    val cats = categoryMatrix(s, dir)
+    val joined = base
       .join(cats.withColumnRenamed("l_orderkey", "id"), Seq("id"), "left")
       .na.fill(0, Seq("cat_a", "cat_n", "cat_r"))
+      .withColumn("cat_a", col("cat_a").cast("double"))
+      .withColumn("cat_n", col("cat_n").cast("double"))
+      .withColumn("cat_r", col("cat_r").cast("double"))
+    val full = new org.apache.spark.ml.feature.VectorAssembler()
+      .setInputCols(Array("features", "cat_a", "cat_n", "cat_r"))
+      .setOutputCol("_full")
+      .transform(joined)
+      .drop("features").withColumnRenamed("_full", "features")
+      .select("id", "features", "label")
 
     // 4. split → resample → train → metrics (§3.3)
     val (train, test) = Features.splitByHash(full, "id")
