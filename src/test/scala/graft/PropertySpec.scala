@@ -73,6 +73,21 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("GlobalTopN property: equals orderBy().limit(n) as a set, any n") {
+    val gen = for {
+      rows <- Gen.listOfN(40, Gen.zip(Gen.choose(1L, 30L), Gen.choose(0.0, 5.0)))
+      n    <- Gen.choose(0, 45)
+    } yield (rows.zipWithIndex.map { case ((k, v), i) => (i.toLong, k, v) }, n)
+    forAll(gen, n = 4) { case (rows, n) =>
+      val df = rows.toDF("id", "k", "v")
+      val expected = df.orderBy(col("v"), col("id")).limit(n)
+        .select("id").collect().map(_.getLong(0)).toSet
+      val got = graft.ops.GlobalTopN.topN(df, n.toLong, col("v"), col("id"))
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(got == expected, s"n=$n")
+    }
+  }
+
   test("O5 union property: unionByName preserves row counts") {
     forAll(Gen.zip(Gen.choose(0, 50), Gen.choose(0, 50))) { case (na, nb) =>
       val a = (1 to na).map(i => (i.toLong, "a")).toDF("id", "src")
