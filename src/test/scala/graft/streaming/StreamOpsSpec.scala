@@ -84,6 +84,38 @@ class StreamOpsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming sessionize over real events equals the batch sessionization") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    // batch truth: the oracled ev_sessionize form (same 1800s gap, same
+    // (ts2, event_id) tiebreak); compare per-user sorted session-size
+    // multisets because session NUMBERING is an internal detail
+    def sizesByUser(rows: Seq[(Long, Long)]): Map[Long, Seq[Long]] =
+      rows.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+
+    val batch = graft.SparkEntry.queries("ev_sessionize")(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"))).toSeq
+
+    val stream = StreamOps.eventsStream(spark, sfDir)
+      .withColumn("ts", date_trunc("second", col("ts")))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[StreamOps.Event]
+    spark.catalog.dropTempView("spec_sessionize")
+    val q = StreamOps.sessionize(stream, gapSeconds = 1800L)
+      .writeStream.format("memory").queryName("spec_sessionize")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // single bounded batch: every session is emitted exactly once (closed
+    // rows when superseded + the final open row per user at batch end)
+    val streamed = spark.table("spec_sessionize").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"))).toSeq
+
+    assert(streamed.nonEmpty)
+    assert(sizesByUser(streamed) == sizesByUser(batch),
+      "streaming state-machine sessions diverge from the batch window form")
+  }
+
   test("checkpointed restart: dedup state survives, no duplicate re-emission") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.streaming.Trigger
