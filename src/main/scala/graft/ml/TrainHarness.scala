@@ -16,6 +16,26 @@ import org.apache.spark.sql.functions._
   */
 object TrainHarness {
 
+  /** Score with a SUMMARY-FREE copy of a fitted model. A freshly-fit
+    * model's `trainingSummary` holds the SparkSession; the scoring UDF
+    * closure captures the model, so the session rides into task
+    * serialization. That works only while the session's lazy
+    * `observationManager` (Spark 4.1, non-serializable) is untouched —
+    * the first `Dataset.observe` in the session initializes it and every
+    * later summary-carrying model closure dies with Task-not-serializable.
+    * `copy(ParamMap.empty)` drops the summary (it is only attached inside
+    * train()), making scoring independent of session observation state.
+    */
+  private def slim[M <: org.apache.spark.ml.Model[M]](m: M): M = {
+    val c = m.copy(org.apache.spark.ml.param.ParamMap.empty)
+    // copy() propagates the summary; setSummary is private[ml] in Scala
+    // but public in bytecode — clear it on the COPY (the caller's model
+    // keeps its summary for anyone who wants the training curves)
+    try c.getClass.getMethod("setSummary", classOf[Option[_]]).invoke(c, None)
+    catch { case _: NoSuchMethodException => () }
+    c
+  }
+
   /** RF fit + P(class=1) scores on the test set (reference M5). */
   def randomForestScores(
       train: DataFrame, test: DataFrame,
@@ -26,7 +46,7 @@ object TrainHarness {
       .setFeaturesCol(featuresCol).setLabelCol(labelCol)
       .setNumTrees(numTrees).setSeed(seed)
     val model = rf.fit(train.cache())
-    model.transform(test)
+    slim(model).transform(test)
       .withColumn("score", vector_to_array(col("probability"))(1))
   }
 
@@ -55,7 +75,7 @@ object TrainHarness {
       .setFeaturesCol(featuresCol).setLabelCol(labelCol)
       .setElasticNetParam(1.0).setRegParam(regParam).setMaxIter(maxIter)
     val model = lr.fit(train.cache())
-    model.transform(test)
+    slim(model).transform(test)
       .withColumn("margin", vector_to_array(col("rawPrediction"))(1))
       .withColumn("score", vector_to_array(col("probability"))(1))
   }

@@ -37,16 +37,16 @@ object ReadmissionPipeline {
       .withColumnRenamed("N", "cat_n")
       .withColumnRenamed("R", "cat_r")
 
-  /** Full composed pipeline → one metrics row per resampling strategy. */
-  def run(s: SparkSession, dir: String, seed: Long = 42L): DataFrame = {
-    // 1+3. cohort labeling (§3.1) + scaled numeric/one-hot features:
+  /** §3.1+§3.2 composed feature table: cohort-labeled, scaled numeric/
+    * one-hot features CONCATENATED with the category-matrix counts — the
+    * join alone would leave the category counts as dead columns the
+    * trainer never sees (vector width = Features.featureCols ++ 3 cats,
+    * pinned in ReadmissionFixtureSpec).
+    */
+  def featureTable(s: SparkSession, dir: String): DataFrame = {
     // Features.assembled computes the cohort labels internally (same
     // labelNextEvent windows) and is session-memoized
     val base = Features.assembled(s, dir)
-
-    // 2. category matrix (§3.2), joined on the order key and CONCATENATED
-    // into the model's feature vector — the join alone would leave the
-    // category counts as dead columns the trainer never sees
     val cats = categoryMatrix(s, dir)
     val joined = base
       .join(cats.withColumnRenamed("l_orderkey", "id"), Seq("id"), "left")
@@ -54,12 +54,17 @@ object ReadmissionPipeline {
       .withColumn("cat_a", col("cat_a").cast("double"))
       .withColumn("cat_n", col("cat_n").cast("double"))
       .withColumn("cat_r", col("cat_r").cast("double"))
-    val full = new org.apache.spark.ml.feature.VectorAssembler()
+    new org.apache.spark.ml.feature.VectorAssembler()
       .setInputCols(Array("features", "cat_a", "cat_n", "cat_r"))
       .setOutputCol("_full")
       .transform(joined)
       .drop("features").withColumnRenamed("_full", "features")
       .select("id", "features", "label")
+  }
+
+  /** Full composed pipeline → one metrics row per resampling strategy. */
+  def run(s: SparkSession, dir: String, seed: Long = 42L): DataFrame = {
+    val full = featureTable(s, dir)
 
     // 4. split → resample → train → metrics (§3.3)
     val (train, test) = Features.splitByHash(full, "id")

@@ -19,6 +19,24 @@ class ObservabilitySpec extends SparkSpecBase {
     assert(m("n_null_v") == 3L)
   }
 
+  test("observe then ML scoring in the same session works (summary-free closures)") {
+    import org.apache.spark.ml.linalg.Vectors
+    // using an Observation initializes the session's non-serializable
+    // ObservationManager; model scoring must not drag the session into
+    // task closures afterwards (TrainHarness scores with summary-free
+    // model copies) — this pins the interaction
+    val (observed, obs) = Observability.observeQuality(
+      Seq((1L, "x")).toDF("id", "v"), Seq("v"))
+    observed.count()
+    assert(obs.get("n_rows") == 1L)
+    val train = (
+      (1 to 20).map(i => (i.toLong, Vectors.dense(i * 0.1), 0.0)) ++
+        (21 to 40).map(i => (i.toLong, Vectors.dense(2.0 + i * 0.1), 1.0))
+    ).toDF("id", "features", "label")
+    val scored = graft.ml.TrainHarness.logisticL1Scores(train, train, "features", "label")
+    assert(scored.count() == 40)
+  }
+
   test("observation composes under pushed-down filters") {
     val df = graft.core.Tables.orders(spark, sfDir)
       .filter(col("o_totalprice") > 100000.0)

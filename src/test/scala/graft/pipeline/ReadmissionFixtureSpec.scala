@@ -170,4 +170,12 @@ class ReadmissionFixtureSpec extends SparkSpecBase {
     assert(!vocab.contains("the") && !vocab.contains("was"), vocab)
     assert(!vocab.exists(_.exists(_.isDigit)), vocab)
   }
+
+  test("composed pipeline feature vector includes the category-matrix columns") {
+    import org.apache.spark.ml.linalg.Vector
+    val ft = ReadmissionPipeline.featureTable(spark, sfDir)
+    val width = ft.select("features").head().getAs[Vector]("features").size
+    assert(width == graft.ml.Features.featureCols.size + 3,
+      s"expected ${graft.ml.Features.featureCols.size} base + 3 category features, got $width")
+  }
 }
