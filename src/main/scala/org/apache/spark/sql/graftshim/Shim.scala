@@ -31,4 +31,12 @@ object Shim {
   def logicalPlan(df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.queryExecution.analyzed
+
+  /** Float/double canonicalization (-0.0 → 0.0, canonical NaN) for
+    * expressions used as grouping/partitioning keys in custom operators —
+    * the `NormalizeFloatingNumbers` optimizer rule only rewrites builtin
+    * operators it knows about.
+    */
+  def normalizeFloats(e: Expression): Expression =
+    org.apache.spark.sql.catalyst.optimizer.NormalizeFloatingNumbers.normalize(e)
 }

@@ -51,6 +51,43 @@ class RowNumberTopKRuleSpec extends SparkSpecBase {
     }
   }
 
+  test("non-deterministic order keys are safe: analyzer materializes them below") {
+    // PullOutNondeterministic rewrites rand() into a child Project, so the
+    // Window's order key is a deterministic ATTRIBUTE and the rewrite is
+    // sound (the rule's determinism guard protects direct node builders,
+    // where no such materialization happened)
+    RowNumberTopK.install(spark)
+    try {
+      val orders = graft.core.Tables.orders(spark, sfDir)
+      val w = Window.partitionBy("o_custkey").orderBy(rand(7))
+      val out = orders.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .select("o_custkey", "o_orderkey")
+      val perKey = out.groupBy("o_custkey").count()
+        .agg(max("count")).collect()(0).getLong(0)
+      assert(perKey <= 2, s"a key emitted $perKey rows under k=2")
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ eq RowNumberTopKRule)
+    }
+  }
+
+  test("rewritten plan strips the inferred WindowGroupLimit (no leftover sorts)") {
+    RowNumberTopK.install(spark)
+    try {
+      graft.core.Tables.orders(spark, sfDir).createOrReplaceTempView("orders")
+      val planStr = spark.sql(graft.SparkEntry.windowTopSql)
+        .queryExecution.executedPlan.toString
+      assert(planStr.contains("TopKPerKey"), planStr)
+      assert(!planStr.contains("WindowGroupLimit"),
+        s"WindowGroupLimit (and its sorts) must be subsumed:\n$planStr")
+      assert(!planStr.contains("Sort "), s"no per-partition sorts expected:\n$planStr")
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ eq RowNumberTopKRule)
+    }
+  }
+
   test("rule does NOT fire when rn survives the projection") {
     RowNumberTopK.install(spark)
     try {

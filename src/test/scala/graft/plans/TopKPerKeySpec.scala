@@ -19,6 +19,24 @@ class TopKPerKeySpec extends SparkSpecBase {
     assert(out == Set(("a", 2L), ("a", 4L), ("b", 5L), ("b", 6L), ("c", 7L)))
   }
 
+  test("k=0 returns empty (like rn <= 0); negative k too") {
+    assert(TopKPerKey(df, Seq("k"), Seq(col("v").desc), 0).count() == 0)
+    assert(TopKPerKey(df, Seq("k"), Seq(col("v").desc), -3).count() == 0)
+  }
+
+  test("float keys: -0.0 and 0.0 group as ONE key (normalized like the window form)") {
+    val fdf = Seq((0.0, 1L, 5.0), (-0.0, 2L, 4.0), (-0.0, 3L, 3.0), (1.5, 4L, 2.0))
+      .toDF("fk", "id", "v")
+      // produce -0.0 through an expression so it survives into the rows
+      .withColumn("fk", when(col("id") === 2L || col("id") === 3L, col("fk") * -1.0 * 0.0 * -1.0).otherwise(col("fk")))
+    val zeros = Seq((0.0, 1L, 5.0), (-0.0, 2L, 4.0), (-0.0, 3L, 3.0), (1.5, 4L, 2.0))
+      .toDF("fk", "id", "v")
+    val out = TopKPerKey(zeros, Seq("fk"), Seq(col("v").desc, col("id").asc), 2)
+      .collect().map(_.getLong(1)).toSet
+    // 0.0 and -0.0 are one group: top-2 by v = ids 1,2; plus the 1.5 group
+    assert(out == Set(1L, 2L, 4L), s"got $out")
+  }
+
   test("key names resolve case-insensitively (like groupBy)") {
     val out = TopKPerKey(df, Seq("K"), Seq(col("v").desc, col("id").asc), 1)
       .collect().map(_.getLong(1)).toSet
