@@ -25,10 +25,6 @@ class TopKPerKeySpec extends SparkSpecBase {
   }
 
   test("float keys: -0.0 and 0.0 group as ONE key (normalized like the window form)") {
-    val fdf = Seq((0.0, 1L, 5.0), (-0.0, 2L, 4.0), (-0.0, 3L, 3.0), (1.5, 4L, 2.0))
-      .toDF("fk", "id", "v")
-      // produce -0.0 through an expression so it survives into the rows
-      .withColumn("fk", when(col("id") === 2L || col("id") === 3L, col("fk") * -1.0 * 0.0 * -1.0).otherwise(col("fk")))
     val zeros = Seq((0.0, 1L, 5.0), (-0.0, 2L, 4.0), (-0.0, 3L, 3.0), (1.5, 4L, 2.0))
       .toDF("fk", "id", "v")
     val out = TopKPerKey(zeros, Seq("fk"), Seq(col("v").desc, col("id").asc), 2)
