@@ -64,14 +64,19 @@ object Dedup {
         sh0.join(dfs.select("shingle"), Seq("shingle"))
       case None => sh0
     }
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val pairs = sh.as("a")
-      .join(sh.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // carry each doc's shingle count ON the exploded rows (window over
+    // doc_id) instead of a separate sizes aggregation: the tokenize+
+    // shingle subtree then evaluates once for the (exchange-reused) join
+    // sides rather than three times, and the two post-pair sizes joins
+    // disappear — the counts ride through the self-join for free
+    val withN = sh.select(col("doc_id"), col("shingle"),
+      count(lit(1)).over(Window.partitionBy("doc_id")).as("n_sh"))
+    withN.as("a")
+      .join(withN.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
       .agg(count(lit(1)).as("inter_cnt"))
-    pairs
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), Seq("doc_a"))
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), Seq("doc_b"))
       .withColumn(
         "jaccard",
         col("inter_cnt").cast("double") / (col("n_a") + col("n_b") - col("inter_cnt"))
