@@ -85,6 +85,25 @@ object SparkEntry {
         .csv(out)
     }),
 
+    // S8/S9: the other built-in formats, same closed loop as s6 — write,
+    // read back, hash against the DuckDB view of the ORIGINAL parquet
+    // table, proving types/values survive each format's encoding. ORC is
+    // the second columnar format (predicate pushdown + column pruning
+    // apply there too); JSON-lines is the schema-on-read text format.
+    "s8_orc_roundtrip" -> ((s, d) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_s8_orc_${new java.io.File(d).getName}"
+      t(s, d, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+        .write.mode("overwrite").orc(out)
+      s.read.orc(out)
+    }),
+
+    "s9_json_roundtrip" -> ((s, d) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_s9_json_${new java.io.File(d).getName}"
+      t(s, d, "region").select("r_regionkey", "r_name")
+        .write.mode("overwrite").json(out)
+      s.read.schema("r_regionkey BIGINT, r_name STRING").json(out)
+    }),
+
     // S7 partitioned-parquet sink closed-loop: write orders partitioned by
     // o_orderpriority, read back filtered on the partition column. The
     // filter never touches row data — it prunes whole directories at
@@ -1439,6 +1458,12 @@ object SparkEntry {
 
     "s6_csv_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+
+    "s8_orc_roundtrip" ->
+      "SELECT s_suppkey, s_name, s_nationkey FROM supplier",
+
+    "s9_json_roundtrip" ->
+      "SELECT r_regionkey, r_name FROM region",
 
     "s7_partitioned_prune" ->
       """SELECT o_orderstatus, count(*) AS cnt,
