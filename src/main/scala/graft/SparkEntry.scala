@@ -727,6 +727,17 @@ object SparkEntry {
           round(col("value").cast("double") * col("_n")).cast("long").as("cnt"))
     }),
 
+    // real multimodal ingestion surface: per-row payload FILES staged
+    // executor-side, read back through Spark's binaryFile source, hashed
+    // against the DuckDB view of the source text — the directory-of-media
+    // → binary-column path, closed-loop
+    "mm_binary_source" -> ((s, d) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_mm_files_${new java.io.File(d).getName}"
+      graft.multimodal.Multimodal.stageAsFiles(t(s, d, "documents"), "doc_id", "text", dir)
+      graft.multimodal.Multimodal.readBinaryFiles(s, dir)
+        .select(col("doc_id"), col("n_bytes"))
+    }),
+
     "mm_chunks" -> ((s, d) => {
       val bt = graft.multimodal.Multimodal.toBinaryTable(
         t(s, d, "documents"), "doc_id", "text", "text/plain")
@@ -1461,6 +1472,9 @@ object SparkEntry {
 
     "s8_orc_roundtrip" ->
       "SELECT s_suppkey, s_name, s_nationkey FROM supplier",
+
+    "mm_binary_source" ->
+      "SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes FROM documents",
 
     "s9_json_roundtrip" ->
       "SELECT r_regionkey, r_name FROM region",

@@ -24,6 +24,33 @@ object Multimodal {
     StructField("checksum", LongType, nullable = false)
   ))
 
+  /** Stage each row's payload as an individual `<id>.bin` FILE (executor-
+    * side, per-partition — nothing funnels through the driver) and read the
+    * directory back through Spark's `binaryFile` source. This is the real
+    * media-ingestion path: a directory of image/audio files → (path,
+    * length, content) rows → the engine's binary-table shape. On a cluster
+    * `dir` is shared storage; in tests it's a local temp dir.
+    */
+  def stageAsFiles(df: DataFrame, idCol: String, textCol: String, dir: String): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    df.select(col(idCol).cast("string"), col(textCol))
+      .foreachPartition { rows: Iterator[Row] =>
+        rows.foreach { r =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dir, s"${r.getString(0)}.bin"),
+            r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+      }
+  }
+
+  /** binaryFile scan → (id parsed from filename, payload, n_bytes). */
+  def readBinaryFiles(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    spark.read.format("binaryFile").load(dir)
+      .select(
+        regexp_extract(col("path"), "([0-9]+)\\.bin$", 1).cast("long").as("doc_id"),
+        col("content").as("payload"),
+        length(col("content")).cast("int").as("n_bytes"))
+
   /** Wrap a string column as a (payload: binary, meta: struct) pair —
     * the canonical multimodal row shape. In production the payload comes
     * off object storage; here it is synthesized from text so the plumbing
