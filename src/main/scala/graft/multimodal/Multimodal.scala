@@ -32,8 +32,15 @@ object Multimodal {
     * `dir` is shared storage; in tests it's a local temp dir.
     */
   def stageAsFiles(df: DataFrame, idCol: String, textCol: String, dir: String): Unit = {
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val p = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.createDirectories(p)
+    // clear previous stagings: stale .bin files from an earlier (different)
+    // dataset would otherwise come back as phantom rows
+    val old = java.nio.file.Files.list(p)
+    try old.filter(_.toString.endsWith(".bin")).forEach(java.nio.file.Files.delete(_))
+    finally old.close()
     df.select(col(idCol).cast("string"), col(textCol))
+      .filter(col(textCol).isNotNull) // a null payload has no file representation
       .foreachPartition { rows: Iterator[Row] =>
         rows.foreach { r =>
           java.nio.file.Files.write(
@@ -43,11 +50,16 @@ object Multimodal {
       }
   }
 
-  /** binaryFile scan → (id parsed from filename, payload, n_bytes). */
+  /** binaryFile scan → (id parsed from filename, payload, n_bytes).
+    * Non-matching filenames are filtered BEFORE the cast (ANSI mode would
+    * throw on CAST('' AS BIGINT) for a stray file in a shared directory);
+    * the pattern keeps the sign so negative ids round-trip.
+    */
   def readBinaryFiles(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     spark.read.format("binaryFile").load(dir)
+      .filter(col("path").rlike("(^|/)-?[0-9]+\\.bin$"))
       .select(
-        regexp_extract(col("path"), "([0-9]+)\\.bin$", 1).cast("long").as("doc_id"),
+        regexp_extract(col("path"), "(-?[0-9]+)\\.bin$", 1).cast("long").as("doc_id"),
         col("content").as("payload"),
         length(col("content")).cast("int").as("n_bytes"))
 

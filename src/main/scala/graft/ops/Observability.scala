@@ -22,7 +22,9 @@ object Observability {
     val obs = Observation()
     val metrics: Seq[Column] =
       count(lit(1)).as("n_rows") +:
-        cols.map(c => sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"n_null_$c"))
+        // count, not sum: sum over ZERO rows is null, and an empty observed
+        // frame should report 0 nulls, not a null metric
+        cols.map(c => count(when(col(c).isNull, 1)).as(s"n_null_$c"))
     (df.observe(obs, metrics.head, metrics.tail: _*), obs)
   }
 }
