@@ -1,0 +1,72 @@
+package graft.ml
+
+import graft.functions.GraftFunctions
+import org.apache.spark.ml.functions.vector_to_array
+import org.apache.spark.ml.linalg.Vector
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Native random-projection LSH radius join — the
+  * `BucketedRandomProjectionLSH.approxSimilarityJoin` shape with ZERO
+  * UDFs: the projections, bucketing, candidate join, and exact L2
+  * distance are all codegen'd expressions (the dot products ride the
+  * engine's fused `DotProduct`), so the whole pipeline stays inside
+  * WholeStageCodegen instead of crossing a ScalaUDF boundary per
+  * candidate pair (`ml`'s keyDistance). Candidate semantics match BRP-LSH:
+  * a pair meets if ANY of the `nTables` projections lands both vectors in
+  * the same unit-`bucketLength` bucket; distances are exact, so the radius
+  * filter introduces no approximation beyond candidate recall.
+  *
+  * Deterministic under `seed` (driver-generated Gaussian planes become
+  * array literals in the plan).
+  */
+object NativeLsh {
+
+  /** (idA, idB, dist) for cross pairs within `radius` (approximate
+    * candidate generation, exact distances). Inputs are (idCol, vecCol
+    * VectorUDT) frames; ids must be unique per side.
+    */
+  def radiusJoin(
+      a: DataFrame,
+      b: DataFrame,
+      idCol: String,
+      vecCol: String,
+      radius: Double,
+      bucketLength: Double = 2.0,
+      nTables: Int = 3,
+      seed: Long = 42L
+  ): DataFrame = {
+    val dim = a.select(vecCol).head().getAs[Vector](0).size
+    val rnd = new scala.util.Random(seed)
+    val planes: IndexedSeq[Seq[Double]] =
+      IndexedSeq.fill(nTables)(Seq.fill(dim)(rnd.nextGaussian()))
+
+    def bucketed(df: DataFrame, id: String, v: String): DataFrame = {
+      val base = df.select(col(idCol).as(id), vector_to_array(col(vecCol)).as(v))
+      val bands: Seq[Column] = planes.zipWithIndex.map { case (p, t) =>
+        struct(lit(t).as("t"),
+          floor(GraftFunctions.dot_product(col(v), typedLit(p)) / bucketLength).as("b"))
+      }
+      base.select(col(id), col(v), explode(array(bands: _*)).as("tb"))
+    }
+
+    val left = bucketed(a, "_ida", "_va").withColumnRenamed("tb", "_tba")
+    val right = bucketed(b, "_idb", "_vb").withColumnRenamed("tb", "_tbb")
+    // ||x−y||² expanded to dot products (one fused loop each); clamp at 0
+    // for the float-rounding edge before the sqrt
+    val dist = sqrt(greatest(lit(0.0),
+      GraftFunctions.dot_product(col("_va"), col("_va")) -
+        lit(2.0) * GraftFunctions.dot_product(col("_va"), col("_vb")) +
+        GraftFunctions.dot_product(col("_vb"), col("_vb"))))
+    left
+      .join(right, col("_tba") === col("_tbb"))
+      .where(col("_ida") =!= col("_idb"))
+      // compute the distance PER COLLISION (fused-loop expressions, at most
+      // nTables evaluations per pair) and dedupe on the narrow
+      // (ida, idb, dist) triple — deduping before the distance would
+      // shuffle every candidate row with BOTH vectors attached
+      .select(col("_ida"), col("_idb"), dist.as("dist"))
+      .groupBy("_ida", "_idb").agg(min("dist").as("dist"))
+      .filter(col("dist") <= radius)
+  }
+}

@@ -137,30 +137,26 @@ object Resamplers {
     val minority = df.filter(col(labelCol) === minorityLabel)
     val majority = df.filter(col(labelCol) =!= minorityLabel)
 
-    val lsh = new BucketedRandomProjectionLSH()
-      .setInputCol(featuresCol).setOutputCol("_hashes")
-      .setBucketLength(bucketLength).setNumHashTables(3).setSeed(seed)
-    val model = lsh.fit(df)
-    // Two things keep the kNN join linear in |majority| (it is the cost
-    // center of this operator — measured 24 s of a 35 s query at sf0.1):
-    //  1. finite radius — an unbounded approxSimilarityJoin materializes
-    //     every bucket-sharing (majority × minority) pair;
+    // Three things keep the kNN join linear in |majority| AND codegen'd
+    // (it was the cost center of this operator — 24 s of a 35 s query):
+    //  1. finite radius — an unbounded similarity join materializes every
+    //     bucket-sharing (majority × minority) pair;
     //  2. the mean-distance ranking only needs an ESTIMATOR, so the
     //     minority side is a deterministic hash-sample (~minoritySampleTarget
     //     rows): the join is majority × sample, not majority × minority —
-    //     at 100 TB the difference between O(n) and O(n·m).
-    // Both join inputs are slimmed to (id, features) so the hash-explode
-    // shuffle never carries payload columns. Majority rows with no
+    //     at 100 TB the difference between O(n) and O(n·m);
+    //  3. the join is the NATIVE LSH radius join (expressions end-to-end,
+    //     no per-pair ScalaUDF distance like ml's approxSimilarityJoin).
+    // Join inputs are slimmed to (id, features). Majority rows with no
     // in-radius candidate are handled by the deterministic top-up below.
     val samplePermille = math.min(1000L, math.max(1L, minoritySampleTarget * 1000L / nMin))
     val minoritySample = minority
       .filter(pmod(xxhash64(col(idCol), lit(seed)), lit(1000L)) < samplePermille)
       .select(col(idCol), col(featuresCol))
-    val dists = model
-      .approxSimilarityJoin(
+    val dists = NativeLsh.radiusJoin(
         majority.select(col(idCol), col(featuresCol)), minoritySample,
-        neighborRadius, "_dist")
-      .select(col(s"datasetA.$idCol").as("_maj_id"), col("_dist"))
+        idCol, featuresCol, neighborRadius, bucketLength, nTables = 3, seed = seed)
+      .select(col("_ida").as("_maj_id"), col("dist").as("_dist"))
       .groupBy("_maj_id").agg(avg("_dist").as("_mean_dist"))
     // LSH only yields candidates sharing a bucket; majority rows with no
     // cross-class candidate rank last (deterministically by id) so the
