@@ -1,6 +1,5 @@
 package graft.ml
 
-import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
 import org.apache.spark.ml.linalg.{Vector, Vectors}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
@@ -11,11 +10,11 @@ import org.apache.spark.sql.functions._
   *
   * Random under/over-sampling are pure narrow `sample`/`union` plans — no
   * shuffle at all. SMOTE and NearMiss need k-nearest-neighbors, which is
-  * quadratic done naively; both use `BucketedRandomProjectionLSH`
-  * approximate joins so the candidate space is bucket-local — the only
-  * formulation that survives 100 TB (SURVEY §7.5.1). Rows are keyed by an
-  * explicit `idCol` (never by vector equality — UDT comparisons don't
-  * partition/join reliably).
+  * quadratic done naively; both use the engine's native LSH radius join
+  * ([[NativeLsh]] — codegen'd expressions end-to-end) so the candidate
+  * space is bucket-local — the only formulation that survives 100 TB
+  * (SURVEY §7.5.1). Rows are keyed by an explicit `idCol` (never by
+  * vector equality — UDT comparisons don't partition/join reliably).
   */
 object Resamplers {
 
@@ -75,26 +74,23 @@ object Resamplers {
     // ~needed seed points are joined — a deterministic hash-sample, not
     // the full minority. The join radius is finite (features are
     // standardized, so a constant radius is meaningful): an unbounded
-    // approxSimilarityJoin degenerates to bucket-cross-products and was
-    // measured 20× slower at sf0.1.
+    // radius degenerates to bucket-cross-products (measured 20× slower).
+    // The kNN candidates come from the NATIVE LSH radius join (codegen'd
+    // end-to-end), and the seed/neighbor VECTORS are joined back only
+    // AFTER the per-seed top-k trim — k×|seeds| rows carry vectors, never
+    // the full candidate set.
     val needed = nMaj - nMin
     val seedPermille = math.min(1000L, math.max(1L, needed * 1000L / nMin))
     val seeds = minority.filter(pmod(xxhash64(col(idCol), lit(seed)), lit(1000L)) < seedPermille)
-    val lsh = new BucketedRandomProjectionLSH()
-      .setInputCol(featuresCol).setOutputCol("_hashes")
-      .setBucketLength(bucketLength).setNumHashTables(3).setSeed(seed)
-    val model = lsh.fit(minority)
-    val pairs = model
-      .approxSimilarityJoin(seeds, minority, neighborRadius, "_dist")
-      .filter(col(s"datasetA.$idCol") =!= col(s"datasetB.$idCol"))
-      .select(
-        col(s"datasetA.$idCol").as("_ida"),
-        col(s"datasetA.$featuresCol").as("_x"),
-        col(s"datasetB.$idCol").as("_idb"),
-        col(s"datasetB.$featuresCol").as("_nbr"),
-        col("_dist"))
+    val minSlim = minority.select(col(idCol), col(featuresCol))
+    val cand = NativeLsh.radiusJoin(
+      seeds.select(col(idCol), col(featuresCol)), minSlim,
+      idCol, featuresCol, neighborRadius, bucketLength, nTables = 3, seed = seed)
+      .withColumnRenamed("dist", "_dist")
     val w = Window.partitionBy("_ida").orderBy(col("_dist"), col("_idb"))
-    val nearest = pairs.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= k)
+    val nearest = cand.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= k)
+      .join(minSlim.select(col(idCol).as("_ida"), col(featuresCol).as("_x")), Seq("_ida"))
+      .join(minSlim.select(col(idCol).as("_idb"), col(featuresCol).as("_nbr")), Seq("_idb"))
     val interpolate = udf { (x: Vector, nbr: Vector, frac: Double) =>
       val xa = x.toArray; val na = nbr.toArray
       Vectors.dense(Array.tabulate(xa.length)(i => xa(i) + frac * (na(i) - xa(i))))
