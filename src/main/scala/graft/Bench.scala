@@ -29,18 +29,47 @@ object Bench {
     try graft.ml.Features.assembled(spark, sfDir).count()
     catch { case _: Throwable => () }
     val warmupSec = (System.nanoTime() - w0) / 1e9
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // a failed query must surface as -1, not masquerade as a fast run
-      val ok = try { fn(spark, sfDir).count(); true } catch {
-        case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+    // median-of-3 per query: single-pass timings are order-sensitive
+    // (GC/JIT neighbor effects produced 5 phantom "regressions" in r2 when
+    // the query Map reordered). Each query re-plans and re-runs as a fresh
+    // action up to `reps` times in the same session; the reported number
+    // is the MEDIAN, with min/max spread emitted alongside so a real
+    // regression is distinguishable from run-to-run noise. Queries whose
+    // passes have already consumed `repBudgetSec` stop early (n recorded) —
+    // the heavy ML fits dominate wall-clock and their variance is
+    // fit-internal, not neighbor noise.
+    val reps = 3
+    val repBudgetSec = 60.0
+    val results: Map[String, List[Double]] = SparkEntry.queries.map { case (name, fn) =>
+      val times = scala.collection.mutable.ListBuffer[Double]()
+      var failed = false
+      var i = 0
+      while (i < reps && !failed && (i == 0 || times.sum < repBudgetSec)) {
+        val t0 = System.nanoTime()
+        // a failed query must surface as -1, not masquerade as a fast run
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}"); failed = true
+        }
+        if (!failed) times += (System.nanoTime() - t0) / 1e9
+        i += 1
       }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      name -> (if (failed) List(-1.0) else times.toList)
     }
-    val total = results.values.filter(_ >= 0).sum
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def median(ts: List[Double]): Double = {
+      val s = ts.sorted
+      s(s.size / 2) // n∈{1,2,3}: middle for 3, upper-of-2, the one for 1
+    }
+    val medians = results.map { case (k, ts) => k -> (if (ts.head < 0) -1.0 else median(ts)) }
+    val total = medians.values.filter(_ >= 0).sum
+    def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = medians.map { case (k, v) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","warmup_sec":$warmupSec,"queries":$qs,"sf":"$sfDir"}""")
+    val stats = results.map { case (k, ts) =>
+      s"\"" + k + "\":{\"median\":" + f(medians(k)) + ",\"min\":" + f(ts.min) +
+        ",\"max\":" + f(ts.max) + ",\"n\":" + ts.size + "}"
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","warmup_sec":${f(warmupSec)},"reps":$reps,"queries":$qs,"query_stats":$stats,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -26,6 +26,15 @@ object SparkEntry {
   /** Exact money sum: decimal-cast accumulate (order-independent), emit double. */
   private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
 
+  /** Engine-portable deterministic permille of (key, salt): 60-bit md5
+    * hash mod 1000. DuckDB mirror:
+    * `CAST('0x' || substr(md5(key || salt), 1, 15) AS BIGINT) % 1000` —
+    * the primitive that makes hash-sampling oracle-able (xxhash64 is
+    * engine-private).
+    */
+  private def permilleHash(key: Column, salt: String): Column =
+    pmod(TextOps.md5Hash60(concat(key.cast("string"), lit(salt))), lit(1000L))
+
   // ---- cohort (SURVEY §3.1: the reference's flagship labeling query) ----
   // orders as admissions: customer=patient, orderdate=admit time,
   // orderpriority=admission type, '5-LOW'=ELECTIVE.
@@ -59,6 +68,26 @@ object SparkEntry {
       |       CASE WHEN (epoch(next_time) - epoch(o_orderdate)) / 86400.0 < 30
       |            THEN '1' ELSE '0' END AS label
       |FROM filled""".stripMargin
+
+  /** Shared by `ev_sessionize` (batch windows) and `ev_stream_sessions`
+    * (flatMapGroupsWithState drain) — stream/batch parity against one
+    * oracle text.
+    */
+  private val sessionizeSql: String =
+    """WITH x AS (
+      |  SELECT user_id, event_id, date_trunc('second', ts) AS ts2,
+      |         LAG(date_trunc('second', ts)) OVER (PARTITION BY user_id ORDER BY date_trunc('second', ts) NULLS FIRST, event_id) AS prev
+      |  FROM events
+      |), y AS (
+      |  SELECT user_id, event_id, ts2,
+      |         CASE WHEN prev IS NULL OR epoch(ts2) - epoch(prev) > 1800 THEN 1 ELSE 0 END AS is_new
+      |  FROM x
+      |), z AS (
+      |  SELECT user_id,
+      |         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts2 NULLS FIRST, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      |  FROM y
+      |)
+      |SELECT user_id, session_id, count(*) AS n_events FROM z GROUP BY 1, 2""".stripMargin
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -121,6 +150,20 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sum_price"))
     }),
 
+    // S2 alternative source: JDBC (embedded Derby) — write nation through
+    // the JDBC sink, read it back through the JDBC source, hash against
+    // the DuckDB view of the original parquet. The non-file ingestion
+    // surface, closed-loop. (In-memory Derby: this tests the format
+    // plumbing; production JDBC reads partition via
+    // partitionColumn/bounds — see Tables.jdbcTable.)
+    "s10_jdbc_roundtrip" -> ((s, d) => {
+      val url = s"jdbc:derby:memory:graft_${new java.io.File(d).getName};create=true"
+      Tables.jdbcWrite(
+        t(s, d, "nation").select("n_nationkey", "n_name", "n_regionkey"),
+        url, "nation_jdbc")
+      Tables.jdbcTable(s, url, "nation_jdbc")
+    }),
+
     // Structured Streaming, oracled: the hourly windowed aggregation runs
     // as a REAL stream (file source → watermark → incremental state →
     // AvailableNow drain) and must produce the byte-identical answer to
@@ -131,6 +174,13 @@ object SparkEntry {
         graft.streaming.StreamOps.windowedCountsExact(
           graft.streaming.StreamOps.eventsStream(s, d)),
         "graft_ev_stream_hourly")),
+
+    // the flatMapGroupsWithState session state machine, drained and
+    // hash-checked against the SAME DuckDB oracle as the batch
+    // `ev_sessionize` — custom streaming state semantics verified
+    // end-to-end, not just spec-pinned
+    "ev_stream_sessions" -> ((s, d) =>
+      graft.streaming.StreamOps.sessionCountsViaStream(s, d, "graft_ev_stream_sessions")),
 
     // ---- P*: projections / filters --------------------------------------
     "p_proj_filter" -> ((s, d) =>
@@ -500,6 +550,50 @@ object SparkEntry {
       bal.groupBy("label").agg(count(lit(1)).as("cnt"))
     }),
 
+    // O4/O8 the ORACLE-ABLE way: `df.sample` rides an engine-private RNG
+    // stream, but a deterministic permille on a portable 60-bit md5 hash
+    // is the same sampling operator with a cross-engine-replayable
+    // decision per row — so the seeded-sampling tier gets exact green
+    // rows, not rows-only trust. The class ratio is computed IN the plan
+    // (1-row agg, broadcast) — the identical arithmetic runs in the
+    // oracle, so both engines derive the same keep-threshold.
+    "o4_undersample_hash" -> ((s, d) => {
+      val labeled = cohort(s, d)
+      val cts = labeled.agg(
+        sum(when(col("label") === "1", 1L).otherwise(0L)).as("npos"),
+        sum(when(col("label") === "0", 1L).otherwise(0L)).as("nneg"))
+      labeled.crossJoin(cts)
+        .filter(col("label") === "1" ||
+          permilleHash(col("o_orderkey"), ":u42") <
+            floor(lit(1000.0) * col("npos") / col("nneg")).cast("long"))
+        .groupBy("label").agg(count(lit(1)).as("cnt"))
+    }),
+
+    // hash-deterministic oversample: every minority row gets
+    // floor(nNeg/nPos) copies, plus one extra for the hash-selected
+    // permille remainder — replication by explode(sequence), no RNG
+    "o8_oversample_hash" -> ((s, d) => {
+      val labeled = cohort(s, d)
+      val cts = labeled.agg(
+        sum(when(col("label") === "1", 1L).otherwise(0L)).as("npos"),
+        sum(when(col("label") === "0", 1L).otherwise(0L)).as("nneg"))
+      val withP = labeled.crossJoin(cts)
+        .withColumn("_mult", floor(col("nneg") / col("npos")).cast("long"))
+        .withColumn("_extra_p",
+          floor(lit(1000.0) * (col("nneg") - col("_mult") * col("npos")) / col("npos")).cast("long"))
+        .withColumn("_copies",
+          when(col("label") === "0", lit(1L)).otherwise(
+            col("_mult") +
+              when(permilleHash(col("o_orderkey"), ":o42") < col("_extra_p"), 1L).otherwise(0L)))
+      // sequence(1, 0) counts DOWN in Spark — guard the zero-copy case to
+      // an explicit empty array so those rows drop instead of duplicating
+      withP
+        .select(col("label"),
+          explode(when(col("_copies") >= 1L, sequence(lit(1L), col("_copies")))
+            .otherwise(array().cast("array<bigint>"))).as("_i"))
+        .groupBy("label").agg(count(lit(1)).as("cnt"))
+    }),
+
     // ---- text analysis ---------------------------------------------------
     "t_token_stats" -> ((s, d) =>
       t(s, d, "documents").select(
@@ -535,6 +629,17 @@ object SparkEntry {
       t(s, d, "documents").select(
         col("doc_id"), TextOps.normalize(col("text")).as("norm_text"))),
 
+    // E16's lemmatize step end-to-end through the native codegen'd
+    // Lemmatize expression, hash-checked: the oracle renders the SAME
+    // suffix/irregular rule engine into generated DuckDB SQL
+    // (Lemmatizer.oracleSql), closing the last spec-only E row
+    "t_lemmas" -> ((s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"),
+        array_join(
+          graft.functions.GraftFunctions.lemmatize_all(TextOps.tokens(col("text"))),
+          " ").as("lemmas"))),
+
     // ---- dedup -----------------------------------------------------------
     "d_exact_groups" -> ((s, d) =>
       Dedup.exactGroups(t(s, d, "documents"), "doc_id", "text")),
@@ -567,6 +672,14 @@ object SparkEntry {
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), centroids,
         "vec_id", "embedding", k = 5, nprobe = 2)
     }),
+
+    // ANN quality as a HASH-CHECKED row: recall@5 of the IVF path vs brute
+    // force, per query. Pivots are deterministic data points (IVF-Flat),
+    // so the oracle replays assignment/probing/ranking exactly — the
+    // kmeans variant above keeps exercising the model path (rows-only).
+    "sim_ivf_recall" -> ((s, d) =>
+      Similarity.ivfRecall(t(s, d, "embeddings"), "vec_id", "embedding",
+        k = 5, nprobe = 4, nPivots = 16, nQueries = 10)),
 
     // embedding-cosine near-dup: the PRODUCTION path is RHP-LSH banding
     // (sub-quadratic candidate generation + exact-cosine verify), not the
@@ -703,6 +816,26 @@ object SparkEntry {
       graft.ml.TrainHarness.rfSweep(train, test, "features", "label", Seq(20, 50))
     }),
 
+    // M8 at REFERENCE fidelity (rows-only): 4-value reg grid × 5 folds,
+    // UNsubsampled — 20 LR fits over the full feature table, the 1:1
+    // BENCH comparable for the reference's ~6-min GridSearchCV
+    // (Hap880_Final_Project.py:796-801; λ grid spans the C grid's range)
+    "ml_cv_grid_full" -> ((s, d) => {
+      val full = graft.ml.Features.assembled(s, d)
+      val (bestReg, bestAcc) = graft.ml.TrainHarness.gridSearchLr(
+        full, "features", "label", regParams = Seq(10.0, 1.0, 0.1, 0.01), numFolds = 5)
+      import s.implicits._
+      Seq((bestReg, bestAcc)).toDF("best_reg_param", "best_cv_accuracy")
+    }),
+
+    // M6 at reference tree counts (rows-only): the reference sweeps
+    // n_estimators ∈ 100..900 (py:600-618); {100, 300} covers its low and
+    // middle points unsubsampled for an apples-to-apples BENCH row
+    "ml_rf_sweep_full" -> ((s, d) => {
+      val (train, test) = graft.ml.Features.splitByHash(graft.ml.Features.assembled(s, d), "id")
+      graft.ml.TrainHarness.rfSweep(train, test, "features", "label", Seq(100, 300))
+    }),
+
     // multimodal decode plumbing (deterministic stub decoder — see
     // graft.multimodal.Multimodal): binary payload → feature vector;
     // byte-chunk frame sampling
@@ -833,9 +966,11 @@ object SparkEntry {
         "oversample" -> graft.ml.Resamplers.randomOversample(train, "label"))
       import s.implicits._
       strategies.map { case (name, resampled) =>
-        val scored = graft.ml.TrainHarness.logisticL1Scores(resampled, test, "features", "label")
+        // cache: AUC + threshold metrics are two actions on this frame
+        val scored = graft.ml.TrainHarness.logisticL1Scores(resampled, test, "features", "label").cache()
         val auc = graft.ml.Metrics.aucRoc(scored, "score", "label")
         val m = graft.ml.Metrics.thresholdMetrics(scored, "score", "label", 0.5).collect()(0)
+        scored.unpersist()
         (name, auc, m.getAs[Double]("accuracy"), m.getAs[Double]("recall"))
       }.toDF("strategy", "auc_roc", "accuracy", "recall")
     }),
@@ -1282,21 +1417,10 @@ object SparkEntry {
         |  count(DISTINCT CAST(json_extract(props, '$.k') AS INTEGER)) AS d_k
         |FROM events GROUP BY 1""".stripMargin,
 
-    "ev_sessionize" ->
-      """WITH x AS (
-        |  SELECT user_id, event_id, date_trunc('second', ts) AS ts2,
-        |         LAG(date_trunc('second', ts)) OVER (PARTITION BY user_id ORDER BY date_trunc('second', ts) NULLS FIRST, event_id) AS prev
-        |  FROM events
-        |), y AS (
-        |  SELECT user_id, event_id, ts2,
-        |         CASE WHEN prev IS NULL OR epoch(ts2) - epoch(prev) > 1800 THEN 1 ELSE 0 END AS is_new
-        |  FROM x
-        |), z AS (
-        |  SELECT user_id,
-        |         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts2 NULLS FIRST, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
-        |  FROM y
-        |)
-        |SELECT user_id, session_id, count(*) AS n_events FROM z GROUP BY 1, 2""".stripMargin,
+    "ev_sessionize" -> sessionizeSql,
+
+    // the streaming drain must equal the batch window form exactly
+    "ev_stream_sessions" -> sessionizeSql,
 
     "mm_binary_meta" ->
       "SELECT doc_id, octet_length(encode(text)) AS n_bytes, length(text) AS n_chars FROM documents",
@@ -1502,6 +1626,52 @@ object SparkEntry {
 
     "d_simhash_sigs" ->
       Dedup.simhashOracleSql("documents", "doc_id", "text"),
+
+    // hash-sampled resampling tier: identical permille arithmetic on the
+    // portable md5-60bit hash, identical floor-division ratio derivation
+    "o4_undersample_hash" ->
+      s"""WITH c AS (
+         |$cohortSqlCore
+         |), n AS (
+         |  SELECT CAST(SUM(CASE WHEN label = '1' THEN 1 ELSE 0 END) AS BIGINT) AS npos,
+         |         CAST(SUM(CASE WHEN label = '0' THEN 1 ELSE 0 END) AS BIGINT) AS nneg
+         |  FROM c
+         |)
+         |SELECT label, count(*) AS cnt
+         |FROM c, n
+         |WHERE label = '1'
+         |   OR CAST(concat('0x', substr(md5(concat(CAST(o_orderkey AS VARCHAR), ':u42')), 1, 15)) AS BIGINT) % 1000
+         |      < CAST(FLOOR(1000.0 * npos / nneg) AS BIGINT)
+         |GROUP BY 1""".stripMargin,
+
+    "o8_oversample_hash" ->
+      s"""WITH c AS (
+         |$cohortSqlCore
+         |), n AS (
+         |  SELECT CAST(SUM(CASE WHEN label = '1' THEN 1 ELSE 0 END) AS BIGINT) AS npos,
+         |         CAST(SUM(CASE WHEN label = '0' THEN 1 ELSE 0 END) AS BIGINT) AS nneg
+         |  FROM c
+         |), m AS (
+         |  SELECT CAST(FLOOR(CAST(nneg AS DOUBLE) / npos) AS BIGINT) AS mult,
+         |         CAST(FLOOR(1000.0 * (nneg - CAST(FLOOR(CAST(nneg AS DOUBLE) / npos) AS BIGINT) * npos) / npos) AS BIGINT) AS extra_p
+         |  FROM n
+         |)
+         |SELECT label,
+         |  CAST(SUM(CASE WHEN label = '0' THEN 1
+         |       ELSE mult + (CASE WHEN CAST(concat('0x', substr(md5(concat(CAST(o_orderkey AS VARCHAR), ':o42')), 1, 15)) AS BIGINT) % 1000 < extra_p
+         |                    THEN 1 ELSE 0 END)
+         |       END) AS BIGINT) AS cnt
+         |FROM c, m GROUP BY 1""".stripMargin,
+
+    "sim_ivf_recall" ->
+      Similarity.ivfRecallOracleSql("embeddings", "vec_id", "embedding",
+        dim = 64, k = 5, nprobe = 4, nPivots = 16, nQueries = 10),
+
+    "t_lemmas" ->
+      graft.text.Lemmatizer.oracleSql("documents", "doc_id", "text"),
+
+    "s10_jdbc_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation",
 
     "vocab_topdf" ->
       """WITH terms AS (

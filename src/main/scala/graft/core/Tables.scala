@@ -38,4 +38,37 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  // ---- JDBC source/sink (SURVEY §2.1 S2's `format("jdbc")` alternative) --
+  // The registry's non-file ingestion surface. Spark's JDBC source
+  // partitions reads via (partitionColumn, lowerBound, upperBound,
+  // numPartitions) — pass them for any table bigger than one executor's
+  // slice; the embedded-Derby smoke path here is single-partition by
+  // design (an in-JVM database has no parallel read to win).
+  private val derbyDriver = "org.apache.derby.jdbc.EmbeddedDriver"
+
+  def jdbcTable(
+      spark: SparkSession,
+      url: String,
+      tableName: String,
+      driver: String = derbyDriver
+  ): DataFrame =
+    spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", tableName)
+      .option("driver", driver)
+      .load()
+
+  def jdbcWrite(
+      df: DataFrame,
+      url: String,
+      tableName: String,
+      driver: String = derbyDriver
+  ): Unit =
+    df.write.format("jdbc")
+      .option("url", url)
+      .option("dbtable", tableName)
+      .option("driver", driver)
+      .mode("overwrite")
+      .save()
 }

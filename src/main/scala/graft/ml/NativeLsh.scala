@@ -22,9 +22,30 @@ import org.apache.spark.sql.functions._
   */
 object NativeLsh {
 
+  /** Vector width for plane generation: prefer the ML attribute metadata
+    * (free — VectorAssembler/StandardScaler stamp it on the column), fall
+    * back to a bounded one-row probe, and fail with a clear contract error
+    * on an empty+metadata-less input instead of `head()`'s bare
+    * NoSuchElementException. Callers that know the width pass `dim` and
+    * skip both lookups (and the probe's extra job).
+    */
+  private def vectorDim(df: DataFrame, vecCol: String): Int = {
+    val metaSize = org.apache.spark.ml.attribute.AttributeGroup
+      .fromStructField(df.schema(vecCol)).size
+    if (metaSize > 0) metaSize
+    else df.select(vecCol).head(1) match {
+      case Array(r) => r.getAs[Vector](0).size
+      case _ => throw new IllegalArgumentException(
+        s"NativeLsh.radiusJoin: input is empty and '$vecCol' carries no " +
+          "size metadata — pass dim explicitly")
+    }
+  }
+
   /** (idA, idB, dist) for cross pairs within `radius` (approximate
     * candidate generation, exact distances). Inputs are (idCol, vecCol
-    * VectorUDT) frames; ids must be unique per side.
+    * VectorUDT) frames; ids must be unique per side. `dim` (vector width)
+    * is taken from column metadata when not passed; an explicit value
+    * avoids the fallback probe job on metadata-less columns.
     */
   def radiusJoin(
       a: DataFrame,
@@ -34,12 +55,13 @@ object NativeLsh {
       radius: Double,
       bucketLength: Double = 2.0,
       nTables: Int = 3,
-      seed: Long = 42L
+      seed: Long = 42L,
+      dim: Int = -1
   ): DataFrame = {
-    val dim = a.select(vecCol).head().getAs[Vector](0).size
+    val width = if (dim > 0) dim else vectorDim(a, vecCol)
     val rnd = new scala.util.Random(seed)
     val planes: IndexedSeq[Seq[Double]] =
-      IndexedSeq.fill(nTables)(Seq.fill(dim)(rnd.nextGaussian()))
+      IndexedSeq.fill(nTables)(Seq.fill(width)(rnd.nextGaussian()))
 
     def bucketed(df: DataFrame, id: String, v: String): DataFrame = {
       val base = df.select(col(idCol).as(id), vector_to_array(col(vecCol)).as(v))

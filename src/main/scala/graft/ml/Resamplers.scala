@@ -1,6 +1,6 @@
 package graft.ml
 
-import org.apache.spark.ml.linalg.{Vector, Vectors}
+import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -88,13 +88,15 @@ object Resamplers {
       idCol, featuresCol, neighborRadius, bucketLength, nTables = 3, seed = seed)
       .withColumnRenamed("dist", "_dist")
     val w = Window.partitionBy("_ida").orderBy(col("_dist"), col("_idb"))
+    // the (seed, neighbor) vectors join back as plain array<double> — the
+    // interpolation below is pure expressions (zip_with), so keeping the
+    // array form until the final vector conversion keeps the whole synth
+    // path inside codegen with zero ScalaUDFs
     val nearest = cand.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= k)
-      .join(minSlim.select(col(idCol).as("_ida"), col(featuresCol).as("_x")), Seq("_ida"))
-      .join(minSlim.select(col(idCol).as("_idb"), col(featuresCol).as("_nbr")), Seq("_idb"))
-    val interpolate = udf { (x: Vector, nbr: Vector, frac: Double) =>
-      val xa = x.toArray; val na = nbr.toArray
-      Vectors.dense(Array.tabulate(xa.length)(i => xa(i) + frac * (na(i) - xa(i))))
-    }
+      .join(minSlim.select(col(idCol).as("_ida"),
+        vector_to_array(col(featuresCol)).as("_x")), Seq("_ida"))
+      .join(minSlim.select(col(idCol).as("_idb"),
+        vector_to_array(col(featuresCol)).as("_nbr")), Seq("_idb"))
     val multiplier = math.max(1L, needed / math.max(1L, nMin * seedPermille / 1000L))
     val synthOne = nearest
       .withColumn("_pick", pmod(xxhash64(col("_ida"), lit(seed)), lit(k.toLong)) + 1L)
@@ -103,11 +105,13 @@ object Resamplers {
         pmod(xxhash64(col("_ida"), col("_idb"), lit(seed)), lit(1000L)).cast("double") / 1000.0)
     val synth = synthOne
       .crossJoin(org.apache.spark.sql.SparkSession.active.range(multiplier).toDF("_rep"))
+      // vary the interpolation fraction per replica, staying in [0,1)
+      .withColumn("_f", pmod(col("_frac") + col("_rep") * 0.37, lit(1.0)))
       .select(
         lit(-1L).cast("long").as(idCol),
-        interpolate(col("_x"), col("_nbr"),
-          // vary the interpolation fraction per replica, staying in [0,1)
-          pmod(col("_frac") + col("_rep") * 0.37, lit(1.0))).as(featuresCol),
+        array_to_vector(
+          zip_with(col("_x"), col("_nbr"), (x, n) => x + col("_f") * (n - x)))
+          .as(featuresCol),
         lit(minorityLabel).as(labelCol))
     base.unionByName(synth)
   }

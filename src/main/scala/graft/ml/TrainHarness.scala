@@ -167,9 +167,13 @@ object TrainHarness {
     val s = org.apache.spark.sql.SparkSession.active
     import s.implicits._
     strategies.map { case (name, resampled) =>
-      val scored = logisticL1Scores(resampled, test, featuresCol, labelCol)
+      // AUC and threshold metrics are two actions over the same scored
+      // frame — cache it so the model transform (and everything above the
+      // cached feature table) runs once per strategy, not per metric
+      val scored = logisticL1Scores(resampled, test, featuresCol, labelCol).cache()
       val auc = Metrics.aucRoc(scored, "score", labelCol)
       val m = Metrics.thresholdMetrics(scored, "score", labelCol, 0.5).collect()(0)
+      scored.unpersist()
       (name, auc, m.getAs[Double]("accuracy"), m.getAs[Double]("recall"),
         m.getAs[Double]("precision_"), m.getAs[Double]("specificity"))
     }.toDF("strategy", "auc_roc", "accuracy", "recall", "precision_", "specificity")

@@ -74,9 +74,12 @@ object ReadmissionPipeline {
       "oversample"  -> Resamplers.randomOversample(train, "label", seed))
     import s.implicits._
     strategies.map { case (name, resampled) =>
-      val scored = TrainHarness.logisticL1Scores(resampled, test, "features", "label")
+      // two metric actions per strategy — cache the scored frame so the
+      // LR transform (and the feature-table work above it) runs once
+      val scored = TrainHarness.logisticL1Scores(resampled, test, "features", "label").cache()
       val auc = Metrics.aucRoc(scored, "score", "label")
       val m = Metrics.thresholdMetrics(scored, "score", "label", 0.5).collect()(0)
+      scored.unpersist()
       (name, auc, m.getAs[Double]("accuracy"), m.getAs[Double]("recall"),
         m.getAs[Double]("precision_"), m.getAs[Double]("specificity"),
         m.getAs[Long]("tp") + m.getAs[Long]("fn"))

@@ -89,17 +89,45 @@ object StreamOps {
     * what makes a streaming query oracle-able: the drained result must
     * equal the batch/DuckDB answer on the same input.
     */
-  def runToCompletion(aggregated: DataFrame, queryName: String): DataFrame = {
+  def runToCompletion(
+      aggregated: DataFrame,
+      queryName: String,
+      outputMode: OutputMode = OutputMode.Complete()
+  ): DataFrame = {
     val spark = aggregated.sparkSession
     spark.catalog.dropTempView(queryName)
     val q = aggregated.writeStream
       .format("memory")
       .queryName(queryName)
-      .outputMode(OutputMode.Complete())
+      .outputMode(outputMode)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
     spark.table(queryName)
+  }
+
+  /** The `ev_sessionize` answer computed by the STREAMING state machine:
+    * drain [[sessionize]] over the file-source stream (Append mode — the
+    * only mode `flatMapGroupsWithState` supports) and reduce the emitted
+    * per-batch updates to final per-session counts. `n_events` is monotone
+    * per (user, session) across batch emissions and the close row repeats
+    * the final count, so `max` is batching-invariant: however AvailableNow
+    * splits the input, the result equals the batch window form (the
+    * DuckDB-oracled contract). Session ids shift +1 to match the batch
+    * form's 1-based cumulative-sum numbering. `ts` is truncated to seconds
+    * BEFORE the state machine so gap comparisons are exactly the batch
+    * query's `date_trunc('second')` arithmetic.
+    */
+  def sessionCountsViaStream(spark: SparkSession, dir: String, queryName: String): DataFrame = {
+    import spark.implicits._
+    val ev = eventsStream(spark, dir)
+      .withColumn("ts", date_trunc("second", col("ts")))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event]
+    val drained = runToCompletion(sessionize(ev).toDF(), queryName, OutputMode.Append())
+    drained
+      .groupBy(col("user_id"), (col("session_id") + 1L).as("session_id"))
+      .agg(max(col("n_events")).as("n_events"))
   }
 
   /** Streaming exact dedup (the streaming face of `Dedup.exactGroups`):

@@ -78,4 +78,72 @@ object Lemmatizer {
   }
 
   def lemmatize(tokens: Seq[String]): Seq[String] = tokens.map(lemma)
+
+  // ---- DuckDB oracle rendering -----------------------------------------
+  // The rule engine is deterministic string logic, so it can be rendered
+  // into SQL exactly — same trick as Similarity.rhpNearDupOracleSql: the
+  // SAME driver-side rule data feeds both the Spark plan (via the
+  // Lemmatize codegen expression) and the generated oracle, making the
+  // full E16 lemmatize path a hash-checked row instead of spec-trusted.
+
+  /** `undoubles(stem)` as SQL over a stem expression of known length
+    * expression. Tokens are lowercase a-z (TextOps.tokens), so plain
+    * substr/strpos string ops are exact.
+    */
+  private def undoublesSql(stem: String, len: String): String =
+    s"($len >= 2 AND substr($stem, $len, 1) = substr($stem, $len - 1, 1)" +
+      s" AND strpos('aeiou', substr($stem, $len, 1)) = 0" +
+      s" AND strpos('lszf', substr($stem, $len, 1)) = 0)"
+
+  /** A SQL CASE expression computing `lemma(x)` for a lowercase-token
+    * expression `x` — rule-for-rule the Scala chain above, in the same
+    * order (exceptions first, then the length guard, then suffix rules).
+    */
+  def lemmaCaseSql(x: String): String = {
+    // exception keys are disjoint, so WHEN order among them is irrelevant;
+    // sort for stable generated SQL text
+    val exc = exceptions.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"WHEN '$k' THEN '$v'" }
+      .mkString(" ")
+    val ingStem = s"substr($x, 1, length($x) - 3)"
+    val ingLen  = s"(length($x) - 3)"
+    val ingCase =
+      s"CASE WHEN ${undoublesSql(ingStem, ingLen)} THEN substr($ingStem, 1, $ingLen - 1) " +
+        s"WHEN $ingLen >= 2 AND strpos('aeiou', substr($ingStem, $ingLen, 1)) = 0" +
+        s" AND strpos('aeiou', substr($ingStem, $ingLen - 1, 1)) > 0 THEN $ingStem || 'e' " +
+        s"ELSE $ingStem END"
+    val edStem = s"substr($x, 1, length($x) - 2)"
+    val edLen  = s"(length($x) - 2)"
+    val edCase =
+      s"CASE WHEN ${undoublesSql(edStem, edLen)} THEN substr($edStem, 1, $edLen - 1) " +
+        s"WHEN substr($edStem, $edLen, 1) = 'i' THEN substr($edStem, 1, $edLen - 1) || 'y' " +
+        s"ELSE $edStem END"
+    s"""CASE $x $exc ELSE
+       | CASE
+       |  WHEN length($x) <= 2 THEN $x
+       |  WHEN $x LIKE '%ies' AND length($x) > 4 THEN substr($x, 1, length($x) - 3) || 'y'
+       |  WHEN $x LIKE '%sses' THEN substr($x, 1, length($x) - 2)
+       |  WHEN $x LIKE '%xes' OR $x LIKE '%zes' OR $x LIKE '%ches' OR $x LIKE '%shes' THEN substr($x, 1, length($x) - 2)
+       |  WHEN $x LIKE '%ss' OR $x LIKE '%us' OR $x LIKE '%is' THEN $x
+       |  WHEN $x LIKE '%s' AND NOT ($x LIKE '%es') THEN substr($x, 1, length($x) - 1)
+       |  WHEN $x LIKE '%es' THEN substr($x, 1, length($x) - 1)
+       |  WHEN $x LIKE '%ing' AND length($x) > 5 THEN $ingCase
+       |  WHEN $x LIKE '%ed' AND length($x) > 4 THEN $edCase
+       |  ELSE $x
+       | END
+       |END""".stripMargin
+  }
+
+  /** Full oracle for the `t_lemmas` query: tokenize (the TextOps.tokens
+    * mirror used by every other text oracle) → lemmatize per token →
+    * space-join.
+    */
+  def oracleSql(table: String, idCol: String, textCol: String): String =
+    s"""WITH toks AS (
+       |  SELECT $idCol, list_filter(regexp_split_to_array(lower($textCol), '[^a-z]+'), x -> x <> '') AS t
+       |  FROM $table
+       |)
+       |SELECT $idCol,
+       |  array_to_string(list_transform(t, x -> ${lemmaCaseSql("x")}), ' ') AS lemmas
+       |FROM toks""".stripMargin
 }

@@ -36,4 +36,26 @@ class NativeLshSpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(run() == run())
   }
+
+  test("empty metadata-less left side fails with the contract error, not head()'s NoSuchElement") {
+    val empty = a.filter($"id" < 0)
+    val e = intercept[IllegalArgumentException] {
+      NativeLsh.radiusJoin(empty, b, "id", "features", 2.0)
+    }
+    assert(e.getMessage.contains("pass dim explicitly"))
+  }
+
+  test("explicit dim makes an empty side legal (empty result, no probe job)") {
+    val empty = a.filter($"id" < 0)
+    assert(NativeLsh.radiusJoin(empty, b, "id", "features", 2.0, dim = 2).count() == 0L)
+    assert(NativeLsh.radiusJoin(a, b.filter($"id" < 0), "id", "features", 2.0, dim = 2).count() == 0L)
+  }
+
+  test("vector-size metadata is used when present (no dim, empty input still works)") {
+    import org.apache.spark.ml.attribute.AttributeGroup
+    val meta = new AttributeGroup("features", 2).toMetadata()
+    val withMeta = a.filter($"id" < 0)
+      .select($"id", $"features".as("features", meta))
+    assert(NativeLsh.radiusJoin(withMeta, b, "id", "features", 2.0).count() == 0L)
+  }
 }
