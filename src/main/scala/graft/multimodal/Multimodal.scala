@@ -31,8 +31,14 @@ object Multimodal {
     * length, content) rows → the engine's binary-table shape. On a cluster
     * `dir` is shared storage; in tests it's a local temp dir.
     */
-  def stageAsFiles(df: DataFrame, idCol: String, textCol: String, dir: String): Unit = {
+  def stageAsFiles(
+      df: DataFrame, idCol: String, textCol: String, dir: String,
+      skipIfStaged: Boolean = false): Unit = {
     val p = java.nio.file.Paths.get(dir)
+    val marker = p.resolve("_STAGED")
+    // repeat invocations on the same (deterministic) dataset can skip the
+    // 500-file rewrite — the source-read path is what the query measures
+    if (skipIfStaged && java.nio.file.Files.exists(marker)) return
     java.nio.file.Files.createDirectories(p)
     // clear previous stagings: stale .bin files from an earlier (different)
     // dataset would otherwise come back as phantom rows
@@ -48,6 +54,7 @@ object Multimodal {
             r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
         }
       }
+    java.nio.file.Files.write(marker, Array.emptyByteArray)
   }
 
   /** binaryFile scan → (id parsed from filename, payload, n_bytes).
