@@ -35,6 +35,10 @@ object SparkEntry {
   private def permilleHash(key: Column, salt: String): Column =
     pmod(TextOps.md5Hash60(concat(key.cast("string"), lit(salt))), lit(1000L))
 
+  /** Same, wider range (hash-order shuffles want fewer ties). */
+  private def permilleHash1M(key: Column, salt: String): Column =
+    pmod(TextOps.md5Hash60(concat(key.cast("string"), lit(salt))), lit(1000000L))
+
   // ---- cohort (SURVEY §3.1: the reference's flagship labeling query) ----
   // orders as admissions: customer=patient, orderdate=admit time,
   // orderpriority=admission type, '5-LOW'=ELECTIVE.
@@ -523,6 +527,23 @@ object SparkEntry {
     // permutation is engine-specific, determinism pinned by spec
     "o2_shuffle" -> ((s, d) =>
       t(s, d, "orders").orderBy(rand(42)).limit(100).select("o_orderkey")),
+
+    // O2 the oracle-able way: the permutation IS the portable hash order,
+    // so the exact same "random" arrangement reproduces on any engine —
+    // the shuffle analog of the hash-sampling twins below
+    "o2_shuffle_hash" -> ((s, d) =>
+      t(s, d, "orders")
+        .orderBy(permilleHash1M(col("o_orderkey"), ":s42"), col("o_orderkey"))
+        .limit(100).select("o_orderkey", "o_totalprice")),
+
+    // O3 the oracle-able way: permille buckets on the portable hash give
+    // the 80/20 split deterministically on both engines
+    "o3_split_hash" -> ((s, d) => {
+      val h = permilleHash(col("o_orderkey"), ":t42")
+      t(s, d, "orders")
+        .select(when(h < 800, "train").otherwise("test").as("part"))
+        .groupBy("part").agg(count(lit(1)).as("cnt"))
+    }),
 
     // A2 scale path: approximate distinct (HLL sketch); rows-only
     "a2_approx_distinct" -> ((s, d) =>
@@ -1671,6 +1692,18 @@ object SparkEntry {
 
     "d_simhash_sigs" ->
       Dedup.simhashOracleSql("documents", "doc_id", "text"),
+
+    "o2_shuffle_hash" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY CAST(concat('0x', substr(md5(concat(CAST(o_orderkey AS VARCHAR), ':s42')), 1, 15)) AS BIGINT) % 1000000,
+        |         o_orderkey
+        |LIMIT 100""".stripMargin,
+
+    "o3_split_hash" ->
+      """SELECT CASE WHEN CAST(concat('0x', substr(md5(concat(CAST(o_orderkey AS VARCHAR), ':t42')), 1, 15)) AS BIGINT) % 1000 < 800
+        |            THEN 'train' ELSE 'test' END AS part,
+        |       count(*) AS cnt
+        |FROM orders GROUP BY 1""".stripMargin,
 
     // hash-sampled resampling tier: identical permille arithmetic on the
     // portable md5-60bit hash, identical floor-division ratio derivation
