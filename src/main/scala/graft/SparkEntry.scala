@@ -1012,6 +1012,18 @@ object SparkEntry {
       model.vocabulary.zipWithIndex.toSeq.toDF("term", "vocab_idx")
     }),
 
+    // M1/M2 HASH-CHECKED: the same fit with the vocab cap lifted — the
+    // vocabulary SET is then order-free ("distinct lemmas of kept
+    // tokens"), so the full clean→tokenize→stopword→lemmatize→
+    // CountVectorizer pipeline verifies against generated DuckDB SQL
+    // (same stopword constant, same lemma rules)
+    "ml_text_vocab_full" -> ((s, d) => {
+      val (_, model) = graft.text.TextFeaturizer.fit(
+        t(s, d, "documents"), "text", vocabSize = 1 << 20)
+      import s.implicits._
+      model.vocabulary.toSeq.toDF("term")
+    }),
+
     // M5+M9: RF scores → AUC (rows-only: tree RNG is engine-specific)
     "ml_rf_auc" -> ((s, d) => {
       val (train, test) = graft.ml.Features.splitByHash(graft.ml.Features.assembled(s, d), "id")
@@ -1796,6 +1808,9 @@ object SparkEntry {
 
     "t_lemmas" ->
       graft.text.Lemmatizer.oracleSql("documents", "doc_id", "text"),
+
+    "ml_text_vocab_full" ->
+      graft.text.TextFeaturizer.vocabularyOracleSql("documents", "text"),
 
     "s10_jdbc_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",

@@ -49,6 +49,28 @@ object TextFeaturizer {
     (transformer, model)
   }
 
+  /** DuckDB oracle for the UNCAPPED vocabulary of [[fit]]: with
+    * `vocabSize ≥ |distinct terms|` (and CountVectorizer's default
+    * minDF=1) the vocabulary SET is exactly "distinct lemmas of kept
+    * tokens" — order-free, so the full clean→tokenize→stopword→lemmatize
+    * pipeline becomes hash-checkable. The stopword list is embedded from
+    * the SAME runtime constant the StopWordsRemover stage uses, and the
+    * lemma rules render via [[Lemmatizer.lemmaCaseSql]]. (The capped
+    * vocabSize=3000 production path stays rows-only: its cut boundary
+    * depends on model-internal tie order.)
+    */
+  def vocabularyOracleSql(table: String, textCol: String): String = {
+    val stop = StopWordsRemover.loadDefaultStopWords("english")
+      .map(w => s"'${w.toLowerCase.replace("'", "''")}'").mkString("[", ",", "]")
+    s"""WITH toks AS (
+       |  SELECT unnest(list_filter(regexp_split_to_array(lower($textCol), '[^a-z]+'), x -> x <> '')) AS tok
+       |  FROM $table
+       |), kept AS (
+       |  SELECT tok FROM toks WHERE NOT list_contains($stop, tok)
+       |)
+       |SELECT DISTINCT ${Lemmatizer.lemmaCaseSql("tok")} AS term FROM kept""".stripMargin
+  }
+
   /** clean → tokenize → stopword-remove → lemmatize, as a DataFrame map. */
   def prepare(docs: DataFrame, textCol: String, extraStopwords: Seq[String] = Nil): DataFrame = {
     val tokenizer = new RegexTokenizer()

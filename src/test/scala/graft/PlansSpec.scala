@@ -74,4 +74,30 @@ class PlansSpec extends SparkSpecBase {
     // '*(n)' prefixes mark WholeStageCodegen stages in the tree string
     assert(tree.contains("*("), tree)
   }
+
+  test("o2_shuffle_hash: hash-order 'shuffle' plans as TakeOrdered, never a global sort") {
+    val df = SparkEntry.queries("o2_shuffle_hash")(spark, sfDir)
+    // sort+limit must fuse into TakeOrderedAndProject: per-partition top-100
+    // then a driver merge of 100-row heads — a global Sort would shuffle
+    // the whole table to produce 100 rows
+    assert(explainStr(df).contains("TakeOrderedAndProject"), explainStr(df))
+  }
+
+  test("sim_ivf_recall: corpus cluster assignment is an aggregate, not a window sort") {
+    val df = graft.sim.Similarity.ivfRecall(
+      graft.core.Tables.embeddings(spark, sfDir), "vec_id", "embedding",
+      k = 3, nprobe = 2, nPivots = 4, nQueries = 3)
+    val s = explainStr(df)
+    // the corpus side must argmax via max_by partial aggregation (map-side
+    // combine); a Window over corpus×pivots rows would sort the expansion
+    assert(s.contains("max_by"), s)
+  }
+
+  test("t_tfidf: the tf→df join does not re-shuffle the tf side (partitioning reused)") {
+    val df = SparkEntry.queries("t_tfidf")(spark, sfDir)
+    // tf is grouped by (doc_id, term); df by (term); join on term.
+    // Expected shuffles: tf agg, df agg, join repartition of tf side — the
+    // plan must stay ≤4 exchanges (no accidental extra distinct/sort)
+    assert(countShuffles(plan(df)) <= 4, explainStr(df))
+  }
 }
