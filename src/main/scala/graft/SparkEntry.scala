@@ -186,6 +186,18 @@ object SparkEntry {
     "ev_stream_sessions" -> ((s, d) =>
       graft.streaming.StreamOps.sessionCountsViaStream(s, d, "graft_ev_stream_sessions")),
 
+    // SLIDING event-time windows (1h length, 30min slide — each event in 2
+    // windows), drained and hash-checked: the overlap arithmetic the
+    // tumbling ev_stream_hourly can't exercise
+    "ev_stream_sliding" -> ((s, d) => {
+      val agg = graft.streaming.StreamOps.eventsStream(s, d)
+        .withWatermark("ts", "2 hours")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("w.start").as("win_start"), col("event_type"), col("cnt"))
+      graft.streaming.StreamOps.runToCompletion(agg, "graft_ev_stream_sliding")
+    }),
+
     // streaming exact-dedup drained and hash-checked: keep-first per
     // (user_id, event_type) within the watermark horizon; over a bounded
     // drain this must equal batch DISTINCT — count per type is the
@@ -635,6 +647,13 @@ object SparkEntry {
         TextOps.tokenCount(col("text")).as("n_tokens"),
         TextOps.stopwordCount(col("text")).as("n_stop"),
         TextOps.alphaRatio(col("text")).as("alpha_ratio"))),
+
+    // BPE-ish subword-count estimate (alpha runs contribute ceil(len/4)
+    // pieces, digit runs 1 each) — the cheap deterministic token-budget
+    // proxy for an LLM-data pipeline, exactly mirrored in SQL
+    "t_token_bpe" -> ((s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"), TextOps.tokenCountBpeIsh(col("text")).as("n_bpe"))),
 
     // text quality components (exact integer-ratio arithmetic)
     "t_quality" -> ((s, d) =>
@@ -1805,6 +1824,27 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n_keys FROM (
         |  SELECT DISTINCT user_id, event_type FROM events
         |) GROUP BY 1""".stripMargin,
+
+    // sliding windows: each event lands in exactly two 30-min-aligned
+    // 1-hour windows (epoch-aligned, Spark's default startTime=0)
+    "ev_stream_sliding" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(FLOOR(epoch(ts) / 1800) AS BIGINT) * 1800 AS b FROM events
+        |), w AS (
+        |  SELECT event_type, b AS s FROM e
+        |  UNION ALL
+        |  SELECT event_type, b - 1800 FROM e
+        |)
+        |SELECT make_timestamp(s * 1000000) AS win_start, event_type, count(*) AS cnt
+        |FROM w GROUP BY 1, 2""".stripMargin,
+
+    "t_token_bpe" ->
+      """SELECT doc_id,
+        |  CAST(COALESCE(list_sum(list_transform(
+        |         list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> ''),
+        |         t -> CAST(CEIL(length(t) / 4.0) AS BIGINT))), 0)
+        |       + len(list_filter(regexp_split_to_array(text, '[^0-9]+'), x -> x <> '')) AS BIGINT) AS n_bpe
+        |FROM documents""".stripMargin,
 
     "t_lemmas" ->
       graft.text.Lemmatizer.oracleSql("documents", "doc_id", "text"),
