@@ -186,6 +186,21 @@ object SparkEntry {
     "ev_stream_sessions" -> ((s, d) =>
       graft.streaming.StreamOps.sessionCountsViaStream(s, d, "graft_ev_stream_sessions")),
 
+    // STREAM-STATIC join, drained and hash-checked: the incremental side
+    // (events) joins a broadcast static dimension (customer) before the
+    // stateful aggregation — the enrich-then-aggregate shape every
+    // streaming pipeline needs; the static side is planned per micro-batch
+    // with the usual broadcast join, no state
+    "ev_stream_join" -> ((s, d) => {
+      val cust = t(s, d, "customer").select(col("c_custkey"), col("c_mktsegment"))
+      val agg = graft.streaming.StreamOps.eventsStream(s, d)
+        .join(broadcast(cust), col("user_id") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      graft.streaming.StreamOps.runToCompletion(agg, "graft_ev_stream_join")
+    }),
+
     // SLIDING event-time windows (1h length, 30min slide — each event in 2
     // windows), drained and hash-checked: the overlap arithmetic the
     // tumbling ev_stream_hourly can't exercise
@@ -1824,6 +1839,12 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n_keys FROM (
         |  SELECT DISTINCT user_id, event_type FROM events
         |) GROUP BY 1""".stripMargin,
+
+    "ev_stream_join" ->
+      """SELECT c_mktsegment, count(*) AS cnt,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1""".stripMargin,
 
     // sliding windows: each event lands in exactly two 30-min-aligned
     // 1-hour windows (epoch-aligned, Spark's default startTime=0)
