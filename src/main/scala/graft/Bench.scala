@@ -54,7 +54,9 @@ object Bench {
         if (!failed) times += (System.nanoTime() - t0) / 1e9
         i += 1
       }
-      name -> (if (failed) List(-1.0) else times.toList)
+      // a transient failure on rep 2/3 must not discard rep 1's valid
+      // measurement — only an immediate failure (no successful rep) is -1
+      name -> (if (times.isEmpty) List(-1.0) else times.toList)
     }
     def median(ts: List[Double]): Double = {
       val s = ts.sorted

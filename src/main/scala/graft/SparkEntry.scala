@@ -39,6 +39,13 @@ object SparkEntry {
   private def permilleHash1M(key: Column, salt: String): Column =
     pmod(TextOps.md5Hash60(concat(key.cast("string"), lit(salt))), lit(1000000L))
 
+  /** The DuckDB rendering of [[permilleHash]]/[[permilleHash1M]] — ONE
+    * definition feeds every hash-sampling oracle, so a change to the
+    * Scala side cannot silently diverge from a hand-copied SQL fragment.
+    */
+  private def permilleHashSql(keySql: String, salt: String, m: Long): String =
+    s"CAST(concat('0x', substr(md5(concat(CAST($keySql AS VARCHAR), '$salt')), 1, 15)) AS BIGINT) % $m"
+
   // ---- cohort (SURVEY §3.1: the reference's flagship labeling query) ----
   // orders as admissions: customer=patient, orderdate=admit time,
   // orderpriority=admission type, '5-LOW'=ELECTIVE.
@@ -214,12 +221,16 @@ object SparkEntry {
     }),
 
     // streaming exact-dedup drained and hash-checked: keep-first per
-    // (user_id, event_type) within the watermark horizon; over a bounded
-    // drain this must equal batch DISTINCT — count per type is the
-    // cardinality-bounded comparable
+    // (user_id, event_type). Equality with batch DISTINCT requires that no
+    // key's state evicts mid-drain — for a bounded backfill that means
+    // choosing a watermark delay ≥ the data's time span (state is then
+    // bounded by |distinct keys|, not by the horizon). A live pipeline
+    // picks the horizon instead and accepts re-admittance past it — that
+    // trade is the operator's contract, not an accident of batching.
     "ev_stream_dedup" -> ((s, d) => {
       val deduped = graft.streaming.StreamOps.dedupStream(
-        graft.streaming.StreamOps.eventsStream(s, d), Seq("user_id", "event_type"))
+        graft.streaming.StreamOps.eventsStream(s, d), Seq("user_id", "event_type"),
+        watermark = "3650 days")
       graft.streaming.StreamOps.runToCompletion(
           deduped, "graft_ev_stream_dedup",
           org.apache.spark.sql.streaming.OutputMode.Append())
@@ -1740,16 +1751,16 @@ object SparkEntry {
       Dedup.simhashOracleSql("documents", "doc_id", "text"),
 
     "o2_shuffle_hash" ->
-      """SELECT o_orderkey, o_totalprice FROM orders
-        |ORDER BY CAST(concat('0x', substr(md5(concat(CAST(o_orderkey AS VARCHAR), ':s42')), 1, 15)) AS BIGINT) % 1000000,
-        |         o_orderkey
-        |LIMIT 100""".stripMargin,
+      s"""SELECT o_orderkey, o_totalprice FROM orders
+         |ORDER BY ${permilleHashSql("o_orderkey", ":s42", 1000000L)},
+         |         o_orderkey
+         |LIMIT 100""".stripMargin,
 
     "o3_split_hash" ->
-      """SELECT CASE WHEN CAST(concat('0x', substr(md5(concat(CAST(o_orderkey AS VARCHAR), ':t42')), 1, 15)) AS BIGINT) % 1000 < 800
-        |            THEN 'train' ELSE 'test' END AS part,
-        |       count(*) AS cnt
-        |FROM orders GROUP BY 1""".stripMargin,
+      s"""SELECT CASE WHEN ${permilleHashSql("o_orderkey", ":t42", 1000L)} < 800
+         |            THEN 'train' ELSE 'test' END AS part,
+         |       count(*) AS cnt
+         |FROM orders GROUP BY 1""".stripMargin,
 
     // hash-sampled resampling tier: identical permille arithmetic on the
     // portable md5-60bit hash, identical floor-division ratio derivation
@@ -1764,7 +1775,7 @@ object SparkEntry {
          |SELECT label, count(*) AS cnt
          |FROM c, n
          |WHERE label = '1'
-         |   OR CAST(concat('0x', substr(md5(concat(CAST(o_orderkey AS VARCHAR), ':u42')), 1, 15)) AS BIGINT) % 1000
+         |   OR ${permilleHashSql("o_orderkey", ":u42", 1000L)}
          |      < CAST(FLOOR(1000.0 * npos / nneg) AS BIGINT)
          |GROUP BY 1""".stripMargin,
 
@@ -1782,7 +1793,7 @@ object SparkEntry {
          |)
          |SELECT label,
          |  CAST(SUM(CASE WHEN label = '0' THEN 1
-         |       ELSE mult + (CASE WHEN CAST(concat('0x', substr(md5(concat(CAST(o_orderkey AS VARCHAR), ':o42')), 1, 15)) AS BIGINT) % 1000 < extra_p
+         |       ELSE mult + (CASE WHEN ${permilleHashSql("o_orderkey", ":o42", 1000L)} < extra_p
          |                    THEN 1 ELSE 0 END)
          |       END) AS BIGINT) AS cnt
          |FROM c, m GROUP BY 1""".stripMargin,
@@ -1791,8 +1802,12 @@ object SparkEntry {
       Similarity.ivfRecallOracleSql("embeddings", "vec_id", "embedding",
         dim = 64, k = 5, nprobe = 4, nPivots = 16, nQueries = 10),
 
-    // Pearson chi2 per one-hot feature — same round-6 contingency formula
-    // as ml_chi2; the one-hots and label need only orders + the cohort core
+    // Pearson chi2 per one-hot feature. Unlike ml_chi2 (whose Spark side
+    // also sums only observed cells), ml.stat.ChiSquareTest sums over the
+    // FULL observed-values grid — a zero-observed (x, y) cell contributes
+    // (0−E)²/E = E. Mirror that: cross observed x values with observed y
+    // values per feature and coalesce missing joint counts to 0, so the
+    // oracle stays exact even when the subsample leaves a cell empty.
     "ml_chi2_vec" ->
       s"""WITH c AS (
          |$cohortSqlCore
@@ -1808,12 +1823,21 @@ object SparkEntry {
          |  UNION ALL SELECT 4, CASE WHEN prio = '5-LOW' THEN 1 ELSE 0 END, label FROM f
          |), joint AS (
          |  SELECT feature_idx, x, y, count(*) AS nxy FROM s GROUP BY 1, 2, 3
+         |), grid AS (
+         |  SELECT xs.feature_idx, xs.x, ys.y
+         |  FROM (SELECT DISTINCT feature_idx, x FROM s) xs
+         |  JOIN (SELECT DISTINCT feature_idx, y FROM s) ys
+         |    ON xs.feature_idx = ys.feature_idx
+         |), fullgrid AS (
+         |  SELECT g.feature_idx, g.x, g.y, COALESCE(j.nxy, 0) AS nxy
+         |  FROM grid g LEFT JOIN joint j
+         |    ON g.feature_idx = j.feature_idx AND g.x = j.x AND g.y = j.y
          |), e AS (
          |  SELECT feature_idx, nxy,
          |         SUM(nxy) OVER (PARTITION BY feature_idx) AS n,
          |         SUM(nxy) OVER (PARTITION BY feature_idx, x) AS nx,
          |         SUM(nxy) OVER (PARTITION BY feature_idx, y) AS ny
-         |  FROM joint
+         |  FROM fullgrid
          |)
          |SELECT CAST(feature_idx AS INTEGER) AS feature_idx,
          |       round(SUM((nxy - CAST(nx AS DOUBLE) * ny / n) * (nxy - CAST(nx AS DOUBLE) * ny / n)

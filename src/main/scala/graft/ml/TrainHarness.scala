@@ -36,6 +36,20 @@ object TrainHarness {
     c
   }
 
+  /** Cache `df` around the eager `body` ONLY if the caller hasn't already
+    * cached it (or an upstream table): fits iterate over their input many
+    * times, but an unconditional `.cache()` with no unpersist leaks one
+    * pinned copy per call — under the bench's 3 reps per query that
+    * compounds into cross-query memory pressure. Caller-managed caches
+    * (sweeps, the memoized feature table) pass through untouched.
+    */
+  private def withFitCache[T](df: DataFrame)(body: DataFrame => T): T = {
+    val own = df.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    if (own) df.cache()
+    try body(df)
+    finally if (own) df.unpersist()
+  }
+
   /** RF fit + P(class=1) scores on the test set (reference M5). */
   def randomForestScores(
       train: DataFrame, test: DataFrame,
@@ -45,7 +59,7 @@ object TrainHarness {
     val rf = new RandomForestClassifier()
       .setFeaturesCol(featuresCol).setLabelCol(labelCol)
       .setNumTrees(numTrees).setSeed(seed)
-    val model = rf.fit(train.cache())
+    val model = withFitCache(train)(rf.fit(_))
     slim(model).transform(test)
       .withColumn("score", vector_to_array(col("probability"))(1))
   }
@@ -74,7 +88,7 @@ object TrainHarness {
     val lr = new LogisticRegression()
       .setFeaturesCol(featuresCol).setLabelCol(labelCol)
       .setElasticNetParam(1.0).setRegParam(regParam).setMaxIter(maxIter)
-    val model = lr.fit(train.cache())
+    val model = withFitCache(train)(lr.fit(_))
     slim(model).transform(test)
       .withColumn("margin", vector_to_array(col("rawPrediction"))(1))
       .withColumn("score", vector_to_array(col("probability"))(1))
@@ -97,7 +111,7 @@ object TrainHarness {
       .setEvaluator(new MulticlassClassificationEvaluator()
         .setLabelCol(labelCol).setMetricName("accuracy"))
       .setEstimatorParamMaps(grid).setNumFolds(numFolds).setSeed(seed)
-    val model = cv.fit(train.cache())
+    val model = withFitCache(train)(cv.fit(_))
     val bestIdx = model.avgMetrics.zipWithIndex.maxBy(_._1)._2
     val bestReg = model.getEstimatorParamMaps(bestIdx).get(lr.regParam).get
     (bestReg, model.avgMetrics(bestIdx))
@@ -114,11 +128,15 @@ object TrainHarness {
   ): DataFrame = {
     val s = org.apache.spark.sql.SparkSession.active
     import s.implicits._
+    // sweep-scoped caches: every fit in the loop reuses them; released
+    // before returning (the result rows are already computed scalars)
     train.cache(); test.cache()
-    treeCounts.map { n =>
-      val scored = randomForestScores(train, test, featuresCol, labelCol, n, seed)
-      n -> Metrics.aucRoc(scored, "score", labelCol)
-    }.toDF("num_trees", "auc_roc")
+    try {
+      treeCounts.map { n =>
+        val scored = randomForestScores(train, test, featuresCol, labelCol, n, seed)
+        n -> Metrics.aucRoc(scored, "score", labelCol)
+      }.toDF("num_trees", "auc_roc")
+    } finally { train.unpersist(); test.unpersist() }
   }
 
   /** Top-n feature-selection sweep (reference M14, py:645-658): rank
@@ -136,7 +154,7 @@ object TrainHarness {
     val ranked = mi.orderBy(col("mutual_info").desc, col("feature")).collect()
       .map(_.getString(0))
     train.cache(); test.cache()
-    ns.map { n =>
+    try ns.map { n =>
       val keep = ranked.take(n)
       val slicer = new org.apache.spark.ml.feature.VectorSlicer()
         .setInputCol(featuresCol).setOutputCol("_sliced")
@@ -146,6 +164,7 @@ object TrainHarness {
       val scored = logisticL1Scores(trainS, testS, featuresCol, labelCol)
       (n, Metrics.aucRoc(scored, "score", labelCol))
     }.toDF("n_features", "auc_roc")
+    finally { train.unpersist(); test.unpersist() }
   }
 
   /** The M16 benchmark: resampling strategy × metrics table. Returns one

@@ -37,8 +37,15 @@ object Multimodal {
     val p = java.nio.file.Paths.get(dir)
     val marker = p.resolve("_STAGED")
     // repeat invocations on the same (deterministic) dataset can skip the
-    // 500-file rewrite — the source-read path is what the query measures
-    if (skipIfStaged && java.nio.file.Files.exists(marker)) return
+    // per-row file rewrite — the source-read path is what the query
+    // measures. The marker records the staged row count: a regenerated
+    // dataset under the same dir name (different cardinality) re-stages
+    // instead of silently serving stale files. (A same-count content change
+    // still needs the marker dir cleared — tmp dirs, not a cache contract.)
+    val expected = df.filter(col(textCol).isNotNull).count()
+    if (skipIfStaged && java.nio.file.Files.exists(marker) &&
+        new String(java.nio.file.Files.readAllBytes(marker),
+          java.nio.charset.StandardCharsets.UTF_8) == expected.toString) return
     java.nio.file.Files.createDirectories(p)
     // clear previous stagings: stale .bin files from an earlier (different)
     // dataset would otherwise come back as phantom rows
@@ -54,7 +61,8 @@ object Multimodal {
             r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
         }
       }
-    java.nio.file.Files.write(marker, Array.emptyByteArray)
+    java.nio.file.Files.write(marker,
+      expected.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
   /** binaryFile scan → (id parsed from filename, payload, n_bytes).

@@ -170,7 +170,14 @@ object StreamOps {
         case (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             val s = state.get
-            state.remove()
+            // close the session but KEEP the numbering in state: removing
+            // it would restart the user's next session at id 0, colliding
+            // with an already-emitted session. The placeholder (count=0,
+            // no timeout re-armed) never emits on its own; a later event
+            // resumes from sessionId+1. State is O(|users ever seen|) —
+            // the production trade for collision-free dense ids; key the
+            // session by first-event time instead if eviction must win.
+            state.update(SessionState(s.sessionId + 1L, Long.MinValue, 0L))
             Iterator.single(SessionUpdate(userId, s.sessionId, s.count, closed = true))
           } else {
             val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
