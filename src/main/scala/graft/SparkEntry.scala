@@ -175,6 +175,47 @@ object SparkEntry {
       Tables.jdbcTable(s, url, "nation_jdbc")
     }),
 
+    // Bucketed-layout co-located join: both sides written bucketBy the
+    // join key (pay the shuffle ONCE at write time), read back through the
+    // catalog, joined with zero exchanges on the join path — the canonical
+    // repeated-big-join layout at 100 TB. BucketingSpec pins the no-Exchange
+    // plan property with broadcast disabled; this declared query pins the
+    // ANSWER through the bucketed write→catalog→read path.
+    "s11_bucketed_join" -> ((s, d) => {
+      val tag = new java.io.File(d).getName.replace('.', '_')
+      val wh = s"${System.getProperty("java.io.tmpdir")}/graft_s11_wh_$tag"
+      val (ot, ct) = (s"graft_orders_b_$tag", s"graft_customer_b_$tag")
+      t(s, d, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .option("path", s"$wh/orders_b").saveAsTable(ot)
+      t(s, d, "customer").select("c_custkey", "c_mktsegment")
+        .write.mode("overwrite").bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .option("path", s"$wh/customer_b").saveAsTable(ct)
+      s.table(ot).join(s.table(ct), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("revenue"))
+    }),
+
+    // Dynamic partition pruning: fact partitioned on the join key, dim
+    // filtered at runtime — Spark injects the dim's surviving keys as a
+    // partition filter into the fact scan (the 100 TB star-join staple:
+    // scan only the partitions the dim selects, decided at execution
+    // time). PlansSpec asserts the `dynamicpruning` subquery is in the
+    // scan; this query pins the pruned answer.
+    "s12_dpp_prune" -> ((s, d) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_s12_dpp_${new java.io.File(d).getName}"
+      graft.core.Sinks.parquet(
+        t(s, d, "orders").select("o_orderkey", "o_totalprice", "o_orderpriority"),
+        out, partitionBy = Seq("o_orderpriority"))
+      val dim = t(s, d, "orders").select(col("o_orderpriority").as("prio"))
+        .distinct()
+        .withColumn("is_rush", col("prio").startsWith("1-") || col("prio").startsWith("2-"))
+      s.read.parquet(out)
+        .join(broadcast(dim.filter(col("is_rush"))), col("o_orderpriority") === col("prio"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sum_price"))
+    }),
+
     // Structured Streaming, oracled: the hourly windowed aggregation runs
     // as a REAL stream (file source → watermark → incremental state →
     // AvailableNow drain) and must produce the byte-identical answer to
@@ -336,6 +377,32 @@ object SparkEntry {
       t(s, d, "orders")
         .withColumn("bucket", Recodes.histBucket(col("o_totalprice"), 50000.0))
         .groupBy("bucket").agg(count(lit(1)).as("cnt"))),
+
+    // exact grouped quantiles (linear interpolation — the ANSI
+    // percentile_cont definition both engines implement); rounded so the
+    // interpolation arithmetic is bit-stable across engines; scalar
+    // columns (the compare hashes values — arrays stay out of oracled
+    // output by convention, see a3)
+    "a10_quantiles" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_quantity, 0.25D)"), 6).as("qty_p25"),
+          round(expr("percentile(l_quantity, 0.5D)"), 6).as("qty_p50"),
+          round(expr("percentile(l_quantity, 0.75D)"), 6).as("qty_p75"),
+          round(expr("percentile(l_extendedprice, 0.5D)"), 6).as("price_p50"),
+          round(expr("percentile(l_extendedprice, 0.9D)"), 6).as("price_p90"))),
+
+    // the sketch twin: approx_percentile (Greenwald-Khanna) — the 100 TB
+    // path (exact percentile sorts every group; the sketch is one pass,
+    // mergeable, bounded memory). Rows-only by nature; `a10_quantiles` is
+    // the green exact twin on the same data.
+    "a10_approx_quantiles" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          expr("approx_percentile(l_quantity, 0.5D, 10000)").as("qty_p50_approx"),
+          expr("approx_percentile(l_extendedprice, 0.9D, 10000)").as("price_p90_approx"))),
 
     // ---- J*: joins -------------------------------------------------------
     "j2_join_agg" -> ((s, d) =>
@@ -666,6 +733,29 @@ object SparkEntry {
         .groupBy("label").agg(count(lit(1)).as("cnt"))
     }),
 
+    // stratified hash-sample: a per-stratum keep-rate applied through the
+    // engine-portable md5-permille — the "balance sources/classes while
+    // downsampling" primitive of a training-data pipeline, deterministic
+    // (resumable, re-runnable) unlike df.sampleBy's RNG stream
+    "o10_stratified_hash" -> ((s, d) => {
+      val rates = typedlit(Map("F" -> 1000L, "O" -> 200L, "P" -> 500L))
+      t(s, d, "orders")
+        .filter(permilleHash(col("o_orderkey"), ":st42") <
+          coalesce(try_element_at(rates, col("o_orderstatus")), lit(0L)))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sum_price"))
+    }),
+
+    // distributed global row-number: range-partition + per-partition
+    // window + count offsets (ops/GlobalRowNumber) — dense stable example
+    // ids without the single-task Window.orderBy funnel; byte-equal to
+    // the naive ROW_NUMBER the oracle runs
+    "w6_global_rownum" -> ((s, d) =>
+      graft.ops.GlobalRowNumber.withRowNumber(
+        t(s, d, "orders").select("o_orderkey", "o_orderdate"),
+        "rn", col("o_orderdate"), col("o_orderkey"))
+        .select(col("o_orderkey"), col("rn"))),
+
     // ---- text analysis ---------------------------------------------------
     "t_token_stats" -> ((s, d) =>
       t(s, d, "documents").select(
@@ -701,6 +791,44 @@ object SparkEntry {
     "t_rolling_hash" -> ((s, d) =>
       t(s, d, "documents").select(
         col("doc_id"), TextOps.rollingHash(col("text")).as("rhash"))),
+
+    // Gopher/C4-style repetition quality signal: fraction of word 3-grams
+    // that are repeats within the document. Tokens materialize behind one
+    // projection boundary (the shingle transform references the token
+    // attribute, not the regex subtree — see TextOps.shingles PERF note).
+    "t_repetition" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        .select(
+          col("doc_id"),
+          when(size(col("toks")) < 3, lit(0L)).otherwise(size(col("toks")) - 2).cast("bigint").as("n_shingles"),
+          when(size(col("toks")) < 3, lit(0L)).otherwise(
+            size(array_distinct(transform(
+              sequence(lit(1), size(col("toks")) - 2),
+              i => concat_ws(" ", element_at(col("toks"), i),
+                element_at(col("toks"), i + 1), element_at(col("toks"), i + 2))))))
+            .cast("bigint").as("n_distinct"))
+        .withColumn("dup_frac",
+          when(col("n_shingles") === 0, lit(0.0))
+            .otherwise(round(lit(1.0) - col("n_distinct").cast("double") / col("n_shingles"), 6)))),
+
+    // fixed-size token-window chunking — the "split documents into model
+    // context windows" step of an LLM data pipeline. Emits one row per
+    // 40-token chunk with its token span and an md5 of the chunk text so
+    // the chunk CONTENT (not just the arithmetic) is hash-checked.
+    "t_chunk_tokens" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) > 0)
+        .select(col("doc_id"), col("toks"),
+          posexplode(sequence(lit(0), ceil(size(col("toks")) / lit(40.0)).cast("int") - 1)))
+        .select(
+          col("doc_id"),
+          col("col").as("chunk_idx"),
+          (col("col") * 40).cast("bigint").as("tok_start"),
+          least(size(col("toks")).cast("bigint"), (col("col") + 1) * lit(40L)).as("tok_end"),
+          md5(concat_ws(" ", slice(col("toks"), col("col") * 40 + 1,
+            lit(40)))).as("chunk_md5"))),
 
     // E13/E16 standalone: the newline-scrub + punct/digit-strip normalize
     // step, oracled directly (regexp_replace is in the dialect intersection)
@@ -1730,6 +1858,75 @@ object SparkEntry {
       """SELECT o_orderstatus, count(*) AS cnt,
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1""".stripMargin,
+
+    "s11_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS cnt,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1""".stripMargin,
+
+    // the one-row-per-priority dim makes the join a pure partition filter
+    "s12_dpp_prune" ->
+      """SELECT o_orderpriority, count(*) AS cnt,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |WHERE o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '2-%'
+        |GROUP BY 1""".stripMargin,
+
+    "a10_quantiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.25), 6) AS qty_p25,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS qty_p50,
+        |  round(quantile_cont(l_quantity, 0.75), 6) AS qty_p75,
+        |  round(quantile_cont(l_extendedprice, 0.5), 6) AS price_p50,
+        |  round(quantile_cont(l_extendedprice, 0.9), 6) AS price_p90
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "o10_stratified_hash" ->
+      s"""SELECT o_orderstatus, count(*) AS cnt,
+         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         |FROM orders
+         |WHERE ${permilleHashSql("o_orderkey", ":st42", 1000L)}
+         |      < CASE o_orderstatus WHEN 'F' THEN 1000 WHEN 'O' THEN 200
+         |                           WHEN 'P' THEN 500 ELSE 0 END
+         |GROUP BY 1""".stripMargin,
+
+    "w6_global_rownum" ->
+      """SELECT o_orderkey,
+        |       ROW_NUMBER() OVER (ORDER BY o_orderdate NULLS FIRST, o_orderkey) AS rn
+        |FROM orders""".stripMargin,
+
+    "t_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '') AS t
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(t) < 3 THEN 0 ELSE len(t) - 2 END AS n_shingles,
+        |         CASE WHEN len(t) < 3 THEN 0
+        |              ELSE len(list_distinct(list_transform(range(1, len(t) - 1),
+        |                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) END AS n_distinct
+        |  FROM toks
+        |)
+        |SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+        |       CAST(n_distinct AS BIGINT) AS n_distinct,
+        |       CASE WHEN n_shingles = 0 THEN 0.0
+        |            ELSE round(1.0 - CAST(n_distinct AS DOUBLE) / n_shingles, 6) END AS dup_frac
+        |FROM sh""".stripMargin,
+
+    "t_chunk_tokens" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '') AS t
+        |  FROM documents
+        |), expl AS (
+        |  SELECT doc_id, t,
+        |         unnest(range(0, CAST(ceil(len(t) / 40.0) AS BIGINT))) AS i
+        |  FROM toks WHERE len(t) > 0
+        |)
+        |SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+        |       CAST(i * 40 AS BIGINT) AS tok_start,
+        |       LEAST(CAST(len(t) AS BIGINT), (i + 1) * 40) AS tok_end,
+        |       md5(array_to_string(list_slice(t, i * 40 + 1, (i + 1) * 40), ' ')) AS chunk_md5
+        |FROM expl""".stripMargin,
 
     "ev_stream_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour_ts, event_type, count(*) AS cnt,

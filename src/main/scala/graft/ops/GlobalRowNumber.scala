@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed global row-number under a total order — the "assign a
+  * stable dense id to every row" primitive a training-data pipeline needs
+  * (example ids, shard-stable sample ordering, resumable cursors).
+  *
+  * The naive form, `row_number().over(Window.orderBy(ord))`, is correct
+  * but plans a single-partition window: every row funnels through ONE
+  * task (Spark even warns). At 100 TB that is not slow, it is dead. This
+  * is the scalable equivalent of the reference pipeline's implicit
+  * `reset_index()` ids (Hap880_Final_Project.py relies on pandas row
+  * positions), built the way a distributed engine has to:
+  *
+  *   1. range-repartition on the sort keys — the same sampled-split-point
+  *      machinery as a distributed ORDER BY, fully executor-side;
+  *   2. bring only the P per-partition COUNTS to the driver (P longs);
+  *   3. per-partition `row_number` (parallel windows, each local) plus
+  *      the partition's cumulative offset looked up from a literal map.
+  *
+  * Two passes over the input ⇒ the ranged frame is persisted (Spark does
+  * not reuse exchanges across QueryExecutions — see GlobalTopN). `ord`
+  * must be a total order (append a unique key) or ties make the numbering
+  * nondeterministic between runs.
+  */
+object GlobalRowNumber {
+
+  def withRowNumber(df: DataFrame, outCol: String, ord: Column*): DataFrame = {
+    require(ord.nonEmpty, "withRowNumber needs at least one ordering column")
+    val parts = math.max(1, df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    val ranged = df
+      .repartitionByRange(parts, ord: _*)
+      .withColumn("_pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts: Map[Int, Long] = ranged.groupBy("_pid").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val cum = (0 until parts).scanLeft(0L)((acc, p) => acc + counts.getOrElse(p, 0L))
+    val offsets: Map[Int, Long] = (0 until parts).map(p => p -> cum(p)).toMap
+    // P is O(shuffle.partitions) — a literal map lookup beats a join for
+    // a per-row constant; no extra shuffle, stays inside codegen.
+    val offsetCol = element_at(typedlit(offsets), col("_pid"))
+    ranged
+      .withColumn(outCol,
+        row_number().over(Window.partitionBy("_pid").orderBy(ord: _*)).cast("long")
+          + offsetCol)
+      .drop("_pid")
+  }
+}

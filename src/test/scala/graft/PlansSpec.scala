@@ -100,4 +100,20 @@ class PlansSpec extends SparkSpecBase {
     // plan must stay ≤4 exchanges (no accidental extra distinct/sort)
     assert(countShuffles(plan(df)) <= 4, explainStr(df))
   }
+
+  test("s12_dpp_prune: fact scan carries a dynamic partition pruning filter") {
+    val df = SparkEntry.queries("s12_dpp_prune")(spark, sfDir)
+    val s = explainStr(df)
+    // the dim's surviving keys must reach the partitioned fact scan as a
+    // runtime partition filter — at 100 TB this is the difference between
+    // scanning 2 partitions and scanning all of them
+    assert(s.contains("dynamicpruning"), s)
+  }
+
+  test("w6_global_rownum: no SinglePartition exchange (the naive window's funnel)") {
+    val df = SparkEntry.queries("w6_global_rownum")(spark, sfDir)
+    df.collect()
+    val tree = plan(df).toString
+    assert(!tree.contains("SinglePartition"), tree)
+  }
 }

@@ -1,0 +1,52 @@
+package graft.ops
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class GlobalRowNumberSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private lazy val df = Seq(
+    (5L, "c"), (1L, "a"), (9L, "b"), (2L, "a"), (7L, "b"),
+    (3L, "c"), (8L, "a"), (4L, "b"), (6L, "c"), (10L, "a")
+  ).toDF("id", "k")
+
+  test("numbering equals the single-partition window form") {
+    val got = GlobalRowNumber.withRowNumber(df, "rn", col("k"), col("id"))
+      .select("id", "rn").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = df
+      .withColumn("rn", row_number().over(Window.orderBy(col("k"), col("id"))).cast("long"))
+      .select("id", "rn").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
+  test("ids are dense 1..n with no duplicates") {
+    val rns = GlobalRowNumber.withRowNumber(df, "rn", col("id"))
+      .select("rn").collect().map(_.getLong(0)).sorted
+    assert(rns.toSeq == (1L to 10L))
+  }
+
+  test("empty input yields empty output (offset map handles missing counts)") {
+    val empty = df.filter(col("id") < 0)
+    assert(GlobalRowNumber.withRowNumber(empty, "rn", col("id")).count() == 0L)
+  }
+
+  test("skewed key distribution still numbers correctly") {
+    // all rows share one range key → every row lands in one range
+    // partition; offsets must still produce dense global ids via the
+    // id tiebreak inside the partition window
+    val skew = (1L to 100L).map(i => (i, "same")).toDF("id", "k")
+    val rns = GlobalRowNumber.withRowNumber(skew, "rn", col("k"), col("id"))
+      .select("id", "rn").collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(rns.toMap == (1L to 100L).map(i => i -> i).toMap)
+  }
+
+  test("no single-partition global window in the plan") {
+    val p = GlobalRowNumber.withRowNumber(df, "rn", col("id"))
+      .queryExecution.executedPlan.toString
+    // the naive form plans Window with an empty partition spec after an
+    // Exchange SinglePartition — the thing this operator exists to avoid
+    assert(!p.contains("SinglePartition"), p)
+  }
+}
