@@ -591,6 +591,53 @@ object SparkEntry {
           col("min_v").cast("double").as("min_qty"),
           col("max_v").cast("double").as("max_qty"))),
 
+    // salted JOIN for skewed keys: fact side salted, dim side replicated
+    // per salt — same answer as the plain join (the oracle), hot-key load
+    // spread over 16 reducers. SkewOpsSpec pins plain-join equality with
+    // broadcast disabled (the case where salting actually matters).
+    "j9_salted_join" -> ((s, d) =>
+      graft.ops.SkewOps.saltedJoin(
+        t(s, d, "lineitem").select("l_suppkey", "l_extendedprice"),
+        t(s, d, "supplier").select("s_suppkey", "s_nationkey"),
+        "l_suppkey", "s_suppkey")
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("cnt"), dsum(col("l_extendedprice")).as("revenue"))),
+
+    // the composite C4/Gopher-style document filter — the keep/drop
+    // decision an LLM-data pipeline actually ships: exact-dup removal
+    // (fingerprint keep-first), length floor, quality floors, repetition
+    // cap, applied in priority order with the drop REASON kept (reason
+    // counts are the pipeline's observability surface). One window
+    // shuffle (fingerprint groups); every signal is a codegen'd
+    // expression on the scan.
+    "d_filter_pipeline" -> ((s, d) => {
+      val sig = t(s, d, "documents")
+        .select(col("doc_id"), col("text"),
+          TextOps.fingerprintMd5(col("text")).as("fp"),
+          TextOps.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("fp"),
+          size(col("toks")).as("n_toks"),
+          TextOps.alphaRatio(col("text")).as("alpha"),
+          when(size(col("toks")) === 0, lit(0.0)).otherwise(
+            size(filter(col("toks"), t => t.isin(TextOps.stopwords.map(w => w: Any): _*)))
+              .cast("double") / size(col("toks"))).as("stopr"),
+          when(size(col("toks")) < 3, lit(0.0)).otherwise(
+            lit(1.0) - size(array_distinct(transform(
+              sequence(lit(1), size(col("toks")) - 2),
+              i => concat_ws(" ", element_at(col("toks"), i),
+                element_at(col("toks"), i + 1), element_at(col("toks"), i + 2)))))
+              .cast("double") / (size(col("toks")) - 2)).as("dup_frac"))
+      sig
+        .withColumn("keeper", min("doc_id").over(Window.partitionBy("fp")))
+        .withColumn("reason",
+          when(col("doc_id") =!= col("keeper"), "exact_dup")
+            .when(col("n_toks") < 10, "too_short")
+            .when(col("alpha") < 0.5 || col("stopr") < 0.02, "low_quality")
+            .when(col("dup_frac") > 0.2, "repetitive")
+            .otherwise("keep"))
+        .groupBy("reason").agg(count(lit(1)).as("cnt"))
+    }),
+
     // SQL front-end: the same engine through spark.sql (TPC-H Q3 shape)
     "sql_q3_shipping" -> ((s, d) => {
       Tables.customer(s, d).createOrReplaceTempView("customer")
@@ -1315,6 +1362,47 @@ object SparkEntry {
         |  CAST(MIN(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS min_qty,
         |  CAST(MAX(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS max_qty
         |FROM lineitem GROUP BY 1""".stripMargin,
+    // the salted join must produce EXACTLY the plain join's answer —
+    // that equality is the operator's whole contract
+    "j9_salted_join" ->
+      """SELECT s_nationkey, count(*) AS cnt,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey GROUP BY 1""".stripMargin,
+
+    "d_filter_pipeline" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, text,
+         |         list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '') AS t
+         |  FROM documents
+         |), sig AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(t) = 0 THEN md5(lower(text))
+         |         ELSE md5(array_to_string(t, ' ')) END AS fp,
+         |    len(t) AS n_toks,
+         |    CASE WHEN length(text) = 0 THEN 0.0 ELSE
+         |      CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / length(text)
+         |    END AS alpha,
+         |    CASE WHEN len(t) = 0 THEN 0.0 ELSE
+         |      CAST(len(list_filter(t, x -> list_contains([${TextOps.stopwords.map(w => s"'$w'").mkString(",")}], x))) AS DOUBLE) / len(t)
+         |    END AS stopr,
+         |    CASE WHEN len(t) < 3 THEN 0.0 ELSE
+         |      1.0 - CAST(len(list_distinct(list_transform(range(1, len(t) - 1),
+         |              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS DOUBLE) / (len(t) - 2)
+         |    END AS dup_frac
+         |  FROM toks
+         |), keyed AS (
+         |  SELECT doc_id, n_toks, alpha, stopr, dup_frac,
+         |         min(doc_id) OVER (PARTITION BY fp) AS keeper
+         |  FROM sig
+         |)
+         |SELECT CASE WHEN doc_id <> keeper THEN 'exact_dup'
+         |            WHEN n_toks < 10 THEN 'too_short'
+         |            WHEN alpha < 0.5 OR stopr < 0.02 THEN 'low_quality'
+         |            WHEN dup_frac > 0.2 THEN 'repetitive'
+         |            ELSE 'keep' END AS reason,
+         |       count(*) AS cnt
+         |FROM keyed GROUP BY 1""".stripMargin,
+
     "s2_scan_region" -> "SELECT r_regionkey, r_name FROM region",
 
     "p_proj_filter" ->

@@ -39,6 +39,33 @@ object SkewOps {
       .groupBy(col(keyCol))
       .agg(sum("_partial").as("cnt"))
 
+  /** Salted equi-join for skewed keys: the big (skewed) side gets a
+    * deterministic content salt in [0, saltBuckets); the small side is
+    * replicated once per salt value; the join key becomes (key, salt) so
+    * a hot key's rows spread over `saltBuckets` reducers instead of
+    * funneling into one. Exactly equal to the plain join (each big-side
+    * row matches the single replica carrying its salt).
+    *
+    * This is the MANUAL form for when AQE's skew-join split can't help —
+    * e.g. the skewed side feeds a non-AQE stage, or the join is
+    * sort-merge on a key whose hot partition exceeds what
+    * skewedPartitionFactor re-splitting can balance. Replication costs
+    * |small| × saltBuckets rows — size the bucket count to the skew, not
+    * higher. If the small side fits a broadcast, broadcast instead: no
+    * shuffle at all beats a balanced shuffle.
+    */
+  def saltedJoin(
+      big: DataFrame, small: DataFrame,
+      bigKey: String, smallKey: String,
+      saltBuckets: Int = 16
+  ): DataFrame = {
+    val b = big.withColumn("_salt_b", contentSalt(big, saltBuckets))
+    val sm = small.withColumn("_salt_s",
+      explode(sequence(lit(0L), lit(saltBuckets.toLong - 1L))))
+    b.join(sm, b(bigKey) === sm(smallKey) && col("_salt_b") === col("_salt_s"))
+      .drop("_salt_b", "_salt_s")
+  }
+
   /** sum/count/min/max per key, salted — the general algebraic pattern. */
   def saltedAgg(df: DataFrame, keyCol: String, valueCol: Column, saltBuckets: Int = 16): DataFrame =
     df.withColumn("_salt", contentSalt(df, saltBuckets))

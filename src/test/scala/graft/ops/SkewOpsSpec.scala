@@ -28,4 +28,28 @@ class SkewOpsSpec extends SparkSpecBase {
     val out = SkewOps.saltedCount(df, "k", saltBuckets = 4).collect()
     assert(out.length == 1 && out(0).getLong(1) == 1000L)
   }
+
+  test("salted join equals the plain join exactly, broadcast disabled") {
+    // skewed fact: key 1 holds 90% of rows; dim has extra keys (no match)
+    // and fact has a key missing from dim (dropped by inner join)
+    val big = (Seq.fill(900)(1L) ++ (2L to 100L) ++ Seq(999L))
+      .zipWithIndex.map { case (k, i) => (k, i.toDouble) }.toDF("bk", "v")
+    val small = (1L to 120L).map(k => (k, s"name$k")).toDF("sk", "name")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val salted = SkewOps.saltedJoin(big, small, "bk", "sk", saltBuckets = 8)
+        .groupBy("sk").agg(count(lit(1)).as("cnt"), sum("v").as("s"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      val plain = big.join(small, col("bk") === col("sk"))
+        .groupBy("sk").agg(count(lit(1)).as("cnt"), sum("v").as("s"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(salted.keySet == plain.keySet)
+      assert(salted(1L)._1 == 900L)
+      plain.foreach { case (k, (n, s)) =>
+        assert(salted(k)._1 == n, s"count mismatch for $k")
+        assert(math.abs(salted(k)._2 - s) < 1e-6, s"sum mismatch for $k")
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
