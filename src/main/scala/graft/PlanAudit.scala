@@ -91,7 +91,37 @@ object PlanAudit {
       """Streaming plan: `StateStoreRestore`/`StateStoreSave` around a
         |partial/final aggregate pair, watermark bounding state. The drained
         |result hash-matches the batch oracle — stream/batch parity checked
-        |per round."""
+        |per round.""",
+    "s11_bucketed_join" ->
+      """Both scans read bucketed layouts (`Bucketed: true`, 8 buckets on the
+        |join key) and the join path has NO Exchange on either side: the
+        |shuffle was paid once at write time. For a join repeated every
+        |pipeline run over 100 TB, this converts a per-run full-table shuffle
+        |into a one-time layout cost. (Small inputs may still broadcast —
+        |BucketingSpec pins the zero-exchange SMJ with broadcast disabled.)""",
+    "s12_dpp_prune" ->
+      """The partitioned fact scan's `PartitionFilters` contains a
+        |`dynamicpruningexpression` — the dim side's surviving join keys are
+        |injected into the scan AT RUNTIME, reusing the broadcast. At 100 TB
+        |a star-join touching 2 of 300 partitions scans those 2, not all 300;
+        |static pruning can't do this because the keys come from a filter on
+        |another table.""",
+    "w6_global_rownum" ->
+      """No `Exchange SinglePartition` anywhere: global row numbers come from
+        |a range repartition + per-partition windows + driver-side count
+        |offsets (P longs). The naive `Window.orderBy` plans every row
+        |through ONE task — correct, and dead at scale.""",
+    "j9_salted_join" ->
+      """The join key is (suppkey, salt): the fact side's hot keys spread
+        |over 16 sub-keys before the exchange, so no reducer receives a whole
+        |hot key's volume. Answer is hash-identical to the plain join the
+        |oracle runs.""",
+    "d_filter_pipeline" ->
+      """One Exchange total (the fingerprint window); every quality signal —
+        |tokenization, ratios, repetition, fingerprint — is a codegen'd
+        |expression evaluated on the scan side before the shuffle. The
+        |keep/drop decision for a 100 TB corpus costs one pass plus one
+        |dedup-group shuffle."""
   )
 
   private def streamingPlan(spark: SparkSession, sfDir: String): String = {
