@@ -121,7 +121,18 @@ object PlanAudit {
         |tokenization, ratios, repetition, fingerprint — is a codegen'd
         |expression evaluated on the scan side before the shuffle. The
         |keep/drop decision for a 100 TB corpus costs one pass plus one
-        |dedup-group shuffle."""
+        |dedup-group shuffle.""",
+    "j10_asof_join" ->
+      """No NestedLoop, no CartesianProduct: the as-of semantics ride a
+        |UNION of both inputs and one window over (key, time, side) — one
+        |exchange of |L|+|R| rows. Any per-row range probe (the θ-join
+        |encoding) explodes at scale; this shape is linear and hash-matches
+        |DuckDB's native ASOF JOIN.""",
+    "j11_range_join" ->
+      """`BroadcastNestedLoopJoin` IS the right plan here: the interval dim
+        |is 4 rows, so each probe row checks the bounds in memory with zero
+        |shuffles. The plan to avoid — shuffling both sides for a non-equi
+        |condition — cannot occur with a broadcast side."""
   )
 
   private def streamingPlan(spark: SparkSession, sfDir: String): String = {

@@ -638,6 +638,45 @@ object SparkEntry {
         .groupBy("reason").agg(count(lit(1)).as("cnt"))
     }),
 
+    // AS-OF join (backward): each event picks up the latest order of the
+    // same customer at or before the event — the union-tag single-window
+    // operator (ops/AsOfJoin), one shuffle of |L|+|R| rows, no range
+    // probe. DuckDB's native ASOF LEFT JOIN is the oracle: two
+    // independent asof implementations must agree row-for-row.
+    "j10_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(
+        col("event_id"), col("user_id"),
+        date_trunc("second", col("ts")).as("ts2"))
+      // asof contract: right unique per (key, time) — keep max orderkey
+      val ord = t(s, d, "orders")
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max("o_orderkey").as("last_orderkey"))
+      graft.ops.AsOfJoin.backward(
+        ev, "user_id", "ts2", ord, "o_custkey", "o_orderdate",
+        Seq("last_orderkey"))
+        .select("event_id", "last_orderkey")
+    }),
+
+    // non-equi RANGE join: rows matched to interval buckets via
+    // lo <= v < hi. With a broadcast-sized dim, BroadcastNestedLoopJoin
+    // is the RIGHT plan (each probe row scans k intervals in memory —
+    // no shuffle at all); a shuffling SMJ would gain nothing. Large
+    // interval sets would instead bin both sides (equi-join on bin,
+    // residual range filter) — see histBucket for the degenerate
+    // fixed-width case.
+    "j11_range_join" -> ((s, d) => {
+      val bounds = Seq(
+        (0, 0.0, 50000.0), (1, 50000.0, 150000.0), (2, 150000.0, 300000.0),
+        (3, 300000.0, 600000.0)
+      )
+      val dim = s.createDataFrame(bounds).toDF("bucket_id", "lo", "hi")
+      t(s, d, "orders")
+        .join(broadcast(dim),
+          col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+        .groupBy("bucket_id")
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sum_price"))
+    }),
+
     // SQL front-end: the same engine through spark.sql (TPC-H Q3 shape)
     "sql_q3_shipping" -> ((s, d) => {
       Tables.customer(s, d).createOrReplaceTempView("customer")
@@ -1402,6 +1441,25 @@ object SparkEntry {
          |            ELSE 'keep' END AS reason,
          |       count(*) AS cnt
          |FROM keyed GROUP BY 1""".stripMargin,
+
+    // DuckDB's native ASOF implementation vs the union-window operator —
+    // equal output is the cross-engine correctness claim
+    "j10_asof_join" ->
+      """SELECT e.event_id, o.last_orderkey
+        |FROM (SELECT event_id, user_id, date_trunc('second', ts) AS ts2 FROM events) e
+        |ASOF LEFT JOIN (
+        |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS last_orderkey
+        |  FROM orders GROUP BY 1, 2
+        |) o ON e.user_id = o.o_custkey AND e.ts2 >= o.o_orderdate""".stripMargin,
+
+    "j11_range_join" ->
+      """WITH dim(bucket_id, lo, hi) AS (VALUES
+        |  (0, 0.0, 50000.0), (1, 50000.0, 150000.0),
+        |  (2, 150000.0, 300000.0), (3, 300000.0, 600000.0))
+        |SELECT bucket_id, count(*) AS cnt,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders JOIN dim ON o_totalprice >= lo AND o_totalprice < hi
+        |GROUP BY 1""".stripMargin,
 
     "s2_scan_region" -> "SELECT r_regionkey, r_name FROM region",
 

@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed backward as-of join: for each left row, attach the payload
+  * of the right row with the GREATEST right time ≤ the left row's time,
+  * within the same key (the "state of the account when the event
+  * happened" join — enrichment against slowly-changing reference data,
+  * feature snapshots, latest-order-before-event).
+  *
+  * Spark has no asof operator; the naive encodings are a range
+  * θ-join (per-row interval probe → nested-loop explosion) or a
+  * window over a crossJoin (O(|L|·|R|) rows). This is the scalable
+  * form: tag both inputs, union them, and run ONE window pass —
+  *
+  *   1. right rows become (key, time, payload, side=1); left rows
+  *      (key, time, leftCols, side=0); union carries |L|+|R| rows;
+  *   2. one hash partitioning on the key, ordered by (time, side DESC)
+  *      so a right row at time T sorts before a left row at the same T
+  *      (the "at or before" tie is inclusive);
+  *   3. `last(payload) IGNORE NULLS` over rows-unbounded-preceding
+  *      carries the most recent right payload forward onto each left row.
+  *
+  * One shuffle of |L|+|R| rows, codegen'd window, no row explosion —
+  * survives 100 TB where any probe-per-row form dies.
+  *
+  * Contract: `right` must be unique per (rightKey, rightTime) — dedupe
+  * first (e.g. keep max payload per key+time) or ties resolve
+  * arbitrarily. NULL payload values in right rows are skipped by the
+  * IGNORE NULLS carry (treated as absent, not as "reset to null").
+  */
+object AsOfJoin {
+
+  def backward(
+      left: DataFrame, leftKey: String, leftTime: String,
+      right: DataFrame, rightKey: String, rightTime: String,
+      payload: Seq[String]
+  ): DataFrame = {
+    require(payload.nonEmpty, "asof join needs at least one payload column")
+    val leftCols = left.columns.toSeq
+    require(!payload.exists(leftCols.contains),
+      s"payload ${payload.mkString(",")} collides with a left column")
+    val l = left
+      .withColumn("_asof_k", col(leftKey))
+      .withColumn("_asof_t", col(leftTime))
+      .withColumn("_asof_side", lit(0))
+    val r0 = right
+      .withColumn("_asof_k", col(rightKey))
+      .withColumn("_asof_t", col(rightTime))
+      .withColumn("_asof_side", lit(1))
+      .select(Seq("_asof_k", "_asof_t", "_asof_side").map(col) ++ payload.map(col): _*)
+    val unioned = l.unionByName(r0, allowMissingColumns = true)
+    val w = Window.partitionBy("_asof_k")
+      .orderBy(col("_asof_t").asc, col("_asof_side").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payload.foldLeft(unioned) { (df, p) =>
+      df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
+    }
+    carried
+      .filter(col("_asof_side") === 0)
+      .select(leftCols.map(col) ++ payload.map(col): _*)
+  }
+}

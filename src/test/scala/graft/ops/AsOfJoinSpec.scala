@@ -1,0 +1,68 @@
+package graft.ops
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class AsOfJoinSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // quotes (right): key, time, value
+  private lazy val quotes = Seq(
+    ("a", 10L, 1.0), ("a", 20L, 2.0), ("a", 30L, 3.0),
+    ("b", 15L, 10.0)
+  ).toDF("qk", "qt", "px")
+
+  // trades (left): key, time
+  private lazy val trades = Seq(
+    ("a", 5L),  // before any quote → null
+    ("a", 10L), // exactly at a quote time → inclusive match (1.0)
+    ("a", 25L), // between 20 and 30 → 2.0
+    ("a", 99L), // after all → 3.0
+    ("b", 15L), // other key, exact tie → 10.0
+    ("c", 50L)  // key with no quotes at all → null
+  ).toDF("tk", "tt")
+
+  private def result(): Map[(String, Long), Option[Double]] =
+    AsOfJoin.backward(trades, "tk", "tt", quotes, "qk", "qt", Seq("px"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .toMap
+
+  test("backward asof: latest right value at-or-before each left time, per key") {
+    val got = result()
+    assert(got(("a", 5L)).isEmpty)
+    assert(got(("a", 10L)).contains(1.0)) // equal time is inclusive
+    assert(got(("a", 25L)).contains(2.0))
+    assert(got(("a", 99L)).contains(3.0))
+    assert(got(("b", 15L)).contains(10.0))
+    assert(got(("c", 50L)).isEmpty)
+    assert(got.size == 6) // left join: every left row exactly once
+  }
+
+  test("matches the brute-force per-row maximum (property over random data)") {
+    val rnd = new scala.util.Random(42)
+    val l = (1 to 200).map(i => (s"k${rnd.nextInt(5)}", rnd.nextInt(100).toLong, i))
+      .toDF("k", "t", "id")
+    val r = (1 to 60).map(i => (s"k${rnd.nextInt(6)}", rnd.nextInt(100).toLong * 2, i.toDouble))
+      .groupBy(x => (x._1, x._2)).map(_._2.maxBy(_._3)).toSeq // unique (key, time)
+      .toDF("rk", "rt", "v")
+    val got = AsOfJoin.backward(l, "k", "t", r, "rk", "rt", Seq("v"))
+      .collect().map(x => x.getInt(2) -> (if (x.isNullAt(3)) None else Some(x.getDouble(3)))).toMap
+    val rRows = r.collect().map(x => (x.getString(0), x.getLong(1), x.getDouble(2)))
+    val lRows = l.collect().map(x => (x.getString(0), x.getLong(1), x.getInt(2)))
+    lRows.foreach { case (k, t, id) =>
+      val want = rRows.filter(q => q._1 == k && q._2 <= t)
+        .sortBy(_._2).lastOption.map(_._3)
+      assert(got(id) == want, s"row $id key=$k t=$t")
+    }
+  }
+
+  test("one shuffle: union + single window partitioning, no nested loop") {
+    val df = AsOfJoin.backward(trades, "tk", "tt", quotes, "qk", "qt", Seq("px"))
+    df.collect()
+    val tree = df.queryExecution.executedPlan.toString
+    assert(!tree.contains("NestedLoop"), tree)
+    assert(!tree.contains("CartesianProduct"), tree)
+  }
+}
