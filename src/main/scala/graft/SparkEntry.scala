@@ -249,6 +249,20 @@ object SparkEntry {
       graft.streaming.StreamOps.runToCompletion(agg, "graft_ev_stream_join")
     }),
 
+    // STREAM-STREAM inner join with a time-range condition, drained and
+    // hash-checked: views joined to clicks of the same user within 30
+    // minutes — state on BOTH sides, evicted by watermark + range bound.
+    // The drained pairs aggregate in batch (bounded result) and must
+    // equal the batch self-join the DuckDB oracle runs.
+    "ev_stream_pairs" -> ((s, d) =>
+      graft.streaming.StreamOps
+        .streamStreamPairs(s, d, "graft_ev_stream_pairs")
+        .groupBy(col("v_user").as("user_id"))
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          sum(unix_timestamp(col("c_ts")) - unix_timestamp(col("v_ts")))
+            .as("sum_gap_s"))),
+
     // SLIDING event-time windows (1h length, 30min slide — each event in 2
     // windows), drained and hash-checked: the overlap arithmetic the
     // tumbling ev_stream_hourly can't exercise
@@ -2225,6 +2239,18 @@ object SparkEntry {
         |)
         |SELECT make_timestamp(s * 1000000) AS win_start, event_type, count(*) AS cnt
         |FROM w GROUP BY 1, 2""".stripMargin,
+
+    "ev_stream_pairs" ->
+      """WITH e AS (
+        |  SELECT user_id, date_trunc('second', ts) AS ts2, event_type FROM events
+        |)
+        |SELECT v.user_id AS user_id, count(*) AS n_pairs,
+        |       CAST(SUM(epoch(c.ts2) - epoch(v.ts2)) AS BIGINT) AS sum_gap_s
+        |FROM e v JOIN e c
+        |  ON v.user_id = c.user_id
+        | AND c.ts2 >= v.ts2 AND c.ts2 <= v.ts2 + INTERVAL 30 MINUTE
+        |WHERE v.event_type = 'view' AND c.event_type = 'click'
+        |GROUP BY 1""".stripMargin,
 
     "t_token_bpe" ->
       """SELECT doc_id,

@@ -130,6 +130,39 @@ object StreamOps {
       .agg(max(col("n_events")).as("n_events"))
   }
 
+  /** STREAM-STREAM inner join with an event-time range condition — the
+    * "attribute each click to the views it followed within N minutes"
+    * shape (conversion attribution, funnel stitching). Both sides carry
+    * watermarks and the join condition bounds the time distance, which
+    * is what lets Spark EVICT buffered rows: left state lives `within` +
+    * watermark past the right-side watermark, not forever. Without the
+    * range bound a stream-stream join must buffer both streams
+    * unboundedly. Returns the DRAINED pair rows (Append mode — the only
+    * mode a stream-stream inner join supports); callers aggregate the
+    * bounded result in batch.
+    */
+  def streamStreamPairs(
+      spark: SparkSession, dir: String, queryName: String,
+      leftType: String = "view", rightType: String = "click",
+      within: String = "30 minutes", watermark: String = "1 hour"
+  ): DataFrame = {
+    val ev = eventsStream(spark, dir)
+      .withColumn("ts", date_trunc("second", col("ts")))
+    val l = ev.filter(col("event_type") === leftType)
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("v_id"))
+      .withWatermark("v_ts", watermark)
+    val r = ev.filter(col("event_type") === rightType)
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("c_id"))
+      .withWatermark("c_ts", watermark)
+    val pairs = l.join(r,
+      col("v_user") === col("c_user") &&
+        col("c_ts") >= col("v_ts") &&
+        col("c_ts") <= col("v_ts") + expr(s"INTERVAL $within"))
+    runToCompletion(pairs, queryName, OutputMode.Append())
+  }
+
   /** Streaming exact dedup (the streaming face of `Dedup.exactGroups`):
     * drop events whose key was already seen within the watermark horizon.
     * `dropDuplicatesWithinWatermark` keeps one state entry per key and
