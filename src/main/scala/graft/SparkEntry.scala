@@ -708,6 +708,11 @@ object SparkEntry {
       s.sql(SparkEntry.rollupSql)
     }),
 
+    "sql_cube_agg" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      s.sql(SparkEntry.cubeSql)
+    }),
+
     "sql_exists_open" -> ((s, d) => {
       Tables.orders(s, d).createOrReplaceTempView("orders")
       Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
@@ -719,6 +724,29 @@ object SparkEntry {
     "sql_window_top" -> ((s, d) => {
       Tables.orders(s, d).createOrReplaceTempView("orders")
       s.sql(SparkEntry.windowTopSql)
+    }),
+
+    // rank / dense_rank / ntile — the remaining ranking-window surface
+    // (row_number is w3/w5; percent buckets are what a feature pipeline
+    // uses for decile binning). Total tiebreak (price, orderkey) keeps
+    // every rank deterministic.
+    "w7_rank_ntile" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, d, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        ntile(10).over(w).cast("long").as("decile"))
+    }),
+
+    // EXCEPT / INTERSECT — the set-op surface beyond union (O7's
+    // anti-join is the keyed form; these are the whole-row forms)
+    "o6_except_intersect" -> ((s, d) => {
+      val oc = t(s, d, "orders").select(col("o_custkey").as("ck")).distinct()
+      val cc = t(s, d, "customer").select(col("c_custkey").as("ck"))
+      oc.intersect(cc).agg(count(lit(1)).as("n_both"))
+        .crossJoin(cc.except(oc).agg(count(lit(1)).as("n_cust_no_orders")))
     }),
 
     // ---- O*: set ops / sampling -----------------------------------------
@@ -1376,6 +1404,15 @@ object SparkEntry {
       |FROM orders
       |GROUP BY ROLLUP (o_orderpriority, o_orderstatus)""".stripMargin
 
+  /** CUBE completes the grouping-sets surface (ROLLUP's lattice superset);
+    * same shared-text contract as [[rollupSql]].
+    */
+  val cubeSql: String =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin
+
   val existsSql: String =
     """SELECT o_orderpriority, count(*) AS order_count
       |FROM orders
@@ -1399,6 +1436,27 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "sql_q3_shipping" -> q3Sql,
     "sql_rollup_agg" -> rollupSql,
+    "sql_cube_agg" -> cubeSql,
+
+    // rank()/dense_rank()/ntile() are ANSI-identical; the DESC key is
+    // non-null so the engines' opposite DESC null placement can't bite,
+    // but the explicit NULLS LAST pins it anyway
+    "w7_rank_ntile" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  rank() OVER w AS rnk, dense_rank() OVER w AS drnk,
+        |  ntile(10) OVER w AS decile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus
+        |             ORDER BY o_totalprice DESC NULLS LAST, o_orderkey)""".stripMargin,
+
+    "o6_except_intersect" ->
+      """SELECT
+        |  (SELECT count(*) FROM
+        |    (SELECT DISTINCT o_custkey FROM orders INTERSECT SELECT c_custkey FROM customer))
+        |    AS n_both,
+        |  (SELECT count(*) FROM
+        |    (SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders))
+        |    AS n_cust_no_orders""".stripMargin,
     "sql_exists_open" -> existsSql,
     "sql_window_top" -> windowTopSql,
 

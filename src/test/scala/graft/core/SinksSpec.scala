@@ -29,6 +29,28 @@ class SinksSpec extends SparkSpecBase {
     assert(back.filter(col("grp") === "a").count() == 2)
   }
 
+  private def parquetFiles(dir: String): Array[java.io.File] =
+    new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+
+  test("parquetSized splits one task's output at the per-file row cap") {
+    val dir = Files.createTempDirectory("graft_sized").toString + "/out"
+    val df = spark.range(1000).toDF("id").coalesce(1) // one task, 1000 rows
+    Sinks.parquetSized(df, dir, maxRecordsPerFile = 100L)
+    assert(parquetFiles(dir).length == 10, parquetFiles(dir).mkString(","))
+    assert(spark.read.parquet(dir).count() == 1000L)
+  }
+
+  test("compact rewrites a many-small-files dataset into the target file count") {
+    val small = Files.createTempDirectory("graft_small").toString + "/in"
+    spark.range(400).toDF("id").repartition(40).write.parquet(small) // 40 tiny files
+    assert(parquetFiles(small).length == 40)
+    val out = Files.createTempDirectory("graft_small").toString + "/out"
+    Sinks.compact(spark, small, numFiles = 4, out)
+    assert(parquetFiles(out).length == 4, parquetFiles(out).mkString(","))
+    assert(spark.read.parquet(out).agg(sum("id")).collect()(0).getLong(0)
+      == (0L until 400L).sum)
+  }
+
   test("SchemaOps.selectNumeric keeps exactly the numeric columns (P9)") {
     val df = data.toDF("id", "grp", "v")
     assert(graft.ops.SchemaOps.selectNumeric(df).columns.toSeq == Seq("id", "v"))
