@@ -40,36 +40,38 @@ object Bench {
     // fit-internal, not neighbor noise.
     val reps = 3
     val repBudgetSec = 60.0
-    val results: Map[String, List[Double]] = SparkEntry.queries.map { case (name, fn) =>
+    val results: Map[String, (List[Double], Int)] = SparkEntry.queries.map { case (name, fn) =>
       val times = scala.collection.mutable.ListBuffer[Double]()
-      var failed = false
+      var failures = 0
       var i = 0
-      while (i < reps && !failed && (i == 0 || times.sum < repBudgetSec)) {
+      while (i < reps && failures == 0 && (i == 0 || times.sum < repBudgetSec)) {
         val t0 = System.nanoTime()
         // a failed query must surface as -1, not masquerade as a fast run
         try { fn(spark, sfDir).count() } catch {
           case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}"); failed = true
+            System.err.println(s"[bench] $name failed: ${e.getMessage}"); failures += 1
         }
-        if (!failed) times += (System.nanoTime() - t0) / 1e9
+        if (failures == 0) times += (System.nanoTime() - t0) / 1e9
         i += 1
       }
       // a transient failure on rep 2/3 must not discard rep 1's valid
-      // measurement — only an immediate failure (no successful rep) is -1
-      name -> (if (times.isEmpty) List(-1.0) else times.toList)
+      // measurement — only an immediate failure (no successful rep) is -1.
+      // The failure count rides query_stats so a failure-truncated run is
+      // machine-distinguishable from a repBudgetSec early stop (both n<3).
+      name -> (if (times.isEmpty) (List(-1.0), failures) else (times.toList, failures))
     }
     def median(ts: List[Double]): Double = {
       val s = ts.sorted
       s(s.size / 2) // n∈{1,2,3}: middle for 3, upper-of-2, the one for 1
     }
-    val medians = results.map { case (k, ts) => k -> (if (ts.head < 0) -1.0 else median(ts)) }
+    val medians = results.map { case (k, (ts, _)) => k -> (if (ts.head < 0) -1.0 else median(ts)) }
     val total = medians.values.filter(_ >= 0).sum
     def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = medians.map { case (k, v) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
-    val stats = results.map { case (k, ts) =>
+    val stats = results.map { case (k, (ts, failures)) =>
       s"\"" + k + "\":{\"median\":" + f(medians(k)) + ",\"min\":" + f(ts.min) +
-        ",\"max\":" + f(ts.max) + ",\"n\":" + ts.size + "}"
+        ",\"max\":" + f(ts.max) + ",\"n\":" + ts.size + ",\"failures\":" + failures + "}"
     }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${f(total)},"unit":"sec","warmup_sec":${f(warmupSec)},"reps":$reps,"queries":$qs,"query_stats":$stats,"sf":"$sfDir"}""")
     spark.stop()

@@ -636,10 +636,7 @@ object SparkEntry {
             size(filter(col("toks"), t => t.isin(TextOps.stopwords.map(w => w: Any): _*)))
               .cast("double") / size(col("toks"))).as("stopr"),
           when(size(col("toks")) < 3, lit(0.0)).otherwise(
-            lit(1.0) - size(array_distinct(transform(
-              sequence(lit(1), size(col("toks")) - 2),
-              i => concat_ws(" ", element_at(col("toks"), i),
-                element_at(col("toks"), i + 1), element_at(col("toks"), i + 2)))))
+            lit(1.0) - size(TextOps.shinglesFromTokens(col("toks"), 3))
               .cast("double") / (size(col("toks")) - 2)).as("dup_frac"))
       sig
         .withColumn("keeper", min("doc_id").over(Window.partitionBy("fp")))
@@ -930,12 +927,9 @@ object SparkEntry {
         .select(
           col("doc_id"),
           when(size(col("toks")) < 3, lit(0L)).otherwise(size(col("toks")) - 2).cast("bigint").as("n_shingles"),
-          when(size(col("toks")) < 3, lit(0L)).otherwise(
-            size(array_distinct(transform(
-              sequence(lit(1), size(col("toks")) - 2),
-              i => concat_ws(" ", element_at(col("toks"), i),
-                element_at(col("toks"), i + 1), element_at(col("toks"), i + 2))))))
-            .cast("bigint").as("n_distinct"))
+          // shinglesFromTokens is already distinct — one definition shared
+          // with the Jaccard/MinHash dedup path
+          size(TextOps.shinglesFromTokens(col("toks"), 3)).cast("bigint").as("n_distinct"))
         .withColumn("dup_frac",
           when(col("n_shingles") === 0, lit(0.0))
             .otherwise(round(lit(1.0) - col("n_distinct").cast("double") / col("n_shingles"), 6)))),

@@ -18,6 +18,12 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  /** Dirs whose staged contents were validated (or written) by THIS JVM —
+    * see stageAsFiles' skip logic.
+    */
+  private val validatedDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   val metaSchema: StructType = StructType(Seq(
     StructField("modality", StringType, nullable = false),
     StructField("n_bytes", IntegerType, nullable = false),
@@ -38,14 +44,19 @@ object Multimodal {
     val marker = p.resolve("_STAGED")
     // repeat invocations on the same (deterministic) dataset can skip the
     // per-row file rewrite — the source-read path is what the query
-    // measures. The marker records the staged row count: a regenerated
-    // dataset under the same dir name (different cardinality) re-stages
-    // instead of silently serving stale files. (A same-count content change
-    // still needs the marker dir cleared — tmp dirs, not a cache contract.)
+    // measures. Within one JVM a validated dir is memoized so bench reps
+    // don't pay a count() job per rep just to re-validate; across JVMs the
+    // marker records the staged row count, so a regenerated dataset under
+    // the same dir name (different cardinality) re-stages instead of
+    // silently serving stale files. (A same-count content change still
+    // needs the marker dir cleared — tmp dirs, not a cache contract.)
+    if (skipIfStaged && validatedDirs.contains(dir)) return
     val expected = df.filter(col(textCol).isNotNull).count()
     if (skipIfStaged && java.nio.file.Files.exists(marker) &&
         new String(java.nio.file.Files.readAllBytes(marker),
-          java.nio.charset.StandardCharsets.UTF_8) == expected.toString) return
+          java.nio.charset.StandardCharsets.UTF_8) == expected.toString) {
+      validatedDirs.add(dir); return
+    }
     java.nio.file.Files.createDirectories(p)
     // clear previous stagings: stale .bin files from an earlier (different)
     // dataset would otherwise come back as phantom rows
@@ -63,6 +74,7 @@ object Multimodal {
       }
     java.nio.file.Files.write(marker,
       expected.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    validatedDirs.add(dir)
   }
 
   /** binaryFile scan → (id parsed from filename, payload, n_bytes).

@@ -30,19 +30,12 @@ object GlobalRowNumber {
 
   def withRowNumber(df: DataFrame, outCol: String, ord: Column*): DataFrame = {
     require(ord.nonEmpty, "withRowNumber needs at least one ordering column")
-    val parts = math.max(1, df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
-    val ranged = df
-      .repartitionByRange(parts, ord: _*)
-      .withColumn("_pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val counts: Map[Int, Long] = ranged.groupBy("_pid").count()
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val cum = (0 until parts).scanLeft(0L)((acc, p) => acc + counts.getOrElse(p, 0L))
-    val offsets: Map[Int, Long] = (0 until parts).map(p => p -> cum(p)).toMap
+    val r = RangedCounts(df, ord)
+    val offsets: Map[Int, Long] = (0 until r.parts).map(p => p -> r.cum(p)).toMap
     // P is O(shuffle.partitions) — a literal map lookup beats a join for
     // a per-row constant; no extra shuffle, stays inside codegen.
     val offsetCol = element_at(typedlit(offsets), col("_pid"))
-    ranged
+    r.df
       .withColumn(outCol,
         row_number().over(Window.partitionBy("_pid").orderBy(ord: _*)).cast("long")
           + offsetCol)

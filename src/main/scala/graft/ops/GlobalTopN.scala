@@ -28,28 +28,16 @@ object GlobalTopN {
   def topN(df: DataFrame, n: Long, ord: Column*): DataFrame = {
     require(ord.nonEmpty, "topN needs at least one ordering column")
     if (n <= 0L) return df.limit(0)
-    val parts = math.max(1, df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
-    // Cached ON PURPOSE: the counts pass and the selection pass are separate
-    // QueryExecutions, and Spark does not reuse exchanges across plans — an
-    // uncached two-pass re-executes the caller's entire upstream (for
-    // NearMiss that is the LSH kNN join; measured 2× the whole query).
-    // The pin is bounded by contract: pass the SLIM (key, ord) projection,
-    // not a payload table — the keep-set join pattern NearMiss uses. Spill-
-    // safe (MEMORY_AND_DISK); lives until the session ends or the caller
-    // unpersists (Spark has no post-materialization unpersist hook for a
-    // lazily-consumed result). No sort: counts need only the partitioning;
-    // the single boundary partition sorts inside its row_number window.
-    val ranged = df
-      .repartitionByRange(parts, ord: _*)
-      .withColumn("_pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val counts: Map[Int, Long] = ranged.groupBy("_pid").count()
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val cum = (0 until parts).scanLeft(0L)((acc, p) => acc + counts.getOrElse(p, 0L))
+    // RangedCounts persists on purpose (see its scaladoc): for NearMiss an
+    // uncached two-pass re-executes the LSH kNN join — measured 2× the
+    // whole query. No sort: counts need only the partitioning; the single
+    // boundary partition sorts inside its row_number window.
+    val r = RangedCounts(df, ord)
+    val (ranged, cum) = (r.df, r.cum)
     // partitions fully inside the top-n …
-    val fullParts = (0 until parts).filter(p => cum(p + 1) <= n)
+    val fullParts = (0 until r.parts).filter(p => cum(p + 1) <= n)
     // … and the one straddling the boundary (if any)
-    val boundary = (0 until parts).find(p => cum(p) < n && n < cum(p + 1))
+    val boundary = (0 until r.parts).find(p => cum(p) < n && n < cum(p + 1))
     val whole = ranged.filter(col("_pid").isin(fullParts.map(Int.box): _*)).drop("_pid")
     boundary match {
       case None => whole

@@ -144,8 +144,15 @@ object StreamOps {
   def streamStreamPairs(
       spark: SparkSession, dir: String, queryName: String,
       leftType: String = "view", rightType: String = "click",
-      within: String = "30 minutes", watermark: String = "1 hour"
+      within: String = "30 minutes", watermark: String = "3650 days"
   ): DataFrame = {
+    // span-covering watermark default, same reasoning as the dedup drain:
+    // batch-equality must not depend on the whole input arriving in one
+    // micro-batch (a multi-file staging or maxFilesPerTrigger would
+    // advance the watermark between batches and drop out-of-order rows as
+    // late). A live pipeline picks a real horizon and accepts the
+    // late-drop contract; state is then bounded by rate × (horizon +
+    // range), not by stream lifetime.
     val ev = eventsStream(spark, dir)
       .withColumn("ts", date_trunc("second", col("ts")))
     val l = ev.filter(col("event_type") === leftType)
