@@ -723,6 +723,16 @@ object SparkEntry {
       s.sql(SparkEntry.windowTopSql)
     }),
 
+    // per-label embedding centroids — the cluster-centroid aggregation
+    // (k-means step, class prototypes for near-dup/classification).
+    // Explode → (label, dim) hash-agg: partial averages combine map-side,
+    // so the shuffle carries |labels|×dims rows, not |corpus|×dims.
+    "sim_centroids" -> ((s, d) =>
+      t(s, d, "embeddings")
+        .select(col("label"), posexplode(col("embedding")))
+        .groupBy(col("label"), (col("pos") + 1).as("idx"))
+        .agg(round(avg(col("col").cast("double")), 6).as("centroid"))),
+
     // rank / dense_rank / ntile — the remaining ranking-window surface
     // (row_number is w3/w5; percent buckets are what a feature pipeline
     // uses for decile binning). Total tiebreak (price, orderkey) keeps
@@ -1431,6 +1441,13 @@ object SparkEntry {
     "sql_q3_shipping" -> q3Sql,
     "sql_rollup_agg" -> rollupSql,
     "sql_cube_agg" -> cubeSql,
+
+    "sim_centroids" ->
+      """WITH v AS (SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |x AS (SELECT label, unnest(list_transform(range(1, len(e)+1),
+        |        i -> struct_pack(i := i, x := e[i]))) AS s FROM v)
+        |SELECT label, CAST(s.i AS INTEGER) AS idx, round(avg(s.x), 6) AS centroid
+        |FROM x GROUP BY 1, 2""".stripMargin,
 
     // rank()/dense_rank()/ntile() are ANSI-identical; the DESC key is
     // non-null so the engines' opposite DESC null placement can't bite,
