@@ -962,6 +962,24 @@ object SparkEntry {
           md5(concat_ws(" ", slice(col("toks"), col("col") * 40 + 1,
             lit(40)))).as("chunk_md5"))),
 
+    // OVERLAPPING chunks (40-token window, 20-token stride — each token in
+    // ≤2 chunks): the retrieval-context variant where boundary-spanning
+    // content must appear whole in at least one chunk. Starts at 0, 20, …
+    // while start < n_tokens; trailing chunks may be sub-window.
+    "t_chunk_overlap" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) > 0)
+        .select(col("doc_id"), col("toks"),
+          posexplode(sequence(lit(0), ceil(size(col("toks")) / lit(20.0)).cast("int") - 1)))
+        .select(
+          col("doc_id"),
+          col("col").as("chunk_idx"),
+          (col("col") * 20).cast("bigint").as("tok_start"),
+          least(size(col("toks")).cast("bigint"), col("col") * 20 + lit(40L)).as("tok_end"),
+          md5(concat_ws(" ", slice(col("toks"), col("col") * 20 + 1,
+            lit(40)))).as("chunk_md5"))),
+
     // E13/E16 standalone: the newline-scrub + punct/digit-strip normalize
     // step, oracled directly (regexp_replace is in the dialect intersection)
     "t_normalize" -> ((s, d) =>
@@ -992,6 +1010,12 @@ object SparkEntry {
 
     "d_minhash_pairs" -> ((s, d) =>
       Dedup.minhashLshPairs(t(s, d, "documents"), "doc_id", "text")),
+
+    // sketch quality as a hash-checked row: MinHash Jaccard estimate vs
+    // the true shingle Jaccard, per LSH candidate pair (truth computed
+    // only on the LSH-bounded candidates, never all pairs)
+    "d_minhash_est" -> ((s, d) =>
+      Dedup.minhashEstVsTruth(t(s, d, "documents"), "doc_id", "text")),
 
     "d_simhash_sigs" -> ((s, d) =>
       Dedup.simhashSignatures(t(s, d, "documents"), "doc_id", "text")),
@@ -2157,6 +2181,21 @@ object SparkEntry {
         |       md5(array_to_string(list_slice(t, i * 40 + 1, (i + 1) * 40), ' ')) AS chunk_md5
         |FROM expl""".stripMargin,
 
+    "t_chunk_overlap" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '') AS t
+        |  FROM documents
+        |), expl AS (
+        |  SELECT doc_id, t,
+        |         unnest(range(0, CAST(ceil(len(t) / 20.0) AS BIGINT))) AS i
+        |  FROM toks WHERE len(t) > 0
+        |)
+        |SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+        |       CAST(i * 20 AS BIGINT) AS tok_start,
+        |       LEAST(CAST(len(t) AS BIGINT), i * 20 + 40) AS tok_end,
+        |       md5(array_to_string(list_slice(t, i * 20 + 1, i * 20 + 40), ' ')) AS chunk_md5
+        |FROM expl""".stripMargin,
+
     "ev_stream_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour_ts, event_type, count(*) AS cnt,
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
@@ -2164,6 +2203,9 @@ object SparkEntry {
 
     "d_minhash_pairs" ->
       Dedup.minhashLshOracleSql("documents", "doc_id", "text"),
+
+    "d_minhash_est" ->
+      Dedup.minhashEstOracleSql("documents", "doc_id", "text"),
 
     "t_rolling_hash" ->
       """SELECT doc_id,

@@ -126,12 +126,17 @@ object Dedup {
       n: Int = 3,
       bands: Int = 8,
       rowsPerBand: Int = 4
-  ): DataFrame = {
-    val sig = minhashSignatures(docs, idCol, textCol, n, bands * rowsPerBand)
-    // bucket = the band's raw value tuple (string-joined): collision-free
-    // and engine-portable, unlike murmur `hash(...)`; a deployment that
-    // wants fixed-width keys can wrap it in any hash without changing
-    // which docs meet
+  ): DataFrame =
+    bandedPairs(minhashSignatures(docs, idCol, textCol, n, bands * rowsPerBand),
+      bands, rowsPerBand)
+
+  /** LSH band-bucket join over a precomputed signature frame.
+    * Bucket = the band's raw value tuple (string-joined): collision-free
+    * and engine-portable, unlike murmur `hash(...)`; a deployment that
+    * wants fixed-width keys can wrap it in any hash without changing
+    * which docs meet.
+    */
+  private def bandedPairs(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
     val bandStructs = (0 until bands).map { b =>
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh_$i"))
       struct(lit(b).as("band"), concat_ws("_", cols: _*).as("bucket"))
@@ -147,6 +152,53 @@ object Dedup {
       )
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+  }
+
+  /** Sketch QUALITY as data: for every LSH candidate pair, the MinHash
+    * Jaccard estimate (matching signature components / k) next to the
+    * TRUE shingle-set Jaccard — the estimator error surface, exactly
+    * oracle-able because both the sketch and the truth are deterministic.
+    * The truth computation touches only candidate pairs (LSH-bounded),
+    * never all pairs.
+    */
+  def minhashEstVsTruth(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      bands: Int = 8,
+      rowsPerBand: Int = 4
+  ): DataFrame = {
+    val k = bands * rowsPerBand
+    val sig = minhashSignatures(docs, idCol, textCol, n, k)
+    val pairs = bandedPairs(sig, bands, rowsPerBand)
+    val eqTerms = (0 until k)
+      .map(i => when(col(s"sa.mh_$i") === col(s"sb.mh_$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    val est = pairs
+      .join(sig.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sig.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        round(eqTerms.cast("double") / k, 6).as("est_jaccard"))
+    val sh = docs
+      .select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("_toks"))
+      .select(col("doc_id"), explode(TextOps.shinglesFromTokens(col("_toks"), n)).as("shingle"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz")) // shingles are distinct
+    val inter = est.select("doc_a", "doc_b")
+      .join(sh.as("ia"), col("doc_a") === col("ia.doc_id"))
+      .join(sh.as("ib"),
+        col("doc_b") === col("ib.doc_id") && col("ia.shingle") === col("ib.shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("ic"))
+    // left join + 0-fill: a candidate pair with NO shared shingle is
+    // possible in principle (distinct shingles colliding on the 60-bit
+    // hash) — truth must then read 0, not drop the row
+    est
+      .join(inter, Seq("doc_a", "doc_b"), "left").na.fill(0L, Seq("ic"))
+      .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
+      .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"),
+        round(col("ic").cast("double") / (col("za.sz") + col("zb.sz") - col("ic")), 6)
+          .as("true_jaccard"))
   }
 
   /** DuckDB oracle for `minhashLshPairs`: the same md5-60bit hash, the
@@ -189,6 +241,74 @@ object Dedup {
        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |FROM banded a JOIN banded b
        |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id""".stripMargin
+  }
+
+  /** DuckDB oracle for `minhashEstVsTruth`: the minhash CTE chain of
+    * [[minhashLshOracleSql]] plus the estimate (component matches / k)
+    * and the true shingle-set Jaccard on the candidate pairs. Divisions
+    * are identical integer/double ratios on both engines (k is a power
+    * structure of 2s here, but round-6 pins it regardless).
+    */
+  def minhashEstOracleSql(
+      table: String, idCol: String, textCol: String,
+      n: Int = 3, bands: Int = 8, rowsPerBand: Int = 4
+  ): String = {
+    val k = bands * rowsPerBand
+    val shingleExpr = (0 until n).map(j => s"t[i+$j]").mkString(" || ' ' || ")
+    val minAggs = (0 until k).map { i =>
+      val a = 1L + 2L * i; val b = 7L + 131L * i
+      s"min((h0 * $a + $b) % $MinhashPrime) AS mh_$i"
+    }.mkString(",\n  ")
+    val bandSelects = (0 until bands).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => s"mh_$i").mkString(", ")
+      s"SELECT doc_id, $b AS band, concat_ws('_', $cols) AS bucket FROM sig"
+    }.mkString("\n  UNION ALL ")
+    val eqTerms = (0 until k)
+      .map(i => s"(CASE WHEN sa.mh_$i = sb.mh_$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT $idCol AS doc_id, list_filter(regexp_split_to_array(lower($textCol), '[^a-z]+'), x -> x <> '') AS t
+       |  FROM $table
+       |), sh AS (
+       |  SELECT DISTINCT doc_id, shingle FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len(t) - ${n - 2}),
+       |           i -> $shingleExpr)) AS shingle
+       |    FROM toks WHERE len(t) >= $n
+       |  )
+       |), h AS (
+       |  SELECT doc_id, CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) % $MinhashPrime AS h0
+       |  FROM sh
+       |), sig AS (
+       |  SELECT doc_id,
+       |  $minAggs
+       |  FROM h GROUP BY doc_id
+       |), banded AS (
+       |  $bandSelects
+       |), pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+       |), est AS (
+       |  SELECT p.doc_a, p.doc_b,
+       |         round(($eqTerms) / $k.0, 6) AS est_jaccard
+       |  FROM pairs p
+       |  JOIN sig sa ON p.doc_a = sa.doc_id
+       |  JOIN sig sb ON p.doc_b = sb.doc_id
+       |), sizes AS (
+       |  SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1
+       |), inter AS (
+       |  SELECT p.doc_a, p.doc_b, count(*) AS ic
+       |  FROM pairs p
+       |  JOIN sh x ON x.doc_id = p.doc_a
+       |  JOIN sh y ON y.doc_id = p.doc_b AND y.shingle = x.shingle
+       |  GROUP BY 1, 2
+       |)
+       |SELECT e.doc_a, e.doc_b, e.est_jaccard,
+       |       round(COALESCE(i.ic, 0) * 1.0 / (za.sz + zb.sz - COALESCE(i.ic, 0)), 6) AS true_jaccard
+       |FROM est e
+       |LEFT JOIN inter i ON e.doc_a = i.doc_a AND e.doc_b = i.doc_b
+       |JOIN sizes za ON e.doc_a = za.doc_id
+       |JOIN sizes zb ON e.doc_b = zb.doc_id""".stripMargin
   }
 
   /** DuckDB oracle for `simhashSignatures`: same 60-bit md5 token hash,
