@@ -73,7 +73,18 @@ object Bench {
       s"\"" + k + "\":{\"median\":" + f(medians(k)) + ",\"min\":" + f(ts.min) +
         ",\"max\":" + f(ts.max) + ",\"n\":" + ts.size + ",\"failures\":" + failures + "}"
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","warmup_sec":${f(warmupSec)},"reps":$reps,"queries":$qs,"query_stats":$stats,"sf":"$sfDir"}""")
+    // Per-query spread stats go to a FILE, not stdout: with 100+ queries the
+    // combined line exceeded the driver's stdout tail capture in r3 and the
+    // bench JSON failed to parse ("parsed": null). The stdout line carries
+    // only the driver-spec'd fields; BENCH_DETAIL.json keeps min/max/n/
+    // failures for round-over-round attribution.
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "/root/repo/BENCH_DETAIL.json")
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(detailPath),
+      s"""{"warmup_sec":${f(warmupSec)},"reps":$reps,"sf":"$sfDir","query_stats":$stats}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

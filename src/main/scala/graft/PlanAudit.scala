@@ -132,7 +132,21 @@ object PlanAudit {
       """`BroadcastNestedLoopJoin` IS the right plan here: the interval dim
         |is 4 rows, so each probe row checks the bounds in memory with zero
         |shuffles. The plan to avoid — shuffling both sides for a non-equi
-        |condition — cannot occur with a broadcast side."""
+        |condition — cannot occur with a broadcast side.""",
+    "j12_bloom_semi" ->
+      """The `might_contain` probe sits in the Filter DIRECTLY over the
+        |lineitem scan — rows that cannot join die before the semi-join
+        |exchange, so the shuffle moves |matching|+ε rows, not |lineitem|.
+        |The sketch itself was built by a distributed aggregate; only the
+        |KB-scale bloom bytes crossed the driver. The trailing exact
+        |semi-join (broadcast) clears false positives — the answer equals
+        |the plain EXISTS the oracle runs.""",
+    "t_pack_windows" ->
+      """No `Exchange SinglePartition`: the global token-axis cumsum is a
+        |range repartition + per-partition windows + a literal map of
+        |driver-side partition token totals (P longs). The naive
+        |`sum().over(Window.orderBy(...))` would funnel the corpus through
+        |one task; this shape keeps packing fully parallel at 100 TB."""
   )
 
   private def streamingPlan(spark: SparkSession, sfDir: String): String = {
@@ -171,10 +185,14 @@ object PlanAudit {
       // the streaming query's interesting plan is the micro-batch execution
       // (StateStoreRestore/Save), not the drained memory-sink table the
       // batch contract returns — capture the stream's own explain
-      val plan =
+      val planRaw =
         if (name == "ev_stream_hourly") streamingPlan(spark, sfDir)
         else SparkEntry.queries(name)(spark, sfDir)
           .queryExecution.explainString(ExplainMode.fromString("formatted"))
+      // giant binary literals (bloom sketches render as full hex dumps —
+      // hundreds of KB) would drown the audit; elide to their byte count
+      val plan = "0[xX]([0-9A-Fa-f]{64})[0-9A-Fa-f]+".r.replaceAllIn(planRaw,
+        m => s"0x${m.group(1)}…<${(m.matched.length - 2) / 2} bytes elided>")
       sb ++= s"\n## `$name`\n\n"
       sb ++= why.stripMargin.linesIterator.map(_.trim).mkString(" ")
       sb ++= "\n\n```\n" + plan.trim + "\n```\n"

@@ -617,6 +617,22 @@ object SparkEntry {
         .groupBy("s_nationkey")
         .agg(count(lit(1)).as("cnt"), dsum(col("l_extendedprice")).as("revenue"))),
 
+    // bloom semi-join reduction (manual SPARK-32268): a distributed bloom
+    // sketch of the urgent orders' keys pre-filters lineitem AT THE SCAN
+    // (codegen'd might_contain, zero extra shuffles); the exact semi-join
+    // after clears false positives, so the answer EXACTLY equals the plain
+    // EXISTS — which is the oracle. At scale the join exchange moves
+    // |matching|+ε rows instead of |lineitem|.
+    "j12_bloom_semi" -> ((s, d) =>
+      graft.ops.BloomJoin.semiJoin(
+        t(s, d, "lineitem").select("l_orderkey", "l_returnflag", "l_extendedprice"),
+        "l_orderkey",
+        t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT"),
+        "o_orderkey",
+        expectedItems = 100000L)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("cnt"), dsum(col("l_extendedprice")).as("revenue"))),
+
     // the composite C4/Gopher-style document filter — the keep/drop
     // decision an LLM-data pipeline actually ships: exact-dup removal
     // (fingerprint keep-first), length floor, quality floors, repetition
@@ -962,6 +978,19 @@ object SparkEntry {
           md5(concat_ws(" ", slice(col("toks"), col("col") * 40 + 1,
             lit(40)))).as("chunk_md5"))),
 
+    // token-budget sequence packing: documents laid end-to-end on ONE
+    // global token axis (distributed two-pass cumsum — no single-partition
+    // window) and chopped into 512-token context windows; each doc reports
+    // its global start offset and the [first, last] window span it lands
+    // in — the packed-pretraining shard layout.
+    "t_pack_windows" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), TextOps.tokenCount(col("text")).cast("bigint").as("n_tokens"))
+      graft.ops.SequencePacking.packWindows(
+        docs, col("n_tokens"), budget = 512L, col("doc_id"))
+        .df.select("doc_id", "n_tokens", "start_off", "first_win", "last_win")
+    }),
+
     // OVERLAPPING chunks (40-token window, 20-token stride — each token in
     // ≤2 chunks): the retrieval-context variant where boundary-spanning
     // content must appear whole in at least one chunk. Starts at 0, 20, …
@@ -1019,6 +1048,16 @@ object SparkEntry {
 
     "d_simhash_sigs" -> ((s, d) =>
       Dedup.simhashSignatures(t(s, d, "documents"), "doc_id", "text")),
+
+    // pair graph → dedup CLUSTERS: connected components over the MinHash
+    // LSH pairs (distributed min-label propagation), so transitive
+    // duplicates (A,B)+(B,C) collapse to one surviving representative.
+    // Exactly oracled: DuckDB regenerates the same pair graph and closes
+    // it with a recursive CTE.
+    "d_dup_clusters" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.dupClusters(Dedup.minhashLshPairs(docs, "doc_id", "text"), docs, "doc_id")
+    }),
 
     // ---- similarity search ----------------------------------------------
     "sim_cosine_pairs" -> ((s, d) =>
@@ -1515,6 +1554,15 @@ object SparkEntry {
         |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey GROUP BY 1""".stripMargin,
 
+    // the bloom pre-filter must be invisible in the answer — plain EXISTS
+    "j12_bloom_semi" ->
+      """SELECT l_returnflag, count(*) AS cnt,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_orderkey = l_orderkey AND o_orderpriority = '1-URGENT')
+        |GROUP BY 1""".stripMargin,
+
     "d_filter_pipeline" ->
       s"""WITH toks AS (
          |  SELECT doc_id, text,
@@ -1822,6 +1870,23 @@ object SparkEntry {
         |  END AS alpha_ratio
         |FROM documents""".stripMargin,
 
+    "t_pack_windows" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |         CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, n_tokens,
+        |         sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_off
+        |  FROM tk
+        |)
+        |SELECT doc_id, n_tokens,
+        |       CAST(end_off - n_tokens AS BIGINT) AS start_off,
+        |       CAST(floor((end_off - n_tokens) / 512.0) AS BIGINT) AS first_win,
+        |       CAST(CASE WHEN n_tokens > 0 THEN floor((end_off - 1) / 512.0)
+        |            ELSE floor((end_off - n_tokens) / 512.0) END AS BIGINT) AS last_win
+        |FROM c""".stripMargin,
+
     "t_lang_id" ->
       """WITH scored AS (
         |  SELECT lang AS actual_lang,
@@ -1889,6 +1954,9 @@ object SparkEntry {
     "d_embed_neardup" ->
       Similarity.rhpNearDupOracleSql("embeddings", "vec_id", "embedding",
         dim = 64, threshold = 0.45),
+
+    "d_dup_clusters" ->
+      Dedup.dupClustersOracleSql("documents", "doc_id", "text"),
 
     "sim_cosine_pairs" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)

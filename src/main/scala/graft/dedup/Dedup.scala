@@ -360,6 +360,115 @@ object Dedup {
     voted.select(col("doc_id"), sig.as("simhash"))
   }
 
+  /** Duplicate-cluster resolution: connected components over a near-dup
+    * PAIR graph. Pair generation (MinHash/SimHash/Jaccard) is only half of
+    * real corpus dedup — (A,B) and (B,C) pairs must collapse to ONE
+    * cluster {A,B,C} with one survivor, or transitive duplicates survive
+    * in the kept set. Returns every doc with its cluster representative
+    * (the minimum reachable doc id; singletons map to themselves).
+    *
+    * Distributed min-label propagation (the MapReduce-CC family of
+    * Kiveris et al., "Connected Components in MapReduce and Beyond"):
+    * each round every node takes the min label among itself and its
+    * neighbors — one join + one aggregation per round, converging in
+    * O(component diameter) rounds. Near-dup clusters are shallow (dups of
+    * a common source), so rounds stay small even at corpus scale; the
+    * driver sees only a one-row convergence aggregate per round, and
+    * `localCheckpoint` truncates the iterative lineage so plans don't
+    * deepen round over round.
+    */
+  def dupClusters(pairs: DataFrame, docs: DataFrame, idCol: String): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    // labels only ever DECREASE, so sum(label) strictly decreases while
+    // unconverged — a one-row agg is the cheapest exact convergence test
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum("label"), lit(0L))).head().getLong(0)
+    var prevSum = labelSum(labels)
+    var converged = edges.isEmpty
+    var rounds = 0
+    while (!converged) {
+      rounds += 1
+      require(rounds <= 64, "dupClusters: no convergence in 64 rounds (graph diameter?)")
+      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(edges("src").as("nid"))
+        .agg(min("label").as("nbr_label"))
+      val next = labels.as("l")
+        .join(nbrMin, col("l.id") === col("nid"), "left")
+        .select(col("l.id").as("id"),
+          least(col("l.label"), coalesce(col("nbr_label"), col("l.label"))).as("label"))
+        .localCheckpoint()
+      val s = labelSum(next)
+      converged = s == prevSum
+      prevSum = s
+      labels = next
+    }
+    edges.unpersist()
+    docs.select(col(idCol).as("doc_id"))
+      .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("rep_id"))
+  }
+
+  /** DuckDB oracle for `dupClusters` over the MinHash LSH pair graph:
+    * the [[minhashLshOracleSql]] CTE chain to regenerate the SAME pairs,
+    * then a recursive CTE computing min reachable id per node. UNION
+    * (not ALL) dedupes reachability rows so cycles terminate.
+    */
+  def dupClustersOracleSql(
+      table: String, idCol: String, textCol: String,
+      n: Int = 3, bands: Int = 8, rowsPerBand: Int = 4
+  ): String = {
+    val shingleExpr = (0 until n).map(j => s"t[i+$j]").mkString(" || ' ' || ")
+    val minAggs = (0 until bands * rowsPerBand).map { i =>
+      val a = 1L + 2L * i; val b = 7L + 131L * i
+      s"min((h0 * $a + $b) % $MinhashPrime) AS mh_$i"
+    }.mkString(",\n  ")
+    val bandSelects = (0 until bands).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => s"mh_$i").mkString(", ")
+      s"SELECT doc_id, $b AS band, concat_ws('_', $cols) AS bucket FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH RECURSIVE toks AS (
+       |  SELECT $idCol AS doc_id, list_filter(regexp_split_to_array(lower($textCol), '[^a-z]+'), x -> x <> '') AS t
+       |  FROM $table
+       |), sh AS (
+       |  SELECT DISTINCT doc_id, shingle FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len(t) - ${n - 2}),
+       |           i -> $shingleExpr)) AS shingle
+       |    FROM toks WHERE len(t) >= $n
+       |  )
+       |), h AS (
+       |  SELECT doc_id, CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) % $MinhashPrime AS h0
+       |  FROM sh
+       |), sig AS (
+       |  SELECT doc_id,
+       |  $minAggs
+       |  FROM h GROUP BY doc_id
+       |), banded AS (
+       |  $bandSelects
+       |), pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+       |), edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION
+       |  SELECT doc_b AS src, doc_a AS dst FROM pairs
+       |), reach AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+       |), rep AS (
+       |  SELECT src AS doc_id, least(src, min(dst)) AS rep_id FROM reach GROUP BY src
+       |)
+       |SELECT d.$idCol AS doc_id, COALESCE(rep.rep_id, d.$idCol) AS rep_id
+       |FROM $table d LEFT JOIN rep ON d.$idCol = rep.doc_id""".stripMargin
+  }
+
   /** SimHash near-dup pairs: hamming distance ≤ maxDist, candidate
     * generation via 4-way band blocking on 15-bit chunks. Pigeonhole: with
     * 4 chunks and ≤ 3 differing bits, at least ONE chunk matches exactly —

@@ -58,6 +58,10 @@ object Multimodal {
       validatedDirs.add(dir); return
     }
     java.nio.file.Files.createDirectories(p)
+    // invalidate FIRST: if the rewrite below is interrupted, a stale marker
+    // with a matching row count would let a later skipIfStaged run serve a
+    // partially-staged directory as valid
+    java.nio.file.Files.deleteIfExists(marker)
     // clear previous stagings: stale .bin files from an earlier (different)
     // dataset would otherwise come back as phantom rows
     val old = java.nio.file.Files.list(p)

@@ -42,6 +42,13 @@ object AsOfJoin {
     val leftCols = left.columns.toSeq
     require(!payload.exists(leftCols.contains),
       s"payload ${payload.mkString(",")} collides with a left column")
+    // the union/window machinery rides _asof_* working columns; an input
+    // already carrying one would be silently overwritten by withColumn and
+    // surface as corrupted output instead of an error
+    val working = Seq("_asof_k", "_asof_t", "_asof_side")
+    val clash = (leftCols ++ right.columns).filter(working.contains)
+    require(clash.isEmpty,
+      s"input columns ${clash.distinct.mkString(",")} collide with asof working columns")
     val l = left
       .withColumn("_asof_k", col(leftKey))
       .withColumn("_asof_t", col(leftTime))

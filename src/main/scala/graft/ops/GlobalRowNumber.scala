@@ -28,17 +28,33 @@ import org.apache.spark.sql.functions._
   */
 object GlobalRowNumber {
 
-  def withRowNumber(df: DataFrame, outCol: String, ord: Column*): DataFrame = {
+  /** Session-lifetime pin: the internal ranged frame stays persisted (the
+    * numbered frame depends on it; unpinning before the caller acts would
+    * re-execute the upstream twice). One-shot callers that materialize the
+    * result and are done should use [[withRowNumberReleasable]] and call
+    * the release hook afterwards.
+    */
+  def withRowNumber(df: DataFrame, outCol: String, ord: Column*): DataFrame =
+    withRowNumberReleasable(df, outCol, ord: _*)._1
+
+  /** Same numbering, plus an explicit release hook for the internal
+    * MEMORY_AND_DISK pin. Call it after materializing the numbered frame
+    * (write/count/cache) — later actions on the returned frame remain
+    * correct (they recompute), they just lose the pin's reuse.
+    */
+  def withRowNumberReleasable(
+      df: DataFrame, outCol: String, ord: Column*): (DataFrame, () => Unit) = {
     require(ord.nonEmpty, "withRowNumber needs at least one ordering column")
     val r = RangedCounts(df, ord)
     val offsets: Map[Int, Long] = (0 until r.parts).map(p => p -> r.cum(p)).toMap
     // P is O(shuffle.partitions) — a literal map lookup beats a join for
     // a per-row constant; no extra shuffle, stays inside codegen.
     val offsetCol = element_at(typedlit(offsets), col("_pid"))
-    r.df
+    val numbered = r.df
       .withColumn(outCol,
         row_number().over(Window.partitionBy("_pid").orderBy(ord: _*)).cast("long")
           + offsetCol)
       .drop("_pid")
+    (numbered, () => r.unpersist())
   }
 }

@@ -19,7 +19,16 @@ import org.apache.spark.sql.functions._
 private[ops] object RangedCounts {
 
   /** @param cum cumulative row counts: `cum(p)` = rows in partitions < p. */
-  final case class Ranged(df: DataFrame, parts: Int, counts: Map[Int, Long], cum: IndexedSeq[Long])
+  final case class Ranged(df: DataFrame, parts: Int, counts: Map[Int, Long], cum: IndexedSeq[Long]) {
+    /** Release the MEMORY_AND_DISK pin. Safe once the caller has
+      * materialized whatever it derived from `df` — a later action on a
+      * derived frame recomputes (correct, just unpinned). Operators that
+      * hand a derived frame to THEIR caller can't know when that is, so
+      * they either keep the pin for the session (documented) or expose a
+      * releasable variant that forwards this hook.
+      */
+    def unpersist(): Unit = { df.unpersist(); () }
+  }
 
   def apply(df: DataFrame, ord: Seq[Column], pidCol: String = "_pid"): Ranged = {
     require(ord.nonEmpty, "ranged counts need at least one ordering column")

@@ -53,13 +53,30 @@ object SkewOps {
     * |small| × saltBuckets rows — size the bucket count to the skew, not
     * higher. If the small side fits a broadcast, broadcast instead: no
     * shuffle at all beats a balanced shuffle.
+    *
+    * Salt caveat (same as contentSalt's): the default salt hashes EVERY
+    * big-side column, so rows of a hot key that are full duplicates all
+    * land in one salt bucket — skew relief degrades to nothing exactly in
+    * the worst case (a hot key of identical rows), though the answer stays
+    * correct. If the big side can contain duplicate rows, pass `saltCols`
+    * naming a unique id column (or any column set that distinguishes the
+    * duplicates); `monotonically_increasing_id()` is NOT a safe substitute
+    * — it changes on task retry and re-routes rows mid-shuffle
+    * (SPARK-23207-class double-count/drop).
+    *
+    * @param saltCols columns to content-hash for the salt; empty = all
+    *                 big-side columns.
     */
   def saltedJoin(
       big: DataFrame, small: DataFrame,
       bigKey: String, smallKey: String,
-      saltBuckets: Int = 16
+      saltBuckets: Int = 16,
+      saltCols: Seq[String] = Nil
   ): DataFrame = {
-    val b = big.withColumn("_salt_b", contentSalt(big, saltBuckets))
+    val saltSrc =
+      if (saltCols.isEmpty) contentSalt(big, saltBuckets)
+      else pmod(xxhash64(saltCols.map(col): _*), lit(saltBuckets.toLong))
+    val b = big.withColumn("_salt_b", saltSrc)
     val sm = small.withColumn("_salt_s",
       explode(sequence(lit(0L), lit(saltBuckets.toLong - 1L))))
     b.join(sm, b(bigKey) === sm(smallKey) && col("_salt_b") === col("_salt_s"))

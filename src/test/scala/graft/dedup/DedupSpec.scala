@@ -58,4 +58,33 @@ class DedupSpec extends SparkSpecBase {
       .collect().map(r => ((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")), r.getAs[Long]("hamming"))).toMap
     assert(p.get((1L, 2L)).contains(0L))
   }
+
+  test("dupClusters collapses a transitive chain to one representative") {
+    // pair graph: 1-2, 2-3 (chain), 5-6 (separate), 4 isolated
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val all = (1L to 6L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val reps = Dedup.dupClusters(pairs, all, "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("rep_id")).toMap
+    assert(reps(1L) == 1L && reps(2L) == 1L && reps(3L) == 1L)
+    assert(reps(5L) == 5L && reps(6L) == 5L)
+    assert(reps(4L) == 4L) // singleton maps to itself
+  }
+
+  test("dupClusters handles cycles and long chains (propagation, not one hop)") {
+    // 10-node path 1-2-...-10 plus a closing edge 10-1: diameter > 1 round
+    val edges = (1L until 10L).map(i => (i, i + 1)) :+ ((10L, 1L): (Long, Long))
+    val pairs = edges.toDF("doc_a", "doc_b")
+    val all = (1L to 10L).map(i => (i, "x")).toDF("doc_id", "text")
+    val reps = Dedup.dupClusters(pairs, all, "doc_id")
+      .collect().map(r => r.getAs[Long]("rep_id")).toSet
+    assert(reps == Set(1L))
+  }
+
+  test("dupClusters with no pairs maps every doc to itself") {
+    val pairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val all = (1L to 4L).map(i => (i, "x")).toDF("doc_id", "text")
+    val reps = Dedup.dupClusters(pairs, all, "doc_id").collect()
+    assert(reps.forall(r => r.getAs[Long]("doc_id") == r.getAs[Long]("rep_id")))
+    assert(reps.length == 4)
+  }
 }

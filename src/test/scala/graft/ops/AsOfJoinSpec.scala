@@ -65,4 +65,18 @@ class AsOfJoinSpec extends SparkSpecBase {
     assert(!tree.contains("NestedLoop"), tree)
     assert(!tree.contains("CartesianProduct"), tree)
   }
+
+  test("inputs carrying _asof_* working columns are rejected, not corrupted") {
+    import spark.implicits._
+    val poisonedLeft = trades.withColumnRenamed("tt", "_asof_t")
+    val e1 = intercept[IllegalArgumentException] {
+      AsOfJoin.backward(poisonedLeft, "tk", "_asof_t", quotes, "qk", "qt", Seq("px"))
+    }
+    assert(e1.getMessage.contains("_asof_t"))
+    val poisonedRight = quotes.withColumn("_asof_side", org.apache.spark.sql.functions.lit(9))
+    val e2 = intercept[IllegalArgumentException] {
+      AsOfJoin.backward(trades, "tk", "tt", poisonedRight, "qk", "qt", Seq("px"))
+    }
+    assert(e2.getMessage.contains("_asof_side"))
+  }
 }

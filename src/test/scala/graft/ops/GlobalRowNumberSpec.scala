@@ -49,4 +49,13 @@ class GlobalRowNumberSpec extends SparkSpecBase {
     // Exchange SinglePartition — the thing this operator exists to avoid
     assert(!p.contains("SinglePartition"), p)
   }
+
+  test("releasable variant: numbering correct, release unpins, frame stays usable") {
+    val (numbered, release) = GlobalRowNumber.withRowNumberReleasable(df, "rn", col("id"))
+    val before = numbered.select("id", "rn").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(before == (1L to 10L).map(i => i -> i).toMap)
+    release()
+    // post-release actions recompute instead of failing
+    assert(numbered.count() === 10L)
+  }
 }

@@ -52,4 +52,28 @@ class SkewOpsSpec extends SparkSpecBase {
       }
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("saltedJoin with explicit saltCols spreads full-duplicate hot rows and stays exact") {
+    import spark.implicits._
+    // hot key 1 with IDENTICAL payload rows: the default all-column content
+    // salt sends them all to one bucket; salting on the unique id spreads
+    // them — and the answer must equal the plain join either way
+    val big = (1L to 400L).map(i => (i, if (i <= 300) 1L else i % 7 + 2, "same"))
+      .toDF("row_id", "bk", "payload")
+    val small = (1L to 10L).map(k => (k, s"dim$k")).toDF("sk", "name")
+    val salted = SkewOps.saltedJoin(big, small, "bk", "sk",
+        saltBuckets = 8, saltCols = Seq("row_id"))
+      .groupBy("sk").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val plain = big.join(small, col("bk") === col("sk"))
+      .groupBy("sk").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+    assert(salted(1L) == 300L)
+    // the id salt actually spreads the hot key's identical rows
+    val salts = big.filter(col("bk") === 1L)
+      .select(pmod(xxhash64(col("row_id")), lit(8L)).as("s"))
+      .distinct().count()
+    assert(salts > 1, "unique-id salt should hit multiple buckets")
+  }
 }
