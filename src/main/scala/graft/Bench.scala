@@ -81,10 +81,29 @@ object Bench {
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "/root/repo/BENCH_DETAIL.json")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(detailPath),
-      s"""{"warmup_sec":${f(warmupSec)},"reps":$reps,"sf":"$sfDir","query_stats":$stats}"""
+      s"""{"warmup_sec":${f(warmupSec)},"reps":$reps,"sf":"$sfDir","medians":$qs,"query_stats":$stats}"""
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The driver keeps only the LAST ~2000 chars of stdout and parses the
+    // JSON line out of that tail; sbt's own "[success] Total time ..." epilog
+    // also lands inside it. 137 medians-only entries is ~3 KB — still over
+    // budget (r2 AND r3 both came back "parsed": null). So the stdout line
+    // carries the most expensive queries first (the ones a perf judgement
+    // needs), greedily packed under a hard byte budget; `value` remains the
+    // total over ALL queries, and the complete per-query map lives in
+    // BENCH_DETAIL.json which is committed to the repo.
+    val lineBudget = 1600 // leaves ~400 for sbt epilog + framing inside 2000
+    val ordered = medians.toSeq.sortBy { case (_, v) => -v }
+    val prefix = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":{"""
+    val suffix = s"""},"sf":"$sfDir"}"""
+    val fixed = prefix.length + suffix.length
+    val entries = scala.collection.mutable.ListBuffer[String]()
+    var used = fixed
+    ordered.foreach { case (k, v) =>
+      val e = "\"" + k + "\":" + f(v)
+      if (used + e.length + 1 <= lineBudget) { entries += e; used += e.length + 1 }
+    }
+    println(prefix + entries.mkString(",") + suffix)
     spark.stop()
   }
 }

@@ -146,7 +146,42 @@ object PlanAudit {
         |range repartition + per-partition windows + a literal map of
         |driver-side partition token totals (P longs). The naive
         |`sum().over(Window.orderBy(...))` would funnel the corpus through
-        |one task; this shape keeps packing fully parallel at 100 TB."""
+        |one task; this shape keeps packing fully parallel at 100 TB.""",
+    "sim_sq8_topk" ->
+      """The corpus is never shuffled at full width: one narrow projection
+        |computes int8 codes + integer self-dot per vector, the 10-query
+        |side broadcasts, and the rank<=k window rewrites to
+        |TopKPerKeyPartial/Final — the exchange carries k rows per
+        |(partition, query), not |corpus|×|queries|. The hot loop is exact
+        |integer arithmetic over 4×-compressed vectors.""",
+    "sim_pq_topk" ->
+      """Encode side: one broadcast of the (m×nCodes) codebook against the
+        |exploded corpus and a min_by AGGREGATE for the argmin (partial
+        |map-side, no window sort over |corpus|×nCodes rows). Score side:
+        |the ADC join touches m LUT rows per candidate — dim×4 bytes of
+        |vector read replaced by m codebook lookups. Top-k again rides the
+        |bounded-heap TopKPerKey rewrite.""",
+    "d_cluster_keep" ->
+      """The retention policy is ONE hash-aggregate over the labeled
+        |corpus: max_by(doc_id, (quality, -doc_id)) partial-aggregates
+        |map-side, so the exchange carries one candidate row per (partition,
+        |cluster) — no window sort, no per-cluster collect. Upstream, the
+        |label propagation itself is the iterated min-label join audited
+        |under d_dup_clusters.""",
+    "s13_zorder_stats" ->
+      """The z-value is pure bit arithmetic inside WholeStageCodegen — no
+        |UDF between the scan and the bucket stats. (The ntile here is the
+        |SQL-mirrorable verification harness and plans as a single-partition
+        |window; the PRODUCTION layout path is ZOrder.applyLayout =
+        |repartitionByRange(z) + sortWithinPartitions, which samples range
+        |boundaries and never funnels rows through one task — ZOrderSpec
+        |pins its per-partition bounding boxes.)""",
+    "sim_prefix_rerank" ->
+      """Stage 1's corpus-wide pass ranks on a 16-of-64-dim prefix cosine
+        |(with dimension-sliced storage, a 4× smaller scan); stage 2 reranks
+        |only k×overfetch candidates per query at full width. Both stages'
+        |rank<=k windows rewrite to TopKPerKey, so neither stage shuffles
+        |more than its k·queries candidate rows."""
   )
 
   private def streamingPlan(spark: SparkSession, sfDir: String): String = {

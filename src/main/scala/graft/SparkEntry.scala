@@ -4,7 +4,7 @@ import graft.core.Tables
 import graft.dedup.Dedup
 import graft.functions.VectorOps
 import graft.ops.{CohortOps, Recodes}
-import graft.sim.Similarity
+import graft.sim.{Quantized, Similarity}
 import graft.text.TextOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -215,6 +215,19 @@ object SparkEntry {
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sum_price"))
     }),
+
+    // Z-order (Morton) layout verification: bucket orders by the
+    // bit-interleaved (custkey-bucket, price-bucket) z-value and report
+    // each bucket's bounding box — narrow boxes on BOTH dims is the
+    // property that lets parquet min/max stats skip files for predicates
+    // on either dimension (ZOrder.applyLayout is the write-side twin).
+    "s13_zorder_stats" -> ((s, d) =>
+      graft.ops.ZOrder.layoutStats(
+        t(s, d, "orders"),
+        x = pmod(col("o_custkey"), lit(1024)),
+        y = least(floor(col("o_totalprice") / 1000.0), lit(1023.0)).cast("long"),
+        tie = col("o_orderkey"),
+        bits = 10, nBuckets = 16)),
 
     // Structured Streaming, oracled: the hourly windowed aggregation runs
     // as a REAL stream (file source → watermark → incremental state →
@@ -1092,6 +1105,41 @@ object SparkEntry {
     "d_embed_neardup" -> ((s, d) =>
       Similarity.rhpNearDupPairs(t(s, d, "embeddings"), "vec_id", "embedding",
         dim = 64, threshold = 0.45)),
+
+    // int8 scalar quantization: 4× smaller corpus, exact integer dots in
+    // the hot loop — ranking is hash-checked (the integer arithmetic makes
+    // the whole query bit-deterministic, unlike float-accumulation paths)
+    "sim_sq8_topk" -> ((s, d) =>
+      Quantized.sq8TopK(t(s, d, "embeddings"), "vec_id", "embedding",
+        nQueries = 10, k = 5)),
+
+    // product quantization + ADC: dim×4 bytes → m bytes per vector, m LUT
+    // lookups per candidate instead of a dim-length dot. Data-point
+    // codebook keeps encode/score exactly oracle-able.
+    "sim_pq_topk" -> ((s, d) =>
+      Quantized.pqTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+        dim = 64, m = 8, nCodes = 16, nQueries = 10, k = 5)),
+
+    // PQ ranking quality vs exact brute force as a hash-checked row
+    "sim_pq_recall" -> ((s, d) =>
+      Quantized.pqRecall(t(s, d, "embeddings"), "vec_id", "embedding",
+        dim = 64, m = 8, nCodes = 16, nQueries = 10, k = 5)),
+
+    // Matryoshka-style prefix search: corpus-wide pass reads only the
+    // first 16 of 64 dims, exact rerank touches k×overfetch rows per query
+    "sim_prefix_rerank" -> ((s, d) =>
+      Similarity.prefixRerankTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+        prefixDim = 16, nQueries = 10, k = 5, overfetch = 4)),
+
+    // retention policy on the dup-cluster graph: keep the best-quality
+    // member per cluster (longest text, tiebreak lowest id) — the final
+    // step of a dedup pass, one aggregate over the labeled corpus
+    "d_cluster_keep" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.clusterKeep(
+        Dedup.dupClusters(Dedup.minhashLshPairs(docs, "doc_id", "text"), docs, "doc_id"),
+        docs, "doc_id", "n_chars")
+    }),
 
     // ---- events / sessionization ----------------------------------------
     "ev_hour_agg" -> ((s, d) =>
@@ -2337,6 +2385,41 @@ object SparkEntry {
     "sim_ivf_recall" ->
       Similarity.ivfRecallOracleSql("embeddings", "vec_id", "embedding",
         dim = 64, k = 5, nprobe = 4, nPivots = 16, nQueries = 10),
+
+    "sim_sq8_topk" ->
+      Quantized.sq8TopKOracleSql("embeddings", "vec_id", "embedding",
+        dim = 64, nQueries = 10, k = 5),
+
+    "sim_pq_topk" ->
+      Quantized.pqTopKOracleSql("embeddings", "vec_id", "embedding",
+        dim = 64, m = 8, nCodes = 16, nQueries = 10, k = 5),
+
+    "sim_pq_recall" ->
+      Quantized.pqRecallOracleSql("embeddings", "vec_id", "embedding",
+        dim = 64, m = 8, nCodes = 16, nQueries = 10, k = 5),
+
+    "sim_prefix_rerank" ->
+      Similarity.prefixRerankOracleSql("embeddings", "vec_id", "embedding",
+        dim = 64, prefixDim = 16, nQueries = 10, k = 5, overfetch = 4),
+
+    "d_cluster_keep" ->
+      Dedup.clusterKeepOracleSql("documents", "doc_id", "text", "n_chars"),
+
+    "s13_zorder_stats" ->
+      s"""WITH b AS (
+         |  SELECT o_custkey % 1024 AS x,
+         |         CAST(least(floor(o_totalprice / 1000.0), 1023.0) AS BIGINT) AS y,
+         |         o_orderkey AS tie
+         |  FROM orders
+         |), z AS (
+         |  SELECT x, y, tie, ${graft.ops.ZOrder.zValueSql("x", "y", 10)} AS zv FROM b
+         |), nt AS (
+         |  SELECT x, y, ntile(16) OVER (ORDER BY zv, tie) AS bucket FROM z
+         |)
+         |SELECT bucket, count(*) AS n,
+         |       min(x) AS min_x, max(x) AS max_x,
+         |       min(y) AS min_y, max(y) AS max_y
+         |FROM nt GROUP BY 1""".stripMargin,
 
     // Pearson chi2 per one-hot feature. Unlike ml_chi2 (whose Spark side
     // also sums only observed cells), ml.stat.ChiSquareTest sums over the

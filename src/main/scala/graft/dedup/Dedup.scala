@@ -414,14 +414,15 @@ object Dedup {
       .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("rep_id"))
   }
 
-  /** DuckDB oracle for `dupClusters` over the MinHash LSH pair graph:
-    * the [[minhashLshOracleSql]] CTE chain to regenerate the SAME pairs,
-    * then a recursive CTE computing min reachable id per node. UNION
-    * (not ALL) dedupes reachability rows so cycles terminate.
+  /** The shared recursive-CTE chain for cluster oracles: regenerates the
+    * MinHash LSH pair graph ([[minhashLshOracleSql]]'s CTEs), closes it
+    * with a recursive reachability CTE, and ends with a `lab` CTE of
+    * `(doc_id, rep_id)` for EVERY document (singletons are their own
+    * rep). UNION (not ALL) dedupes reachability rows so cycles terminate.
     */
-  def dupClustersOracleSql(
+  private def dupClustersCtes(
       table: String, idCol: String, textCol: String,
-      n: Int = 3, bands: Int = 8, rowsPerBand: Int = 4
+      n: Int, bands: Int, rowsPerBand: Int
   ): String = {
     val shingleExpr = (0 until n).map(j => s"t[i+$j]").mkString(" || ' ' || ")
     val minAggs = (0 until bands * rowsPerBand).map { i =>
@@ -464,10 +465,55 @@ object Dedup {
        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
        |), rep AS (
        |  SELECT src AS doc_id, least(src, min(dst)) AS rep_id FROM reach GROUP BY src
-       |)
-       |SELECT d.$idCol AS doc_id, COALESCE(rep.rep_id, d.$idCol) AS rep_id
-       |FROM $table d LEFT JOIN rep ON d.$idCol = rep.doc_id""".stripMargin
+       |), lab AS (
+       |  SELECT d.$idCol AS doc_id, COALESCE(rep.rep_id, d.$idCol) AS rep_id
+       |  FROM $table d LEFT JOIN rep ON d.$idCol = rep.doc_id
+       |)""".stripMargin
   }
+
+  /** DuckDB oracle for `dupClusters`: the shared cluster CTE chain,
+    * emitting the per-document `(doc_id, rep_id)` labeling.
+    */
+  def dupClustersOracleSql(
+      table: String, idCol: String, textCol: String,
+      n: Int = 3, bands: Int = 8, rowsPerBand: Int = 4
+  ): String =
+    s"""${dupClustersCtes(table, idCol, textCol, n, bands, rowsPerBand)}
+       |SELECT doc_id, rep_id FROM lab""".stripMargin
+
+  /** Retention policy over dup clusters: keep ONE representative per
+    * cluster — the member with the highest `qualityCol` (tiebreak lowest
+    * id), the standard "keep best copy" rule of a training-data dedup
+    * pass. Input is `dupClusters` output (`doc_id`, `rep_id`) so the
+    * component labeling is computed once and reused; the argmax is an
+    * aggregate (`max_by` partial-aggregates map-side), never a window
+    * sort over the full corpus. Output: one row per cluster —
+    * `(cluster_id, keep_id, best_quality, n_members)`.
+    */
+  def clusterKeep(clusters: DataFrame, docs: DataFrame,
+                  idCol: String, qualityCol: String): DataFrame =
+    clusters
+      .join(docs.select(col(idCol).as("doc_id"), col(qualityCol)), Seq("doc_id"))
+      .groupBy(col("rep_id").as("cluster_id"))
+      .agg(
+        max_by(col("doc_id"), struct(col(qualityCol), -col("doc_id"))).as("keep_id"),
+        max(col(qualityCol)).as("best_quality"),
+        count(lit(1)).as("n_members"))
+
+  /** DuckDB mirror of [[clusterKeep]] over the same regenerated cluster
+    * labeling (shared CTE chain with [[dupClustersOracleSql]]).
+    */
+  def clusterKeepOracleSql(
+      table: String, idCol: String, textCol: String, qualityCol: String,
+      n: Int = 3, bands: Int = 8, rowsPerBand: Int = 4
+  ): String =
+    s"""${dupClustersCtes(table, idCol, textCol, n, bands, rowsPerBand)}
+       |SELECT lab.rep_id AS cluster_id,
+       |  first(lab.doc_id ORDER BY d.$qualityCol DESC, lab.doc_id ASC) AS keep_id,
+       |  max(d.$qualityCol) AS best_quality,
+       |  count(*) AS n_members
+       |FROM lab JOIN $table d ON lab.doc_id = d.$idCol
+       |GROUP BY 1""".stripMargin
 
   /** SimHash near-dup pairs: hamming distance ≤ maxDist, candidate
     * generation via 4-way band blocking on 15-bit chunks. Pigeonhole: with

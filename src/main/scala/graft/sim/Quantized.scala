@@ -1,0 +1,274 @@
+package graft.sim
+
+import graft.functions.VectorOps
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Compressed-vector similarity search: the memory/bandwidth path for ANN
+  * at 100 TB scale. Two standard compressions, both engine-exact:
+  *
+  *   - '''SQ8 (scalar quantization)''': each vector is stored as int8-range
+  *     codes plus one per-vector scale. Cosine over the integer codes is
+  *     scale-free (the per-vector scales cancel), so ranking quality is
+  *     close to float while the corpus shrinks 4× and the hot inner loop
+  *     becomes exact INTEGER arithmetic — which also makes the whole query
+  *     bit-deterministic and DuckDB-oracle-able (no float-summation-order
+  *     luck anywhere: integer dots are exact, and the one double division
+  *     per pair is a fixed-shape scalar expression).
+  *
+  *   - '''PQ (product quantization)''': the vector is split into `m`
+  *     subspaces; each sub-vector is replaced by the id of its nearest
+  *     codeword. A query is answered via ADC (asymmetric distance
+  *     computation): precompute the m×nCodes lookup table of
+  *     dot(query-sub, codeword) once per query, then score every corpus
+  *     vector with m table lookups instead of a dim-length dot product.
+  *     Corpus storage drops from dim×4 bytes to m bytes. Codewords here
+  *     are deterministic DATA POINTS (`id < nCodes`, like `ivfRecall`'s
+  *     pivots), so encoding, LUT, and ranking are all exactly mirrorable
+  *     in SQL — a k-means codebook would train better centroids but would
+  *     make the query model-internal and un-oracle-able.
+  *
+  * Scale shape: both paths are one narrow projection over the corpus (no
+  * shuffle to build codes), a broadcast of the tiny query/codebook side,
+  * and a per-query top-k window over candidates — the corpus is never
+  * shuffled. The ADC join carries `m` rows per (query, vector) and
+  * partial-aggregates map-side before the (query_id, vid) shuffle.
+  *
+  * Reference anchor: the reference's only similarity surface is dense
+  * sklearn math (`Hap880_Final_Project.py:313-315` vectorizes then fits);
+  * these operators are the beyond-reference extension of SURVEY §7.6.
+  */
+object Quantized {
+
+  /** (id, e: double[], scale: max|x|) projection. `scale` is an
+    * order-independent max, so it is bit-identical on any engine.
+    */
+  private def scaled(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    emb.select(
+      col(idCol).as("vid"),
+      transform(col(vecCol), x => x.cast("double")).as("e"))
+      .withColumn("scale",
+        aggregate(col("e"), lit(0.0), (acc, x) => greatest(acc, abs(x))))
+
+  /** int8-range codes: round(x * 127 / scale); all-zero for a zero vector.
+    * The multiply-then-divide order matches the oracle SQL exactly.
+    */
+  private def sq8Codes(e: Column, scale: Column): Column =
+    when(scale === 0.0, transform(e, _ => lit(0L)))
+      .otherwise(transform(e, x => round((x * 127.0) / scale).cast("long")))
+
+  /** Exact integer dot product, left-to-right (order-exact by construction). */
+  private def intDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Top-k by quantized cosine for queries `id < nQueries`. Output:
+    * (query_id, neighbor_id, qcos, rank). `qcos` is the cosine of the
+    * integer code vectors — the per-vector scales cancel, so it
+    * approximates the float cosine to within quantization error while
+    * every compared quantity is exact.
+    */
+  def sq8TopK(emb: DataFrame, idCol: String, vecCol: String,
+              nQueries: Int, k: Int): DataFrame = {
+    val codes = scaled(emb, idCol, vecCol)
+      .select(col("vid"), sq8Codes(col("e"), col("scale")).as("q"))
+      .withColumn("qq", intDot(col("q"), col("q")))
+    val queries = codes.filter(col("vid") < nQueries)
+      .select(col("vid").as("query_id"), col("q").as("qa"), col("qq").as("qaa"))
+    val scoredW = Window.partitionBy("query_id").orderBy(desc("qcos"), asc("vid"))
+    codes
+      .join(broadcast(queries), col("query_id") =!= col("vid"))
+      .withColumn("qcos",
+        when(col("qaa") === 0L || col("qq") === 0L, lit(null))
+          .otherwise(intDot(col("qa"), col("q")).cast("double") /
+            (sqrt(col("qaa").cast("double")) * sqrt(col("qq").cast("double")))))
+      .withColumn("rank", row_number().over(scoredW))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vid").as("neighbor_id"), col("qcos"), col("rank"))
+  }
+
+  /** DuckDB mirror of [[sq8TopK]]: same scale, same rounding, same exact
+    * integer dots, same NULLS LAST ranking tiebreaks.
+    */
+  def sq8TopKOracleSql(table: String, idCol: String, vecCol: String,
+                       dim: Int, nQueries: Int, k: Int): String = {
+    def idot(a: String, b: String): String =
+      s"list_sum(list_transform(range(1, ${dim + 1}), i -> $a[i] * $b[i]))"
+    s"""WITH v AS (
+       |  SELECT $idCol AS vid, CAST($vecCol AS DOUBLE[]) AS e,
+       |         list_max(list_transform(CAST($vecCol AS DOUBLE[]), x -> abs(x))) AS scale
+       |  FROM $table
+       |), qv AS (
+       |  SELECT vid,
+       |    CASE WHEN scale = 0 THEN list_transform(e, x -> CAST(0 AS BIGINT))
+       |         ELSE list_transform(e, x -> CAST(round((x * 127.0) / scale) AS BIGINT)) END AS q
+       |  FROM v
+       |), n AS (
+       |  SELECT vid, q, ${idot("q", "q")} AS qq FROM qv
+       |)
+       |SELECT query_id, neighbor_id, qcos, rank FROM (
+       |  SELECT a.vid AS query_id, b.vid AS neighbor_id,
+       |    CASE WHEN a.qq = 0 OR b.qq = 0 THEN NULL
+       |         ELSE CAST(${idot("a.q", "b.q")} AS DOUBLE) /
+       |              (sqrt(CAST(a.qq AS DOUBLE)) * sqrt(CAST(b.qq AS DOUBLE))) END AS qcos,
+       |    row_number() OVER (PARTITION BY a.vid ORDER BY
+       |      CASE WHEN a.qq = 0 OR b.qq = 0 THEN NULL
+       |           ELSE CAST(${idot("a.q", "b.q")} AS DOUBLE) /
+       |                (sqrt(CAST(a.qq AS DOUBLE)) * sqrt(CAST(b.qq AS DOUBLE))) END
+       |      DESC NULLS LAST, b.vid ASC) AS rank
+       |  FROM n a JOIN n b ON a.vid < $nQueries AND a.vid <> b.vid
+       |) WHERE rank <= $k""".stripMargin
+  }
+
+  /** One row per (id, subspace j): the j-th sub-vector. */
+  private def subRows(df: DataFrame, id: String, m: Int, subDim: Int): DataFrame =
+    df.select(col(id),
+      posexplode(array((0 until m).map(j => slice(col("e"), j * subDim + 1, subDim)): _*))
+        .as(Seq("j", "sv")))
+
+  private def foldDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  private def foldDist2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+
+  /** PQ-ADC top-k. Codebook = sub-vectors of the first `nCodes` data
+    * points; corpus vectors are encoded as `m` nearest-codeword ids
+    * (L2², tiebreak lowest code id); queries score candidates by summing
+    * the per-subspace LUT entries in subspace order (an ordered fold, so
+    * the double accumulation order is pinned and engine-comparable).
+    * Output: (query_id, neighbor_id, adc, rank) — `adc` approximates
+    * dot(query, neighbor).
+    */
+  def pqTopK(emb: DataFrame, idCol: String, vecCol: String,
+             dim: Int, m: Int, nCodes: Int, nQueries: Int, k: Int): DataFrame = {
+    require(dim % m == 0, s"pqTopK: dim=$dim not divisible by m=$m")
+    val subDim = dim / m
+    val embD = emb.select(
+      col(idCol).as("vid"),
+      transform(col(vecCol), x => x.cast("double")).as("e"))
+    val pivots = subRows(embD.filter(col("vid") < nCodes), "vid", m, subDim)
+      .select(col("vid").cast("int").as("c"), col("j"), col("sv").as("pv"))
+    // encode: one broadcast of the (m × nCodes) codebook against the
+    // exploded corpus; the argmin is an aggregate (min_by partial-aggregates
+    // map-side), never a window sort over |corpus|×nCodes rows
+    val codes = subRows(embD, "vid", m, subDim)
+      .join(broadcast(pivots), Seq("j"))
+      .withColumn("d2", foldDist2(col("sv"), col("pv")))
+      .groupBy(col("vid"), col("j"))
+      .agg(min_by(col("c"), struct(col("d2"), col("c"))).as("code"))
+    val lut = subRows(embD.filter(col("vid") < nQueries), "vid", m, subDim)
+      .withColumnRenamed("vid", "query_id")
+      .join(broadcast(pivots), Seq("j"))
+      .withColumn("part", foldDot(col("sv"), col("pv")))
+      .select(col("query_id"), col("j"), col("c"), col("part"))
+    // ADC: m LUT rows per (query, vector); the per-pair sum is an ORDERED
+    // fold over subspace id so both engines accumulate doubles identically
+    // (a plain SUM's accumulation order is shuffle-dependent)
+    val scoredW = Window.partitionBy("query_id").orderBy(desc("adc"), asc("vid"))
+    codes
+      .join(broadcast(lut),
+        codes("j") === lut("j") && codes("code") === lut("c"))
+      .groupBy(col("query_id"), col("vid"))
+      .agg(aggregate(
+        array_sort(collect_list(struct(codes("j"), col("part")))),
+        lit(0.0), (acc, s) => acc + s.getField("part")).as("adc"))
+      .filter(col("query_id") =!= col("vid"))
+      .withColumn("rank", row_number().over(scoredW))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vid").as("neighbor_id"), col("adc"), col("rank"))
+  }
+
+  private def pqCtes(table: String, idCol: String, vecCol: String,
+                     dim: Int, m: Int, nCodes: Int, nQueries: Int): String = {
+    val subDim = dim / m
+    def subDot(a: String, b: String): String =
+      s"list_sum(list_transform(range(1, ${subDim + 1}), i -> $a[i] * $b[i]))"
+    val subD2 =
+      s"list_sum(list_transform(range(1, ${subDim + 1}), i -> (s.sv[i] - p.pv[i]) * (s.sv[i] - p.pv[i])))"
+    s"""v AS (SELECT $idCol AS vid, CAST($vecCol AS DOUBLE[]) AS e FROM $table),
+       |sub AS (
+       |  SELECT vid, j, list_transform(range(1, ${subDim + 1}), i -> e[j * $subDim + i]) AS sv
+       |  FROM v CROSS JOIN (SELECT unnest(range(0, $m)) AS j)
+       |),
+       |piv AS (SELECT CAST(vid AS INTEGER) AS c, j, sv AS pv FROM sub WHERE vid < $nCodes),
+       |codes AS (
+       |  SELECT vid, j, c AS code FROM (
+       |    SELECT s.vid, s.j, p.c,
+       |      row_number() OVER (PARTITION BY s.vid, s.j ORDER BY $subD2 ASC, p.c ASC) AS rn
+       |    FROM sub s JOIN piv p USING (j)) WHERE rn = 1
+       |),
+       |lut AS (
+       |  SELECT s.vid AS query_id, s.j, p.c, ${subDot("s.sv", "p.pv")} AS part
+       |  FROM sub s JOIN piv p USING (j) WHERE s.vid < $nQueries
+       |),
+       |adc AS (
+       |  SELECT l.query_id, cd.vid AS neighbor_id, list_sum(list(l.part ORDER BY l.j)) AS adc
+       |  FROM codes cd JOIN lut l ON cd.j = l.j AND cd.code = l.c
+       |  GROUP BY 1, 2
+       |)""".stripMargin
+  }
+
+  /** DuckDB mirror of [[pqTopK]] — same data-point codebook, same argmin
+    * tiebreaks, same subspace-ordered double accumulation.
+    */
+  def pqTopKOracleSql(table: String, idCol: String, vecCol: String,
+                      dim: Int, m: Int, nCodes: Int, nQueries: Int, k: Int): String =
+    s"""WITH ${pqCtes(table, idCol, vecCol, dim, m, nCodes, nQueries)}
+       |SELECT query_id, neighbor_id, adc, rank FROM (
+       |  SELECT query_id, neighbor_id, adc,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adc DESC NULLS LAST, neighbor_id ASC) AS rank
+       |  FROM adc WHERE query_id <> neighbor_id
+       |) WHERE rank <= $k""".stripMargin
+
+  /** Recall@k of the PQ path against exact brute force, one hash-checked
+    * `(query_id, n_hits)` row per query — pins ADC ranking quality as
+    * data, the same shape as `Similarity.ivfRecall`.
+    */
+  def pqRecall(emb: DataFrame, idCol: String, vecCol: String,
+               dim: Int, m: Int, nCodes: Int, nQueries: Int, k: Int): DataFrame = {
+    val embD = emb.select(
+      col(idCol), transform(col(vecCol), x => x.cast("double")).as(vecCol))
+    val queries = embD.filter(col(idCol) < nQueries)
+    val pq = pqTopK(embD, idCol, vecCol, dim, m, nCodes, nQueries, k)
+    val bf = Similarity.bruteForceTopK(embD, queries, idCol, vecCol, k)
+    val hits = bf.select("query_id", "neighbor_id")
+      .join(pq.select("query_id", "neighbor_id"), Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    queries.select(col(idCol).as("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+  }
+
+  /** DuckDB mirror of [[pqRecall]]. */
+  def pqRecallOracleSql(table: String, idCol: String, vecCol: String,
+                        dim: Int, m: Int, nCodes: Int, nQueries: Int, k: Int): String = {
+    def dotSql(a: String, b: String): String =
+      s"list_sum(list_transform(range(1, ${dim + 1}), i -> $a[i] * $b[i]))"
+    def cosSql(a: String, b: String): String =
+      s"CASE WHEN sqrt(${dotSql(a, a)}) = 0 OR sqrt(${dotSql(b, b)}) = 0 THEN NULL " +
+        s"ELSE ${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})) END"
+    s"""WITH ${pqCtes(table, idCol, vecCol, dim, m, nCodes, nQueries)},
+       |pq AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY adc DESC NULLS LAST, neighbor_id ASC) AS rank
+       |    FROM adc WHERE query_id <> neighbor_id) WHERE rank <= $k
+       |),
+       |q AS (SELECT vid AS query_id, e AS qe FROM v WHERE vid < $nQueries),
+       |bf AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.query_id, c.vid AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY ${cosSql("q.qe", "c.e")} DESC NULLS LAST, c.vid ASC) AS rank
+       |    FROM v c, q WHERE q.query_id <> c.vid) WHERE rank <= $k
+       |)
+       |SELECT q.query_id, CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hits
+       |FROM q LEFT JOIN (
+       |  SELECT bf.query_id, count(*) AS n
+       |  FROM bf JOIN pq ON bf.query_id = pq.query_id AND bf.neighbor_id = pq.neighbor_id
+       |  GROUP BY 1) h ON q.query_id = h.query_id""".stripMargin
+  }
+}

@@ -87,4 +87,17 @@ class DedupSpec extends SparkSpecBase {
     assert(reps.forall(r => r.getAs[Long]("doc_id") == r.getAs[Long]("rep_id")))
     assert(reps.length == 4)
   }
+
+  test("clusterKeep keeps the best-quality member, lowest id on ties") {
+    // cluster rep 1 = {1,2,3} with qualities 5,9,9 → keep 2 (tie 2 < 3);
+    // singleton 4 keeps itself
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L)).toDF("doc_id", "rep_id")
+    val docs = Seq((1L, 5L), (2L, 9L), (3L, 9L), (4L, 7L)).toDF("doc_id", "n_chars")
+    val kept = Dedup.clusterKeep(clusters, docs, "doc_id", "n_chars")
+      .collect().map(r => r.getAs[Long]("cluster_id") ->
+        ((r.getAs[Long]("keep_id"), r.getAs[Long]("best_quality"), r.getAs[Long]("n_members")))).toMap
+    assert(kept(1L) == ((2L, 9L, 3L)))
+    assert(kept(4L) == ((4L, 7L, 1L)))
+    assert(kept.size == 2)
+  }
 }

@@ -1,0 +1,71 @@
+package graft.sim
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class QuantizedSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // 4-dim corpus: id 0/1 nearly parallel, 2 orthogonal, 3 opposite, 4 zero
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+    (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+    (3L, Array(-1.0f, 0.0f, 0.0f, 0.0f)),
+    (4L, Array(0.0f, 0.0f, 0.0f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("sq8TopK ranks like float cosine on well-separated vectors") {
+    val out = Quantized.sq8TopK(vecs, "vec_id", "embedding", nQueries = 1, k = 3)
+      .collect().sortBy(_.getAs[Int]("rank"))
+    assert(out.map(_.getAs[Long]("query_id")).forall(_ == 0L))
+    assert(out.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(1L, 2L, 3L))
+    // parallel ≈ 1, orthogonal = 0, opposite = -1 survive quantization
+    assert(math.abs(out(0).getAs[Double]("qcos") - 1.0) < 0.02)
+    assert(math.abs(out(1).getAs[Double]("qcos")) < 1e-12)
+    assert(math.abs(out(2).getAs[Double]("qcos") + 1.0) < 1e-12)
+  }
+
+  test("sq8TopK: zero vector ranks last (null qcos) and never NPEs") {
+    val out = Quantized.sq8TopK(vecs, "vec_id", "embedding", nQueries = 1, k = 4)
+      .collect().sortBy(_.getAs[Int]("rank"))
+    assert(out.length == 4)
+    assert(out(3).getAs[Long]("neighbor_id") == 4L)
+    assert(out(3).isNullAt(out(3).fieldIndex("qcos")))
+  }
+
+  test("pqTopK with codebook = corpus reproduces exact dot ranking") {
+    // nCodes covers every vector, so each sub-vector encodes to itself and
+    // ADC degenerates to the exact dot product — ranking must match brute
+    // force by dot (all norms here are ~1 except the zero vector)
+    val out = Quantized.pqTopK(vecs, "vec_id", "embedding",
+      dim = 4, m = 2, nCodes = 5, nQueries = 1, k = 4)
+      .collect().sortBy(_.getAs[Int]("rank"))
+    // dots vs query 0: v1=0.9, v2=0.0, v4=0.0 (tie broken by id), v3=-1.0
+    assert(out.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(1L, 2L, 4L, 3L))
+    assert(math.abs(out(0).getAs[Double]("adc") - 0.9) < 1e-6) // 0.9f widened
+    assert(math.abs(out(1).getAs[Double]("adc")) < 1e-12)
+    assert(math.abs(out(3).getAs[Double]("adc") + 1.0) < 1e-12)
+  }
+
+  test("pqRecall is k for a self-coding codebook, and bounded by k always") {
+    val full = Quantized.pqRecall(vecs, "vec_id", "embedding",
+      dim = 4, m = 2, nCodes = 5, nQueries = 1, k = 2)
+      .collect()
+    assert(full.length == 1 && full(0).getAs[Long]("n_hits") == 2L)
+    val coarse = Quantized.pqRecall(vecs, "vec_id", "embedding",
+      dim = 4, m = 2, nCodes = 2, nQueries = 2, k = 2)
+      .collect()
+    assert(coarse.length == 2)
+    assert(coarse.forall { r =>
+      val h = r.getAs[Long]("n_hits"); h >= 0L && h <= 2L
+    })
+  }
+
+  test("pqTopK rejects dim not divisible by m") {
+    intercept[IllegalArgumentException] {
+      Quantized.pqTopK(vecs, "vec_id", "embedding",
+        dim = 4, m = 3, nCodes = 2, nQueries = 1, k = 1)
+    }
+  }
+}

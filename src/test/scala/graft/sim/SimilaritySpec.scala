@@ -98,4 +98,26 @@ class SimilaritySpec extends SparkSpecBase {
     assert(out.nonEmpty)
     assert(out.forall(_.getAs[Long]("neighbor_id") != 0L))
   }
+
+  test("prefixRerankTopK reranks prefix candidates by full cosine") {
+    // query 0 = (1,0,0); vec 9 has a perfect 2-dim PREFIX match but a huge
+    // third component, so stage 1 ranks it first and the full-dim rerank
+    // must demote it below vec 1
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (9L, Array(1.0f, 0.0f, 5.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.prefixRerankTopK(df, "vec_id", "embedding",
+      prefixDim = 2, nQueries = 1, k = 2, overfetch = 2)
+      .collect().sortBy(_.getAs[Int]("rank"))
+    assert(out.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(1L, 9L))
+    // and the candidate cut is real: with overfetch=1 (k×1=2 candidates by
+    // prefix: vecs 9 and 1), vec 2 can never appear
+    val tight = Similarity.prefixRerankTopK(df, "vec_id", "embedding",
+      prefixDim = 2, nQueries = 1, k = 2, overfetch = 1)
+      .collect().map(_.getAs[Long]("neighbor_id")).toSet
+    assert(tight == Set(1L, 9L))
+  }
 }
