@@ -1496,8 +1496,125 @@ object SparkEntry {
         .groupBy("label").agg(count(lit(1)).as("cnt"))
         .withColumn("strategy", lit("nearmiss"))
       sm.unionByName(nm)
-    })
+    }),
+
+    // ---- drift monitoring: is the current slice distributed like the
+    // reference slice? The per-refresh gate of a production pipeline ----
+    "drift_psi" -> ((s, d) =>
+      graft.ops.DriftOps.psiBins(
+        t(s, d, "orders"),
+        isRef = permilleHash(col("o_orderkey"), ":dr42") < 500,
+        bin = least(floor(col("o_totalprice") / 60000), lit(9L)))),
+
+    "drift_ks" -> ((s, d) =>
+      graft.ops.DriftOps.ks(
+        t(s, d, "orders"),
+        value = col("o_totalprice"),
+        isRef = permilleHash(col("o_orderkey"), ":dr42") < 500)),
+
+    // ---- feature engineering beyond one-hot: the transforms that keep
+    // working when the category set is unbounded ----
+    "fe_target_encode" -> ((s, d) =>
+      graft.ml.TargetEncoding.encode(
+        t(s, d, "orders"), "o_orderpriority",
+        label = col("o_orderstatus") === "F", alpha = 20.0)),
+
+    "fe_target_loo" -> ((s, d) =>
+      graft.ml.TargetEncoding.looEncode(
+          t(s, d, "orders").select("o_orderkey", "o_orderpriority", "o_orderstatus"),
+          "o_orderpriority",
+          label = col("o_orderstatus") === "F", alpha = 20.0)
+        .select("o_orderkey", "o_orderpriority", "cnt", "pos", "loo_encoding")),
+
+    "fe_feature_hash" -> ((s, d) =>
+      graft.ml.FeatureHashing.hashedFeatures(
+        t(s, d, "customer"), "c_custkey",
+        cats = Seq("c_mktsegment", "c_nationkey"), buckets = 32)),
+
+    // leakage-safe grouped split: the ENTITY (customer ≙ patient) is
+    // assigned to a split, so no entity's rows straddle train/test —
+    // the readmission-modeling must-have the reference's random
+    // train_test_split silently violates
+    "fe_group_split" -> ((s, d) => {
+      val cust = t(s, d, "customer").select(
+        col("c_custkey"),
+        when(permilleHash(col("c_custkey"), ":gs42") < 800, "train")
+          .otherwise("test").as("part"))
+      t(s, d, "orders")
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy("part")
+        .agg(
+          countDistinct(col("o_custkey")).as("n_customers"),
+          count(lit(1)).as("n_orders"),
+          sum(when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)).as("n_urgent"))
+    }),
+
+    // ---- incremental-table maintenance: SCD2 history + CDC upsert ----
+    "scd2_merge" -> ((s, d) => {
+      graft.ops.MergeOps.scd2(
+          scd2Snapshots(s, d), "o_orderkey", "ts", tracked = Seq("o_orderstatus"))
+        .select("o_orderkey", "o_orderstatus", "valid_from", "valid_to", "is_current")
+    }),
+
+    "merge_upsert" -> ((s, d) => {
+      val base = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderdate").as("ts"), col("o_orderstatus"))
+      val upd = t(s, d, "orders")
+        .filter(permilleHash(col("o_orderkey"), ":up42") < 100)
+        .select(col("o_orderkey"),
+          (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("ts"),
+          lit("X").as("o_orderstatus"))
+      graft.ops.MergeOps.upsertLatest(
+          base.unionByName(upd), "o_orderkey", "ts", tie = "o_orderstatus")
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("cnt"))
+    }),
+
+    // compaction roundtrip: many-small-files slice → Sinks.compact →
+    // read-back must aggregate identically to the source (and the file
+    // count drops to the target — asserted in SinksSpec)
+    "s13_compact_roundtrip" -> ((s, d) => {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_s13_${new java.io.File(d).getName}"
+      t(s, d, "orders")
+        .filter(permilleHash(col("o_orderkey"), ":cp42") < 200)
+        .repartition(16) // simulate incremental small-file buildup
+        .write.mode("overwrite").parquet(s"$base/small")
+      graft.core.Sinks.compact(s, s"$base/small", 2, s"$base/compacted")
+      s.read.parquet(s"$base/compacted")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sum_price"))
+    }),
+
+    // corpus-level LM quality score (perplexity filter)
+    "t_bigram_lm" -> ((s, d) =>
+      graft.text.BigramLm.docScores(
+        t(s, d, "documents"), "doc_id", "text", minCount = 3L)),
+
+    // exact decimal-accumulated Pearson correlations — reproducible
+    // data-card statistics (builtin corr is merge-order-dependent)
+    "a11_corr" -> ((s, d) =>
+      graft.ops.StatsOps.corrPairs(
+        t(s, d, "lineitem"), Seq("l_quantity", "l_extendedprice", "l_discount")))
   )
+
+  /** Shared input for the SCD2 query and its oracle: base snapshot ∪ a
+    * status-changing update wave (+30 days, hash-selected 10%) ∪ a
+    * NO-change wave (+60 days, next 10%) that the merge must collapse.
+    */
+  private def scd2Snapshots(s: SparkSession, d: String): DataFrame = {
+    val orders = t(s, d, "orders")
+    val h = permilleHash(col("o_orderkey"), ":up42")
+    val base = orders
+      .select(col("o_orderkey"), col("o_orderdate").as("ts"), col("o_orderstatus"))
+    val changed = orders.filter(h < 100)
+      .select(col("o_orderkey"),
+        (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("ts"),
+        lit("X").as("o_orderstatus"))
+    val unchanged = orders.filter(h >= 100 && h < 200)
+      .select(col("o_orderkey"),
+        (col("o_orderdate") + expr("INTERVAL 60 DAYS")).as("ts"),
+        col("o_orderstatus"))
+    base.unionByName(changed).unionByName(unchanged)
+  }
 
   /** TPC-H Q3 shape, written once in the dialect-intersection of Spark SQL
     * and DuckDB — the engine runs it via spark.sql, the oracle verbatim.
@@ -2538,6 +2655,198 @@ object SparkEntry {
         |), dfs AS (
         |  SELECT term, count(*) AS df FROM terms GROUP BY 1
         |)
-        |SELECT term, df FROM dfs ORDER BY df DESC, term ASC LIMIT 50""".stripMargin
+        |SELECT term, df FROM dfs ORDER BY df DESC, term ASC LIMIT 50""".stripMargin,
+
+    // smoothed rates are rational arithmetic (bit-identical); only the ln
+    // term is rounded (libm last-ulp divergence)
+    "drift_psi" ->
+      s"""WITH s AS (
+         |  SELECT least(CAST(floor(o_totalprice / 60000) AS BIGINT), 9) AS bin,
+         |         (${permilleHashSql("o_orderkey", ":dr42", 1000)}) < 500 AS isref
+         |  FROM orders
+         |), b AS (
+         |  SELECT bin,
+         |         CAST(SUM(CASE WHEN isref THEN 1 ELSE 0 END) AS BIGINT) AS ref_cnt,
+         |         CAST(SUM(CASE WHEN isref THEN 0 ELSE 1 END) AS BIGINT) AS cur_cnt
+         |  FROM s GROUP BY bin
+         |), tot AS (
+         |  SELECT CAST(SUM(ref_cnt) AS BIGINT) AS rt, CAST(SUM(cur_cnt) AS BIGINT) AS ct,
+         |         CAST(COUNT(*) AS BIGINT) AS nb
+         |  FROM b
+         |)
+         |SELECT bin, ref_cnt, cur_cnt,
+         |  round((ref_cnt + 0.5) / (rt + 0.5 * nb), 9) AS p_ref,
+         |  round((cur_cnt + 0.5) / (ct + 0.5 * nb), 9) AS p_cur,
+         |  round(((cur_cnt + 0.5) / (ct + 0.5 * nb) - (ref_cnt + 0.5) / (rt + 0.5 * nb))
+         |        * ln(((cur_cnt + 0.5) / (ct + 0.5 * nb)) / ((ref_cnt + 0.5) / (rt + 0.5 * nb))), 6) AS psi_term
+         |FROM b, tot""".stripMargin,
+
+    "drift_ks" ->
+      s"""WITH s AS (
+         |  SELECT o_totalprice AS v,
+         |         (${permilleHashSql("o_orderkey", ":dr42", 1000)}) < 500 AS isref
+         |  FROM orders WHERE o_totalprice IS NOT NULL
+         |), pv AS (
+         |  SELECT v, SUM(CASE WHEN isref THEN 1 ELSE 0 END) AS r,
+         |            SUM(CASE WHEN isref THEN 0 ELSE 1 END) AS c
+         |  FROM s GROUP BY v
+         |), cum AS (
+         |  SELECT SUM(r) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cr,
+         |         SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+         |  FROM pv
+         |), tot AS (
+         |  SELECT CAST(SUM(r) AS BIGINT) AS n_ref, CAST(SUM(c) AS BIGINT) AS n_cur FROM pv
+         |)
+         |SELECT n_ref, n_cur,
+         |  round(MAX(ABS(CAST(cr AS DOUBLE) / n_ref - CAST(cc AS DOUBLE) / n_cur)), 9) AS ks
+         |FROM cum, tot GROUP BY n_ref, n_cur""".stripMargin,
+
+    // pure rational arithmetic over exact integer counts: every double op
+    // is IEEE-correctly-rounded in both engines, so NO rounding is needed
+    "fe_target_encode" ->
+      """WITH pc AS (
+        |  SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |         CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS pos
+        |  FROM orders GROUP BY 1
+        |), pr AS (SELECT CAST(SUM(pos) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS prior FROM pc)
+        |SELECT o_orderpriority, cnt, pos, prior,
+        |       (pos + 20.0 * prior) / (cnt + 20.0) AS encoding
+        |FROM pc, pr""".stripMargin,
+
+    "fe_target_loo" ->
+      """WITH pc AS (
+        |  SELECT o_orderpriority AS cat, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |         CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS pos
+        |  FROM orders GROUP BY 1
+        |), pr AS (SELECT CAST(SUM(pos) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS prior FROM pc)
+        |SELECT o_orderkey, o_orderpriority, cnt, pos,
+        |       (pos - (CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) + 20.0 * prior)
+        |         / (cnt - 1 + 20.0) AS loo_encoding
+        |FROM orders JOIN pc ON o_orderpriority = pc.cat CROSS JOIN pr""".stripMargin,
+
+    "fe_feature_hash" ->
+      s"""WITH e AS (
+         |  SELECT c_custkey, 'c_mktsegment' AS f, CAST(c_mktsegment AS VARCHAR) AS v FROM customer
+         |  UNION ALL
+         |  SELECT c_custkey, 'c_nationkey' AS f, CAST(c_nationkey AS VARCHAR) AS v FROM customer
+         |), h AS (
+         |  SELECT c_custkey,
+         |         CAST(concat('0x', substr(md5(concat(f, '=', v)), 1, 15)) AS BIGINT) AS hh
+         |  FROM e WHERE v IS NOT NULL
+         |)
+         |SELECT c_custkey, hh % 32 AS bucket,
+         |       CAST(SUM(CASE WHEN (hh // 32) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS weight
+         |FROM h GROUP BY 1, 2""".stripMargin,
+
+    "fe_group_split" ->
+      s"""WITH c AS (
+         |  SELECT c_custkey,
+         |         CASE WHEN (${permilleHashSql("c_custkey", ":gs42", 1000)}) < 800
+         |              THEN 'train' ELSE 'test' END AS part
+         |  FROM customer
+         |)
+         |SELECT part,
+         |       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+         |       CAST(COUNT(*) AS BIGINT) AS n_orders,
+         |       CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent
+         |FROM orders JOIN c ON o_custkey = c_custkey
+         |GROUP BY part""".stripMargin,
+
+    "scd2_merge" ->
+      s"""WITH snaps AS (
+         |  SELECT o_orderkey, o_orderdate AS ts, o_orderstatus FROM orders
+         |  UNION ALL
+         |  SELECT o_orderkey, o_orderdate + INTERVAL 30 DAY, 'X' FROM orders
+         |  WHERE (${permilleHashSql("o_orderkey", ":up42", 1000)}) < 100
+         |  UNION ALL
+         |  SELECT o_orderkey, o_orderdate + INTERVAL 60 DAY, o_orderstatus FROM orders
+         |  WHERE (${permilleHashSql("o_orderkey", ":up42", 1000)}) >= 100
+         |    AND (${permilleHashSql("o_orderkey", ":up42", 1000)}) < 200
+         |), flagged AS (
+         |  SELECT o_orderkey, ts, o_orderstatus,
+         |         lag(ts) OVER w IS NULL AS first_row,
+         |         o_orderstatus IS DISTINCT FROM lag(o_orderstatus) OVER w AS chg
+         |  FROM snaps WINDOW w AS (PARTITION BY o_orderkey ORDER BY ts)
+         |), kept AS (
+         |  SELECT o_orderkey, ts, o_orderstatus FROM flagged WHERE first_row OR chg
+         |)
+         |SELECT o_orderkey, o_orderstatus, ts AS valid_from,
+         |       lead(ts) OVER w2 AS valid_to,
+         |       lead(ts) OVER w2 IS NULL AS is_current
+         |FROM kept WINDOW w2 AS (PARTITION BY o_orderkey ORDER BY ts)""".stripMargin,
+
+    "merge_upsert" ->
+      s"""WITH snaps AS (
+         |  SELECT o_orderkey, o_orderdate AS ts, o_orderstatus FROM orders
+         |  UNION ALL
+         |  SELECT o_orderkey, o_orderdate + INTERVAL 30 DAY, 'X' FROM orders
+         |  WHERE (${permilleHashSql("o_orderkey", ":up42", 1000)}) < 100
+         |), r AS (
+         |  SELECT o_orderstatus,
+         |         row_number() OVER (PARTITION BY o_orderkey
+         |                            ORDER BY ts DESC, o_orderstatus DESC) AS rn
+         |  FROM snaps
+         |)
+         |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS cnt
+         |FROM r WHERE rn = 1 GROUP BY 1""".stripMargin,
+
+    // the compacted copy must aggregate exactly like the source slice
+    "s13_compact_roundtrip" ->
+      s"""SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS cnt,
+         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         |FROM orders
+         |WHERE (${permilleHashSql("o_orderkey", ":cp42", 1000)}) < 200
+         |GROUP BY 1""".stripMargin,
+
+    // per-bigram log-probs are micro-scaled to integers BEFORE the per-doc
+    // sum, so the mean is order-independent on both engines
+    "t_bigram_lm" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '') AS t
+        |  FROM documents
+        |), uni AS (
+        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS c1
+        |  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+        |), v AS (SELECT CAST(COUNT(*) AS BIGINT) AS v_size FROM uni),
+        |bg AS (
+        |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        |  FROM toks, unnest(range(1, len(t))) AS r(i)
+        |), bc AS (
+        |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM bg GROUP BY w1, w2
+        |)
+        |SELECT bg.doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  CAST(SUM(CASE WHEN bc.c2 >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+        |  round(CAST(SUM(CAST(round(ln(CAST(bc.c2 + 1 AS DOUBLE) / (uni.c1 + v.v_size)) * 1e6) AS BIGINT)) AS DOUBLE)
+        |        / (COUNT(*) * 1e6), 6) AS avg_lp
+        |FROM bg JOIN bc ON bg.w1 = bc.w1 AND bg.w2 = bc.w2
+        |        JOIN uni ON bg.w1 = uni.w
+        |        CROSS JOIN v
+        |GROUP BY bg.doc_id""".stripMargin,
+
+    // moment sums are exact decimals; the one floating-point formula at
+    // the end is identical rational+sqrt arithmetic in both engines
+    "a11_corr" ->
+      """WITH m AS (
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s_q,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s_e,
+        |    CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS s_d,
+        |    CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS ss_q,
+        |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS ss_e,
+        |    CAST(SUM(CAST(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS ss_d,
+        |    CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS sp_qe,
+        |    CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS sp_qd,
+        |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS sp_ed
+        |  FROM lineitem
+        |)
+        |SELECT 'l_quantity' AS x, 'l_extendedprice' AS y,
+        |       round((n * sp_qe - s_q * s_e) / sqrt((n * ss_q - s_q * s_q) * (n * ss_e - s_e * s_e)), 9) AS corr FROM m
+        |UNION ALL
+        |SELECT 'l_quantity', 'l_discount',
+        |       round((n * sp_qd - s_q * s_d) / sqrt((n * ss_q - s_q * s_q) * (n * ss_d - s_d * s_d)), 9) FROM m
+        |UNION ALL
+        |SELECT 'l_extendedprice', 'l_discount',
+        |       round((n * sp_ed - s_e * s_d) / sqrt((n * ss_e - s_e * s_e) * (n * ss_d - s_d * s_d)), 9) FROM m""".stripMargin
   )
 }

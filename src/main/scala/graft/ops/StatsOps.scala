@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Exact distributed summary statistics. Spark's builtin `corr` / stddev
+  * accumulate doubles, so the last digits depend on partition merge order
+  * — fine for exploration, useless for a correctness gate or a reproducible
+  * data-card. These variants accumulate exact decimals (order-independent)
+  * and apply the one floating-point formula at the very end, so the result
+  * is bit-identical on every run, partitioning, and engine.
+  */
+object StatsOps {
+
+  /** Pairwise Pearson correlation over `cols` (which must carry ≤ 2
+    * decimal places — money/quantity columns; the decimal(18,2) cast
+    * truncates nothing and makes sums exact). Output: one row per
+    * unordered pair `(x, y, corr)`.
+    *
+    * Scale shape: ONE full-pass aggregation computing all moment sums
+    * simultaneously (map-side partial combine, single 1-row result); the
+    * pair rows are unpivoted from that single row. No per-pair passes —
+    * k columns cost one scan regardless of k², the difference between one
+    * job and k² jobs on a 100 TB table.
+    */
+  def corrPairs(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns to correlate")
+    def d(c: String): Column = col(c).cast("decimal(18,2)")
+    // moment sums: exact decimal accumulation (products carry 4 decimals)
+    val moments =
+      cols.map(c => sum(d(c)).cast("double").as(s"s_$c")) ++
+        cols.map(c => sum((d(c) * d(c)).cast("decimal(38,4)")).cast("double").as(s"ss_$c")) ++
+        cols.combinations(2).map { case Seq(a, b) =>
+          sum((d(a) * d(b)).cast("decimal(38,4)")).cast("double").as(s"sp_${a}_$b")
+        }.toSeq
+    val agg = df.agg(count(lit(1)).cast("double").as("n"), moments: _*)
+    val pairRows = cols.combinations(2).map { case Seq(a, b) =>
+      val n = col("n")
+      val cov = n * col(s"sp_${a}_$b") - col(s"s_$a") * col(s"s_$b")
+      val varA = n * col(s"ss_$a") - col(s"s_$a") * col(s"s_$a")
+      val varB = n * col(s"ss_$b") - col(s"s_$b") * col(s"s_$b")
+      struct(lit(a).as("x"), lit(b).as("y"),
+        round(cov / sqrt(varA * varB), 9).as("corr"))
+    }.toSeq
+    agg.select(explode(array(pairRows: _*)).as("p"))
+      .select(col("p.x").as("x"), col("p.y").as("y"), col("p.corr").as("corr"))
+  }
+}

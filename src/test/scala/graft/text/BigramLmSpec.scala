@@ -1,0 +1,43 @@
+package graft.text
+
+import graft.SparkSpecBase
+
+class BigramLmSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("docScores computes smoothed bigram log-probs over the corpus model") {
+    // corpus: "the cat" ×3 docs, one outlier. unigrams: the=4, cat=3, dog=1
+    // vocab=3. bigram (the,cat)=3, (the,dog)=1
+    val docs = Seq(
+      (1L, "the cat"), (2L, "the cat"), (3L, "the cat"), (4L, "the dog")
+    ).toDF("doc_id", "text")
+    val out = BigramLm.docScores(docs, "doc_id", "text", minCount = 2L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Long]("n_covered"), r.getAs[Double]("avg_lp"))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L))
+    val lpCat = math.log((3 + 1.0) / (4 + 3)) // P(cat|the) add-one smoothed
+    val lpDog = math.log((1 + 1.0) / (4 + 3))
+    assert(out(1L)._1 == 1L && out(1L)._2 == 1L)
+    assert(math.abs(out(1L)._3 - lpCat) < 1e-5)
+    // the outlier bigram is below minCount and scores lower
+    assert(out(4L)._2 == 0L)
+    assert(math.abs(out(4L)._3 - lpDog) < 1e-5)
+    assert(out(4L)._3 < out(1L)._3)
+  }
+
+  test("docs with fewer than two tokens have no bigram row") {
+    val docs = Seq((1L, "single"), (2L, ""), (3L, "two tokens here")).toDF("doc_id", "text")
+    val out = BigramLm.docScores(docs, "doc_id", "text", minCount = 1L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(3L))
+  }
+
+  test("bigrams helper emits adjacent pairs in order") {
+    import org.apache.spark.sql.functions._
+    val row = Seq("a b c d").toDF("t")
+      .select(BigramLm.bigrams(TextOps.tokens(col("t"))).as("bg"))
+      .selectExpr("transform(bg, x -> concat(x.w1, '>', x.w2)) AS p")
+      .as[Seq[String]].head()
+    assert(row == Seq("a>b", "b>c", "c>d"))
+  }
+}
