@@ -181,7 +181,50 @@ object PlanAudit {
         |(with dimension-sliced storage, a 4× smaller scan); stage 2 reranks
         |only k×overfetch candidates per query at full width. Both stages'
         |rank<=k windows rewrite to TopKPerKey, so neither stage shuffles
-        |more than its k·queries candidate rows."""
+        |more than its k·queries candidate rows.""",
+    "scd2_merge" ->
+      """ONE `Exchange hashpartitioning(o_orderkey)` + ONE Sort feed all
+        |three steps — the change-detection lag, the collapse filter, and
+        |the validity lead. The filter preserves the (key, ts) order, so
+        |Catalyst stacks both Window operators on the same shuffle: SCD2
+        |history over a 100 TB feed costs exactly one repartition of the
+        |snapshot union.""",
+    "fe_group_split" ->
+      """The entity→split assignment is computed on the broadcast (customer)
+        |side of a BroadcastHashJoin — the fact table never shuffles for the
+        |leakage-safe split. The count-distinct rides Spark's two-phase
+        |expand (partial per (split, customer), then per split) with
+        |map-side partial aggregation on both exchanges.""",
+    "fe_target_loo" ->
+      """The category table (one hash-agg of the input) broadcasts BACK onto
+        |the fact side: per-row leave-one-out encodings with zero fact-table
+        |shuffles. The global prior is a window over the category table
+        |itself, not a second scan of the input — the plan reads the fact
+        |table exactly twice (once per side), never three times.""",
+    "drift_psi" ->
+      """One hash-aggregate over the monitored slice (map-side partial
+        |combine, B bin rows out) and a B-row window for the totals — the
+        |whole drift gate is a single pass over the data. No second scan for
+        |the denominators, no driver-side histogram.""",
+    "drift_ks" ->
+      """The CDF is a DISTRIBUTED cumulative sum: per-value counts range-
+        |partition by value, each partition runs a local running-sum window,
+        |and cross-partition offsets ride a literal map built from P driver
+        |longs. No `Exchange SinglePartition` over the support — the same
+        |shape as w6_global_rownum/t_pack_windows, applied to a statistic.""",
+    "t_bigram_lm" ->
+      """The corpus is tokenized ONCE: unigram and bigram count tables hang
+        |off the same exploded scan, the vocabulary size is a window over
+        |the unigram table (not a re-scan), and the model joins back as
+        |keyed shuffle hash joins with partial aggregation before every
+        |exchange. Per-doc means use micro-scaled integer sums — exact
+        |under any partitioning.""",
+    "a11_corr" ->
+      """All k² pairwise moment sums are ONE full-pass HashAggregate (the
+        |pair rows unpivot from a single 1-row result): correlating k
+        |columns of a 100 TB table costs one scan, not k² jobs. Sums
+        |accumulate as exact decimals, so the statistics are bit-identical
+        |under any partitioning — reproducible data-card numbers."""
   )
 
   private def streamingPlan(spark: SparkSession, sfDir: String): String = {

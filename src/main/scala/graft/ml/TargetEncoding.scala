@@ -30,10 +30,17 @@ object TargetEncoding {
       .agg(
         count(lit(1)).as("cnt"),
         sum(label.cast("long")).as("pos"))
-    val prior = perCat.agg(
-      (sum("pos").cast("double") / sum("cnt")).as("prior"))
+    // the prior rides a global window over the CATEGORY table (not the
+    // data): one single-partition pass over |categories| thin rows. The
+    // alternative — crossJoin(broadcast(perCat.agg(...))) — physically
+    // re-evaluates the perCat subtree and re-scans the fact table.
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
     perCat
-      .crossJoin(broadcast(prior))
+      .withColumn("prior",
+        sum("pos").over(wAll).cast("double") / sum("cnt").over(wAll))
       .select(
         col(cat), col("cnt"), col("pos"), col("prior"),
         ((col("pos") + lit(alpha) * col("prior")) / (col("cnt") + lit(alpha)))

@@ -39,15 +39,20 @@ object DriftOps {
       .agg(
         sum(when(isRef, 1L).otherwise(0L)).as("ref_cnt"),
         sum(when(isRef, 0L).otherwise(1L)).as("cur_cnt"))
-    val totals = binned.agg(
-      sum("ref_cnt").as("ref_total"),
-      sum("cur_cnt").as("cur_total"),
-      count(lit(1)).as("n_bins"))
+    // totals ride a global window over the B-row BIN table — the
+    // crossJoin(broadcast(agg)) alternative physically re-evaluates the
+    // binned subtree and re-scans the input
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val s = lit(smoothing)
     val pRef = (col("ref_cnt") + s) / (col("ref_total") + s * col("n_bins"))
     val pCur = (col("cur_cnt") + s) / (col("cur_total") + s * col("n_bins"))
     binned
-      .crossJoin(broadcast(totals))
+      .select(
+        col("bin"), col("ref_cnt"), col("cur_cnt"),
+        sum("ref_cnt").over(wAll).as("ref_total"),
+        sum("cur_cnt").over(wAll).as("cur_total"),
+        count(lit(1)).over(wAll).as("n_bins"))
       .select(
         col("bin"), col("ref_cnt"), col("cur_cnt"),
         round(pRef, 9).as("p_ref"),

@@ -45,10 +45,18 @@ object BigramLm {
   def docScores(docs: DataFrame, idCol: String, textCol: String, minCount: Long): DataFrame = {
     val toksed = docs
       .select(col(idCol), TextOps.tokens(col(textCol)).as("_toks"))
+    // vocabulary size rides a global window over the unigram table (one
+    // single-partition pass over |vocab| thin rows) instead of a
+    // crossJoin(broadcast(agg)) that would re-evaluate the whole
+    // explode+agg subtree — i.e. re-scan and re-tokenize the corpus
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
     val uni = toksed
       .select(explode(col("_toks")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c1"))
-    val vocab = uni.agg(count(lit(1)).as("v_size"))
+      .withColumn("v_size", count(lit(1)).over(wAll))
     val bg = toksed
       .select(col(idCol), explode(bigrams(col("_toks"))).as("_b"))
       .select(col(idCol), col("_b.w1").as("w1"), col("_b.w2").as("w2"))
@@ -56,7 +64,6 @@ object BigramLm {
     bg
       .join(bgCounts, Seq("w1", "w2"))
       .join(uni.withColumnRenamed("w", "w1"), Seq("w1"))
-      .crossJoin(broadcast(vocab))
       .select(
         col(idCol),
         col("c2"),
