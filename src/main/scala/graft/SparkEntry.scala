@@ -1593,7 +1593,42 @@ object SparkEntry {
     // data-card statistics (builtin corr is merge-order-dependent)
     "a11_corr" -> ((s, d) =>
       graft.ops.StatsOps.corrPairs(
-        t(s, d, "lineitem"), Seq("l_quantity", "l_extendedprice", "l_discount")))
+        t(s, d, "lineitem"), Seq("l_quantity", "l_extendedprice", "l_discount"))),
+
+    // declarative data-quality gate: range / accepted-values / not-null
+    // rules in ONE scan, plus uniqueness and referential integrity
+    "dq_expectations" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      graft.ops.Expectations.check(li, Seq(
+          "quantity_range" -> !(col("l_quantity") >= 1 && col("l_quantity") <= 50),
+          "discount_range" -> !(col("l_discount") >= 0 && col("l_discount") <= 0.1),
+          "shipdate_not_null" -> col("l_shipdate").isNull,
+          "flag_accepted" -> !col("l_returnflag").isin("A", "N", "R")))
+        .unionByName(graft.ops.Expectations.checkUnique(
+          li, Seq("l_orderkey", "l_linenumber"), "line_unique"))
+        .unionByName(graft.ops.Expectations.checkFk(
+          li, "l_orderkey", t(s, d, "orders"), "o_orderkey", "orderkey_fk"))
+    }),
+
+    // bounded-memory heavy hitters: MG sketch candidates + exact recount
+    // — answer provably equals the oracle's plain HAVING cnt·k > n
+    "hh_frequent" -> ((s, d) =>
+      graft.ops.HeavyHitters.frequentItems(
+        t(s, d, "lineitem"),
+        item = when(col("l_quantity") <= 25,
+          col("l_quantity").cast("int").cast("string")).otherwise(lit("BULK")),
+        k = 16)),
+
+    // weighted hash sampling: keep-probability ∝ a row attribute, decided
+    // by the engine-portable permille hash — deterministic importance
+    // sampling (price-weighted here), exactly replayable in the oracle
+    "o11_weighted_hash" -> ((s, d) => {
+      val w = least(col("o_totalprice") / 500000.0, lit(1.0))
+      t(s, d, "orders")
+        .filter(permilleHash1M(col("o_orderkey"), ":w42") < floor(lit(1000000.0) * w))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sum_price"))
+    })
   )
 
   /** Shared input for the SCD2 query and its oracle: base snapshot ∪ a
@@ -2847,6 +2882,57 @@ object SparkEntry {
         |       round((n * sp_qd - s_q * s_d) / sqrt((n * ss_q - s_q * s_q) * (n * ss_d - s_d * s_d)), 9) FROM m
         |UNION ALL
         |SELECT 'l_extendedprice', 'l_discount',
-        |       round((n * sp_ed - s_e * s_d) / sqrt((n * ss_e - s_e * s_e) * (n * ss_d - s_d * s_d)), 9) FROM m""".stripMargin
+        |       round((n * sp_ed - s_e * s_d) / sqrt((n * ss_e - s_e * s_e) * (n * ss_d - s_d * s_d)), 9) FROM m""".stripMargin,
+
+    // NULL predicate results fall to ELSE on both engines (a null row is
+    // not a violation of a range rule — the not-null rule catches it)
+    "dq_expectations" ->
+      """SELECT 'quantity_range' AS rule,
+        |       CAST(SUM(CASE WHEN NOT (l_quantity >= 1 AND l_quantity <= 50) THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+        |       CAST(COUNT(*) AS BIGINT) AS n_checked FROM lineitem
+        |UNION ALL
+        |SELECT 'discount_range',
+        |       CAST(SUM(CASE WHEN NOT (l_discount >= 0 AND l_discount <= 0.1) THEN 1 ELSE 0 END) AS BIGINT),
+        |       CAST(COUNT(*) AS BIGINT) FROM lineitem
+        |UNION ALL
+        |SELECT 'shipdate_not_null',
+        |       CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |       CAST(COUNT(*) AS BIGINT) FROM lineitem
+        |UNION ALL
+        |SELECT 'flag_accepted',
+        |       CAST(SUM(CASE WHEN NOT (l_returnflag IN ('A', 'N', 'R')) THEN 1 ELSE 0 END) AS BIGINT),
+        |       CAST(COUNT(*) AS BIGINT) FROM lineitem
+        |UNION ALL
+        |SELECT 'line_unique',
+        |       CAST(COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT),
+        |       CAST(COUNT(*) AS BIGINT) FROM lineitem
+        |UNION ALL
+        |SELECT 'orderkey_fk',
+        |       CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |       CAST(COUNT(*) AS BIGINT)
+        |FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+        |  ON l.l_orderkey = o.o_orderkey""".stripMargin,
+
+    // the MG sketch only shrinks the candidate set; the exact recount +
+    // threshold make the output equal this plain aggregation
+    "hh_frequent" ->
+      """WITH it AS (
+        |  SELECT CASE WHEN l_quantity <= 25 THEN CAST(CAST(l_quantity AS INTEGER) AS VARCHAR)
+        |              ELSE 'BULK' END AS item
+        |  FROM lineitem
+        |), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM it WHERE item IS NOT NULL)
+        |SELECT item, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM it, tot
+        |WHERE item IS NOT NULL
+        |GROUP BY item, n
+        |HAVING COUNT(*) * 16 > n""".stripMargin,
+
+    "o11_weighted_hash" ->
+      s"""SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS cnt,
+         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         |FROM orders
+         |WHERE (${permilleHashSql("o_orderkey", ":w42", 1000000L)})
+         |      < CAST(floor(1000000.0 * least(o_totalprice / 500000.0, 1.0)) AS BIGINT)
+         |GROUP BY 1""".stripMargin
   )
 }
