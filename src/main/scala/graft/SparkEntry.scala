@@ -1628,6 +1628,39 @@ object SparkEntry {
         .filter(permilleHash1M(col("o_orderkey"), ":w42") < floor(lit(1000000.0) * w))
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sum_price"))
+    }),
+
+    // snapshot diff: keyed added/removed/changed report between two table
+    // versions — fingerprints computed scan-side, one full-outer join of
+    // (key, digest) pairs
+    "diff_snapshots" -> ((s, d) => {
+      val h = permilleHash(col("o_orderkey"), ":df42")
+      val orders = t(s, d, "orders")
+      val before = orders.select(col("o_orderkey"), col("o_orderstatus"))
+      val after = orders.filter(h >= 50) // keys with h<50 disappear
+        .select(col("o_orderkey"),
+          when(h < 150, lit("X")).otherwise(col("o_orderstatus")).as("o_orderstatus"))
+        .unionByName(orders.filter(h < 50) // and a wave of brand-new keys
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+            lit("N").as("o_orderstatus")))
+      graft.ops.SnapshotDiff.diff(before, after, Seq("o_orderkey"))
+        .select("o_orderkey", "change")
+    }),
+
+    // feature-store composition: the SCD2 history (scd2_merge) consumed
+    // through the as-of join = point-in-time-correct feature lookup
+    // ("which version was valid at each order's +45d checkpoint")
+    "pit_asof_features" -> ((s, d) => {
+      val history = graft.ops.MergeOps.scd2(
+          scd2Snapshots(s, d), "o_orderkey", "ts", tracked = Seq("o_orderstatus"))
+        .select(col("o_orderkey").as("hist_key"), col("valid_from"),
+          col("o_orderstatus").as("status_asof"))
+      val checkpoints = t(s, d, "orders").select(
+        col("o_orderkey"),
+        (col("o_orderdate") + expr("INTERVAL 45 DAYS")).as("checkpoint"))
+      graft.ops.AsOfJoin.backward(
+        checkpoints, "o_orderkey", "checkpoint",
+        history, "hist_key", "valid_from", payload = Seq("status_asof"))
     })
   )
 
@@ -2933,6 +2966,53 @@ object SparkEntry {
          |FROM orders
          |WHERE (${permilleHashSql("o_orderkey", ":w42", 1000000L)})
          |      < CAST(floor(1000000.0 * least(o_totalprice / 500000.0, 1.0)) AS BIGINT)
-         |GROUP BY 1""".stripMargin
+         |GROUP BY 1""".stripMargin,
+
+    // the oracle classifies changes by VALUE set logic — fingerprint
+    // equality on the Spark side must coincide exactly
+    "diff_snapshots" ->
+      s"""WITH b AS (
+         |  SELECT o_orderkey AS k, o_orderstatus AS st FROM orders
+         |), a AS (
+         |  SELECT o_orderkey AS k,
+         |         CASE WHEN (${permilleHashSql("o_orderkey", ":df42", 1000)}) < 150
+         |              THEN 'X' ELSE o_orderstatus END AS st
+         |  FROM orders WHERE (${permilleHashSql("o_orderkey", ":df42", 1000)}) >= 50
+         |  UNION ALL
+         |  SELECT o_orderkey + 10000000 AS k, 'N' AS st
+         |  FROM orders WHERE (${permilleHashSql("o_orderkey", ":df42", 1000)}) < 50
+         |)
+         |SELECT k AS o_orderkey, 'removed' AS change FROM b
+         |WHERE k NOT IN (SELECT k FROM a)
+         |UNION ALL
+         |SELECT k, 'added' FROM a WHERE k NOT IN (SELECT k FROM b)
+         |UNION ALL
+         |SELECT b.k, 'changed' FROM b JOIN a ON b.k = a.k
+         |WHERE b.st IS DISTINCT FROM a.st""".stripMargin,
+
+    // DuckDB's native ASOF JOIN against the same collapsed SCD2 history
+    "pit_asof_features" ->
+      s"""WITH snaps AS (
+         |  SELECT o_orderkey, o_orderdate AS ts, o_orderstatus FROM orders
+         |  UNION ALL
+         |  SELECT o_orderkey, o_orderdate + INTERVAL 30 DAY, 'X' FROM orders
+         |  WHERE (${permilleHashSql("o_orderkey", ":up42", 1000)}) < 100
+         |  UNION ALL
+         |  SELECT o_orderkey, o_orderdate + INTERVAL 60 DAY, o_orderstatus FROM orders
+         |  WHERE (${permilleHashSql("o_orderkey", ":up42", 1000)}) >= 100
+         |    AND (${permilleHashSql("o_orderkey", ":up42", 1000)}) < 200
+         |), flagged AS (
+         |  SELECT o_orderkey, ts, o_orderstatus,
+         |         lag(ts) OVER w IS NULL AS first_row,
+         |         o_orderstatus IS DISTINCT FROM lag(o_orderstatus) OVER w AS chg
+         |  FROM snaps WINDOW w AS (PARTITION BY o_orderkey ORDER BY ts)
+         |), kept AS (
+         |  SELECT o_orderkey, ts, o_orderstatus FROM flagged WHERE first_row OR chg
+         |), chk AS (
+         |  SELECT o_orderkey, o_orderdate + INTERVAL 45 DAY AS checkpoint FROM orders
+         |)
+         |SELECT chk.o_orderkey, chk.checkpoint, k.o_orderstatus AS status_asof
+         |FROM chk ASOF LEFT JOIN kept k
+         |  ON chk.o_orderkey = k.o_orderkey AND k.ts <= chk.checkpoint""".stripMargin
   )
 }
