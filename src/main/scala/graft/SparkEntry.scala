@@ -1647,6 +1647,15 @@ object SparkEntry {
         .select("o_orderkey", "change")
     }),
 
+    // per-group feature scaling with exact decimal moments — the scaling
+    // constants are bit-reproducible under any partitioning
+    "fe_group_zscore" -> ((s, d) =>
+      graft.ops.StatsOps.groupZScore(
+          t(s, d, "lineitem")
+            .select("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"),
+          group = Seq("l_returnflag"), value = "l_extendedprice")
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "z")),
+
     // feature-store composition: the SCD2 history (scd2_merge) consumed
     // through the as-of join = point-in-time-correct feature lookup
     // ("which version was valid at each order's +45d checkpoint")
@@ -2989,6 +2998,20 @@ object SparkEntry {
          |UNION ALL
          |SELECT b.k, 'changed' FROM b JOIN a ON b.k = a.k
          |WHERE b.st IS DISTINCT FROM a.st""".stripMargin,
+
+    // group moments are exact decimals cast to double; mean/std/z are
+    // identical rational+sqrt expression shapes on both engines
+    "fe_group_zscore" ->
+      """WITH g AS (
+        |  SELECT l_returnflag AS grp, CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s,
+        |         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS ss
+        |  FROM lineitem GROUP BY 1
+        |)
+        |SELECT l_orderkey, l_linenumber, l_returnflag,
+        |       (CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) - s / n)
+        |         / sqrt((n * ss - s * s) / (n * (n - 1.0))) AS z
+        |FROM lineitem JOIN g ON l_returnflag = g.grp""".stripMargin,
 
     // DuckDB's native ASOF JOIN against the same collapsed SCD2 history
     "pit_asof_features" ->

@@ -45,4 +45,36 @@ object StatsOps {
     agg.select(explode(array(pairRows: _*)).as("p"))
       .select(col("p.x").as("x"), col("p.y").as("y"), col("p.corr").as("corr"))
   }
+
+  /** Per-group z-score normalization (`z = (x − mean_g) / stddev_g`,
+    * sample stddev) — the feature-scaling transform, with group moments
+    * accumulated as exact decimals so the scaling constants are
+    * bit-reproducible under any partitioning.
+    *
+    * Scale shape: one hash-aggregation to the group-moments table, joined
+    * back onto the data (broadcast when groups are few). Singleton groups
+    * produce z = NaN (stddev of one sample is undefined) — filter or
+    * clamp downstream if the group key can be that sparse.
+    */
+  def groupZScore(df: DataFrame, group: Seq[String], value: String): DataFrame = {
+    require(group.nonEmpty, "need at least one grouping column")
+    val d = col(value).cast("decimal(18,2)")
+    val stats = df.groupBy(group.map(col): _*).agg(
+      count(lit(1)).as("_n"),
+      sum(d).cast("double").as("_s"),
+      sum((d * d).cast("decimal(38,4)")).cast("double").as("_ss"))
+    val mean = col("_s") / col("_n")
+    // ANSI mode throws on /0 even for doubles: guard the degenerate
+    // groups explicitly — singleton (variance undefined) and constant
+    // (std 0) groups yield z = NaN rather than an aborted job
+    val variance = when(col("_n") > 1,
+      (col("_n") * col("_ss") - col("_s") * col("_s")) /
+        (col("_n") * (col("_n") - lit(1.0))))
+      .otherwise(lit(Double.NaN))
+    val std = sqrt(variance)
+    df.join(stats, group)
+      .withColumn("z",
+        when(std > 0, (d.cast("double") - mean) / std).otherwise(lit(Double.NaN)))
+      .drop("_n", "_s", "_ss")
+  }
 }
