@@ -224,7 +224,51 @@ object PlanAudit {
         |pair rows unpivot from a single 1-row result): correlating k
         |columns of a 100 TB table costs one scan, not k² jobs. Sums
         |accumulate as exact decimals, so the statistics are bit-identical
-        |under any partitioning — reproducible data-card numbers."""
+        |under any partitioning — reproducible data-card numbers.""",
+    "ev_funnel" ->
+      """Each stage's scan carries the `event_type = <stage>` predicate in
+        |`PushedFilters` and aggregates min-time PER ENTITY before its join
+        |— so the stage-chain joins run between |users|-sized frames, never
+        ||events|-sized ones, and every join + aggregation reuses the same
+        |user_id hash partitioning. A funnel over a 100 TB event log costs
+        |k pruned scans and k user-cardinality joins.""",
+    "ev_transitions" ->
+      """ONE Exchange (the per-user window) and a |types|²-bounded final
+        |aggregate: the Markov transition table of an arbitrarily large
+        |event log shuffles each event exactly once and emits at most
+        |25 rows. The lead() rides the same sort the window already pays.""",
+    "a12_ols_group" ->
+      """All five moment sums (Σx, Σy, Σx², Σy², Σxy) for every group in
+        |ONE HashAggregate with map-side partial combine; the OLS formulas
+        |run on the 1-row-per-group result. Per-segment regression over
+        |100 TB costs one scan — and the decimal accumulation makes the
+        |coefficients bit-identical under any partitioning.""",
+    "fe_quantile_bin" ->
+      """The exact percentile pass produces a 1-row cutpoint frame that
+        |BROADCASTS onto the second scan (BroadcastNestedLoopJoin over one
+        |row = a map-side literal): binning never shuffles the data, and
+        |the final aggregate carries bins×partitions rows. The cutpoints
+        |round to 6 before comparison so the bin boundaries cannot flip on
+        |cross-engine interpolation ulp.""",
+    "t_bm25" ->
+      """The explode is filtered to the query's terms BEFORE the tf
+        |aggregation — the shuffled frame is |docs|·|Q|-bounded, not
+        |corpus-token-sized. Document length comes from the same scan
+        |without a second explode (`size(tokens)`), and both corpus-stat
+        |frames (df per term, N/avgdl) are broadcast, so scoring adds zero
+        |fact-side exchanges beyond the tf groupBy.""",
+    "d_editdist_pairs" ->
+      """The candidate join is an EQUI-join on the length band (distinct
+        |names, ×3 probe replication) — no CartesianProduct node anywhere,
+        |yet provably lossless for the distance bound: the oracle runs the
+        |unblocked quadratic and hash-matches. The levenshtein evaluation
+        |sits inside the join filter on band-local candidates only.""",
+    "dp_profile" ->
+      """One Expand-based HashAggregate computes every column's null /
+        |exact-distinct / min / max simultaneously — the plan shows a
+        |single scan feeding Expand (one replicated row per distinct-agg),
+        |never k per-column jobs. Profiling a 100 TB table costs one pass
+        |regardless of how many columns the data card covers."""
   )
 
   private def streamingPlan(spark: SparkSession, sfDir: String): String = {

@@ -1165,6 +1165,26 @@ object SparkEntry {
         .groupBy("user_id", "session_id").agg(count(lit(1)).as("n_events"))
     }),
 
+    // ordered funnel over the event stream: per-stage entity counts where
+    // each stage's earliest event strictly follows the previous stage's —
+    // the reference cohort query's "A then B" shape generalized to k
+    // stages (per-entity aggregation BEFORE every join; see FunnelOps)
+    "ev_funnel" -> ((s, d) =>
+      graft.ops.FunnelOps.funnel(
+        Tables.events(s, d), "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))),
+
+    // cohort retention matrix: entities cohorted by first-event date,
+    // distinct-active counts per (cohort_date, week_offset)
+    "ev_retention" -> ((s, d) =>
+      graft.ops.FunnelOps.retention(Tables.events(s, d), "user_id", "ts")),
+
+    // event-type transition frequencies (the Markov view): one window
+    // pass per entity, |types|²-bounded output
+    "ev_transitions" -> ((s, d) =>
+      graft.ops.FunnelOps.transitions(
+        Tables.events(s, d), "user_id", "event_type", "ts", "event_id")),
+
     // semi-structured props extraction (regex form, engine-comparable)
     "ev_props_extract" -> ((s, d) =>
       Tables.events(s, d)
@@ -1594,6 +1614,45 @@ object SparkEntry {
     "a11_corr" -> ((s, d) =>
       graft.ops.StatsOps.corrPairs(
         t(s, d, "lineitem"), Seq("l_quantity", "l_extendedprice", "l_discount"))),
+
+    // per-segment OLS trend coefficients with exact decimal moments —
+    // single scan for all five moment sums, scalar math on 1-row-per-group
+    "a12_ols_group" -> ((s, d) =>
+      graft.ops.RegressionOps.olsByGroup(
+        t(s, d, "lineitem"), Seq("l_returnflag"), "l_quantity", "l_extendedprice")),
+
+    // robust (median/MAD) outlier gate per segment — exact distributed
+    // percentiles, round-6 pinned stats so the gate can't flip on ulp
+    "fe_mad_outliers" -> ((s, d) =>
+      graft.ops.RobustStats.madOutliers(
+        t(s, d, "orders"), Seq("o_orderstatus"), "o_totalprice", k = 3.0)),
+
+    // equi-depth decile binning over exact global quantiles — the
+    // QuantileDiscretizer shape: one percentile pass, cutpoints broadcast
+    "fe_quantile_bin" -> ((s, d) =>
+      graft.ops.RobustStats.quantileBins(
+        t(s, d, "orders"), "o_totalprice", (1 to 9).map(_ / 10.0))),
+
+    // one-pass table profile (multi-distinct Expand: one scan, one
+    // exchange for every column's null/distinct/min/max)
+    "dp_profile" -> ((s, d) =>
+      graft.ops.Profiler.profile(
+        t(s, d, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_returnflag", "l_linestatus"))),
+
+    // BM25 keyword relevance over the corpus — explode filtered to the
+    // query terms before aggregation; df/avgdl broadcast onto the scoring
+    "t_bm25" -> ((s, d) =>
+      graft.text.Bm25.scores(
+        t(s, d, "documents"), "doc_id", "text",
+        Seq("join", "window", "stream", "vector"))),
+
+    // fuzzy key matching: edit-distance pairs under lossless length-band
+    // blocking — the oracle runs the UNBLOCKED quadratic, so the hash
+    // match proves zero recall loss from the banding
+    "d_editdist_pairs" -> ((s, d) =>
+      graft.dedup.Dedup.editDistancePairs(
+        t(s, d, "part"), "p_name", maxDist = 3, bandWidth = 4)),
 
     // declarative data-quality gate: range / accepted-values / not-null
     // rules in ONE scan, plus uniqueness and referential integrity
@@ -2925,6 +2984,35 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'l_extendedprice', 'l_discount',
         |       round((n * sp_ed - s_e * s_d) / sqrt((n * ss_e - s_e * s_e) * (n * ss_d - s_d * s_d)), 9) FROM m""".stripMargin,
+
+    "a12_ols_group" -> graft.ops.RegressionOps.olsByGroupOracleSql(
+      "lineitem", Seq("l_returnflag"), "l_quantity", "l_extendedprice"),
+
+    "fe_mad_outliers" -> graft.ops.RobustStats.madOutliersOracleSql(
+      "orders", Seq("o_orderstatus"), "o_totalprice", k = 3.0),
+
+    "fe_quantile_bin" -> graft.ops.RobustStats.quantileBinsOracleSql(
+      "orders", "o_totalprice", (1 to 9).map(_ / 10.0)),
+
+    "dp_profile" -> graft.ops.Profiler.oracleSql(
+      "lineitem",
+      numericCols = Seq("l_quantity", "l_extendedprice", "l_discount"),
+      stringCols = Seq("l_returnflag", "l_linestatus")),
+
+    "t_bm25" -> graft.text.Bm25.oracleSql(
+      "documents", "doc_id", "text", Seq("join", "window", "stream", "vector")),
+
+    "d_editdist_pairs" -> graft.dedup.Dedup.editDistancePairsOracleSql(
+      "part", "p_name", maxDist = 3),
+
+    "ev_funnel" -> graft.ops.FunnelOps.funnelOracleSql(
+      "events", "user_id", "event_type", "ts", Seq("view", "click", "purchase")),
+
+    "ev_retention" -> graft.ops.FunnelOps.retentionOracleSql(
+      "events", "user_id", "ts"),
+
+    "ev_transitions" -> graft.ops.FunnelOps.transitionsOracleSql(
+      "events", "user_id", "event_type", "ts", "event_id"),
 
     // NULL predicate results fall to ELSE on both engines (a null row is
     // not a violation of a range rule — the not-null rule catches it)

@@ -550,4 +550,51 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxDist)
   }
+
+  /** Fuzzy key matching via edit distance with LOSSLESS length-band
+    * blocking: `levenshtein(a, b) ≤ maxDist` implies
+    * `|len(a) − len(b)| ≤ maxDist`, so bucketing strings by
+    * `floor(len / width)` with `width > maxDist` and probing each string
+    * against buckets {k−1, k, k+1} provably reaches every qualifying pair
+    * — an equi-join, not a cross-join, yet zero recall loss. The
+    * entity-resolution primitive for near-identical names/titles/SKUs.
+    *
+    * Operates on DISTINCT values of `keyCol` (duplicate strings pair via
+    * exact dedup first — that's [[exactGroups]]' job). Output:
+    * (name_a, name_b, dist) with name_a < name_b.
+    *
+    * Scale: the join key is (band, …) whose cardinality grows with data;
+    * per-bucket population is bounded by the length distribution, and the
+    * probe side replicates ×3 only. At corpus scale add a (lossy)
+    * same-first-q-gram key to the band for tighter buckets — kept out of
+    * the default because it breaks the recall proof this operator's
+    * oracle check depends on.
+    */
+  def editDistancePairs(df: DataFrame, keyCol: String, maxDist: Int = 3,
+                        bandWidth: Int = 4): DataFrame = {
+    require(bandWidth > maxDist,
+      s"bandWidth ($bandWidth) must exceed maxDist ($maxDist) for the ±1-band probe to be lossless")
+    val names = df.select(col(keyCol).cast("string").as("name"))
+      .filter(col("name").isNotNull).distinct()
+    val banded = names.withColumn("_band", floor(length(col("name")) / lit(bandWidth)))
+    val probes = banded.select(
+      col("name"),
+      explode(array(col("_band") - 1, col("_band"), col("_band") + 1)).as("_band"))
+    probes.as("a")
+      .join(banded.as("b"),
+        col("a._band") === col("b._band") && col("a.name") < col("b.name"))
+      .select(col("a.name").as("name_a"), col("b.name").as("name_b"),
+        levenshtein(col("a.name"), col("b.name")).as("dist"))
+      .filter(col("dist") <= maxDist)
+      .distinct()
+  }
+
+  /** DuckDB mirror of [[editDistancePairs]]: the UNBLOCKED quadratic over
+    * distinct values — the oracle deliberately ignores the banding, so a
+    * hash match proves the blocking loses no pairs. */
+  def editDistancePairsOracleSql(table: String, keyCol: String, maxDist: Int = 3): String =
+    s"""WITH names AS (SELECT DISTINCT CAST($keyCol AS VARCHAR) AS name FROM $table WHERE $keyCol IS NOT NULL)
+       |SELECT a.name AS name_a, b.name AS name_b, CAST(levenshtein(a.name, b.name) AS INTEGER) AS dist
+       |FROM names a JOIN names b ON a.name < b.name
+       |WHERE levenshtein(a.name, b.name) <= $maxDist""".stripMargin
 }

@@ -1,0 +1,142 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-sequence analytics over a (user, type, time) event stream —
+  * ordered funnels, cohort retention, and transition frequencies. The
+  * reference's cohort query (Hap880_Final_Project.py:19-87) is a 2-stage
+  * "admission followed by readmission" funnel; these operators generalize
+  * it to arbitrary stage chains and to the retention-matrix view a
+  * product/training-data pipeline needs.
+  *
+  * Scale shape: every operator aggregates per entity BEFORE joining, so
+  * join inputs are |users|-sized, not |events|-sized; the stage chain is
+  * k−1 equi-joins on the entity key, each between two already-aggregated
+  * frames that reuse the same hash partitioning; nothing funnels through
+  * the driver. Timestamps are second-truncated up front — sub-second
+  * precision differs across storage engines (ns parquet vs µs session),
+  * and funnel semantics at 100 TB should not hinge on it.
+  */
+object FunnelOps {
+
+  private def ts2(tsCol: String): Column = date_trunc("second", col(tsCol))
+
+  /** Strictly-ordered funnel: stage k counts entities whose earliest
+    * stage-k event is strictly AFTER their earliest qualifying stage-k−1
+    * event. Returns one row per stage: (stage_idx, stage, n_users).
+    *
+    * Each stage filters the event scan to ONE type (predicate pushdown
+    * reaches the parquet scan), aggregates min-time per entity (map-side
+    * partial combine), then equi-joins the previous stage's per-entity
+    * frame — so the chain's cost is k pruned scans + k small joins.
+    */
+  def funnel(
+      events: DataFrame, userCol: String, typeCol: String, tsCol: String,
+      stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    val first = events.filter(col(typeCol) === stages.head)
+      .groupBy(col(userCol).as("_u"))
+      .agg(min(ts2(tsCol)).as("_t"))
+    val perStage: Seq[DataFrame] = stages.tail.scanLeft(first) { (prev, stage) =>
+      events.filter(col(typeCol) === stage)
+        .select(col(userCol).as("_u"), ts2(tsCol).as("_ts"))
+        .join(prev.select(col("_u"), col("_t").as("_pt")), Seq("_u"))
+        .filter(col("_ts") > col("_pt"))
+        .groupBy("_u").agg(min(col("_ts")).as("_t"))
+    }
+    val counts = perStage.zipWithIndex.map { case (df, i) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("stage_idx"), lit(stages(i)).as("stage"), col("n_users"))
+    }
+    counts.reduce(_.unionByName(_))
+  }
+
+  /** DuckDB mirror of [[funnel]] — generated from the SAME stage list so
+    * the two can't drift. */
+  def funnelOracleSql(table: String, userCol: String, typeCol: String,
+                      tsCol: String, stages: Seq[String]): String = {
+    val ctes = stages.zipWithIndex.map { case (st, i) =>
+      if (i == 0)
+        s"s1 AS (SELECT $userCol AS u, MIN(date_trunc('second', $tsCol)) AS t FROM $table WHERE $typeCol = '$st' GROUP BY 1)"
+      else
+        s"s${i + 1} AS (SELECT e.$userCol AS u, MIN(date_trunc('second', e.$tsCol)) AS t " +
+          s"FROM $table e JOIN s$i ON e.$userCol = s$i.u " +
+          s"WHERE e.$typeCol = '$st' AND date_trunc('second', e.$tsCol) > s$i.t GROUP BY 1)"
+    }
+    val selects = stages.zipWithIndex.map { case (st, i) =>
+      s"SELECT ${i + 1} AS stage_idx, '$st' AS stage, count(*) AS n_users FROM s${i + 1}"
+    }
+    s"WITH ${ctes.mkString(",\n")}\n${selects.mkString("\nUNION ALL\n")}"
+  }
+
+  /** Cohort retention matrix: entities are cohorted by their FIRST event
+    * date; cell (cohort_date, week_offset) counts distinct entities with
+    * any event in that week-offset from their cohort date. Output:
+    * (cohort_date, week_offset, n_users).
+    *
+    * One aggregation to the per-entity cohort frame, one join back onto
+    * the (date-projected) event scan, one distinct-count aggregation —
+    * the join key is the entity, so cohorting reuses the aggregation's
+    * partitioning.
+    */
+  def retention(
+      events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val firstDay = events
+      .groupBy(col(userCol).as("_u"))
+      .agg(min(to_date(col(tsCol))).as("cohort_date"))
+    events
+      .select(col(userCol).as("_u"), to_date(col(tsCol)).as("_d"))
+      .join(firstDay, Seq("_u"))
+      .select(col("_u"), col("cohort_date"),
+        floor(datediff(col("_d"), col("cohort_date")) / lit(7)).cast("int").as("week_offset"))
+      .groupBy("cohort_date", "week_offset")
+      .agg(countDistinct(col("_u")).as("n_users"))
+  }
+
+  def retentionOracleSql(table: String, userCol: String, tsCol: String): String =
+    s"""WITH f AS (
+       |  SELECT $userCol AS u, MIN(CAST($tsCol AS DATE)) AS cohort_date FROM $table GROUP BY 1
+       |)
+       |SELECT cohort_date,
+       |       CAST(FLOOR(date_diff('day', cohort_date, CAST($tsCol AS DATE)) / 7.0) AS INTEGER) AS week_offset,
+       |       count(DISTINCT e.$userCol) AS n_users
+       |FROM $table e JOIN f ON e.$userCol = f.u
+       |GROUP BY 1, 2""".stripMargin
+
+  /** Event-type transition frequencies: per entity, order events by
+    * (second-truncated time, event id) and count each consecutive
+    * (from_type → to_type) pair. The Markov-chain view of user behavior;
+    * output (from_type, to_type, cnt).
+    *
+    * One window pass (single hash partition exchange on the entity) +
+    * one small aggregation — the output is |types|² rows regardless of
+    * input size.
+    */
+  def transitions(
+      events: DataFrame, userCol: String, typeCol: String, tsCol: String,
+      idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col("_t"), col(idCol))
+    events
+      .select(col(userCol), col(typeCol).as("from_type"), ts2(tsCol).as("_t"), col(idCol))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  def transitionsOracleSql(table: String, userCol: String, typeCol: String,
+                           tsCol: String, idCol: String): String =
+    s"""WITH x AS (
+       |  SELECT $typeCol AS from_type,
+       |         LEAD($typeCol) OVER (PARTITION BY $userCol
+       |           ORDER BY date_trunc('second', $tsCol) NULLS FIRST, $idCol) AS to_type
+       |  FROM $table
+       |)
+       |SELECT from_type, to_type, count(*) AS cnt
+       |FROM x WHERE to_type IS NOT NULL GROUP BY 1, 2""".stripMargin
+}

@@ -1,0 +1,66 @@
+package graft.ops
+
+import graft.SparkSpecBase
+import java.sql.Timestamp
+
+class FunnelOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def ts(m: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+
+  // (event_id, user, type, ts)
+  private val events = Seq(
+    // u1 completes the funnel in order
+    (1L, 1L, "view", ts(1)), (2L, 1L, "click", ts(2)), (3L, 1L, "buy", ts(3)),
+    // u2 clicks BEFORE viewing — click must not count, buy (after view but
+    // with no qualifying click before it) must not either
+    (4L, 2L, "click", ts(1)), (5L, 2L, "view", ts(2)), (6L, 2L, "buy", ts(3)),
+    // u3 stalls after click
+    (7L, 3L, "view", ts(1)), (8L, 3L, "click", ts(5)),
+    // u4 never enters
+    (9L, 4L, "buy", ts(1))
+  ).toDF("event_id", "user_id", "event_type", "ts")
+
+  test("funnel enforces strict stage order per entity") {
+    val out = FunnelOps.funnel(events, "user_id", "event_type", "ts",
+        Seq("view", "click", "buy"))
+      .collect().map(r => r.getAs[String]("stage") -> r.getAs[Long]("n_users")).toMap
+    assert(out == Map("view" -> 3L, "click" -> 2L, "buy" -> 1L))
+  }
+
+  test("funnel stage counts are monotonically non-increasing") {
+    val out = FunnelOps.funnel(events, "user_id", "event_type", "ts",
+        Seq("view", "click", "buy"))
+      .collect().sortBy(_.getAs[Int]("stage_idx")).map(_.getAs[Long]("n_users"))
+    assert(out.zip(out.tail).forall { case (a, b) => b <= a })
+  }
+
+  test("retention: every entity is active at week_offset 0 of its own cohort") {
+    val out = FunnelOps.retention(events, "user_id", "ts")
+    val week0 = out.filter($"week_offset" === 0)
+      .agg(org.apache.spark.sql.functions.sum("n_users")).head.getLong(0)
+    assert(week0 == 4L) // all four users, single-day data → one cohort cell
+    assert(out.count() == 1L)
+  }
+
+  test("retention spans week offsets for multi-week activity") {
+    val span = Seq(
+      (1L, 1L, "view", Timestamp.valueOf("2024-01-01 10:00:00")),
+      (2L, 1L, "view", Timestamp.valueOf("2024-01-20 10:00:00"))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = FunnelOps.retention(span, "user_id", "ts")
+      .collect().map(r => r.getAs[Int]("week_offset") -> r.getAs[Long]("n_users")).toMap
+    assert(out == Map(0 -> 1L, 2 -> 1L)) // day 19 → floor(19/7) = week 2
+  }
+
+  test("transitions counts consecutive pairs and nothing else") {
+    val out = FunnelOps.transitions(events, "user_id", "event_type", "ts", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("cnt")).toMap
+    // u1: view→click→buy; u2: click→view→buy; u3: view→click
+    assert(out == Map(
+      ("view", "click") -> 2L, ("click", "buy") -> 1L,
+      ("click", "view") -> 1L, ("view", "buy") -> 1L))
+    // total transitions = total events − one terminal event per active user
+    assert(out.values.sum == 9L - 4L)
+  }
+}

@@ -1,0 +1,45 @@
+package graft.ops
+
+import graft.SparkSpecBase
+
+class RobustStatsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("madOutliers flags exactly the planted outliers") {
+    // 99 values tightly around 100, one wild point
+    val df = ((1 to 99).map(i => ("g", 100.0 + (i % 5))) :+ (("g", 10000.0)))
+      .toDF("g", "v")
+    val out = RobustStats.madOutliers(df, Seq("g"), "v", k = 3.0).collect().head
+    assert(out.getAs[Long]("n") == 100L)
+    assert(out.getAs[Long]("n_outliers") == 1L)
+    assert(out.getAs[Double]("med") == 102.0)
+  }
+
+  test("madOutliers: constant group has MAD 0 and no outliers") {
+    val df = (1 to 20).map(_ => ("c", 7.0)).toDF("g", "v")
+    val out = RobustStats.madOutliers(df, Seq("g"), "v").collect().head
+    assert(out.getAs[Double]("mad") == 0.0)
+    assert(out.getAs[Long]("n_outliers") == 0L)
+  }
+
+  test("quantileBins: equi-depth deciles partition the rows evenly") {
+    val df = (1 to 1000).map(i => Tuple1(i.toDouble)).toDF("v")
+    val out = RobustStats.quantileBins(df, "v", (1 to 9).map(_ / 10.0))
+      .collect().map(r => r.getAs[Int]("bin") -> r.getAs[Long]("n")).toMap
+    assert(out.keySet == (0 to 9).toSet)
+    assert(out.values.sum == 1000L)
+    out.values.foreach(n => assert(n == 100L)) // uniform input → exact deciles
+  }
+
+  test("quantileBins: bin ranges are ordered and disjoint") {
+    val df = (1 to 500).map(i => Tuple1((i * 37 % 211).toDouble)).toDF("v")
+    val rows = RobustStats.quantileBins(df, "v", Seq(0.25, 0.5, 0.75))
+      .collect().sortBy(_.getAs[Int]("bin"))
+    assert(rows.map(_.getAs[Long]("n")).sum == 500L)
+    rows.sliding(2).foreach {
+      case Array(lo, hi) =>
+        assert(lo.getAs[Double]("max_v") <= hi.getAs[Double]("min_v"))
+      case _ => ()
+    }
+  }
+}
