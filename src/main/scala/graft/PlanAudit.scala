@@ -268,7 +268,36 @@ object PlanAudit {
         |exact-distinct / min / max simultaneously — the plan shows a
         |single scan feeding Expand (one replicated row per distinct-agg),
         |never k per-column jobs. Profiling a 100 TB table costs one pass
-        |regardless of how many columns the data card covers."""
+        |regardless of how many columns the data card covers.""",
+    "d_prefix_jaccard" ->
+      """Only each doc's rarest (1−t)·len+1 tokens are exploded into the
+        |candidate join (slice of the df-sorted token array), so the
+        |inverted index holds ~1/(1−t) fewer postings AND its hottest
+        |(stopword) tokens are exactly the ones never indexed — prefix
+        |filtering is skew relief with a lossless-recall proof, which the
+        |unrestricted-oracle hash match certifies. Verification joins the
+        |token arrays back only for surviving candidates.""",
+    "inc_agg_maintain" ->
+      """The base table feeds ONE aggregation (the snapshot); the delta
+        |aggregates separately with map-side ±1 signing, and the merge is
+        |a full-outer join of two GROUP-cardinality frames — the plan
+        |never rescans base rows to apply a delta. This is the refresh
+        |shape that keeps a 100 TB rollup current at |delta| cost.""",
+    "ev_peak_concurrency" ->
+      """No `Exchange SinglePartition` over the timeline: ±1 marks hash-
+        |aggregate per instant, range-partition by time, and the running
+        |sum is per-partition windows + a literal offset map built from
+        |≤ P driver longs (the DriftOps-CDF shape). The final peak is a
+        |1-row max(struct) aggregate — interval analytics at event-log
+        |scale without a global sort through one task.""",
+    "g_pagerank3" ->
+      """Each of the 3 iterations is one join of the node-sized score
+        |table against the edge table plus one HashAggregate keyed on dst
+        |with map-side partial sums — the Pregel step as DataFrames. All
+        |arithmetic is scaled-integer (e12), so the scores are
+        |bit-identical under any partitioning and hash-match the oracle's
+        |unrolled CTEs; no floats, no merge-order dependence, no driver
+        |state beyond the node count."""
   )
 
   private def streamingPlan(spark: SparkSession, sfDir: String): String = {

@@ -1654,6 +1654,58 @@ object SparkEntry {
       graft.dedup.Dedup.editDistancePairs(
         t(s, d, "part"), "p_name", maxDist = 3, bandWidth = 4)),
 
+    // set-similarity join with PPJoin prefix filtering: only each doc's
+    // rarest (1−t)·len+1 tokens are indexed; the oracle runs the
+    // UNRESTRICTED inverted-index join, so the hash match proves the
+    // prefix + size pruning lost no qualifying pair
+    "d_prefix_jaccard" -> ((s, d) =>
+      graft.dedup.Dedup.prefixJaccardPairs(
+        t(s, d, "documents"), "doc_id", "text", threshold = 0.95)),
+
+    // incremental aggregate maintenance: snapshot ⊕ CDC delta must equal
+    // the full recompute the oracle runs — refreshing a rollup costs
+    // |delta| + |groups|, never a base-table rescan
+    "inc_agg_maintain" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      val h = permilleHash(col("o_orderkey"), ":inc42")
+      val deletes = orders.filter(h < 50).withColumn("op", lit("D"))
+      val inserts = orders.filter(h >= 950)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+        .withColumn("op", lit("I"))
+      val snap = graft.ops.IncrementalAgg.snapshot(
+        orders, Seq("o_orderstatus"), "o_totalprice")
+      graft.ops.IncrementalAgg.maintain(
+          snap, deletes.unionByName(inserts), Seq("o_orderstatus"), "o_totalprice")
+        .select(col("o_orderstatus"), col("cnt"),
+          col("sum_o_totalprice").cast("double").as("sum_price"))
+    }),
+
+    // interval sweep-line: peak concurrent spans + earliest instant it is
+    // reached — distributed running sum over event time (no SinglePartition
+    // exchange), the DriftOps-CDF shape applied to interval analytics
+    "ev_peak_concurrency" -> ((s, d) => {
+      val start = unix_timestamp(date_trunc("second", col("ts")))
+      val dur = greatest(lit(1L), floor(col("value") * 10).cast("long"))
+      graft.ops.SweepLine.peakConcurrency(
+        Tables.events(s, d).select(start.as("st"), (start + dur).as("en")),
+        col("st"), col("en"))
+    }),
+
+    // fixed-point PageRank (3 damped iterations) over the part co-order
+    // graph — the Pregel iterated-join pattern with ALL arithmetic in e12
+    // scaled integers, so the scores hash-match the oracle's unrolled CTEs
+    "g_pagerank3" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select("l_orderkey", "l_partkey")
+      val edges = li.as("a")
+        .join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") =!= col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        .distinct()
+      graft.ops.PageRank.fixedPoint(edges, "src", "dst", iters = 3)
+    }),
+
     // declarative data-quality gate: range / accepted-values / not-null
     // rules in ONE scan, plus uniqueness and referential integrity
     "dq_expectations" -> ((s, d) => {
@@ -3004,6 +3056,38 @@ object SparkEntry {
 
     "d_editdist_pairs" -> graft.dedup.Dedup.editDistancePairsOracleSql(
       "part", "p_name", maxDist = 3),
+
+    "d_prefix_jaccard" -> graft.dedup.Dedup.prefixJaccardOracleSql(
+      "documents", "doc_id", "text", threshold = 0.95),
+
+    "ev_peak_concurrency" -> graft.ops.SweepLine.peakConcurrencyOracleSql(
+      "events",
+      startSql = "CAST(epoch(date_trunc('second', ts)) AS BIGINT)",
+      endSql = "CAST(epoch(date_trunc('second', ts)) AS BIGINT) + " +
+        "GREATEST(1, CAST(FLOOR(value * 10) AS BIGINT))"),
+
+    "g_pagerank3" -> graft.ops.PageRank.fixedPointOracleSql(
+      "SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst " +
+        "FROM lineitem a JOIN lineitem b " +
+        "ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey",
+      iters = 3),
+
+    // the maintenance identity: snapshot ⊕ delta == aggregate(base ⊖ D ⊕ I)
+    "inc_agg_maintain" ->
+      s"""WITH del AS (
+         |  SELECT o_orderkey FROM orders
+         |  WHERE ${permilleHashSql("o_orderkey", ":inc42", 1000L)} < 50
+         |), ins AS (
+         |  SELECT o_orderstatus, o_totalprice + 1000.0 AS o_totalprice FROM orders
+         |  WHERE ${permilleHashSql("o_orderkey", ":inc42", 1000L)} >= 950
+         |), live AS (
+         |  SELECT o_orderstatus, o_totalprice FROM orders
+         |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM del)
+         |  UNION ALL SELECT * FROM ins
+         |)
+         |SELECT o_orderstatus, count(*) AS cnt,
+         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         |FROM live GROUP BY 1""".stripMargin,
 
     "ev_funnel" -> graft.ops.FunnelOps.funnelOracleSql(
       "events", "user_id", "event_type", "ts", Seq("view", "click", "purchase")),

@@ -597,4 +597,75 @@ object Dedup {
        |SELECT a.name AS name_a, b.name AS name_b, CAST(levenshtein(a.name, b.name) AS INTEGER) AS dist
        |FROM names a JOIN names b ON a.name < b.name
        |WHERE levenshtein(a.name, b.name) <= $maxDist""".stripMargin
+
+  /** Set-similarity join with PREFIX FILTERING (the PPJoin/AllPairs
+    * candidate rule): for word-token-set Jaccard ≥ t, two sets must share
+    * at least one token among each one's first `|d| − ⌈t·|d|⌉ + 1` tokens
+    * under ANY global token order — so only that prefix is indexed. With
+    * the canonical (document-frequency asc, token asc) order the indexed
+    * prefix tokens are the RAREST, which simultaneously shrinks and
+    * de-skews the inverted index: the provably-lossless version of "drop
+    * stopword postings". A size filter (⌈t·|a|⌉ ≤ |b|) prunes candidates
+    * before verification. Output: (doc_a, doc_b, jacc) rounded to 6.
+    *
+    * Scale shape: explode ONLY prefix tokens (≈(1−t)·len per doc) →
+    * equi-join on token → distinct candidate pairs → verify by joining
+    * the two (sorted) token arrays back and intersecting. Versus the
+    * plain inverted-index join, the candidate stream shrinks by ~1/(1−t)²
+    * on the hot tokens — at t = 0.9 that's ~100×.
+    */
+  def prefixJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                         threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold < 1.0, s"threshold in (0,1), got $threshold")
+    val toks = docs.select(col(idCol).as("_id"),
+        explode(array_distinct(TextOps.tokens(col(textCol)))).as("tok"))
+    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("_df"))
+    // canonical global order (df asc, tok asc): struct sort gives it for free
+    val ordered = toks.join(dfreq, "tok")
+      .groupBy("_id")
+      .agg(sort_array(collect_list(struct(col("_df"), col("tok")))).as("_ord"))
+      .select(col("_id"),
+        transform(col("_ord"), s => s.getField("tok")).as("_toks"),
+        size(col("_ord")).as("_sz"))
+    val prefLen = (col("_sz") - ceil(col("_sz") * lit(threshold)).cast("int") + 1)
+    val pref = ordered.select(col("_id"), col("_sz"),
+      explode(slice(col("_toks"), lit(1), prefLen)).as("ptok"))
+    val candidates = pref.as("a")
+      .join(pref.as("b"),
+        col("a.ptok") === col("b.ptok") && col("a._id") < col("b._id") &&
+          // size filter: |b| ≥ ⌈t·|a|⌉ and vice versa (join keeps both orders)
+          col("b._sz") >= ceil(col("a._sz") * lit(threshold)) &&
+          col("a._sz") >= ceil(col("b._sz") * lit(threshold)))
+      .select(col("a._id").as("doc_a"), col("b._id").as("doc_b"))
+      .distinct()
+    val verify = candidates
+      .join(ordered.select(col("_id").as("doc_a"), col("_toks").as("_ta"), col("_sz").as("_sa")), "doc_a")
+      .join(ordered.select(col("_id").as("doc_b"), col("_toks").as("_tb"), col("_sz").as("_sb")), "doc_b")
+      .withColumn("_i", size(array_intersect(col("_ta"), col("_tb"))))
+      .withColumn("jacc", round(col("_i").cast("double") /
+        (col("_sa") + col("_sb") - col("_i")).cast("double"), 6))
+      .filter(col("jacc") >= threshold)
+    verify.select(col("doc_a"), col("doc_b"), col("jacc"))
+  }
+
+  /** DuckDB mirror of [[prefixJaccardPairs]]: the UNRESTRICTED
+    * inverted-index join (every token indexed, no prefix, no size filter)
+    * — a hash match proves the prefix + size pruning lost no pairs. */
+  def prefixJaccardOracleSql(table: String, idCol: String, textCol: String,
+                             threshold: Double): String =
+    s"""WITH toks AS (
+       |  SELECT $idCol AS id,
+       |         unnest(list_distinct(list_filter(regexp_split_to_array(lower($textCol), '[^a-z]+'), x -> x <> ''))) AS tok
+       |  FROM $table
+       |), sz AS (
+       |  SELECT id, count(*) AS s FROM toks GROUP BY 1
+       |), inter AS (
+       |  SELECT a.id AS doc_a, b.id AS doc_b, count(*) AS i
+       |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.id < b.id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT doc_a, doc_b,
+       |       round(CAST(i AS DOUBLE) / CAST(sa.s + sb.s - i AS DOUBLE), 6) AS jacc
+       |FROM inter JOIN sz sa ON doc_a = sa.id JOIN sz sb ON doc_b = sb.id
+       |WHERE round(CAST(i AS DOUBLE) / CAST(sa.s + sb.s - i AS DOUBLE), 6) >= $threshold""".stripMargin
 }
