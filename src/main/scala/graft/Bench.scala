@@ -44,7 +44,17 @@ object Bench {
       val times = scala.collection.mutable.ListBuffer[Double]()
       var failures = 0
       var i = 0
-      while (i < reps && failures == 0 && (i == 0 || times.sum < repBudgetSec)) {
+      // one extra adjudication rep when the spread is pathological (a GC /
+      // JIT spike can be 10× the true cost; with only 2 reps the spike
+      // would otherwise decide the reported number)
+      def spiky = times.size >= 2 && times.max > 3 * times.min
+      def maxReps = if (spiky) reps + 1 else reps
+      // the spiky carve-out must also lift the budget stop: the spike
+      // itself blows the budget in exactly the case that needs the extra
+      // rep (hard cap at 2× keeps a genuinely slow query bounded)
+      while (i < maxReps && failures == 0 &&
+          (i == 0 || times.sum < repBudgetSec ||
+            (spiky && times.sum < 2 * repBudgetSec))) {
         val t0 = System.nanoTime()
         // a failed query must surface as -1, not masquerade as a fast run
         try { fn(spark, sfDir).count() } catch {
@@ -62,7 +72,11 @@ object Bench {
     }
     def median(ts: List[Double]): Double = {
       val s = ts.sorted
-      s(s.size / 2) // n∈{1,2,3}: middle for 3, upper-of-2, the one for 1
+      // LOWER middle for even n: bench noise is one-sided (a rep can only
+      // be slower than the work, never faster), so when a budget stop
+      // leaves 2 reps — one true, one spiked — the upper-middle would
+      // report the spike as the query's cost (r4: a 6 s query read 57 s)
+      s((s.size - 1) / 2)
     }
     val medians = results.map { case (k, (ts, _)) => k -> (if (ts.head < 0) -1.0 else median(ts)) }
     val total = medians.values.filter(_ >= 0).sum

@@ -244,12 +244,15 @@ object PlanAudit {
         |100 TB costs one scan — and the decimal accumulation makes the
         |coefficients bit-identical under any partitioning.""",
     "fe_quantile_bin" ->
-      """The exact percentile pass produces a 1-row cutpoint frame that
-        |BROADCASTS onto the second scan (BroadcastNestedLoopJoin over one
-        |row = a map-side literal): binning never shuffles the data, and
-        |the final aggregate carries bins×partitions rows. The cutpoints
-        |round to 6 before comparison so the bin boundaries cannot flip on
-        |cross-engine interpolation ulp.""",
+      """No `Exchange SinglePartition` over the data: the exact cutpoints
+        |come from per-value counts range-partitioned by value with
+        |per-partition running sums + a ≤P-long driver offset map (the
+        |DriftOps-CDF shape), NOT from the builtin `percentile` whose
+        |plan funnels every value into one reducer. All cutpoints fall
+        |out of one aggregation over the cum frame; the 1-row cut frame
+        |broadcasts onto the binning scan. percentile_disc semantics —
+        |cut(p) is an actual data value, so no interpolation arithmetic
+        |exists to disagree about between engines.""",
     "t_bm25" ->
       """The explode is filtered to the query's terms BEFORE the tf
         |aggregation — the shuffled frame is |docs|·|Q|-bounded, not

@@ -615,7 +615,16 @@ object Dedup {
     * on the hot tokens — at t = 0.9 that's ~100×.
     */
   def prefixJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                         threshold: Double): DataFrame = {
+                         threshold: Double): DataFrame =
+    prefixJaccardPairsReleasable(docs, idCol, textCol, threshold)._1
+
+  /** [[prefixJaccardPairs]] plus the release hook for the internal pin on
+    * the per-doc sorted-token table (probed three times: prefix explode +
+    * both verification sides — [[graft.ops.DriftOps.ksReleasable]]
+    * contract: call after materializing the pairs).
+    */
+  def prefixJaccardPairsReleasable(docs: DataFrame, idCol: String, textCol: String,
+                                   threshold: Double): (DataFrame, () => Unit) = {
     require(threshold > 0.0 && threshold < 1.0, s"threshold in (0,1), got $threshold")
     val toks = docs.select(col(idCol).as("_id"),
         explode(array_distinct(TextOps.tokens(col(textCol)))).as("tok"))
@@ -627,25 +636,40 @@ object Dedup {
       .select(col("_id"),
         transform(col("_ord"), s => s.getField("tok")).as("_toks"),
         size(col("_ord")).as("_sz"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val prefLen = (col("_sz") - ceil(col("_sz") * lit(threshold)).cast("int") + 1)
     val pref = ordered.select(col("_id"), col("_sz"),
       explode(slice(col("_toks"), lit(1), prefLen)).as("ptok"))
-    val candidates = pref.as("a")
-      .join(pref.as("b"),
-        col("a.ptok") === col("b.ptok") && col("a._id") < col("b._id") &&
+    // the candidate self-join keys on the token — a low-cardinality, hot
+    // key when the vocabulary is small (worst case: every posting list is
+    // huge). Salt it: side A keyed by hash(doc) mod S, side B replicated
+    // once per salt — every (a, b) pair still meets exactly once, but a
+    // hot token's pair generation spreads over S reducers instead of one
+    // (SkewOps.saltedJoin's pattern applied to a self-join). The join
+    // stays SLIM (id, size, token); arrays attach only to surviving
+    // candidates via the pinned `ordered` table.
+    val salts = 16
+    val prefA = pref.withColumn("_salt", pmod(xxhash64(col("_id")), lit(salts.toLong)))
+    val prefB = pref.withColumn("_salt",
+      explode(array((0 until salts).map(s => lit(s.toLong)): _*)))
+    val candidates = prefA.as("a")
+      .join(prefB.as("b"),
+        col("a.ptok") === col("b.ptok") && col("a._salt") === col("b._salt") &&
+          col("a._id") < col("b._id") &&
           // size filter: |b| ≥ ⌈t·|a|⌉ and vice versa (join keeps both orders)
           col("b._sz") >= ceil(col("a._sz") * lit(threshold)) &&
           col("a._sz") >= ceil(col("b._sz") * lit(threshold)))
       .select(col("a._id").as("doc_a"), col("b._id").as("doc_b"))
       .distinct()
-    val verify = candidates
+    val out = candidates
       .join(ordered.select(col("_id").as("doc_a"), col("_toks").as("_ta"), col("_sz").as("_sa")), "doc_a")
       .join(ordered.select(col("_id").as("doc_b"), col("_toks").as("_tb"), col("_sz").as("_sb")), "doc_b")
       .withColumn("_i", size(array_intersect(col("_ta"), col("_tb"))))
       .withColumn("jacc", round(col("_i").cast("double") /
         (col("_sa") + col("_sb") - col("_i")).cast("double"), 6))
       .filter(col("jacc") >= threshold)
-    verify.select(col("doc_a"), col("doc_b"), col("jacc"))
+      .select(col("doc_a"), col("doc_b"), col("jacc"))
+    (out, () => { ordered.unpersist(); () })
   }
 
   /** DuckDB mirror of [[prefixJaccardPairs]]: the UNRESTRICTED

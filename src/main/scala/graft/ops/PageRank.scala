@@ -29,14 +29,25 @@ object PageRank {
     * @return (node, pr_e12): PageRank × 10¹² after `iters` damped rounds
     *         from a uniform start, d = 0.85.
     */
-  def fixedPoint(edges: DataFrame, srcCol: String, dstCol: String, iters: Int): DataFrame = {
+  def fixedPoint(edges: DataFrame, srcCol: String, dstCol: String, iters: Int): DataFrame =
+    fixedPointReleasable(edges, srcCol, dstCol, iters)._1
+
+  /** [[fixedPoint]] plus the release hook for the edge/degree pins: the
+    * edge table is probed `iters` times and its upstream (often a
+    * self-join) would otherwise re-execute every iteration. Call the hook
+    * after materializing the scores ([[DriftOps.ksReleasable]] contract).
+    */
+  def fixedPointReleasable(edges: DataFrame, srcCol: String, dstCol: String,
+                           iters: Int): (DataFrame, () => Unit) = {
     require(iters >= 1 && iters <= 10, s"iters in [1,10], got $iters")
     val e = edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    val nodes = e.select(col("src").as("node")).distinct()
-      .unionByName(e.select(col("dst").as("node")).distinct())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
       .distinct()
-    val nNodes = nodes.count() // the one driver-side scalar
+    val nNodes = nodes.count() // the one driver-side scalar; also warms the pins
     val base = lit(150000000000L / nNodes) // (0.15 × 1e12) div N
     var pr = nodes.withColumn("pr", lit(1000000000000L / nNodes))
     for (_ <- 1 to iters) {
@@ -47,7 +58,8 @@ object PageRank {
       pr = contrib.groupBy("node")
         .agg((base + expr("(85 * sum(w)) div 100")).as("pr"))
     }
-    pr.select(col("node"), col("pr").as("pr_e12"))
+    val out = pr.select(col("node"), col("pr").as("pr_e12"))
+    (out, () => { e.unpersist(); deg.unpersist(); () })
   }
 
   /** DuckDB mirror of [[fixedPoint]] — the identical integer arithmetic

@@ -8,15 +8,18 @@ import org.apache.spark.sql.functions._
   * data they're meant to catch (the outliers inflate the stddev); the
   * robust form — flag x where |x − median| > k · 1.4826 · MAD — is the
   * standard replacement, and a quality gate for 100 TB training data must
-  * be reproducible, so both statistics ride Spark's exact `percentile`
-  * aggregate (not `percentile_approx`) and are rounded to 6 places
-  * before any threshold comparison: the interpolation arithmetic's last
-  * ulp may differ across engines, and a gate must not flip on it.
+  * be reproducible: the MAD gate rides Spark's exact `percentile`
+  * aggregate (not `percentile_approx`) rounded to 6 places before any
+  * threshold comparison (interpolation ulp may differ across engines,
+  * and a gate must not flip on it), while the binner's cutpoints are
+  * percentile_disc — actual data values off a distributed CDF, no
+  * interpolation at all.
   *
-  * Scale shape: exact percentile shuffles each group's values to its
-  * reducer — right for group counts that fit an executor (the usual
-  * segment-level gate). For a single giant group use the sketch tier
-  * (`a10_approx_quantiles`) instead; same API, bounded memory.
+  * Scale shape: the grouped exact percentile shuffles each group's
+  * values to its reducer — right for group counts that fit an executor
+  * (the usual segment-level gate); for a single giant group use the
+  * sketch tier (`a10_approx_quantiles`) or the binner's distributed-CDF
+  * shape, which never funnels values through one task.
   */
 object RobustStats {
 
@@ -68,35 +71,75 @@ object RobustStats {
     * engine-reproducible. `probs` are the INTERIOR cutpoints (e.g.
     * 0.25/0.5/0.75 for quartiles). Output: (bin, n, min_v, max_v).
     *
-    * One global percentile pass produces the (tiny) cutpoint row, which
-    * broadcasts onto the scan via a literal-free crossJoin — no shuffle
-    * beyond the final small aggregation. Cutpoints round to 6 before the
-    * bin comparison for the same cross-engine-ulp reason as above.
+    * Cutpoint semantics are percentile_disc: cut(p) = the SMALLEST data
+    * value whose cumulative count reaches ⌈p·n⌉ — an actual data point,
+    * so there is no interpolation arithmetic for engines to disagree on,
+    * and no rounding anywhere.
+    *
+    * Scale shape: no `Exchange SinglePartition` over the data (the
+    * builtin exact `percentile` funnels every value into ONE reducer —
+    * the anti-pattern). Per-value counts hash-aggregate, range-partition
+    * by value, each partition runs a local running sum, cross-partition
+    * offsets ride <= P driver longs, and ALL cutpoints fall out of one
+    * aggregation over that cum frame — the DriftOps-CDF shape. The
+    * (1-row) cutpoint frame then broadcasts onto the binning scan.
     */
-  def quantileBins(df: DataFrame, valueCol: String, probs: Seq[Double]): DataFrame = {
+  def quantileBins(df: DataFrame, valueCol: String, probs: Seq[Double]): DataFrame =
+    quantileBinsReleasable(df, valueCol, probs)._1
+
+  /** [[quantileBins]] plus the release hook for the internal pin on the
+    * ranged per-value counts ([[DriftOps.ksReleasable]] contract). */
+  def quantileBinsReleasable(df: DataFrame, valueCol: String,
+                             probs: Seq[Double]): (DataFrame, () => Unit) = {
     require(probs.nonEmpty && probs == probs.sorted, "probs must be ascending")
-    val cutsRow = df.agg(
+    val spark = df.sparkSession
+    val parts = math.max(1, spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    val v = col(valueCol).cast("double")
+    val perVal = df.filter(v.isNotNull).groupBy(v.as("_v")).agg(count(lit(1)).as("_c"))
+    val ranged = perVal
+      .repartitionByRange(parts, col("_v"))
+      .withColumn("_pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pidSums = ranged.groupBy("_pid").agg(sum("_c").as("s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until parts).scanLeft(0L)((acc, p) => acc + pidSums.getOrElse(p, 0L))
+    val n = offsets.last
+    val offMap = (0 until parts).map(p => p -> offsets(p)).toMap
+    val cumW = org.apache.spark.sql.expressions.Window.partitionBy("_pid").orderBy("_v")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = ranged.select(col("_v"),
+      (sum("_c").over(cumW) + element_at(typedlit(offMap), col("_pid"))).as("_cum"))
+    // every cutpoint from ONE aggregation: cut(p) = min v with cum >= ceil(p*n)
+    val cutsRow = cum.agg(
       array(probs.zipWithIndex.map { case (p, i) =>
-        round(expr(s"percentile($valueCol, $p)"), 6).as(s"c$i")
+        min(when(col("_cum") >= lit(math.ceil(p * n).toLong), col("_v"))).as(s"c$i")
       }: _*).as("_cuts"))
-    // bin = number of cutpoints strictly below v  (v <= cut_i → bin i)
+    // bin = number of cutpoints strictly below v  (v <= cut_i -> bin i)
     val bin = probs.indices.foldLeft(lit(0)) { (acc, i) =>
       acc + when(col("_v") > col("_cuts").getItem(i), 1).otherwise(0)
     }
-    df.select(col(valueCol).cast("double").as("_v")).crossJoin(broadcast(cutsRow))
+    val out = df.select(v.as("_v")).crossJoin(broadcast(cutsRow))
       .select(bin.as("bin"), col("_v"))
       .groupBy("bin")
       .agg(count(lit(1)).as("n"), min("_v").as("min_v"), max("_v").as("max_v"))
+    (out, () => { ranged.unpersist(); () })
   }
 
   def quantileBinsOracleSql(table: String, valueCol: String, probs: Seq[Double]): String = {
     val cuts = probs.zipWithIndex.map { case (p, i) =>
-      s"round(quantile_cont($valueCol, $p), 6) AS c$i"
+      s"MIN(CASE WHEN cum >= CEIL($p * n) THEN v END) AS c$i"
     }.mkString(", ")
     val binExpr = probs.indices.map { i =>
       s"(CASE WHEN CAST($valueCol AS DOUBLE) > c$i THEN 1 ELSE 0 END)"
     }.mkString(" + ")
-    s"""WITH cuts AS (SELECT $cuts FROM $table)
+    s"""WITH pv AS (
+       |  SELECT CAST($valueCol AS DOUBLE) AS v, count(*) AS c FROM $table
+       |  WHERE $valueCol IS NOT NULL GROUP BY 1
+       |), cum AS (
+       |  SELECT v, SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum FROM pv
+       |), nn AS (SELECT count(*) AS n FROM $table WHERE $valueCol IS NOT NULL),
+       |cuts AS (SELECT $cuts FROM cum, nn)
        |SELECT CAST(($binExpr) AS INTEGER) AS bin, count(*) AS n,
        |       MIN(CAST($valueCol AS DOUBLE)) AS min_v,
        |       MAX(CAST($valueCol AS DOUBLE)) AS max_v
