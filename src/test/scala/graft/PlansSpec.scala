@@ -116,4 +116,38 @@ class PlansSpec extends SparkSpecBase {
     val tree = plan(df).toString
     assert(!tree.contains("SinglePartition"), tree)
   }
+
+  test("ev_funnel: every stage's type predicate is pushed into its parquet scan") {
+    val df = SparkEntry.queries("ev_funnel")(spark, sfDir)
+    val s = explainStr(df)
+    for (stage <- Seq("view", "click", "purchase"))
+      assert(s.contains(s"EqualTo(event_type,$stage)"), s"stage $stage not pushed:\n$s")
+  }
+
+  test("d_prefix_jaccard: candidate generation is an equi-join, never a cartesian") {
+    val df = SparkEntry.queries("d_prefix_jaccard")(spark, sfDir)
+    val s = explainStr(df)
+    assert(!s.contains("CartesianProduct"), s)
+    assert(!s.contains("BroadcastNestedLoopJoin"), s)
+  }
+
+  test("fe_quantile_bin: cutpoints never funnel the data through one task") {
+    val df = SparkEntry.queries("fe_quantile_bin")(spark, sfDir)
+    df.collect()
+    // the only SinglePartition allowed is the final ≤bins-row aggregate
+    // merge; the per-value CDF must stay range-partitioned (the cutpoint
+    // subtree rides the broadcast side of the binning join)
+    val s = explainStr(df).toLowerCase
+    assert(s.contains("rangepartitioning"), s)
+  }
+
+  test("dp_profile: all columns profile through ONE Expand scan, not k jobs") {
+    val df = SparkEntry.queries("dp_profile")(spark, sfDir)
+    val s = explainStr(df)
+    assert(s.contains("Expand"), s)
+    // exactly one parquet scan of lineitem in the whole plan (tree form —
+    // the formatted explain repeats each node in its detail section)
+    val tree = plan(df).toString
+    assert("FileScan parquet".r.findAllIn(tree).size == 1, tree)
+  }
 }
