@@ -1081,6 +1081,15 @@ object SparkEntry {
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
     }),
 
+    // hard-negative mining: per query, top-k most-similar DIFFERENT-label
+    // vectors — broadcast queries, corpus never shuffled, label predicate
+    // fused into the join
+    "sim_hard_negatives" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", "label", k = 5)
+    }),
+
     "sim_ivf_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       val centroids = Similarity.kmeansCentroids(emb, "embedding", k = 16)
@@ -1391,6 +1400,26 @@ object SparkEntry {
       graft.ml.Metrics.rocPoints(scored, "score", "y")
     }),
 
+    // M9 companion: reliability-diagram calibration bins for the
+    // deterministic rule score (totalprice/600k clamped into [0,1]) —
+    // one hash aggregation, exact decimal mean per bucket
+    "ml_calibration" -> ((s, d) => {
+      val scored = t(s, d, "orders").select(
+        (col("o_totalprice") / 600000.0).as("score"),
+        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0).as("y"))
+      graft.ml.Metrics.calibrationBins(scored, "score", "y", 10)
+    }),
+
+    // M12 companion: decile lift/gain table — GLOBAL ranking without the
+    // single-task ROW_NUMBER window (GlobalRowNumber under the hood), then
+    // integer-arithmetic bucket splits any engine reproduces exactly
+    "ml_lift" -> ((s, d) => {
+      val scored = t(s, d, "orders").select(
+        col("o_totalprice").as("score"), col("o_orderkey"),
+        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0).as("y"))
+      graft.ml.Metrics.liftTable(scored, "score", "o_orderkey", "y", 10)
+    }),
+
     // M13: chi-squared over the (priority × big-order) contingency table
     "ml_chi2" -> ((s, d) => {
       val xy = t(s, d, "orders").select(
@@ -1691,6 +1720,20 @@ object SparkEntry {
         Tables.events(s, d).select(start.as("st"), (start + dur).as("en")),
         col("st"), col("en"))
     }),
+
+    // trailing-24h rolling sum/count per event — RANGE frame over epoch
+    // seconds: one exchange on the entity, streaming accumulation inside
+    // each sorted partition (no self-join, no per-row probe)
+    "ev_rolling24h" -> ((s, d) =>
+      graft.ops.TimeSeriesOps.rollingAgg(
+        Tables.events(s, d), "user_id", "ts", "value", "event_id", 86400L)),
+
+    // dense daily panel with forward fill — sequence()+explode grid
+    // (executor-side, never a driver loop), daily agg BEFORE the grid
+    // join so everything past the first agg is |users×days|-sized
+    "ev_gapfill_daily" -> ((s, d) =>
+      graft.ops.TimeSeriesOps.gapFillDaily(
+        Tables.events(s, d), "user_id", "ts", "value")),
 
     // fixed-point PageRank (3 damped iterations) over the part co-order
     // graph — the Pregel iterated-join pattern with ALL arithmetic in e12
@@ -2458,6 +2501,38 @@ object SparkEntry {
         |         / SUM(np) OVER () AS tpr
         |FROM g""".stripMargin,
 
+    "ml_calibration" ->
+      """WITH s AS (
+        |  SELECT round(o_totalprice / 600000.0, 6) AS sr,
+        |         CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END AS y
+        |  FROM orders
+        |)
+        |SELECT CAST(LEAST(GREATEST(FLOOR(sr * 10), 0), 9) AS INTEGER) AS bin,
+        |       count(*) AS n,
+        |       round(CAST(SUM(CAST(sr AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6) AS mean_score,
+        |       round(CAST(SUM(y) AS DOUBLE) / count(*), 6) AS frac_pos
+        |FROM s GROUP BY 1""".stripMargin,
+
+    // the bucket boundary is (rn-1)*10 // n — same integer arithmetic as
+    // the engine's GlobalRowNumber split, so ntile() is deliberately NOT
+    // used (its "first r buckets get the extra row" rule differs)
+    "ml_lift" ->
+      """WITH s AS (
+        |  SELECT CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END AS y,
+        |         ROW_NUMBER() OVER (ORDER BY o_totalprice DESC NULLS LAST, o_orderkey) AS rn,
+        |         COUNT(*) OVER () AS n
+        |  FROM orders
+        |), g AS (
+        |  SELECT CAST((rn - 1) * 10 // n AS INTEGER) + 1 AS bucket,
+        |         count(*) AS n_rows, CAST(SUM(y) AS BIGINT) AS n_pos
+        |  FROM s GROUP BY 1
+        |)
+        |SELECT bucket, n_rows, n_pos,
+        |       round((CAST(n_pos AS DOUBLE) / n_rows) /
+        |             (CAST(SUM(n_pos) OVER () AS DOUBLE) / SUM(n_rows) OVER ()), 6) AS lift,
+        |       round(CAST(SUM(n_pos) OVER (ORDER BY bucket) AS DOUBLE) / SUM(n_pos) OVER (), 6) AS cum_gain
+        |FROM g""".stripMargin,
+
     "ml_chi2" ->
       """WITH joint AS (
         |  SELECT o_orderpriority AS x,
@@ -3065,6 +3140,12 @@ object SparkEntry {
       startSql = "CAST(epoch(date_trunc('second', ts)) AS BIGINT)",
       endSql = "CAST(epoch(date_trunc('second', ts)) AS BIGINT) + " +
         "GREATEST(1, CAST(FLOOR(value * 10) AS BIGINT))"),
+
+    "ev_rolling24h" -> graft.ops.TimeSeriesOps.rollingAggOracleSql(
+      "events", "user_id", "ts", "value", "event_id", 86400L),
+
+    "ev_gapfill_daily" -> graft.ops.TimeSeriesOps.gapFillDailyOracleSql(
+      "events", "user_id", "ts", "value"),
 
     "g_pagerank3" -> graft.ops.PageRank.fixedPointOracleSql(
       "SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst " +

@@ -85,6 +85,66 @@ object Dedup {
       .select("doc_a", "doc_b", "inter_cnt", "jaccard")
   }
 
+  /** Benchmark decontamination: count, per candidate document, the
+    * distinct word n-grams it shares with a PROBE set (the benchmark /
+    * eval corpus a pretraining pipeline must not leak). Docs with any hit
+    * are contamination suspects; `n_hit_grams` grades severity. Canonical
+    * n in production is 8–13 (WMDP/GPT-3-style 13-gram filtering); the
+    * declared query uses a smaller n scaled to the synthetic texts.
+    *
+    * Scale shape: the probe side is benchmark-sized (thousands of docs,
+    * not billions), so its distinct shingle set BROADCASTS — the corpus
+    * explodes its shingles once and hash-probes locally; the only
+    * shuffle is the final per-doc count (map-side partial first). The
+    * corpus is never self-joined, so there is no skew bomb: cost is
+    * O(corpus tokens) + O(hits).
+    */
+  def contamination(
+      docs: DataFrame,
+      probes: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int
+  ): DataFrame = {
+    val probeGrams = probes
+      .select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("_toks"))
+      .select(explode(TextOps.shinglesFromTokens(col("_toks"), n)).as("shingle"))
+      .distinct()
+    docs
+      .select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("_toks"))
+      .select(col("doc_id"), explode(TextOps.shinglesFromTokens(col("_toks"), n)).as("shingle"))
+      .join(broadcast(probeGrams), Seq("shingle"))
+      // shingles are per-doc distinct already, so count = distinct hits
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hit_grams"))
+  }
+
+  /** DuckDB mirror of [[contamination]] — same n, same probe/candidate
+    * predicates, generated so the two can't drift. Predicates are SQL
+    * over the raw table's columns (e.g. `doc_id % 100 = 0`).
+    */
+  def contaminationOracleSql(
+      table: String, idCol: String, textCol: String, n: Int,
+      probePredSql: String, candPredSql: String): String = {
+    val gram = (1 to n).map(j => s"t[i+${j - 1}]").mkString(" || ' ' || ")
+    s"""WITH toks AS (
+       |  SELECT $idCol AS doc_id,
+       |         list_filter(regexp_split_to_array(lower($textCol), '[^a-z]+'), x -> x <> '') AS t,
+       |         $probePredSql AS is_probe, $candPredSql AS is_cand
+       |  FROM $table
+       |), sh AS (
+       |  SELECT DISTINCT doc_id, is_probe, is_cand, shingle FROM (
+       |    SELECT doc_id, is_probe, is_cand,
+       |           unnest(list_transform(range(1, len(t) - ${n - 2}), i -> $gram)) AS shingle
+       |    FROM toks WHERE len(t) >= $n
+       |  )
+       |), probe AS (SELECT DISTINCT shingle FROM sh WHERE is_probe)
+       |SELECT s.doc_id, count(*) AS n_hit_grams
+       |FROM sh s JOIN probe USING (shingle)
+       |WHERE s.is_cand
+       |GROUP BY 1""".stripMargin
+  }
+
   private val MinhashPrime = 2147483647L // 2^31 - 1
 
   /** 60-bit engine-portable hash — see TextOps.md5Hash60. */

@@ -172,4 +172,67 @@ object Metrics {
         (col(scoreCol) > threshold).cast("int").as("prediction"),
         col(labelCol).cast("int").as("label"))
       .agg(count(lit(1)).as("cnt"))
+
+  /** Reliability-diagram calibration bins (the companion to [[aucRocDf]]):
+    * probability-like scores in [0,1] are rounded to 6 decimals, cut into
+    * `bins` equal-width buckets, and each bucket reports its size, exact
+    * mean score, and empirical positive rate — the (predicted, observed)
+    * pairs a calibration plot draws. The reference reads calibration off
+    * its threshold tables (Hap880_Final_Project.py:471-534); this is the
+    * binned form at any scale: ONE hash aggregation, with the mean riding
+    * DECIMAL(28,6) accumulation of the rounded score so the answer is
+    * partition-order- and engine-independent. Scores outside [0,1] clamp
+    * into the edge buckets.
+    */
+  def calibrationBins(scored: DataFrame, scoreCol: String, labelCol: String, bins: Int): DataFrame = {
+    require(bins > 0, "calibrationBins needs bins > 0")
+    val sr = round(col(scoreCol), 6)
+    val bin = least(greatest(floor(sr * bins), lit(0.0)), lit((bins - 1).toDouble)).cast("int")
+    scored
+      .select(sr.as("_sr"), col(labelCol).cast("long").as("_y"), bin.as("bin"))
+      .groupBy("bin")
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("_sr").cast("decimal(28,6)")).cast("double") / count(lit(1)), 6).as("mean_score"),
+        round(sum(col("_y")).cast("double") / count(lit(1)), 6).as("frac_pos"))
+  }
+
+  /** Decile lift & cumulative-gain table: rank by score descending (ties
+    * broken by `idCol`), split into `k` near-equal buckets by GLOBAL row
+    * number, and report each bucket's positive rate relative to the base
+    * rate plus the cumulative share of positives captured — the campaign /
+    * triage view of the same scores the ROC curve sees.
+    *
+    * The global ranking rides [[graft.ops.GlobalRowNumber]] (range
+    * partition + per-partition offsets — no single-task ROW_NUMBER window,
+    * and the total count comes out of its counts pass for free). Bucket
+    * assignment is pure integer arithmetic, (rn−1)·k div n, so any engine
+    * splits identically; the k-row bucket frame then takes two windows
+    * that are k-row-sized, never data-sized. The internal range-partition
+    * pin stays for the session (same contract as the w6 numbering query).
+    */
+  def liftTable(scored: DataFrame, scoreCol: String, idCol: String, labelCol: String, k: Int): DataFrame = {
+    require(k > 0, "liftTable needs k > 0")
+    val slim = scored.select(
+      col(scoreCol).as("_s"), col(idCol).as("_id"), col(labelCol).cast("long").as("_y"))
+    val (numbered, total, _) = graft.ops.GlobalRowNumber.withRowNumberAndCount(
+      slim, "_rn", col("_s").desc, col("_id"))
+    if (total == 0) {
+      // degenerate input: an empty bucket table, not a divide-by-zero plan
+      return numbered.select(
+        lit(0).as("bucket"), lit(0L).as("n_rows"), lit(0L).as("n_pos"),
+        lit(0.0).as("lift"), lit(0.0).as("cum_gain")).limit(0)
+    }
+    val g = numbered
+      .select(expr(s"CAST(((_rn - 1) * $k) DIV ${total}L AS INT) + 1").as("bucket"), col("_y"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"), sum(col("_y")).as("n_pos"))
+    val wCum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    g.select(
+      col("bucket"), col("n_rows"), col("n_pos"),
+      round((col("n_pos").cast("double") / col("n_rows")) /
+        (sum("n_pos").over(wAll).cast("double") / sum("n_rows").over(wAll)), 6).as("lift"),
+      round(sum("n_pos").over(wCum).cast("double") / sum("n_pos").over(wAll), 6).as("cum_gain"))
+  }
 }

@@ -44,6 +44,18 @@ object GlobalRowNumber {
     */
   def withRowNumberReleasable(
       df: DataFrame, outCol: String, ord: Column*): (DataFrame, () => Unit) = {
+    val (numbered, _, release) = withRowNumberAndCount(df, outCol, ord: _*)
+    (numbered, release)
+  }
+
+  /** Numbering plus the input's TOTAL row count — free, because the
+    * counts pass already sums every partition — and the release hook.
+    * For callers that need both the global rank and n (quantile/decile
+    * bucket assignment, percentile ranks) without paying a second
+    * counting job over the input.
+    */
+  def withRowNumberAndCount(
+      df: DataFrame, outCol: String, ord: Column*): (DataFrame, Long, () => Unit) = {
     require(ord.nonEmpty, "withRowNumber needs at least one ordering column")
     val r = RangedCounts(df, ord)
     val offsets: Map[Int, Long] = (0 until r.parts).map(p => p -> r.cum(p)).toMap
@@ -55,6 +67,6 @@ object GlobalRowNumber {
         row_number().over(Window.partitionBy("_pid").orderBy(ord: _*)).cast("long")
           + offsetCol)
       .drop("_pid")
-    (numbered, () => r.unpersist())
+    (numbered, r.cum(r.parts), () => r.unpersist())
   }
 }

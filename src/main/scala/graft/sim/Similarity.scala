@@ -85,6 +85,41 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** Hard-negative mining for contrastive training: for each query, the
+    * top-k most-similar corpus vectors with a DIFFERENT label — the
+    * near-miss examples a metric-learning batch builder wants (easy
+    * negatives teach nothing; positives are excluded by construction).
+    * Same broadcast shape as [[bruteForceTopK]] — the corpus is never
+    * shuffled, queries ride a broadcast, and the label-mismatch predicate
+    * is fused into the join so excluded rows never reach the ranker.
+    */
+  def hardNegatives(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int
+  ): DataFrame = {
+    def side(df: DataFrame, id: String, v: String, n: String, lab: String): DataFrame =
+      df.select(
+        col(idCol).as(id),
+        transform(col(vecCol), x => x.cast("double")).as(v),
+        col(labelCol).as(lab))
+        .withColumn(n, sqrt(VectorOps.dot(col(v), col(v))))
+    val q = side(queries, "query_id", "qv", "nq", "q_label")
+    val c = side(corpus, "neighbor_id", "cv", "nc", "n_label")
+    val scored = c
+      .join(broadcast(q),
+        col("query_id") =!= col("neighbor_id") && col("q_label") =!= col("n_label"))
+      .withColumn("cosine", pairCosine(col("qv"), col("cv"), col("nq"), col("nc")))
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
   /** ==== Random-hyperplane (SimHash-style) LSH over embeddings ====
     *
     * The scale path for embedding near-dup: sign-bit signatures under

@@ -62,4 +62,54 @@ class MetricsSpec extends SparkSpecBase {
     assert(fprs == fprs.sorted && tprs == tprs.sorted)
     assert(fprs.last == 1.0 && tprs.last == 1.0)
   }
+
+  test("calibrationBins: sizes, exact means, positive rates, edge clamp") {
+    // bin = floor(score*4) clamped to [0,3]; 1.0 and -0.1 land in edges
+    val df = Seq(
+      (0.10, 1.0), (0.20, 0.0),            // bin 0
+      (0.30, 1.0), (0.40, 1.0),            // bin 1
+      (0.60, 0.0),                         // bin 2
+      (1.00, 1.0), (-0.10, 0.0)            // clamps: bin 3, bin 0
+    ).toDF("score", "y")
+    val rows = Metrics.calibrationBins(df, "score", "y", 4)
+      .orderBy("bin").collect()
+    assert(rows.map(_.getAs[Int]("bin")).toSeq == Seq(0, 1, 2, 3))
+    assert(rows.map(_.getAs[Long]("n")).toSeq == Seq(3L, 2L, 1L, 1L))
+    val m = rows.map(r => r.getAs[Int]("bin") -> r.getAs[Double]("mean_score")).toMap
+    assert(math.abs(m(0) - 0.066667) < 1e-9) // (0.1+0.2-0.1)/3 rounded to 6dp
+    assert(m(1) == 0.35 && m(2) == 0.6 && m(3) == 1.0)
+    val fp = rows.map(r => r.getAs[Int]("bin") -> r.getAs[Double]("frac_pos")).toMap
+    assert(math.abs(fp(0) - 0.333333) < 1e-9 && fp(1) == 1.0 && fp(2) == 0.0 && fp(3) == 1.0)
+  }
+
+  test("liftTable: bucket splits, lift vs base rate, cumulative gain") {
+    // 10 rows, k=2 -> buckets of 5 by score desc; top half has 4/5
+    // positives, bottom half 1/5; base rate 5/10
+    val df = (1 to 10).map { i =>
+      val score = 11.0 - i                 // row 1 highest
+      val y = if (i <= 4 || i == 6) 1 else 0
+      (score, i.toLong, y)
+    }.toDF("score", "id", "y")
+    val rows = Metrics.liftTable(df, "score", "id", "y", 2)
+      .orderBy("bucket").collect()
+    assert(rows.map(_.getAs[Int]("bucket")).toSeq == Seq(1, 2))
+    assert(rows.map(_.getAs[Long]("n_rows")).toSeq == Seq(5L, 5L))
+    assert(rows.map(_.getAs[Long]("n_pos")).toSeq == Seq(4L, 1L))
+    assert(rows.map(_.getAs[Double]("lift")).toSeq == Seq(1.6, 0.4))
+    assert(rows.map(_.getAs[Double]("cum_gain")).toSeq == Seq(0.8, 1.0))
+  }
+
+  test("liftTable: non-divisible n spreads remainder like (rn-1)*k div n") {
+    // 7 rows, k=3: bucket sizes follow floor arithmetic -> 3,2,2
+    val df = (1 to 7).map(i => (10.0 - i, i.toLong, i % 2)).toDF("score", "id", "y")
+    val rows = Metrics.liftTable(df, "score", "id", "y", 3)
+      .orderBy("bucket").collect()
+    assert(rows.map(_.getAs[Long]("n_rows")).toSeq == Seq(3L, 2L, 2L))
+    assert(rows.map(_.getAs[Double]("cum_gain")).last == 1.0)
+  }
+
+  test("liftTable: empty input yields an empty table, not a crash") {
+    val df = Seq.empty[(Double, Long, Int)].toDF("score", "id", "y")
+    assert(Metrics.liftTable(df, "score", "id", "y", 5).collect().isEmpty)
+  }
 }

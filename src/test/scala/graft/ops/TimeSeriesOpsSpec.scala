@@ -1,0 +1,59 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import graft.SparkSpecBase
+
+class TimeSeriesOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  // user 1: three events inside one 24h span plus one far later;
+  // user 2: a single event (window of itself only)
+  private val events = Seq(
+    (1L, 10L, ts("2024-01-01 00:00:00"), 1.0),
+    (2L, 10L, ts("2024-01-01 12:00:00"), 2.0),
+    (3L, 10L, ts("2024-01-01 23:59:59"), 4.0), // 86399s after e1 -> still in
+    (4L, 10L, ts("2024-01-05 00:00:00"), 8.0), // out of every earlier window
+    (5L, 20L, ts("2024-01-02 06:00:00"), 16.0)
+  ).toDF("event_id", "user_id", "ts", "value")
+
+  test("rollingAgg sums exactly the trailing horizon, inclusive ends") {
+    val out = TimeSeriesOps.rollingAgg(events, "user_id", "ts", "value", "event_id", 86400L)
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        (r.getAs[Double]("roll_sum"), r.getAs[Long]("roll_n"))).toMap
+    assert(out(1L) == (1.0, 1L))
+    assert(out(2L) == (3.0, 2L))
+    assert(out(3L) == (7.0, 3L)) // e1 at exactly horizon-1 seconds back: in
+    assert(out(4L) == (8.0, 1L))
+    assert(out(5L) == (16.0, 1L))
+  }
+
+  test("rollingAgg horizon boundary is exclusive at exactly horizon seconds") {
+    val two = Seq(
+      (1L, 1L, ts("2024-01-01 00:00:00"), 1.0),
+      (2L, 1L, ts("2024-01-02 00:00:00"), 2.0) // exactly 86400s later -> out
+    ).toDF("event_id", "user_id", "ts", "value")
+    val out = TimeSeriesOps.rollingAgg(two, "user_id", "ts", "value", "event_id", 86400L)
+      .collect().map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("roll_n")).toMap
+    assert(out(2L) == 1L)
+  }
+
+  test("gapFillDaily emits every day in span, zero-counts gaps, forward-fills") {
+    val out = TimeSeriesOps.gapFillDaily(events, "user_id", "ts", "value")
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[java.sql.Date]("day").toString) ->
+        (r.getAs[Long]("n_events"), r.getAs[Double]("filled_sum")))
+      .toMap
+    // user 10 spans Jan 1..5 -> 5 rows; Jan 2-4 are gaps carrying Jan 1's sum
+    assert(out((10L, "2024-01-01")) == (3L, 7.0))
+    assert(out((10L, "2024-01-02")) == (0L, 7.0))
+    assert(out((10L, "2024-01-03")) == (0L, 7.0))
+    assert(out((10L, "2024-01-04")) == (0L, 7.0))
+    assert(out((10L, "2024-01-05")) == (1L, 8.0))
+    // user 20: single active day, no gaps
+    assert(out((20L, "2024-01-02")) == (1L, 16.0))
+    assert(out.size == 6)
+  }
+}
