@@ -1050,6 +1050,18 @@ object SparkEntry {
       Dedup.jaccardPairs(t(s, d, "documents"), "doc_id", "text", n = 3, threshold = 0.05,
         maxShingleDf = Some(100L))),
 
+    // benchmark decontamination: docs sharing any 3-gram with the probe
+    // ("benchmark") subset — probe shingle set broadcasts, corpus is never
+    // self-joined; production n is 8-13, scaled to n=3 for the short
+    // synthetic texts so the check exercises real overlap (~150 docs hit)
+    "d_contamination" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.contamination(
+        docs.filter(col("doc_id") % 100 =!= 0),
+        docs.filter(col("doc_id") % 100 === 0),
+        "doc_id", "text", n = 3)
+    }),
+
     "d_minhash_pairs" -> ((s, d) =>
       Dedup.minhashLshPairs(t(s, d, "documents"), "doc_id", "text")),
 
@@ -1458,6 +1470,29 @@ object SparkEntry {
             6).as("tfidf"))
     }),
 
+    // keyword extraction: top-3 terms per document by smooth-idf TF-IDF
+    // with a deterministic (score desc, term asc) tiebreak — the per-doc
+    // top-k window rides the RowNumberTopKRule → TopKPerKey rewrite in
+    // Verify/Bench sessions (bounded heap, no full per-partition sort)
+    "t_keywords" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val nDocs = docs.count()
+      val tf = docs
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val scored = tf.join(dfreq, "term")
+        .select(
+          col("doc_id"), col("term"),
+          round(col("tf") *
+            (log(lit((nDocs + 1L).toDouble) / (col("df") + lit(1L)).cast("double")) + lit(1.0)),
+            6).as("tfidf"))
+      val w = Window.partitionBy("doc_id").orderBy(desc("tfidf"), asc("term"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("term"), col("tfidf"), col("rank"))
+    }),
+
     // M1-adjacent: corpus vocabulary by document frequency (top-50,
     // deterministic tiebreak) — the relational core of CountVectorizer
     "vocab_topdf" -> ((s, d) =>
@@ -1596,6 +1631,17 @@ object SparkEntry {
           countDistinct(col("o_custkey")).as("n_customers"),
           count(lit(1)).as("n_orders"),
           sum(when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)).as("n_urgent"))
+    }),
+
+    // deterministic hash-bucket negative sampling: k different-label
+    // negatives per anchor with no RNG state — candidates shuffle once
+    // into buckets, each probe scans one bucket, the per-(anchor,draw)
+    // argmin is a partial-aggregable min(struct), and the whole draw is
+    // replayable bit-for-bit on any engine (portable md5 salts)
+    "fe_neg_pairs" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      graft.ml.NegativeSampling.negativePairs(
+        emb, emb, "vec_id", "label", k = 3, buckets = 16)
     }),
 
     // ---- incremental-table maintenance: SCD2 history + CDC upsert ----
@@ -2585,6 +2631,48 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
         |  FROM scored
         |) WHERE rank <= 5""".stripMargin,
+
+    "sim_hard_negatives" ->
+      """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, label AS ql, e AS qe FROM v WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.query_id, c.vec_id AS neighbor_id,
+        |    list_sum(list_transform(range(1, len(c.e) + 1), i -> q.qe[i] * c.e[i])) /
+        |    (sqrt(list_sum(list_transform(range(1, len(q.qe) + 1), i -> q.qe[i] * q.qe[i]))) *
+        |     sqrt(list_sum(list_transform(range(1, len(c.e) + 1), i -> c.e[i] * c.e[i])))) AS cosine
+        |  FROM v c, q WHERE q.query_id <> c.vec_id AND q.ql <> c.label
+        |)
+        |SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        |  FROM scored
+        |) WHERE rank <= 5""".stripMargin,
+
+    "d_contamination" -> Dedup.contaminationOracleSql(
+      "documents", "doc_id", "text", n = 3,
+      probePredSql = "doc_id % 100 = 0", candPredSql = "doc_id % 100 <> 0"),
+
+    "fe_neg_pairs" -> graft.ml.NegativeSampling.negativePairsOracleSql(
+      "embeddings", "vec_id", "label", k = 3, buckets = 16, anchorPredSql = "TRUE"),
+
+    "t_keywords" ->
+      """WITH tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM (
+        |    SELECT doc_id,
+        |           unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')) AS term
+        |    FROM documents
+        |  ) GROUP BY 1, 2
+        |), dfreq AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+        |), n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |         round(tf.tf * (ln(CAST(n_docs + 1 AS DOUBLE) / CAST(dfreq.df + 1 AS DOUBLE)) + 1.0), 6) AS tfidf
+        |  FROM tf JOIN dfreq USING (term), n
+        |)
+        |SELECT doc_id, term, tfidf, CAST(rank AS INTEGER) AS rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+        |  FROM scored
+        |) WHERE rank <= 3""".stripMargin,
 
     "t_normalize" ->
       """SELECT doc_id,

@@ -88,6 +88,27 @@ class DedupSpec extends SparkSpecBase {
     assert(reps.length == 4)
   }
 
+  test("contamination counts distinct shared n-grams, probe side excluded") {
+    // probe doc 100 has grams "a b c", "b c d"; doc 1 shares both, doc 2
+    // shares one, doc 3 shares none; repeated grams count once (distinct)
+    val probes = Seq((100L, "a b c d")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "a b c d x"),          // both probe 3-grams
+      (2L, "x a b c y"),          // "a b c" only
+      (3L, "p q r s"),            // none
+      (4L, "a b c z a b c")       // "a b c" twice -> counts once
+    ).toDF("doc_id", "text")
+    val out = Dedup.contamination(docs, probes, "doc_id", "text", n = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_hit_grams")).toMap
+    assert(out == Map(1L -> 2L, 2L -> 1L, 4L -> 1L))
+  }
+
+  test("contamination with an empty probe set flags nothing") {
+    val probes = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val docs = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    assert(Dedup.contamination(docs, probes, "doc_id", "text", n = 3).collect().isEmpty)
+  }
+
   test("clusterKeep keeps the best-quality member, lowest id on ties") {
     // cluster rep 1 = {1,2,3} with qualities 5,9,9 → keep 2 (tie 2 < 3);
     // singleton 4 keeps itself

@@ -120,4 +120,20 @@ class SimilaritySpec extends SparkSpecBase {
       .collect().map(_.getAs[Long]("neighbor_id")).toSet
     assert(tight == Set(1L, 9L))
   }
+
+  test("hardNegatives excludes same-label vectors and ranks the rest") {
+    // query 0 (label 1): vec 1 is nearly identical but SAME label — must
+    // be excluded; among different-label vecs, 2 (cos≈0.98) beats 3 (⊥)
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f), 1),
+      (1L, Array(0.99f, 0.01f), 1),
+      (2L, Array(0.9f, 0.2f), 2),
+      (3L, Array(0.0f, 1.0f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(df, df.filter($"vec_id" === 0L),
+      "vec_id", "embedding", "label", k = 2)
+      .collect().sortBy(_.getAs[Int]("rank"))
+    assert(out.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(2L, 3L))
+    assert(out.forall(_.getAs[Long]("query_id") == 0L))
+  }
 }
