@@ -1781,6 +1781,34 @@ object SparkEntry {
       graft.ops.TimeSeriesOps.gapFillDaily(
         Tables.events(s, d), "user_id", "ts", "value")),
 
+    // triangle counting over the part co-order graph — degree-ordered
+    // orientation bounds wedge generation at O(m^1.5) (a hub's oriented
+    // out-degree is √-bounded), every step an explicit-key hash join
+    "g_triangles" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select("l_orderkey", "l_partkey")
+      val edges = li.as("a")
+        .join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") =!= col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      graft.ops.Triangles.triangleCount(edges, "src", "dst")
+    }),
+
+    // fact × fact interval-overlap join — grid-cell equi-join (both sides
+    // shuffle by time cell, no broadcast-nested-loop), duplicate pairs
+    // suppressed arithmetically by the first-overlap-cell-owns-the-pair
+    // rule instead of a post-join DISTINCT
+    "j13_interval_overlap" -> ((s, d) => {
+      val start = unix_timestamp(date_trunc("second", col("ts")))
+      val dur = greatest(lit(1L), floor(col("value") * 10).cast("long"))
+      val iv = Tables.events(s, d)
+        .select(col("event_id"), start.as("st"), (start + dur).as("en"))
+      graft.ops.IntervalJoin.overlapPairs(
+        iv.filter(col("event_id") % 2 === 0), iv.filter(col("event_id") % 2 === 1),
+        "event_id", "st", "en", "event_id", "st", "en", bucketWidth = 600L)
+        .groupBy("a_id").agg(count(lit(1)).as("n_overlap"))
+    }),
+
     // fixed-point PageRank (3 damped iterations) over the part co-order
     // graph — the Pregel iterated-join pattern with ALL arithmetic in e12
     // scaled integers, so the scores hash-match the oracle's unrolled CTEs
@@ -3266,6 +3294,21 @@ object SparkEntry {
 
     "ev_transitions" -> graft.ops.FunnelOps.transitionsOracleSql(
       "events", "user_id", "event_type", "ts", "event_id"),
+
+    "g_triangles" -> graft.ops.Triangles.countOracleSql(
+      "SELECT a.l_partkey AS src, b.l_partkey AS dst FROM lineitem a " +
+        "JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey"),
+
+    "j13_interval_overlap" -> {
+      val iv = "SELECT event_id AS id, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS st, " +
+        "CAST(epoch(date_trunc('second', ts)) AS BIGINT) + " +
+        "GREATEST(1, CAST(FLOOR(value * 10) AS BIGINT)) AS en FROM events"
+      s"""WITH pairs AS (
+         |${graft.ops.IntervalJoin.overlapPairsOracleSql(
+        s"SELECT * FROM ($iv) WHERE id % 2 = 0", s"SELECT * FROM ($iv) WHERE id % 2 = 1")}
+         |)
+         |SELECT a_id, count(*) AS n_overlap FROM pairs GROUP BY 1""".stripMargin
+    },
 
     // NULL predicate results fall to ELSE on both engines (a null row is
     // not a violation of a range rule — the not-null rule catches it)
