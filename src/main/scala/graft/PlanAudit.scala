@@ -300,7 +300,43 @@ object PlanAudit {
         |arithmetic is scaled-integer (e12), so the scores are
         |bit-identical under any partitioning and hash-match the oracle's
         |unrolled CTEs; no floats, no merge-order dependence, no driver
-        |state beyond the node count."""
+        |state beyond the node count.""",
+    "g_triangles" ->
+      """Degree-ordered orientation before wedge generation: every join in
+        |the plan is an explicit-key hash join (degree attach, wedge
+        |self-join on the corner, closing-edge equi-join) — the only
+        |nested-loop is the final 1-row × 1-row scalar combine. The
+        |orientation bounds per-node wedge fan-out at O(√m), so a hub that
+        |would generate deg² wedges un-oriented stays √-bounded — the
+        |"curse of the last reducer" fix, visible as the absence of any
+        |skewed-key blowup path in the plan.""",
+    "j13_interval_overlap" ->
+      """Both interval sides explode onto a fixed time grid and meet in an
+        |equi-join on the cell — no CartesianProduct, no
+        |BroadcastNestedLoopJoin, even though the predicate is a range
+        |overlap and NEITHER side is broadcastable. Duplicate suppression
+        |is the first-overlap-cell-owns-the-pair filter, so no post-join
+        |DISTINCT exchange appears either.""",
+    "ml_lift" ->
+      """Global decile ranking WITHOUT the single-task window:
+        |rangepartitioning carries the data (GlobalRowNumber), bucket
+        |assignment is a literal-map lookup + integer arithmetic inside
+        |codegen, and the only SinglePartition windows run on the 10-row
+        |bucket aggregate. The naive ntile() form funnels every row
+        |through one task.""",
+    "d_contamination" ->
+      """The probe (benchmark) shingle set rides a BroadcastHashJoin —
+        |the corpus explodes its shingles once and hash-probes locally,
+        |then one partial-agg count per doc. No corpus self-join exists in
+        |the plan, so there is no O(df²) skew bomb: decontamination cost
+        |is O(corpus tokens), the property that makes the gate runnable
+        |per-snapshot at 100 TB.""",
+    "ev_rolling24h" ->
+      """ONE Exchange (entity hash) and a RANGE frame over epoch seconds:
+        |the rolling sum is streaming accumulation inside each sorted
+        |partition — no self-join, no per-row probe, state bounded by the
+        |horizon. The window-frame form is the only trailing-aggregate
+        |shape that survives an unbounded event table."""
   )
 
   private def streamingPlan(spark: SparkSession, sfDir: String): String = {

@@ -141,6 +141,52 @@ class PlansSpec extends SparkSpecBase {
     assert(s.contains("rangepartitioning"), s)
   }
 
+  test("d_contamination: probe shingle set broadcasts; corpus side is never self-joined") {
+    val df = SparkEntry.queries("d_contamination")(spark, sfDir)
+    val s = explainStr(df)
+    assert(s.contains("BroadcastHashJoin"), s)
+    assert(!s.contains("CartesianProduct") && !s.contains("SortMergeJoin"), s)
+  }
+
+  test("ml_lift: global ranking is range-partitioned, never a data-sized single task") {
+    val df = SparkEntry.queries("ml_lift")(spark, sfDir)
+    val s = explainStr(df).toLowerCase
+    // GlobalRowNumber's range partitioning carries the data; the only
+    // single-partition window runs on the k-row bucket aggregate
+    assert(s.contains("rangepartitioning"), s)
+  }
+
+  test("j13_interval_overlap: grid join is an equi-join, never a nested loop") {
+    val df = SparkEntry.queries("j13_interval_overlap")(spark, sfDir)
+    val s = explainStr(df)
+    assert(!s.contains("CartesianProduct"), s)
+    assert(!s.contains("BroadcastNestedLoopJoin"), s)
+  }
+
+  test("g_triangles: wedge and closing joins are hash joins, never nested loops") {
+    val df = SparkEntry.queries("g_triangles")(spark, sfDir)
+    val s = explainStr(df)
+    assert(!s.contains("CartesianProduct"), s)
+    // the single tolerated nested-loop is the final 1-row × 1-row scalar
+    // combine (n_edges × n_triangles); every data-sized join must hash
+    val tree = plan(df).toString
+    assert("BroadcastNestedLoopJoin".r.findAllIn(tree).size <= 1, tree)
+    assert(s.contains("SortMergeJoin") || s.contains("ShuffledHashJoin") ||
+      s.contains("BroadcastHashJoin"), s)
+  }
+
+  test("ev_rolling24h: exactly one exchange (entity hash), frame is streaming") {
+    val df = SparkEntry.queries("ev_rolling24h")(spark, sfDir)
+    assert(countShuffles(plan(df)) == 1, s"expected 1 shuffle:\n${explainStr(df)}")
+  }
+
+  test("fe_neg_pairs: probes meet candidates in a bucket equi-join, no cross join") {
+    val df = SparkEntry.queries("fe_neg_pairs")(spark, sfDir)
+    val s = explainStr(df)
+    assert(!s.contains("CartesianProduct"), s)
+    assert(!s.contains("BroadcastNestedLoopJoin"), s)
+  }
+
   test("dp_profile: all columns profile through ONE Expand scan, not k jobs") {
     val df = SparkEntry.queries("dp_profile")(spark, sfDir)
     val s = explainStr(df)
