@@ -725,6 +725,15 @@ object SparkEntry {
       s.sql(SparkEntry.q3Sql)
     }),
 
+    // Q5-shaped 6-table star join through the SQL front-end: Catalyst
+    // must reorder and broadcast the dimension chain; the fact side
+    // never re-shuffles through nation/region
+    "sql_q5_local" -> ((s, d) => {
+      Seq("customer", "orders", "lineitem", "supplier", "nation", "region")
+        .foreach(tn => Tables.table(s, d, tn).createOrReplaceTempView(tn))
+      s.sql(SparkEntry.q5Sql)
+    }),
+
     // SQL front-end, SHARED-TEXT tier: the identical SQL string is both the
     // Spark query and the DuckDB oracle — one source of truth, proving the
     // SQL surface speaks the ANSI dialect intersection (multi-dim ROLLUP,
@@ -1432,6 +1441,17 @@ object SparkEntry {
       graft.ml.Metrics.liftTable(scored, "score", "o_orderkey", "y", 10)
     }),
 
+    // M9 per-segment: one exact Mann-Whitney AUC per order status — the
+    // cohort-drill/fairness view; the rank window is PARTITIONED by
+    // segment (no global distinct-score ordering through one task)
+    "ml_auc_by_segment" -> ((s, d) => {
+      val scored = t(s, d, "orders").select(
+        col("o_orderstatus").as("segment"),
+        col("o_totalprice").as("score"),
+        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1.0).otherwise(0.0).as("y"))
+      graft.ml.Metrics.aucRocBy(scored, "score", "y", "segment")
+    }),
+
     // M13: chi-squared over the (priority × big-order) contingency table
     "ml_chi2" -> ((s, d) => {
       val xy = t(s, d, "orders").select(
@@ -1468,6 +1488,46 @@ object SparkEntry {
           round(col("tf") *
             (log(lit((nDocs + 1L).toDouble) / (col("df") + lit(1L)).cast("double")) + lit(1.0)),
             6).as("tfidf"))
+    }),
+
+    // word-association mining: PMI over adjacent-token bigrams (count ≥ 5)
+    // — two hash aggregations (unigrams, bigrams) + two small joins; the
+    // corpus totals ride a broadcast scalar, and the log-ratio is a single
+    // identical op chain on both engines
+    "t_pmi_bigrams" -> ((s, d) => {
+      val toks = t(s, d, "documents").select(TextOps.tokens(col("text")).as("t"))
+      val uni = toks.select(explode(col("t")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      val bg = toks.filter(size(col("t")) >= 2)
+        .select(explode(transform(sequence(lit(1), size(col("t")) - 1),
+          i => concat_ws(" ", element_at(col("t"), i), element_at(col("t"), i + 1)))).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("c_xy"))
+        .filter(col("c_xy") >= 5)
+      val totals = toks.agg(
+        sum(size(col("t")).cast("long")).as("n_uni"),
+        sum(greatest(size(col("t")) - 1, lit(0)).cast("long")).as("n_bi"))
+      bg
+        .join(uni.select(col("w").as("_w1"), col("c").as("c_x")),
+          element_at(split(col("bigram"), " "), 1) === col("_w1"))
+        .join(uni.select(col("w").as("_w2"), col("c").as("c_y")),
+          element_at(split(col("bigram"), " "), 2) === col("_w2"))
+        .crossJoin(broadcast(totals))
+        .select(col("bigram"), col("c_xy"),
+          round(log((col("c_xy").cast("double") * col("n_uni") * col("n_uni")) /
+            (col("n_bi").cast("double") * col("c_x") * col("c_y"))), 6).as("pmi"))
+    }),
+
+    // training-shard manifest: pack binary payload sizes onto a global
+    // byte axis (SequencePacking's two-pass distributed cumsum — no
+    // single-task window) and assign each doc its shard + in-shard offset
+    "mm_shard_manifest" -> ((s, d) => {
+      val sizes = t(s, d, "documents").select(
+        col("doc_id"), octet_length(col("text").cast("binary")).as("n_bytes"))
+      graft.ops.SequencePacking.packWindows(
+        sizes, col("n_bytes"), budget = 4096L, col("doc_id"))
+        .df.select(col("doc_id"), col("n_bytes"), col("start_off"),
+          col("first_win").as("shard_id"),
+          (col("start_off") - col("first_win") * 4096L).as("shard_off"))
     }),
 
     // keyword extraction: top-3 terms per document by smooth-idf TF-IDF
@@ -1935,6 +1995,23 @@ object SparkEntry {
       |  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
       |GROUP BY o_orderkey, o_orderdate""".stripMargin
 
+  /** TPC-H Q5-shaped 6-table star join — the join-reorder / broadcast-
+    * selection stress query of the shared-text tier; revenue rides exact
+    * decimal arithmetic so both engines agree bit-for-bit. Same
+    * verbatim-SQL contract as [[q3Sql]].
+    */
+  val q5Sql: String =
+    """SELECT n_name, count(*) AS cnt,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA' AND o_orderpriority <> '5-LOW'
+      |GROUP BY n_name""".stripMargin
+
   /** Shared-text SQL: runs verbatim on Spark AND DuckDB. */
   val rollupSql: String =
     """SELECT o_orderpriority, o_orderstatus, count(*) AS cnt
@@ -1972,8 +2049,64 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "sql_q3_shipping" -> q3Sql,
+    "sql_q5_local" -> q5Sql,
     "sql_rollup_agg" -> rollupSql,
     "sql_cube_agg" -> cubeSql,
+
+    "ml_auc_by_segment" ->
+      """WITH s AS (
+        |  SELECT o_orderstatus AS segment, o_totalprice AS score,
+        |         CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END AS y
+        |  FROM orders
+        |), g AS (
+        |  SELECT segment, score, SUM(y) AS np, SUM(1 - y) AS nn FROM s GROUP BY 1, 2
+        |), r AS (
+        |  SELECT segment, np, nn,
+        |         COALESCE(SUM(np + nn) OVER (PARTITION BY segment ORDER BY score
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+        |  FROM g
+        |)
+        |SELECT segment,
+        |       (SUM(np * (cumb + (np + nn + 1) / 2.0)) - CAST(SUM(np) AS DOUBLE) * (SUM(np) + 1) / 2.0)
+        |       / (CAST(SUM(np) AS DOUBLE) * SUM(nn)) AS auc_roc
+        |FROM r GROUP BY segment""".stripMargin,
+
+    "t_pmi_bigrams" ->
+      """WITH toks AS (
+        |  SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '') AS t
+        |  FROM documents
+        |), uni AS (
+        |  SELECT w, count(*) AS c FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1
+        |), bg AS (
+        |  SELECT bigram, count(*) AS c_xy FROM (
+        |    SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
+        |    FROM toks WHERE len(t) >= 2
+        |  ) GROUP BY 1 HAVING count(*) >= 5
+        |), tot AS (
+        |  SELECT CAST(SUM(len(t)) AS BIGINT) AS n_uni,
+        |         CAST(SUM(GREATEST(len(t) - 1, 0)) AS BIGINT) AS n_bi
+        |  FROM toks
+        |)
+        |SELECT bg.bigram, bg.c_xy,
+        |       round(ln((CAST(bg.c_xy AS DOUBLE) * n_uni * n_uni) /
+        |                (CAST(n_bi AS DOUBLE) * u1.c * u2.c)), 6) AS pmi
+        |FROM bg
+        |JOIN uni u1 ON u1.w = split_part(bg.bigram, ' ', 1)
+        |JOIN uni u2 ON u2.w = split_part(bg.bigram, ' ', 2), tot""".stripMargin,
+
+    "mm_shard_manifest" ->
+      """WITH sz AS (
+        |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents
+        |), c AS (
+        |  SELECT doc_id, n_bytes,
+        |         COALESCE(SUM(n_bytes) OVER (ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+        |  FROM sz
+        |)
+        |SELECT doc_id, n_bytes, start_off,
+        |       start_off // 4096 AS shard_id,
+        |       start_off % 4096 AS shard_off
+        |FROM c""".stripMargin,
 
     "sim_centroids" ->
       """WITH v AS (SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

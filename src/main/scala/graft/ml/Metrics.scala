@@ -128,6 +128,37 @@ object Metrics {
               (col("nPos").cast("double") * col("nNeg"))).as("auc_roc"))
   }
 
+  /** Per-segment exact AUC — [[aucRocDf]] with every step keyed by a
+    * segment column (the fairness/cohort-drill view: one AUC per market
+    * segment, per hospital, per time slice). Identical rank arithmetic,
+    * but the cumulative window is PARTITIONED by segment, so no step
+    * funnels all distinct scores through one task the way the global
+    * form's single ordering does; segments with one class yield null.
+    */
+  def aucRocBy(scored: DataFrame, scoreCol: String, labelCol: String, segCol: String): DataFrame = {
+    val byScore = scored
+      .groupBy(col(segCol).as("segment"), col(scoreCol).as("s"))
+      .agg(
+        sum(when(col(labelCol) === 1.0, 1L).otherwise(0L)).as("np"),
+        sum(when(col(labelCol) =!= 1.0, 1L).otherwise(0L)).as("nn"))
+    val w = Window.partitionBy("segment").orderBy(col("s"))
+    val ranked = byScore
+      .withColumn("cumBefore", coalesce(sum(col("np") + col("nn"))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("avgRank", col("cumBefore") + (col("np") + col("nn") + 1L) / 2.0)
+    ranked
+      .groupBy("segment")
+      .agg(
+        sum(col("np") * col("avgRank")).as("posRankSum"),
+        sum(col("np")).as("nPos"),
+        sum(col("nn")).as("nNeg"))
+      .select(col("segment"),
+        when(col("nPos") === 0L || col("nNeg") === 0L, lit(null).cast("double"))
+          .otherwise(
+            (col("posRankSum") - col("nPos").cast("double") * (col("nPos") + 1) / 2.0) /
+              (col("nPos").cast("double") * col("nNeg"))).as("auc_roc"))
+  }
+
   /** ROC curve points (fpr, tpr) at every distinct score threshold,
     * descending — sklearn-style stepwise curve, computed with one
     * aggregation + one cumulative window over distinct scores.

@@ -112,4 +112,22 @@ class MetricsSpec extends SparkSpecBase {
     val df = Seq.empty[(Double, Long, Int)].toDF("score", "id", "y")
     assert(Metrics.liftTable(df, "score", "id", "y", 5).collect().isEmpty)
   }
+
+  test("aucRocBy equals the global AUC computed per segment; one-class is null") {
+    val seg = Seq(
+      // segment "a": the tie-straddling fixture (AUC 10.5/16)
+      ("a", 0.9, 1.0), ("a", 0.8, 1.0), ("a", 0.7, 0.0), ("a", 0.6, 1.0),
+      ("a", 0.6, 0.0), ("a", 0.4, 0.0), ("a", 0.3, 0.0), ("a", 0.2, 1.0),
+      // segment "b": perfect separation (AUC 1.0)
+      ("b", 0.9, 1.0), ("b", 0.8, 1.0), ("b", 0.2, 0.0),
+      // segment "c": positives only -> null
+      ("c", 0.5, 1.0), ("c", 0.6, 1.0)
+    ).toDF("segment", "score", "y")
+    val out = Metrics.aucRocBy(seg, "score", "y", "segment")
+      .collect().map(r => r.getAs[String]("segment") ->
+        Option(r.getAs[java.lang.Double]("auc_roc"))).toMap
+    assert(math.abs(out("a").get - 10.5 / 16.0) < 1e-12)
+    assert(out("b").get == 1.0)
+    assert(out("c").isEmpty)
+  }
 }
