@@ -734,6 +734,13 @@ object SparkEntry {
       s.sql(SparkEntry.q5Sql)
     }),
 
+    // explicit GROUPING SETS + GROUPING() markers — the grouping-lattice
+    // surface beyond ROLLUP/CUBE, shared-text on both engines
+    "sql_grouping_sets" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      s.sql(SparkEntry.groupingSetsSql)
+    }),
+
     // SQL front-end, SHARED-TEXT tier: the identical SQL string is both the
     // Spark query and the DuckDB oracle — one source of truth, proving the
     // SQL surface speaks the ANSI dialect intersection (multi-dim ROLLUP,
@@ -783,6 +790,18 @@ object SparkEntry {
         rank().over(w).cast("long").as("rnk"),
         dense_rank().over(w).cast("long").as("drnk"),
         ntile(10).over(w).cast("long").as("decile"))
+    }),
+
+    // percent_rank/cume_dist complete the ranking-window surface (the
+    // distributional positions a feature pipeline feeds a model instead
+    // of raw magnitudes)
+    "w8_percent_rank" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, d, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"))
     }),
 
     // EXCEPT / INTERSECT — the set-op surface beyond union (O7's
@@ -1693,6 +1712,36 @@ object SparkEntry {
           sum(when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)).as("n_urgent"))
     }),
 
+    // percentile winsorization: p01/p99 cutpoints per group (exact
+    // percentile, one pass over dim-sized groups), broadcast back, clamp
+    // + exact decimal sums — the outlier-robust scaling step
+    "fe_winsorize" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select(col("l_returnflag"), col("l_extendedprice"))
+      val cut = li.groupBy("l_returnflag").agg(
+        round(expr("percentile(l_extendedprice, 0.01D)"), 6).as("p01"),
+        round(expr("percentile(l_extendedprice, 0.99D)"), 6).as("p99"))
+      li.join(broadcast(cut), "l_returnflag")
+        .select(col("l_returnflag"), col("l_extendedprice"), col("p01"), col("p99"),
+          least(greatest(col("l_extendedprice"), col("p01")), col("p99")).as("_w"))
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("l_extendedprice") < col("p01"), 1L).otherwise(0L)).as("n_low"),
+          sum(when(col("l_extendedprice") > col("p99"), 1L).otherwise(0L)).as("n_high"),
+          sum(col("l_extendedprice").cast("decimal(18,6)")).cast("double").as("sum_raw"),
+          sum(col("_w").cast("decimal(18,6)")).cast("double").as("sum_winsor"))
+    }),
+
+    // systematic sampling: every 7th row under a total order — the
+    // eval-set draw that is replayable and evenly spread by construction;
+    // global numbering via GlobalRowNumber (no single-task window)
+    "o12_systematic_sample" -> ((s, d) =>
+      graft.ops.GlobalRowNumber.withRowNumber(
+        t(s, d, "orders").select("o_orderkey", "o_orderdate"),
+        "rn", col("o_orderdate"), col("o_orderkey"))
+        .filter(pmod(col("rn"), lit(7L)) === 1L)
+        .select(col("o_orderkey"), col("rn"))),
+
     // deterministic hash-bucket negative sampling: k different-label
     // negatives per anchor with no RNG state — candidates shuffle once
     // into buckets, each probe scans one bucket, the per-(anchor,draw)
@@ -1840,6 +1889,14 @@ object SparkEntry {
     "ev_gapfill_daily" -> ((s, d) =>
       graft.ops.TimeSeriesOps.gapFillDaily(
         Tables.events(s, d), "user_id", "ts", "value")),
+
+    // trailing-window z-score anomaly flag — both moments accumulate in
+    // DECIMAL inside the same single-exchange RANGE frame, so the alert
+    // can't flip with the executor count
+    "ev_anomaly" -> ((s, d) =>
+      graft.ops.TimeSeriesOps.rollingAnomaly(
+        Tables.events(s, d), "user_id", "ts", "value", "event_id",
+        horizonSec = 86400L, z = 1.5, minN = 5)),
 
     // triangle counting over the part co-order graph — degree-ordered
     // orientation bounds wedge generation at O(m^1.5) (a hub's oriented
@@ -2012,6 +2069,17 @@ object SparkEntry {
       |WHERE r_name = 'ASIA' AND o_orderpriority <> '5-LOW'
       |GROUP BY n_name""".stripMargin
 
+  /** Explicit GROUPING SETS with GROUPING() null-vs-group disambiguation
+    * — the lattice form ROLLUP/CUBE compile down to; shared-text contract.
+    */
+  val groupingSetsSql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      |       CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+      |       CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_prio,
+      |       count(*) AS cnt
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), (o_orderstatus, o_orderpriority), ())""".stripMargin
+
   /** Shared-text SQL: runs verbatim on Spark AND DuckDB. */
   val rollupSql: String =
     """SELECT o_orderpriority, o_orderstatus, count(*) AS cnt
@@ -2052,6 +2120,41 @@ object SparkEntry {
     "sql_q5_local" -> q5Sql,
     "sql_rollup_agg" -> rollupSql,
     "sql_cube_agg" -> cubeSql,
+    "sql_grouping_sets" -> groupingSetsSql,
+
+    "ev_anomaly" -> graft.ops.TimeSeriesOps.rollingAnomalyOracleSql(
+      "events", "user_id", "ts", "value", "event_id",
+      horizonSec = 86400L, z = 1.5, minN = 5),
+
+    "fe_winsorize" ->
+      """WITH cut AS (
+        |  SELECT l_returnflag,
+        |         round(quantile_cont(l_extendedprice, 0.01), 6) AS p01,
+        |         round(quantile_cont(l_extendedprice, 0.99), 6) AS p99
+        |  FROM lineitem GROUP BY 1
+        |)
+        |SELECT l.l_returnflag, count(*) AS n,
+        |  CAST(SUM(CASE WHEN l_extendedprice < p01 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+        |  CAST(SUM(CASE WHEN l_extendedprice > p99 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_raw,
+        |  CAST(SUM(CAST(LEAST(GREATEST(l_extendedprice, p01), p99) AS DECIMAL(18,6))) AS DOUBLE) AS sum_winsor
+        |FROM lineitem l JOIN cut USING (l_returnflag)
+        |GROUP BY 1""".stripMargin,
+
+    "o12_systematic_sample" ->
+      """SELECT o_orderkey, rn FROM (
+        |  SELECT o_orderkey,
+        |         ROW_NUMBER() OVER (ORDER BY o_orderdate NULLS FIRST, o_orderkey) AS rn
+        |  FROM orders
+        |) WHERE rn % 7 = 1""".stripMargin,
+
+    "w8_percent_rank" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |       round(percent_rank() OVER w, 6) AS pr,
+        |       round(cume_dist() OVER w, 6) AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus
+        |             ORDER BY o_totalprice DESC NULLS LAST, o_orderkey)""".stripMargin,
 
     "ml_auc_by_segment" ->
       """WITH s AS (

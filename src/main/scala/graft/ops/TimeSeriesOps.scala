@@ -64,6 +64,70 @@ object TimeSeriesOps {
        |WINDOW w AS (PARTITION BY $userCol ORDER BY sec
        |             RANGE BETWEEN ${horizonSec - 1} PRECEDING AND CURRENT ROW)""".stripMargin
 
+  /** Trailing-window z-score anomaly flag per event: mean/std over the
+    * entity's events in the preceding horizon (inclusive current, second
+    * resolution, exact decimal moments), and a flag for values more than
+    * `z` standard deviations above the window mean. Events with fewer
+    * than `minN` window peers never flag (a 2-event "window" has no
+    * meaningful variance). Output: (idCol, n, roll_mean, roll_std,
+    * is_anomaly).
+    *
+    * Same single-exchange RANGE-frame shape as [[rollingAgg]]; both
+    * moments accumulate in DECIMAL inside one window pass, so the flag is
+    * deterministic under any partitioning — an alert that flips with the
+    * executor count is worse than no alert.
+    */
+  def rollingAnomaly(
+      events: DataFrame, userCol: String, tsCol: String, valueCol: String,
+      idCol: String, horizonSec: Long, z: Double, minN: Int): DataFrame = {
+    require(horizonSec > 0, "rollingAnomaly needs a positive horizon")
+    val sec = unix_timestamp(date_trunc("second", col(tsCol)))
+    val w = Window.partitionBy(col(userCol)).orderBy(col("_sec"))
+      .rangeBetween(-(horizonSec - 1), 0)
+    val base = events.select(
+      col(idCol), col(userCol), sec.as("_sec"),
+      round(col(valueCol), 6).as("_v6"),
+      round(col(valueCol), 6).cast("decimal(18,6)").as("_vd"))
+    val stats = base.select(
+      col(idCol), col("_v6"),
+      count(lit(1)).over(w).as("n"),
+      sum(col("_vd")).over(w).cast("double").as("_s1"),
+      sum(col("_vd") * col("_vd")).over(w).cast("double").as("_s2"))
+    val mean = col("_s1") / col("n")
+    val std = sqrt(greatest(col("_s2") / col("n") - mean * mean, lit(0.0)))
+    stats.select(
+      col(idCol), col("n"),
+      round(mean, 6).as("roll_mean"),
+      round(std, 6).as("roll_std"),
+      (col("n") >= minN && col("_v6") > mean + lit(z) * std).as("is_anomaly"))
+  }
+
+  /** DuckDB mirror of [[rollingAnomaly]] — same horizon/z/minN, identical
+    * arithmetic chain. */
+  def rollingAnomalyOracleSql(
+      table: String, userCol: String, tsCol: String, valueCol: String,
+      idCol: String, horizonSec: Long, z: Double, minN: Int): String =
+    s"""WITH e AS (
+       |  SELECT $idCol, $userCol,
+       |         CAST(epoch(date_trunc('second', $tsCol)) AS BIGINT) AS sec,
+       |         round($valueCol, 6) AS v6,
+       |         CAST(round($valueCol, 6) AS DECIMAL(18,6)) AS vd
+       |  FROM $table
+       |), w AS (
+       |  SELECT $idCol, v6,
+       |         COUNT(*) OVER win AS n,
+       |         CAST(SUM(vd) OVER win AS DOUBLE) AS s1,
+       |         CAST(SUM(vd * vd) OVER win AS DOUBLE) AS s2
+       |  FROM e
+       |  WINDOW win AS (PARTITION BY $userCol ORDER BY sec
+       |                 RANGE BETWEEN ${horizonSec - 1} PRECEDING AND CURRENT ROW)
+       |)
+       |SELECT $idCol, n,
+       |       round(s1 / n, 6) AS roll_mean,
+       |       round(sqrt(GREATEST(s2 / n - (s1 / n) * (s1 / n), 0.0)), 6) AS roll_std,
+       |       (n >= $minN AND v6 > s1 / n + $z * sqrt(GREATEST(s2 / n - (s1 / n) * (s1 / n), 0.0))) AS is_anomaly
+       |FROM w""".stripMargin
+
   /** Dense daily panel per entity: one row per (entity, day) from the
     * entity's first to last active day; inactive days carry n_events = 0
     * and the most recent prior day's value sum (forward fill). Output:

@@ -40,6 +40,29 @@ class TimeSeriesOpsSpec extends SparkSpecBase {
     assert(out(2L) == 1L)
   }
 
+  test("rollingAnomaly flags spikes, honors minN, exact moments") {
+    // user 1: four 1.0s then a 10.0 spike inside one day (n=5: mean 2.8,
+    // std 3.6 -> 10 > 2.8 + 1.5*3.6 = 8.2 -> anomaly); with minN=6 it
+    // must NOT flag
+    val ev = (1 to 4).map(i =>
+      (i.toLong, 1L, ts(s"2024-01-01 0$i:00:00"), 1.0)) :+
+      ((5L, 1L, ts("2024-01-01 05:00:00"), 10.0))
+    val df = ev.toDF("event_id", "user_id", "ts", "value")
+    def flags(minN: Int) =
+      TimeSeriesOps.rollingAnomaly(df, "user_id", "ts", "value", "event_id", 86400L, 1.5, minN)
+        .collect().map(r => r.getAs[Long]("event_id") -> r.getAs[Boolean]("is_anomaly")).toMap
+    val f5 = flags(5)
+    assert(f5(5L) && !f5(1L) && !f5(4L))
+    assert(flags(6).values.forall(!_))
+    // exact moments on the spike row: mean 14/5, var = 28.8/5... check mean
+    val row = TimeSeriesOps.rollingAnomaly(df, "user_id", "ts", "value", "event_id", 86400L, 1.5, 5)
+      .filter($"event_id" === 5L).collect()(0)
+    assert(row.getAs[Long]("n") == 5L)
+    assert(row.getAs[Double]("roll_mean") == 2.8)
+    // var = E[x^2]-mean^2 = (4*1+100)/5 - 7.84 = 20.8 - 7.84 = 12.96; std = 3.6
+    assert(row.getAs[Double]("roll_std") == 3.6)
+  }
+
   test("gapFillDaily emits every day in span, zero-counts gaps, forward-fills") {
     val out = TimeSeriesOps.gapFillDaily(events, "user_id", "ts", "value")
       .collect()
