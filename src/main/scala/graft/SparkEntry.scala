@@ -1903,10 +1903,12 @@ object SparkEntry {
     // out-degree is √-bounded), every step an explicit-key hash join
     "g_triangles" -> ((s, d) => {
       val li = t(s, d, "lineitem").select("l_orderkey", "l_partkey")
+      // emit each co-order pair once (a < b) — the operator canonicalizes
+      // anyway, so the strict inequality just halves the pre-distinct volume
       val edges = li.as("a")
         .join(li.as("b"),
           col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") =!= col("b.l_partkey"))
+            col("a.l_partkey") < col("b.l_partkey"))
         .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
       graft.ops.Triangles.triangleCount(edges, "src", "dst")
     }),

