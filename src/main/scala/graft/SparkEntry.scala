@@ -405,6 +405,15 @@ object SparkEntry {
         .withColumn("bucket", Recodes.histBucket(col("o_totalprice"), 50000.0))
         .groupBy("bucket").agg(count(lit(1)).as("cnt"))),
 
+    // 2-D histogram (price × quantity grid) — the joint-distribution
+    // profile, one hash aggregation
+    "a13_hist2d" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(
+          Recodes.histBucket(col("l_extendedprice"), 20000.0).as("price_bucket"),
+          Recodes.histBucket(col("l_quantity"), 10.0).as("qty_bucket"))
+        .agg(count(lit(1)).as("cnt"))),
+
     // exact grouped quantiles (linear interpolation — the ANSI
     // percentile_cont definition both engines implement); rounded so the
     // interpolation arithmetic is bit-stable across engines; scalar
@@ -695,6 +704,22 @@ object SparkEntry {
         ev, "user_id", "ts2", ord, "o_custkey", "o_orderdate",
         Seq("last_orderkey"))
         .select("event_id", "last_orderkey")
+    }),
+
+    // forward as-of: each event picks the customer's FIRST order at or
+    // after the event instant (time-to-next-action features) — same
+    // union-tag + one-window shape as j10, frame reversed
+    "j14_asof_forward" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(
+        col("event_id"), col("user_id"),
+        date_trunc("second", col("ts")).as("ts2"))
+      val ord = t(s, d, "orders")
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max("o_orderkey").as("next_orderkey"))
+      graft.ops.AsOfJoin.forward(
+        ev, "user_id", "ts2", ord, "o_custkey", "o_orderdate",
+        Seq("next_orderkey"))
+        .select("event_id", "next_orderkey")
     }),
 
     // non-equi RANGE join: rows matched to interval buckets via
@@ -1223,6 +1248,14 @@ object SparkEntry {
         Tables.events(s, d), "user_id", "event_type", "ts",
         Seq("view", "click", "purchase"))),
 
+    // conversion-window funnel: each stage must land within 7 days of the
+    // previous one — the "converted within X" product form; same k pruned
+    // scans + k entity-keyed joins, gap predicate fused into each stage
+    "ev_funnel_windowed" -> ((s, d) =>
+      graft.ops.FunnelOps.funnel(
+        Tables.events(s, d), "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"), maxGapSec = Some(7L * 86400L))),
+
     // cohort retention matrix: entities cohorted by first-event date,
     // distinct-active counts per (cohort_date, week_offset)
     "ev_retention" -> ((s, d) =>
@@ -1681,6 +1714,15 @@ object SparkEntry {
       graft.ml.TargetEncoding.encode(
         t(s, d, "orders"), "o_orderpriority",
         label = col("o_orderstatus") === "F", alpha = 20.0)),
+
+    // k-fold cross-fitted target encoding: each (category, fold) cell is
+    // encoded from the OTHER folds' statistics (portable-md5 fold
+    // assignment) — the leakage guard for cross-validated training; all
+    // complements come from windows over the cell table, never the data
+    "fe_crossfit_encode" -> ((s, d) =>
+      graft.ml.TargetEncoding.crossfitEncode(
+        t(s, d, "orders"), "o_orderkey", "o_orderpriority",
+        label = col("o_orderstatus") === "F", alpha = 20.0, folds = 5)),
 
     "fe_target_loo" -> ((s, d) =>
       graft.ml.TargetEncoding.looEncode(
@@ -3500,6 +3542,47 @@ object SparkEntry {
 
     "ev_gapfill_daily" -> graft.ops.TimeSeriesOps.gapFillDailyOracleSql(
       "events", "user_id", "ts", "value"),
+
+    "ev_funnel_windowed" -> graft.ops.FunnelOps.funnelOracleSql(
+      "events", "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase"), maxGapSec = Some(7L * 86400L)),
+
+    // forward ASOF is native in DuckDB too: the <= inequality picks the
+    // nearest FOLLOWING right row
+    "j14_asof_forward" ->
+      """SELECT e.event_id, o.next_orderkey
+        |FROM (SELECT event_id, user_id, date_trunc('second', ts) AS ts2 FROM events) e
+        |ASOF LEFT JOIN (
+        |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS next_orderkey
+        |  FROM orders GROUP BY 1, 2
+        |) o ON e.user_id = o.o_custkey AND e.ts2 <= o.o_orderdate""".stripMargin,
+
+    "a13_hist2d" ->
+      """SELECT CAST(FLOOR(l_extendedprice / 20000) * 20000 AS DOUBLE) AS price_bucket,
+        |       CAST(FLOOR(l_quantity / 10) * 10 AS DOUBLE) AS qty_bucket,
+        |       count(*) AS cnt
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+
+    "fe_crossfit_encode" ->
+      """WITH base AS (
+        |  SELECT o_orderpriority AS cat,
+        |         CAST(concat('0x', substr(md5(concat(CAST(o_orderkey AS VARCHAR), ':cf')), 1, 15)) AS BIGINT) % 5 AS fold,
+        |         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        |  FROM orders
+        |), cells AS (
+        |  SELECT cat, fold, count(*) AS cnt, CAST(SUM(y) AS BIGINT) AS pos
+        |  FROM base GROUP BY 1, 2
+        |), x AS (
+        |  SELECT cat, fold, cnt, pos,
+        |         SUM(cnt) OVER (PARTITION BY cat) AS tc, SUM(pos) OVER (PARTITION BY cat) AS tp,
+        |         SUM(cnt) OVER (PARTITION BY fold) AS fc, SUM(pos) OVER (PARTITION BY fold) AS fp,
+        |         SUM(cnt) OVER () AS gc, SUM(pos) OVER () AS gp
+        |  FROM cells
+        |)
+        |SELECT cat, fold, cnt, pos,
+        |       ((tp - pos) + 20.0 * (CAST(gp - fp AS DOUBLE) / (gc - fc)))
+        |       / ((tc - cnt) + 20.0) AS encoding
+        |FROM x""".stripMargin,
 
     "g_pagerank3" -> graft.ops.PageRank.fixedPointOracleSql(
       "SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst " +

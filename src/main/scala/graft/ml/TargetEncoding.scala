@@ -67,4 +67,46 @@ object TargetEncoding {
           (col("cnt") - lit(1) + lit(alpha)))
       .drop("_y")
   }
+
+  /** K-fold cross-fitted variant: rows are assigned to folds by a
+    * portable hash of a unique key, and each (category, fold) cell's
+    * encoding uses the category's statistics from the OTHER k−1 folds —
+    * the leakage guard for cross-validated training (a fold's feature
+    * never saw that fold's labels). The prior is out-of-fold too. Output
+    * is the cell table ((cat, fold) → encoding), |categories|·k rows,
+    * joinable back onto the data by (category, fold).
+    *
+    * Scale shape: ONE hash aggregation reduces the data to the cell
+    * table; every complement (total − fold) comes from windows over that
+    * |categories|·k-row table, never the data. Fold assignment is the
+    * same portable-md5 discipline as the hash-sampling tier, so the
+    * folds — and therefore the encodings — replay identically on any
+    * engine or partitioning.
+    */
+  def crossfitEncode(df: DataFrame, keyCol: String, cat: String, label: Column,
+                     alpha: Double, folds: Int): DataFrame = {
+    require(folds > 1, "crossfitEncode needs at least 2 folds")
+    val fold = pmod(
+      graft.text.TextOps.md5Hash60(concat(col(keyCol).cast("string"), lit(":cf"))),
+      lit(folds.toLong))
+    val cells = df
+      .select(col(cat).as("cat"), fold.as("fold"), label.cast("long").as("_y"))
+      .groupBy("cat", "fold")
+      .agg(count(lit(1)).as("cnt"), sum("_y").as("pos"))
+    val byCat = org.apache.spark.sql.expressions.Window.partitionBy("cat")
+    val byFold = org.apache.spark.sql.expressions.Window.partitionBy("fold")
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+    cells
+      .withColumn("tc", sum("cnt").over(byCat))
+      .withColumn("tp", sum("pos").over(byCat))
+      .withColumn("fc", sum("cnt").over(byFold))
+      .withColumn("fp", sum("pos").over(byFold))
+      .withColumn("gc", sum("cnt").over(all))
+      .withColumn("gp", sum("pos").over(all))
+      .select(
+        col("cat"), col("fold"), col("cnt"), col("pos"),
+        (((col("tp") - col("pos")) + lit(alpha) *
+          ((col("gp") - col("fp")).cast("double") / (col("gc") - col("fc")))) /
+          ((col("tc") - col("cnt")) + lit(alpha))).as("encoding"))
+  }
 }

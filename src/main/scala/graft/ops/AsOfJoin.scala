@@ -37,6 +37,27 @@ object AsOfJoin {
       left: DataFrame, leftKey: String, leftTime: String,
       right: DataFrame, rightKey: String, rightTime: String,
       payload: Seq[String]
+  ): DataFrame =
+    asof(left, leftKey, leftTime, right, rightKey, rightTime, payload, forwardDir = false)
+
+  /** Forward as-of: attach the payload of the right row with the
+    * SMALLEST right time ≥ the left row's time ("the next order after
+    * the event", time-to-next-action features). Same union-tag + one
+    * window pass shape as [[backward]], with the carry running over the
+    * FOLLOWING frame and a right row at the same instant sorting after
+    * the left row (the "at or after" tie stays inclusive).
+    */
+  def forward(
+      left: DataFrame, leftKey: String, leftTime: String,
+      right: DataFrame, rightKey: String, rightTime: String,
+      payload: Seq[String]
+  ): DataFrame =
+    asof(left, leftKey, leftTime, right, rightKey, rightTime, payload, forwardDir = true)
+
+  private def asof(
+      left: DataFrame, leftKey: String, leftTime: String,
+      right: DataFrame, rightKey: String, rightTime: String,
+      payload: Seq[String], forwardDir: Boolean
   ): DataFrame = {
     require(payload.nonEmpty, "asof join needs at least one payload column")
     val leftCols = left.columns.toSeq
@@ -59,11 +80,23 @@ object AsOfJoin {
       .withColumn("_asof_side", lit(1))
       .select(Seq("_asof_k", "_asof_t", "_asof_side").map(col) ++ payload.map(col): _*)
     val unioned = l.unionByName(r0, allowMissingColumns = true)
-    val w = Window.partitionBy("_asof_k")
-      .orderBy(col("_asof_t").asc, col("_asof_side").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // backward: right-before-left at equal times, carry the LAST payload
+    // from the preceding frame; forward: left-before-right, carry the
+    // FIRST payload from the following frame
+    val w =
+      if (forwardDir)
+        Window.partitionBy("_asof_k")
+          .orderBy(col("_asof_t").asc, col("_asof_side").asc)
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      else
+        Window.partitionBy("_asof_k")
+          .orderBy(col("_asof_t").asc, col("_asof_side").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = payload.foldLeft(unioned) { (df, p) =>
-      df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
+      val carry =
+        if (forwardDir) first(col(p), ignoreNulls = true)
+        else last(col(p), ignoreNulls = true)
+      df.withColumn(p, carry.over(w))
     }
     carried
       .filter(col("_asof_side") === 0)

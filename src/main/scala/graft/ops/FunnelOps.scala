@@ -25,7 +25,9 @@ object FunnelOps {
 
   /** Strictly-ordered funnel: stage k counts entities whose earliest
     * stage-k event is strictly AFTER their earliest qualifying stage-k−1
-    * event. Returns one row per stage: (stage_idx, stage, n_users).
+    * event — and, when `maxGapSec` is set, no more than that many seconds
+    * after it (the "converted within 7 days" product-analytics form).
+    * Returns one row per stage: (stage_idx, stage, n_users).
     *
     * Each stage filters the event scan to ONE type (predicate pushdown
     * reaches the parquet scan), aggregates min-time per entity (map-side
@@ -34,8 +36,9 @@ object FunnelOps {
     */
   def funnel(
       events: DataFrame, userCol: String, typeCol: String, tsCol: String,
-      stages: Seq[String]): DataFrame = {
+      stages: Seq[String], maxGapSec: Option[Long] = None): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
+    require(maxGapSec.forall(_ > 0), "maxGapSec must be positive when set")
     val spark = events.sparkSession
     import spark.implicits._
 
@@ -43,10 +46,13 @@ object FunnelOps {
       .groupBy(col(userCol).as("_u"))
       .agg(min(ts2(tsCol)).as("_t"))
     val perStage: Seq[DataFrame] = stages.tail.scanLeft(first) { (prev, stage) =>
+      val gapOk = maxGapSec
+        .map(g => col("_ts") <= col("_pt") + expr(s"INTERVAL $g SECONDS"))
+        .getOrElse(lit(true))
       events.filter(col(typeCol) === stage)
         .select(col(userCol).as("_u"), ts2(tsCol).as("_ts"))
         .join(prev.select(col("_u"), col("_t").as("_pt")), Seq("_u"))
-        .filter(col("_ts") > col("_pt"))
+        .filter(col("_ts") > col("_pt") && gapOk)
         .groupBy("_u").agg(min(col("_ts")).as("_t"))
     }
     val counts = perStage.zipWithIndex.map { case (df, i) =>
@@ -56,17 +62,22 @@ object FunnelOps {
     counts.reduce(_.unionByName(_))
   }
 
-  /** DuckDB mirror of [[funnel]] — generated from the SAME stage list so
-    * the two can't drift. */
+  /** DuckDB mirror of [[funnel]] — generated from the SAME stage list and
+    * gap so the two can't drift. */
   def funnelOracleSql(table: String, userCol: String, typeCol: String,
-                      tsCol: String, stages: Seq[String]): String = {
+                      tsCol: String, stages: Seq[String],
+                      maxGapSec: Option[Long] = None): String = {
     val ctes = stages.zipWithIndex.map { case (st, i) =>
       if (i == 0)
         s"s1 AS (SELECT $userCol AS u, MIN(date_trunc('second', $tsCol)) AS t FROM $table WHERE $typeCol = '$st' GROUP BY 1)"
-      else
+      else {
+        val gap = maxGapSec
+          .map(g => s" AND date_trunc('second', e.$tsCol) <= s$i.t + INTERVAL $g SECONDS")
+          .getOrElse("")
         s"s${i + 1} AS (SELECT e.$userCol AS u, MIN(date_trunc('second', e.$tsCol)) AS t " +
           s"FROM $table e JOIN s$i ON e.$userCol = s$i.u " +
-          s"WHERE e.$typeCol = '$st' AND date_trunc('second', e.$tsCol) > s$i.t GROUP BY 1)"
+          s"WHERE e.$typeCol = '$st' AND date_trunc('second', e.$tsCol) > s$i.t$gap GROUP BY 1)"
+      }
     }
     val selects = stages.zipWithIndex.map { case (st, i) =>
       s"SELECT ${i + 1} AS stage_idx, '$st' AS stage, count(*) AS n_users FROM s${i + 1}"

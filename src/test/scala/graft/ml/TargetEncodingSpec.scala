@@ -41,4 +41,30 @@ class TargetEncodingSpec extends SparkSpecBase {
     // the singleton category's only row sees pure prior smoothing
     assert(math.abs(loo(("c", 0)) - (2 * prior) / 2) < 1e-12)
   }
+
+  test("crossfit cells use exactly the other folds' statistics") {
+    val keyed = (1 to 200).map(i => (i.toLong, if (i % 3 == 0) "a" else "b", i % 2))
+      .toDF("id", "cat", "y")
+    val cells = TargetEncoding.crossfitEncode(keyed, "id", "cat", col("y") === 1,
+      alpha = 5.0, folds = 3).collect()
+    // recompute every complement from the collected cell table itself
+    val raw = cells.map(r => (r.getAs[String]("cat"), r.getAs[Long]("fold")) ->
+      (r.getAs[Long]("cnt"), r.getAs[Long]("pos"))).toMap
+    cells.foreach { r =>
+      val (cat, fold) = (r.getAs[String]("cat"), r.getAs[Long]("fold"))
+      val tc = raw.collect { case ((c, _), (n, _)) if c == cat => n }.sum
+      val tp = raw.collect { case ((c, _), (_, p)) if c == cat => p }.sum
+      val fc = raw.collect { case ((_, f), (n, _)) if f == fold => n }.sum
+      val fp = raw.collect { case ((_, f), (_, p)) if f == fold => p }.sum
+      val gc = raw.values.map(_._1).sum
+      val gp = raw.values.map(_._2).sum
+      val (cnt, pos) = raw((cat, fold))
+      val prior = (gp - fp).toDouble / (gc - fc)
+      val expected = ((tp - pos) + 5.0 * prior) / ((tc - cnt) + 5.0)
+      assert(math.abs(r.getAs[Double]("encoding") - expected) < 1e-12,
+        s"cell ($cat,$fold)")
+    }
+    // every (cat, fold) cell exists on this dense fixture
+    assert(cells.length == 2 * 3)
+  }
 }

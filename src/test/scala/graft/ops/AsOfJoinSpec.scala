@@ -40,6 +40,20 @@ class AsOfJoinSpec extends SparkSpecBase {
     assert(got.size == 6) // left join: every left row exactly once
   }
 
+  test("forward asof: earliest right value at-or-after each left time, per key") {
+    val out = AsOfJoin.forward(trades, "tk", "tt", quotes, "qk", "qt", Seq("px"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .toMap
+    assert(out(("a", 5L)) == Some(1.0))   // next quote at 10
+    assert(out(("a", 10L)) == Some(1.0))  // exact tie: inclusive
+    assert(out(("a", 25L)) == Some(3.0))  // next quote at 30
+    assert(out(("a", 99L)) == None)       // nothing after
+    assert(out(("b", 15L)) == Some(10.0))
+    assert(out(("c", 50L)) == None)
+  }
+
   test("matches the brute-force per-row maximum (property over random data)") {
     val rnd = new scala.util.Random(42)
     val l = (1 to 200).map(i => (s"k${rnd.nextInt(5)}", rnd.nextInt(100).toLong, i))

@@ -28,6 +28,18 @@ class FunnelOpsSpec extends SparkSpecBase {
     assert(out == Map("view" -> 3L, "click" -> 2L, "buy" -> 1L))
   }
 
+  test("windowed funnel drops conversions outside the gap, keeps boundary") {
+    // u1: view→click in 1 min, click→buy in 1 min; u3 clicks 4 min after
+    // view. With a 2-minute gap u3's click is out; with exactly-4-minutes
+    // the boundary is inclusive (<=)
+    def counts(gapSec: Long) =
+      FunnelOps.funnel(events, "user_id", "event_type", "ts",
+        Seq("view", "click", "buy"), maxGapSec = Some(gapSec))
+        .collect().map(r => r.getAs[String]("stage") -> r.getAs[Long]("n_users")).toMap
+    assert(counts(120L) == Map("view" -> 3L, "click" -> 1L, "buy" -> 1L))
+    assert(counts(240L) == Map("view" -> 3L, "click" -> 2L, "buy" -> 1L))
+  }
+
   test("funnel stage counts are monotonically non-increasing") {
     val out = FunnelOps.funnel(events, "user_id", "event_type", "ts",
         Seq("view", "click", "buy"))
