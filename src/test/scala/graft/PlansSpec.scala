@@ -187,6 +187,27 @@ class PlansSpec extends SparkSpecBase {
     assert(!s.contains("BroadcastNestedLoopJoin"), s)
   }
 
+  test("sql_q5_local: the dimension chain broadcasts (no fact-side re-shuffle per dim)") {
+    val df = SparkEntry.queries("sql_q5_local")(spark, sfDir)
+    val tree = plan(df).toString
+    // customer/supplier/nation/region are dimension-sized: at least three
+    // broadcast joins must appear; the lineitem probe stream never
+    // repartitions through the dim chain
+    assert("BroadcastHashJoin".r.findAllIn(tree).size >= 3, tree)
+    assert(!tree.contains("CartesianProduct"), tree)
+  }
+
+  test("fe_crossfit_encode: one data-sized aggregation; windows run on the cell table") {
+    val df = SparkEntry.queries("fe_crossfit_encode")(spark, sfDir)
+    df.collect()
+    // count scans in the FINAL plan only — AdaptiveSparkPlan's toString
+    // appends the initial plan, which would double-count the scan
+    val tree = plan(df).toString.split("== Initial Plan ==")(0)
+    // exactly one scan of orders: the data reduces to |cats|x|folds| cells
+    // in one pass and every complement is a window over that tiny frame
+    assert("FileScan parquet".r.findAllIn(tree).size == 1, tree)
+  }
+
   test("dp_profile: all columns profile through ONE Expand scan, not k jobs") {
     val df = SparkEntry.queries("dp_profile")(spark, sfDir)
     val s = explainStr(df)

@@ -73,11 +73,15 @@ class AsOfJoinSpec extends SparkSpecBase {
   }
 
   test("one shuffle: union + single window partitioning, no nested loop") {
-    val df = AsOfJoin.backward(trades, "tk", "tt", quotes, "qk", "qt", Seq("px"))
-    df.collect()
-    val tree = df.queryExecution.executedPlan.toString
-    assert(!tree.contains("NestedLoop"), tree)
-    assert(!tree.contains("CartesianProduct"), tree)
+    for (dir <- Seq("backward", "forward")) {
+      val df =
+        if (dir == "backward") AsOfJoin.backward(trades, "tk", "tt", quotes, "qk", "qt", Seq("px"))
+        else AsOfJoin.forward(trades, "tk", "tt", quotes, "qk", "qt", Seq("px"))
+      df.collect()
+      val tree = df.queryExecution.executedPlan.toString
+      assert(!tree.contains("NestedLoop"), s"$dir:\n$tree")
+      assert(!tree.contains("CartesianProduct"), s"$dir:\n$tree")
+    }
   }
 
   test("inputs carrying _asof_* working columns are rejected, not corrupted") {
