@@ -2059,7 +2059,179 @@ object SparkEntry {
       graft.ops.AsOfJoin.backward(
         checkpoints, "o_orderkey", "checkpoint",
         history, "hist_key", "valid_from", payload = Seq("status_asof"))
-    })
+    }),
+
+    // ---- portable sketches: the sketch VALUES are hash-checked, not
+    // trusted (the engine-private HLL/CMS/Bloom aggs can only be
+    // rows-only; these md5-built twins land in CORRECTNESS) ----
+
+    // count-min sketch over the corpus token stream: every distinct
+    // token's estimate next to its exact count — CMS's overestimate
+    // guarantee as data. Build is explode → hash-agg (the exchange moves
+    // O(depth×width) cells per partition, never the token stream)
+    "sk_cms_err" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(explode(TextOps.tokens(col("text"))).as("item"))
+      val cms = graft.sketch.Sketches.cmsBuild(toks, "item")
+      val exact = toks.groupBy("item").agg(count(lit(1)).as("exact_cnt"))
+      graft.sketch.Sketches.cmsEstimate(cms, exact, "item")
+        .join(exact, Seq("item"))
+        .select(col("item"), col("exact_cnt"), col("cms_est"))
+    }),
+
+    // k-minimum-values distinct sketch on the order→customer key: the
+    // (k-1)·2^60/h_k estimate and the exact distinct side by side, all
+    // arithmetic identical-op-order doubles so both engines agree bitwise
+    "sk_kmv_distinct" -> ((s, d) =>
+      graft.sketch.Sketches.kmvDistinct(t(s, d, "orders"), "o_custkey")),
+
+    // bloom membership accounting: suppliers as the member set, customers
+    // as probes — zero false negatives and the realized false-positive
+    // count as a single checkable row; the bit relation broadcasts
+    "sk_bloom_fp" -> ((s, d) =>
+      graft.sketch.Sketches.bloomMembership(
+        t(s, d, "supplier"), "s_suppkey", t(s, d, "customer"), "c_custkey")),
+
+    // PII redaction over the corpus: deterministic synthetic PII is
+    // injected (the test corpus carries none), then scrubbed email→URL→
+    // phone; the scrubbed text round-trips as an md5 so the oracle
+    // hash-checks every byte of every replacement. Pure regex chain —
+    // codegen'd, scan-speed, no shuffle
+    "t_scrub_pii" -> ((s, d) => {
+      val id = col("doc_id")
+      val injected = concat(
+        col("text"),
+        when(id % 3 === 0,
+          concat(lit(" mail user"), id.cast("string"), lit("@example.com")))
+          .otherwise(lit("")),
+        when(id % 4 === 0,
+          concat(lit(" see https://ex.org/p/"), id.cast("string"), lit("?q=1")))
+          .otherwise(lit("")),
+        when(id % 5 === 0,
+          concat(lit(" call 415-555-"), lpad(pmod(id, lit(10000)).cast("string"), 4, "0")))
+          .otherwise(lit("")))
+      val (ne, nu, np) = TextOps.piiCounts(col("inj"))
+      Tables.documents(s, d)
+        .withColumn("inj", injected)
+        .select(col("doc_id"),
+          ne.as("n_emails"), nu.as("n_urls"), np.as("n_phones"),
+          md5(TextOps.scrubPii(col("inj")).cast("binary")).as("scrub_md5"))
+    }),
+
+    // training-mixture resampling: per-domain keep fractions that realize
+    // target proportions (capped by the scarcest domain), decided row-wise
+    // by the portable hash — the "data mixing" step of a pretraining
+    // pipeline. No window, no per-domain sort: counts → a 4-row broadcast
+    // of keep thresholds → one scan filter, which is the only shape that
+    // survives domains of billions of rows
+    "fe_mix_sample" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .filter(col("source").isin("src0", "src1", "src2", "src3"))
+        .withColumn("share",
+          when(col("source") === "src0", 0.4)
+            .when(col("source") === "src1", 0.3)
+            .when(col("source") === "src2", 0.2)
+            .otherwise(0.1))
+      val counts = docs.groupBy("source", "share").agg(count(lit(1)).as("total"))
+      val tcap = counts.agg(min(col("total") / col("share")).as("tcap"))
+      val fracs = counts.crossJoin(tcap).select(
+        col("source"), col("total"),
+        floor(lit(1000000.0) *
+          least(lit(1.0), col("tcap") * col("share") / col("total"))).as("keep_ppm"))
+      docs.join(broadcast(fracs), Seq("source"))
+        .filter(permilleHash1M(col("doc_id"), ":mix42") < col("keep_ppm"))
+        .groupBy("source", "total", "keep_ppm")
+        .agg(count(lit(1)).as("kept"))
+    }),
+
+    // leakage-safe temporal split with an embargo gap: train strictly
+    // before the purge window, test strictly after — the time-series
+    // counterpart of fe_group_split's entity split (a random split on
+    // time-ordered data leaks future into train; the embargo also kills
+    // boundary leakage from windowed features)
+    "o13_time_split" -> ((s, d) => {
+      val od = col("o_orderdate")
+      t(s, d, "orders")
+        .withColumn("split",
+          when(od < lit("1997-01-01").cast("date"), "train")
+            .when(od >= lit("1997-04-01").cast("date"), "test")
+            .otherwise("embargo"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("cnt"),
+          min(od).as("min_date"), max(od).as("max_date"))
+    }),
+
+    // OHLC hourly downsample of the event stream: open/close picked under
+    // an explicit (ts, id) total order via min_by/max_by on a struct key —
+    // ONE hash-agg pass, no per-(key,hour) window sort
+    "ev_ohlc" -> ((s, d) =>
+      graft.ops.TimeSeriesOps.ohlc(
+        Tables.events(s, d), "event_type", "ts", "value", "event_id")),
+
+    // debounce/throttle: keep only each gap-session's first event —
+    // session cumsum and keeper-pick share one (user) exchange
+    "ev_debounce" -> ((s, d) =>
+      graft.ops.TimeSeriesOps.debounce(
+          Tables.events(s, d), "user_id", "ts", "event_id", gapSec = 1800L)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_kept"),
+          countDistinct(col("user_id")).as("n_users"))),
+
+    // recency-weighted engagement: per-segment half-life-decayed order
+    // counts — every weight a power of two, so the double sum is EXACT and
+    // order-independent (see TimeSeriesOps.decayedCounts)
+    "fe_decay" -> ((s, d) => {
+      val o = t(s, d, "orders").select("o_custkey", "o_orderdate")
+      val c = t(s, d, "customer").select("c_custkey", "c_mktsegment")
+      graft.ops.TimeSeriesOps.decayedCounts(
+        o.join(broadcast(c), o("o_custkey") === c("c_custkey")),
+        "c_mktsegment", "o_orderdate", refDate = "1998-08-01")
+    }),
+
+    // link prediction: non-adjacent part pairs sharing >=2 co-order
+    // neighbors in the bulk-quantity graph — wedge pairs generated
+    // array-side through degree-capped centers, never as a self-join's
+    // shuffled rows (oracle runs the naive wedge join: strategy vs
+    // textbook, hash-checked)
+    "g_common_neighbors" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .filter(col("l_quantity") >= 40)
+        .select("l_orderkey", "l_partkey")
+      val edges = li.as("x")
+        .join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+      graft.ops.Triangles.commonNeighbors(edges, "src", "dst",
+        maxDeg = 40, minCommon = 2L)
+    }),
+
+    // Q6-shaped forecast agg + Q10-shaped returned-item top-20 through
+    // the shared-text SQL tier: the IDENTICAL string runs on both engines
+    "sql_q6_forecast" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      s.sql(SparkEntry.q6Sql)
+    }),
+    "sql_q10_returns" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      Tables.nation(s, d).createOrReplaceTempView("nation")
+      s.sql(SparkEntry.q10Sql)
+    }),
+
+    // STREAM-STREAM LEFT OUTER join drained and hash-checked: inner pairs
+    // emit immediately; unmatched views emit null-extended ONLY after the
+    // watermark proves no future click can match — the oracle applies the
+    // same eviction predicate, so the watermark-gated outer state machine
+    // itself is verified, not just the happy inner path
+    "ev_stream_outer" -> ((s, d) =>
+      graft.streaming.StreamOps
+        .streamStreamLeftOuter(s, d, "graft_ev_stream_outer")
+        .groupBy(col("v_user").as("user_id"))
+        .agg(
+          count(col("c_id")).as("n_pairs"),
+          sum(when(col("c_id").isNull, 1L).otherwise(0L)).as("n_unmatched")))
   )
 
   /** Shared input for the SCD2 query and its oracle: base snapshot ∪ a
@@ -2095,6 +2267,34 @@ object SparkEntry {
       |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
       |  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
       |GROUP BY o_orderkey, o_orderdate""".stripMargin
+
+  /** Q6-shaped forecasting filter-agg — one scan, every predicate pushed,
+    * revenue in exact decimal. Shared text: Spark and DuckDB run this
+    * string verbatim. */
+  val q6Sql: String =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+      |       CAST(COUNT(*) AS BIGINT) AS n_lines
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_discount >= 0.05 AND l_discount <= 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  /** Q10-shaped returned-item ranking: 4-table join, decimal revenue,
+    * deterministic top-20 (revenue DESC, custkey tiebreak). Shared text. */
+  val q10Sql: String =
+    """SELECT c_custkey, c_name, n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-10-01 00:00:00'
+      |  AND l_returnflag = 'R'
+      |GROUP BY c_custkey, c_name, n_name
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin
 
   /** TPC-H Q5-shaped 6-table star join — the join-reorder / broadcast-
     * selection stress query of the shared-text tier; revenue rides exact
@@ -3741,6 +3941,136 @@ object SparkEntry {
          |)
          |SELECT chk.o_orderkey, chk.checkpoint, k.o_orderstatus AS status_asof
          |FROM chk ASOF LEFT JOIN kept k
-         |  ON chk.o_orderkey = k.o_orderkey AND k.ts <= chk.checkpoint""".stripMargin
+         |  ON chk.o_orderkey = k.o_orderkey AND k.ts <= chk.checkpoint""".stripMargin,
+
+    "sk_cms_err" -> graft.sketch.Sketches.cmsOracleSql(
+      "SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')) AS item FROM documents"),
+
+    "sk_kmv_distinct" -> graft.sketch.Sketches.kmvOracleSql("o_custkey", "orders"),
+
+    "sk_bloom_fp" -> graft.sketch.Sketches.bloomOracleSql(
+      "SELECT CAST(s_suppkey AS VARCHAR) AS k FROM supplier",
+      "SELECT CAST(c_custkey AS VARCHAR) AS k FROM customer"),
+
+    // identical injection + identical RE2∩Java regexes; the md5 pins every
+    // replacement byte
+    "t_scrub_pii" ->
+      """WITH inj AS (
+        |  SELECT doc_id,
+        |         text
+        |         || CASE WHEN doc_id % 3 = 0 THEN ' mail user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+        |         || CASE WHEN doc_id % 4 = 0 THEN ' see https://ex.org/p/' || CAST(doc_id AS VARCHAR) || '?q=1' ELSE '' END
+        |         || CASE WHEN doc_id % 5 = 0 THEN ' call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+        |         AS t
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |       CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+        |       CAST(len(regexp_extract_all(t, 'https?://\S+')) AS INTEGER) AS n_urls,
+        |       CAST(len(regexp_extract_all(t, '\b\d{3}[-.]?\d{3}[-.]?\d{4}\b')) AS INTEGER) AS n_phones,
+        |       md5(regexp_replace(
+        |             regexp_replace(
+        |               regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |               'https?://\S+', '<URL>', 'g'),
+        |             '\b\d{3}[-.]?\d{3}[-.]?\d{4}\b', '<PHONE>', 'g')) AS scrub_md5
+        |FROM inj""".stripMargin,
+
+    // keep thresholds derive from counts in identical-op-order double
+    // arithmetic; the row-wise keep decision replays via the portable hash
+    "fe_mix_sample" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id, source,
+         |         CASE source WHEN 'src0' THEN CAST(0.4 AS DOUBLE)
+         |                     WHEN 'src1' THEN CAST(0.3 AS DOUBLE)
+         |                     WHEN 'src2' THEN CAST(0.2 AS DOUBLE)
+         |                     ELSE CAST(0.1 AS DOUBLE) END AS share
+         |  FROM documents WHERE source IN ('src0', 'src1', 'src2', 'src3')
+         |), counts AS (
+         |  SELECT source, share, CAST(count(*) AS BIGINT) AS total FROM docs GROUP BY 1, 2
+         |), t AS (SELECT min(total / share) AS tcap FROM counts
+         |), f AS (
+         |  SELECT source, total,
+         |         CAST(floor(1000000.0 * least(1.0, tcap * share / total)) AS BIGINT) AS keep_ppm
+         |  FROM counts CROSS JOIN t
+         |)
+         |SELECT f.source, f.total, f.keep_ppm, CAST(count(*) AS BIGINT) AS kept
+         |FROM docs JOIN f ON docs.source = f.source
+         |WHERE (${permilleHashSql("doc_id", ":mix42", 1000000L)}) < f.keep_ppm
+         |GROUP BY 1, 2, 3""".stripMargin,
+
+    "o13_time_split" ->
+      """SELECT CASE WHEN o_orderdate < DATE '1997-01-01' THEN 'train'
+        |            WHEN o_orderdate >= DATE '1997-04-01' THEN 'test'
+        |            ELSE 'embargo' END AS split,
+        |       CAST(count(*) AS BIGINT) AS cnt,
+        |       min(o_orderdate) AS min_date, max(o_orderdate) AS max_date
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "ev_ohlc" -> graft.ops.TimeSeriesOps.ohlcOracleSql(
+      "events", "event_type", "ts", "value", "event_id"),
+
+    // same sessionize core as ev_sessionize's oracle, then the keeper is
+    // row 1 of each (user, session) under the same (ts, id) total order
+    "ev_debounce" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id, event_type, date_trunc('second', ts) AS ts2,
+        |         LAG(date_trunc('second', ts)) OVER (PARTITION BY user_id ORDER BY date_trunc('second', ts) NULLS FIRST, event_id) AS prev
+        |  FROM events
+        |), y AS (
+        |  SELECT user_id, event_id, event_type, ts2,
+        |         CASE WHEN prev IS NULL OR epoch(ts2) - epoch(prev) > 1800 THEN 1 ELSE 0 END AS is_new
+        |  FROM x
+        |), z AS (
+        |  SELECT user_id, event_id, event_type, ts2,
+        |         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts2 NULLS FIRST, event_id ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM y
+        |), k AS (
+        |  SELECT user_id, event_type,
+        |         row_number() OVER (PARTITION BY user_id, sess ORDER BY ts2 NULLS FIRST, event_id) AS rn
+        |  FROM z
+        |)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM k WHERE rn = 1 GROUP BY 1""".stripMargin,
+
+    "fe_decay" -> graft.ops.TimeSeriesOps.decayedCountsOracleSql(
+      "(SELECT c_mktsegment, o_orderdate FROM orders JOIN customer ON o_custkey = c_custkey)",
+      "c_mktsegment", "o_orderdate", refDate = "1998-08-01"),
+
+    "g_common_neighbors" -> graft.ops.Triangles.commonNeighborsOracleSql(
+      "SELECT a.l_partkey AS src, b.l_partkey AS dst FROM lineitem a " +
+        "JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey " +
+        "WHERE a.l_quantity >= 40 AND b.l_quantity >= 40",
+      maxDeg = 40, minCommon = 2L),
+
+    "sql_q6_forecast" -> q6Sql,
+    "sql_q10_returns" -> q10Sql,
+
+    // the eviction predicate (vt + within < final watermark = min of the
+    // two sides' max event times, delay 0) IS the outer join's semantic:
+    // younger unmatched views are still awaiting a match when the bounded
+    // drain ends, so they emit nothing — mirrored by the HAVING guard
+    "ev_stream_outer" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type, date_trunc('second', ts) AS ts2 FROM events
+        |), v AS (
+        |  SELECT user_id AS u, event_id AS vid, ts2 AS vt FROM ev WHERE event_type = 'view'
+        |), c AS (
+        |  SELECT user_id AS u, event_id AS cid, ts2 AS ct FROM ev WHERE event_type = 'click'
+        |), wm AS (
+        |  SELECT least((SELECT max(vt) FROM v), (SELECT max(ct) FROM c)) AS w
+        |), j AS (
+        |  SELECT v.u, v.vid, v.vt, c.cid
+        |  FROM v LEFT JOIN c
+        |    ON v.u = c.u AND c.ct >= v.vt AND c.ct <= v.vt + INTERVAL 30 MINUTE
+        |)
+        |SELECT u AS user_id,
+        |       CAST(count(cid) AS BIGINT) AS n_pairs,
+        |       CAST(SUM(CASE WHEN cid IS NULL AND vt + INTERVAL 30 MINUTE < (SELECT w FROM wm)
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched
+        |FROM j GROUP BY 1
+        |HAVING count(cid) > 0
+        |    OR SUM(CASE WHEN cid IS NULL AND vt + INTERVAL 30 MINUTE < (SELECT w FROM wm)
+        |            THEN 1 ELSE 0 END) > 0""".stripMargin
   )
 }

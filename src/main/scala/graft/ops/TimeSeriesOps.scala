@@ -173,4 +173,105 @@ object TimeSeriesOps {
        |       COALESCE(d.n_events, 0) AS n_events,
        |       CAST(last_value(d.dsum IGNORE NULLS) OVER (PARTITION BY g.u ORDER BY g.day) AS DOUBLE) AS filled_sum
        |FROM grid g LEFT JOIN daily d ON g.u = d.u AND g.day = d.day""".stripMargin
+
+  /** OHLC downsampling: per (key, hour) the opening/closing values under
+    * an explicit (ts, id) total order plus high/low/count — the
+    * candlestick/telemetry resample. ONE aggregation pass, no window:
+    * open/close ride `min_by`/`max_by` with a struct ordering key, so the
+    * plan is a plain partial-aggregated hash agg (a window form would sort
+    * every (key, hour) partition). All outputs are picked or min/max'd
+    * raw values — exact, no accumulation-order concern.
+    */
+  def ohlc(events: DataFrame, keyCol: String, tsCol: String, valueCol: String,
+           idCol: String): DataFrame = {
+    val ts2 = date_trunc("second", col(tsCol))
+    events
+      .select(col(keyCol), ts2.as("_ts"), col(valueCol).as("_v"), col(idCol).as("_id"))
+      .groupBy(col(keyCol), date_trunc("hour", col("_ts")).as("hour"))
+      .agg(
+        min_by(col("_v"), struct(col("_ts"), col("_id"))).as("open"),
+        max_by(col("_v"), struct(col("_ts"), col("_id"))).as("close"),
+        max(col("_v")).as("high"),
+        min(col("_v")).as("low"),
+        count(lit(1)).as("n"))
+  }
+
+  /** DuckDB mirror of [[ohlc]] — arg_min/arg_max take no struct ordering
+    * there, so the oracle picks open/close via first/last row-number
+    * windows under the same (ts, id) order. */
+  def ohlcOracleSql(table: String, keyCol: String, tsCol: String,
+                    valueCol: String, idCol: String): String =
+    s"""WITH e AS (
+       |  SELECT $keyCol AS k, date_trunc('hour', date_trunc('second', $tsCol)) AS hour,
+       |         date_trunc('second', $tsCol) AS ts2, $valueCol AS v, $idCol AS id
+       |  FROM $table
+       |), r AS (
+       |  SELECT k, hour, v,
+       |         row_number() OVER (PARTITION BY k, hour ORDER BY ts2, id) AS rn_a,
+       |         row_number() OVER (PARTITION BY k, hour ORDER BY ts2 DESC, id DESC) AS rn_d
+       |  FROM e
+       |)
+       |SELECT k AS $keyCol, hour,
+       |       max(CASE WHEN rn_a = 1 THEN v END) AS open,
+       |       max(CASE WHEN rn_d = 1 THEN v END) AS close,
+       |       max(v) AS high, min(v) AS low, CAST(count(*) AS BIGINT) AS n
+       |FROM r GROUP BY 1, 2""".stripMargin
+
+  /** Debounce: keep only the FIRST event of each gap-based session —
+    * the event-stream throttling op (alert suppression, click dedup by
+    * time proximity). Sessionization and first-pick share one (user)
+    * partitioning: the session-id cumsum and the keeper row_number run
+    * over the SAME exchange, so debouncing costs exactly the sessionize
+    * shuffle. Returns the kept rows.
+    */
+  def debounce(events: DataFrame, userCol: String, tsCol: String,
+               idCol: String, gapSec: Long): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col("_ts2"), col(idCol))
+    val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("_ts2", date_trunc("second", col(tsCol)))
+      .withColumn("_prev", lag(col("_ts2"), 1).over(w))
+      .withColumn("_new",
+        when(col("_prev").isNull ||
+          (unix_timestamp(col("_ts2")) - unix_timestamp(col("_prev"))) > gapSec, 1L)
+          .otherwise(0L))
+      .withColumn("_sess", sum(col("_new")).over(wCum))
+      .withColumn("_rn",
+        row_number().over(
+          Window.partitionBy(col(userCol), col("_sess")).orderBy(col("_ts2"), col(idCol))))
+      .filter(col("_rn") === 1)
+      .drop("_prev", "_new", "_rn")
+  }
+
+  /** Exponential-decay activity counts per group: each event contributes
+    * `0.5^bucket` where `bucket = clamp(floor(age_days / halflife), 0,
+    * maxBuckets)` — the recency-weighted engagement feature. EXACT in
+    * doubles by construction: every weight is a power of two ≥
+    * 2^-maxBuckets, so partial sums are integer multiples of
+    * 2^-maxBuckets and stay exact (order-independent, engine-portable)
+    * until they exceed 2^(53-maxBuckets) — with the default 20 buckets,
+    * ~8.6e9 weight units, far past any per-group event count here. One
+    * hash aggregation; no window, no UDF.
+    */
+  def decayedCounts(df: DataFrame, groupCol: String, dateCol: String,
+                    refDate: String, halflifeDays: Int = 30,
+                    maxBuckets: Int = 20): DataFrame = {
+    require(maxBuckets <= 40, "maxBuckets beyond 40 loses double exactness headroom")
+    val bucket = least(
+      greatest(floor(datediff(lit(refDate).cast("date"), col(dateCol)) /
+        lit(halflifeDays.toDouble)), lit(0.0)),
+      lit(maxBuckets.toDouble))
+    df.groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(pow(lit(0.5), bucket)).as("decayed_cnt"))
+  }
+
+  /** DuckDB mirror of [[decayedCounts]]. */
+  def decayedCountsOracleSql(table: String, groupCol: String, dateCol: String,
+                             refDate: String, halflifeDays: Int = 30,
+                             maxBuckets: Int = 20): String =
+    s"""SELECT $groupCol, CAST(count(*) AS BIGINT) AS n_rows,
+       |       SUM(power(0.5, least(greatest(floor(date_diff('day', $dateCol, DATE '$refDate') / CAST($halflifeDays AS DOUBLE)), 0.0), ${maxBuckets.toDouble}))) AS decayed_cnt
+       |FROM $table GROUP BY 1""".stripMargin
 }

@@ -1,0 +1,218 @@
+package graft.sketch
+
+import graft.text.TextOps
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Portable probabilistic sketches AS RELATIONS — count-min, KMV distinct,
+  * blocked bloom membership.
+  *
+  * Spark ships HLL++ / CountMinSketch / BloomFilter aggregates, but their
+  * hash functions are engine-private: the sketch VALUES can't be checked
+  * against another engine, only trusted (the `a2_approx_distinct` /
+  * BloomJoin tier). These operators instead build the sketch from the
+  * repo's engine-portable 60-bit md5 primitive ([[TextOps.md5Hash60]]),
+  * so the whole sketch — every cell, the kth order statistic, every set
+  * bit — is reproducible in DuckDB and the estimate quality lands in
+  * CORRECTNESS as a hash-checked row, not a spec promise.
+  *
+  * Scale shape: a sketch is by construction CARDINALITY-BOUNDED (d×w
+  * cells, k hashes, m bits) while its input is data-sized. Every build
+  * here is explode → hash-aggregate, so partial aggregation collapses
+  * each input partition to at most the sketch size before the exchange —
+  * the shuffle moves O(sketch), never O(data). Probes join against the
+  * broadcast sketch. That is exactly how a 100 TB corpus summarizes into
+  * a few KB without a driver-side accumulator.
+  *
+  * Semantics follow the reference's profiling/dedup needs (distinct
+  * counts, frequent items, membership pre-filters); the sketch algebra is
+  * the textbook form (Cormode–Muthukrishnan CMS; Bar-Yossef et al. KMV;
+  * Bloom 1970).
+  */
+object Sketches {
+
+  /** hash_j(item) in [0, width): the row-j bucket of `item`. */
+  private def bucket(item: Column, j: Column, salt: String, width: Long): Column =
+    pmod(TextOps.md5Hash60(concat(item, lit(salt), j.cast("string"))), lit(width))
+
+  private def bucketSql(itemSql: String, jSql: String, salt: String, width: Long): String =
+    s"CAST(concat('0x', substr(md5(concat($itemSql, '$salt', CAST($jSql AS VARCHAR))), 1, 15)) AS BIGINT) % $width"
+
+  // ------------------------------------------------------------------
+  // Count-min sketch
+  // ------------------------------------------------------------------
+
+  /** Build the (depth × width) count-min table from an item column:
+    * one row per non-empty cell, `(j, bucket, cnt)`. Each input row
+    * explodes into `depth` hash rows, but map-side combine bounds the
+    * exchange at depth×width cells per partition.
+    */
+  def cmsBuild(items: DataFrame, itemCol: String,
+               depth: Int = 4, width: Long = 256L, salt: String = ":cms"): DataFrame =
+    items
+      .select(col(itemCol).cast("string").as("item"))
+      .filter(col("item").isNotNull)
+      .select(col("item"), explode(sequence(lit(0), lit(depth - 1))).as("j"))
+      .groupBy(col("j"), bucket(col("item"), col("j"), salt, width).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Point-query the sketch for every distinct probe item:
+    * `est = min_j cms[j][h_j(item)]` (0 when a cell is empty — the item
+    * was never observed under that hash row). CMS guarantees
+    * `est >= true_count`; the overestimate is what the declared query
+    * surfaces next to the exact count.
+    */
+  def cmsEstimate(cms: DataFrame, probes: DataFrame, itemCol: String,
+                  depth: Int = 4, width: Long = 256L, salt: String = ":cms"): DataFrame =
+    probes
+      .select(col(itemCol).cast("string").as("item"))
+      .filter(col("item").isNotNull)
+      .distinct()
+      .select(col("item"), explode(sequence(lit(0), lit(depth - 1))).as("j"))
+      .withColumn("bucket", bucket(col("item"), col("j"), salt, width))
+      // the sketch is d×w rows no matter the input scale — broadcast it
+      .join(broadcast(cms), Seq("j", "bucket"), "left")
+      .groupBy("item")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
+
+  /** DuckDB mirror of build+estimate joined to the exact counts:
+    * `(item, exact_cnt, cms_est)`. `itemsSql` must yield one column
+    * `item` (string). */
+  def cmsOracleSql(itemsSql: String, depth: Int = 4, width: Long = 256L,
+                   salt: String = ":cms"): String = {
+    val js = (0 until depth).mkString(", ")
+    s"""WITH items AS ($itemsSql),
+       |jj AS (SELECT unnest([$js]) AS j),
+       |cms AS (
+       |  SELECT j, ${bucketSql("item", "j", salt, width)} AS bucket, count(*) AS cnt
+       |  FROM items CROSS JOIN jj GROUP BY 1, 2
+       |),
+       |exact AS (SELECT item, CAST(count(*) AS BIGINT) AS exact_cnt FROM items GROUP BY 1),
+       |est AS (
+       |  SELECT e.item, min(coalesce(c.cnt, 0)) AS cms_est
+       |  FROM exact e CROSS JOIN jj
+       |  LEFT JOIN cms c
+       |    ON c.j = jj.j AND c.bucket = ${bucketSql("e.item", "jj.j", salt, width)}
+       |  GROUP BY 1
+       |)
+       |SELECT e.item, e.exact_cnt, CAST(s.cms_est AS BIGINT) AS cms_est
+       |FROM exact e JOIN est s ON e.item = s.item""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // KMV distinct-count sketch
+  // ------------------------------------------------------------------
+
+  /** k-minimum-values distinct estimate: hash every key into [0, 2^60),
+    * keep the k smallest DISTINCT hashes, estimate
+    * `D ≈ (k-1) · 2^60 / h_(k)`. One row:
+    * `(exact_distinct, kth_hash, kmv_est)` — the estimate next to the
+    * truth, both engine-portable (all-double arithmetic, identical op
+    * order). The k-smallest funnel is a TakeOrdered over k values, not a
+    * global sort.
+    */
+  def kmvDistinct(df: DataFrame, keyCol: String, k: Int = 64,
+                  salt: String = ":kmv"): DataFrame = {
+    val hashes = df
+      .select(TextOps.md5Hash60(concat(col(keyCol).cast("string"), lit(salt))).as("h"))
+      .distinct()
+    val kth = hashes.orderBy(col("h")).limit(k).agg(max(col("h")).as("kth_hash"))
+    val exact = df.agg(countDistinct(col(keyCol)).as("exact_distinct"))
+    exact.crossJoin(kth).select(
+      col("exact_distinct"),
+      col("kth_hash"),
+      (lit((k - 1).toDouble) * lit(1152921504606846976L).cast("double") /
+        col("kth_hash").cast("double")).as("kmv_est"))
+  }
+
+  /** DuckDB mirror of [[kmvDistinct]]; `keySql` is the key expression,
+    * `fromSql` the FROM clause body. */
+  def kmvOracleSql(keySql: String, fromSql: String, k: Int = 64,
+                   salt: String = ":kmv"): String =
+    s"""WITH h AS (
+       |  SELECT DISTINCT CAST(concat('0x', substr(md5(concat(CAST($keySql AS VARCHAR), '$salt')), 1, 15)) AS BIGINT) AS h
+       |  FROM $fromSql
+       |),
+       |kth AS (SELECT max(h) AS kth_hash FROM (SELECT h FROM h ORDER BY h LIMIT $k)),
+       |ex AS (SELECT CAST(count(DISTINCT $keySql) AS BIGINT) AS exact_distinct FROM $fromSql)
+       |SELECT ex.exact_distinct, kth.kth_hash,
+       |       CAST(${k - 1} AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+       |         / CAST(kth.kth_hash AS DOUBLE) AS kmv_est
+       |FROM ex CROSS JOIN kth""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Bloom membership
+  // ------------------------------------------------------------------
+
+  /** Portable bloom filter as a SET-BIT RELATION: `numHashes` positions
+    * per member in [0, bits), distinct — at most `bits` rows regardless
+    * of member count. A probe "hits" iff all `numHashes` of its positions
+    * are set. Returns the accounting row the declared query emits:
+    * `(n_probes, n_true_members, n_bloom_hits, n_false_pos)` — bloom's
+    * contract (zero false negatives, bounded false-positive rate) as
+    * checkable numbers.
+    *
+    * The bit relation broadcasts (≤ `bits` longs); the probe side never
+    * shuffles — membership is a broadcast join + a count-distinct-j
+    * aggregate per probe key.
+    */
+  def bloomMembership(members: DataFrame, memberCol: String,
+                      probes: DataFrame, probeCol: String,
+                      bits: Long = 4096L, numHashes: Int = 3,
+                      salt: String = ":bf"): DataFrame = {
+    def positions(c: Column, j: Column): Column =
+      pmod(TextOps.md5Hash60(concat(c.cast("string"), lit(salt), j.cast("string"))), lit(bits))
+    val bitRows = members
+      .select(col(memberCol).cast("string").as("mk"))
+      .filter(col("mk").isNotNull)
+      .select(col("mk"), explode(sequence(lit(0), lit(numHashes - 1))).as("j"))
+      .select(positions(col("mk"), col("j")).as("pos"))
+      .distinct()
+    val probeKeys = probes
+      .select(col(probeCol).cast("string").as("pk"))
+      .filter(col("pk").isNotNull)
+      .distinct()
+    val hits = probeKeys
+      .select(col("pk"), explode(sequence(lit(0), lit(numHashes - 1))).as("j"))
+      .withColumn("pos", positions(col("pk"), col("j")))
+      .join(broadcast(bitRows), Seq("pos"))
+      .groupBy("pk")
+      .agg(countDistinct(col("j")).as("nj"))
+      .filter(col("nj") === numHashes)
+    val trueMembers = probeKeys.join(
+      members.select(col(memberCol).cast("string").as("pk")).distinct(), Seq("pk"), "left_semi")
+    probeKeys.agg(count(lit(1)).as("n_probes"))
+      .crossJoin(trueMembers.agg(count(lit(1)).as("n_true_members")))
+      .crossJoin(hits.agg(count(lit(1)).as("n_bloom_hits")))
+      .select(col("n_probes"), col("n_true_members"), col("n_bloom_hits"),
+        (col("n_bloom_hits") - col("n_true_members")).as("n_false_pos"))
+  }
+
+  /** DuckDB mirror of [[bloomMembership]]. `memberSql`/`probeSql` yield
+    * one string column `k`. Bloom has no false negatives under this
+    * construction (same hash both sides), so false positives are
+    * `hits - true`. */
+  def bloomOracleSql(memberSql: String, probeSql: String,
+                     bits: Long = 4096L, numHashes: Int = 3,
+                     salt: String = ":bf"): String = {
+    val js = (0 until numHashes).mkString(", ")
+    s"""WITH members AS ($memberSql),
+       |probes AS (SELECT DISTINCT k FROM ($probeSql)),
+       |jj AS (SELECT unnest([$js]) AS j),
+       |bits AS (
+       |  SELECT DISTINCT ${bucketSql("k", "j", salt, bits)} AS pos
+       |  FROM (SELECT DISTINCT k FROM members) CROSS JOIN jj
+       |),
+       |hits AS (
+       |  SELECT p.k
+       |  FROM probes p CROSS JOIN jj
+       |  JOIN bits b ON b.pos = ${bucketSql("p.k", "jj.j", salt, bits)}
+       |  GROUP BY p.k HAVING count(DISTINCT jj.j) = $numHashes
+       |)
+       |SELECT (SELECT CAST(count(*) AS BIGINT) FROM probes) AS n_probes,
+       |       (SELECT CAST(count(*) AS BIGINT) FROM probes WHERE k IN (SELECT k FROM members)) AS n_true_members,
+       |       (SELECT CAST(count(*) AS BIGINT) FROM hits) AS n_bloom_hits,
+       |       (SELECT CAST(count(*) AS BIGINT) FROM hits)
+       |         - (SELECT CAST(count(*) AS BIGINT) FROM probes WHERE k IN (SELECT k FROM members)) AS n_false_pos""".stripMargin
+  }
+}

@@ -170,6 +170,45 @@ object StreamOps {
     runToCompletion(pairs, queryName, OutputMode.Append())
   }
 
+  /** STREAM-STREAM LEFT OUTER join: every left (view) row pairs with the
+    * right (click) rows inside its forward time range, and left rows that
+    * never matched emit ONCE with nulls — but only after the watermark
+    * proves no future right row can still match (outer emission is
+    * watermark-gated; inner matches emit immediately). That gate is the
+    * semantic difference from batch: a left row younger than
+    * `final watermark − within` is still "awaiting a match" when a
+    * bounded drain ends, so it emits NOTHING — the declared query's batch
+    * oracle applies exactly that eviction predicate, making the
+    * incremental outer-join state machine hash-checkable.
+    *
+    * `delay` defaults to 0: the watermark tracks min(max left ts, max
+    * right ts) and AvailableNow's final no-data batch flushes every
+    * evictable unmatched row. State stays bounded by rate × (within +
+    * delay) on both sides.
+    */
+  def streamStreamLeftOuter(
+      spark: SparkSession, dir: String, queryName: String,
+      leftType: String = "view", rightType: String = "click",
+      within: String = "30 minutes", delay: String = "0 seconds"
+  ): DataFrame = {
+    val ev = eventsStream(spark, dir)
+      .withColumn("ts", date_trunc("second", col("ts")))
+    val l = ev.filter(col("event_type") === leftType)
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("v_id"))
+      .withWatermark("v_ts", delay)
+    val r = ev.filter(col("event_type") === rightType)
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("c_id"))
+      .withWatermark("c_ts", delay)
+    val joined = l.join(r,
+      col("v_user") === col("c_user") &&
+        col("c_ts") >= col("v_ts") &&
+        col("c_ts") <= col("v_ts") + expr(s"INTERVAL $within"),
+      "leftOuter")
+    runToCompletion(joined, queryName, OutputMode.Append())
+  }
+
   /** Streaming exact dedup (the streaming face of `Dedup.exactGroups`):
     * drop events whose key was already seen within the watermark horizon.
     * `dropDuplicatesWithinWatermark` keeps one state entry per key and

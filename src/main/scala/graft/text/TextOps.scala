@@ -170,4 +170,35 @@ object TextOps {
           )
         )
       )
+
+  // ------------------------------------------------------------------
+  // PII scrubbing — the pre-training redaction pass (emails, URLs,
+  // phone-shaped digit runs → typed placeholder tokens). Patterns stay
+  // inside the RE2 ∩ Java-regex common subset (character classes, bounded
+  // repetition, \b, \S — no backreferences/lookaround), so the DuckDB
+  // oracle replays them verbatim and the scrubbed text is hash-checkable
+  // across engines. Pure regexp_replace chain: codegen'd, scan-speed.
+  // ------------------------------------------------------------------
+
+  val emailRe: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val urlRe: String = "https?://\\S+"
+  val phoneRe: String = "\\b\\d{3}[-.]?\\d{3}[-.]?\\d{4}\\b"
+
+  /** Redact PII spans in order email → URL → phone (emails must go first:
+    * a URL scrub would swallow a trailing `mailto:`-style span, and the
+    * placeholders themselves contain no digits/@ so later passes can't
+    * re-match earlier replacements).
+    */
+  def scrubPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, emailRe, "<EMAIL>"),
+        urlRe, "<URL>"),
+      phoneRe, "<PHONE>")
+
+  /** How many spans each pattern matched (counted on the RAW text). */
+  def piiCounts(c: Column): (Column, Column, Column) =
+    (size(regexp_extract_all(c, lit(emailRe), lit(0))),
+     size(regexp_extract_all(c, lit(urlRe), lit(0))),
+     size(regexp_extract_all(c, lit(phoneRe), lit(0))))
 }

@@ -208,6 +208,38 @@ class PlansSpec extends SparkSpecBase {
     assert("FileScan parquet".r.findAllIn(tree).size == 1, tree)
   }
 
+  test("sk_cms_err: the d x w sketch BROADCASTS to the probe side") {
+    val df = SparkEntry.queries("sk_cms_err")(spark, sfDir)
+    val s = explainStr(df)
+    assert(s.contains("BroadcastHashJoin"), s)
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
+  test("fe_mix_sample: keep thresholds broadcast; no window over the corpus") {
+    val df = SparkEntry.queries("fe_mix_sample")(spark, sfDir)
+    val s = explainStr(df)
+    // the mixture plan must be counts -> tiny threshold table -> scan
+    // filter; a per-domain window sort would single-thread each domain
+    assert(s.contains("BroadcastHashJoin"), s)
+    assert(!s.contains("Window"), s)
+  }
+
+  test("ev_ohlc: single agg pass, no per-(key,hour) window sort") {
+    val df = SparkEntry.queries("ev_ohlc")(spark, sfDir)
+    val s = explainStr(df)
+    assert(!s.contains("Window"), s)
+    // partial-agg before the exchange: min_by/max_by are algebraic
+    assert(countShuffles(plan(df)) == 1, s)
+  }
+
+  test("g_common_neighbors: no cartesian/nested-loop; wedge pairs stay array-side") {
+    val df = SparkEntry.queries("g_common_neighbors")(spark, sfDir)
+    df.collect()
+    val tree = plan(df).toString
+    assert(!tree.contains("CartesianProduct"), tree)
+    assert(!tree.contains("BroadcastNestedLoopJoin"), tree)
+  }
+
   test("dp_profile: all columns profile through ONE Expand scan, not k jobs") {
     val df = SparkEntry.queries("dp_profile")(spark, sfDir)
     val s = explainStr(df)

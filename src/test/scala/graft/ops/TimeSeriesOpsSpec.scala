@@ -79,4 +79,50 @@ class TimeSeriesOpsSpec extends SparkSpecBase {
     assert(out((20L, "2024-01-02")) == (1L, 16.0))
     assert(out.size == 6)
   }
+
+  test("ohlc picks open/close under the (ts, id) order, min/max exact") {
+    val e = Seq(
+      (1L, "a", ts("2024-01-01 10:00:05"), 3.0),
+      (2L, "a", ts("2024-01-01 10:30:00"), 9.0),
+      (3L, "a", ts("2024-01-01 10:59:59"), 1.0),
+      (4L, "a", ts("2024-01-01 11:00:00"), 7.0), // next hour bucket
+      (5L, "b", ts("2024-01-01 10:00:05"), 2.0), // same ts as id 6: id breaks tie
+      (6L, "b", ts("2024-01-01 10:00:05"), 4.0)
+    ).toDF("event_id", "event_type", "ts", "value")
+    val out = TimeSeriesOps.ohlc(e, "event_type", "ts", "value", "event_id")
+      .collect().map(r => (r.getAs[String]("event_type"), r.getAs[Timestamp]("hour").toString) ->
+        (r.getAs[Double]("open"), r.getAs[Double]("close"),
+         r.getAs[Double]("high"), r.getAs[Double]("low"), r.getAs[Long]("n"))).toMap
+    assert(out(("a", "2024-01-01 10:00:00.0")) == (3.0, 1.0, 9.0, 1.0, 3L))
+    assert(out(("a", "2024-01-01 11:00:00.0")) == (7.0, 7.0, 7.0, 7.0, 1L))
+    // equal timestamps: lower event_id opens, higher closes
+    assert(out(("b", "2024-01-01 10:00:00.0")) == (2.0, 4.0, 4.0, 2.0, 2L))
+  }
+
+  test("debounce keeps exactly each gap-session's first event") {
+    val e = Seq(
+      (1L, 1L, ts("2024-01-01 00:00:00"), "x"),
+      (2L, 1L, ts("2024-01-01 00:20:00"), "x"), // 1200s gap -> same session
+      (3L, 1L, ts("2024-01-01 01:00:00"), "y"), // 2400s gap -> new session
+      (4L, 2L, ts("2024-01-01 00:00:00"), "x")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val kept = TimeSeriesOps.debounce(e, "user_id", "ts", "event_id", 1800L)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 4L))
+  }
+
+  test("decayedCounts: power-of-two weights, clamped buckets, exact sum") {
+    val df = Seq(
+      ("s", java.sql.Date.valueOf("2024-01-01")), // age 0 -> w=1
+      ("s", java.sql.Date.valueOf("2023-12-01")), // age 31d -> bucket 1 -> 0.5
+      ("s", java.sql.Date.valueOf("2023-11-02")), // age 60d -> bucket 2 -> 0.25
+      ("s", java.sql.Date.valueOf("2000-01-01")), // ancient -> clamped bucket 20
+      ("t", java.sql.Date.valueOf("2024-06-01"))  // future vs ref -> clamped 0 -> 1
+    ).toDF("seg", "d")
+    val out = TimeSeriesOps.decayedCounts(df, "seg", "d", refDate = "2024-01-01")
+      .collect().map(r => r.getAs[String]("seg") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Double]("decayed_cnt"))).toMap
+    assert(out("s") == (4L, 1.0 + 0.5 + 0.25 + math.pow(0.5, 20)))
+    assert(out("t") == (1L, 1.0))
+  }
 }

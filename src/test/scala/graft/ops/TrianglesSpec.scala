@@ -34,4 +34,33 @@ class TrianglesSpec extends SparkSpecBase {
     val star = (2L to 8L).map(i => (1L, i))
     assert(run(star) == (7L, 0L))
   }
+
+  private def cn(edges: Seq[(Long, Long)], maxDeg: Int, minCommon: Long) =
+    Triangles.commonNeighbors(edges.toDF("src", "dst"), "src", "dst", maxDeg, minCommon)
+      .collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")) -> r.getAs[Long]("common_cnt"))
+      .toMap
+
+  test("commonNeighbors finds non-adjacent pairs through shared centers") {
+    // 1 and 4 share centers 2 and 3; (1,4) is NOT an edge -> candidate.
+    // 2 and 3 share centers 1 and 4 but ARE adjacent -> excluded.
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (2L, 3L))
+    val out = cn(edges, maxDeg = 10, minCommon = 2L)
+    assert(out == Map((1L, 4L) -> 2L))
+  }
+
+  test("commonNeighbors: hub centers beyond maxDeg mint no candidates") {
+    // star: every leaf pair shares only the hub; capping the hub's degree
+    // out removes all candidates
+    val star = (2L to 8L).map(i => (1L, i))
+    assert(cn(star, maxDeg = 10, minCommon = 1L).nonEmpty)
+    assert(cn(star, maxDeg = 6, minCommon = 1L).isEmpty)
+  }
+
+  test("commonNeighbors: minCommon threshold filters single-wedge pairs") {
+    // 1-2-4 single wedge through 2; with minCommon=2 nothing qualifies
+    val edges = Seq((1L, 2L), (2L, 4L))
+    assert(cn(edges, maxDeg = 10, minCommon = 1L) == Map((1L, 4L) -> 1L))
+    assert(cn(edges, maxDeg = 10, minCommon = 2L).isEmpty)
+  }
 }

@@ -1,0 +1,79 @@
+package graft.sketch
+
+import graft.SparkSpecBase
+import graft.core.Tables
+import graft.text.TextOps
+import org.apache.spark.sql.functions._
+
+class SketchesSpec extends SparkSpecBase {
+
+  test("cms: estimate >= exact for every item (one-sided error)") {
+    val toks = Tables.documents(spark, sfDir)
+      .select(explode(TextOps.tokens(col("text"))).as("item"))
+    val cms = Sketches.cmsBuild(toks, "item")
+    val exact = toks.groupBy("item").agg(count(lit(1)).as("exact_cnt"))
+    val rows = Sketches.cmsEstimate(cms, exact, "item")
+      .join(exact, Seq("item")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val est = r.getAs[Long]("cms_est"); val ex = r.getAs[Long]("exact_cnt")
+      assert(est >= ex, s"${r.getAs[String]("item")}: est $est < exact $ex")
+    }
+  }
+
+  test("cms: sketch is cardinality-bounded at depth x width") {
+    val toks = Tables.documents(spark, sfDir)
+      .select(explode(TextOps.tokens(col("text"))).as("item"))
+    val cms = Sketches.cmsBuild(toks, "item", depth = 4, width = 256L)
+    assert(cms.count() <= 4L * 256L)
+    // each row's total equals the full stream length (every item counted
+    // once per hash row)
+    val n = toks.count()
+    val perRow = cms.groupBy("j").agg(sum("cnt").as("s")).collect()
+    assert(perRow.length == 4)
+    perRow.foreach(r => assert(r.getAs[Long]("s") == n))
+  }
+
+  test("kmv: estimate within 25% of exact at k=64") {
+    val r = Sketches.kmvDistinct(Tables.orders(spark, sfDir), "o_custkey").head()
+    val exact = r.getAs[Long]("exact_distinct").toDouble
+    val est = r.getAs[Double]("kmv_est")
+    assert(exact > 0)
+    assert(math.abs(est - exact) / exact < 0.25, s"est $est vs exact $exact")
+  }
+
+  test("kmv: fewer distinct keys than k -> estimate still finite and sane") {
+    val r = Sketches.kmvDistinct(Tables.region(spark, sfDir), "r_regionkey", k = 64).head()
+    // with <k distinct keys the kth hash is the max hash; estimate is a
+    // (biased) upper-ballpark but must not blow up or divide by zero
+    assert(r.getAs[Long]("exact_distinct") == 5L)
+    assert(!r.getAs[Double]("kmv_est").isNaN)
+    assert(r.getAs[Double]("kmv_est") > 0.0)
+  }
+
+  test("bloom: zero false negatives; false positives bounded") {
+    val r = Sketches.bloomMembership(
+      Tables.supplier(spark, sfDir), "s_suppkey",
+      Tables.customer(spark, sfDir), "c_custkey").head()
+    val nProbes = r.getAs[Long]("n_probes")
+    val nTrue = r.getAs[Long]("n_true_members")
+    val hits = r.getAs[Long]("n_bloom_hits")
+    val fp = r.getAs[Long]("n_false_pos")
+    assert(nProbes > 0 && nTrue > 0)
+    assert(hits >= nTrue, "bloom may never miss a member")
+    assert(fp == hits - nTrue)
+    // m=4096 bits, k=3, few-hundred members: fp rate should stay modest
+    assert(fp.toDouble / nProbes < 0.5, s"fp=$fp of $nProbes")
+  }
+
+  test("bloom: bit relation never exceeds the bit-space size") {
+    val sup = Tables.supplier(spark, sfDir)
+    // the distinct set-bit positions are what broadcasts — cardinality
+    // must be bounded by `bits` regardless of member count
+    val bits = sup.select(col("s_suppkey").cast("string").as("mk"))
+      .select(col("mk"), explode(sequence(lit(0), lit(2))).as("j"))
+      .select(pmod(TextOps.md5Hash60(concat(col("mk"), lit(":bf"), col("j").cast("string"))), lit(4096L)).as("pos"))
+      .distinct().count()
+    assert(bits <= 4096L)
+  }
+}

@@ -173,4 +173,27 @@ class StreamOpsSpec extends SparkSpecBase {
     // exact set equality, including the decimal-accumulated double sums
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
+
+  test("stream-stream LEFT OUTER drain: inner pairs + watermark-evicted unmatched only") {
+    import org.apache.spark.sql.functions._
+    val drained = StreamOps.streamStreamLeftOuter(spark, sfDir, "spec_ev_stream_outer")
+    val ev = graft.core.Tables.events(spark, sfDir)
+      .withColumn("ts2", date_trunc("second", col("ts")))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("u"), col("event_id").as("vid"), col("ts2").as("vt"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("event_id").as("cid"), col("ts2").as("ct"))
+    val wm = java.sql.Timestamp.valueOf(
+      Seq(v.agg(max("vt")).head().getTimestamp(0),
+          c.agg(max("ct")).head().getTimestamp(0)).map(_.toString).min)
+    val batch = v.join(c,
+        col("u") === col("cu") && col("ct") >= col("vt") &&
+          col("ct") <= col("vt") + expr("INTERVAL 30 MINUTES"), "left")
+    val nPairs = batch.filter(col("cid").isNotNull).count()
+    val nEvictedUnmatched = batch.filter(col("cid").isNull &&
+      col("vt") + expr("INTERVAL 30 MINUTES") < lit(wm)).count()
+    assert(drained.filter(col("c_id").isNotNull).count() == nPairs)
+    assert(drained.filter(col("c_id").isNull).count() == nEvictedUnmatched)
+    assert(nPairs > 0 && nEvictedUnmatched > 0, "fixture must exercise both paths")
+  }
 }

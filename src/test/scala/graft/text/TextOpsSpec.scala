@@ -66,4 +66,17 @@ class TextOpsSpec extends SparkSpecBase {
     // "hello"(2) + "hi"(1) + digits "123"(1) = 4
     assert(one[Long](TextOps.tokenCountBpeIsh(col("t")), "hello hi 123") == 4L)
   }
+
+  test("scrubPii redacts emails, URLs, phones; placeholders never re-match") {
+    val in = "mail bob.smith+1@ex-ample.co.uk see https://x.io/a?b=1 call 415-555-1234 or 4155551234 end"
+    val out = one[String](TextOps.scrubPii(col("t")), in)
+    assert(out == "mail <EMAIL> see <URL> call <PHONE> or <PHONE> end")
+    // idempotent: scrubbing scrubbed text changes nothing
+    assert(one[String](TextOps.scrubPii(TextOps.scrubPii(col("t"))), in) == out)
+  }
+
+  test("scrubPii leaves near-misses alone") {
+    val in = "a@b x http:/nope 12-34-56 415-555-123 value 1234567890123"
+    assert(one[String](TextOps.scrubPii(col("t")), in) == in)
+  }
 }
