@@ -2231,18 +2231,7 @@ object SparkEntry {
         .groupBy(col("v_user").as("user_id"))
         .agg(
           count(col("c_id")).as("n_pairs"),
-          sum(when(col("c_id").isNull, 1L).otherwise(0L)).as("n_unmatched"))),
-
-    // product-quantization ANN (ADC): corpus searched through 4-byte
-    // codes, codebook + query distance tables broadcast, fixed-order ADC
-    // sums — the full approximate RANKING hash-matches the oracle, and
-    // the recall row pins quality against the exact L2 top-k
-    "sim_pq_topk" -> ((s, d) =>
-      graft.sim.Pq.pqTopK(Tables.embeddings(s, d), "vec_id", "embedding",
-        dim = 64, m = 4, nCodes = 16, k = 5, nQueries = 10)),
-    "sim_pq_recall" -> ((s, d) =>
-      graft.sim.Pq.pqRecall(Tables.embeddings(s, d), "vec_id", "embedding",
-        dim = 64, m = 4, nCodes = 16, k = 5, nQueries = 10))
+          sum(when(col("c_id").isNull, 1L).otherwise(0L)).as("n_unmatched")))
   )
 
   /** Shared input for the SCD2 query and its oracle: base snapshot ∪ a
@@ -4082,13 +4071,6 @@ object SparkEntry {
         |FROM j GROUP BY 1
         |HAVING count(cid) > 0
         |    OR SUM(CASE WHEN cid IS NULL AND vt + INTERVAL 30 MINUTE < (SELECT w FROM wm)
-        |            THEN 1 ELSE 0 END) > 0""".stripMargin,
-
-    "sim_pq_topk" -> graft.sim.Pq.pqTopKOracleSql(
-      "embeddings", "vec_id", "embedding",
-      dim = 64, m = 4, nCodes = 16, k = 5, nQueries = 10),
-    "sim_pq_recall" -> graft.sim.Pq.pqRecallOracleSql(
-      "embeddings", "vec_id", "embedding",
-      dim = 64, m = 4, nCodes = 16, k = 5, nQueries = 10)
+        |            THEN 1 ELSE 0 END) > 0""".stripMargin
   )
 }
