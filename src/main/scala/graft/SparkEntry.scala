@@ -2231,7 +2231,32 @@ object SparkEntry {
         .groupBy(col("v_user").as("user_id"))
         .agg(
           count(col("c_id")).as("n_pairs"),
-          sum(when(col("c_id").isNull, 1L).otherwise(0L)).as("n_unmatched")))
+          sum(when(col("c_id").isNull, 1L).otherwise(0L)).as("n_unmatched"))),
+
+    // pipeline-health monitoring: per-type DAILY ingest volume, flagged by
+    // the partition-invariant rolling z-score machinery over a trailing
+    // 7-day window — volume anomalies (a stuck producer, a double-ship)
+    // surface as data, on |types × days| rows, never |events|
+    "dq_volume_anomaly" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_rows"))
+        .select(
+          concat(col("event_type"), lit(":"), col("day").cast("string")).as("rid"),
+          col("event_type"),
+          col("day").cast("timestamp").as("day_ts"),
+          col("n_rows"))
+      graft.ops.TimeSeriesOps.rollingAnomaly(
+        daily, "event_type", "day_ts", "n_rows", "rid",
+        horizonSec = 7L * 86400L, z = 2.0, minN = 4)
+    }),
+
+    // quote/subset detection: asymmetric shingle containment — the score
+    // Jaccard structurally misses (a short doc embedded in a long one);
+    // same inverted-index + DF-cap candidate shape as d_jaccard_pairs
+    "d_containment" -> ((s, d) =>
+      Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text",
+        n = 3, threshold = 0.5, maxShingleDf = Some(100L)))
   )
 
   /** Shared input for the SCD2 query and its oracle: base snapshot ∪ a
@@ -4071,6 +4096,39 @@ object SparkEntry {
         |FROM j GROUP BY 1
         |HAVING count(cid) > 0
         |    OR SUM(CASE WHEN cid IS NULL AND vt + INTERVAL 30 MINUTE < (SELECT w FROM wm)
-        |            THEN 1 ELSE 0 END) > 0""".stripMargin
+        |            THEN 1 ELSE 0 END) > 0""".stripMargin,
+
+    "dq_volume_anomaly" -> graft.ops.TimeSeriesOps.rollingAnomalyOracleSql(
+      "(SELECT concat(event_type, ':', CAST(CAST(ts AS DATE) AS VARCHAR)) AS rid, " +
+        "event_type, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day_ts, count(*) AS n_rows " +
+        "FROM events GROUP BY 1, 2, 3)",
+      "event_type", "day_ts", "n_rows", "rid",
+      horizonSec = 7L * 86400L, z = 2.0, minN = 4),
+
+    "d_containment" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '') AS t
+        |  FROM documents
+        |), sh0 AS (
+        |  SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+        |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+        |    FROM toks WHERE len(t) >= 3
+        |  )
+        |), keep AS (
+        |  SELECT shingle FROM sh0 GROUP BY 1 HAVING count(*) <= 100
+        |), sh AS (
+        |  SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN keep USING (shingle)
+        |), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter_cnt,
+        |       CAST(inter AS DOUBLE) / sa.n AS cont_a_in_b,
+        |       CAST(inter AS DOUBLE) / sb.n AS cont_b_in_a
+        |FROM pairs JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+        |WHERE GREATEST(CAST(inter AS DOUBLE) / sa.n, CAST(inter AS DOUBLE) / sb.n) >= 0.5""".stripMargin
   )
 }

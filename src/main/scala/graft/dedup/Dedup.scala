@@ -50,6 +50,49 @@ object Dedup {
       n: Int,
       threshold: Double,
       maxShingleDf: Option[Long] = None
+  ): DataFrame =
+    shingleIntersections(docs, idCol, textCol, n, maxShingleDf)
+      .withColumn(
+        "jaccard",
+        col("inter_cnt").cast("double") / (col("n_a") + col("n_b") - col("inter_cnt"))
+      )
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "inter_cnt", "jaccard")
+
+  /** Asymmetric shingle CONTAINMENT: `|A∩B| / |A|` (and `/ |B|`) per
+    * candidate pair — the quote/subset detector. Jaccard misses a short
+    * document wholly embedded in a long one (the union denominator drowns
+    * it); containment is the right score for "doc A substantially appears
+    * inside doc B" (quotation mining, boilerplate extraction, partial-dup
+    * triage). Emits pairs where EITHER direction clears `threshold`, with
+    * both directional scores (exact rationals of integer counts).
+    * Same inverted-index + DF-cap shape as [[jaccardPairs]].
+    */
+  def containmentPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double,
+      maxShingleDf: Option[Long] = None
+  ): DataFrame =
+    shingleIntersections(docs, idCol, textCol, n, maxShingleDf)
+      .withColumn("cont_a_in_b", col("inter_cnt").cast("double") / col("n_a"))
+      .withColumn("cont_b_in_a", col("inter_cnt").cast("double") / col("n_b"))
+      .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= threshold)
+      .select("doc_a", "doc_b", "inter_cnt", "cont_a_in_b", "cont_b_in_a")
+
+  /** Candidate-pair shingle intersections over the inverted index:
+    * `(doc_a, doc_b, n_a, n_b, inter_cnt)` for every pair sharing ≥ 1
+    * (DF-capped) shingle — the shared core of the Jaccard and containment
+    * joins.
+    */
+  private def shingleIntersections(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      maxShingleDf: Option[Long]
   ): DataFrame = {
     // materialize tokens behind a projection boundary so the regex split
     // runs once per doc, not once per shingle reference
@@ -77,12 +120,6 @@ object Dedup {
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
       .agg(count(lit(1)).as("inter_cnt"))
-      .withColumn(
-        "jaccard",
-        col("inter_cnt").cast("double") / (col("n_a") + col("n_b") - col("inter_cnt"))
-      )
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "inter_cnt", "jaccard")
   }
 
   /** Benchmark decontamination: count, per candidate document, the

@@ -35,6 +35,25 @@ class DedupSpec extends SparkSpecBase {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("containmentPairs flags a short doc embedded in a long one that jaccard misses") {
+    val d2 = Seq(
+      (1L, "alpha beta gamma delta"), // 2 shingles, both inside doc 2
+      (2L, "intro words first alpha beta gamma delta and then a very long tail " +
+        "of unrelated filler content extending the union far beyond the quote " +
+        "so the jaccard score collapses toward zero for this pair")
+    ).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(d2, "doc_id", "text", n = 3, threshold = 0.9)
+      .collect()
+    assert(cont.length == 1)
+    val r = cont(0)
+    assert(r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 2L)
+    assert(r.getAs[Double]("cont_a_in_b") == 1.0, "all of doc 1's shingles are in doc 2")
+    assert(r.getAs[Double]("cont_b_in_a") < 0.5)
+    // jaccard at the same candidate set stays far below the containment
+    val j = Dedup.jaccardPairs(d2, "doc_id", "text", n = 3, threshold = 0.9).collect()
+    assert(j.isEmpty, "jaccard must NOT reach 0.9 on the embedded quote")
+  }
+
   test("minhash LSH pairs always include exact duplicates") {
     val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text")
       .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
