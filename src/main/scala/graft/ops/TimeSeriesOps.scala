@@ -222,10 +222,14 @@ object TimeSeriesOps {
     * time proximity). Sessionization and first-pick share one (user)
     * partitioning: the session-id cumsum and the keeper row_number run
     * over the SAME exchange, so debouncing costs exactly the sessionize
-    * shuffle. Returns the kept rows.
+    * shuffle. Returns the kept rows with the input's schema unchanged.
     */
   def debounce(events: DataFrame, userCol: String, tsCol: String,
                idCol: String, gapSec: Long): DataFrame = {
+    val inCols = events.columns.toSeq
+    val working = Seq("_ts2", "_prev", "_new", "_sess", "_rn")
+    require(!inCols.exists(working.contains),
+      s"input columns collide with debounce working columns ${working.mkString(",")}")
     val w = Window.partitionBy(userCol).orderBy(col("_ts2"), col(idCol))
     val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     events
@@ -240,7 +244,7 @@ object TimeSeriesOps {
         row_number().over(
           Window.partitionBy(col(userCol), col("_sess")).orderBy(col("_ts2"), col(idCol))))
       .filter(col("_rn") === 1)
-      .drop("_prev", "_new", "_rn")
+      .select(inCols.map(col): _*)
   }
 
   /** Exponential-decay activity counts per group: each event contributes

@@ -240,6 +240,28 @@ class PlansSpec extends SparkSpecBase {
     assert(!tree.contains("BroadcastNestedLoopJoin"), tree)
   }
 
+  test("sk_kmv_distinct: the k-smallest funnel is a TakeOrdered, never a global sort") {
+    val df = SparkEntry.queries("sk_kmv_distinct")(spark, sfDir)
+    val s = explainStr(df)
+    assert(s.contains("TakeOrderedAndProject"), s)
+    // a Sort would mean the full hash set is globally sorted to find 64 values
+    assert(!s.contains("\n   Sort "), s)
+  }
+
+  test("sk_bloom_fp: the bit relation reaches probes via broadcast") {
+    val df = SparkEntry.queries("sk_bloom_fp")(spark, sfDir)
+    val s = explainStr(df)
+    assert(s.contains("BroadcastHashJoin"), s)
+  }
+
+  test("ev_debounce: session cumsum and keeper-pick share the (user) exchange") {
+    val df = graft.ops.TimeSeriesOps.debounce(
+      graft.core.Tables.events(spark, sfDir), "user_id", "ts", "event_id", 1800L)
+    // one shuffle for Window(partitionBy user_id); the (user, session)
+    // keeper window preserves that partitioning — no second exchange
+    assert(countShuffles(plan(df)) == 1, explainStr(df))
+  }
+
   test("dp_profile: all columns profile through ONE Expand scan, not k jobs") {
     val df = SparkEntry.queries("dp_profile")(spark, sfDir)
     val s = explainStr(df)
