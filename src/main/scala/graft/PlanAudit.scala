@@ -336,7 +336,30 @@ object PlanAudit {
         |the rolling sum is streaming accumulation inside each sorted
         |partition — no self-join, no per-row probe, state bounded by the
         |horizon. The window-frame form is the only trailing-aggregate
-        |shape that survives an unbounded event table."""
+        |shape that survives an unbounded event table.""",
+    "sk_cms_err" ->
+      """The sketch build is explode(depth) → partial HashAggregate: each
+        |input partition collapses to at most depth×width cells BEFORE the
+        |exchange, so the shuffle moves O(sketch), never O(token stream).
+        |The probe side joins the d×w-row sketch via BroadcastHashJoin —
+        |the corpus-sized relation never shuffles for the estimate. This
+        |is how a 100 TB stream summarizes to KBs with no driver-side
+        |accumulator anywhere in the plan.""",
+    "dq_volume_anomaly" ->
+      """Monitoring runs on the AGGREGATE, not the events: one partial-agg
+        |count per (type, day) reduces the scan to |types × days| rows,
+        |and the rolling z-score machinery (RANGE frame, decimal moments)
+        |adds one type-keyed exchange over that tiny frame. Volume
+        |anomaly detection over a 100 TB event table costs one scan plus
+        |arithmetic on a few thousand rows.""",
+    "g_common_neighbors" ->
+      """Wedge pairs are generated ARRAY-SIDE (a combination explode over
+        |each degree-capped center's sorted neighbor array) and feed a
+        |partially-aggregated count — the naive form's wedge self-join,
+        |whose shuffled row count is Σ deg², never appears. The degree cap
+        |bounds candidate volume by |V|·maxDeg²/2 by construction, the
+        |same frequency-cap contract as the Jaccard DF cap; the final
+        |adjacency exclusion is a left-anti hash join."""
   )
 
   private def streamingPlan(spark: SparkSession, sfDir: String): String = {
