@@ -2256,7 +2256,29 @@ object SparkEntry {
     // same inverted-index + DF-cap candidate shape as d_jaccard_pairs
     "d_containment" -> ((s, d) =>
       Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text",
-        n = 3, threshold = 0.5, maxShingleDf = Some(100L)))
+        n = 3, threshold = 0.5, maxShingleDf = Some(100L))),
+
+    // sketch MERGEABILITY as a hash-checked row: CMS is linear, so
+    // per-shard sketches summed cell-wise must equal the whole-stream
+    // sketch — the algebra that lets every executor summarize its shard
+    // and the reduce combine d×w cells, never rows. n_mismatch pins it
+    // at exactly 0
+    "sk_cms_merge" -> ((s, d) => {
+      def toks(p: Column => Column) = Tables.documents(s, d)
+        .filter(p(col("doc_id")))
+        .select(explode(TextOps.tokens(col("text"))).as("item"))
+      val full = graft.sketch.Sketches.cmsBuild(toks(_ => lit(true)), "item")
+      val even = graft.sketch.Sketches.cmsBuild(toks(id => id % 2 === 0), "item")
+      val odd = graft.sketch.Sketches.cmsBuild(toks(id => id % 2 === 1), "item")
+      val merged = graft.sketch.Sketches.cmsMerge(even, odd)
+      val joined = full.withColumnRenamed("cnt", "cnt_full")
+        .join(merged.withColumnRenamed("cnt", "cnt_merged"),
+          Seq("j", "bucket"), "full_outer")
+      joined.agg(
+        count(lit(1)).as("n_cells"),
+        sum(when(coalesce(col("cnt_full"), lit(-1L)) =!=
+          coalesce(col("cnt_merged"), lit(-1L)), 1L).otherwise(0L)).as("n_mismatch"))
+    })
   )
 
   /** Shared input for the SCD2 query and its oracle: base snapshot ∪ a
@@ -4104,6 +4126,9 @@ object SparkEntry {
         "FROM events GROUP BY 1, 2, 3)",
       "event_type", "day_ts", "n_rows", "rid",
       horizonSec = 7L * 86400L, z = 2.0, minN = 4),
+
+    "sk_cms_merge" -> graft.sketch.Sketches.cmsMergeOracleSql(
+      "SELECT doc_id % 2 AS shard, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')) AS item FROM documents"),
 
     "d_containment" ->
       """WITH toks AS (

@@ -99,6 +99,42 @@ object Sketches {
        |FROM exact e JOIN est s ON e.item = s.item""".stripMargin
   }
 
+  /** Merge count-min tables cell-wise (sum per (j, bucket)) — CMS is a
+    * linear sketch, so the merge of per-shard sketches EQUALS the sketch
+    * of the whole stream. That algebra is what makes a sketch usable at
+    * 100 TB: each executor summarizes its shard, and the reduce combines
+    * d×w cells, never rows.
+    */
+  def cmsMerge(sketches: DataFrame*): DataFrame =
+    sketches.reduce(_ unionByName _)
+      .groupBy("j", "bucket")
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** DuckDB mirror of the merge-equals-whole check: `itemsSql` yields
+    * `(shard, item)` with shard ∈ {0, 1}; the oracle builds the two
+    * shard sketches, merges cell-wise, and compares against the
+    * whole-stream build — `(n_cells, n_mismatch)` with n_mismatch
+    * provably 0. */
+  def cmsMergeOracleSql(itemsSql: String, depth: Int = 4, width: Long = 256L,
+                        salt: String = ":cms"): String = {
+    val js = (0 until depth).mkString(", ")
+    s"""WITH items AS ($itemsSql),
+       |jj AS (SELECT unnest([$js]) AS j),
+       |full_ AS (
+       |  SELECT j, ${bucketSql("item", "j", salt, width)} AS bucket, count(*) AS cnt
+       |  FROM items CROSS JOIN jj GROUP BY 1, 2
+       |),
+       |shards AS (
+       |  SELECT shard, j, ${bucketSql("item", "j", salt, width)} AS bucket, count(*) AS cnt
+       |  FROM items CROSS JOIN jj GROUP BY 1, 2, 3
+       |),
+       |merged AS (SELECT j, bucket, sum(cnt) AS cnt FROM shards GROUP BY 1, 2)
+       |SELECT CAST(count(*) AS BIGINT) AS n_cells,
+       |       CAST(sum(CASE WHEN coalesce(f.cnt, -1) <> coalesce(m.cnt, -1)
+       |                THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch
+       |FROM full_ f FULL OUTER JOIN merged m USING (j, bucket)""".stripMargin
+  }
+
   // ------------------------------------------------------------------
   // KMV distinct-count sketch
   // ------------------------------------------------------------------

@@ -34,6 +34,20 @@ class SketchesSpec extends SparkSpecBase {
     perRow.foreach(r => assert(r.getAs[Long]("s") == n))
   }
 
+  test("cmsMerge of disjoint shards equals the whole-stream sketch (linearity)") {
+    val docs = Tables.documents(spark, sfDir)
+    def toks(f: org.apache.spark.sql.Column) = docs.filter(f)
+      .select(explode(TextOps.tokens(col("text"))).as("item"))
+    val full = Sketches.cmsBuild(toks(lit(true)), "item")
+    val merged = Sketches.cmsMerge(
+      Sketches.cmsBuild(toks(col("doc_id") % 2 === 0), "item"),
+      Sketches.cmsBuild(toks(col("doc_id") % 2 === 1), "item"))
+    val diff = full.withColumnRenamed("cnt", "a")
+      .join(merged.withColumnRenamed("cnt", "b"), Seq("j", "bucket"), "full_outer")
+      .filter(coalesce(col("a"), lit(-1L)) =!= coalesce(col("b"), lit(-1L)))
+    assert(diff.count() == 0)
+  }
+
   test("kmv: estimate within 25% of exact at k=64") {
     val r = Sketches.kmvDistinct(Tables.orders(spark, sfDir), "o_custkey").head()
     val exact = r.getAs[Long]("exact_distinct").toDouble
