@@ -108,4 +108,67 @@ class PropertySpec extends SparkSpecBase {
       }
     }
   }
+
+  test("CMS property: estimate >= exact count for EVERY item on random corpora") {
+    val corpusGen = Gen.listOfN(60, Gen.zip(
+      Gen.choose(1L, 1000000L),
+      Gen.listOfN(8, Gen.oneOf("ax", "bx", "cx", "dx", "ex", "fx", "gx", "hx"))))
+    forAll(corpusGen, n = 3) { rows =>
+      val toks = rows.distinctBy(_._1)
+        .map { case (id, ws) => (id, ws.mkString(" ")) }.toDF("id", "text")
+        .select(explode(graft.text.TextOps.tokens(col("text"))).as("item"))
+      val cms = graft.sketch.Sketches.cmsBuild(toks, "item", depth = 2, width = 8L)
+      val exact = toks.groupBy("item").agg(count(lit(1)).as("exact_cnt"))
+      // width 8 forces collisions, so the one-sided bound is exercised
+      graft.sketch.Sketches.cmsEstimate(cms, exact, "item", depth = 2, width = 8L)
+        .join(exact, Seq("item")).collect()
+        .foreach { r =>
+          assert(r.getAs[Long]("cms_est") >= r.getAs[Long]("exact_cnt"),
+            s"${r.getAs[String]("item")}")
+        }
+    }
+  }
+
+  test("debounce property: no two kept events of a user within the gap") {
+    val gen = Gen.listOfN(30, Gen.zip(
+      Gen.choose(1L, 100000L), Gen.choose(1L, 3L), Gen.choose(0L, 20000L)))
+    forAll(gen, n = 3) { rows =>
+      val df = rows.distinctBy(_._1)
+        .map { case (id, u, s) => (id, u, new Timestamp(1704067200000L + s * 1000L)) }
+        .toDF("event_id", "user_id", "ts")
+      val kept = graft.ops.TimeSeriesOps.debounce(df, "user_id", "ts", "event_id", 1800L)
+        .select("user_id", "ts").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime / 1000L))
+      kept.groupBy(_._1).values.foreach { evs =>
+        val ts = evs.map(_._2).sorted.toSeq
+        ts.sliding(2).foreach {
+          case Seq(a, b) => assert(b - a > 1800L, s"kept events $a,$b within gap")
+          case _ =>
+        }
+      }
+    }
+  }
+
+  test("containment property: jaccard never exceeds either directional containment") {
+    val docGen = Gen.listOfN(6, Gen.zip(
+      Gen.choose(1L, 1000L),
+      Gen.listOfN(12, Gen.oneOf("red", "blue", "green", "gold", "iron", "clay"))))
+    forAll(docGen, n = 3) { rows =>
+      val docs = rows.distinctBy(_._1)
+        .map { case (id, ws) => (id, ws.mkString(" ")) }.toDF("doc_id", "text")
+      val cont = graft.dedup.Dedup
+        .containmentPairs(docs, "doc_id", "text", n = 3, threshold = 0.0)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getAs[Double]("cont_a_in_b"), r.getAs[Double]("cont_b_in_a"))).toMap
+      graft.dedup.Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.0)
+        .collect().foreach { r =>
+          val key = (r.getLong(0), r.getLong(1))
+          val j = r.getAs[Double]("jaccard")
+          val (cab, cba) = cont(key)
+          assert(j <= cab + 1e-12 && j <= cba + 1e-12, s"$key: j=$j cont=($cab,$cba)")
+          assert(cab >= 0.0 && cab <= 1.0 && cba >= 0.0 && cba <= 1.0)
+        }
+    }
+  }
 }
