@@ -2134,10 +2134,16 @@ object SparkEntry {
             .otherwise(0.1))
       val counts = docs.groupBy("source", "share").agg(count(lit(1)).as("total"))
       val tcap = counts.agg(min(col("total") / col("share")).as("tcap"))
+      // the domain DEFINING the cap keeps exactly 100%: tcap*share/total is
+      // mathematically 1 there but rounds to 0.999… in doubles, and
+      // floor(1e6·…) would shave ~1 ppm off the scarcest domain — compare
+      // against the identical total/share double instead of trusting the
+      // round-trip
       val fracs = counts.crossJoin(tcap).select(
         col("source"), col("total"),
-        floor(lit(1000000.0) *
-          least(lit(1.0), col("tcap") * col("share") / col("total"))).as("keep_ppm"))
+        when(col("tcap") === col("total") / col("share"), lit(1000000L))
+          .otherwise(floor(lit(1000000.0) *
+            least(lit(1.0), col("tcap") * col("share") / col("total")))).as("keep_ppm"))
       docs.join(broadcast(fracs), Seq("source"))
         .filter(permilleHash1M(col("doc_id"), ":mix42") < col("keep_ppm"))
         .groupBy("source", "total", "keep_ppm")
@@ -4013,12 +4019,12 @@ object SparkEntry {
         |)
         |SELECT doc_id,
         |       CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
-        |       CAST(len(regexp_extract_all(t, 'https?://\S+')) AS INTEGER) AS n_urls,
+        |       CAST(len(regexp_extract_all(t, 'https?://[!-~]+')) AS INTEGER) AS n_urls,
         |       CAST(len(regexp_extract_all(t, '\b\d{3}[-.]?\d{3}[-.]?\d{4}\b')) AS INTEGER) AS n_phones,
         |       md5(regexp_replace(
         |             regexp_replace(
         |               regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |               'https?://\S+', '<URL>', 'g'),
+        |               'https?://[!-~]+', '<URL>', 'g'),
         |             '\b\d{3}[-.]?\d{3}[-.]?\d{4}\b', '<PHONE>', 'g')) AS scrub_md5
         |FROM inj""".stripMargin,
 
@@ -4037,7 +4043,8 @@ object SparkEntry {
          |), t AS (SELECT min(total / share) AS tcap FROM counts
          |), f AS (
          |  SELECT source, total,
-         |         CAST(floor(1000000.0 * least(1.0, tcap * share / total)) AS BIGINT) AS keep_ppm
+         |         CASE WHEN tcap = total / share THEN 1000000
+         |              ELSE CAST(floor(1000000.0 * least(1.0, tcap * share / total)) AS BIGINT) END AS keep_ppm
          |  FROM counts CROSS JOIN t
          |)
          |SELECT f.source, f.total, f.keep_ppm, CAST(count(*) AS BIGINT) AS kept

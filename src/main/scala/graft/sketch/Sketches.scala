@@ -196,8 +196,9 @@ object Sketches {
                       probes: DataFrame, probeCol: String,
                       bits: Long = 4096L, numHashes: Int = 3,
                       salt: String = ":bf"): DataFrame = {
-    def positions(c: Column, j: Column): Column =
-      pmod(TextOps.md5Hash60(concat(c.cast("string"), lit(salt), j.cast("string"))), lit(bits))
+    // same portable position formula as the CMS bucket — one definition
+    // (bucket/bucketSql) feeds both sketch families and their oracles
+    def positions(c: Column, j: Column): Column = bucket(c, j, salt, bits)
     val bitRows = members
       .select(col(memberCol).cast("string").as("mk"))
       .filter(col("mk").isNotNull)

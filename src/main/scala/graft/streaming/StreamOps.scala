@@ -213,6 +213,15 @@ object StreamOps {
     * right ts) and AvailableNow's final no-data batch flushes every
     * evictable unmatched row. State stays bounded by rate × (within +
     * delay) on both sides.
+    *
+    * Batch-oracle equality REQUIRES the whole input in one micro-batch
+    * (same invariant streamStreamPairs documents): with delay 0, a
+    * multi-file staging or maxFilesPerTrigger would advance the
+    * watermark between batches and drop later out-of-order rows as late
+    * input. eventsStream stages exactly one file, which is what makes
+    * the drained result equal the documented eviction predicate; a live
+    * pipeline picks a real `delay` horizon and accepts the late-drop
+    * contract.
     */
   def streamStreamLeftOuter(
       spark: SparkSession, dir: String, queryName: String,

@@ -181,7 +181,10 @@ object TextOps {
   // ------------------------------------------------------------------
 
   val emailRe: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val urlRe: String = "https?://\\S+"
+  // printable-ASCII run, NOT \S: Java counts U+000B as whitespace and RE2
+  // does not, so \S+ would scrub different spans on the two engines; the
+  // explicit [!-~] range means the same code points everywhere
+  val urlRe: String = "https?://[!-~]+"
   val phoneRe: String = "\\b\\d{3}[-.]?\\d{3}[-.]?\\d{4}\\b"
 
   /** Redact PII spans in order email → URL → phone (emails must go first:

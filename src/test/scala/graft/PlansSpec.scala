@@ -244,8 +244,10 @@ class PlansSpec extends SparkSpecBase {
     val df = SparkEntry.queries("sk_kmv_distinct")(spark, sfDir)
     val s = explainStr(df)
     assert(s.contains("TakeOrderedAndProject"), s)
-    // a Sort would mean the full hash set is globally sorted to find 64 values
-    assert(!s.contains("\n   Sort "), s)
+    // a Sort OPERATOR would mean the full hash set is globally sorted to
+    // find 64 values; \b keeps SortAggregate/SortMergeJoin out of scope
+    // and matches at any nesting depth
+    assert("""\bSort\b""".r.findFirstIn(s).isEmpty, s)
   }
 
   test("sk_bloom_fp: the bit relation reaches probes via broadcast") {
