@@ -240,6 +240,12 @@ class PlansSpec extends SparkSpecBase {
     assert(!tree.contains("BroadcastNestedLoopJoin"), tree)
   }
 
+  test("t_scrub_pii: redaction is scan-speed — zero shuffles, pure projection") {
+    val df = SparkEntry.queries("t_scrub_pii")(spark, sfDir)
+    assert(countShuffles(plan(df)) == 0, explainStr(df))
+    assert(!explainStr(df).contains("Window"), explainStr(df))
+  }
+
   test("sk_kmv_distinct: the k-smallest funnel is a TakeOrdered, never a global sort") {
     val df = SparkEntry.queries("sk_kmv_distinct")(spark, sfDir)
     val s = explainStr(df)
