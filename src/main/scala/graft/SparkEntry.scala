@@ -440,6 +440,22 @@ object SparkEntry {
           expr("approx_percentile(l_quantity, 0.5D, 10000)").as("qty_p50_approx"),
           expr("approx_percentile(l_extendedprice, 0.9D, 10000)").as("price_p90_approx"))),
 
+    // exact mode per group with a deterministic tiebreak (highest count,
+    // then smallest value) — the mode-imputation primitive: one map-side-
+    // combined hash-agg to the |group × value| counts table, then the
+    // row_number runs over THAT table, never the data
+    "a14_mode_per_group" -> ((s, d) => {
+      val counts = t(s, d, "orders")
+        .groupBy(col("o_custkey"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("cnt").desc, col("o_orderpriority").asc)
+      counts.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .select(col("o_custkey"), col("o_orderpriority").as("mode_priority"),
+          col("cnt"))
+    }),
+
     // ---- J*: joins -------------------------------------------------------
     "j2_join_agg" -> ((s, d) =>
       t(s, d, "orders")
@@ -1859,6 +1875,20 @@ object SparkEntry {
       graft.ops.RobustStats.quantileBins(
         t(s, d, "orders"), "o_totalprice", (1 to 9).map(_ / 10.0))),
 
+    // weight-of-evidence + information value over exact decile bins —
+    // the credit-scoring encoder: distributed-CDF cutpoints broadcast
+    // onto the scan, WOE/IV math on the |bins|-sized table
+    "fe_binned_woe" -> ((s, d) =>
+      graft.ml.TargetEncoding.woeBinned(
+        t(s, d, "orders").select(col("o_totalprice"), col("o_orderstatus")),
+        "o_totalprice", col("o_orderstatus") === "F", (1 to 9).map(_ / 10.0))),
+
+    // per-entity autoregressive lag features over observed daily sums —
+    // one hash-agg to the daily table, every lag from one window pass
+    "fe_lag_features" -> ((s, d) =>
+      graft.ops.TimeSeriesOps.lagFeatures(
+        Tables.events(s, d), "user_id", "ts", "value", Seq(1, 2))),
+
     // one-pass table profile (multi-distinct Expand: one scan, one
     // exchange for every column's null/distinct/min/max)
     "dp_profile" -> ((s, d) =>
@@ -1931,6 +1961,13 @@ object SparkEntry {
     "ev_gapfill_daily" -> ((s, d) =>
       graft.ops.TimeSeriesOps.gapFillDaily(
         Tables.events(s, d), "user_id", "ts", "value")),
+
+    // cumulative distinct users per day — each user counted once on their
+    // FIRST day (one data-sized hash-agg); the running sum is over the
+    // |days|-sized daily table, never a growing distinct window state
+    "ev_cum_uniques" -> ((s, d) =>
+      graft.ops.TimeSeriesOps.cumulativeUniques(
+        Tables.events(s, d), "user_id", "ts")),
 
     // trailing-window z-score anomaly flag — both moments accumulate in
     // DECIMAL inside the same single-exchange RANGE frame, so the alert
@@ -3770,6 +3807,24 @@ object SparkEntry {
     "fe_quantile_bin" -> graft.ops.RobustStats.quantileBinsOracleSql(
       "orders", "o_totalprice", (1 to 9).map(_ / 10.0)),
 
+    "fe_binned_woe" -> graft.ml.TargetEncoding.woeBinnedOracleSql(
+      "orders", "o_totalprice", "o_orderstatus = 'F'", (1 to 9).map(_ / 10.0)),
+
+    "fe_lag_features" -> graft.ops.TimeSeriesOps.lagFeaturesOracleSql(
+      "events", "user_id", "ts", "value", Seq(1, 2)),
+
+    "a14_mode_per_group" ->
+      """WITH c AS (
+        |  SELECT o_custkey, o_orderpriority, count(*) AS cnt
+        |  FROM orders GROUP BY 1, 2
+        |), r AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY o_custkey ORDER BY cnt DESC, o_orderpriority ASC) AS rn
+        |  FROM c
+        |)
+        |SELECT o_custkey, o_orderpriority AS mode_priority, cnt
+        |FROM r WHERE rn = 1""".stripMargin,
+
     "dp_profile" -> graft.ops.Profiler.oracleSql(
       "lineitem",
       numericCols = Seq("l_quantity", "l_extendedprice", "l_discount"),
@@ -3795,6 +3850,9 @@ object SparkEntry {
 
     "ev_gapfill_daily" -> graft.ops.TimeSeriesOps.gapFillDailyOracleSql(
       "events", "user_id", "ts", "value"),
+
+    "ev_cum_uniques" -> graft.ops.TimeSeriesOps.cumulativeUniquesOracleSql(
+      "events", "user_id", "ts"),
 
     "ev_funnel_windowed" -> graft.ops.FunnelOps.funnelOracleSql(
       "events", "user_id", "event_type", "ts",

@@ -109,4 +109,81 @@ object TargetEncoding {
           ((col("gp") - col("fp")).cast("double") / (col("gc") - col("fc")))) /
           ((col("tc") - col("cnt")) + lit(alpha))).as("encoding"))
   }
+
+  /** Weight-of-evidence encoding over equi-depth bins of a numeric
+    * driver — the credit-scoring/feature-screening transform: bin at the
+    * exact distributed quantile cutpoints
+    * ([[graft.ops.RobustStats.withBinReleasable]] — percentile_disc
+    * semantics, actual data values, no interpolation arithmetic), then
+    * per bin `WOE = ln(((pos+0.5)/(totPos+0.5)) / ((neg+0.5)/(totNeg+0.5)))`
+    * with the ±0.5 Laplace guard so one-sided bins stay finite, plus the
+    * bin's information-value term `(P(bin|pos) − P(bin|neg)) · WOE`
+    * (summing iv_term over bins gives the column's IV screening score).
+    *
+    * Scale shape: the cutpoint frame broadcasts onto the scan, the
+    * per-bin table is |bins|-sized, and the totals ride a window over
+    * THAT table — the fact table is read once and never re-shuffled.
+    * WOE/IV round to 6 places; everything inside the log is a ratio of
+    * half-integer counts, identical on any engine.
+    */
+  def woeBinned(df: DataFrame, valueCol: String, label: Column,
+                probs: Seq[Double]): DataFrame = {
+    val (binned, _) = graft.ops.RobustStats.withBinReleasable(df, valueCol, probs)
+    val perBin = binned
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(label.cast("long")).as("pos"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val neg = col("n") - col("pos")
+    val woe = round(
+      log(((col("pos") + lit(0.5)) * (col("tot_neg") + lit(0.5))) /
+        ((neg + lit(0.5)) * (col("tot_pos") + lit(0.5)))), 6)
+    perBin
+      .withColumn("tot_pos", sum("pos").over(wAll))
+      .withColumn("tot_neg", sum(col("n") - col("pos")).over(wAll))
+      .select(
+        col("bin"), col("n"), col("pos"), neg.as("neg"),
+        woe.as("woe"),
+        round((((col("pos") + lit(0.5)) / (col("tot_pos") + lit(0.5))) -
+          ((neg + lit(0.5)) / (col("tot_neg") + lit(0.5)))) * woe, 6).as("iv_term"))
+  }
+
+  /** DuckDB mirror of [[woeBinned]] — generated from the same `probs` so
+    * the cutpoint arithmetic cannot drift from the Scala side.
+    * `labelSql` is the boolean label predicate in SQL. */
+  def woeBinnedOracleSql(table: String, valueCol: String, labelSql: String,
+                         probs: Seq[Double]): String = {
+    val cuts = probs.zipWithIndex.map { case (p, i) =>
+      s"MIN(CASE WHEN cum >= CEIL($p * n) THEN v END) AS c$i"
+    }.mkString(", ")
+    val binExpr = probs.indices.map { i =>
+      s"(CASE WHEN CAST($valueCol AS DOUBLE) > c$i THEN 1 ELSE 0 END)"
+    }.mkString(" + ")
+    val woe = "round(ln(((pos + 0.5) * (tot_neg + 0.5)) / " +
+      "(((n - pos) + 0.5) * (tot_pos + 0.5))), 6)"
+    s"""WITH pv AS (
+       |  SELECT CAST($valueCol AS DOUBLE) AS v, count(*) AS c FROM $table
+       |  WHERE $valueCol IS NOT NULL GROUP BY 1
+       |), cum AS (
+       |  SELECT v, SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum FROM pv
+       |), nn AS (SELECT count(*) AS n FROM $table WHERE $valueCol IS NOT NULL),
+       |cuts AS (SELECT $cuts FROM cum, nn),
+       |b AS (
+       |  SELECT CAST(($binExpr) AS INTEGER) AS bin,
+       |         CASE WHEN $labelSql THEN 1 ELSE 0 END AS y
+       |  FROM $table, cuts
+       |), pb AS (
+       |  SELECT bin, count(*) AS n, CAST(SUM(y) AS BIGINT) AS pos FROM b GROUP BY 1
+       |), tot AS (
+       |  SELECT CAST(SUM(pos) AS BIGINT) AS tot_pos,
+       |         CAST(SUM(n - pos) AS BIGINT) AS tot_neg FROM pb
+       |)
+       |SELECT bin, n, pos, n - pos AS neg,
+       |       $woe AS woe,
+       |       round((((pos + 0.5) / (tot_pos + 0.5)) -
+       |              (((n - pos) + 0.5) / (tot_neg + 0.5))) * $woe, 6) AS iv_term
+       |FROM pb, tot""".stripMargin
+  }
 }

@@ -87,10 +87,12 @@ object RobustStats {
   def quantileBins(df: DataFrame, valueCol: String, probs: Seq[Double]): DataFrame =
     quantileBinsReleasable(df, valueCol, probs)._1
 
-  /** [[quantileBins]] plus the release hook for the internal pin on the
-    * ranged per-value counts ([[DriftOps.ksReleasable]] contract). */
-  def quantileBinsReleasable(df: DataFrame, valueCol: String,
-                             probs: Seq[Double]): (DataFrame, () => Unit) = {
+  /** Interior cutpoints of `valueCol` as a broadcastable 1-row frame
+    * (array column `_cuts`), computed with the distributed-CDF shape
+    * described on [[quantileBins]]. Second element releases the internal
+    * pin on the ranged per-value counts ([[DriftOps]] contract). */
+  def cutpointsReleasable(df: DataFrame, valueCol: String,
+                          probs: Seq[Double]): (DataFrame, () => Unit) = {
     require(probs.nonEmpty && probs == probs.sorted, "probs must be ascending")
     val spark = df.sparkSession
     val parts = math.max(1, spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
@@ -115,15 +117,36 @@ object RobustStats {
       array(probs.zipWithIndex.map { case (p, i) =>
         min(when(col("_cum") >= lit(math.ceil(p * n).toLong), col("_v"))).as(s"c$i")
       }: _*).as("_cuts"))
+    (cutsRow, () => { ranged.unpersist(); () })
+  }
+
+  /** Row-level equi-depth bin assignment: every row of `df` plus an
+    * integer `binCol` — the number of cutpoints strictly below the row's
+    * value (nulls land in bin 0, matching [[quantileBins]]). The cutpoint
+    * frame broadcasts onto the scan, so the data side takes no extra
+    * shuffle. This is the composable form: downstream per-bin statistics
+    * (occupancy, WOE, lift) are a groupBy away. */
+  def withBinReleasable(df: DataFrame, valueCol: String, probs: Seq[Double],
+                        binCol: String = "bin"): (DataFrame, () => Unit) = {
+    require(!df.columns.contains("_cuts"), "input already carries a _cuts column")
+    val (cutsRow, release) = cutpointsReleasable(df, valueCol, probs)
     // bin = number of cutpoints strictly below v  (v <= cut_i -> bin i)
     val bin = probs.indices.foldLeft(lit(0)) { (acc, i) =>
-      acc + when(col("_v") > col("_cuts").getItem(i), 1).otherwise(0)
+      acc + when(col(valueCol).cast("double") > col("_cuts").getItem(i), 1).otherwise(0)
     }
-    val out = df.select(v.as("_v")).crossJoin(broadcast(cutsRow))
-      .select(bin.as("bin"), col("_v"))
+    (df.crossJoin(broadcast(cutsRow)).withColumn(binCol, bin).drop("_cuts"), release)
+  }
+
+  /** [[quantileBins]] plus the release hook for the internal pin on the
+    * ranged per-value counts ([[DriftOps.ksReleasable]] contract). */
+  def quantileBinsReleasable(df: DataFrame, valueCol: String,
+                             probs: Seq[Double]): (DataFrame, () => Unit) = {
+    val (binned, release) =
+      withBinReleasable(df.select(col(valueCol).cast("double").as("_v")), "_v", probs)
+    val out = binned
       .groupBy("bin")
       .agg(count(lit(1)).as("n"), min("_v").as("min_v"), max("_v").as("max_v"))
-    (out, () => { ranged.unpersist(); () })
+    (out, release)
   }
 
   def quantileBinsOracleSql(table: String, valueCol: String, probs: Seq[Double]): String = {

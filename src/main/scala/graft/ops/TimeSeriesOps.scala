@@ -278,4 +278,86 @@ object TimeSeriesOps {
     s"""SELECT $groupCol, CAST(count(*) AS BIGINT) AS n_rows,
        |       SUM(power(0.5, least(greatest(floor(date_diff('day', $dateCol, DATE '$refDate') / CAST($halflifeDays AS DOUBLE)), 0.0), ${maxBuckets.toDouble}))) AS decayed_cnt
        |FROM $table GROUP BY 1""".stripMargin
+
+  /** Cumulative distinct entities per day — the "unique users so far"
+    * growth curve. A naive running COUNT(DISTINCT) drags every row into
+    * an ever-growing window state; instead each entity is counted ONCE,
+    * on the day of its FIRST event (one hash-agg over the data), and the
+    * running sum of those first appearances over the |days|-sized daily
+    * table IS the cumulative distinct count. Output:
+    * (day, new_users, cum_users).
+    *
+    * Scale shape: the only data-sized pass is the min-day hash-agg
+    * (map-side combined on the entity key). The unpartitioned running-sum
+    * window runs over post-aggregation |days| rows — bounded by the
+    * calendar, not the data.
+    */
+  def cumulativeUniques(events: DataFrame, userCol: String,
+                        tsCol: String): DataFrame = {
+    val firstDay = events
+      .select(col(userCol).as("_u"), to_date(col(tsCol)).as("_day"))
+      .groupBy("_u").agg(min("_day").as("day"))
+    val perDay = firstDay.groupBy("day").agg(count(lit(1)).as("new_users"))
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perDay.select(col("day"), col("new_users"),
+      sum("new_users").over(w).as("cum_users"))
+  }
+
+  /** DuckDB mirror of [[cumulativeUniques]]. */
+  def cumulativeUniquesOracleSql(table: String, userCol: String,
+                                 tsCol: String): String =
+    s"""WITH fd AS (
+       |  SELECT $userCol AS u, MIN(CAST($tsCol AS DATE)) AS day
+       |  FROM $table GROUP BY 1
+       |), pd AS (SELECT day, count(*) AS new_users FROM fd GROUP BY 1)
+       |SELECT day, new_users,
+       |       SUM(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS cum_users
+       |FROM pd""".stripMargin
+
+  /** Per-entity lag features over the entity's OBSERVED daily activity:
+    * daily sum/count per (entity, day), plus the daily sum from the k-th
+    * previous observed day for each requested lag — the autoregressive
+    * feature block of a per-entity forecasting table. Lags skip calendar
+    * gaps (previous OBSERVED day); compose with [[gapFillDaily]] first
+    * when calendar-aligned lags are wanted. Output:
+    * (userCol, day, day_sum, n_events, lag<k>_sum…).
+    *
+    * Scale shape: one hash-agg to the |entity×days| daily table, then
+    * ALL lags from a single window pass over that table (one exchange on
+    * the entity, each partition days-sized). Daily sums accumulate in
+    * DECIMAL, so the emitted doubles are partition- and engine-exact.
+    */
+  def lagFeatures(events: DataFrame, userCol: String, tsCol: String,
+                  valueCol: String, lags: Seq[Int]): DataFrame = {
+    require(lags.nonEmpty && lags.forall(_ > 0), "lags must be positive")
+    val daily = events
+      .select(col(userCol).as("_u"), to_date(col(tsCol)).as("day"),
+        round(col(valueCol), 6).cast("decimal(18,6)").as("_v"))
+      .groupBy("_u", "day")
+      .agg(sum("_v").as("_dsum"), count(lit(1)).as("n_events"))
+    val w = Window.partitionBy("_u").orderBy("day")
+    val lagCols = lags.map(k =>
+      lag(col("_dsum"), k).over(w).cast("double").as(s"lag${k}_sum"))
+    daily.select(
+      Seq(col("_u").as(userCol), col("day"),
+        col("_dsum").cast("double").as("day_sum"), col("n_events")) ++ lagCols: _*)
+  }
+
+  /** DuckDB mirror of [[lagFeatures]]. */
+  def lagFeaturesOracleSql(table: String, userCol: String, tsCol: String,
+                           valueCol: String, lags: Seq[Int]): String = {
+    val lagSelects = lags.map(k =>
+      s"CAST(lag(dsum, $k) OVER (PARTITION BY u ORDER BY day) AS DOUBLE) AS lag${k}_sum")
+      .mkString(",\n       |       ")
+    s"""WITH daily AS (
+       |  SELECT $userCol AS u, CAST($tsCol AS DATE) AS day,
+       |         SUM(CAST(round($valueCol, 6) AS DECIMAL(18,6))) AS dsum,
+       |         count(*) AS n_events
+       |  FROM $table GROUP BY 1, 2
+       |)
+       |SELECT u AS $userCol, day, CAST(dsum AS DOUBLE) AS day_sum, n_events,
+       |       $lagSelects
+       |FROM daily""".stripMargin
+  }
 }

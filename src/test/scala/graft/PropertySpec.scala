@@ -171,4 +171,54 @@ class PropertySpec extends SparkSpecBase {
         }
     }
   }
+
+  test("triangle property: distributed count equals brute-force triple enumeration") {
+    val edgeGen = Gen.listOfN(24, Gen.zip(Gen.choose(1L, 8L), Gen.choose(1L, 8L)))
+    forAll(edgeGen, n = 5) { raw =>
+      // reference model: clean to a simple undirected graph, try all triples
+      val simple = raw.collect { case (a, b) if a != b =>
+        (math.min(a, b), math.max(a, b))
+      }.distinct.toSet
+      val verts = simple.flatMap(e => Set(e._1, e._2)).toSeq.sorted
+      val expected = (for {
+        i <- verts; j <- verts if i < j; k <- verts if j < k
+        if simple((i, j)) && simple((j, k)) && simple((i, k))
+      } yield 1).size.toLong
+      val out = graft.ops.Triangles
+        .triangleCount(raw.toDF("src", "dst"), "src", "dst").collect()(0)
+      assert(out.getAs[Long]("n_triangles") == expected,
+        s"edges=$simple expected=$expected")
+      assert(out.getAs[Long]("n_edges") == simple.size.toLong)
+    }
+  }
+
+  test("woeBinned property: bins partition rows and positives exactly") {
+    val rowGen = Gen.listOfN(60, Gen.zip(Gen.choose(1, 40), Gen.oneOf(0, 1)))
+    forAll(rowGen, n = 4) { raw =>
+      val df = raw.map { case (v, y) => (v.toDouble, y) }.toDF("v", "y")
+      val bins = graft.ml.TargetEncoding
+        .woeBinned(df, "v", col("y") === 1, Seq(0.25, 0.5, 0.75)).collect()
+      assert(bins.map(_.getAs[Long]("n")).sum == raw.size.toLong)
+      assert(bins.map(_.getAs[Long]("pos")).sum == raw.count(_._2 == 1).toLong)
+      bins.foreach { b =>
+        val woe = b.getAs[Double]("woe")
+        assert(!woe.isNaN && !woe.isInfinite) // the ±0.5 guard keeps WOE finite
+      }
+    }
+  }
+
+  test("cumulativeUniques property: monotone, ends at the distinct entity count") {
+    val evGen = Gen.listOfN(30, Gen.zip(Gen.choose(1L, 10L), Gen.choose(0, 15)))
+    forAll(evGen, n = 4) { raw =>
+      val df = raw.map { case (u, day) =>
+        (u, new Timestamp(86400000L * day + 3600000L))
+      }.toDF("user_id", "ts")
+      val rows = graft.ops.TimeSeriesOps.cumulativeUniques(df, "user_id", "ts")
+        .orderBy("day").collect()
+      val cums = rows.map(_.getAs[Long]("cum_users"))
+      assert(cums.last == raw.map(_._1).distinct.size.toLong)
+      assert(cums.zip(cums.tail).forall { case (a, b) => a < b })
+      assert(rows.map(_.getAs[Long]("new_users")).sum == cums.last)
+    }
+  }
 }

@@ -67,4 +67,25 @@ class TargetEncodingSpec extends SparkSpecBase {
     // every (cat, fold) cell exists on this dense fixture
     assert(cells.length == 2 * 3)
   }
+
+  test("woeBinned: per-bin counts and the WOE/IV formula on median bins") {
+    // values 1..10, positives are 8/9/10; median cut at 5 → bin0 = 1..5
+    // (0 pos / 5 neg), bin1 = 6..10 (3 pos / 2 neg)
+    val df = (1 to 10).map(i => (i.toDouble, if (i > 7) 1 else 0)).toDF("v", "y")
+    val out = TargetEncoding.woeBinned(df, "v", col("y") === 1, Seq(0.5))
+      .collect().map(r => r.getAs[Int]("bin") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("pos"), r.getAs[Long]("neg"),
+          r.getAs[Double]("woe"), r.getAs[Double]("iv_term"))).toMap
+    val (n0, p0, g0, w0, _) = out(0)
+    val (n1, p1, g1, w1, iv1) = out(1)
+    assert((n0, p0, g0) == (5L, 0L, 5L))
+    assert((n1, p1, g1) == (5L, 3L, 2L))
+    def woe(pos: Double, neg: Double): Double =
+      math.log(((pos + 0.5) * (7 + 0.5)) / ((neg + 0.5) * (3 + 0.5)))
+    assert(math.abs(w0 - woe(0, 5)) < 1e-6)
+    assert(math.abs(w1 - woe(3, 2)) < 1e-6)
+    assert(w0 < 0 && w1 > 0) // bin1 is positive-enriched, bin0 depleted
+    val ivExpected = ((3 + 0.5) / (3 + 0.5) - (2 + 0.5) / (7 + 0.5)) * w1
+    assert(math.abs(iv1 - ivExpected) < 1e-5)
+  }
 }

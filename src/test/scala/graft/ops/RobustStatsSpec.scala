@@ -42,4 +42,17 @@ class RobustStatsSpec extends SparkSpecBase {
       case _ => ()
     }
   }
+
+  test("withBinReleasable: row-level bins keep payload columns and match " +
+    "the aggregate binner") {
+    val df = (1 to 100).map(i => (i.toDouble, s"p$i")).toDF("v", "payload")
+    val (binned, release) = RobustStats.withBinReleasable(df, "v", Seq(0.5))
+    val rows = binned.collect()
+    assert(rows.length == 100 && binned.columns.toSeq == Seq("v", "payload", "bin"))
+    rows.foreach { r =>
+      val expected = if (r.getAs[Double]("v") <= 50.0) 0 else 1
+      assert(r.getAs[Int]("bin") == expected, s"v=${r.getAs[Double]("v")}")
+    }
+    release()
+  }
 }

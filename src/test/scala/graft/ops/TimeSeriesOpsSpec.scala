@@ -125,4 +125,28 @@ class TimeSeriesOpsSpec extends SparkSpecBase {
     assert(out("s") == (4L, 1.0 + 0.5 + 0.25 + math.pow(0.5, 20)))
     assert(out("t") == (1L, 1.0))
   }
+
+  test("cumulativeUniques counts each user once, on their first day") {
+    // user 10 first appears 2024-01-01 (three events that day + one later
+    // day that must NOT recount); user 20 first appears 2024-01-02
+    val out = TimeSeriesOps.cumulativeUniques(events, "user_id", "ts")
+      .collect().map(r => r.getAs[java.sql.Date]("day").toString ->
+        (r.getAs[Long]("new_users"), r.getAs[Long]("cum_users"))).toMap
+    assert(out == Map(
+      "2024-01-01" -> (1L, 1L),
+      "2024-01-02" -> (1L, 2L)))
+  }
+
+  test("lagFeatures: lag over observed days per entity, null before history") {
+    val rows = TimeSeriesOps.lagFeatures(events, "user_id", "ts", "value", Seq(1, 2))
+      .collect().map(r => (r.getAs[Long]("user_id"),
+        r.getAs[java.sql.Date]("day").toString) ->
+        (r.getAs[Double]("day_sum"), r.getAs[Long]("n_events"),
+          Option(r.getAs[java.lang.Double]("lag1_sum")).map(_.doubleValue()),
+          Option(r.getAs[java.lang.Double]("lag2_sum")).map(_.doubleValue()))).toMap
+    // user 10: 01-01 has 3 events summing 7.0; next OBSERVED day is 01-05
+    assert(rows((10L, "2024-01-01")) == (7.0, 3L, None, None))
+    assert(rows((10L, "2024-01-05")) == (8.0, 1L, Some(7.0), None))
+    assert(rows((20L, "2024-01-02")) == (16.0, 1L, None, None))
+  }
 }
