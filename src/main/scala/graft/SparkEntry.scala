@@ -1042,6 +1042,23 @@ object SparkEntry {
           when(col("n_shingles") === 0, lit(0.0))
             .otherwise(round(lit(1.0) - col("n_distinct").cast("double") / col("n_shingles"), 6)))),
 
+    // per-doc n-gram novelty: the fraction of a doc's distinct 3-shingles
+    // never seen in any LOWER-id doc — the dataset-curation novelty
+    // profile (a low-novelty doc is boilerplate/near-dup even when no
+    // single pair crosses a dedup threshold). One explode → hash-agg for
+    // the global first-occurrence table, one equi-join on the shingle
+    "t_ngram_novelty" -> ((s, d) => {
+      val sh = t(s, d, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("_toks"))
+        .select(col("doc_id"),
+          explode(TextOps.shinglesFromTokens(col("_toks"), 3)).as("shingle"))
+      val firstDoc = sh.groupBy("shingle").agg(min("doc_id").as("first_doc"))
+      sh.join(firstDoc, "shingle")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+    }),
+
     // fixed-size token-window chunking — the "split documents into model
     // context windows" step of an LLM data pipeline. Emits one row per
     // 40-token chunk with its token span and an md5 of the chunk text so
@@ -1282,6 +1299,46 @@ object SparkEntry {
     "ev_transitions" -> ((s, d) =>
       graft.ops.FunnelOps.transitions(
         Tables.events(s, d), "user_id", "event_type", "ts", "event_id")),
+
+    // last-touch attribution: every purchase credited to the user's most
+    // recent preceding touch within 7 days — ONE window pass on one
+    // entity exchange, never a conversions×touches range self-join
+    "ev_attribution" -> ((s, d) =>
+      graft.ops.FunnelOps.lastTouchAttribution(
+        Tables.events(s, d), "user_id", "event_type", "ts", "event_id",
+        touchTypes = Seq("view", "click", "signup"), convType = "purchase",
+        lookbackSec = 7L * 86400L)),
+
+    // two-proportion z-test between deterministic hash-split arms — the
+    // experiment readout: per-user conversion collapses first (one
+    // data-sized hash-agg), the test statistic is scalar math on one row;
+    // arm assignment rides the portable permille hash so the split —
+    // and therefore the z — replays exactly on any engine
+    "ab_ztest" -> ((s, d) => {
+      val perUser = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(when(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)) >= 3L, 1L)
+          .otherwise(0L).as("conv"))
+        .select(
+          when(permilleHash(col("user_id"), ":ab") < 500, "A").otherwise("B").as("arm"),
+          col("conv"))
+      val c = perUser.agg(
+        sum(when(col("arm") === "A", 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === "A", col("conv")).otherwise(0L)).as("conv_a"),
+        sum(when(col("arm") === "B", 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("arm") === "B", col("conv")).otherwise(0L)).as("conv_b"))
+      val p = (col("conv_a") + col("conv_b")).cast("double") / (col("n_a") + col("n_b"))
+      // all-converted / none-converted pools have zero pooled variance —
+      // the proportions are equal by construction, so z is 0, not a ÷0
+      c.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+        when(col("conv_a") + col("conv_b") === lit(0L) ||
+          col("conv_a") + col("conv_b") === col("n_a") + col("n_b"), lit(0.0))
+          .otherwise(round(
+            (col("conv_a").cast("double") / col("n_a") -
+              col("conv_b").cast("double") / col("n_b")) /
+              sqrt(p * (lit(1.0) - p) * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))),
+            6)).as("z_score"))
+    }),
 
     // semi-structured props extraction (regex form, engine-comparable)
     "ev_props_extract" -> ((s, d) =>
@@ -1875,6 +1932,54 @@ object SparkEntry {
       graft.ops.RobustStats.quantileBins(
         t(s, d, "orders"), "o_totalprice", (1 to 9).map(_ / 10.0))),
 
+    // RFM quintile segmentation — recency/frequency/monetary scores per
+    // customer: ONE hash-agg collapses the data to the |customers| frame;
+    // the three ntile windows then rank that output-sized frame (with
+    // entity-key tiebreaks so every score is deterministic), never the
+    // fact table. The single-partition windows are |customers|-sized —
+    // at 100 TB the per-entity aggregate is still the small side
+    "fe_rfm" -> ((s, d) => {
+      val per = t(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(max(col("o_orderdate")).as("last_order"),
+          count(lit(1)).as("frequency"),
+          dsum(col("o_totalprice")).as("monetary"))
+        .withColumn("recency",
+          datediff(lit("1998-08-02").cast("date"), col("last_order")).cast("long"))
+      per.select(
+        col("o_custkey"), col("recency"), col("frequency"), col("monetary"),
+        ntile(5).over(Window.orderBy(col("recency").asc, col("o_custkey").asc))
+          .cast("long").as("r_score"),
+        ntile(5).over(Window.orderBy(col("frequency").desc, col("o_custkey").asc))
+          .cast("long").as("f_score"),
+        ntile(5).over(Window.orderBy(col("monetary").desc, col("o_custkey").asc))
+          .cast("long").as("m_score"))
+    }),
+
+    // Pareto/ABC analysis — rank customers by spend, classify by exact
+    // cumulative-share thresholds (A ≤ 80%, B ≤ 95%): the share compare
+    // is decimal×integer (cum·20 ≤ tot·16), so the class boundary can
+    // never flip on a double ulp; both windows share one exchange over
+    // the |customers|-sized aggregate
+    "a15_pareto_abc" -> ((s, d) => {
+      val per = t(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("spend"))
+      val wCum = Window.orderBy(col("spend").desc, col("o_custkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy()
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      per
+        .withColumn("cum", sum("spend").over(wCum))
+        .withColumn("tot", sum("spend").over(wAll))
+        .groupBy(
+          when(col("cum") * 20 <= col("tot") * 16, "A")
+            .when(col("cum") * 20 <= col("tot") * 19, "B")
+            .otherwise("C").as("abc_class"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum("spend").cast("double").as("class_spend"))
+    }),
+
     // weight-of-evidence + information value over exact decile bins —
     // the credit-scoring encoder: distributed-CDF cutpoints broadcast
     // onto the scan, WOE/IV math on the |bins|-sized table
@@ -1968,6 +2073,14 @@ object SparkEntry {
     "ev_cum_uniques" -> ((s, d) =>
       graft.ops.TimeSeriesOps.cumulativeUniques(
         Tables.events(s, d), "user_id", "ts")),
+
+    // rolling 7-day active users (WAU) — distinct (user, day) collapses
+    // the data first, each active day explodes onto the 7 days it is
+    // visible from, one distinct-count per day; never a sliding
+    // count-distinct over raw events
+    "ev_rolling_wau" -> ((s, d) =>
+      graft.ops.TimeSeriesOps.rollingActiveUsers(
+        Tables.events(s, d), "user_id", "ts", windowDays = 7)),
 
     // trailing-window z-score anomaly flag — both moments accumulate in
     // DECIMAL inside the same single-exchange RANGE frame, so the alert
@@ -3330,6 +3443,22 @@ object SparkEntry {
         |       ROW_NUMBER() OVER (ORDER BY o_orderdate NULLS FIRST, o_orderkey) AS rn
         |FROM orders""".stripMargin,
 
+    "t_ngram_novelty" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '') AS t
+        |  FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+        |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+        |    FROM toks WHERE len(t) >= 3
+        |  )
+        |), fd AS (SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY 1)
+        |SELECT sh.doc_id, count(*) AS n_shingles,
+        |       CAST(SUM(CASE WHEN fd.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+        |FROM sh JOIN fd USING (shingle)
+        |GROUP BY 1""".stripMargin,
+
     "t_repetition" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '') AS t
@@ -3810,6 +3939,41 @@ object SparkEntry {
     "fe_binned_woe" -> graft.ml.TargetEncoding.woeBinnedOracleSql(
       "orders", "o_totalprice", "o_orderstatus = 'F'", (1 to 9).map(_ / 10.0)),
 
+    "fe_rfm" ->
+      """WITH per AS (
+        |  SELECT o_custkey, MAX(o_orderdate) AS last_order,
+        |         count(*) AS frequency,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+        |  FROM orders GROUP BY 1
+        |), r AS (
+        |  SELECT o_custkey,
+        |         date_diff('day', last_order, DATE '1998-08-02') AS recency,
+        |         frequency, monetary
+        |  FROM per
+        |)
+        |SELECT o_custkey, recency, frequency, monetary,
+        |  ntile(5) OVER (ORDER BY recency ASC, o_custkey ASC) AS r_score,
+        |  ntile(5) OVER (ORDER BY frequency DESC, o_custkey ASC) AS f_score,
+        |  ntile(5) OVER (ORDER BY monetary DESC, o_custkey ASC) AS m_score
+        |FROM r""".stripMargin,
+
+    "a15_pareto_abc" ->
+      """WITH per AS (
+        |  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+        |  FROM orders GROUP BY 1
+        |), c AS (
+        |  SELECT o_custkey, spend,
+        |         SUM(spend) OVER (ORDER BY spend DESC, o_custkey ASC
+        |                          ROWS UNBOUNDED PRECEDING) AS cum,
+        |         SUM(spend) OVER () AS tot
+        |  FROM per
+        |)
+        |SELECT CASE WHEN cum * 20 <= tot * 16 THEN 'A'
+        |            WHEN cum * 20 <= tot * 19 THEN 'B'
+        |            ELSE 'C' END AS abc_class,
+        |       count(*) AS n_customers, CAST(SUM(spend) AS DOUBLE) AS class_spend
+        |FROM c GROUP BY 1""".stripMargin,
+
     "fe_lag_features" -> graft.ops.TimeSeriesOps.lagFeaturesOracleSql(
       "events", "user_id", "ts", "value", Seq(1, 2)),
 
@@ -3853,6 +4017,9 @@ object SparkEntry {
 
     "ev_cum_uniques" -> graft.ops.TimeSeriesOps.cumulativeUniquesOracleSql(
       "events", "user_id", "ts"),
+
+    "ev_rolling_wau" -> graft.ops.TimeSeriesOps.rollingActiveUsersOracleSql(
+      "events", "user_id", "ts", windowDays = 7),
 
     "ev_funnel_windowed" -> graft.ops.FunnelOps.funnelOracleSql(
       "events", "user_id", "event_type", "ts",
@@ -3926,6 +4093,38 @@ object SparkEntry {
 
     "ev_transitions" -> graft.ops.FunnelOps.transitionsOracleSql(
       "events", "user_id", "event_type", "ts", "event_id"),
+
+    "ev_attribution" -> graft.ops.FunnelOps.lastTouchAttributionOracleSql(
+      "events", "user_id", "event_type", "ts", "event_id",
+      touchTypes = Seq("view", "click", "signup"), convType = "purchase",
+      lookbackSec = 7L * 86400L),
+
+    "ab_ztest" ->
+      s"""WITH pu AS (
+         |  SELECT user_id,
+         |         CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 3
+         |              THEN 1 ELSE 0 END AS conv
+         |  FROM events GROUP BY 1
+         |), arms AS (
+         |  SELECT CASE WHEN ${permilleHashSql("user_id", ":ab", 1000L)} < 500
+         |              THEN 'A' ELSE 'B' END AS arm, conv
+         |  FROM pu
+         |), c AS (
+         |  SELECT
+         |    CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |    CAST(SUM(CASE WHEN arm = 'A' THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+         |    CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         |    CAST(SUM(CASE WHEN arm = 'B' THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+         |  FROM arms
+         |)
+         |SELECT n_a, conv_a, n_b, conv_b,
+         |       CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b THEN 0.0
+         |            ELSE round(
+         |              (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b) /
+         |              sqrt(CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)
+         |                   * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+         |                   * (1.0 / n_a + 1.0 / n_b)), 6) END AS z_score
+         |FROM c""".stripMargin,
 
     "g_triangles" -> graft.ops.Triangles.countOracleSql(
       "SELECT a.l_partkey AS src, b.l_partkey AS dst FROM lineitem a " +

@@ -150,4 +150,70 @@ object FunnelOps {
        |)
        |SELECT from_type, to_type, count(*) AS cnt
        |FROM x WHERE to_type IS NOT NULL GROUP BY 1, 2""".stripMargin
+
+  /** Last-touch attribution: each conversion event is credited to the
+    * entity's most recent STRICTLY PRECEDING touch event (under the
+    * deterministic (second-truncated ts, id) total order), provided that
+    * touch happened within `lookbackSec`; conversions with no qualifying
+    * touch fall into the `"(none)"` bucket. Output:
+    * (channel, n_conv, n_users) — the marketing-attribution shape, and
+    * equally the "which upstream signal preceded this outcome" query of
+    * any event pipeline.
+    *
+    * Scale shape: ONE window pass over one exchange on the entity — the
+    * two ignore-nulls `last` calls share the frame, and because they gate
+    * on the same predicate they always read the same touch row. No
+    * self-join of conversions against touches (the naive form is a
+    * range-join the optimizer turns into a per-row probe).
+    */
+  def lastTouchAttribution(
+      events: DataFrame, userCol: String, typeCol: String, tsCol: String,
+      idCol: String, touchTypes: Seq[String], convType: String,
+      lookbackSec: Long): DataFrame = {
+    require(touchTypes.nonEmpty, "need at least one touch type")
+    require(lookbackSec > 0, "lookbackSec must be positive")
+    val sec = unix_timestamp(ts2(tsCol))
+    val isTouch = col(typeCol).isin(touchTypes: _*)
+    val w = Window.partitionBy(col(userCol)).orderBy(col("_sec"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .select(col(userCol), col(typeCol), col(idCol), sec.as("_sec"))
+      .select(col(userCol), col(typeCol), col("_sec"),
+        last(when(isTouch, col("_sec")), ignoreNulls = true).over(w).as("touch_sec"),
+        last(when(isTouch, col(typeCol)), ignoreNulls = true).over(w).as("touch_type"))
+      .filter(col(typeCol) === convType)
+      .select(col(userCol),
+        when(col("touch_sec").isNotNull &&
+          col("touch_sec") >= col("_sec") - lit(lookbackSec), col("touch_type"))
+          .otherwise(lit("(none)")).as("channel"))
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_conv"), countDistinct(col(userCol)).as("n_users"))
+  }
+
+  /** DuckDB mirror of [[lastTouchAttribution]] — generated from the same
+    * touch list and lookback so the two can't drift. */
+  def lastTouchAttributionOracleSql(
+      table: String, userCol: String, typeCol: String, tsCol: String,
+      idCol: String, touchTypes: Seq[String], convType: String,
+      lookbackSec: Long): String = {
+    val touches = touchTypes.map(t => s"'$t'").mkString(", ")
+    s"""WITH e AS (
+       |  SELECT $userCol, $typeCol, $idCol,
+       |         CAST(epoch(date_trunc('second', $tsCol)) AS BIGINT) AS sec
+       |  FROM $table
+       |), t AS (
+       |  SELECT *,
+       |         last_value(CASE WHEN $typeCol IN ($touches) THEN sec END IGNORE NULLS)
+       |           OVER win AS touch_sec,
+       |         last_value(CASE WHEN $typeCol IN ($touches) THEN $typeCol END IGNORE NULLS)
+       |           OVER win AS touch_type
+       |  FROM e
+       |  WINDOW win AS (PARTITION BY $userCol ORDER BY sec, $idCol
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |)
+       |SELECT CASE WHEN touch_sec IS NOT NULL AND touch_sec >= sec - $lookbackSec
+       |            THEN touch_type ELSE '(none)' END AS channel,
+       |       count(*) AS n_conv, count(DISTINCT $userCol) AS n_users
+       |FROM t WHERE $typeCol = '$convType' GROUP BY 1""".stripMargin
+  }
 }

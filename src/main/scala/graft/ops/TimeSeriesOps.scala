@@ -315,6 +315,47 @@ object TimeSeriesOps {
        |       SUM(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS cum_users
        |FROM pd""".stripMargin
 
+  /** Rolling k-day active-user counts per day (WAU/MAU shape): the count
+    * of distinct entities with any event in `[day − k + 1, day]`, for
+    * every day any window covers. A sliding COUNT(DISTINCT) window over
+    * raw events is unbounded state; instead the data collapses to the
+    * distinct (entity, day) activity frame first, each active day is
+    * exploded onto the k calendar days it is visible from (executor-side
+    * `sequence`, k small), and one distinct-count per day finishes the
+    * job. Days after the last observed activity show the window's
+    * tail-off — that IS the metric's value there. Output: (day, wau).
+    *
+    * Scale shape: the heavy pass is the (entity, day) distinct — one
+    * hash-agg with map-side combine. The exploded frame is
+    * |entity-days|·k, still far below the event count whenever entities
+    * repeat within a day (the regime where WAU matters).
+    */
+  def rollingActiveUsers(events: DataFrame, userCol: String, tsCol: String,
+                         windowDays: Int = 7): DataFrame = {
+    require(windowDays > 0, "windowDays must be positive")
+    val active = events
+      .select(col(userCol), to_date(col(tsCol)).as("_day")).distinct()
+    active
+      .select(col(userCol),
+        explode(sequence(col("_day"), date_add(col("_day"), windowDays - 1)))
+          .as("day"))
+      .groupBy("day")
+      .agg(countDistinct(col(userCol)).as("wau"))
+  }
+
+  /** DuckDB mirror of [[rollingActiveUsers]]. */
+  def rollingActiveUsersOracleSql(table: String, userCol: String,
+                                  tsCol: String, windowDays: Int = 7): String =
+    s"""WITH active AS (
+       |  SELECT DISTINCT $userCol AS u, CAST($tsCol AS DATE) AS day FROM $table
+       |), vis AS (
+       |  SELECT u, CAST(unnest(generate_series(CAST(day AS TIMESTAMP),
+       |           CAST(day AS TIMESTAMP) + INTERVAL ${windowDays - 1} DAY,
+       |           INTERVAL 1 DAY)) AS DATE) AS day2
+       |  FROM active
+       |)
+       |SELECT day2 AS day, count(DISTINCT u) AS wau FROM vis GROUP BY 1""".stripMargin
+
   /** Per-entity lag features over the entity's OBSERVED daily activity:
     * daily sum/count per (entity, day), plus the daily sum from the k-th
     * previous observed day for each requested lag — the autoregressive

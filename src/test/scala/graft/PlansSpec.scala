@@ -279,4 +279,68 @@ class PlansSpec extends SparkSpecBase {
     val tree = plan(df).toString
     assert("FileScan parquet".r.findAllIn(tree).size == 1, tree)
   }
+
+  test("fe_binned_woe: the 1-row cutpoint frame broadcasts onto the scan") {
+    val df = SparkEntry.queries("fe_binned_woe")(spark, sfDir)
+    val s = explainStr(df)
+    assert(s.contains("BroadcastNestedLoopJoin"), s)
+    // no data-sized sort anywhere: bin math is a projection, per-bin
+    // totals ride a window over the |bins|-sized aggregate
+    assert(!s.contains("SortMergeJoin"), s)
+  }
+
+  test("ev_attribution: window + final agg only — never a conversions×touches join") {
+    val df = SparkEntry.queries("ev_attribution")(spark, sfDir)
+    val s = explainStr(df)
+    assert(!s.contains("Join"), s)
+    assert(countShuffles(plan(df)) <= 3, s)
+  }
+
+  test("a14_mode_per_group: the row_number runs over the counts table (2 shuffles)") {
+    val df = SparkEntry.queries("a14_mode_per_group")(spark, sfDir)
+    assert(countShuffles(plan(df)) == 2, explainStr(df))
+  }
+
+  test("fe_lag_features: daily hash-agg plus ONE window exchange") {
+    val df = SparkEntry.queries("fe_lag_features")(spark, sfDir)
+    assert(countShuffles(plan(df)) == 2, explainStr(df))
+  }
+
+  test("ev_cum_uniques: running sum is post-aggregation — data shuffles only to aggs") {
+    val df = SparkEntry.queries("ev_cum_uniques")(spark, sfDir)
+    // user-agg exchange + day-agg exchange + the |days|-sized single-
+    // partition window exchange; the data itself moves at most twice
+    assert(countShuffles(plan(df)) == 3, explainStr(df))
+  }
+
+  test("ev_rolling_wau: sliding distinct rides aggs, never a window over raw events") {
+    val df = SparkEntry.queries("ev_rolling_wau")(spark, sfDir)
+    val s = explainStr(df)
+    assert(!s.contains("Window"), s)
+    // (user, day) distinct + the two-phase per-day distinct count
+    assert(countShuffles(plan(df)) <= 3, s)
+  }
+
+  test("fe_rfm: data collapses once; scoring windows rank the per-customer frame") {
+    val df = SparkEntry.queries("fe_rfm")(spark, sfDir)
+    // one data-sized agg exchange + ONE single-partition exchange feeding
+    // all three ntile windows (same empty partitioning, three sorts)
+    assert(countShuffles(plan(df)) == 2, explainStr(df))
+  }
+
+  test("a15_pareto_abc: share windows ride one exchange over the aggregate") {
+    val df = SparkEntry.queries("a15_pareto_abc")(spark, sfDir)
+    // customer agg + single-partition window; the class agg needs no
+    // further exchange — its input is already one partition
+    assert(countShuffles(plan(df)) == 2, explainStr(df))
+  }
+
+  test("t_ngram_novelty: first-occurrence agg and join share the shingle exchange") {
+    val df = SparkEntry.queries("t_ngram_novelty")(spark, sfDir)
+    val s = explainStr(df)
+    // shingle-partitioned agg + shingle equi-join + doc agg; the exploded
+    // shingle table must not shuffle more than that
+    assert(countShuffles(plan(df)) <= 4, s)
+    assert(!s.contains("BroadcastNestedLoopJoin"), s)
+  }
 }

@@ -75,4 +75,36 @@ class FunnelOpsSpec extends SparkSpecBase {
     // total transitions = total events − one terminal event per active user
     assert(out.values.sum == 9L - 4L)
   }
+
+  test("lastTouchAttribution credits the most recent in-window touch") {
+    def t(s: String): Timestamp = Timestamp.valueOf(s)
+    val e = Seq(
+      // u1: click then signup then buy → last touch is the signup
+      (1L, 1L, "click", t("2024-01-01 10:00:00")),
+      (2L, 1L, "signup", t("2024-01-01 10:05:00")),
+      (3L, 1L, "buy", t("2024-01-01 10:06:00")),
+      // u2: only touch is 8 days before the buy → outside 7d lookback
+      (4L, 2L, "view", t("2024-01-01 00:00:00")),
+      (5L, 2L, "buy", t("2024-01-09 00:00:01")),
+      // u3: no touches at all
+      (6L, 3L, "buy", t("2024-01-02 12:00:00")),
+      // u4: touch at the SAME second as the buy, smaller id → strictly
+      // preceding under the (sec, id) order, so it IS credited
+      (7L, 4L, "click", t("2024-01-03 09:00:00")),
+      (8L, 4L, "buy", t("2024-01-03 09:00:00")),
+      // u5: touch only AFTER the buy → never credited
+      (9L, 5L, "buy", t("2024-01-04 08:00:00")),
+      (10L, 5L, "click", t("2024-01-04 08:30:00"))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = FunnelOps.lastTouchAttribution(
+      e, "user_id", "event_type", "ts", "event_id",
+      touchTypes = Seq("view", "click", "signup"), convType = "buy",
+      lookbackSec = 7L * 86400L)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_conv"), r.getAs[Long]("n_users"))).toMap
+    assert(out == Map(
+      "signup" -> (1L, 1L),
+      "click" -> (1L, 1L),
+      "(none)" -> (3L, 3L)))
+  }
 }

@@ -137,6 +137,17 @@ class TimeSeriesOpsSpec extends SparkSpecBase {
       "2024-01-02" -> (1L, 2L)))
   }
 
+  test("rollingActiveUsers: each active day is visible for exactly k days") {
+    // u10 active 01-01 and 01-05; u20 active 01-02; k=3
+    val out = TimeSeriesOps.rollingActiveUsers(events, "user_id", "ts", windowDays = 3)
+      .collect().map(r => r.getAs[java.sql.Date]("day").toString ->
+        r.getAs[Long]("wau")).toMap
+    assert(out == Map(
+      "2024-01-01" -> 1L, "2024-01-02" -> 2L, "2024-01-03" -> 2L,
+      "2024-01-04" -> 1L, "2024-01-05" -> 1L, "2024-01-06" -> 1L,
+      "2024-01-07" -> 1L))
+  }
+
   test("lagFeatures: lag over observed days per entity, null before history") {
     val rows = TimeSeriesOps.lagFeatures(events, "user_id", "ts", "value", Seq(1, 2))
       .collect().map(r => (r.getAs[Long]("user_id"),
