@@ -359,7 +359,37 @@ object PlanAudit {
         |whose shuffled row count is Σ deg², never appears. The degree cap
         |bounds candidate volume by |V|·maxDeg²/2 by construction, the
         |same frequency-cap contract as the Jaccard DF cap; the final
-        |adjacency exclusion is a left-anti hash join."""
+        |adjacency exclusion is a left-anti hash join.""",
+    "fe_binned_woe" ->
+      """The 1-row cutpoint frame reaches the fact scan as a
+        |`BroadcastNestedLoopJoin` (a broadcast of ~9 doubles), so bin
+        |assignment is a projection over one read of the data; the WOE/IV
+        |arithmetic and its totals window run over the 10-row per-bin
+        |aggregate. The cutpoints themselves come from the distributed-CDF
+        |shape — per-value counts range-partitioned with literal offsets —
+        |never the builtin exact percentile's single-reducer funnel.""",
+    "ev_attribution" ->
+      """One `Exchange hashpartitioning(user_id)` feeds the single window
+        |pass; both ignore-nulls `last` calls share the frame, and the
+        |conversion filter + channel aggregation ride on top. The naive
+        |formulation — conversions range-joined against all earlier
+        |touches — is a per-row probe the optimizer can only nested-loop;
+        |it never appears here.""",
+    "ev_rolling_wau" ->
+      """No Window operator anywhere: the sliding 7-day distinct count is
+        |(user, day) distinct → explode onto visible days → per-day
+        |distinct count, all partially-aggregated hash aggs. A windowed
+        |COUNT(DISTINCT) over raw events would hold an unbounded distinct
+        |set per frame; here every operator's state is bounded by its
+        |aggregate's output size.""",
+    "a15_pareto_abc" ->
+      """The revenue ranking collapses the fact table to |customers|
+        |decimal sums first; the cumulative-share window and the ABC class
+        |aggregation then share ONE single-partition exchange over that
+        |output-sized frame (the plan shows the class HashAggregate
+        |directly consuming the windowed partition — no further exchange).
+        |The class thresholds compare decimal·integer products, so the
+        |A/B/C boundary cannot flip on a double ulp at any scale."""
   )
 
   private def streamingPlan(spark: SparkSession, sfDir: String): String = {

@@ -2082,6 +2082,39 @@ object SparkEntry {
       graft.ops.TimeSeriesOps.rollingActiveUsers(
         Tables.events(s, d), "user_id", "ts", windowDays = 7)),
 
+    // weekly signup-cohort churn: one hash-agg to the per-user
+    // (first_day, last_day) frame; "churned" = inactive for the last 7
+    // days of the observation window, the horizon a window-max over the
+    // |users|-sized frame — the data is read once
+    "ev_churn_cohorts" -> ((s, d) => {
+      val per = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(min(to_date(col("ts"))).as("first_day"),
+          max(to_date(col("ts"))).as("last_day"))
+      val wAll = Window.partitionBy()
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      per
+        .withColumn("horizon", date_sub(max(col("last_day")).over(wAll), 7))
+        .groupBy(date_trunc("week", col("first_day")).cast("date").as("cohort_week"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(when(col("last_day") < col("horizon"), 1L).otherwise(0L)).as("n_churned"))
+    }),
+
+    // DAU/MAU stickiness per day — both sides collapse to per-day
+    // distinct counts first (the MAU side via the WAU explode shape), so
+    // the ratio join touches |days|-sized frames only
+    "ev_stickiness" -> ((s, d) => {
+      val dau = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        .groupBy("day").agg(count(lit(1)).as("dau"))
+      val mau = graft.ops.TimeSeriesOps.rollingActiveUsers(
+        Tables.events(s, d), "user_id", "ts", windowDays = 28)
+        .withColumnRenamed("wau", "mau")
+      dau.join(mau, "day")
+        .select(col("day"), col("dau"), col("mau"),
+          round(col("dau").cast("double") / col("mau"), 6).as("stickiness"))
+    }),
+
     // trailing-window z-score anomaly flag — both moments accumulate in
     // DECIMAL inside the same single-exchange RANGE frame, so the alert
     // can't flip with the executor count
@@ -4020,6 +4053,36 @@ object SparkEntry {
 
     "ev_rolling_wau" -> graft.ops.TimeSeriesOps.rollingActiveUsersOracleSql(
       "events", "user_id", "ts", windowDays = 7),
+
+    "ev_churn_cohorts" ->
+      """WITH per AS (
+        |  SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day,
+        |         MAX(CAST(ts AS DATE)) AS last_day
+        |  FROM events GROUP BY 1
+        |), h AS (
+        |  SELECT *, MAX(last_day) OVER () - 7 AS horizon FROM per
+        |)
+        |SELECT CAST(date_trunc('week', first_day) AS DATE) AS cohort_week,
+        |       count(*) AS n_users,
+        |       CAST(SUM(CASE WHEN last_day < horizon THEN 1 ELSE 0 END) AS BIGINT) AS n_churned
+        |FROM h GROUP BY 1""".stripMargin,
+
+    "ev_stickiness" ->
+      """WITH active AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        |), dau AS (
+        |  SELECT day, count(*) AS dau FROM active GROUP BY 1
+        |), vis AS (
+        |  SELECT user_id, CAST(unnest(generate_series(CAST(day AS TIMESTAMP),
+        |           CAST(day AS TIMESTAMP) + INTERVAL 27 DAY,
+        |           INTERVAL 1 DAY)) AS DATE) AS day2
+        |  FROM active
+        |), mau AS (
+        |  SELECT day2 AS day, count(DISTINCT user_id) AS mau FROM vis GROUP BY 1
+        |)
+        |SELECT d.day, d.dau, m.mau,
+        |       round(CAST(d.dau AS DOUBLE) / m.mau, 6) AS stickiness
+        |FROM dau d JOIN mau m ON d.day = m.day""".stripMargin,
 
     "ev_funnel_windowed" -> graft.ops.FunnelOps.funnelOracleSql(
       "events", "user_id", "event_type", "ts",
