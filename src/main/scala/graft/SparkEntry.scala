@@ -247,6 +247,13 @@ object SparkEntry {
     "ev_stream_sessions" -> ((s, d) =>
       graft.streaming.StreamOps.sessionCountsViaStream(s, d, "graft_ev_stream_sessions")),
 
+    // ONLINE last-touch attribution: per-user keyed state holds only the
+    // latest touch, conversions attribute as they arrive (exactly-once
+    // Append emissions), and the drained aggregate hash-matches the same
+    // DuckDB oracle as the batch window form `ev_attribution`
+    "ev_stream_attribution" -> ((s, d) =>
+      graft.streaming.StreamOps.attributionViaStream(s, d, "graft_ev_stream_attr")),
+
     // STREAM-STATIC join, drained and hash-checked: the incremental side
     // (events) joins a broadcast static dimension (customer) before the
     // stateful aggregation — the enrich-then-aggregate shape every
@@ -4158,6 +4165,13 @@ object SparkEntry {
       "events", "user_id", "event_type", "ts", "event_id"),
 
     "ev_attribution" -> graft.ops.FunnelOps.lastTouchAttributionOracleSql(
+      "events", "user_id", "event_type", "ts", "event_id",
+      touchTypes = Seq("view", "click", "signup"), convType = "purchase",
+      lookbackSec = 7L * 86400L),
+
+    // the streaming drain answers the SAME question on the same input —
+    // one oracle pins both the window form and the state machine
+    "ev_stream_attribution" -> graft.ops.FunnelOps.lastTouchAttributionOracleSql(
       "events", "user_id", "event_type", "ts", "event_id",
       touchTypes = Seq("view", "click", "signup"), convType = "purchase",
       lookbackSec = 7L * 86400L),

@@ -22,6 +22,8 @@ object StreamOps {
   case class Event(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
   case class SessionState(sessionId: Long, lastTs: Long, count: Long)
   case class SessionUpdate(user_id: Long, session_id: Long, n_events: Long, closed: Boolean)
+  case class TouchState(lastTouchSec: Long, lastTouchType: String)
+  case class Attribution(user_id: Long, event_id: Long, channel: String)
 
   /** Tumbling event-time window counts with a watermark bounding state.
     * At scale the watermark is what keeps state finite: without it every
@@ -255,6 +257,76 @@ object StreamOps {
     * dedup possible on an unbounded stream at all. (Classic
     * `dropDuplicates` on a stream never evicts — unbounded state.)
     */
+  /** Streaming last-touch attribution — the online form of the batch
+    * `FunnelOps.lastTouchAttribution` window query: per-user keyed state
+    * holds only the most recent touch (one (sec, type) pair — O(|users|)
+    * state, not O(|events|)), and each conversion is attributed THE
+    * MOMENT IT ARRIVES instead of waiting for a batch window over the
+    * whole history. Events inside a micro-batch are processed in the
+    * batch form's exact (second-truncated ts, event_id) order, so a
+    * same-second touch with a smaller id is credited and one with a
+    * larger id is not — the same strictly-preceding contract.
+    *
+    * Cross-batch ordering rides the source's per-user event-time order
+    * (true for the bounded AvailableNow drain; a production deployment
+    * keys its Kafka partitions by user). Conversions are emitted exactly
+    * once (Append), so any downstream aggregation is batching-invariant.
+    */
+  def attribute(
+      events: Dataset[Event],
+      touchTypes: Set[String],
+      convType: String,
+      lookbackSec: Long,
+      watermark: String = "2 hours"
+  ): Dataset[Attribution] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TouchState, Attribution](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (userId: Long, batch: Iterator[Event], state: GroupState[TouchState]) =>
+          // (sec, id) — NOT (millis, id): the batch query orders on the
+          // second-truncated time, and a conversion and touch in the same
+          // second must tie-break on the id exactly like the window does
+          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime / 1000L, e.event_id))
+          var s = state.getOption.getOrElse(TouchState(Long.MinValue, ""))
+          val out = Seq.newBuilder[Attribution]
+          sorted.foreach { e =>
+            val sec = e.ts.getTime / 1000L
+            if (e.event_type == convType) {
+              val ch =
+                if (s.lastTouchSec != Long.MinValue && s.lastTouchSec >= sec - lookbackSec)
+                  s.lastTouchType
+                else "(none)"
+              out += Attribution(userId, e.event_id, ch)
+            }
+            if (touchTypes.contains(e.event_type)) s = TouchState(sec, e.event_type)
+          }
+          if (s.lastTouchSec != Long.MinValue) state.update(s)
+          out.result().iterator
+      }
+  }
+
+  /** The `ev_attribution` answer computed by the STREAMING state machine:
+    * drain [[attribute]] over the file-source stream and aggregate the
+    * per-conversion emissions to (channel, n_conv, n_users) — the same
+    * aggregation the batch window form feeds, so the drained result is
+    * checked by the same DuckDB oracle. */
+  def attributionViaStream(spark: SparkSession, dir: String, queryName: String): DataFrame = {
+    import spark.implicits._
+    val ev = eventsStream(spark, dir)
+      .withColumn("ts", date_trunc("second", col("ts")))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event]
+    val drained = runToCompletion(
+      attribute(ev, Set("view", "click", "signup"), "purchase", 7L * 86400L).toDF(),
+      queryName, OutputMode.Append())
+    drained
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_conv"), countDistinct(col("user_id")).as("n_users"))
+  }
+
   def dedupStream(
       events: DataFrame,
       keyCols: Seq[String],

@@ -53,6 +53,60 @@ class StreamOpsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("attribute: keyed touch state credits conversions across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = StreamOps.attribute(
+      input.toDS(), touchTypes = Set("click", "view"), convType = "buy",
+      lookbackSec = 3600L)
+      .writeStream.format("memory").queryName("attr")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: u1 touches (click), u2 converts untouched; u3's touch and
+      // conversion share a second — smaller-id touch must be credited
+      input.addData(
+        Event(1, ts(0), 1, "click", 0.0),
+        Event(2, ts(1), 2, "buy", 0.0),
+        Event(3, ts(2), 3, "click", 0.0),
+        Event(4, ts(2), 3, "buy", 0.0))
+      q.processAllAvailable()
+      // batch 2: u1 converts off state from batch 1; then a view retouches
+      // and a second conversion follows — latest touch wins
+      input.addData(
+        Event(5, ts(10), 1, "buy", 0.0),
+        Event(6, ts(11), 1, "view", 0.0),
+        Event(7, ts(12), 1, "buy", 0.0),
+        // u2's conversion AFTER its touch-less conversion: now touched
+        Event(8, ts(20), 2, "view", 0.0),
+        Event(9, ts(90), 2, "buy", 0.0)) // 70 min later > 1h lookback
+      q.processAllAvailable()
+      val rows = spark.table("attr").collect()
+        .map(r => r.getAs[Long]("event_id") -> r.getAs[String]("channel")).toMap
+      assert(rows == Map(
+        2L -> "(none)",  // converted before any touch
+        4L -> "click",   // same-second touch, smaller id → strictly preceding
+        5L -> "click",   // state carried across the batch boundary
+        7L -> "view",    // retouch supersedes the older click
+        9L -> "(none)"   // touch aged past the lookback
+      ))
+    } finally q.stop()
+  }
+
+  test("streaming attribution drain equals the batch window form exactly") {
+    import org.apache.spark.sql.functions._
+    val batch = graft.SparkEntry.queries("ev_attribution")(spark, sfDir).collect()
+      .map(r => r.getAs[String]("channel") ->
+        (r.getAs[Long]("n_conv"), r.getAs[Long]("n_users"))).toMap
+    val streamed = StreamOps.attributionViaStream(spark, sfDir, "spec_stream_attr")
+      .collect()
+      .map(r => r.getAs[String]("channel") ->
+        (r.getAs[Long]("n_conv"), r.getAs[Long]("n_users"))).toMap
+    assert(streamed.nonEmpty)
+    assert(streamed == batch,
+      "streaming state-machine attribution diverges from the batch window form")
+  }
+
   test("batch/stream parity: windowedCounts matches the batch ev_hour_agg shape") {
     import spark.implicits._
     val batch = Seq(
