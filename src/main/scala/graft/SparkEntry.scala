@@ -312,6 +312,14 @@ object SparkEntry {
         .groupBy("event_type").agg(count(lit(1)).as("n_keys"))
     }),
 
+    // streaming CDC materialization: foreachBatch latest-wins upsert into
+    // a keyed state table (atomic dir-swap stand-in for a transactional
+    // MERGE sink); "latest" is an associative max, so the materialized
+    // table — and this aggregate over it — is batching-invariant and the
+    // batch window oracle pins it exactly
+    "ev_stream_upsert" -> ((s, d) =>
+      graft.streaming.StreamOps.upsertViaStream(s, d, "graft_ev_stream_upsert")),
+
     // ---- P*: projections / filters --------------------------------------
     "p_proj_filter" -> ((s, d) =>
       t(s, d, "customer")
@@ -1177,6 +1185,14 @@ object SparkEntry {
       Dedup.dupClusters(Dedup.minhashLshPairs(docs, "doc_id", "text"), docs, "doc_id")
     }),
 
+    // sub-document boilerplate scrub (CCNet/RefinedWeb duplicate-line
+    // removal at chunk granularity): a 3-token chunk seen in >2 distinct
+    // docs is dropped from every doc; the md5 over each doc's kept chunks
+    // hash-checks the REWRITTEN content, not just the drop counts
+    "d_chunk_dedup" -> ((s, d) =>
+      Dedup.chunkDedup(t(s, d, "documents"), "doc_id", "text",
+        chunkTokens = 3, maxDocs = 2L)),
+
     // ---- similarity search ----------------------------------------------
     "sim_cosine_pairs" -> ((s, d) =>
       Similarity.cosinePairs(t(s, d, "embeddings"), "vec_id", "embedding", threshold = 0.35)),
@@ -1573,6 +1589,20 @@ object SparkEntry {
       graft.ml.Metrics.liftTable(scored, "score", "o_orderkey", "y", 10)
     }),
 
+    // Kaplan–Meier time-to-event risk table: duration = order→ship days,
+    // event = returned line ('R'), others censored at their duration.
+    // One hash-agg keyed on duration; the n_risk window runs over
+    // per-timepoint rows (bounded by the time domain, not subject count)
+    "ml_survival_km" -> ((s, d) => {
+      val subjects = t(s, d, "lineitem")
+        .join(t(s, d, "orders").select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(datediff(col("l_shipdate"), col("o_orderdate")).as("dur"),
+          (col("l_returnflag") === "R").as("ev"))
+        .filter(col("dur") >= 0) // synthetic data has ship-before-order noise
+      graft.ops.Survival.kmTable(subjects, col("dur").cast("bigint"), col("ev"))
+    }),
+
     // M9 per-segment: one exact Mann-Whitney AUC per order status — the
     // cohort-drill/fairness view; the rank window is PARTITIONED by
     // segment (no global distinct-score ordering through one task)
@@ -1863,6 +1893,19 @@ object SparkEntry {
         "rn", col("o_orderdate"), col("o_orderkey"))
         .filter(pmod(col("rn"), lit(7L)) === 1L)
         .select(col("o_orderkey"), col("rn"))),
+
+    // deterministic k-per-stratum uniform draw: order each stratum by the
+    // portable md5-permille of the key and keep the first k — a replayable
+    // "100 examples per class" eval sample. Rides the TopKPerKey physical
+    // operator (bounded per-group heaps, map-side partial, ONE exchange) —
+    // no full per-stratum sort, no window over the whole table
+    "o14_group_sample_k" -> ((s, d) =>
+      graft.plans.TopKPerKey(
+        t(s, d, "orders")
+          .withColumn("_h", permilleHash1M(col("o_orderkey"), ":gs4")),
+        Seq("o_orderpriority"),
+        Seq(col("_h").asc, col("o_orderkey").asc), 100)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice")),
 
     // deterministic hash-bucket negative sampling: k different-label
     // negatives per anchor with no RNG state — candidates shuffle once
@@ -2635,6 +2678,14 @@ object SparkEntry {
         |  FROM orders
         |) WHERE rn % 7 = 1""".stripMargin,
 
+    "o14_group_sample_k" ->
+      s"""SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+         |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         |         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+         |           ORDER BY ${permilleHashSql("o_orderkey", ":gs4", 1000000L)}, o_orderkey) AS rn
+         |  FROM orders
+         |) WHERE rn <= 100""".stripMargin,
+
     "w8_percent_rank" ->
       """SELECT o_orderkey, o_orderstatus,
         |       round(percent_rank() OVER w, 6) AS pr,
@@ -3151,6 +3202,10 @@ object SparkEntry {
     "d_dup_clusters" ->
       Dedup.dupClustersOracleSql("documents", "doc_id", "text"),
 
+    "d_chunk_dedup" ->
+      Dedup.chunkDedupOracleSql("documents", "doc_id", "text",
+        chunkTokens = 3, maxDocs = 2L),
+
     "sim_cosine_pairs" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -3309,6 +3364,12 @@ object SparkEntry {
         |       round(CAST(SUM(CAST(sr AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6) AS mean_score,
         |       round(CAST(SUM(y) AS DOUBLE) / count(*), 6) AS frac_pos
         |FROM s GROUP BY 1""".stripMargin,
+
+    "ml_survival_km" -> graft.ops.Survival.kmOracleSql(
+      """SELECT date_diff('day', o_orderdate, l_shipdate) AS t,
+        |       l_returnflag = 'R' AS ev
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE date_diff('day', o_orderdate, l_shipdate) >= 0""".stripMargin),
 
     // the bucket boundary is (rn-1)*10 // n — same integer arithmetic as
     // the engine's GlobalRowNumber split, so ntile() is deliberately NOT
@@ -3717,6 +3778,23 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n_keys FROM (
         |  SELECT DISTINCT user_id, event_type FROM events
         |) GROUP BY 1""".stripMargin,
+
+    // the CDC-materialized table is "latest row per user" — the batch
+    // window form pins the foreachBatch merge exactly (second-truncated
+    // ts, event_id tiebreak, matching the engine's merge key)
+    "ev_stream_upsert" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, value,
+        |         date_trunc('second', ts) AS ts2
+        |  FROM events
+        |), r AS (
+        |  SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY user_id ORDER BY ts2 DESC, event_id DESC) AS rn
+        |  FROM e
+        |)
+        |SELECT event_type, count(*) AS n_users,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM r WHERE rn = 1 GROUP BY 1""".stripMargin,
 
     "ev_stream_join" ->
       """SELECT c_mktsegment, count(*) AS cnt,

@@ -789,4 +789,73 @@ object Dedup {
        |       round(CAST(i AS DOUBLE) / CAST(sa.s + sb.s - i AS DOUBLE), 6) AS jacc
        |FROM inter JOIN sz sa ON doc_a = sa.id JOIN sz sb ON doc_b = sb.id
        |WHERE round(CAST(i AS DOUBLE) / CAST(sa.s + sb.s - i AS DOUBLE), 6) >= $threshold""".stripMargin
+
+  /** Sub-document boilerplate removal — the CCNet/RefinedWeb "duplicate
+    * line" scrub, at chunk granularity (the synthetic corpus has no
+    * newlines, so the unit is a fixed `chunkTokens`-token window; on real
+    * data the same shape runs on `split(text, '\n')` lines). A chunk
+    * whose exact text occurs in more than `maxDocs` DISTINCT documents is
+    * boilerplate (headers, navigation, license blurbs) and is dropped
+    * from every document; per-document output carries the kept/dropped
+    * counts and an md5 over the kept chunks in original order, so the
+    * REWRITTEN document content — not just the counts — is hash-checked.
+    *
+    * Scale shape: explode to (doc, idx, chunk) → ONE hash aggregation on
+    * chunk text for document-frequency → shuffle join back on chunk →
+    * per-doc re-assembly agg. Two shuffles keyed on chunk/doc, both
+    * cardinality-bounded by corpus token count; nothing is pairwise, so
+    * (unlike similarity dedup) cost is linear in corpus size. Per-doc
+    * reassembly state is the document itself — the same bound any
+    * per-doc transform already carries.
+    */
+  def chunkDedup(docs: DataFrame, idCol: String, textCol: String,
+                 chunkTokens: Int = 3, maxDocs: Long = 2): DataFrame = {
+    val chunks = docs
+      .select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("_t"))
+      .select(col("doc_id"),
+        // guard: sequence(0, -1) DESCENDS in Spark, so a zero-token doc
+        // must short-circuit to an empty chunk list (no rows after the
+        // posexplode — the oracle's range(0,0) does the same)
+        posexplode(when(size(col("_t")) > 0,
+          transform(
+            sequence(lit(0), ceil(size(col("_t")) / lit(chunkTokens.toDouble)).cast("int") - 1),
+            i => array_join(slice(col("_t"), i * chunkTokens + 1, lit(chunkTokens)), " ")))
+          .otherwise(array().cast("array<string>"))))
+      .withColumnRenamed("pos", "idx")
+      .withColumnRenamed("col", "chunk")
+    val df = chunks.groupBy("chunk")
+      .agg(countDistinct(col("doc_id")).as("_df"))
+    chunks.join(df, "chunk")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("_df") > maxDocs, 1L).otherwise(0L)).as("n_dropped"),
+        md5(array_join(transform(
+          filter(
+            array_sort(collect_list(when(col("_df") <= maxDocs,
+              struct(col("idx"), col("chunk"))))),
+            x => x.getField("chunk").isNotNull),
+          x => x.getField("chunk")), " ")).as("clean_md5"))
+  }
+
+  /** DuckDB mirror of [[chunkDedup]] — same tokenization, chunking,
+    * document-frequency threshold, and ordered reassembly md5. */
+  def chunkDedupOracleSql(table: String, idCol: String, textCol: String,
+                          chunkTokens: Int = 3, maxDocs: Long = 2): String =
+    s"""WITH toks AS (
+       |  SELECT $idCol AS doc_id,
+       |         list_filter(regexp_split_to_array(lower($textCol), '[^a-z]+'), x -> x <> '') AS t
+       |  FROM $table
+       |), ch AS (
+       |  SELECT doc_id, i AS idx,
+       |         array_to_string(t[(i*$chunkTokens+1):(i*$chunkTokens+$chunkTokens)], ' ') AS chunk
+       |  FROM toks, unnest(range(0, CAST(ceil(len(t) / $chunkTokens.0) AS BIGINT))) AS r(i)
+       |), fr AS (
+       |  SELECT chunk, count(DISTINCT doc_id) AS df FROM ch GROUP BY 1
+       |)
+       |SELECT doc_id, count(*) AS n_chunks,
+       |       CAST(sum(CASE WHEN df > $maxDocs THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       |       md5(coalesce(string_agg(CASE WHEN df <= $maxDocs THEN chunk END, ' ' ORDER BY idx), '')) AS clean_md5
+       |FROM ch JOIN fr USING (chunk)
+       |GROUP BY 1""".stripMargin
 }

@@ -327,6 +327,83 @@ object StreamOps {
       .agg(count(lit(1)).as("n_conv"), countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** One foreachBatch MERGE step of [[upsertViaStream]] (package-visible
+    * so the spec can drive multi-batch sequences directly): union the
+    * batch with the current state, keep the greatest (ts, event_id) row
+    * per user, write to `next`, swap into `state`. The swap (write
+    * elsewhere, then replace) is what makes the read-modify-write safe
+    * against the lazy plan still reading the directory being replaced.
+    */
+  private[streaming] def mergeLatestBatch(
+      batch: DataFrame,
+      stateDir: java.nio.file.Path,
+      nextDir: java.nio.file.Path): Unit = {
+    def rmTree(p: java.nio.file.Path): Unit =
+      if (java.nio.file.Files.exists(p)) {
+        val s = java.nio.file.Files.walk(p)
+        try s.sorted(java.util.Comparator.reverseOrder())
+          .forEach(java.nio.file.Files.delete(_))
+        finally s.close()
+      }
+    val cur =
+      if (java.nio.file.Files.exists(stateDir))
+        batch.sparkSession.read.parquet(stateDir.toString)
+      else batch.limit(0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    cur.unionByName(batch)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+      .write.mode("overwrite").parquet(nextDir.toString)
+    rmTree(stateDir)
+    java.nio.file.Files.move(nextDir, stateDir)
+    ()
+  }
+
+  /** Streaming CDC materialization — `foreachBatch` latest-wins upsert.
+    * Each micro-batch MERGES into a keyed state table: per user, keep the
+    * row with the greatest (second-truncated ts, event_id). Because
+    * "latest" is an associative max, the materialized table is invariant
+    * to how the stream is split into batches — the exact property a CDC
+    * sink needs for replay/restart safety.
+    *
+    * The local merge is read → union → window-keep-latest → write-to-next
+    * → atomic directory swap (never overwrite a directory a lazy plan may
+    * still read). On a cluster the same foreachBatch body targets a
+    * transactional table format's MERGE; the swap here is the
+    * filesystem-only stand-in with the identical merge semantics. State
+    * is O(|distinct users|), shuffled once per batch on the key.
+    */
+  def upsertViaStream(spark: SparkSession, dir: String, queryName: String): DataFrame = {
+    val tmp = System.getProperty("java.io.tmpdir")
+    val stateDir = java.nio.file.Paths.get(tmp, s"graft_upsert_${queryName}")
+    val nextDir = java.nio.file.Paths.get(tmp, s"graft_upsert_${queryName}_next")
+    def rmTree(p: java.nio.file.Path): Unit =
+      if (java.nio.file.Files.exists(p)) {
+        val s = java.nio.file.Files.walk(p)
+        try s.sorted(java.util.Comparator.reverseOrder())
+          .forEach(java.nio.file.Files.delete(_))
+        finally s.close()
+      }
+    rmTree(stateDir); rmTree(nextDir) // clean slate: a stale materialization must not leak in
+    val ev = eventsStream(spark, dir)
+      .withColumn("ts", date_trunc("second", col("ts")))
+      .select("user_id", "ts", "event_id", "event_type", "value")
+    val q = ev.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        mergeLatestBatch(batch, stateDir, nextDir)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(stateDir.toString)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+  }
+
   def dedupStream(
       events: DataFrame,
       keyCols: Seq[String],

@@ -343,4 +343,33 @@ class PlansSpec extends SparkSpecBase {
     assert(countShuffles(plan(df)) <= 4, s)
     assert(!s.contains("BroadcastNestedLoopJoin"), s)
   }
+
+  test("d_chunk_dedup: frequency join is an equi-join; chunk and doc aggs only") {
+    val df = SparkEntry.queries("d_chunk_dedup")(spark, sfDir)
+    val s = explainStr(df)
+    // chunk-frequency agg + chunk equi-join + per-doc reassembly agg —
+    // linear in corpus size, nothing pairwise
+    assert(countShuffles(plan(df)) <= 4, s)
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"), s)
+  }
+
+  test("ml_survival_km: the n_risk window never sees data-sized input") {
+    val df = SparkEntry.queries("ml_survival_km")(spark, sfDir)
+    val s = explainStr(df)
+    // join + duration hash-agg are the data-sized stages; the
+    // single-partition window exchange runs over per-timepoint rows only,
+    // so it must sit ABOVE the aggregate in the plan
+    val aggIdx = s.indexOf("HashAggregate")
+    val spIdx = s.indexOf("SinglePartition")
+    assert(aggIdx >= 0 && spIdx >= 0, s)
+    assert(countShuffles(plan(df)) <= 4, s)
+  }
+
+  test("o14_group_sample_k: per-stratum draw rides TopKPerKey, not a window sort") {
+    val df = SparkEntry.queries("o14_group_sample_k")(spark, sfDir)
+    val s = plan(df).toString
+    // bounded-heap partial + final with ONE exchange between them
+    assert(s.contains("TopKPerKey"), s)
+    assert(countShuffles(plan(df)) == 1, explainStr(df))
+  }
 }

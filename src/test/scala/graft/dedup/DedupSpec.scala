@@ -140,4 +140,42 @@ class DedupSpec extends SparkSpecBase {
     assert(kept(4L) == ((4L, 7L, 1L)))
     assert(kept.size == 2)
   }
+
+  test("chunkDedup drops corpus-frequent chunks and hashes the rewritten doc") {
+    import spark.implicits._
+    // chunkTokens=2, maxDocs=2: "shared boiler" appears in 3 docs → dropped
+    // everywhere; "unique text"/"other words"/"third thing" survive
+    val d = Seq(
+      (1L, "shared boiler unique text"),
+      (2L, "shared boiler other words"),
+      (3L, "shared boiler third thing"),
+      (4L, "standalone content entirely")
+    ).toDF("doc_id", "text")
+    val out = Dedup.chunkDedup(d, "doc_id", "text", chunkTokens = 2, maxDocs = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_chunks"), r.getAs[Long]("n_dropped"), r.getAs[String]("clean_md5"))))
+      .toMap
+    assert(out(1L)._1 == 2 && out(1L)._2 == 1)
+    assert(out(4L)._2 == 0)
+    // the rewritten content hash is the md5 of the KEPT chunks in order
+    def md5(s: String) =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    assert(out(1L)._3 == md5("unique text"))
+    assert(out(4L)._3 == md5("standalone content entirely"))
+  }
+
+  test("chunkDedup: a doc whose every chunk is boilerplate hashes empty") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "same same"), (2L, "same same"), (3L, "same same"), (4L, "same same")
+    ).toDF("doc_id", "text")
+    val out = Dedup.chunkDedup(d, "doc_id", "text", chunkTokens = 2, maxDocs = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_dropped"), r.getAs[String]("clean_md5")))).toMap
+    def md5(s: String) =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    assert(out.values.forall(_ == ((1L, md5("")))))
+  }
 }

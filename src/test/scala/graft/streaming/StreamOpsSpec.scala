@@ -4,6 +4,7 @@ import java.sql.Timestamp
 
 import graft.SparkSpecBase
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 
 class StreamOpsSpec extends SparkSpecBase {
@@ -91,6 +92,54 @@ class StreamOpsSpec extends SparkSpecBase {
         9L -> "(none)"   // touch aged past the lookback
       ))
     } finally q.stop()
+  }
+
+  test("mergeLatestBatch: latest-wins upsert is batching-invariant across merges") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_upsert_spec")
+    val state = tmp.resolve("state"); val next = tmp.resolve("next")
+    def batch(rows: (Long, Long, Long, String, Double)*) =
+      rows.toDF("user_id", "sec", "event_id", "event_type", "value")
+        .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+        .select("user_id", "ts", "event_id", "event_type", "value")
+    // batch 1: u1 and u2 get rows; batch 2: u1 superseded by a LATER ts,
+    // u2 receives an EARLIER ts (must not regress), u3 ties on ts and the
+    // larger event_id wins
+    StreamOps.mergeLatestBatch(batch(
+      (1L, 100L, 1L, "a", 1.0), (2L, 200L, 2L, "b", 2.0), (3L, 300L, 3L, "c", 3.0)),
+      state, next)
+    StreamOps.mergeLatestBatch(batch(
+      (1L, 150L, 4L, "d", 4.0), (2L, 50L, 5L, "e", 5.0), (3L, 300L, 6L, "f", 6.0)),
+      state, next)
+    val got = spark.read.parquet(state.toString).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("event_id"), r.getAs[String]("event_type")))).toMap
+    assert(got == Map(
+      1L -> ((4L, "d")), // later ts wins
+      2L -> ((2L, "b")), // earlier ts must not replace
+      3L -> ((6L, "f"))  // same ts, larger event_id wins
+    ))
+  }
+
+  test("streaming upsert drain equals the batch last-per-user aggregate") {
+    val streamed = StreamOps.upsertViaStream(spark, sfDir, "spec_stream_upsert")
+      .collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_users"), r.getAs[Double]("sum_value")))).toMap
+    val batch = graft.core.Tables.events(spark, sfDir)
+      .withColumn("ts2", date_trunc("second", col("ts")))
+      .withColumn("_rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+          .orderBy(col("ts2").desc, col("event_id").desc)))
+      .filter(col("_rn") === 1)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_users"), r.getAs[Double]("sum_value")))).toMap
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
   }
 
   test("streaming attribution drain equals the batch window form exactly") {
