@@ -1953,6 +1953,49 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sum_price"))
     }),
 
+    // schema evolution: two parquet generations (the later one adds a
+    // column) read back through ONE mergeSchema scan — old-generation rows
+    // surface the new column as null, exactly like a production landing
+    // zone mid-migration. The aggregate pins both the row routing and the
+    // null semantics of the evolved column
+    "s15_schema_evolution" -> ((s, d) => {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_s15_${new java.io.File(d).getName}"
+      val orders = t(s, d, "orders")
+      orders.filter(permilleHash(col("o_orderkey"), ":se42") < 500)
+        .select("o_orderkey", "o_orderstatus")
+        .write.mode("overwrite").parquet(s"$base/gen1")
+      orders.filter(permilleHash(col("o_orderkey"), ":se42") >= 500)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .write.mode("overwrite").parquet(s"$base/gen2")
+      s.read.option("mergeSchema", "true")
+        .parquet(s"$base/gen1", s"$base/gen2")
+        .groupBy("o_orderstatus")
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(when(col("o_totalprice").isNull, 1L).otherwise(0L)).as("n_legacy"),
+          dsum(coalesce(col("o_totalprice"), lit(0.0))).as("sum_price"))
+    }),
+
+    // exact weighted quantiles: "price percentiles weighted by units" —
+    // integer cumulative-weight thresholds (1000·cum ≥ p·W) through the
+    // distributed-CDF machinery; no double comparison can flip on an ulp
+    "a16_weighted_quantiles" -> ((s, d) =>
+      graft.ops.WeightedStats.weightedQuantiles(
+        t(s, d, "lineitem"), col("l_extendedprice"), col("l_quantity"),
+        Seq(250, 500, 750, 900))),
+
+    // quantile matching: rewrite cohort F's price distribution onto
+    // cohort O's (batch-effect correction) — both global rankings ride
+    // GlobalRowNumber, endpoints arrive by integer equi-joins, and every
+    // float step mirrors the oracle token-for-token
+    "fe_quantile_match" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      graft.ops.QuantileMatch.matchQuantiles(
+        orders.filter(col("o_orderstatus") === "F"),
+        orders.filter(col("o_orderstatus") === "O"),
+        "o_orderkey", "o_totalprice")
+    }),
+
     // corpus-level LM quality score (perplexity filter)
     "t_bigram_lm" -> ((s, d) =>
       graft.text.BigramLm.docScores(
@@ -3993,6 +4036,28 @@ object SparkEntry {
          |FROM orders
          |WHERE (${permilleHashSql("o_orderkey", ":cp42", 1000)}) < 200
          |GROUP BY 1""".stripMargin,
+
+    // gen-1 rows (hash < 500) have no price column after evolution →
+    // n_legacy counts exactly those; sum_price covers gen-2 rows only
+    "s15_schema_evolution" ->
+      s"""SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS cnt,
+         |       CAST(SUM(CASE WHEN ${permilleHashSql("o_orderkey", ":se42", 1000)} < 500
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_legacy,
+         |       CAST(SUM(CASE WHEN ${permilleHashSql("o_orderkey", ":se42", 1000)} >= 500
+         |                     THEN CAST(o_totalprice AS DECIMAL(18,2))
+         |                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_price
+         |FROM orders
+         |GROUP BY 1""".stripMargin,
+
+    "a16_weighted_quantiles" ->
+      graft.ops.WeightedStats.weightedQuantilesOracleSql(
+        "lineitem", "l_extendedprice", "l_quantity", Seq(250, 500, 750, 900)),
+
+    "fe_quantile_match" ->
+      graft.ops.QuantileMatch.matchQuantilesOracleSql(
+        "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'F'",
+        "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'O'",
+        "o_orderkey", "o_totalprice"),
 
     // per-bigram log-probs are micro-scaled to integers BEFORE the per-doc
     // sum, so the mean is order-independent on both engines
