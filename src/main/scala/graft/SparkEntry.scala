@@ -2502,6 +2502,63 @@ object SparkEntry {
       s.sql(SparkEntry.q10Sql)
     }),
 
+    // Q18 shape: HAVING-subquery semi-filter + 3-table join + bounded
+    // top-100 — the aggregate-under-IN pattern a planner must turn into
+    // a semi-join, not a materialized subquery per probe
+    "sql_q18_bigorders" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      s.sql(SparkEntry.q18Sql)
+    }),
+
+    // melt/unpivot: wide measure columns → long (id, measure, value) rows
+    // — the pandas-melt reshape; executor-side Expand, no shuffle at all
+    "p14_unpivot" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+          "l_discount", "l_tax")
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+            col("l_tax")),
+          "measure", "value")),
+
+    // window-function completeness: first/nth/lag-with-default on the
+    // running frame, last_value over the full frame — one exchange for
+    // all four (same partition key + order)
+    "w9_window_suite" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, d, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"),
+        first(col("o_totalprice")).over(w).as("first_price"),
+        nth_value(col("o_totalprice"), 3).over(w).as("third_price"),
+        lag(col("o_totalprice"), 1, -1.0).over(w).as("prev_price"),
+        last(col("o_totalprice")).over(full).as("last_price"))
+    }),
+
+    // per-group Shannon entropy (nats) of a categorical — the data-card
+    // "how concentrated is this column" profile; each p·ln(p) term is
+    // micro-scaled to a LONG before summation (the t_bigram_lm pattern)
+    // so the sum is order-independent and engine-portable
+    "a17_entropy" -> ((s, d) => {
+      val counts = t(s, d, "orders")
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .agg(count(lit(1)).as("c"))
+      val wn = Window.partitionBy("o_orderpriority")
+      counts
+        .withColumn("n", sum("c").over(wn))
+        .withColumn("_term_micro",
+          round((col("c").cast("double") / col("n")) *
+            log(col("c").cast("double") / col("n")) * 1e6).cast("long"))
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("n_cats"),
+          round(-sum("_term_micro").cast("double") / 1e6, 6).as("entropy_nats"))
+    }),
+
     // STREAM-STREAM LEFT OUTER join drained and hash-checked: inner pairs
     // emit immediately; unmatched views emit null-extended ONLY after the
     // watermark proves no future click can match — the oracle applies the
@@ -2624,6 +2681,26 @@ object SparkEntry {
       |GROUP BY c_custkey, c_name, n_name
       |ORDER BY revenue DESC, c_custkey
       |LIMIT 20""".stripMargin
+
+  /** Q18-shaped large-volume-customer query: the HAVING-subquery + 3-table
+    * join + top-100 shape (aggregate pushed under a semi-filter). Shared
+    * text; quantities ride decimal sums, the ORDER BY carries a full
+    * tiebreak so LIMIT is deterministic on both engines.
+    */
+  val q18Sql: String =
+    """SELECT c_name, o_orderkey, o_orderdate,
+      |  CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE o_orderkey IN (
+      |  SELECT l_orderkey FROM lineitem
+      |  GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 170
+      |)
+      |GROUP BY c_name, o_orderkey, o_orderdate, o_totalprice
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 100""".stripMargin
 
   /** TPC-H Q5-shaped 6-table star join — the join-reorder / broadcast-
     * selection stress query of the shared-text tier; revenue rides exact
@@ -4576,6 +4653,42 @@ object SparkEntry {
 
     "sql_q6_forecast" -> q6Sql,
     "sql_q10_returns" -> q10Sql,
+
+    "sql_q18_bigorders" -> q18Sql,
+
+    "p14_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, m.measure, m.value
+        |FROM lineitem,
+        |LATERAL (VALUES ('l_quantity', l_quantity), ('l_extendedprice', l_extendedprice),
+        |                ('l_discount', l_discount), ('l_tax', l_tax)) AS m(measure, value)""".stripMargin,
+
+    "w9_window_suite" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  first_value(o_totalprice) OVER w AS first_price,
+        |  nth_value(o_totalprice, 3) OVER w AS third_price,
+        |  lag(o_totalprice, 1, -1.0) OVER w AS prev_price,
+        |  last_value(o_totalprice) OVER (
+        |    PARTITION BY o_orderstatus
+        |    ORDER BY o_orderdate NULLS FIRST, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus
+        |             ORDER BY o_orderdate NULLS FIRST, o_orderkey)""".stripMargin,
+
+    "a17_entropy" ->
+      """WITH cn AS (
+        |  SELECT o_orderpriority, o_orderstatus, CAST(count(*) AS BIGINT) AS c
+        |  FROM orders GROUP BY 1, 2
+        |), t AS (
+        |  SELECT o_orderpriority, c,
+        |         SUM(c) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM cn
+        |)
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_cats,
+        |       round(-CAST(SUM(CAST(round((CAST(c AS DOUBLE) / n) *
+        |             ln(CAST(c AS DOUBLE) / n) * 1e6) AS BIGINT)) AS DOUBLE) / 1e6, 6)
+        |         AS entropy_nats
+        |FROM t GROUP BY 1""".stripMargin,
 
     // the eviction predicate (vt + within < final watermark = min of the
     // two sides' max event times, delay 0) IS the outer join's semantic:

@@ -365,6 +365,28 @@ class PlansSpec extends SparkSpecBase {
     assert(countShuffles(plan(df)) <= 4, s)
   }
 
+  test("p14_unpivot: melt is an executor-side Expand — zero shuffles") {
+    val df = SparkEntry.queries("p14_unpivot")(spark, sfDir)
+    val s = explainStr(df)
+    assert(countShuffles(plan(df)) == 0, s)
+    assert(s.contains("Expand"), s)
+  }
+
+  test("sql_q18_bigorders: the HAVING-IN subquery plans as a join, not a per-row probe") {
+    val df = SparkEntry.queries("sql_q18_bigorders")(spark, sfDir)
+    val s = explainStr(df)
+    // the IN (SELECT ... HAVING) filter must become a (semi/inner) hash
+    // join against the aggregated subquery — a subquery re-evaluated per
+    // probe row would be quadratic at scale
+    assert(s.contains("Join"), s)
+    assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"), s)
+  }
+
+  test("w9_window_suite: all four window functions share ONE exchange") {
+    val df = SparkEntry.queries("w9_window_suite")(spark, sfDir)
+    assert(countShuffles(plan(df)) == 1, explainStr(df))
+  }
+
   test("o14_group_sample_k: per-stratum draw rides TopKPerKey, not a window sort") {
     val df = SparkEntry.queries("o14_group_sample_k")(spark, sfDir)
     val s = plan(df).toString
