@@ -1579,6 +1579,29 @@ object SparkEntry {
       graft.ml.Metrics.calibrationBins(scored, "score", "y", 10)
     }),
 
+    // ranking-eval pack: NDCG@10 per segment — only the top-10 rows per
+    // group are ever ranked (TopKPerKey bounded heaps, one exchange);
+    // micro-scaled integer DCG weights keep both engines bit-identical.
+    // Ideal DCG normalizes over the retrieved top-k pool (pool-NDCG)
+    "ml_ndcg" -> ((s, d) =>
+      graft.ml.RankingMetrics.ndcgAtK(
+        t(s, d, "orders"), "o_orderstatus", "o_totalprice", "o_orderkey",
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH"), k = 10)),
+
+    // first-relevant-rank / reciprocal rank per segment (the MRR readout)
+    "ml_mrr" -> ((s, d) =>
+      graft.ml.RankingMetrics.mrr(
+        t(s, d, "orders"), "o_orderstatus", "o_totalprice", "o_orderkey",
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH"))),
+
+    // binary log-loss over a deterministic probability column (clamped),
+    // micro-int terms — the proper-scoring-rule companion to calibration
+    "ml_logloss" -> ((s, d) =>
+      graft.ml.RankingMetrics.logLoss(
+        t(s, d, "orders"), "o_orderstatus",
+        col("o_totalprice") / 600000.0,
+        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0))),
+
     // M12 companion: decile lift/gain table — GLOBAL ranking without the
     // single-task ROW_NUMBER window (GlobalRowNumber under the hood), then
     // integer-arithmetic bucket splits any engine reproduces exactly
@@ -3484,6 +3507,18 @@ object SparkEntry {
         |       round(CAST(SUM(CAST(sr AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6) AS mean_score,
         |       round(CAST(SUM(y) AS DOUBLE) / count(*), 6) AS frac_pos
         |FROM s GROUP BY 1""".stripMargin,
+
+    "ml_ndcg" -> graft.ml.RankingMetrics.ndcgOracleSql(
+      "orders", "o_orderstatus", "o_totalprice", "o_orderkey",
+      "CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END", k = 10),
+
+    "ml_mrr" -> graft.ml.RankingMetrics.mrrOracleSql(
+      "orders", "o_orderstatus", "o_totalprice", "o_orderkey",
+      "CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END"),
+
+    "ml_logloss" -> graft.ml.RankingMetrics.logLossOracleSql(
+      "orders", "o_orderstatus", "o_totalprice / 600000.0",
+      "CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1.0 ELSE 0.0 END"),
 
     "ml_survival_km" -> graft.ops.Survival.kmOracleSql(
       """SELECT date_diff('day', o_orderdate, l_shipdate) AS t,
