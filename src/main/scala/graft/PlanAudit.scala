@@ -389,7 +389,49 @@ object PlanAudit {
         |output-sized frame (the plan shows the class HashAggregate
         |directly consuming the windowed partition — no further exchange).
         |The class thresholds compare decimal·integer products, so the
-        |A/B/C boundary cannot flip on a double ulp at any scale."""
+        |A/B/C boundary cannot flip on a double ulp at any scale.""",
+    "d_chunk_dedup" ->
+      """Boilerplate-chunk removal is LINEAR in corpus size: the exploded
+        |(doc, idx, chunk) rows hash-aggregate once on chunk text for
+        |document frequency, equi-join back on chunk, and re-aggregate per
+        |doc — three keyed shuffles, nothing pairwise, no candidate blow-up.
+        |Contrast with similarity dedup where candidate generation is the
+        |scale risk; here a 100 TB corpus costs 100 TB of shuffle, period.""",
+    "ml_survival_km" ->
+      """The only data-sized stages are the fact join and ONE hash
+        |aggregation keyed on duration. The n_risk running sum is a
+        |SinglePartition window BY CONSTRUCTION over per-timepoint rows —
+        |bounded by the time domain (thousands of days), not subject count —
+        |so 100 TB of subjects still collapse before any window runs.""",
+    "o14_group_sample_k" ->
+      """The per-stratum draw plans as TopKPerKeyPartial → exchange →
+        |TopKPerKeyFinal: bounded k-row heaps on the map side, ONE exchange
+        |carrying ≤ k·partitions rows per stratum, no full per-stratum sort
+        |and no row_number window over the table. The md5-permille order
+        |makes the same k rows come back on any engine, any partitioning.""",
+    "a16_weighted_quantiles" ->
+      """One hash aggregation collapses data to per-distinct-value weight
+        |sums; a range exchange orders those rows; the cumulative weight is
+        |a per-partition window plus a P-entry literal offset map (P =
+        |shuffle partitions — KBs to the driver, never data). Quantile
+        |selection compares 1000·cum ≥ p·W in LONG arithmetic: no double
+        |threshold, no SinglePartition window, no sort of raw rows.""",
+    "fe_quantile_match" ->
+      """Both global rankings ride GlobalRowNumber (range exchange +
+        |per-partition window + offset map); the interpolation endpoints
+        |arrive by integer EQUI-joins of floor/ceil positions against the
+        |reference ranks. No SinglePartition window, no range probe join,
+        |and the float lerp mirrors the oracle token-for-token.""",
+    "ml_ndcg" ->
+      """NDCG@k only ever examines k rows per group: the plan shows the
+        |TopKPerKey bounded-heap pair instead of a per-group sort, then
+        |windows over the ≤ k·|groups| survivors. DCG weights are
+        |micro-scaled LONGs — the sum is order-independent, so the metric
+        |is partition-invariant by construction.""",
+    "p14_unpivot" ->
+      """The melt is a pure executor-side Expand: zero shuffles, zero
+        |joins — each input row fans out to 4 (measure, value) rows inside
+        |the same task. ReadSchema lists only the 6 touched columns."""
   )
 
   private def streamingPlan(spark: SparkSession, sfDir: String): String = {

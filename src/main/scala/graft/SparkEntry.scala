@@ -240,6 +240,20 @@ object SparkEntry {
           graft.streaming.StreamOps.eventsStream(s, d)),
         "graft_ev_stream_hourly")),
 
+    // streaming "trending now": the drained windowed-count state feeds the
+    // TopKPerKey bounded-heap operator — top-2 event types per hour. The
+    // streaming stage bounds state by watermark; the ranking stage never
+    // sorts more than k rows per key; one oracle pins the composition
+    "ev_stream_topk" -> ((s, d) => {
+      val counts = graft.streaming.StreamOps.runToCompletion(
+        graft.streaming.StreamOps.windowedCountsExact(
+          graft.streaming.StreamOps.eventsStream(s, d)),
+        "graft_ev_stream_topk")
+      graft.plans.TopKPerKey(
+        counts.select("hour_ts", "event_type", "cnt"),
+        Seq("hour_ts"), Seq(col("cnt").desc, col("event_type").asc), 2)
+    }),
+
     // the flatMapGroupsWithState session state machine, drained and
     // hash-checked against the SAME DuckDB oracle as the batch
     // `ev_sessionize` — custom streaming state semantics verified
@@ -2283,6 +2297,24 @@ object SparkEntry {
       graft.ops.PageRank.fixedPoint(edges, "src", "dst", iters = 3)
     }),
 
+    // bounded-depth BFS over the same co-order graph: min hop distance
+    // from a deterministic seed set — the reachability/"blast radius"
+    // query; exact integer distances min-merge partition-invariantly,
+    // and the oracle unrolls the identical rounds as CTEs
+    "g_bfs_dist" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select("l_orderkey", "l_partkey")
+      val edges = li.as("a")
+        .join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") =!= col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        .distinct()
+      val seeds = t(s, d, "part")
+        .filter(pmod(col("p_partkey"), lit(97L)) === 0L)
+        .select(col("p_partkey"))
+      graft.ops.Bfs.kHopDistances(edges, "src", "dst", seeds, "p_partkey", maxHops = 3)
+    }),
+
     // declarative data-quality gate: range / accepted-values / not-null
     // rules in ONE scan, plus uniqueness and referential integrity
     "dq_expectations" -> ((s, d) => {
@@ -3934,6 +3966,17 @@ object SparkEntry {
         |  SELECT DISTINCT user_id, event_type FROM events
         |) GROUP BY 1""".stripMargin,
 
+    "ev_stream_topk" ->
+      """WITH c AS (
+        |  SELECT date_trunc('hour', ts) AS hour_ts, event_type, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT hour_ts, event_type, cnt FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY hour_ts
+        |    ORDER BY cnt DESC, event_type) AS rn
+        |  FROM c
+        |) WHERE rn <= 2""".stripMargin,
+
     // the CDC-materialized table is "latest row per user" — the batch
     // window form pins the foreachBatch merge exactly (second-truncated
     // ts, event_id tiebreak, matching the engine's merge key)
@@ -4392,6 +4435,13 @@ object SparkEntry {
         "FROM lineitem a JOIN lineitem b " +
         "ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey",
       iters = 3),
+
+    "g_bfs_dist" -> graft.ops.Bfs.kHopOracleSql(
+      "SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst " +
+        "FROM lineitem a JOIN lineitem b " +
+        "ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey",
+      "SELECT p_partkey AS node FROM part WHERE p_partkey % 97 = 0",
+      maxHops = 3),
 
     // the maintenance identity: snapshot ⊕ delta == aggregate(base ⊖ D ⊕ I)
     "inc_agg_maintain" ->
