@@ -2315,6 +2315,43 @@ object SparkEntry {
       graft.ops.Bfs.kHopDistances(edges, "src", "dst", seeds, "p_partkey", maxHops = 3)
     }),
 
+    // Cramér's V association between two categoricals — the normalized
+    // [0,1] companion of the chi² gate; marginals and distinct counts
+    // ride windows over the |cells|-sized contingency table
+    "a18_cramers_v" -> ((s, d) =>
+      graft.ml.FeatureScoring.cramersV(
+        t(s, d, "orders"), "o_orderpriority", "o_orderstatus")),
+
+    // deterministic source-interleaved training order (curriculum mixing):
+    // per-source rank on the portable hash, then a global (rank, source)
+    // order — round-robin across sources by construction. BOTH rankings
+    // ride GlobalRowNumber; the per-source rank falls out of the global
+    // (source, hash) numbering minus broadcast per-source offsets — no
+    // per-source window partition (a dominant source would skew it)
+    "o15_interleave" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(
+        col("doc_id"), col("source"),
+        permilleHash1M(col("doc_id"), ":il4").as("_h"))
+      val g1 = graft.ops.GlobalRowNumber.withRowNumber(
+        docs, "_grn", col("source"), col("_h"), col("doc_id"))
+      val offs = g1.groupBy("source").agg((min(col("_grn")) - 1L).as("_off"))
+      val ranked = g1.join(broadcast(offs), "source")
+        .withColumn("rn", col("_grn") - col("_off"))
+        .select("doc_id", "source", "rn")
+      graft.ops.GlobalRowNumber.withRowNumber(
+          ranked, "seq", col("rn"), col("source"), col("doc_id"))
+        .select("doc_id", "source", "rn", "seq")
+    }),
+
+    // touch→conversion latency per channel: the same one-window-pass
+    // attribution machinery, collapsed to per-channel count / exact mean /
+    // exact interpolated p50+p90 (a10_quantiles parity contract)
+    "ev_time_to_convert" -> ((s, d) =>
+      graft.ops.FunnelOps.timeToConvert(
+        Tables.events(s, d), "user_id", "event_type", "ts", "event_id",
+        touchTypes = Seq("view", "click", "signup"), convType = "purchase",
+        lookbackSec = 7L * 86400L)),
+
     // declarative data-quality gate: range / accepted-values / not-null
     // rules in ONE scan, plus uniqueness and referential integrity
     "dq_expectations" -> ((s, d) => {
@@ -3592,7 +3629,8 @@ object SparkEntry {
         |  FROM joint
         |)
         |SELECT round(SUM((nxy - CAST(nx AS DOUBLE) * ny / n) * (nxy - CAST(nx AS DOUBLE) * ny / n)
-        |         / (CAST(nx AS DOUBLE) * ny / n)), 6) AS chi2_stat,
+        |         / (CAST(nx AS DOUBLE) * ny / n))
+        |         + (MAX(n) - SUM(CAST(nx AS DOUBLE) * ny / n)), 6) AS chi2_stat,
         |       count(*) AS n_cells
         |FROM e""".stripMargin,
 
@@ -4473,6 +4511,51 @@ object SparkEntry {
       "events", "user_id", "event_type", "ts", "event_id",
       touchTypes = Seq("view", "click", "signup"), convType = "purchase",
       lookbackSec = 7L * 86400L),
+
+    "ev_time_to_convert" -> graft.ops.FunnelOps.timeToConvertOracleSql(
+      "events", "user_id", "event_type", "ts", "event_id",
+      touchTypes = Seq("view", "click", "signup"), convType = "purchase",
+      lookbackSec = 7L * 86400L),
+
+    "a18_cramers_v" ->
+      """WITH joint AS (
+        |  SELECT o_orderpriority AS x, o_orderstatus AS y, CAST(count(*) AS BIGINT) AS nxy
+        |  FROM orders GROUP BY 1, 2
+        |), m AS (
+        |  SELECT *,
+        |         SUM(nxy) OVER () AS n,
+        |         SUM(nxy) OVER (PARTITION BY x) AS nx,
+        |         SUM(nxy) OVER (PARTITION BY y) AS ny
+        |  FROM joint
+        |), terms AS (
+        |  SELECT n,
+        |         (nxy - CAST(nx AS DOUBLE) * ny / n) * (nxy - CAST(nx AS DOUBLE) * ny / n)
+        |           / (CAST(nx AS DOUBLE) * ny / n) AS term,
+        |         CAST(nx AS DOUBLE) * ny / n AS exp,
+        |         x, y
+        |  FROM m
+        |)
+        |SELECT round(SUM(term) + (MAX(n) - SUM(exp)), 6) AS chi2_stat,
+        |       CAST(MAX(n) AS BIGINT) AS n,
+        |       LEAST(COUNT(DISTINCT x) - 1, COUNT(DISTINCT y) - 1) AS df_min,
+        |       round(sqrt((SUM(term) + (MAX(n) - SUM(exp))) /
+        |             (MAX(n) * LEAST(COUNT(DISTINCT x) - 1, COUNT(DISTINCT y) - 1))), 6)
+        |         AS cramers_v
+        |FROM terms""".stripMargin,
+
+    "o15_interleave" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, source,
+         |         ${permilleHashSql("doc_id", ":il4", 1000000L)} AS hh
+         |  FROM documents
+         |), r AS (
+         |  SELECT doc_id, source,
+         |         ROW_NUMBER() OVER (PARTITION BY source ORDER BY hh, doc_id) AS rn
+         |  FROM h
+         |)
+         |SELECT doc_id, source, rn,
+         |       ROW_NUMBER() OVER (ORDER BY rn, source, doc_id) AS seq
+         |FROM r""".stripMargin,
 
     // the streaming drain answers the SAME question on the same input —
     // one oracle pins both the window form and the state machine

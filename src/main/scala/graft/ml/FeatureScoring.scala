@@ -41,7 +41,43 @@ object FeatureScoring {
       .withColumn("ny", sum("nxy").over(wy))
       .withColumn("exp", col("nx").cast("double") * col("ny") / col("n"))
       .withColumn("term", (col("nxy") - col("exp")) * (col("nxy") - col("exp")) / col("exp"))
-      .agg(round(sum("term"), 6).as("chi2_stat"), count(lit(1)).as("n_cells"))
+      // cells the groupBy never saw (nxy = 0) each contribute exactly
+      // their expectation: Σ_missing exp = n − Σ_observed exp
+      .agg(round(sum("term") + (max("n") - sum("exp")), 6).as("chi2_stat"),
+        count(lit(1)).as("n_cells"))
+  }
+
+  /** Cramér's V association between two DISCRETE columns — the
+    * normalized-to-[0,1] companion of [[chi2Contingency]] (V = √(χ²/(n·
+    * min(r−1, c−1)))), the data-card "are these columns related" readout.
+    * Same single contingency aggregation; the marginals and distinct
+    * counts ride windows over the |cells|-sized table, never the data.
+    */
+  def cramersV(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val joint = df.groupBy(col(xCol).as("x"), col(yCol).as("y"))
+      .agg(count(lit(1)).as("nxy"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    val wx   = org.apache.spark.sql.expressions.Window.partitionBy("x")
+    val wy   = org.apache.spark.sql.expressions.Window.partitionBy("y")
+    joint
+      .withColumn("n", sum("nxy").over(wAll))
+      .withColumn("nx", sum("nxy").over(wx))
+      .withColumn("ny", sum("nxy").over(wy))
+      .withColumn("exp", col("nx").cast("double") * col("ny") / col("n"))
+      .withColumn("term", (col("nxy") - col("exp")) * (col("nxy") - col("exp")) / col("exp"))
+      .agg(
+        // unseen (nxy = 0) cells contribute exactly their expectation:
+        // Σ_missing exp = n − Σ_observed exp (the full-grid statistic)
+        (sum("term") + (max("n") - sum("exp"))).as("_chi2"),
+        max("n").as("n"),
+        countDistinct("x").as("_r"),
+        countDistinct("y").as("_c"))
+      .select(
+        round(col("_chi2"), 6).as("chi2_stat"),
+        col("n"),
+        least(col("_r") - 1, col("_c") - 1).as("df_min"),
+        round(sqrt(col("_chi2") /
+          (col("n") * least(col("_r") - 1, col("_c") - 1))), 6).as("cramers_v"))
   }
 
   /** Plug-in mutual information I(X;Y) between a DISCRETE column and the

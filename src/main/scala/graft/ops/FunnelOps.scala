@@ -190,6 +190,72 @@ object FunnelOps {
       .agg(count(lit(1)).as("n_conv"), countDistinct(col(userCol)).as("n_users"))
   }
 
+  /** Touch→conversion latency per attributed channel — the "how long does
+    * each channel take to convert" companion of [[lastTouchAttribution]]:
+    * same ONE window pass finds each conversion's last preceding touch;
+    * attributed conversions emit (channel, seconds) and collapse to per-
+    * channel count, exact mean (integer-second sum over count), and exact
+    * interpolated p50/p90 (the a10_quantiles parity contract).
+    */
+  def timeToConvert(
+      events: DataFrame, userCol: String, typeCol: String, tsCol: String,
+      idCol: String, touchTypes: Seq[String], convType: String,
+      lookbackSec: Long): DataFrame = {
+    require(touchTypes.nonEmpty, "need at least one touch type")
+    require(lookbackSec > 0, "lookbackSec must be positive")
+    val sec = unix_timestamp(ts2(tsCol))
+    val isTouch = col(typeCol).isin(touchTypes: _*)
+    val w = Window.partitionBy(col(userCol)).orderBy(col("_sec"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .select(col(userCol), col(typeCol), col(idCol), sec.as("_sec"))
+      .select(col(typeCol), col("_sec"),
+        last(when(isTouch, col("_sec")), ignoreNulls = true).over(w).as("touch_sec"),
+        last(when(isTouch, col(typeCol)), ignoreNulls = true).over(w).as("touch_type"))
+      .filter(col(typeCol) === convType &&
+        col("touch_sec").isNotNull &&
+        col("touch_sec") >= col("_sec") - lit(lookbackSec))
+      .select(col("touch_type").as("channel"), (col("_sec") - col("touch_sec")).as("lat"))
+      .groupBy("channel")
+      .agg(
+        count(lit(1)).as("n_conv"),
+        round(sum("lat").cast("double") / count(lit(1)), 6).as("mean_sec"),
+        round(expr("percentile(lat, 0.5D)"), 6).as("p50_sec"),
+        round(expr("percentile(lat, 0.9D)"), 6).as("p90_sec"))
+  }
+
+  /** DuckDB mirror of [[timeToConvert]]. */
+  def timeToConvertOracleSql(
+      table: String, userCol: String, typeCol: String, tsCol: String,
+      idCol: String, touchTypes: Seq[String], convType: String,
+      lookbackSec: Long): String = {
+    val touches = touchTypes.map(t => s"'$t'").mkString(", ")
+    s"""WITH e AS (
+       |  SELECT $userCol, $typeCol, $idCol,
+       |         CAST(epoch(date_trunc('second', $tsCol)) AS BIGINT) AS sec
+       |  FROM $table
+       |), t AS (
+       |  SELECT *,
+       |         last_value(CASE WHEN $typeCol IN ($touches) THEN sec END IGNORE NULLS)
+       |           OVER win AS touch_sec,
+       |         last_value(CASE WHEN $typeCol IN ($touches) THEN $typeCol END IGNORE NULLS)
+       |           OVER win AS touch_type
+       |  FROM e
+       |  WINDOW win AS (PARTITION BY $userCol ORDER BY sec, $idCol
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |), lats AS (
+       |  SELECT touch_type AS channel, sec - touch_sec AS lat
+       |  FROM t
+       |  WHERE $typeCol = '$convType' AND touch_sec IS NOT NULL
+       |    AND touch_sec >= sec - $lookbackSec
+       |)
+       |SELECT channel, count(*) AS n_conv,
+       |       round(CAST(SUM(lat) AS DOUBLE) / count(*), 6) AS mean_sec,
+       |       round(quantile_cont(lat, 0.5), 6) AS p50_sec,
+       |       round(quantile_cont(lat, 0.9), 6) AS p90_sec
+       |FROM lats GROUP BY 1""".stripMargin
+  }
+
   /** DuckDB mirror of [[lastTouchAttribution]] — generated from the same
     * touch list and lookback so the two can't drift. */
   def lastTouchAttributionOracleSql(

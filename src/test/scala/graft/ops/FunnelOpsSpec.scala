@@ -107,4 +107,27 @@ class FunnelOpsSpec extends SparkSpecBase {
       "click" -> (1L, 1L),
       "(none)" -> (3L, 3L)))
   }
+
+  test("timeToConvert reports per-channel latency stats for attributed conversions only") {
+    // u1: view at :01, buy at :03 → 120 s on 'view'
+    // u2: click at :02, buy at :05 → 180 s on 'click'; later buy at :06
+    //     (no intervening touch) → 240 s still on 'click'
+    // u3: buy with no preceding touch → excluded entirely
+    val e = Seq(
+      (1L, 1L, "view", ts(1)), (2L, 1L, "buy", ts(3)),
+      (3L, 2L, "click", ts(2)), (4L, 2L, "buy", ts(5)), (5L, 2L, "buy", ts(6)),
+      (6L, 3L, "buy", ts(4))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = FunnelOps.timeToConvert(
+      e, "user_id", "event_type", "ts", "event_id",
+      touchTypes = Seq("view", "click"), convType = "buy",
+      lookbackSec = 3600L)
+      .collect().map(r => r.getAs[String]("channel") ->
+        ((r.getAs[Long]("n_conv"), r.getAs[Double]("mean_sec"),
+          r.getAs[Double]("p50_sec"), r.getAs[Double]("p90_sec")))).toMap
+    assert(out("view") == ((1L, 120.0, 120.0, 120.0)))
+    assert(out("click")._1 == 2L)
+    assert(out("click")._2 == 210.0) // (180 + 240) / 2
+    assert(out.size == 2) // the untouched conversion contributes no channel
+  }
 }

@@ -156,6 +156,31 @@ class StreamOpsSpec extends SparkSpecBase {
       "streaming state-machine attribution diverges from the batch window form")
   }
 
+  test("RocksDB state store: the drain answer is provider-independent") {
+    // a production deployment sizes state with RocksDB instead of the
+    // default HDFS-backed in-memory maps; the answer must not depend on
+    // the provider. This drains the same windowed aggregation under both
+    // providers and compares exactly.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val default = spark.conf.getOption(key)
+    def drain(name: String) = StreamOps.runToCompletion(
+      StreamOps.windowedCountsExact(StreamOps.eventsStream(spark, sfDir)),
+      name).collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("hour_ts"), r.getAs[String]("event_type")) ->
+        ((r.getAs[Long]("cnt"), r.getAs[Double]("sum_value")))).toMap
+    val base = drain("spec_provider_default")
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rocks = drain("spec_provider_rocksdb")
+      assert(rocks.nonEmpty)
+      assert(rocks == base)
+    } finally default match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("batch/stream parity: windowedCounts matches the batch ev_hour_agg shape") {
     import spark.implicits._
     val batch = Seq(
