@@ -2352,6 +2352,57 @@ object SparkEntry {
         touchTypes = Seq("view", "click", "signup"), convType = "purchase",
         lookbackSec = 7L * 86400L)),
 
+    // CUPED variance-reduced experiment readout: pre-period clicks as the
+    // covariate, purchases as the metric, same hash arms as ab_ztest —
+    // one per-user agg, one 1-row moments agg, scalar math after
+    "ab_cuped" -> ((s, d) => {
+      val perUser = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+        .select(
+          when(permilleHash(col("user_id"), ":ab") < 500, "A").otherwise("B").as("arm"),
+          col("x"), col("y"))
+      graft.ops.ExperimentOps.cuped(perUser, "arm", "A", "B", "x", "y")
+    }),
+
+    // exact Gini concentration of customer spend (integer cents), global
+    // ascending rank via GlobalRowNumber — no SinglePartition window
+    "a19_gini" -> ((s, d) => {
+      val per = t(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+          .cast("long").as("cents"))
+      graft.ops.StatsOps.gini(per, col("cents"), col("o_custkey"))
+    }),
+
+    // 3-step behavioral paths: both leads from ONE window pass, counts on
+    // the |types|³-bounded path table
+    "ev_path3" -> ((s, d) =>
+      graft.ops.FunnelOps.pathTrigrams(
+        Tables.events(s, d), "user_id", "event_type", "ts", "event_id")),
+
+    // CDC with delete tombstones: updates at +30d, deletes at +60d; the
+    // winning record decides, deletes erase the key (GDPR propagation) —
+    // filter runs AFTER latest-wins so tombstones shadow older versions
+    "merge_tombstones" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      val base = orders.select(col("o_orderkey"), col("o_orderdate").as("ts"),
+        col("o_orderstatus"), lit("U").as("op"))
+      val upd = orders.filter(permilleHash(col("o_orderkey"), ":up43") < 100)
+        .select(col("o_orderkey"),
+          (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("ts"),
+          lit("X").as("o_orderstatus"), lit("U").as("op"))
+      val del = orders.filter(permilleHash(col("o_orderkey"), ":del43") < 80)
+        .select(col("o_orderkey"),
+          (col("o_orderdate") + expr("INTERVAL 60 DAYS")).as("ts"),
+          col("o_orderstatus"), lit("D").as("op"))
+      graft.ops.MergeOps.applyCdc(
+          base.unionByName(upd).unionByName(del), "o_orderkey", "ts", "op", "op")
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("cnt"))
+    }),
+
     // declarative data-quality gate: range / accepted-values / not-null
     // rules in ONE scan, plus uniqueness and referential integrity
     "dq_expectations" -> ((s, d) => {
@@ -4556,6 +4607,56 @@ object SparkEntry {
          |SELECT doc_id, source, rn,
          |       ROW_NUMBER() OVER (ORDER BY rn, source, doc_id) AS seq
          |FROM r""".stripMargin,
+
+    "ab_cuped" -> graft.ops.ExperimentOps.cupedOracleSql(
+      s"""  SELECT CASE WHEN ${permilleHashSql("user_id", ":ab", 1000L)} < 500
+         |              THEN 'A' ELSE 'B' END AS arm, x, y
+         |  FROM (SELECT user_id,
+         |               SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
+         |               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+         |        FROM events GROUP BY 1)""".stripMargin,
+      treatArm = "A", controlArm = "B"),
+
+    "a19_gini" ->
+      """WITH per AS (
+        |  SELECT o_custkey,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS v
+        |  FROM orders GROUP BY 1
+        |), r AS (
+        |  SELECT v,
+        |         row_number() OVER (ORDER BY v, o_custkey) AS rn,
+        |         count(*) OVER () AS n
+        |  FROM per
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_units,
+        |       CAST(SUM(CAST(v AS HUGEINT)) AS DOUBLE) AS total,
+        |       CASE WHEN SUM(CAST(v AS HUGEINT)) = 0 THEN 0.0
+        |            ELSE round(CAST(SUM(CAST(2 * rn - n - 1 AS HUGEINT) * v) AS DOUBLE)
+        |                       / (CAST(MAX(n) AS DOUBLE) *
+        |                          CAST(SUM(CAST(v AS HUGEINT)) AS DOUBLE)), 6)
+        |       END AS gini
+        |FROM r""".stripMargin,
+
+    "ev_path3" -> graft.ops.FunnelOps.pathTrigramsOracleSql(
+      "events", "user_id", "event_type", "ts", "event_id"),
+
+    "merge_tombstones" ->
+      s"""WITH recs AS (
+         |  SELECT o_orderkey, o_orderdate AS ts, o_orderstatus, 'U' AS op FROM orders
+         |  UNION ALL
+         |  SELECT o_orderkey, o_orderdate + INTERVAL 30 DAY, 'X', 'U' FROM orders
+         |  WHERE (${permilleHashSql("o_orderkey", ":up43", 1000)}) < 100
+         |  UNION ALL
+         |  SELECT o_orderkey, o_orderdate + INTERVAL 60 DAY, o_orderstatus, 'D' FROM orders
+         |  WHERE (${permilleHashSql("o_orderkey", ":del43", 1000)}) < 80
+         |), r AS (
+         |  SELECT o_orderstatus, op,
+         |         row_number() OVER (PARTITION BY o_orderkey
+         |                            ORDER BY ts DESC, op DESC) AS rn
+         |  FROM recs
+         |)
+         |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS cnt
+         |FROM r WHERE rn = 1 AND op <> 'D' GROUP BY 1""".stripMargin,
 
     // the streaming drain answers the SAME question on the same input —
     // one oracle pins both the window form and the state machine

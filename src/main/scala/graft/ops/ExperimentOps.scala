@@ -1,0 +1,121 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Experiment-analysis operators beyond the plain two-proportion z-test
+  * (SparkEntry `ab_ztest`): variance-reduction readouts an A/B platform
+  * runs over every metric, every day.
+  *
+  * Reference scope: the readmission study compares cohort rates directly
+  * (`Hap880_Final_Project.py` threshold metrics); a production experiment
+  * platform layers covariate adjustment on the same per-unit aggregates.
+  */
+object ExperimentOps {
+
+  /** CUPED (Controlled-experiment Using Pre-Experiment Data) adjusted
+    * treatment-effect readout: with a pre-experiment covariate X per unit
+    * and the experiment metric Y, the adjusted metric
+    * `Y' = Y − θ·(X − mean(X))` with `θ = cov(X,Y)/var(X)` has the same
+    * expected arm difference but variance shrunk by the factor
+    * `1 − ρ²(X,Y)` — the standard way to make an experiment read
+    * significant days earlier.
+    *
+    * Input: ONE row per experiment unit with an arm label and integer
+    * metrics `xCol` (pre-period) and `yCol` (in-period). Output: one row
+    * with per-arm sizes, θ, the raw and CUPED-adjusted arm differences,
+    * and the realized variance-reduction factor ρ².
+    *
+    * Exactness: every aggregate is an exact integer (decimal(38,0)
+    * accumulation — no double sum whose low bits depend on partition
+    * merge order); the handful of double divisions at the end run in a
+    * fixed scalar order, so the result is bit-identical across runs,
+    * partitionings, and engines (mirrored token-for-token in the DuckDB
+    * oracle). Degenerate pools (constant X or Y) yield θ = 0 / ρ² = 0
+    * rather than a divide-by-zero.
+    *
+    * Scale shape: one hash-aggregation over the per-unit frame to a
+    * single row (map-side partial combine); all remaining arithmetic is
+    * scalar. The per-unit frame itself is the caller's one shuffle.
+    */
+  def cuped(
+      perUnit: DataFrame, armCol: String, treatArm: String, controlArm: String,
+      xCol: String, yCol: String): DataFrame = {
+    val x = col(xCol).cast("decimal(38,0)")
+    val y = col(yCol).cast("decimal(38,0)")
+    def armSum(arm: String, c: org.apache.spark.sql.Column) =
+      sum(when(col(armCol) === arm, c).otherwise(lit(0).cast("decimal(38,0)")))
+    val m = perUnit.agg(
+      count(lit(1)).as("n"),
+      sum(x).as("sx"), sum(y).as("sy"),
+      sum((x * y).cast("decimal(38,0)")).as("sxy"),
+      sum((x * x).cast("decimal(38,0)")).as("sxx"),
+      sum((y * y).cast("decimal(38,0)")).as("syy"),
+      sum(when(col(armCol) === treatArm, 1L).otherwise(0L)).as("n_t"),
+      armSum(treatArm, x).as("sxt"), armSum(treatArm, y).as("syt"),
+      sum(when(col(armCol) === controlArm, 1L).otherwise(0L)).as("n_c"),
+      armSum(controlArm, x).as("sxc"), armSum(controlArm, y).as("syc"))
+    // scalar double math from exact integer aggregates, fixed op order —
+    // the DuckDB oracle repeats these expressions token-for-token
+    def d(c: String) = col(c).cast("double")
+    val num  = d("n") * d("sxy") - d("sx") * d("sy")
+    val denX = d("n") * d("sxx") - d("sx") * d("sx")
+    val denY = d("n") * d("syy") - d("sy") * d("sy")
+    val theta = when(denX === 0.0, lit(0.0)).otherwise(num / denX)
+    val rho2 = when(denX === 0.0 || denY === 0.0, lit(0.0))
+      .otherwise((num / denX) * (num / denY))
+    val meanXAll = d("sx") / d("n")
+    val adjT = d("syt") / d("n_t") - theta * (d("sxt") / d("n_t") - meanXAll)
+    val adjC = d("syc") / d("n_c") - theta * (d("sxc") / d("n_c") - meanXAll)
+    m.select(
+      col("n_t"), col("n_c"),
+      round(theta, 6).as("theta"),
+      round(d("syt") / d("n_t") - d("syc") / d("n_c"), 6).as("diff_raw"),
+      round(adjT - adjC, 6).as("diff_cuped"),
+      round(rho2, 6).as("var_reduction"))
+  }
+
+  /** DuckDB mirror of [[cuped]] — generated from the same arm labels so
+    * the two can't drift; the scalar formulas repeat the Scala op order
+    * exactly (doubles are IEEE-deterministic given identical op order).
+    *
+    * @param perUnitCte SQL producing the per-unit (arm, x, y) frame.
+    */
+  def cupedOracleSql(perUnitCte: String, treatArm: String, controlArm: String): String =
+    s"""WITH pu AS (
+       |$perUnitCte
+       |), m AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n,
+       |         CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+       |         CAST(SUM(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+       |         CAST(SUM(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy,
+       |         CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+       |         CAST(SUM(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy,
+       |         SUM(CASE WHEN arm = '$treatArm' THEN 1 ELSE 0 END) AS n_t,
+       |         CAST(SUM(CASE WHEN arm = '$treatArm' THEN CAST(x AS HUGEINT) ELSE 0 END) AS DOUBLE) AS sxt,
+       |         CAST(SUM(CASE WHEN arm = '$treatArm' THEN CAST(y AS HUGEINT) ELSE 0 END) AS DOUBLE) AS syt,
+       |         SUM(CASE WHEN arm = '$controlArm' THEN 1 ELSE 0 END) AS n_c,
+       |         CAST(SUM(CASE WHEN arm = '$controlArm' THEN CAST(x AS HUGEINT) ELSE 0 END) AS DOUBLE) AS sxc,
+       |         CAST(SUM(CASE WHEN arm = '$controlArm' THEN CAST(y AS HUGEINT) ELSE 0 END) AS DOUBLE) AS syc
+       |  FROM pu
+       |), s AS (
+       |  SELECT *,
+       |         n * sxy - sx * sy AS num,
+       |         n * sxx - sx * sx AS den_x,
+       |         n * syy - sy * sy AS den_y
+       |  FROM m
+       |), f AS (
+       |  SELECT *,
+       |         CASE WHEN den_x = 0.0 THEN 0.0 ELSE num / den_x END AS theta,
+       |         CASE WHEN den_x = 0.0 OR den_y = 0.0 THEN 0.0
+       |              ELSE (num / den_x) * (num / den_y) END AS rho2
+       |  FROM s
+       |)
+       |SELECT CAST(n_t AS BIGINT) AS n_t, CAST(n_c AS BIGINT) AS n_c,
+       |       round(theta, 6) AS theta,
+       |       round(syt / n_t - syc / n_c, 6) AS diff_raw,
+       |       round((syt / n_t - theta * (sxt / n_t - sx / n)) -
+       |             (syc / n_c - theta * (sxc / n_c - sx / n)), 6) AS diff_cuped,
+       |       round(rho2, 6) AS var_reduction
+       |FROM f""".stripMargin
+}

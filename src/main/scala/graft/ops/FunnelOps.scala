@@ -224,6 +224,48 @@ object FunnelOps {
         round(expr("percentile(lat, 0.9D)"), 6).as("p90_sec"))
   }
 
+  /** 3-step behavioral path mining ("what do users do next"): every
+    * consecutive (s1 → s2 → s3) event-type trigram per user, counted
+    * corpus-wide — the sequence-pattern table behind sankey/next-action
+    * readouts, extending [[transitions]]' bigrams one step.
+    *
+    * Scale shape: ONE window pass on one (user) exchange produces both
+    * leads; the count collapses to the ≤|types|³-sized path table.
+    * No self-joins, no per-user collect.
+    */
+  def pathTrigrams(
+      events: DataFrame, userCol: String, typeCol: String, tsCol: String,
+      idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col("_sec"), col(idCol))
+    events
+      .select(col(userCol), col(typeCol), col(idCol),
+        unix_timestamp(ts2(tsCol)).as("_sec"))
+      .select(col(typeCol).as("s1"),
+        lead(col(typeCol), 1).over(w).as("s2"),
+        lead(col(typeCol), 2).over(w).as("s3"))
+      .filter(col("s3").isNotNull)
+      .groupBy("s1", "s2", "s3")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** DuckDB mirror of [[pathTrigrams]]. */
+  def pathTrigramsOracleSql(
+      table: String, userCol: String, typeCol: String, tsCol: String,
+      idCol: String): String =
+    s"""WITH e AS (
+       |  SELECT $userCol, $typeCol, $idCol,
+       |         CAST(epoch(date_trunc('second', $tsCol)) AS BIGINT) AS sec
+       |  FROM $table
+       |), t AS (
+       |  SELECT $typeCol AS s1,
+       |         lead($typeCol, 1) OVER win AS s2,
+       |         lead($typeCol, 2) OVER win AS s3
+       |  FROM e
+       |  WINDOW win AS (PARTITION BY $userCol ORDER BY sec, $idCol)
+       |)
+       |SELECT s1, s2, s3, count(*) AS cnt
+       |FROM t WHERE s3 IS NOT NULL GROUP BY 1, 2, 3""".stripMargin
+
   /** DuckDB mirror of [[timeToConvert]]. */
   def timeToConvertOracleSql(
       table: String, userCol: String, typeCol: String, tsCol: String,

@@ -68,4 +68,20 @@ object MergeOps {
       .filter(col("_rn") === 1)
       .drop("_rn")
   }
+
+  /** CDC application WITH delete tombstones: latest record per key wins,
+    * and a key whose winning record is a delete (`opCol = deleteOp`)
+    * disappears from the materialized table — the right-to-be-forgotten /
+    * retention-purge propagation path a GDPR-compliant lakehouse needs.
+    *
+    * Filtering AFTER the latest-wins selection (not before) is the
+    * correctness point: a delete followed by a later re-insert must
+    * resurrect the key, and an early filter would lose the tombstone's
+    * ability to shadow older versions. Same single (key) exchange as
+    * [[upsertLatest]]; batching-invariant because "latest" is associative.
+    */
+  def applyCdc(
+      records: DataFrame, key: String, ts: String, tie: String,
+      opCol: String, deleteOp: String = "D"): DataFrame =
+    upsertLatest(records, key, ts, tie).filter(col(opCol) =!= deleteOp)
 }

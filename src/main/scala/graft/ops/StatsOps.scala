@@ -77,4 +77,44 @@ object StatsOps {
         when(std > 0, (d.cast("double") - mean) / std).otherwise(lit(Double.NaN)))
       .drop("_n", "_s", "_ss")
   }
+
+  /** Exact Gini coefficient of a non-negative integer measure (counts,
+    * cents) — the concentration readout behind "what share of revenue do
+    * the top customers hold" data cards, companion of the Pareto/ABC
+    * classes: `G = Σᵢ (2i − n − 1)·xᵢ / (n·Σx)` over the ascending-sorted
+    * values.
+    *
+    * Scale shape: the global ascending rank rides [[GlobalRowNumber]]
+    * (range repartition + per-partition row_number + broadcast offsets —
+    * no SinglePartition window funnel), and the weighted sum accumulates
+    * in decimal(38,0), so the one double division at the end is exact-in,
+    * bit-identical across partitionings and engines. Ties in `value` are
+    * rank-order-invariant for the statistic (equal values commute under
+    * the weight sum); `tie` only pins the numbering itself.
+    *
+    * @param value non-negative integral measure (cast cents upstream).
+    * @param tie   unique-per-row tiebreak column for deterministic ranks.
+    */
+  def gini(df: DataFrame, value: Column, tie: Column): DataFrame = {
+    val base = df.select(value.cast("long").as("_v"), tie.as("_tie"))
+    val (ranked, n, release) =
+      GlobalRowNumber.withRowNumberAndCount(base, "_rn", col("_v").asc, col("_tie").asc)
+    val weight = (lit(2L) * col("_rn") - lit(n) - lit(1L)).cast("decimal(19,0)")
+    val out = ranked.agg(
+      count(lit(1)).as("n_units"),
+      sum(col("_v").cast("decimal(38,0)")).as("_s"),
+      sum((weight * col("_v").cast("decimal(19,0)")).cast("decimal(38,0)")).as("_w"))
+      .select(
+        col("n_units"),
+        col("_s").cast("double").as("total"),
+        when(col("_s") === lit(0).cast("decimal(38,0)"), lit(0.0))
+          .otherwise(round(
+            col("_w").cast("double") / (lit(n.toDouble) * col("_s").cast("double")), 6))
+          .as("gini"))
+    // single-action derivation: the aggregate is the materialization
+    val collected = out.cache()
+    collected.count()
+    release()
+    collected
+  }
 }

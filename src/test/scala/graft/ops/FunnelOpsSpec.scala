@@ -130,4 +130,21 @@ class FunnelOpsSpec extends SparkSpecBase {
     assert(out("click")._2 == 210.0) // (180 + 240) / 2
     assert(out.size == 2) // the untouched conversion contributes no channel
   }
+
+  test("pathTrigrams counts consecutive per-user 3-step paths, overlapping") {
+    // u1: v,c,b → 1 trigram; u2: v,c,v,b → (v,c,v) and (c,v,b);
+    // u3: only 2 events → none
+    val e = Seq(
+      (1L, 1L, "v", ts(1)), (2L, 1L, "c", ts(2)), (3L, 1L, "b", ts(3)),
+      (4L, 2L, "v", ts(1)), (5L, 2L, "c", ts(2)), (6L, 2L, "v", ts(3)), (7L, 2L, "b", ts(4)),
+      (8L, 3L, "v", ts(1)), (9L, 3L, "b", ts(2))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = FunnelOps.pathTrigrams(e, "user_id", "event_type", "ts", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getAs[Long]("cnt"))
+      .toMap
+    assert(out == Map(
+      ("v", "c", "b") -> 1L,
+      ("v", "c", "v") -> 1L,
+      ("c", "v", "b") -> 1L))
+  }
 }

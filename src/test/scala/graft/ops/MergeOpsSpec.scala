@@ -69,4 +69,18 @@ class MergeOpsSpec extends SparkSpecBase {
       .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getString(2))).toMap
     assert(out == Map(1L -> (30, "F"), 2L -> (10, "O"), 3L -> (30, "F")))
   }
+
+  test("applyCdc: winning tombstone erases the key, later re-insert resurrects it") {
+    val recs = Seq(
+      // key 1: insert → delete (latest) → gone
+      (1L, 10, "O", "U"), (1L, 20, "O", "D"),
+      // key 2: insert → delete → RE-INSERT after the delete → present
+      (2L, 10, "O", "U"), (2L, 20, "O", "D"), (2L, 30, "F", "U"),
+      // key 3: plain upsert chain, no tombstone
+      (3L, 10, "O", "U"), (3L, 20, "F", "U")
+    ).toDF("k", "ts", "status", "op")
+    val out = MergeOps.applyCdc(recs, "k", "ts", "op", "op")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getString(2))).toMap
+    assert(out == Map(2L -> (30, "F"), 3L -> (20, "F")))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.SparkSpecBase
+import org.apache.spark.sql.functions.col
 
 class StatsOpsSpec extends SparkSpecBase {
   import spark.implicits._
@@ -34,6 +35,30 @@ class StatsOpsSpec extends SparkSpecBase {
     val many = StatsOps.corrPairs(base.toDF("x", "y").repartition(13), Seq("x", "y"))
       .collect().head.getAs[Double]("corr")
     // bit-identical, not just close: the whole point of decimal accumulation
+    assert(one == many)
+  }
+
+  test("gini: 0 for perfect equality, (n-1)/n for total concentration") {
+    val equal = (1L to 10L).map(i => (i, 100L)).toDF("id", "v")
+    val g0 = StatsOps.gini(equal, col("v"), col("id")).collect().head
+    assert(g0.getAs[Long]("n_units") == 10L)
+    assert(g0.getAs[Double]("gini") == 0.0)
+    // one unit holds everything: G = (n-1)/n = 0.9
+    val conc = ((1L to 9L).map(i => (i, 0L)) :+ (10L, 1000L)).toDF("id", "v")
+    val g1 = StatsOps.gini(conc, col("v"), col("id")).collect().head
+    assert(g1.getAs[Double]("gini") == 0.9)
+    // all-zero measure: guarded to 0, not a divide-by-zero
+    val zero = (1L to 5L).map(i => (i, 0L)).toDF("id", "v")
+    assert(StatsOps.gini(zero, col("v"), col("id"))
+      .collect().head.getAs[Double]("gini") == 0.0)
+  }
+
+  test("gini is invariant to input partitioning") {
+    val base = (1L to 400L).map(i => (i, (i * 37L) % 101L))
+    val one = StatsOps.gini(base.toDF("id", "v").coalesce(1), col("v"), col("id"))
+      .collect().head.getAs[Double]("gini")
+    val many = StatsOps.gini(base.toDF("id", "v").repartition(13), col("v"), col("id"))
+      .collect().head.getAs[Double]("gini")
     assert(one == many)
   }
 }
