@@ -2352,6 +2352,66 @@ object SparkEntry {
         touchTypes = Seq("view", "click", "signup"), convType = "purchase",
         lookbackSec = 7L * 86400L)),
 
+    // LINEAR multi-touch attribution: per-channel + total in-window touch
+    // counts from RANGE-frame windows sharing ONE user exchange (no
+    // conversions×touches join); integer ppm credits keep the sums exact
+    "ev_attribution_linear" -> ((s, d) =>
+      graft.ops.FunnelOps.linearAttribution(
+        Tables.events(s, d), "user_id", "event_type", "ts",
+        touchTypes = Seq("view", "click", "signup"), convType = "purchase",
+        lookbackSec = 7L * 86400L)),
+
+    // gap-based sessions through Spark's NATIVE session_window operator
+    // (merging-session state machine, batch form) — oracled against the
+    // explicit lag/running-sum session reconstruction
+    "ev_session_native" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("ts2", date_trunc("second", col("ts")))
+        .groupBy(col("user_id"), session_window(col("ts2"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("session_window.start").as("session_start"),
+          col("n_events"))),
+
+    // web-crawl curation: URL extraction (regexp_extract_all) → host
+    // normalization (lowercase, strip www.) → per-domain link/doc counts;
+    // injection is deterministic so both engines see identical text
+    "t_url_hosts" -> ((s, d) => {
+      val id = col("doc_id")
+      val host = concat(
+        when(id % 2 === 0, lit("WWW.")).otherwise(lit("")),
+        lit("site"), pmod(id, lit(7)).cast("string"),
+        lit(".example"), when(id % 3 === 0, lit(".org")).otherwise(lit(".com")))
+      val injected = concat(col("text"),
+        when(id % 4 === 0,
+          concat(lit(" see https://"), host, lit("/p/"), id.cast("string")))
+          .otherwise(lit("")),
+        when(id % 6 === 0, concat(lit(" also http://"), host, lit("/q")))
+          .otherwise(lit("")))
+      Tables.documents(s, d)
+        .withColumn("inj", injected)
+        .select(col("doc_id"),
+          explode(expr("regexp_extract_all(inj, 'https?://([A-Za-z0-9.-]+)', 1)"))
+            .as("raw"))
+        .select(col("doc_id"),
+          regexp_replace(lower(col("raw")), "^www\\.", "").as("host"))
+        .groupBy("host")
+        .agg(count(lit(1)).as("n_links"), countDistinct(col("doc_id")).as("n_docs"))
+    }),
+
+    // Q12-shaped late-shipment severity split through the shared-text tier
+    "sql_q12_late" -> ((s, d) => {
+      Seq("orders", "lineitem").foreach(tn =>
+        Tables.table(s, d, tn).createOrReplaceTempView(tn))
+      s.sql(SparkEntry.q12Sql)
+    }),
+
+    // Q14-shaped promo revenue share (join + conditional decimal ratio)
+    "sql_q14_promo" -> ((s, d) => {
+      Seq("lineitem", "part").foreach(tn =>
+        Tables.table(s, d, tn).createOrReplaceTempView(tn))
+      s.sql(SparkEntry.q14Sql)
+    }),
+
     // CUPED variance-reduced experiment readout: pre-period clicks as the
     // covariate, purchases as the metric, same hash arms as ab_ztest —
     // one per-user agg, one 1-row moments agg, scalar math after
@@ -2844,6 +2904,36 @@ object SparkEntry {
       |GROUP BY c_name, o_orderkey, o_orderdate, o_totalprice
       |ORDER BY o_totalprice DESC, o_orderkey
       |LIMIT 100""".stripMargin
+
+  /** Q12-shaped late-shipment severity split: join + conditional counts
+    * over a date-arithmetic predicate (`shipdate ≥ orderdate + 60 days`).
+    * Shared text — Spark and DuckDB run this string verbatim.
+    */
+  val q12Sql: String =
+    """SELECT l_linestatus,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM orders
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE l_shipdate >= o_orderdate + INTERVAL 60 DAY
+      |  AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY l_linestatus""".stripMargin
+
+  /** Q14-shaped promo revenue share: dimension join + conditional decimal
+    * revenue ratio, one scalar row. Shared text; the two decimal sums are
+    * exact, the one double division runs in identical op order.
+    */
+  val q14Sql: String =
+    """SELECT round(CAST(SUM(CASE WHEN p_type = 'PROMO'
+      |                 THEN CAST(l_extendedprice AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+      |                 ELSE CAST(0 AS DECIMAL(10,2)) END) AS DOUBLE) * 100.0
+      |             / CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 6) AS promo_revenue_pct,
+      |       CAST(COUNT(*) AS BIGINT) AS n_lines
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'""".stripMargin
 
   /** TPC-H Q5-shaped 6-table star join — the join-reorder / broadcast-
     * selection stress query of the shared-text tier; revenue rides exact
@@ -4607,6 +4697,58 @@ object SparkEntry {
          |SELECT doc_id, source, rn,
          |       ROW_NUMBER() OVER (ORDER BY rn, source, doc_id) AS seq
          |FROM r""".stripMargin,
+
+    "ev_attribution_linear" -> graft.ops.FunnelOps.linearAttributionOracleSql(
+      "events", "user_id", "event_type", "ts",
+      touchTypes = Seq("view", "click", "signup"), convType = "purchase",
+      lookbackSec = 7L * 86400L),
+
+    "ev_session_native" ->
+      """WITH e AS (
+        |  SELECT user_id, date_trunc('second', ts) AS ts2, event_id FROM events
+        |), s AS (
+        |  SELECT user_id, ts2, event_id,
+        |         CASE WHEN prev IS NULL
+        |                OR epoch(ts2) - epoch(prev) >= 1800 THEN 1 ELSE 0 END AS is_new
+        |  FROM (SELECT *, lag(ts2) OVER (PARTITION BY user_id ORDER BY ts2, event_id) AS prev
+        |        FROM e)
+        |), g AS (
+        |  SELECT user_id, ts2,
+        |         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts2, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM s
+        |)
+        |SELECT user_id, MIN(ts2) AS session_start, CAST(count(*) AS BIGINT) AS n_events
+        |FROM g GROUP BY user_id, sid""".stripMargin,
+
+    "t_url_hosts" ->
+      """WITH inj AS (
+        |  SELECT doc_id,
+        |         text
+        |         || CASE WHEN doc_id % 4 = 0 THEN ' see https://'
+        |              || CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END
+        |              || 'site' || CAST(doc_id % 7 AS VARCHAR) || '.example'
+        |              || CASE WHEN doc_id % 3 = 0 THEN '.org' ELSE '.com' END
+        |              || '/p/' || CAST(doc_id AS VARCHAR) ELSE '' END
+        |         || CASE WHEN doc_id % 6 = 0 THEN ' also http://'
+        |              || CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END
+        |              || 'site' || CAST(doc_id % 7 AS VARCHAR) || '.example'
+        |              || CASE WHEN doc_id % 3 = 0 THEN '.org' ELSE '.com' END
+        |              || '/q' ELSE '' END
+        |         AS t
+        |  FROM documents
+        |), u AS (
+        |  SELECT doc_id,
+        |         unnest(regexp_extract_all(t, 'https?://([A-Za-z0-9.-]+)', 1)) AS raw
+        |  FROM inj
+        |)
+        |SELECT regexp_replace(lower(raw), '^www\.', '') AS host,
+        |       CAST(count(*) AS BIGINT) AS n_links,
+        |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM u GROUP BY 1""".stripMargin,
+
+    "sql_q12_late" -> q12Sql,
+    "sql_q14_promo" -> q14Sql,
 
     "ab_cuped" -> graft.ops.ExperimentOps.cupedOracleSql(
       s"""  SELECT CASE WHEN ${permilleHashSql("user_id", ":ab", 1000L)} < 500

@@ -224,6 +224,89 @@ object FunnelOps {
         round(expr("percentile(lat, 0.9D)"), 6).as("p90_sec"))
   }
 
+  /** LINEAR multi-touch attribution: each conversion splits one unit of
+    * credit equally over ALL touches inside its lookback window (vs
+    * [[lastTouchAttribution]]'s winner-takes-all). Unattributed
+    * conversions (no touch in window) credit "(none)" in full.
+    *
+    * Credits are integer parts-per-million (`1e6 · n_channel ÷ k`,
+    * truncating integer division) so the per-channel totals are exact
+    * integer sums — order-independent, partition-invariant, and mirrored
+    * exactly by the oracle; a double `1/k` sum would drift with
+    * aggregation order.
+    *
+    * Scale shape: NO conversions×touches join — per-channel and total
+    * in-window touch counts come from |channels|+1 RANGE-frame windowed
+    * counts sharing ONE (user) exchange and sort; the credit stack is
+    * executor-side (one Expand), then a |channels|-sized hash-agg.
+    */
+  def linearAttribution(
+      events: DataFrame, userCol: String, typeCol: String, tsCol: String,
+      touchTypes: Seq[String], convType: String, lookbackSec: Long): DataFrame = {
+    require(touchTypes.nonEmpty, "need at least one touch type")
+    require(lookbackSec > 0, "lookbackSec must be positive")
+    val sec = unix_timestamp(ts2(tsCol))
+    val isTouch = col(typeCol).isin(touchTypes: _*)
+    // RANGE frame on the integer second axis: value-based, so tie
+    // handling (a touch at the conversion's own second is OUTSIDE the
+    // [-L, -1] frame) is identical on both engines
+    val wr = Window.partitionBy(col(userCol)).orderBy(col("_sec"))
+      .rangeBetween(-lookbackSec, -1)
+    val counted = events
+      .select(col(userCol), col(typeCol), sec.as("_sec"))
+      .select(col(typeCol) +: count(when(isTouch, 1)).over(wr).as("_k") +:
+        touchTypes.map(c =>
+          count(when(col(typeCol) === c, 1)).over(wr).as(s"_c_$c")): _*)
+      .filter(col(typeCol) === convType)
+    val credits = touchTypes.map(c =>
+      struct(lit(c).as("channel"),
+        when(col("_k") > 0, expr(s"1000000L * `_c_$c` div _k")).otherwise(lit(0L))
+          .as("credit"))) :+
+      struct(lit("(none)").as("channel"),
+        when(col("_k") === 0, lit(1000000L)).otherwise(lit(0L)).as("credit"))
+    counted
+      .select(explode(array(credits: _*)).as("e"))
+      .select(col("e.channel").as("channel"), col("e.credit").as("credit"))
+      .groupBy("channel")
+      .agg(sum("credit").as("credit_ppm"),
+        sum(when(col("credit") > 0, 1L).otherwise(0L)).as("n_conv_touched"))
+      .filter(col("credit_ppm") > 0)
+  }
+
+  /** DuckDB mirror of [[linearAttribution]] — generated from the same
+    * channel list so the credit stack can't drift. */
+  def linearAttributionOracleSql(
+      table: String, userCol: String, typeCol: String, tsCol: String,
+      touchTypes: Seq[String], convType: String, lookbackSec: Long): String = {
+    val touches = touchTypes.map(t => s"'$t'").mkString(", ")
+    val chanCounts = touchTypes.zipWithIndex.map { case (c, i) =>
+      s"count(CASE WHEN $typeCol = '$c' THEN 1 END) OVER wr AS c$i"
+    }.mkString(",\n       |         ")
+    val stack = touchTypes.zipWithIndex.map { case (c, i) =>
+      s"SELECT '$c' AS channel, CASE WHEN k > 0 THEN 1000000 * c$i // k ELSE 0 END AS credit FROM conv"
+    }.mkString("\n       |  UNION ALL ") +
+      s"\n       |  UNION ALL SELECT '(none)', CASE WHEN k = 0 THEN 1000000 ELSE 0 END FROM conv"
+    s"""WITH e AS (
+       |  SELECT $userCol, $typeCol,
+       |         CAST(epoch(date_trunc('second', $tsCol)) AS BIGINT) AS sec
+       |  FROM $table
+       |), conv AS (
+       |  SELECT * FROM (
+       |    SELECT $typeCol,
+       |         count(CASE WHEN $typeCol IN ($touches) THEN 1 END) OVER wr AS k,
+       |         $chanCounts
+       |    FROM e
+       |    WINDOW wr AS (PARTITION BY $userCol ORDER BY sec
+       |                  RANGE BETWEEN $lookbackSec PRECEDING AND 1 PRECEDING)
+       |  ) WHERE $typeCol = '$convType'
+       |), credits AS (
+       |  $stack
+       |)
+       |SELECT channel, CAST(SUM(credit) AS BIGINT) AS credit_ppm,
+       |       CAST(SUM(CASE WHEN credit > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_conv_touched
+       |FROM credits GROUP BY 1 HAVING SUM(credit) > 0""".stripMargin
+  }
+
   /** 3-step behavioral path mining ("what do users do next"): every
     * consecutive (s1 → s2 → s3) event-type trigram per user, counted
     * corpus-wide — the sequence-pattern table behind sankey/next-action

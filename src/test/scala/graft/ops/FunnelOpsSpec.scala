@@ -131,6 +131,30 @@ class FunnelOpsSpec extends SparkSpecBase {
     assert(out.size == 2) // the untouched conversion contributes no channel
   }
 
+  test("linearAttribution splits ppm credit equally over in-window touches") {
+    // u1 converts after 1 view + 2 clicks → view 333333, click 666666
+    // u2 converts with no touch → (none) 1000000
+    // u3's view is outside the 1h lookback → (none)
+    val e = Seq(
+      (1L, 1L, "view", ts(1)), (2L, 1L, "click", ts(2)), (3L, 1L, "click", ts(3)),
+      (4L, 1L, "buy", ts(4)),
+      (5L, 2L, "buy", ts(1)),
+      (6L, 3L, "view", ts(1)), (7L, 3L, "buy", ts(3))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val narrow = FunnelOps.linearAttribution(
+      e.filter($"user_id" =!= 3L), "user_id", "event_type", "ts",
+      touchTypes = Seq("view", "click"), convType = "buy", lookbackSec = 3600L)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(narrow == Map(
+      "view" -> (333333L, 1L), "click" -> (666666L, 1L), "(none)" -> (1000000L, 1L)))
+    // 61s lookback: u3's view at :01 is 120s before the :03 buy → excluded
+    val out3 = FunnelOps.linearAttribution(
+      e.filter($"user_id" === 3L), "user_id", "event_type", "ts",
+      touchTypes = Seq("view", "click"), convType = "buy", lookbackSec = 61L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out3 == Map("(none)" -> 1000000L))
+  }
+
   test("pathTrigrams counts consecutive per-user 3-step paths, overlapping") {
     // u1: v,c,b → 1 trigram; u2: v,c,v,b → (v,c,v) and (c,v,b);
     // u3: only 2 events → none
