@@ -2352,6 +2352,34 @@ object SparkEntry {
         touchTypes = Seq("view", "click", "signup"), convType = "purchase",
         lookbackSec = 7L * 86400L)),
 
+    // MMR diversity re-rank over SQ8 candidates: greedy λ=0.5 selection,
+    // every compared score from exact integer dots, k−1 bounded join
+    // rounds on the |queries|·nCand table — greedy made oracle-able
+    "sim_mmr_rerank" -> ((s, d) =>
+      Quantized.mmrRerank(t(s, d, "embeddings"), "vec_id", "embedding",
+        nQueries = 6, nCand = 8, k = 4)),
+
+    // expected calibration error: the Σ|Σy−Σscore|/N reduction keeps every
+    // term exact-decimal until one final division
+    "ml_ece" -> ((s, d) => {
+      val scored = t(s, d, "orders").select(
+        (col("o_totalprice") / 600000.0).as("score"),
+        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0).as("y"))
+      graft.ml.Metrics.ece(scored, "score", "y", 10)
+    }),
+
+    // pipeline-health freshness: per-type last-arrival lag vs the global
+    // max — the "is a source stalled" monitoring readout; one hash-agg,
+    // one window over the |types|-sized result
+    "dq_freshness" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          unix_timestamp(date_trunc("second", col("ts"))).as("_sec"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), max("_sec").as("last_sec"))
+        .withColumn("staleness_sec",
+          max(col("last_sec")).over(Window.partitionBy()) - col("last_sec"))),
+
     // LINEAR multi-touch attribution: per-channel + total in-window touch
     // counts from RANGE-frame windows sharing ONE user exchange (no
     // conversions×touches join); integer ppm credits keep the sums exact
@@ -4697,6 +4725,40 @@ object SparkEntry {
          |SELECT doc_id, source, rn,
          |       ROW_NUMBER() OVER (ORDER BY rn, source, doc_id) AS seq
          |FROM r""".stripMargin,
+
+    "sim_mmr_rerank" -> Quantized.mmrRerankOracleSql(
+      "embeddings", "vec_id", "embedding",
+      dim = 64, nQueries = 6, nCand = 8, k = 4),
+
+    "ml_ece" ->
+      """WITH s AS (
+        |  SELECT round(o_totalprice / 600000.0, 6) AS sr,
+        |         CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END AS y
+        |  FROM orders
+        |), b AS (
+        |  SELECT CAST(LEAST(GREATEST(FLOOR(sr * 10), 0), 9) AS INTEGER) AS bin,
+        |         count(*) AS n,
+        |         CAST(SUM(y) AS DECIMAL(28,6)) AS sy,
+        |         SUM(CAST(sr AS DECIMAL(28,6))) AS ss
+        |  FROM s GROUP BY 1
+        |)
+        |SELECT CAST(SUM(n) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS n_bins,
+        |       round(CAST(SUM(abs(sy - ss)) AS DOUBLE) / CAST(SUM(n) AS DOUBLE), 6) AS ece
+        |FROM b""".stripMargin,
+
+    "dq_freshness" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |         CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec
+        |  FROM events
+        |), t AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |         MAX(sec) AS last_sec
+        |  FROM e GROUP BY 1
+        |)
+        |SELECT event_type, n_events, last_sec,
+        |       MAX(last_sec) OVER () - last_sec AS staleness_sec
+        |FROM t""".stripMargin,
 
     "ev_attribution_linear" -> graft.ops.FunnelOps.linearAttributionOracleSql(
       "events", "user_id", "event_type", "ts",

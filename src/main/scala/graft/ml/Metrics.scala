@@ -228,6 +228,31 @@ object Metrics {
         round(sum(col("_y")).cast("double") / count(lit(1)), 6).as("frac_pos"))
   }
 
+  /** Expected calibration error over the same equal-width bins as
+    * [[calibrationBins]]: `ECE = Σ_b (n_b/N)·|acc_b − conf_b|`. The per-bin
+    * means cancel against the weights, so the whole statistic reduces to
+    * `Σ_b |Σy_b − Σscore_b| / N` — every term an EXACT decimal until the
+    * single final division, hence bit-identical across engines and
+    * partitionings (a naive weighted-mean form would drift in the per-bin
+    * double divisions).
+    */
+  def ece(scored: DataFrame, scoreCol: String, labelCol: String, bins: Int): DataFrame = {
+    require(bins > 0, "ece needs bins > 0")
+    val sr = round(col(scoreCol), 6)
+    val bin = least(greatest(floor(sr * bins), lit(0.0)), lit((bins - 1).toDouble)).cast("int")
+    scored
+      .select(sr.as("_sr"), col(labelCol).cast("long").as("_y"), bin.as("bin"))
+      .groupBy("bin")
+      .agg(
+        count(lit(1)).as("_n"),
+        sum(col("_y")).cast("decimal(28,6)").as("_sy"),
+        sum(col("_sr").cast("decimal(28,6)")).as("_ss"))
+      .agg(
+        sum("_n").as("n"), count(lit(1)).as("n_bins"),
+        round(sum(abs(col("_sy") - col("_ss"))).cast("double") /
+          sum("_n").cast("double"), 6).as("ece"))
+  }
+
   /** Decile lift & cumulative-gain table: rank by score descending (ties
     * broken by `idCol`), split into `k` near-equal buckets by GLOBAL row
     * number, and report each bucket's positive rate relative to the base

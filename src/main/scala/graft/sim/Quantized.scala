@@ -271,4 +271,144 @@ object Quantized {
        |  FROM bf JOIN pq ON bf.query_id = pq.query_id AND bf.neighbor_id = pq.neighbor_id
        |  GROUP BY 1) h ON q.query_id = h.query_id""".stripMargin
   }
+
+  /** MMR (maximal marginal relevance) diversity re-rank — the RAG /
+    * search-results op that trades raw relevance for novelty: from each
+    * query's top-`nCand` candidates, greedily select `k` items maximizing
+    * `λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s)` (λ = 0.5 here, so
+    * `0.5·rel − 0.5·maxsim` — the emitted fixed-order form).
+    *
+    * A greedy sequential algorithm is normally un-oracle-able; here every
+    * compared quantity derives from EXACT integer SQ8 dots (one fixed-shape
+    * double division per pair), so both engines compute bit-identical
+    * scores and the argmax (vid-tiebroken) is deterministic — the oracle
+    * replays the greedy loop as `k` generated CTE steps.
+    *
+    * Scale shape: candidate selection is the [[sq8TopK]] shape (corpus
+    * never shuffled, queries broadcast); the greedy loop then runs on the
+    * |queries|·nCand candidate table and its |queries|·nCand² pair table —
+    * bounded by parameters, never by corpus size. k−1 bounded join rounds,
+    * the Pregel-unrolled pattern of `g_pagerank3`.
+    *
+    * Output: (query_id, step, sel_id, score) — step 1's score is the plain
+    * relevance, later steps the MMR score, both rounded at emit only.
+    */
+  def mmrRerank(emb: DataFrame, idCol: String, vecCol: String,
+                nQueries: Int, nCand: Int, k: Int): DataFrame = {
+    require(k >= 1 && nCand >= k, "need nCand >= k >= 1")
+    val codes = scaled(emb, idCol, vecCol)
+      .select(col("vid"), sq8Codes(col("e"), col("scale")).as("q"))
+      .withColumn("qq", intDot(col("q"), col("q")))
+    val queries = codes.filter(col("vid") < nQueries)
+      .select(col("vid").as("query_id"), col("q").as("qa"), col("qq").as("qaa"))
+    val candW = Window.partitionBy("query_id").orderBy(desc("rel"), asc("vid"))
+    val cand = codes
+      .join(broadcast(queries), col("query_id") =!= col("vid"))
+      .withColumn("rel",
+        when(col("qaa") === 0L || col("qq") === 0L, lit(null))
+          .otherwise(intDot(col("qa"), col("q")).cast("double") /
+            (sqrt(col("qaa").cast("double")) * sqrt(col("qq").cast("double")))))
+      .filter(col("rel").isNotNull)
+      .withColumn("_rk", row_number().over(candW))
+      .filter(col("_rk") <= nCand)
+      .select(col("query_id"), col("vid"), col("q"), col("qq"), col("rel"))
+      .cache()
+    val pairs = cand.select(col("query_id"), col("vid").as("aid"),
+        col("q").as("qa2"), col("qq").as("qqa2"))
+      .join(cand.select(col("query_id"), col("vid").as("bid"),
+        col("q").as("qb2"), col("qq").as("qqb2")), Seq("query_id"))
+      .filter(col("aid") =!= col("bid"))
+      .select(col("query_id"), col("aid"), col("bid"),
+        (intDot(col("qa2"), col("qb2")).cast("double") /
+          (sqrt(col("qqa2").cast("double")) * sqrt(col("qqb2").cast("double"))))
+          .as("sim"))
+      .cache()
+    val pickW = Window.partitionBy("query_id").orderBy(desc("score"), asc("vid"))
+    var selected = cand
+      .withColumn("score", col("rel"))
+      .withColumn("_rk", row_number().over(pickW))
+      .filter(col("_rk") === 1)
+      .select(col("query_id"), col("vid").as("sel_id"), lit(1).as("step"), col("score"))
+    for (i <- 2 to k) {
+      val selSet = selected.select(col("query_id").as("_sq"), col("sel_id"))
+      val remaining = cand.join(
+        selSet.select(col("_sq").as("query_id"), col("sel_id").as("vid")),
+        Seq("query_id", "vid"), "left_anti")
+      val maxsim = pairs
+        .join(selSet, col("query_id") === col("_sq") && col("bid") === col("sel_id"))
+        .groupBy("query_id", "aid").agg(max("sim").as("maxsim"))
+      val scored = remaining
+        .join(maxsim.withColumnRenamed("aid", "vid"), Seq("query_id", "vid"))
+        .withColumn("score", lit(0.5) * col("rel") - lit(0.5) * col("maxsim"))
+        .withColumn("_rk", row_number().over(pickW))
+        .filter(col("_rk") === 1)
+        .select(col("query_id"), col("vid").as("sel_id"), lit(i).as("step"),
+          col("score"))
+      selected = selected.unionByName(scored)
+    }
+    selected.select(col("query_id"), col("step"), col("sel_id"),
+      round(col("score"), 6).as("score"))
+  }
+
+  /** DuckDB mirror of [[mmrRerank]]: the greedy loop unrolled into `k`
+    * generated CTE steps over the same exact-integer candidate/pair
+    * tables — identical scores, identical tiebreaks.
+    */
+  def mmrRerankOracleSql(table: String, idCol: String, vecCol: String,
+                         dim: Int, nQueries: Int, nCand: Int, k: Int): String = {
+    def idot(a: String, b: String): String =
+      s"list_sum(list_transform(range(1, ${dim + 1}), i -> $a[i] * $b[i]))"
+    val steps = (2 to k).map { i =>
+      val prev = i - 1
+      s"""s$i AS (
+         |  SELECT query_id, vid AS sel_id, $i AS step, score FROM (
+         |    SELECT c.query_id, c.vid, 0.5 * c.rel - 0.5 * m.maxsim AS score
+         |    FROM cand c
+         |    JOIN (SELECT p.query_id, p.aid, MAX(p.sim) AS maxsim
+         |          FROM pairs p JOIN sel$prev s
+         |            ON p.query_id = s.query_id AND p.bid = s.sel_id
+         |          GROUP BY 1, 2) m
+         |      ON c.query_id = m.query_id AND c.vid = m.aid
+         |    WHERE NOT EXISTS (SELECT 1 FROM sel$prev s2
+         |                      WHERE s2.query_id = c.query_id AND s2.sel_id = c.vid)
+         |  ) QUALIFY row_number() OVER (PARTITION BY query_id
+         |                               ORDER BY score DESC, vid ASC) = 1
+         |),
+         |sel$i AS (SELECT * FROM sel$prev UNION ALL SELECT * FROM s$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH v AS (
+       |  SELECT $idCol AS vid, CAST($vecCol AS DOUBLE[]) AS e,
+       |         list_max(list_transform(CAST($vecCol AS DOUBLE[]), x -> abs(x))) AS scale
+       |  FROM $table
+       |), qv AS (
+       |  SELECT vid,
+       |    CASE WHEN scale = 0 THEN list_transform(e, x -> CAST(0 AS BIGINT))
+       |         ELSE list_transform(e, x -> CAST(round((x * 127.0) / scale) AS BIGINT)) END AS q
+       |  FROM v
+       |), n AS (
+       |  SELECT vid, q, ${idot("q", "q")} AS qq FROM qv
+       |), cand AS (
+       |  SELECT query_id, vid, q, qq, rel FROM (
+       |    SELECT a.vid AS query_id, b.vid, b.q, b.qq,
+       |      CAST(${idot("a.q", "b.q")} AS DOUBLE) /
+       |        (sqrt(CAST(a.qq AS DOUBLE)) * sqrt(CAST(b.qq AS DOUBLE))) AS rel
+       |    FROM n a, n b
+       |    WHERE a.vid < $nQueries AND a.vid <> b.vid AND a.qq > 0 AND b.qq > 0
+       |  ) QUALIFY row_number() OVER (PARTITION BY query_id
+       |                               ORDER BY rel DESC, vid ASC) <= $nCand
+       |), pairs AS (
+       |  SELECT a.query_id, a.vid AS aid, b.vid AS bid,
+       |    CAST(${idot("a.q", "b.q")} AS DOUBLE) /
+       |      (sqrt(CAST(a.qq AS DOUBLE)) * sqrt(CAST(b.qq AS DOUBLE))) AS sim
+       |  FROM cand a JOIN cand b
+       |    ON a.query_id = b.query_id AND a.vid <> b.vid
+       |), s1 AS (
+       |  SELECT query_id, vid AS sel_id, 1 AS step, rel AS score FROM cand
+       |  QUALIFY row_number() OVER (PARTITION BY query_id
+       |                             ORDER BY rel DESC, vid ASC) = 1
+       |),
+       |sel1 AS (SELECT * FROM s1),
+       |$steps
+       |SELECT query_id, step, sel_id, round(score, 6) AS score FROM sel$k""".stripMargin
+  }
 }

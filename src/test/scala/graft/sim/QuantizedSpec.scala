@@ -68,4 +68,24 @@ class QuantizedSpec extends SparkSpecBase {
         dim = 4, m = 3, nCodes = 2, nQueries = 1, k = 1)
     }
   }
+
+  test("mmrRerank demotes an exact duplicate below a diverse candidate") {
+    // c1 and c2 are identical; c3 is equally relevant but on the other
+    // side of the query. Pure relevance would emit 1,2 first; MMR must
+    // pick the duplicate LAST: its step-2 score is 0.5·rel − 0.5·1 < the
+    // diverse candidate's 0.5·rel − 0.5·0.976
+    val mvecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),  // query
+      (1L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f, 0.0f)),  // exact dup of 1
+      (3L, Array(0.9f, -0.1f, 0.0f, 0.0f))  // same rel, diverse direction
+    ).toDF("vec_id", "embedding")
+    val out = Quantized.mmrRerank(mvecs, "vec_id", "embedding",
+      nQueries = 1, nCand = 3, k = 3)
+      .collect().sortBy(_.getAs[Int]("step"))
+    assert(out.map(_.getAs[Long]("sel_id")).toSeq == Seq(1L, 3L, 2L))
+    // step-1 score is the raw relevance; later steps are penalized
+    assert(out(0).getAs[Double]("score") > 0.99)
+    assert(out(2).getAs[Double]("score") < out(1).getAs[Double]("score"))
+  }
 }
