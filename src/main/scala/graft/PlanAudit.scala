@@ -431,7 +431,29 @@ object PlanAudit {
     "p14_unpivot" ->
       """The melt is a pure executor-side Expand: zero shuffles, zero
         |joins — each input row fans out to 4 (measure, value) rows inside
-        |the same task. ReadSchema lists only the 6 touched columns."""
+        |the same task. ReadSchema lists only the 6 touched columns.""",
+    "ev_attribution_linear" ->
+      """Linear multi-touch attribution WITHOUT the conversions×touches
+        |range join: all four per-channel in-window counts plus the total
+        |are RANGE-frame window functions sharing ONE (user) exchange and
+        |one sort — the plan shows a single Window node computing every
+        |count. The credit stack is an executor-side Expand (generate) and
+        |the final agg is |channels|-sized. At 100 TB: one keyed shuffle of
+        |events, nothing pairwise, integer credits immune to sum order.""",
+    "a19_gini" ->
+      """The concentration statistic never funnels data through one task:
+        |the fact table collapses to |customers| decimal sums, the global
+        |ascending rank is a RANGE exchange + per-partition row_number +
+        |literal offset map (GlobalRowNumber — no SinglePartition window),
+        |and the weighted sum accumulates decimal(38,0) so the one double
+        |division at the end is exact-in on any partitioning.""",
+    "sim_mmr_rerank" ->
+      """Greedy diversity re-ranking with the corpus never shuffled: the
+        |candidate stage is the SQ8 shape (queries broadcast onto the
+        |corpus scan, per-query top-N window), and every later greedy round
+        |joins only the |queries|·nCand candidate/pair tables — the plan's
+        |joins after the first window are all on parameter-bounded inputs.
+        |Integer dots make each round's argmax engine-deterministic."""
   )
 
   private def streamingPlan(spark: SparkSession, sfDir: String): String = {
