@@ -2352,6 +2352,61 @@ object SparkEntry {
         touchTypes = Seq("view", "click", "signup"), convType = "purchase",
         lookbackSec = 7L * 86400L)),
 
+    // STREAM-STREAM FULL OUTER drain: inner pairs + watermark-evicted
+    // unmatched rows from BOTH sides — the two-sided outer state machine,
+    // pinned by a batch oracle carrying both eviction predicates
+    "ev_stream_full" -> ((s, d) =>
+      graft.streaming.StreamOps
+        .streamStreamFullOuter(s, d, "graft_ev_stream_full")
+        .groupBy(coalesce(col("v_user"), col("c_user")).as("user_id"))
+        .agg(
+          count(when(col("v_id").isNotNull && col("c_id").isNotNull, 1)).as("n_pairs"),
+          sum(when(col("c_id").isNull, 1L).otherwise(0L)).as("n_unmatched_v"),
+          sum(when(col("v_id").isNull, 1L).otherwise(0L)).as("n_unmatched_c"))),
+
+    // exact higher moments per group: all four raw power sums accumulate
+    // in integer-cent decimals (one hash-agg), the normalized skewness /
+    // kurtosis formulas run scalar double math in fixed op order
+    "a20_moments" -> ((s, d) => {
+      val c = (col("o_totalprice").cast("decimal(18,2)") * 100).cast("decimal(12,0)")
+      val agg = t(s, d, "orders")
+        .select(col("o_orderstatus"), c.as("_c"),
+          (c * c).as("_c2"))
+        .withColumn("_c3", col("_c2") * col("_c"))
+        .withColumn("_c4", col("_c3") * col("_c"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum("_c").as("_s1"), sum("_c2").as("_s2"),
+          sum("_c3").as("_s3"), sum("_c4").as("_s4"))
+      def dd(s: String) = col(s).cast("double")
+      val n = dd("n"); val s1 = dd("_s1"); val s2 = dd("_s2")
+      val s3 = dd("_s3"); val s4 = dd("_s4")
+      val m = s1 / n
+      val v = s2 / n - m * m
+      agg.select(col("o_orderstatus"), col("n"),
+        when(v <= 0.0, lit(0.0)).otherwise(round(
+          (s3 / n - lit(3.0) * m * (s2 / n) + lit(2.0) * m * m * m) /
+            (v * sqrt(v)), 6)).as("skewness"),
+        when(v <= 0.0, lit(0.0)).otherwise(round(
+          (s4 / n - lit(4.0) * m * (s3 / n) + lit(6.0) * m * m * (s2 / n) -
+            lit(3.0) * m * m * m * m) / (v * v) - lit(3.0), 6)).as("kurtosis"))
+    }),
+
+    // degree distribution of the co-order part graph — the "is this graph
+    // power-law / is one hub a skew bomb" readout before any graph op
+    "g_degree_dist" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select("l_orderkey", "l_partkey")
+      val edges = li.as("a")
+        .join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        .distinct()
+      edges.select(col("src").as("node"))
+        .unionAll(edges.select(col("dst").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("degree"))
+        .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+    }),
+
     // MMR diversity re-rank over SQ8 candidates: greedy λ=0.5 selection,
     // every compared score from exact integer dots, k−1 bounded join
     // rounds on the |queries|·nCand table — greedy made oracle-able
@@ -4725,6 +4780,76 @@ object SparkEntry {
          |SELECT doc_id, source, rn,
          |       ROW_NUMBER() OVER (ORDER BY rn, source, doc_id) AS seq
          |FROM r""".stripMargin,
+
+    "ev_stream_full" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type, date_trunc('second', ts) AS ts2 FROM events
+        |), v AS (
+        |  SELECT user_id AS u, event_id AS vid, ts2 AS vt FROM ev WHERE event_type = 'view'
+        |), c AS (
+        |  SELECT user_id AS u, event_id AS cid, ts2 AS ct FROM ev WHERE event_type = 'click'
+        |), wm AS (
+        |  SELECT least((SELECT max(vt) FROM v), (SELECT max(ct) FROM c)) AS w
+        |), j AS (
+        |  SELECT coalesce(v.u, c.u) AS u, v.vid, v.vt, c.cid, c.ct
+        |  FROM v FULL JOIN c
+        |    ON v.u = c.u AND c.ct >= v.vt AND c.ct <= v.vt + INTERVAL 30 MINUTE
+        |)
+        |SELECT u AS user_id,
+        |       CAST(count(CASE WHEN vid IS NOT NULL AND cid IS NOT NULL THEN 1 END) AS BIGINT) AS n_pairs,
+        |       CAST(SUM(CASE WHEN cid IS NULL AND vt + INTERVAL 30 MINUTE < (SELECT w FROM wm)
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched_v,
+        |       CAST(SUM(CASE WHEN vid IS NULL AND ct < (SELECT w FROM wm)
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched_c
+        |FROM j GROUP BY 1
+        |HAVING count(CASE WHEN vid IS NOT NULL AND cid IS NOT NULL THEN 1 END) > 0
+        |    OR SUM(CASE WHEN cid IS NULL AND vt + INTERVAL 30 MINUTE < (SELECT w FROM wm)
+        |           THEN 1 ELSE 0 END) > 0
+        |    OR SUM(CASE WHEN vid IS NULL AND ct < (SELECT w FROM wm)
+        |           THEN 1 ELSE 0 END) > 0""".stripMargin,
+
+    "a20_moments" ->
+      """WITH b AS (
+        |  SELECT o_orderstatus,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS HUGEINT) AS c
+        |  FROM orders
+        |), m AS (
+        |  SELECT o_orderstatus, count(*) AS n,
+        |         SUM(c) AS s1, SUM(c * c) AS s2,
+        |         SUM(c * c * c) AS s3, SUM(c * c * c * c) AS s4
+        |  FROM b GROUP BY 1
+        |), dm AS (
+        |  SELECT o_orderstatus, n,
+        |         CAST(n AS DOUBLE) AS nd, CAST(s1 AS DOUBLE) AS d1,
+        |         CAST(s2 AS DOUBLE) AS d2, CAST(s3 AS DOUBLE) AS d3,
+        |         CAST(s4 AS DOUBLE) AS d4
+        |  FROM m
+        |), f AS (
+        |  SELECT o_orderstatus, n, nd, d1, d2, d3, d4,
+        |         d1 / nd AS mu,
+        |         d2 / nd - (d1 / nd) * (d1 / nd) AS v
+        |  FROM dm
+        |)
+        |SELECT o_orderstatus, CAST(n AS BIGINT) AS n,
+        |       CASE WHEN v <= 0.0 THEN 0.0
+        |            ELSE round((d3 / nd - 3.0 * mu * (d2 / nd) + 2.0 * mu * mu * mu)
+        |                       / (v * sqrt(v)), 6) END AS skewness,
+        |       CASE WHEN v <= 0.0 THEN 0.0
+        |            ELSE round((d4 / nd - 4.0 * mu * (d3 / nd) + 6.0 * mu * mu * (d2 / nd)
+        |                        - 3.0 * mu * mu * mu * mu) / (v * v) - 3.0, 6) END AS kurtosis
+        |FROM f""".stripMargin,
+
+    "g_degree_dist" ->
+      """WITH e AS (
+        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |), nodes AS (
+        |  SELECT src AS node FROM e UNION ALL SELECT dst FROM e
+        |), deg AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS degree FROM nodes GROUP BY 1
+        |)
+        |SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes FROM deg GROUP BY 1""".stripMargin,
 
     "sim_mmr_rerank" -> Quantized.mmrRerankOracleSql(
       "embeddings", "vec_id", "embedding",

@@ -249,6 +249,39 @@ object StreamOps {
     runToCompletion(joined, queryName, OutputMode.Append(), statePartitions)
   }
 
+  /** STREAM-STREAM FULL OUTER join — completes the join family: inner
+    * pairs emit immediately; unmatched LEFT rows emit once the watermark
+    * passes `v_ts + within` (no future right row can match); unmatched
+    * RIGHT rows emit once it passes `c_ts` (candidate lefts must satisfy
+    * `v_ts ≤ c_ts`, and future lefts are younger than the watermark).
+    * Both eviction predicates are mirrored in the declared query's batch
+    * oracle, so the two-sided outer state machine is hash-checkable.
+    * Same single-micro-batch invariant as [[streamStreamLeftOuter]].
+    */
+  def streamStreamFullOuter(
+      spark: SparkSession, dir: String, queryName: String,
+      leftType: String = "view", rightType: String = "click",
+      within: String = "30 minutes", delay: String = "0 seconds",
+      statePartitions: Option[Int] = Some(8)
+  ): DataFrame = {
+    val ev = eventsStream(spark, dir)
+      .withColumn("ts", date_trunc("second", col("ts")))
+    val l = ev.filter(col("event_type") === leftType)
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("v_id"))
+      .withWatermark("v_ts", delay)
+    val r = ev.filter(col("event_type") === rightType)
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("c_id"))
+      .withWatermark("c_ts", delay)
+    val joined = l.join(r,
+      col("v_user") === col("c_user") &&
+        col("c_ts") >= col("v_ts") &&
+        col("c_ts") <= col("v_ts") + expr(s"INTERVAL $within"),
+      "fullOuter")
+    runToCompletion(joined, queryName, OutputMode.Append(), statePartitions)
+  }
+
   /** Streaming exact dedup (the streaming face of `Dedup.exactGroups`):
     * drop events whose key was already seen within the watermark horizon.
     * `dropDuplicatesWithinWatermark` keeps one state entry per key and

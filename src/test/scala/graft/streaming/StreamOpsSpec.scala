@@ -156,6 +156,23 @@ class StreamOpsSpec extends SparkSpecBase {
       "streaming state-machine attribution diverges from the batch window form")
   }
 
+  test("full-outer drain restricted to left rows equals the left-outer drain") {
+    // the two-sided state machine must not change the one-sided answer:
+    // inner pairs + evicted-unmatched-left rows are identical; full outer
+    // only ADDS evicted-unmatched-right rows
+    def key(r: org.apache.spark.sql.Row) =
+      (Option(r.getAs[java.lang.Long]("v_id")).map(_.longValue),
+        Option(r.getAs[java.lang.Long]("c_id")).map(_.longValue))
+    val lo = StreamOps.streamStreamLeftOuter(spark, sfDir, "spec_fo_left")
+      .collect().map(key).toSeq.sorted
+    val fo = StreamOps.streamStreamFullOuter(spark, sfDir, "spec_fo_full")
+      .collect()
+    val foLeft = fo.filter(r => !r.isNullAt(r.fieldIndex("v_id")))
+      .map(key).toSeq.sorted
+    assert(foLeft == lo)
+    assert(fo.exists(r => r.isNullAt(r.fieldIndex("v_id")))) // right evictions present
+  }
+
   test("RocksDB state store: the drain answer is provider-independent") {
     // a production deployment sizes state with RocksDB instead of the
     // default HDFS-backed in-memory maps; the answer must not depend on
