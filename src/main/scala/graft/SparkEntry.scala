@@ -2352,6 +2352,62 @@ object SparkEntry {
         touchTypes = Seq("view", "click", "signup"), convType = "purchase",
         lookbackSec = 7L * 86400L)),
 
+    // KMV mergeability as data: per-shard k-min sets union + re-truncate
+    // to the SAME k-th minimum as the whole stream — the property that
+    // lets executors sketch shards and the reduce combine k-sized sets
+    "sk_kmv_merge" -> ((s, d) =>
+      graft.sketch.Sketches.kmvMerge(t(s, d, "orders"), "o_custkey")),
+
+    // class-balanced training batches: per-label rank via GlobalRowNumber
+    // minus broadcast offsets (no per-label window funnel), batch id =
+    // (rank−1) mod B — every batch carries an equal slice of each class
+    "o16_balanced_batches" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").select(
+        col("vec_id"), col("label"),
+        permilleHash1M(col("vec_id"), ":bb4").as("_h"))
+      val g = graft.ops.GlobalRowNumber.withRowNumber(
+        emb, "_grn", col("label"), col("_h"), col("vec_id"))
+      val offs = g.groupBy("label").agg((min(col("_grn")) - 1L).as("_off"))
+      g.join(broadcast(offs), "label")
+        .withColumn("batch", pmod(col("_grn") - col("_off") - 1L, lit(8L)))
+        .groupBy("batch", "label").agg(count(lit(1)).as("n"))
+    }),
+
+    // dynamic partition overwrite: rewrite ONLY the partitions present in
+    // the incoming frame (the lakehouse backfill primitive) — 'F' is
+    // replaced by a half-sized slice, other partitions must survive
+    "s16_dynamic_overwrite" -> ((s, d) => {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_s16_${new java.io.File(d).getName}"
+      val orders = t(s, d, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+      orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(base)
+      val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try orders
+        .filter(col("o_orderstatus") === "F" &&
+          permilleHash(col("o_orderkey"), ":dow4") < 500)
+        .write.mode("overwrite").partitionBy("o_orderstatus").parquet(base)
+      finally prev match {
+        case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      s.read.parquet(base)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sum_price"))
+    }),
+
+    // dynamic two-phase pivot: distinct pivot values discovered at runtime
+    // (one k-row job), then the same one-pass pivot aggregate — the
+    // pattern for pivoting a column whose domain isn't known upfront
+    "p15_dynamic_pivot" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      val vals = orders.select("o_orderpriority").distinct()
+        .collect().map(_.getString(0)).sorted.toSeq
+      orders.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", vals)
+        .agg(count(lit(1)))
+        .na.fill(0L)
+    }),
+
     // STREAM-STREAM FULL OUTER drain: inner pairs + watermark-evicted
     // unmatched rows from BOTH sides — the two-sided outer state machine,
     // pinned by a batch oracle carrying both eviction predicates
@@ -4780,6 +4836,38 @@ object SparkEntry {
          |SELECT doc_id, source, rn,
          |       ROW_NUMBER() OVER (ORDER BY rn, source, doc_id) AS seq
          |FROM r""".stripMargin,
+
+    "sk_kmv_merge" -> graft.sketch.Sketches.kmvMergeOracleSql("o_custkey", "orders"),
+
+    "o16_balanced_batches" ->
+      s"""WITH h AS (
+         |  SELECT vec_id, label,
+         |         ${permilleHashSql("vec_id", ":bb4", 1000000L)} AS hh
+         |  FROM embeddings
+         |), r AS (
+         |  SELECT label,
+         |         row_number() OVER (PARTITION BY label ORDER BY hh, vec_id) AS rn
+         |  FROM h
+         |)
+         |SELECT (rn - 1) % 8 AS batch, label, CAST(count(*) AS BIGINT) AS n
+         |FROM r GROUP BY 1, 2""".stripMargin,
+
+    "s16_dynamic_overwrite" ->
+      s"""SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS cnt,
+         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         |FROM orders
+         |WHERE o_orderstatus <> 'F'
+         |   OR (${permilleHashSql("o_orderkey", ":dow4", 1000)}) < 500
+         |GROUP BY 1""".stripMargin,
+
+    "p15_dynamic_pivot" ->
+      """SELECT o_orderstatus,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS "1-URGENT",
+        |  CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS "2-HIGH",
+        |  CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS "3-MEDIUM",
+        |  CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS "4-NOT SPECIFIED",
+        |  CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS "5-LOW"
+        |FROM orders GROUP BY 1""".stripMargin,
 
     "ev_stream_full" ->
       """WITH ev AS (

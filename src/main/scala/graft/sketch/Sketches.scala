@@ -176,6 +176,70 @@ object Sketches {
        |         / CAST(kth.kth_hash AS DOUBLE) AS kmv_est
        |FROM ex CROSS JOIN kth""".stripMargin
 
+  /** KMV MERGEABILITY as data — the distinct-count analog of
+    * [[cmsMerge]]'s linearity row: each shard keeps only its k smallest
+    * distinct hashes, the shard sketches union and re-truncate to k, and
+    * the merged k-th minimum must equal the whole-stream k-th minimum
+    * EXACTLY (the global k-th smallest hash lives inside some shard's
+    * top-k, so truncation loses nothing). This is the property that lets
+    * executors sketch shards independently and the reduce combine k-sized
+    * sets, never rows. Output one row:
+    * `(n_shards, kth_hash_full, kth_hash_merged, n_mismatch)` with
+    * n_mismatch = 0 hash-checked.
+    */
+  def kmvMerge(df: DataFrame, keyCol: String, k: Int = 64, shards: Int = 8,
+               salt: String = ":kmv", shardSalt: String = ":kshard"): DataFrame = {
+    val hashed = df.select(
+      TextOps.md5Hash60(concat(col(keyCol).cast("string"), lit(salt))).as("h"),
+      pmod(TextOps.md5Hash60(concat(col(keyCol).cast("string"), lit(shardSalt))),
+        lit(shards.toLong)).as("shard"))
+    // whole-stream k-th minimum over distinct hashes
+    val kthFull = hashed.select("h").distinct()
+      .orderBy(col("h")).limit(k).agg(max(col("h")).as("kth_hash_full"))
+    // per-shard k smallest distinct hashes → union → re-truncate to k
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("h"))
+    val shardTopK = hashed.distinct()
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .select("h").distinct() // a hash may appear in several shards' sets
+    val kthMerged = shardTopK
+      .orderBy(col("h")).limit(k).agg(max(col("h")).as("kth_hash_merged"))
+    kthFull.crossJoin(kthMerged).select(
+      lit(shards.toLong).as("n_shards"),
+      col("kth_hash_full"), col("kth_hash_merged"),
+      when(col("kth_hash_full") === col("kth_hash_merged"), 0L).otherwise(1L)
+        .as("n_mismatch"))
+  }
+
+  /** DuckDB mirror of [[kmvMerge]]. */
+  def kmvMergeOracleSql(keySql: String, fromSql: String, k: Int = 64,
+                        shards: Int = 8, salt: String = ":kmv",
+                        shardSalt: String = ":kshard"): String = {
+    def h60(s: String, slt: String) =
+      s"CAST(concat('0x', substr(md5(concat(CAST($s AS VARCHAR), '$slt')), 1, 15)) AS BIGINT)"
+    s"""WITH hs AS (
+       |  SELECT ${h60(keySql, salt)} AS h,
+       |         ${h60(keySql, shardSalt)} % $shards AS shard
+       |  FROM $fromSql
+       |),
+       |kf AS (SELECT max(h) AS kth_hash_full
+       |       FROM (SELECT h FROM (SELECT DISTINCT h FROM hs) ORDER BY h LIMIT $k)),
+       |st AS (
+       |  SELECT DISTINCT h FROM (
+       |    SELECT h, row_number() OVER (PARTITION BY shard ORDER BY h) AS rn
+       |    FROM (SELECT DISTINCT h, shard FROM hs)
+       |  ) WHERE rn <= $k
+       |),
+       |km AS (SELECT max(h) AS kth_hash_merged
+       |       FROM (SELECT h FROM st ORDER BY h LIMIT $k))
+       |SELECT CAST($shards AS BIGINT) AS n_shards,
+       |       kf.kth_hash_full, km.kth_hash_merged,
+       |       CASE WHEN kf.kth_hash_full = km.kth_hash_merged
+       |            THEN CAST(0 AS BIGINT) ELSE CAST(1 AS BIGINT) END AS n_mismatch
+       |FROM kf CROSS JOIN km""".stripMargin
+  }
+
   // ------------------------------------------------------------------
   // Bloom membership
   // ------------------------------------------------------------------

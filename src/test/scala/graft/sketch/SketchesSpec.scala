@@ -90,4 +90,16 @@ class SketchesSpec extends SparkSpecBase {
       .distinct().count()
     assert(bits <= 4096L)
   }
+
+  test("kmvMerge: per-shard truncation loses nothing, for any shard count") {
+    import spark.implicits._
+    val keys = (1L to 500L).toDF("k")
+    for (shards <- Seq(1, 4, 16)) {
+      val r = Sketches.kmvMerge(keys, "k", k = 32, shards = shards)
+        .collect().head
+      assert(r.getAs[Long]("n_mismatch") == 0L,
+        s"merged kth != full kth at shards=$shards")
+      assert(r.getAs[Long]("kth_hash_full") == r.getAs[Long]("kth_hash_merged"))
+    }
+  }
 }
