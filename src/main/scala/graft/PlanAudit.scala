@@ -453,7 +453,36 @@ object PlanAudit {
         |corpus scan, per-query top-N window), and every later greedy round
         |joins only the |queries|·nCand candidate/pair tables — the plan's
         |joins after the first window are all on parameter-bounded inputs.
-        |Integer dots make each round's argmax engine-deterministic."""
+        |Integer dots make each round's argmax engine-deterministic.""",
+    "sk_kmv_merge" ->
+      """Sketch mergeability exercised as a plan: the per-shard k-min pass
+        |is ONE hash exchange on (shard) with a window row_number bounded
+        |by k, and everything downstream of the truncation operates on
+        |≤ shards·k rows — the whole-stream side exists only to prove
+        |equality. On a cluster the shard pass IS the executor-local
+        |sketch; the reduce combines k-sized sets, never rows.""",
+    "o16_balanced_batches" ->
+      """Class-balanced batch assignment without a per-label single-reducer
+        |window: GlobalRowNumber contributes a RANGE exchange on
+        |(label, hash) + per-partition row_number + a literal cumulative-
+        |count offset map, and the per-label min-rank offsets come back via
+        |one BroadcastHashJoin. No SinglePartition anywhere: batch ids for
+        |10^10 training rows cost one range shuffle and a P-row driver map.""",
+    "s16_dynamic_overwrite" ->
+      """The read-back scan after the dynamic-partition overwrite shows the
+        |hive-style partition layout (o_orderstatus as a partition column in
+        |`PartitionFilters`-capable position): the incoming half-slice of
+        |'F' replaced ONLY that directory — the plan's scan enumerates the
+        |surviving partitions, proving backfills rewrite their partitions
+        |and nothing else. At 100 TB a day-level backfill touches one day's
+        |files, not the table.""",
+    "p15_dynamic_pivot" ->
+      """Two-phase runtime pivot: the values-discovery job is a distinct on
+        |ONE column (scan prunes to o_orderpriority, partial-agg before its
+        |exchange), and the main job is a single hash aggregate whose pivot
+        |branches are literal CASE arms — the unknown-domain pivot costs
+        |one k-row job plus the same one-pass agg a static pivot gets;
+        |never a per-value scan."""
   )
 
   private def streamingPlan(spark: SparkSession, sfDir: String): String = {
