@@ -2408,6 +2408,51 @@ object SparkEntry {
         .na.fill(0L)
     }),
 
+    // 2-D Pareto frontier: customers no other customer beats on BOTH total
+    // spend and order count — bucket-chain skyline (hash exchange + B-row
+    // broadcast), never a self θ-join or single-reducer sort
+    "a21_skyline" -> ((s, d) => {
+      val agg = t(s, d, "orders").groupBy(col("o_custkey"))
+        .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+          .as("spend_cents"),
+          count(lit(1)).as("n_orders"))
+      graft.ops.Skyline.frontier2D(agg, "spend_cents", "n_orders",
+        keep = Seq("o_custkey"), bucketWidth = 1000000L)
+    }),
+
+    // frequent co-ordered part pairs (market-basket support counts): the
+    // self-join is co-partitioned on the order key and baskets are
+    // bounded, so pair cardinality is Σ per-order C(items,2), not n²
+    "a22_itemsets" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("k"), col("l_partkey").as("p")).distinct()
+      li.as("a").join(li.as("b"),
+          col("a.k") === col("b.k") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("part_a"), col("b.p").as("part_b"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 2)
+    }),
+
+    // per-source contribution quota (crawl-style capping): keep at most k
+    // docs per source in deterministic hash order — rides the native
+    // bounded-heap TopKPerKey operator, not a full per-source sort
+    "o17_source_quota" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(
+        col("doc_id"), col("source"),
+        permilleHash1M(col("doc_id"), ":qta4").as("_h"))
+      graft.plans.TopKPerKey(docs, Seq("source"),
+          Seq(col("_h").asc, col("doc_id").asc), 10)
+        .select("source", "doc_id")
+    }),
+
+    // sorted-neighborhood blocking (merge/purge): global order by a text
+    // prefix key via GlobalRowNumber, compare each doc to its w−1
+    // successors — the deterministic-recall counterpart to LSH
+    "d_sorted_neighbors" -> ((s, d) =>
+      graft.dedup.Dedup.sortedNeighborPairs(
+        t(s, d, "documents"), "doc_id", "text",
+        window = 4, keyLen = 12, threshold = 0.2)),
+
     // STREAM-STREAM FULL OUTER drain: inner pairs + watermark-evicted
     // unmatched rows from BOTH sides — the two-sided outer state machine,
     // pinned by a batch oracle carrying both eviction predicates
@@ -4868,6 +4913,35 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS "4-NOT SPECIFIED",
         |  CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS "5-LOW"
         |FROM orders GROUP BY 1""".stripMargin,
+
+    "a21_skyline" -> graft.ops.Skyline.frontier2DOracleSql(
+      aggCte = """SELECT o_custkey,
+                 |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS spend_cents,
+                 |  COUNT(*) AS n_orders
+                 |FROM orders GROUP BY 1""".stripMargin,
+      idSql = "o_custkey", xSql = "spend_cents", ySql = "n_orders"),
+
+    "a22_itemsets" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem)
+        |SELECT a.p AS part_a, b.p AS part_b, CAST(count(*) AS BIGINT) AS support
+        |FROM li a JOIN li b ON a.k = b.k AND a.p < b.p
+        |GROUP BY 1, 2
+        |HAVING count(*) >= 2""".stripMargin,
+
+    "o17_source_quota" ->
+      s"""WITH h AS (
+         |  SELECT source, doc_id,
+         |         ${permilleHashSql("doc_id", ":qta4", 1000000L)} AS hh
+         |  FROM documents
+         |), r AS (
+         |  SELECT source, doc_id,
+         |         row_number() OVER (PARTITION BY source ORDER BY hh, doc_id) AS rn
+         |  FROM h
+         |)
+         |SELECT source, doc_id FROM r WHERE rn <= 10""".stripMargin,
+
+    "d_sorted_neighbors" -> graft.dedup.Dedup.sortedNeighborOracleSql(
+      "documents", "doc_id", "text", window = 4, keyLen = 12, threshold = 0.2),
 
     "ev_stream_full" ->
       """WITH ev AS (

@@ -858,4 +858,81 @@ object Dedup {
        |       md5(coalesce(string_agg(CASE WHEN df <= $maxDocs THEN chunk END, ' ' ORDER BY idx), '')) AS clean_md5
        |FROM ch JOIN fr USING (chunk)
        |GROUP BY 1""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Sorted-neighborhood blocking (Hernández–Stolfo merge/purge)
+  // ------------------------------------------------------------------
+
+  /** Sorted-neighborhood record-linkage blocking: sort the corpus by a
+    * content-derived blocking key, compare each row only to its `window−1`
+    * successors in that order, and score the pairs with distinct-token
+    * Jaccard. The classic alternative to LSH when near-duplicates share a
+    * PREFIX (mirrored boilerplate, templated pages, re-crawls): O(n·w)
+    * candidate pairs instead of O(n²), and unlike LSH the recall story is
+    * deterministic — anything within w positions IS compared.
+    *
+    * Scale shape: the global order comes from [[graft.ops.GlobalRowNumber]]
+    * (range exchange + per-partition numbering + literal offsets — no
+    * SinglePartition window), and the neighbor step is an equi-join on the
+    * successor rank, so the whole operator is two range/hash shuffles of
+    * slim (id, tokens, rank) rows. The blocking key is the first `keyLen`
+    * chars of the normalized text — pure ASCII `[a-z ]`, so the sort order
+    * is engine-portable (byte order = lexicographic in Spark and DuckDB).
+    *
+    * Token-less documents are dropped BEFORE numbering (they have no
+    * Jaccard and would shift everyone's rank); `doc_a` is always the
+    * earlier row in sort order, `gap` its distance to `doc_b`.
+    */
+  def sortedNeighborPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 4, keyLen: Int = 12, threshold: Double = 0.2
+  ): DataFrame = {
+    require(window >= 2, "sorted-neighborhood window must cover at least one successor")
+    val base = docs.select(
+      col(idCol).as("doc_id"),
+      array_distinct(TextOps.tokens(col(textCol))).as("_t"),
+      substring(TextOps.normalize(col(textCol)), 1, keyLen).as("_key"))
+      .filter(size(col("_t")) > 0)
+    val numbered = graft.ops.GlobalRowNumber.withRowNumber(
+      base, "_sn_rn", col("_key"), col("doc_id"))
+    val probes = numbered
+      .withColumn("_j", explode(sequence(lit(1L), lit((window - 1).toLong))))
+      .select(col("doc_id").as("doc_a"), col("_t").as("_ta"),
+        col("_j").as("gap"), (col("_sn_rn") + col("_j")).as("_nbr"))
+    val targets = numbered.select(
+      col("doc_id").as("doc_b"), col("_t").as("_tb"), col("_sn_rn").as("_nbr"))
+    val inter = size(array_intersect(col("_ta"), col("_tb")))
+    probes.join(targets, "_nbr")
+      .withColumn("inter_cnt", inter.cast("long"))
+      .withColumn("jaccard",
+        col("inter_cnt").cast("double") /
+          (size(col("_ta")) + size(col("_tb")) - col("inter_cnt")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "gap", "inter_cnt", "jaccard")
+  }
+
+  /** DuckDB mirror of [[sortedNeighborPairs]] — same normalization, key
+    * prefix, global rank, successor join, and distinct-token Jaccard. */
+  def sortedNeighborOracleSql(
+      table: String, idCol: String, textCol: String,
+      window: Int = 4, keyLen: Int = 12, threshold: Double = 0.2
+  ): String =
+    s"""WITH toks AS (
+       |  SELECT $idCol AS doc_id,
+       |         list_distinct(list_filter(regexp_split_to_array(lower($textCol), '[^a-z]+'), x -> x <> '')) AS t,
+       |         substr(trim(regexp_replace(regexp_replace(lower($textCol), '[\\r\\n]', ' ', 'g'), '[^a-z ]', ' ', 'g')), 1, $keyLen) AS k
+       |  FROM $table
+       |), f AS (
+       |  SELECT * FROM toks WHERE len(t) > 0
+       |), r AS (
+       |  SELECT doc_id, t, row_number() OVER (ORDER BY k, doc_id) AS rn FROM f
+       |)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       b.rn - a.rn AS gap,
+       |       CAST(len(list_intersect(a.t, b.t)) AS BIGINT) AS inter_cnt,
+       |       CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+       |         / (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))) AS jaccard
+       |FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND ${window - 1}
+       |WHERE CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+       |        / (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))) >= $threshold""".stripMargin
 }

@@ -178,4 +178,35 @@ class DedupSpec extends SparkSpecBase {
         .map("%02x".format(_)).mkString
     assert(out.values.forall(_ == ((1L, md5("")))))
   }
+
+  test("sortedNeighborPairs: prefix-sharing near-dups land adjacent and pair up") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma epsilon"), // same 12-char prefix as 1 → adjacent
+      (3L, "zebra yak xylophone"),      // far away in sort order
+      (4L, "")                          // token-less: dropped before ranking
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.sortedNeighborPairs(d, "doc_id", "text",
+      window = 2, keyLen = 12, threshold = 0.3)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(pairs == Set((1L, 2L))) // 3 is within w of 2 but dissimilar; 4 absent
+  }
+
+  test("sortedNeighborPairs: doc_a precedes doc_b and gap bounded by window") {
+    import spark.implicits._
+    val d = (1L to 40L).map(i => (i, s"common shared prefix words item$i"))
+      .toDF("doc_id", "text")
+    val rows = Dedup.sortedNeighborPairs(d, "doc_id", "text",
+      window = 4, keyLen = 12, threshold = 0.1).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val gap = r.getAs[Long]("gap")
+      assert(gap >= 1L && gap <= 3L)
+      assert(r.getAs[Double]("jaccard") >= 0.1)
+    }
+    // identical prefixes sort by doc_id, so every (a, a+1) must appear
+    val got = rows.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    (1L to 39L).foreach(i => assert(got.contains((i, i + 1L))))
+  }
 }
