@@ -1199,6 +1199,14 @@ object SparkEntry {
       Dedup.dupClusters(Dedup.minhashLshPairs(docs, "doc_id", "text"), docs, "doc_id")
     }),
 
+    // SimHash near-dup PAIRS (hamming ≤ 3): 4×15-bit pigeonhole chunk
+    // blocking makes the candidate join an equi-join with ZERO recall
+    // loss at this radius — completes the simhash path from signatures
+    // to pairs; the oracle regenerates the signatures and repeats the
+    // identical block join (xor + bit_count)
+    "d_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text")),
+
     // sub-document boilerplate scrub (CCNet/RefinedWeb duplicate-line
     // removal at chunk granularity): a 3-token chunk seen in >2 distinct
     // docs is dropped from every doc; the md5 over each doc's kept chunks
@@ -1375,6 +1383,16 @@ object SparkEntry {
               col("conv_b").cast("double") / col("n_b")) /
               sqrt(p * (lit(1.0) - p) * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))),
             6)).as("z_score"))
+    }),
+
+    // sample-ratio-mismatch guardrail on the same hash arms as ab_ztest:
+    // 1-df chi² of the realized split vs the designed 50/50 — the check
+    // an experiment platform runs before trusting any metric readout
+    "ab_srm" -> ((s, d) => {
+      val perUser = Tables.events(s, d).select(col("user_id")).distinct()
+        .select(when(permilleHash(col("user_id"), ":ab") < 500, "A")
+          .otherwise("B").as("arm"))
+      graft.ops.ExperimentOps.srmCheck(perUser, "arm", "A", "B", ratioA = 0.5)
     }),
 
     // semi-structured props extraction (regex form, engine-comparable)
@@ -2124,6 +2142,19 @@ object SparkEntry {
       graft.ops.TimeSeriesOps.lagFeatures(
         Tables.events(s, d), "user_id", "ts", "value", Seq(1, 2))),
 
+    // gaps-and-islands: maximal consecutive-active-day streaks per user —
+    // anchor = day − row_number is constant within a run; two exchanges,
+    // both on the user key, no self-join, no gap rows materialized
+    "ev_streaks" -> ((s, d) =>
+      graft.ops.TimeSeriesOps.activityStreaks(Tables.events(s, d), "user_id", "ts")),
+
+    // lag-1..3 autocorrelation of the per-type daily value sums — the
+    // seasonality probe before any temporal model; exact DECIMAL daily
+    // sums, row-lags over observed days, corr rounded to 6 dp
+    "ts_acf" -> ((s, d) =>
+      graft.ops.TimeSeriesOps.autocorr(
+        Tables.events(s, d), "event_type", "ts", "value", maxLag = 3)),
+
     // one-pass table profile (multi-distinct Expand: one scan, one
     // exchange for every column's null/distinct/min/max)
     "dp_profile" -> ((s, d) =>
@@ -2170,6 +2201,29 @@ object SparkEntry {
           snap, deletes.unionByName(inserts), Seq("o_orderstatus"), "o_totalprice")
         .select(col("o_orderstatus"), col("cnt"),
           col("sum_o_totalprice").cast("double").as("sum_price"))
+    }),
+
+    // incremental JOIN maintenance (the join analog of inc_agg_maintain):
+    // maintained = snapshot + ΔA⋈B + A⋈ΔB + ΔA⋈ΔB with multiplied signs —
+    // deltas on BOTH sides (order deletes+inserts, customer deletes), the
+    // base tables never re-join; the oracle recomputes the modified join
+    // from scratch and must agree bit-for-bit (decimal sums)
+    "inc_join_maintain" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      val cust = t(s, d, "customer")
+      val hO = permilleHash(col("o_orderkey"), ":ijm")
+      val hC = permilleHash(col("c_custkey"), ":ijmc")
+      val delA = orders.filter(hO < 50).withColumn("sign", lit(-1L))
+      val insA = orders.filter(hO >= 950)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+        .withColumn("sign", lit(1L))
+      val delB = cust.filter(hC < 30).withColumn("sign", lit(-1L))
+      val snap = graft.ops.JoinMaintenance.snapshot(
+        orders, cust, "o_custkey", "c_custkey", "c_nationkey", "o_totalprice")
+      graft.ops.JoinMaintenance.maintain(
+        snap, orders, delA.unionByName(insA), cust, delB,
+        "o_custkey", "c_custkey", "c_nationkey", "o_totalprice")
     }),
 
     // interval sweep-line: peak concurrent spans + earliest instant it is
@@ -2358,6 +2412,17 @@ object SparkEntry {
     "sk_kmv_merge" -> ((s, d) =>
       graft.sketch.Sketches.kmvMerge(t(s, d, "orders"), "o_custkey")),
 
+    // KMV set-INTERSECTION estimate ("users in both segments") — two
+    // k-min sketches, union re-truncate, ρ·D̂(U); only k-row frames ever
+    // meet, the raw sets never co-shuffle. Estimate emitted beside the
+    // exact intersection so the error is data, not a claim
+    "sk_kmv_intersect" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      graft.sketch.Sketches.kmvIntersect(
+        o.filter(col("o_orderstatus") === "O"), "o_custkey",
+        o.filter(col("o_orderstatus") === "F"), "o_custkey")
+    }),
+
     // class-balanced training batches: per-label rank via GlobalRowNumber
     // minus broadcast offsets (no per-label window funnel), batch id =
     // (rank−1) mod B — every batch carries an equal slice of each class
@@ -2431,6 +2496,35 @@ object SparkEntry {
         .groupBy(col("a.p").as("part_a"), col("b.p").as("part_b"))
         .agg(count(lit(1)).as("support"))
         .filter(col("support") >= 2)
+    }),
+
+    // association RULES on top of the pair supports: both directions per
+    // pair, confidence = supp(ab)/supp(a), lift = conf/(supp(b)/N) — the
+    // market-basket readout. Item supports and the basket count broadcast
+    // onto the (already-small) pair table; nothing re-scans the baskets
+    "a23_assoc_rules" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("k"), col("l_partkey").as("p")).distinct()
+      val itemSupp = li.groupBy(col("p")).agg(count(lit(1)).as("supp"))
+      val nBaskets = li.select("k").distinct().agg(count(lit(1)).as("n_baskets"))
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.k") === col("b.k") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
+        .agg(count(lit(1)).as("supp_ab"))
+        .filter(col("supp_ab") >= 2)
+      val rules = pairs.select(col("pa").as("antecedent"), col("pb").as("consequent"), col("supp_ab"))
+        .unionByName(pairs.select(col("pb").as("antecedent"), col("pa").as("consequent"), col("supp_ab")))
+      rules
+        .join(broadcast(itemSupp).withColumnRenamed("p", "antecedent")
+          .withColumnRenamed("supp", "supp_a"), "antecedent")
+        .join(broadcast(itemSupp).withColumnRenamed("p", "consequent")
+          .withColumnRenamed("supp", "supp_b"), "consequent")
+        .crossJoin(broadcast(nBaskets))
+        .select(
+          col("antecedent"), col("consequent"), col("supp_ab"),
+          round(col("supp_ab").cast("double") / col("supp_a"), 6).as("confidence"),
+          round((col("supp_ab").cast("double") / col("supp_a")) /
+            (col("supp_b").cast("double") / col("n_baskets")), 6).as("lift"))
     }),
 
     // per-source contribution quota (crawl-style capping): keep at most k
@@ -2523,6 +2617,18 @@ object SparkEntry {
         when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0).as("y"))
       graft.ml.Metrics.ece(scored, "score", "y", 10)
     }),
+
+    // order-invariant table content fingerprint: canonical row rendering →
+    // portable 60-bit hash → commutative combine (exact decimal SUM +
+    // bitwise XOR + count). Cross-copy/cross-engine data equality from ONE
+    // scan and three scalars — the oracle recomputing the same fingerprint
+    // from the same parquet IS the cross-engine check
+    "dq_table_checksum" -> ((s, d) =>
+      graft.ops.TableChecksum.checksum(
+        t(s, d, "orders"),
+        Seq(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(18,2)"),
+          col("o_orderdate").cast("date"), col("o_orderpriority")))),
 
     // pipeline-health freshness: per-type last-arrival lag vs the global
     // max — the "is a source stalled" monitoring readout; one hash-agg,
@@ -4678,6 +4784,25 @@ object SparkEntry {
     "fe_lag_features" -> graft.ops.TimeSeriesOps.lagFeaturesOracleSql(
       "events", "user_id", "ts", "value", Seq(1, 2)),
 
+    "ev_streaks" -> graft.ops.TimeSeriesOps.activityStreaksOracleSql(
+      "events", "user_id", "ts"),
+
+    "ts_acf" -> graft.ops.TimeSeriesOps.autocorrOracleSql(
+      "events", "event_type", "ts", "value", maxLag = 3),
+
+    "d_simhash_pairs" -> graft.dedup.Dedup.simhashPairsOracleSql(
+      "documents", "doc_id", "text"),
+
+    "ab_srm" -> graft.ops.ExperimentOps.srmOracleSql(
+      s"""SELECT CASE WHEN ${permilleHashSql("user_id", ":ab", 1000L)} < 500
+         |            THEN 'A' ELSE 'B' END AS arm
+         |FROM (SELECT DISTINCT user_id FROM events)""".stripMargin,
+      "A", "B", ratioA = 0.5),
+
+    "sk_kmv_intersect" -> graft.sketch.Sketches.kmvIntersectOracleSql(
+      "SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'",
+      "SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'"),
+
     "a14_mode_per_group" ->
       """WITH c AS (
         |  SELECT o_custkey, o_orderpriority, count(*) AS cnt
@@ -4823,6 +4948,30 @@ object SparkEntry {
          |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
          |FROM live GROUP BY 1""".stripMargin,
 
+    // recompute of the maintained join over the MODIFIED base tables —
+    // the IVM identity the Spark side must hit bit-for-bit
+    "inc_join_maintain" ->
+      s"""WITH a AS (
+         |  SELECT o_custkey, o_totalprice FROM orders
+         |  WHERE NOT (${permilleHashSql("o_orderkey", ":ijm", 1000L)} < 50)
+         |  UNION ALL
+         |  SELECT o_custkey, o_totalprice + 1000.0 FROM orders
+         |  WHERE ${permilleHashSql("o_orderkey", ":ijm", 1000L)} >= 950
+         |), b AS (
+         |  SELECT c_custkey, c_nationkey FROM customer
+         |  WHERE NOT (${permilleHashSql("c_custkey", ":ijmc", 1000L)} < 30)
+         |)
+         |SELECT b.c_nationkey, count(*) AS cnt,
+         |       CAST(SUM(CAST(a.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_v
+         |FROM a JOIN b ON a.o_custkey = b.c_custkey
+         |GROUP BY 1""".stripMargin,
+
+    "dq_table_checksum" -> graft.ops.TableChecksum.checksumOracleSql(
+      "orders",
+      Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "CAST(o_totalprice AS DECIMAL(18,2))",
+        "CAST(o_orderdate AS DATE)", "o_orderpriority")),
+
     "ev_funnel" -> graft.ops.FunnelOps.funnelOracleSql(
       "events", "user_id", "event_type", "ts", Seq("view", "click", "purchase")),
 
@@ -4927,6 +5076,29 @@ object SparkEntry {
         |FROM li a JOIN li b ON a.k = b.k AND a.p < b.p
         |GROUP BY 1, 2
         |HAVING count(*) >= 2""".stripMargin,
+
+    "a23_assoc_rules" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem),
+        |supp AS (SELECT p, CAST(count(*) AS BIGINT) AS supp FROM li GROUP BY 1),
+        |nb AS (SELECT CAST(count(DISTINCT k) AS BIGINT) AS n_baskets FROM li),
+        |pairs AS (
+        |  SELECT a.p AS pa, b.p AS pb, CAST(count(*) AS BIGINT) AS supp_ab
+        |  FROM li a JOIN li b ON a.k = b.k AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |),
+        |rules AS (
+        |  SELECT pa AS antecedent, pb AS consequent, supp_ab FROM pairs
+        |  UNION ALL
+        |  SELECT pb AS antecedent, pa AS consequent, supp_ab FROM pairs
+        |)
+        |SELECT r.antecedent, r.consequent, r.supp_ab,
+        |       round(CAST(r.supp_ab AS DOUBLE) / sa.supp, 6) AS confidence,
+        |       round((CAST(r.supp_ab AS DOUBLE) / sa.supp)
+        |             / (CAST(sb.supp AS DOUBLE) / nb.n_baskets), 6) AS lift
+        |FROM rules r
+        |JOIN supp sa ON r.antecedent = sa.p
+        |JOIN supp sb ON r.consequent = sb.p
+        |CROSS JOIN nb""".stripMargin,
 
     "o17_source_quota" ->
       s"""WITH h AS (

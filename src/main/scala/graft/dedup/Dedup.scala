@@ -648,6 +648,25 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
   }
 
+  /** DuckDB mirror of [[simhashPairs]]: regenerates the signatures via
+    * [[simhashOracleSql]] and runs the identical 15-bit-chunk block join —
+    * same pigeonhole blocking, hamming via xor + bit_count.
+    */
+  def simhashPairsOracleSql(table: String, idCol: String, textCol: String,
+                            maxDist: Int = 3): String =
+    s"""WITH sg AS (
+       |${simhashOracleSql(table, idCol, textCol)}
+       |), ch AS (
+       |  SELECT doc_id, simhash AS sh, i AS chunk_idx,
+       |         (simhash >> (i * 15)) & 32767 AS chunk
+       |  FROM sg, (SELECT unnest([0, 1, 2, 3]) AS i)
+       |)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+       |FROM ch a JOIN ch b
+       |  ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sh, b.sh)) <= $maxDist""".stripMargin
+
   /** Fuzzy key matching via edit distance with LOSSLESS length-band
     * blocking: `levenshtein(a, b) ≤ maxDist` implies
     * `|len(a) − len(b)| ≤ maxDist`, so bucketing strings by

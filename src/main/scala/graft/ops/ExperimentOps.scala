@@ -118,4 +118,60 @@ object ExperimentOps {
        |             (syc / n_c - theta * (sxc / n_c - sx / n)), 6) AS diff_cuped,
        |       round(rho2, 6) AS var_reduction
        |FROM f""".stripMargin
+
+  /** Sample-ratio-mismatch (SRM) check: the guardrail every experiment
+    * readout runs FIRST — if the realized arm split deviates from the
+    * design ratio, the assignment pipeline is broken and every downstream
+    * metric is suspect. One-degree-of-freedom chi² against the expected
+    * split; `srm_flag = 1` past the 95% critical value (3.841).
+    *
+    * Input: one row per experiment unit with an arm label. Output one
+    * row: (n_a, n_b, expected_a, chi2, srm_flag). Exact integer counts →
+    * fixed-order scalar doubles; a single map-side-combined aggregation.
+    *
+    * @param ratioA designed share of units in `armA` (0 < ratioA < 1).
+    */
+  def srmCheck(perUnit: DataFrame, armCol: String, armA: String, armB: String,
+               ratioA: Double = 0.5): DataFrame = {
+    require(ratioA > 0.0 && ratioA < 1.0, s"ratioA in (0,1), got $ratioA")
+    val m = perUnit.agg(
+      sum(when(col(armCol) === armA, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col(armCol) === armB, 1L).otherwise(0L)).as("n_b"))
+    def d(c: String) = col(c).cast("double")
+    val n = d("n_a") + d("n_b")
+    val ea = n * lit(ratioA)
+    val eb = n * lit(1.0 - ratioA)
+    val chi2 = (d("n_a") - ea) * (d("n_a") - ea) / ea +
+      (d("n_b") - eb) * (d("n_b") - eb) / eb
+    m.select(
+      col("n_a"), col("n_b"),
+      round(ea, 6).as("expected_a"),
+      round(chi2, 6).as("chi2"),
+      when(chi2 > 3.841, 1L).otherwise(0L).as("srm_flag"))
+  }
+
+  /** DuckDB mirror of [[srmCheck]] — same counts, same op order.
+    * @param perUnitCte SQL producing one `arm` column per unit row.
+    */
+  def srmOracleSql(perUnitCte: String, armA: String, armB: String,
+                   ratioA: Double = 0.5): String =
+    s"""WITH pu AS (
+       |$perUnitCte
+       |), m AS (
+       |  SELECT SUM(CASE WHEN arm = '$armA' THEN 1 ELSE 0 END) AS n_a,
+       |         SUM(CASE WHEN arm = '$armB' THEN 1 ELSE 0 END) AS n_b
+       |  FROM pu
+       |), s AS (
+       |  SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       |         (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) * $ratioA AS ea,
+       |         (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) * ${1.0 - ratioA} AS eb
+       |  FROM m
+       |)
+       |SELECT n_a, n_b, round(ea, 6) AS expected_a,
+       |       round((CAST(n_a AS DOUBLE) - ea) * (CAST(n_a AS DOUBLE) - ea) / ea +
+       |             (CAST(n_b AS DOUBLE) - eb) * (CAST(n_b AS DOUBLE) - eb) / eb, 6) AS chi2,
+       |       CAST(CASE WHEN (CAST(n_a AS DOUBLE) - ea) * (CAST(n_a AS DOUBLE) - ea) / ea +
+       |                 (CAST(n_b AS DOUBLE) - eb) * (CAST(n_b AS DOUBLE) - eb) / eb > 3.841
+       |            THEN 1 ELSE 0 END AS BIGINT) AS srm_flag
+       |FROM s""".stripMargin
 }

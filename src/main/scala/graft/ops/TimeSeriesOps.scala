@@ -401,4 +401,87 @@ object TimeSeriesOps {
        |       $lagSelects
        |FROM daily""".stripMargin
   }
+
+  /** Gaps-and-islands: maximal runs of CONSECUTIVE active days per entity
+    * ("activity streaks" — retention features, engagement scoring). The
+    * dense-rank-difference trick: distinct (user, day), one per-user
+    * window ordered by day, anchor = day − row_number — constant exactly
+    * within a consecutive run — then one aggregate per (user, anchor).
+    * Two exchanges, BOTH on the user key (AQE coalesces them into one
+    * partitioning); no self-join, no gap rows materialized — the gaps are
+    * implied by anchor changes, never stored. Survives 100 TB: state per
+    * task is one window row, and the distinct pre-aggregates map-side.
+    */
+  def activityStreaks(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val days = events
+      .select(col(userCol).as("user_id"), to_date(col(tsCol)).as("d"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("d")
+    days
+      .withColumn("_anchor", date_sub(col("d"), row_number().over(w)))
+      .groupBy(col("user_id"), col("_anchor"))
+      .agg(min("d").as("streak_start"), max("d").as("streak_end"),
+        count(lit(1)).as("n_days"))
+      .select("user_id", "streak_start", "streak_end", "n_days")
+  }
+
+  /** DuckDB mirror of [[activityStreaks]]. */
+  def activityStreaksOracleSql(table: String, userCol: String, tsCol: String): String =
+    s"""WITH days AS (
+       |  SELECT DISTINCT $userCol AS user_id, CAST($tsCol AS DATE) AS d FROM $table
+       |), anch AS (
+       |  SELECT user_id, d,
+       |         d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d) AS INTEGER) AS anchor
+       |  FROM days
+       |)
+       |SELECT user_id, min(d) AS streak_start, max(d) AS streak_end,
+       |       count(*) AS n_days
+       |FROM anch GROUP BY user_id, anchor""".stripMargin
+
+  /** Per-key lag-k autocorrelation of the daily value sums — the
+    * seasonality probe (does yesterday predict today?) run before fitting
+    * any temporal model. Lags are ROW lags over the key's observed days
+    * (both engines see the identical series, so the oracle matches even
+    * across calendar gaps). Daily sums accumulate in DECIMAL (exact,
+    * order-independent); the Pearson corr runs on doubles and is rounded
+    * to 6 dp — the repo-wide convention for merge-order-jitter-proof
+    * floating aggregates. One exchange for the daily rollup, one for the
+    * per-key window + corr (same key ⇒ same partitioning, reused).
+    */
+  def autocorr(events: DataFrame, keyCol: String, tsCol: String,
+               valueCol: String, maxLag: Int = 3): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 10, s"maxLag in [1,10], got $maxLag")
+    val daily = events
+      .groupBy(col(keyCol).as("_k"), to_date(col(tsCol)).as("d"))
+      .agg(sum(round(col(valueCol), 6).cast("decimal(18,6)")).cast("double").as("v"))
+    val w = Window.partitionBy("_k").orderBy("d")
+    val lagged = (1 to maxLag).foldLeft(daily)((df, l) =>
+      df.withColumn(s"_vl$l", lag(col("v"), l).over(w)))
+    val aggs = count(lit(1)).as("n_days") +:
+      (1 to maxLag).map(l => round(corr(col("v"), col(s"_vl$l")), 6).as(s"acf_$l"))
+    lagged.groupBy(col("_k").as(keyCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** DuckDB mirror of [[autocorr]]. */
+  def autocorrOracleSql(table: String, keyCol: String, tsCol: String,
+                        valueCol: String, maxLag: Int = 3): String = {
+    val lagSelects = (1 to maxLag)
+      .map(l => s"lag(v, $l) OVER (PARTITION BY k ORDER BY d) AS vl$l")
+      .mkString(",\n       |         ")
+    val corrSelects = (1 to maxLag)
+      .map(l => s"round(corr(v, vl$l), 6) AS acf_$l")
+      .mkString(",\n       |       ")
+    s"""WITH daily AS (
+       |  SELECT $keyCol AS k, CAST($tsCol AS DATE) AS d,
+       |         CAST(SUM(CAST(round($valueCol, 6) AS DECIMAL(18,6))) AS DOUBLE) AS v
+       |  FROM $table GROUP BY 1, 2
+       |), lg AS (
+       |  SELECT k, v,
+       |         $lagSelects
+       |  FROM daily
+       |)
+       |SELECT k AS $keyCol, count(*) AS n_days,
+       |       $corrSelects
+       |FROM lg GROUP BY 1""".stripMargin
+  }
 }

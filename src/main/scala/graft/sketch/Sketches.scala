@@ -316,4 +316,82 @@ object Sketches {
        |       (SELECT CAST(count(*) AS BIGINT) FROM hits)
        |         - (SELECT CAST(count(*) AS BIGINT) FROM probes WHERE k IN (SELECT k FROM members)) AS n_false_pos""".stripMargin
   }
+
+  // ------------------------------------------------------------------
+  // KMV set intersection
+  // ------------------------------------------------------------------
+
+  /** KMV SET-INTERSECTION estimate — the sketch algebra that answers
+    * "how many users are in BOTH segments" without ever joining the raw
+    * sets: each side keeps its k smallest distinct hashes, the union
+    * sketch is the k smallest of K_A ∪ K_B, and with
+    * ρ = |{h ∈ U_k : h ∈ K_A ∧ h ∈ K_B}| / k (the Jaccard estimate over
+    * the union sketch's uniform sample), the intersection estimate is
+    * ρ · D̂(U) with D̂ the standard KMV distinct estimator. Everything
+    * after the two k-sized TakeOrdered funnels is k-row arithmetic —
+    * at scale the raw sets never co-shuffle.
+    *
+    * Output one row: `(exact_intersect, kth_union, overlap_k,
+    * kmv_intersect_est)` — the estimate beside the truth, both
+    * engine-portable (all-double arithmetic, identical op order).
+    */
+  def kmvIntersect(dfA: DataFrame, keyColA: String,
+                   dfB: DataFrame, keyColB: String,
+                   k: Int = 64, salt: String = ":kmv"): DataFrame = {
+    def hashes(df: DataFrame, c: String) = df
+      .select(TextOps.md5Hash60(concat(col(c).cast("string"), lit(salt))).as("h"))
+      .distinct()
+    val kA = hashes(dfA, keyColA).orderBy(col("h")).limit(k)
+    val kB = hashes(dfB, keyColB).orderBy(col("h")).limit(k)
+    val uK = kA.union(kB).distinct().orderBy(col("h")).limit(k)
+    // tag membership of each union-sketch hash in both side sketches —
+    // k-row broadcast joins, then one k-row aggregate
+    val tagged = uK
+      .join(kA.withColumn("_in_a", lit(1L)), Seq("h"), "left")
+      .join(kB.withColumn("_in_b", lit(1L)), Seq("h"), "left")
+    val stats = tagged.agg(
+      max(col("h")).as("kth_union"),
+      sum(when(col("_in_a") === 1L && col("_in_b") === 1L, 1L).otherwise(0L))
+        .as("overlap_k"))
+    val exact = dfA.select(col(keyColA).cast("string").as("k"))
+      .intersect(dfB.select(col(keyColB).cast("string").as("k")))
+      .agg(count(lit(1)).as("exact_intersect"))
+    exact.crossJoin(stats).select(
+      col("exact_intersect"), col("kth_union"), col("overlap_k"),
+      (col("overlap_k").cast("double") / lit(k.toDouble) *
+        (lit((k - 1).toDouble) * lit(1152921504606846976L).cast("double") /
+          col("kth_union").cast("double"))).as("kmv_intersect_est"))
+  }
+
+  /** DuckDB mirror of [[kmvIntersect]]; `aSql`/`bSql` produce one `k`
+    * column of set members each. */
+  def kmvIntersectOracleSql(aSql: String, bSql: String,
+                            k: Int = 64, salt: String = ":kmv"): String = {
+    def h60 = (src: String) =>
+      s"""SELECT DISTINCT CAST(concat('0x', substr(md5(concat(CAST(k AS VARCHAR), '$salt')), 1, 15)) AS BIGINT) AS h
+         |  FROM ($src)""".stripMargin
+    s"""WITH ka AS (SELECT h FROM (${h60(aSql)}) ORDER BY h LIMIT $k),
+       |kb AS (SELECT h FROM (${h60(bSql)}) ORDER BY h LIMIT $k),
+       |uk AS (SELECT h FROM (SELECT DISTINCT h FROM (SELECT h FROM ka UNION ALL SELECT h FROM kb))
+       |       ORDER BY h LIMIT $k),
+       |st AS (
+       |  SELECT max(uk.h) AS kth_union,
+       |         CAST(SUM(CASE WHEN uk.h IN (SELECT h FROM ka)
+       |                        AND uk.h IN (SELECT h FROM kb) THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS overlap_k
+       |  FROM uk
+       |),
+       |ex AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS exact_intersect FROM (
+       |    SELECT CAST(k AS VARCHAR) AS k FROM ($aSql)
+       |    INTERSECT
+       |    SELECT CAST(k AS VARCHAR) AS k FROM ($bSql)
+       |  )
+       |)
+       |SELECT ex.exact_intersect, st.kth_union, st.overlap_k,
+       |       CAST(st.overlap_k AS DOUBLE) / CAST($k AS DOUBLE) *
+       |         (CAST(${k - 1} AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+       |           / CAST(st.kth_union AS DOUBLE)) AS kmv_intersect_est
+       |FROM ex CROSS JOIN st""".stripMargin
+  }
 }

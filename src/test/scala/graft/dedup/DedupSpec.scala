@@ -72,6 +72,19 @@ class DedupSpec extends SparkSpecBase {
       Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 4))
   }
 
+  test("simhashPairs equals the brute-force hamming join (blocking is lossless)") {
+    val sigs = Dedup.simhashSignatures(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash"))
+    val brute = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (ia, ib, h)).toSet
+    val blocked = Dedup.simhashPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Int]("hamming"))).toSet
+    assert(blocked == brute)
+  }
+
   test("simhashPairs reports hamming 0 for exact dups under default maxDist") {
     val p = Dedup.simhashPairs(docs, "doc_id", "text")
       .collect().map(r => ((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")), r.getAs[Long]("hamming"))).toMap

@@ -29,4 +29,30 @@ class ExperimentOpsSpec extends SparkSpecBase {
     assert(r.getAs[Double]("diff_cuped") == r.getAs[Double]("diff_raw"))
     assert(r.getAs[Double]("var_reduction") == 0.0)
   }
+
+  test("srmCheck: an exact 50/50 split reads chi2 = 0, no flag") {
+    val pu = (1 to 100).map(i => if (i <= 50) "A" else "B").toDF("arm")
+    val r = ExperimentOps.srmCheck(pu, "arm", "A", "B").collect().head
+    assert(r.getAs[Long]("n_a") == 50L && r.getAs[Long]("n_b") == 50L)
+    assert(r.getAs[Double]("expected_a") == 50.0)
+    assert(r.getAs[Double]("chi2") == 0.0)
+    assert(r.getAs[Long]("srm_flag") == 0L)
+  }
+
+  test("srmCheck: a broken 80/20 split flags past the 95% critical value") {
+    val pu = (1 to 100).map(i => if (i <= 80) "A" else "B").toDF("arm")
+    val r = ExperimentOps.srmCheck(pu, "arm", "A", "B").collect().head
+    // chi2 = (80-50)^2/50 + (20-50)^2/50 = 36
+    assert(r.getAs[Double]("chi2") == 36.0)
+    assert(r.getAs[Long]("srm_flag") == 1L)
+  }
+
+  test("srmCheck honors a non-even design ratio") {
+    // 90/10 design hit exactly: chi2 = 0 even though the split is lopsided
+    val pu = (1 to 100).map(i => if (i <= 90) "A" else "B").toDF("arm")
+    val r = ExperimentOps.srmCheck(pu, "arm", "A", "B", ratioA = 0.9).collect().head
+    assert(r.getAs[Double]("expected_a") == 90.0)
+    assert(r.getAs[Double]("chi2") == 0.0)
+    assert(r.getAs[Long]("srm_flag") == 0L)
+  }
 }

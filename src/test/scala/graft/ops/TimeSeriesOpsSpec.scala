@@ -160,4 +160,50 @@ class TimeSeriesOpsSpec extends SparkSpecBase {
     assert(rows((10L, "2024-01-05")) == (8.0, 1L, Some(7.0), None))
     assert(rows((20L, "2024-01-02")) == (16.0, 1L, None, None))
   }
+
+  test("activityStreaks splits on day gaps; same-day repeats count once") {
+    val ev = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00"), 0.0),
+      (2L, 10L, ts("2024-01-01 23:00:00"), 0.0), // same day as e1
+      (3L, 10L, ts("2024-01-02 05:00:00"), 0.0),
+      (4L, 10L, ts("2024-01-03 00:00:00"), 0.0),
+      (5L, 10L, ts("2024-01-05 12:00:00"), 0.0), // gap -> new island
+      (6L, 10L, ts("2024-01-06 12:00:00"), 0.0),
+      (7L, 20L, ts("2024-01-09 01:00:00"), 0.0)  // singleton island
+    ).toDF("event_id", "user_id", "ts", "value")
+    val out = TimeSeriesOps.activityStreaks(ev, "user_id", "ts")
+      .collect().map(r => (r.getAs[Long]("user_id"),
+        r.getAs[java.sql.Date]("streak_start").toString,
+        r.getAs[java.sql.Date]("streak_end").toString,
+        r.getAs[Long]("n_days"))).toSet
+    assert(out == Set(
+      (10L, "2024-01-01", "2024-01-03", 3L),
+      (10L, "2024-01-05", "2024-01-06", 2L),
+      (20L, "2024-01-09", "2024-01-09", 1L)))
+  }
+
+  test("autocorr of a linear daily series is exactly 1 at every lag") {
+    // v(day) = day: v and lag(v) are perfectly linearly related on every
+    // aligned sub-series, so Pearson corr rounds to exactly 1.0
+    val ev = (1 to 12).map(i =>
+      (i.toLong, "t", ts(f"2024-01-$i%02d 00:00:00"), i.toDouble))
+      .toDF("event_id", "k", "ts", "value")
+    val r = TimeSeriesOps.autocorr(ev, "k", "ts", "value", maxLag = 2).collect().head
+    assert(r.getAs[Long]("n_days") == 12L)
+    assert(r.getAs[Double]("acf_1") == 1.0)
+    assert(r.getAs[Double]("acf_2") == 1.0)
+  }
+
+  test("autocorr counts a key's days and null-pads lags past history") {
+    // 2 observed days, maxLag 3: acf_1 has ONE pair (zero variance ->
+    // null/NaN is acceptable only as SQL NULL — Spark corr returns null
+    // for n<2 pairs); acf_2/acf_3 have no pairs at all -> null
+    val ev = Seq(
+      (1L, "t", ts("2024-01-01 00:00:00"), 1.0),
+      (2L, "t", ts("2024-01-02 00:00:00"), 2.0)
+    ).toDF("event_id", "k", "ts", "value")
+    val r = TimeSeriesOps.autocorr(ev, "k", "ts", "value", maxLag = 3).collect().head
+    assert(r.getAs[Long]("n_days") == 2L)
+    assert(r.isNullAt(r.fieldIndex("acf_2")) && r.isNullAt(r.fieldIndex("acf_3")))
+  }
 }

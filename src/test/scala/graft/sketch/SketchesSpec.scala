@@ -102,4 +102,36 @@ class SketchesSpec extends SparkSpecBase {
       assert(r.getAs[Long]("kth_hash_full") == r.getAs[Long]("kth_hash_merged"))
     }
   }
+
+  test("kmvIntersect: identical sets -> full overlap, estimate near truth") {
+    import spark.implicits._
+    val a = (1 to 500).map(i => s"u$i").toDF("k")
+    val r = Sketches.kmvIntersect(a, "k", a, "k", k = 64).collect().head
+    assert(r.getAs[Long]("exact_intersect") == 500L)
+    // A = B means the union sketch IS both side sketches: every hash overlaps
+    assert(r.getAs[Long]("overlap_k") == 64L)
+    val est = r.getAs[Double]("kmv_intersect_est")
+    assert(math.abs(est - 500.0) / 500.0 < 0.3, s"est $est vs 500")
+  }
+
+  test("kmvIntersect: disjoint sets -> zero overlap, estimate exactly 0") {
+    import spark.implicits._
+    val a = (1 to 400).map(i => s"u$i").toDF("k")
+    val b = (401 to 800).map(i => s"u$i").toDF("k")
+    val r = Sketches.kmvIntersect(a, "k", b, "k", k = 64).collect().head
+    assert(r.getAs[Long]("exact_intersect") == 0L)
+    assert(r.getAs[Long]("overlap_k") == 0L)
+    assert(r.getAs[Double]("kmv_intersect_est") == 0.0)
+  }
+
+  test("kmvIntersect: half overlap estimates within sketch error") {
+    import spark.implicits._
+    val a = (1 to 600).map(i => s"u$i").toDF("k")      // 1..600
+    val b = (301 to 900).map(i => s"u$i").toDF("k")    // 301..900, overlap 300
+    val r = Sketches.kmvIntersect(a, "k", b, "k", k = 64).collect().head
+    assert(r.getAs[Long]("exact_intersect") == 300L)
+    val est = r.getAs[Double]("kmv_intersect_est")
+    // ρ and D̂ are both k=64 estimates; allow a generous combined band
+    assert(est > 100.0 && est < 600.0, s"est $est vs 300")
+  }
 }
