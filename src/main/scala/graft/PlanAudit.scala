@@ -482,7 +482,76 @@ object PlanAudit {
         |exchange), and the main job is a single hash aggregate whose pivot
         |branches are literal CASE arms — the unknown-domain pivot costs
         |one k-row job plus the same one-pass agg a static pivot gets;
-        |never a per-value scan."""
+        |never a per-value scan.""",
+    "d_simhash_pairs" ->
+      """Near-dup candidate generation is an EQUI-join on (chunk_idx, chunk)
+        |— never a cross join: the 4×15-bit pigeonhole guarantees every
+        |hamming≤3 pair shares a chunk, so recall-lossless blocking costs 4
+        |rows per signature (BroadcastHashJoin at test scale; the same
+        |equi-key hash-shuffles at corpus scale). The hamming filter
+        |(xor+bit_count) runs inside codegen on the joined pairs.""",
+    "ev_streaks" ->
+      """Two exchanges total: the distinct's (user, day) shuffle — with its
+        |partial aggregate map-side, so same-day repeats collapse before the
+        |wire — then one user_id shuffle for the window; the island
+        |aggregate rides the window's partitioning with NO third shuffle
+        |(hash(user_id) already clusters (user_id, anchor)). No self-join,
+        |no gap rows: islands come from the anchor arithmetic, so a
+        |10-year-sparse user costs their active days only.""",
+    "dq_table_checksum" ->
+      """One scan, one partial HashAggregate per partition, ONE single-row
+        |exchange: the fingerprint's three combiners (count, decimal SUM,
+        |bit XOR) are all commutative, so each partition ships three scalars
+        |and the result is row-order/partitioning-invariant by construction
+        |— table equality at 100 TB costs a scan, not a sort or a compare.""",
+    "inc_join_maintain" ->
+      """The three delta-join terms each probe with a BroadcastHashJoin
+        |(customer-side frames are dim-sized); the base tables NEVER join
+        |each other in the maintenance path — the only full-size work is
+        |the one-time snapshot. Maintenance cost scales with |Δ|, and the
+        |final merge is a full-outer join on the |groups|-sized rollup.""",
+    "sk_kmv_intersect" ->
+      """Both sides funnel through TakeOrderedAndProject(k=64) — a bounded
+        |heap per partition, never a global sort — and everything after the
+        |funnels (union, membership tags, estimate arithmetic) is k-row
+        |work on broadcast joins. The raw sets meet ONLY inside the exact
+        |check that ships beside the estimate.""",
+    "ts_acf" ->
+      """Two exchanges: the daily rollup on (key, day), then one on key
+        |feeding a SINGLE window pass that materializes every lag column in
+        |one sort; the per-key corr aggregate reuses the window's
+        |partitioning with no third shuffle. No per-lag self-joins of the
+        |series against itself — maxLag more lags cost zero extra passes.""",
+    "o18_priority_sample" ->
+      """Weighted sampling without replacement plans as
+        |`TakeOrderedAndProject(limit=500)` — a bounded heap per partition
+        |merged once, never a global Sort: the clock-key expression
+        |(hash → u → −ln(u)/w) evaluates in codegen on the scan side, so
+        |sampling a 100 TB corpus costs one pass and k rows of state.""",
+    "ts_cusum" ->
+      """The sequential CUSUM recursion planned as pure windows: ONE
+        |exchange on the series key feeds both the cumulative-sum and
+        |running-min passes (same partitioning+ordering → one sort), and
+        |all arithmetic is integer cents — no iteration, no driver loop,
+        |no mean division anywhere in the plan.""",
+    "ev_attribution_position" ->
+      """Same single-window shape as the linear form even though U-shaped
+        |credit needs first/last touch identity: MIN/MAX over the encoded
+        |(sec,id,channel) string ride the SAME RANGE frame as the counts —
+        |still one exchange on user, still no touch×conversion join, and
+        |ties resolve identically on every engine.""",
+    "j15_nearest_event" ->
+      """Nearest-in-time matching with NO NestedLoop and NO CartesianProduct
+        |anywhere: two linear union-window as-of passes (backward then
+        |forward over the backward output) and a per-row CASE pick — the
+        |naive |L|×|R| "min abs distance" join the ORACLE runs is exactly
+        |what this plan avoids at scale.""",
+    "a24_trimmed_mean" ->
+      """One exchange on the group key serves the rank window, the count
+        |window, AND the final grouped mean (hash(status) clusters all
+        |three) — trimming is a rank predicate inside codegen, the mean
+        |accumulates in decimal, and no second scan or self-join touches
+        |the trimmed complement."""
   )
 
   private def streamingPlan(spark: SparkSession, sfDir: String): String = {

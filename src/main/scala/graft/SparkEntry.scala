@@ -767,6 +767,24 @@ object SparkEntry {
         .select("event_id", "next_orderkey")
     }),
 
+    // NEAREST-event join (sensor/log alignment): closest purchase to each
+    // click in either direction — one backward + one forward as-of pass
+    // (both the linear union-window shape), per-row pick of the closer
+    // side, ties pinned to the backward match
+    "j15_nearest_event" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"),
+          unix_timestamp(date_trunc("second", col("ts"))).as("sec"))
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          unix_timestamp(date_trunc("second", col("ts"))).as("psec"),
+          round(col("value"), 2).cast("decimal(18,2)").as("pval"))
+        .groupBy("user_id", "psec").agg(max("pval").as("pval"))
+      graft.ops.AsOfJoin.nearest(
+        clicks, "user_id", "sec", purch, "user_id", "psec", Seq("pval"))
+    }),
+
     // non-equi RANGE join: rows matched to interval buckets via
     // lo <= v < hi. With a broadcast-sized dim, BroadcastNestedLoopJoin
     // is the RIGHT plan (each probe row scans k intervals in memory —
@@ -2155,6 +2173,21 @@ object SparkEntry {
       graft.ops.TimeSeriesOps.autocorr(
         Tables.events(s, d), "event_type", "ts", "value", maxLag = 3)),
 
+    // CUSUM change-point scores: the sequential max(0, s+(x−μ)) recursion
+    // expressed as cumulative-sum minus running-min — two window passes,
+    // one exchange, all-integer cents (no mean division ever happens)
+    "ts_cusum" -> ((s, d) =>
+      graft.ops.TimeSeriesOps.cusum(
+        Tables.events(s, d), "event_type", "ts", "value")),
+
+    // weighted sampling WITHOUT replacement (Efraimidis–Spirakis clocks
+    // on the portable hash): key = −ln(u)/w, global TakeOrdered(k) — the
+    // "sample k docs ∝ quality" curation primitive, deterministic and
+    // resumable where an RNG sample is neither
+    "o18_priority_sample" -> ((s, d) =>
+      graft.ops.PrioritySampling.sample(
+        t(s, d, "documents"), "doc_id", "n_chars", k = 500)),
+
     // one-pass table profile (multi-distinct Expand: one scan, one
     // exchange for every column's null/distinct/min/max)
     "dp_profile" -> ((s, d) =>
@@ -2562,6 +2595,14 @@ object SparkEntry {
     // exact higher moments per group: all four raw power sums accumulate
     // in integer-cent decimals (one hash-agg), the normalized skewness /
     // kurtosis formulas run scalar double math in fixed op order
+    // exact 10% trimmed mean per status — robust location from one window
+    // pass + one grouped decimal mean; trim membership deterministic via
+    // the unique o_orderkey tiebreak
+    "a24_trimmed_mean" -> ((s, d) =>
+      graft.ops.RobustStats.trimmedMean(
+        t(s, d, "orders"), Seq("o_orderstatus"), "o_totalprice",
+        "o_orderkey", trim = 0.1)),
+
     "a20_moments" -> ((s, d) => {
       val c = (col("o_totalprice").cast("decimal(18,2)") * 100).cast("decimal(12,0)")
       val agg = t(s, d, "orders")
@@ -2648,6 +2689,15 @@ object SparkEntry {
     "ev_attribution_linear" -> ((s, d) =>
       graft.ops.FunnelOps.linearAttribution(
         Tables.events(s, d), "user_id", "event_type", "ts",
+        touchTypes = Seq("view", "click", "signup"), convType = "purchase",
+        lookbackSec = 7L * 86400L)),
+
+    // U-shaped attribution completes the family: 40/20/40 first/middle/
+    // last, first+last resolved via tie-safe encoded MIN/MAX in the SAME
+    // single window pass — still no touch×conversion join
+    "ev_attribution_position" -> ((s, d) =>
+      graft.ops.FunnelOps.positionAttribution(
+        Tables.events(s, d), "user_id", "event_type", "ts", "event_id",
         touchTypes = Seq("view", "click", "signup"), convType = "purchase",
         lookbackSec = 7L * 86400L)),
 
@@ -4790,6 +4840,12 @@ object SparkEntry {
     "ts_acf" -> graft.ops.TimeSeriesOps.autocorrOracleSql(
       "events", "event_type", "ts", "value", maxLag = 3),
 
+    "ts_cusum" -> graft.ops.TimeSeriesOps.cusumOracleSql(
+      "events", "event_type", "ts", "value"),
+
+    "o18_priority_sample" -> graft.ops.PrioritySampling.oracleSql(
+      "documents", "doc_id", "n_chars", k = 500),
+
     "d_simhash_pairs" -> graft.dedup.Dedup.simhashPairsOracleSql(
       "documents", "doc_id", "text"),
 
@@ -4890,6 +4946,22 @@ object SparkEntry {
         |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS next_orderkey
         |  FROM orders GROUP BY 1, 2
         |) o ON e.user_id = o.o_custkey AND e.ts2 <= o.o_orderdate""".stripMargin,
+
+    "j15_nearest_event" ->
+      """WITH c AS (
+        |  SELECT event_id, user_id, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec
+        |  FROM events WHERE event_type = 'click'
+        |), p AS (
+        |  SELECT user_id, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS psec,
+        |         max(CAST(round(value, 2) AS DECIMAL(18,2))) AS pval
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+        |)
+        |SELECT c.event_id, c.user_id, c.sec, m.pval, m.psec AS matched_t
+        |FROM c LEFT JOIN LATERAL (
+        |  SELECT p.pval, p.psec FROM p
+        |  WHERE p.user_id = c.user_id
+        |  ORDER BY abs(p.psec - c.sec), p.psec LIMIT 1
+        |) m ON true""".stripMargin,
 
     "a13_hist2d" ->
       """SELECT CAST(FLOOR(l_extendedprice / 20000) * 20000 AS DOUBLE) AS price_bucket,
@@ -5142,6 +5214,9 @@ object SparkEntry {
         |    OR SUM(CASE WHEN vid IS NULL AND ct < (SELECT w FROM wm)
         |           THEN 1 ELSE 0 END) > 0""".stripMargin,
 
+    "a24_trimmed_mean" -> graft.ops.RobustStats.trimmedMeanOracleSql(
+      "orders", Seq("o_orderstatus"), "o_totalprice", "o_orderkey", trim = 0.1),
+
     "a20_moments" ->
       """WITH b AS (
         |  SELECT o_orderstatus,
@@ -5221,6 +5296,11 @@ object SparkEntry {
 
     "ev_attribution_linear" -> graft.ops.FunnelOps.linearAttributionOracleSql(
       "events", "user_id", "event_type", "ts",
+      touchTypes = Seq("view", "click", "signup"), convType = "purchase",
+      lookbackSec = 7L * 86400L),
+
+    "ev_attribution_position" -> graft.ops.FunnelOps.positionAttributionOracleSql(
+      "events", "user_id", "event_type", "ts", "event_id",
       touchTypes = Seq("view", "click", "signup"), convType = "purchase",
       lookbackSec = 7L * 86400L),
 

@@ -54,6 +54,45 @@ object AsOfJoin {
   ): DataFrame =
     asof(left, leftKey, leftTime, right, rightKey, rightTime, payload, forwardDir = true)
 
+  /** NEAREST-event join: attach the right row whose time is CLOSEST to
+    * the left row's time (either direction) — the sensor/log alignment
+    * join ("the reading nearest this event"). Composed as one backward
+    * pass + one forward pass (each the linear union-window shape — still
+    * no per-row probes, two shuffles total), then a per-row pick of the
+    * closer side; equal distances prefer the BACKWARD match (the past is
+    * a safer default than the future, and the tie rule must be pinned
+    * for engine-portable results).
+    *
+    * Time columns must be NUMERIC (epoch seconds/millis) so distance is
+    * plain subtraction on both engines. Output: leftCols ++ payload ++
+    * `matched_t` (the chosen right time; null when the key has no right
+    * rows at all).
+    */
+  def nearest(
+      left: DataFrame, leftKey: String, leftTime: String,
+      right: DataFrame, rightKey: String, rightTime: String,
+      payload: Seq[String]
+  ): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val rb = payload.foldLeft(right.withColumn("_t_b", col(rightTime))) {
+      (df, p) => df.withColumnRenamed(p, s"_b_$p")
+    }
+    val rf = payload.foldLeft(right.withColumn("_t_f", col(rightTime))) {
+      (df, p) => df.withColumnRenamed(p, s"_f_$p")
+    }
+    val back = backward(left, leftKey, leftTime,
+      rb, rightKey, rightTime, payload.map("_b_" + _) :+ "_t_b")
+    val both = forward(back, leftKey, leftTime,
+      rf, rightKey, rightTime, payload.map("_f_" + _) :+ "_t_f")
+    val distB = col(leftTime).cast("double") - col("_t_b").cast("double")
+    val distF = col("_t_f").cast("double") - col(leftTime).cast("double")
+    val useB = col("_t_b").isNotNull && (col("_t_f").isNull || distB <= distF)
+    val picked = payload.foldLeft(both) { (df, p) =>
+      df.withColumn(p, when(useB, col(s"_b_$p")).otherwise(col(s"_f_$p")))
+    }.withColumn("matched_t", when(useB, col("_t_b")).otherwise(col("_t_f")))
+    picked.select((leftCols ++ payload :+ "matched_t").map(col): _*)
+  }
+
   private def asof(
       left: DataFrame, leftKey: String, leftTime: String,
       right: DataFrame, rightKey: String, rightTime: String,

@@ -307,6 +307,115 @@ object FunnelOps {
        |FROM credits GROUP BY 1 HAVING SUM(credit) > 0""".stripMargin
   }
 
+  /** Position-based (U-shaped) multi-touch attribution: 40% of each
+    * conversion's credit to the FIRST touch in the lookback, 40% to the
+    * LAST, 20% split over the middles (1 touch → 100%; 2 → 50/50). The
+    * third member of the attribution family (last-touch, linear,
+    * position) — same one-window-pass shape as [[linearAttribution]]:
+    * no touch×conversion join, everything rides the RANGE frame.
+    *
+    * First/last are deterministic under ties: each touch encodes as a
+    * zero-padded `(sec, id)` string prefix + its channel, and MIN/MAX
+    * over that encoding is a total order both engines agree on (the
+    * frame itself is value-based on seconds, so frame membership is
+    * tie-safe too). Credits are integer ppm (`div`), mirrored exactly.
+    */
+  def positionAttribution(
+      events: DataFrame, userCol: String, typeCol: String, tsCol: String,
+      idCol: String, touchTypes: Seq[String], convType: String,
+      lookbackSec: Long): DataFrame = {
+    require(touchTypes.nonEmpty, "need at least one touch type")
+    require(lookbackSec > 0, "lookbackSec must be positive")
+    val sec = unix_timestamp(ts2(tsCol))
+    val isTouch = col(typeCol).isin(touchTypes: _*)
+    val wr = Window.partitionBy(col(userCol)).orderBy(col("_sec"))
+      .rangeBetween(-lookbackSec, -1)
+    val enc = concat(
+      lpad(col("_sec").cast("string"), 10, "0"),
+      lpad(col(idCol).cast("string"), 19, "0"),
+      col(typeCol))
+    val counted = events
+      .select(col(userCol), col(typeCol), col(idCol), sec.as("_sec"))
+      .withColumn("_enc", when(isTouch, enc))
+      .select(col(typeCol) +:
+        count(when(isTouch, 1)).over(wr).as("_k") +:
+        min(col("_enc")).over(wr).as("_first") +:
+        max(col("_enc")).over(wr).as("_last") +:
+        touchTypes.map(c =>
+          count(when(col(typeCol) === c, 1)).over(wr).as(s"_c_$c")): _*)
+      .filter(col(typeCol) === convType)
+      .withColumn("_fc", substring(col("_first"), 30, 1000))
+      .withColumn("_lc", substring(col("_last"), 30, 1000))
+    def chanCredit(c: String) = {
+      val isF = when(col("_fc") === c, 1L).otherwise(0L)
+      val isL = when(col("_lc") === c, 1L).otherwise(0L)
+      val mid = col(s"_c_$c") - isF - isL
+      when(col("_k") === 1, isF * 1000000L)
+        .when(col("_k") === 2, (isF + isL) * 500000L)
+        .when(col("_k") >= 3,
+          isF * 400000L + isL * 400000L +
+            expr(s"200000L div (_k - 2)") * mid)
+        .otherwise(lit(0L))
+    }
+    val credits = touchTypes.map(c =>
+      struct(lit(c).as("channel"), chanCredit(c).as("credit"))) :+
+      struct(lit("(none)").as("channel"),
+        when(col("_k") === 0, lit(1000000L)).otherwise(lit(0L)).as("credit"))
+    counted
+      .select(explode(array(credits: _*)).as("e"))
+      .select(col("e.channel").as("channel"), col("e.credit").as("credit"))
+      .groupBy("channel")
+      .agg(sum("credit").as("credit_ppm"),
+        sum(when(col("credit") > 0, 1L).otherwise(0L)).as("n_conv_touched"))
+      .filter(col("credit_ppm") > 0)
+  }
+
+  /** DuckDB mirror of [[positionAttribution]]. */
+  def positionAttributionOracleSql(
+      table: String, userCol: String, typeCol: String, tsCol: String,
+      idCol: String, touchTypes: Seq[String], convType: String,
+      lookbackSec: Long): String = {
+    val touches = touchTypes.map(t => s"'$t'").mkString(", ")
+    val chanCounts = touchTypes.zipWithIndex.map { case (c, i) =>
+      s"count(CASE WHEN $typeCol = '$c' THEN 1 END) OVER wr AS c$i"
+    }.mkString(",\n       |         ")
+    def credit(c: String, i: Int) =
+      s"""CASE WHEN k = 1 THEN (CASE WHEN fc = '$c' THEN 1000000 ELSE 0 END)
+         |            WHEN k = 2 THEN ((CASE WHEN fc = '$c' THEN 1 ELSE 0 END) + (CASE WHEN lc = '$c' THEN 1 ELSE 0 END)) * 500000
+         |            WHEN k >= 3 THEN (CASE WHEN fc = '$c' THEN 400000 ELSE 0 END) + (CASE WHEN lc = '$c' THEN 400000 ELSE 0 END)
+         |                 + (200000 // (k - 2)) * (c$i - (CASE WHEN fc = '$c' THEN 1 ELSE 0 END) - (CASE WHEN lc = '$c' THEN 1 ELSE 0 END))
+         |            ELSE 0 END""".stripMargin
+    val stack = touchTypes.zipWithIndex.map { case (c, i) =>
+      s"SELECT '$c' AS channel, ${credit(c, i)} AS credit FROM conv"
+    }.mkString("\n       |  UNION ALL ") +
+      s"\n       |  UNION ALL SELECT '(none)', CASE WHEN k = 0 THEN 1000000 ELSE 0 END FROM conv"
+    s"""WITH e AS (
+       |  SELECT $userCol, $typeCol, $idCol,
+       |         CAST(epoch(date_trunc('second', $tsCol)) AS BIGINT) AS sec,
+       |         CASE WHEN $typeCol IN ($touches)
+       |              THEN lpad(CAST(CAST(epoch(date_trunc('second', $tsCol)) AS BIGINT) AS VARCHAR), 10, '0')
+       |                   || lpad(CAST($idCol AS VARCHAR), 19, '0') || $typeCol
+       |         END AS enc
+       |  FROM $table
+       |), conv AS (
+       |  SELECT * FROM (
+       |    SELECT $typeCol,
+       |         count(CASE WHEN $typeCol IN ($touches) THEN 1 END) OVER wr AS k,
+       |         substr(min(enc) OVER wr, 30) AS fc,
+       |         substr(max(enc) OVER wr, 30) AS lc,
+       |         $chanCounts
+       |    FROM e
+       |    WINDOW wr AS (PARTITION BY $userCol ORDER BY sec
+       |                  RANGE BETWEEN $lookbackSec PRECEDING AND 1 PRECEDING)
+       |  ) WHERE $typeCol = '$convType'
+       |), credits AS (
+       |  $stack
+       |)
+       |SELECT channel, CAST(SUM(credit) AS BIGINT) AS credit_ppm,
+       |       CAST(SUM(CASE WHEN credit > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_conv_touched
+       |FROM credits GROUP BY 1 HAVING SUM(credit) > 0""".stripMargin
+  }
+
   /** 3-step behavioral path mining ("what do users do next"): every
     * consecutive (s1 → s2 → s3) event-type trigram per user, counted
     * corpus-wide — the sequence-pattern table behind sankey/next-action

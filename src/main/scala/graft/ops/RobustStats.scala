@@ -168,4 +168,54 @@ object RobustStats {
        |       MAX(CAST($valueCol AS DOUBLE)) AS max_v
        |FROM $table, cuts GROUP BY 1""".stripMargin
   }
+
+  /** EXACT trimmed mean per group: drop `floor(trim·n)` rows at EACH end
+    * under the total order (value, tieCol), average the rest — the
+    * robust location estimate that, unlike the median, still uses most
+    * of the data. One exchange on the group key: rank and group count
+    * come from the same window pass, the mean accumulates in DECIMAL
+    * (order-independent), and the tiebreak column makes which duplicates
+    * get trimmed deterministic — without it the ANSWER is stable but the
+    * oracle compare would not be.
+    */
+  def trimmedMean(df: DataFrame, group: Seq[String], valueCol: String,
+                  tieCol: String, trim: Double = 0.1): DataFrame = {
+    require(group.nonEmpty, "trimmedMean needs at least one grouping column")
+    require(trim >= 0.0 && trim < 0.5, s"trim in [0, 0.5), got $trim")
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(group.map(col): _*)
+      .orderBy(col(valueCol).asc, col(tieCol).asc)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(group.map(col): _*)
+    val ranked = df
+      .withColumn("_rn", row_number().over(wOrd).cast("long"))
+      .withColumn("_n", count(lit(1)).over(wAll))
+      .withColumn("_cut", floor(lit(trim) * col("_n")))
+    ranked
+      .filter(col("_rn") > col("_cut") && col("_rn") <= col("_n") - col("_cut"))
+      .groupBy(group.map(col): _*)
+      .agg(
+        max("_n").as("n"),
+        count(lit(1)).as("n_kept"),
+        round(sum(round(col(valueCol), 6).cast("decimal(18,6)")).cast("double") /
+          count(lit(1)), 6).as("trimmed_mean"))
+  }
+
+  /** DuckDB mirror of [[trimmedMean]]. */
+  def trimmedMeanOracleSql(table: String, group: Seq[String], valueCol: String,
+                           tieCol: String, trim: Double = 0.1): String = {
+    val g = group.mkString(", ")
+    s"""WITH r AS (
+       |  SELECT $g, $valueCol,
+       |         CAST(row_number() OVER (PARTITION BY $g ORDER BY $valueCol, $tieCol) AS BIGINT) AS rn,
+       |         CAST(count(*) OVER (PARTITION BY $g) AS BIGINT) AS n,
+       |         CAST(FLOOR($trim * count(*) OVER (PARTITION BY $g)) AS BIGINT) AS cut
+       |  FROM $table
+       |)
+       |SELECT $g, max(n) AS n, count(*) AS n_kept,
+       |       round(CAST(SUM(CAST(round($valueCol, 6) AS DECIMAL(18,6))) AS DOUBLE)
+       |             / count(*), 6) AS trimmed_mean
+       |FROM r WHERE rn > cut AND rn <= n - cut
+       |GROUP BY $g""".stripMargin
+  }
 }

@@ -462,6 +462,62 @@ object TimeSeriesOps {
     lagged.groupBy(col("_k").as(keyCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** CUSUM change-point scores per key — the sequential-detection
+    * statistic `s_t = max(0, s_{t−1} + (x_t − μ))` over the key's daily
+    * value sums, which flags a SUSTAINED shift above the series mean
+    * (a single spike decays; a level change accumulates).
+    *
+    * The recursion looks sequential but is exactly a prefix scan:
+    * `s_t = R_t − min(0, min_{j≤t} R_j)` with `R` the running sum of
+    * residuals — so it runs as ONE cumulative-sum window plus ONE
+    * running-min window over the same (key, day) sort: two window
+    * passes sharing a single exchange, no iteration, no driver loop.
+    *
+    * Exactness: daily sums land in integer CENTS, and the residual is
+    * scaled by the key's day count (`r_t = n·x_t − S`, all BIGINT) so
+    * no mean division ever happens — both engines produce identical
+    * integers. `cusum_scaled = n · cusum` in cent units; consumers
+    * divide by n (or compare against n-scaled thresholds).
+    */
+  def cusum(events: DataFrame, keyCol: String, tsCol: String,
+            valueCol: String): DataFrame = {
+    val daily = events
+      .groupBy(col(keyCol).as("_k"), to_date(col(tsCol)).as("d"))
+      .agg(sum((round(col(valueCol), 2).cast("decimal(18,2)") * 100).cast("long")).as("v_cents"))
+    val wAll = Window.partitionBy("_k")
+    val wRun = Window.partitionBy("_k").orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("_n", count(lit(1)).over(wAll))
+      .withColumn("_s", sum("v_cents").over(wAll))
+      .withColumn("_r", sum(col("_n") * col("v_cents") - col("_s")).over(wRun))
+      .select(col("_k").as(keyCol), col("d"), col("v_cents"), col("_n").as("n_days"),
+        (col("_r") - least(lit(0L), min("_r").over(wRun))).as("cusum_scaled"))
+  }
+
+  /** DuckDB mirror of [[cusum]]. */
+  def cusumOracleSql(table: String, keyCol: String, tsCol: String,
+                     valueCol: String): String =
+    s"""WITH daily AS (
+       |  SELECT $keyCol AS k, CAST($tsCol AS DATE) AS d,
+       |         CAST(SUM(CAST(CAST(round($valueCol, 2) AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS v_cents
+       |  FROM $table GROUP BY 1, 2
+       |), m AS (
+       |  SELECT k, d, v_cents,
+       |         CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS n,
+       |         CAST(SUM(v_cents) OVER (PARTITION BY k) AS BIGINT) AS s
+       |  FROM daily
+       |), r AS (
+       |  SELECT k, d, v_cents, n,
+       |         CAST(SUM(n * v_cents - s) OVER (
+       |           PARTITION BY k ORDER BY d ROWS UNBOUNDED PRECEDING) AS BIGINT) AS rr
+       |  FROM m
+       |)
+       |SELECT k AS $keyCol, d, v_cents, n AS n_days,
+       |       rr - LEAST(CAST(0 AS BIGINT), CAST(MIN(rr) OVER (
+       |         PARTITION BY k ORDER BY d ROWS UNBOUNDED PRECEDING) AS BIGINT)) AS cusum_scaled
+       |FROM r""".stripMargin
+
   /** DuckDB mirror of [[autocorr]]. */
   def autocorrOracleSql(table: String, keyCol: String, tsCol: String,
                         valueCol: String, maxLag: Int = 3): String = {

@@ -84,6 +84,28 @@ class AsOfJoinSpec extends SparkSpecBase {
     }
   }
 
+  test("nearest picks the closer side and prefers backward on exact ties") {
+    import spark.implicits._
+    val l = Seq((1L, 100L), (1L, 200L), (1L, 305L), (2L, 50L))
+      .toDF("k", "t") // user 2 has no right rows at all
+    val r = Seq((1L, 90L, "a"), (1L, 210L, "b"), (1L, 300L, "c"))
+      .toDF("k", "rt", "v")
+    val out = AsOfJoin.nearest(l, "k", "t", r, "k", "rt", Seq("v"))
+      .collect().map(row => (row.getAs[Long]("k"), row.getAs[Long]("t")) ->
+        (Option(row.getAs[String]("v")), Option(row.getAs[Any]("matched_t")))).toMap
+    assert(out((1L, 100L)) == (Some("a"), Some(90L)))  // 10 back vs 110 fwd
+    // t=200: 110 back (90) vs 10 fwd (210) -> forward
+    assert(out((1L, 200L)) == (Some("b"), Some(210L)))
+    assert(out((1L, 305L)) == (Some("c"), Some(300L))) // 5 back, nothing fwd
+    assert(out((2L, 50L)) == (None, None))             // no right rows
+    val tie = AsOfJoin.nearest(
+      Seq((1L, 100L)).toDF("k", "t"),
+      "k", "t",
+      Seq((1L, 90L, "back"), (1L, 110L, "fwd")).toDF("k", "rt", "v"),
+      "k", "rt", Seq("v")).collect().head
+    assert(tie.getAs[String]("v") == "back") // equal 10s distance -> backward
+  }
+
   test("inputs carrying _asof_* working columns are rejected, not corrupted") {
     import spark.implicits._
     val poisonedLeft = trades.withColumnRenamed("tt", "_asof_t")

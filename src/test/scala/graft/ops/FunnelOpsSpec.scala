@@ -155,6 +155,43 @@ class FunnelOpsSpec extends SparkSpecBase {
     assert(out3 == Map("(none)" -> 1000000L))
   }
 
+  test("positionAttribution: 40/20/40 with exact edge cases at k=1 and k=2") {
+    // u1: view,click,click,view then buy → k=4: first=view(40%),
+    //   last=view(40%), middles 2 clicks × 100000 each → click 200000
+    // u2: single click then buy → k=1: click 1000000
+    // u3: view,click then buy → k=2: 500000 each
+    // u4: bare buy → (none)
+    val e = Seq(
+      (1L, 1L, "view", ts(1)), (2L, 1L, "click", ts(2)),
+      (3L, 1L, "click", ts(3)), (4L, 1L, "view", ts(4)), (5L, 1L, "buy", ts(5)),
+      (6L, 2L, "click", ts(1)), (7L, 2L, "buy", ts(2)),
+      (8L, 3L, "view", ts(1)), (9L, 3L, "click", ts(2)), (10L, 3L, "buy", ts(3)),
+      (11L, 4L, "buy", ts(1))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = FunnelOps.positionAttribution(
+      e, "user_id", "event_type", "ts", "event_id",
+      touchTypes = Seq("view", "click"), convType = "buy", lookbackSec = 3600L)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // view: u1 800000 + u3 500000; click: u1 200000 + u2 1000000 + u3 500000
+    assert(out == Map(
+      "view" -> (1300000L, 2L),
+      "click" -> (1700000L, 3L),
+      "(none)" -> (1000000L, 1L)))
+  }
+
+  test("positionAttribution resolves same-second first/last ties by event id") {
+    // two touches in the SAME second: lower event_id is "first"
+    val e = Seq(
+      (2L, 1L, "click", ts(1)), (1L, 1L, "view", ts(1)), (3L, 1L, "buy", ts(2))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = FunnelOps.positionAttribution(
+      e, "user_id", "event_type", "ts", "event_id",
+      touchTypes = Seq("view", "click"), convType = "buy", lookbackSec = 3600L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // k=2 → 50/50, deterministic regardless of row order
+    assert(out == Map("view" -> 500000L, "click" -> 500000L))
+  }
+
   test("pathTrigrams counts consecutive per-user 3-step paths, overlapping") {
     // u1: v,c,b → 1 trigram; u2: v,c,v,b → (v,c,v) and (c,v,b);
     // u3: only 2 events → none

@@ -55,4 +55,27 @@ class RobustStatsSpec extends SparkSpecBase {
     }
     release()
   }
+
+  test("trimmedMean drops floor(trim*n) from each end exactly") {
+    // group g: values 1..10 with one huge outlier replacing 10 -> 1000.
+    // trim=0.1, n=10 -> cut 1 from each end: keep 2..9 -> mean 5.5
+    val df = ((1 to 9).map(i => ("g", i.toDouble, i.toLong)) :+ ("g", 1000.0, 10L))
+      .toDF("grp", "v", "id")
+    val r = RobustStats.trimmedMean(df, Seq("grp"), "v", "id", trim = 0.1)
+      .collect().head
+    assert(r.getAs[Long]("n") == 10L)
+    assert(r.getAs[Long]("n_kept") == 8L)
+    assert(r.getAs[Double]("trimmed_mean") == 5.5)
+  }
+
+  test("trimmedMean with trim=0 is the plain mean; tiny groups keep all rows") {
+    val df = Seq(("g", 2.0, 1L), ("g", 4.0, 2L), ("h", 7.0, 3L))
+      .toDF("grp", "v", "id")
+    val out = RobustStats.trimmedMean(df, Seq("grp"), "v", "id", trim = 0.1)
+      .collect().map(r => r.getAs[String]("grp") ->
+        (r.getAs[Long]("n_kept"), r.getAs[Double]("trimmed_mean"))).toMap
+    // n=2 -> floor(0.2)=0 cut; n=1 -> 0 cut
+    assert(out("g") == (2L, 3.0))
+    assert(out("h") == (1L, 7.0))
+  }
 }

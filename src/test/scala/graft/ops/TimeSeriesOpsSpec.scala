@@ -206,4 +206,27 @@ class TimeSeriesOpsSpec extends SparkSpecBase {
     assert(r.getAs[Long]("n_days") == 2L)
     assert(r.isNullAt(r.fieldIndex("acf_2")) && r.isNullAt(r.fieldIndex("acf_3")))
   }
+
+  test("cusum: flat series scores zero everywhere; a level shift accumulates") {
+    // days 1-4 at 10.00, days 5-8 at 20.00: n=8, S=12000 cents.
+    // residual r_t = 8*v_t - 12000 = -4000 (low days) / +4000 (high days)
+    val ev = (1 to 8).map(i =>
+      (i.toLong, "t", ts(f"2024-01-0$i 00:00:00"), if (i <= 4) 10.0 else 20.0))
+      .toDF("event_id", "k", "ts", "value")
+    val out = TimeSeriesOps.cusum(ev, "k", "ts", "value")
+      .collect().map(r => r.getAs[java.sql.Date]("d").toString ->
+        r.getAs[Long]("cusum_scaled")).toMap
+    // below-mean days pin at 0 (running min tracks R); shift days ramp:
+    // R after day4 = -16000; days 5..8 add +4000 each → cusum 4000,8000,...
+    assert(out("2024-01-01") == 0L && out("2024-01-04") == 0L)
+    // (the ±4000 residuals already carry the ×n scaling)
+    assert(out("2024-01-05") == 4000L)
+    assert(out("2024-01-08") == 16000L)
+    val flat = (1 to 5).map(i =>
+      (i.toLong, "t", ts(f"2024-01-0$i 00:00:00"), 7.0))
+      .toDF("event_id", "k", "ts", "value")
+    val z = TimeSeriesOps.cusum(flat, "k", "ts", "value")
+      .collect().map(_.getAs[Long]("cusum_scaled"))
+    assert(z.forall(_ == 0L))
+  }
 }
