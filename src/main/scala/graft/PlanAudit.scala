@@ -212,6 +212,52 @@ object PlanAudit {
         |and cross-partition offsets ride a literal map built from P driver
         |longs. No `Exchange SinglePartition` over the support — the same
         |shape as w6_global_rownum/t_pack_windows, applied to a statistic.""",
+    "drift_jsd" ->
+      """Same single-pass shape as drift_psi (one hash-aggregate to B bin
+        |rows, totals via a B-row window) — the symmetric, bounded
+        |divergence costs exactly what PSI costs. Nothing about the JSD
+        |formula touches the data a second time.""",
+    "a_spearman" ->
+      """Spearman = Pearson on tie-averaged ranks, with BOTH rank tables
+        |built by the distributed-CDF pattern (range-partitioned per-value
+        |counts + broadcast offsets — no SinglePartition window over the
+        |support). Two shuffle joins map rows to integer ranks; ONE
+        |all-moments hash-aggregate (decimal(38,0) sums) ends the plan. No
+        |global sort of the data anywhere.""",
+    "ml_map" ->
+      """Average precision only ever ranks the TopKPerKey survivors (the
+        |bounded-heap pair, ≤ k rows per group cross the exchange); the
+        |total-relevant denominator is one partial-agg count. Per-term
+        |precision contributions are micro-scaled LONGs — order-independent
+        |sums, partition-invariant metric.""",
+    "t_zipf" ->
+      """Term frequencies come from one exploded hash-aggregate with
+        |map-side combine; the top-200 cut is a TakeOrdered (bounded
+        |driver-side heap merge, no global sort), and the OLS fit runs over
+        |200 rows. The only single-partition window in the plan is bounded
+        |by topN, not the corpus.""",
+    "ab_ipw" ->
+      """One hash-aggregation over the data to an S-row stratum table
+        |(map-side combine), then scalar arithmetic to a single row — the
+        |causal-adjustment readout costs exactly one pass regardless of
+        |stratum count. Positivity drops are CASE arms, not filters that
+        |would need a second aggregation.""",
+    "w10_rolling_median" ->
+      """The exact percentile window runs over the PRE-AGGREGATED day-grain
+        |table (days × priorities rows), never the raw orders — at 100 TB
+        |the rolling median costs what the daily rollup costs. The 7-row
+        |frame bounds per-row work to a constant.""",
+    "mm_phash_sigs" ->
+      """Signature extraction is one mapPartitions pass over (id, payload)
+        |— the payload column is read once, nothing shuffles, and a real
+        |media decoder amortizes init per partition. ReadSchema shows only
+        |the two touched columns.""",
+    "mm_phash_pairs" ->
+      """Same 4×15-bit pigeonhole blocking as d_simhash_pairs: the only
+        |join is an equi-join on (chunk_idx, chunk) — recall-lossless for
+        |hamming ≤ 3 by pigeonhole, no quadratic candidate generation. The
+        |signature table is 1 row per payload, so the exploded block table
+        |is 4 rows per payload.""",
     "t_bigram_lm" ->
       """The corpus is tokenized ONCE: unigram and bigram count tables hang
         |off the same exploded scan, the vocabulary size is a window over

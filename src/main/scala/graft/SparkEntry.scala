@@ -1584,6 +1584,26 @@ object SparkEntry {
         .groupBy("doc_id").agg(count(lit(1)).as("n_sampled"), sum("chunk_bytes").as("sum_bytes"))
     }),
 
+    // perceptual-hash near-dup over the binary payloads: 60-bit
+    // positional-energy signature (aHash with luma stubbed to byte value —
+    // a real image decoder drops in without touching blocking or join),
+    // 4×15-bit pigeonhole chunk blocking, hamming ≤ 3 — hash-checked
+    // against DuckDB rebuilding the same sigs from the hex dump
+    // the signature table itself, hash-checked bit-for-bit — this is what
+    // makes the pairs query's (possibly empty) answer non-vacuous
+    "mm_phash_sigs" -> ((s, d) => {
+      val bt = graft.multimodal.Multimodal.toBinaryTable(
+        t(s, d, "documents"), "doc_id", "text", "text/plain")
+      graft.multimodal.Multimodal.phashSignatures(
+        bt.filter(octet_length(col("payload")) > 0), "doc_id")
+    }),
+
+    "mm_phash_pairs" -> ((s, d) => {
+      val bt = graft.multimodal.Multimodal.toBinaryTable(
+        t(s, d, "documents"), "doc_id", "text", "text/plain")
+      graft.multimodal.Multimodal.phashPairs(bt, "doc_id")
+    }),
+
     // ---- ML layer (SURVEY §2.8) -----------------------------------------
     // M3 one-hot: engine-comparable dummy columns
     "m3_onehot" -> ((s, d) => {
@@ -1635,6 +1655,14 @@ object SparkEntry {
     // Ideal DCG normalizes over the retrieved top-k pool (pool-NDCG)
     "ml_ndcg" -> ((s, d) =>
       graft.ml.RankingMetrics.ndcgAtK(
+        t(s, d, "orders"), "o_orderstatus", "o_totalprice", "o_orderkey",
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH"), k = 10)),
+
+    // average precision at 10 per segment (the MAP readout): only the
+    // top-10 rows per group are ranked (TopKPerKey bounded heaps); the
+    // total-relevant denominator is one hash aggregation
+    "ml_map" -> ((s, d) =>
+      graft.ml.RankingMetrics.mapAtK(
         t(s, d, "orders"), "o_orderstatus", "o_totalprice", "o_orderkey",
         col("o_orderpriority").isin("1-URGENT", "2-HIGH"), k = 10)),
 
@@ -1765,6 +1793,12 @@ object SparkEntry {
           (col("start_off") - col("first_win") * 4096L).as("shard_off"))
     }),
 
+    // Zipf-law fit over the corpus's top-200 terms: OLS slope of
+    // ln(freq) ~ ln(rank) — natural language reads ≈ −1, template/spam
+    // corpora bend it; one term-frequency hash-agg + TakeOrdered(200)
+    "t_zipf" -> ((s, d) =>
+      graft.text.CorpusStats.zipfSlope(t(s, d, "documents"), col("text"), topN = 200)),
+
     // keyword extraction: top-3 terms per document by smooth-idf TF-IDF
     // with a deterministic (score desc, term asc) tiebreak — the per-doc
     // top-k window rides the RowNumberTopKRule → TopKPerKey rewrite in
@@ -1890,6 +1924,23 @@ object SparkEntry {
         t(s, d, "orders"),
         value = col("o_totalprice"),
         isRef = permilleHash(col("o_orderkey"), ":dr42") < 500)),
+
+    // symmetric bounded drift over a CATEGORICAL axis (event types): the
+    // JSD companion to PSI — saturates instead of exploding when a bin
+    // empties on one side; same one-hash-agg scale shape
+    "drift_jsd" -> ((s, d) =>
+      graft.ops.DriftOps.jsdBins(
+        Tables.events(s, d),
+        isRef = permilleHash(col("event_id"), ":dj42") < 500,
+        bin = col("event_type"))),
+
+    // Spearman rank correlation with tie-averaged ranks — the monotone-
+    // association readout Pearson misses; ranks ride a distributed CDF
+    // (range-partitioned counts + broadcast offsets), moments in
+    // decimal(38,0), one double formula at the end
+    "a_spearman" -> ((s, d) =>
+      graft.ops.StatsOps.spearman(
+        t(s, d, "lineitem"), "l_quantity", "l_extendedprice")),
 
     // ---- feature engineering beyond one-hot: the transforms that keep
     // working when the category set is unbounded ----
@@ -2767,6 +2818,15 @@ object SparkEntry {
       graft.ops.ExperimentOps.cuped(perUser, "arm", "A", "B", "x", "y")
     }),
 
+    // stratified IPW (Horvitz–Thompson) treatment-effect estimate:
+    // stratum = order priority, "treatment" = hash-split, outcome = big
+    // order — one S-row hash-agg, positivity-violating strata dropped
+    "ab_ipw" -> ((s, d) =>
+      graft.ops.ExperimentOps.ipwEstimate(
+        t(s, d, "orders"), "o_orderpriority",
+        treated = permilleHash(col("o_orderkey"), ":ipw") < 300,
+        outcome = col("o_totalprice") > 300000)),
+
     // exact Gini concentration of customer spend (integer cents), global
     // ascending rank via GlobalRowNumber — no SinglePartition window
     "a19_gini" -> ((s, d) => {
@@ -2857,12 +2917,16 @@ object SparkEntry {
 
     // per-group feature scaling with exact decimal moments — the scaling
     // constants are bit-reproducible under any partitioning
+    // z rounded to 9 at the GATE (the op itself returns raw doubles): the
+    // scaling constants are exact-in, but (x−μ)/σ is three dependent
+    // double ops and the last ulp can differ across engines for some data
     "fe_group_zscore" -> ((s, d) =>
       graft.ops.StatsOps.groupZScore(
           t(s, d, "lineitem")
             .select("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"),
           group = Seq("l_returnflag"), value = "l_extendedprice")
-        .select("l_orderkey", "l_linenumber", "l_returnflag", "z")),
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          round(col("z"), 9).as("z"))),
 
     // feature-store composition: the SCD2 history (scd2_merge) consumed
     // through the as-of join = point-in-time-correct feature lookup
@@ -3080,6 +3144,19 @@ object SparkEntry {
         nth_value(col("o_totalprice"), 3).over(w).as("third_price"),
         lag(col("o_totalprice"), 1, -1.0).over(w).as("prev_price"),
         last(col("o_totalprice")).over(full).as("last_price"))
+    }),
+
+    // EXACT rolling median over a 7-row frame of the pre-aggregated daily
+    // series: the robust moving-centre a spikey metric needs (rolling mean
+    // is in fe_decay/ev_rollingh). percentile() runs per frame — bounded
+    // at 7 values — over the day-grain table, never the raw data
+    "w10_rolling_median" -> ((s, d) => {
+      val daily = t(s, d, "orders")
+        .groupBy(col("o_orderpriority").as("prio"), to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("prio").orderBy("day").rowsBetween(-6, 0)
+      daily.select(col("prio"), col("day"), col("cnt"),
+        expr("percentile(cnt, 0.5)").over(w).as("med7"))
     }),
 
     // per-group Shannon entropy (nats) of a categorical — the data-card
@@ -4066,6 +4143,37 @@ object SparkEntry {
       "orders", "o_orderstatus", "o_totalprice", "o_orderkey",
       "CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END"),
 
+    "ml_map" -> graft.ml.RankingMetrics.mapOracleSql(
+      "orders", "o_orderstatus", "o_totalprice", "o_orderkey",
+      "CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END", k = 10),
+
+    "t_zipf" -> graft.text.CorpusStats.zipfOracleSql("documents", "text", topN = 200),
+
+    "a_spearman" ->
+      """WITH base AS (
+        |  SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |), rx AS (
+        |  SELECT v, 2 * SUM(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt + 1 AS r2
+        |  FROM (SELECT x AS v, CAST(count(*) AS BIGINT) AS cnt FROM base GROUP BY 1)
+        |), ry AS (
+        |  SELECT v, 2 * SUM(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt + 1 AS r2
+        |  FROM (SELECT y AS v, CAST(count(*) AS BIGINT) AS cnt FROM base GROUP BY 1)
+        |), j AS (
+        |  SELECT rx.r2 AS a, ry.r2 AS b
+        |  FROM base JOIN rx ON base.x = rx.v JOIN ry ON base.y = ry.v
+        |), m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |         SUM(a) AS sx, SUM(b) AS sy,
+        |         SUM(a * a) AS ssx, SUM(b * b) AS ssy, SUM(a * b) AS sp
+        |  FROM j
+        |)
+        |SELECT n,
+        |       round((CAST(n AS DOUBLE) * CAST(sp AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |             sqrt((CAST(n AS DOUBLE) * CAST(ssx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |                  (CAST(n AS DOUBLE) * CAST(ssy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 9) AS rho
+        |FROM m""".stripMargin,
+
     "ml_logloss" -> graft.ml.RankingMetrics.logLossOracleSql(
       "orders", "o_orderstatus", "o_totalprice / 600000.0",
       "CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1.0 ELSE 0.0 END"),
@@ -4614,6 +4722,35 @@ object SparkEntry {
          |  round(MAX(ABS(CAST(cr AS DOUBLE) / n_ref - CAST(cc AS DOUBLE) / n_cur)), 9) AS ks
          |FROM cum, tot GROUP BY n_ref, n_cur""".stripMargin,
 
+    // JSD mirror: identical smoothed rates to drift_psi; the per-bin term
+    // is ½·p·ln(p/m) + ½·q·ln(q/m) with m = (p+q)/2 — written in the same
+    // operation order as the Spark side so the doubles agree bitwise
+    "drift_jsd" ->
+      s"""WITH s AS (
+         |  SELECT event_type AS bin,
+         |         (${permilleHashSql("event_id", ":dj42", 1000)}) < 500 AS isref
+         |  FROM events
+         |), b AS (
+         |  SELECT bin,
+         |         CAST(SUM(CASE WHEN isref THEN 1 ELSE 0 END) AS BIGINT) AS ref_cnt,
+         |         CAST(SUM(CASE WHEN isref THEN 0 ELSE 1 END) AS BIGINT) AS cur_cnt
+         |  FROM s GROUP BY bin
+         |), tot AS (
+         |  SELECT CAST(SUM(ref_cnt) AS BIGINT) AS rt, CAST(SUM(cur_cnt) AS BIGINT) AS ct,
+         |         CAST(COUNT(*) AS BIGINT) AS nb
+         |  FROM b
+         |)
+         |SELECT bin, ref_cnt, cur_cnt,
+         |  round((ref_cnt + 0.5) / (rt + 0.5 * nb), 9) AS p_ref,
+         |  round((cur_cnt + 0.5) / (ct + 0.5 * nb), 9) AS p_cur,
+         |  round(((ref_cnt + 0.5) / (rt + 0.5 * nb)
+         |           * ln(((ref_cnt + 0.5) / (rt + 0.5 * nb)) /
+         |               (((ref_cnt + 0.5) / (rt + 0.5 * nb) + (cur_cnt + 0.5) / (ct + 0.5 * nb)) / 2.0))
+         |         + (cur_cnt + 0.5) / (ct + 0.5 * nb)
+         |           * ln(((cur_cnt + 0.5) / (ct + 0.5 * nb)) /
+         |               (((ref_cnt + 0.5) / (rt + 0.5 * nb) + (cur_cnt + 0.5) / (ct + 0.5 * nb)) / 2.0))) / 2.0, 6) AS jsd_term
+         |FROM b, tot""".stripMargin,
+
     // pure rational arithmetic over exact integer counts: every double op
     // is IEEE-correctly-rounded in both engines, so NO rounding is needed
     "fe_target_encode" ->
@@ -4848,6 +4985,30 @@ object SparkEntry {
 
     "d_simhash_pairs" -> graft.dedup.Dedup.simhashPairsOracleSql(
       "documents", "doc_id", "text"),
+
+    "mm_phash_sigs" -> graft.multimodal.Multimodal.phashSignaturesOracleSql(
+      "documents", "doc_id", "text"),
+
+    "mm_phash_pairs" -> graft.multimodal.Multimodal.phashPairsOracleSql(
+      "documents", "doc_id", "text"),
+
+    "ab_ipw" -> graft.ops.ExperimentOps.ipwOracleSql(
+      s"""SELECT o_orderpriority AS s,
+         |       CASE WHEN (${permilleHashSql("o_orderkey", ":ipw", 1000)}) < 300
+         |            THEN 1 ELSE 0 END AS is_t,
+         |       CASE WHEN o_totalprice > 300000 THEN 1 ELSE 0 END AS y
+         |FROM orders""".stripMargin),
+
+    "w10_rolling_median" ->
+      """WITH daily AS (
+        |  SELECT o_orderpriority AS prio, CAST(o_orderdate AS DATE) AS day,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |  FROM orders GROUP BY 1, 2
+        |)
+        |SELECT prio, day, cnt,
+        |       median(cnt) OVER (PARTITION BY prio ORDER BY day
+        |         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med7
+        |FROM daily""".stripMargin,
 
     "ab_srm" -> graft.ops.ExperimentOps.srmOracleSql(
       s"""SELECT CASE WHEN ${permilleHashSql("user_id", ":ab", 1000L)} < 500
@@ -5533,8 +5694,8 @@ object SparkEntry {
         |  FROM lineitem GROUP BY 1
         |)
         |SELECT l_orderkey, l_linenumber, l_returnflag,
-        |       (CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) - s / n)
-        |         / sqrt((n * ss - s * s) / (n * (n - 1.0))) AS z
+        |       round((CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) - s / n)
+        |         / sqrt((n * ss - s * s) / (n * (n - 1.0))), 9) AS z
         |FROM lineitem JOIN g ON l_returnflag = g.grp""".stripMargin,
 
     // DuckDB's native ASOF JOIN against the same collapsed SCD2 history

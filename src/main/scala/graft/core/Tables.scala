@@ -2,7 +2,7 @@ package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Parquet source registry for the engine's test tables.
   *
@@ -23,17 +23,21 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
-  /** events.ts is TIMESTAMP(NANOS) in parquet, which Spark rejects unless
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (set in Verify/Bench/test
-    * sessions). Under that flag ts arrives as a Long of nanoseconds —
-    * normalize to a microsecond TimestampType column here so every
-    * downstream operator sees a uniform schema.
+  /** events.ts arrives in whatever physical type the generator used:
+    * TIMESTAMP(NANOS) (a Long under
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, set in Verify/Bench/test
+    * sessions) or TIMESTAMP(MICROS, isAdjustedToUTC=false) (read as
+    * TIMESTAMP_NTZ). Normalize both to a microsecond TimestampType column
+    * here so every downstream operator — in particular `withWatermark`,
+    * which rejects NTZ — sees a uniform schema. Sessions pin UTC, so the
+    * NTZ→LTZ cast is a pure re-tag, not a wall-clock shift.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     val df = table(s, d, "events")
     df.schema("ts").dataType match {
-      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _        => df
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
     }
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")

@@ -84,6 +84,73 @@ object RankingMetrics {
        |LEFT JOIN dcg ON gs.g = dcg.g
        |LEFT JOIN idcg ON gs.g = idcg.g""".stripMargin
 
+  /** Average precision at k per group (the MAP readout before the final
+    * mean): `AP@k = Σ_{relevant rank r ≤ k} P@r / min(k, R)` with
+    * `P@r = (# relevant in top r) / r` and `R` the group's TOTAL relevant
+    * count (TREC convention — a group whose positives all sit beyond k
+    * scores 0, not undefined). Per-row terms are micro-scaled integers,
+    * so the sum is order-independent and exactly mirrorable.
+    *
+    * Emits `(group, n_rel, ap)`; `ap = 0` for groups with no positives.
+    *
+    * Scale shape: only the top k rows per group are ever ranked (the
+    * TopKPerKey bounded heap — one exchange, no full per-group sort);
+    * the total-relevant count is ONE hash aggregation over the data.
+    */
+  def mapAtK(df: DataFrame, group: String, score: String, id: String,
+             rel: Column, k: Int): DataFrame = {
+    val marked = df.withColumn("_rel", rel.cast("int"))
+    val topk = graft.plans.TopKPerKey(
+      marked, Seq(group), Seq(col(score).desc, col(id).asc), k)
+    val w = Window.partitionBy(group).orderBy(col(score).desc, col(id).asc)
+    val ranked = topk.withColumn("_rank", row_number().over(w))
+    val pos = ranked.filter(col("_rel") === 1)
+      .withColumn("_prank", row_number().over(w))
+    // P@r = prank / r at each relevant rank — micro-int before the sum
+    val apSum = pos.groupBy(group)
+      .agg(sum(round(lit(1e6) * col("_prank").cast("double") /
+        col("_rank").cast("double")).cast("long")).as("ap_micro"))
+    val rels = marked.filter(col("_rel") === 1)
+      .groupBy(group).agg(count(lit(1)).as("n_rel"))
+    val groups = df.select(col(group)).distinct()
+    groups
+      .join(rels, Seq(group), "left")
+      .join(apSum, Seq(group), "left")
+      .select(col(group),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        round(when(coalesce(col("n_rel"), lit(0L)) === 0L, 0.0)
+          .otherwise(coalesce(col("ap_micro"), lit(0L)).cast("double") /
+            (lit(1e6) * least(lit(k.toLong), col("n_rel")).cast("double"))), 6)
+          .as("ap"))
+  }
+
+  /** DuckDB mirror of [[mapAtK]]. */
+  def mapOracleSql(table: String, group: String, score: String, id: String,
+                   relSql: String, k: Int): String =
+    s"""WITH ranked AS (
+       |  SELECT $group AS g, ($relSql) AS rel,
+       |         ROW_NUMBER() OVER (PARTITION BY $group
+       |           ORDER BY $score DESC NULLS LAST, $id) AS r
+       |  FROM $table
+       |), pos AS (
+       |  SELECT g, r,
+       |         ROW_NUMBER() OVER (PARTITION BY g ORDER BY r) AS pr
+       |  FROM ranked WHERE rel = 1 AND r <= $k
+       |), ap AS (
+       |  SELECT g, SUM(CAST(round(1e6 * CAST(pr AS DOUBLE) / CAST(r AS DOUBLE)) AS BIGINT)) AS ap_micro
+       |  FROM pos GROUP BY 1
+       |), rels AS (
+       |  SELECT g, CAST(COUNT(*) AS BIGINT) AS n_rel FROM ranked WHERE rel = 1 GROUP BY 1
+       |)
+       |SELECT gs.g AS $group,
+       |       coalesce(rels.n_rel, 0) AS n_rel,
+       |       round(CASE WHEN coalesce(rels.n_rel, 0) = 0 THEN 0.0
+       |             ELSE CAST(coalesce(ap.ap_micro, 0) AS DOUBLE) /
+       |                  (1e6 * CAST(LEAST($k, rels.n_rel) AS DOUBLE)) END, 6) AS ap
+       |FROM (SELECT DISTINCT $group AS g FROM $table) gs
+       |LEFT JOIN rels ON gs.g = rels.g
+       |LEFT JOIN ap ON gs.g = ap.g""".stripMargin
+
   /** Reciprocal rank of the FIRST relevant row per group under
     * (score DESC, id) — emits (group, first_rel_rank, rr) with
     * rr = round(1e6/rank)/1e6 (micro-int, engine-portable).

@@ -172,4 +172,136 @@ object Multimodal {
       .filter(pmod(col("chunk_idx"), lit(everyK)) === 0)
       .select(col(idCol), col("chunk_idx"), col("chunk"), octet_length(col("chunk")).as("chunk_bytes"))
   }
+
+  /** ==== PERCEPTUAL-HASH NEAR-DUP (pHash shape on the stub decode) ====
+    * 60-bit positional-energy signature: the payload is cut into 60
+    * positional buckets (byte i → bucket ⌊i·60/n⌋); bit k is set iff
+    * bucket k's mean byte value exceeds the whole payload's mean. That is
+    * exactly the aHash/pHash construction with "pixel luma" stubbed to
+    * "byte value" (no image libs in this container) — a real decoder
+    * swaps the byte stream for decoded luma and NOTHING else changes:
+    * signature width, blocking, pair join, and oracle all stay.
+    *
+    * The mean comparison is cross-multiplied (`sum_k·n > total·cnt_k`) so
+    * the signature is pure integer arithmetic — exactly mirrorable in
+    * DuckDB from the hex dump of the same payload.
+    */
+  private def phash60(bytes: Array[Byte]): Long = {
+    if (bytes == null || bytes.length == 0) return 0L
+    val n = bytes.length
+    val sums = new Array[Long](60)
+    val cnts = new Array[Long](60)
+    var total = 0L
+    var i = 0
+    while (i < n) {
+      val b = java.lang.Byte.toUnsignedInt(bytes(i))
+      val k = (i.toLong * 60L / n).toInt
+      sums(k) += b; cnts(k) += 1; total += b
+      i += 1
+    }
+    var sig = 0L
+    var k = 0
+    while (k < 60) {
+      if (sums(k) * n > total * cnts(k)) sig |= (1L << k)
+      k += 1
+    }
+    sig
+  }
+
+  /** Per-partition batched signature extraction (same shape as
+    * [[decodeFeatures]]): one (id, phash) row per payload.
+    */
+  def phashSignatures(binTable: DataFrame, idCol: String): DataFrame = {
+    val idField = binTable.schema(idCol)
+    val schema = StructType(Seq(idField, StructField("ph", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    binTable.select(col(idCol), col("payload")).mapPartitions { rows =>
+      rows.map { r => Row(r.get(0), phash60(r.getAs[Array[Byte]](1))) }
+    }(enc)
+  }
+
+  /** Near-dup payload pairs by pHash hamming distance ≤ maxDist, with the
+    * recall-lossless 4×15-bit-chunk pigeonhole blocking (the
+    * [[graft.dedup.Dedup.simhashPairs]] machinery applied to the media
+    * signature): with 4 chunks and ≤ 3 differing bits at least one chunk
+    * matches exactly, so a single equi-join finds every qualifying pair.
+    */
+  def phashPairs(binTable: DataFrame, idCol: String, maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist < 4,
+      s"phashPairs blocking is recall-lossless only for maxDist < 4; got $maxDist")
+    // empty payloads have no signal — their all-zero sigs would pair every
+    // empty doc with every other (hamming 0); exclude them up front
+    val sigs = phashSignatures(
+      binTable.filter(octet_length(col("payload")) > 0), idCol)
+    val chunked = sigs.select(
+      col(idCol), col("ph"),
+      posexplode(array((0 until 4).map { i =>
+        shiftright(col("ph"), i * 15).bitwiseAND(0x7fffL)
+      }: _*))
+    ).select(col(idCol).as("id"), col("ph"), col("pos").as("chunk_idx"), col("col").as("chunk"))
+    val hamming = bit_count(col("a.ph").bitwiseXOR(col("b.ph")))
+    chunked.as("a")
+      .join(
+        chunked.as("b"),
+        col("a.chunk_idx") === col("b.chunk_idx") && col("a.chunk") === col("b.chunk") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), hamming.as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+
+  /** The shared signature-rebuild CTE chain (`h → pos → by → bk → tot →
+    * sg`): DuckDB recomputes every payload's 60-bit signature from the
+    * hex dump with pure integer arithmetic.
+    */
+  private def phashSigCtes(table: String, idCol: String, textCol: String): String =
+    s"""WITH h AS (
+       |  SELECT $idCol AS id, hex(encode($textCol)) AS hx,
+       |         octet_length(encode($textCol)) AS n
+       |  FROM $table WHERE octet_length(encode($textCol)) > 0
+       |), pos AS (
+       |  SELECT id, n, hx, unnest(range(1, n + 1)) AS i FROM h
+       |), by AS (
+       |  SELECT id, n,
+       |         (strpos('0123456789ABCDEF', substring(hx, CAST(2*i - 1 AS INTEGER), 1)) - 1) * 16 +
+       |         (strpos('0123456789ABCDEF', substring(hx, CAST(2*i AS INTEGER), 1)) - 1) AS bv,
+       |         CAST(((i - 1) * 60) // n AS BIGINT) AS k
+       |  FROM pos
+       |), bk AS (
+       |  SELECT id, n, k, SUM(bv) AS sum_k, COUNT(*) AS cnt_k
+       |  FROM by GROUP BY 1, 2, 3
+       |), tot AS (
+       |  SELECT id, SUM(bv) AS total FROM by GROUP BY 1
+       |), sg AS (
+       |  SELECT bk.id, SUM(CASE WHEN sum_k * n > total * cnt_k
+       |                         THEN (CAST(1 AS BIGINT) << CAST(k AS INTEGER)) ELSE 0 END) AS ph
+       |  FROM bk JOIN tot ON bk.id = tot.id GROUP BY 1
+       |)""".stripMargin
+
+  /** DuckDB mirror of [[phashSignatures]] (over non-empty payloads) —
+    * pins all 60 bits of every signature, so the PAIRS query's "no pairs
+    * under hamming ≤ 3" answer is a checked statement about checked
+    * signatures, not a vacuous empty-join match.
+    */
+  def phashSignaturesOracleSql(table: String, idCol: String, textCol: String): String =
+    s"""${phashSigCtes(table, idCol, textCol)}
+       |SELECT id AS $idCol, CAST(ph AS BIGINT) AS ph FROM sg""".stripMargin
+
+  /** DuckDB mirror of [[phashPairs]] over the text-backed binary table:
+    * byte values come from the hex dump (the [[toBinaryTable]] payload is
+    * `encode(text)`), bucket/total sums are integer-exact, and the same
+    * chunk block join + xor-bit_count hamming runs on the rebuilt sigs.
+    */
+  def phashPairsOracleSql(table: String, idCol: String, textCol: String,
+                          maxDist: Int = 3): String =
+    s"""${phashSigCtes(table, idCol, textCol)}
+       |, ch AS (
+       |  SELECT id, ph, i AS chunk_idx, (ph >> (i * 15)) & 32767 AS chunk
+       |  FROM sg, (SELECT unnest([0, 1, 2, 3]) AS i)
+       |)
+       |SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+       |       CAST(bit_count(xor(a.ph, b.ph)) AS INTEGER) AS hamming
+       |FROM ch a JOIN ch b
+       |  ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk AND a.id < b.id
+       |WHERE bit_count(xor(a.ph, b.ph)) <= $maxDist""".stripMargin
 }

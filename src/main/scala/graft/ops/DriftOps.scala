@@ -62,6 +62,47 @@ object DriftOps {
         round((pCur - pRef) * log(pCur / pRef), 6).as("psi_term"))
   }
 
+  /** Per-bin Jensen–Shannon-divergence contributions between the
+    * reference and current slices — the SYMMETRIC, bounded ([0, ln 2]
+    * nats) companion to [[psiBins]]: PSI explodes when a bin empties on
+    * one side, JSD saturates, which is the property a crawl-refresh
+    * monitor wants (a brand-new content type should read "maximally
+    * different", not "infinitely different").
+    *
+    * Output: one row per observed bin with both counts, the smoothed
+    * rates, and `jsd_term = ½·p·ln(p/m) + ½·q·ln(q/m)` where
+    * `m = (p+q)/2`; summing `jsd_term` gives the divergence.
+    *
+    * Scale shape: identical to [[psiBins]] — ONE hash-aggregation to a
+    * B-row bin table, totals via a window over those B rows, no second
+    * pass over the data.
+    */
+  def jsdBins(df: DataFrame, isRef: Column, bin: Column, smoothing: Double = 0.5): DataFrame = {
+    val binned = df
+      .groupBy(bin.as("bin"))
+      .agg(
+        sum(when(isRef, 1L).otherwise(0L)).as("ref_cnt"),
+        sum(when(isRef, 0L).otherwise(1L)).as("cur_cnt"))
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val s = lit(smoothing)
+    val p = (col("ref_cnt") + s) / (col("ref_total") + s * col("n_bins"))
+    val q = (col("cur_cnt") + s) / (col("cur_total") + s * col("n_bins"))
+    val m = (p + q) / lit(2.0)
+    binned
+      .select(
+        col("bin"), col("ref_cnt"), col("cur_cnt"),
+        sum("ref_cnt").over(wAll).as("ref_total"),
+        sum("cur_cnt").over(wAll).as("cur_total"),
+        count(lit(1)).over(wAll).as("n_bins"))
+      .select(
+        col("bin"), col("ref_cnt"), col("cur_cnt"),
+        round(p, 9).as("p_ref"),
+        round(q, 9).as("p_cur"),
+        // smoothing keeps p, q > 0, so both ln arguments are finite
+        round((p * log(p / m) + q * log(q / m)) / lit(2.0), 6).as("jsd_term"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov statistic: `max |F_ref(v) - F_cur(v)|`
     * over the observed support. Returns one row
     * `(n_ref, n_cur, ks)`.

@@ -174,4 +174,83 @@ object ExperimentOps {
        |                 (CAST(n_b AS DOUBLE) - eb) * (CAST(n_b AS DOUBLE) - eb) / eb > 3.841
        |            THEN 1 ELSE 0 END AS BIGINT) AS srm_flag
        |FROM s""".stripMargin
+
+  /** Stratified inverse-propensity-weighted treatment-effect estimate
+    * (Horvitz–Thompson): with per-stratum propensity
+    * `e_s = treated_s / n_s`, the ATE is
+    * `(Σ_s pos_treated_s·n_s/treated_s − Σ_s pos_control_s·n_s/control_s)/N`
+    * — the observational-data correction a raw arm-mean difference gets
+    * wrong when treatment assignment correlates with the stratum.
+    * Strata violating positivity (no treated or no control units) are
+    * dropped from both sums, and `n_used` reports the surviving size.
+    *
+    * Output: one row `(n, n_used, n_strata, naive_diff, ate_ipw)`.
+    * Per-stratum terms are micro-scaled integers before the final sum,
+    * so the estimate is independent of stratum enumeration order.
+    *
+    * Scale shape: ONE hash-aggregation to the S-row stratum table
+    * (map-side combine); everything after is arithmetic over S rows
+    * ending in a 1-row aggregate. No second data pass, no driver loop.
+    */
+  def ipwEstimate(df: DataFrame, stratumCol: String, treated: org.apache.spark.sql.Column,
+                  outcome: org.apache.spark.sql.Column): DataFrame = {
+    val strata = df
+      .groupBy(col(stratumCol).as("s"))
+      .agg(
+        sum(when(treated, 1L).otherwise(0L)).as("t"),
+        sum(when(!treated, 1L).otherwise(0L)).as("c"),
+        sum(when(treated && outcome, 1L).otherwise(0L)).as("pos_t"),
+        sum(when(!treated && outcome, 1L).otherwise(0L)).as("pos_c"))
+      .withColumn("n_s", col("t") + col("c"))
+    val ok = col("t") > 0 && col("c") > 0
+    // micro-int per-stratum Horvitz–Thompson terms (double division from
+    // exact integers, rounded once) — the sum over strata is then exact
+    val termT = round(lit(1e6) * col("pos_t").cast("double") * col("n_s").cast("double") /
+      col("t").cast("double")).cast("long")
+    val termC = round(lit(1e6) * col("pos_c").cast("double") * col("n_s").cast("double") /
+      col("c").cast("double")).cast("long")
+    strata.agg(
+      sum(col("n_s")).as("n"),
+      sum(when(ok, col("n_s")).otherwise(0L)).as("n_used"),
+      count(lit(1)).as("n_strata"),
+      sum(col("t")).as("_nt"), sum(col("c")).as("_nc"),
+      sum(col("pos_t")).as("_pt"), sum(col("pos_c")).as("_pc"),
+      sum(when(ok, termT).otherwise(0L)).as("_st"),
+      sum(when(ok, termC).otherwise(0L)).as("_sc"))
+      .select(
+        col("n"), col("n_used"), col("n_strata"),
+        round(col("_pt").cast("double") / col("_nt").cast("double") -
+          col("_pc").cast("double") / col("_nc").cast("double"), 9).as("naive_diff"),
+        round((col("_st") - col("_sc")).cast("double") /
+          (lit(1e6) * col("n_used").cast("double")), 9).as("ate_ipw"))
+  }
+
+  /** DuckDB mirror of [[ipwEstimate]]: `rowsCte` must yield columns
+    * `(s, is_t, y)` with `is_t`/`y` 0/1 integers.
+    */
+  def ipwOracleSql(rowsCte: String): String =
+    s"""WITH rows_in AS (
+       |$rowsCte
+       |), st AS (
+       |  SELECT s,
+       |         CAST(SUM(is_t) AS BIGINT) AS t,
+       |         CAST(SUM(1 - is_t) AS BIGINT) AS c,
+       |         CAST(SUM(CASE WHEN is_t = 1 THEN y ELSE 0 END) AS BIGINT) AS pos_t,
+       |         CAST(SUM(CASE WHEN is_t = 0 THEN y ELSE 0 END) AS BIGINT) AS pos_c,
+       |         CAST(COUNT(*) AS BIGINT) AS n_s
+       |  FROM rows_in GROUP BY 1
+       |)
+       |SELECT CAST(SUM(n_s) AS BIGINT) AS n,
+       |       CAST(SUM(CASE WHEN t > 0 AND c > 0 THEN n_s ELSE 0 END) AS BIGINT) AS n_used,
+       |       CAST(COUNT(*) AS BIGINT) AS n_strata,
+       |       round(CAST(SUM(pos_t) AS DOUBLE) / CAST(SUM(t) AS DOUBLE) -
+       |             CAST(SUM(pos_c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 9) AS naive_diff,
+       |       round(CAST(SUM(CASE WHEN t > 0 AND c > 0
+       |                    THEN CAST(round(1e6 * CAST(pos_t AS DOUBLE) * CAST(n_s AS DOUBLE) / CAST(t AS DOUBLE)) AS BIGINT)
+       |                    ELSE 0 END) -
+       |                  SUM(CASE WHEN t > 0 AND c > 0
+       |                    THEN CAST(round(1e6 * CAST(pos_c AS DOUBLE) * CAST(n_s AS DOUBLE) / CAST(c AS DOUBLE)) AS BIGINT)
+       |                    ELSE 0 END) AS DOUBLE) /
+       |             (1e6 * CAST(SUM(CASE WHEN t > 0 AND c > 0 THEN n_s ELSE 0 END) AS DOUBLE)), 9) AS ate_ipw
+       |FROM st""".stripMargin
 }

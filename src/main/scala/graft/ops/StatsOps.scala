@@ -117,4 +117,76 @@ object StatsOps {
     release()
     collected
   }
+
+  /** Average-rank table (×2 to stay integral) for one column:
+    * `r2(v) = 2·(# rows with value ≤ v) − cnt(v) + 1`, i.e. twice the
+    * tie-averaged midrank. Distributed CDF: per-value counts are
+    * range-partitioned, each partition runs a local running sum, and the
+    * per-partition offsets (≤ shuffle-partitions rows) are broadcast —
+    * the [[DriftOps.ksReleasable]] shape, no SinglePartition window.
+    */
+  private def avgRank2(df: DataFrame, value: Column): (DataFrame, () => Unit) = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val parts = math.max(1, spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    val perVal = df.filter(value.isNotNull)
+      .groupBy(value.as("v")).agg(count(lit(1)).as("cnt"))
+    val ranged = perVal
+      .repartitionByRange(parts, col("v"))
+      .withColumn("_pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pidStats = ranged.groupBy("_pid").agg(sum("cnt").as("pc"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val cum = (0 until parts).scanLeft(0L)((a, p) => a + pidStats.getOrElse(p, 0L))
+    val off = (0 until parts).map(p => p -> cum(p)).toMap
+    val cumW = Window.partitionBy("_pid").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val out = ranged.select(
+      col("v"),
+      (lit(2L) * (sum("cnt").over(cumW) + element_at(typedlit(off), col("_pid")))
+        - col("cnt") + lit(1L)).as("r2"))
+    (out, () => { ranged.unpersist(); () })
+  }
+
+  /** Spearman rank correlation with proper tie handling (average ranks),
+    * exact and engine-portable: ranks are INTEGERS (twice the midrank —
+    * Pearson is scale-invariant, so ×2 changes nothing), every moment sum
+    * accumulates in decimal(38,0), and the one floating-point formula
+    * runs once at the end on exactly-represented inputs. Emits one row
+    * `(n, rho)`.
+    *
+    * Scale shape: one distributed CDF per column (range-partitioned
+    * per-value counts + broadcast offsets — no global-sort funnel), two
+    * shuffle joins mapping each row to its ranks, then ONE all-moments
+    * hash aggregation. Rows where either column is null are excluded
+    * (pairwise-complete, the scipy default). decimal(38,0) holds the
+    * rank-product sums exactly up to n ≈ 3·10¹² rows.
+    */
+  def spearman(df: DataFrame, x: String, y: String): DataFrame = {
+    val base = df.filter(col(x).isNotNull && col(y).isNotNull)
+      .select(col(x).as("_x"), col(y).as("_y"))
+    val (rx, relX) = avgRank2(base, col("_x"))
+    val (ry, relY) = avgRank2(base, col("_y"))
+    def d19(c: Column): Column = c.cast("decimal(19,0)")
+    val joined = base
+      .join(rx.select(col("v").as("_x"), col("r2").as("_rx")), "_x")
+      .join(ry.select(col("v").as("_y"), col("r2").as("_ry")), "_y")
+    val agg = joined.agg(
+      count(lit(1)).as("n"),
+      sum(d19(col("_rx")).cast("decimal(38,0)")).cast("double").as("sx"),
+      sum(d19(col("_ry")).cast("decimal(38,0)")).cast("double").as("sy"),
+      sum((d19(col("_rx")) * d19(col("_rx"))).cast("decimal(38,0)")).cast("double").as("ssx"),
+      sum((d19(col("_ry")) * d19(col("_ry"))).cast("decimal(38,0)")).cast("double").as("ssy"),
+      sum((d19(col("_rx")) * d19(col("_ry"))).cast("decimal(38,0)")).cast("double").as("sp"))
+    val nD = col("n").cast("double")
+    val out = agg.select(
+      col("n"),
+      round((nD * col("sp") - col("sx") * col("sy")) /
+        sqrt((nD * col("ssx") - col("sx") * col("sx")) *
+          (nD * col("ssy") - col("sy") * col("sy"))), 9).as("rho"))
+    val collected = out.cache()
+    collected.count()
+    relX(); relY()
+    collected
+  }
 }

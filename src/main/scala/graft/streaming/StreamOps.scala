@@ -79,6 +79,10 @@ object StreamOps {
     val raw = spark.readStream.schema(schema).parquet(srcDir.toString)
     raw.schema("ts").dataType match {
       case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // micros-NTZ parquet: re-tag to TimestampType (sessions pin UTC)
+        // because withWatermark rejects NTZ event-time columns
+        raw.withColumn("ts", col("ts").cast("timestamp"))
       case _        => raw
     }
   }

@@ -53,6 +53,27 @@ class RankingMetricsSpec extends SparkSpecBase {
     assert(out("b") == ((1, 1.0)))
   }
 
+  test("mapAtK: hand-computed AP, zero-positive groups, and beyond-k positives") {
+    val df = Seq(
+      // group a, ranks by score desc: id1 id2 id3(rel) id4 →
+      // AP@3 = (1/3) / min(3, R=1) = 0.333333
+      ("a", 1L, 9.0, 0), ("a", 2L, 8.0, 0), ("a", 3L, 7.0, 1), ("a", 4L, 6.0, 0),
+      // group d: positives at ranks 1,2 → AP@3 = (1/1 + 2/2) / 2 = 1.0
+      ("d", 9L, 9.0, 1), ("d", 10L, 8.0, 1), ("d", 11L, 7.0, 0),
+      // group b: no positives → ap 0
+      ("b", 5L, 9.0, 0),
+      // group c: only positive OUTSIDE top-3 → counted in R, ap = 0
+      ("c", 6L, 9.0, 0), ("c", 7L, 8.0, 0), ("c", 8L, 7.0, 0), ("c", 12L, 6.0, 1)
+    ).toDF("grp", "id", "score", "rel")
+    val out = RankingMetrics.mapAtK(df, "grp", "score", "id", col("rel") === 1, k = 3)
+      .collect().map(r => r.getAs[String]("grp") ->
+        ((r.getAs[Long]("n_rel"), r.getAs[Double]("ap")))).toMap
+    assert(out("a") == ((1L, 0.333333)))
+    assert(out("d") == ((2L, 1.0)))
+    assert(out("b") == ((0L, 0.0)))
+    assert(out("c") == ((1L, 0.0)))
+  }
+
   test("logLoss is near zero for confident-correct and large for confident-wrong") {
     val df = Seq(
       ("good", 0.999, 1), ("good", 0.001, 0),

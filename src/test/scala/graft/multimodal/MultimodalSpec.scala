@@ -53,4 +53,29 @@ class MultimodalSpec extends SparkSpecBase {
     assert(out.schema("doc_id").dataType == org.apache.spark.sql.types.StringType)
     assert(out.collect().map(_.getString(0)).toSet == Set("d1", "d2"))
   }
+
+  test("phash: identical payloads collide, disjoint energy profiles differ") {
+    val sdocs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog, twice over"),
+      (2L, "the quick brown fox jumps over the lazy dog, twice over"), // exact dup
+      (3L, "zzzzzzzzzzzzzzzzzzzzzzzz                          !!!!!!") // front-loaded energy
+    ).toDF("doc_id", "text")
+    val bt = Multimodal.toBinaryTable(sdocs, "doc_id", "text", "text/plain")
+    val sigs = Multimodal.phashSignatures(bt, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(3L))
+    val pairs = Multimodal.phashPairs(bt, "doc_id").collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+      == Seq((1L, 2L, 0)))
+  }
+
+  test("phash: empty payloads never pair; signature uses only 60 bits") {
+    val sdocs = Seq((1L, ""), (2L, ""), (3L, "content here")).toDF("doc_id", "text")
+    val bt = Multimodal.toBinaryTable(sdocs, "doc_id", "text", "text/plain")
+    assert(Multimodal.phashPairs(bt, "doc_id").count() == 0)
+    val sig = Multimodal.phashSignatures(bt.filter(col("doc_id") === 3L), "doc_id")
+      .collect().head.getLong(1)
+    assert((sig >>> 60) == 0L, "bits above 60 must be clear")
+  }
 }

@@ -27,6 +27,31 @@ class DriftOpsSpec extends SparkSpecBase {
       && !r.getAs[Double]("psi_term").isInfinite))
   }
 
+  test("jsd is ~zero for identical slices, saturates near ln 2 for disjoint ones") {
+    val same = (1 to 2000).map(i => (i, i % 10)).toDF("id", "v")
+    val j0 = DriftOps.jsdBins(same, isRef = col("id") % 20 < 10, bin = col("v"))
+      .agg(sum("jsd_term")).as[Double].head()
+    assert(math.abs(j0) < 1e-3, s"jsd=$j0")
+    // disjoint supports: JSD saturates at ln 2 ≈ 0.693, never explodes
+    val disj = ((1 to 500).map(i => ("ref", i % 5)) ++ (1 to 500).map(i => ("cur", 5 + i % 5)))
+      .toDF("slice", "bin")
+    val rows = DriftOps.jsdBins(disj, isRef = col("slice") === "ref", bin = col("bin")).collect()
+    val jsd = rows.map(_.getAs[Double]("jsd_term")).sum
+    assert(jsd > 0.6 && jsd <= math.log(2.0) + 1e-6, s"jsd=$jsd")
+    assert(rows.forall(r => !r.getAs[Double]("jsd_term").isNaN
+      && !r.getAs[Double]("jsd_term").isInfinite))
+  }
+
+  test("jsd is symmetric: swapping ref and cur slices preserves the divergence") {
+    val df = ((1 to 300).map(i => ("a", i % 7)) ++ (1 to 500).map(i => ("b", i % 4)))
+      .toDF("slice", "bin")
+    val fwd = DriftOps.jsdBins(df, isRef = col("slice") === "a", bin = col("bin"))
+      .agg(sum("jsd_term")).as[Double].head()
+    val rev = DriftOps.jsdBins(df, isRef = col("slice") === "b", bin = col("bin"))
+      .agg(sum("jsd_term")).as[Double].head()
+    assert(math.abs(fwd - rev) < 1e-9, s"fwd=$fwd rev=$rev")
+  }
+
   test("ks is 0 for identical samples and ~1 for disjoint supports") {
     val same = (1 to 1000).flatMap(i => Seq(("a", i), ("b", i))).toDF("s", "v")
     val ks0 = DriftOps.ks(same, col("v"), col("s") === "a")

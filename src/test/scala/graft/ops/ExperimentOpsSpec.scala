@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.SparkSpecBase
+import org.apache.spark.sql.functions.col
 
 class ExperimentOpsSpec extends SparkSpecBase {
   import spark.implicits._
@@ -54,5 +55,36 @@ class ExperimentOpsSpec extends SparkSpecBase {
     assert(r.getAs[Double]("expected_a") == 90.0)
     assert(r.getAs[Double]("chi2") == 0.0)
     assert(r.getAs[Long]("srm_flag") == 0L)
+  }
+
+  test("ipwEstimate corrects confounded assignment where the naive diff is biased") {
+    // Simpson's-paradox setup: stratum g1 has high outcome rate and mostly
+    // treated units; g2 low rate, mostly control. Within each stratum the
+    // treatment does NOTHING (same rate both arms) → true ATE = 0, while
+    // the naive pooled difference reads positive.
+    def rows(s: String, t: Int, y: Int, n: Int) = Seq.fill(n)((s, t, y))
+    val df = (
+      rows("g1", 1, 1, 80) ++ rows("g1", 1, 0, 80) ++  // treated g1: 50%
+        rows("g1", 0, 1, 20) ++ rows("g1", 0, 0, 20) ++ // control g1: 50%
+        rows("g2", 1, 1, 10) ++ rows("g2", 1, 0, 90) ++ // treated g2: 10%
+        rows("g2", 0, 1, 40) ++ rows("g2", 0, 0, 360)   // control g2: 10%
+      ).toDF("s", "t", "y")
+    val r = ExperimentOps.ipwEstimate(df, "s", col("t") === 1, col("y") === 1)
+      .collect().head
+    assert(r.getAs[Long]("n") == 700L)
+    assert(r.getAs[Long]("n_used") == 700L)
+    assert(r.getAs[Double]("naive_diff") > 0.2, "confounding should bias the naive readout")
+    assert(math.abs(r.getAs[Double]("ate_ipw")) < 1e-6, "IPW should recover ATE = 0")
+  }
+
+  test("ipwEstimate drops positivity-violating strata and reports n_used") {
+    val df = (Seq.fill(10)(("ok", 1, 1)) ++ Seq.fill(10)(("ok", 0, 0)) ++
+      Seq.fill(5)(("allt", 1, 1))).toDF("s", "t", "y")
+    val r = ExperimentOps.ipwEstimate(df, "s", col("t") === 1, col("y") === 1)
+      .collect().head
+    assert(r.getAs[Long]("n") == 25L)
+    assert(r.getAs[Long]("n_used") == 20L)
+    assert(r.getAs[Long]("n_strata") == 2L)
+    assert(r.getAs[Double]("ate_ipw") == 1.0)
   }
 }

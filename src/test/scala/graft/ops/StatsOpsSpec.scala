@@ -61,4 +61,39 @@ class StatsOpsSpec extends SparkSpecBase {
       .collect().head.getAs[Double]("gini")
     assert(one == many)
   }
+
+  test("spearman: ±1 for monotone data regardless of nonlinearity") {
+    val df = (1 to 200).map(i => (i.toDouble, math.exp(i / 50.0))).toDF("x", "y")
+    val up = StatsOps.spearman(df, "x", "y").collect().head
+    assert(up.getAs[Long]("n") == 200L)
+    assert(up.getAs[Double]("rho") == 1.0)
+    val down = StatsOps.spearman(
+      (1 to 200).map(i => (i.toDouble, -math.log(i.toDouble))).toDF("x", "y"), "x", "y")
+      .collect().head.getAs[Double]("rho")
+    assert(down == -1.0)
+  }
+
+  test("spearman handles ties via average ranks (scipy-checked value)") {
+    // x = [1,2,2,3], y = [10,20,20,40]: identical tie structure → rho = 1
+    val tied = Seq((1.0, 10.0), (2.0, 20.0), (2.0, 20.0), (3.0, 40.0)).toDF("x", "y")
+    assert(StatsOps.spearman(tied, "x", "y").collect().head.getAs[Double]("rho") == 1.0)
+    // x = [1,2,3,4], y = [1,3,3,2]: ranks y = [1, 3.5, 3.5, 2] →
+    // rho = 1.5/√(5·4.5) = 0.316227766 (= scipy.stats.spearmanr)
+    val mixed = Seq((1.0, 1.0), (2.0, 3.0), (3.0, 3.0), (4.0, 2.0)).toDF("x", "y")
+    val rho = StatsOps.spearman(mixed, "x", "y").collect().head.getAs[Double]("rho")
+    assert(math.abs(rho - 0.316227766) < 1e-8, s"rho=$rho")
+  }
+
+  test("spearman is invariant to partitioning and drops null pairs") {
+    val base = (1 to 500).map(i => ((i * 37 % 101).toDouble, (i * 17 % 89).toDouble))
+    val one = StatsOps.spearman(base.toDF("x", "y").coalesce(1), "x", "y")
+      .collect().head.getAs[Double]("rho")
+    val many = StatsOps.spearman(base.toDF("x", "y").repartition(13), "x", "y")
+      .collect().head.getAs[Double]("rho")
+    assert(one == many)
+    val withNulls = (base.map { case (x, y) => (Some(x), Some(y)) } :+
+      ((None: Option[Double]), Some(1.0)) :+ (Some(1.0), (None: Option[Double])))
+      .toDF("x", "y")
+    assert(StatsOps.spearman(withNulls, "x", "y").collect().head.getAs[Long]("n") == 500L)
+  }
 }
