@@ -1276,6 +1276,20 @@ object SparkEntry {
       Similarity.rhpNearDupPairs(t(s, d, "embeddings"), "vec_id", "embedding",
         dim = 64, threshold = 0.45)),
 
+    // SemDeDup composition (semantic dedup over embeddings): RHP-LSH
+    // near-dup pairs → min-label connected components → keep the
+    // best-quality member per cluster. Every stage is individually
+    // oracled elsewhere; this query hash-checks the composed pipeline —
+    // the embedding-space analog of d_cluster_keep
+    "sim_semantic_keep" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val pairs = Similarity.rhpNearDupPairs(emb, "vec_id", "embedding",
+          dim = 64, threshold = 0.45)
+        .select(col("keep_id").as("doc_a"), col("dup_id").as("doc_b"))
+      val clusters = Dedup.dupClusters(pairs, emb, "vec_id")
+      Dedup.clusterKeep(clusters, emb, "vec_id", "label")
+    }),
+
     // int8 scalar quantization: 4× smaller corpus, exact integer dots in
     // the hot loop — ranking is hash-checked (the integer arithmetic makes
     // the whole query bit-deterministic, unlike float-accumulation paths)
@@ -2231,6 +2245,12 @@ object SparkEntry {
       graft.ops.TimeSeriesOps.cusum(
         Tables.events(s, d), "event_type", "ts", "value")),
 
+    // day-of-week seasonal indices of the daily event-count series — the
+    // decomposition step before deseasonalized anomaly checks; raw events
+    // collapse to the day grain in one hash-agg, the index table is 7 rows
+    "ts_seasonal_dow" -> ((s, d) =>
+      graft.ops.TimeSeriesOps.seasonalDow(Tables.events(s, d), "ts")),
+
     // weighted sampling WITHOUT replacement (Efraimidis–Spirakis clocks
     // on the portable hash): key = −ln(u)/w, global TakeOrdered(k) — the
     // "sample k docs ∝ quality" curation primitive, deterministic and
@@ -2826,6 +2846,25 @@ object SparkEntry {
         t(s, d, "orders"), "o_orderpriority",
         treated = permilleHash(col("o_orderkey"), ":ipw") < 300,
         outcome = col("o_totalprice") > 300000)),
+
+    // one-pass Poisson bootstrap CI for the big-order rate: B=32
+    // hash-derived Poisson(1) weights per row, replicate estimates as
+    // micro-ints — the "random" weights themselves are oracle-checked
+    "ml_bootstrap_ci" -> ((s, d) =>
+      graft.ops.Bootstrap.poissonMeanCi(
+        t(s, d, "orders"), key = col("o_orderkey"),
+        y = when(col("o_totalprice") > 300000, 1L).otherwise(0L), b = 32)),
+
+    // Qini/uplift deciles for a (hash-split) treatment and a rule score:
+    // GlobalRowNumber ranking, integer decile splits, cumulative Qini
+    // over the 10-row bucket table
+    "ml_qini" -> ((s, d) => {
+      val scored = t(s, d, "orders").select(
+        col("o_totalprice").as("score"), col("o_orderkey"),
+        when(permilleHash(col("o_orderkey"), ":ipw") < 300, 1L).otherwise(0L).as("trt"),
+        when(col("o_totalprice") > 300000, 1L).otherwise(0L).as("y"))
+      graft.ml.Metrics.qiniTable(scored, "score", "o_orderkey", "trt", "y", 10)
+    }),
 
     // exact Gini concentration of customer spend (integer cents), global
     // ascending rank via GlobalRowNumber — no SinglePartition window

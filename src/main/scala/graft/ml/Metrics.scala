@@ -291,4 +291,91 @@ object Metrics {
         (sum("n_pos").over(wAll).cast("double") / sum("n_rows").over(wAll)), 6).as("lift"),
       round(sum("n_pos").over(wCum).cast("double") / sum("n_pos").over(wAll), 6).as("cum_gain"))
   }
+
+  /** Qini/uplift table: rows ranked by uplift score (descending, id
+    * tiebreak) into k equal buckets; per bucket the treated/control
+    * outcome rates, and the cumulative Qini value
+    * `Q(b) = cum_pos_t − cum_pos_c · cum_t/cum_c` — the incremental
+    * responders attributable to treatment among the top buckets. A model
+    * that targets persuadables shows Q rising steeply then flattening;
+    * random targeting is a straight line to Q(k).
+    *
+    * Scale shape: global ranking rides [[graft.ops.GlobalRowNumber]] (no
+    * SinglePartition sort); buckets are integer arithmetic on the rank;
+    * ONE hash-agg to k rows; the cumulative windows run over those k
+    * rows only. Buckets missing an arm emit 0 uplift, not a /0 abort.
+    */
+  def qiniTable(scored: DataFrame, scoreCol: String, idCol: String,
+                treatedCol: String, labelCol: String, k: Int): DataFrame = {
+    require(k > 0, "qiniTable needs k > 0")
+    val slim = scored.select(
+      col(scoreCol).as("_s"), col(idCol).as("_id"),
+      col(treatedCol).cast("long").as("_t"), col(labelCol).cast("long").as("_y"))
+    val (numbered, total, _) = graft.ops.GlobalRowNumber.withRowNumberAndCount(
+      slim, "_rn", col("_s").desc, col("_id"))
+    if (total == 0) {
+      return numbered.select(
+        lit(0).as("bucket"), lit(0L).as("n_t"), lit(0L).as("n_c"),
+        lit(0.0).as("uplift"), lit(0.0).as("qini")).limit(0)
+    }
+    val g = numbered
+      .select(expr(s"CAST(((_rn - 1) * $k) DIV ${total}L AS INT) + 1").as("bucket"),
+        col("_t"), col("_y"))
+      .groupBy("bucket")
+      .agg(
+        sum(col("_t")).as("n_t"),
+        sum(lit(1L) - col("_t")).as("n_c"),
+        sum(col("_t") * col("_y")).as("pos_t"),
+        sum((lit(1L) - col("_t")) * col("_y")).as("pos_c"))
+    val wCum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    g.select(
+        col("bucket"), col("n_t"), col("n_c"),
+        when(col("n_t") > 0 && col("n_c") > 0,
+          round(col("pos_t").cast("double") / col("n_t").cast("double") -
+            col("pos_c").cast("double") / col("n_c").cast("double"), 6))
+          .otherwise(lit(0.0)).as("uplift"),
+        sum("pos_t").over(wCum).as("_cpt"), sum("pos_c").over(wCum).as("_cpc"),
+        sum("n_t").over(wCum).as("_ct"), sum("n_c").over(wCum).as("_cc"))
+      .select(
+        col("bucket"), col("n_t"), col("n_c"), col("uplift"),
+        when(col("_cc") > 0,
+          round(col("_cpt").cast("double") -
+            col("_cpc").cast("double") * col("_ct").cast("double") /
+              col("_cc").cast("double"), 6))
+          .otherwise(col("_cpt").cast("double")).as("qini"))
+  }
+
+  /** DuckDB mirror of [[qiniTable]]: `rowsCte` must yield
+    * `(s, id, t, y)` with `t`/`y` 0/1 integers.
+    */
+  def qiniOracleSql(rowsCte: String, k: Int): String =
+    s"""WITH rows_in AS (
+       |$rowsCte
+       |), ranked AS (
+       |  SELECT t, y, ROW_NUMBER() OVER (ORDER BY s DESC NULLS LAST, id) AS rn,
+       |         COUNT(*) OVER () AS total
+       |  FROM rows_in
+       |), g AS (
+       |  SELECT CAST(((rn - 1) * $k) // total AS INTEGER) + 1 AS bucket,
+       |         CAST(SUM(t) AS BIGINT) AS n_t,
+       |         CAST(SUM(1 - t) AS BIGINT) AS n_c,
+       |         CAST(SUM(t * y) AS BIGINT) AS pos_t,
+       |         CAST(SUM((1 - t) * y) AS BIGINT) AS pos_c
+       |  FROM ranked GROUP BY 1
+       |), c AS (
+       |  SELECT bucket, n_t, n_c, pos_t, pos_c,
+       |         SUM(pos_t) OVER w AS cpt, SUM(pos_c) OVER w AS cpc,
+       |         SUM(n_t) OVER w AS ct, SUM(n_c) OVER w AS cc
+       |  FROM g WINDOW w AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |)
+       |SELECT bucket, n_t, n_c,
+       |       CASE WHEN n_t > 0 AND n_c > 0
+       |            THEN round(CAST(pos_t AS DOUBLE) / CAST(n_t AS DOUBLE) -
+       |                       CAST(pos_c AS DOUBLE) / CAST(n_c AS DOUBLE), 6)
+       |            ELSE 0.0 END AS uplift,
+       |       CASE WHEN cc > 0
+       |            THEN round(CAST(cpt AS DOUBLE) -
+       |                       CAST(cpc AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(cc AS DOUBLE), 6)
+       |            ELSE CAST(cpt AS DOUBLE) END AS qini
+       |FROM c""".stripMargin
 }

@@ -540,4 +540,53 @@ object TimeSeriesOps {
        |       $corrSelects
        |FROM lg GROUP BY 1""".stripMargin
   }
+
+  /** Day-of-week seasonal indices of a daily count series — the
+    * decomposition step before any deseasonalized anomaly check or
+    * forecast: `idx(dow) = mean(count | dow) / mean(count)`. Pure
+    * rational arithmetic over integer day counts (exact until the one
+    * rounded division), so the profile is engine-portable.
+    *
+    * Emits one row per observed day-of-week
+    * `(dow, n_days, sum_cnt, seasonal_idx)` with Spark's `dayofweek`
+    * numbering (1 = Sunday).
+    *
+    * Scale shape: the raw data collapses to the day grain in ONE hash
+    * aggregation; everything after runs on ≤ (distinct days) rows, and
+    * the final index table is 7 rows. No second pass over events.
+    */
+  def seasonalDow(events: DataFrame, tsCol: String): DataFrame = {
+    val daily = events
+      .groupBy(to_date(col(tsCol)).as("_day"))
+      .agg(count(lit(1)).as("_cnt"))
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    daily
+      .select(dayofweek(col("_day")).as("dow"), col("_cnt"))
+      .groupBy("dow")
+      .agg(count(lit(1)).as("n_days"), sum("_cnt").as("sum_cnt"))
+      .select(col("dow"), col("n_days"), col("sum_cnt"),
+        round((col("sum_cnt").cast("double") / col("n_days").cast("double")) /
+          (sum("sum_cnt").over(wAll).cast("double") /
+            sum("n_days").over(wAll).cast("double")), 6).as("seasonal_idx"))
+  }
+
+  /** DuckDB mirror of [[seasonalDow]] (DuckDB's `dayofweek` is 0-based
+    * Sunday, hence the `+ 1`).
+    */
+  def seasonalDowOracleSql(table: String, tsCol: String): String =
+    s"""WITH daily AS (
+       |  SELECT CAST($tsCol AS DATE) AS day, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM $table GROUP BY 1
+       |), g AS (
+       |  SELECT CAST(dayofweek(day) + 1 AS INTEGER) AS dow,
+       |         CAST(count(*) AS BIGINT) AS n_days, CAST(SUM(cnt) AS BIGINT) AS sum_cnt
+       |  FROM daily GROUP BY 1
+       |), tot AS (
+       |  SELECT CAST(SUM(sum_cnt) AS BIGINT) AS ts, CAST(SUM(n_days) AS BIGINT) AS td FROM g
+       |)
+       |SELECT dow, n_days, sum_cnt,
+       |       round((CAST(sum_cnt AS DOUBLE) / CAST(n_days AS DOUBLE)) /
+       |             (CAST(ts AS DOUBLE) / CAST(td AS DOUBLE)), 6) AS seasonal_idx
+       |FROM g, tot""".stripMargin
 }
