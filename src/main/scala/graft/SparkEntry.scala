@@ -781,8 +781,13 @@ object SparkEntry {
           unix_timestamp(date_trunc("second", col("ts"))).as("psec"),
           round(col("value"), 2).cast("decimal(18,2)").as("pval"))
         .groupBy("user_id", "psec").agg(max("pval").as("pval"))
+      // exact decimal max inside; DOUBLE on the output boundary — decimal
+      // outputs render differently across the driver's two read paths
+      // (pyarrow Decimal vs DuckDB float), so portable outputs are
+      // BIGINT/DOUBLE/VARCHAR only
       graft.ops.AsOfJoin.nearest(
         clicks, "user_id", "sec", purch, "user_id", "psec", Seq("pval"))
+        .withColumn("pval", col("pval").cast("double"))
     }),
 
     // non-equi RANGE join: rows matched to interval buckets via
@@ -1277,17 +1282,20 @@ object SparkEntry {
         dim = 64, threshold = 0.45)),
 
     // SemDeDup composition (semantic dedup over embeddings): RHP-LSH
-    // near-dup pairs → min-label connected components → keep the
-    // best-quality member per cluster. Every stage is individually
-    // oracled elsewhere; this query hash-checks the composed pipeline —
-    // the embedding-space analog of d_cluster_keep
+    // near-dup pairs → min-label connected components → keep ONE member
+    // per cluster by a deterministic hash-derived quality score (a stand-
+    // in for a real quality signal — perplexity, toxicity — that is
+    // exactly mirrorable in the oracle). Every stage reuses its
+    // individually-oracled machinery; this query hash-checks the composed
+    // pipeline — the embedding-space analog of d_cluster_keep
     "sim_semantic_keep" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       val pairs = Similarity.rhpNearDupPairs(emb, "vec_id", "embedding",
           dim = 64, threshold = 0.45)
         .select(col("keep_id").as("doc_a"), col("dup_id").as("doc_b"))
       val clusters = Dedup.dupClusters(pairs, emb, "vec_id")
-      Dedup.clusterKeep(clusters, emb, "vec_id", "label")
+      val scored = emb.withColumn("_q", permilleHash1M(col("vec_id"), ":semq"))
+      Dedup.clusterKeep(clusters, scored, "vec_id", "_q")
     }),
 
     // int8 scalar quantization: 4× smaller corpus, exact integer dots in
@@ -1799,7 +1807,8 @@ object SparkEntry {
     // single-task window) and assign each doc its shard + in-shard offset
     "mm_shard_manifest" -> ((s, d) => {
       val sizes = t(s, d, "documents").select(
-        col("doc_id"), octet_length(col("text").cast("binary")).as("n_bytes"))
+        col("doc_id"),
+        octet_length(col("text").cast("binary")).cast("long").as("n_bytes"))
       graft.ops.SequencePacking.packWindows(
         sizes, col("n_bytes"), budget = 4096L, col("doc_id"))
         .df.select(col("doc_id"), col("n_bytes"), col("start_off"),
@@ -2165,11 +2174,14 @@ object SparkEntry {
 
     // RFM quintile segmentation — recency/frequency/monetary scores per
     // customer: ONE hash-agg collapses the data to the |customers| frame;
-    // the three ntile windows then rank that output-sized frame (with
-    // entity-key tiebreaks so every score is deterministic), never the
-    // fact table. The single-partition windows are |customers|-sized —
-    // at 100 TB the per-entity aggregate is still the small side
+    // each quintile is a GlobalRowNumber global rank (range-partitioned,
+    // parallel per-partition windows — NO SinglePartition window) turned
+    // into its exact ntile(5) bucket by integer arithmetic, with
+    // entity-key tiebreaks so every score is deterministic. At 100 TB the
+    // |customers| frame is ~10⁹ rows — three parallel ranked passes,
+    // never three one-task sorts
     "fe_rfm" -> ((s, d) => {
+      import graft.ops.GlobalRowNumber
       val per = t(s, d, "orders")
         .groupBy(col("o_custkey"))
         .agg(max(col("o_orderdate")).as("last_order"),
@@ -2177,35 +2189,40 @@ object SparkEntry {
           dsum(col("o_totalprice")).as("monetary"))
         .withColumn("recency",
           datediff(lit("1998-08-02").cast("date"), col("last_order")).cast("long"))
-      per.select(
+      val (r1, n, _) = GlobalRowNumber.withRowNumberAndCount(
+        per, "_rr", col("recency").asc, col("o_custkey").asc)
+      val r2 = GlobalRowNumber.withRowNumber(
+        r1, "_fr", col("frequency").desc, col("o_custkey").asc)
+      val r3 = GlobalRowNumber.withRowNumber(
+        r2, "_mr", col("monetary").desc, col("o_custkey").asc)
+      r3.select(
         col("o_custkey"), col("recency"), col("frequency"), col("monetary"),
-        ntile(5).over(Window.orderBy(col("recency").asc, col("o_custkey").asc))
-          .cast("long").as("r_score"),
-        ntile(5).over(Window.orderBy(col("frequency").desc, col("o_custkey").asc))
-          .cast("long").as("f_score"),
-        ntile(5).over(Window.orderBy(col("monetary").desc, col("o_custkey").asc))
-          .cast("long").as("m_score"))
+        GlobalRowNumber.ntileFromRank(col("_rr"), n, 5).as("r_score"),
+        GlobalRowNumber.ntileFromRank(col("_fr"), n, 5).as("f_score"),
+        GlobalRowNumber.ntileFromRank(col("_mr"), n, 5).as("m_score"))
     }),
 
     // Pareto/ABC analysis — rank customers by spend, classify by exact
-    // cumulative-share thresholds (A ≤ 80%, B ≤ 95%): the share compare
-    // is decimal×integer (cum·20 ≤ tot·16), so the class boundary can
-    // never flip on a double ulp; both windows share one exchange over
-    // the |customers|-sized aggregate
+    // cumulative-share thresholds (A ≤ 80%, B ≤ 95%): the cumulative
+    // spend is a RunningTotal distributed prefix sum in integer CENTS
+    // (range-partitioned, parallel per-partition windows — NO
+    // SinglePartition window; grand total rides the same counts pass);
+    // the share compare is decimal×integer (cum·20 ≤ tot·16), so the
+    // class boundary can never flip on a double ulp
     "a15_pareto_abc" -> ((s, d) => {
       val per = t(s, d, "orders")
         .groupBy(col("o_custkey"))
         .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("spend"))
-      val wCum = Window.orderBy(col("spend").desc, col("o_custkey").asc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wAll = Window.partitionBy()
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      per
-        .withColumn("cum", sum("spend").over(wCum))
-        .withColumn("tot", sum("spend").over(wAll))
+        .withColumn("_cents", (col("spend") * 100).cast("long"))
+      val (cum, totCents, _) = graft.ops.RunningTotal.withRunningSum(
+        per, col("_cents"), "_cum_cents",
+        col("spend").desc, col("o_custkey").asc)
+      val cumD = col("_cum_cents").cast("decimal(38,0)")
+      val totD = lit(totCents).cast("decimal(38,0)")
+      cum
         .groupBy(
-          when(col("cum") * 20 <= col("tot") * 16, "A")
-            .when(col("cum") * 20 <= col("tot") * 19, "B")
+          when(cumD * 20 <= totD * 16, "A")
+            .when(cumD * 20 <= totD * 19, "B")
             .otherwise("C").as("abc_class"))
         .agg(count(lit(1)).as("n_customers"),
           sum("spend").cast("double").as("class_spend"))
@@ -2311,7 +2328,8 @@ object SparkEntry {
     // maintained = snapshot + ΔA⋈B + A⋈ΔB + ΔA⋈ΔB with multiplied signs —
     // deltas on BOTH sides (order deletes+inserts, customer deletes), the
     // base tables never re-join; the oracle recomputes the modified join
-    // from scratch and must agree bit-for-bit (decimal sums)
+    // from scratch and must agree bit-for-bit (exact decimal sums inside,
+    // ONE IEEE conversion at the DOUBLE output boundary)
     "inc_join_maintain" -> ((s, d) => {
       val orders = t(s, d, "orders")
       val cust = t(s, d, "customer")
@@ -2328,6 +2346,7 @@ object SparkEntry {
       graft.ops.JoinMaintenance.maintain(
         snap, orders, delA.unionByName(insA), cust, delB,
         "o_custkey", "c_custkey", "c_nationkey", "o_totalprice")
+        .withColumn("sum_v", col("sum_v").cast("double"))
     }),
 
     // interval sweep-line: peak concurrent spans + earliest instant it is
@@ -3549,13 +3568,14 @@ object SparkEntry {
         |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents
         |), c AS (
         |  SELECT doc_id, n_bytes,
-        |         COALESCE(SUM(n_bytes) OVER (ORDER BY doc_id
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+        |         CAST(COALESCE(SUM(n_bytes) OVER (ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS BIGINT) AS start_off
         |  FROM sz
         |)
         |SELECT doc_id, n_bytes, start_off,
-        |       start_off // 4096 AS shard_id,
-        |       start_off % 4096 AS shard_off
+        |       CAST(start_off // 4096 AS BIGINT) AS shard_id,
+        |       CAST(start_off % 4096 AS BIGINT) AS shard_off
         |FROM c""".stripMargin,
 
     "sim_centroids" ->
@@ -4007,6 +4027,11 @@ object SparkEntry {
     "d_embed_neardup" ->
       Similarity.rhpNearDupOracleSql("embeddings", "vec_id", "embedding",
         dim = 64, threshold = 0.45),
+
+    "sim_semantic_keep" ->
+      Similarity.semanticKeepOracleSql("embeddings", "vec_id", "embedding",
+        dim = 64, threshold = 0.45,
+        qualitySql = permilleHashSql("d.vec_id", ":semq", 1000000L)),
 
     "d_dup_clusters" ->
       Dedup.dupClustersOracleSql("documents", "doc_id", "text"),
@@ -5038,6 +5063,21 @@ object SparkEntry {
          |       CASE WHEN o_totalprice > 300000 THEN 1 ELSE 0 END AS y
          |FROM orders""".stripMargin),
 
+    "ml_qini" -> graft.ml.Metrics.qiniOracleSql(
+      s"""  SELECT o_totalprice AS s, o_orderkey AS id,
+         |         CASE WHEN (${permilleHashSql("o_orderkey", ":ipw", 1000)}) < 300
+         |              THEN 1 ELSE 0 END AS t,
+         |         CASE WHEN o_totalprice > 300000 THEN 1 ELSE 0 END AS y
+         |  FROM orders""".stripMargin, k = 10),
+
+    "ml_bootstrap_ci" -> graft.ops.Bootstrap.poissonMeanCiOracleSql(
+      s"""  SELECT CAST(o_orderkey AS VARCHAR) AS k,
+         |         CASE WHEN o_totalprice > 300000 THEN 1 ELSE 0 END AS y
+         |  FROM orders""".stripMargin, b = 32),
+
+    "ts_seasonal_dow" ->
+      graft.ops.TimeSeriesOps.seasonalDowOracleSql("events", "ts"),
+
     "w10_rolling_median" ->
       """WITH daily AS (
         |  SELECT o_orderpriority AS prio, CAST(o_orderdate AS DATE) AS day,
@@ -5156,7 +5196,8 @@ object SparkEntry {
         |         max(CAST(round(value, 2) AS DECIMAL(18,2))) AS pval
         |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
         |)
-        |SELECT c.event_id, c.user_id, c.sec, m.pval, m.psec AS matched_t
+        |SELECT c.event_id, c.user_id, c.sec, CAST(m.pval AS DOUBLE) AS pval,
+        |       m.psec AS matched_t
         |FROM c LEFT JOIN LATERAL (
         |  SELECT p.pval, p.psec FROM p
         |  WHERE p.user_id = c.user_id
@@ -5234,7 +5275,8 @@ object SparkEntry {
          |  WHERE NOT (${permilleHashSql("c_custkey", ":ijmc", 1000L)} < 30)
          |)
          |SELECT b.c_nationkey, count(*) AS cnt,
-         |       CAST(SUM(CAST(a.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_v
+         |       CAST(CAST(SUM(CAST(a.o_totalprice AS DECIMAL(18,2)))
+         |            AS DECIMAL(18,2)) AS DOUBLE) AS sum_v
          |FROM a JOIN b ON a.o_custkey = b.c_custkey
          |GROUP BY 1""".stripMargin,
 

@@ -89,7 +89,10 @@ object Metrics {
     * distinct-score variant below does exactly that).
     */
   def aucRoc(scored: DataFrame, scoreCol: String, labelCol: String): Double = {
-    val r = aucRocDf(scored, scoreCol, labelCol).collect()(0)
+    val df = aucRocDf(scored, scoreCol, labelCol)
+    val r = df.collect()(0)
+    // sweeps call this in a loop — drop the 1-row cache entry eagerly
+    df.unpersist()
     val v = if (r.isNullAt(0)) 0.0 else r.getDouble(0)
     // single-class input: nPos*nNeg = 0 and the double division yields NaN
     // (not null) — normalize to the documented 0.0 fallback
@@ -102,19 +105,24 @@ object Metrics {
     */
   def aucRocDf(scored: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
     // scale path: collapse to per-distinct-score (pos, neg) counts first —
-    // cardinality drops from |rows| to |distinct scores| before any sort.
+    // cardinality drops from |rows| to |distinct scores|. With CONTINUOUS
+    // scores that is still |rows|, so the Mann-Whitney prefix counts ride
+    // the RunningTotal distributed CDF (range-partitioned per-partition
+    // windows + broadcast offsets — the StatsOps.spearman shape), never a
+    // SinglePartition window over the score axis.
     val byScore = scored
       .groupBy(col(scoreCol).as("s"))
       .agg(
         sum(when(col(labelCol) === 1.0, 1L).otherwise(0L)).as("np"),
         sum(when(col(labelCol) =!= 1.0, 1L).otherwise(0L)).as("nn"))
-    val w = Window.orderBy(col("s"))
-    val ranked = byScore
-      .withColumn("cumBefore", coalesce(sum(col("np") + col("nn"))
-        .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      // average rank of the tied block [cumBefore+1, cumBefore+np+nn]
+    val (cum, _, release) = graft.ops.RunningTotal.withRunningSum(
+      byScore, col("np") + col("nn"), "_cumIncl", col("s").asc)
+    val ranked = cum
+      .withColumn("cumBefore", col("_cumIncl") - (col("np") + col("nn")))
+      // average rank of the tied block [cumBefore+1, cumBefore+np+nn] —
+      // exact in doubles (ranks are halves)
       .withColumn("avgRank", col("cumBefore") + (col("np") + col("nn") + 1L) / 2.0)
-    ranked
+    val out = ranked
       .agg(
         sum(col("np") * col("avgRank")).as("posRankSum"),
         sum(col("np")).as("nPos"),
@@ -126,6 +134,11 @@ object Metrics {
           .otherwise(
             (col("posRankSum") - col("nPos").cast("double") * (col("nPos") + 1) / 2.0) /
               (col("nPos").cast("double") * col("nNeg"))).as("auc_roc"))
+    // single-action derivation: the 1-row aggregate IS the materialization
+    val collected = out.cache()
+    collected.count()
+    release()
+    collected
   }
 
   /** Per-segment exact AUC — [[aucRocDf]] with every step keyed by a
@@ -271,7 +284,7 @@ object Metrics {
     require(k > 0, "liftTable needs k > 0")
     val slim = scored.select(
       col(scoreCol).as("_s"), col(idCol).as("_id"), col(labelCol).cast("long").as("_y"))
-    val (numbered, total, _) = graft.ops.GlobalRowNumber.withRowNumberAndCount(
+    val (numbered, total, release) = graft.ops.GlobalRowNumber.withRowNumberAndCount(
       slim, "_rn", col("_s").desc, col("_id"))
     if (total == 0) {
       // degenerate input: an empty bucket table, not a divide-by-zero plan
@@ -285,11 +298,16 @@ object Metrics {
       .agg(count(lit(1)).as("n_rows"), sum(col("_y")).as("n_pos"))
     val wCum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    g.select(
+    val out = g.select(
       col("bucket"), col("n_rows"), col("n_pos"),
       round((col("n_pos").cast("double") / col("n_rows")) /
         (sum("n_pos").over(wAll).cast("double") / sum("n_rows").over(wAll)), 6).as("lift"),
       round(sum("n_pos").over(wCum).cast("double") / sum("n_pos").over(wAll), 6).as("cum_gain"))
+    // k-row result: materialize, then drop the internal range-partition pin
+    val collected = out.cache()
+    collected.count()
+    release()
+    collected
   }
 
   /** Qini/uplift table: rows ranked by uplift score (descending, id
@@ -311,9 +329,10 @@ object Metrics {
     val slim = scored.select(
       col(scoreCol).as("_s"), col(idCol).as("_id"),
       col(treatedCol).cast("long").as("_t"), col(labelCol).cast("long").as("_y"))
-    val (numbered, total, _) = graft.ops.GlobalRowNumber.withRowNumberAndCount(
+    val (numbered, total, release) = graft.ops.GlobalRowNumber.withRowNumberAndCount(
       slim, "_rn", col("_s").desc, col("_id"))
     if (total == 0) {
+      release()
       return numbered.select(
         lit(0).as("bucket"), lit(0L).as("n_t"), lit(0L).as("n_c"),
         lit(0.0).as("uplift"), lit(0.0).as("qini")).limit(0)
@@ -328,7 +347,7 @@ object Metrics {
         sum(col("_t") * col("_y")).as("pos_t"),
         sum((lit(1L) - col("_t")) * col("_y")).as("pos_c"))
     val wCum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    g.select(
+    val out = g.select(
         col("bucket"), col("n_t"), col("n_c"),
         when(col("n_t") > 0 && col("n_c") > 0,
           round(col("pos_t").cast("double") / col("n_t").cast("double") -
@@ -343,6 +362,11 @@ object Metrics {
             col("_cpc").cast("double") * col("_ct").cast("double") /
               col("_cc").cast("double"), 6))
           .otherwise(col("_cpt").cast("double")).as("qini"))
+    // k-row result: materialize, then drop the internal range-partition pin
+    val collected = out.cache()
+    collected.count()
+    release()
+    collected
   }
 
   /** DuckDB mirror of [[qiniTable]]: `rowsCte` must yield

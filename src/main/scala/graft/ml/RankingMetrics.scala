@@ -75,8 +75,8 @@ object RankingMetrics {
        |  FROM pos WHERE pr <= $k GROUP BY 1
        |)
        |SELECT gs.g AS $group,
-       |       coalesce(dcg.dcg_micro, 0) AS dcg_micro,
-       |       coalesce(idcg.idcg_micro, 0) AS idcg_micro,
+       |       CAST(coalesce(dcg.dcg_micro, 0) AS BIGINT) AS dcg_micro,
+       |       CAST(coalesce(idcg.idcg_micro, 0) AS BIGINT) AS idcg_micro,
        |       round(CASE WHEN coalesce(idcg.idcg_micro, 0) = 0 THEN 0.0
        |             ELSE CAST(coalesce(dcg.dcg_micro, 0) AS DOUBLE) /
        |                  CAST(idcg.idcg_micro AS DOUBLE) END, 6) AS ndcg

@@ -69,4 +69,26 @@ object GlobalRowNumber {
       .drop("_pid")
     (numbered, r.cum(r.parts), () => r.unpersist())
   }
+
+  /** Exact NTILE(k) bucket from a 1-based global rank and the total row
+    * count — the arithmetic twin of `ntile(k).over(Window.orderBy(...))`
+    * without the SinglePartition window that form plans. ANSI/Spark/DuckDB
+    * ntile semantics: with `n = q·k + rem`, the first `rem` buckets hold
+    * `q + 1` rows, the rest hold `q`. Pair with [[withRowNumberAndCount]]
+    * (which supplies both the rank and `n`) to quantile-bucket a frame of
+    * any size on parallel per-partition windows only.
+    */
+  def ntileFromRank(rank: Column, n: Long, k: Int): Column = {
+    require(k > 0, s"ntile bucket count must be positive, got $k")
+    val q = n / k
+    val rem = n % k
+    val cut = rem * (q + 1)
+    // floor-div via pmod so the double-typed `/` quotient is exact: the
+    // numerator is made exactly divisible before dividing
+    def floorDiv(x: Column, m: Long): Column =
+      ((x - pmod(x, lit(m))) / lit(m)).cast("long")
+    if (rem == 0) floorDiv(rank - 1, math.max(q, 1L)) + 1
+    else when(rank <= cut, floorDiv(rank - 1, q + 1) + 1)
+      .otherwise(lit(rem) + floorDiv(rank - cut - 1, math.max(q, 1L)) + 1)
+  }
 }

@@ -42,9 +42,13 @@ object TableChecksum {
   def checksum(df: DataFrame, cols: Seq[Column]): DataFrame = {
     require(cols.nonEmpty, "checksum needs at least one column")
     val h = TextOps.md5Hash60(canonical(cols))
+    // hash_sum exceeds 63 bits (n × 2⁶⁰), so it is computed in exact
+    // decimal and RENDERED AS A STRING: a decimal output column reads
+    // back differently across consumers (pyarrow Decimal vs DuckDB
+    // float64), while the digit string is the same fingerprint everywhere
     df.select(h.as("_h")).agg(
       count(lit(1)).as("n_rows"),
-      sum(col("_h").cast("decimal(38,0)")).as("hash_sum"),
+      sum(col("_h").cast("decimal(38,0)")).cast("string").as("hash_sum"),
       bit_xor(col("_h")).as("hash_xor"))
   }
 
@@ -59,7 +63,7 @@ object TableChecksum {
        |  FROM $table
        |)
        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
-       |       CAST(SUM(h) AS DECIMAL(38,0)) AS hash_sum,
+       |       CAST(CAST(SUM(h) AS DECIMAL(38,0)) AS VARCHAR) AS hash_sum,
        |       bit_xor(h) AS hash_xor
        |FROM h""".stripMargin
   }

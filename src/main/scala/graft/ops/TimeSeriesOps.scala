@@ -312,7 +312,8 @@ object TimeSeriesOps {
        |  FROM $table GROUP BY 1
        |), pd AS (SELECT day, count(*) AS new_users FROM fd GROUP BY 1)
        |SELECT day, new_users,
-       |       SUM(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS cum_users
+       |       CAST(SUM(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+       |            AS BIGINT) AS cum_users
        |FROM pd""".stripMargin
 
   /** Rolling k-day active-user counts per day (WAU/MAU shape): the count

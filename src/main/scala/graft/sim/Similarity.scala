@@ -214,6 +214,41 @@ object Similarity {
     * SQL — so the driver's hash-compare verifies the bucketed path
     * exactly, with zero dependence on LSH recall luck.
     */
+  /** Shared CTE chain for the RHP oracles: `v` (id + double + quantized
+    * vectors), `banded` (per-band sign buckets), `cand` (bucket-join
+    * candidate pairs), and a `cosSql` fragment for the exact verify.
+    */
+  private def rhpCtes(
+      table: String, idCol: String, vecCol: String, dim: Int,
+      bands: Int, bitsPerBand: Int, seed: Long): (String, String) = {
+    val signs = rhpSigns(bands, bitsPerBand, dim, seed)
+    def projSql(g: Int): String =
+      s"list_sum(list_transform(range(1, ${dim + 1}), i -> q[i] * (${signs(g).mkString("[", ",", "]")})[i]))"
+    val bandSelects = (0 until bands).map { j =>
+      val bucket = (0 until bitsPerBand).map { t =>
+        s"(CASE WHEN ${projSql(j * bitsPerBand + t)} > 0 THEN ${1L << t} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, $j AS band, $bucket AS bucket FROM v"
+    }
+    val ctes =
+      s"""v AS (
+         |  SELECT $idCol AS vec_id, CAST($vecCol AS DOUBLE[]) AS e,
+         |         list_transform(CAST($vecCol AS DOUBLE[]), x -> CAST(round(x * 1000000) AS BIGINT)) AS q
+         |  FROM $table
+         |), banded AS (
+         |${bandSelects.mkString("  ", "\n  UNION ALL ", "")}
+         |), cand AS (
+         |  SELECT DISTINCT a.vec_id AS keep_id, b.vec_id AS dup_id
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |)""".stripMargin
+    val cosSql =
+      s"""list_sum(list_transform(range(1, ${dim + 1}), i -> va.e[i] * vb.e[i])) /
+         |  (sqrt(list_sum(list_transform(range(1, ${dim + 1}), i -> va.e[i] * va.e[i]))) *
+         |   sqrt(list_sum(list_transform(range(1, ${dim + 1}), i -> vb.e[i] * vb.e[i]))))""".stripMargin
+    (ctes, cosSql)
+  }
+
   def rhpNearDupOracleSql(
       table: String,
       idCol: String,
@@ -224,34 +259,59 @@ object Similarity {
       bitsPerBand: Int = 6,
       seed: Long = 42L
   ): String = {
-    val signs = rhpSigns(bands, bitsPerBand, dim, seed)
-    def projSql(g: Int): String =
-      s"list_sum(list_transform(range(1, ${dim + 1}), i -> q[i] * (${signs(g).mkString("[", ",", "]")})[i]))"
-    val bandSelects = (0 until bands).map { j =>
-      val bucket = (0 until bitsPerBand).map { t =>
-        s"(CASE WHEN ${projSql(j * bitsPerBand + t)} > 0 THEN ${1L << t} ELSE 0 END)"
-      }.mkString(" + ")
-      s"SELECT vec_id, $j AS band, $bucket AS bucket FROM v"
-    }
-    s"""WITH v AS (
-       |  SELECT $idCol AS vec_id, CAST($vecCol AS DOUBLE[]) AS e,
-       |         list_transform(CAST($vecCol AS DOUBLE[]), x -> CAST(round(x * 1000000) AS BIGINT)) AS q
-       |  FROM $table
-       |), banded AS (
-       |${bandSelects.mkString("  ", "\n  UNION ALL ", "")}
-       |), cand AS (
-       |  SELECT DISTINCT a.vec_id AS keep_id, b.vec_id AS dup_id
-       |  FROM banded a JOIN banded b
-       |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
-       |)
+    val (ctes, cosSql) = rhpCtes(table, idCol, vecCol, dim, bands, bitsPerBand, seed)
+    s"""WITH $ctes
        |SELECT keep_id, dup_id,
-       |  list_sum(list_transform(range(1, ${dim + 1}), i -> va.e[i] * vb.e[i])) /
-       |  (sqrt(list_sum(list_transform(range(1, ${dim + 1}), i -> va.e[i] * va.e[i]))) *
-       |   sqrt(list_sum(list_transform(range(1, ${dim + 1}), i -> vb.e[i] * vb.e[i])))) AS cosine
+       |  $cosSql AS cosine
        |FROM cand JOIN v va ON keep_id = va.vec_id JOIN v vb ON dup_id = vb.vec_id
-       |WHERE list_sum(list_transform(range(1, ${dim + 1}), i -> va.e[i] * vb.e[i])) /
-       |  (sqrt(list_sum(list_transform(range(1, ${dim + 1}), i -> va.e[i] * va.e[i]))) *
-       |   sqrt(list_sum(list_transform(range(1, ${dim + 1}), i -> vb.e[i] * vb.e[i])))) >= $threshold""".stripMargin
+       |WHERE $cosSql >= $threshold""".stripMargin
+  }
+
+  /** DuckDB mirror of the SemDeDup COMPOSITION (`sim_semantic_keep`):
+    * RHP-LSH near-dup pairs → reachability closure to min-id clusters →
+    * one kept representative per cluster by `qualitySql` (tiebreak lowest
+    * id). Every stage reuses the exact CTE chain its standalone oracle
+    * uses, so the composed hash-check inherits stage-level determinism.
+    * `qualitySql` is a SQL expression over alias `d` (the `$table` row of
+    * the member doc) and must render the same integers as the Spark
+    * side's quality column.
+    */
+  def semanticKeepOracleSql(
+      table: String,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      threshold: Double,
+      qualitySql: String,
+      bands: Int = 8,
+      bitsPerBand: Int = 6,
+      seed: Long = 42L
+  ): String = {
+    val (ctes, cosSql) = rhpCtes(table, idCol, vecCol, dim, bands, bitsPerBand, seed)
+    s"""WITH RECURSIVE $ctes, pairs AS (
+       |  SELECT keep_id AS doc_a, dup_id AS doc_b
+       |  FROM cand JOIN v va ON keep_id = va.vec_id JOIN v vb ON dup_id = vb.vec_id
+       |  WHERE $cosSql >= $threshold
+       |), edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION
+       |  SELECT doc_b AS src, doc_a AS dst FROM pairs
+       |), reach AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+       |), rep AS (
+       |  SELECT src AS doc_id, least(src, min(dst)) AS rep_id FROM reach GROUP BY src
+       |), lab AS (
+       |  SELECT d.$idCol AS doc_id, COALESCE(rep.rep_id, d.$idCol) AS rep_id
+       |  FROM $table d LEFT JOIN rep ON d.$idCol = rep.doc_id
+       |)
+       |SELECT lab.rep_id AS cluster_id,
+       |  first(lab.doc_id ORDER BY ($qualitySql) DESC, lab.doc_id ASC) AS keep_id,
+       |  max($qualitySql) AS best_quality,
+       |  count(*) AS n_members
+       |FROM lab JOIN $table d ON lab.doc_id = d.$idCol
+       |GROUP BY 1""".stripMargin
   }
 
   /** Matryoshka-style two-stage search: rank by cosine over only the

@@ -1,0 +1,66 @@
+package graft.ops
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class RunningTotalSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private lazy val df = Seq(
+    (5L, 50L), (1L, 10L), (9L, 90L), (2L, 20L), (7L, 70L),
+    (3L, 30L), (8L, 80L), (4L, 40L), (6L, 60L), (10L, 100L)
+  ).toDF("id", "v")
+
+  test("prefix sums equal the single-partition window form") {
+    val (got, grand, release) =
+      RunningTotal.withRunningSum(df, col("v"), "cum", col("id"))
+    val g = got.select("id", "cum").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = df.withColumn("cum",
+        sum("v").over(Window.orderBy("id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("id", "cum").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(g == want)
+    assert(grand == (10L to 100L by 10L).sum)
+    release()
+    assert(got.count() == 10L) // post-release actions recompute
+  }
+
+  test("nulls count as zero; empty input gives grand total 0") {
+    val withNull = df.withColumn("v", when(col("id") === 1L, lit(null)).otherwise(col("v")))
+    val (got, grand, release) =
+      RunningTotal.withRunningSum(withNull, col("v"), "cum", col("id"))
+    val byId = got.select("id", "cum").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byId(1L) == 0L && byId(2L) == 20L)
+    assert(grand == (10L to 100L by 10L).sum - 10L)
+    release()
+    val (_, g0, r0) = RunningTotal.withRunningSum(
+      df.filter(col("id") < 0), col("v"), "cum", col("id"))
+    assert(g0 == 0L)
+    r0()
+  }
+
+  test("no single-partition window in the plan") {
+    val (got, _, release) =
+      RunningTotal.withRunningSum(df, col("v"), "cum", col("id"))
+    val p = got.queryExecution.executedPlan.toString
+    assert(!p.contains("SinglePartition"), p)
+    release()
+  }
+
+  test("ntileFromRank matches ntile() for every (n, k) shape") {
+    for (n <- Seq(1L, 4L, 5L, 7L, 23L, 100L); k <- Seq(2, 3, 5, 7)) {
+      val rows = (1L to n).map(i => Tuple1(i)).toDF("r")
+      val got = rows.select(col("r"),
+          GlobalRowNumber.ntileFromRank(col("r"), n, k).as("b"))
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      val want = rows.select(col("r"),
+          ntile(k).over(Window.orderBy("r")).cast("long").as("b"))
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      assert(got == want, s"n=$n k=$k")
+    }
+  }
+}

@@ -16,7 +16,7 @@ class TableChecksumSpec extends SparkSpecBase {
 
   private def fp(df: org.apache.spark.sql.DataFrame) = {
     val r = TableChecksum.checksum(df, cols).collect().head
-    (r.getAs[Long]("n_rows"), r.getAs[java.math.BigDecimal]("hash_sum"),
+    (r.getAs[Long]("n_rows"), r.getAs[String]("hash_sum"),
       r.getAs[Long]("hash_xor"))
   }
 

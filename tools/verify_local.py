@@ -3,6 +3,16 @@
 parquet dumped by graft.Verify, run the oracle SQL in DuckDB over the same
 source tables, sort columns by name + rows by all columns, and compare.
 
+Beyond value equality, this replica also enforces RENDER parity — the
+driver hashes rendered output, so a column that is numerically equal but
+typed differently on the two sides ("5" vs "5.0", Decimal('1.40') vs 1.4)
+is red in the driver even though a value compare passes. Two extra gates:
+  1. pandas dtype equality between the two fetchdf frames;
+  2. no DECIMAL / HUGEINT output columns on either side (their rendering
+     depends on the consumer's read path: pyarrow yields decimal.Decimal
+     objects where DuckDB's fetchdf yields float64). Portable outputs are
+     BIGINT / DOUBLE / VARCHAR / DATE / TIMESTAMP / BOOLEAN only.
+
 Usage: python3 tools/verify_local.py <sfDir> <verifyOutDir>
 """
 import json
@@ -14,17 +24,38 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+UNSAFE_DUCK_TYPES = ("DECIMAL", "HUGEINT", "UHUGEINT")
+
 
 def canon(con, rel_sql):
-    df = con.execute(rel_sql).fetchdf()
+    # duckdb type names surface on the relation before fetchdf melts them
+    # into pandas dtypes
+    rel = con.sql(rel_sql)
+    types = {c: str(t) for c, t in zip(rel.columns, rel.types)}
+    df = rel.fetchdf()
     df = df.reindex(sorted(df.columns), axis=1)
     df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
-    return df
+    return df, types
 
 
-def compare(a, b, name):
+def compare(a, b, name, atypes, btypes):
     if list(a.columns) != list(b.columns):
         return f"SCHEMA mismatch: {list(a.columns)} vs {list(b.columns)}"
+    for col in a.columns:
+        for side, t in (("spark", atypes.get(col, "")), ("oracle", btypes.get(col, ""))):
+            if any(u in t.upper() for u in UNSAFE_DUCK_TYPES):
+                return (f"PORTABILITY: col={col} is {t} on the {side} side — "
+                        "render-ambiguous across the driver's read paths; "
+                        "cast to BIGINT/DOUBLE/VARCHAR")
+        # int32 vs int64 renders the same ("5"); int vs float does not
+        # ("5" vs "5.0") — compare render CLASSES, not exact widths
+        ka = getattr(a[col].dtype, "kind", "O")
+        kb = getattr(b[col].dtype, "kind", "O")
+        cls = lambda k: {"i": "int", "u": "int", "f": "float", "b": "bool",
+                         "M": "datetime", "m": "timedelta"}.get(k, "object")
+        if cls(ka) != cls(kb):
+            return (f"DTYPE class mismatch col={col}: {a[col].dtype} vs "
+                    f"{b[col].dtype} — renders differently in the driver's hash")
     if len(a) != len(b):
         return f"ROWS mismatch: {len(a)} vs {len(b)}"
     for col in a.columns:
@@ -66,16 +97,16 @@ def main():
                 bad.append((name, f"READ FAIL: {e}"))
             continue
         try:
-            mine = canon(con, f"SELECT * FROM '{path}/*.parquet'")
+            mine, mtypes = canon(con, f"SELECT * FROM '{path}/*.parquet'")
         except Exception as e:
             bad.append((name, f"READ FAIL: {e}"))
             continue
         try:
-            theirs = canon(con, oracle[name])
+            theirs, otypes = canon(con, oracle[name])
         except Exception as e:
             bad.append((name, f"ORACLE FAIL: {e}"))
             continue
-        err = compare(mine, theirs, name)
+        err = compare(mine, theirs, name, mtypes, otypes)
         if err:
             bad.append((name, err))
         else:
