@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Z-order (Morton) clustering: interleave the bits of two dimension
@@ -58,21 +57,31 @@ object ZOrder {
   }
 
   /** Verification harness for the layout: bucket rows into `nBuckets`
-    * equal z-ranges (ntile — deterministic given the total tiebreak
-    * order) and report each bucket's (x, y) bounding box and row count.
-    * Narrow per-bucket boxes on BOTH dimensions are exactly the property
-    * that makes the layout skip files; the oracle checks the same boxes.
-    * (ntile is the SQL-mirrorable stand-in for the sampled range
-    * boundaries of [[applyLayout]], which are engine-internal.)
+    * equal z-ranges (exact ntile semantics — deterministic given the
+    * total tiebreak order) and report each bucket's (x, y) bounding box
+    * and row count. Narrow per-bucket boxes on BOTH dimensions are
+    * exactly the property that makes the layout skip files; the oracle
+    * checks the same boxes. The bucketing rides
+    * [[GlobalRowNumber.ntileFromRank]] over a range-partitioned global
+    * rank — no SinglePartition ntile window over the full table.
     */
   def layoutStats(df: DataFrame, x: Column, y: Column, tie: Column,
-                  bits: Int, nBuckets: Int): DataFrame =
-    df.select(x.as("_x"), y.as("_y"), tie.as("_tie"))
+                  bits: Int, nBuckets: Int): DataFrame = {
+    val base = df.select(x.as("_x"), y.as("_y"), tie.as("_tie"))
       .withColumn("_z", zValue(col("_x"), col("_y"), bits))
-      .withColumn("bucket", ntile(nBuckets).over(Window.orderBy(col("_z"), col("_tie"))))
+    val (numbered, n, release) = GlobalRowNumber.withRowNumberAndCount(
+      base, "_rn", col("_z").asc, col("_tie").asc)
+    val out = numbered
+      .withColumn("bucket", GlobalRowNumber.ntileFromRank(col("_rn"), n, nBuckets))
       .groupBy("bucket")
       .agg(
         count(lit(1)).as("n"),
         min("_x").as("min_x"), max("_x").as("max_x"),
         min("_y").as("min_y"), max("_y").as("max_y"))
+    // nBuckets-row result: materialize, then drop the range-partition pin
+    val collected = out.cache()
+    collected.count()
+    release()
+    collected
+  }
 }
