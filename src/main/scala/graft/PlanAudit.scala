@@ -170,12 +170,13 @@ object PlanAudit {
         |under d_dup_clusters.""",
     "s13_zorder_stats" ->
       """The z-value is pure bit arithmetic inside WholeStageCodegen — no
-        |UDF between the scan and the bucket stats. (The ntile here is the
-        |SQL-mirrorable verification harness and plans as a single-partition
-        |window; the PRODUCTION layout path is ZOrder.applyLayout =
-        |repartitionByRange(z) + sortWithinPartitions, which samples range
-        |boundaries and never funnels rows through one task — ZOrderSpec
-        |pins its per-partition bounding boxes.)""",
+        |UDF between the scan and the bucket stats — and the verification
+        |buckets are exact-ntile arithmetic over a GlobalRowNumber global
+        |rank: range-partitioned, parallel per-partition windows, NO
+        |SinglePartition sort of the table. (The PRODUCTION layout path is
+        |ZOrder.applyLayout = repartitionByRange(z) +
+        |sortWithinPartitions — ZOrderSpec pins its per-partition bounding
+        |boxes.)""",
     "sim_prefix_rerank" ->
       """Stage 1's corpus-wide pass ranks on a 16-of-64-dim prefix cosine
         |(with dimension-sliced storage, a 4× smaller scan); stage 2 reranks
@@ -430,12 +431,13 @@ object PlanAudit {
         |aggregate's output size.""",
     "a15_pareto_abc" ->
       """The revenue ranking collapses the fact table to |customers|
-        |decimal sums first; the cumulative-share window and the ABC class
-        |aggregation then share ONE single-partition exchange over that
-        |output-sized frame (the plan shows the class HashAggregate
-        |directly consuming the windowed partition — no further exchange).
-        |The class thresholds compare decimal·integer products, so the
-        |A/B/C boundary cannot flip on a double ulp at any scale.""",
+        |decimal sums first; the cumulative share is then a RunningTotal
+        |distributed prefix sum in integer cents — range-partitioned
+        |per-partition windows plus broadcast partition offsets, NO
+        |SinglePartition exchange over the |customers| frame (at 100× that
+        |frame is ~10⁹ rows; a one-task running sum would be the plan's
+        |death). The class thresholds compare decimal·integer products, so
+        |the A/B/C boundary cannot flip on a double ulp at any scale.""",
     "d_chunk_dedup" ->
       """Boilerplate-chunk removal is LINEAR in corpus size: the exploded
         |(doc, idx, chunk) rows hash-aggregate once on chunk text for
@@ -474,6 +476,22 @@ object PlanAudit {
         |windows over the ≤ k·|groups| survivors. DCG weights are
         |micro-scaled LONGs — the sum is order-independent, so the metric
         |is partition-invariant by construction.""",
+    "fe_rfm" ->
+      """ONE hash-agg collapses the fact table to the |customers| frame;
+        |each quintile score is then a GlobalRowNumber global rank (range
+        |exchange + parallel per-partition windows + broadcast offsets)
+        |turned into its exact ntile(5) bucket by integer arithmetic —
+        |three ranked passes, ZERO SinglePartition windows. At 100×
+        |(customers ~10⁹) the old three-ntile form was three sequential
+        |one-task sorts; this plan keeps all 32+ cores on every pass.""",
+    "ml_auc_rank" ->
+      """Exact Mann-Whitney AUC over CONTINUOUS scores: per-distinct-score
+        |(pos, neg) counts hash-aggregate first, then the rank prefix sums
+        |ride RunningTotal's distributed CDF (range-partitioned local
+        |cumsums + broadcast offsets). Distinct scores ≈ |rows| for a raw
+        |price score, so the former global ORDER BY window was a one-task
+        |sort of the fact table; now the only SinglePartition exchange is
+        |the 1-row final aggregate merge.""",
     "p14_unpivot" ->
       """The melt is a pure executor-side Expand: zero shuffles, zero
         |joins — each input row fans out to 4 (measure, value) rows inside
