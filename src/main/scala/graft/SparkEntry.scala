@@ -126,7 +126,17 @@ object SparkEntry {
 
   // ----------------------------------------------------------------------
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  // Map literals silently last-win on duplicate keys — a re-used query
+  // name would shadow an existing query while the oracle map might keep
+  // the OTHER side's entry (observed once: instant hash-red). Both maps
+  // are built through this guard instead.
+  private def uniqueMap[V](kind: String)(pairs: (String, V)*): Map[String, V] = {
+    val dups = pairs.groupBy(_._1).collect { case (k, vs) if vs.size > 1 => k }
+    require(dups.isEmpty, s"duplicate $kind keys: ${dups.mkString(", ")}")
+    pairs.toMap
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = uniqueMap[(SparkSession, String) => DataFrame]("query")(
 
     // ---- S*: scans / sources --------------------------------------------
     "s2_scan_region" -> ((s, d) => t(s, d, "region").select("r_regionkey", "r_name")),
@@ -1837,6 +1847,22 @@ object SparkEntry {
     // Zipf-law fit over the corpus's top-200 terms: OLS slope of
     // ln(freq) ~ ln(rank) — natural language reads ≈ −1, template/spam
     // corpora bend it; one term-frequency hash-agg + TakeOrdered(200)
+    // overlapping token-window chunking (context-window prep with stride
+    // overlap): tokenize → sequence over starts → explode → slice, all
+    // executor-side, zero shuffles — output ≈ win/stride × input tokens
+    "t_chunk_windows" -> ((s, d) =>
+      graft.text.Chunking.chunkOverlap(
+        t(s, d, "documents"), "doc_id", "text", win = 64, stride = 32)),
+
+    // Gopher/C4-style quality cascade with first-failure drop accounting:
+    // token-count bounds → mean-token-length bounds → type/token-ratio
+    // repetition floor; ONE scan + a ≤4-row hash-agg
+    "t_quality_cascade" -> ((s, d) =>
+      graft.text.QualityCascade.cascade(
+        t(s, d, "documents"), "text",
+        minTokens = 50, maxTokens = 100000,
+        minMeanLen = 3.0, maxMeanLen = 4.8, minTtr = 0.35)),
+
     "t_zipf" -> ((s, d) =>
       graft.text.CorpusStats.zipfSlope(t(s, d, "documents"), col("text"), topN = 200)),
 
@@ -2290,6 +2316,18 @@ object SparkEntry {
     // on the portable hash): key = −ln(u)/w, global TakeOrdered(k) — the
     // "sample k docs ∝ quality" curation primitive, deterministic and
     // resumable where an RNG sample is neither
+    // deterministic domain-mix rebalancing (DoReMi/Pile-style target
+    // weights): feasible total T = min_d(n_d/w_d) from the |domains|-row
+    // count table, each domain keeps its floor(w_d·T) smallest-hash
+    // members — reproducible, engine-portable, no RNG; the only
+    // data-sized exchange is the per-domain rank window
+    "o20_domain_mix" -> ((s, d) =>
+      graft.ops.DomainMix.mixCounts(
+        t(s, d, "documents"), "lang", "doc_id",
+        permilleHash1M(col("doc_id"), ":mix"),
+        Map("en" -> 0.4, "de" -> 0.15, "es" -> 0.15,
+          "fr" -> 0.15, "zh" -> 0.15))),
+
     "o18_priority_sample" -> ((s, d) =>
       graft.ops.PrioritySampling.sample(
         t(s, d, "documents"), "doc_id", "n_chars", k = 500)),
@@ -3491,7 +3529,7 @@ object SparkEntry {
 
   // ----------------------------------------------------------------------
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = uniqueMap[String]("oracle")(
     "sql_q3_shipping" -> q3Sql,
     "sql_q5_local" -> q5Sql,
     "sql_rollup_agg" -> rollupSql,
@@ -4230,6 +4268,19 @@ object SparkEntry {
       "CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END", k = 10),
 
     "t_zipf" -> graft.text.CorpusStats.zipfOracleSql("documents", "text", topN = 200),
+
+    "t_chunk_windows" -> graft.text.Chunking.chunkOverlapOracleSql(
+      "documents", "doc_id", "text", win = 64, stride = 32),
+
+    "t_quality_cascade" -> graft.text.QualityCascade.cascadeOracleSql(
+      "documents", "text", minTokens = 50, maxTokens = 100000,
+      minMeanLen = 3.0, maxMeanLen = 4.8, minTtr = 0.35),
+
+    "o20_domain_mix" -> graft.ops.DomainMix.mixCountsOracleSql(
+      "documents", "lang", "doc_id",
+      permilleHashSql("doc_id", ":mix", 1000000L),
+      Map("en" -> 0.4, "de" -> 0.15, "es" -> 0.15,
+        "fr" -> 0.15, "zh" -> 0.15)),
 
     "a_spearman" ->
       """WITH base AS (

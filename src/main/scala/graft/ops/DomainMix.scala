@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic domain-mix rebalancing — the "data mixture" step of a
+  * pre-training pipeline (DoReMi/The Pile publish target weights per
+  * source): given target proportions `w_d` per domain, keep the largest
+  * subsample that achieves them EXACTLY without replication. The feasible
+  * total is `T = min_d(n_d / w_d)`; each domain keeps its `⌊w_d · T⌋`
+  * members with the smallest portable hash (id tiebreak), so the sample
+  * is reproducible run-to-run, engine-portable, and resumable — an RNG
+  * sample is none of these.
+  *
+  * Scale shape: one hash-agg to the |domains|-sized count table, the
+  * feasible-total reduction over those few rows (broadcast back — the
+  * data is never collected), then ONE exchange partitioned by domain for
+  * the per-domain hash-rank window. Domain count is assumed small
+  * (sources/languages — tens to thousands); the window is per-domain
+  * parallel, never a global funnel.
+  */
+object DomainMix {
+
+  /** @param targets (domain → weight); weights need not sum to 1 — only
+    *                ratios matter. Domains absent from `targets` are
+    *                dropped (weight 0).
+    * @param hash    portable per-row hash column (e.g. md5-based permille)
+    * @return        kept rows of `docs` plus `_mix_rank` (1-based rank
+    *                within domain by (hash, id))
+    */
+  def rebalance(docs: DataFrame, domainCol: String, idCol: String,
+                hash: Column, targets: Map[String, Double]): DataFrame = {
+    require(targets.nonEmpty && targets.values.forall(_ > 0),
+      "domain targets must be non-empty and positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tgt = targets.toSeq.sortBy(_._1).toDF(domainCol, "_w")
+    val counts = docs.groupBy(col(domainCol)).agg(count(lit(1)).as("_n_d"))
+    // feasible total: the binding domain caps the mix (1 row)
+    val tRow = counts.join(broadcast(tgt), domainCol)
+      .agg(min(col("_n_d").cast("double") / col("_w")).as("_T"))
+    val quota = tgt.crossJoin(broadcast(tRow))
+      .select(col(domainCol),
+        floor(col("_w") * col("_T")).cast("long").as("_k_d"))
+    val w = Window.partitionBy(col(domainCol)).orderBy(hash.asc, col(idCol).asc)
+    docs
+      .withColumn("_mix_rank", row_number().over(w).cast("long"))
+      .join(broadcast(quota), domainCol)
+      .filter(col("_mix_rank") <= col("_k_d"))
+      .drop("_k_d")
+  }
+
+  /** Per-domain kept counts — the mix-readout form of [[rebalance]]. */
+  def mixCounts(docs: DataFrame, domainCol: String, idCol: String,
+                hash: Column, targets: Map[String, Double]): DataFrame =
+    rebalance(docs, domainCol, idCol, hash, targets)
+      .groupBy(col(domainCol).as("domain"))
+      .agg(count(lit(1)).as("n_kept"))
+
+  /** DuckDB mirror of [[mixCounts]]: `hashSql` must render the same hash
+    * over the table's own column names.
+    */
+  def mixCountsOracleSql(table: String, domainCol: String, idCol: String,
+                         hashSql: String, targets: Map[String, Double]): String = {
+    val tgtRows = targets.toSeq.sortBy(_._1)
+      .map { case (d, w) => s"('$d', $w)" }.mkString(", ")
+    s"""WITH tgt(domain, w) AS (VALUES $tgtRows),
+       |cnt AS (
+       |  SELECT $domainCol AS domain, CAST(count(*) AS BIGINT) AS n_d
+       |  FROM $table GROUP BY 1
+       |), tm AS (
+       |  SELECT min(CAST(n_d AS DOUBLE) / w) AS t
+       |  FROM cnt JOIN tgt USING (domain)
+       |), quota AS (
+       |  SELECT domain, CAST(floor(w * t) AS BIGINT) AS k_d FROM tgt, tm
+       |), ranked AS (
+       |  SELECT $domainCol AS domain,
+       |         ROW_NUMBER() OVER (PARTITION BY $domainCol
+       |           ORDER BY $hashSql ASC, $idCol ASC) AS rn
+       |  FROM $table
+       |)
+       |SELECT r.domain, CAST(count(*) AS BIGINT) AS n_kept
+       |FROM ranked r JOIN quota USING (domain)
+       |WHERE rn <= k_d
+       |GROUP BY 1""".stripMargin
+  }
+}
