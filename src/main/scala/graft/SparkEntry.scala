@@ -2591,6 +2591,22 @@ object SparkEntry {
     "sk_kmv_merge" -> ((s, d) =>
       graft.sketch.Sketches.kmvMerge(t(s, d, "orders"), "o_custkey")),
 
+    // quantile member of the sketch family: 256-cell equi-width histogram,
+    // p50/p90/p99 estimates emitted NEXT TO the exact order statistics
+    // (error is data, not a claim); exact side rides the RunningTotal CDF
+    "sk_hist_quantiles" -> ((s, d) =>
+      graft.sketch.Sketches.histQuantiles(
+        t(s, d, "orders"), "o_totalprice", buckets = 256,
+        psPermille = Seq(500, 900, 990))),
+
+    // histogram merge linearity: per-shard histograms over the shared
+    // grid sum cell-wise to the whole-stream build (n_mismatch = 0) —
+    // the property that lets executors histogram shards independently
+    "sk_hist_merge" -> ((s, d) =>
+      graft.sketch.Sketches.histMergeCheck(
+        t(s, d, "orders"), "o_totalprice",
+        pmod(col("o_orderkey"), lit(8L)), buckets = 256)),
+
     // KMV set-INTERSECTION estimate ("users in both segments") — two
     // k-min sketches, union re-truncate, ρ·D̂(U); only k-row frames ever
     // meet, the raw sets never co-shuffle. Estimate emitted beside the
@@ -5415,6 +5431,12 @@ object SparkEntry {
          |FROM r""".stripMargin,
 
     "sk_kmv_merge" -> graft.sketch.Sketches.kmvMergeOracleSql("o_custkey", "orders"),
+
+    "sk_hist_quantiles" -> graft.sketch.Sketches.histQuantilesOracleSql(
+      "orders", "o_totalprice", buckets = 256, psPermille = Seq(500, 900, 990)),
+
+    "sk_hist_merge" -> graft.sketch.Sketches.histMergeCheckOracleSql(
+      "orders", "o_totalprice", "o_orderkey % 8", buckets = 256),
 
     "o16_balanced_batches" ->
       s"""WITH h AS (

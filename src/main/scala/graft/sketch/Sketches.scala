@@ -394,4 +394,166 @@ object Sketches {
        |           / CAST(st.kth_union AS DOUBLE)) AS kmv_intersect_est
        |FROM ex CROSS JOIN st""".stripMargin
   }
+
+  // ------------------------------------------------------------------
+  // Equi-width histogram quantile sketch
+  // ------------------------------------------------------------------
+
+  /** B-cell equi-width histogram of a numeric column (grid = [min, max]
+    * from one broadcast agg) — the quantile member of the sketch family.
+    * Deterministic (no reservoir, no RNG), cell-wise MERGEABLE like CMS
+    * (shards over the shared grid sum to the whole-stream build), and
+    * cardinality-bounded: the exchange moves ≤ B cells per partition.
+    */
+  private def histogram(base: DataFrame, mm: DataFrame, buckets: Int): DataFrame =
+    base.crossJoin(broadcast(mm))
+      .select(
+        when(col("_hi") === col("_lo"), lit(0L))
+          .otherwise(least(
+            floor((col("_v") - col("_lo")) / ((col("_hi") - col("_lo")) / buckets)),
+            lit((buckets - 1).toLong)))
+          .as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+
+  private def histBase(df: DataFrame, valueCol: String): (DataFrame, DataFrame) = {
+    val base = df.select(col(valueCol).cast("double").as("_v"))
+      .filter(col("_v").isNotNull)
+    (base, base.agg(min("_v").as("_lo"), max("_v").as("_hi")))
+  }
+
+  /** Histogram quantile estimates NEXT TO the exact order statistics —
+    * `(p_permille, est, exact, abs_err)` — so the sketch's error is data,
+    * not a claim (the sk_cms_err pattern). The estimate interpolates
+    * linearly inside the first cell whose cumulative count covers the
+    * integer target `⌈p·n/1000⌉`; the exact value is the smallest v with
+    * `1000·cum(v) ≥ p·n`, computed over per-value counts through the
+    * RunningTotal distributed CDF (no data-sized one-task window — the
+    * only unpartitioned window here runs over the ≤ B histogram cells,
+    * bounded by the SKETCH, not the data).
+    */
+  def histQuantiles(df: DataFrame, valueCol: String, buckets: Int,
+                    psPermille: Seq[Int]): DataFrame = {
+    require(buckets > 0 && psPermille.nonEmpty &&
+      psPermille.forall(p => p > 0 && p <= 1000), "bad histQuantiles params")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (base, mm) = histBase(df, valueCol)
+    val hist = histogram(base, mm, buckets)
+    val wc = org.apache.spark.sql.expressions.Window.orderBy("bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = hist.withColumn("cum", sum("cnt").over(wc))
+    val nRow = hist.agg(sum(col("cnt")).as("_n"))
+    val ps = psPermille.toDF("p_permille")
+    // first covering cell per p (≤ B·|ps| rows in flight)
+    val sel = cum.crossJoin(broadcast(nRow)).crossJoin(broadcast(ps))
+      .filter(col("cum") * 1000 >= col("p_permille") * col("_n"))
+      .groupBy("p_permille").agg(min(col("bucket")).as("bucket"))
+    val est = sel.join(cum, "bucket").crossJoin(broadcast(nRow)).crossJoin(broadcast(mm))
+      .withColumn("_target", expr("CAST((p_permille * _n + 999) DIV 1000 AS BIGINT)"))
+      .select(col("p_permille"),
+        round(col("_lo") + (col("_hi") - col("_lo")) / buckets *
+          (col("bucket") + (col("_target") - (col("cum") - col("cnt"))).cast("double") /
+            col("cnt")), 6).as("est"))
+    // exact order statistics via the distributed CDF over per-value counts
+    val perVal = base.groupBy(col("_v")).agg(count(lit(1)).as("_c"))
+    val (cumVal, n, release) = graft.ops.RunningTotal.withRunningSum(
+      perVal, col("_c"), "_cumv", col("_v").asc)
+    val exact = cumVal.crossJoin(broadcast(ps))
+      .filter(col("_cumv") * 1000 >= col("p_permille") * n)
+      .groupBy("p_permille").agg(min(col("_v")).as("exact"))
+    val out = est.join(exact, "p_permille")
+      .select(col("p_permille").cast("int").as("p_permille"), col("est"),
+        col("exact"), round(abs(col("est") - col("exact")), 6).as("abs_err"))
+    val collected = out.cache()
+    collected.count()
+    release()
+    collected
+  }
+
+  /** Merge-equals-whole check for the histogram sketch: shard histograms
+    * over the SHARED grid, summed cell-wise, must equal the whole-stream
+    * build exactly — `(n_cells, n_mismatch)` with n_mismatch provably 0
+    * (the linearity that lets executors histogram shards independently).
+    */
+  def histMergeCheck(df: DataFrame, valueCol: String, shard: Column,
+                     buckets: Int): DataFrame = {
+    val withShard = df.select(col(valueCol).cast("double").as("_v"), shard.as("_shard"))
+      .filter(col("_v").isNotNull)
+    val mm = withShard.agg(min("_v").as("_lo"), max("_v").as("_hi"))
+    val full = histogram(withShard, mm, buckets)
+    val merged = withShard.crossJoin(broadcast(mm))
+      .select(col("_shard"),
+        when(col("_hi") === col("_lo"), lit(0L))
+          .otherwise(least(
+            floor((col("_v") - col("_lo")) / ((col("_hi") - col("_lo")) / buckets)),
+            lit((buckets - 1).toLong)))
+          .as("bucket"))
+      .groupBy("_shard", "bucket").agg(count(lit(1)).as("cnt"))
+      .groupBy("bucket").agg(sum(col("cnt")).as("cnt"))
+    full.withColumnRenamed("cnt", "cnt_full")
+      .join(merged.withColumnRenamed("cnt", "cnt_merged"), Seq("bucket"), "full_outer")
+      .agg(
+        count(lit(1)).as("n_cells"),
+        sum(when(coalesce(col("cnt_full"), lit(-1L)) =!=
+          coalesce(col("cnt_merged"), lit(-1L)), 1L).otherwise(0L)).as("n_mismatch"))
+  }
+
+  /** DuckDB mirror of [[histQuantiles]]. */
+  def histQuantilesOracleSql(table: String, valueSql: String, buckets: Int,
+                             psPermille: Seq[Int]): String = {
+    val psRows = psPermille.map(p => s"($p)").mkString(", ")
+    s"""WITH b AS (
+       |  SELECT CAST($valueSql AS DOUBLE) AS v FROM $table WHERE $valueSql IS NOT NULL
+       |), mm AS (SELECT min(v) AS lo, max(v) AS hi FROM b),
+       |hist AS (
+       |  SELECT CASE WHEN hi = lo THEN 0
+       |              ELSE CAST(least(floor((v - lo) / ((hi - lo) / $buckets)), ${buckets - 1}) AS BIGINT)
+       |         END AS bucket, count(*) AS cnt
+       |  FROM b, mm GROUP BY 1
+       |), cum AS (
+       |  SELECT bucket, cnt, CAST(SUM(cnt) OVER (ORDER BY bucket) AS BIGINT) AS cum
+       |  FROM hist
+       |), nn AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM hist),
+       |ps(p_permille) AS (VALUES $psRows),
+       |sel AS (
+       |  SELECT p_permille, min(bucket) AS bucket
+       |  FROM cum, nn, ps WHERE cum * 1000 >= p_permille * n GROUP BY 1
+       |), est AS (
+       |  SELECT p_permille,
+       |         round(lo + (hi - lo) / $buckets *
+       |           (c.bucket + CAST((p_permille * n + 999) // 1000 - (c.cum - c.cnt) AS DOUBLE)
+       |             / c.cnt), 6) AS est
+       |  FROM sel s JOIN cum c ON s.bucket = c.bucket, mm, nn
+       |), pv AS (SELECT v, count(*) AS c FROM b GROUP BY 1),
+       |pc AS (SELECT v, CAST(SUM(c) OVER (ORDER BY v) AS BIGINT) AS cumv FROM pv),
+       |ex AS (
+       |  SELECT p_permille, min(v) AS exact
+       |  FROM pc, nn, ps WHERE cumv * 1000 >= p_permille * n GROUP BY 1
+       |)
+       |SELECT CAST(e.p_permille AS INTEGER) AS p_permille, e.est, x.exact,
+       |       round(abs(e.est - x.exact), 6) AS abs_err
+       |FROM est e JOIN ex x USING (p_permille)""".stripMargin
+  }
+
+  /** DuckDB mirror of [[histMergeCheck]]; `shardSql` renders the shard
+    * expression over the table's own columns. */
+  def histMergeCheckOracleSql(table: String, valueSql: String,
+                              shardSql: String, buckets: Int): String =
+    s"""WITH b AS (
+       |  SELECT CAST($valueSql AS DOUBLE) AS v, $shardSql AS shard
+       |  FROM $table WHERE $valueSql IS NOT NULL
+       |), mm AS (SELECT min(v) AS lo, max(v) AS hi FROM b),
+       |bk AS (
+       |  SELECT shard,
+       |         CASE WHEN hi = lo THEN 0
+       |              ELSE CAST(least(floor((v - lo) / ((hi - lo) / $buckets)), ${buckets - 1}) AS BIGINT)
+       |         END AS bucket
+       |  FROM b, mm
+       |), full_ AS (SELECT bucket, count(*) AS cnt FROM bk GROUP BY 1),
+       |shards AS (SELECT shard, bucket, count(*) AS cnt FROM bk GROUP BY 1, 2),
+       |merged AS (SELECT bucket, CAST(sum(cnt) AS BIGINT) AS cnt FROM shards GROUP BY 1)
+       |SELECT CAST(count(*) AS BIGINT) AS n_cells,
+       |       CAST(sum(CASE WHEN coalesce(f.cnt, -1) <> coalesce(m.cnt, -1)
+       |                THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch
+       |FROM full_ f FULL OUTER JOIN merged m USING (bucket)""".stripMargin
 }

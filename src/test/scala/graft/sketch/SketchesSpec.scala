@@ -134,4 +134,36 @@ class SketchesSpec extends SparkSpecBase {
     // ρ and D̂ are both k=64 estimates; allow a generous combined band
     assert(est > 100.0 && est < 600.0, s"est $est vs 300")
   }
+
+  test("histQuantiles: uniform data → estimate within one cell width of exact") {
+    import spark.implicits._
+    val df = (1 to 10000).map(_.toDouble).toDF("v")
+    val out = Sketches.histQuantiles(df, "v", buckets = 100, psPermille = Seq(500, 900, 990))
+      .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val cellWidth = (10000.0 - 1.0) / 100
+    for ((p, (est, exact)) <- out) {
+      assert(math.abs(exact - math.ceil(p / 1000.0 * 10000)) < 1e-9, s"p=$p exact=$exact")
+      assert(math.abs(est - exact) <= cellWidth, s"p=$p est=$est exact=$exact")
+    }
+  }
+
+  test("histQuantiles: constant column degenerates to the single value") {
+    import spark.implicits._
+    val df = Seq.fill(50)(7.5).toDF("v")
+    val out = Sketches.histQuantiles(df, "v", buckets = 16, psPermille = Seq(500))
+      .collect().head
+    assert(out.getDouble(2) == 7.5)          // exact
+    assert(math.abs(out.getDouble(1) - 7.5) < 1e-6, out.toString) // est: zero-width grid
+  }
+
+  test("histMergeCheck: shard histograms sum to the whole-stream build") {
+    import spark.implicits._
+    val df = (1 to 5000).map(i => (i.toLong, (i * 37 % 1000).toDouble)).toDF("id", "v")
+    val r = Sketches.histMergeCheck(df, "v",
+      org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.col("id"), org.apache.spark.sql.functions.lit(7L)),
+      buckets = 64).collect().head
+    assert(r.getAs[Long]("n_mismatch") == 0L)
+    assert(r.getAs[Long]("n_cells") <= 64L && r.getAs[Long]("n_cells") > 0L)
+  }
 }
