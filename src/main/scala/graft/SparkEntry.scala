@@ -2742,6 +2742,36 @@ object SparkEntry {
         t(s, d, "documents"), "doc_id", "text",
         window = 4, keyLen = 12, threshold = 0.2)),
 
+    // Fellegi–Sunter record linkage with known truth: customers linked to
+    // a hash-perturbed twin (case-typo'd name / shifted balance / lost
+    // segment), blocked on the stable name-digit fragment (≈100-member
+    // blocks at ANY scale — candidates grow linearly with data, never
+    // quadratically), integer agreement weights summed per pair; the
+    // (score, n_pairs, n_true) distribution is the threshold curve
+    "er_link_scores" -> ((s, d) => {
+      import graft.dedup.RecordLinkage
+      import graft.dedup.RecordLinkage.FieldRule
+      val cust = t(s, d, "customer")
+      val blk = substring(col("c_name"), 10, 7)
+      val a = cust.withColumn("blk", blk)
+      val b = cust.select(
+          col("c_custkey"),
+          when(permilleHash(col("c_custkey"), ":erN") < 300,
+            concat(lit("customer"), substring(col("c_name"), 9, 1000)))
+            .otherwise(col("c_name")).as("c_name"),
+          when(permilleHash(col("c_custkey"), ":erB") < 250,
+            col("c_acctbal") + 10.0).otherwise(col("c_acctbal")).as("c_acctbal"),
+          when(permilleHash(col("c_custkey"), ":erS") < 200, lit("UNKNOWN"))
+            .otherwise(col("c_mktsegment")).as("c_mktsegment"))
+        .withColumn("blk", blk)
+      val rules = Seq(
+        FieldRule("c_name", (x, y) => x === y, wAgree = 3L, wDisagree = 1L),
+        FieldRule("c_acctbal", (x, y) => abs(x - y) <= 0.005, wAgree = 2L, wDisagree = 2L),
+        FieldRule("c_mktsegment", (x, y) => x === y, wAgree = 1L, wDisagree = 1L))
+      RecordLinkage.scoreDistribution(
+        RecordLinkage.scorePairs(a, b, "c_custkey", Seq("blk"), rules))
+    }),
+
     // STREAM-STREAM FULL OUTER drain: inner pairs + watermark-evicted
     // unmatched rows from BOTH sides — the two-sided outer state machine,
     // pinned by a batch oracle carrying both eviction predicates
@@ -5519,6 +5549,36 @@ object SparkEntry {
 
     "d_sorted_neighbors" -> graft.dedup.Dedup.sortedNeighborOracleSql(
       "documents", "doc_id", "text", window = 4, keyLen = 12, threshold = 0.2),
+
+    "er_link_scores" ->
+      s"""WITH pert AS (
+         |  SELECT c_custkey,
+         |    CASE WHEN ${permilleHashSql("c_custkey", ":erN", 1000L)} < 300
+         |         THEN 'customer' || substr(c_name, 9, 1000) ELSE c_name END AS c_name,
+         |    CASE WHEN ${permilleHashSql("c_custkey", ":erB", 1000L)} < 250
+         |         THEN c_acctbal + 10.0 ELSE c_acctbal END AS c_acctbal,
+         |    CASE WHEN ${permilleHashSql("c_custkey", ":erS", 1000L)} < 200
+         |         THEN 'UNKNOWN' ELSE c_mktsegment END AS c_mktsegment
+         |  FROM customer
+         |), aa AS (
+         |  SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
+         |         substr(c_name, 10, 7) AS blk
+         |  FROM customer
+         |), bb AS (
+         |  SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
+         |         substr(c_name, 10, 7) AS blk
+         |  FROM pert
+         |), pairs AS (
+         |  SELECT aa.c_custkey AS id_a, bb.c_custkey AS id_b,
+         |    (CASE WHEN aa.c_name = bb.c_name THEN 3 ELSE -1 END +
+         |     CASE WHEN abs(aa.c_acctbal - bb.c_acctbal) <= 0.005 THEN 2 ELSE -2 END +
+         |     CASE WHEN aa.c_mktsegment = bb.c_mktsegment THEN 1 ELSE -1 END) AS score
+         |  FROM aa JOIN bb ON aa.blk = bb.blk
+         |)
+         |SELECT CAST(score AS BIGINT) AS score,
+         |       CAST(count(*) AS BIGINT) AS n_pairs,
+         |       CAST(SUM(CASE WHEN id_a = id_b THEN 1 ELSE 0 END) AS BIGINT) AS n_true
+         |FROM pairs GROUP BY 1""".stripMargin,
 
     "ev_stream_full" ->
       """WITH ev AS (
