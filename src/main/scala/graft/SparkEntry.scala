@@ -284,6 +284,15 @@ object SparkEntry {
         Seq("hour_ts"), Seq(col("cnt").desc, col("event_type").asc), 2)
     }),
 
+    // ONLINE histogram-sketch build: fixed a-priori grid (a stream can't
+    // min/max first — production metric pipelines declare bucket bounds),
+    // associative bucket counts through the incremental micro-batch path,
+    // state ≤ buckets rows at any volume; the drained build must equal
+    // the batch histogram bit-for-bit
+    "ev_stream_hist" -> ((s, d) =>
+      graft.streaming.StreamOps.histViaStream(
+        s, d, "graft_ev_stream_hist", lo = 0.0, hi = 512.0, buckets = 128)),
+
     // the flatMapGroupsWithState session state machine, drained and
     // hash-checked against the SAME DuckDB oracle as the batch
     // `ev_sessionize` — custom streaming state semantics verified
@@ -4782,6 +4791,14 @@ object SparkEntry {
         |    ORDER BY cnt DESC, event_type) AS rn
         |  FROM c
         |) WHERE rn <= 2""".stripMargin,
+
+    // batch mirror of the streaming fixed-grid histogram build:
+    // lo=0, hi=512, 128 cells → width 4.0 (exact binary), end clamps
+    "ev_stream_hist" ->
+      """SELECT CAST(least(greatest(floor((CAST(value AS DOUBLE) - 0.0) / 4.0), 0), 127) AS BIGINT) AS bucket,
+        |       CAST(count(*) AS BIGINT) AS cnt
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY 1""".stripMargin,
 
     // the CDC-materialized table is "latest row per user" — the batch
     // window form pins the foreachBatch merge exactly (second-truncated

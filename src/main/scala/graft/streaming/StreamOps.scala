@@ -139,6 +139,30 @@ object StreamOps {
     spark.table(queryName)
   }
 
+  /** STREAMING build of the fixed-grid histogram sketch (the online twin
+    * of `Sketches.histogram`): a stream cannot take a min/max first pass,
+    * so the grid is declared a priori — exactly how production metric
+    * pipelines size histogram buckets — and out-of-range values clamp
+    * onto the end cells. Bucket counting is an associative aggregate, so
+    * the incremental micro-batch build is batching-invariant: the drained
+    * state must equal the batch histogram bit-for-bit (the DuckDB-oracled
+    * contract). State is ≤ `buckets` rows no matter the stream volume.
+    */
+  def histViaStream(spark: SparkSession, dir: String, queryName: String,
+                    lo: Double, hi: Double, buckets: Int): DataFrame = {
+    require(hi > lo && buckets > 0, "histViaStream needs hi > lo, buckets > 0")
+    val width = (hi - lo) / buckets
+    val ev = eventsStream(spark, dir)
+    val bucket = least(
+      greatest(floor((col("value").cast("double") - lo) / width), lit(0L)),
+      lit((buckets - 1).toLong))
+    runToCompletion(
+      ev.filter(col("value").isNotNull)
+        .groupBy(bucket.as("bucket"))
+        .agg(count(lit(1)).as("cnt")),
+      queryName)
+  }
+
   /** The `ev_sessionize` answer computed by the STREAMING state machine:
     * drain [[sessionize]] over the file-source stream (Append mode — the
     * only mode `flatMapGroupsWithState` supports) and reduce the emitted
