@@ -615,7 +615,39 @@ object PlanAudit {
         |window, AND the final grouped mean (hash(status) clusters all
         |three) — trimming is a rank predicate inside codegen, the mean
         |accumulates in decimal, and no second scan or self-join touches
-        |the trimmed complement."""
+        |the trimmed complement.""",
+    "t_chunk_windows" ->
+      """Context-window chunking is a PURE executor-side map: tokenize →
+        |sequence over stride starts → explode → slice, zero Exchange
+        |nodes anywhere (plan-asserted in ChunkingSpec). Output fan-out is
+        |⌈n/stride⌉ per document — the only scale knob is output volume,
+        |never shuffle or state.""",
+    "t_quality_cascade" ->
+      """The whole Gopher-style cascade is ONE scan + ONE ≤4-row hash
+        |aggregation: every rule is a codegen'd column expression over the
+        |shared tokenizer, the first-failure CASE collapses to a single
+        |projection, and partial aggregation hands the exchange at most
+        |four rows per partition.""",
+    "o20_domain_mix" ->
+      """Mixture rebalancing never collects data: the |domains|-row count
+        |table joins the broadcast target weights, the feasible-total
+        |reduction is a 1-row aggregate broadcast back, and the only
+        |data-sized operation is the per-domain rank window — partitioned
+        |by domain, parallel across domains, no SinglePartition funnel.""",
+    "er_link_scores" ->
+      """Record linkage plans as ONE equi-join on the blocking fragment
+        |(no CartesianProduct, no BroadcastNestedLoopJoin — spec-pinned):
+        |candidate cardinality is Σ_block |A|·|B|, bounded by the ~100-member
+        |name-digit blocks at any scale, and the Fellegi–Sunter score is
+        |per-row CASE arithmetic inside codegen.""",
+    "sk_hist_quantiles" ->
+      """The sketch build is explode-free: one (min,max) broadcast agg
+        |fixes the grid, bucket assignment is codegen'd arithmetic, and
+        |partial aggregation bounds the exchange at ≤B cells per
+        |partition. The only unpartitioned window runs over the ≤B-row
+        |histogram (sketch-sized); the EXACT comparison side rides the
+        |RunningTotal distributed CDF, so even the ground-truth order
+        |statistics avoid a one-task sort."""
   )
 
   private def streamingPlan(spark: SparkSession, sfDir: String): String = {
