@@ -89,14 +89,9 @@ object Metrics {
     * distinct-score variant below does exactly that).
     */
   def aucRoc(scored: DataFrame, scoreCol: String, labelCol: String): Double = {
-    val df = aucRocDf(scored, scoreCol, labelCol)
-    val r = df.collect()(0)
-    // sweeps call this in a loop — drop the 1-row cache entry eagerly
-    df.unpersist()
-    val v = if (r.isNullAt(0)) 0.0 else r.getDouble(0)
-    // single-class input: nPos*nNeg = 0 and the double division yields NaN
-    // (not null) — normalize to the documented 0.0 fallback
-    if (v.isNaN) 0.0 else v
+    val r = aucRocDf(scored, scoreCol, labelCol).collect()(0)
+    // single-class input is already normalized to null by aucRocDf
+    if (r.isNullAt(0)) 0.0 else r.getDouble(0)
   }
 
   /** Distributed AUC as a 1-row DataFrame (column `auc_roc`). All rank
@@ -106,39 +101,55 @@ object Metrics {
   def aucRocDf(scored: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
     // scale path: collapse to per-distinct-score (pos, neg) counts first —
     // cardinality drops from |rows| to |distinct scores|. With CONTINUOUS
-    // scores that is still |rows|, so the Mann-Whitney prefix counts ride
-    // the RunningTotal distributed CDF (range-partitioned per-partition
-    // windows + broadcast offsets — the StatsOps.spearman shape), never a
-    // SinglePartition window over the score axis.
+    // scores that is still |rows|, so the Mann-Whitney rank sum must not
+    // ride a SinglePartition window. Decomposition: with the score axis
+    // range-partitioned,
+    //   posRankSum = Σ_p localPosRankSum_p + Σ_p offset_p · nPos_p
+    // where localPosRankSum uses only the partition-LOCAL running count
+    // and offset_p is the total count of lower partitions. One shuffle,
+    // one job, ≤ P partial tuples to the driver (the sweep tier calls
+    // this per fold×candidate — a persist/multi-job shape here multiplies
+    // across the whole grid search). Every term is an exact half in
+    // doubles, so the value is bit-identical to the windowed form.
+    val spark = scored.sparkSession
+    val parts = math.max(1,
+      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
     val byScore = scored
       .groupBy(col(scoreCol).as("s"))
       .agg(
         sum(when(col(labelCol) === 1.0, 1L).otherwise(0L)).as("np"),
         sum(when(col(labelCol) =!= 1.0, 1L).otherwise(0L)).as("nn"))
-    val (cum, _, release) = graft.ops.RunningTotal.withRunningSum(
-      byScore, col("np") + col("nn"), "_cumIncl", col("s").asc)
-    val ranked = cum
-      .withColumn("cumBefore", col("_cumIncl") - (col("np") + col("nn")))
-      // average rank of the tied block [cumBefore+1, cumBefore+np+nn] —
-      // exact in doubles (ranks are halves)
-      .withColumn("avgRank", col("cumBefore") + (col("np") + col("nn") + 1L) / 2.0)
-    val out = ranked
+    val ranged = byScore
+      .repartitionByRange(parts, col("s").asc)
+      .withColumn("_pid", spark_partition_id())
+    val wLocal = Window.partitionBy("_pid").orderBy(col("s").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val partials = ranged
+      .withColumn("_lcb", coalesce(sum(col("np") + col("nn")).over(wLocal), lit(0L)))
+      .groupBy("_pid")
       .agg(
-        sum(col("np") * col("avgRank")).as("posRankSum"),
-        sum(col("np")).as("nPos"),
-        sum(col("nn")).as("nNeg"))
-      .select(
-        // single-class guard: CaseWhen is lazy, so the ANSI-throwing /0 in
-        // the otherwise-branch is never evaluated when a class is absent
-        when(col("nPos") === 0L || col("nNeg") === 0L, lit(null).cast("double"))
-          .otherwise(
-            (col("posRankSum") - col("nPos").cast("double") * (col("nPos") + 1) / 2.0) /
-              (col("nPos").cast("double") * col("nNeg"))).as("auc_roc"))
-    // single-action derivation: the 1-row aggregate IS the materialization
-    val collected = out.cache()
-    collected.count()
-    release()
-    collected
+        sum(col("np") * (col("_lcb") + (col("np") + col("nn") + 1L) / 2.0)).as("lprs"),
+        sum(col("np")).as("snp"),
+        sum(col("np") + col("nn")).as("scnt"))
+      .collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    var offset = 0L
+    var posRankSum = 0.0
+    var nPos = 0L
+    var nTot = 0L
+    partials.foreach { case (_, lprs, snp, scnt) =>
+      posRankSum += lprs + offset.toDouble * snp
+      nPos += snp
+      nTot += scnt
+      offset += scnt
+    }
+    val nNeg = nTot - nPos
+    val auc: java.lang.Double =
+      if (nPos == 0L || nNeg == 0L) null
+      else (posRankSum - nPos.toDouble * (nPos + 1) / 2.0) / (nPos.toDouble * nNeg)
+    import spark.implicits._
+    Seq(Option(auc).map(_.doubleValue)).toDF("auc_roc")
   }
 
   /** Per-segment exact AUC — [[aucRocDf]] with every step keyed by a

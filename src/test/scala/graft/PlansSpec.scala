@@ -125,22 +125,32 @@ class PlansSpec extends SparkSpecBase {
     assert(!tree.contains("SinglePartition"), tree)
   }
 
-  test("ml_auc_rank: Mann-Whitney rank sums ride the distributed CDF — every " +
-    "Window is partitioned (the 1-row agg merge is the only funnel)") {
-    val df = SparkEntry.queries("ml_auc_rank")(spark, sfDir)
-    df.collect()
-    def windows(p: SparkPlan): Seq[org.apache.spark.sql.execution.window.WindowExec] = {
-      val here = p.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
-      val inner = p.collect { case a: AdaptiveSparkPlanExec => windows(a.executedPlan) }.flatten
-      val cached = p.collect {
-        case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
-          windows(s.relation.cachedPlan)
-      }.flatten
-      here ++ inner ++ cached
-    }
-    val ws = windows(plan(df))
-    assert(ws.forall(_.partitionSpec.nonEmpty),
-      s"unpartitioned window found:\n${plan(df)}")
+  test("ml_auc_rank: the partition-decomposed Mann-Whitney sum equals the " +
+    "naive global-window form exactly") {
+    // aucRocDf computes eagerly (one ranged job, ≤P partials to the
+    // driver, LocalRelation out) so the scale property can't be read off
+    // the returned plan; pin VALUE equality against the windowed form
+    // the decomposition replaces instead.
+    import org.apache.spark.sql.expressions.{Window => W}
+    import org.apache.spark.sql.functions._
+    val scored = SparkEntry.queries("p_proj_filter")(spark, sfDir).sparkSession
+      .read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_totalprice").as("score"),
+        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1.0).otherwise(0.0).as("y"))
+    val got = SparkEntry.queries("ml_auc_rank")(spark, sfDir).collect()(0).getDouble(0)
+    val byScore = scored.groupBy(col("score").as("s"))
+      .agg(sum(when(col("y") === 1.0, 1L).otherwise(0L)).as("np"),
+        sum(when(col("y") =!= 1.0, 1L).otherwise(0L)).as("nn"))
+    val w = W.orderBy(col("s"))
+    val want = byScore
+      .withColumn("cb", coalesce(sum(col("np") + col("nn"))
+        .over(w.rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("ar", col("cb") + (col("np") + col("nn") + 1L) / 2.0)
+      .agg(sum(col("np") * col("ar")).as("prs"), sum("np").as("npos"), sum("nn").as("nneg"))
+      .select(((col("prs") - col("npos").cast("double") * (col("npos") + 1) / 2.0) /
+        (col("npos").cast("double") * col("nneg"))).as("auc"))
+      .collect()(0).getDouble(0)
+    assert(got == want, s"decomposed $got vs windowed $want")
   }
 
   test("w6_global_rownum: no SinglePartition exchange (the naive window's funnel)") {
