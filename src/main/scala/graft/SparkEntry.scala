@@ -2001,6 +2001,25 @@ object SparkEntry {
         value = col("o_totalprice"),
         isRef = permilleHash(col("o_orderkey"), ":dr42") < 500)),
 
+    // model-monitoring compositions of the same machinery --------------
+    // KS separation between the score distributions of the two CLASSES —
+    // the credit-scoring "KS statistic" readout (max CDF gap); the
+    // distributed-CDF shape of drift_ks applied to (score | y)
+    "ml_score_ks" -> ((s, d) =>
+      graft.ops.DriftOps.ks(
+        t(s, d, "orders"),
+        value = col("o_totalprice"),
+        isRef = col("o_orderpriority").isin("1-URGENT", "2-HIGH"))),
+
+    // score PSI across TIME (deploy-gate form: has the scored population
+    // shifted since the reference window?) — reference slice = orders
+    // before the corpus midpoint date, same fixed bins as drift_psi
+    "ml_score_psi" -> ((s, d) =>
+      graft.ops.DriftOps.psiBins(
+        t(s, d, "orders"),
+        isRef = col("o_orderdate") < lit("1995-06-17").cast("date"),
+        bin = least(floor(col("o_totalprice") / 60000), lit(9L)))),
+
     // symmetric bounded drift over a CATEGORICAL axis (event types): the
     // JSD companion to PSI — saturates instead of exploding when a bin
     // empties on one side; same one-hash-agg scale shape
@@ -4917,6 +4936,48 @@ object SparkEntry {
          |SELECT n_ref, n_cur,
          |  round(MAX(ABS(CAST(cr AS DOUBLE) / n_ref - CAST(cc AS DOUBLE) / n_cur)), 9) AS ks
          |FROM cum, tot GROUP BY n_ref, n_cur""".stripMargin,
+
+    "ml_score_ks" ->
+      """WITH s AS (
+        |  SELECT o_totalprice AS v,
+        |         o_orderpriority IN ('1-URGENT', '2-HIGH') AS isref
+        |  FROM orders WHERE o_totalprice IS NOT NULL
+        |), pv AS (
+        |  SELECT v, SUM(CASE WHEN isref THEN 1 ELSE 0 END) AS r,
+        |            SUM(CASE WHEN isref THEN 0 ELSE 1 END) AS c
+        |  FROM s GROUP BY v
+        |), cum AS (
+        |  SELECT SUM(r) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cr,
+        |         SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+        |  FROM pv
+        |), tot AS (
+        |  SELECT CAST(SUM(r) AS BIGINT) AS n_ref, CAST(SUM(c) AS BIGINT) AS n_cur FROM pv
+        |)
+        |SELECT n_ref, n_cur,
+        |  round(MAX(ABS(CAST(cr AS DOUBLE) / n_ref - CAST(cc AS DOUBLE) / n_cur)), 9) AS ks
+        |FROM cum, tot GROUP BY n_ref, n_cur""".stripMargin,
+
+    "ml_score_psi" ->
+      """WITH s AS (
+        |  SELECT least(CAST(floor(o_totalprice / 60000) AS BIGINT), 9) AS bin,
+        |         o_orderdate < DATE '1995-06-17' AS isref
+        |  FROM orders
+        |), b AS (
+        |  SELECT bin,
+        |         CAST(SUM(CASE WHEN isref THEN 1 ELSE 0 END) AS BIGINT) AS ref_cnt,
+        |         CAST(SUM(CASE WHEN isref THEN 0 ELSE 1 END) AS BIGINT) AS cur_cnt
+        |  FROM s GROUP BY bin
+        |), tot AS (
+        |  SELECT CAST(SUM(ref_cnt) AS BIGINT) AS rt, CAST(SUM(cur_cnt) AS BIGINT) AS ct,
+        |         CAST(COUNT(*) AS BIGINT) AS nb
+        |  FROM b
+        |)
+        |SELECT bin, ref_cnt, cur_cnt,
+        |  round((ref_cnt + 0.5) / (rt + 0.5 * nb), 9) AS p_ref,
+        |  round((cur_cnt + 0.5) / (ct + 0.5 * nb), 9) AS p_cur,
+        |  round(((cur_cnt + 0.5) / (ct + 0.5 * nb) - (ref_cnt + 0.5) / (rt + 0.5 * nb))
+        |        * ln(((cur_cnt + 0.5) / (ct + 0.5 * nb)) / ((ref_cnt + 0.5) / (rt + 0.5 * nb))), 6) AS psi_term
+        |FROM b, tot""".stripMargin,
 
     // JSD mirror: identical smoothed rates to drift_psi; the per-bin term
     // is ½·p·ln(p/m) + ½·q·ln(q/m) with m = (p+q)/2 — written in the same
