@@ -28,7 +28,9 @@ object QualityCascade {
               minMeanLen: Double, maxMeanLen: Double,
               minTtr: Double): DataFrame = {
     val c = col(textCol)
-    val nTok = TextOps.tokenCount(c)
+    // null text → 0 tokens, so it is charged to the n_tokens rule; an
+    // un-coalesced null would fall through every WHEN to "kept"
+    val nTok = coalesce(TextOps.tokenCount(c), lit(0))
     val meanLen = TextOps.meanTokenLen(c)
     val ttr = when(nTok === 0, 0.0)
       .otherwise(size(array_distinct(TextOps.tokens(c))).cast("double") / nTok)
@@ -53,7 +55,7 @@ object QualityCascade {
        |  SELECT list_filter(regexp_split_to_array(lower($textCol), '[^a-z]+'), x -> x <> '') AS toks
        |  FROM $table
        |), m AS (
-       |  SELECT len(toks) AS n_tok,
+       |  SELECT COALESCE(len(toks), 0) AS n_tok,
        |         CASE WHEN len(toks) = 0 THEN 0.0
        |              ELSE CAST(list_sum(list_transform(toks, x -> strlen(x))) AS DOUBLE) / len(toks)
        |         END AS mean_len,

@@ -31,6 +31,11 @@ class QualityCascadeSpec extends SparkSpecBase {
     assert(m == Map("n_tokens" -> 3L))
   }
 
+  test("NULL text is charged to n_tokens, never silently kept") {
+    val m = run(Seq((1L, null.asInstanceOf[String]), (2L, "alpha beta gamma delta")))
+    assert(m == Map("n_tokens" -> 1L, "kept" -> 1L))
+  }
+
   test("boundary values are inclusive (BETWEEN semantics)") {
     // exactly minTok tokens, mean len exactly maxLen → kept
     val m = run(Seq((1L, "abcd efgh ijkl")), minTok = 3, maxTok = 3,
