@@ -3307,6 +3307,18 @@ object SparkEntry {
       s.sql(SparkEntry.q18Sql)
     }),
 
+    // Q21 shape: correlated EXISTS + NOT EXISTS on a self-joined fact —
+    // the planner must turn both into semi/anti joins on the order key,
+    // never a per-row subquery probe (sole-blame supplier attribution:
+    // a returned line on a multi-supplier order where no OTHER supplier
+    // returned anything)
+    "sql_q21_blame" -> ((s, d) => {
+      Tables.supplier(s, d).createOrReplaceTempView("supplier")
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      s.sql(SparkEntry.q21Sql)
+    }),
+
     // melt/unpivot: wide measure columns → long (id, measure, value) rows
     // — the pandas-melt reshape; executor-side Expand, no shuffle at all
     "p14_unpivot" -> ((s, d) =>
@@ -3508,6 +3520,31 @@ object SparkEntry {
       |)
       |GROUP BY c_name, o_orderkey, o_orderdate, o_totalprice
       |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 100""".stripMargin
+
+  /** Q21-shaped sole-blame attribution: EXISTS + NOT EXISTS correlated
+    * subqueries over a self-joined fact table (adapted to this schema's
+    * returnflag — the reference Q21 uses receipt/commit lateness). Shared
+    * text — Spark and DuckDB run this string verbatim; Spark must plan
+    * the two subqueries as LeftSemi and LeftAnti joins on l_orderkey.
+    */
+  val q21Sql: String =
+    """SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+      |FROM supplier
+      |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      |JOIN orders ON o_orderkey = l1.l_orderkey
+      |WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem l2
+      |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      |  )
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM lineitem l3
+      |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      |      AND l3.l_returnflag = 'R'
+      |  )
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name
       |LIMIT 100""".stripMargin
 
   /** Q12-shaped late-shipment severity split: join + conditional counts
@@ -6138,6 +6175,7 @@ object SparkEntry {
     "sql_q10_returns" -> q10Sql,
 
     "sql_q18_bigorders" -> q18Sql,
+    "sql_q21_blame" -> q21Sql,
 
     "p14_unpivot" ->
       """SELECT l_orderkey, l_linenumber, m.measure, m.value

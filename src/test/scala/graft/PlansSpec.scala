@@ -153,6 +153,15 @@ class PlansSpec extends SparkSpecBase {
     assert(got == want, s"decomposed $got vs windowed $want")
   }
 
+  test("sql_q21_blame: EXISTS/NOT EXISTS plan as semi + anti joins, not " +
+    "per-row subquery probes") {
+    val df = SparkEntry.queries("sql_q21_blame")(spark, sfDir)
+    val s = explainStr(df)
+    assert(s.contains("LeftSemi"), s)
+    assert(s.contains("LeftAnti"), s)
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"), s)
+  }
+
   test("w6_global_rownum: no SinglePartition exchange (the naive window's funnel)") {
     val df = SparkEntry.queries("w6_global_rownum")(spark, sfDir)
     df.collect()
