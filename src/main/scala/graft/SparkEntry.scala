@@ -1348,6 +1348,16 @@ object SparkEntry {
       Quantized.pqTopK(t(s, d, "embeddings"), "vec_id", "embedding",
         dim = 64, m = 8, nCodes = 16, nQueries = 10, k = 5)),
 
+    // exactly-oracled distributed Lloyd k-means: 3 unrolled rounds of
+    // (broadcast-centroid argmin → per-cluster exact integer sums) over
+    // micro-quantized vectors; per-member distances round to integer
+    // micro² before the inertia sum so the readout is order-independent.
+    // The iterative-ML twin of the PageRank/BFS iterated-join oracles —
+    // MLlib's KMeans data path with every intermediate cross-engine-proof
+    "sim_kmeans_lloyd" -> ((s, d) =>
+      graft.sim.Lloyd.fitStats(t(s, d, "embeddings"), "vec_id", "embedding",
+        k = 8, iters = 3)),
+
     // PQ ranking quality vs exact brute force as a hash-checked row
     "sim_pq_recall" -> ((s, d) =>
       Quantized.pqRecall(t(s, d, "embeddings"), "vec_id", "embedding",
@@ -4199,6 +4209,9 @@ object SparkEntry {
       Similarity.semanticKeepOracleSql("embeddings", "vec_id", "embedding",
         dim = 64, threshold = 0.45,
         qualitySql = permilleHashSql("d.vec_id", ":semq", 1000000L)),
+
+    "sim_kmeans_lloyd" -> graft.sim.Lloyd.fitStatsOracleSql(
+      "embeddings", "vec_id", "embedding", k = 8, iters = 3, dim = 64),
 
     "d_dup_clusters" ->
       Dedup.dupClustersOracleSql("documents", "doc_id", "text"),
