@@ -2859,6 +2859,29 @@ object SparkEntry {
 
     // degree distribution of the co-order part graph — the "is this graph
     // power-law / is one hub a skew bomb" readout before any graph op
+    // connected components over a hash-sparsified co-order graph (1‰ of
+    // co-order edges — subcritical density, so components stay small and
+    // the oracle's recursive closure stays bounded): the dupClusters
+    // min-label propagation applied as a graph op, readout = component
+    // size histogram. Every part is labeled (singletons are their own
+    // component)
+    "g_components" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select("l_orderkey", "l_partkey")
+      val pairs = li.as("a")
+        .join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("doc_a"), col("b.l_partkey").as("doc_b"))
+        .filter(permilleHash(
+          concat(col("doc_a").cast("string"), lit(":"), col("doc_b").cast("string")),
+          ":gcc") < 10)
+        .distinct()
+      val nodes = t(s, d, "part").select(col("p_partkey"))
+      Dedup.dupClusters(pairs, nodes, "p_partkey")
+        .groupBy("rep_id").agg(count(lit(1)).as("sz"))
+        .groupBy("sz").agg(count(lit(1)).as("n_components"))
+    }),
+
     "g_degree_dist" -> ((s, d) => {
       val li = t(s, d, "lineitem").select("l_orderkey", "l_partkey")
       val edges = li.as("a")
@@ -5780,6 +5803,33 @@ object SparkEntry {
         |  SELECT node, CAST(count(*) AS BIGINT) AS degree FROM nodes GROUP BY 1
         |)
         |SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes FROM deg GROUP BY 1""".stripMargin,
+
+    "g_components" ->
+      s"""WITH RECURSIVE pairs AS (
+         |  SELECT DISTINCT a.l_partkey AS doc_a, b.l_partkey AS doc_b
+         |  FROM lineitem a JOIN lineitem b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |  WHERE ${permilleHashSql(
+               "CAST(a.l_partkey AS VARCHAR) || ':' || CAST(b.l_partkey AS VARCHAR)",
+               ":gcc", 1000L)} < 10
+         |), edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION
+         |  SELECT doc_b AS src, doc_a AS dst FROM pairs
+         |), reach AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+         |), rep AS (
+         |  SELECT src AS doc_id, least(src, min(dst)) AS rep_id FROM reach GROUP BY src
+         |), lab AS (
+         |  SELECT p.p_partkey AS doc_id, COALESCE(rep.rep_id, p.p_partkey) AS rep_id
+         |  FROM part p LEFT JOIN rep ON p.p_partkey = rep.doc_id
+         |), comp AS (
+         |  SELECT rep_id, CAST(count(*) AS BIGINT) AS sz FROM lab GROUP BY 1
+         |)
+         |SELECT sz, CAST(count(*) AS BIGINT) AS n_components
+         |FROM comp GROUP BY 1""".stripMargin,
 
     "sim_mmr_rerank" -> Quantized.mmrRerankOracleSql(
       "embeddings", "vec_id", "embedding",
