@@ -647,7 +647,29 @@ object PlanAudit {
         |partition. The only unpartitioned window runs over the ≤B-row
         |histogram (sketch-sized); the EXACT comparison side rides the
         |RunningTotal distributed CDF, so even the ground-truth order
-        |statistics avoid a one-task sort."""
+        |statistics avoid a one-task sort.""",
+    "sim_kmeans_lloyd" ->
+      """Each Lloyd round is a BroadcastNestedLoopJoin against the k-row
+        |centroid table (k rows — broadcast is the right plan) with the
+        |argmin as a partial-aggregable min_by: the exchange moves one
+        |candidate per vector, never the n×k frame, and the centroid
+        |update is a (cluster, dim)-keyed hash agg with map-side combine.
+        |Three rounds = three such stages; no window over the corpus, no
+        |driver-resident model state.""",
+    "sql_q21_blame" ->
+      """Spark decorrelates both subqueries: the EXISTS becomes a
+        |LeftSemi and the NOT EXISTS a LeftAnti join on l_orderkey
+        |(spec-pinned; no per-row probe, no nested loop). The fact table
+        |is read once per subquery with only the two join columns — at
+        |100× the whole statement is three keyed joins plus a bounded
+        |top-100.""",
+    "g_components" ->
+      """Label propagation is the dupClusters iterated min-join over a
+        |hash-sampled edge list — each round is one keyed join + agg, and
+        |convergence is label-sum stable, so rounds are bounded by
+        |component diameter. The size histogram is two hash aggs. The
+        |quadratic transitive closure exists only in the ORACLE's
+        |recursive CTE, never in the engine plan."""
   )
 
   private def streamingPlan(spark: SparkSession, sfDir: String): String = {
