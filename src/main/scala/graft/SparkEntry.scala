@@ -2350,6 +2350,31 @@ object SparkEntry {
     "ts_seasonal_dow" -> ((s, d) =>
       graft.ops.TimeSeriesOps.seasonalDow(Tables.events(s, d), "ts")),
 
+    // seasonal-naive forecast backtest: ŷ(day) = y(day − 7) per series,
+    // scored only where the lag is observed — MAE on exact cent-scale
+    // sums, MAPE via nano-scaled integer terms so the mean is
+    // order-independent; one hash-agg + one self-join on (type, day−7)
+    "ts_backtest_naive" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(col("value").cast("decimal(18,2)")).as("v"))
+      val prev = daily.select(col("event_type"),
+        date_add(col("day"), 7).as("day"), col("v").as("pv"))
+      daily.join(prev, Seq("event_type", "day"))
+        .filter(col("v") > 0)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n_days"),
+          // MAE accumulates in exact decimal; ONE double conversion
+          round(sum(abs(col("v") - col("pv"))).cast("double") / count(lit(1)), 6)
+            .as("mae"),
+          // MAPE terms are per-row doubles rounded to integer nanos, so
+          // the mean is an exact long sum — order-independent
+          round(sum(round(abs((col("v") - col("pv")).cast("double")) /
+              col("v").cast("double") * 1e9).cast("long"))
+            / count(lit(1)) / 1e9, 9).as("mape"))
+    }),
+
     // weighted sampling WITHOUT replacement (Efraimidis–Spirakis clocks
     // on the portable hash): key = −ln(u)/w, global TakeOrdered(k) — the
     // "sample k docs ∝ quality" curation primitive, deterministic and
@@ -5343,6 +5368,23 @@ object SparkEntry {
 
     "ts_seasonal_dow" ->
       graft.ops.TimeSeriesOps.seasonalDowOracleSql("events", "ts"),
+
+    "ts_backtest_naive" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         SUM(CAST(value AS DECIMAL(18,2))) AS v
+        |  FROM events GROUP BY 1, 2
+        |), j AS (
+        |  SELECT d.event_type, d.v, p.v AS pv
+        |  FROM daily d JOIN daily p
+        |    ON d.event_type = p.event_type AND p.day = d.day - 7
+        |  WHERE d.v > 0
+        |)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |       round(CAST(SUM(abs(v - pv)) AS DOUBLE) / count(*), 6) AS mae,
+        |       round(CAST(SUM(CAST(round(abs(CAST(v - pv AS DOUBLE)) / CAST(v AS DOUBLE) * 1e9) AS BIGINT)) AS DOUBLE)
+        |             / count(*) / 1e9, 9) AS mape
+        |FROM j GROUP BY 1""".stripMargin,
 
     "w10_rolling_median" ->
       """WITH daily AS (
