@@ -1527,6 +1527,16 @@ object SparkEntry {
         octet_length(col("text").cast("binary")).as("n_bytes"),
         length(col("text")).as("n_chars"))),
 
+    // frame-sampling manifest from metadata only (plan WHICH frames to
+    // decode before any decode touches bytes): every stride-th frame with
+    // a deterministic per-doc hash phase, capped per doc — pure integer
+    // arithmetic + explode, zero shuffles
+    "mm_frame_sample" -> ((s, d) =>
+      graft.multimodal.Multimodal.frameSampleManifest(
+        t(s, d, "documents").select(col("doc_id"),
+          octet_length(col("text").cast("binary")).as("n_bytes")),
+        "doc_id", "n_bytes")),
+
     // P9: schema-predicate projection (select_dtypes analog)
     "p9_numeric_proj" -> ((s, d) =>
       graft.ops.SchemaOps.selectNumeric(t(s, d, "customer"))),
@@ -4306,6 +4316,9 @@ object SparkEntry {
 
     "mm_binary_meta" ->
       "SELECT doc_id, octet_length(encode(text)) AS n_bytes, length(text) AS n_chars FROM documents",
+
+    "mm_frame_sample" -> graft.multimodal.Multimodal.frameSampleOracleSql(
+      "documents", "doc_id", "text"),
 
     "p9_numeric_proj" ->
       "SELECT c_custkey, c_nationkey, c_acctbal FROM customer",

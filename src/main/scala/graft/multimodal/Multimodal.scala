@@ -304,4 +304,71 @@ object Multimodal {
        |FROM ch a JOIN ch b
        |  ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk AND a.id < b.id
        |WHERE bit_count(xor(a.ph, b.ph)) <= $maxDist""".stripMargin
+
+  /** Video frame-sampling manifest: which frames to decode, decided
+    * entirely from metadata — the planning step that runs BEFORE any
+    * (expensive, library-bound) decode touches bytes. Frame count is
+    * derived from payload size through a stub bytes-per-second rate (a
+    * real container's duration metadata drops in without touching the
+    * sampling); samples are every `stride`-th frame with a deterministic
+    * per-doc hash phase (so corpus-wide sampling isn't aligned to frame
+    * 0 — the usual anti-aliasing trick, but reproducible), capped at
+    * `maxSamples` per doc. Pure integer arithmetic + sequence/explode:
+    * zero shuffles, fan-out ≤ maxSamples per row.
+    */
+  def frameSampleManifest(docs: DataFrame, idCol: String, bytesCol: String,
+                          fps: Int = 24, bytesPerSec: Int = 256,
+                          stride: Int = 48, maxSamples: Int = 64,
+                          salt: String = ":fs"): DataFrame = {
+    require(fps > 0 && bytesPerSec > 0 && stride > 0 && maxSamples > 0,
+      "frameSampleManifest params must be positive")
+    // Column `/` is double division; exact integer floor-div for
+    // non-negative longs via the pmod identity
+    def floorDiv(x: org.apache.spark.sql.Column, m: Long) =
+      ((x - pmod(x, lit(m))) / lit(m)).cast("long")
+    val phase = pmod(
+      graft.text.TextOps.md5Hash60(
+        concat(col(idCol).cast("string"), lit(salt))),
+      lit(stride.toLong))
+    docs
+      .select(col(idCol), col(bytesCol).cast("long").as("_bytes"))
+      .withColumn("_nf", floorDiv(col("_bytes") * fps, bytesPerSec.toLong))
+      .withColumn("_ph", phase)
+      .filter(col("_nf") > col("_ph"))
+      .withColumn("_ns",
+        least(floorDiv(col("_nf") - col("_ph") - 1L, stride.toLong) + 1L,
+          lit(maxSamples.toLong)))
+      .select(col(idCol),
+        explode(sequence(lit(0L), col("_ns") - 1L)).as("sample_no"),
+        col("_ph"))
+      .select(col(idCol), col("sample_no"),
+        (col("_ph") + col("sample_no") * stride).as("frame_idx"))
+      .withColumn("ts_ms", floorDiv(col("frame_idx") * 1000L, fps.toLong))
+      .select(col(idCol), col("sample_no"), col("frame_idx"), col("ts_ms"))
+  }
+
+  /** DuckDB mirror of [[frameSampleManifest]] over the text-backed
+    * table (`bytes = octet_length(encode(text))`).
+    */
+  def frameSampleOracleSql(table: String, idCol: String, textCol: String,
+                           fps: Int = 24, bytesPerSec: Int = 256,
+                           stride: Int = 48, maxSamples: Int = 64,
+                           salt: String = ":fs"): String =
+    s"""WITH b AS (
+       |  SELECT $idCol,
+       |         CAST(octet_length(encode($textCol)) AS BIGINT) AS bytes,
+       |         CAST(concat('0x', substr(md5(concat(CAST($idCol AS VARCHAR), '$salt')), 1, 15)) AS BIGINT) % $stride AS ph
+       |  FROM $table
+       |), f AS (
+       |  SELECT $idCol, ph, (bytes * $fps) // $bytesPerSec AS nf
+       |  FROM b
+       |), s AS (
+       |  SELECT $idCol, ph,
+       |         least((nf - ph - 1) // $stride + 1, $maxSamples) AS ns
+       |  FROM f WHERE nf > ph
+       |)
+       |SELECT $idCol, CAST(j AS BIGINT) AS sample_no,
+       |       CAST(ph + j * $stride AS BIGINT) AS frame_idx,
+       |       CAST((ph + j * $stride) * 1000 // $fps AS BIGINT) AS ts_ms
+       |FROM s, LATERAL unnest(range(0, ns)) AS t(j)""".stripMargin
 }
