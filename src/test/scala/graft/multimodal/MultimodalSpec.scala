@@ -78,4 +78,28 @@ class MultimodalSpec extends SparkSpecBase {
       .collect().head.getLong(1)
     assert((sig >>> 60) == 0L, "bits above 60 must be clear")
   }
+
+  test("frameSampleManifest: strided frames with per-doc phase, capped, in range") {
+    // doc 1: 25600 bytes → 25600*24/256 = 2400 frames; doc 2 tiny → few/none
+    val docs = Seq((1L, 25600L), (2L, 16L)).toDF("doc_id", "n_bytes")
+    val out = Multimodal.frameSampleManifest(docs, "doc_id", "n_bytes",
+        fps = 24, bytesPerSec = 256, stride = 48, maxSamples = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    assert(d1.nonEmpty && d1.length <= 64)
+    val phase = d1.head._3
+    assert(phase >= 0 && phase < 48)
+    // strictly strided from the phase; every frame inside [0, nFrames)
+    assert(d1.zipWithIndex.forall { case ((_, no, fi, _), i) =>
+      no == i && fi == phase + i * 48 && fi < 2400 })
+    // ts_ms = frame_idx * 1000 / fps (integer)
+    assert(d1.forall { case (_, _, fi, ts) => ts == fi * 1000 / 24 })
+  }
+
+  test("frameSampleManifest: zero shuffles (metadata-only planning)") {
+    val docs = Seq((1L, 25600L)).toDF("doc_id", "n_bytes")
+    val plan = Multimodal.frameSampleManifest(docs, "doc_id", "n_bytes")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
 }
