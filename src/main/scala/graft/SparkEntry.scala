@@ -2894,12 +2894,14 @@ object SparkEntry {
 
     // degree distribution of the co-order part graph — the "is this graph
     // power-law / is one hub a skew bomb" readout before any graph op
-    // connected components over a hash-sparsified co-order graph (1‰ of
-    // co-order edges — subcritical density, so components stay small and
-    // the oracle's recursive closure stays bounded): the dupClusters
-    // min-label propagation applied as a graph op, readout = component
-    // size histogram. Every part is labeled (singletons are their own
-    // component)
+    // connected components over a hash-sparsified co-order graph: the
+    // dupClusters min-label propagation applied as a graph op, readout =
+    // component size histogram; every part is labeled (singletons are
+    // their own component). The 3‰ edge sample keeps mean degree ≈ 0.3 —
+    // firmly SUBCRITICAL, so components (and the propagation's diameter,
+    // and the oracle's recursive closure) stay small at ANY scale; a
+    // near-critical sample (tried at 1%) grows a giant component whose
+    // diameter scales like n^(2/3) and label propagation with it
     "g_components" -> ((s, d) => {
       val li = t(s, d, "lineitem").select("l_orderkey", "l_partkey")
       val pairs = li.as("a")
@@ -2909,7 +2911,7 @@ object SparkEntry {
         .select(col("a.l_partkey").as("doc_a"), col("b.l_partkey").as("doc_b"))
         .filter(permilleHash(
           concat(col("doc_a").cast("string"), lit(":"), col("doc_b").cast("string")),
-          ":gcc") < 10)
+          ":gcc") < 3)
         .distinct()
       val nodes = t(s, d, "part").select(col("p_partkey"))
       Dedup.dupClusters(pairs, nodes, "p_partkey")
@@ -5866,7 +5868,7 @@ object SparkEntry {
          |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
          |  WHERE ${permilleHashSql(
                "CAST(a.l_partkey AS VARCHAR) || ':' || CAST(b.l_partkey AS VARCHAR)",
-               ":gcc", 1000L)} < 10
+               ":gcc", 1000L)} < 3
          |), edges AS (
          |  SELECT doc_a AS src, doc_b AS dst FROM pairs
          |  UNION

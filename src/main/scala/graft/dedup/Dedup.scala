@@ -467,12 +467,15 @@ object Dedup {
     * Distributed min-label propagation (the MapReduce-CC family of
     * Kiveris et al., "Connected Components in MapReduce and Beyond"):
     * each round every node takes the min label among itself and its
-    * neighbors — one join + one aggregation per round, converging in
-    * O(component diameter) rounds. Near-dup clusters are shallow (dups of
-    * a common source), so rounds stay small even at corpus scale; the
-    * driver sees only a one-row convergence aggregate per round, and
-    * `localCheckpoint` truncates the iterative lineage so plans don't
-    * deepen round over round.
+    * neighbors, then POINTER-JUMPS (label ← label(label)) — the
+    * shortcutting step that turns O(diameter) convergence into
+    * O(log diameter) (labels chase their own chain two hops per round).
+    * Same fixed point — the minimum reachable id — so the recursive-CTE
+    * oracles are unaffected; labels stay monotone decreasing, so the
+    * one-row label-sum aggregate remains an exact convergence test. The
+    * driver sees only that aggregate per round, and `localCheckpoint`
+    * truncates the iterative lineage so plans don't deepen round over
+    * round.
     */
   def dupClusters(pairs: DataFrame, docs: DataFrame, idCol: String): DataFrame = {
     val edges = pairs
@@ -495,10 +498,18 @@ object Dedup {
       val nbrMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(edges("src").as("nid"))
         .agg(min("label").as("nbr_label"))
-      val next = labels.as("l")
+      val hopped = labels.as("l")
         .join(nbrMin, col("l.id") === col("nid"), "left")
         .select(col("l.id").as("id"),
           least(col("l.label"), coalesce(col("nbr_label"), col("l.label"))).as("label"))
+      // pointer jump: follow the label's own label (labels are node ids
+      // of this frame, so the self-join hits; left+coalesce guards the
+      // already-minimal roots)
+      val next = hopped.as("h")
+        .join(hopped.select(col("id").as("pid"), col("label").as("plabel")),
+          col("h.label") === col("pid"), "left")
+        .select(col("h.id").as("id"),
+          least(col("h.label"), coalesce(col("plabel"), col("h.label"))).as("label"))
         .localCheckpoint()
       val s = labelSum(next)
       converged = s == prevSum
