@@ -1537,6 +1537,19 @@ object SparkEntry {
           octet_length(col("text").cast("binary")).as("n_bytes")),
         "doc_id", "n_bytes")),
 
+    // custom DataSource V2 connector end-to-end: TableProvider →
+    // ScanBuilder with column pruning + id-range predicate pushdown
+    // (the pushed range SHRINKS the generated splits — strictly less
+    // source work, plan-asserted) → parallel splits, zero files. The
+    // generator is the portable md5 permille, so a CUSTOM SOURCE is
+    // exactly oracle-checkable from DuckDB's range() + md5()
+    "s17_synth_source" -> ((s, d) =>
+      s.read.format("graft.sources.SynthSource")
+        .option("rows", 100000).option("parts", 8)
+        .load()
+        .filter(col("id") >= 20000L && col("id") < 60000L)
+        .groupBy("bucket").agg(count(lit(1)).as("n"))),
+
     // P9: schema-predicate projection (select_dtypes analog)
     "p9_numeric_proj" -> ((s, d) =>
       graft.ops.SchemaOps.selectNumeric(t(s, d, "customer"))),
@@ -4321,6 +4334,13 @@ object SparkEntry {
 
     "mm_frame_sample" -> graft.multimodal.Multimodal.frameSampleOracleSql(
       "documents", "doc_id", "text"),
+
+    "s17_synth_source" ->
+      """WITH g AS (
+        |  SELECT CAST(concat('0x', substr(md5(concat(CAST(t.id AS VARCHAR), ':synth')), 1, 15)) AS BIGINT) % 1000 AS bucket
+        |  FROM range(20000, 60000) t(id)
+        |)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY 1""".stripMargin,
 
     "p9_numeric_proj" ->
       "SELECT c_custkey, c_nationkey, c_acctbal FROM customer",
