@@ -2974,6 +2974,23 @@ object SparkEntry {
           col("o_totalprice").cast("decimal(18,2)"),
           col("o_orderdate").cast("date"), col("o_orderpriority")))),
 
+    // the WRITE-path twin of dq_table_checksum: rows flow through the
+    // custom DSv2 ChecksumSink, whose two-phase commit merges per-task
+    // (count, exact-sum, xor) triples — the committed fingerprint must
+    // equal the query-path checksum, pinned by the IDENTICAL oracle
+    "s18_checksum_sink" -> ((s, d) => {
+      val cols = Seq(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(18,2)"),
+        col("o_orderdate").cast("date"), col("o_orderpriority"))
+      t(s, d, "orders")
+        .select(graft.ops.TableChecksum.rowHash(cols).as("_h"))
+        .write.format("graft.sources.ChecksumSink")
+        .option("key", "s18").mode("append").save()
+      val (n, sum, x) = graft.sources.ChecksumSink.result("s18").get
+      import s.implicits._
+      Seq((n, sum.toString, x)).toDF("n_rows", "hash_sum", "hash_xor")
+    }),
+
     // pipeline-health freshness: per-type last-arrival lag vs the global
     // max — the "is a source stalled" monitoring readout; one hash-agg,
     // one window over the |types|-sized result
@@ -5624,6 +5641,14 @@ object SparkEntry {
          |GROUP BY 1""".stripMargin,
 
     "dq_table_checksum" -> graft.ops.TableChecksum.checksumOracleSql(
+      "orders",
+      Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "CAST(o_totalprice AS DECIMAL(18,2))",
+        "CAST(o_orderdate AS DATE)", "o_orderpriority")),
+
+    // identical oracle text as dq_table_checksum — the sink's committed
+    // fingerprint and the query-path aggregate must both hit it
+    "s18_checksum_sink" -> graft.ops.TableChecksum.checksumOracleSql(
       "orders",
       Seq("o_orderkey", "o_custkey", "o_orderstatus",
         "CAST(o_totalprice AS DECIMAL(18,2))",

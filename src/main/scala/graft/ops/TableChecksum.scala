@@ -38,6 +38,15 @@ object TableChecksum {
   private def canonical(cols: Seq[Column]): Column =
     concat_ws("|", cols.map(c => coalesce(c.cast("string"), lit("\u0001NULL"))): _*)
 
+  /** The per-row 60-bit content hash on its own — for consumers that
+    * aggregate the fingerprint elsewhere (e.g. the ChecksumSink write
+    * path, whose commit protocol must reproduce [[checksum]] exactly).
+    */
+  def rowHash(cols: Seq[Column]): Column = {
+    require(cols.nonEmpty, "rowHash needs at least one column")
+    TextOps.md5Hash60(canonical(cols))
+  }
+
   /** One row: (n_rows, hash_sum decimal(38,0), hash_xor). */
   def checksum(df: DataFrame, cols: Seq[Column]): DataFrame = {
     require(cols.nonEmpty, "checksum needs at least one column")
