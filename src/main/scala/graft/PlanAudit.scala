@@ -665,11 +665,38 @@ object PlanAudit {
         |top-100.""",
     "g_components" ->
       """Label propagation is the dupClusters iterated min-join over a
-        |hash-sampled edge list — each round is one keyed join + agg, and
-        |convergence is label-sum stable, so rounds are bounded by
-        |component diameter. The size histogram is two hash aggs. The
-        |quadratic transitive closure exists only in the ORACLE's
-        |recursive CTE, never in the engine plan."""
+        |hash-sampled edge list — each round is one keyed join + agg plus
+        |a pointer-jump self-join (label ← label(label)), so convergence
+        |is O(log diameter); the 3‰ sample keeps the graph subcritical, so
+        |components stay small at any scale. The size histogram is two
+        |hash aggs. The quadratic transitive closure exists only in the
+        |ORACLE's recursive CTE, never in the engine plan.""",
+    "s17_synth_source" ->
+      """A custom DSv2 source, planned like a native one: the scan node
+        |reports the CONSUMED id range (PushedRange — no residual Filter
+        |operator survives) and a pruned column list; splits parallelize
+        |the generator with zero files and zero shuffle below the
+        |aggregate. The bucket hash is computed per emitted row only for
+        |columns the query actually reads.""",
+    "s18_checksum_sink" ->
+      """The write path is scan → codegen'd rowHash projection → DSv2
+        |append: each task folds to an O(1) (count, sum, xor) triple, the
+        |driver merges commit messages commutatively, and NOTHING
+        |data-sized crosses the wire or lands on disk. The readout plan is
+        |a 1-row LocalRelation from the committed registry entry.""",
+    "ts_backtest_naive" ->
+      """One hash-agg collapses events to the per-(series, day) frame;
+        |the seasonal-naive forecast is an equi-join against the same
+        |frame shifted 7 days (no window, no per-row probe); MAE sums
+        |exact decimals and MAPE sums nano-scaled integers, so both means
+        |are order-independent. Everything after the first agg is
+        ||series×days|-sized.""",
+    "mm_frame_sample" ->
+      """Decode planning from metadata only: zero Exchange nodes
+        |(spec-pinned) — frame counts, phases, and sampled indexes are
+        |integer arithmetic + sequence/explode on the scan, with fan-out
+        |capped per doc. The payload column is never read, so Parquet
+        |never even decompresses the media bytes."""
   )
 
   private def streamingPlan(spark: SparkSession, sfDir: String): String = {
