@@ -1905,6 +1905,14 @@ object SparkEntry {
         minTokens = 50, maxTokens = 100000,
         minMeanLen = 3.0, maxMeanLen = 4.8, minTtr = 0.35)),
 
+    // BPE merge training (5 rounds), exactly oracled: corpus read ONCE
+    // for word counts; each round counts adjacent symbol pairs on the
+    // |distinct words| frame, picks the argmax (lexicographic tiebreak),
+    // and applies the merge via a delimiter-bounded literal replace —
+    // the tokenizer-training step as deterministic unrolled rounds
+    "t_bpe_merges" -> ((s, d) =>
+      graft.text.BpeTrain.learnMerges(t(s, d, "documents"), "text", rounds = 5)),
+
     "t_zipf" -> ((s, d) =>
       graft.text.CorpusStats.zipfSlope(t(s, d, "documents"), col("text"), topN = 200)),
 
@@ -4492,6 +4500,9 @@ object SparkEntry {
       "CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END", k = 10),
 
     "t_zipf" -> graft.text.CorpusStats.zipfOracleSql("documents", "text", topN = 200),
+
+    "t_bpe_merges" ->
+      graft.text.BpeTrain.learnMergesOracleSql("documents", "text", rounds = 5),
 
     "t_chunk_windows" -> graft.text.Chunking.chunkOverlapOracleSql(
       "documents", "doc_id", "text", win = 64, stride = 32),

@@ -1,0 +1,124 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE merge training (Sennrich et al. 2016), exactly
+  * oracled — the tokenizer-training step of an LLM data pipeline run as
+  * unrolled deterministic rounds, the same discipline as the
+  * PageRank/BFS/Lloyd iterated oracles:
+  *
+  *   vocab    = per-distinct-word frequency (ONE corpus hash-agg; every
+  *              later round works on the |distinct words| frame, never
+  *              the corpus);
+  *   round r  = count all adjacent symbol pairs weighted by word
+  *              frequency (explode + hash-agg) → argmax with a
+  *              lexicographic tiebreak (1-row limit) → apply the merge
+  *              with a delimiter-bounded literal `replace` on every
+  *              word's symbolization.
+  *
+  * Merge application is non-overlapping left-to-right `replace`, run
+  * TWICE per round: a single pass consumes the shared boundary
+  * delimiter and skips every other occurrence in an alternating run
+  * (…|a|b|a|b|… merges the 1st and 3rd pair, not the 2nd); the second
+  * pass picks up exactly those blocked occurrences, matching the greedy
+  * left-to-right pairing a BPE encoder produces. Counts are exact
+  * integers, ties break on the pair string, so every learned merge is
+  * bit-reproducible in DuckDB through the identical unrolled CTE chain.
+  *
+  * Scale shape: the corpus is read ONCE (word counts, map-side
+  * combined). Each round is two hash-aggs + a broadcast of the single
+  * winning pair over the vocab frame — no shuffle grows with rounds,
+  * and `localCheckpoint` keeps the per-round plan flat.
+  */
+object BpeTrain {
+
+  /** @return the learned merge table: (round, left_sym, right_sym, cnt),
+    *         one row per round, in training order.
+    */
+  def learnMerges(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    require(rounds > 0, "learnMerges needs rounds > 0")
+    // per-char split via positions (split-on-empty-regex is
+    // engine-ambiguous); sym = "|c1|c2|...|cn|"
+    var vocab = docs
+      .select(explode(TextOps.tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .withColumn("sym",
+        concat(lit("|"),
+          array_join(transform(sequence(lit(1), length(col("w"))),
+            i => col("w").substr(i, lit(1))), "|"),
+          lit("|")))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ListBuffer[DataFrame]()
+    for (r <- 1 to rounds) {
+      val syms = filter(split(col("sym"), "\\|"), x => x =!= "")
+      val pairCol = transform(sequence(lit(1), size(syms) - 1),
+        i => concat(element_at(syms, i), lit(" "), element_at(syms, i + 1)))
+      val pairs = vocab
+        .filter(size(syms) >= 2)
+        .select(col("freq"), explode(pairCol).as("pair"))
+        .groupBy("pair").agg(sum("freq").as("cnt"))
+      val best = pairs.orderBy(desc("cnt"), asc("pair")).limit(1)
+        .select(
+          element_at(split(col("pair"), " "), 1).as("left_sym"),
+          element_at(split(col("pair"), " "), 2).as("right_sym"),
+          col("cnt"))
+        .localCheckpoint()
+      merges += best.select(lit(r).as("round"), col("left_sym"),
+        col("right_sym"), col("cnt"))
+      val applyOnce =
+        "replace(%s, '|' || left_sym || '|' || right_sym || '|'," +
+          " '|' || left_sym || right_sym || '|')"
+      vocab = vocab.crossJoin(broadcast(best))
+        .withColumn("sym", expr(applyOnce.format(applyOnce.format("sym"))))
+        .select(col("w"), col("freq"), col("sym"))
+        .localCheckpoint()
+    }
+    merges.reduce(_ unionByName _)
+  }
+
+  /** DuckDB mirror of [[learnMerges]]: the rounds unrolled as
+    * (pairs → best → re-symbolized vocab) CTE triples.
+    */
+  def learnMergesOracleSql(table: String, textCol: String, rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      val prev = s"v${r - 1}"
+      s"""p$r AS (
+         |  SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+         |    SELECT freq, unnest(list_transform(range(1, len(syms)),
+         |           i -> syms[i] || ' ' || syms[i + 1])) AS pair
+         |    FROM (SELECT freq, list_filter(string_split(sym, '|'), x -> x <> '') AS syms
+         |          FROM $prev)
+         |    WHERE len(syms) >= 2
+         |  ) GROUP BY 1
+         |), b$r AS (
+         |  SELECT string_split(pair, ' ')[1] AS left_sym,
+         |         string_split(pair, ' ')[2] AS right_sym, cnt
+         |  FROM p$r ORDER BY cnt DESC, pair LIMIT 1
+         |), v$r AS (
+         |  SELECT w, freq,
+         |         replace(replace(sym, '|' || left_sym || '|' || right_sym || '|',
+         |                         '|' || left_sym || right_sym || '|'),
+         |                 '|' || left_sym || '|' || right_sym || '|',
+         |                 '|' || left_sym || right_sym || '|') AS sym
+         |  FROM $prev, b$r
+         |)""".stripMargin
+    }.mkString(", ")
+    val out = (1 to rounds)
+      .map(r => s"SELECT $r AS round, left_sym, right_sym, cnt FROM b$r")
+      .mkString("\n  UNION ALL ")
+    s"""WITH v0 AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS freq,
+       |         '|' || array_to_string(list_transform(range(1, strlen(w) + 1),
+       |               i -> substr(w, i, 1)), '|') || '|' AS sym
+       |  FROM (
+       |    SELECT unnest(list_filter(regexp_split_to_array(lower($textCol), '[^a-z]+'),
+       |           x -> x <> '')) AS w
+       |    FROM $table
+       |  ) GROUP BY 1
+       |), $roundCtes
+       |SELECT * FROM (
+       |  $out
+       |)""".stripMargin
+  }
+}
