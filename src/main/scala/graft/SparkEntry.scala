@@ -1913,6 +1913,14 @@ object SparkEntry {
     "t_bpe_merges" -> ((s, d) =>
       graft.text.BpeTrain.learnMerges(t(s, d, "documents"), "text", rounds = 5)),
 
+    // train→ENCODE round trip: per-doc BPE token counts under the learned
+    // merges next to raw char counts (the chars/token compression
+    // readout); the encode is a vocab join — each distinct word's final
+    // symbolization IS its encoding
+    "t_bpe_encode" -> ((s, d) =>
+      graft.text.BpeTrain.encodedTokenCounts(
+        t(s, d, "documents"), "doc_id", "text", rounds = 5)),
+
     "t_zipf" -> ((s, d) =>
       graft.text.CorpusStats.zipfSlope(t(s, d, "documents"), col("text"), topN = 200)),
 
@@ -4503,6 +4511,9 @@ object SparkEntry {
 
     "t_bpe_merges" ->
       graft.text.BpeTrain.learnMergesOracleSql("documents", "text", rounds = 5),
+
+    "t_bpe_encode" ->
+      graft.text.BpeTrain.encodeOracleSql("documents", "doc_id", "text", rounds = 5),
 
     "t_chunk_windows" -> graft.text.Chunking.chunkOverlapOracleSql(
       "documents", "doc_id", "text", win = 64, stride = 32),

@@ -36,7 +36,30 @@ object BpeTrain {
   /** @return the learned merge table: (round, left_sym, right_sym, cnt),
     *         one row per round, in training order.
     */
-  def learnMerges(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+  def learnMerges(docs: DataFrame, textCol: String, rounds: Int): DataFrame =
+    train(docs, textCol, rounds)._1
+
+  /** Train-then-ENCODE round trip: per-document BPE token counts under
+    * the learned merges, next to the pre-merge character count — the
+    * compression readout (chars/token) a tokenizer report shows. The
+    * encode step is free: the final vocab's symbolization IS the
+    * encoding of every distinct word; documents join it by word.
+    */
+  def encodedTokenCounts(docs: DataFrame, idCol: String, textCol: String,
+                         rounds: Int): DataFrame = {
+    val vocab = train(docs, textCol, rounds)._2
+    val perWord = vocab.select(col("w"),
+      size(filter(split(col("sym"), "\\|"), x => x =!= "")).cast("long").as("n_sym"),
+      length(col("w")).cast("long").as("n_chars"))
+    docs
+      .select(col(idCol).as("doc_id"), explode(TextOps.tokens(col(textCol))).as("w"))
+      .join(perWord, "w")
+      .groupBy("doc_id")
+      .agg(sum("n_sym").as("n_bpe_tokens"), sum("n_chars").as("n_chars"))
+  }
+
+  private def train(docs: DataFrame, textCol: String,
+                    rounds: Int): (DataFrame, DataFrame) = {
     require(rounds > 0, "learnMerges needs rounds > 0")
     // per-char split via positions (split-on-empty-regex is
     // engine-ambiguous); sym = "|c1|c2|...|cn|"
@@ -74,13 +97,44 @@ object BpeTrain {
         .select(col("w"), col("freq"), col("sym"))
         .localCheckpoint()
     }
-    merges.reduce(_ unionByName _)
+    (merges.reduce(_ unionByName _), vocab)
   }
 
   /** DuckDB mirror of [[learnMerges]]: the rounds unrolled as
     * (pairs → best → re-symbolized vocab) CTE triples.
     */
   def learnMergesOracleSql(table: String, textCol: String, rounds: Int): String = {
+    val out = (1 to rounds)
+      .map(r => s"SELECT $r AS round, left_sym, right_sym, cnt FROM b$r")
+      .mkString("\n  UNION ALL ")
+    s"""WITH ${trainCtes(table, textCol, rounds)}
+       |SELECT * FROM (
+       |  $out
+       |)""".stripMargin
+  }
+
+  /** DuckDB mirror of [[encodedTokenCounts]]: the training chain plus
+    * the per-word symbol counts joined back onto document words.
+    */
+  def encodeOracleSql(table: String, idCol: String, textCol: String,
+                      rounds: Int): String =
+    s"""WITH ${trainCtes(table, textCol, rounds)}, pw AS (
+       |  SELECT w,
+       |         CAST(len(list_filter(string_split(sym, '|'), x -> x <> '')) AS BIGINT) AS n_sym,
+       |         CAST(strlen(w) AS BIGINT) AS n_chars
+       |  FROM v$rounds
+       |), dw AS (
+       |  SELECT $idCol AS doc_id,
+       |         unnest(list_filter(regexp_split_to_array(lower($textCol), '[^a-z]+'),
+       |                x -> x <> '')) AS w
+       |  FROM $table
+       |)
+       |SELECT doc_id, CAST(SUM(n_sym) AS BIGINT) AS n_bpe_tokens,
+       |       CAST(SUM(n_chars) AS BIGINT) AS n_chars
+       |FROM dw JOIN pw USING (w)
+       |GROUP BY 1""".stripMargin
+
+  private def trainCtes(table: String, textCol: String, rounds: Int): String = {
     val roundCtes = (1 to rounds).map { r =>
       val prev = s"v${r - 1}"
       s"""p$r AS (
@@ -104,10 +158,7 @@ object BpeTrain {
          |  FROM $prev, b$r
          |)""".stripMargin
     }.mkString(", ")
-    val out = (1 to rounds)
-      .map(r => s"SELECT $r AS round, left_sym, right_sym, cnt FROM b$r")
-      .mkString("\n  UNION ALL ")
-    s"""WITH v0 AS (
+    s"""v0 AS (
        |  SELECT w, CAST(count(*) AS BIGINT) AS freq,
        |         '|' || array_to_string(list_transform(range(1, strlen(w) + 1),
        |               i -> substr(w, i, 1)), '|') || '|' AS sym
@@ -116,9 +167,6 @@ object BpeTrain {
        |           x -> x <> '')) AS w
        |    FROM $table
        |  ) GROUP BY 1
-       |), $roundCtes
-       |SELECT * FROM (
-       |  $out
-       |)""".stripMargin
+       |), $roundCtes""".stripMargin
   }
 }
