@@ -696,7 +696,16 @@ object PlanAudit {
         |(spec-pinned) — frame counts, phases, and sampled indexes are
         |integer arithmetic + sequence/explode on the scan, with fan-out
         |capped per doc. The payload column is never read, so Parquet
-        |never even decompresses the media bytes."""
+        |never even decompresses the media bytes.""",
+    "t_bpe_merges" ->
+      """The corpus is scanned ONCE (word-count hash-agg, map-side
+        |combined); every training round then runs on the |distinct
+        |words| frame: a pair-explode hash-agg, a 1-row TakeOrdered
+        |argmax, and a broadcast of that single winning pair back over
+        |the vocab. No shuffle grows with rounds, localCheckpoint keeps
+        |the plan flat, and the merge application is a codegen'd literal
+        |replace — tokenizer training with zero driver-side data
+        |structures beyond the k merge rows."""
   )
 
   private def streamingPlan(spark: SparkSession, sfDir: String): String = {
