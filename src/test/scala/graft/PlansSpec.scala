@@ -162,6 +162,30 @@ class PlansSpec extends SparkSpecBase {
     assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"), s)
   }
 
+  test("t_quality_cascade: one scan, one exchange — the whole cascade is " +
+    "codegen'd column expressions feeding a tiny agg") {
+    val df = SparkEntry.queries("t_quality_cascade")(spark, sfDir)
+    assert(countShuffles(plan(df)) <= 1, explainStr(df))
+  }
+
+  test("o20_domain_mix: the rank window is partitioned by domain, never a " +
+    "SinglePartition funnel (the 1-row feasible-total merge is an agg, not a window)") {
+    val df = SparkEntry.queries("o20_domain_mix")(spark, sfDir)
+    df.collect()
+    def windows(p: SparkPlan): Seq[org.apache.spark.sql.execution.window.WindowExec] = {
+      val here = p.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+      val inner = p.collect { case a: AdaptiveSparkPlanExec => windows(a.executedPlan) }.flatten
+      // AQE wraps materialized stages: their plans are fields, not children
+      val stages = p.collect {
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => windows(q.plan)
+      }.flatten
+      here ++ inner ++ stages
+    }
+    val ws = windows(plan(df))
+    assert(ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty),
+      s"unpartitioned window:\n${plan(df)}")
+  }
+
   test("w6_global_rownum: no SinglePartition exchange (the naive window's funnel)") {
     val df = SparkEntry.queries("w6_global_rownum")(spark, sfDir)
     df.collect()
