@@ -1550,6 +1550,19 @@ object SparkEntry {
         .filter(col("id") >= 20000L && col("id") < 60000L)
         .groupBy("bucket").agg(count(lit(1)).as("n"))),
 
+    // the same custom source consumed as a STREAM: offsets are id
+    // positions, the AvailableNow drain pulls the bounded range through
+    // the normal micro-batch machinery, and the drained aggregate must
+    // equal the batch generator's answer — custom streaming source,
+    // oracle-checked
+    "s19_synth_stream" -> ((s, d) => {
+      val stream = s.readStream.format("graft.sources.SynthSource")
+        .option("rows", 50000).option("parts", 8).load()
+      graft.streaming.StreamOps.runToCompletion(
+        stream.groupBy("bucket").agg(count(lit(1)).as("n")),
+        "graft_s19_synth_stream")
+    }),
+
     // P9: schema-predicate projection (select_dtypes analog)
     "p9_numeric_proj" -> ((s, d) =>
       graft.ops.SchemaOps.selectNumeric(t(s, d, "customer"))),
@@ -4372,6 +4385,13 @@ object SparkEntry {
       """WITH g AS (
         |  SELECT CAST(concat('0x', substr(md5(concat(CAST(t.id AS VARCHAR), ':synth')), 1, 15)) AS BIGINT) % 1000 AS bucket
         |  FROM range(20000, 60000) t(id)
+        |)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY 1""".stripMargin,
+
+    "s19_synth_stream" ->
+      """WITH g AS (
+        |  SELECT CAST(concat('0x', substr(md5(concat(CAST(t.id AS VARCHAR), ':synth')), 1, 15)) AS BIGINT) % 1000 AS bucket
+        |  FROM range(0, 50000) t(id)
         |)
         |SELECT bucket, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY 1""".stripMargin,
 

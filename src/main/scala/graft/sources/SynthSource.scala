@@ -5,6 +5,7 @@ import java.util
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.{Filter, GreaterThanOrEqual, LessThan}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -65,7 +66,7 @@ private class SynthTable(rows: Long, parts: Int, salt: String)
   override def name(): String = s"synth($rows)"
   override def schema(): StructType = SynthSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SynthScanBuilder(rows, parts, salt)
 }
@@ -110,6 +111,12 @@ private class SynthScan(lo: Long, hi: Long, parts: Int, salt: String,
                         required: StructType) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  // the STREAMING face of the same generator: offsets are id positions,
+  // each micro-batch materializes one [start, end) slice through the
+  // identical reader — the custom-source trilogy's third member
+  // (batch read / batch write / micro-batch stream)
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new SynthMicroBatchStream(lo, hi, parts, salt, required)
   // surfaces the consumed range in explain output — the DSv2 equivalent
   // of a file scan's PushedFilters line
   override def description(): String =
@@ -120,6 +127,32 @@ private class SynthScan(lo: Long, hi: Long, parts: Int, salt: String,
     if (n == 0L) return Array.empty
     val per = math.max(1L, (n + parts - 1) / parts)
     (lo until hi by per).map(s => SynthSplit(s, math.min(s + per, hi))).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SynthReaderFactory(salt, required.fieldNames)
+}
+
+private case class SynthOffset(v: Long) extends Offset {
+  override def json: String = v.toString
+}
+
+private class SynthMicroBatchStream(lo: Long, hi: Long, parts: Int,
+                                    salt: String, required: StructType)
+  extends MicroBatchStream {
+  override def initialOffset(): Offset = SynthOffset(lo)
+  override def latestOffset(): Offset = SynthOffset(hi)
+  override def deserializeOffset(json: String): Offset = SynthOffset(json.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[SynthOffset].v
+    val e = end.asInstanceOf[SynthOffset].v
+    val n = math.max(0L, e - s)
+    if (n == 0L) return Array.empty
+    val per = math.max(1L, (n + parts - 1) / parts)
+    (s until e by per).map(x => SynthSplit(x, math.min(x + per, e))).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -45,4 +45,16 @@ class SynthSourceSpec extends SparkSpecBase {
     assert(!plan.contains("bucket"), plan)
     assert(df.count() == 100)
   }
+
+  test("micro-batch stream drain equals the batch read") {
+    val stream = spark.readStream.format("graft.sources.SynthSource")
+      .option("rows", 2000).option("parts", 4).load()
+    val drained = graft.streaming.StreamOps.runToCompletion(
+        stream.groupBy("bucket").agg(count(org.apache.spark.sql.functions.lit(1)).as("n")),
+        "synth_stream_spec")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = load(rows = 2000).groupBy("bucket").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(drained == batch)
+  }
 }
