@@ -55,8 +55,9 @@ object SparkEntry {
   private def permilleHash(key: Column, salt: String): Column =
     pmod(TextOps.md5Hash60(concat(key.cast("string"), lit(salt))), lit(1000L))
 
-  /** Same, wider range (hash-order shuffles want fewer ties). */
-  private def permilleHash1M(key: Column, salt: String): Column =
+  /** Same, wider range (hash-order shuffles want fewer ties).
+    * `private[graft]` so the plan specs can build the exact query frame. */
+  private[graft] def permilleHash1M(key: Column, salt: String): Column =
     pmod(TextOps.md5Hash60(concat(key.cast("string"), lit(salt))), lit(1000000L))
 
   /** The DuckDB rendering of [[permilleHash]]/[[permilleHash1M]] — ONE
@@ -913,27 +914,50 @@ object SparkEntry {
     // rank / dense_rank / ntile — the remaining ranking-window surface
     // (row_number is w3/w5; percent buckets are what a feature pipeline
     // uses for decile binning). Total tiebreak (price, orderkey) keeps
-    // every rank deterministic.
+    // every rank deterministic — and makes rank = dense_rank = row_number
+    // (no ties in the full ordering), so all three ride ONE per-status
+    // GlobalRowNumber group rank instead of a window partitioned by the
+    // 3-value o_orderstatus (which would funnel the whole fact table
+    // through 3 tasks at any scale). The decile is exact ANSI ntile
+    // arithmetic on (rank, group size) — no data-sized window at all.
     "w7_rank_ntile" -> ((s, d) => {
-      val w = Window.partitionBy("o_orderstatus")
-        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-      t(s, d, "orders").select(
+      import graft.ops.GlobalRowNumber
+      val (ranked, release) = GlobalRowNumber.withGroupRowNumberAndSize(
+        t(s, d, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice"),
+        "_rnk", "_n", Seq("o_orderstatus"),
+        col("o_totalprice").desc, col("o_orderkey").asc)
+      val out = ranked.select(
         col("o_orderkey"), col("o_orderstatus"),
-        rank().over(w).cast("long").as("rnk"),
-        dense_rank().over(w).cast("long").as("drnk"),
-        ntile(10).over(w).cast("long").as("decile"))
+        col("_rnk").as("rnk"), col("_rnk").as("drnk"),
+        GlobalRowNumber.ntileFromRankCol(col("_rnk"), col("_n"), 10).as("decile"))
+      // |orders|-slim result: materialize, then drop the range pin
+      val collected = out.cache()
+      collected.count()
+      release()
+      collected
     }),
 
     // percent_rank/cume_dist complete the ranking-window surface (the
     // distributional positions a feature pipeline feeds a model instead
-    // of raw magnitudes)
+    // of raw magnitudes). Same bounded shape as w7: under the total
+    // tiebreak, percent_rank = (rank−1)/(n−1) and cume_dist = rank/n
+    // (no ties), so both are arithmetic on the per-status GlobalRowNumber
+    // group rank — no 3-task window over the fact table.
     "w8_percent_rank" -> ((s, d) => {
-      val w = Window.partitionBy("o_orderstatus")
-        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-      t(s, d, "orders").select(
+      import graft.ops.GlobalRowNumber
+      val (ranked, release) = GlobalRowNumber.withGroupRowNumberAndSize(
+        t(s, d, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice"),
+        "_rnk", "_n", Seq("o_orderstatus"),
+        col("o_totalprice").desc, col("o_orderkey").asc)
+      val out = ranked.select(
         col("o_orderkey"), col("o_orderstatus"),
-        round(percent_rank().over(w), 6).as("pr"),
-        round(cume_dist().over(w), 6).as("cd"))
+        round((col("_rnk") - 1).cast("double") /
+          greatest(col("_n") - 1, lit(1L)).cast("double"), 6).as("pr"),
+        round(col("_rnk").cast("double") / col("_n").cast("double"), 6).as("cd"))
+      val collected = out.cache()
+      collected.count()
+      release()
+      collected
     }),
 
     // EXCEPT / INTERSECT — the set-op surface beyond union (O7's
@@ -983,6 +1007,47 @@ object SparkEntry {
     // full §3.1+§3.2+§3.3 composition (rows-only: LR internals)
     "pipeline_e2e" -> ((s, d) =>
       graft.pipeline.ReadmissionPipeline.run(s, d)),
+
+    // the RELATIONAL prefix of pipeline_e2e as ONE exactly-oracled query —
+    // the reference's py:180-248 join chain: cohort labels ⋈ diagnosis
+    // pivot (inner, py:180) ⋈ patients dim (py:192) ⋈ first-admission min
+    // (py:199-212, the age anchor) ⋈ last-discharge-note per subject
+    // (groupby nth(-1) + left merge, py:241-248; documents keyed to
+    // customers by modulus, category filter = lang). Each stage is green
+    // individually (cohort_label / a4_pivot / w3-last / e12); this row
+    // pins their COMPOSITION. Missing notes coalesce to -1, not NULL —
+    // nullable ints render engine-dependently (SURVEY §5 portability).
+    "pipeline_relational" -> ((s, d) => {
+      val labeled = cohort(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("label"))
+      val cats = graft.pipeline.ReadmissionPipeline.categoryMatrix(s, d)
+      val pats = t(s, d, "customer").select("c_custkey", "c_mktsegment")
+      val firstOrd = t(s, d, "orders").groupBy("o_custkey")
+        .agg(min(col("o_orderdate")).as("first_order"))
+      val nCust = t(s, d, "customer").count() // 1-value readout (scalar subquery in the oracle)
+      val wNote = Window.partitionBy("subj").orderBy(col("doc_id").desc)
+      val lastNote = t(s, d, "documents")
+        .filter(col("lang") === "en")
+        .withColumn("subj", pmod(col("doc_id"), lit(nCust)))
+        .withColumn("rn", row_number().over(wNote))
+        .filter(col("rn") === 1)
+        .select(col("subj"), col("doc_id").as("note_id"), col("n_chars").as("note_chars"))
+      labeled
+        .join(cats, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(pats), col("o_custkey") === col("c_custkey"))
+        .join(firstOrd.withColumnRenamed("o_custkey", "_fck"),
+          col("o_custkey") === col("_fck"))
+        .join(lastNote, col("o_custkey") === col("subj"), "left")
+        .select(
+          col("o_orderkey"), col("label"),
+          col("cat_a").cast("long").as("cat_a"),
+          col("cat_n").cast("long").as("cat_n"),
+          col("cat_r").cast("long").as("cat_r"),
+          col("c_mktsegment").as("segment"),
+          datediff(col("o_orderdate"), col("first_order")).cast("long").as("tenure_days"),
+          coalesce(col("note_id"), lit(-1L)).cast("long").as("note_id"),
+          coalesce(col("note_chars"), lit(-1L)).cast("long").as("note_chars"))
+    }),
 
     // seeded sampling: no cross-engine oracle (RNG streams differ);
     // driver records rows-only. Determinism is pinned by specs.
@@ -2323,17 +2388,24 @@ object SparkEntry {
           dsum(col("o_totalprice")).as("monetary"))
         .withColumn("recency",
           datediff(lit("1998-08-02").cast("date"), col("last_order")).cast("long"))
-      val (r1, n, _) = GlobalRowNumber.withRowNumberAndCount(
+      val (r1, n, rel1) = GlobalRowNumber.withRowNumberAndCount(
         per, "_rr", col("recency").asc, col("o_custkey").asc)
-      val r2 = GlobalRowNumber.withRowNumber(
+      val (r2, rel2) = GlobalRowNumber.withRowNumberReleasable(
         r1, "_fr", col("frequency").desc, col("o_custkey").asc)
-      val r3 = GlobalRowNumber.withRowNumber(
+      val (r3, rel3) = GlobalRowNumber.withRowNumberReleasable(
         r2, "_mr", col("monetary").desc, col("o_custkey").asc)
-      r3.select(
+      val out = r3.select(
         col("o_custkey"), col("recency"), col("frequency"), col("monetary"),
         GlobalRowNumber.ntileFromRank(col("_rr"), n, 5).as("r_score"),
         GlobalRowNumber.ntileFromRank(col("_fr"), n, 5).as("f_score"),
         GlobalRowNumber.ntileFromRank(col("_mr"), n, 5).as("m_score"))
+      // materialize the |customers|-sized result once, then drop the three
+      // internal range-partition pins — one session pin instead of three
+      // widening ones (they otherwise accumulate across a 300-query bench)
+      val collected = out.cache()
+      collected.count()
+      rel1(); rel2(); rel3()
+      collected
     }),
 
     // Pareto/ABC analysis — rank customers by spend, classify by exact
@@ -2348,18 +2420,23 @@ object SparkEntry {
         .groupBy(col("o_custkey"))
         .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("spend"))
         .withColumn("_cents", (col("spend") * 100).cast("long"))
-      val (cum, totCents, _) = graft.ops.RunningTotal.withRunningSum(
+      val (cum, totCents, release) = graft.ops.RunningTotal.withRunningSum(
         per, col("_cents"), "_cum_cents",
         col("spend").desc, col("o_custkey").asc)
       val cumD = col("_cum_cents").cast("decimal(38,0)")
       val totD = lit(totCents).cast("decimal(38,0)")
-      cum
+      val out = cum
         .groupBy(
           when(cumD * 20 <= totD * 16, "A")
             .when(cumD * 20 <= totD * 19, "B")
             .otherwise("C").as("abc_class"))
         .agg(count(lit(1)).as("n_customers"),
           sum("spend").cast("double").as("class_spend"))
+      // 3-row result: materialize, then drop the prefix-sum pin
+      val collected = out.cache()
+      collected.count()
+      release()
+      collected
     }),
 
     // weight-of-evidence + information value over exact decile bins —
@@ -4221,6 +4298,42 @@ object SparkEntry {
 
     "cohort_counts" ->
       s"SELECT label, count(*) AS cnt FROM (\n$cohortSqlCore\n) GROUP BY 1",
+
+    // py:180-248 chain: reuses cohortSqlCore verbatim; pivot via FILTER
+    // counts; last-note = ROW_NUMBER nth(-1); subject key = doc_id mod
+    // |customers| (scalar subquery — same count the Spark side reads)
+    "pipeline_relational" ->
+      s"""WITH coh AS (
+         |$cohortSqlCore
+         |), lab AS (
+         |  SELECT c.o_orderkey, o.o_custkey, o.o_orderdate, c.label
+         |  FROM coh c JOIN orders o USING (o_orderkey)
+         |), cats AS (
+         |  SELECT l_orderkey,
+         |         CAST(count(*) FILTER (WHERE l_returnflag = 'A') AS BIGINT) AS cat_a,
+         |         CAST(count(*) FILTER (WHERE l_returnflag = 'N') AS BIGINT) AS cat_n,
+         |         CAST(count(*) FILTER (WHERE l_returnflag = 'R') AS BIGINT) AS cat_r
+         |  FROM lineitem GROUP BY 1
+         |), firstord AS (
+         |  SELECT o_custkey, min(o_orderdate) AS first_order FROM orders GROUP BY 1
+         |), notes AS (
+         |  SELECT subj, doc_id AS note_id, n_chars AS note_chars FROM (
+         |    SELECT doc_id % (SELECT count(*) FROM customer) AS subj, doc_id, n_chars,
+         |           ROW_NUMBER() OVER (PARTITION BY doc_id % (SELECT count(*) FROM customer)
+         |             ORDER BY doc_id DESC) AS rn
+         |    FROM documents WHERE lang = 'en'
+         |  ) WHERE rn = 1
+         |)
+         |SELECT l.o_orderkey, l.label, c.cat_a, c.cat_n, c.cat_r,
+         |       cu.c_mktsegment AS segment,
+         |       CAST(date_diff('day', f.first_order, l.o_orderdate) AS BIGINT) AS tenure_days,
+         |       CAST(coalesce(n.note_id, -1) AS BIGINT) AS note_id,
+         |       CAST(coalesce(n.note_chars, -1) AS BIGINT) AS note_chars
+         |FROM lab l
+         |JOIN cats c ON l.o_orderkey = c.l_orderkey
+         |JOIN customer cu ON l.o_custkey = cu.c_custkey
+         |JOIN firstord f ON l.o_custkey = f.o_custkey
+         |LEFT JOIN notes n ON l.o_custkey = n.subj""".stripMargin,
 
     "o5_union_agg" ->
       """SELECT o_orderstatus, count(*) AS cnt FROM (

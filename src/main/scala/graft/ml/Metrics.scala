@@ -299,6 +299,8 @@ object Metrics {
       slim, "_rn", col("_s").desc, col("_id"))
     if (total == 0) {
       // degenerate input: an empty bucket table, not a divide-by-zero plan
+      // (release the range-partition pin first — same as qiniTable's branch)
+      release()
       return numbered.select(
         lit(0).as("bucket"), lit(0L).as("n_rows"), lit(0L).as("n_pos"),
         lit(0.0).as("lift"), lit(0.0).as("cum_gain")).limit(0)

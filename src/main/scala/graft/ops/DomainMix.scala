@@ -15,10 +15,16 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: one hash-agg to the |domains|-sized count table, the
   * feasible-total reduction over those few rows (broadcast back — the
-  * data is never collected), then ONE exchange partitioned by domain for
-  * the per-domain hash-rank window. Domain count is assumed small
-  * (sources/languages — tens to thousands); the window is per-domain
-  * parallel, never a global funnel.
+  * data is never collected), then the per-domain hash-rank. The rank is
+  * NOT `row_number over partitionBy(domain)` — with few domains
+  * (languages/sources) that window funnels each whole domain through ONE
+  * task, a multi-TB single-task sort at 100 TB. Instead the rank rides
+  * [[GlobalRowNumber]] over the total order (domain, hash, id): a
+  * range-repartition whose partition count is the shuffle parallelism
+  * regardless of domain cardinality, parallel per-partition windows, and
+  * the per-domain rank recovered as `global_rank − offset(domain)` where
+  * the offsets are an exclusive prefix sum over the |domains|-row count
+  * table (broadcast). No task ever holds more than ~1/P of the corpus.
   */
 object DomainMix {
 
@@ -27,36 +33,68 @@ object DomainMix {
     *                dropped (weight 0).
     * @param hash    portable per-row hash column (e.g. md5-based permille)
     * @return        kept rows of `docs` plus `_mix_rank` (1-based rank
-    *                within domain by (hash, id))
+    *                within domain by (hash, id)), and the release hook
+    *                for the internal range-partition pin (call after
+    *                materializing the result)
     */
-  def rebalance(docs: DataFrame, domainCol: String, idCol: String,
-                hash: Column, targets: Map[String, Double]): DataFrame = {
+  def rebalanceReleasable(
+      docs: DataFrame, domainCol: String, idCol: String,
+      hash: Column, targets: Map[String, Double]): (DataFrame, () => Unit) = {
     require(targets.nonEmpty && targets.values.forall(_ > 0),
       "domain targets must be non-empty and positive")
     val spark = docs.sparkSession
     import spark.implicits._
     val tgt = targets.toSeq.sortBy(_._1).toDF(domainCol, "_w")
-    val counts = docs.groupBy(col(domainCol)).agg(count(lit(1)).as("_n_d"))
+    // zero-weight domains are dropped before any data-sized work
+    val kept = docs.filter(col(domainCol).isin(targets.keys.toSeq: _*))
+    val counts = kept.groupBy(col(domainCol)).agg(count(lit(1)).as("_n_d"))
     // feasible total: the binding domain caps the mix (1 row)
     val tRow = counts.join(broadcast(tgt), domainCol)
       .agg(min(col("_n_d").cast("double") / col("_w")).as("_T"))
     val quota = tgt.crossJoin(broadcast(tRow))
       .select(col(domainCol),
         floor(col("_w") * col("_T")).cast("long").as("_k_d"))
-    val w = Window.partitionBy(col(domainCol)).orderBy(hash.asc, col(idCol).asc)
-    docs
-      .withColumn("_mix_rank", row_number().over(w).cast("long"))
-      .join(broadcast(quota), domainCol)
+    // exclusive prefix of domain sizes in the SAME order the global rank
+    // sorts (domain asc — computed in Spark so string collation matches
+    // the range partitioner exactly). |domains|-row window: tiny by
+    // contract, never data-sized.
+    val wOff = Window.orderBy(col(domainCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("_off", coalesce(sum(col("_n_d")).over(wOff), lit(0L)))
+      .select(col(domainCol), col("_off"))
+    val (numbered, release) = GlobalRowNumber.withRowNumberReleasable(
+      kept, "_grn", col(domainCol).asc, hash.asc, col(idCol).asc)
+    val out = numbered
+      .join(broadcast(quota.join(offsets, domainCol)), domainCol)
+      .withColumn("_mix_rank", col("_grn") - col("_off"))
       .filter(col("_mix_rank") <= col("_k_d"))
-      .drop("_k_d")
+      .drop("_grn", "_off", "_k_d")
+    (out, release)
   }
 
-  /** Per-domain kept counts — the mix-readout form of [[rebalance]]. */
-  def mixCounts(docs: DataFrame, domainCol: String, idCol: String,
+  /** [[rebalanceReleasable]] with the internal range-partition pin kept
+    * for the session (callers that hand the frame on and cannot know when
+    * materialization happens — same contract as GlobalRowNumber).
+    */
+  def rebalance(docs: DataFrame, domainCol: String, idCol: String,
                 hash: Column, targets: Map[String, Double]): DataFrame =
-    rebalance(docs, domainCol, idCol, hash, targets)
+    rebalanceReleasable(docs, domainCol, idCol, hash, targets)._1
+
+  /** Per-domain kept counts — the mix-readout form of [[rebalance]].
+    * |domains|-row result: materialized, then the internal pin released.
+    */
+  def mixCounts(docs: DataFrame, domainCol: String, idCol: String,
+                hash: Column, targets: Map[String, Double]): DataFrame = {
+    val (kept, release) = rebalanceReleasable(docs, domainCol, idCol, hash, targets)
+    val out = kept
       .groupBy(col(domainCol).as("domain"))
       .agg(count(lit(1)).as("n_kept"))
+    val collected = out.cache()
+    collected.count()
+    release()
+    collected
+  }
 
   /** DuckDB mirror of [[mixCounts]]: `hashSql` must render the same hash
     * over the table's own column names.
@@ -64,7 +102,7 @@ object DomainMix {
   def mixCountsOracleSql(table: String, domainCol: String, idCol: String,
                          hashSql: String, targets: Map[String, Double]): String = {
     val tgtRows = targets.toSeq.sortBy(_._1)
-      .map { case (d, w) => s"('$d', $w)" }.mkString(", ")
+      .map { case (d, w) => s"('${d.replace("'", "''")}', $w)" }.mkString(", ")
     s"""WITH tgt(domain, w) AS (VALUES $tgtRows),
        |cnt AS (
        |  SELECT $domainCol AS domain, CAST(count(*) AS BIGINT) AS n_d

@@ -70,6 +70,59 @@ object GlobalRowNumber {
     (numbered, r.cum(r.parts), () => r.unpersist())
   }
 
+  /** Per-group 1-based rank under `ord` for LOW-CARDINALITY group keys —
+    * the scale-safe replacement for `row_number().over(Window.partitionBy
+    * (group).orderBy(ord))` when the group column has few values (status
+    * codes, languages, sources): that window gives each group ONE task
+    * holding the group's entire slice — a multi-TB single-task sort at
+    * 100 TB. Here the rank rides the GLOBAL numbering over the total
+    * order (group, ord) — range-partitioned into ~1/P slices regardless
+    * of group cardinality — and the per-group rank is recovered as
+    * `global_rank − offset(group)`, offsets being an exclusive prefix sum
+    * over the |groups|-row count table (broadcast back). The group's size
+    * lands in `sizeCol` (for ntile/percent arithmetic) at no extra pass —
+    * the counts ride the same broadcast.
+    *
+    * `ord` plus the group keys must form a total order (append a unique
+    * key) or the numbering is nondeterministic. Returns the release hook
+    * for the internal range-partition pin.
+    */
+  def withGroupRowNumberAndSize(
+      df: DataFrame, outCol: String, sizeCol: String,
+      groupCols: Seq[String], ord: Column*): (DataFrame, () => Unit) = {
+    require(groupCols.nonEmpty, "group rank needs at least one group column")
+    val gcols = groupCols.map(col)
+    val totalOrd = gcols.map(_.asc) ++ ord
+    val (num, release) = withRowNumberReleasable(df, "_g_grn", totalOrd: _*)
+    // counts from the numbered frame: reuses the internal pin, no re-scan
+    val counts = num.groupBy(gcols: _*).agg(count(lit(1)).as(sizeCol))
+    // exclusive prefix in the SAME group order the global rank sorts;
+    // |groups|-row window — tiny by contract, never data-sized
+    val wOff = Window.orderBy(gcols.map(_.asc): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts.withColumn("_g_off",
+      coalesce(sum(col(sizeCol)).over(wOff), lit(0L)))
+    val out = num.join(broadcast(offsets), groupCols)
+      .withColumn(outCol, col("_g_grn") - col("_g_off"))
+      .drop("_g_grn", "_g_off")
+    (out, release)
+  }
+
+  /** [[ntileFromRank]] with the group size as a COLUMN — for per-group
+    * ntiles where each group's `n` differs (pair with
+    * [[withGroupRowNumberAndSize]]). Same ANSI bucket-size semantics.
+    */
+  def ntileFromRankCol(rank: Column, n: Column, k: Int): Column = {
+    require(k > 0, s"ntile bucket count must be positive, got $k")
+    val q = floor(n / k).cast("long")
+    val rem = pmod(n, lit(k.toLong))
+    val cut = rem * (q + 1)
+    def floorDiv(x: Column, m: Column): Column =
+      ((x - pmod(x, m)) / m).cast("long")
+    when(rank <= cut, floorDiv(rank - 1, q + 1) + 1)
+      .otherwise(rem + floorDiv(rank - cut - 1, greatest(q, lit(1L))) + 1)
+  }
+
   /** Exact NTILE(k) bucket from a 1-based global rank and the total row
     * count — the arithmetic twin of `ntile(k).over(Window.orderBy(...))`
     * without the SinglePartition window that form plans. ANSI/Spark/DuckDB

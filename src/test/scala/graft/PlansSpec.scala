@@ -168,9 +168,16 @@ class PlansSpec extends SparkSpecBase {
     assert(countShuffles(plan(df)) <= 1, explainStr(df))
   }
 
-  test("o20_domain_mix: the rank window is partitioned by domain, never a " +
-    "SinglePartition funnel (the 1-row feasible-total merge is an agg, not a window)") {
-    val df = SparkEntry.queries("o20_domain_mix")(spark, sfDir)
+  test("o20_domain_mix: the data-sized rank window is partitioned by the " +
+    "RANGE-partition pid (bounded ~1/P tasks), never by the low-cardinality " +
+    "domain key; the only unpartitioned window runs over the |domains|-row " +
+    "count table") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.core.Tables.table(spark, sfDir, "documents")
+    val (df, release) = graft.ops.DomainMix.rebalanceReleasable(
+      docs, "lang", "doc_id",
+      SparkEntry.permilleHash1M(col("doc_id"), ":mix"),
+      Map("en" -> 0.4, "de" -> 0.15, "es" -> 0.15, "fr" -> 0.15, "zh" -> 0.15))
     df.collect()
     def windows(p: SparkPlan): Seq[org.apache.spark.sql.execution.window.WindowExec] = {
       val here = p.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
@@ -182,8 +189,19 @@ class PlansSpec extends SparkSpecBase {
       here ++ inner ++ stages
     }
     val ws = windows(plan(df))
-    assert(ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty),
-      s"unpartitioned window:\n${plan(df)}")
+    val (ranked, tiny) = ws.partition(_.partitionSpec.nonEmpty)
+    // the corpus-sized rank: partitioned by _pid (range-partition id), and
+    // NEVER by the 5-value domain column — no task sorts a whole domain
+    assert(ranked.nonEmpty, s"no partitioned window found:\n${plan(df)}")
+    assert(ranked.forall(w =>
+        w.partitionSpec.exists(_.toString.contains("_pid")) &&
+        !w.partitionSpec.exists(_.toString.contains("lang"))),
+      s"rank window not bounded by range pid:\n${plan(df)}")
+    // unpartitioned windows allowed ONLY over the |domains|-row count
+    // frame (its input carries the _n_d aggregate column)
+    assert(tiny.forall(_.child.output.exists(_.name == "_n_d")),
+      s"data-sized unpartitioned window:\n${plan(df)}")
+    release()
   }
 
   test("w6_global_rownum: no SinglePartition exchange (the naive window's funnel)") {

@@ -58,4 +58,57 @@ class GlobalRowNumberSpec extends SparkSpecBase {
     // post-release actions recompute instead of failing
     assert(numbered.count() === 10L)
   }
+
+  test("group rank equals the per-group window form, size equals group count") {
+    val (got, release) = GlobalRowNumber.withGroupRowNumberAndSize(
+      df, "rn", "n", Seq("k"), col("id").asc)
+    val gotMap = got.select("id", "rn", "n").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    release()
+    val w = Window.partitionBy("k").orderBy(col("id").asc)
+    val want = df
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("k")))
+      .select("id", "rn", "n").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(gotMap == want)
+  }
+
+  test("group rank plan has no window partitioned by the group key and no " +
+    "SinglePartition exchange over the data (only the |groups|-row offset window)") {
+    val (got, release) = GlobalRowNumber.withGroupRowNumberAndSize(
+      df, "rn", "n", Seq("k"), col("id").asc)
+    got.collect()
+    val p = got.queryExecution.executedPlan
+    def windows(x: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.window.WindowExec] = {
+      val here = x.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+      val stages = x.collect {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => windows(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => windows(q.plan)
+      }.flatten
+      here ++ stages
+    }
+    val ws = windows(p)
+    val (ranked, tiny) = ws.partition(_.partitionSpec.nonEmpty)
+    assert(ranked.nonEmpty && ranked.forall(w =>
+      w.partitionSpec.exists(_.toString.contains("_pid")) &&
+        !w.partitionSpec.exists(_.toString.contains("k#"))), p.toString)
+    // the only unpartitioned window runs over the aggregated counts frame
+    assert(tiny.forall(_.child.output.exists(_.name == "n")), p.toString)
+    release()
+  }
+
+  test("ntileFromRankCol matches ntile() for sizes below, at, and above k") {
+    for (n <- Seq(3, 10, 17, 40)) {
+      val rows = (1L to n.toLong).map(i => (i, n.toLong)).toDF("rank", "n")
+      val got = rows.select(col("rank"),
+        GlobalRowNumber.ntileFromRankCol(col("rank"), col("n"), 10).as("b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = (1L to n.toLong).toDF("rank")
+        .withColumn("b", ntile(10).over(Window.orderBy("rank")).cast("long"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"n=$n")
+    }
+  }
 }
