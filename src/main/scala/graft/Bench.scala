@@ -33,6 +33,23 @@ object Bench {
     // depends on which ran first; cost lands in warmup, visibly
     try SparkEntry.dupClustersCached(spark, sfDir)
     catch { case _: Throwable => () }
+    // MLlib JIT warmup: the first RF/LR/SMOTE fit of a session pays
+    // one-time codegen + JIT (~17 s observed on ml_rf_sweep_full's first
+    // rep at sf0.1 — a 1.6x phantom outlier that broke the 3-clean-reps
+    // spread). Tiny fits over a small slice compile the same hot paths;
+    // their cost lands here, visibly, not inside any query's rep 1.
+    try {
+      import org.apache.spark.sql.functions.{col, pmod, lit}
+      val tiny = graft.ml.Features.assembled(spark, sfDir)
+        .filter(pmod(col("id"), lit(50L)) === 0L).cache()
+      tiny.count()
+      graft.ml.TrainHarness.rfSweep(tiny, tiny, "features", "label", Seq(2)).count()
+      graft.ml.TrainHarness.logisticL1Scores(tiny, tiny, "features", "label").count()
+      graft.ml.Resamplers.smote(tiny, "id", "label", "features", k = 2).count()
+      graft.ml.Resamplers.nearMiss(tiny, "id", "label", "features",
+        minoritySampleTarget = 100L).count()
+      tiny.unpersist()
+    } catch { case _: Throwable => () }
     val warmupSec = (System.nanoTime() - w0) / 1e9
     // median-of-3 per query: single-pass timings are order-sensitive
     // (GC/JIT neighbor effects produced 5 phantom "regressions" in r2 when
@@ -44,7 +61,9 @@ object Bench {
     // the heavy ML fits dominate wall-clock and their variance is
     // fit-internal, not neighbor noise.
     val reps = 3
-    val repBudgetSec = 60.0
+    // sized so the heaviest row (ml_rf_sweep_full, ~33 s/rep at sf0.1)
+    // still gets its 3 clean reps: 2 reps ≈ 66 s < budget → rep 3 runs
+    val repBudgetSec = 100.0
     // local-dev standalone re-bench: SPARK_GRAFT_ONLY="q1,q2" restricts
     // the run (the driver never sets it → full inventory)
     val only: Set[String] = sys.env.get("SPARK_GRAFT_ONLY")
@@ -52,10 +71,19 @@ object Bench {
       .getOrElse(Set.empty)
     val selected = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
+    // the two fit-heavy rows whose FIRST execution pays one-time plan
+    // codegen + JIT (observed 17-22 s extra on rep 1 at sf0.1 even after
+    // the generic MLlib warmup above — the session's cost, not the
+    // query's): one UNTIMED pass first, so the 3 timed reps measure
+    // steady state. Flagged as jit_warmed in query_stats — numbers for
+    // these rows are not comparable to pre-r6 rounds' rep-1-included ones.
+    val jitWarmQueries = Set("ml_smote_counts", "ml_rf_sweep_full")
     val results: Map[String, (List[Double], Int)] = selected.map { case (name, fn) =>
       val times = scala.collection.mutable.ListBuffer[Double]()
       var failures = 0
       var i = 0
+      if (jitWarmQueries(name))
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       // one extra adjudication rep when the spread is pathological (a GC /
       // JIT spike can be 10× the true cost; with only 2 reps the spike
       // would otherwise decide the reported number)
@@ -93,12 +121,40 @@ object Bench {
     val medians = results.map { case (k, (ts, _)) => k -> (if (ts.head < 0) -1.0 else median(ts)) }
     val total = medians.values.filter(_ >= 0).sum
     def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    // per-query DuckDB baseline times (tools/oracle_times.py writes
+    // ORACLE_TIMES.json; committed at the driver's bench SF) — merged as
+    // duck_sec per query so the "within 2x of baseline" gate is
+    // computable per query, not just on the ML comparables. The file is
+    // trusted only if it was generated at THIS run's SF dir.
+    val oraclePath = sys.env.getOrElse("SPARK_GRAFT_ORACLE_TIMES", "/root/repo/ORACLE_TIMES.json")
+    val duckTimes: Map[String, Double] =
+      try {
+        val txt = new String(
+          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(oraclePath)),
+          java.nio.charset.StandardCharsets.UTF_8)
+        if (!txt.contains("\"sf\": \"" + sfDir + "\"")) Map.empty
+        else "\"([A-Za-z0-9_]+)\": ([0-9][0-9.]*)".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          .filter { case (k, _) => medians.contains(k) }
+      } catch { case _: Throwable => Map.empty }
     val qs = medians.map { case (k, v) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val stats = results.map { case (k, (ts, failures)) =>
+      val duck = duckTimes.get(k).map(d => ",\"duck_sec\":" + f(d)).getOrElse("")
+      val warmed = if (jitWarmQueries(k)) ",\"jit_warmed\":true" else ""
       s"\"" + k + "\":{\"median\":" + f(medians(k)) + ",\"min\":" + f(ts.min) +
-        ",\"max\":" + f(ts.max) + ",\"n\":" + ts.size + ",\"failures\":" + failures + "}"
+        ",\"max\":" + f(ts.max) + ",\"n\":" + ts.size + ",\"failures\":" + failures + duck + warmed + "}"
     }.mkString("{", ",", "}")
+    // headline ratio over the queries BOTH engines time: <1 = Spark faster
+    val comparable = medians.filter { case (k, v) => v >= 0 && duckTimes.contains(k) }
+    val duckTotal = comparable.keys.map(duckTimes).sum
+    val sparkComparable = comparable.values.sum
+    val ratioJson =
+      if (comparable.isEmpty) ""
+      else ",\"duck_total\":" + f(duckTotal) +
+        ",\"spark_total_comparable\":" + f(sparkComparable) +
+        ",\"spark_vs_duck_ratio\":" + f(sparkComparable / math.max(duckTotal, 1e-9)) +
+        ",\"n_comparable\":" + comparable.size
     // Per-query spread stats go to a FILE, not stdout: with 100+ queries the
     // combined line exceeded the driver's stdout tail capture in r3 and the
     // bench JSON failed to parse ("parsed": null). The stdout line carries
@@ -107,7 +163,7 @@ object Bench {
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "/root/repo/BENCH_DETAIL.json")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(detailPath),
-      s"""{"warmup_sec":${f(warmupSec)},"reps":$reps,"sf":"$sfDir","medians":$qs,"query_stats":$stats}"""
+      s"""{"warmup_sec":${f(warmupSec)},"reps":$reps,"sf":"$sfDir"$ratioJson,"medians":$qs,"query_stats":$stats}"""
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
     // The driver keeps only the LAST ~2000 chars of stdout and parses the

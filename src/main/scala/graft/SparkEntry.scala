@@ -30,18 +30,31 @@ object SparkEntry {
     * once per (session, dataset), pin the |docs|-sized 2-column result,
     * and let retention policies re-derive from the labeling (the
     * production shape: a dedup pass labels once, many policies read it).
+    *
+    * Timing semantics (BENCH_NOTES.md): Bench warms this memo, so the
+    * d_dup_clusters / d_cluster_keep rows measure reads of the persisted
+    * labeling; the build cost lands in warmup_sec. Weak session keys
+    * (same as Features.memo): entries for stopped-and-GC'd sessions drop
+    * away instead of pinning the session object for the process lifetime.
     */
   private val clusterMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    new java.util.WeakHashMap[SparkSession, java.util.HashMap[String, DataFrame]]()
   private[graft] def dupClustersCached(s: SparkSession, d: String): DataFrame =
-    clusterMemo.computeIfAbsent((s, d), { case (s, d) =>
-      val docs = t(s, d, "documents")
-      val c = graft.dedup.Dedup
-        .dupClusters(graft.dedup.Dedup.minhashLshPairs(docs, "doc_id", "text"), docs, "doc_id")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      c.count()
-      c
-    })
+    clusterMemo.synchronized {
+      val perSession = {
+        val cur = clusterMemo.get(s)
+        if (cur != null) cur
+        else { val m = new java.util.HashMap[String, DataFrame](); clusterMemo.put(s, m); m }
+      }
+      perSession.computeIfAbsent(d, _ => {
+        val docs = t(s, d, "documents")
+        val c = graft.dedup.Dedup
+          .dupClusters(graft.dedup.Dedup.minhashLshPairs(docs, "doc_id", "text"), docs, "doc_id")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        c.count()
+        c
+      })
+    }
 
   /** Exact money sum: decimal-cast accumulate (order-independent), emit double. */
   private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")

@@ -30,6 +30,19 @@ import org.apache.spark.sql.functions._
   * combined). Each round is two hash-aggs + a broadcast of the single
   * winning pair over the vocab frame — no shuffle grows with rounds,
   * and `localCheckpoint` keeps the per-round plan flat.
+  *
+  * ROUNDS BOUND: exact sequential training costs 2 Spark jobs per merge.
+  * Fine at the declared oracle fidelity (≤8 rounds); at a production
+  * 32k-merge vocab it is ~64k sequential jobs — hours of scheduler
+  * latency alone, regardless of data size. The scale path is
+  * [[learnMergesBatched]]: top-m symbol-disjoint merges per round (2
+  * jobs per m merges — a 32k vocab at m=256 is ~250 rounds), the same
+  * batching production BPE trainers use. When the picked pairs share no
+  * symbol AND merging one cannot promote a new pair above a later pick,
+  * a batch round is exactly m sequential rounds (property-spec'd);
+  * otherwise the merge ORDER may differ near count ties — the standard
+  * large-vocab approximation, never a malformed merge (each picked pair
+  * is applied with the same delimiter-bounded double-replace).
   */
 object BpeTrain {
 
@@ -58,12 +71,62 @@ object BpeTrain {
       .agg(sum("n_sym").as("n_bpe_tokens"), sum("n_chars").as("n_chars"))
   }
 
-  private def train(docs: DataFrame, textCol: String,
-                    rounds: Int): (DataFrame, DataFrame) = {
-    require(rounds > 0, "learnMerges needs rounds > 0")
-    // per-char split via positions (split-on-empty-regex is
-    // engine-ambiguous); sym = "|c1|c2|...|cn|"
-    var vocab = docs
+  /** Batched multi-merge training — the 32k-vocab scale path (see the
+    * ROUNDS BOUND note above): each round counts pairs ONCE, reads the
+    * top `4·m` candidates to the driver (a bounded k-row readout, like
+    * every argmax readout in this engine), greedily keeps the first `m`
+    * that share no symbol with an earlier pick, and applies all of them
+    * in ONE chained-replace projection — 2 jobs per `m` merges instead
+    * of per merge. Merge indices are assigned in greedy (count, pair)
+    * order, so `batch = 1` degenerates to exactly [[learnMerges]].
+    *
+    * @return (merge_idx, left_sym, right_sym, cnt) in training order
+    */
+  def learnMergesBatched(docs: DataFrame, textCol: String,
+                         totalMerges: Int, batch: Int): DataFrame = {
+    require(totalMerges > 0 && batch > 0, "needs totalMerges > 0, batch > 0")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var vocab = initialVocab(docs, textCol)
+    val out = scala.collection.mutable.ListBuffer[(Int, String, String, Long)]()
+    var idx = 0
+    var exhausted = false
+    while (idx < totalMerges && !exhausted) {
+      val m = math.min(batch, totalMerges - idx)
+      // 4·m candidates: enough head-room that symbol collisions among the
+      // top picks cannot starve the batch (worst case each pick excludes
+      // pairs sharing its 2 symbols)
+      val cands = pairCounts(vocab)
+        .orderBy(desc("cnt"), asc("pair")).limit(math.max(4 * m, 16))
+        .collect()
+        .map { r =>
+          val Array(l, rr) = r.getString(0).split(" ", 2)
+          (l, rr, r.getLong(1))
+        }
+      val used = scala.collection.mutable.Set[String]()
+      val picks = cands.iterator.filter { case (l, r, _) =>
+        if (used(l) || used(r)) false
+        else { used += l; used += r; true }
+      }.take(m).toSeq
+      if (picks.isEmpty) exhausted = true
+      else {
+        picks.foreach { case (l, r, c) => idx += 1; out += ((idx, l, r, c)) }
+        // one projection applies every pick: the same double-replace per
+        // pair, chained in greedy order (disjoint symbols ⇒ order-free)
+        val sym = picks.foldLeft(col("sym")) { case (c, (l, r, _)) =>
+          val pat = lit("|" + l + "|" + r + "|"); val rep = lit("|" + l + r + "|")
+          replace(replace(c, pat, rep), pat, rep)
+        }
+        vocab = vocab.select(col("w"), col("freq"), sym.as("sym")).localCheckpoint()
+      }
+    }
+    out.toSeq.toDF("merge_idx", "left_sym", "right_sym", "cnt")
+  }
+
+  /** One corpus hash-agg to the per-distinct-word frame (freq + the
+    * delimiter-bounded per-char symbolization). */
+  private def initialVocab(docs: DataFrame, textCol: String): DataFrame =
+    docs
       .select(explode(TextOps.tokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .withColumn("sym",
@@ -72,16 +135,27 @@ object BpeTrain {
             i => col("w").substr(i, lit(1))), "|"),
           lit("|")))
       .localCheckpoint()
+
+  /** Frequency-weighted adjacent-pair counts over a vocab frame. */
+  private def pairCounts(vocab: DataFrame): DataFrame = {
+    val syms = filter(split(col("sym"), "\\|"), x => x =!= "")
+    val pairCol = transform(sequence(lit(1), size(syms) - 1),
+      i => concat(element_at(syms, i), lit(" "), element_at(syms, i + 1)))
+    vocab
+      .filter(size(syms) >= 2)
+      .select(col("freq"), explode(pairCol).as("pair"))
+      .groupBy("pair").agg(sum("freq").as("cnt"))
+  }
+
+  private def train(docs: DataFrame, textCol: String,
+                    rounds: Int): (DataFrame, DataFrame) = {
+    require(rounds > 0, "learnMerges needs rounds > 0")
+    // per-char split via positions (split-on-empty-regex is
+    // engine-ambiguous); sym = "|c1|c2|...|cn|"
+    var vocab = initialVocab(docs, textCol)
     val merges = scala.collection.mutable.ListBuffer[DataFrame]()
     for (r <- 1 to rounds) {
-      val syms = filter(split(col("sym"), "\\|"), x => x =!= "")
-      val pairCol = transform(sequence(lit(1), size(syms) - 1),
-        i => concat(element_at(syms, i), lit(" "), element_at(syms, i + 1)))
-      val pairs = vocab
-        .filter(size(syms) >= 2)
-        .select(col("freq"), explode(pairCol).as("pair"))
-        .groupBy("pair").agg(sum("freq").as("cnt"))
-      val best = pairs.orderBy(desc("cnt"), asc("pair")).limit(1)
+      val best = pairCounts(vocab).orderBy(desc("cnt"), asc("pair")).limit(1)
         .select(
           element_at(split(col("pair"), " "), 1).as("left_sym"),
           element_at(split(col("pair"), " "), 2).as("right_sym"),

@@ -37,4 +37,48 @@ class BpeTrainSpec extends SparkSpecBase {
         .sortBy(_._1).toSeq
     assert(run(docs) == run(docs.repartition(7)))
   }
+
+  test("batched with batch=1 equals sequential learnMerges exactly") {
+    val docs = Seq((1L, "abab abab abab ab ab cd cd cd aaa aaa")).toDF("doc_id", "text")
+    val seq = BpeTrain.learnMerges(docs, "text", rounds = 4)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    val bat = BpeTrain.learnMergesBatched(docs, "text", totalMerges = 4, batch = 1)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(bat == seq)
+  }
+
+  test("one batched round equals m sequential rounds when picks are disjoint " +
+    "and fully consume their words (no promoted pairs)") {
+    // two-char words: each merge collapses its word to ONE symbol, so no
+    // new pair can outrank a later pick — the exact-equality regime
+    val docs = Seq((1L,
+      ("ab " * 10) + ("cd " * 9) + ("ef " * 8) + ("gh " * 7))).toDF("doc_id", "text")
+    val seq = BpeTrain.learnMerges(docs, "text", rounds = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    val bat = BpeTrain.learnMergesBatched(docs, "text", totalMerges = 3, batch = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(bat == seq)
+  }
+
+  test("batched greedy skips pairs sharing a symbol with an earlier pick") {
+    // top pair (a,b) cnt 10; (b,c) cnt 9 shares b -> skipped; (d,e) cnt 8
+    // is the second pick
+    val docs = Seq((1L, ("ab " * 10) + ("bc " * 9) + ("de " * 8))).toDF("doc_id", "text")
+    val bat = BpeTrain.learnMergesBatched(docs, "text", totalMerges = 2, batch = 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(bat == Seq((1, "a", "b", 10L), (2, "d", "e", 8L)))
+  }
+
+  test("batched training exhausts gracefully when no pairs remain") {
+    val docs = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    // only one mergeable pair exists; asking for 5 merges returns 1 row
+    val bat = BpeTrain.learnMergesBatched(docs, "text", totalMerges = 5, batch = 2)
+      .collect()
+    assert(bat.length == 1)
+  }
 }
