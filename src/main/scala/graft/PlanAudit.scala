@@ -632,8 +632,31 @@ object PlanAudit {
       """Mixture rebalancing never collects data: the |domains|-row count
         |table joins the broadcast target weights, the feasible-total
         |reduction is a 1-row aggregate broadcast back, and the only
-        |data-sized operation is the per-domain rank window — partitioned
-        |by domain, parallel across domains, no SinglePartition funnel.""",
+        |data-sized operation is the per-domain rank — a GlobalRowNumber
+        |RANGE-partitioned numbering over (domain, hash, id) whose window
+        |is partitioned by the range pid (~1/P of the corpus per task,
+        |regardless of domain cardinality), with the per-domain rank
+        |recovered as global_rank − broadcast offset. No task ever sorts
+        |a whole domain; the only unpartitioned window runs over the
+        ||domains|-row count table (spec-pinned in PlansSpec).""",
+    "w7_rank_ntile" ->
+      """rank/dense_rank/ntile over a 3-value partition key would funnel
+        |the whole orders table through 3 tasks at any scale. Under the
+        |total (price, orderkey) tiebreak rank = dense_rank = row_number,
+        |so all three columns ride ONE per-status GlobalRowNumber group
+        |rank (range-partitioned, parallel per-partition windows) and the
+        |decile is exact ANSI ntile arithmetic on (rank, group size) — no
+        |data-sized window keyed on the 3-value column anywhere in the
+        |plan. w8_percent_rank shares the shape (percent_rank/cume_dist
+        |become arithmetic on the same rank).""",
+    "pipeline_relational" ->
+      """The reference's cohort ⋈ diagnosis-pivot ⋈ patients ⋈ first-admit
+        |⋈ last-note join chain in one plan: cohort windows share one
+        |exchange on the entity key, the pivot is FILTER-count aggregation
+        |with map-side partials, the patients dim joins broadcast, and the
+        |last-note pick is a per-subject row_number over the high-
+        |cardinality subject key (bounded per-key groups). All five inputs
+        |are column-pruned at their scans.""",
     "er_link_scores" ->
       """Record linkage plans as ONE equi-join on the blocking fragment
         |(no CartesianProduct, no BroadcastNestedLoopJoin — spec-pinned):

@@ -935,19 +935,20 @@ object SparkEntry {
     // arithmetic on (rank, group size) — no data-sized window at all.
     "w7_rank_ntile" -> ((s, d) => {
       import graft.ops.GlobalRowNumber
-      val (ranked, release) = GlobalRowNumber.withGroupRowNumberAndSize(
+      // the internal range-partition pin stays for the session (the w6
+      // contract): it is slim (3 columns) and the cache manager dedups it
+      // across invocations by canonical plan, so 3 bench reps pin ONE
+      // frame — measured in PinHygieneSpec. (A per-invocation result
+      // cache does NOT dedup for this plan shape and leaks one entry per
+      // rep — the spec exists because that was shipped once.)
+      val (ranked, _) = GlobalRowNumber.withGroupRowNumberAndSize(
         t(s, d, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice"),
         "_rnk", "_n", Seq("o_orderstatus"),
         col("o_totalprice").desc, col("o_orderkey").asc)
-      val out = ranked.select(
+      ranked.select(
         col("o_orderkey"), col("o_orderstatus"),
         col("_rnk").as("rnk"), col("_rnk").as("drnk"),
         GlobalRowNumber.ntileFromRankCol(col("_rnk"), col("_n"), 10).as("decile"))
-      // |orders|-slim result: materialize, then drop the range pin
-      val collected = out.cache()
-      collected.count()
-      release()
-      collected
     }),
 
     // percent_rank/cume_dist complete the ranking-window surface (the
@@ -958,19 +959,16 @@ object SparkEntry {
     // group rank — no 3-task window over the fact table.
     "w8_percent_rank" -> ((s, d) => {
       import graft.ops.GlobalRowNumber
-      val (ranked, release) = GlobalRowNumber.withGroupRowNumberAndSize(
+      // session-lifetime internal pin, deduped across reps (see w7)
+      val (ranked, _) = GlobalRowNumber.withGroupRowNumberAndSize(
         t(s, d, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice"),
         "_rnk", "_n", Seq("o_orderstatus"),
         col("o_totalprice").desc, col("o_orderkey").asc)
-      val out = ranked.select(
+      ranked.select(
         col("o_orderkey"), col("o_orderstatus"),
         round((col("_rnk") - 1).cast("double") /
           greatest(col("_n") - 1, lit(1L)).cast("double"), 6).as("pr"),
         round(col("_rnk").cast("double") / col("_n").cast("double"), 6).as("cd"))
-      val collected = out.cache()
-      collected.count()
-      release()
-      collected
     }),
 
     // EXCEPT / INTERSECT — the set-op surface beyond union (O7's

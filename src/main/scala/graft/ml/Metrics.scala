@@ -316,11 +316,12 @@ object Metrics {
       round((col("n_pos").cast("double") / col("n_rows")) /
         (sum("n_pos").over(wAll).cast("double") / sum("n_rows").over(wAll)), 6).as("lift"),
       round(sum("n_pos").over(wCum).cast("double") / sum("n_pos").over(wAll), 6).as("cum_gain"))
-    // k-row result: materialize, then drop the internal range-partition pin
-    val collected = out.cache()
-    collected.count()
-    release()
-    collected
+    // the internal range-partition pin stays for the session: it dedups
+    // across invocations by canonical plan (one pin per query, measured
+    // in PinHygieneSpec), where a per-invocation result cache does NOT
+    // dedup for this plan shape and leaks one entry per bench rep.
+    // (`release` is called only on the degenerate-input path above.)
+    out
   }
 
   /** Qini/uplift table: rows ranked by uplift score (descending, id
@@ -375,11 +376,10 @@ object Metrics {
             col("_cpc").cast("double") * col("_ct").cast("double") /
               col("_cc").cast("double"), 6))
           .otherwise(col("_cpt").cast("double")).as("qini"))
-    // k-row result: materialize, then drop the internal range-partition pin
-    val collected = out.cache()
-    collected.count()
-    release()
-    collected
+    // session-lifetime internal pin, deduped across invocations by
+    // canonical plan (see liftTable); release only fires on the
+    // degenerate path above
+    out
   }
 
   /** DuckDB mirror of [[qiniTable]]: `rowsCte` must yield

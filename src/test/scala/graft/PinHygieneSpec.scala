@@ -1,0 +1,44 @@
+package graft
+
+/** Cache-pin hygiene — the session-accumulation contract, enforced as a
+  * spec. The bench runs ~300 queries × 3 reps in ONE session; an operator
+  * that pins a frame per INVOCATION (instead of per canonical plan, or
+  * releasing its internal pins after materializing) grows executor memory
+  * linearly across the run and skews every later query's timing (the r5
+  * `ev_stream_attribution` phantom regression was this class of
+  * interaction). Two properties per release-pattern query:
+  *
+  *   1. one invocation adds at most a BOUNDED number of persisted RDDs
+  *      (its declared cached result; internal range-partition pins must
+  *      have been released by the builder);
+  *   2. re-invoking the same query does NOT grow the persisted set —
+  *      Spark's CacheManager dedups by canonical plan, so the second
+  *      call's .cache() must land on the first call's entry.
+  */
+class PinHygieneSpec extends SparkSpecBase {
+
+  private def pinned: Int = spark.sparkContext.getPersistentRDDs.size
+
+  // queries whose builders use the materialize-then-release pattern (the
+  // cached k-row/slim result is the ONLY pin they may leave behind)
+  private val releasePattern =
+    Seq("fe_rfm", "a15_pareto_abc", "w7_rank_ntile", "w8_percent_rank",
+      "o20_domain_mix", "ml_lift", "ml_qini")
+
+  for (q <- releasePattern)
+    test(s"$q: leaves at most one new pin, and re-running adds none") {
+      val before = pinned
+      SparkEntry.queries(q)(spark, sfDir).collect()
+      val afterFirst = pinned
+      // the declared result cache plus nothing else: every internal
+      // GlobalRowNumber/RunningTotal range-partition pin must be gone
+      assert(afterFirst - before <= 1,
+        s"$q leaked ${afterFirst - before} pins on first run")
+      SparkEntry.queries(q)(spark, sfDir).collect()
+      SparkEntry.queries(q)(spark, sfDir).collect()
+      val afterThird = pinned
+      assert(afterThird == afterFirst,
+        s"$q grew the pin set across reps: $afterFirst -> $afterThird " +
+          "(per-invocation cache instead of canonical-plan dedup)")
+    }
+}
