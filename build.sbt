@@ -26,5 +26,14 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default — measured both failure modes on the 128 GiB box:
+  // at 8g the ~300-query bench session accumulates enough live state
+  // that the 900-tree RF fit GC-thrashes late in the run (36 s isolated
+  // -> 96 s in-session, with multi-second phantom regressions on
+  // neighboring queries — the r5 ev_stream_attribution mystery); at 48g
+  // the SAME fit is 3x slower even isolated (110.9 s vs 36.2 s — G1 on
+  // an allocation-heavy workload with a huge young gen). 16g reproduces
+  // the 8g isolated fit time (37.3 s, 3 tight reps) with session
+  // head-room.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )
