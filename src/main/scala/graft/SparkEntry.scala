@@ -2010,6 +2010,19 @@ object SparkEntry {
       graft.text.BpeTrain.encodedTokenCounts(
         t(s, d, "documents"), "doc_id", "text", rounds = 5)),
 
+    // deploy-time tokenizer: merges trained on `documents` applied to an
+    // UNSEEN corpus (part names) — the real encode path, not the vocab
+    // join (which only covers training words). The merge list is a
+    // bounded driver readout (|rounds| rows) compiled into ONE
+    // chained-replace codegen projection over the distinct-word frame
+    "t_bpe_apply" -> ((s, d) => {
+      val merges = graft.text.BpeTrain
+        .learnMerges(t(s, d, "documents"), "text", rounds = 5)
+        .collect().sortBy(_.getInt(0))
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.text.BpeTrain.applyMerges(t(s, d, "part"), "p_partkey", "p_name", merges)
+    }),
+
     "t_zipf" -> ((s, d) =>
       graft.text.CorpusStats.zipfSlope(t(s, d, "documents"), col("text"), topN = 200)),
 
@@ -4658,6 +4671,9 @@ object SparkEntry {
 
     "t_bpe_encode" ->
       graft.text.BpeTrain.encodeOracleSql("documents", "doc_id", "text", rounds = 5),
+
+    "t_bpe_apply" -> graft.text.BpeTrain.applyMergesOracleSql(
+      "documents", "text", rounds = 5, "part", "p_partkey", "p_name"),
 
     "t_chunk_windows" -> graft.text.Chunking.chunkOverlapOracleSql(
       "documents", "doc_id", "text", win = 64, stride = 32),

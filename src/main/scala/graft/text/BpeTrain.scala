@@ -123,17 +123,94 @@ object BpeTrain {
     out.toSeq.toDF("merge_idx", "left_sym", "right_sym", "cnt")
   }
 
+  /** ENCODE an arbitrary corpus with an already-trained merge list — the
+    * deploy-time half of the tokenizer: unlike [[encodedTokenCounts]]
+    * (whose vocab join only covers words seen in training), this applies
+    * the merges to ANY word, in training order, with the identical
+    * delimiter-bounded double-replace — the standard BPE encode
+    * algorithm (merges applied by learned rank). The merge list is
+    * driver-resident by contract (a tokenizer is KB-to-MB scale — the
+    * same bounded-readout class as every argmax in this engine) and
+    * compiles to ONE chained-replace projection over the |distinct
+    * words| frame, joined back per document: pure codegen, zero joins
+    * against the merge table.
+    *
+    * @param merges (left_sym, right_sym) in training order
+    * @return (idCol, n_bpe_tokens, n_chars) per document
+    */
+  def applyMerges(docs: DataFrame, idCol: String, textCol: String,
+                  merges: Seq[(String, String)]): DataFrame = {
+    val words = docs.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("w"))
+    val encoded = merges.foldLeft(symbolize(col("w"))) { case (c, (l, r)) =>
+      val pat = lit("|" + l + "|" + r + "|"); val rep = lit("|" + l + r + "|")
+      replace(replace(c, pat, rep), pat, rep)
+    }
+    val perWord = words.select("w").distinct()
+      .select(col("w"),
+        size(filter(split(encoded, "\\|"), x => x =!= "")).cast("long").as("n_sym"),
+        length(col("w")).cast("long").as("n_chars"))
+    words.join(perWord, "w")
+      .groupBy(idCol)
+      .agg(sum("n_sym").as("n_bpe_tokens"), sum("n_chars").as("n_chars"))
+  }
+
+  /** DuckDB mirror of [[applyMerges]] composed with the training chain:
+    * train on `trainTable.textCol` for `rounds` merges (the b1..bR CTEs),
+    * then encode `encTable.encTextCol` by applying each round's merge in
+    * order over the distinct-word frame.
+    */
+  def applyMergesOracleSql(trainTable: String, textCol: String, rounds: Int,
+                           encTable: String, encIdCol: String,
+                           encTextCol: String): String = {
+    val applyCtes = (1 to rounds).map { r =>
+      s"""w$r AS (
+         |  SELECT w, replace(replace(sym, '|' || left_sym || '|' || right_sym || '|',
+         |                    '|' || left_sym || right_sym || '|'),
+         |            '|' || left_sym || '|' || right_sym || '|',
+         |            '|' || left_sym || right_sym || '|') AS sym
+         |  FROM w${r - 1}, b$r
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH ${trainCtes(trainTable, textCol, rounds)}, w0 AS (
+       |  SELECT DISTINCT w,
+       |         '|' || array_to_string(list_transform(range(1, strlen(w) + 1),
+       |               i -> substr(w, i, 1)), '|') || '|' AS sym
+       |  FROM (
+       |    SELECT unnest(list_filter(regexp_split_to_array(lower($encTextCol), '[^a-z]+'),
+       |           x -> x <> '')) AS w
+       |    FROM $encTable
+       |  )
+       |), $applyCtes, pw AS (
+       |  SELECT w,
+       |         CAST(len(list_filter(string_split(sym, '|'), x -> x <> '')) AS BIGINT) AS n_sym,
+       |         CAST(strlen(w) AS BIGINT) AS n_chars
+       |  FROM w$rounds
+       |), dw AS (
+       |  SELECT $encIdCol,
+       |         unnest(list_filter(regexp_split_to_array(lower($encTextCol), '[^a-z]+'),
+       |                x -> x <> '')) AS w
+       |  FROM $encTable
+       |)
+       |SELECT $encIdCol, CAST(SUM(n_sym) AS BIGINT) AS n_bpe_tokens,
+       |       CAST(SUM(n_chars) AS BIGINT) AS n_chars
+       |FROM dw JOIN pw USING (w)
+       |GROUP BY 1""".stripMargin
+  }
+
+  /** Delimiter-bounded per-char symbolization: "word" → "|w|o|r|d|". */
+  private def symbolize(w: Column): Column =
+    concat(lit("|"),
+      array_join(transform(sequence(lit(1), length(w)),
+        i => w.substr(i, lit(1))), "|"),
+      lit("|"))
+
   /** One corpus hash-agg to the per-distinct-word frame (freq + the
     * delimiter-bounded per-char symbolization). */
   private def initialVocab(docs: DataFrame, textCol: String): DataFrame =
     docs
       .select(explode(TextOps.tokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
-      .withColumn("sym",
-        concat(lit("|"),
-          array_join(transform(sequence(lit(1), length(col("w"))),
-            i => col("w").substr(i, lit(1))), "|"),
-          lit("|")))
+      .withColumn("sym", symbolize(col("w")))
       .localCheckpoint()
 
   /** Frequency-weighted adjacent-pair counts over a vocab frame. */

@@ -204,6 +204,15 @@ class PlansSpec extends SparkSpecBase {
     release()
   }
 
+  test("pipeline_relational: patients dim broadcast; no cartesian; cohort " +
+    "windows partitioned (no SinglePartition funnel over the fact side)") {
+    val df = SparkEntry.queries("pipeline_relational")(spark, sfDir)
+    val s = explainStr(df)
+    assert(s.contains("BroadcastHashJoin"), s)
+    assert(!s.contains("CartesianProduct"), s)
+    assert(!s.contains("Exchange SinglePartition"), s)
+  }
+
   test("w6_global_rownum: no SinglePartition exchange (the naive window's funnel)") {
     val df = SparkEntry.queries("w6_global_rownum")(spark, sfDir)
     df.collect()

@@ -74,6 +74,33 @@ class BpeTrainSpec extends SparkSpecBase {
     assert(bat == Seq((1, "a", "b", 10L), (2, "d", "e", 8L)))
   }
 
+  test("applyMerges on the training corpus equals the vocab-join encode") {
+    // on words SEEN in training, replaying the merges must reproduce each
+    // word's final training symbolization — so the two encode paths agree
+    val docs = Seq((1L, "abab abab ab cd cd banana band"),
+      (2L, "band banana abab cd")).toDF("doc_id", "text")
+    val merges = BpeTrain.learnMerges(docs, "text", rounds = 4)
+      .collect().sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+    val viaApply = BpeTrain.applyMerges(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val viaVocab = BpeTrain.encodedTokenCounts(docs, "doc_id", "text", rounds = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(viaApply == viaVocab)
+  }
+
+  test("applyMerges encodes UNSEEN words by replaying merges in order") {
+    val train = Seq((1L, "abab abab abab ab ab")).toDF("doc_id", "text")
+    // learned: (a,b) then (ab,ab)
+    val merges = BpeTrain.learnMerges(train, "text", rounds = 2)
+      .collect().sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+    val unseen = Seq((9L, "ababab cab")).toDF("doc_id", "text")
+    val got = BpeTrain.applyMerges(unseen, "doc_id", "text", merges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // ababab: |a|b|a|b|a|b| -> (a,b) -> |ab|ab|ab| -> (ab,ab) greedy
+    // left-to-right -> |abab|ab| = 2 tokens; cab: |c|a|b| -> |c|ab| = 2
+    assert(got == Seq((9L, 4L, 9L)))
+  }
+
   test("batched training exhausts gracefully when no pairs remain") {
     val docs = Seq((1L, "ab ab")).toDF("doc_id", "text")
     // only one mergeable pair exists; asking for 5 merges returns 1 row
