@@ -221,4 +221,37 @@ class PropertySpec extends SparkSpecBase {
       assert(rows.map(_.getAs[Long]("new_users")).sum == cums.last)
     }
   }
+
+  test("group-rank property: withGroupRowNumberAndSize equals the per-group " +
+    "window form on random keyed data (including skewed/singleton groups)") {
+    val rowGen = Gen.listOfN(40, Gen.zip(
+      Gen.oneOf("a", "b", "c", "z"), Gen.choose(-1000L, 1000L), Gen.choose(1L, 1000000L)))
+    forAll(rowGen, n = 4) { raw =>
+      val rows = raw.distinctBy(_._3)
+      if (rows.nonEmpty) {
+        val df = rows.toDF("k", "v", "id")
+        val (got, release) = graft.ops.GlobalRowNumber.withGroupRowNumberAndSize(
+          df, "rn", "n", Seq("k"), col("v").desc, col("id").asc)
+        val gotMap = got.select("id", "rn", "n").collect()
+          .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+        release()
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("k").orderBy(col("v").desc, col("id").asc)
+        val want = df
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .withColumn("n", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("k")))
+          .select("id", "rn", "n").collect()
+          .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+        assert(gotMap == want)
+        // and the ntile arithmetic matches ntile() on every group size
+        val gotTile = got.select(col("id"),
+          graft.ops.GlobalRowNumber.ntileFromRankCol(col("rn"), col("n"), 4).as("t"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val wantTile = df.withColumn("t", ntile(4).over(w).cast("long"))
+          .select("id", "t").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(gotTile == wantTile)
+      }
+    }
+  }
 }
