@@ -307,6 +307,14 @@ object SparkEntry {
       graft.streaming.StreamOps.histViaStream(
         s, d, "graft_ev_stream_hist", lo = 0.0, hi = 512.0, buckets = 128)),
 
+    // STREAMING near-dup gate: documents stream through the stateless
+    // per-row MinHash band generator into a per-bucket min-id state
+    // machine; a doc is flagged iff any of its buckets saw an earlier
+    // doc. The drained flags must equal the batch LSH answer (the same
+    // banded CTE chain as d_minhash_pairs closes the oracle)
+    "d_stream_neardup" -> ((s, d) =>
+      graft.streaming.StreamOps.nearDupViaStream(s, d, "graft_d_stream_neardup")),
+
     // the flatMapGroupsWithState session state machine, drained and
     // hash-checked against the SAME DuckDB oracle as the batch
     // `ev_sessionize` — custom streaming state semantics verified
@@ -4968,6 +4976,9 @@ object SparkEntry {
 
     "d_minhash_pairs" ->
       Dedup.minhashLshOracleSql("documents", "doc_id", "text"),
+
+    "d_stream_neardup" ->
+      Dedup.streamNearDupOracleSql("documents", "doc_id", "text"),
 
     "d_minhash_est" ->
       Dedup.minhashEstOracleSql("documents", "doc_id", "text"),

@@ -227,6 +227,41 @@ object Dedup {
     bandedPairs(minhashSignatures(docs, idCol, textCol, n, bands * rowsPerBand),
       bands, rowsPerBand)
 
+  /** Per-ROW MinHash band buckets — the stream-safe form of
+    * [[minhashSignatures]] + banding: no explode-and-reaggregate, so it
+    * runs on an unbounded stream (stateless projection) and on any batch
+    * frame with ZERO shuffles. One `transform` computes each shingle's
+    * md5 once; a single `aggregate` fold then carries all k permutation
+    * minima simultaneously (the multiplier/offset derive arithmetically
+    * from the slot index, so the fold body is one `zip_with` — the md5
+    * column is consumed exactly once, which keeps CollapseProject from
+    * inlining it k times). Produces the identical (doc_id, band, bucket)
+    * set as the batch signature path — parity is spec-pinned.
+    */
+  def minhashBandsPerRow(docs: DataFrame, idCol: String, textCol: String,
+                         n: Int = 3, bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
+    val k = bands * rowsPerBand
+    val hs = transform(
+      TextOps.shinglesFromTokens(TextOps.tokens(col(textCol)), n),
+      s => pmod(md5Hash60(s), lit(MinhashPrime)))
+    // fold: acc(i) = min over shingles of (h·(1+2i) + (7+131i)) mod P;
+    // P itself is the +infinity seed (every real value is < P)
+    val sigArr = aggregate(
+      hs,
+      array_repeat(lit(MinhashPrime), k),
+      (acc, h) => zip_with(acc, sequence(lit(0L), lit(k - 1L)),
+        (a, i) => least(a, pmod(h * (lit(1L) + i * 2L) + (lit(7L) + i * 131L),
+          lit(MinhashPrime)))))
+    val bandCol = transform(sequence(lit(0), lit(bands - 1)),
+      b => struct(b.cast("int").as("band"),
+        array_join(transform(slice(sigArr, b.cast("int") * rowsPerBand + 1, lit(rowsPerBand)),
+          x => x.cast("string")), "_").as("bucket")))
+    docs
+      .filter(size(TextOps.shinglesFromTokens(TextOps.tokens(col(textCol)), n)) >= 1)
+      .select(col(idCol).as("doc_id"), explode(bandCol).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
   /** LSH band-bucket join over a precomputed signature frame.
     * Bucket = the band's raw value tuple (string-joined): collision-free
     * and engine-portable, unlike murmur `hash(...)`; a deployment that
@@ -303,9 +338,11 @@ object Dedup {
     * generated from the same constants, so the driver hash-compares the
     * sub-quadratic LSH path exactly.
     */
-  def minhashLshOracleSql(
+  /** The toks→sh→h→sig→banded CTE chain shared by every MinHash oracle
+    * (pairs, estimates, clusters, and the streaming near-dup gate). */
+  private[dedup] def minhashBandCtes(
       table: String, idCol: String, textCol: String,
-      n: Int = 3, bands: Int = 8, rowsPerBand: Int = 4
+      n: Int, bands: Int, rowsPerBand: Int
   ): String = {
     val shingleExpr = (0 until n).map(j => s"t[i+$j]").mkString(" || ' ' || ")
     val minAggs = (0 until bands * rowsPerBand).map { i =>
@@ -316,7 +353,7 @@ object Dedup {
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => s"mh_$i").mkString(", ")
       s"SELECT doc_id, $b AS band, concat_ws('_', $cols) AS bucket FROM sig"
     }.mkString("\n  UNION ALL ")
-    s"""WITH toks AS (
+    s"""toks AS (
        |  SELECT $idCol AS doc_id, list_filter(regexp_split_to_array(lower($textCol), '[^a-z]+'), x -> x <> '') AS t
        |  FROM $table
        |), sh AS (
@@ -334,11 +371,32 @@ object Dedup {
        |  FROM h GROUP BY doc_id
        |), banded AS (
        |  $bandSelects
-       |)
+       |)""".stripMargin
+  }
+
+  def minhashLshOracleSql(
+      table: String, idCol: String, textCol: String,
+      n: Int = 3, bands: Int = 8, rowsPerBand: Int = 4
+  ): String =
+    s"""WITH ${minhashBandCtes(table, idCol, textCol, n, bands, rowsPerBand)}
        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |FROM banded a JOIN banded b
        |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id""".stripMargin
-  }
+
+  /** DuckDB oracle for the streaming near-dup gate: a doc is a near-dup
+    * iff ANY of its LSH band buckets contains an EARLIER (smaller id)
+    * doc — the batch answer the drained stream must reproduce. */
+  def streamNearDupOracleSql(
+      table: String, idCol: String, textCol: String,
+      n: Int = 3, bands: Int = 8, rowsPerBand: Int = 4
+  ): String =
+    s"""WITH ${minhashBandCtes(table, idCol, textCol, n, bands, rowsPerBand)}, dup AS (
+       |  SELECT DISTINCT a.doc_id
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND b.doc_id < a.doc_id
+       |)
+       |SELECT t.$idCol AS doc_id, (d.doc_id IS NOT NULL) AS is_dup
+       |FROM $table t LEFT JOIN dup d ON t.$idCol = d.doc_id""".stripMargin
 
   /** DuckDB oracle for `minhashEstVsTruth`: the minhash CTE chain of
     * [[minhashLshOracleSql]] plus the estimate (component matches / k)

@@ -163,6 +163,78 @@ object StreamOps {
       queryName)
   }
 
+  /** Open the documents parquet as a STREAM (file source) — the
+    * "documents land from a crawl" stand-in, staged the same way as
+    * [[eventsStream]]. */
+  def docsStream(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/documents.parquet"
+    val schema = spark.read.parquet(path).schema
+    val srcDir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_docstream_src_${new java.io.File(dir).getName}")
+    java.nio.file.Files.createDirectories(srcDir)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(path), srcDir.resolve("documents.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    spark.readStream.schema(schema).parquet(srcDir.toString)
+  }
+
+  case class BandRow(doc_id: Long, band: Int, bucket: String)
+  case class BandState(minDoc: Long)
+  case class DupFlag(doc_id: Long, dup: Boolean)
+
+  /** STREAMING near-dup gate — MinHash LSH dedup of a document stream
+    * against everything seen so far: each doc's band buckets come from
+    * the stateless per-row generator ([[graft.dedup.Dedup.minhashBandsPerRow]]
+    * — one md5 pass, no shuffle), and a per-bucket state machine keeps
+    * only the MINIMUM doc id ever seen in that bucket (O(1) state per
+    * bucket, the smallest state that answers "did anything earlier land
+    * here"). A doc is flagged dup iff ANY of its buckets held a smaller
+    * id — the exact batch LSH answer, which is what the DuckDB oracle
+    * checks on the drained result.
+    *
+    * Batching contract: equality with the batch answer holds when doc
+    * ids arrive non-decreasing across micro-batches (a crawl stream with
+    * monotone ids — within a batch any order is fine, the machine sorts).
+    * An out-of-order id can only flip flags toward FEWER dups (an
+    * already-emitted earlier doc can't be retracted in Append mode);
+    * the two-batch MemoryStream spec pins the cross-batch behavior.
+    */
+  def nearDup(bandRows: Dataset[BandRow]): Dataset[DupFlag] = {
+    import bandRows.sparkSession.implicits._
+    bandRows
+      .groupByKey(r => (r.band, r.bucket))
+      .flatMapGroupsWithState[BandState, DupFlag](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, rows: Iterator[BandRow], state: GroupState[BandState]) =>
+          val sorted = rows.toSeq.sortBy(_.doc_id)
+          var minSeen = state.getOption.map(_.minDoc).getOrElse(Long.MaxValue)
+          val out = sorted.map { r =>
+            val dup = minSeen < r.doc_id
+            if (r.doc_id < minSeen) minSeen = r.doc_id
+            DupFlag(r.doc_id, dup)
+          }
+          state.update(BandState(minSeen))
+          out.iterator
+      }
+  }
+
+  /** Drain [[nearDup]] over the document file-stream and reduce the
+    * per-band emissions to one flag per doc (dup iff dup in ANY band),
+    * left-joined back onto the full table so shingle-less docs report
+    * `false` — the row set the batch oracle produces. */
+  def nearDupViaStream(spark: SparkSession, dir: String, queryName: String): DataFrame = {
+    import spark.implicits._
+    val bandRows = graft.dedup.Dedup
+      .minhashBandsPerRow(docsStream(spark, dir), "doc_id", "text")
+      .as[BandRow]
+    val drained = runToCompletion(nearDup(bandRows).toDF(), queryName, OutputMode.Append())
+    val byDoc = drained.groupBy("doc_id").agg(max(col("dup")).as("_d"))
+    spark.read.parquet(s"$dir/documents.parquet").select(col("doc_id"))
+      .join(byDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("_d"), lit(false)).as("is_dup"))
+  }
+
   /** The `ev_sessionize` answer computed by the STREAMING state machine:
     * drain [[sessionize]] over the file-source stream (Append mode — the
     * only mode `flatMapGroupsWithState` supports) and reduce the emitted

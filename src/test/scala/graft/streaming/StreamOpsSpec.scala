@@ -341,4 +341,63 @@ class StreamOpsSpec extends SparkSpecBase {
     assert(drained.filter(col("c_id").isNull).count() == nEvictedUnmatched)
     assert(nPairs > 0 && nEvictedUnmatched > 0, "fixture must exercise both paths")
   }
+
+  test("nearDup: per-bucket min-id state flags later colliders across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[BandRow]
+    // batch 1: docs 1 and 2 collide in (0,"x") -> 2 is dup; doc 3 alone
+    input.addData(BandRow(1L, 0, "x"), BandRow(2L, 0, "x"), BandRow(3L, 1, "y"))
+    val q = nearDup(input.toDS())
+      .writeStream.format("memory").queryName("nd").outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      // batch 2: doc 5 collides with REMEMBERED bucket (0,"x") -> dup;
+      // doc 6 collides with (1,"y") from batch 1 -> dup; doc 7 fresh
+      input.addData(BandRow(5L, 0, "x"), BandRow(6L, 1, "y"), BandRow(7L, 2, "z"))
+      q.processAllAvailable()
+      val rows = spark.table("nd").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("dup")).toMap
+      assert(rows == Map(1L -> false, 2L -> true, 3L -> false,
+        5L -> true, 6L -> true, 7L -> false))
+    } finally q.stop()
+  }
+
+  test("minhashBandsPerRow (stream-safe, shuffle-free) emits the identical " +
+    "(doc, band, bucket) set as the batch signature path") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different text with many other words inside it here"),
+      (4L, "an") // < n tokens: no shingles, no bands on either path
+    ).toDF("doc_id", "text")
+    val perRow = graft.dedup.Dedup.minhashBandsPerRow(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val sig = graft.dedup.Dedup.minhashSignatures(docs, "doc_id", "text", n = 3, k = 32)
+    val bandCols = (0 until 8).map { b =>
+      val cols = (b * 4 until (b + 1) * 4).map(i => col(s"mh_$i"))
+      struct(lit(b).as("band"), concat_ws("_", cols: _*).as("bucket"))
+    }
+    val batch = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(perRow == batch)
+    assert(perRow.nonEmpty && !perRow.exists(_._1 == 4L))
+    // identical docs produce identical buckets in every band
+    val b1 = perRow.collect { case (1L, b, k) => (b, k) }
+    val b2 = perRow.collect { case (2L, b, k) => (b, k) }
+    assert(b1 == b2)
+  }
+
+  test("nearDupViaStream plan: band generation is stateless per-row (no " +
+    "aggregate before the state machine)") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val bands = graft.dedup.Dedup.minhashBandsPerRow(docs, "doc_id", "text")
+    // zero exchanges: the whole band computation is projection + explode
+    val plan = bands.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
 }
