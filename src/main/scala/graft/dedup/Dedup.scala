@@ -229,37 +229,62 @@ object Dedup {
 
   /** Per-ROW MinHash band buckets — the stream-safe form of
     * [[minhashSignatures]] + banding: no explode-and-reaggregate, so it
-    * runs on an unbounded stream (stateless projection) and on any batch
-    * frame with ZERO shuffles. One `transform` computes each shingle's
-    * md5 once; a single `aggregate` fold then carries all k permutation
-    * minima simultaneously (the multiplier/offset derive arithmetically
-    * from the slot index, so the fold body is one `zip_with` — the md5
-    * column is consumed exactly once, which keeps CollapseProject from
-    * inlining it k times). Produces the identical (doc_id, band, bucket)
-    * set as the batch signature path — parity is spec-pinned.
+    * runs on an unbounded stream (stateless typed op) and on any batch
+    * frame with ZERO shuffles.
+    *
+    * String semantics (lowercase, tokenize, shingle) stay in the SAME
+    * codegen'd column expressions as the batch path — no Java/UTF8String
+    * collation divergence possible. Only the minhash arithmetic runs in
+    * a typed kernel: md5 once per shingle (identical 60-bit prefix read
+    * as [[md5Hash60]]), all k permutation minima in one pass. This is
+    * the engine's documented mapPartitions-tier exception: the
+    * column-expression fold (`aggregate`+`zip_with`) is an INTERPRETED
+    * higher-order function that allocates a k-array per shingle —
+    * measured 94 s for 5 000 docs at sf0.1 where this kernel takes ~2 s
+    * (the same hazard minhashSignatures' scaladoc records for the
+    * nested-HOF batch form). Parity with the batch signature path is
+    * spec-pinned on the exact (doc_id, band, bucket) set.
     */
   def minhashBandsPerRow(docs: DataFrame, idCol: String, textCol: String,
                          n: Int = 3, bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val k = bands * rowsPerBand
-    val hs = transform(
-      TextOps.shinglesFromTokens(TextOps.tokens(col(textCol)), n),
-      s => pmod(md5Hash60(s), lit(MinhashPrime)))
-    // fold: acc(i) = min over shingles of (h·(1+2i) + (7+131i)) mod P;
-    // P itself is the +infinity seed (every real value is < P)
-    val sigArr = aggregate(
-      hs,
-      array_repeat(lit(MinhashPrime), k),
-      (acc, h) => zip_with(acc, sequence(lit(0L), lit(k - 1L)),
-        (a, i) => least(a, pmod(h * (lit(1L) + i * 2L) + (lit(7L) + i * 131L),
-          lit(MinhashPrime)))))
-    val bandCol = transform(sequence(lit(0), lit(bands - 1)),
-      b => struct(b.cast("int").as("band"),
-        array_join(transform(slice(sigArr, b.cast("int") * rowsPerBand + 1, lit(rowsPerBand)),
-          x => x.cast("string")), "_").as("bucket")))
+    val prime = MinhashPrime
     docs
-      .filter(size(TextOps.shinglesFromTokens(TextOps.tokens(col(textCol)), n)) >= 1)
-      .select(col(idCol).as("doc_id"), explode(bandCol).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .select(col(idCol).cast("long").as("doc_id"),
+        TextOps.shinglesFromTokens(TextOps.tokens(col(textCol)), n).as("sh"))
+      .as[(Long, Seq[String])]
+      .flatMap { case (id, sh) =>
+        if (sh == null || sh.isEmpty) Iterator.empty
+        else {
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val mins = Array.fill(k)(prime)
+          sh.foreach { s =>
+            md.reset()
+            val dg = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            // first 15 hex chars = bytes 0..6 (56 bits) + byte 7's high
+            // nibble — exactly CAST(concat('0x', substr(md5(x),1,15)))
+            var h0 = 0L
+            var i = 0
+            while (i < 7) { h0 = (h0 << 8) | (dg(i) & 0xffL); i += 1 }
+            h0 = (h0 << 4) | ((dg(7) & 0xf0L) >> 4)
+            val h = h0 % prime
+            var j = 0
+            while (j < k) {
+              val v = (h * (1L + 2L * j) + (7L + 131L * j)) % prime
+              if (v < mins(j)) mins(j) = v
+              j += 1
+            }
+          }
+          (0 until bands).iterator.map { b =>
+            val bucket = (b * rowsPerBand until (b + 1) * rowsPerBand)
+              .map(mins).mkString("_")
+            (id, b, bucket)
+          }
+        }
+      }
+      .toDF("doc_id", "band", "bucket")
   }
 
   /** LSH band-bucket join over a precomputed signature frame.

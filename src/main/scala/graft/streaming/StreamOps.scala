@@ -225,8 +225,17 @@ object StreamOps {
     * `false` — the row set the batch oracle produces. */
   def nearDupViaStream(spark: SparkSession, dir: String, queryName: String): DataFrame = {
     import spark.implicits._
+    // the staged table is ONE parquet file -> one input split, which
+    // would single-thread the md5 kernel (measured 13 s vs ~2 s at
+    // sf0.1). Production doc streams arrive pre-partitioned (Kafka
+    // partitions / many landing files); locally we spread the
+    // micro-batch explicitly. The exchange moves the batch's raw docs
+    // once, UPSTREAM of the band shuffle the state machine performs
+    // anyway — no new data-sized shuffle class.
+    val spread = docsStream(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
     val bandRows = graft.dedup.Dedup
-      .minhashBandsPerRow(docsStream(spark, dir), "doc_id", "text")
+      .minhashBandsPerRow(spread, "doc_id", "text")
       .as[BandRow]
     val drained = runToCompletion(nearDup(bandRows).toDF(), queryName, OutputMode.Append())
     val byDoc = drained.groupBy("doc_id").agg(max(col("dup")).as("_d"))
