@@ -1068,6 +1068,25 @@ object SparkEntry {
           coalesce(col("note_chars"), lit(-1L)).cast("long").as("note_chars"))
     }),
 
+    // the composed LLM-curation funnel as ONE exactly-oracled query:
+    // lang gate → quality cascade → exact dedup → MinHash-LSH near-dup →
+    // benchmark decontamination, each stage defined over the SURVIVORS of
+    // the previous (a near-dup of an already-dropped doc is NOT charged
+    // to near_dup — the staged composition a per-stage union of
+    // independent filters gets wrong). Every gate is green individually
+    // (t_lang_id / t_quality_cascade / d_exact_groups / d_stream_neardup
+    // / d_contamination); this row pins their composition, the
+    // curation analog of pipeline_relational. Output = (doc_id, stage).
+    "pipeline_curation" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.text.Curation.funnel(
+        docs.filter(col("doc_id") % 100 =!= 0),
+        docs.filter(col("doc_id") % 100 === 0),
+        "doc_id", "text",
+        minTokens = 15, maxTokens = 100000,
+        minMeanLen = 3.2, maxMeanLen = 4.65, minTtr = 0.32)
+    }),
+
     // seeded sampling: no cross-engine oracle (RNG streams differ);
     // driver records rows-only. Determinism is pinned by specs.
     "o3_sample_split" -> ((s, d) => {
@@ -4366,6 +4385,12 @@ object SparkEntry {
          |JOIN customer cu ON l.o_custkey = cu.c_custkey
          |JOIN firstord f ON l.o_custkey = f.o_custkey
          |LEFT JOIN notes n ON l.o_custkey = n.subj""".stripMargin,
+
+    "pipeline_curation" -> graft.text.Curation.funnelOracleSql(
+      "documents", "doc_id", "text",
+      corpusPredSql = "doc_id % 100 <> 0", probePredSql = "doc_id % 100 = 0",
+      minTokens = 15, maxTokens = 100000,
+      minMeanLen = 3.2, maxMeanLen = 4.65, minTtr = 0.32),
 
     "o5_union_agg" ->
       """SELECT o_orderstatus, count(*) AS cnt FROM (

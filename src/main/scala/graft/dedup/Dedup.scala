@@ -365,7 +365,7 @@ object Dedup {
     */
   /** The toks→sh→h→sig→banded CTE chain shared by every MinHash oracle
     * (pairs, estimates, clusters, and the streaming near-dup gate). */
-  private[dedup] def minhashBandCtes(
+  private[graft] def minhashBandCtes(
       table: String, idCol: String, textCol: String,
       n: Int, bands: Int, rowsPerBand: Int
   ): String = {

@@ -100,6 +100,21 @@ object TextOps {
   private def markerHits(c: Column, words: Seq[String]): Column =
     size(filter(tokens(c), t => t.isin(words.map(w => w: Any): _*)))
 
+  /** All marker words across the four Latin-script languages — the
+    * "language identifiable at all" evidence set used by the curation
+    * funnel's lang gate (a doc with zero marker hits and no CJK
+    * codepoints is script noise / unidentifiable, the class a
+    * pre-training pipeline drops first).
+    */
+  private[graft] val allMarkers: Seq[String] = markers.values.flatten.toSeq.distinct
+
+  /** True iff [[langId]] has ANY evidence to work with: a CJK codepoint
+    * or at least one Latin marker-word hit. Pure codegen'd expressions —
+    * one pass over the token array.
+    */
+  def langEvident(c: Column): Column =
+    c.rlike("[\\u4e00-\\u9fff]") || markerHits(c, allMarkers) > 0
+
   def langId(c: Column): Column = {
     val en = markerHits(c, markers("en"))
     val es = markerHits(c, markers("es"))
