@@ -888,6 +888,51 @@ object SparkEntry {
       s.sql(SparkEntry.q5Sql)
     }),
 
+    // Q7/Q8-shaped multi-dim star joins through the SQL front-end: the
+    // symmetric nation-pair OR predicate (q7) and the 8-table market-share
+    // star (q8) — dimension chains broadcast, the fact table shuffles once
+    "sql_q7_volume" -> ((s, d) => {
+      Seq("supplier", "lineitem", "orders", "customer", "nation")
+        .foreach(tn => Tables.table(s, d, tn).createOrReplaceTempView(tn))
+      s.sql(SparkEntry.q7Sql)
+    }),
+    "sql_q8_share" -> ((s, d) => {
+      Seq("part", "lineitem", "supplier", "orders", "customer", "nation", "region")
+        .foreach(tn => Tables.table(s, d, tn).createOrReplaceTempView(tn))
+      s.sql(SparkEntry.q8Sql)
+    }),
+
+    // Q13-shaped two-level aggregation over a LEFT join whose exclusion
+    // predicate lives in the ON clause (zero-order customers survive)
+    "sql_q13_custdist" -> ((s, d) => {
+      Seq("customer", "orders")
+        .foreach(tn => Tables.table(s, d, tn).createOrReplaceTempView(tn))
+      s.sql(SparkEntry.q13Sql)
+    }),
+
+    // Q15-shaped revenue-view max: CTE + uncorrelated scalar subquery —
+    // the 1-row max broadcasts back over the per-supplier aggregate
+    "sql_q15_topsupp" -> ((s, d) => {
+      Seq("lineitem", "supplier")
+        .foreach(tn => Tables.table(s, d, tn).createOrReplaceTempView(tn))
+      s.sql(SparkEntry.q15Sql)
+    }),
+
+    // Q17-shaped correlated scalar aggregate: Catalyst decorrelates the
+    // per-part mean into an aggregate joined back on l_partkey
+    "sql_q17_smallqty" -> ((s, d) => {
+      Seq("lineitem", "part")
+        .foreach(tn => Tables.table(s, d, tn).createOrReplaceTempView(tn))
+      s.sql(SparkEntry.q17Sql)
+    }),
+
+    // Q22-shaped scalar-threshold + NOT EXISTS recency anti-join
+    "sql_q22_idle" -> ((s, d) => {
+      Seq("customer", "orders", "nation")
+        .foreach(tn => Tables.table(s, d, tn).createOrReplaceTempView(tn))
+      s.sql(SparkEntry.q22Sql)
+    }),
+
     // explicit GROUPING SETS + GROUPING() markers — the grouping-lattice
     // surface beyond ROLLUP/CUBE, shared-text on both engines
     "sql_grouping_sets" -> ((s, d) => {
@@ -3895,11 +3940,118 @@ object SparkEntry {
       |      FROM orders) t
       |WHERE rn = 1""".stripMargin
 
+  /** Q7-shaped bilateral volume shipping: the 6-way join with the
+    * symmetric nation-pair OR predicate — Catalyst must keep the fact
+    * side shuffled once while both nation dims broadcast. Shared text. */
+  val q7Sql: String =
+    """SELECT supp_nation, cust_nation, l_year, CAST(SUM(volume) AS DOUBLE) AS revenue
+      |FROM (
+      |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |         CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+      |         CAST(l_extendedprice AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) AS volume
+      |  FROM supplier
+      |  JOIN lineitem ON s_suppkey = l_suppkey
+      |  JOIN orders ON o_orderkey = l_orderkey
+      |  JOIN customer ON c_custkey = o_custkey
+      |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |  WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+      |      OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+      |    AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1997-12-31 00:00:00'
+      |) shipping
+      |GROUP BY supp_nation, cust_nation, l_year""".stripMargin
+
+  /** Q8-shaped market share: 8-table star, share = two exact decimal sums
+    * divided as DOUBLE (decimal÷decimal scale rules differ per engine —
+    * the division must happen after the portable cast). Shared text. */
+  val q8Sql: String =
+    """SELECT o_year,
+      |  CAST(SUM(CASE WHEN nation = 'NATION_5' THEN volume ELSE CAST(0 AS DECIMAL(10,2)) END) AS DOUBLE)
+      |    / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+      |FROM (
+      |  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+      |         CAST(l_extendedprice AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) AS volume,
+      |         n2.n_name AS nation
+      |  FROM part
+      |  JOIN lineitem ON p_partkey = l_partkey
+      |  JOIN supplier ON s_suppkey = l_suppkey
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      |  JOIN region ON n1.n_regionkey = r_regionkey
+      |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      |  WHERE r_name = 'EUROPE' AND p_type = 'PROMO'
+      |    AND o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1997-12-31 00:00:00'
+      |) all_nations
+      |GROUP BY o_year""".stripMargin
+
+  /** Q13-shaped customer order-count distribution: LEFT join with an ON
+    * exclusion predicate (zero-order customers MUST survive), then a
+    * second aggregation over the first's result. Shared text. */
+  val q13Sql: String =
+    """SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+      |FROM (
+      |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      |  FROM customer
+      |  LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |  GROUP BY c_custkey
+      |) c_orders
+      |GROUP BY c_count""".stripMargin
+
+  /** Q15-shaped top supplier: CTE revenue view + uncorrelated scalar-MAX
+    * equality (exact because the decimal sum is cast to DOUBLE once on
+    * both engines — bit-identical, so `=` is portable). Shared text. */
+  val q15Sql: String =
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+      |  GROUP BY l_suppkey
+      |)
+      |SELECT s_suppkey, s_name, total_revenue
+      |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+      |WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)""".stripMargin
+
+  /** Q17-shaped small-quantity revenue: CORRELATED scalar aggregate
+    * subquery (per-part mean decomposed as exact-decimal SUM / COUNT so
+    * the 0.2× threshold is order-independent on both engines) — Catalyst
+    * decorrelates to an aggregate + equi-join. Shared text. */
+  val q17Sql: String =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2))) AS DOUBLE) / 7.0 AS avg_yearly
+      |FROM lineitem
+      |JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand = 'Brand#23'
+      |  AND l_quantity < (SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*))
+      |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin
+
+  /** Q22-shaped idle-wealthy-customer query: uncorrelated scalar-AVG
+    * threshold (SUM/COUNT form for portability) + correlated NOT EXISTS
+    * recency anti-join, grouped by nation. Shared text. */
+  val q22Sql: String =
+    """SELECT n_name, CAST(COUNT(*) AS BIGINT) AS numcust,
+      |       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE c_acctbal > (SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+      |                   FROM customer c2 WHERE c2.c_acctbal > 0.0)
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+      |GROUP BY n_name""".stripMargin
+
   // ----------------------------------------------------------------------
 
   def oracleSql: Map[String, String] = uniqueMap[String]("oracle")(
     "sql_q3_shipping" -> q3Sql,
     "sql_q5_local" -> q5Sql,
+    "sql_q7_volume" -> q7Sql,
+    "sql_q8_share" -> q8Sql,
+    "sql_q13_custdist" -> q13Sql,
+    "sql_q15_topsupp" -> q15Sql,
+    "sql_q17_smallqty" -> q17Sql,
+    "sql_q22_idle" -> q22Sql,
     "sql_rollup_agg" -> rollupSql,
     "sql_cube_agg" -> cubeSql,
     "sql_grouping_sets" -> groupingSetsSql,
