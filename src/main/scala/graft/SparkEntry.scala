@@ -1496,6 +1496,16 @@ object SparkEntry {
       Quantized.pqTopK(t(s, d, "embeddings"), "vec_id", "embedding",
         dim = 64, m = 8, nCodes = 16, nQueries = 10, k = 5)),
 
+    // IVF-PQ + exact re-rank: the production billion-vector composition
+    // (coarse quantizer → inverted-list ADC scan → exact top-`rerank`
+    // refine). Deterministic data-point codebooks keep the ENTIRE
+    // composition exactly oracled — coarse argmax, probe set, ADC fold,
+    // shortlist, and the refined final ranking
+    "sim_ivfpq_topk" -> ((s, d) =>
+      Quantized.ivfPqTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+        dim = 64, m = 8, nCodes = 16, nPivots = 16, nprobe = 2,
+        nQueries = 10, rerank = 20, k = 5)),
+
     // exactly-oracled distributed Lloyd k-means: 3 unrolled rounds of
     // (broadcast-centroid argmin → per-cluster exact integer sums) over
     // micro-quantized vectors; per-member distances round to integer
@@ -5234,6 +5244,11 @@ object SparkEntry {
     "sim_pq_recall" ->
       Quantized.pqRecallOracleSql("embeddings", "vec_id", "embedding",
         dim = 64, m = 8, nCodes = 16, nQueries = 10, k = 5),
+
+    "sim_ivfpq_topk" ->
+      Quantized.ivfPqTopKOracleSql("embeddings", "vec_id", "embedding",
+        dim = 64, m = 8, nCodes = 16, nPivots = 16, nprobe = 2,
+        nQueries = 10, rerank = 20, k = 5),
 
     "sim_prefix_rerank" ->
       Similarity.prefixRerankOracleSql("embeddings", "vec_id", "embedding",

@@ -222,6 +222,170 @@ object Quantized {
        |  FROM adc WHERE query_id <> neighbor_id
        |) WHERE rank <= $k""".stripMargin
 
+  /** IVF-PQ with exact re-rank — the production large-corpus ANN
+    * composition (FAISS `IVFPQ` + refine, Jégou et al. 2011): a coarse
+    * quantizer restricts each query to `nprobe` inverted lists, PQ-ADC
+    * scores only those candidates (m LUT adds per pair instead of a
+    * dim-length dot), and the top `rerank` survivors get ONE exact
+    * cosine each before the final top-k. Both quantizers use
+    * deterministic data-point codebooks (`vid < nPivots` / `vid <
+    * nCodes`), so the full composition — coarse argmax, probe ranking,
+    * ADC fold, shortlist, exact re-rank — is mirrorable in SQL and
+    * exactly oracled.
+    *
+    * Scale shape: pivots and the (m × nCodes) codebook broadcast; corpus
+    * assignment and encoding are each ONE broadcast join + map-side
+    * aggregate (no corpus shuffle); the candidate join touches only the
+    * probed fraction (≈ nprobe/nPivots of the corpus per query); exact
+    * distances are paid for `rerank` rows per query, not the corpus.
+    */
+  def ivfPqTopK(emb: DataFrame, idCol: String, vecCol: String,
+                dim: Int, m: Int, nCodes: Int, nPivots: Int, nprobe: Int,
+                nQueries: Int, rerank: Int, k: Int): DataFrame = {
+    require(dim % m == 0, s"ivfPqTopK: dim=$dim not divisible by m=$m")
+    val subDim = dim / m
+    val embD = emb.select(
+      col(idCol).as("vid"),
+      transform(col(vecCol), x => x.cast("double")).as("e"))
+    val cent = embD.filter(col("vid") < nPivots)
+      .select(col("vid").cast("int").as("cluster_id"), col("e").as("cvec"))
+      .withColumn("_nc", sqrt(foldDot(col("cvec"), col("cvec"))))
+
+    def cosTo(v: Column, nv: Column): Column =
+      when(nv === 0.0 || col("_nc") === 0.0, lit(null))
+        .otherwise(foldDot(v, col("cvec")) / (nv * col("_nc")))
+
+    // coarse assignment: argmax cosine as an AGGREGATE (map-side partial),
+    // tiebreak highest csim then lowest cluster_id — same contract as
+    // Similarity.ivfTopK
+    val withN = embD.withColumn("_nv", sqrt(foldDot(col("e"), col("e"))))
+    val ca = withN.join(broadcast(cent))
+      .withColumn("csim", coalesce(cosTo(col("e"), col("_nv")), lit(-2.0)))
+      .groupBy("vid")
+      .agg(max_by(col("cluster_id"),
+        struct(col("csim"), (-col("cluster_id")).as("_t"))).as("cluster_id"))
+
+    val qaW = Window.partitionBy("query_id").orderBy(desc("csim"), asc("cluster_id"))
+    val qa = withN.filter(col("vid") < nQueries)
+      .withColumnRenamed("vid", "query_id")
+      .join(broadcast(cent))
+      .withColumn("csim", coalesce(cosTo(col("e"), col("_nv")), lit(-2.0)))
+      .withColumn("crank", row_number().over(qaW))
+      .filter(col("crank") <= nprobe)
+      .select(col("query_id"), col("cluster_id"))
+
+    // PQ encode + per-query LUT (identical contracts to pqTopK)
+    val pivots = subRows(embD.filter(col("vid") < nCodes), "vid", m, subDim)
+      .select(col("vid").cast("int").as("c"), col("j"), col("sv").as("pv"))
+    val codes = subRows(embD, "vid", m, subDim)
+      .join(broadcast(pivots), Seq("j"))
+      .withColumn("d2", foldDist2(col("sv"), col("pv")))
+      .groupBy(col("vid"), col("j"))
+      .agg(min_by(col("c"), struct(col("d2"), col("c"))).as("code"))
+    val lut = subRows(embD.filter(col("vid") < nQueries), "vid", m, subDim)
+      .withColumnRenamed("vid", "query_id")
+      .join(broadcast(pivots), Seq("j"))
+      .withColumn("part", foldDot(col("sv"), col("pv")))
+      .select(col("query_id"), col("j"), col("c"), col("part"))
+
+    // ADC over PROBED candidates only: inverted-list join, then the
+    // subspace-ordered fold (pinned double accumulation order)
+    val cand = ca.withColumnRenamed("vid", "neighbor_id")
+      .join(broadcast(qa), Seq("cluster_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id")
+    val codesN = codes.select(col("vid").as("neighbor_id"), col("j").as("cj"), col("code"))
+    val lutN = lut.select(col("query_id").as("lq"), col("j").as("lj"),
+      col("c").as("lc"), col("part"))
+    val adc = cand
+      .join(codesN, Seq("neighbor_id"))
+      .join(lutN,
+        col("query_id") === col("lq") && col("cj") === col("lj") && col("code") === col("lc"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("cj").as("j"), col("part")))),
+        lit(0.0), (acc, s) => acc + s.getField("part")).as("adc"))
+
+    val shortW = Window.partitionBy("query_id").orderBy(desc("adc"), asc("neighbor_id"))
+    val shortlist = adc
+      .withColumn("srn", row_number().over(shortW))
+      .filter(col("srn") <= rerank)
+      .select("query_id", "neighbor_id")
+
+    // exact re-rank of the shortlist: one true cosine per survivor
+    val qv = withN.filter(col("vid") < nQueries)
+      .select(col("vid").as("query_id"), col("e").as("qe"), col("_nv").as("_nq"))
+    val nv = withN.select(col("vid").as("neighbor_id"), col("e").as("ne"), col("_nv").as("_nn"))
+    val rerankW = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("neighbor_id"))
+    shortlist
+      .join(broadcast(qv), Seq("query_id"))
+      .join(nv, Seq("neighbor_id"))
+      .withColumn("cosine",
+        when(col("_nq") === 0.0 || col("_nn") === 0.0, lit(null))
+          .otherwise(foldDot(col("qe"), col("ne")) / (col("_nq") * col("_nn"))))
+      .withColumn("rank", row_number().over(rerankW))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** DuckDB mirror of [[ivfPqTopK]] — composes the IVF assignment CTEs
+    * with [[pqCtes]]'s encode/LUT chain; same argmax/probe/fold/re-rank
+    * tiebreaks, same left-to-right double accumulation everywhere.
+    */
+  def ivfPqTopKOracleSql(table: String, idCol: String, vecCol: String,
+                         dim: Int, m: Int, nCodes: Int, nPivots: Int, nprobe: Int,
+                         nQueries: Int, rerank: Int, k: Int): String = {
+    def dotSql(a: String, b: String): String =
+      s"list_sum(list_transform(range(1, ${dim + 1}), i -> $a[i] * $b[i]))"
+    def cosSql(a: String, b: String): String =
+      s"CASE WHEN sqrt(${dotSql(a, a)}) = 0 OR sqrt(${dotSql(b, b)}) = 0 THEN NULL " +
+        s"ELSE ${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})) END"
+    s"""WITH ${pqCtes(table, idCol, vecCol, dim, m, nCodes, nQueries)},
+       |cp AS (SELECT CAST(vid AS INTEGER) AS cluster_id, e AS ce FROM v WHERE vid < $nPivots),
+       |ca AS (
+       |  SELECT vid AS neighbor_id, cluster_id FROM (
+       |    SELECT c.vid, cp.cluster_id,
+       |      row_number() OVER (PARTITION BY c.vid
+       |        ORDER BY COALESCE(${cosSql("c.e", "cp.ce")}, -2.0) DESC NULLS LAST, cp.cluster_id ASC) AS rn
+       |    FROM v c, cp) WHERE rn = 1
+       |),
+       |qa AS (
+       |  SELECT query_id, cluster_id FROM (
+       |    SELECT q.vid AS query_id, cp.cluster_id,
+       |      row_number() OVER (PARTITION BY q.vid
+       |        ORDER BY COALESCE(${cosSql("q.e", "cp.ce")}, -2.0) DESC NULLS LAST, cp.cluster_id ASC) AS rn
+       |    FROM v q, cp WHERE q.vid < $nQueries) WHERE rn <= $nprobe
+       |),
+       |cand AS (
+       |  SELECT qa.query_id, ca.neighbor_id
+       |  FROM ca JOIN qa USING (cluster_id)
+       |  WHERE qa.query_id <> ca.neighbor_id
+       |),
+       |adcr AS (
+       |  SELECT cd2.query_id, cd2.neighbor_id, list_sum(list(l.part ORDER BY l.j)) AS adc
+       |  FROM (SELECT c2.query_id, c2.neighbor_id, cd.j, cd.code
+       |        FROM cand c2 JOIN codes cd ON cd.vid = c2.neighbor_id) cd2
+       |  JOIN lut l ON l.query_id = cd2.query_id AND l.j = cd2.j AND l.c = cd2.code
+       |  GROUP BY 1, 2
+       |),
+       |shortl AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY adc DESC NULLS LAST, neighbor_id ASC) AS srn
+       |    FROM adcr) WHERE srn <= $rerank
+       |)
+       |SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+       |  SELECT s.query_id, s.neighbor_id,
+       |    ${cosSql("qv.e", "nv.e")} AS cosine,
+       |    row_number() OVER (PARTITION BY s.query_id
+       |      ORDER BY ${cosSql("qv.e", "nv.e")} DESC NULLS LAST, s.neighbor_id ASC) AS rank
+       |  FROM shortl s
+       |  JOIN v qv ON qv.vid = s.query_id
+       |  JOIN v nv ON nv.vid = s.neighbor_id
+       |) WHERE rank <= $k""".stripMargin
+  }
+
   /** Recall@k of the PQ path against exact brute force, one hash-checked
     * `(query_id, n_hits)` row per query — pins ADC ranking quality as
     * data, the same shape as `Similarity.ivfRecall`.

@@ -88,4 +88,34 @@ class QuantizedSpec extends SparkSpecBase {
     assert(out(0).getAs[Double]("score") > 0.99)
     assert(out(2).getAs[Double]("score") < out(1).getAs[Double]("score"))
   }
+
+  test("ivfPqTopK with full probing + unbounded rerank equals brute force") {
+    // nprobe = nPivots means every inverted list is probed, and rerank ≥
+    // |corpus| re-scores every candidate exactly — the approximate path
+    // must then return the EXACT brute-force top-k, whatever the ADC said
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val ivfpq = Quantized.ivfPqTopK(emb, "vec_id", "embedding",
+      dim = 64, m = 8, nCodes = 16, nPivots = 8, nprobe = 8,
+      nQueries = 5, rerank = 1000, k = 5)
+      .select("query_id", "neighbor_id", "rank")
+    val embD = emb.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    val bf = Similarity.bruteForceTopK(embD, embD.filter(col("vec_id") < 5),
+      "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id", "rank")
+    assert(ivfpq.exceptAll(bf).isEmpty && bf.exceptAll(ivfpq).isEmpty)
+  }
+
+  test("ivfPqTopK emits at most k rows per query with dense ranks") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val out = Quantized.ivfPqTopK(emb, "vec_id", "embedding",
+      dim = 64, m = 8, nCodes = 16, nPivots = 16, nprobe = 2,
+      nQueries = 5, rerank = 10, k = 3).collect()
+    val byQ = out.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.values.forall(_.length <= 3))
+    byQ.values.foreach { rows =>
+      assert(rows.map(_.getAs[Int]("rank")).sorted.toSeq ==
+        (1 to rows.length).toSeq)
+    }
+  }
 }
