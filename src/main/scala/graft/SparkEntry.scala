@@ -307,6 +307,15 @@ object SparkEntry {
       graft.streaming.StreamOps.histViaStream(
         s, d, "graft_ev_stream_hist", lo = 0.0, hi = 512.0, buckets = 128)),
 
+    // ONLINE drift gate: (bin, slice) counts build incrementally in the
+    // state store (≤ buckets rows), the PSI readout runs over the drained
+    // counts with the SAME arithmetic as batch drift_psi — oracled against
+    // the batch answer on identical input
+    "ev_stream_psi" -> ((s, d) =>
+      graft.streaming.StreamOps.psiViaStream(
+        s, d, "graft_ev_stream_psi",
+        splitTs = "2024-01-16 00:00:00", binWidth = 50.0, buckets = 10)),
+
     // STREAMING near-dup gate: documents stream through the stateless
     // per-row MinHash band generator into a per-bucket min-id state
     // machine; a doc is flagged iff any of its buckets saw an earlier
@@ -5451,6 +5460,28 @@ object SparkEntry {
          |  round(((cur_cnt + 0.5) / (ct + 0.5 * nb) - (ref_cnt + 0.5) / (rt + 0.5 * nb))
          |        * ln(((cur_cnt + 0.5) / (ct + 0.5 * nb)) / ((ref_cnt + 0.5) / (rt + 0.5 * nb))), 6) AS psi_term
          |FROM b, tot""".stripMargin,
+
+    "ev_stream_psi" ->
+      """WITH s AS (
+        |  SELECT least(greatest(CAST(floor(value / 50.0) AS BIGINT), 0), 9) AS bin,
+        |         ts < TIMESTAMP '2024-01-16 00:00:00' AS isref
+        |  FROM events WHERE value IS NOT NULL
+        |), b AS (
+        |  SELECT bin,
+        |         CAST(SUM(CASE WHEN isref THEN 1 ELSE 0 END) AS BIGINT) AS ref_cnt,
+        |         CAST(SUM(CASE WHEN isref THEN 0 ELSE 1 END) AS BIGINT) AS cur_cnt
+        |  FROM s GROUP BY bin
+        |), tot AS (
+        |  SELECT CAST(SUM(ref_cnt) AS BIGINT) AS rt, CAST(SUM(cur_cnt) AS BIGINT) AS ct,
+        |         CAST(COUNT(*) AS BIGINT) AS nb
+        |  FROM b
+        |)
+        |SELECT bin, ref_cnt, cur_cnt,
+        |  round((ref_cnt + 0.5) / (rt + 0.5 * nb), 9) AS p_ref,
+        |  round((cur_cnt + 0.5) / (ct + 0.5 * nb), 9) AS p_cur,
+        |  round(((cur_cnt + 0.5) / (ct + 0.5 * nb) - (ref_cnt + 0.5) / (rt + 0.5 * nb))
+        |        * ln(((cur_cnt + 0.5) / (ct + 0.5 * nb)) / ((ref_cnt + 0.5) / (rt + 0.5 * nb))), 6) AS psi_term
+        |FROM b, tot""".stripMargin,
 
     "drift_ks" ->
       s"""WITH s AS (

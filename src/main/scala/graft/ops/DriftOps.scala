@@ -39,6 +39,16 @@ object DriftOps {
       .agg(
         sum(when(isRef, 1L).otherwise(0L)).as("ref_cnt"),
         sum(when(isRef, 0L).otherwise(1L)).as("cur_cnt"))
+    psiFromCounts(binned, smoothing)
+  }
+
+  /** PSI arithmetic over an ALREADY-AGGREGATED (bin, ref_cnt, cur_cnt)
+    * table — the readout half of [[psiBins]], shared with the streaming
+    * build (whose counts come out of the incremental state store rather
+    * than a batch groupBy). Input is B rows, so every op here is
+    * cardinality-bounded.
+    */
+  def psiFromCounts(binned: DataFrame, smoothing: Double = 0.5): DataFrame = {
     // totals ride a global window over the B-row BIN table — the
     // crossJoin(broadcast(agg)) alternative physically re-evaluates the
     // binned subtree and re-scans the input

@@ -163,6 +163,35 @@ object StreamOps {
       queryName)
   }
 
+  /** STREAMING drift gate: the online PSI monitor a deployed pipeline
+    * runs on its input stream — per-(bin, slice) counts build
+    * incrementally (associative aggregate: state ≤ `buckets` rows,
+    * batching-invariant), and the PSI readout
+    * ([[graft.ops.DriftOps.psiFromCounts]] — the SAME arithmetic as the
+    * batch `drift_psi`) runs over the drained B-row state. The reference
+    * slice is everything before `splitTs` (the training-corpus window);
+    * drift of the post-split traffic against it is the deploy gate.
+    * The drained result must equal the batch PSI on the same input —
+    * the DuckDB-oracled contract.
+    */
+  def psiViaStream(spark: SparkSession, dir: String, queryName: String,
+                   splitTs: String, binWidth: Double, buckets: Int): DataFrame = {
+    require(binWidth > 0 && buckets > 0, "psiViaStream needs binWidth > 0, buckets > 0")
+    val ev = eventsStream(spark, dir)
+    val bin = least(
+      greatest(floor(col("value").cast("double") / binWidth), lit(0L)),
+      lit((buckets - 1).toLong))
+    val isRef = col("ts") < lit(splitTs).cast("timestamp")
+    val counts = runToCompletion(
+      ev.filter(col("value").isNotNull)
+        .groupBy(bin.as("bin"))
+        .agg(
+          sum(when(isRef, 1L).otherwise(0L)).as("ref_cnt"),
+          sum(when(isRef, 0L).otherwise(1L)).as("cur_cnt")),
+      queryName)
+    graft.ops.DriftOps.psiFromCounts(counts)
+  }
+
   /** Open the documents parquet as a STREAM (file source) — the
     * "documents land from a crawl" stand-in, staged the same way as
     * [[eventsStream]]. */

@@ -400,4 +400,15 @@ class StreamOpsSpec extends SparkSpecBase {
     val plan = bands.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("psiViaStream drain equals the batch psiBins on identical input") {
+    val out = psiViaStream(spark, sfDir, "psi_spec_drain",
+      splitTs = "2024-01-16 00:00:00", binWidth = 50.0, buckets = 10)
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val batch = graft.ops.DriftOps.psiBins(
+      ev.filter(col("value").isNotNull),
+      isRef = col("ts") < lit("2024-01-16 00:00:00").cast("timestamp"),
+      bin = least(greatest(floor(col("value").cast("double") / 50.0), lit(0L)), lit(9L)))
+    assert(out.exceptAll(batch).isEmpty && batch.exceptAll(out).isEmpty)
+  }
 }
