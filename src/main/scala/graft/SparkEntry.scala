@@ -2101,6 +2101,20 @@ object SparkEntry {
       graft.text.BpeTrain.encodedTokenCounts(
         t(s, d, "documents"), "doc_id", "text", rounds = 5)),
 
+    // unigram-LM tokenizer (SentencePiece's second algorithm) — the
+    // top-down counterpart of BPE: substring vocab with fixed-point
+    // micro-nat log-probs (integer argmax = engine-exact)
+    "t_unigram_vocab" -> ((s, d) =>
+      graft.text.UnigramLm.vocab(t(s, d, "documents"), "text",
+        maxPieceLen = 4, minFreq = 3)),
+
+    // max-likelihood Viterbi segmentation of every distinct corpus word
+    // under the unigram model: broadcast vocab + one shuffle-free typed
+    // pass; the oracle replays the SAME DP as unrolled MATERIALIZED CTEs
+    "t_unigram_segment" -> ((s, d) =>
+      graft.text.UnigramLm.segment(t(s, d, "documents"), "text",
+        maxPieceLen = 4, minFreq = 3, maxWordLen = 12)),
+
     // deploy-time tokenizer: merges trained on `documents` applied to an
     // UNSEEN corpus (part names) — the real encode path, not the vocab
     // join (which only covers training words). The merge list is a
@@ -4872,6 +4886,14 @@ object SparkEntry {
 
     "t_bpe_merges" ->
       graft.text.BpeTrain.learnMergesOracleSql("documents", "text", rounds = 5),
+
+    "t_unigram_vocab" ->
+      graft.text.UnigramLm.vocabOracleSql("documents", "text",
+        maxPieceLen = 4, minFreq = 3),
+
+    "t_unigram_segment" ->
+      graft.text.UnigramLm.segmentOracleSql("documents", "text",
+        maxPieceLen = 4, minFreq = 3, maxWordLen = 12),
 
     "t_bpe_encode" ->
       graft.text.BpeTrain.encodeOracleSql("documents", "doc_id", "text", rounds = 5),

@@ -1,0 +1,202 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM subword tokenizer (SentencePiece's second algorithm —
+  * Kudo 2018 "Subword Regularization"), in a fully deterministic,
+  * cross-engine-exact form that completes the tokenizer family next to
+  * [[BpeTrain]] (BPE = bottom-up merges; unigram = top-down segmentation
+  * under a piece language model):
+  *
+  *   - '''vocab''': every substring of length 1..`maxPieceLen` of the
+  *     corpus words, count-weighted by word frequency; pieces shorter
+  *     than 2 chars always survive (segmentability guarantee), longer
+  *     pieces need `minFreq` occurrences. Piece log-probabilities are
+  *     fixed-point integers: `vscore = round((ln cnt − ln total)·10⁶)`
+  *     — the micro-nat trick that makes Viterbi argmax comparisons exact
+  *     integer arithmetic on every engine (the same round-the-only-
+  *     transcendental pattern as DriftOps' psi terms).
+  *
+  *   - '''segment''': per distinct word, the max-likelihood segmentation
+  *     under the unigram model via Viterbi DP
+  *     (`best[i] = max over l: best[i−l] + vscore(word[i−l..i])`),
+  *     tiebreak: highest score, then lexicographically SMALLEST
+  *     segmentation string — a total, engine-portable order.
+  *
+  * Scale shape: vocab building is explode → ONE hash-agg (substring
+  * expansion is pure codegen'd HOFs over the |distinct words| frame, not
+  * the corpus); the trained vocab is a bounded model artifact (readout
+  * size = vocab size, exactly like [[BpeTrain]]'s merge list) that
+  * BROADCASTS to executors; segmentation is then one shuffle-free typed
+  * pass over distinct words — the documented typed-kernel exception
+  * (see [[graft.dedup.Dedup.minhashBandsPerRow]]): a 12-level DataFrame
+  * DP would re-inline each level's lineage up to 4× per successor
+  * (Catalyst has no cross-reference plan CSE), compiling tetranacci-many
+  * subtree copies. The DuckDB oracle runs the SAME DP as an unrolled
+  * MATERIALIZED-CTE chain, so the kernel's every argmax is still
+  * cross-engine-checked.
+  */
+object UnigramLm {
+
+  /** All (piece, cnt) substring counts + fixed-point log-prob scores.
+    * Output: (piece, cnt, vscore) — the trained model table.
+    */
+  def vocab(docs: DataFrame, textCol: String,
+            maxPieceLen: Int, minFreq: Long): DataFrame = {
+    val words = docs
+      .select(explode(TextOps.tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("wcnt"))
+    // per-length substring expansion: for l, positions 1..len-l+1; the
+    // when-guard matters — Spark's sequence(1, 0) DESCENDS, not empties
+    val perL = (1 to maxPieceLen).map { l =>
+      when(length(col("word")) >= l,
+        transform(sequence(lit(1), length(col("word")) - lit(l - 1)),
+          i => col("word").substr(i, lit(l))))
+        .otherwise(array())
+    }
+    val pieces = words
+      .select(explode(flatten(array(perL: _*))).as("piece"), col("wcnt"))
+      .groupBy("piece").agg(sum("wcnt").as("cnt"))
+      .filter(length(col("piece")) === 1 || col("cnt") >= minFreq)
+    // total rides a window over the VOCAB-sized frame (bounded), exactly
+    // the psiBins totals pattern — no second pass over the corpus
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    pieces
+      .withColumn("_total", sum("cnt").over(wAll))
+      .select(col("piece"), col("cnt"),
+        round((log(col("cnt")) - log(col("_total"))) * lit(1000000.0), 0)
+          .cast("long").as("vscore"))
+  }
+
+  /** Viterbi max-likelihood segmentation of every distinct corpus word
+    * (length ≤ `maxWordLen`). Output:
+    * (word, wcnt, n_pieces, score_micro, seg) with `seg` = pieces joined
+    * by '|'.
+    */
+  def segment(docs: DataFrame, textCol: String,
+              maxPieceLen: Int, minFreq: Long, maxWordLen: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // the trained model is a bounded artifact: collect + broadcast, the
+    // same contract as BpeTrain's merge-list readout
+    val model: Map[String, Long] = vocab(docs, textCol, maxPieceLen, minFreq)
+      .select("piece", "vscore").as[(String, Long)].collect().toMap
+    val bc = spark.sparkContext.broadcast(model)
+    val L = maxPieceLen
+    val words = docs
+      .select(explode(TextOps.tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("wcnt"))
+      .filter(length(col("word")) <= maxWordLen)
+    words.as[(String, Long)]
+      .map { case (w, wcnt) =>
+        val m = bc.value
+        val n = w.length
+        // best(i) = (score, seg) for the first i chars; tiebreak per step:
+        // highest score, then lexicographically smallest seg — identical
+        // to the oracle's ORDER BY score DESC, seg ASC
+        val score = Array.fill(n + 1)(Long.MinValue)
+        val seg = Array.fill(n + 1)("")
+        val np = Array.fill(n + 1)(0)
+        score(0) = 0L
+        var i = 1
+        while (i <= n) {
+          var l = 1
+          while (l <= L && l <= i) {
+            val j = i - l
+            if (score(j) != Long.MinValue) {
+              m.get(w.substring(j, i)).foreach { vs =>
+                val cand = score(j) + vs
+                val candSeg =
+                  if (seg(j).isEmpty) w.substring(j, i)
+                  else seg(j) + "|" + w.substring(j, i)
+                if (cand > score(i) ||
+                  (cand == score(i) && candSeg < seg(i))) {
+                  score(i) = cand; seg(i) = candSeg; np(i) = np(j) + 1
+                }
+              }
+            }
+            l += 1
+          }
+          i += 1
+        }
+        (w, wcnt, np(n), score(n), seg(n))
+      }
+      .toDF("word", "wcnt", "n_pieces", "score_micro", "seg")
+  }
+
+  private def toksSql(textCol: String): String =
+    s"list_filter(regexp_split_to_array(lower($textCol), '[^a-z]+'), x -> x <> '')"
+
+  private def vocabCtes(table: String, textCol: String,
+                        maxPieceLen: Int, minFreq: Long): String = {
+    val pieceSelects = (1 to maxPieceLen).map { l =>
+      s"SELECT unnest(list_transform(range(1, strlen(word) - ${l - 2}), i -> substr(word, i, $l))) AS piece, wcnt FROM words WHERE strlen(word) >= $l"
+    }.mkString("\n    UNION ALL ")
+    s"""toks AS MATERIALIZED (
+       |  SELECT unnest(${toksSql(textCol)}) AS word FROM $table
+       |), words AS MATERIALIZED (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS wcnt FROM toks GROUP BY 1
+       |), pieces AS (
+       |  SELECT piece, CAST(SUM(wcnt) AS BIGINT) AS cnt FROM (
+       |    $pieceSelects
+       |  ) GROUP BY piece
+       |), vocab AS (
+       |  SELECT piece, cnt FROM pieces WHERE strlen(piece) = 1 OR cnt >= $minFreq
+       |), vtot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM vocab),
+       |scored AS MATERIALIZED (
+       |  SELECT piece, cnt, CAST(round((ln(cnt) - ln(total)) * 1000000) AS BIGINT) AS vscore
+       |  FROM vocab, vtot
+       |)""".stripMargin
+  }
+
+  /** DuckDB mirror of [[vocab]]. */
+  def vocabOracleSql(table: String, textCol: String,
+                     maxPieceLen: Int, minFreq: Long): String =
+    s"""WITH ${vocabCtes(table, textCol, maxPieceLen, minFreq)}
+       |SELECT piece, cnt, vscore FROM scored""".stripMargin
+
+  /** DuckDB mirror of [[segment]]: the Viterbi DP unrolled to
+    * `maxWordLen` MATERIALIZED CTE levels (materialization is load-
+    * bearing — inlined, each level would re-expand its ≤`maxPieceLen`
+    * predecessors into tetranacci-many subtree copies), per-step argbest
+    * via `ORDER BY score DESC, seg ASC`.
+    */
+  def segmentOracleSql(table: String, textCol: String,
+                       maxPieceLen: Int, minFreq: Long, maxWordLen: Int): String = {
+    val steps = (1 to maxWordLen).map { i =>
+      val incoming = (1 to maxPieceLen).flatMap { l =>
+        val j = i - l
+        if (j < 0) None
+        else Some(
+          s"SELECT b.word, b.score + v.vscore AS score, CASE WHEN b.seg = '' THEN v.piece ELSE b.seg || '|' || v.piece END AS seg, b.np + 1 AS np " +
+            s"FROM b$j b JOIN scored v ON v.piece = substr(b.word, ${j + 1}, $l) WHERE strlen(b.word) >= $i")
+      }.mkString("\n      UNION ALL ")
+      s"""b$i AS MATERIALIZED (
+         |  SELECT word, score, seg, np FROM (
+         |    SELECT word, score, seg, np,
+         |      row_number() OVER (PARTITION BY word ORDER BY score DESC, seg ASC) AS rn
+         |    FROM (
+         |      $incoming
+         |    )
+         |  ) WHERE rn = 1
+         |)""".stripMargin
+    }.mkString(",\n")
+    val finals = (1 to maxWordLen)
+      .map(i => s"SELECT * FROM b$i WHERE strlen(word) = $i")
+      .mkString("\n  UNION ALL ")
+    s"""WITH ${vocabCtes(table, textCol, maxPieceLen, minFreq)},
+       |b0 AS MATERIALIZED (
+       |  SELECT word, CAST(0 AS BIGINT) AS score, '' AS seg, 0 AS np
+       |  FROM words WHERE strlen(word) <= $maxWordLen
+       |),
+       |$steps,
+       |final AS (
+       |  $finals
+       |)
+       |SELECT w.word, w.wcnt, f.np AS n_pieces, f.score AS score_micro, f.seg
+       |FROM final f JOIN words w USING (word)""".stripMargin
+  }
+}

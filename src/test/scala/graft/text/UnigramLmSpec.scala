@@ -1,0 +1,58 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+
+class UnigramLmSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("segment: pieces reassemble the word exactly and n_pieces matches") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val segs = UnigramLm.segment(docs, "text",
+      maxPieceLen = 4, minFreq = 3, maxWordLen = 12).collect()
+    assert(segs.nonEmpty)
+    segs.foreach { r =>
+      val word = r.getAs[String]("word")
+      val seg = r.getAs[String]("seg")
+      assert(seg.replace("|", "") === word, s"seg $seg != $word")
+      assert(seg.split('|').length === r.getAs[Int]("n_pieces"))
+    }
+  }
+
+  test("segment score equals the sum of its pieces' vocab scores") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val v = UnigramLm.vocab(docs, "text", maxPieceLen = 4, minFreq = 3)
+      .select("piece", "vscore").as[(String, Long)].collect().toMap
+    UnigramLm.segment(docs, "text", maxPieceLen = 4, minFreq = 3, maxWordLen = 12)
+      .collect().foreach { r =>
+        val expected = r.getAs[String]("seg").split('|').map(v).sum
+        assert(r.getAs[Long]("score_micro") === expected)
+      }
+  }
+
+  test("Viterbi beats greedy longest-match when a long piece is rare") {
+    // corpus engineered so 'abc' IS in the vocab (cnt 4 ≥ minFreq) but
+    // rare, while 'ab' and 'cd' are very frequent: greedy longest-match
+    // on "abcd" takes abc|d; the max-likelihood DP must take ab|cd
+    // (ln 55 + ln 51 ≫ ln 4 + ln 5 in any normalization)
+    val docs = (Seq.fill(50)("ab cd") ++ Seq.fill(3)("abc") :+ "abcd").toDF("text")
+    val vocab = UnigramLm.vocab(docs, "text", maxPieceLen = 4, minFreq = 3)
+      .select("piece").as[String].collect().toSet
+    assert(vocab.contains("abc")) // greedy WOULD have matched it first
+    val segs = UnigramLm.segment(docs, "text",
+      maxPieceLen = 4, minFreq = 3, maxWordLen = 12)
+      .collect().map(r => r.getAs[String]("word") -> r.getAs[String]("seg")).toMap
+    assert(segs("abcd") === "ab|cd")
+    assert(segs("ab") === "ab")
+  }
+
+  test("every single char survives the vocab regardless of minFreq") {
+    val docs = Seq("xyzzy").toDF("text")
+    val v = UnigramLm.vocab(docs, "text", maxPieceLen = 4, minFreq = 1000)
+      .select("piece").as[String].collect().toSet
+    assert(Set("x", "y", "z").subsetOf(v))
+    // and nothing longer survives the frequency floor
+    assert(v.forall(_.length == 1))
+  }
+}
