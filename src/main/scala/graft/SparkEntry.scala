@@ -2115,6 +2115,14 @@ object SparkEntry {
       graft.text.UnigramLm.segment(t(s, d, "documents"), "text",
         maxPieceLen = 4, minFreq = 3, maxWordLen = 12)),
 
+    // deploy-time unigram encode: model trained on `documents`, applied
+    // to the UNSEEN part-name corpus; words with characters the training
+    // corpus never produced drop out (no DP path) on both engines
+    "t_unigram_apply" -> ((s, d) =>
+      graft.text.UnigramLm.segmentApply(
+        t(s, d, "documents"), "text", t(s, d, "part"), "p_name",
+        maxPieceLen = 4, minFreq = 3, maxWordLen = 12)),
+
     // deploy-time tokenizer: merges trained on `documents` applied to an
     // UNSEEN corpus (part names) — the real encode path, not the vocab
     // join (which only covers training words). The merge list is a
@@ -4894,6 +4902,10 @@ object SparkEntry {
     "t_unigram_segment" ->
       graft.text.UnigramLm.segmentOracleSql("documents", "text",
         maxPieceLen = 4, minFreq = 3, maxWordLen = 12),
+
+    "t_unigram_apply" ->
+      graft.text.UnigramLm.segmentApplyOracleSql("documents", "text",
+        "part", "p_name", maxPieceLen = 4, minFreq = 3, maxWordLen = 12),
 
     "t_bpe_encode" ->
       graft.text.BpeTrain.encodeOracleSql("documents", "doc_id", "text", rounds = 5),

@@ -77,21 +77,34 @@ object UnigramLm {
     * by '|'.
     */
   def segment(docs: DataFrame, textCol: String,
-              maxPieceLen: Int, minFreq: Long, maxWordLen: Int): DataFrame = {
-    val spark = docs.sparkSession
+              maxPieceLen: Int, minFreq: Long, maxWordLen: Int): DataFrame =
+    segmentApply(docs, textCol, docs, textCol, maxPieceLen, minFreq, maxWordLen)
+
+  /** Deploy-time unigram encode: the model trains on `vocabDocs` and
+    * segments the distinct words of a DIFFERENT corpus — the inference
+    * path ([[BpeTrain]]'s `t_bpe_apply` counterpart). A target word that
+    * cannot be covered by trained pieces (a character the training corpus
+    * never produced) is DROPPED, mirroring the oracle DP where no path
+    * reaches its final position.
+    */
+  def segmentApply(vocabDocs: DataFrame, vocabTextCol: String,
+                   target: DataFrame, targetTextCol: String,
+                   maxPieceLen: Int, minFreq: Long, maxWordLen: Int): DataFrame = {
+    val spark = vocabDocs.sparkSession
     import spark.implicits._
     // the trained model is a bounded artifact: collect + broadcast, the
     // same contract as BpeTrain's merge-list readout
-    val model: Map[String, Long] = vocab(docs, textCol, maxPieceLen, minFreq)
-      .select("piece", "vscore").as[(String, Long)].collect().toMap
+    val model: Map[String, Long] =
+      vocab(vocabDocs, vocabTextCol, maxPieceLen, minFreq)
+        .select("piece", "vscore").as[(String, Long)].collect().toMap
     val bc = spark.sparkContext.broadcast(model)
     val L = maxPieceLen
-    val words = docs
-      .select(explode(TextOps.tokens(col(textCol))).as("word"))
+    val words = target
+      .select(explode(TextOps.tokens(col(targetTextCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("wcnt"))
       .filter(length(col("word")) <= maxWordLen)
     words.as[(String, Long)]
-      .map { case (w, wcnt) =>
+      .flatMap { case (w, wcnt) =>
         val m = bc.value
         val n = w.length
         // best(i) = (score, seg) for the first i chars; tiebreak per step:
@@ -122,7 +135,8 @@ object UnigramLm {
           }
           i += 1
         }
-        (w, wcnt, np(n), score(n), seg(n))
+        if (score(n) == Long.MinValue) None // uncoverable word: no DP path
+        else Some((w, wcnt, np(n), score(n), seg(n)))
       }
       .toDF("word", "wcnt", "n_pieces", "score_micro", "seg")
   }
@@ -165,7 +179,21 @@ object UnigramLm {
     * via `ORDER BY score DESC, seg ASC`.
     */
   def segmentOracleSql(table: String, textCol: String,
-                       maxPieceLen: Int, minFreq: Long, maxWordLen: Int): String = {
+                       maxPieceLen: Int, minFreq: Long, maxWordLen: Int): String =
+    segmentApplyOracleSql(table, textCol, table, textCol,
+      maxPieceLen, minFreq, maxWordLen)
+
+  /** DuckDB mirror of [[segmentApply]] (and, with target = source, of
+    * [[segment]]): the Viterbi DP unrolled to `maxWordLen` MATERIALIZED
+    * CTE levels (materialization is load-bearing — inlined, each level
+    * would re-expand its ≤`maxPieceLen` predecessors into
+    * tetranacci-many subtree copies), per-step argbest via
+    * `ORDER BY score DESC, seg ASC`. Uncoverable target words drop out
+    * naturally: no path reaches their final DP level.
+    */
+  def segmentApplyOracleSql(table: String, textCol: String,
+                            targetTable: String, targetTextCol: String,
+                            maxPieceLen: Int, minFreq: Long, maxWordLen: Int): String = {
     val steps = (1 to maxWordLen).map { i =>
       val incoming = (1 to maxPieceLen).flatMap { l =>
         val j = i - l
@@ -188,15 +216,20 @@ object UnigramLm {
       .map(i => s"SELECT * FROM b$i WHERE strlen(word) = $i")
       .mkString("\n  UNION ALL ")
     s"""WITH ${vocabCtes(table, textCol, maxPieceLen, minFreq)},
+       |twords AS MATERIALIZED (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS wcnt FROM (
+       |    SELECT unnest(${toksSql(targetTextCol)}) AS word FROM $targetTable
+       |  ) GROUP BY 1
+       |),
        |b0 AS MATERIALIZED (
        |  SELECT word, CAST(0 AS BIGINT) AS score, '' AS seg, 0 AS np
-       |  FROM words WHERE strlen(word) <= $maxWordLen
+       |  FROM twords WHERE strlen(word) <= $maxWordLen
        |),
        |$steps,
        |final AS (
        |  $finals
        |)
        |SELECT w.word, w.wcnt, f.np AS n_pieces, f.score AS score_micro, f.seg
-       |FROM final f JOIN words w USING (word)""".stripMargin
+       |FROM final f JOIN twords w USING (word)""".stripMargin
   }
 }

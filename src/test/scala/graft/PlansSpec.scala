@@ -162,6 +162,22 @@ class PlansSpec extends SparkSpecBase {
     assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"), s)
   }
 
+  test("pipeline_curation: staged funnel plan — every join is hash/broadcast " +
+    "keyed (no cartesian), and the benchmark probe side broadcasts") {
+    val df = SparkEntry.queries("pipeline_curation")(spark, sfDir)
+    val s = explainStr(df)
+    assert(!s.contains("CartesianProduct"), s)
+    assert(s.contains("BroadcastExchange"), s)
+  }
+
+  test("sim_ivfpq_topk: pivots/codebook/query side broadcast; the corpus is " +
+    "never cartesian-joined against itself") {
+    val df = SparkEntry.queries("sim_ivfpq_topk")(spark, sfDir)
+    val s = explainStr(df)
+    assert(!s.contains("CartesianProduct"), s)
+    assert(s.contains("BroadcastExchange"), s)
+  }
+
   test("t_quality_cascade: one scan, one exchange — the whole cascade is " +
     "codegen'd column expressions feeding a tiny agg") {
     val df = SparkEntry.queries("t_quality_cascade")(spark, sfDir)
