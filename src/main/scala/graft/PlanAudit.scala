@@ -728,7 +728,46 @@ object PlanAudit {
         |the vocab. No shuffle grows with rounds, localCheckpoint keeps
         |the plan flat, and the merge application is a codegen'd literal
         |replace — tokenizer training with zero driver-side data
-        |structures beyond the k merge rows."""
+        |structures beyond the k merge rows.""",
+    "pipeline_curation" ->
+      """The composed curation funnel: stages 1–2 (lang gate + quality
+        |cascade) are pure codegen'd column expressions on one corpus
+        |scan; exact dedup is one fingerprint hash-agg plus a doc_id join
+        |back; the near-dup gate explodes only the SURVIVOR set through
+        |the stateless per-row MinHash kernel (no shuffle to build bands)
+        |and self-joins on (band, bucket); the benchmark probe shingle
+        |set BROADCASTS. The final labeling is three doc_id-keyed left
+        |joins against duplicate/contamination-sized id sets — no
+        |cartesian anywhere (spec-pinned), nothing data-sized on the
+        |driver.""",
+    "sim_ivfpq_topk" ->
+      """The staged ANN composition: pivots and the m×nCodes codebook
+        |broadcast; corpus coarse-assignment and PQ encoding are each ONE
+        |broadcast join + map-side aggregate (max_by/min_by argmax — the
+        |corpus is never window-sorted); the candidate join touches the
+        |probed nprobe/nPivots fraction per query; ADC is a subspace-
+        |ordered fold after a (query, neighbor)-keyed partial agg; exact
+        |cosines are paid for `rerank` rows per query, never the corpus.""",
+    "t_unigram_segment" ->
+      """Vocab building is explode → ONE hash-agg over the |distinct
+        |words| frame (substring expansion is codegen'd HOFs, never a
+        |corpus-sized explode); the trained model is a bounded artifact
+        |that broadcasts; segmentation is one shuffle-free typed pass.
+        |The tetranacci-many-subtree DataFrame-DP formulation this
+        |replaces is documented in the scaladoc — the oracle runs that DP
+        |as MATERIALIZED CTE levels instead.""",
+    "ev_stream_psi" ->
+      """The online drift gate's state is ≤ buckets rows (associative
+        |(bin, slice) counts — batching-invariant by construction); the
+        |PSI readout is the batch psiFromCounts arithmetic over the
+        |drained B-row table, with totals riding a window over those B
+        |rows. Nothing event-sized survives the micro-batch boundary.""",
+    "sql_q17_smallqty" ->
+      """Catalyst decorrelates the per-part mean subquery into an
+        |aggregate joined back on l_partkey — no per-row probe. The
+        |lineitem scan is read once per side with only the three needed
+        |columns; at 100× the statement is two keyed aggregations and
+        |one equi-join."""
   )
 
   private def streamingPlan(spark: SparkSession, sfDir: String): String = {
