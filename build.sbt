@@ -32,8 +32,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // -> 96 s in-session, with multi-second phantom regressions on
   // neighboring queries — the r5 ev_stream_attribution mystery); at 48g
   // the SAME fit is 3x slower even isolated (110.9 s vs 36.2 s — G1 on
-  // an allocation-heavy workload with a huge young gen). 16g reproduces
-  // the 8g isolated fit time (37.3 s, 3 tight reps) with session
-  // head-room.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // an allocation-heavy workload with a huge young gen). 16g held
+  // through r6; the r7 session (323 queries + the regenerated, heavier
+  // sf0.1 data) brought the phantom mode back at 16g (a12_ols_group
+  // 0.2 s isolated -> 2.8 s in-session, smote 5 s -> 12 s). 24g clears
+  // it (measured full-session A/B in r7, BENCH_NOTES.md) without
+  // triggering the 48g large-young-gen penalty.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

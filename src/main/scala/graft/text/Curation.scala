@@ -118,14 +118,29 @@ object Curation {
                       corpusPredSql: String, probePredSql: String,
                       minTokens: Int, maxTokens: Int,
                       minMeanLen: Double, maxMeanLen: Double, minTtr: Double,
-                      n: Int = 3, bands: Int = 8, rowsPerBand: Int = 4): String = {
+                      n: Int = 3, bands: Int = 8, rowsPerBand: Int = 4): String =
+    s"""WITH ${funnelCtes(table, idCol, textCol, corpusPredSql, probePredSql,
+      minTokens, maxTokens, minMeanLen, maxMeanLen, minTtr, n, bands, rowsPerBand)}
+       |SELECT doc_id, stage FROM labeled""".stripMargin
+
+  /** The funnel as a reusable CTE chain ending in `labeled(doc_id, stage)`
+    * — lets downstream compositions ([[funnelOracleSql]], the pretrain
+    * packing pipeline) consume the curated corpus without re-stating any
+    * gate.
+    */
+  private[graft] def funnelCtes(
+      table: String, idCol: String, textCol: String,
+      corpusPredSql: String, probePredSql: String,
+      minTokens: Int, maxTokens: Int,
+      minMeanLen: Double, maxMeanLen: Double, minTtr: Double,
+      n: Int = 3, bands: Int = 8, rowsPerBand: Int = 4): String = {
     val toks =
       s"list_filter(regexp_split_to_array(lower($textCol), '[^a-z]+'), x -> x <> '')"
     val toksT =
       "list_filter(regexp_split_to_array(lower(_text), '[^a-z]+'), x -> x <> '')"
     val markerList = TextOps.allMarkers.sorted.map(m => s"'$m'").mkString(", ")
     val gram = (1 to n).map(j => s"t[i+${j - 1}]").mkString(" || ' ' || ")
-    s"""WITH corpus AS (
+    s"""corpus AS (
        |  SELECT $idCol AS doc_id, $textCol AS _text FROM $table WHERE $corpusPredSql
        |), lt AS (
        |  SELECT doc_id, _text,
@@ -175,17 +190,52 @@ object Curation {
        |    FROM ctoks WHERE len(t) >= $n)
        |), contam AS (
        |  SELECT DISTINCT doc_id FROM csh JOIN probe USING (shingle)
+       |), labeled AS (
+       |  SELECT lq.doc_id,
+       |    CASE WHEN NOT lang_ok THEN 'lang_id'
+       |         WHEN qrule <> 'kept' THEN qrule
+       |         WHEN x.doc_id IS NOT NULL THEN 'exact_dup'
+       |         WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
+       |         WHEN ct.doc_id IS NOT NULL THEN 'contaminated'
+       |         ELSE 'kept' END AS stage
+       |  FROM lq
+       |  LEFT JOIN xdup x ON lq.doc_id = x.doc_id
+       |  LEFT JOIN ndup nd ON lq.doc_id = nd.doc_id
+       |  LEFT JOIN contam ct ON lq.doc_id = ct.doc_id
+       |)""".stripMargin
+  }
+
+  /** DuckDB mirror of the pretrain layout composition declared as
+    * `pipeline_pretrain`: curated keep-set → per-doc token counts →
+    * greedy 512-token sequence packing on the doc_id order (the same
+    * packing arithmetic as `t_pack_windows`, applied to the funnel's
+    * survivors).
+    */
+  def pretrainOracleSql(table: String, idCol: String, textCol: String,
+                        corpusPredSql: String, probePredSql: String,
+                        minTokens: Int, maxTokens: Int,
+                        minMeanLen: Double, maxMeanLen: Double, minTtr: Double,
+                        budget: Long,
+                        n: Int = 3, bands: Int = 8, rowsPerBand: Int = 4): String = {
+    val toksT =
+      "list_filter(regexp_split_to_array(lower(_text), '[^a-z]+'), x -> x <> '')"
+    s"""WITH ${funnelCtes(table, idCol, textCol, corpusPredSql, probePredSql,
+      minTokens, maxTokens, minMeanLen, maxMeanLen, minTtr, n, bands, rowsPerBand)},
+       |kept AS (SELECT doc_id FROM labeled WHERE stage = 'kept'),
+       |kt AS (
+       |  SELECT c.doc_id, CAST(COALESCE(len($toksT), 0) AS BIGINT) AS n_tokens
+       |  FROM corpus c JOIN kept USING (doc_id)
+       |),
+       |laid AS (
+       |  SELECT doc_id, n_tokens,
+       |         sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_off
+       |  FROM kt
        |)
-       |SELECT lq.doc_id,
-       |  CASE WHEN NOT lang_ok THEN 'lang_id'
-       |       WHEN qrule <> 'kept' THEN qrule
-       |       WHEN x.doc_id IS NOT NULL THEN 'exact_dup'
-       |       WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
-       |       WHEN ct.doc_id IS NOT NULL THEN 'contaminated'
-       |       ELSE 'kept' END AS stage
-       |FROM lq
-       |LEFT JOIN xdup x ON lq.doc_id = x.doc_id
-       |LEFT JOIN ndup nd ON lq.doc_id = nd.doc_id
-       |LEFT JOIN contam ct ON lq.doc_id = ct.doc_id""".stripMargin
+       |SELECT doc_id, n_tokens,
+       |       CAST(end_off - n_tokens AS BIGINT) AS start_off,
+       |       CAST(floor((end_off - n_tokens) / $budget.0) AS BIGINT) AS first_win,
+       |       CAST(CASE WHEN n_tokens > 0 THEN floor((end_off - 1) / $budget.0)
+       |            ELSE floor((end_off - n_tokens) / $budget.0) END AS BIGINT) AS last_win
+       |FROM laid""".stripMargin
   }
 }
