@@ -2175,6 +2175,29 @@ object SparkEntry {
         t(s, d, "documents"), "text", t(s, d, "part"), "p_name",
         maxPieceLen = 4, minFreq = 3, maxWordLen = 12)),
 
+    // WordPiece (BERT) tokenizer — the GREEDY longest-match counterpart
+    // of the unigram Viterbi: positional vocab (bare initial pieces,
+    // '##'-prefixed continuations), single-char cores always survive
+    "t_wordpiece_vocab" -> ((s, d) =>
+      graft.text.WordPiece.vocab(t(s, d, "documents"), "text",
+        maxPieceLen = 4, minFreq = 3)),
+
+    // greedy longest-match-first encode of every distinct corpus word:
+    // broadcast vocab + one shuffle-free typed pass; dead/over-long
+    // words map to the single [UNK] token (BERT max_input_chars rule);
+    // the oracle replays the SAME walk as unrolled MATERIALIZED CTEs
+    "t_wordpiece_encode" -> ((s, d) =>
+      graft.text.WordPiece.encode(t(s, d, "documents"), "text",
+        maxPieceLen = 4, minFreq = 3, maxWordLen = 12)),
+
+    // deploy-time WordPiece: vocab trained on `documents`, walked over
+    // the UNSEEN part-name corpus — unseen-char and over-long words
+    // surface as [UNK] on both engines
+    "t_wordpiece_apply" -> ((s, d) =>
+      graft.text.WordPiece.encodeApply(
+        t(s, d, "documents"), "text", t(s, d, "part"), "p_name",
+        maxPieceLen = 4, minFreq = 3, maxWordLen = 12)),
+
     // deploy-time tokenizer: merges trained on `documents` applied to an
     // UNSEEN corpus (part names) — the real encode path, not the vocab
     // join (which only covers training words). The merge list is a
@@ -4963,6 +4986,18 @@ object SparkEntry {
 
     "t_unigram_apply" ->
       graft.text.UnigramLm.segmentApplyOracleSql("documents", "text",
+        "part", "p_name", maxPieceLen = 4, minFreq = 3, maxWordLen = 12),
+
+    "t_wordpiece_vocab" ->
+      graft.text.WordPiece.vocabOracleSql("documents", "text",
+        maxPieceLen = 4, minFreq = 3),
+
+    "t_wordpiece_encode" ->
+      graft.text.WordPiece.encodeOracleSql("documents", "text",
+        maxPieceLen = 4, minFreq = 3, maxWordLen = 12),
+
+    "t_wordpiece_apply" ->
+      graft.text.WordPiece.encodeApplyOracleSql("documents", "text",
         "part", "p_name", maxPieceLen = 4, minFreq = 3, maxWordLen = 12),
 
     "t_bpe_encode" ->
