@@ -1582,6 +1582,23 @@ object SparkEntry {
       Quantized.pqRecall(t(s, d, "embeddings"), "vec_id", "embedding",
         dim = 64, m = 8, nCodes = 16, nQueries = 10, k = 5)),
 
+    // k-means-TRAINED PQ codebooks (the real FAISS training path): 2
+    // unrolled Lloyd rounds per subspace (the subspace axis rides INSIDE
+    // each round's frames — 8 subspaces cost the same job count as 1),
+    // then the corpus encode under the trained centroids; readout = per
+    // (subspace, cluster) member count + exact-integer inertia
+    "sim_pqtrain_stats" -> ((s, d) =>
+      graft.sim.PqTrain.trainStats(t(s, d, "embeddings"), "vec_id", "embedding",
+        dim = 64, m = 8, kCodes = 16, iters = 2)),
+
+    // the full train→index→query loop: ADC top-k against the TRAINED
+    // codebooks — LUT of query-subvector · trained-centroid dots,
+    // subspace-ordered fold, (adc DESC, id ASC) ranking; every stage
+    // cross-engine-checked
+    "sim_pqtrain_topk" -> ((s, d) =>
+      graft.sim.PqTrain.trainedTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+        dim = 64, m = 8, kCodes = 16, iters = 2, nQueries = 10, k = 5)),
+
     // Matryoshka-style prefix search: corpus-wide pass reads only the
     // first 16 of 64 dims, exact rerank touches k×overfetch rows per query
     "sim_prefix_rerank" -> ((s, d) =>
@@ -5385,6 +5402,14 @@ object SparkEntry {
       Quantized.ivfPqTopKOracleSql("embeddings", "vec_id", "embedding",
         dim = 64, m = 8, nCodes = 16, nPivots = 16, nprobe = 2,
         nQueries = 10, rerank = 20, k = 5),
+
+    "sim_pqtrain_stats" ->
+      graft.sim.PqTrain.trainStatsOracleSql("embeddings", "vec_id", "embedding",
+        dim = 64, m = 8, kCodes = 16, iters = 2),
+
+    "sim_pqtrain_topk" ->
+      graft.sim.PqTrain.trainedTopKOracleSql("embeddings", "vec_id", "embedding",
+        dim = 64, m = 8, kCodes = 16, iters = 2, nQueries = 10, k = 5),
 
     "sim_prefix_rerank" ->
       Similarity.prefixRerankOracleSql("embeddings", "vec_id", "embedding",
