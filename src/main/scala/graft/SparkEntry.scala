@@ -2749,6 +2749,16 @@ object SparkEntry {
         Map("en" -> 0.4, "de" -> 0.15, "es" -> 0.15,
           "fr" -> 0.15, "zh" -> 0.15))),
 
+    // temperature-scaled mixture (α = 1/2): weights √n_d derived from
+    // the data, quota k_d = ⌊√n_d · min√n_e⌋ — rare domains kept whole,
+    // big ones cut toward the geometric middle; sqrt/multiply are IEEE-
+    // correctly-rounded so the quota arithmetic is engine-exact. Rides
+    // the same GlobalRowNumber rank as o20 (no per-domain window sort)
+    "o21_temp_mix" -> ((s, d) =>
+      graft.ops.DomainMix.temperatureMixCounts(
+        t(s, d, "documents"), "lang", "doc_id",
+        permilleHash1M(col("doc_id"), ":mix"))),
+
     "o18_priority_sample" -> ((s, d) =>
       graft.ops.PrioritySampling.sample(
         t(s, d, "documents"), "doc_id", "n_chars", k = 500)),
@@ -5035,6 +5045,10 @@ object SparkEntry {
       permilleHashSql("doc_id", ":mix", 1000000L),
       Map("en" -> 0.4, "de" -> 0.15, "es" -> 0.15,
         "fr" -> 0.15, "zh" -> 0.15)),
+
+    "o21_temp_mix" -> graft.ops.DomainMix.temperatureMixOracleSql(
+      "documents", "lang", "doc_id",
+      permilleHashSql("doc_id", ":mix", 1000000L)),
 
     "a_spearman" ->
       """WITH base AS (

@@ -54,6 +54,18 @@ object DomainMix {
     val quota = tgt.crossJoin(broadcast(tRow))
       .select(col(domainCol),
         floor(col("_w") * col("_T")).cast("long").as("_k_d"))
+    selectByQuotaReleasable(kept, counts, domainCol, idCol, hash, quota)
+  }
+
+  /** Shared per-domain quota selection: keep each domain's `_k_d`
+    * smallest-(hash, id) rows via the GlobalRowNumber rank (see the
+    * scale rationale above — never a per-domain window sort).
+    * `counts` must be `kept`'s per-domain sizes; `quota` carries
+    * (`domainCol`, `_k_d`).
+    */
+  private def selectByQuotaReleasable(
+      kept: DataFrame, counts: DataFrame, domainCol: String, idCol: String,
+      hash: Column, quota: DataFrame): (DataFrame, () => Unit) = {
     // exclusive prefix of domain sizes in the SAME order the global rank
     // sorts (domain asc — computed in Spark so string collation matches
     // the range partitioner exactly). |domains|-row window: tiny by
@@ -71,6 +83,44 @@ object DomainMix {
       .filter(col("_mix_rank") <= col("_k_d"))
       .drop("_grn", "_off", "_k_d")
     (out, release)
+  }
+
+  /** Temperature-scaled mixture at α = 1/2 (the Gopher/PaLM
+    * rare-domain-upsampling rule `p_d ∝ n_d^α`, derived from the data
+    * itself instead of declared targets): un-normalized weights
+    * `w_d = √n_d` give feasible total `T = min_d(n_d / √n_d)` and the
+    * closed-form quota `k_d = ⌊√n_d · min_e √n_e⌋` — large domains are
+    * cut toward the geometric middle, the smallest domain is kept whole
+    * (its quota is exactly n_min). α = 1/2 is chosen deliberately:
+    * IEEE 754 REQUIRES sqrt and multiply to be correctly rounded, so the
+    * quota doubles are bit-identical across engines and the ⌊⌋ can never
+    * straddle — an arbitrary `pow(n, α)` carries no such guarantee.
+    *
+    * Readout: (domain, n_domain, n_kept, kept_id_sum) — the id sum pins
+    * WHICH rows the hash-rank selection kept, not just how many.
+    * Same scale shape as [[rebalanceReleasable]]; the |domains|-row
+    * result is materialized, then the internal pin released.
+    */
+  def temperatureMixCounts(docs: DataFrame, domainCol: String,
+                           idCol: String, hash: Column): DataFrame = {
+    val counts = docs.groupBy(col(domainCol)).agg(count(lit(1)).as("_n_d"))
+    val tRow = counts.agg(min(sqrt(col("_n_d").cast("double"))).as("_sq"))
+    val quota = counts.crossJoin(broadcast(tRow))
+      .select(col(domainCol),
+        floor(sqrt(col("_n_d").cast("double")) * col("_sq"))
+          .cast("long").as("_k_d"))
+    val (kept, release) =
+      selectByQuotaReleasable(docs, counts, domainCol, idCol, hash, quota)
+    val out = kept
+      .groupBy(col(domainCol))
+      .agg(count(lit(1)).as("n_kept"), sum(col(idCol)).as("kept_id_sum"))
+      .join(counts, domainCol)
+      .select(col(domainCol).as("domain"), col("_n_d").as("n_domain"),
+        col("n_kept"), col("kept_id_sum"))
+    val collected = out.cache()
+    collected.count()
+    release()
+    collected
   }
 
   /** [[rebalanceReleasable]] with the internal range-partition pin kept
@@ -95,6 +145,33 @@ object DomainMix {
     release()
     collected
   }
+
+  /** DuckDB mirror of [[temperatureMixCounts]]: `hashSql` must render
+    * the same hash over the table's own column names.
+    */
+  def temperatureMixOracleSql(table: String, domainCol: String,
+                              idCol: String, hashSql: String): String =
+    s"""WITH cnt AS (
+       |  SELECT $domainCol AS domain, CAST(count(*) AS BIGINT) AS n_d
+       |  FROM $table GROUP BY 1
+       |), tm AS (
+       |  SELECT min(sqrt(CAST(n_d AS DOUBLE))) AS sq FROM cnt
+       |), quota AS (
+       |  SELECT domain, n_d,
+       |         CAST(floor(sqrt(CAST(n_d AS DOUBLE)) * sq) AS BIGINT) AS k_d
+       |  FROM cnt, tm
+       |), ranked AS (
+       |  SELECT $domainCol AS domain, $idCol AS _id,
+       |         ROW_NUMBER() OVER (PARTITION BY $domainCol
+       |           ORDER BY $hashSql ASC, $idCol ASC) AS rn
+       |  FROM $table
+       |)
+       |SELECT r.domain, q.n_d AS n_domain,
+       |       CAST(count(*) AS BIGINT) AS n_kept,
+       |       CAST(SUM(r._id) AS BIGINT) AS kept_id_sum
+       |FROM ranked r JOIN quota q USING (domain)
+       |WHERE rn <= k_d
+       |GROUP BY 1, 2""".stripMargin
 
   /** DuckDB mirror of [[mixCounts]]: `hashSql` must render the same hash
     * over the table's own column names.

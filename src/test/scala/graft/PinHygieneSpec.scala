@@ -23,8 +23,8 @@ class PinHygieneSpec extends SparkSpecBase {
   // cached k-row/slim result is the ONLY pin they may leave behind)
   private val releasePattern =
     Seq("fe_rfm", "a15_pareto_abc", "w7_rank_ntile", "w8_percent_rank",
-      "o20_domain_mix", "ml_lift", "ml_qini", "t_pack_windows",
-      "pipeline_pretrain")
+      "o20_domain_mix", "o21_temp_mix", "ml_lift", "ml_qini",
+      "t_pack_windows", "pipeline_pretrain")
 
   for (q <- releasePattern)
     test(s"$q: leaves at most one new pin, and re-running adds none") {

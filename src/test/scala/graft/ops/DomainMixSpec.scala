@@ -32,6 +32,28 @@ class DomainMixSpec extends SparkSpecBase {
     assert(ids1 == ids2 && ids1.size == 60)
   }
 
+  test("temperature mix: smallest domain kept whole, big ones cut to ⌊√n_d·√n_min⌋") {
+    // n = 60/30/10, √n_min = √10 → quotas ⌊√60·√10⌋=⌊√600⌋=24,
+    // ⌊√30·√10⌋=⌊√300⌋=17, ⌊√10·√10⌋=10
+    val got = DomainMix.temperatureMixCounts(docs, "dom", "id", hash)
+      .collect().map(r => (r.getAs[String]("domain"),
+        (r.getAs[Long]("n_domain"), r.getAs[Long]("n_kept")))).toMap
+    assert(got == Map("a" -> (60L, 24L), "b" -> (30L, 17L), "c" -> (10L, 10L)))
+  }
+
+  test("temperature mix pins membership: kept_id_sum = sum of smallest-hash ids") {
+    val perDom = DomainMix.temperatureMixCounts(docs, "dom", "id", hash)
+      .collect().map(r => r.getAs[String]("domain") ->
+        (r.getAs[Long]("n_kept"), r.getAs[Long]("kept_id_sum"))).toMap
+    val byHash = docs.withColumn("_h", hash)
+      .collect().map(r => (r.getAs[String]("dom"), r.getAs[Long]("_h"), r.getAs[Long]("id")))
+    perDom.foreach { case (d, (k, idSum)) =>
+      val expect = byHash.filter(_._1 == d).sortBy(t => (t._2, t._3))
+        .take(k.toInt).map(_._3).sum
+      assert(idSum === expect, s"domain $d")
+    }
+  }
+
   test("kept rows are each domain's smallest-hash members") {
     val kept = DomainMix.rebalance(docs, "dom", "id", hash,
         Map("a" -> 0.5, "b" -> 0.3, "c" -> 0.2))
