@@ -1483,6 +1483,14 @@ object SparkEntry {
       Dedup.chunkDedup(t(s, d, "documents"), "doc_id", "text",
         chunkTokens = 3, maxDocs = 2L)),
 
+    // exact duplicated-SPAN detection (Lee et al. 2021 sequence-level
+    // dedup): every 8-token window fingerprinted, windows repeated
+    // corpus-wide merge into maximal per-doc spans (gaps-and-islands on
+    // a doc_id-partitioned window — high-cardinality key, bounded by
+    // one doc's length). The readout sizes a span-removal pass.
+    "d_dup_spans" -> ((s, d) =>
+      graft.dedup.SpanDedup.dupSpans(t(s, d, "documents"), "doc_id", "text", L = 8)),
+
     // ---- similarity search ----------------------------------------------
     "sim_cosine_pairs" -> ((s, d) =>
       Similarity.cosinePairs(t(s, d, "embeddings"), "vec_id", "embedding", threshold = 0.35)),
@@ -4809,6 +4817,9 @@ object SparkEntry {
     "d_chunk_dedup" ->
       Dedup.chunkDedupOracleSql("documents", "doc_id", "text",
         chunkTokens = 3, maxDocs = 2L),
+
+    "d_dup_spans" ->
+      graft.dedup.SpanDedup.dupSpansOracleSql("documents", "doc_id", "text", L = 8),
 
     "sim_cosine_pairs" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
