@@ -516,4 +516,36 @@ class PlansSpec extends SparkSpecBase {
     assert(s.contains("TopKPerKey"), s)
     assert(countShuffles(plan(df)) == 1, explainStr(df))
   }
+
+  test("d_dup_spans: island merge windows partition by doc_id (high-" +
+    "cardinality, bounded by one doc's length) — no corpus-wide funnel") {
+    val df = SparkEntry.queries("d_dup_spans")(spark, sfDir)
+    val s = explainStr(df)
+    assert(!s.contains("SinglePartition"), s)
+    assert(!s.contains("CartesianProduct"), s)
+    // every window is doc_id-partitioned
+    assert(s.contains("windowspecdefinition(doc_id"), s)
+  }
+
+  test("sim_pqtrain_topk: centroids and LUT broadcast every round; the " +
+    "corpus is never cartesian-joined") {
+    val df = SparkEntry.queries("sim_pqtrain_topk")(spark, sfDir)
+    val s = explainStr(df)
+    assert(!s.contains("CartesianProduct"), s)
+    assert(s.contains("BroadcastExchange"), s)
+  }
+
+  test("o21_temp_mix: like o20, the rank window is bounded by the range-" +
+    "partition pid, never the low-cardinality domain key") {
+    val df = SparkEntry.queries("o21_temp_mix")(spark, sfDir)
+    df.collect()
+    val s = explainStr(df)
+    // the data-sized rank window partitions by the range-partition pid…
+    assert(s.contains("windowspecdefinition(_pid"), s)
+    // …and NO window uses lang as a PARTITION key (a partition-list entry
+    // renders bare, without the ASC/DESC an order-spec entry carries; the
+    // |domains|-row offsets window legitimately ORDERS by lang)
+    assert(!"""\], \[lang#\d+\], \[""".r.findFirstIn(s).isDefined, s)
+    assert(!"""windowspecdefinition\(lang#\d+,""".r.findFirstIn(s).isDefined, s)
+  }
 }
