@@ -2223,6 +2223,14 @@ object SparkEntry {
         t(s, d, "documents"), "text", t(s, d, "part"), "p_name",
         maxPieceLen = 4, minFreq = 3, maxWordLen = 12)),
 
+    // tokenizer BAKE-OFF: coverage + occurrence-weighted fertility for
+    // the three trained families (BPE / unigram / WordPiece) on the same
+    // corpus — three |distinct words|-sized tables, three 1-row aggs,
+    // fixed-point micro ratio (exact longs, one correctly-rounded divide)
+    "t_tok_fertility" -> ((s, d) =>
+      graft.text.TokenizerEval.fertility(t(s, d, "documents"), "text",
+        bpeRounds = 5, maxPieceLen = 4, minFreq = 3, maxWordLen = 12)),
+
     // deploy-time tokenizer: merges trained on `documents` applied to an
     // UNSEEN corpus (part names) — the real encode path, not the vocab
     // join (which only covers training words). The merge list is a
@@ -5025,6 +5033,10 @@ object SparkEntry {
     "t_unigram_apply" ->
       graft.text.UnigramLm.segmentApplyOracleSql("documents", "text",
         "part", "p_name", maxPieceLen = 4, minFreq = 3, maxWordLen = 12),
+
+    "t_tok_fertility" ->
+      graft.text.TokenizerEval.fertilityOracleSql("documents", "text",
+        bpeRounds = 5, maxPieceLen = 4, minFreq = 3, maxWordLen = 12),
 
     "t_wordpiece_vocab" ->
       graft.text.WordPiece.vocabOracleSql("documents", "text",

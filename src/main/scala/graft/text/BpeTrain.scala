@@ -71,6 +71,21 @@ object BpeTrain {
       .agg(sum("n_sym").as("n_bpe_tokens"), sum("n_chars").as("n_chars"))
   }
 
+  /** Per-word symbolization readout of the trained vocab: (w, freq,
+    * n_sym) — the distinct-word encode table the [[TokenizerEval]]
+    * bake-off consumes (documents join it by word for per-doc counts).
+    */
+  def vocabSymbolization(docs: DataFrame, textCol: String, rounds: Int): DataFrame =
+    train(docs, textCol, rounds)._2.select(col("w"), col("freq"),
+      size(filter(split(col("sym"), "\\|"), x => x =!= "")).cast("long").as("n_sym"))
+
+  /** DuckDB mirror of [[vocabSymbolization]]. */
+  def vocabSymbolizationOracleSql(table: String, textCol: String, rounds: Int): String =
+    s"""WITH ${trainCtes(table, textCol, rounds)}
+       |SELECT w, freq,
+       |       CAST(len(list_filter(string_split(sym, '|'), x -> x <> '')) AS BIGINT) AS n_sym
+       |FROM v$rounds""".stripMargin
+
   /** Batched multi-merge training — the 32k-vocab scale path (see the
     * ROUNDS BOUND note above): each round counts pairs ONCE, reads the
     * top `4·m` candidates to the driver (a bounded k-row readout, like
