@@ -1184,6 +1184,31 @@ object SparkEntry {
         minMeanLen = 3.2, maxMeanLen = 4.65, minTtr = 0.32)
     }),
 
+    // RAG indexing composition: the curated keep-set becomes the
+    // retrieval index (embeddings of survivors ONLY — dup/contaminated/
+    // low-quality docs never enter the index), held-out probe docs are
+    // the queries, exact cosine top-5 per query with neighbor metadata.
+    // Queries broadcast; the index side is never shuffled.
+    "pipeline_rag" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val emb = t(s, d, "embeddings")
+      val stages = graft.text.Curation.funnel(
+        docs.filter(col("doc_id") % 100 =!= 0),
+        docs.filter(col("doc_id") % 100 === 0),
+        "doc_id", "text",
+        minTokens = 15, maxTokens = 100000,
+        minMeanLen = 3.2, maxMeanLen = 4.65, minTtr = 0.32)
+      val kept = stages.filter(col("stage") === "kept").select("doc_id")
+      val index = emb.join(kept, emb("vec_id") === kept("doc_id"))
+        .select(emb("vec_id"), emb("embedding"))
+      val queries = emb.filter(col("vec_id") % 100 === 0 && col("vec_id") < 2000)
+      Similarity.bruteForceTopK(index, queries, "vec_id", "embedding", k = 5)
+        .join(docs.select(col("doc_id"), col("lang"), col("n_chars")),
+          col("neighbor_id") === col("doc_id"))
+        .select(col("query_id"), col("neighbor_id"), col("cosine"),
+          col("rank"), col("lang"), col("n_chars"))
+    }),
+
     // curated keep-set → token counts → greedy 512-token sequence packing
     // (the pretraining shard layout over the funnel's SURVIVORS): the
     // end-to-end "crawl in, packed windows out" composition. Packing
@@ -4702,6 +4727,14 @@ object SparkEntry {
       corpusPredSql = "doc_id % 100 <> 0", probePredSql = "doc_id % 100 = 0",
       minTokens = 15, maxTokens = 100000,
       minMeanLen = 3.2, maxMeanLen = 4.65, minTtr = 0.32),
+
+    "pipeline_rag" -> graft.text.Curation.ragOracleSql(
+      "documents", "doc_id", "text", "embeddings", "vec_id", "embedding",
+      corpusPredSql = "doc_id % 100 <> 0", probePredSql = "doc_id % 100 = 0",
+      queryPredSql = "vec_id % 100 = 0",
+      minTokens = 15, maxTokens = 100000,
+      minMeanLen = 3.2, maxMeanLen = 4.65, minTtr = 0.32,
+      maxQueryId = 2000L, k = 5),
 
     "pipeline_pretrain" -> graft.text.Curation.pretrainOracleSql(
       "documents", "doc_id", "text",

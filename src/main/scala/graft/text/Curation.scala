@@ -205,6 +205,43 @@ object Curation {
        |)""".stripMargin
   }
 
+  /** DuckDB mirror of the RAG-indexing composition declared as
+    * `pipeline_rag`: the funnel's keep-set becomes the retrieval index;
+    * held-out probe docs (bounded by `maxQueryId`) are the queries;
+    * exact cosine top-`k` per query over the CURATED corpus only, each
+    * neighbor joined back to its document metadata.
+    */
+  def ragOracleSql(table: String, idCol: String, textCol: String,
+                   embTable: String, embIdCol: String, embVecCol: String,
+                   corpusPredSql: String, probePredSql: String,
+                   queryPredSql: String,
+                   minTokens: Int, maxTokens: Int,
+                   minMeanLen: Double, maxMeanLen: Double, minTtr: Double,
+                   maxQueryId: Long, k: Int,
+                   n: Int = 3, bands: Int = 8, rowsPerBand: Int = 4): String =
+    s"""WITH ${funnelCtes(table, idCol, textCol, corpusPredSql, probePredSql,
+      minTokens, maxTokens, minMeanLen, maxMeanLen, minTtr, n, bands, rowsPerBand)},
+       |kept AS (SELECT doc_id FROM labeled WHERE stage = 'kept'),
+       |v AS (SELECT $embIdCol AS vec_id, CAST($embVecCol AS DOUBLE[]) AS e FROM $embTable),
+       |idx AS (SELECT v.vec_id, v.e FROM v JOIN kept ON v.vec_id = kept.doc_id),
+       |q AS (SELECT vec_id AS query_id, e AS qe FROM v
+       |      WHERE ($queryPredSql) AND vec_id < $maxQueryId),
+       |scored AS (
+       |  SELECT q.query_id, c.vec_id AS neighbor_id,
+       |    list_sum(list_transform(range(1, len(c.e) + 1), i -> q.qe[i] * c.e[i])) /
+       |    (sqrt(list_sum(list_transform(range(1, len(q.qe) + 1), i -> q.qe[i] * q.qe[i]))) *
+       |     sqrt(list_sum(list_transform(range(1, len(c.e) + 1), i -> c.e[i] * c.e[i])))) AS cosine
+       |  FROM idx c, q WHERE q.query_id <> c.vec_id
+       |)
+       |SELECT r.query_id, r.neighbor_id, r.cosine, CAST(r.rank AS INTEGER) AS rank,
+       |       d.lang, d.n_chars
+       |FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM scored
+       |) r JOIN $table d ON r.neighbor_id = d.$idCol
+       |WHERE r.rank <= $k""".stripMargin
+
   /** DuckDB mirror of the pretrain layout composition declared as
     * `pipeline_pretrain`: curated keep-set → per-doc token counts →
     * greedy 512-token sequence packing on the doc_id order (the same

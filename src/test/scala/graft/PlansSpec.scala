@@ -535,6 +535,14 @@ class PlansSpec extends SparkSpecBase {
     assert(s.contains("BroadcastExchange"), s)
   }
 
+  test("pipeline_rag: queries broadcast against the curated index; no " +
+    "cartesian; the corpus-sized frames join hash-keyed") {
+    val df = SparkEntry.queries("pipeline_rag")(spark, sfDir)
+    val s = explainStr(df)
+    assert(!s.contains("CartesianProduct"), s)
+    assert(s.contains("BroadcastExchange"), s)
+  }
+
   test("o21_temp_mix: like o20, the rank window is bounded by the range-" +
     "partition pid, never the low-cardinality domain key") {
     val df = SparkEntry.queries("o21_temp_mix")(spark, sfDir)
