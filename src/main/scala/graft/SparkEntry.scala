@@ -1508,6 +1508,18 @@ object SparkEntry {
       Dedup.chunkDedup(t(s, d, "documents"), "doc_id", "text",
         chunkTokens = 3, maxDocs = 2L)),
 
+    // INCREMENTAL LSH maintenance: the 10%-delta "new crawl batch"
+    // probes the persisted band index — base is read zero times, output
+    // = only the NEW near-dup pairs (≥1 delta member). The full-
+    // recompute-minus-old-pairs equivalence is property-spec'd.
+    "inc_lsh_maintain" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.incrementalLshPairs(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text")
+    }),
+
     // exact duplicated-SPAN detection (Lee et al. 2021 sequence-level
     // dedup): every 8-token window fingerprinted, windows repeated
     // corpus-wide merge into maximal per-doc spans (gaps-and-islands on
@@ -4861,6 +4873,10 @@ object SparkEntry {
 
     "d_dup_spans" ->
       graft.dedup.SpanDedup.dupSpansOracleSql("documents", "doc_id", "text", L = 8),
+
+    "inc_lsh_maintain" ->
+      Dedup.incrementalLshOracleSql("documents", "doc_id", "text",
+        deltaPredSql = "%ID% % 10 = 0"),
 
     "sim_cosine_pairs" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)

@@ -227,6 +227,54 @@ object Dedup {
     bandedPairs(minhashSignatures(docs, idCol, textCol, n, bands * rowsPerBand),
       bands, rowsPerBand)
 
+  /** INCREMENTAL LSH index maintenance — the production "new crawl
+    * batch arrives" path: the persisted band index over `base` is NOT
+    * recomputed; only the `delta` docs are signed (a delta-sized pass
+    * through the [[minhashBandsPerRow]] kernel), and the probe join
+    * touches just the buckets the delta lands in. Output = the NEW
+    * near-dup candidate pairs (every pair has ≥1 delta member,
+    * normalized doc_a < doc_b) — exactly
+    * `pairs(base ∪ delta) − pairs(base)`, because a doc's signature
+    * depends only on its own text (property-spec'd).
+    *
+    * Scale shape: maintenance cost ∝ |delta| band rows + an equi-join
+    * against the index; the base corpus is read ZERO times (its band
+    * table is the state a deployment keeps, the same contract as the
+    * IVM family's maintained aggregates).
+    */
+  def incrementalLshPairs(
+      base: DataFrame, delta: DataFrame,
+      idCol: String, textCol: String,
+      n: Int = 3, bands: Int = 8, rowsPerBand: Int = 4
+  ): DataFrame = {
+    val bandsBase = minhashBandsPerRow(base, idCol, textCol, n, bands, rowsPerBand)
+    val bandsDelta = minhashBandsPerRow(delta, idCol, textCol, n, bands, rowsPerBand)
+    val probe = bandsDelta.select(col("doc_id").as("id_p"), col("band"), col("bucket"))
+    val index = bandsBase.unionByName(bandsDelta)
+      .select(col("doc_id").as("id_i"), col("band"), col("bucket"))
+    probe.join(index, Seq("band", "bucket"))
+      .filter(col("id_p") =!= col("id_i"))
+      .select(least(col("id_p"), col("id_i")).as("doc_a"),
+        greatest(col("id_p"), col("id_i")).as("doc_b"))
+      .distinct()
+  }
+
+  /** DuckDB mirror of [[incrementalLshPairs]] with base/delta defined by
+    * `deltaPredSql` over the full table: the full band chain filtered to
+    * pairs with at least one delta member — the specification the
+    * incremental path must (and does) reproduce without reading base.
+    */
+  def incrementalLshOracleSql(
+      table: String, idCol: String, textCol: String, deltaPredSql: String,
+      n: Int = 3, bands: Int = 8, rowsPerBand: Int = 4
+  ): String =
+    s"""WITH ${minhashBandCtes(table, idCol, textCol, n, bands, rowsPerBand)}
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM banded a JOIN banded b
+       |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+       |WHERE (${deltaPredSql.replace("%ID%", "a.doc_id")})
+       |   OR (${deltaPredSql.replace("%ID%", "b.doc_id")})""".stripMargin
+
   /** Per-ROW MinHash band buckets — the stream-safe form of
     * [[minhashSignatures]] + banding: no explode-and-reaggregate, so it
     * runs on an unbounded stream (stateless typed op) and on any batch

@@ -222,4 +222,20 @@ class DedupSpec extends SparkSpecBase {
     val got = rows.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
     (1L to 39L).foreach(i => assert(got.contains((i, i + 1L))))
   }
+
+  test("incrementalLshPairs: incremental ∪ base-only pairs == full recompute") {
+    val sf = spark.read.parquet(s"$sfDir/documents.parquet")
+    val base = sf.filter(col("doc_id") % 10 =!= 0)
+    val delta = sf.filter(col("doc_id") % 10 === 0)
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val full = pairSet(Dedup.minhashLshPairs(sf, "doc_id", "text"))
+    val old = pairSet(Dedup.minhashLshPairs(base, "doc_id", "text"))
+    val inc = pairSet(Dedup.incrementalLshPairs(base, delta, "doc_id", "text"))
+    assert(old.subsetOf(full))
+    assert((old ++ inc) === full, "incremental pairs must complete the old index")
+    // every incremental pair touches the delta
+    assert(inc.forall { case (a, b) => a % 10 == 0 || b % 10 == 0 })
+    assert(inc.intersect(old).isEmpty)
+  }
 }
