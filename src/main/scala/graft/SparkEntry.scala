@@ -2229,6 +2229,15 @@ object SparkEntry {
       graft.text.UnigramLm.segment(t(s, d, "documents"), "text",
         maxPieceLen = 4, minFreq = 3, maxWordLen = 12)),
 
+    // ONE hard-EM (Viterbi-EM) round — SentencePiece's actual training
+    // step: segment under the count model, re-estimate piece scores from
+    // the segmentations (unused pieces fall out = EM vocabulary pruning),
+    // re-segment. Two broadcast-model typed passes; BOTH DPs and the
+    // re-scored model are cross-engine-checked
+    "t_unigram_em" -> ((s, d) =>
+      graft.text.UnigramLm.emSegment(t(s, d, "documents"), "text",
+        maxPieceLen = 4, minFreq = 3, maxWordLen = 12)),
+
     // deploy-time unigram encode: model trained on `documents`, applied
     // to the UNSEEN part-name corpus; words with characters the training
     // corpus never produced drop out (no DP path) on both engines
@@ -5082,6 +5091,10 @@ object SparkEntry {
     "t_unigram_apply" ->
       graft.text.UnigramLm.segmentApplyOracleSql("documents", "text",
         "part", "p_name", maxPieceLen = 4, minFreq = 3, maxWordLen = 12),
+
+    "t_unigram_em" ->
+      graft.text.UnigramLm.emSegmentOracleSql("documents", "text",
+        maxPieceLen = 4, minFreq = 3, maxWordLen = 12),
 
     "t_tok_fertility" ->
       graft.text.TokenizerEval.fertilityOracleSql("documents", "text",

@@ -90,19 +90,30 @@ object UnigramLm {
   def segmentApply(vocabDocs: DataFrame, vocabTextCol: String,
                    target: DataFrame, targetTextCol: String,
                    maxPieceLen: Int, minFreq: Long, maxWordLen: Int): DataFrame = {
-    val spark = vocabDocs.sparkSession
-    import spark.implicits._
     // the trained model is a bounded artifact: collect + broadcast, the
     // same contract as BpeTrain's merge-list readout
-    val model: Map[String, Long] =
+    val model: Map[String, Long] = {
+      import vocabDocs.sparkSession.implicits._
       vocab(vocabDocs, vocabTextCol, maxPieceLen, minFreq)
         .select("piece", "vscore").as[(String, Long)].collect().toMap
-    val bc = spark.sparkContext.broadcast(model)
-    val L = maxPieceLen
+    }
     val words = target
       .select(explode(TextOps.tokens(col(targetTextCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("wcnt"))
       .filter(length(col("word")) <= maxWordLen)
+    viterbi(words, model, maxPieceLen)
+  }
+
+  /** The Viterbi kernel under an EXPLICIT broadcast model — shared by
+    * [[segmentApply]] and the hard-EM round ([[emSegment]]), which needs
+    * to re-run it under re-estimated scores.
+    */
+  private def viterbi(words: DataFrame, model: Map[String, Long],
+                      maxPieceLen: Int): DataFrame = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model)
+    val L = maxPieceLen
     words.as[(String, Long)]
       .flatMap { case (w, wcnt) =>
         val m = bc.value
@@ -139,6 +150,46 @@ object UnigramLm {
         else Some((w, wcnt, np(n), score(n), seg(n)))
       }
       .toDF("word", "wcnt", "n_pieces", "score_micro", "seg")
+  }
+
+  /** ONE hard-EM (Viterbi-EM) re-estimation round — the step
+    * SentencePiece's actual training loop iterates (Kudo 2018 §3.2, with
+    * the E-step hardened to the Viterbi path, a standard variant):
+    * segment every word under the count-initialized model, re-estimate
+    * piece probabilities from the SEGMENTATIONS (occurrence-weighted
+    * hard counts — pieces the Viterbi never uses fall out of the model,
+    * the EM form of vocabulary pruning), then re-segment under the
+    * re-estimated scores. Every word stays coverable by construction:
+    * its own round-1 pieces are in the round-2 model.
+    *
+    * Output: the round-2 segmentation (word, wcnt, n_pieces,
+    * score_micro, seg). Scale shape: two broadcast-model typed passes
+    * over the |distinct words| frame + one piece-count hash-agg whose
+    * readout is the (bounded) model itself.
+    */
+  def emSegment(docs: DataFrame, textCol: String,
+                maxPieceLen: Int, minFreq: Long, maxWordLen: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val m0: Map[String, Long] =
+      vocab(docs, textCol, maxPieceLen, minFreq)
+        .select("piece", "vscore").as[(String, Long)].collect().toMap
+    val words = docs
+      .select(explode(TextOps.tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("wcnt"))
+      .filter(length(col("word")) <= maxWordLen)
+    val s0 = viterbi(words, m0, maxPieceLen)
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val m1: Map[String, Long] = s0
+      .select(col("wcnt"), explode(split(col("seg"), "\\|")).as("piece"))
+      .groupBy("piece").agg(sum("wcnt").as("cnt"))
+      .withColumn("_total", sum("cnt").over(wAll))
+      .select(col("piece"),
+        round((log(col("cnt")) - log(col("_total"))) * lit(1000000.0), 0)
+          .cast("long").as("vscore"))
+      .as[(String, Long)].collect().toMap
+    viterbi(words, m1, maxPieceLen)
   }
 
   private def toksSql(textCol: String): String =
@@ -193,16 +244,38 @@ object UnigramLm {
     */
   def segmentApplyOracleSql(table: String, textCol: String,
                             targetTable: String, targetTextCol: String,
-                            maxPieceLen: Int, minFreq: Long, maxWordLen: Int): String = {
-    val steps = (1 to maxWordLen).map { i =>
+                            maxPieceLen: Int, minFreq: Long, maxWordLen: Int): String =
+    s"""WITH ${vocabCtes(table, textCol, maxPieceLen, minFreq)},
+       |twords AS MATERIALIZED (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS wcnt FROM (
+       |    SELECT unnest(${toksSql(targetTextCol)}) AS word FROM $targetTable
+       |  ) GROUP BY 1
+       |),
+       |${dpInitSql("b", maxWordLen)},
+       |${dpStepsSql("b", "scored", maxPieceLen, maxWordLen)},
+       |final AS (
+       |  ${dpFinalsSql("b", maxWordLen)}
+       |)
+       |SELECT w.word, w.wcnt, f.np AS n_pieces, f.score AS score_micro, f.seg
+       |FROM final f JOIN twords w USING (word)""".stripMargin
+
+  private def dpInitSql(prefix: String, maxWordLen: Int): String =
+    s"""${prefix}0 AS MATERIALIZED (
+       |  SELECT word, CAST(0 AS BIGINT) AS score, '' AS seg, 0 AS np
+       |  FROM twords WHERE strlen(word) <= $maxWordLen
+       |)""".stripMargin
+
+  private def dpStepsSql(prefix: String, scoredName: String,
+                         maxPieceLen: Int, maxWordLen: Int): String =
+    (1 to maxWordLen).map { i =>
       val incoming = (1 to maxPieceLen).flatMap { l =>
         val j = i - l
         if (j < 0) None
         else Some(
           s"SELECT b.word, b.score + v.vscore AS score, CASE WHEN b.seg = '' THEN v.piece ELSE b.seg || '|' || v.piece END AS seg, b.np + 1 AS np " +
-            s"FROM b$j b JOIN scored v ON v.piece = substr(b.word, ${j + 1}, $l) WHERE strlen(b.word) >= $i")
+            s"FROM $prefix$j b JOIN $scoredName v ON v.piece = substr(b.word, ${j + 1}, $l) WHERE strlen(b.word) >= $i")
       }.mkString("\n      UNION ALL ")
-      s"""b$i AS MATERIALIZED (
+      s"""$prefix$i AS MATERIALIZED (
          |  SELECT word, score, seg, np FROM (
          |    SELECT word, score, seg, np,
          |      row_number() OVER (PARTITION BY word ORDER BY score DESC, seg ASC) AS rn
@@ -212,24 +285,47 @@ object UnigramLm {
          |  ) WHERE rn = 1
          |)""".stripMargin
     }.mkString(",\n")
-    val finals = (1 to maxWordLen)
-      .map(i => s"SELECT * FROM b$i WHERE strlen(word) = $i")
+
+  private def dpFinalsSql(prefix: String, maxWordLen: Int): String =
+    (1 to maxWordLen)
+      .map(i => s"SELECT * FROM $prefix$i WHERE strlen(word) = $i")
       .mkString("\n  UNION ALL ")
+
+  /** DuckDB mirror of [[emSegment]]: the round-1 DP (prefix `b`, counts-
+    * initialized `scored`), the hard-count re-estimation over round-1
+    * segmentations, and the round-2 DP (prefix `c`) under `scored2` —
+    * every argmax of BOTH passes and the re-scored model itself are
+    * cross-engine-checked.
+    */
+  def emSegmentOracleSql(table: String, textCol: String,
+                         maxPieceLen: Int, minFreq: Long, maxWordLen: Int): String =
     s"""WITH ${vocabCtes(table, textCol, maxPieceLen, minFreq)},
        |twords AS MATERIALIZED (
        |  SELECT word, CAST(count(*) AS BIGINT) AS wcnt FROM (
-       |    SELECT unnest(${toksSql(targetTextCol)}) AS word FROM $targetTable
+       |    SELECT unnest(${toksSql(textCol)}) AS word FROM $table
        |  ) GROUP BY 1
        |),
-       |b0 AS MATERIALIZED (
-       |  SELECT word, CAST(0 AS BIGINT) AS score, '' AS seg, 0 AS np
-       |  FROM twords WHERE strlen(word) <= $maxWordLen
+       |${dpInitSql("b", maxWordLen)},
+       |${dpStepsSql("b", "scored", maxPieceLen, maxWordLen)},
+       |final1 AS (
+       |  ${dpFinalsSql("b", maxWordLen)}
        |),
-       |$steps,
-       |final AS (
-       |  $finals
+       |pc AS (
+       |  SELECT piece, CAST(SUM(w.wcnt) AS BIGINT) AS cnt FROM (
+       |    SELECT word, unnest(string_split(seg, '|')) AS piece FROM final1
+       |  ) p JOIN twords w USING (word) GROUP BY piece
+       |),
+       |ptot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM pc),
+       |scored2 AS MATERIALIZED (
+       |  SELECT piece, cnt,
+       |         CAST(round((ln(cnt) - ln(total)) * 1000000) AS BIGINT) AS vscore
+       |  FROM pc, ptot
+       |),
+       |${dpInitSql("c", maxWordLen)},
+       |${dpStepsSql("c", "scored2", maxPieceLen, maxWordLen)},
+       |final2 AS (
+       |  ${dpFinalsSql("c", maxWordLen)}
        |)
        |SELECT w.word, w.wcnt, f.np AS n_pieces, f.score AS score_micro, f.seg
-       |FROM final f JOIN twords w USING (word)""".stripMargin
-  }
+       |FROM final2 f JOIN twords w USING (word)""".stripMargin
 }

@@ -47,6 +47,30 @@ class UnigramLmSpec extends SparkSpecBase {
     assert(segs("ab") === "ab")
   }
 
+  test("hard-EM round: corpus likelihood never decreases; EM prunes, never invents") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val s1 = UnigramLm.segment(docs, "text",
+      maxPieceLen = 4, minFreq = 3, maxWordLen = 12).collect()
+    val s2 = UnigramLm.emSegment(docs, "text",
+      maxPieceLen = 4, minFreq = 3, maxWordLen = 12).collect()
+    assert(s2.nonEmpty && s2.length === s1.length,
+      "every round-1 word stays coverable in round 2")
+    s2.foreach { r =>
+      assert(r.getAs[String]("seg").replace("|", "") === r.getAs[String]("word"))
+    }
+    // Viterbi-EM monotonicity: L(seg2 | m1) >= L(seg1 | m1) >= L(seg1 | m0)
+    // (m1 is the MLE of seg1's hard counts); micro-rounding gives each
+    // word's score at most 1 micro-nat of slack
+    def total(rows: Array[org.apache.spark.sql.Row]): Long =
+      rows.map(r => r.getAs[Long]("wcnt") * r.getAs[Long]("score_micro")).sum
+    assert(total(s2) >= total(s1) - s1.map(_.getAs[Long]("wcnt")).sum,
+      s"EM decreased corpus likelihood: ${total(s1)} -> ${total(s2)}")
+    // EM prunes the model: round-2 pieces all appeared in round-1 segs
+    val used1 = s1.flatMap(_.getAs[String]("seg").split('|')).toSet
+    val used2 = s2.flatMap(_.getAs[String]("seg").split('|')).toSet
+    assert(used2.subsetOf(used1))
+  }
+
   test("every single char survives the vocab regardless of minFreq") {
     val docs = Seq("xyzzy").toDF("text")
     val v = UnigramLm.vocab(docs, "text", maxPieceLen = 4, minFreq = 1000)
