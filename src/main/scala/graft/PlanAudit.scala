@@ -767,7 +767,66 @@ object PlanAudit {
         |aggregate joined back on l_partkey — no per-row probe. The
         |lineitem scan is read once per side with only the three needed
         |columns; at 100× the statement is two keyed aggregations and
-        |one equi-join."""
+        |one equi-join.""",
+    "pipeline_pretrain" ->
+      """Funnel → token counts → 512-token packing end to end: the
+        |packing offsets ride SequencePacking's distributed two-pass
+        |cumsum (range-partition + per-partition offsets broadcast back),
+        |so no single task ever holds the keep-set. Session-memoized —
+        |the funnel's typed MinHash kernel defeats canonical-plan cache
+        |dedup, so the layout is computed once per (session, dataset) and
+        |every consumer reads the persisted |kept|-row frame (the
+        |production shard-layout contract).""",
+    "pipeline_rag" ->
+      """Curated index retrieval: the keep-set join prunes the embedding
+        |side BEFORE any scoring; the bounded query set broadcasts (one
+        |BroadcastExchange, no cartesian — plan-asserted); cosine is a
+        |codegen'd fold per (query, candidate); the final metadata join
+        |is k·|queries|-sized. The index side is never shuffled — at
+        |100 TB the corpus streams through scan → join-prune → score →
+        |bounded top-k.""",
+    "t_wordpiece_encode" ->
+      """Same shape as the unigram segmenter: positional vocab = explode
+        |→ ONE hash-agg over |distinct words| (initial pieces add ONE row
+        |per (word, length) — no quadratic blow-up); the model broadcasts;
+        |the greedy walk is one shuffle-free typed pass. The oracle
+        |unrolls the walk to MATERIALIZED CTE levels with per-level
+        |argmax-by-length.""",
+    "sim_pqtrain_topk" ->
+      """K-means-trained PQ: the subspace axis rides INSIDE each Lloyd
+        |round's frames (posexplode), so 8 subspaces cost the same job
+        |count as one; the m×kCodes centroid table broadcasts every
+        |round; assignment argmins are map-side-combining min_by
+        |aggregates (never a window over corpus×k rows); centroid updates
+        |are one (subspace, cluster, dim)-keyed hash-agg of exact longs.
+        |ADC scoring reuses the broadcast LUT + subspace-ordered fold.""",
+    "d_dup_spans" ->
+      """Sequence-level dedup: window fingerprints are md5-narrowed
+        |before the ONE corpus-wide hash-agg that issues duplicate
+        |verdicts (map-side combine; the shuffle carries 16-byte keys,
+        |not window text); the island merge partitions by doc_id — a
+        |high-cardinality key bounded by one document's length, so there
+        |is no corpus funnel (plan-asserted: no SinglePartition).""",
+    "o21_temp_mix" ->
+      """Temperature mixture: quotas are closed-form over the |domains|-
+        |row count table (sqrt/multiply are IEEE-correctly-rounded, so
+        |the ⌊⌋ is engine-exact); selection rides the same GlobalRowNumber
+        |range-partitioned rank as o20 — plan-asserted that no window
+        |PARTITIONs by the 5-value lang key; the only lang-ordered window
+        |runs over the |domains|-row offsets frame.""",
+    "inc_lsh_maintain" ->
+      """Incremental dedup-index maintenance: the delta (10%) is the only
+        |corpus that runs the MinHash kernel; the probe is an equi-join
+        |on (band, bucket) against the persisted index — base is read
+        |zero times, matching the IVM family's maintained-state contract.
+        |At 100 TB the daily batch costs |delta| band rows + the touched
+        |buckets, not a corpus recompute.""",
+    "t_unigram_em" ->
+      """Hard-EM round: two broadcast-model typed passes over |distinct
+        |words| plus ONE piece-count hash-agg whose readout IS the
+        |(bounded) re-estimated model — the corpus is never re-read
+        |between E and M steps. Both DPs stay shuffle-free; only the
+        |word-count build shuffles, once."""
   )
 
   private def streamingPlan(spark: SparkSession, sfDir: String): String = {
