@@ -2088,6 +2088,17 @@ object SparkEntry {
       graft.ml.Metrics.calibrationBins(scored, "score", "y", 10)
     }),
 
+    // EXACT isotonic calibration via the minimax identity (fitted_i =
+    // max_{j<=i} min_{k>=i} range-avg): PAVA's merge loop closed-form
+    // over the bounded bin table — one corpus hash-agg, the fit on the
+    // B-row readout; every range average is one correctly-rounded divide
+    "ml_isotonic_bins" -> ((s, d) => {
+      val scored = t(s, d, "orders").select(
+        (col("o_totalprice") / 600000.0).as("score"),
+        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0).as("y"))
+      graft.ml.Metrics.isotonicBins(scored, "score", "y", 10)
+    }),
+
     // ranking-eval pack: NDCG@10 per segment — only the top-10 rows per
     // group are ever ranked (TopKPerKey bounded heaps, one exchange);
     // micro-scaled integer DCG weights keep both engines bit-identical.
@@ -5111,6 +5122,11 @@ object SparkEntry {
         |       CAST(SUM(np) OVER (ORDER BY threshold DESC ROWS UNBOUNDED PRECEDING) AS DOUBLE)
         |         / SUM(np) OVER () AS tpr
         |FROM g""".stripMargin,
+
+    "ml_isotonic_bins" -> graft.ml.Metrics.isotonicBinsOracleSql(
+      "orders", scoreSql = "o_totalprice / 600000.0",
+      labelSql = "CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END",
+      bins = 10),
 
     "ml_calibration" ->
       """WITH s AS (

@@ -277,6 +277,83 @@ object Metrics {
           sum("_n").cast("double"), 6).as("ece"))
   }
 
+  /** EXACT isotonic calibration over the [[calibrationBins]] bin table,
+    * via the minimax closed form of pool-adjacent-violators:
+    * `fitted_i = max_{j ≤ i} min_{k ≥ i} (Σ_{j..k} pos) / (Σ_{j..k} n)`
+    * — the classical identity (Barlow et al. 1972) that turns PAVA's
+    * data-dependent merge loop into order statistics over O(B²) range
+    * averages, each a single correctly-rounded division of exact longs,
+    * so the whole fit is bit-identical across engines (min/max are
+    * order-free; no iteration to mirror).
+    *
+    * Scale shape: the corpus-sized work is the ONE binning hash-agg; the
+    * fit itself runs on the ≤`bins`-row readout — the calibration map is
+    * a bounded model artifact (the BpeTrain/Lloyd broadcast contract),
+    * and collecting B rows to close the minimax beats re-executing the
+    * corpus agg once per self-join arm of a B³-triple DataFrame plan.
+    * Output: (bin, n, pos, raw_rate, fitted), fitted non-decreasing.
+    */
+  def isotonicBins(scored: DataFrame, scoreCol: String, labelCol: String,
+                   bins: Int): DataFrame = {
+    require(bins > 0, "isotonicBins needs bins > 0")
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val sr = round(col(scoreCol), 6)
+    val bin = least(greatest(floor(sr * bins), lit(0.0)), lit((bins - 1).toDouble)).cast("int")
+    val b: Array[(Int, Long, Long)] = scored
+      .select(col(labelCol).cast("long").as("_y"), bin.as("bin"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum(col("_y")).as("pos"))
+      .as[(Int, Long, Long)].collect().sortBy(_._1)
+    val m = b.length
+    val cn = b.scanLeft(0L)(_ + _._2).tail
+    val cp = b.scanLeft(0L)(_ + _._3).tail
+    def avg(j: Int, k: Int): Double = // inclusive 0-based range
+      (cp(k) - (if (j == 0) 0L else cp(j - 1))).toDouble /
+        (cn(k) - (if (j == 0) 0L else cn(j - 1))).toDouble
+    val rows = (0 until m).map { i =>
+      val fitted = (0 to i).map { j =>
+        (i until m).map(k => avg(j, k)).min
+      }.max
+      (b(i)._1, b(i)._2, b(i)._3, b(i)._3.toDouble / b(i)._2.toDouble, fitted)
+    }
+    spark.createDataset(rows)
+      .toDF("bin", "n", "pos", "raw_rate", "fitted")
+  }
+
+  /** DuckDB mirror of [[isotonicBins]]: the same binning CTE, prefix
+    * sums over the B-row bin table, all (j ≤ i ≤ k) triples, and the
+    * minimax as GROUP BY aggregates.
+    */
+  def isotonicBinsOracleSql(table: String, scoreSql: String, labelSql: String,
+                            bins: Int): String =
+    s"""WITH s AS (
+       |  SELECT round($scoreSql, 6) AS sr, $labelSql AS y FROM $table
+       |), b AS (
+       |  SELECT CAST(LEAST(GREATEST(FLOOR(sr * $bins), 0), ${bins - 1}) AS INTEGER) AS bin,
+       |         CAST(count(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS pos
+       |  FROM s GROUP BY 1
+       |), p AS (
+       |  SELECT bin, n, pos,
+       |         SUM(n) OVER (ORDER BY bin) AS cn,
+       |         SUM(pos) OVER (ORDER BY bin) AS cp
+       |  FROM b
+       |), rng AS (
+       |  SELECT j.bin AS jb, k.bin AS kb,
+       |         CAST(k.cp - j.cp + j.pos AS DOUBLE) /
+       |         CAST(k.cn - j.cn + j.n AS DOUBLE) AS a
+       |  FROM p j JOIN p k ON j.bin <= k.bin
+       |), mins AS (
+       |  SELECT i.bin AS bin, r.jb, MIN(r.a) AS mn
+       |  FROM b i JOIN rng r ON r.jb <= i.bin AND i.bin <= r.kb
+       |  GROUP BY 1, 2
+       |)
+       |SELECT m.bin, b.n, b.pos,
+       |       CAST(b.pos AS DOUBLE) / CAST(b.n AS DOUBLE) AS raw_rate,
+       |       MAX(m.mn) AS fitted
+       |FROM mins m JOIN b USING (bin)
+       |GROUP BY 1, 2, 3, 4""".stripMargin
+
   /** Decile lift & cumulative-gain table: rank by score descending (ties
     * broken by `idCol`), split into `k` near-equal buckets by GLOBAL row
     * number, and report each bucket's positive rate relative to the base

@@ -130,4 +130,49 @@ class MetricsSpec extends SparkSpecBase {
     assert(out("b").get == 1.0)
     assert(out("c").isEmpty)
   }
+
+  test("isotonicBins equals reference PAVA and preserves pool structure") {
+    // engineered bins: raw rates 0.8, 0.2, 0.5 (violator in the middle)
+    // with unequal weights — PAVA pools bins 0-1 (weighted avg), bin 2
+    // stays if still >= the pool, else pools further
+    val rows =
+      (1 to 10).map(i => (0.05, if (i <= 8) 1 else 0)) ++   // bin 0: 8/10
+      (1 to 20).map(i => (0.15, if (i <= 4) 1 else 0)) ++   // bin 1: 4/20
+      (1 to 10).map(i => (0.25, if (i <= 5) 1 else 0))      // bin 2: 5/10
+    val df = rows.toDF("score", "y")
+    val got = graft.ml.Metrics.isotonicBins(df, "score", "y", 10)
+      .collect().map(r => r.getAs[Int]("bin") ->
+        (r.getAs[Long]("n"), r.getAs[Double]("raw_rate"), r.getAs[Double]("fitted"))).toMap
+
+    // reference PAVA (weighted pool-adjacent-violators, O(B) stack)
+    def pava(w: Array[Long], y: Array[Double]): Array[Double] = {
+      case class Blk(var ws: Double, var sum: Double, var n: Int)
+      val st = scala.collection.mutable.ArrayBuffer[Blk]()
+      for (i <- w.indices) {
+        st += Blk(w(i).toDouble, y(i) * w(i), 1)
+        while (st.length > 1 &&
+          st(st.length - 2).sum / st(st.length - 2).ws >= st.last.sum / st.last.ws) {
+          val b = st.remove(st.length - 1)
+          st.last.ws += b.ws; st.last.sum += b.sum; st.last.n += b.n
+        }
+      }
+      st.flatMap(b => Seq.fill(b.n)(b.sum / b.ws)).toArray
+    }
+    val bins = got.keys.toSeq.sorted
+    val ref = pava(
+      bins.map(b => got(b)._1).toArray,
+      bins.map(b => got(b)._2).toArray)
+    bins.zipWithIndex.foreach { case (b, i) =>
+      assert(math.abs(got(b)._3 - ref(i)) < 1e-12, s"bin $b: ${got(b)._3} vs ${ref(i)}")
+    }
+    // monotone non-decreasing
+    bins.sliding(2).foreach {
+      case Seq(a, b) => assert(got(a)._3 <= got(b)._3)
+      case _         =>
+    }
+    // pooled bins 0-1: (8+4)/(10+20) = 0.4; bin 2 raw 0.5 stays
+    assert(math.abs(got(0)._3 - 0.4) < 1e-12)
+    assert(math.abs(got(1)._3 - 0.4) < 1e-12)
+    assert(math.abs(got(2)._3 - 0.5) < 1e-12)
+  }
 }
