@@ -3543,6 +3543,15 @@ object SparkEntry {
       s.sql(SparkEntry.q14Sql)
     }),
 
+    // Q19 shape: OR'd conjunct groups referencing both join sides — the
+    // disjunction evaluates post-join; Catalyst still extracts the
+    // common p_brand IN (…) implication for the part-side scan
+    "sql_q19_parts" -> ((s, d) => {
+      Seq("lineitem", "part").foreach(tn =>
+        Tables.table(s, d, tn).createOrReplaceTempView(tn))
+      s.sql(SparkEntry.q19Sql)
+    }),
+
     // CUPED variance-reduced experiment readout: pre-period clicks as the
     // covariate, purchases as the metric, same hash arms as ab_ztest —
     // one per-user agg, one 1-row moments agg, scalar math after
@@ -4208,6 +4217,25 @@ object SparkEntry {
       |              WHERE l_orderkey = o_orderkey
       |                AND l_discount > 0.05 AND l_quantity > 30)
       |GROUP BY o_orderpriority""".stripMargin
+
+  /** Q19-shaped disjunctive join predicate (adapted to this schema's
+    * columns): three OR'd conjunct groups that each reference BOTH join
+    * sides, so the disjunction cannot fully push to either scan — the
+    * shape that punishes engines which refuse to extract the common
+    * `p_brand IN (…)` implication. Exact decimal revenue, DOUBLE emit.
+    * Shared text: the identical string runs on Spark and DuckDB. */
+  val q19Sql: String =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) *
+      |  (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM lineitem
+      |JOIN part ON p_partkey = l_partkey
+      |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+      |       AND l_quantity BETWEEN 1 AND 11 AND l_returnflag <> 'R')
+      |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+      |       AND l_quantity BETWEEN 10 AND 20 AND l_returnflag <> 'R')
+      |   OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 35
+      |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin
 
   val windowTopSql: String =
     """SELECT o_custkey, o_orderkey, o_totalprice
@@ -6767,6 +6795,8 @@ object SparkEntry {
 
     "sql_q12_late" -> q12Sql,
     "sql_q14_promo" -> q14Sql,
+
+    "sql_q19_parts" -> q19Sql,
 
     "ab_cuped" -> graft.ops.ExperimentOps.cupedOracleSql(
       s"""  SELECT CASE WHEN ${permilleHashSql("user_id", ":ab", 1000L)} < 500
