@@ -3386,6 +3386,24 @@ object SparkEntry {
     // and the oracle's recursive closure) stay small at ANY scale; a
     // near-critical sample (tried at 1%) grows a giant component whose
     // diameter scales like n^(2/3) and label propagation with it
+    // k-core peeling over the (5%-sampled) co-order graph: the graph-
+    // mutating fixpoint (PageRank iterates values, components iterate
+    // labels — the peel iterates the GRAPH), 3 unrolled rounds at k=6;
+    // each round = one degree hash-agg + two node-keyed trims
+    "g_kcore" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select("l_orderkey", "l_partkey")
+      val edges = li.as("a")
+        .join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        .filter(permilleHash(
+          concat(col("src").cast("string"), lit(":"), col("dst").cast("string")),
+          ":kcore") < 50)
+        .distinct()
+      graft.ops.KCore.peel(edges, k = 6, rounds = 3)
+    }),
+
     "g_components" -> ((s, d) => {
       val li = t(s, d, "lineitem").select("l_orderkey", "l_partkey")
       val pairs = li.as("a")
@@ -6677,6 +6695,15 @@ object SparkEntry {
         |  SELECT node, CAST(count(*) AS BIGINT) AS degree FROM nodes GROUP BY 1
         |)
         |SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes FROM deg GROUP BY 1""".stripMargin,
+
+    "g_kcore" -> graft.ops.KCore.peelOracleSql(
+      s"""  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+         |  FROM lineitem a JOIN lineitem b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |  WHERE ${permilleHashSql(
+               "CAST(a.l_partkey AS VARCHAR) || ':' || CAST(b.l_partkey AS VARCHAR)",
+               ":kcore", 1000L)} < 50""".stripMargin,
+      k = 6, rounds = 3),
 
     "g_components" ->
       s"""WITH RECURSIVE pairs AS (
