@@ -826,7 +826,21 @@ object PlanAudit {
         |words| plus ONE piece-count hash-agg whose readout IS the
         |(bounded) re-estimated model — the corpus is never re-read
         |between E and M steps. Both DPs stay shuffle-free; only the
-        |word-count build shuffles, once."""
+        |word-count build shuffles, once.""",
+    "ml_isotonic_bins" ->
+      """The corpus-sized work is ONE binning hash-agg (map-side
+        |combine); the monotone fit closes over the ≤B-row readout via
+        |the minimax identity — order statistics over exact-long range
+        |averages, so there is no PAVA iteration in the plan at all. The
+        |alternative (a B³-triple DataFrame self-join) would re-execute
+        |the corpus agg once per join arm.""",
+    "g_kcore" ->
+      """Each peel round is one degree hash-agg over 2|E| node mentions
+        |plus two node-keyed trim joins; the surviving edge set only
+        |shrinks, so round cost is non-increasing. localCheckpoint
+        |truncates round lineage — without it round r re-inlines every
+        |earlier round's joins into an exponentially-referenced tree
+        |(the Dedup pointer-jumping discipline)."""
   )
 
   private def streamingPlan(spark: SparkSession, sfDir: String): String = {
