@@ -2088,6 +2088,17 @@ object SparkEntry {
       graft.ml.Metrics.calibrationBins(scored, "score", "y", 10)
     }),
 
+    // split-conformal prediction interval at α = 0.1: exact-decimal mean
+    // predictor, nonconformity |y−μ|, half-width = the ⌈0.9(n+1)⌉-th
+    // smallest calibration score as an EXACT order statistic riding
+    // GlobalRowNumber (no single-task sort, no data-sized driver pull);
+    // readout = finite-sample-guaranteed coverage on the test split
+    "ml_conformal" -> ((s, d) =>
+      graft.ml.Metrics.conformalSplit(
+        t(s, d, "orders"), "o_totalprice",
+        permilleHash(col("o_orderkey").cast("string"), ":conf") < 100,
+        alpha = 0.1)),
+
     // EXACT isotonic calibration via the minimax identity (fitted_i =
     // max_{j<=i} min_{k>=i} range-avg): PAVA's merge loop closed-form
     // over the bounded bin table — one corpus hash-agg, the fit on the
@@ -5168,6 +5179,11 @@ object SparkEntry {
         |       CAST(SUM(np) OVER (ORDER BY threshold DESC ROWS UNBOUNDED PRECEDING) AS DOUBLE)
         |         / SUM(np) OVER () AS tpr
         |FROM g""".stripMargin,
+
+    "ml_conformal" -> graft.ml.Metrics.conformalSplitOracleSql(
+      "orders", valueSql = "o_totalprice",
+      calPredSql = s"${permilleHashSql("o_orderkey", ":conf", 1000L)} < 100",
+      alpha = 0.1),
 
     "ml_isotonic_bins" -> graft.ml.Metrics.isotonicBinsOracleSql(
       "orders", scoreSql = "o_totalprice / 600000.0",

@@ -354,6 +354,87 @@ object Metrics {
        |FROM mins m JOIN b USING (bin)
        |GROUP BY 1, 2, 3, 4""".stripMargin
 
+  /** Split-conformal prediction interval (Vovk et al.; Lei et al. 2018)
+    * around the trivial mean predictor: the calibration split's exact-
+    * decimal mean `μ` is the point prediction, nonconformity is
+    * `|y − μ|`, and the interval half-width is the
+    * `⌈(1−α)(n+1)⌉`-th smallest calibration nonconformity — the EXACT
+    * order statistic (no interpolation), which carries the
+    * finite-sample ≥ 1−α coverage guarantee. The readout reports the
+    * empirical coverage on the disjoint test split.
+    *
+    * Engine-exactness: μ is one double division of an exact decimal
+    * sum; every |y − μ| is two correctly-rounded ops on identical
+    * inputs; the rank index ⌈(1−α)(n+1)⌉ is the same IEEE multiply +
+    * ceil on both engines; the order statistic is a VALUE, so rank
+    * tiebreaks among equal scores cannot change it.
+    *
+    * Scale shape: the order statistic rides [[graft.ops.GlobalRowNumber]]
+    * (range partition + per-partition offsets — no single-task sort, no
+    * data-sized driver pull; the k-th row is a 1-row filter on the
+    * distributed rank). μ, n, and q̂ are 1-row readouts; coverage is one
+    * test-split aggregate.
+    */
+  def conformalSplit(df: DataFrame, valueCol: String, isCal: Column,
+                     alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha < 1, "conformalSplit needs 0 < alpha < 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cal = df.filter(isCal).select(col(valueCol).cast("double").as("y"))
+    val (mu, nCal) = cal
+      .agg((sum(col("y").cast("decimal(18,2)")).cast("double") / count(lit(1))).as("mu"),
+        count(lit(1)).as("n"))
+      .as[(Double, Long)].collect().head
+    val k = math.ceil((1.0 - alpha) * (nCal + 1)).toLong
+    val scores = cal.select(abs(col("y") - lit(mu)).as("s"), col("y"))
+    val (ranked, _, release) = graft.ops.GlobalRowNumber.withRowNumberAndCount(
+      scores, "_rn", col("s").asc, col("y").asc)
+    val qhat = ranked.filter(col("_rn") === k).select("s").as[Double].collect().head
+    release()
+    df.filter(!isCal).select(col(valueCol).cast("double").as("y"))
+      .agg(
+        lit(nCal).as("n_cal"),
+        lit(qhat).as("q_hat"),
+        count(lit(1)).as("n_test"),
+        sum(when(abs(col("y") - lit(mu)) <= qhat, 1L).otherwise(0L)).as("n_covered"))
+      .select(col("n_cal"), col("q_hat"), col("n_test"), col("n_covered"),
+        round(col("n_covered").cast("double") * 1000000.0 /
+          col("n_test").cast("double"), 0).cast("long").as("coverage_micro"))
+  }
+
+  /** DuckDB mirror of [[conformalSplit]]. */
+  def conformalSplitOracleSql(table: String, valueSql: String,
+                              calPredSql: String, alpha: Double): String =
+    s"""WITH cal AS (
+       |  SELECT CAST($valueSql AS DOUBLE) AS y FROM $table WHERE $calPredSql
+       |), mu AS (
+       |  SELECT CAST(SUM(CAST(y AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mu,
+       |         CAST(count(*) AS BIGINT) AS n
+       |  FROM cal
+       |), ranked AS (
+       |  SELECT abs(y - mu.mu) AS s,
+       |         row_number() OVER (ORDER BY abs(y - mu.mu), y) AS rn
+       |  FROM cal, mu
+       |), qh AS (
+       |  -- the rank index must be the SAME IEEE multiply+ceil as the
+       |  -- Scala side: cast both factors to DOUBLE (a bare 0.9 literal
+       |  -- would be DECIMAL arithmetic and can straddle exact-integer
+       |  -- boundaries differently). The interpolated multiplier is
+       |  -- Scala's round-trip-exact Double rendering.
+       |  SELECT r.s AS qhat FROM ranked r, mu
+       |  WHERE r.rn = CAST(ceil(CAST(${1.0 - alpha} AS DOUBLE) *
+       |                         CAST(mu.n + 1 AS DOUBLE)) AS BIGINT)
+       |), test AS (
+       |  SELECT CAST($valueSql AS DOUBLE) AS y FROM $table WHERE NOT ($calPredSql)
+       |)
+       |SELECT mu.n AS n_cal, qh.qhat AS q_hat,
+       |       CAST(count(*) AS BIGINT) AS n_test,
+       |       CAST(SUM(CASE WHEN abs(t.y - mu.mu) <= qh.qhat THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+       |       CAST(round(CAST(SUM(CASE WHEN abs(t.y - mu.mu) <= qh.qhat THEN 1 ELSE 0 END) AS DOUBLE)
+       |            * 1000000.0 / CAST(count(*) AS DOUBLE)) AS BIGINT) AS coverage_micro
+       |FROM test t, mu, qh
+       |GROUP BY mu.n, qh.qhat""".stripMargin
+
   /** Decile lift & cumulative-gain table: rank by score descending (ties
     * broken by `idCol`), split into `k` near-equal buckets by GLOBAL row
     * number, and report each bucket's positive rate relative to the base

@@ -175,4 +175,31 @@ class MetricsSpec extends SparkSpecBase {
     assert(math.abs(got(1)._3 - 0.4) < 1e-12)
     assert(math.abs(got(2)._3 - 0.5) < 1e-12)
   }
+
+  test("conformalSplit: exact order statistic and coverage on an engineered split") {
+    import org.apache.spark.sql.functions._
+    // cal = 1..99 (mean exactly 50, scores |y-50| = 0,1,1,...,49,49);
+    // k = ceil(0.9 * 100) = 90 -> the 90th smallest score is 45
+    val df = ((1 to 99).map(v => (v.toDouble, true)) ++
+      Seq((60.0, false), (96.0, false), (200.0, false))).toDF("v", "is_cal")
+    val row = graft.ml.Metrics.conformalSplit(df, "v", col("is_cal"), alpha = 0.1)
+      .collect().head
+    assert(row.getAs[Long]("n_cal") === 99L)
+    assert(row.getAs[Double]("q_hat") === 45.0)
+    assert(row.getAs[Long]("n_test") === 3L)
+    // covered: |60-50|=10 <= 45, |96-50|=46 > 45, |200-50|=150 > 45
+    assert(row.getAs[Long]("n_covered") === 1L)
+    assert(row.getAs[Long]("coverage_micro") === 333333L)
+  }
+
+  test("conformalSplit: hash-split coverage is near 1 - alpha on exchangeable data") {
+    import org.apache.spark.sql.functions._
+    val df = spark.read.parquet(s"$sfDir/orders.parquet")
+    val isCal = pmod(graft.text.TextOps.md5Hash60(
+      concat(col("o_orderkey").cast("string"), lit(":conftest"))), lit(1000L)) < 200
+    val row = graft.ml.Metrics.conformalSplit(df, "o_totalprice", isCal, alpha = 0.1)
+      .collect().head
+    val cov = row.getAs[Long]("coverage_micro") / 1e6
+    assert(cov >= 0.85 && cov <= 1.0, s"coverage $cov implausible for alpha=0.1")
+  }
 }
