@@ -25,7 +25,7 @@ class PinHygieneSpec extends SparkSpecBase {
     Seq("fe_rfm", "a15_pareto_abc", "w7_rank_ntile", "w8_percent_rank",
       "o20_domain_mix", "o21_temp_mix", "ml_lift", "ml_qini",
       "t_pack_windows", "pipeline_pretrain", "pipeline_rag",
-      "inc_lsh_maintain")
+      "inc_lsh_maintain", "ml_conformal")
 
   for (q <- releasePattern)
     test(s"$q: leaves at most one new pin, and re-running adds none") {
