@@ -1648,6 +1648,14 @@ object SparkEntry {
       Quantized.sq8TopK(t(s, d, "embeddings"), "vec_id", "embedding",
         nQueries = 10, k = 5)),
 
+    // binary quantization + oversampled rescoring: 32× smaller corpus
+    // (sign bits in packed words), popcount(XOR) shortlist in exact
+    // integers, float cosine only on the shortlist — the most aggressive
+    // point on the ANN compression curve, fully oracle-able
+    "sim_bq_topk" -> ((s, d) =>
+      Quantized.bqTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+        dim = 64, nQueries = 10, shortlist = 16, k = 5)),
+
     // product quantization + ADC: dim×4 bytes → m bytes per vector, m LUT
     // lookups per candidate instead of a dim-length dot. Data-point
     // codebook keeps encode/score exactly oracle-able.
@@ -3462,6 +3470,21 @@ object SparkEntry {
       graft.ml.Metrics.ece(scored, "score", "y", 10)
     }),
 
+    // Murphy decomposition of the binned Brier score: reliability −
+    // resolution + uncertainty. The rule score enters PRE-QUANTIZED as
+    // integer micros derived from exact cents (round(cents/60) — any .5
+    // is a true representable tie, identical on both engines), so every
+    // per-bin mean is ONE divide of exact longs; one corpus hash-agg
+    "ml_brier_decomp" -> ((s, d) => {
+      // exact cents ride a decimal(12,2) cast (the raw column is DOUBLE:
+      // a bare *100 long-cast truncates on Spark but rounds on DuckDB)
+      val cents = (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")
+      val scored = t(s, d, "orders").select(
+        round(cents / lit(60.0)).cast("long").as("sm"),
+        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0).as("y"))
+      graft.ml.Metrics.brierDecomp(scored, "sm", "y", 10)
+    }),
+
     // order-invariant table content fingerprint: canonical row rendering →
     // portable 60-bit hash → commutative combine (exact decimal SUM +
     // bitwise XOR + count). Cross-copy/cross-engine data equality from ONE
@@ -3862,6 +3885,13 @@ object SparkEntry {
     "ts_ewma" -> ((s, d) =>
       graft.ops.TimeSeriesOps.ewmaDaily(Tables.events(s, d), "event_type", "ts")),
 
+    // Holt's linear-trend smoothing at α = β = 1/2 — ts_ewma's dyadic-
+    // exact argument applied to the TWO-state (level, trend) recurrence;
+    // h-step forecasts reported for h = 1, 7. Same one-hash-agg +
+    // bounded-per-key-fold scale shape
+    "ts_holt" -> ((s, d) =>
+      graft.ops.TimeSeriesOps.holtDaily(Tables.events(s, d), "event_type", "ts")),
+
     // debounce/throttle: keep only each gap-session's first event —
     // session cumsum and keeper-pick share one (user) exchange
     "ev_debounce" -> ((s, d) =>
@@ -3897,6 +3927,23 @@ object SparkEntry {
             col("x.l_partkey") < col("y.l_partkey"))
         .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
       graft.ops.Triangles.commonNeighbors(edges, "src", "dst",
+        maxDeg = 40, minCommon = 2L)
+    }),
+
+    // degree-weighted link prediction on the same graph: each common
+    // neighbor endorses with the exact integer round(1e6/deg) — hub
+    // endorsements count less (resource allocation, Zhou et al. 2009);
+    // integer weights make the pair score an order-free SUM
+    "g_link_ra" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .filter(col("l_quantity") >= 40)
+        .select("l_orderkey", "l_partkey")
+      val edges = li.as("x")
+        .join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+      graft.ops.Triangles.linkRA(edges, "src", "dst",
         maxDeg = 40, minCommon = 2L)
     }),
 
@@ -4013,6 +4060,15 @@ object SparkEntry {
     // the partition-invariant rolling z-score machinery over a trailing
     // 7-day window — volume anomalies (a stuck producer, a double-ship)
     // surface as data, on |types × days| rows, never |events|
+    // Benford's-law conformance of order totals — the classic DQ/fraud
+    // screen: observed vs expected first-digit shares, exact integers
+    // everywhere (digit from the decimal's string rendering, expectation
+    // literals JVM-precomputed and shared with the oracle). One 9-group
+    // hash-agg with map-side combine
+    "dq_benford" -> ((s, d) =>
+      graft.ops.StatsOps.benford(t(s, d, "orders"),
+        col("o_totalprice").cast("decimal(12,2)"))),
+
     "dq_volume_anomaly" -> ((s, d) => {
       val daily = Tables.events(s, d)
         .groupBy(col("event_type"), to_date(col("ts")).as("day"))
@@ -5628,6 +5684,10 @@ object SparkEntry {
       Quantized.sq8TopKOracleSql("embeddings", "vec_id", "embedding",
         dim = 64, nQueries = 10, k = 5),
 
+    "sim_bq_topk" ->
+      Quantized.bqTopKOracleSql("embeddings", "vec_id", "embedding",
+        dim = 64, nQueries = 10, shortlist = 16, k = 5),
+
     "sim_pq_topk" ->
       Quantized.pqTopKOracleSql("embeddings", "vec_id", "embedding",
         dim = 64, m = 8, nCodes = 16, nQueries = 10, k = 5),
@@ -6768,6 +6828,15 @@ object SparkEntry {
         |       round(CAST(SUM(abs(sy - ss)) AS DOUBLE) / CAST(SUM(n) AS DOUBLE), 6) AS ece
         |FROM b""".stripMargin,
 
+    "ml_brier_decomp" -> graft.ml.Metrics.brierDecompOracleSql(
+      "SELECT CAST(round(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) / 60.0) AS BIGINT) AS sm, " +
+        "CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END AS y " +
+        "FROM orders",
+      bins = 10),
+
+    "dq_benford" -> graft.ops.StatsOps.benfordOracleSql(
+      "orders", "CAST(o_totalprice AS DECIMAL(12,2))"),
+
     "dq_freshness" ->
       """WITH e AS (
         |  SELECT event_type,
@@ -7122,6 +7191,9 @@ object SparkEntry {
     "ts_ewma" -> graft.ops.TimeSeriesOps.ewmaDailyOracleSql(
       "events", "event_type", "ts"),
 
+    "ts_holt" -> graft.ops.TimeSeriesOps.holtDailyOracleSql(
+      "events", "event_type", "ts"),
+
     // same sessionize core as ev_sessionize's oracle, then the keeper is
     // row 1 of each (user, session) under the same (ts, id) total order
     "ev_debounce" ->
@@ -7151,6 +7223,12 @@ object SparkEntry {
       "c_mktsegment", "o_orderdate", refDate = "1998-08-01"),
 
     "g_common_neighbors" -> graft.ops.Triangles.commonNeighborsOracleSql(
+      "SELECT a.l_partkey AS src, b.l_partkey AS dst FROM lineitem a " +
+        "JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey " +
+        "WHERE a.l_quantity >= 40 AND b.l_quantity >= 40",
+      maxDeg = 40, minCommon = 2L),
+
+    "g_link_ra" -> graft.ops.Triangles.linkRAOracleSql(
       "SELECT a.l_partkey AS src, b.l_partkey AS dst FROM lineitem a " +
         "JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey " +
         "WHERE a.l_quantity >= 40 AND b.l_quantity >= 40",

@@ -277,6 +277,109 @@ object Metrics {
           sum("_n").cast("double"), 6).as("ece"))
   }
 
+  /** Murphy (1973) decomposition of the binned Brier score into
+    * reliability − resolution + uncertainty — the standard forecast-
+    * verification readout behind every calibration dashboard:
+    *
+    *   REL = Σ_b n_b·(p̄_b − ō_b)² / N   (calibration error, lower better)
+    *   RES = Σ_b n_b·(ō_b − ō)² / N     (discrimination, higher better)
+    *   UNC = ō·(1 − ō)                   (irreducible base-rate entropy)
+    *
+    * Determinism: the caller supplies the score PRE-QUANTIZED as integer
+    * micros (`microsCol`), so binning and the per-bin score mass are pure
+    * integer arithmetic — no per-row `round(double)` whose half-way ties
+    * Spark resolves against the double's SHORTEST DECIMAL STRING while
+    * DuckDB rounds the binary value (measured: 4/15000 rows flip), and no
+    * DECIMAL→DOUBLE cast that DuckDB performs in two roundings. Every
+    * per-bin mean is then ONE correctly-rounded division of exact longs,
+    * and the Σ over bins is a bin-ordered left fold of a pinned expression
+    * shape, so all four outputs are bit-identical across engines.
+    *
+    * Scale shape: the corpus-sized work is the one binning hash-agg with
+    * map-side combine; the decomposition folds over the ≤`bins`-row
+    * readout inside a single-row aggregate. No second pass, no driver math.
+    */
+  def brierDecomp(scored: DataFrame, microsCol: String, labelCol: String,
+                  bins: Int): DataFrame = {
+    require(bins > 0, "brierDecomp needs bins > 0")
+    val sm = col(microsCol).cast("long")
+    // (sm·bins)/1e6 is ≥ 1e-6 away from any integer while ulp(q) « 1e-6,
+    // so the correctly-rounded double divide can never cross the floor
+    val bin = least(greatest(floor((sm * bins) / lit(1000000.0)), lit(0L)),
+      lit((bins - 1).toLong)).cast("int")
+    val binned = scored
+      .select(sm.as("_sm"), col(labelCol).cast("long").as("_y"), bin.as("bin"))
+      .groupBy("bin")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("_y")).as("pos"),
+        sum(col("_sm")).as("ssm"))
+    val g = binned.agg(
+      array_sort(collect_list(struct(
+        col("bin"),
+        col("n").cast("double").as("n"),
+        col("pos").cast("double").as("pos"),
+        col("ssm").cast("double").as("ssm")))).as("arr"),
+      sum("n").as("n"), sum("pos").as("np"), count(lit(1)).as("n_bins"))
+    val obar = col("np").cast("double") / col("n").cast("double")
+    def pbar(e: Column): Column =
+      e.getField("ssm") / (e.getField("n") * lit(1000000.0))
+    def obb(e: Column): Column = e.getField("pos") / e.getField("n")
+    val relSum = aggregate(col("arr"), lit(0.0),
+      (acc, e) => acc + ((pbar(e) - obb(e)) * (pbar(e) - obb(e))) * e.getField("n"))
+    val resSum = aggregate(col("arr"), lit(0.0),
+      (acc, e) => acc + ((obb(e) - obar) * (obb(e) - obar)) * e.getField("n"))
+    g.select(
+      col("n"), col("n_bins"), obar.as("base_rate"),
+      (relSum / col("n").cast("double")).as("reliability"),
+      (resSum / col("n").cast("double")).as("resolution"),
+      (obar * (lit(1.0) - obar)).as("uncertainty"),
+      (relSum / col("n").cast("double") - resSum / col("n").cast("double") +
+        obar * (lit(1.0) - obar)).as("brier_binned"))
+  }
+
+  /** DuckDB mirror of [[brierDecomp]]: same binning, same exact per-bin
+    * accumulators, same bin-ordered `list_reduce` folds (seeded with a
+    * prepended 0.0 so the 2-arg form reproduces Spark's seeded fold),
+    * same expression shapes per term.
+    */
+  def brierDecompOracleSql(scoredSql: String, bins: Int): String = {
+    val top = bins - 1
+    s"""WITH s AS ($scoredSql),
+       |b AS (
+       |  SELECT CAST(LEAST(GREATEST(FLOOR((sm * $bins) / 1000000.0), 0), $top) AS INTEGER) AS bin,
+       |         count(*) AS n, SUM(y) AS pos, SUM(sm) AS ssm
+       |  FROM s GROUP BY 1
+       |), g AS (
+       |  SELECT list({'n': CAST(n AS DOUBLE), 'pos': CAST(pos AS DOUBLE),
+       |               'ssm': CAST(ssm AS DOUBLE)} ORDER BY bin) AS arr,
+       |         CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(pos) AS BIGINT) AS np,
+       |         CAST(count(*) AS BIGINT) AS n_bins
+       |  FROM b
+       |)
+       |SELECT n, n_bins,
+       |  CAST(np AS DOUBLE) / CAST(n AS DOUBLE) AS base_rate,
+       |  list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(arr, e ->
+       |    ((e.ssm / (e.n * 1000000.0) - e.pos / e.n) * (e.ssm / (e.n * 1000000.0) - e.pos / e.n)) * e.n)),
+       |    (a, v) -> a + v) / CAST(n AS DOUBLE) AS reliability,
+       |  list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(arr, e ->
+       |    ((e.pos / e.n - CAST(np AS DOUBLE) / CAST(n AS DOUBLE)) *
+       |     (e.pos / e.n - CAST(np AS DOUBLE) / CAST(n AS DOUBLE))) * e.n)),
+       |    (a, v) -> a + v) / CAST(n AS DOUBLE) AS resolution,
+       |  (CAST(np AS DOUBLE) / CAST(n AS DOUBLE)) *
+       |    (1.0 - CAST(np AS DOUBLE) / CAST(n AS DOUBLE)) AS uncertainty,
+       |  list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(arr, e ->
+       |    ((e.ssm / (e.n * 1000000.0) - e.pos / e.n) * (e.ssm / (e.n * 1000000.0) - e.pos / e.n)) * e.n)),
+       |    (a, v) -> a + v) / CAST(n AS DOUBLE)
+       |  - list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(arr, e ->
+       |    ((e.pos / e.n - CAST(np AS DOUBLE) / CAST(n AS DOUBLE)) *
+       |     (e.pos / e.n - CAST(np AS DOUBLE) / CAST(n AS DOUBLE))) * e.n)),
+       |    (a, v) -> a + v) / CAST(n AS DOUBLE)
+       |  + (CAST(np AS DOUBLE) / CAST(n AS DOUBLE)) *
+       |    (1.0 - CAST(np AS DOUBLE) / CAST(n AS DOUBLE)) AS brier_binned
+       |FROM g""".stripMargin
+  }
+
   /** EXACT isotonic calibration over the [[calibrationBins]] bin table,
     * via the minimax closed form of pool-adjacent-violators:
     * `fitted_i = max_{j ≤ i} min_{k ≥ i} (Σ_{j..k} pos) / (Σ_{j..k} n)`

@@ -189,4 +189,75 @@ object StatsOps {
     relX(); relY()
     collected
   }
+
+  /** Benford's-law expected share of first significant digit `d`, in
+    * micro-units: round(10⁶ · log₁₀(1 + 1/d)). Computed ONCE here in the
+    * JVM and embedded as the same literal into both engines' plans, so no
+    * cross-engine log semantics are in play at all.
+    */
+  private[graft] def benfordMicros(d: Int): Long =
+    math.round(1e6 * math.log10(1.0 + 1.0 / d))
+
+  /** Benford's-law conformance profile of a positive amount column — the
+    * classic data-quality / fraud screen (Benford 1938; Nigrini 2012):
+    * naturally-occurring multi-scale amounts follow
+    * P(first digit = d) = log₁₀(1 + 1/d); fabricated or truncated data
+    * does not. Output: one row per digit 1–9 with the observed count,
+    * observed share (micros), the Benford expectation (micros), and the
+    * signed deviation — every number an exact integer (counts, plus one
+    * correctly-rounded multiply-then-divide per digit; the expectation
+    * literals are JVM-computed constants shared with the oracle).
+    *
+    * The first digit is extracted from the decimal's plain string
+    * rendering (both engines render DECIMAL without exponent), never via
+    * log10-of-value, whose rounding at exact powers of ten is
+    * engine-dependent. `amount` must be > 1 (true for order totals).
+    *
+    * Scale shape: one projection + one 9-group hash-agg with map-side
+    * combine; the 9-row constant side joins broadcast. Nothing else.
+    */
+  def benford(df: DataFrame, amount: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val digits = (1 to 9).map(d => (d.toLong, benfordMicros(d))).toDF("digit", "benford_micros")
+    val obs = df
+      .select(substring(amount.cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("cnt"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    broadcast(digits)
+      .join(obs, Seq("digit"), "left")
+      .select(col("digit"), coalesce(col("cnt"), lit(0L)).as("cnt"), col("benford_micros"))
+      .withColumn("total", sum(col("cnt")).over(wAll))
+      .select(
+        col("digit"), col("cnt"),
+        round((col("cnt") * 1000000L).cast("double") / col("total").cast("double"))
+          .cast("long").as("share_micros"),
+        col("benford_micros"))
+      .withColumn("dev_micros", col("share_micros") - col("benford_micros"))
+  }
+
+  /** DuckDB mirror of [[benford]] — identical digit extraction, identical
+    * JVM-precomputed expectation literals, identical one-divide share.
+    */
+  def benfordOracleSql(table: String, amountCol: String): String = {
+    val values = (1 to 9).map(d => s"($d, ${benfordMicros(d)})").mkString(", ")
+    s"""WITH bf(digit, benford_micros) AS (VALUES $values),
+       |obs AS (
+       |  SELECT CAST(substring(CAST($amountCol AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+       |         CAST(count(*) AS BIGINT) AS cnt
+       |  FROM $table GROUP BY 1
+       |)
+       |SELECT CAST(bf.digit AS BIGINT) AS digit,
+       |       COALESCE(obs.cnt, 0) AS cnt,
+       |       CAST(round(CAST(COALESCE(obs.cnt, 0) * 1000000 AS DOUBLE) /
+       |                  CAST(sum(COALESCE(obs.cnt, 0)) OVER () AS DOUBLE)) AS BIGINT)
+       |         AS share_micros,
+       |       CAST(bf.benford_micros AS BIGINT) AS benford_micros,
+       |       CAST(round(CAST(COALESCE(obs.cnt, 0) * 1000000 AS DOUBLE) /
+       |                  CAST(sum(COALESCE(obs.cnt, 0)) OVER () AS DOUBLE)) AS BIGINT)
+       |         - CAST(bf.benford_micros AS BIGINT) AS dev_micros
+       |FROM bf LEFT JOIN obs ON bf.digit = obs.digit""".stripMargin
+  }
 }

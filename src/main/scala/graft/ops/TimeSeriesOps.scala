@@ -638,4 +638,82 @@ object TimeSeriesOps {
        |SELECT k AS $keyCol, CAST(len(vs) AS BIGINT) AS n_days, last_day,
        |       list_reduce(vs, (acc, v) -> acc * 0.5 + v * 0.5) AS ewma
        |FROM ser""".stripMargin
+
+  /** Holt's linear-trend (double exponential) smoothing over each key's
+    * DAILY count series at α = β = 1/2 — [[ewmaDaily]]'s dyadic-exact
+    * argument applied to the TWO-state recurrence:
+    *
+    *   level lₜ = yₜ·0.5 + (lₜ₋₁ + bₜ₋₁)·0.5
+    *   trend bₜ = (lₜ − lₜ₋₁)·0.5 + bₜ₋₁·0.5
+    *
+    * Every step is {halve (exact), one correctly-rounded add/subtract} in
+    * a pinned left-to-right order, so the fold is bit-identical on every
+    * IEEE 754 engine. Standard init l₁ = y₁, b₁ = y₂ − y₁ (Hyndman &
+    * Athanasopoulos, FPP §8.2); keys with a single day drop out (no trend
+    * axis). The h-step forecast ŷ(h) = l + b·h is reported for h = 1, 7.
+    *
+    * Scale shape: identical to [[ewmaDaily]] — one (key, day) hash-agg
+    * with map-side combine, then a bounded per-key fold; no event-sized
+    * window, no driver loop.
+    */
+  def holtDaily(events: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val daily = events
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).cast("double").as("x"))
+    val folded = daily
+      .groupBy(col(keyCol))
+      .agg(array_sort(collect_list(struct(col("day"), col("x")))).as("s"),
+        max(col("day")).as("last_day"))
+      .filter(size(col("s")) >= 2)
+      .select(col(keyCol),
+        size(col("s")).cast("long").as("n_days"),
+        col("last_day"),
+        aggregate(
+          slice(transform(col("s"), e => e.getField("x")), lit(3), size(col("s")) - 2),
+          struct(
+            element_at(transform(col("s"), e => e.getField("x")), 1).as("l"),
+            (element_at(transform(col("s"), e => e.getField("x")), 2) -
+              element_at(transform(col("s"), e => e.getField("x")), 1)).as("b")),
+          (acc, y) => {
+            val lNew = y * lit(0.5) + (acc.getField("l") + acc.getField("b")) * lit(0.5)
+            struct(
+              lNew.as("l"),
+              ((lNew - acc.getField("l")) * lit(0.5) +
+                acc.getField("b") * lit(0.5)).as("b"))
+          }).as("st"))
+    folded.select(
+      col(keyCol), col("n_days"), col("last_day"),
+      col("st.l").as("level"), col("st.b").as("trend"),
+      (col("st.l") + col("st.b")).as("fc_1"),
+      (col("st.l") + col("st.b") * lit(7.0)).as("fc_7"))
+  }
+
+  /** DuckDB mirror of [[holtDaily]] — the two-state recurrence runs as a
+    * RECURSIVE CTE stepping one day at a time with the identical pinned
+    * op order. (NOT `list_reduce` with a struct accumulator: DuckDB
+    * 1.0.0 evaluates the struct's later fields against the already-
+    * overwritten earlier fields — an in-place state-update bug that
+    * corrupts any two-state fold.)
+    */
+  def holtDailyOracleSql(table: String, keyCol: String, tsCol: String): String =
+    s"""WITH RECURSIVE daily AS (
+       |  SELECT $keyCol AS k, CAST(date_trunc('day', $tsCol) AS DATE) AS day,
+       |         CAST(count(*) AS DOUBLE) AS x
+       |  FROM $table GROUP BY 1, 2
+       |), ser AS (
+       |  SELECT k, list(x ORDER BY day) AS vs, max(day) AS last_day,
+       |         CAST(count(*) AS BIGINT) AS n
+       |  FROM daily GROUP BY 1 HAVING count(*) >= 2
+       |), it AS (
+       |  SELECT k, 2 AS i, vs[1] AS l, vs[2] - vs[1] AS b FROM ser
+       |  UNION ALL
+       |  SELECT it.k, i + 1,
+       |         vs[i + 1] * 0.5 + (l + b) * 0.5,
+       |         (vs[i + 1] * 0.5 + (l + b) * 0.5 - l) * 0.5 + b * 0.5
+       |  FROM it JOIN ser ON it.k = ser.k WHERE i < n
+       |)
+       |SELECT it.k AS $keyCol, ser.n AS n_days, ser.last_day,
+       |       it.l AS level, it.b AS trend,
+       |       it.l + it.b AS fc_1, it.l + it.b * 7.0 AS fc_7
+       |FROM it JOIN ser ON it.k = ser.k WHERE it.i = ser.n""".stripMargin
 }

@@ -132,6 +132,79 @@ object Triangles {
     cn.join(canon, Seq("a", "b"), "left_anti")
   }
 
+  /** Resource-allocation link prediction (Zhou, Lü & Zhang 2009) — the
+    * degree-weighted refinement of [[commonNeighbors]]: each common
+    * neighbor z endorses the candidate pair with weight 1/deg(z), so
+    * promiscuous hubs count for less. The top of the RA ranking is the
+    * standard "links most likely to form next" readout.
+    *
+    * Determinism: each center's weight is the exact integer
+    * `round(10⁶ / deg(z))` (one correctly-rounded IEEE divide of small
+    * integers — no tie can sit at .5 for deg < 128 because 2·10⁶ has only
+    * seven factors of two), and the pair score is a SUM of those integers
+    * — order-free, bit-identical on both engines. No float accumulation.
+    *
+    * Scale shape: identical to [[commonNeighbors]] — wedge pairs are
+    * generated array-side through degree-capped centers (each carrying
+    * its center's constant weight) and feed one partially-aggregated
+    * (sum, count); the wedge volume is Σ_capped deg²/2, chosen not hoped
+    * for. Output: non-adjacent (a, b, common_cnt, ra_micros).
+    */
+  def linkRA(edges: DataFrame, srcCol: String, dstCol: String,
+             maxDeg: Int, minCommon: Long): DataFrame = {
+    val canon = edges
+      .filter(col(srcCol) =!= col(dstCol))
+      .select(
+        least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .distinct()
+    val nbrs = canon.select(col("a").as("v"), col("b").as("n"))
+      .unionByName(canon.select(col("b").as("v"), col("a").as("n")))
+    val adj = nbrs.groupBy("v").agg(sort_array(collect_set(col("n"))).as("ns"))
+      .filter(size(col("ns")) <= maxDeg)
+      .withColumn("w",
+        round(lit(1000000.0) / size(col("ns")).cast("double")).cast("long"))
+    val pairs = adj.select(col("w"),
+      explode(flatten(transform(col("ns"), (x, i) =>
+        transform(
+          slice(col("ns"), i + lit(2), size(col("ns")) - i - lit(1)),
+          y => struct(x.as("x"), y.as("y")))))).as("p"))
+    val scored = pairs
+      .groupBy(col("p.x").as("a"), col("p.y").as("b"))
+      .agg(count(lit(1)).as("common_cnt"), sum(col("w")).as("ra_micros"))
+      .filter(col("common_cnt") >= minCommon)
+    scored.join(canon, Seq("a", "b"), "left_anti")
+  }
+
+  /** DuckDB mirror of [[linkRA]] — naive wedge self-join under the same
+    * degree cap, each wedge weighted by its center's integer micro-weight.
+    */
+  def linkRAOracleSql(edgesSql: String, maxDeg: Int, minCommon: Long): String =
+    s"""WITH raw AS ($edgesSql),
+       |e AS (
+       |  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+       |  FROM raw WHERE src <> dst
+       |),
+       |nb AS (SELECT a AS v, b AS n FROM e UNION ALL SELECT b, a FROM e),
+       |deg AS (SELECT v, count(*) AS dg FROM nb GROUP BY 1),
+       |nb2 AS (
+       |  SELECT nb.v, nb.n,
+       |         CAST(round(1000000.0 / CAST(deg.dg AS DOUBLE)) AS BIGINT) AS w
+       |  FROM nb JOIN deg ON nb.v = deg.v WHERE deg.dg <= $maxDeg
+       |),
+       |w AS (
+       |  SELECT n1.n AS a, n2.n AS b, n1.w AS w
+       |  FROM nb2 n1 JOIN nb2 n2 ON n1.v = n2.v AND n1.n < n2.n
+       |),
+       |cn AS (
+       |  SELECT a, b, CAST(count(*) AS BIGINT) AS common_cnt,
+       |         CAST(SUM(w) AS BIGINT) AS ra_micros
+       |  FROM w GROUP BY 1, 2 HAVING count(*) >= $minCommon
+       |)
+       |SELECT cn.a, cn.b, cn.common_cnt, cn.ra_micros
+       |FROM cn LEFT JOIN e ON cn.a = e.a AND cn.b = e.b
+       |WHERE e.a IS NULL""".stripMargin
+
   /** DuckDB mirror of [[commonNeighbors]] — the oracle runs the naive
     * wedge self-join under the same degree cap, so the array-combination
     * strategy is proven against the textbook relational form. */

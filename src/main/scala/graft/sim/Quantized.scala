@@ -120,6 +120,111 @@ object Quantized {
        |) WHERE rank <= $k""".stripMargin
   }
 
+  /** Binary (1-bit) quantization + Hamming shortlist + exact re-rank —
+    * the most aggressive point on the compression curve (32× vs float32:
+    * dim bits per vector) and the shape modern vector stores ship as
+    * "binary quantization with oversampled rescoring". Sign bits pack
+    * into 32-bit words (BIGINT-safe under ANSI overflow checks);
+    * candidate distance is popcount(XOR) — exact integer arithmetic, so
+    * the whole shortlist stage is bit-deterministic. The top `shortlist`
+    * per query by (hamming, vid) then re-ranks by EXACT float cosine
+    * (subspace-ordered fold, the [[Similarity]] contract) and the top
+    * `k` survive.
+    *
+    * Scale shape: codes are one narrow projection (no shuffle); queries
+    * broadcast; the per-query shortlist rides a row_number window the
+    * session's RowNumberTopK rule executes as a bounded heap, and only
+    * `shortlist` rows per query ever reach the float re-rank. At 100 TB
+    * the corpus scan touches dim/8 bytes per vector instead of dim×4.
+    */
+  def bqTopK(emb: DataFrame, idCol: String, vecCol: String,
+             dim: Int, nQueries: Int, shortlist: Int, k: Int): DataFrame = {
+    require(dim % 32 == 0, s"bqTopK: dim=$dim not a multiple of 32")
+    require(shortlist >= k, s"bqTopK: shortlist=$shortlist < k=$k")
+    val words = dim / 32
+    val base = emb.select(
+      col(idCol).as("vid"),
+      transform(col(vecCol), x => x.cast("double")).as("e"))
+    def word(j: Int): Column =
+      aggregate(slice(col("e"), j * 32 + 1, 32), lit(0L),
+        (acc, x) => acc * 2L + when(x > 0.0, 1L).otherwise(0L))
+    val codes = base
+      .withColumn("w", array((0 until words).map(word): _*))
+      .withColumn("ee", foldDot(col("e"), col("e")))
+    val queries = codes.filter(col("vid") < nQueries)
+      .select(col("vid").as("query_id"), col("w").as("qw"),
+        col("e").as("qe"), col("ee").as("qee"))
+    val hamming = aggregate(
+      zip_with(col("qw"), col("w"),
+        (a, b) => bit_count(a.bitwiseXOR(b)).cast("long")),
+      lit(0L), (acc, v) => acc + v)
+    val wHam = Window.partitionBy("query_id").orderBy(asc("hamming"), asc("vid"))
+    val shortlisted = codes
+      .join(broadcast(queries), col("query_id") =!= col("vid"))
+      .withColumn("hamming", hamming)
+      .withColumn("hrank", row_number().over(wHam))
+      .filter(col("hrank") <= shortlist)
+    val wCos = Window.partitionBy("query_id")
+      .orderBy(desc_nulls_last("cos"), asc("vid"))
+    shortlisted
+      .withColumn("cos",
+        when(col("qee") === 0.0 || col("ee") === 0.0, lit(null))
+          .otherwise(foldDot(col("qe"), col("e")) /
+            (sqrt(col("qee")) * sqrt(col("ee")))))
+      .withColumn("rank", row_number().over(wCos))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vid").as("neighbor_id"),
+        col("hamming"), col("cos"), col("rank"))
+  }
+
+  /** DuckDB mirror of [[bqTopK]]: same 32-bit word packing (an ordered
+    * fold `acc·2 + sign` equals the shift-sum — exact integers either
+    * way), same popcount(XOR) distance, same two-stage ranking with the
+    * same tiebreaks, same ordered-fold cosine.
+    */
+  def bqTopKOracleSql(table: String, idCol: String, vecCol: String,
+                      dim: Int, nQueries: Int, shortlist: Int, k: Int): String = {
+    require(dim % 32 == 0)
+    val words = dim / 32
+    def wordSql(j: Int): String = {
+      val off = j * 32
+      s"list_sum(list_transform(range(1, 33), i -> CASE WHEN e[$off + i] > 0 " +
+        s"THEN (CAST(1 AS BIGINT) << (32 - i)) ELSE CAST(0 AS BIGINT) END))"
+    }
+    val wordList = (0 until words).map(wordSql).mkString("[", ", ", "]")
+    val hamSql = (1 to words)
+      .map(j => s"CAST(bit_count(xor(q.w[$j], c.w[$j])) AS BIGINT)")
+      .mkString(" + ")
+    def dot(a: String, b: String): String =
+      s"list_sum(list_transform(range(1, ${dim + 1}), i -> $a[i] * $b[i]))"
+    s"""WITH v AS (
+       |  SELECT $idCol AS vid, CAST($vecCol AS DOUBLE[]) AS e FROM $table
+       |), c AS (
+       |  SELECT vid, e, $wordList AS w, ${dot("e", "e")} AS ee FROM v
+       |), q AS (
+       |  SELECT vid AS query_id, w, e AS qe, ee AS qee FROM c
+       |  WHERE vid < $nQueries
+       |), h AS (
+       |  SELECT q.query_id, c.vid, q.qe, c.e, q.qee, c.ee,
+       |         $hamSql AS hamming
+       |  FROM c JOIN q ON q.query_id <> c.vid
+       |), s AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY hamming ASC, vid ASC) AS hrank
+       |  FROM h
+       |), r AS (
+       |  SELECT query_id, vid, hamming,
+       |    CASE WHEN qee = 0 OR ee = 0 THEN NULL
+       |         ELSE ${dot("qe", "e")} / (sqrt(qee) * sqrt(ee)) END AS cos
+       |  FROM s WHERE hrank <= $shortlist
+       |)
+       |SELECT query_id, vid AS neighbor_id, hamming, cos, rank FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cos DESC NULLS LAST, vid ASC) AS rank
+       |  FROM r
+       |) WHERE rank <= $k""".stripMargin
+  }
+
   /** One row per (id, subspace j): the j-th sub-vector. */
   private def subRows(df: DataFrame, id: String, m: Int, subDim: Int): DataFrame =
     df.select(col(id),

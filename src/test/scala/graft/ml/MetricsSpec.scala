@@ -202,4 +202,21 @@ class MetricsSpec extends SparkSpecBase {
     val cov = row.getAs[Long]("coverage_micro") / 1e6
     assert(cov >= 0.85 && cov <= 1.0, s"coverage $cov implausible for alpha=0.1")
   }
+
+  test("brierDecomp: Murphy terms exact on a hand-computed two-bin table") {
+    // dyadic scores so every intermediate is an exact double:
+    // bin 0: scores 0.25 (micros 250000), 2 pos of 4 -> pbar=0.25, ob=0.5
+    // bin 1: scores 0.75, 2 pos of 4 -> pbar=0.75, ob=0.5; obar=0.5
+    val rows = Seq.fill(2)((250000L, 0)) ++ Seq.fill(2)((250000L, 1)) ++
+      Seq.fill(2)((750000L, 1)) ++ Seq.fill(2)((750000L, 0))
+    val df = rows.toDF("sm", "y")
+    val r = graft.ml.Metrics.brierDecomp(df, "sm", "y", 2).collect().head
+    assert(r.getAs[Long]("n") == 8L && r.getAs[Long]("n_bins") == 2L)
+    assert(r.getAs[Double]("base_rate") == 0.5)
+    // REL = (4*(0.25)^2 + 4*(0.25)^2)/8 = 0.0625; RES = 0 (both bins at base)
+    assert(r.getAs[Double]("reliability") == 0.0625)
+    assert(r.getAs[Double]("resolution") == 0.0)
+    assert(r.getAs[Double]("uncertainty") == 0.25)
+    assert(r.getAs[Double]("brier_binned") == 0.3125)
+  }
 }

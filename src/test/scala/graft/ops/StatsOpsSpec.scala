@@ -96,4 +96,24 @@ class StatsOpsSpec extends SparkSpecBase {
       .toDF("x", "y")
     assert(StatsOps.spearman(withNulls, "x", "y").collect().head.getAs[Long]("n") == 500L)
   }
+
+  test("benford: digit extraction, zero-filled digits, integer shares, constants") {
+    val df = Seq("123.45", "19.99", "2000.00", "150.00", "900.50", "85.00")
+      .toDF("amt").select(col("amt").cast("decimal(12,2)").as("amt"))
+    val rows = StatsOps.benford(df, col("amt")).collect()
+      .map(r => r.getAs[Long]("digit") ->
+        ((r.getAs[Long]("cnt"), r.getAs[Long]("share_micros"),
+          r.getAs[Long]("benford_micros")))).toMap
+    assert(rows.keySet == (1L to 9L).toSet)
+    // digits: 1,1,2,1,9,8 -> counts 1->3 2->1 8->1 9->1, rest zero
+    assert(rows(1L)._1 == 3L && rows(2L)._1 == 1L &&
+      rows(8L)._1 == 1L && rows(9L)._1 == 1L && rows(3L)._1 == 0L)
+    assert(rows(1L)._2 == 500000L) // round(3e6/6)
+    assert(rows(3L)._2 == 0L)
+    // the JVM-precomputed Benford constants: log10(2) and log10(10/9)
+    assert(rows(1L)._3 == 301030L && rows(9L)._3 == 45757L)
+    // shares of a full partition sum to ~1e6 (rounding jitter only)
+    val tot = rows.values.map(_._2).sum
+    assert(math.abs(tot - 1000000L) <= 9L)
+  }
 }

@@ -246,4 +246,28 @@ class TimeSeriesOpsSpec extends SparkSpecBase {
     // b: single day -> seed only
     assert(got("b") === ((1L, 1.0)))
   }
+
+  test("holtDaily: two-state dyadic fold, seed (y1, y2-y1), h-step forecast") {
+    val rows =
+      (1 to 4).map(i => (1L, Timestamp.valueOf(s"2024-01-01 0$i:00:00"), "a")) ++
+      (1 to 2).map(i => (1L, Timestamp.valueOf(s"2024-01-02 0$i:00:00"), "a")) ++
+      (1 to 8).map(i => (1L, Timestamp.valueOf(s"2024-01-03 0$i:00:00"), "a")) ++
+      (1 to 6).map(i => (1L, Timestamp.valueOf(s"2024-01-04 0$i:00:00"), "a")) ++
+      (1 to 3).map(i => (1L, Timestamp.valueOf(s"2024-01-01 0$i:00:00"), "c")) ++
+      (1 to 7).map(i => (1L, Timestamp.valueOf(s"2024-01-02 0$i:00:00"), "c")) ++
+      Seq((1L, Timestamp.valueOf("2024-01-05 01:00:00"), "b"))
+    val ev = rows.toDF("user_id", "ts", "event_type")
+    val got = graft.ops.TimeSeriesOps.holtDaily(ev, "event_type", "ts")
+      .collect().map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_days"), r.getAs[Double]("level"),
+          r.getAs[Double]("trend"), r.getAs[Double]("fc_1")))).toMap
+    // a: y = 4,2,8,6; seed l=4, b=-2
+    //   t3: l = 8/2 + (4-2)/2 = 5;     b = (5-4)/2 + (-2)/2 = -0.5
+    //   t4: l = 6/2 + (5-0.5)/2 = 5.25; b = (5.25-5)/2 + (-0.5)/2 = -0.125
+    assert(got("a") === ((4L, 5.25, -0.125, 5.125)))
+    // c: exactly two days -> the seed IS the state; fc_1 = y2 + (y2-y1)
+    assert(got("c") === ((2L, 3.0, 4.0, 7.0)))
+    // b: one day -> no trend axis, key absent
+    assert(!got.contains("b"))
+  }
 }

@@ -63,4 +63,27 @@ class TrianglesSpec extends SparkSpecBase {
     assert(cn(edges, maxDeg = 10, minCommon = 1L) == Map((1L, 4L) -> 1L))
     assert(cn(edges, maxDeg = 10, minCommon = 2L).isEmpty)
   }
+
+  test("linkRA: integer micro-weights 1e6/deg, hubs discounted, adjacency excluded") {
+    // K(2,2): centers 10, 20 each adjacent to 1 and 2; nothing else
+    val edges = Seq((10L, 1L), (10L, 2L), (20L, 1L), (20L, 2L))
+      .toDF("src", "dst")
+    val got = graft.ops.Triangles.linkRA(edges, "src", "dst",
+        maxDeg = 10, minCommon = 2L)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")) ->
+        ((r.getAs[Long]("common_cnt"), r.getAs[Long]("ra_micros")))).toMap
+    // (1,2) via {10,20} (deg 2 each) and (10,20) via {1,2} (deg 2 each):
+    // both score 2 * round(1e6/2) = 1_000_000; all four true edges excluded
+    assert(got === Map((1L, 2L) -> ((2L, 1000000L)), (10L, 20L) -> ((2L, 1000000L))))
+  }
+
+  test("linkRA: a degree-3 common neighbor contributes round(1e6/3) = 333333") {
+    // center 10 -> {1, 2, 3}: wedge pairs (1,2),(1,3),(2,3) each weight 333333
+    val edges = Seq((10L, 1L), (10L, 2L), (10L, 3L)).toDF("src", "dst")
+    val got = graft.ops.Triangles.linkRA(edges, "src", "dst",
+        maxDeg = 10, minCommon = 1L)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")) ->
+        r.getAs[Long]("ra_micros")).toMap
+    assert(got === Map((1L, 2L) -> 333333L, (1L, 3L) -> 333333L, (2L, 3L) -> 333333L))
+  }
 }

@@ -34,6 +34,50 @@ class QuantizedSpec extends SparkSpecBase {
     assert(out(3).isNullAt(out(3).fieldIndex("qcos")))
   }
 
+  // 32-dim sign-pattern corpus for binary quantization: 0 = query (all
+  // positive), 1 = same signs, 5 = two sign flips, 2 = half flipped,
+  // 3 = all flipped, 4 = zero vector
+  private val bqVecs = {
+    val ones = Array.fill(32)(1.0f)
+    Seq(
+      (0L, ones),
+      (1L, ones.map(_ * 0.5f)),
+      (2L, Array.tabulate(32)(i => if (i < 16) 1.0f else -1.0f)),
+      (3L, ones.map(-_)),
+      (4L, Array.fill(32)(0.0f)),
+      (5L, Array.tabulate(32)(i => if (i == 0 || i == 31) -1.0f else 1.0f))
+    ).toDF("vec_id", "embedding")
+  }
+
+  test("bqTopK: hamming = flipped sign count, rerank by exact cosine, nulls last") {
+    val out = Quantized.bqTopK(bqVecs, "vec_id", "embedding",
+        dim = 32, nQueries = 1, shortlist = 5, k = 5)
+      .collect().sortBy(_.getAs[Int]("rank"))
+    assert(out.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(1L, 5L, 2L, 3L, 4L))
+    val ham = out.map(r => r.getAs[Long]("neighbor_id") -> r.getAs[Long]("hamming")).toMap
+    assert(ham == Map(1L -> 0L, 5L -> 2L, 2L -> 16L, 3L -> 32L, 4L -> 32L))
+    assert(math.abs(out(0).getAs[Double]("cos") - 1.0) < 1e-12)
+    assert(math.abs(out(1).getAs[Double]("cos") - 0.875) < 1e-12)
+    assert(math.abs(out(2).getAs[Double]("cos")) < 1e-12)
+    assert(math.abs(out(3).getAs[Double]("cos") + 1.0) < 1e-12)
+    assert(out(4).isNullAt(out(4).fieldIndex("cos")))
+  }
+
+  test("bqTopK: the hamming shortlist prunes before the float re-rank") {
+    val out = Quantized.bqTopK(bqVecs, "vec_id", "embedding",
+        dim = 32, nQueries = 1, shortlist = 1, k = 1).collect()
+    assert(out.length == 1 && out.head.getAs[Long]("neighbor_id") == 1L)
+  }
+
+  test("bqTopK rejects dim not a multiple of 32 and shortlist < k") {
+    intercept[IllegalArgumentException] {
+      Quantized.bqTopK(vecs, "vec_id", "embedding", 4, 1, 4, 2)
+    }
+    intercept[IllegalArgumentException] {
+      Quantized.bqTopK(bqVecs, "vec_id", "embedding", 32, 1, 2, 5)
+    }
+  }
+
   test("pqTopK with codebook = corpus reproduces exact dot ranking") {
     // nCodes covers every vector, so each sub-vector encodes to itself and
     // ADC degenerates to the exact dot product — ranking must match brute
