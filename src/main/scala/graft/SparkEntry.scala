@@ -2721,6 +2721,13 @@ object SparkEntry {
       graft.text.BigramLm.docScores(
         t(s, d, "documents"), "doc_id", "text", minCount = 3L)),
 
+    // interpolated Kneser-Ney at D = 3/4: every probability an exact
+    // rational of corpus counts (context counts, not occurrences, drive
+    // the backoff — the smoothing every pre-neural LM shipped), ONE
+    // correctly-rounded divide per bigram; top-50 by count
+    "t_kn_bigram" -> ((s, d) =>
+      graft.text.BigramLm.kneserNey(t(s, d, "documents"), "text", topK = 50)),
+
     // exact decimal-accumulated Pearson correlations — reproducible
     // data-card statistics (builtin corr is merge-order-dependent)
     "a11_corr" -> ((s, d) =>
@@ -3469,6 +3476,33 @@ object SparkEntry {
         when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0).as("y"))
       graft.ml.Metrics.ece(scored, "score", "y", 10)
     }),
+
+    // dominant principal component, engine-exact: ONE moment aggregation
+    // (all k(k+1)/2+k sums in a single map-side-combined pass) builds the
+    // exact-integer scatter matrix; 12 pinned power steps close over the
+    // k×k readout — distributed linear algebra with a DuckDB-exact answer
+    "ml_pca_power" -> ((s, d) =>
+      graft.ml.Pca.powerIteration(
+        t(s, d, "lineitem"),
+        Seq(
+          "quantity" -> col("l_quantity"),
+          "extendedprice" -> col("l_extendedprice"),
+          "discount" -> col("l_discount"),
+          "tax" -> col("l_tax")),
+        iters = 12)),
+
+    // the CART split criterion as data: every (feature, threshold) Gini
+    // candidate a tree fit would argmin over, from ONE exploded hash-agg
+    // pass (4 features, 1 scan) + cumulative windows on the ≤77-row
+    // histogram — exact integer impurities, bit-identical cross-engine
+    "ml_cart_split" -> ((s, d) =>
+      graft.ml.TreeSplit.splitCandidates(
+        t(s, d, "lineitem"), (col("l_returnflag") === "R").cast("int"),
+        Seq(
+          "quantity" -> col("l_quantity"),
+          "discount" -> col("l_discount"),
+          "tax" -> col("l_tax"),
+          "linenumber" -> col("l_linenumber")))),
 
     // Murphy decomposition of the binned Brier score: reliability −
     // resolution + uncertainty. The rule score enters PRE-QUANTIZED as
@@ -6169,6 +6203,9 @@ object SparkEntry {
         |        CROSS JOIN v
         |GROUP BY bg.doc_id""".stripMargin,
 
+    "t_kn_bigram" ->
+      graft.text.BigramLm.kneserNeyOracleSql("documents", "text", topK = 50),
+
     // moment sums are exact decimals; the one floating-point formula at
     // the end is identical rational+sqrt arithmetic in both engines
     "a11_corr" ->
@@ -6827,6 +6864,24 @@ object SparkEntry {
         |SELECT CAST(SUM(n) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS n_bins,
         |       round(CAST(SUM(abs(sy - ss)) AS DOUBLE) / CAST(SUM(n) AS DOUBLE), 6) AS ece
         |FROM b""".stripMargin,
+
+    "ml_pca_power" -> graft.ml.Pca.powerIterationOracleSql(
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        .zipWithIndex
+        .map { case (c, i) =>
+          s"CAST(CAST($c AS DECIMAL(12,2)) * 100 AS BIGINT) AS c${i + 1}"
+        }
+        .mkString("SELECT ", ", ", " FROM lineitem"),
+      k = 4, iters = 12),
+
+    "ml_cart_split" -> graft.ml.TreeSplit.splitCandidatesOracleSql(
+      Seq("quantity" -> "l_quantity", "discount" -> "l_discount",
+        "tax" -> "l_tax", "linenumber" -> "l_linenumber")
+        .map { case (name, c) =>
+          s"SELECT '$name' AS feature, CAST($c AS DOUBLE) AS v, " +
+            "count(*) AS n, SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS pos " +
+            "FROM lineitem GROUP BY 2"
+        }.mkString(" UNION ALL ")),
 
     "ml_brier_decomp" -> graft.ml.Metrics.brierDecompOracleSql(
       "SELECT CAST(round(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) / 60.0) AS BIGINT) AS sm, " +

@@ -76,4 +76,88 @@ object BigramLm {
         sum(when(col("c2") >= minCount, 1L).otherwise(0L)).as("n_covered"),
         round(sum("_lp_micro").cast("double") / (count(lit(1)) * 1e6), 6).as("avg_lp"))
   }
+
+  /** Interpolated Kneser-Ney bigram probabilities (Kneser & Ney 1995;
+    * Chen & Goodman 1998 eq. 4.25) — THE n-gram smoothing every serious
+    * LM shipped before neural models, and still the perplexity-filter
+    * workhorse:
+    *
+    *   P(w₂|w₁) = (c(w₁w₂) − D)/c(w₁)
+    *            + D·N₁₊(w₁·)/c(w₁) · N₁₊(·w₂)/N₁₊(··)
+    *
+    * with the textbook discount D = 0.75. The continuation distribution
+    * counts CONTEXTS, not occurrences — "francisco" is frequent but only
+    * ever follows "san", so its unigram backoff weight collapses; add-one
+    * smoothing ([[docScores]]) cannot express this.
+    *
+    * Determinism: D = 3/4 makes every probability the exact rational
+    *   [(4c₁₂ − 3)·N₁₊(··) + 3·N₁₊(w₁·)·N₁₊(·w₂)] / [4·c(w₁)·N₁₊(··)]
+    * — numerator and denominator are exact longs on both engines, so the
+    * micro-scaled readout is ONE correctly-rounded divide. No logs, no
+    * float accumulation. (Long audit: num·10⁶ < 2⁶³ while
+    * c₁₂·N₁₊(··) < 2·10¹¹ — corpus-level bigram scales far beyond the
+    * test data; a 100 TB corpus rides the same shape in DECIMAL(38,0).)
+    *
+    * Scale shape: one explode + one (w1,w2) hash-agg builds the bigram
+    * type table; the three marginals are hash-aggs OF THE TYPE TABLE
+    * (never the occurrence stream); the type count rides one
+    * single-partition pass over thin rows (the [[docScores]] vocabulary
+    * contract). Output: the `topK` most frequent bigrams (ties broken by
+    * (w1, w2)) with their exact counts and kn_micros.
+    */
+  def kneserNey(docs: DataFrame, textCol: String, topK: Int): DataFrame = {
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val bg = docs
+      .select(TextOps.tokens(col(textCol)).as("_toks"))
+      .select(explode(bigrams(col("_toks"))).as("_b"))
+      .select(col("_b.w1").as("w1"), col("_b.w2").as("w2"))
+    val bc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .withColumn("ntot", count(lit(1)).over(wAll))
+    val leftM = bc.groupBy("w1")
+      .agg(sum("c12").as("c1"), count(lit(1)).as("n1_w1"))
+    val rightM = bc.groupBy("w2").agg(count(lit(1)).as("nc_w2"))
+    bc.join(leftM, "w1").join(rightM, "w2")
+      .select(
+        col("w1"), col("w2"), col("c12"), col("c1"),
+        col("n1_w1"), col("nc_w2"),
+        round(
+          (((col("c12") * 4L - 3L) * col("ntot") +
+            col("n1_w1") * col("nc_w2") * 3L) * 1000000L).cast("double") /
+            (col("c1") * col("ntot") * 4L).cast("double"))
+          .cast("long").as("kn_micros"))
+      .orderBy(desc("c12"), asc("w1"), asc("w2"))
+      .limit(topK)
+  }
+
+  /** DuckDB mirror of [[kneserNey]] — identical type-table marginals,
+    * identical exact-long rational, identical one divide and ordering.
+    */
+  def kneserNeyOracleSql(table: String, textCol: String, topK: Int): String =
+    s"""WITH toks AS (
+       |  SELECT list_filter(regexp_split_to_array(lower($textCol), '[^a-z]+'),
+       |                     x -> x <> '') AS t
+       |  FROM $table
+       |), bg AS (
+       |  SELECT t[i] AS w1, t[i + 1] AS w2
+       |  FROM toks, unnest(range(1, len(t))) AS r(i)
+       |), bc AS (
+       |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM bg GROUP BY 1, 2
+       |), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS ntot FROM bc),
+       |l AS (
+       |  SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+       |         CAST(COUNT(*) AS BIGINT) AS n1_w1
+       |  FROM bc GROUP BY 1
+       |), r2 AS (
+       |  SELECT w2, CAST(COUNT(*) AS BIGINT) AS nc_w2 FROM bc GROUP BY 1
+       |)
+       |SELECT bc.w1, bc.w2, bc.c12, l.c1, l.n1_w1, r2.nc_w2,
+       |  CAST(round(
+       |    CAST(((bc.c12 * 4 - 3) * tot.ntot + l.n1_w1 * r2.nc_w2 * 3)
+       |         * 1000000 AS DOUBLE) /
+       |    CAST(l.c1 * tot.ntot * 4 AS DOUBLE)) AS BIGINT) AS kn_micros
+       |FROM bc JOIN l ON bc.w1 = l.w1 JOIN r2 ON bc.w2 = r2.w2 CROSS JOIN tot
+       |ORDER BY bc.c12 DESC, bc.w1 ASC, bc.w2 ASC LIMIT $topK""".stripMargin
 }

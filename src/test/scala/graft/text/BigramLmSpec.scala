@@ -40,4 +40,33 @@ class BigramLmSpec extends SparkSpecBase {
       .as[Seq[String]].head()
     assert(row == Seq("a>b", "b>c", "c>d"))
   }
+
+  test("kneserNey: hand-computed rationals at D=3/4; seen followers sum to 1") {
+    // bigram types: (a,b) c12=2, (a,c) 1, (b,c) 1; ntot=3
+    // P(b|a)=21/36, P(c|a)=15/36 (sum 1), P(c|b)=9/12
+    val docs = Seq("a b", "a b", "a c", "b c").toDF("text")
+    val got = BigramLm.kneserNey(docs, "text", topK = 10)
+      .collect().map(r => (r.getAs[String]("w1"), r.getAs[String]("w2")) ->
+        ((r.getAs[Long]("c12"), r.getAs[Long]("c1"), r.getAs[Long]("n1_w1"),
+          r.getAs[Long]("nc_w2"), r.getAs[Long]("kn_micros")))).toMap
+    assert(got(("a", "b")) === ((2L, 3L, 2L, 1L, 583333L)))
+    assert(got(("a", "c")) === ((1L, 3L, 2L, 2L, 416667L)))
+    assert(got(("b", "c")) === ((1L, 1L, 1L, 2L, 750000L)))
+    // interpolated KN is a proper distribution over the seen follower set
+    assert(got(("a", "b"))._5 + got(("a", "c"))._5 == 1000000L)
+  }
+
+  test("kneserNey: high-frequency single-context words get a small backoff share") {
+    // "francisco" appears often but ONLY after "san": its continuation
+    // count is 1 context, so P(francisco | unseen-ish context) stays low
+    // relative to a word with many contexts. Compare nc_w2 directly.
+    val docs = Seq.fill(5)("san francisco").map(s => s + " ok") ++
+      Seq("very ok", "quite ok", "so ok")
+    val got = BigramLm.kneserNey(docs.toDF("text"), "text", topK = 20)
+      .collect().map(r => (r.getAs[String]("w1"), r.getAs[String]("w2")) ->
+        r.getAs[Long]("nc_w2")).toMap
+    // "ok" follows 4 distinct contexts, "francisco" only 1
+    assert(got(("san", "francisco")) == 1L)
+    assert(got(("francisco", "ok")) == 4L)
+  }
 }
