@@ -484,11 +484,25 @@ object Metrics {
     val spark = df.sparkSession
     import spark.implicits._
     val cal = df.filter(isCal).select(col(valueCol).cast("double").as("y"))
-    val (mu, nCal) = cal
+    // the mean decodes as Option: an empty split SUMs to NULL, and the
+    // contract check below must fire instead of a decode crash
+    val (muOpt, nCal) = cal
       .agg((sum(col("y").cast("decimal(18,2)")).cast("double") / count(lit(1))).as("mu"),
         count(lit(1)).as("n"))
-      .as[(Double, Long)].collect().head
+      .as[(Option[Double], Long)].collect().head
+    // contract errors, not opaque NPE/NoSuchElement crashes: an empty
+    // calibration split has no order statistic at all, and the standard
+    // split-conformal rank ⌈(1−α)(n+1)⌉ exceeding n means the requested
+    // coverage is unattainable at this n (the k>n convention is an
+    // infinite half-width — surfaced as an explicit error here, since a
+    // +∞ q_hat row would silently satisfy every coverage readout)
+    require(nCal > 0, "conformalSplit: calibration split is empty")
     val k = math.ceil((1.0 - alpha) * (nCal + 1)).toLong
+    require(k <= nCal,
+      s"conformalSplit: rank ceil((1-alpha)*(n+1)) = $k exceeds n_cal = $nCal — " +
+        s"coverage 1-alpha = ${1.0 - alpha} is unattainable with $nCal calibration rows " +
+        "(the k > n convention is an infinite interval); lower alpha's precision or add rows")
+    val mu = muOpt.get
     val scores = cal.select(abs(col("y") - lit(mu)).as("s"), col("y"))
     val (ranked, _, release) = graft.ops.GlobalRowNumber.withRowNumberAndCount(
       scores, "_rn", col("s").asc, col("y").asc)

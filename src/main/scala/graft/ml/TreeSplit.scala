@@ -25,21 +25,31 @@ import org.apache.spark.sql.functions._
   * per-candidate scans, no driver loop; the 100 TB cost is the one
   * map-side-combined aggregation.
   *
-  * Overflow audit (ANSI mode throws on long overflow): pos²+neg² ≤ n²,
-  * ×10⁶ stays < 2⁶³ for n ≤ 3·10⁶; beyond that the counts must ride
-  * DECIMAL(38,0) (documented contract; the test schema's 6·10⁵ rows are
-  * three orders inside the bound).
+  * Overflow audit (ANSI mode throws on long overflow): the impurity
+  * numerator pos²+neg² would overflow Long past ~3·10⁶-row sides, so it
+  * is accumulated in DECIMAL(38,0) unconditionally — exact to n ≈ 10¹⁵,
+  * negligible cost on the bounded histogram, and the same single
+  * decimal→double conversion both engines perform.
   */
 object TreeSplit {
 
   /** 1 000 000 − round(10⁶·(pos² + neg²)/n²), the Gini impurity in
-    * micro-units from exact long counts.
+    * micro-units from exact long counts. The squared numerator and
+    * denominator are accumulated in DECIMAL(38,0) unconditionally —
+    * pos²+neg² overflows Long past side counts of ~3·10⁶ rows, and the
+    * histogram this runs over is tiny, so the exact-decimal form costs
+    * nothing and removes the bound (safe to n ≈ 10¹⁵; each product is
+    * exact, the 10⁶ scale stays inside DECIMAL(38,0), and the single
+    * decimal→double cast is the same one correctly-rounded conversion
+    * the long form performed).
     */
   private def giniMicros(pos: Column, n: Column): Column = {
-    val neg = n - pos
+    val posD = pos.cast("decimal(19,0)")
+    val negD = (n - pos).cast("decimal(19,0)")
+    val nD = n.cast("decimal(19,0)")
     lit(1000000L) - round(
-      ((pos * pos + neg * neg) * 1000000L).cast("double") /
-        (n * n).cast("double")).cast("long")
+      ((posD * posD + negD * negD) * 1000000L).cast("decimal(38,0)").cast("double") /
+        (nD * nD).cast("double")).cast("long")
   }
 
   /** All (feature, threshold) split candidates with exact side counts and

@@ -211,7 +211,12 @@ object StatsOps {
     * The first digit is extracted from the decimal's plain string
     * rendering (both engines render DECIMAL without exponent), never via
     * log10-of-value, whose rounding at exact powers of ten is
-    * engine-dependent. `amount` must be > 1 (true for order totals).
+    * engine-dependent. Benford's law is only defined for amounts ≥ 1
+    * (values in (0,1) lead with '0.', negatives with '-'), so the
+    * operator ENFORCES the domain with an explicit `amount >= 1` filter
+    * — out-of-domain rows are excluded identically on both engines
+    * instead of silently dropping out of the join (0-digit rows) or
+    * aborting the job on an ANSI '-'→BIGINT cast.
     *
     * Scale shape: one projection + one 9-group hash-agg with map-side
     * combine; the 9-row constant side joins broadcast. Nothing else.
@@ -221,6 +226,7 @@ object StatsOps {
     import spark.implicits._
     val digits = (1 to 9).map(d => (d.toLong, benfordMicros(d))).toDF("digit", "benford_micros")
     val obs = df
+      .filter(amount >= 1)
       .select(substring(amount.cast("string"), 1, 1).cast("long").as("digit"))
       .groupBy("digit").agg(count(lit(1)).as("cnt"))
     val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
@@ -247,7 +253,7 @@ object StatsOps {
        |obs AS (
        |  SELECT CAST(substring(CAST($amountCol AS VARCHAR), 1, 1) AS BIGINT) AS digit,
        |         CAST(count(*) AS BIGINT) AS cnt
-       |  FROM $table GROUP BY 1
+       |  FROM $table WHERE $amountCol >= 1 GROUP BY 1
        |)
        |SELECT CAST(bf.digit AS BIGINT) AS digit,
        |       COALESCE(obs.cnt, 0) AS cnt,

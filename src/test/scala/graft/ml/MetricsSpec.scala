@@ -203,6 +203,25 @@ class MetricsSpec extends SparkSpecBase {
     assert(cov >= 0.85 && cov <= 1.0, s"coverage $cov implausible for alpha=0.1")
   }
 
+  test("conformalSplit: empty calibration split is a contract error, not an NPE") {
+    import org.apache.spark.sql.functions._
+    val df = Seq((1.0, false), (2.0, false)).toDF("v", "is_cal")
+    val e = intercept[IllegalArgumentException] {
+      graft.ml.Metrics.conformalSplit(df, "v", col("is_cal"), alpha = 0.1)
+    }
+    assert(e.getMessage.contains("calibration split is empty"))
+  }
+
+  test("conformalSplit: rank k > n_cal (unattainable coverage) is a contract error") {
+    import org.apache.spark.sql.functions._
+    // n_cal = 3, alpha = 0.01 -> k = ceil(0.99 * 4) = 4 > 3
+    val df = Seq((1.0, true), (2.0, true), (3.0, true), (9.0, false)).toDF("v", "is_cal")
+    val e = intercept[IllegalArgumentException] {
+      graft.ml.Metrics.conformalSplit(df, "v", col("is_cal"), alpha = 0.01)
+    }
+    assert(e.getMessage.contains("unattainable"))
+  }
+
   test("brierDecomp: Murphy terms exact on a hand-computed two-bin table") {
     // dyadic scores so every intermediate is an exact double:
     // bin 0: scores 0.25 (micros 250000), 2 pos of 4 -> pbar=0.25, ob=0.5

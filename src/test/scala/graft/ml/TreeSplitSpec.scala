@@ -35,6 +35,21 @@ class TreeSplitSpec extends SparkSpecBase {
     assert(out(2.0) == 333333L) // round(4*500000/6)
   }
 
+  test("splitCandidates: side counts past the Long (pos^2+neg^2)*1e6 bound stay exact") {
+    // 6e6 rows per side, pos = 2e6: the old long-arithmetic numerator
+    // (4e12 + 16e12) * 1e6 = 2e19 > Long.Max would ANSI-abort; the
+    // DECIMAL(38,0) form computes gini = 1 - 20/36 exactly -> 444444
+    val df = spark.range(12000000L).select(
+      when(col("id") < 6000000L, 1.0).otherwise(2.0).as("x"),
+      (col("id") % 3 === 0).cast("int").as("y"))
+    val r = TreeSplit.splitCandidates(df, col("y"), Seq("x" -> col("x")))
+      .collect().head
+    assert(r.getAs[Long]("n_left") == 6000000L && r.getAs[Long]("pos_left") == 2000000L)
+    assert(r.getAs[Long]("gini_left_micros") == 444444L)
+    assert(r.getAs[Long]("gini_right_micros") == 444444L)
+    assert(r.getAs[Long]("wgini_micros") == 444444L)
+  }
+
   test("splitCandidates: one scan serves several features; per-feature totals hold") {
     val df = Seq((1.0, 10.0, 1), (2.0, 10.0, 0), (1.0, 20.0, 1), (2.0, 20.0, 0))
       .toDF("a", "b", "y")

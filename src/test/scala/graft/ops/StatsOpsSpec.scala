@@ -116,4 +116,17 @@ class StatsOpsSpec extends SparkSpecBase {
     val tot = rows.values.map(_._2).sum
     assert(math.abs(tot - 1000000L) <= 9L)
   }
+
+  test("benford: out-of-domain amounts (< 1, negative) are excluded, not crashed on") {
+    // 0.50 would extract digit '0' (dropping out of the digit join) and
+    // -3.00 would ANSI-abort the '-'->BIGINT cast; the domain filter
+    // excludes both identically on both engines
+    val df = Seq("123.45", "0.50", "-3.00", "0.99", "85.00")
+      .toDF("amt").select(col("amt").cast("decimal(12,2)").as("amt"))
+    val rows = StatsOps.benford(df, col("amt")).collect()
+      .map(r => r.getAs[Long]("digit") -> r.getAs[Long]("cnt")).toMap
+    assert(rows.keySet == (1L to 9L).toSet)
+    assert(rows(1L) == 1L && rows(8L) == 1L)
+    assert(rows.values.sum == 2L) // only the two >= 1 amounts counted
+  }
 }
