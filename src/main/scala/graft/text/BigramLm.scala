@@ -45,18 +45,26 @@ object BigramLm {
   def docScores(docs: DataFrame, idCol: String, textCol: String, minCount: Long): DataFrame = {
     val toksed = docs
       .select(col(idCol), TextOps.tokens(col(textCol)).as("_toks"))
-    // vocabulary size rides a global window over the unigram table (one
-    // single-partition pass over |vocab| thin rows) instead of a
-    // crossJoin(broadcast(agg)) that would re-evaluate the whole
-    // explode+agg subtree — i.e. re-scan and re-tokenize the corpus
-    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
-      .rowsBetween(
-        org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.unboundedFollowing)
-    val uni = toksed
+    // vocabulary size: partial-aggregated global count of the unigram
+    // table, crossJoined back as a broadcast 1-row frame. A 100 TB
+    // corpus's unigram vocabulary is far beyond one task, so the former
+    // Window.partitionBy() pass is out; and because both consumers of
+    // `uniCounts` share the same hash(w) exchange, ReusedExchange dedups
+    // the corpus explode+agg — the data is NOT re-scanned for the count
+    // (asserted in BigramLmSpec's plan test).
+    val uniCounts = toksed
       .select(explode(col("_toks")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c1"))
-      .withColumn("v_size", count(lit(1)).over(wAll))
+    // count(CASE WHEN c1 > 0 ...), not count(1): the non-foldable guard
+    // keeps the per-w count alive in the total branch, so its exchange
+    // stays byte-identical to the main branch's and AQE reuses it
+    // (count(1) / count(c1) both let RemoveRedundantAggregates rewrite
+    // the branch into a distinct-only agg — different exchange, second
+    // corpus scan; asserted in BigramLmSpec's plan test). c1 >= 1
+    // always, so the value is exactly the vocabulary size.
+    val uni = uniCounts
+      .crossJoin(broadcast(
+        uniCounts.agg(count(when(col("c1") > 0, lit(1))).as("v_size"))))
     val bg = toksed
       .select(col(idCol), explode(bigrams(col("_toks"))).as("_b"))
       .select(col(idCol), col("_b.w1").as("w1"), col("_b.w2").as("w2"))
@@ -100,36 +108,47 @@ object BigramLm {
     *
     * Scale shape: one explode + one (w1,w2) hash-agg builds the bigram
     * type table; the three marginals are hash-aggs OF THE TYPE TABLE
-    * (never the occurrence stream); the type count rides one
-    * single-partition pass over thin rows (the [[docScores]] vocabulary
-    * contract). Output: the `topK` most frequent bigrams (ties broken by
-    * (w1, w2)) with their exact counts and kn_micros.
+    * (never the occurrence stream); the type count N₁₊(··) is a
+    * partial-aggregated global count broadcast back onto the table (all
+    * consumers share the type table's exchange — one corpus scan, no
+    * single-task window). Output: the `topK` most frequent bigrams (ties
+    * broken by (w1, w2)) with their exact counts and kn_micros.
     */
   def kneserNey(docs: DataFrame, textCol: String, topK: Int): DataFrame = {
-    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
-      .rowsBetween(
-        org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.unboundedFollowing)
     val bg = docs
       .select(TextOps.tokens(col(textCol)).as("_toks"))
       .select(explode(bigrams(col("_toks"))).as("_b"))
       .select(col("_b.w1").as("w1"), col("_b.w2").as("w2"))
-    val bc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-      .withColumn("ntot", count(lit(1)).over(wAll))
-    val leftM = bc.groupBy("w1")
+    // the bigram TYPE table is the model: persist it ONCE and derive the
+    // three marginals and the type count N₁₊(··) from the pinned frame —
+    // join-inferred null filters make the four lineages non-identical,
+    // so exchange reuse alone cannot dedup them and an unpinned plan
+    // re-scans the corpus 4×. N₁₊(··) doubles as the materializing
+    // count() action (never a Window.partitionBy() pass over the type
+    // table, which is 10⁹⁺ rows at corpus scale). The topK readout is
+    // cached and the type-table pin released before return.
+    val bcCounts = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ntot = bcCounts.count()
+    val leftM = bcCounts.groupBy("w1")
       .agg(sum("c12").as("c1"), count(lit(1)).as("n1_w1"))
-    val rightM = bc.groupBy("w2").agg(count(lit(1)).as("nc_w2"))
-    bc.join(leftM, "w1").join(rightM, "w2")
+    val rightM = bcCounts.groupBy("w2").agg(count(lit(1)).as("nc_w2"))
+    val out = bcCounts.join(leftM, "w1").join(rightM, "w2")
       .select(
         col("w1"), col("w2"), col("c12"), col("c1"),
         col("n1_w1"), col("nc_w2"),
         round(
-          (((col("c12") * 4L - 3L) * col("ntot") +
+          (((col("c12") * 4L - 3L) * lit(ntot) +
             col("n1_w1") * col("nc_w2") * 3L) * 1000000L).cast("double") /
-            (col("c1") * col("ntot") * 4L).cast("double"))
+            (col("c1") * lit(ntot) * 4L).cast("double"))
           .cast("long").as("kn_micros"))
       .orderBy(desc("c12"), asc("w1"), asc("w2"))
       .limit(topK)
+    // topK-row readout: materialize, then drop the type-table pin
+    val collected = out.cache()
+    collected.count()
+    bcCounts.unpersist()
+    collected
   }
 
   /** DuckDB mirror of [[kneserNey]] — identical type-table marginals,

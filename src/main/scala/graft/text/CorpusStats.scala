@@ -1,7 +1,6 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-level frequency-law statistics — the "is this crawl shaped like
@@ -23,19 +22,20 @@ object CorpusStats {
     * answer and the fit is exactly mirrorable in DuckDB.
     *
     * Scale shape: one hash-aggregation to the term-frequency table
-    * (map-side combine over exploded tokens), a TakeOrdered top-N (no
-    * global sort), then an O(topN) fit. The only single-partition work
-    * touches topN rows.
+    * (map-side combine over exploded tokens); the rank is a
+    * [[graft.ops.GlobalRowNumber]] distributed rank over the tf table
+    * (range partition + per-partition offsets — no global Window.orderBy,
+    * whose single sort task a 10⁸⁺-term crawl vocabulary would not fit),
+    * filtered to `rank ≤ topN`; then an O(topN) fit. The 1-row result is
+    * materialized and the rank's internal pin released before return.
     */
   def zipfSlope(docs: DataFrame, text: Column, topN: Int = 200): DataFrame = {
     val tf = docs
       .select(explode(TextOps.tokens(text)).as("term"))
       .groupBy("term").agg(count(lit(1)).as("freq"))
-    val top = tf.orderBy(col("freq").desc, col("term").asc).limit(topN)
-    // rank over ≤ topN rows — the window's single partition is bounded
-    // by topN, not data size
-    val ranked = top.withColumn("rank",
-      row_number().over(Window.orderBy(col("freq").desc, col("term").asc)))
+    val (rankedAll, release) = graft.ops.GlobalRowNumber.withRowNumberReleasable(
+      tf, "rank", col("freq").desc, col("term").asc)
+    val ranked = rankedAll.filter(col("rank") <= topN)
     val lx = round(log(col("rank").cast("double")) * 1e6).cast("long")
     val ly = round(log(col("freq").cast("double")) * 1e6).cast("long")
     val agg = ranked.select(lx.as("_x"), ly.as("_y"))
@@ -50,11 +50,17 @@ object CorpusStats {
     val sxD = col("sx").cast("double")
     val syD = col("sy").cast("double")
     val slope = (nD * col("sxy") - sxD * syD) / (nD * col("sxx") - sxD * sxD)
-    agg.select(
+    val out = agg.select(
       col("n_terms"),
       round(slope, 6).as("slope"),
       // back to ln units: sums are micro-scaled, the ratio cancels the 1e6
       round((syD - slope * sxD) / (nD * 1e6), 6).as("intercept"))
+    // 1-row readout: materialize, then drop the rank's internal pin
+    // (the fe_rfm cache+count+release contract)
+    val collected = out.cache()
+    collected.count()
+    release()
+    collected
   }
 
   /** DuckDB mirror of [[zipfSlope]] (tokenizer = the vocab_topdf split). */

@@ -1,7 +1,6 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Unigram-LM subword tokenizer (SentencePiece's second algorithm —
@@ -60,12 +59,16 @@ object UnigramLm {
       .select(explode(flatten(array(perL: _*))).as("piece"), col("wcnt"))
       .groupBy("piece").agg(sum("wcnt").as("cnt"))
       .filter(length(col("piece")) === 1 || col("cnt") >= minFreq)
-    // total rides a window over the VOCAB-sized frame (bounded), exactly
-    // the psiBins totals pattern — no second pass over the corpus
-    val wAll = Window.partitionBy()
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // the grand total is a partial-aggregated global agg crossJoined back
+    // as a broadcast 1-row frame — NOT a Window.partitionBy() pass, which
+    // would funnel the whole vocab frame (10⁸⁺ substrings on a 100 TB
+    // corpus) through one task. Both consumers of `pieces` share the same
+    // hash(piece) exchange, so ReusedExchange dedups the corpus
+    // explode+agg: the data is still scanned once (asserted in
+    // UnigramLmSpec's plan test).
+    val total = pieces.agg(sum("cnt").as("_total"))
     pieces
-      .withColumn("_total", sum("cnt").over(wAll))
+      .crossJoin(broadcast(total))
       .select(col("piece"), col("cnt"),
         round((log(col("cnt")) - log(col("_total"))) * lit(1000000.0), 0)
           .cast("long").as("vscore"))
@@ -179,16 +182,25 @@ object UnigramLm {
       .groupBy("word").agg(count(lit(1)).as("wcnt"))
       .filter(length(col("word")) <= maxWordLen)
     val s0 = viterbi(words, m0, maxPieceLen)
-    val wAll = Window.partitionBy()
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val m1: Map[String, Long] = s0
+    // the hard counts are the bounded model artifact itself — collect
+    // them (exactly what the next line did with the scores) and do the
+    // total + log re-scoring on the driver. This kills the former
+    // Window.partitionBy() single-task pass AND avoids re-executing the
+    // typed Viterbi kernel lineage twice (typed kernels defeat plan-level
+    // exchange reuse — the pipeline_rag lesson). Rounding replicates
+    // Spark's Round-on-double exactly: BigDecimal.valueOf (shortest-
+    // decimal) + HALF_UP, and Math.log is the same java.lang.Math.log
+    // Spark's log expression evaluates.
+    val counts: Array[(String, Long)] = s0
       .select(col("wcnt"), explode(split(col("seg"), "\\|")).as("piece"))
       .groupBy("piece").agg(sum("wcnt").as("cnt"))
-      .withColumn("_total", sum("cnt").over(wAll))
-      .select(col("piece"),
-        round((log(col("cnt")) - log(col("_total"))) * lit(1000000.0), 0)
-          .cast("long").as("vscore"))
-      .as[(String, Long)].collect().toMap
+      .as[(String, Long)].collect()
+    val total = counts.map(_._2).sum
+    val m1: Map[String, Long] = counts.map { case (p, c) =>
+      p -> java.math.BigDecimal.valueOf(
+        (math.log(c.toDouble) - math.log(total.toDouble)) * 1000000.0)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+    }.toMap
     viterbi(words, m1, maxPieceLen)
   }
 

@@ -69,4 +69,24 @@ class BigramLmSpec extends SparkSpecBase {
     assert(got(("san", "francisco")) == 1L)
     assert(got(("francisco", "ok")) == 4L)
   }
+
+  test("docScores v_size: no single-task window; the unigram exchange is reused") {
+    val docs = Seq((1L, "a b c"), (2L, "b c d")).toDF("doc_id", "text")
+    val out = BigramLm.docScores(docs, "doc_id", "text", 1L)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"unexpected window in docScores plan:\n$plan")
+    assert(plan.contains("ReusedExchange"), s"no exchange reuse in docScores plan:\n$plan")
+  }
+
+  test("kneserNey: no single-task window; marginals read the pinned type table") {
+    val docs = Seq("a b", "a c", "b c").toDF("text")
+    val out = BigramLm.kneserNey(docs, "text", topK = 5)
+    val plan = out.queryExecution.analyzed.toString
+    assert(!plan.contains("Window"), s"unexpected window in kneserNey plan:\n$plan")
+    // the returned frame is the cached topK readout; the corpus-scanning
+    // type table was pinned during the build and released before return
+    assert(out.storageLevel != org.apache.spark.storage.StorageLevel.NONE,
+      "kneserNey result should be the materialized topK cache")
+  }
 }

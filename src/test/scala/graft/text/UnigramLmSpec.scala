@@ -71,6 +71,18 @@ class UnigramLmSpec extends SparkSpecBase {
     assert(used2.subsetOf(used1))
   }
 
+  test("vocab total: no single-task window; the piece exchange is reused, not re-scanned") {
+    val docs = Seq("ab ab cd", "ab cd cd").toDF("text")
+    val v = UnigramLm.vocab(docs, "text", maxPieceLen = 3, minFreq = 2)
+    v.collect()
+    val plan = v.queryExecution.executedPlan.toString
+    // the grand total must NOT ride a Window over the vocab frame...
+    assert(!plan.contains("Window"), s"unexpected window in vocab plan:\n$plan")
+    // ...and its global-agg branch must reuse the piece exchange (one
+    // corpus explode+agg feeding both the scores and the total)
+    assert(plan.contains("ReusedExchange"), s"no exchange reuse in vocab plan:\n$plan")
+  }
+
   test("every single char survives the vocab regardless of minFreq") {
     val docs = Seq("xyzzy").toDF("text")
     val v = UnigramLm.vocab(docs, "text", maxPieceLen = 4, minFreq = 1000)
