@@ -25,7 +25,10 @@ class PinHygieneSpec extends SparkSpecBase {
     Seq("fe_rfm", "a15_pareto_abc", "w7_rank_ntile", "w8_percent_rank",
       "o20_domain_mix", "o21_temp_mix", "ml_lift", "ml_qini",
       "t_pack_windows", "pipeline_pretrain", "pipeline_rag",
-      "inc_lsh_maintain", "ml_conformal")
+      "inc_lsh_maintain", "ml_conformal",
+      // r8: zipf + kneser-ney readout caches, and the IVM join snapshot
+      // rides a session memo (warmed below) like the LSH base index
+      "t_zipf", "t_kn_bigram", "inc_join_maintain")
 
   for (q <- releasePattern)
     test(s"$q: leaves at most one new pin, and re-running adds none") {
@@ -35,6 +38,7 @@ class PinHygieneSpec extends SparkSpecBase {
       // pin budget stays ≤1
       SparkEntry.curatedStagesCached(spark, sfDir)
       SparkEntry.lshBaseIndexCached(spark, sfDir)
+      SparkEntry.joinSnapshotCached(spark, sfDir)
       val before = pinned
       SparkEntry.queries(q)(spark, sfDir).collect()
       val afterFirst = pinned
