@@ -1967,8 +1967,15 @@ object SparkEntry {
 
     // M14: top-n feature-selection sweep ranked by mutual information
     // (rows-only: LR internals)
+    // M14, the SELECTION half (reference :645-658 ranks by
+    // mutual_info_classif and keeps the top-n): rank continuous features
+    // by plug-in MI over bucketized copies, emit for each sweep point n
+    // the chosen top-n column set with its rank and rounded score —
+    // fully deterministic (rank on ROUND-6 MI with a name tiebreak, so a
+    // sub-ulp cross-engine drift in the float sum cannot flip an order)
+    // and exactly DuckDB-oracled. The retrain half (top-n slice → L1 LR
+    // → AUC, MLlib RNG) is pinned in TrainHarnessSpec.
     "ml_feature_select" -> ((s, d) => {
-      val sub = graft.ml.Features.assembled(s, d).filter(pmod(col("id"), lit(10L)) === 0L)
       // rank continuous features by plug-in MI over bucketized copies
       // (reference M14 ranks by mutual_info_classif then takes top-n)
       val disc = graft.ml.Features.orderFeatureTable(s, d)
@@ -1982,9 +1989,16 @@ object SparkEntry {
           floor(col("c_acctbal") / 2000.0).as("c_acctbal"))
       val mi = graft.ml.FeatureScoring.mutualInfoAll(
         disc, Seq("o_totalprice", "n_lines", "sum_qty", "avg_discount", "c_acctbal"), "label")
-      val (train, test) = graft.ml.Features.splitByHash(sub, "id")
-      graft.ml.TrainHarness.featureSelectionSweep(
-        train, test, "features", "label", mi, Seq(2, 5))
+        .select(col("feature"), round(col("mutual_info"), 6).as("mi"))
+      // 5-row frame: the rank window's single partition is bounded by
+      // the declared feature list, never data size
+      val ranked = mi.withColumn("rank",
+        row_number().over(Window.orderBy(col("mi").desc, col("feature").asc)))
+      val s2 = s; import s2.implicits._
+      Seq(2, 5).toDF("n_top")
+        .crossJoin(ranked)
+        .filter(col("rank") <= col("n_top"))
+        .select(col("n_top"), col("rank"), col("feature"), col("mi"))
     }),
 
     // M6: RF tree-count sweep (rows-only)
@@ -5487,6 +5501,57 @@ object SparkEntry {
         |SELECT feature,
         |       round(SUM((CAST(nxy AS DOUBLE) / n) * ln(CAST(nxy AS DOUBLE) * n / (CAST(nx AS DOUBLE) * ny))), 6) AS mi
         |FROM e GROUP BY 1""".stripMargin,
+
+    // M14 selection half: the SAME feature table (cohort label + lineitem
+    // aggregates + customer balance, id % 10 sample), the SAME buckets,
+    // the SAME plug-in MI, ranked on round-6 MI with a name tiebreak and
+    // cut at each sweep point n ∈ {2, 5}
+    "ml_feature_select" ->
+      s"""WITH c AS (
+         |$cohortSqlCore
+         |), la AS (
+         |  SELECT l_orderkey, CAST(count(*) AS DOUBLE) AS n_lines,
+         |         SUM(l_quantity) AS sum_qty, AVG(l_discount) AS avg_discount
+         |  FROM lineitem GROUP BY 1
+         |), f AS (
+         |  SELECT c.label AS y,
+         |         floor(o.o_totalprice / 100000.0) AS b_totalprice,
+         |         COALESCE(la.n_lines, 0) AS b_n_lines,
+         |         floor(COALESCE(la.sum_qty, 0) / 50.0) AS b_sum_qty,
+         |         floor(COALESCE(la.avg_discount, 0) * 20.0) AS b_avg_discount,
+         |         floor(COALESCE(cu.c_acctbal, 0) / 2000.0) AS b_c_acctbal
+         |  FROM c JOIN orders o ON c.o_orderkey = o.o_orderkey
+         |  LEFT JOIN la ON o.o_orderkey = la.l_orderkey
+         |  LEFT JOIN customer cu ON o.o_custkey = cu.c_custkey
+         |  WHERE o.o_orderkey % 10 = 0
+         |), stacked AS (
+         |  SELECT 'o_totalprice' AS feature, b_totalprice AS x, y FROM f
+         |  UNION ALL SELECT 'n_lines', b_n_lines, y FROM f
+         |  UNION ALL SELECT 'sum_qty', b_sum_qty, y FROM f
+         |  UNION ALL SELECT 'avg_discount', b_avg_discount, y FROM f
+         |  UNION ALL SELECT 'c_acctbal', b_c_acctbal, y FROM f
+         |), joint AS (
+         |  SELECT feature, x, y, count(*) AS nxy FROM stacked GROUP BY 1, 2, 3
+         |), e AS (
+         |  SELECT feature, nxy,
+         |         SUM(nxy) OVER (PARTITION BY feature) AS n,
+         |         SUM(nxy) OVER (PARTITION BY feature, x) AS nx,
+         |         SUM(nxy) OVER (PARTITION BY feature, y) AS ny
+         |  FROM joint
+         |), mi AS (
+         |  SELECT feature,
+         |         round(SUM((CAST(nxy AS DOUBLE) / n) *
+         |                   ln(CAST(nxy AS DOUBLE) * n / (CAST(nx AS DOUBLE) * ny))), 6) AS mi
+         |  FROM e GROUP BY 1
+         |), ranked AS (
+         |  SELECT feature, mi,
+         |         row_number() OVER (ORDER BY mi DESC, feature ASC) AS rank
+         |  FROM mi
+         |)
+         |SELECT CAST(t.n_top AS INTEGER) AS n_top, CAST(r.rank AS INTEGER) AS rank,
+         |       r.feature, r.mi
+         |FROM ranked r, (VALUES (2), (5)) t(n_top)
+         |WHERE r.rank <= t.n_top""".stripMargin,
 
     "sim_topk" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

@@ -13,6 +13,20 @@ class TrainHarnessSpec extends SparkSpecBase {
       (31 to 60).map(i => (i.toLong, Vectors.dense(3.0 + i * 0.1, (i % 5) * 0.1), 1.0))
   ).toDF("id", "features", "label")
 
+  test("featureSelectionSweep: one AUC row per sweep point, AUC in [0,1] (M14 retrain half)") {
+    // the selection half (top-n MI ranking) is exactly DuckDB-oracled by
+    // the ml_feature_select query; this pins the retrain: slice the
+    // feature vector to the chosen columns, refit L1 LR, report AUC
+    val mi = Seq(("o_totalprice", 0.9), ("n_lines", 0.5)).toDF("feature", "mutual_info")
+    val out = TrainHarness.featureSelectionSweep(
+      df, df, "features", "label", mi, Seq(1, 2))
+      .collect().map(r => r.getAs[Int]("n_features") -> r.getAs[Double]("auc_roc")).toMap
+    assert(out.keySet == Set(1, 2))
+    out.values.foreach(a => assert(a >= 0.0 && a <= 1.0))
+    // the separable x0 feature alone must already rank well above chance
+    assert(out(1) > 0.8, s"top-1 AUC ${out(1)} implausible for a separable feature")
+  }
+
   test("logisticL1Margins: margin sign agrees with probability threshold (M15)") {
     val scored = TrainHarness.logisticL1Margins(df, df, "features", "label")
     val rows = scored.select("margin", "score").collect()
