@@ -3682,6 +3682,32 @@ object SparkEntry {
       s.sql(SparkEntry.q19Sql)
     }),
 
+    // the four partsupp decision-support shapes (Q2/Q11/Q16/Q20), over
+    // the deterministically DERIVED partsupp (see partsuppCte — the one
+    // TPC-H table the testdata lacks). Shared text: the same SQL string
+    // runs on Spark and DuckDB, so the derivation AND the query are both
+    // cross-engine-checked.
+    "sql_q2_mincost" -> ((s, d) => {
+      Seq("part", "supplier", "nation", "region").foreach(tn =>
+        Tables.table(s, d, tn).createOrReplaceTempView(tn))
+      s.sql(SparkEntry.q2Sql)
+    }),
+    "sql_q11_stockvalue" -> ((s, d) => {
+      Seq("part", "supplier", "nation").foreach(tn =>
+        Tables.table(s, d, tn).createOrReplaceTempView(tn))
+      s.sql(SparkEntry.q11Sql)
+    }),
+    "sql_q16_suppcnt" -> ((s, d) => {
+      Seq("part", "supplier").foreach(tn =>
+        Tables.table(s, d, tn).createOrReplaceTempView(tn))
+      s.sql(SparkEntry.q16Sql)
+    }),
+    "sql_q20_excess" -> ((s, d) => {
+      Seq("part", "supplier", "nation", "lineitem").foreach(tn =>
+        Tables.table(s, d, tn).createOrReplaceTempView(tn))
+      s.sql(SparkEntry.q20Sql)
+    }),
+
     // CUPED variance-reduced experiment readout: pre-period clicks as the
     // covariate, purchases as the metric, same hash arms as ab_ztest —
     // one per-user agg, one 1-row moments agg, scalar math after
@@ -4380,6 +4406,114 @@ object SparkEntry {
       |              WHERE l_orderkey = o_orderkey
       |                AND l_discount > 0.05 AND l_quantity > 30)
       |GROUP BY o_orderpriority""".stripMargin
+
+  /** Derived `partsupp` — the one TPC-H table the test schema lacks.
+    * Each part gets exactly 4 suppliers by deterministic modular
+    * assignment over the ACTUAL supplier count (so the same text is
+    * correct at every SF): suppkey = (p·7 + i·13) mod S, distinct per
+    * part because 13·{1,2,3} mod S ≠ 0 for S ∈ {10, 100, 1000};
+    * availqty ∈ [1, 9999] and cost in integer CENTS ∈ [100, 99999] by
+    * the same arithmetic. Pure integer ops (+, ·, %) on BIGINT — no
+    * RNG, no floats — so Spark and DuckDB derive bit-identical rows
+    * from the same parquet and the Q2/Q11/Q16/Q20 shapes below are
+    * exactly shared-text-oracled. At scale this CTE is a zero-shuffle
+    * 4× flatMap of the part scan.
+    */
+  val partsuppCte: String =
+    """partsupp AS (
+      |  SELECT p_partkey AS ps_partkey,
+      |         (p_partkey * 7 + t.i * 13) % sc.s_cnt AS ps_suppkey,
+      |         (p_partkey * 11 + t.i * 17) % 9999 + 1 AS ps_availqty,
+      |         (p_partkey * 31 + t.i * 43) % 99900 + 100 AS ps_cost_cents
+      |  FROM part, (VALUES (0), (1), (2), (3)) AS t(i),
+      |       (SELECT count(*) AS s_cnt FROM supplier) AS sc
+      |)""".stripMargin
+
+  /** Q2-shaped minimum-cost supplier: for every STANDARD mid-size part,
+    * the EUROPE supplier(s) achieving the regional minimum supply cost —
+    * correlated scalar-min subquery over the derived partsupp, the
+    * classic decorrelation shape (Spark rewrites it to an aggregated
+    * self-join; no per-row probes). Total ORDER BY + LIMIT keeps the cut
+    * deterministic ((p_partkey, ps_suppkey) is unique). */
+  val q2Sql: String =
+    s"""WITH $partsuppCte
+       |SELECT s_acctbal, s_name, n_name, p_partkey, p_type,
+       |       CAST(ps_cost_cents AS DOUBLE) / 100.0 AS supplycost
+       |FROM partsupp, part, supplier, nation, region
+       |WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+       |  AND p_size BETWEEN 10 AND 20 AND p_type = 'STANDARD'
+       |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+       |  AND r_name = 'EUROPE'
+       |  AND ps_cost_cents = (
+       |    SELECT min(ps2.ps_cost_cents)
+       |    FROM partsupp ps2, supplier s2, nation n2, region r2
+       |    WHERE ps2.ps_partkey = p_partkey AND s2.s_suppkey = ps2.ps_suppkey
+       |      AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
+       |      AND r2.r_name = 'EUROPE')
+       |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, ps_suppkey
+       |LIMIT 100""".stripMargin
+
+  /** Q11-shaped important stock: per-part inventory value held by one
+    * nation's suppliers, kept where the part's value exceeds TWICE the
+    * average part value — Q11's fraction-of-total shape made scale-free
+    * (TPC-H's own 0.0001/SF fraction bakes the scale factor into the
+    * query; a count-relative cut selects a stable tail at every SF).
+    * All value math in exact integer cents; the global total is a 1-row
+    * uncorrelated scalar broadcast back; ONE double conversion at the
+    * output boundary. */
+  val q11Sql: String =
+    s"""WITH $partsuppCte,
+       |nat AS (
+       |  SELECT s_suppkey FROM supplier, nation
+       |  WHERE s_nationkey = n_nationkey AND n_name = 'NATION_7'
+       |), v AS (
+       |  SELECT ps_partkey, SUM(ps_cost_cents * ps_availqty) AS value_cents
+       |  FROM partsupp JOIN nat ON ps_suppkey = s_suppkey
+       |  GROUP BY ps_partkey
+       |), tot AS (
+       |  SELECT SUM(value_cents) AS total_cents,
+       |         CAST(count(*) AS BIGINT) AS n_parts
+       |  FROM v
+       |)
+       |SELECT ps_partkey, CAST(value_cents AS DOUBLE) / 100.0 AS value
+       |FROM v, tot
+       |WHERE value_cents * n_parts > 2 * total_cents""".stripMargin
+
+  /** Q16-shaped supplier diversity: distinct suppliers per surviving
+    * (brand, type, size) after excluding one brand, one type, the
+    * off-list sizes, and suppliers flagged by the NOT-IN probe (negative
+    * balance stands in for the comment-based complaints filter — the
+    * test schema has no s_comment). */
+  val q16Sql: String =
+    s"""WITH $partsuppCte
+       |SELECT p_brand, p_type, p_size,
+       |       CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+       |FROM partsupp JOIN part ON p_partkey = ps_partkey
+       |WHERE p_brand <> 'Brand#11' AND p_type <> 'MEDIUM'
+       |  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+       |  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+       |GROUP BY p_brand, p_type, p_size""".stripMargin
+
+  /** Q20-shaped excess-stock probe: suppliers holding more than half the
+    * 1996 shipped quantity of any red part they stock. The correlated
+    * quantity sum rides exact decimals (NULL when the pair never shipped
+    * — excluded by comparison semantics on both engines, TPC-H's own
+    * behavior). Spark decorrelates the nested scalar into an aggregated
+    * join on (l_partkey, l_suppkey). */
+  val q20Sql: String =
+    s"""WITH $partsuppCte
+       |SELECT s_name, s_acctbal, n_name
+       |FROM supplier, nation
+       |WHERE s_nationkey = n_nationkey
+       |  AND s_suppkey IN (
+       |    SELECT ps_suppkey FROM partsupp
+       |    WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+       |      AND CAST(ps_availqty AS DECIMAL(18,2)) * 2 > (
+       |        SELECT SUM(CAST(l_quantity AS DECIMAL(18,2)))
+       |        FROM lineitem
+       |        WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+       |          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'))""".stripMargin
 
   /** Q19-shaped disjunctive join predicate (adapted to this schema's
     * columns): three OR'd conjunct groups that each reference BOTH join
@@ -7059,6 +7193,10 @@ object SparkEntry {
     "sql_q14_promo" -> q14Sql,
 
     "sql_q19_parts" -> q19Sql,
+    "sql_q2_mincost" -> q2Sql,
+    "sql_q11_stockvalue" -> q11Sql,
+    "sql_q16_suppcnt" -> q16Sql,
+    "sql_q20_excess" -> q20Sql,
 
     "ab_cuped" -> graft.ops.ExperimentOps.cupedOracleSql(
       s"""  SELECT CASE WHEN ${permilleHashSql("user_id", ":ab", 1000L)} < 500
