@@ -2972,12 +2972,13 @@ object SparkEntry {
         t(s, d, "documents"), "doc_id", "text",
         Seq("join", "window", "stream", "vector"))),
 
-    // fuzzy key matching: edit-distance pairs under lossless length-band
-    // blocking — the oracle runs the UNBLOCKED quadratic, so the hash
-    // match proves zero recall loss from the banding
+    // fuzzy key matching: edit-distance pairs under lossless PassJoin
+    // segment blocking (d+1 exact segments, ±d aligned probes) — the
+    // oracle runs the UNBLOCKED quadratic, so the hash match proves zero
+    // recall loss from the blocking
     "d_editdist_pairs" -> ((s, d) =>
       graft.dedup.Dedup.editDistancePairs(
-        t(s, d, "part"), "p_name", maxDist = 3, bandWidth = 4)),
+        t(s, d, "part"), "p_name", maxDist = 3)),
 
     // set-similarity join with PPJoin prefix filtering: only each doc's
     // rarest (1−t)·len+1 tokens are indexed; the oracle runs the

@@ -821,42 +821,95 @@ object Dedup {
        |  ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk AND a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.sh, b.sh)) <= $maxDist""".stripMargin
 
-  /** Fuzzy key matching via edit distance with LOSSLESS length-band
-    * blocking: `levenshtein(a, b) ≤ maxDist` implies
-    * `|len(a) − len(b)| ≤ maxDist`, so bucketing strings by
-    * `floor(len / width)` with `width > maxDist` and probing each string
-    * against buckets {k−1, k, k+1} provably reaches every qualifying pair
-    * — an equi-join, not a cross-join, yet zero recall loss. The
-    * entity-resolution primitive for near-identical names/titles/SKUs.
+  /** Fuzzy key matching via edit distance with LOSSLESS PassJoin segment
+    * blocking (Li, Deng & Feng, VLDB 2011): partition every indexed
+    * string into `maxDist + 1` contiguous segments — at most `maxDist`
+    * edit operations can touch at most `maxDist` segments, so any string
+    * within distance d contains at least ONE segment EXACTLY, shifted by
+    * at most d positions. The index explodes only the d+1 segments per
+    * string; the probe side enumerates, per candidate indexed length
+    * L ∈ [len±d] and per segment slot, the ≤ 2d+1 aligned substrings —
+    * an equi-join on (slot, L, substring) whose buckets are orders of
+    * magnitude tighter than length bands (a band holds every same-length
+    * string; a segment bucket only strings sharing d+1 exact chars at an
+    * aligned offset). The entity-resolution primitive for near-identical
+    * names/titles/SKUs.
+    *
+    * Strings shorter than d+1 chars cannot host d+1 non-empty segments;
+    * they ride a separate short tier joined by exact length pairing
+    * (lengths ≤ d probe lengths ≤ 2d) — a bounded bucket, since distinct
+    * ≤d-char strings number at most |alphabet|^d.
     *
     * Operates on DISTINCT values of `keyCol` (duplicate strings pair via
     * exact dedup first — that's [[exactGroups]]' job). Output:
-    * (name_a, name_b, dist) with name_a < name_b.
+    * (name_a, name_b, dist) with name_a < name_b. The oracle runs the
+    * UNBLOCKED quadratic, so the hash match proves zero recall loss.
     *
-    * Scale: the join key is (band, …) whose cardinality grows with data;
-    * per-bucket population is bounded by the length distribution, and the
-    * probe side replicates ×3 only. At corpus scale add a (lossy)
-    * same-first-q-gram key to the band for tighter buckets — kept out of
-    * the default because it breaks the recall proof this operator's
-    * oracle check depends on.
+    * Scale: ~(2d+1)²·(d+1) probe rows per string (≈196 at d=3) against
+    * d+1 index rows; candidate verification runs once per DISTINCT
+    * unordered pair (dedup before the levenshtein). No band is ever
+    * quadratic in a length-class population.
     */
-  def editDistancePairs(df: DataFrame, keyCol: String, maxDist: Int = 3,
-                        bandWidth: Int = 4): DataFrame = {
-    require(bandWidth > maxDist,
-      s"bandWidth ($bandWidth) must exceed maxDist ($maxDist) for the ±1-band probe to be lossless")
+  def editDistancePairs(df: DataFrame, keyCol: String, maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    val d = maxDist
+    val k = d + 1 // segments per indexed string
     val names = df.select(col(keyCol).cast("string").as("name"))
       .filter(col("name").isNotNull).distinct()
-    val banded = names.withColumn("_band", floor(length(col("name")) / lit(bandWidth)))
-    val probes = banded.select(
+    val len = length(col("name"))
+    // ---- long tier: strings with len >= k (every segment non-empty) ----
+    // index: the k segments of each string, keyed (slot, own length, seg)
+    def segStart(i: Column, l: Column): Column =
+      floor((i - 1) * l / lit(k.toDouble)).cast("int")
+    def segLen(i: Column, l: Column): Column =
+      (floor(i * l / lit(k.toDouble)) - floor((i - 1) * l / lit(k.toDouble))).cast("int")
+    val longNames = names.filter(len >= k)
+    val index = longNames.select(
       col("name"),
-      explode(array(col("_band") - 1, col("_band"), col("_band") + 1)).as("_band"))
-    probes.as("a")
-      .join(banded.as("b"),
-        col("a._band") === col("b._band") && col("a.name") < col("b.name"))
-      .select(col("a.name").as("name_a"), col("b.name").as("name_b"),
-        levenshtein(col("a.name"), col("b.name")).as("dist"))
-      .filter(col("dist") <= maxDist)
+      explode(transform(sequence(lit(1), lit(k)), i =>
+        struct(i.cast("int").as("slot"),
+          col("name").substr(segStart(i, len) + 1, segLen(i, len)).as("seg")))).as("e"),
+      len.as("_l"))
+      .select(col("name").as("name_i"), col("e.slot"), col("_l"), col("e.seg"))
+    // probe: for each candidate indexed length L in [len-d, len+d] with
+    // L >= k, each slot, each aligned start within ±d (clamped), the
+    // substring of this string that an untouched segment must equal
+    val probeEntries =
+      flatten(transform(sequence(len - d, len + d), lCand =>
+        transform(sequence(lit(1), lit(k)), i => {
+          val st = segStart(i, lCand)
+          val sl = segLen(i, lCand)
+          val lo = greatest(st - d, lit(0))
+          val hi = least(st + d, len - sl)
+          struct(i.cast("int").as("slot"), lCand.cast("int").as("lc"),
+            when(lCand >= k && hi >= lo,
+              transform(sequence(lo, hi), p =>
+                col("name").substr(p + 1, sl)))
+              .otherwise(array()).as("subs"))
+        })))
+    val probes = longNames.select(col("name"), explode(probeEntries).as("e"))
+      .select(col("name").as("name_p"), col("e.slot").as("slot"),
+        col("e.lc").as("_l"), explode(col("e.subs")).as("seg"))
+    val longPairs = index
+      .join(probes, Seq("slot", "_l", "seg"))
+      .filter(col("name_i") =!= col("name_p"))
+      .select(least(col("name_i"), col("name_p")).as("name_a"),
+        greatest(col("name_i"), col("name_p")).as("name_b"))
+    // ---- short tier: len <= d strings probe lengths <= 2d by exact
+    // length pairing (any match partner has length within ±d) ----
+    val shortSide = names.filter(len <= d).select(col("name").as("name_s"), len.as("_ls"))
+    val shortCand = names.filter(len <= 2 * d)
+      .select(col("name").as("name_c"), explode(sequence(length(col("name")) - d,
+        length(col("name")) + d)).as("_ls"))
+    val shortPairs = shortSide.join(shortCand, "_ls")
+      .filter(col("name_s") =!= col("name_c"))
+      .select(least(col("name_s"), col("name_c")).as("name_a"),
+        greatest(col("name_s"), col("name_c")).as("name_b"))
+    // verify once per distinct unordered candidate pair
+    longPairs.unionByName(shortPairs)
       .distinct()
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= d)
   }
 
   /** DuckDB mirror of [[editDistancePairs]]: the UNBLOCKED quadratic over

@@ -6,10 +6,11 @@ class EditDistanceSpec extends SparkSpecBase {
   import spark.implicits._
 
   private val names = Seq(
-    "red widget", "rad widget",      // dist 1, same length band
-    "blue bolt", "blue bolts",       // dist 1, lengths 9/10 — crosses a /4 band at 8|12? no: both band 2
-    "gear", "gears x",               // dist 3, lengths 4 and 7: bands 1 vs 1 — adjacent-band probe not needed
-    "pin", "pinion",                 // dist 3, lengths 3 and 6: band 0 vs band 1 — needs the ±1 probe
+    "red widget", "rad widget",      // dist 1, same length
+    "blue bolt", "blue bolts",       // dist 1, lengths 9/10
+    "gear", "gears x",               // dist 3, lengths 4 and 7
+    "pin", "pinion",                 // dist 3, lengths 3 and 6 — short tier probes a long string
+    "ab", "b",                       // dist 1, both in the short tier
     "unrelated thing"
   ).map(Tuple1(_)).toDF("name")
 
@@ -31,23 +32,60 @@ class EditDistanceSpec extends SparkSpecBase {
     dp(a.length)(b.length)
   }
 
-  test("editDistancePairs equals the unblocked quadratic (lossless banding)") {
-    val out = Dedup.editDistancePairs(names, "name", maxDist = 3, bandWidth = 4)
+  test("editDistancePairs equals the unblocked quadratic (lossless PassJoin blocking)") {
+    val out = Dedup.editDistancePairs(names, "name", maxDist = 3)
       .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
     assert(out == brute(3))
-    // the cross-band pair must be present — proves the ±1-band probe works
+    // the short-tier-to-long pair must be present
     assert(out.exists { case (a, b, _) => a == "pin" && b == "pinion" })
+    // and the short-short pair
+    assert(out.exists { case (a, b, _) => a == "ab" && b == "b" })
   }
 
-  test("editDistancePairs deduplicates multi-band candidate collisions") {
-    val out = Dedup.editDistancePairs(names, "name", maxDist = 3, bandWidth = 4)
+  test("editDistancePairs also lossless at maxDist 1 and 2") {
+    for (d <- Seq(1, 2)) {
+      val out = Dedup.editDistancePairs(names, "name", maxDist = d)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+      assert(out == brute(d), s"mismatch at maxDist=$d")
+    }
+  }
+
+  test("editDistancePairs deduplicates multi-slot candidate collisions") {
+    val out = Dedup.editDistancePairs(names, "name", maxDist = 3)
       .collect().map(r => (r.getString(0), r.getString(1)))
     assert(out.length == out.distinct.length)
   }
 
-  test("editDistancePairs rejects a band width that can lose pairs") {
+  test("editDistancePairs randomized losslessness against the quadratic") {
+    // deterministic pseudo-random word soup with heavy near-duplication
+    val rng = new scala.util.Random(42)
+    val base = Seq("widget", "gadget", "bolt", "gear", "pin", "flange")
+    val soup = (1 to 120).map { _ =>
+      val w = base(rng.nextInt(base.size)).toCharArray
+      val mutated = (0 until rng.nextInt(3)).foldLeft(new String(w)) { (s, _) =>
+        val p = rng.nextInt(s.length)
+        rng.nextInt(3) match {
+          case 0 => s.substring(0, p) + ('a' + rng.nextInt(26)).toChar + s.substring(math.min(p + 1, s.length))
+          case 1 => s.substring(0, p) + s.substring(math.min(p + 1, s.length)) // delete
+          case _ => s.substring(0, p) + ('a' + rng.nextInt(26)).toChar + s.substring(p) // insert
+        }
+      }
+      mutated
+    }.filter(_.nonEmpty).distinct
+    val df = soup.map(Tuple1(_)).toDF("name")
+    val got = Dedup.editDistancePairs(df, "name", maxDist = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    val want = (for {
+      a <- soup; b <- soup if a < b
+      d = levenshteinRef(a, b) if d <= 2
+    } yield (a, b, d)).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+  }
+
+  test("editDistancePairs rejects maxDist < 1") {
     intercept[IllegalArgumentException] {
-      Dedup.editDistancePairs(names, "name", maxDist = 4, bandWidth = 4)
+      Dedup.editDistancePairs(names, "name", maxDist = 0)
     }
   }
 }
