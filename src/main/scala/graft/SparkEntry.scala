@@ -3709,6 +3709,128 @@ object SparkEntry {
       s.sql(SparkEntry.q20Sql)
     }),
 
+    // ==== MIMIC-shaped synthetic dataset at the reference's PUBLISHED
+    // scale (58,976 admissions; sources/MimicSynth.scala): the engine's
+    // §3 answers checked against the reference's ACTUAL golden
+    // cardinalities, not a TPC-H analog. Both engines generate the
+    // tables from identical md5-hash arithmetic, so every row below is
+    // exactly DuckDB-oracled end-to-end (generation + pipeline). ====
+
+    // the reference's flagship labeling (py:39-86 + the py:77/267-269
+    // filters): lead/skip-ELECTIVE/backfill windows anchored on
+    // DISCHARGE, 30-day label, death + newborn exclusions. Golden:
+    // cohort 45,076 = 2,958 pos + 42,118 neg, EXACTLY the reference's
+    // published counts (MimicSynthSpec pins them); hadm_sum pins WHICH
+    // admissions, not just how many
+    "mimic_cohort_counts" -> ((s, d) => {
+      val adm = graft.sources.MimicSynth.admissions(s)
+      graft.ops.CohortOps.labelNextEvent(
+        adm, entityCol = "SUBJECT_ID", timeCol = "ADMITTIME",
+        typeCol = "ADMISSION_TYPE", tieCol = "HADM_ID",
+        excludedType = "ELECTIVE", horizonDays = 30.0, anchorCol = "DISCHTIME")
+        .filter(col("DEATHTIME").isNull && col("ADMISSION_TYPE") =!= "NEWBORN")
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"), sum(col("HADM_ID")).as("hadm_sum"))
+    }),
+
+    // admissions profile: per-type counts and in-hospital deaths
+    // (py:79-84 death readout; 7,863 NEWBORN rows = MIMIC-III's own)
+    "mimic_adm_profile" -> ((s, d) =>
+      graft.sources.MimicSynth.admissions(s)
+        .groupBy(col("ADMISSION_TYPE").as("admission_type"))
+        .agg(count(lit(1)).as("n_adm"),
+          sum(when(col("DEATHTIME").isNotNull, 1L).otherwise(0L)).as("n_death"))),
+
+    // the reference's three-stage ethnicity collapse (py:102-108): E5
+    // regex recodes in the reference's ORDER, E6 isin collapse, P13
+    // top-5-else — over the death/newborn-filtered cohort, exactly as
+    // cells 7-9 sequence it
+    "mimic_ethnicity_top5" -> ((s, d) => {
+      val adm = graft.sources.MimicSynth.admissions(s)
+        .filter(col("DEATHTIME").isNull && col("ADMISSION_TYPE") =!= "NEWBORN")
+      val recoded = adm.withColumn("eth",
+        when(col("ETHNICITY").rlike("^ASIAN"), "ASIAN")
+          .when(col("ETHNICITY").rlike("^WHITE"), "WHITE")
+          .when(col("ETHNICITY").rlike("^HISPANIC"), "HISPANIC/LATINO")
+          .when(col("ETHNICITY").rlike("^BLACK"), "BLACK/AFRICAN AMERICAN")
+          .when(col("ETHNICITY").isin("UNABLE TO OBTAIN", "OTHER",
+            "PATIENT DECLINED TO ANSWER", "UNKNOWN/NOT SPECIFIED"), "OTHER/UNKNOWN")
+          .otherwise(col("ETHNICITY")))
+      graft.ops.Recodes.topKOrElse(recoded, "eth", 5, "OTHER/UNKNOWN")
+        .groupBy(col("eth").as("ethnicity")).agg(count(lit(1)).as("n"))
+    }),
+
+    // the reference's ICD-9 18-category recode (py:120-147): alpha/null
+    // codes → 999, 3-digit slice, FIRST-matching inclusive range —
+    // V/E codes landing in 'injury' via the 999 bucket is the
+    // reference's own (faithfully replicated) behavior
+    "mimic_diag_categories" -> ((s, d) => {
+      val dg = graft.sources.MimicSynth.diagnoses(s)
+      val code3 = coalesce(
+        when(col("ICD9_CODE").rlike("[A-Za-z]"), lit(999))
+          .otherwise(substring(col("ICD9_CODE"), 1, 3).cast("int")),
+        lit(999))
+      dg.withColumn("cat", SparkEntry.icd9Category(code3))
+        .groupBy("cat")
+        .agg(count(lit(1)).as("n_codes"),
+          countDistinct(col("HADM_ID")).as("n_adm"))
+    }),
+
+    // age at first (surviving) admission with the reference's >89
+    // date-shift clamp (py:205-215: the pandas int64-ns overflow form),
+    // age != 0 filter, per-age histogram
+    "mimic_age_hist" -> ((s, d) => {
+      val coh = graft.sources.MimicSynth.admissions(s)
+        .filter(col("DEATHTIME").isNull && col("ADMISSION_TYPE") =!= "NEWBORN")
+      val admMin = coh.groupBy("SUBJECT_ID").agg(min("ADMITTIME").as("admit_min"))
+      val aged = admMin
+        .join(graft.sources.MimicSynth.patients(s), Seq("SUBJECT_ID"))
+        .withColumn("age_raw",
+          floor(graft.ops.CohortOps.fractionalDays(col("admit_min"), col("DOB")) / 365.0))
+        .withColumn("age",
+          when(col("age_raw") > 89 || col("age_raw") < 0, 90L).otherwise(col("age_raw")))
+        .filter(col("age") =!= 0)
+      aged.groupBy("age").agg(count(lit(1)).as("n"))
+    }),
+
+    // the composed §3 pipeline at reference scale: cohort labeling +
+    // filters + per-admission diagnosis-category matrix (inner) +
+    // patients/age (inner) + age filter — the reference's modeling table
+    // (cells 7-20), read out per label with membership-pinning sums
+    "mimic_pipeline_relational" -> ((s, d) => {
+      val adm = graft.sources.MimicSynth.admissions(s)
+      val coh = graft.ops.CohortOps.labelNextEvent(
+        adm, entityCol = "SUBJECT_ID", timeCol = "ADMITTIME",
+        typeCol = "ADMISSION_TYPE", tieCol = "HADM_ID",
+        excludedType = "ELECTIVE", horizonDays = 30.0, anchorCol = "DISCHTIME")
+        .filter(col("DEATHTIME").isNull && col("ADMISSION_TYPE") =!= "NEWBORN")
+      val dg = graft.sources.MimicSynth.diagnoses(s)
+      val code3 = coalesce(
+        when(col("ICD9_CODE").rlike("[A-Za-z]"), lit(999))
+          .otherwise(substring(col("ICD9_CODE"), 1, 3).cast("int")),
+        lit(999))
+      val cats = dg.withColumn("cat", SparkEntry.icd9Category(code3))
+        .groupBy("HADM_ID")
+        .agg(sum(when(col("cat") === "circulatory", 1L).otherwise(0L)).as("n_circ"),
+          sum(when(col("cat") === "injury", 1L).otherwise(0L)).as("n_inj"))
+      val admMin = coh.groupBy("SUBJECT_ID").agg(min("ADMITTIME").as("admit_min"))
+      coh
+        .join(cats, Seq("HADM_ID"))
+        .join(admMin, Seq("SUBJECT_ID"))
+        .join(graft.sources.MimicSynth.patients(s), Seq("SUBJECT_ID"))
+        .withColumn("age_raw",
+          floor(graft.ops.CohortOps.fractionalDays(col("admit_min"), col("DOB")) / 365.0))
+        .withColumn("age",
+          when(col("age_raw") > 89 || col("age_raw") < 0, 90L).otherwise(col("age_raw")))
+        .filter(col("age") =!= 0)
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("SUBJECT_ID")).as("n_subjects"),
+          sum(col("age")).as("sum_age"),
+          sum(col("n_circ")).as("sum_circ"),
+          sum(col("n_inj")).as("sum_inj"))
+    }),
+
     // CUPED variance-reduced experiment readout: pre-period clicks as the
     // covariate, purchases as the metric, same hash arms as ab_ztest —
     // one per-user agg, one 1-row moments agg, scalar math after
@@ -4407,6 +4529,35 @@ object SparkEntry {
       |              WHERE l_orderkey = o_orderkey
       |                AND l_discount > 0.05 AND l_quantity > 30)
       |GROUP BY o_orderpriority""".stripMargin
+
+  /** The reference's ICD-9 main-category ranges (py:128-141): FIRST
+    * matching range wins (np.where applied sequentially) and bounds are
+    * INCLUSIVE on both ends (pandas .between) — so 140 is 'infectious',
+    * 999 (the V/E/null bucket) is 'injury', both the reference's own
+    * behavior, faithfully replicated.
+    */
+  private[graft] val icd9Ranges: Seq[(Int, Int, String)] = Seq(
+    (1, 140, "infectious"), (140, 240, "neoplasms"), (240, 280, "endocrine"),
+    (280, 290, "blood"), (290, 320, "mental"), (320, 390, "nervous"),
+    (390, 460, "circulatory"), (460, 520, "respiratory"), (520, 580, "digestive"),
+    (580, 630, "genitourinary"), (630, 680, "pregnancy"), (680, 710, "skin"),
+    (710, 740, "muscular"), (740, 760, "congenital"), (760, 780, "prenatal"),
+    (780, 800, "misc"), (800, 1000, "injury"), (1000, 2000, "misc"))
+
+  private[graft] def icd9Category(code3: Column): Column =
+    icd9Ranges.foldRight(lit(null).cast("string")) { case ((lo, hi, cat), acc) =>
+      when(code3.between(lo, hi), cat).otherwise(acc)
+    }
+
+  private def icd9CategorySql(expr: String): String =
+    "CASE " + icd9Ranges.map { case (lo, hi, c) =>
+      s"WHEN $expr BETWEEN $lo AND $hi THEN '$c'"
+    }.mkString(" ") + " END"
+
+  /** The DuckDB code3 recode shared by the two diagnosis oracles. */
+  private val mimicCode3Sql: String =
+    "COALESCE(CASE WHEN regexp_matches(icd9_code, '[A-Za-z]') THEN 999 " +
+      "ELSE CAST(substr(icd9_code, 1, 3) AS INTEGER) END, 999)"
 
   /** Derived `partsupp` — the one TPC-H table the test schema lacks.
     * Each part gets exactly 4 suppliers by deterministic modular
@@ -7198,6 +7349,107 @@ object SparkEntry {
     "sql_q11_stockvalue" -> q11Sql,
     "sql_q16_suppcnt" -> q16Sql,
     "sql_q20_excess" -> q20Sql,
+
+    // ==== MIMIC-scale rows: DuckDB re-derives the same tables from the
+    // same md5 arithmetic (no source files at all) and replays the
+    // reference pipeline — generation AND query cross-engine-checked ====
+    "mimic_cohort_counts" ->
+      s"""WITH ${graft.sources.MimicSynth.cohortCtes}
+         |SELECT label, CAST(count(*) AS BIGINT) AS n,
+         |       CAST(SUM(hadm_id) AS BIGINT) AS hadm_sum
+         |FROM mcohort
+         |WHERE deathtime IS NULL AND admission_type <> 'NEWBORN'
+         |GROUP BY 1""".stripMargin,
+
+    "mimic_adm_profile" ->
+      s"""WITH ${graft.sources.MimicSynth.admissionsCtes}
+         |SELECT admission_type, CAST(count(*) AS BIGINT) AS n_adm,
+         |       CAST(SUM(CASE WHEN deathtime IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_death
+         |FROM admissions GROUP BY 1""".stripMargin,
+
+    "mimic_ethnicity_top5" ->
+      s"""WITH ${graft.sources.MimicSynth.admissionsCtes}, recoded AS (
+         |  SELECT CASE
+         |    WHEN regexp_matches(ethnicity, '^ASIAN') THEN 'ASIAN'
+         |    WHEN regexp_matches(ethnicity, '^WHITE') THEN 'WHITE'
+         |    WHEN regexp_matches(ethnicity, '^HISPANIC') THEN 'HISPANIC/LATINO'
+         |    WHEN regexp_matches(ethnicity, '^BLACK') THEN 'BLACK/AFRICAN AMERICAN'
+         |    WHEN ethnicity IN ('UNABLE TO OBTAIN', 'OTHER',
+         |      'PATIENT DECLINED TO ANSWER', 'UNKNOWN/NOT SPECIFIED')
+         |      THEN 'OTHER/UNKNOWN'
+         |    ELSE ethnicity END AS eth
+         |  FROM admissions
+         |  WHERE deathtime IS NULL AND admission_type <> 'NEWBORN'
+         |), top AS (
+         |  SELECT eth FROM (
+         |    SELECT eth, row_number() OVER (ORDER BY count(*) DESC, eth ASC) AS rn
+         |    FROM recoded GROUP BY eth
+         |  ) WHERE rn <= 5
+         |)
+         |SELECT CASE WHEN r.eth IN (SELECT eth FROM top) THEN r.eth
+         |            ELSE 'OTHER/UNKNOWN' END AS ethnicity,
+         |       CAST(count(*) AS BIGINT) AS n
+         |FROM recoded r GROUP BY 1""".stripMargin,
+
+    "mimic_diag_categories" ->
+      s"""WITH ${graft.sources.MimicSynth.diagnosesCtes}, coded AS (
+         |  SELECT hadm_id, ${icd9CategorySql(mimicCode3Sql)} AS cat
+         |  FROM diagnoses_icd
+         |)
+         |SELECT cat, CAST(count(*) AS BIGINT) AS n_codes,
+         |       CAST(count(DISTINCT hadm_id) AS BIGINT) AS n_adm
+         |FROM coded GROUP BY 1""".stripMargin,
+
+    "mimic_age_hist" ->
+      s"""WITH ${graft.sources.MimicSynth.admissionsCtes},
+         |${graft.sources.MimicSynth.patientsCtes},
+         |coh AS (
+         |  SELECT * FROM admissions
+         |  WHERE deathtime IS NULL AND admission_type <> 'NEWBORN'
+         |), am AS (
+         |  SELECT subject_id, min(admittime) AS admit_min FROM coh GROUP BY 1
+         |), aged AS (
+         |  SELECT floor((epoch(admit_min) - epoch(dob)) / 86400.0 / 365.0) AS age_raw
+         |  FROM am JOIN patients USING (subject_id)
+         |)
+         |SELECT CAST(age AS BIGINT) AS age, CAST(count(*) AS BIGINT) AS n FROM (
+         |  SELECT CASE WHEN age_raw > 89 OR age_raw < 0 THEN 90 ELSE age_raw END AS age
+         |  FROM aged
+         |) WHERE age <> 0 GROUP BY 1""".stripMargin,
+
+    "mimic_pipeline_relational" ->
+      s"""WITH ${graft.sources.MimicSynth.cohortCtes},
+         |${graft.sources.MimicSynth.diagnosesCtes},
+         |${graft.sources.MimicSynth.patientsCtes},
+         |filtered AS (
+         |  SELECT * FROM mcohort
+         |  WHERE deathtime IS NULL AND admission_type <> 'NEWBORN'
+         |), cats AS (
+         |  SELECT hadm_id,
+         |    CAST(SUM(CASE WHEN cat = 'circulatory' THEN 1 ELSE 0 END) AS BIGINT) AS n_circ,
+         |    CAST(SUM(CASE WHEN cat = 'injury' THEN 1 ELSE 0 END) AS BIGINT) AS n_inj
+         |  FROM (SELECT hadm_id, ${icd9CategorySql(mimicCode3Sql)} AS cat FROM diagnoses_icd)
+         |  GROUP BY 1
+         |), am AS (
+         |  SELECT subject_id, min(admittime) AS admit_min FROM filtered GROUP BY 1
+         |), joined AS (
+         |  SELECT f.label, f.subject_id, c.n_circ, c.n_inj,
+         |    floor((epoch(am.admit_min) - epoch(p.dob)) / 86400.0 / 365.0) AS age_raw
+         |  FROM filtered f
+         |  JOIN cats c ON f.hadm_id = c.hadm_id
+         |  JOIN am ON f.subject_id = am.subject_id
+         |  JOIN patients p ON f.subject_id = p.subject_id
+         |), aged AS (
+         |  SELECT label, subject_id, n_circ, n_inj,
+         |    CASE WHEN age_raw > 89 OR age_raw < 0 THEN 90 ELSE age_raw END AS age
+         |  FROM joined
+         |)
+         |SELECT label, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(count(DISTINCT subject_id) AS BIGINT) AS n_subjects,
+         |  CAST(SUM(age) AS BIGINT) AS sum_age,
+         |  CAST(SUM(n_circ) AS BIGINT) AS sum_circ,
+         |  CAST(SUM(n_inj) AS BIGINT) AS sum_inj
+         |FROM aged WHERE age <> 0 GROUP BY 1""".stripMargin,
 
     "ab_cuped" -> graft.ops.ExperimentOps.cupedOracleSql(
       s"""  SELECT CASE WHEN ${permilleHashSql("user_id", ":ab", 1000L)} < 500

@@ -29,6 +29,11 @@ object CohortOps {
     * breaks time ties so the result is deterministic regardless of the
     * incoming row order (the reference relies on physical row order; a
     * distributed engine must never do that — SURVEY §7.5.4).
+    *
+    * `anchorCol` is the timestamp `days_next` counts FROM — the reference
+    * measures NEXT_ADMITTIME − DISCHTIME (py:63), i.e. ordering by admit
+    * time but anchoring the gap on discharge. Defaults to `timeCol` for
+    * schemas with a single event timestamp (the TPC-H analog queries).
     */
   def labelNextEvent(
       df: DataFrame,
@@ -38,8 +43,10 @@ object CohortOps {
       tieCol: String,
       excludedType: String,
       horizonDays: Double,
-      outPrefix: String = ""
+      outPrefix: String = "",
+      anchorCol: String = ""
   ): DataFrame = {
+    val anchor = if (anchorCol.isEmpty) timeCol else anchorCol
     val w    = Window.partitionBy(entityCol).orderBy(col(timeCol), col(tieCol))
     val wFwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val nt   = s"${outPrefix}next_time"
@@ -59,7 +66,7 @@ object CohortOps {
       .withColumn(nty, when(col(nty) === excludedType, lit(null)).otherwise(col(nty)))
       .withColumn(nt, first(col(nt), ignoreNulls = true).over(wFwd))
       .withColumn(nty, first(col(nty), ignoreNulls = true).over(wFwd))
-      .withColumn(days, (unix_timestamp(col(nt)) - unix_timestamp(col(timeCol))) / 86400.0)
+      .withColumn(days, (unix_timestamp(col(nt)) - unix_timestamp(col(anchor))) / 86400.0)
       // NaN/null days compare false → '0', matching np.where semantics (py:86)
       .withColumn(lab, when(col(days) < horizonDays, "1").otherwise("0"))
   }

@@ -1,0 +1,350 @@
+package graft.sources
+
+import graft.text.TextOps
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic MIMIC-shaped synthetic dataset at the reference's
+  * PUBLISHED scale (Hap880_Final_Project.py:19-269; BASELINE.md
+  * "Cardinalities"): ADMISSIONS / DIAGNOSES_ICD / PATIENTS / NOTEEVENTS
+  * with the reference's own column names, generated from pure
+  * `range → md5-hash` arithmetic — no RNG object, no files — so Spark
+  * and DuckDB derive BIT-IDENTICAL tables and every pipeline readout
+  * over them is exactly oracle-able.
+  *
+  * The generator constants are TUNED so the reference pipeline's golden
+  * invariants land EXACTLY:
+  *
+  *   - ADMISSIONS rows         58,976   (= reference, py:77)
+  *   - NEWBORN admissions       7,863   (= MIMIC-III)
+  *   - modeling cohort         45,076   (= reference, ipynb cell 22)
+  *   - positive labels          2,958   (= reference, py:267-269)
+  *   - in-hospital deaths       6,037   (58,976 − 7,863 − 45,076)
+  *   - distinct ICD-9 codes     6,985   (= reference, py:116)
+  *
+  * Structure: 46,161 subjects — 37,998 with one admission (the first
+  * 7,863 of them newborns), 5,500 with two, 2,000 with three, 663 with
+  * six. Admission gaps (discharge → next admit, whole days) are
+  * hash-uniform on [1, 111], so ~26% of readmissions fall under the
+  * 30-day horizon; deaths strike only final admissions of non-newborn
+  * subjects. Every draw is `md5(key ":salt") mod m` — the engine's
+  * proven cross-engine hash (the permilleHash oracle family).
+  *
+  * Scale shape: generation is one `range(58,976)` scan + per-subject
+  * windows over ≤6-row partitions; a 100 TB variant is the same plan
+  * with a bigger range — embarrassingly parallel, zero shuffles beyond
+  * the per-subject cumulative-gap window.
+  */
+object MimicSynth {
+
+  // ---- tuned constants (see scaladoc; changing any re-lands the golden
+  // invariants somewhere else — MimicSynthSpec pins them) ----
+  val N_ADM        = 58976L
+  val B1_END       = 37998L // one-admission block (subjects 0..37997)
+  val B2_END       = 48998L // two-admission block (5,500 subjects × 2)
+  val B3_END       = 54998L // three-admission block (2,000 × 3)
+  val S2_0         = 37998L
+  val S3_0         = 43498L
+  val S6_0         = 45498L
+  val N_SUBJECTS   = 46161L
+  val NEWBORN_SUBJ = 7863L  // subjects 0..7862 are newborns
+  val ELECTIVE_T   = 126L   // of 1000, salt t6
+  val URGENT_T     = 152L   // elective + 26
+  val LOS_MOD      = 11L    // los = 1 + draw % 11 days
+  val GAP_OFF      = 1L
+  val GAP_MOD      = 111L   // gap = 1 + draw % 111 days, salt gb
+  val DEATH_T      = 15918L // of 100000, last non-newborn admissions
+  val BASE_MOD     = 2920L  // subject base day over 8 years
+  val EPOCH_DATE   = "2100-01-01"
+  val N_ICD        = 6985L  // distinct ICD-9 pool == reference nunique
+  val NDIAG_MOD    = 21L    // diagnoses per admission = 1 + draw % 21
+  val NOTE_T       = 942L   // of 1000 admissions have a discharge summary
+
+  /** Pre-recode ethnicity raw values with cumulative hash thresholds (of
+    * 100,000): the raw strings exercise the reference's E5 regex recodes
+    * (^WHITE\D* etc.), the E6 isin collapse, and the P13 top-5-else rule;
+    * after recoding, the top-5 ORDER matches the reference's table
+    * (WHITE > OTHER/UNKNOWN > BLACK > HISPANIC > ASIAN).
+    */
+  val ethnicityThresholds: Seq[(Long, String)] = Seq(
+    64000L -> "WHITE",
+    67500L -> "WHITE - RUSSIAN",
+    71000L -> "WHITE - OTHER EUROPEAN",
+    78800L -> "BLACK/AFRICAN AMERICAN",
+    80800L -> "BLACK/CAPE VERDEAN",
+    83300L -> "HISPANIC OR LATINO",
+    84400L -> "HISPANIC/LATINO - PUERTO RICAN",
+    85900L -> "ASIAN",
+    86800L -> "ASIAN - CHINESE",
+    92000L -> "UNKNOWN/NOT SPECIFIED",
+    95000L -> "OTHER",
+    96500L -> "UNABLE TO OBTAIN",
+    97500L -> "PATIENT DECLINED TO ANSWER",
+    98800L -> "AMERICAN INDIAN/ALASKA NATIVE",
+    100000L -> "MULTI RACE ETHNICITY")
+
+  /** The cross-engine draw: `md5(key ":salt") → first 60 bits → mod m`.
+    * Identical to [[oracleDraw]]'s SQL rendering by construction.
+    */
+  private def draw(key: Column, salt: String, m: Long): Column =
+    pmod(TextOps.md5Hash60(concat(key.cast("string"), lit(":" + salt))), lit(m))
+
+  /** DuckDB rendering of [[draw]] — ONE definition pair, so the Scala
+    * and SQL sides cannot silently diverge.
+    */
+  def oracleDraw(keySql: String, salt: String, m: Long): String =
+    s"(CAST(concat('0x', substr(md5(concat(CAST($keySql AS VARCHAR), ':$salt')), 1, 15)) AS BIGINT) % $m)"
+
+  private def floorDiv(c: Column, d: Long): Column =
+    floor(c / d.toDouble).cast("long")
+
+  /** The (i → subject, seq, n_admissions) block mapping shared by every
+    * generated table.
+    */
+  private def blockCols(i: Column): (Column, Column, Column) = {
+    val s = when(i < B1_END, i)
+      .when(i < B2_END, lit(S2_0) + floorDiv(i - B1_END, 2))
+      .when(i < B3_END, lit(S3_0) + floorDiv(i - B2_END, 3))
+      .otherwise(lit(S6_0) + floorDiv(i - B3_END, 6))
+    val q = when(i < B1_END, lit(0L))
+      .when(i < B2_END, (i - B1_END) % 2)
+      .when(i < B3_END, (i - B2_END) % 3)
+      .otherwise((i - B3_END) % 6)
+    val n = when(i < B1_END, lit(1L)).when(i < B2_END, lit(2L))
+      .when(i < B3_END, lit(3L)).otherwise(lit(6L))
+    (s, q, n)
+  }
+
+  private def dayToTs(days: Column): Column =
+    date_add(lit(EPOCH_DATE).cast("date"), days.cast("int")).cast("timestamp")
+
+  /** ADMISSIONS: SUBJECT_ID, HADM_ID, ADMITTIME, DISCHTIME, DEATHTIME,
+    * ADMISSION_TYPE, ETHNICITY.
+    */
+  def admissions(spark: SparkSession): DataFrame = {
+    val base = spark.range(N_ADM).select(col("id").as("i"))
+    val (s, q, n) = blockCols(col("i"))
+    val typed = base.select(
+      col("i"), s.as("s"), q.as("q"), n.as("nadm"),
+      when(s < NEWBORN_SUBJ, "NEWBORN")
+        .when(draw(col("i"), "t6", 1000L) < ELECTIVE_T, "ELECTIVE")
+        .when(draw(col("i"), "t6", 1000L) < URGENT_T, "URGENT")
+        .otherwise("EMERGENCY").as("admission_type"),
+      (lit(1L) + draw(col("i"), "lo", LOS_MOD)).as("los"),
+      (lit(GAP_OFF) + draw(col("i"), "gb", GAP_MOD)).as("gap"),
+      (q === n - 1 && s >= NEWBORN_SUBJ &&
+        draw(col("i"), "de", 100000L) < DEATH_T).as("dies"),
+      draw(s, "bd", BASE_MOD).as("base_day"))
+    // per-subject cumulative (los + gap) prefix — partitions are ≤ 6 rows
+    val wOff = Window.partitionBy("s").orderBy("q")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    typed
+      .withColumn("_off", coalesce(sum(col("los") + col("gap")).over(wOff), lit(0L)))
+      .select(
+        col("s").as("SUBJECT_ID"),
+        (lit(100000L) + col("i")).as("HADM_ID"),
+        dayToTs(col("base_day") + col("_off")).as("ADMITTIME"),
+        dayToTs(col("base_day") + col("_off") + col("los")).as("DISCHTIME"),
+        when(col("dies"), dayToTs(col("base_day") + col("_off") + col("los")))
+          .otherwise(lit(null).cast("timestamp")).as("DEATHTIME"),
+        col("admission_type").as("ADMISSION_TYPE"),
+        ethnicityThresholds.foldRight(lit(null).cast("string")) {
+          case ((t, v), acc) => when(draw(col("s"), "et", 100000L) < t, v).otherwise(acc)
+        }.as("ETHNICITY"))
+  }
+
+  /** DuckDB mirror of [[admissions]] as a CTE chain ending in a CTE named
+    * `admissions` with the same columns (lower-cased — DuckDB folds
+    * unquoted identifiers, and the oracle SQL references them unquoted).
+    */
+  def admissionsCtes: String = {
+    val eth = ethnicityThresholds.map { case (t, v) =>
+      s"WHEN ${oracleDraw("s", "et", 100000L)} < $t THEN '${v.replace("'", "''")}'"
+    }.mkString("\n           ")
+    s"""madm0 AS (
+       |  SELECT i,
+       |    CASE WHEN i < $B1_END THEN i
+       |         WHEN i < $B2_END THEN $S2_0 + (i - $B1_END) // 2
+       |         WHEN i < $B3_END THEN $S3_0 + (i - $B2_END) // 3
+       |         ELSE $S6_0 + (i - $B3_END) // 6 END AS s,
+       |    CASE WHEN i < $B1_END THEN 0
+       |         WHEN i < $B2_END THEN (i - $B1_END) % 2
+       |         WHEN i < $B3_END THEN (i - $B2_END) % 3
+       |         ELSE (i - $B3_END) % 6 END AS q,
+       |    CASE WHEN i < $B1_END THEN 1 WHEN i < $B2_END THEN 2
+       |         WHEN i < $B3_END THEN 3 ELSE 6 END AS nadm
+       |  FROM range($N_ADM) r(i)
+       |), madm1 AS (
+       |  SELECT i, s, q, nadm,
+       |    CASE WHEN s < $NEWBORN_SUBJ THEN 'NEWBORN'
+       |         WHEN ${oracleDraw("i", "t6", 1000L)} < $ELECTIVE_T THEN 'ELECTIVE'
+       |         WHEN ${oracleDraw("i", "t6", 1000L)} < $URGENT_T THEN 'URGENT'
+       |         ELSE 'EMERGENCY' END AS admission_type,
+       |    1 + ${oracleDraw("i", "lo", LOS_MOD)} AS los,
+       |    $GAP_OFF + ${oracleDraw("i", "gb", GAP_MOD)} AS gap,
+       |    (q = nadm - 1 AND s >= $NEWBORN_SUBJ AND
+       |     ${oracleDraw("i", "de", 100000L)} < $DEATH_T) AS dies,
+       |    ${oracleDraw("s", "bd", BASE_MOD)} AS base_day,
+       |    CASE $eth END AS ethnicity
+       |  FROM madm0
+       |), madm2 AS (
+       |  SELECT *,
+       |    COALESCE(SUM(los + gap) OVER (PARTITION BY s ORDER BY q
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+       |  FROM madm1
+       |), admissions AS (
+       |  SELECT s AS subject_id, 100000 + i AS hadm_id,
+       |    CAST(DATE '$EPOCH_DATE' + CAST(base_day + off AS INTEGER) AS TIMESTAMP) AS admittime,
+       |    CAST(DATE '$EPOCH_DATE' + CAST(base_day + off + los AS INTEGER) AS TIMESTAMP) AS dischtime,
+       |    CASE WHEN dies THEN CAST(DATE '$EPOCH_DATE' + CAST(base_day + off + los AS INTEGER) AS TIMESTAMP) END AS deathtime,
+       |    admission_type, ethnicity
+       |  FROM madm2
+       |)""".stripMargin
+  }
+
+  /** DIAGNOSES_ICD: HADM_ID, SEQ_NUM, ICD9_CODE — 1 + draw%21 codes per
+    * admission (mean 11, ≈649k rows), each drawn from a pool of EXACTLY
+    * 6,985 distinct codes: 6,600 numeric (3-digit prefix 001-999 ×
+    * suffix 0-6), 200 V-codes, 185 E-codes — the reference's nunique.
+    */
+  def diagnoses(spark: SparkSession): DataFrame = {
+    val base = spark.range(N_ADM).select(
+      col("id").as("i"),
+      (lit(1L) + draw(col("id"), "nd", NDIAG_MOD)).as("ndiag"))
+    val perCode = base.select(col("i"),
+      explode(sequence(lit(1L), col("ndiag"))).as("k"))
+    val v = draw(concat(col("i").cast("string"), lit("_"), col("k").cast("string")),
+      "ic", N_ICD)
+    perCode.select(
+      (lit(100000L) + col("i")).as("HADM_ID"),
+      col("k").cast("int").as("SEQ_NUM"),
+      when(v < 6600L,
+        concat(lpad((lit(1L) + v % 999).cast("string"), 3, "0"),
+          floorDiv(v, 999).cast("string")))
+        .when(v < 6800L, concat(lit("V"), lpad((v - 6600L).cast("string"), 3, "0")))
+        .otherwise(concat(lit("E"), (lit(800L) + v - 6800L).cast("string")))
+        .as("ICD9_CODE"))
+  }
+
+  /** DuckDB mirror of [[diagnoses]] → CTE `diagnoses_icd`. */
+  def diagnosesCtes: String = {
+    val v = oracleDraw("concat(CAST(i AS VARCHAR), '_', CAST(k AS VARCHAR))", "ic", N_ICD)
+    s"""mdg0 AS (
+       |  SELECT i, 1 + ${oracleDraw("i", "nd", NDIAG_MOD)} AS ndiag
+       |  FROM range($N_ADM) r(i)
+       |), diagnoses_icd AS (
+       |  SELECT 100000 + i AS hadm_id, CAST(k AS INTEGER) AS seq_num,
+       |    CASE WHEN $v < 6600 THEN
+       |           concat(lpad(CAST(1 + $v % 999 AS VARCHAR), 3, '0'),
+       |                  CAST($v // 999 AS VARCHAR))
+       |         WHEN $v < 6800 THEN concat('V', lpad(CAST($v - 6600 AS VARCHAR), 3, '0'))
+       |         ELSE concat('E', CAST(800 + $v - 6800 AS VARCHAR)) END AS icd9_code
+       |  FROM mdg0, unnest(range(1, ndiag + 1)) u(k)
+       |)""".stripMargin
+  }
+
+  /** PATIENTS: SUBJECT_ID, DOB, GENDER. Ages 16-89 hash-uniform; 2.5% of
+    * non-newborn subjects carry the MIMIC >89 date shift (DOB 300 years
+    * back — the reference's pandas int64-ns subtraction overflows
+    * negative and clamps to 90; the engine emulates with an explicit
+    * >89-or-negative clamp, pinned in ReadmissionFixtureSpec). Newborn
+    * subjects' DOB equals their admission day (age 0).
+    */
+  def patients(spark: SparkSession): DataFrame = {
+    val s = col("id")
+    spark.range(N_SUBJECTS).select(
+      s.as("SUBJECT_ID"),
+      dayToTs(
+        when(s < NEWBORN_SUBJ, draw(s, "bd", BASE_MOD))
+          .when(draw(s, "ov", 1000L) < 25L, draw(s, "bd", BASE_MOD) - 109500L)
+          .otherwise(draw(s, "bd", BASE_MOD) -
+            ((lit(16L) + draw(s, "ag", 74L)) * 365L + draw(s, "dd", 365L))))
+        .as("DOB"),
+      when(draw(s, "ge", 2L) === 0L, "M").otherwise("F").as("GENDER"))
+  }
+
+  /** DuckDB mirror of [[patients]] → CTE `patients`. */
+  def patientsCtes: String =
+    s"""patients AS (
+       |  SELECT s AS subject_id,
+       |    CAST(DATE '$EPOCH_DATE' + CAST(
+       |      CASE WHEN s < $NEWBORN_SUBJ THEN ${oracleDraw("s", "bd", BASE_MOD)}
+       |           WHEN ${oracleDraw("s", "ov", 1000L)} < 25 THEN ${oracleDraw("s", "bd", BASE_MOD)} - 109500
+       |           ELSE ${oracleDraw("s", "bd", BASE_MOD)} -
+       |             ((16 + ${oracleDraw("s", "ag", 74L)}) * 365 + ${oracleDraw("s", "dd", 365L)})
+       |      END AS INTEGER) AS TIMESTAMP) AS dob,
+       |    CASE WHEN ${oracleDraw("s", "ge", 2L)} = 0 THEN 'M' ELSE 'F' END AS gender
+       |  FROM range($N_SUBJECTS) r(s)
+       |)""".stripMargin
+
+  /** Vocabulary for synthetic note text — enough lexical variety to
+    * exercise tokenize/stopword/lemmatize and CountVectorizer paths.
+    */
+  val noteWords: Seq[String] = Seq(
+    "patient", "admitted", "with", "acute", "chronic", "pneumonia",
+    "failure", "treated", "antibiotics", "discharged", "stable", "followup",
+    "history", "diabetes", "hypertension", "renal", "cardiac", "walked",
+    "wounds", "healing", "medications", "continued", "improved", "days")
+
+  /** NOTEEVENTS: ROW_ID, SUBJECT_ID, HADM_ID, CATEGORY, TEXT — ~94.2% of
+    * admissions get one Discharge summary (the reference's missing-note
+    * fraction), ~30% an extra Nursing note the pipeline must filter out.
+    * Text is a hash-drawn word sequence over [[noteWords]] (Spark-side
+    * only; note-text queries are spec-pinned, not DuckDB-oracled —
+    * rendering 2.8M per-word md5 draws in SQL buys no extra checking).
+    */
+  def notes(spark: SparkSession): DataFrame = {
+    val base = spark.range(N_ADM).select(col("id").as("i"))
+    val (s, _, _) = blockCols(col("i"))
+    val nWords = lit(20L) + draw(col("i"), "nw", 30L)
+    val wordsArr = transform(sequence(lit(1L), nWords), j =>
+      element_at(
+        array(noteWords.map(lit): _*),
+        (draw(concat(col("i").cast("string"), lit("_"), j.cast("string")), "wd",
+          noteWords.size.toLong) + 1L).cast("int")))
+    val summaries = base
+      .filter(draw(col("i"), "hn", 1000L) < NOTE_T)
+      .select(
+        col("i").as("ROW_ID"), s.as("SUBJECT_ID"),
+        (lit(100000L) + col("i")).as("HADM_ID"),
+        lit("Discharge summary").as("CATEGORY"),
+        concat_ws(" ", wordsArr).as("TEXT"))
+    val nursing = base
+      .filter(draw(col("i"), "nu", 1000L) < 300L)
+      .select(
+        (lit(1000000L) + col("i")).as("ROW_ID"), s.as("SUBJECT_ID"),
+        (lit(100000L) + col("i")).as("HADM_ID"),
+        lit("Nursing").as("CATEGORY"),
+        lit("Vitals stable overnight.").as("TEXT"))
+    summaries.unionByName(nursing)
+  }
+
+  /** The reference's cohort SQL over the generated admissions — lead +
+    * ELECTIVE null-out + backfill + days from DISCHARGE + 30-day label —
+    * as a CTE named `mcohort` (one row per admission, label '1'/'0',
+    * pre-filter).
+    */
+  def cohortCtes: String =
+    s"""$admissionsCtes, mled AS (
+       |  SELECT *, LEAD(admittime) OVER w AS nxt_ts,
+       |         LEAD(admission_type) OVER w AS nxt_ty
+       |  FROM admissions
+       |  WINDOW w AS (PARTITION BY subject_id ORDER BY admittime NULLS FIRST, hadm_id)
+       |), mnulled AS (
+       |  SELECT *, CASE WHEN nxt_ty = 'ELECTIVE' THEN NULL ELSE nxt_ts END AS nxt_ts2
+       |  FROM mled
+       |), mfilled AS (
+       |  SELECT *, first_value(nxt_ts2 IGNORE NULLS) OVER (
+       |      PARTITION BY subject_id ORDER BY admittime NULLS FIRST, hadm_id
+       |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_time
+       |  FROM mnulled
+       |), mcohort AS (
+       |  SELECT subject_id, hadm_id, admittime, dischtime, deathtime,
+       |         admission_type, ethnicity, next_time,
+       |         (epoch(next_time) - epoch(dischtime)) / 86400.0 AS days_next,
+       |         CASE WHEN (epoch(next_time) - epoch(dischtime)) / 86400.0 < 30
+       |              THEN '1' ELSE '0' END AS label
+       |  FROM mfilled
+       |)""".stripMargin
+}

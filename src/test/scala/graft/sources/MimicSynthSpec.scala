@@ -1,0 +1,114 @@
+package graft.sources
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** Pins the MIMIC-scale synthetic dataset to the reference's PUBLISHED
+  * golden cardinalities (BASELINE.md "Cardinalities"; reference
+  * Hap880_Final_Project.py:77, :116, :267-269) — the generator constants
+  * were tuned until the reference pipeline lands on these EXACTLY, so
+  * any drift in the generator or the cohort operators shows here.
+  */
+class MimicSynthSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private lazy val adm = MimicSynth.admissions(spark).cache()
+
+  test("golden: 58,976 admissions; 7,863 newborns; 6,037 in-hospital deaths") {
+    assert(adm.count() == 58976L)
+    assert(adm.filter(col("ADMISSION_TYPE") === "NEWBORN").count() == 7863L)
+    assert(adm.filter(col("DEATHTIME").isNotNull).count() == 6037L)
+    // deaths only on final admissions of non-newborn subjects: a death
+    // row's subject never has a LATER admission
+    val afterDeath = adm.as("a")
+      .join(adm.as("b"), col("a.SUBJECT_ID") === col("b.SUBJECT_ID") &&
+        col("a.DEATHTIME").isNotNull && col("b.ADMITTIME") > col("a.ADMITTIME"))
+    assert(afterDeath.count() == 0L)
+  }
+
+  test("golden: modeling cohort is EXACTLY the reference's 45,076 = 2,958 pos + 42,118 neg") {
+    val labeled = graft.ops.CohortOps.labelNextEvent(
+      adm, entityCol = "SUBJECT_ID", timeCol = "ADMITTIME",
+      typeCol = "ADMISSION_TYPE", tieCol = "HADM_ID",
+      excludedType = "ELECTIVE", horizonDays = 30.0, anchorCol = "DISCHTIME")
+      .filter(col("DEATHTIME").isNull && col("ADMISSION_TYPE") =!= "NEWBORN")
+    val byLabel = labeled.groupBy("label").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLabel == Map("1" -> 2958L, "0" -> 42118L))
+  }
+
+  test("golden: EXACTLY 6,985 distinct ICD-9 codes (reference nunique, py:116)") {
+    val dg = MimicSynth.diagnoses(spark)
+    assert(dg.agg(countDistinct("ICD9_CODE")).as[Long].head() == 6985L)
+    // V- and E-code shapes present (they exercise the alpha→999 recode)
+    assert(dg.filter(col("ICD9_CODE").startsWith("V")).count() > 0)
+    assert(dg.filter(col("ICD9_CODE").startsWith("E")).count() > 0)
+  }
+
+  test("golden: ethnicity recode lands the reference's top-5 ORDER (py:102-108)") {
+    val filtered = adm
+      .filter(col("DEATHTIME").isNull && col("ADMISSION_TYPE") =!= "NEWBORN")
+      .withColumn("eth",
+        when(col("ETHNICITY").rlike("^ASIAN"), "ASIAN")
+          .when(col("ETHNICITY").rlike("^WHITE"), "WHITE")
+          .when(col("ETHNICITY").rlike("^HISPANIC"), "HISPANIC/LATINO")
+          .when(col("ETHNICITY").rlike("^BLACK"), "BLACK/AFRICAN AMERICAN")
+          .when(col("ETHNICITY").isin("UNABLE TO OBTAIN", "OTHER",
+            "PATIENT DECLINED TO ANSWER", "UNKNOWN/NOT SPECIFIED"), "OTHER/UNKNOWN")
+          .otherwise(col("ETHNICITY")))
+    val top = graft.ops.Recodes.topKOrElse(filtered, "eth", 5, "OTHER/UNKNOWN")
+      .groupBy("eth").count().orderBy(desc("count")).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    // the reference's order: WHITE > OTHER/UNKNOWN > BLACK > HISPANIC > ASIAN
+    assert(top.map(_._1).toSeq == Seq("WHITE", "OTHER/UNKNOWN",
+      "BLACK/AFRICAN AMERICAN", "HISPANIC/LATINO", "ASIAN"), top.toSeq)
+    // and the shares are in the reference's band (ref WHITE 32,501 of 45,076)
+    val counts = top.toMap
+    assert(math.abs(counts("WHITE") - 32501L) < 1000, counts)
+    assert(counts.values.sum == 45076L)
+  }
+
+  test("admissions are well-formed: positive stays, non-overlapping per subject") {
+    // discharge strictly after admit
+    assert(adm.filter(col("DISCHTIME") <= col("ADMITTIME")).count() == 0L)
+    // next admission strictly after the previous discharge
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("SUBJECT_ID").orderBy("ADMITTIME", "HADM_ID")
+    val overlaps = adm
+      .withColumn("_prev_disch", lag(col("DISCHTIME"), 1).over(w))
+      .filter(col("_prev_disch").isNotNull && col("ADMITTIME") <= col("_prev_disch"))
+    assert(overlaps.count() == 0L)
+  }
+
+  test("patients: one row per subject; ages 16-89 plus shifted >89; newborns age 0") {
+    val pat = MimicSynth.patients(spark)
+    assert(pat.count() == MimicSynth.N_SUBJECTS)
+    val aged = adm.groupBy("SUBJECT_ID").agg(min("ADMITTIME").as("admit_min"))
+      .join(pat, Seq("SUBJECT_ID"))
+      .withColumn("age_raw",
+        floor(graft.ops.CohortOps.fractionalDays(col("admit_min"), col("DOB")) / 365.0))
+      .withColumn("age",
+        when(col("age_raw") > 89 || col("age_raw") < 0, 90L).otherwise(col("age_raw")))
+    val newbornAges = aged.join(
+      adm.filter(col("ADMISSION_TYPE") === "NEWBORN").select("SUBJECT_ID").distinct(),
+      Seq("SUBJECT_ID"))
+    assert(newbornAges.filter(col("age") =!= 0).count() == 0L)
+    val others = aged.join(
+      adm.filter(col("ADMISSION_TYPE") =!= "NEWBORN").select("SUBJECT_ID").distinct(),
+      Seq("SUBJECT_ID"))
+    assert(others.filter(col("age") < 16 || col("age") > 90).count() == 0L)
+    assert(others.filter(col("age") === 90).count() > 0L) // shifted >89 tier exists
+  }
+
+  test("notes: ~94.2% discharge-summary coverage; nursing notes are filtered out") {
+    val nt = MimicSynth.notes(spark)
+    val summaries = nt.filter(col("CATEGORY") === "Discharge summary")
+    val frac = summaries.count().toDouble / 58976.0
+    assert(frac > 0.93 && frac < 0.95, s"summary fraction $frac")
+    // at most one summary per admission (the reference asserts this)
+    assert(summaries.groupBy("HADM_ID").count().filter(col("count") > 1).count() == 0L)
+    assert(nt.filter(col("CATEGORY") === "Nursing").count() > 0L)
+    // text is non-trivial for the featurizer
+    assert(summaries.filter(length(col("TEXT")) < 20).count() == 0L)
+  }
+}
