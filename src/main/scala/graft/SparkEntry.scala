@@ -3793,6 +3793,47 @@ object SparkEntry {
       aged.groupBy("age").agg(count(lit(1)).as("n"))
     }),
 
+    // M1/M2 at reference scale: the CountVectorizer max_features=3000
+    // vocabulary over the cohort's discharge summaries (py:313-315) —
+    // top-3000 terms by count, term-ascending tiebreak, out of a
+    // 3,524-type candidate pool, so the cut is a real frequency cut.
+    // The note TEXT is hash-generated identically on both engines, so
+    // the vocabulary is exactly oracled end-to-end
+    "mimic_notes_vocab" -> ((s, d) => {
+      val coh = graft.sources.MimicSynth.admissions(s)
+        .filter(col("DEATHTIME").isNull && col("ADMISSION_TYPE") =!= "NEWBORN")
+        .select(col("HADM_ID"))
+      graft.sources.MimicSynth.notes(s)
+        .filter(col("CATEGORY") === "Discharge summary")
+        .select(col("HADM_ID"), explode(split(col("TEXT"), " ")).as("word"))
+        .join(coh, "HADM_ID")
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), asc("word")).limit(3000)
+    }),
+
+    // the reference's bag-of-words matrix golden (BASELINE.md: 45,076 ×
+    // 3,000): matrix rows = the cohort (missing-note rows are all-zero),
+    // columns = the top-3000 vocabulary, plus the nonzero-cell and
+    // total-token mass that pin the matrix CONTENT, not just its shape
+    "mimic_bow_profile" -> ((s, d) => {
+      val coh = graft.sources.MimicSynth.admissions(s)
+        .filter(col("DEATHTIME").isNull && col("ADMISSION_TYPE") =!= "NEWBORN")
+        .select(col("HADM_ID"))
+      val toks = graft.sources.MimicSynth.notes(s)
+        .filter(col("CATEGORY") === "Discharge summary")
+        .select(col("HADM_ID"), explode(split(col("TEXT"), " ")).as("word"))
+        .join(coh, "HADM_ID")
+      val vocab = toks.groupBy("word").agg(count(lit(1)).as("_c"))
+        .orderBy(desc("_c"), asc("word")).limit(3000).select("word")
+      val inVocab = toks.join(vocab, "word")
+      coh.agg(count(lit(1)).as("n_rows"))
+        .crossJoin(inVocab.select("word").distinct()
+          .agg(count(lit(1)).as("n_features")))
+        .crossJoin(inVocab.select("HADM_ID", "word").distinct()
+          .agg(count(lit(1)).as("nnz")))
+        .crossJoin(inVocab.agg(count(lit(1)).as("total_tokens")))
+    }),
+
     // the composed §3 pipeline at reference scale: cohort labeling +
     // filters + per-admission diagnosis-category matrix (inner) +
     // patients/age (inner) + age filter — the reference's modeling table
@@ -7416,6 +7457,37 @@ object SparkEntry {
          |  SELECT CASE WHEN age_raw > 89 OR age_raw < 0 THEN 90 ELSE age_raw END AS age
          |  FROM aged
          |) WHERE age <> 0 GROUP BY 1""".stripMargin,
+
+    "mimic_notes_vocab" ->
+      s"""WITH ${graft.sources.MimicSynth.admissionsCtes},
+         |${graft.sources.MimicSynth.noteTokensCtes},
+         |coh AS (
+         |  SELECT hadm_id FROM admissions
+         |  WHERE deathtime IS NULL AND admission_type <> 'NEWBORN'
+         |)
+         |SELECT word, CAST(count(*) AS BIGINT) AS cnt
+         |FROM note_tokens JOIN coh USING (hadm_id)
+         |GROUP BY 1 ORDER BY cnt DESC, word ASC LIMIT 3000""".stripMargin,
+
+    "mimic_bow_profile" ->
+      s"""WITH ${graft.sources.MimicSynth.admissionsCtes},
+         |${graft.sources.MimicSynth.noteTokensCtes},
+         |coh AS (
+         |  SELECT hadm_id FROM admissions
+         |  WHERE deathtime IS NULL AND admission_type <> 'NEWBORN'
+         |), vt AS (
+         |  SELECT t.hadm_id, t.word FROM note_tokens t JOIN coh USING (hadm_id)
+         |), vocab AS (
+         |  SELECT word FROM vt GROUP BY 1
+         |  ORDER BY count(*) DESC, word ASC LIMIT 3000
+         |), iv AS (
+         |  SELECT vt.hadm_id, vt.word FROM vt JOIN vocab USING (word)
+         |)
+         |SELECT
+         |  (SELECT CAST(count(*) AS BIGINT) FROM coh) AS n_rows,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM (SELECT DISTINCT word FROM iv)) AS n_features,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM (SELECT DISTINCT hadm_id, word FROM iv)) AS nnz,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM iv) AS total_tokens""".stripMargin,
 
     "mimic_pipeline_relational" ->
       s"""WITH ${graft.sources.MimicSynth.cohortCtes},

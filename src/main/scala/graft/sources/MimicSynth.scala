@@ -278,8 +278,10 @@ object MimicSynth {
        |  FROM range($N_SUBJECTS) r(s)
        |)""".stripMargin
 
-  /** Vocabulary for synthetic note text — enough lexical variety to
-    * exercise tokenize/stopword/lemmatize and CountVectorizer paths.
+  /** Core vocabulary for synthetic note text — lexical variety for the
+    * tokenize/stopword/lemmatize paths; the bulk of the word pool is the
+    * synthetic `wNNNN` tail (see [[notes]]) sized so the reference's
+    * top-3000 CountVectorizer cut is a REAL cut, not "keep everything".
     */
   val noteWords: Seq[String] = Seq(
     "patient", "admitted", "with", "acute", "chronic", "pneumonia",
@@ -287,22 +289,34 @@ object MimicSynth {
     "history", "diabetes", "hypertension", "renal", "cardiac", "walked",
     "wounds", "healing", "medications", "continued", "improved", "days")
 
+  val NOTE_POOL = 3500L // synthetic word tail w0000..w3499
+
+  /** Hash-drawn word at position j of note i: 30% from [[noteWords]],
+    * 70% from the `wNNNN` pool — 24 + 3,500 candidate types, so the
+    * vocabulary golden (45,076 × 3,000 bag-of-words, BASELINE.md) needs
+    * an actual frequency cut. Mirrored EXACTLY by [[notesTextCtes]].
+    */
+  private def noteWord(i: Column, j: Column): Column = {
+    val key = concat(i.cast("string"), lit("_"), j.cast("string"))
+    when(draw(key, "wc", 10L) < 3L,
+      element_at(array(noteWords.map(lit): _*),
+        (draw(key, "wd", noteWords.size.toLong) + 1L).cast("int")))
+      .otherwise(concat(lit("w"),
+        lpad(draw(key, "wp", NOTE_POOL).cast("string"), 4, "0")))
+  }
+
   /** NOTEEVENTS: ROW_ID, SUBJECT_ID, HADM_ID, CATEGORY, TEXT — ~94.2% of
     * admissions get one Discharge summary (the reference's missing-note
     * fraction), ~30% an extra Nursing note the pipeline must filter out.
-    * Text is a hash-drawn word sequence over [[noteWords]] (Spark-side
-    * only; note-text queries are spec-pinned, not DuckDB-oracled —
-    * rendering 2.8M per-word md5 draws in SQL buys no extra checking).
+    * Text is a hash-drawn word sequence reproduced bit-identically by
+    * the DuckDB CTEs, so note-derived vocab/BoW rows are exactly
+    * oracle-able.
     */
   def notes(spark: SparkSession): DataFrame = {
     val base = spark.range(N_ADM).select(col("id").as("i"))
     val (s, _, _) = blockCols(col("i"))
     val nWords = lit(20L) + draw(col("i"), "nw", 30L)
-    val wordsArr = transform(sequence(lit(1L), nWords), j =>
-      element_at(
-        array(noteWords.map(lit): _*),
-        (draw(concat(col("i").cast("string"), lit("_"), j.cast("string")), "wd",
-          noteWords.size.toLong) + 1L).cast("int")))
+    val wordsArr = transform(sequence(lit(1L), nWords), j => noteWord(col("i"), j))
     val summaries = base
       .filter(draw(col("i"), "hn", 1000L) < NOTE_T)
       .select(
@@ -318,6 +332,28 @@ object MimicSynth {
         lit("Nursing").as("CATEGORY"),
         lit("Vitals stable overnight.").as("TEXT"))
     summaries.unionByName(nursing)
+  }
+
+  /** DuckDB mirror of the Discharge-summary TOKEN STREAM (one row per
+    * (hadm_id, word) occurrence — the exploded form every vocab/BoW
+    * readout starts from; materializing the joined text string would
+    * only be re-split anyway). CTE name: `note_tokens`.
+    */
+  def noteTokensCtes: String = {
+    val key = "concat(CAST(i AS VARCHAR), '_', CAST(j AS VARCHAR))"
+    val wordList = noteWords.map(w => s"'$w'").mkString(", ")
+    s"""mnt0 AS (
+       |  SELECT i, 20 + ${oracleDraw("i", "nw", 30L)} AS nwords
+       |  FROM range($N_ADM) r(i)
+       |  WHERE ${oracleDraw("i", "hn", 1000L)} < $NOTE_T
+       |), note_tokens AS (
+       |  SELECT 100000 + i AS hadm_id,
+       |    CASE WHEN ${oracleDraw(key, "wc", 10L)} < 3 THEN
+       |      list_value($wordList)[CAST(${oracleDraw(key, "wd", noteWords.size.toLong)} + 1 AS INTEGER)]
+       |    ELSE concat('w', lpad(CAST(${oracleDraw(key, "wp", NOTE_POOL)} AS VARCHAR), 4, '0'))
+       |    END AS word
+       |  FROM mnt0, unnest(range(1, nwords + 1)) u(j)
+       |)""".stripMargin
   }
 
   /** The reference's cohort SQL over the generated admissions — lead +
