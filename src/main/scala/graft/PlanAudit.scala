@@ -21,6 +21,46 @@ object PlanAudit {
 
   /** query name → what the plan must show, and why it matters at 100 TB. */
   private val audited: Seq[(String, String)] = Seq(
+    "mimic_cohort_counts" ->
+      """The MIMIC-scale flagship: generation is a single Range scan (no
+        |files) feeding codegen'd md5 projections; the ONLY data-sized
+        |exchange is ONE hashpartitioning(SUBJECT_ID) feeding the
+        |per-subject gap cumsum AND both cohort windows (lead ×2 +
+        |backfill) — the windows share partitioning+ordering so Catalyst
+        |plans one shuffle for the whole labeling, then a partial-agg
+        |count to 2 rows. A 100 TB admissions table costs exactly one
+        |patient-keyed shuffle.""",
+    "mimic_pipeline_relational" ->
+      """The composed reference pipeline (cohort + diagnosis-category
+        |matrix + patients + age): the diagnosis explode partial-aggs to
+        |per-admission counts BEFORE joining, the patient side is
+        |generation-sized, and the final readout is one hash-agg to 2
+        |rows. No data-sized window beyond the shared cohort exchange,
+        |no cartesian anywhere.""",
+    "mimic_notes_vocab" ->
+      """The 45,076×3,000 bag-of-words vocabulary: the token stream is a
+        |generated explode (one codegen span per note), counts partial-agg
+        |map-side, and the top-3000 cut is a TakeOrderedAndProject — never
+        |a global sort of the vocabulary. At crawl scale the only cost is
+        |the token hash-agg.""",
+    "sql_q2_mincost" ->
+      """The correlated scalar-min subquery is DECORRELATED: the plan shows
+        |an aggregated self-join on ps_partkey (min per part computed once,
+        |joined back), not a per-row subquery execution. The derived
+        |partsupp CTE is a zero-shuffle 4× expansion of the part scan;
+        |dimensions broadcast.""",
+    "sql_q20_excess" ->
+      """The nested correlated quantity-sum decorrelates into ONE
+        |aggregated lineitem join on (l_partkey, l_suppkey) — the plan has
+        |no per-row probes, the shipdate filter is pushed to the lineitem
+        |scan, and the red-part IN-probe joins the derived partsupp before
+        |any lineitem work.""",
+    "ml_feature_select" ->
+      """The MI ranking collapses the sampled feature table to ≤ a few
+        |hundred contingency rows in one explode + hash-agg; the rank
+        |window runs over the 5-row feature list (bounded by the declared
+        |feature set, never data). The top-n cut is a broadcast crossJoin
+        |of two tiny frames.""",
     "q1_agg" ->
       """Scan-level `PushedFilters` on `l_shipdate` and a `ReadSchema` of only
         |the 7 touched columns (of 16): the filter and projection reach the
@@ -308,11 +348,15 @@ object PlanAudit {
         |frames (df per term, N/avgdl) are broadcast, so scoring adds zero
         |fact-side exchanges beyond the tf groupBy.""",
     "d_editdist_pairs" ->
-      """The candidate join is an EQUI-join on the length band (distinct
-        |names, ×3 probe replication) — no CartesianProduct node anywhere,
-        |yet provably lossless for the distance bound: the oracle runs the
-        |unblocked quadratic and hash-matches. The levenshtein evaluation
-        |sits inside the join filter on band-local candidates only.""",
+      """PassJoin segment blocking (r8): the candidate join is an EQUI-join
+        |on (slot, indexed length, segment) — d+1 exact segments indexed,
+        |±d aligned substrings probed — no CartesianProduct node anywhere,
+        |and no bucket is a whole length class (a band holds every
+        |similar-length string; a segment bucket only strings sharing d+1
+        |exact aligned chars). The levenshtein verify runs once per
+        |DISTINCT unordered candidate pair, after the dedup aggregate.
+        |Provably lossless: the oracle runs the unblocked quadratic and
+        |hash-matches.""",
     "dp_profile" ->
       """One Expand-based HashAggregate computes every column's null /
         |exact-distinct / min / max simultaneously — the plan shows a
