@@ -3793,6 +3793,35 @@ object SparkEntry {
       aged.groupBy("age").agg(count(lit(1)).as("n"))
     }),
 
+    // the reference's 80/20 split golden (BASELINE.md "train / test"):
+    // the 45,059 modeling rows (cohort − the 17 missing-DOB dropna rows)
+    // hash-split to EXACTLY train 36,047 / test 9,012 with 2,360 / 598
+    // positives — the published seed-42 counts; hadm_sum pins membership
+    "mimic_split_counts" -> ((s, d) =>
+      graft.sources.MimicSynth.modelingRows(s)
+        .groupBy("split")
+        .agg(count(lit(1)).as("n"),
+          sum(col("label").cast("long")).as("n_pos"),
+          sum(col("HADM_ID")).as("hadm_sum"))),
+
+    // the reference's resampling-cardinality goldens (py:447-455,
+    // :683-687): balanced undersample = 2 × train positives = 4,720;
+    // oversample = 2 × train negatives = 33,687 + 33,687 — count
+    // identities of the split, so exactly oracle-able (the sampled
+    // MEMBERSHIP is the RNG surface, pinned by the o4/o8 hash-twins)
+    "mimic_resample_counts" -> ((s, d) => {
+      val t = graft.sources.MimicSynth.modelingRows(s)
+        .filter(col("split") === "train")
+        .agg(sum(col("label").cast("long")).as("tp"),
+          sum(lit(1L) - col("label").cast("long")).as("tn"))
+      t.select(lit("base").as("strategy"), (col("tp") + col("tn")).as("n_train"),
+          col("tp").as("n_pos"), col("tn").as("n_neg"))
+        .unionByName(t.select(lit("undersample").as("strategy"),
+          (col("tp") * 2).as("n_train"), col("tp").as("n_pos"), col("tp").as("n_neg")))
+        .unionByName(t.select(lit("oversample").as("strategy"),
+          (col("tn") * 2).as("n_train"), col("tn").as("n_pos"), col("tn").as("n_neg")))
+    }),
+
     // M1/M2 at reference scale: the CountVectorizer max_features=3000
     // vocabulary over the cohort's discharge summaries (py:313-315) —
     // top-3000 terms by count, term-ascending tiebreak, out of a
@@ -7457,6 +7486,24 @@ object SparkEntry {
          |  SELECT CASE WHEN age_raw > 89 OR age_raw < 0 THEN 90 ELSE age_raw END AS age
          |  FROM aged
          |) WHERE age <> 0 GROUP BY 1""".stripMargin,
+
+    "mimic_split_counts" ->
+      s"""WITH ${graft.sources.MimicSynth.modelingCtes}
+         |SELECT split, CAST(count(*) AS BIGINT) AS n,
+         |       CAST(SUM(CAST(label AS BIGINT)) AS BIGINT) AS n_pos,
+         |       CAST(SUM(hadm_id) AS BIGINT) AS hadm_sum
+         |FROM mmatrix GROUP BY 1""".stripMargin,
+
+    "mimic_resample_counts" ->
+      s"""WITH ${graft.sources.MimicSynth.modelingCtes},
+         |t AS (
+         |  SELECT CAST(SUM(CAST(label AS BIGINT)) AS BIGINT) AS tp,
+         |         CAST(SUM(1 - CAST(label AS BIGINT)) AS BIGINT) AS tn
+         |  FROM mmatrix WHERE split = 'train'
+         |)
+         |SELECT 'base' AS strategy, tp + tn AS n_train, tp AS n_pos, tn AS n_neg FROM t
+         |UNION ALL SELECT 'undersample', tp * 2, tp, tp FROM t
+         |UNION ALL SELECT 'oversample', tn * 2, tn, tn FROM t""".stripMargin,
 
     "mimic_notes_vocab" ->
       s"""WITH ${graft.sources.MimicSynth.admissionsCtes},

@@ -253,13 +253,16 @@ object MimicSynth {
     */
   def patients(spark: SparkSession): DataFrame = {
     val s = col("id")
+    val missingDob = s >= NEWBORN_SUBJ && s < B1_END &&
+      draw(s, "md", 100000L) < MISSING_DOB_T
     spark.range(N_SUBJECTS).select(
       s.as("SUBJECT_ID"),
-      dayToTs(
-        when(s < NEWBORN_SUBJ, draw(s, "bd", BASE_MOD))
-          .when(draw(s, "ov", 1000L) < 25L, draw(s, "bd", BASE_MOD) - 109500L)
-          .otherwise(draw(s, "bd", BASE_MOD) -
-            ((lit(16L) + draw(s, "ag", 74L)) * 365L + draw(s, "dd", 365L))))
+      when(missingDob, lit(null).cast("timestamp"))
+        .otherwise(dayToTs(
+          when(s < NEWBORN_SUBJ, draw(s, "bd", BASE_MOD))
+            .when(draw(s, "ov", 1000L) < 25L, draw(s, "bd", BASE_MOD) - 109500L)
+            .otherwise(draw(s, "bd", BASE_MOD) -
+              ((lit(16L) + draw(s, "ag", 74L)) * 365L + draw(s, "dd", 365L)))))
         .as("DOB"),
       when(draw(s, "ge", 2L) === 0L, "M").otherwise("F").as("GENDER"))
   }
@@ -268,12 +271,15 @@ object MimicSynth {
   def patientsCtes: String =
     s"""patients AS (
        |  SELECT s AS subject_id,
-       |    CAST(DATE '$EPOCH_DATE' + CAST(
+       |    CASE WHEN s >= $NEWBORN_SUBJ AND s < $B1_END AND
+       |              ${oracleDraw("s", "md", 100000L)} < $MISSING_DOB_T
+       |         THEN NULL
+       |    ELSE CAST(DATE '$EPOCH_DATE' + CAST(
        |      CASE WHEN s < $NEWBORN_SUBJ THEN ${oracleDraw("s", "bd", BASE_MOD)}
        |           WHEN ${oracleDraw("s", "ov", 1000L)} < 25 THEN ${oracleDraw("s", "bd", BASE_MOD)} - 109500
        |           ELSE ${oracleDraw("s", "bd", BASE_MOD)} -
        |             ((16 + ${oracleDraw("s", "ag", 74L)}) * 365 + ${oracleDraw("s", "dd", 365L)})
-       |      END AS INTEGER) AS TIMESTAMP) AS dob,
+       |      END AS INTEGER) AS TIMESTAMP) END AS dob,
        |    CASE WHEN ${oracleDraw("s", "ge", 2L)} = 0 THEN 'M' ELSE 'F' END AS gender
        |  FROM range($N_SUBJECTS) r(s)
        |)""".stripMargin
@@ -290,6 +296,34 @@ object MimicSynth {
     "wounds", "healing", "medications", "continued", "improved", "days")
 
   val NOTE_POOL = 3500L // synthetic word tail w0000..w3499
+
+  /** Missing-DOB tier (the reference's dropna analog): single-admission
+    * non-newborn subjects with draw < MISSING_DOB_T carry a NULL DOB, so
+    * age is NULL and the modeling dropna removes EXACTLY 17 cohort rows
+    * — the reference's 45,076 → 45,059 final-matrix step (BASELINE.md:
+    * "final numeric feature table 45,059"). All 17 are negatives, so the
+    * positive count stays 2,958.
+    */
+  val MISSING_DOB_T = 70L
+
+  /** Hash train/test split over the 45,059 modeling rows, tuned to the
+    * reference's published 80/20 seed-42 cut EXACTLY: train 36,047 with
+    * 2,360 positives / test 9,012 with 598 (BASELINE.md "train / test"
+    * and "balanced undersampled train 4,720 = 2 × 2,360"). Salt sp23,
+    * boundary 801,468 of 1,000,000.
+    */
+  val SPLIT_SALT  = "sp23"
+  val SPLIT_BOUND = 801468L
+
+  /** 'train'/'test' assignment for a modeling row key. */
+  def trainTestSplit(hadmId: Column): Column =
+    when(draw(hadmId, SPLIT_SALT, 1000000L) <= SPLIT_BOUND, "train")
+      .otherwise("test")
+
+  /** DuckDB mirror of [[trainTestSplit]]. */
+  def trainTestSplitSql(keySql: String): String =
+    s"CASE WHEN ${oracleDraw(keySql, SPLIT_SALT, 1000000L)} <= $SPLIT_BOUND " +
+      "THEN 'train' ELSE 'test' END"
 
   /** Hash-drawn word at position j of note i: 30% from [[noteWords]],
     * 70% from the `wNNNN` pool — 24 + 3,500 candidate types, so the
@@ -355,6 +389,37 @@ object MimicSynth {
        |  FROM mnt0, unnest(range(1, nwords + 1)) u(j)
        |)""".stripMargin
   }
+
+  /** The reference's MODELING MATRIX rows (cells 7-20 composed): cohort
+    * labeling + death/newborn filters + patients inner join + the dropna
+    * on missing DOB + the tuned train/test split. One row per matrix
+    * row: (HADM_ID, SUBJECT_ID, label, split). Golden shape: 45,059
+    * rows, train 36,047 (2,360 pos) / test 9,012 (598 pos).
+    */
+  def modelingRows(spark: SparkSession): DataFrame = {
+    val coh = graft.ops.CohortOps.labelNextEvent(
+      admissions(spark), entityCol = "SUBJECT_ID", timeCol = "ADMITTIME",
+      typeCol = "ADMISSION_TYPE", tieCol = "HADM_ID",
+      excludedType = "ELECTIVE", horizonDays = 30.0, anchorCol = "DISCHTIME")
+      .filter(col("DEATHTIME").isNull && col("ADMISSION_TYPE") =!= "NEWBORN")
+    coh
+      .join(patients(spark).filter(col("DOB").isNotNull).select("SUBJECT_ID"),
+        Seq("SUBJECT_ID"))
+      .select(col("HADM_ID"), col("SUBJECT_ID"), col("label"),
+        trainTestSplit(col("HADM_ID")).as("split"))
+  }
+
+  /** DuckDB mirror of [[modelingRows]] → CTE `mmatrix`. */
+  def modelingCtes: String =
+    s"""$cohortCtes,
+       |$patientsCtes,
+       |mmatrix AS (
+       |  SELECT c.hadm_id, c.subject_id, c.label,
+       |         ${trainTestSplitSql("c.hadm_id")} AS split
+       |  FROM mcohort c JOIN patients p ON c.subject_id = p.subject_id
+       |  WHERE c.deathtime IS NULL AND c.admission_type <> 'NEWBORN'
+       |    AND p.dob IS NOT NULL
+       |)""".stripMargin
 
   /** The reference's cohort SQL over the generated admissions — lead +
     * ELECTIVE null-out + backfill + days from DISCHARGE + 30-day label —

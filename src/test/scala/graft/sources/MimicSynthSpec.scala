@@ -68,6 +68,21 @@ class MimicSynthSpec extends SparkSpecBase {
     assert(counts.values.sum == 45076L)
   }
 
+  test("golden: modeling matrix 45,059 rows; train 36,047/2,360 pos; test 9,012/598") {
+    val m = MimicSynth.modelingRows(spark).cache()
+    assert(m.count() == 45059L) // reference: 45,076 − 17 dropna rows
+    val by = m.groupBy("split")
+      .agg(count(lit(1)).as("n"), sum(col("label").cast("long")).as("p"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(by("train") == ((36047L, 2360L)), by) // reference train size + 2×2,360 = 4,720 undersample
+    assert(by("test") == ((9012L, 598L)), by)
+    // the 17 dropna rows are all negatives: total positives stay 2,958
+    assert(by("train")._2 + by("test")._2 == 2958L)
+    // resampling-cardinality goldens derive: oversampled 33,687 + 33,687
+    assert(by("train")._1 - by("train")._2 == 33687L)
+    m.unpersist()
+  }
+
   test("admissions are well-formed: positive stays, non-overlapping per subject") {
     // discharge strictly after admit
     assert(adm.filter(col("DISCHTIME") <= col("ADMITTIME")).count() == 0L)
