@@ -44,6 +44,10 @@ object Bench {
     // it): IVM measures the refresh, not the snapshot build
     try SparkEntry.joinSnapshotCached(spark, sfDir)
     catch { case _: Throwable => () }
+    // the MIMIC-scale 45,059 x 3,019 feature matrix (mimic_train_bench +
+    // mimic_cv_grid both read it): one build, cost in warmup, visibly
+    try graft.pipeline.MimicPipeline.assembled(spark).count()
+    catch { case _: Throwable => () }
     // MLlib JIT warmup: the first RF/LR/SMOTE fit of a session pays
     // one-time codegen + JIT (~17 s observed on ml_rf_sweep_full's first
     // rep at sf0.1 — a 1.6x phantom outlier that broke the 3-clean-reps

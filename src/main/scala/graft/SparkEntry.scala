@@ -3822,6 +3822,41 @@ object SparkEntry {
           (col("tn") * 2).as("n_train"), col("tn").as("n_pos"), col("tn").as("n_neg")))
     }),
 
+    // §3.3 at reference scale (rows-only — MLlib LR internals): L1 LR on
+    // the 45,059 × 3,019 matrix, base vs balanced-undersampled train.
+    // Reproduces the reference's headline finding (base ≈ coin-flip
+    // under 6.5% prevalence; undersampling rescues the text signal —
+    // their 0.501 → 0.640, ours lands in the same band, pinned in
+    // MimicTrainSpec)
+    "mimic_train_bench" -> ((s, d) => {
+      val full = graft.pipeline.MimicPipeline.assembled(s)
+      val train = full.filter(col("split") === "train").select("id", "features", "label")
+      val test = full.filter(col("split") === "test").select("id", "features", "label")
+      val strategies = Seq(
+        "base" -> train,
+        "undersample" -> graft.ml.Resamplers.randomUndersample(train, "label", 42L))
+      import s.implicits._
+      strategies.map { case (name, tr) =>
+        val scored = graft.ml.TrainHarness.logisticL1Scores(tr, test, "features", "label")
+        (name, tr.count(),
+          math.round(graft.ml.Metrics.aucRoc(scored, "score", "label") * 1000) / 1000.0)
+      }.toDF("strategy", "n_train", "auc_roc")
+    }),
+
+    // M8 at the reference's EXACT published benchmark config (rows-only):
+    // 4-value L1 grid × 5 folds = 20 LR fits on the 36,047 × 3,019 train
+    // matrix — the reference's only wall-clock golden (~6.0 min,
+    // ipynb cell 64); this row is the 1:1 BENCH comparable at identical
+    // data scale and shape
+    "mimic_cv_grid" -> ((s, d) => {
+      val train = graft.pipeline.MimicPipeline.assembled(s)
+        .filter(col("split") === "train")
+      val (bestReg, bestAcc) = graft.ml.TrainHarness.gridSearchLr(
+        train, "features", "label", regParams = Seq(10.0, 1.0, 0.1, 0.01), numFolds = 5)
+      import s.implicits._
+      Seq((bestReg, bestAcc)).toDF("best_reg_param", "best_cv_accuracy")
+    }),
+
     // M1/M2 at reference scale: the CountVectorizer max_features=3000
     // vocabulary over the cohort's discharge summaries (py:313-315) —
     // top-3000 terms by count, term-ascending tiebreak, out of a

@@ -1,0 +1,86 @@
+package graft.pipeline
+
+import graft.sources.MimicSynth
+import org.apache.spark.ml.feature.{CountVectorizer, Tokenizer, VectorAssembler}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's §3 modeling pipeline at ITS OWN published scale,
+  * composed over the MIMIC-shaped synthetic tables: the 45,059 × 3,019
+  * feature matrix (3,000 bag-of-words + 17 diagnosis-category counts +
+  * age + gender — the reference's "final numeric feature table 45,059 ×
+  * 3,019", BASELINE.md), the tuned 36,047/9,012 split, and the L1-LR
+  * training surface the reference benchmarks (its ONLY published
+  * wall-clock numbers are GridSearchCV fits on exactly this matrix).
+  *
+  * Scale shape: the matrix build is one token explode + CountVectorizer
+  * fit (two corpus passes), one diagnosis hash-agg, broadcast-size
+  * patient joins; assembled once per session (the [[graft.ml.Features]]
+  * memo contract) because every training query starts from this frame.
+  */
+object MimicPipeline {
+
+  /** The 17 distinct ICD-9 category names (18 ranges, 'misc' twice). */
+  val diagCats: Seq[String] =
+    graft.SparkEntry.icd9Ranges.map(_._3).distinct
+
+  private val memo = new java.util.WeakHashMap[SparkSession, DataFrame]()
+
+  /** (HADM_ID, label, split, features) with features of width 3,019. */
+  def assembled(s: SparkSession): DataFrame = memo.synchronized {
+    val cur = memo.get(s)
+    if (cur != null) cur
+    else {
+      val rows = MimicSynth.modelingRows(s)
+      val notes = MimicSynth.notes(s)
+        .filter(col("CATEGORY") === "Discharge summary")
+        .select(col("HADM_ID"), col("TEXT"))
+      // missing-note rows stay in the matrix as all-zero text (the
+      // reference's fillna(' '))
+      val withText = rows.join(notes, Seq("HADM_ID"), "left")
+        .na.fill(" ", Seq("TEXT"))
+      val toksed = new Tokenizer().setInputCol("TEXT").setOutputCol("_toks")
+        .transform(withText)
+      val cv = new CountVectorizer()
+        .setInputCol("_toks").setOutputCol("_bow").setVocabSize(3000)
+      val bowed = cv.fit(toksed).transform(toksed)
+      // 17 per-admission diagnosis-category counts (explicit sums — no
+      // pivot distinct-values pre-job)
+      val dg = MimicSynth.diagnoses(s)
+      val code3 = coalesce(
+        when(col("ICD9_CODE").rlike("[A-Za-z]"), lit(999))
+          .otherwise(substring(col("ICD9_CODE"), 1, 3).cast("int")),
+        lit(999))
+      val catCols = diagCats.map(c =>
+        sum(when(col("cat") === c, 1.0).otherwise(0.0)).as(s"diag_$c"))
+      val cats = dg.withColumn("cat", graft.SparkEntry.icd9Category(code3))
+        .groupBy("HADM_ID")
+        .agg(catCols.head, catCols.tail: _*)
+      val pat = MimicSynth.patients(s)
+      val admMin = MimicSynth.admissions(s)
+        .groupBy("SUBJECT_ID").agg(min("ADMITTIME").as("_admit_min"))
+      val aged = bowed
+        .join(cats, Seq("HADM_ID"))
+        .join(admMin, Seq("SUBJECT_ID"))
+        .join(pat, Seq("SUBJECT_ID"))
+        .withColumn("_age_raw",
+          floor(graft.ops.CohortOps.fractionalDays(col("_admit_min"), col("DOB")) / 365.0))
+        .withColumn("age",
+          when(col("_age_raw") > 89 || col("_age_raw") < 0, 90.0)
+            .otherwise(col("_age_raw").cast("double")))
+        .withColumn("gender_m", when(col("GENDER") === "M", 1.0).otherwise(0.0))
+      val asm = new VectorAssembler()
+        .setInputCols(("_bow" +: diagCats.map(c => s"diag_$c")).toArray
+          ++ Array("age", "gender_m"))
+        .setOutputCol("features")
+      val out = asm.transform(aged)
+        .select(col("HADM_ID").as("id"),
+          col("label").cast("double").as("label"),
+          col("split"), col("features"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out.count()
+      memo.put(s, out)
+      out
+    }
+  }
+}

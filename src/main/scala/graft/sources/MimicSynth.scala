@@ -325,18 +325,32 @@ object MimicSynth {
     s"CASE WHEN ${oracleDraw(keySql, SPLIT_SALT, 1000000L)} <= $SPLIT_BOUND " +
       "THEN 'train' ELSE 'test' END"
 
+  /** Short-gap admissions (the readmission-label proxy — a positive
+    * label REQUIRES its own gap < 30 unless an ELECTIVE skip intervenes)
+    * route a SIGNAL_P share of their pool-word draws into a 25-word
+    * risk vocabulary (w0000..w0024) — a weak, REAL text signal for the §3 text models, sized
+    * so LR-on-BoW lands in the reference's published AUC band (their
+    * best text model: 0.640) instead of coin-flip on label-independent
+    * noise. Mirrored exactly in SQL, so the vocab/BoW oracles stay green.
+    */
+  val SIGNAL_P = 2L // of 100: risk-vocabulary mass on short-gap notes
+  val RISK_WORDS = 25L // risk vocabulary = pool words w0000..w0024
+
   /** Hash-drawn word at position j of note i: 30% from [[noteWords]],
-    * 70% from the `wNNNN` pool — 24 + 3,500 candidate types, so the
-    * vocabulary golden (45,076 × 3,000 bag-of-words, BASELINE.md) needs
-    * an actual frequency cut. Mirrored EXACTLY by [[notesTextCtes]].
+    * 70% from the `wNNNN` pool (label-proxy-biased, see [[SIGNAL_P]]) —
+    * 24 + 3,500 candidate types, so the vocabulary golden (45,076 ×
+    * 3,000 bag-of-words, BASELINE.md) needs an actual frequency cut.
+    * Mirrored EXACTLY by [[noteTokensCtes]].
     */
   private def noteWord(i: Column, j: Column): Column = {
     val key = concat(i.cast("string"), lit("_"), j.cast("string"))
+    val shortGap = (lit(GAP_OFF) + draw(i, "gb", GAP_MOD)) < 30L
+    val poolIdx = when(shortGap && draw(key, "sg", 100L) < SIGNAL_P,
+      draw(key, "wp", RISK_WORDS)).otherwise(draw(key, "wp", NOTE_POOL))
     when(draw(key, "wc", 10L) < 3L,
       element_at(array(noteWords.map(lit): _*),
         (draw(key, "wd", noteWords.size.toLong) + 1L).cast("int")))
-      .otherwise(concat(lit("w"),
-        lpad(draw(key, "wp", NOTE_POOL).cast("string"), 4, "0")))
+      .otherwise(concat(lit("w"), lpad(poolIdx.cast("string"), 4, "0")))
   }
 
   /** NOTEEVENTS: ROW_ID, SUBJECT_ID, HADM_ID, CATEGORY, TEXT — ~94.2% of
@@ -377,14 +391,18 @@ object MimicSynth {
     val key = "concat(CAST(i AS VARCHAR), '_', CAST(j AS VARCHAR))"
     val wordList = noteWords.map(w => s"'$w'").mkString(", ")
     s"""mnt0 AS (
-       |  SELECT i, 20 + ${oracleDraw("i", "nw", 30L)} AS nwords
+       |  SELECT i, 20 + ${oracleDraw("i", "nw", 30L)} AS nwords,
+       |    ($GAP_OFF + ${oracleDraw("i", "gb", GAP_MOD)} < 30) AS short_gap
        |  FROM range($N_ADM) r(i)
        |  WHERE ${oracleDraw("i", "hn", 1000L)} < $NOTE_T
        |), note_tokens AS (
        |  SELECT 100000 + i AS hadm_id,
        |    CASE WHEN ${oracleDraw(key, "wc", 10L)} < 3 THEN
        |      list_value($wordList)[CAST(${oracleDraw(key, "wd", noteWords.size.toLong)} + 1 AS INTEGER)]
-       |    ELSE concat('w', lpad(CAST(${oracleDraw(key, "wp", NOTE_POOL)} AS VARCHAR), 4, '0'))
+       |    ELSE concat('w', lpad(CAST(
+       |      CASE WHEN short_gap AND ${oracleDraw(key, "sg", 100L)} < $SIGNAL_P
+       |           THEN ${oracleDraw(key, "wp", RISK_WORDS)}
+       |           ELSE ${oracleDraw(key, "wp", NOTE_POOL)} END AS VARCHAR), 4, '0'))
        |    END AS word
        |  FROM mnt0, unnest(range(1, nwords + 1)) u(j)
        |)""".stripMargin

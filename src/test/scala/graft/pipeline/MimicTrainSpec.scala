@@ -1,0 +1,46 @@
+package graft.pipeline
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** The §3.3 training surface at the reference's own scale: the
+  * 45,059 × 3,019 matrix trains, the resampling story reproduces, and
+  * the AUCs land in the reference's published band (BASELINE.md "Model
+  * quality": base LR 0.501, RandomUnderSampler 0.640 — imbalance kills
+  * the base model, undersampling rescues the text signal).
+  */
+class MimicTrainSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("MIMIC-scale matrix: 45,059 rows, 3,019-wide vectors (the reference's shape)") {
+    val full = MimicPipeline.assembled(spark)
+    assert(full.count() == 45059L)
+    val width = full.select("features").head()
+      .getAs[org.apache.spark.ml.linalg.Vector](0).size
+    assert(width == 3019, s"vector width $width != 3,019 (3,000 BoW + 17 diag + age + gender)")
+  }
+
+  test("base vs undersampled LR reproduces the reference's resampling finding") {
+    val full = MimicPipeline.assembled(spark)
+    val train = full.filter(col("split") === "train").select("id", "features", "label")
+    val test = full.filter(col("split") === "test").select("id", "features", "label")
+    val base = graft.ml.Metrics.aucRoc(
+      graft.ml.TrainHarness.logisticL1Scores(train, test, "features", "label"),
+      "score", "label")
+    val under = graft.ml.Resamplers.randomUndersample(train, "label", 42L)
+    // fraction-based sampling lands NEAR the reference's exact 4,720
+    // balanced-train golden (the exact identity is the green
+    // mimic_resample_counts row; the sampled membership is the RNG
+    // surface, per SURVEY §5)
+    val n = under.count()
+    assert(math.abs(n - 4720L) < 150, s"balanced train size $n far from 4,720")
+    val underAuc = graft.ml.Metrics.aucRoc(
+      graft.ml.TrainHarness.logisticL1Scores(under, test, "features", "label"),
+      "score", "label")
+    // reference band: base 0.501 (imbalance + L1 ≈ coin flip),
+    // undersampled 0.640 (the signal becomes learnable)
+    assert(base > 0.45 && base < 0.62, s"base AUC $base outside the reference band")
+    assert(underAuc > 0.55 && underAuc < 0.70, s"undersampled AUC $underAuc outside the band")
+    assert(underAuc > base, "undersampling must beat the imbalanced base fit")
+  }
+}
