@@ -3857,6 +3857,18 @@ object SparkEntry {
       Seq((bestReg, bestAcc)).toDF("best_reg_param", "best_cv_accuracy")
     }),
 
+    // M5/M6 at reference scale (rows-only — tree RNG): RF on the
+    // balanced-undersampled 4,720 × 3,019 train at the reference's
+    // headline tree counts (their cell-40 config: n=300, AUC 0.695;
+    // sklearn-default band 0.623) — AUC bands pinned in MimicTrainSpec
+    "mimic_rf_bench" -> ((s, d) => {
+      val full = graft.pipeline.MimicPipeline.assembled(s)
+      val train = full.filter(col("split") === "train").select("id", "features", "label")
+      val test = full.filter(col("split") === "test").select("id", "features", "label")
+      val under = graft.ml.Resamplers.randomUndersample(train, "label", 42L)
+      graft.ml.TrainHarness.rfSweep(under, test, "features", "label", Seq(100, 300))
+    }),
+
     // M1/M2 at reference scale: the CountVectorizer max_features=3000
     // vocabulary over the cohort's discharge summaries (py:313-315) —
     // top-3000 terms by count, term-ascending tiebreak, out of a
