@@ -1619,6 +1619,30 @@ object SparkEntry {
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
     }),
 
+    // HYBRID retrieval via reciprocal-rank fusion (Cormack et al. 2009,
+    // the BM25+dense production default): the lexical top-100 (BM25 over
+    // documents, t_bm25's exact query) fused with the dense top-100
+    // (cosine neighbors of vector 0) by pure rank arithmetic —
+    // 1/(60+rank) contributions summed as exact decimals. Both legs AND
+    // the fusion are exactly oracled; list depths bound every stage
+    "sim_rrf_fusion" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val sem = Similarity.bruteForceTopK(
+        emb, emb.filter(col("vec_id") === 0), "vec_id", "embedding", k = 100)
+        .select(col("neighbor_id").as("id"), col("rank").as("r"))
+      val lexTop = graft.text.Bm25.scores(
+        t(s, d, "documents"), "doc_id", "text",
+        Seq("join", "window", "stream", "vector"))
+        .orderBy(desc("score"), asc("doc_id")).limit(100)
+      // rank over ≤100 rows — bounded by the declared list depth, never
+      // data-sized (the TakeOrdered cut above is the distributed part)
+      val lex = lexTop
+        .withColumn("r", row_number().over(
+          Window.orderBy(desc("score"), asc("doc_id"))))
+        .select(col("doc_id").as("id"), col("r"))
+      Similarity.rrfFuse(Seq(lex, sem), "id", "r", kConst = 60, topK = 20)
+    }),
+
     // hard-negative mining: per query, top-k most-similar DIFFERENT-label
     // vectors — broadcast queries, corpus never shuffled, label predicate
     // fused into the join
@@ -5970,6 +5994,38 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
         |  FROM scored
         |) WHERE rank <= 5""".stripMargin,
+
+    "sim_rrf_fusion" ->
+      s"""WITH ${graft.text.Bm25.scoresCtes("documents", "doc_id", "text",
+             Seq("join", "window", "stream", "vector"))},
+         |lexr AS (
+         |  SELECT id, r FROM (
+         |    SELECT doc_id AS id,
+         |           row_number() OVER (ORDER BY score DESC, doc_id) AS r
+         |    FROM bm25_scores
+         |  ) WHERE r <= 100
+         |), v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+         |semr AS (
+         |  SELECT id, r FROM (
+         |    SELECT c.vec_id AS id, row_number() OVER (ORDER BY
+         |      list_sum(list_transform(range(1, len(c.e) + 1), i -> q.qe[i] * c.e[i])) /
+         |      (sqrt(list_sum(list_transform(range(1, len(q.qe) + 1), i -> q.qe[i] * q.qe[i]))) *
+         |       sqrt(list_sum(list_transform(range(1, len(c.e) + 1), i -> c.e[i] * c.e[i])))) DESC,
+         |      c.vec_id) AS r
+         |    FROM v c, q WHERE c.vec_id <> 0
+         |  ) WHERE r <= 100
+         |), fused AS (
+         |  SELECT id,
+         |    round(CAST(SUM(CAST(round(1.0 / (60 + CAST(r AS DOUBLE)), 9)
+         |      AS DECIMAL(18,9))) AS DOUBLE), 6) AS rrf,
+         |    CAST(count(*) AS BIGINT) AS n_lists
+         |  FROM (SELECT id, r FROM lexr UNION ALL SELECT id, r FROM semr)
+         |  GROUP BY 1
+         |)
+         |SELECT id, rrf, n_lists FROM (
+         |  SELECT *, row_number() OVER (ORDER BY rrf DESC, id) AS rn FROM fused
+         |) WHERE rn <= 20""".stripMargin,
 
     "sim_hard_negatives" ->
       """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

@@ -85,6 +85,40 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009) —
+    * THE standard hybrid-retrieval combiner: given N ranked candidate
+    * lists over a shared id space (lexical BM25, dense cosine, …), score
+    * each id by `Σ_lists 1/(kConst + rank)` and keep the global topK.
+    * Rank arithmetic only — no score normalization across rankers, which
+    * is exactly why RRF is the production default for BM25+dense fusion.
+    *
+    * Determinism: each 1/(k+r) is ONE correctly-rounded divide on
+    * integer inputs, rounded to 9 decimals and summed as exact
+    * DECIMAL(18,9) (the Bm25 accumulation contract), so the fused score
+    * is independent of list order, partitioning, and engine; the final
+    * cut breaks ties by id.
+    *
+    * Scale shape: each input list is already topK-bounded by its
+    * producer, so the union, the per-id hash-agg, and the
+    * TakeOrdered cut all run on |lists|·depth rows — never corpus-sized.
+    */
+  def rrfFuse(lists: Seq[DataFrame], idCol: String, rankCol: String,
+              kConst: Int = 60, topK: Int = 20): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    require(kConst > 0 && topK > 0, "rrfFuse needs positive kConst and topK")
+    val contribs = lists.map(_.select(
+      col(idCol).as("_id"),
+      round(lit(1.0) / (col(rankCol).cast("double") + kConst), 9)
+        .cast("decimal(18,9)").as("_c")))
+    contribs.reduce(_ unionByName _)
+      .groupBy("_id")
+      .agg(round(sum("_c").cast("double"), 6).as("rrf"),
+        count(lit(1)).as("n_lists"))
+      .orderBy(desc("rrf"), asc("_id"))
+      .limit(topK)
+      .withColumnRenamed("_id", idCol)
+  }
+
   /** Hard-negative mining for contrastive training: for each query, the
     * top-k most-similar corpus vectors with a DIFFERENT label — the
     * near-miss examples a metric-learning batch builder wants (easy

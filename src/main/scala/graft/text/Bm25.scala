@@ -61,9 +61,19 @@ object Bm25 {
   /** DuckDB mirror of [[scores]] — same tokenization regex, same floor
     * formula, same rounding. */
   def oracleSql(table: String, idCol: String, textCol: String,
-                queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): String = {
+                queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): String =
+    s"""WITH ${scoresCtes(table, idCol, textCol, queryTerms, k1, b)}
+       |SELECT $idCol, score FROM bm25_scores""".stripMargin
+
+  /** The same oracle as [[oracleSql]], packaged as a CTE chain ending in
+    * `bm25_scores($idCol, score)` — composable into larger oracles (the
+    * RRF fusion row reuses it verbatim, so the lexical leg of a hybrid
+    * ranking is checked by the same text that checks `t_bm25`).
+    */
+  def scoresCtes(table: String, idCol: String, textCol: String,
+                 queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): String = {
     val termList = queryTerms.map(t => s"'${t.toLowerCase}'").mkString(", ")
-    s"""WITH lens AS (
+    s"""lens AS (
        |  SELECT $idCol, CAST(len(list_filter(regexp_split_to_array(lower($textCol), '[^a-z]+'), x -> x <> '')) AS DOUBLE) AS dl
        |  FROM $table
        |), tf AS (
@@ -76,13 +86,14 @@ object Bm25 {
        |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM lens
        |), dfreq AS (
        |  SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1
-       |)
-       |SELECT tf.$idCol,
-       |       round(CAST(SUM(CAST(round(
-       |         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
-       |         (tf * ${k1 + 1.0}) / (tf + $k1 * (${1.0 - b} + $b * dl / avgdl))
-       |       , 9) AS DECIMAL(18,9))) AS DOUBLE), 6) AS score
-       |FROM tf JOIN dfreq USING (term), stats
-       |GROUP BY 1""".stripMargin
+       |), bm25_scores AS (
+       |  SELECT tf.$idCol,
+       |         round(CAST(SUM(CAST(round(
+       |           ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+       |           (tf * ${k1 + 1.0}) / (tf + $k1 * (${1.0 - b} + $b * dl / avgdl))
+       |         , 9) AS DECIMAL(18,9))) AS DOUBLE), 6) AS score
+       |  FROM tf JOIN dfreq USING (term), stats
+       |  GROUP BY 1
+       |)""".stripMargin
   }
 }
