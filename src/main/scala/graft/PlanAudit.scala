@@ -55,6 +55,14 @@ object PlanAudit {
         |no per-row probes, the shipdate filter is pushed to the lineitem
         |scan, and the red-part IN-probe joins the derived partsupp before
         |any lineitem work.""",
+    "sim_rrf_fusion" ->
+      """Hybrid-retrieval fusion: the lexical leg is the BM25 scoring join
+        |(broadcast df/stats, |docs|·|Q|-bounded tf frame) cut by a
+        |TakeOrderedAndProject; the dense leg broadcasts the single query
+        |vector over the corpus scan and ranks per query key. The fusion
+        |itself is a union of two ≤100-row lists → one hash-agg → a
+        |TakeOrdered top-20 — rank arithmetic only, nothing corpus-sized
+        |past the two producers.""",
     "ml_feature_select" ->
       """The MI ranking collapses the sampled feature table to ≤ a few
         |hundred contingency rows in one explode + hash-agg; the rank
