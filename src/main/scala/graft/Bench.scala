@@ -14,46 +14,88 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // same session config as Verify: top-k window plans use TopKPerKey
     graft.plans.RowNumberTopK.install(spark)
+    // 1-minute load average (from /proc/loadavg) — the contention guard:
+    // the r8 driver re-run read 1.78x where the same commit's clean run
+    // read 1.04x, purely from machine contention. Recording load per rep
+    // makes a polluted artifact machine-detectable instead of a mystery.
+    def loadAvg(): Double =
+      try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")),
+        java.nio.charset.StandardCharsets.UTF_8).split("\\s+")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    // load above this reads as EXTERNAL contention (our own local[cpus]
+    // session keeps runnable threads ~cpus; 2x headroom + slack for GC /
+    // compiler threads). Flagged per query, never silently absorbed.
+    val loadContendedAt = cpus.toDouble * 2 + 4
+    val loadStart = loadAvg()
+    // local-dev standalone re-bench: SPARK_GRAFT_ONLY="q1,q2" restricts
+    // the run (the driver never sets it → full inventory). Computed
+    // BEFORE warmup so memo builds irrelevant to the selection are
+    // skipped — an SPARK_GRAFT_ONLY="q1_agg" run must not pay the MIMIC
+    // matrix build or hold its session-long cache pin.
+    val only: Set[String] = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+    val selected = SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
+    def anySelected(p: String => Boolean): Boolean = selected.keys.exists(p)
+    // warmup failures are LOUD: a silently-failed memo build lands its
+    // ~20 s cost inside whichever query touches the memo first, corrupting
+    // that row's number. Failed warmups are logged and flagged in
+    // BENCH_DETAIL so affected rows are identifiable.
+    val warmupFailures = scala.collection.mutable.ListBuffer[String]()
+    def warm(name: String, needed: Boolean)(body: => Unit): Unit =
+      if (needed) try body catch {
+        case e: Throwable =>
+          System.err.println(
+            s"[bench] WARMUP FAILED ($name): ${e.getClass.getSimpleName}: ${e.getMessage}")
+          warmupFailures += name
+      }
     // warm the page cache + codegen JIT with one cheap pass per table so
     // per-query timings measure the query, not which one ran first
     val w0 = System.nanoTime()
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "events", "documents", "embeddings")
-      .foreach(t => try graft.core.Tables.table(spark, sfDir, t).count()
-        catch { case _: Throwable => () })
+      .foreach(t => warm(s"table:$t", needed = true)(
+        graft.core.Tables.table(spark, sfDir, t).count()))
     // materialize the shared (memoized) feature table here too: otherwise
     // whichever ML query happens to run first absorbs its build cost and
     // per-query numbers become Map-iteration-order-dependent (measured
     // 15 s vs 41 s swings on ml_smote_counts). Its cost is reported
-    // separately below, not hidden.
-    try graft.ml.Features.assembled(spark, sfDir).count()
-    catch { case _: Throwable => () }
+    // separately below, not hidden. Gated on the selection actually
+    // containing a consumer (ml_* / fe_* / pit_* / pipeline_e2e).
+    val needsFeatures = anySelected(n =>
+      n.startsWith("ml_") || n.startsWith("fe_") || n.startsWith("pit_") ||
+        n == "pipeline_e2e")
+    warm("features", needsFeatures)(
+      graft.ml.Features.assembled(spark, sfDir).count())
     // the memoized dup-cluster labeling too (d_dup_clusters +
     // d_cluster_keep both read it): built here so neither query's number
     // depends on which ran first; cost lands in warmup, visibly
-    try SparkEntry.dupClustersCached(spark, sfDir)
-    catch { case _: Throwable => () }
+    warm("dup_clusters", anySelected(Set("d_dup_clusters", "d_cluster_keep")))(
+      SparkEntry.dupClustersCached(spark, sfDir))
     // same contract for the curation labeling (pipeline_rag +
     // pipeline_pretrain read it) and the LSH base band index
     // (inc_lsh_maintain probes it): builds land in warmup, visibly
-    try SparkEntry.curatedStagesCached(spark, sfDir)
-    catch { case _: Throwable => () }
-    try SparkEntry.lshBaseIndexCached(spark, sfDir)
-    catch { case _: Throwable => () }
+    warm("curated_stages", anySelected(_.startsWith("pipeline_")))(
+      SparkEntry.curatedStagesCached(spark, sfDir))
+    warm("lsh_base_index", anySelected(Set("inc_lsh_maintain")))(
+      SparkEntry.lshBaseIndexCached(spark, sfDir))
     // and the base-join rollup snapshot (inc_join_maintain maintains
     // it): IVM measures the refresh, not the snapshot build
-    try SparkEntry.joinSnapshotCached(spark, sfDir)
-    catch { case _: Throwable => () }
-    // the MIMIC-scale 45,059 x 3,019 feature matrix (mimic_train_bench +
-    // mimic_cv_grid both read it): one build, cost in warmup, visibly
-    try graft.pipeline.MimicPipeline.assembled(spark).count()
-    catch { case _: Throwable => () }
+    warm("join_snapshot", anySelected(Set("inc_join_maintain")))(
+      SparkEntry.joinSnapshotCached(spark, sfDir))
+    // the MIMIC-scale 45,059 x 3,019 feature matrix (every mimic_* ML row
+    // reads it): one build, cost in warmup, visibly
+    val needsMimic = anySelected(_.startsWith("mimic_"))
+    warm("mimic_matrix", needsMimic)(
+      graft.pipeline.MimicPipeline.assembled(spark).count())
     // MLlib JIT warmup: the first RF/LR/SMOTE fit of a session pays
     // one-time codegen + JIT (~17 s observed on ml_rf_sweep_full's first
     // rep at sf0.1 — a 1.6x phantom outlier that broke the 3-clean-reps
     // spread). Tiny fits over a small slice compile the same hot paths;
     // their cost lands here, visibly, not inside any query's rep 1.
-    try {
+    warm("mllib_jit", needsFeatures || needsMimic) {
       import org.apache.spark.sql.functions.{col, pmod, lit}
       val tiny = graft.ml.Features.assembled(spark, sfDir)
         .filter(pmod(col("id"), lit(50L)) === 0L).cache()
@@ -64,7 +106,7 @@ object Bench {
       graft.ml.Resamplers.nearMiss(tiny, "id", "label", "features",
         minoritySampleTarget = 100L).count()
       tiny.unpersist()
-    } catch { case _: Throwable => () }
+    }
     val warmupSec = (System.nanoTime() - w0) / 1e9
     // streaming fixed-overhead probe: time a near-empty micro-batch
     // pipeline (see StreamOps.fixedOverheadProbe) 3x and report the
@@ -72,8 +114,10 @@ object Bench {
     // setup cost every ev_stream_* row carries on a bounded drain, so
     // their spark_sec reads as (fixed + work) instead of a plan gap.
     // One untimed pass first: stream JIT/codegen is a session cost.
+    // Gated on the selection containing a stream row at all.
     val streamFixedSec: Double =
-      try {
+      if (!anySelected(n => n.startsWith("ev_stream_") || n == "s19_synth_stream")) -1.0
+      else try {
         graft.streaming.StreamOps.fixedOverheadProbe(spark, sfDir, "graft_stream_probe_warm").count()
         val ts = (1 to 3).map { i =>
           val t0 = System.nanoTime()
@@ -81,7 +125,11 @@ object Bench {
           (System.nanoTime() - t0) / 1e9
         }
         ts.sorted.apply(1)
-      } catch { case _: Throwable => -1.0 }
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] WARMUP FAILED (stream_probe): ${e.getMessage}")
+          warmupFailures += "stream_probe"; -1.0
+      }
     // median-of-3 per query: single-pass timings are order-sensitive
     // (GC/JIT neighbor effects produced 5 phantom "regressions" in r2 when
     // the query Map reordered). Each query re-plans and re-runs as a fresh
@@ -96,13 +144,6 @@ object Bench {
     // the r7-regenerated sf0.1 data; was ~33 s on r6 data) still gets
     // its 3 clean reps: 2 reps < budget → rep 3 runs
     val repBudgetSec = 380.0
-    // local-dev standalone re-bench: SPARK_GRAFT_ONLY="q1,q2" restricts
-    // the run (the driver never sets it → full inventory)
-    val only: Set[String] = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-      .getOrElse(Set.empty)
-    val selected = SparkEntry.queries
-      .filter { case (name, _) => only.isEmpty || only(name) }
     // the two fit-heavy rows whose FIRST execution pays one-time plan
     // codegen + JIT (observed 17-22 s extra on rep 1 at sf0.1 even after
     // the generic MLlib warmup above — the session's cost, not the
@@ -110,9 +151,10 @@ object Bench {
     // steady state. Flagged as jit_warmed in query_stats — numbers for
     // these rows are not comparable to pre-r6 rounds' rep-1-included ones.
     val jitWarmQueries = Set("ml_smote_counts", "ml_rf_sweep_full")
-    val results: Map[String, (List[Double], Int)] = selected.map { case (name, fn) =>
+    val results: Map[String, (List[Double], Int, Double)] = selected.map { case (name, fn) =>
       val times = scala.collection.mutable.ListBuffer[Double]()
       var failures = 0
+      var maxLoad = -1.0
       var i = 0
       if (jitWarmQueries(name))
         try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
@@ -127,6 +169,11 @@ object Bench {
       while (i < maxReps && failures == 0 &&
           (i == 0 || times.sum < repBudgetSec ||
             (spiky && times.sum < 2 * repBudgetSec))) {
+        // contention guard: the 1-min load before each rep; a rep that ran
+        // under external load is not a measurement of the query. The max
+        // rides query_stats (load_max) and a run-level contended flag —
+        // the spiky extra-rep logic above already re-reps the outlier.
+        maxLoad = math.max(maxLoad, loadAvg())
         val t0 = System.nanoTime()
         // a failed query must surface as -1, not masquerade as a fast run
         try { fn(spark, sfDir).count() } catch {
@@ -140,7 +187,8 @@ object Bench {
       // measurement — only an immediate failure (no successful rep) is -1.
       // The failure count rides query_stats so a failure-truncated run is
       // machine-distinguishable from a repBudgetSec early stop (both n<3).
-      name -> (if (times.isEmpty) (List(-1.0), failures) else (times.toList, failures))
+      name -> (if (times.isEmpty) (List(-1.0), failures, maxLoad)
+               else (times.toList, failures, maxLoad))
     }
     def median(ts: List[Double]): Double = {
       val s = ts.sorted
@@ -150,7 +198,7 @@ object Bench {
       // report the spike as the query's cost (r4: a 6 s query read 57 s)
       s((s.size - 1) / 2)
     }
-    val medians = results.map { case (k, (ts, _)) => k -> (if (ts.head < 0) -1.0 else median(ts)) }
+    val medians = results.map { case (k, (ts, _, _)) => k -> (if (ts.head < 0) -1.0 else median(ts)) }
     val total = medians.values.filter(_ >= 0).sum
     def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     // per-query DuckDB baseline times (tools/oracle_times.py writes
@@ -171,12 +219,15 @@ object Bench {
       } catch { case _: Throwable => Map.empty }
     val qs = medians.map { case (k, v) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
-    val stats = results.map { case (k, (ts, failures)) =>
+    val stats = results.map { case (k, (ts, failures, load)) =>
       val duck = duckTimes.get(k).map(d => ",\"duck_sec\":" + f(d)).getOrElse("")
       val warmed = if (jitWarmQueries(k)) ",\"jit_warmed\":true" else ""
+      val contended = if (load > loadContendedAt) ",\"contended\":true" else ""
       s"\"" + k + "\":{\"median\":" + f(medians(k)) + ",\"min\":" + f(ts.min) +
-        ",\"max\":" + f(ts.max) + ",\"n\":" + ts.size + ",\"failures\":" + failures + duck + warmed + "}"
+        ",\"max\":" + f(ts.max) + ",\"n\":" + ts.size + ",\"failures\":" + failures +
+        ",\"load_max\":" + f(load) + duck + warmed + contended + "}"
     }.mkString("{", ",", "}")
+    val nContended = results.count { case (_, (_, _, load)) => load > loadContendedAt }
     // headline ratio over the queries BOTH engines time: <1 = Spark faster
     val comparable = medians.filter { case (k, v) => v >= 0 && duckTimes.contains(k) }
     val duckTotal = comparable.keys.map(duckTimes).sum
@@ -195,7 +246,7 @@ object Bench {
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "/root/repo/BENCH_DETAIL.json")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(detailPath),
-      s"""{"warmup_sec":${f(warmupSec)},"stream_fixed_sec":${f(streamFixedSec)},"reps":$reps,"sf":"$sfDir"$ratioJson,"medians":$qs,"query_stats":$stats}"""
+      s"""{"warmup_sec":${f(warmupSec)},"stream_fixed_sec":${f(streamFixedSec)},"reps":$reps,"sf":"$sfDir","load_start":${f(loadStart)},"load_contended_at":${f(loadContendedAt)},"n_contended":$nContended,"warmup_failures":${warmupFailures.map("\"" + _ + "\"").mkString("[", ",", "]")}$ratioJson,"medians":$qs,"query_stats":$stats}"""
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
     // The driver keeps only the LAST ~2000 chars of stdout and parses the

@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import graft.sources.MimicSynth
-import org.apache.spark.ml.feature.{CountVectorizer, Tokenizer, VectorAssembler}
+import org.apache.spark.ml.feature.{CountVectorizerModel, Tokenizer, VectorAssembler}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -41,9 +41,19 @@ object MimicPipeline {
         .na.fill(" ", Seq("TEXT"))
       val toksed = new Tokenizer().setInputCol("TEXT").setOutputCol("_toks")
         .transform(withText)
-      val cv = new CountVectorizer()
-        .setInputCol("_toks").setOutputCol("_bow").setVocabSize(3000)
-      val bowed = cv.fit(toksed).transform(toksed)
+      // deterministic top-3000 vocabulary (count desc, word asc — the
+      // SAME tie-break the oracled mimic_notes_vocab query pins):
+      // CountVectorizer.fit orders by frequency only, so ties at the cut
+      // boundary would make the matrix content session-dependent. The cut
+      // is computed distributed and only the 3,000 winners are collected.
+      val vocab = toksed
+        .select(explode(col("_toks")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("_c"))
+        .orderBy(desc("_c"), asc("word")).limit(3000)
+        .collect().map(_.getString(0))
+      val bowed = new CountVectorizerModel(vocab)
+        .setInputCol("_toks").setOutputCol("_bow")
+        .transform(toksed)
       // 17 per-admission diagnosis-category counts (explicit sums — no
       // pivot distinct-values pre-job)
       val dg = MimicSynth.diagnoses(s)

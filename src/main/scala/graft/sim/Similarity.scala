@@ -106,10 +106,16 @@ object Similarity {
               kConst: Int = 60, topK: Int = 20): DataFrame = {
     require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
     require(kConst > 0 && topK > 0, "rrfFuse needs positive kConst and topK")
+    // per-list dedup on id (best = lowest rank = largest contribution):
+    // a producer emitting duplicate ids in one list must not double-count
+    // rank mass, and n_lists must stay "how many LISTS surfaced the id".
+    // A no-op for well-formed distinct-id lists; the agg runs on topK-
+    // bounded rows, so the guard is free at any corpus size.
     val contribs = lists.map(_.select(
       col(idCol).as("_id"),
       round(lit(1.0) / (col(rankCol).cast("double") + kConst), 9)
-        .cast("decimal(18,9)").as("_c")))
+        .cast("decimal(18,9)").as("_c"))
+      .groupBy("_id").agg(max("_c").as("_c")))
     contribs.reduce(_ unionByName _)
       .groupBy("_id")
       .agg(round(sum("_c").cast("double"), 6).as("rrf"),

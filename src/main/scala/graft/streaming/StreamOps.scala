@@ -153,16 +153,23 @@ object StreamOps {
   def fixedOverheadProbe(spark: SparkSession, dir: String, queryName: String): DataFrame = {
     val path = s"$dir/region.parquet"
     val schema = spark.read.parquet(path).schema
+    // keyed by applicationId so concurrent sessions benching the same sf
+    // on one host never share (and race on) a probe dir; deleted after
+    // the drain — the memory sink is fully materialized by then
     val srcDir = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"),
-      s"graft_stream_probe_${new java.io.File(dir).getName}")
+      s"graft_stream_probe_${spark.sparkContext.applicationId}_${new java.io.File(dir).getName}")
     java.nio.file.Files.createDirectories(srcDir)
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(path), srcDir.resolve("region.parquet"),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     val counted = spark.readStream.schema(schema).parquet(srcDir.toString)
       .groupBy().count()
-    runToCompletion(counted, queryName)
+    try runToCompletion(counted, queryName)
+    finally {
+      java.nio.file.Files.deleteIfExists(srcDir.resolve("region.parquet"))
+      java.nio.file.Files.deleteIfExists(srcDir)
+    }
   }
 
   /** STREAMING build of the fixed-grid histogram sketch (the online twin

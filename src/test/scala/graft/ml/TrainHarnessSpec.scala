@@ -27,6 +27,19 @@ class TrainHarnessSpec extends SparkSpecBase {
     assert(out(1) > 0.8, s"top-1 AUC ${out(1)} implausible for a separable feature")
   }
 
+  test("rfSweep: AUC is monotone-flat past ~300 trees (the reference's M6 curve)") {
+    // the reference's 9-point sweep (py:600-618) shows AUC saturating by
+    // ~300 trees; BENCH_NOTES argued the {100,300,500,900} bench subset
+    // "pins" that flatness — this asserts it instead of prose: past the
+    // saturation point, adding trees must not move AUC beyond band noise
+    val (train, test) = Features.splitByHash(Features.assembled(spark, sfDir), "id")
+    val aucs = TrainHarness.rfSweep(train, test, "features", "label", Seq(300, 500, 900))
+      .collect().map(r => r.getAs[Int]("num_trees") -> r.getAs[Double]("auc_roc")).toMap
+    val deltas = Seq(500, 900).map(n => math.abs(aucs(n) - aucs(300)))
+    assert(deltas.forall(_ < 0.03),
+      s"RF AUC not flat past 300 trees: 300=${aucs(300)} 500=${aucs(500)} 900=${aucs(900)}")
+  }
+
   test("logisticL1Margins: margin sign agrees with probability threshold (M15)") {
     val scored = TrainHarness.logisticL1Margins(df, df, "features", "label")
     val rows = scored.select("margin", "score").collect()
