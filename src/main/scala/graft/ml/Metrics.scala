@@ -220,6 +220,44 @@ object Metrics {
       .select("threshold", "recall", "precision_")
   }
 
+  /** The reference's ROC-AUC quirk (Hap880_Final_Project.py:846-852,
+    * cell 66): `roc_curve(y, clf.predict(X))` — the curve is computed on
+    * BINARY 0/1 predictions, not scores, so its AUC collapses to
+    * (recall + specificity) / 2 at the 0.5 threshold. This is the metric
+    * behind every published LR `auc_roc` row (base 0.501 / RUS 0.640):
+    * an all-negative predictor reads ≈ 0.5 even when its probability
+    * ranking is informative. One aggregation over the scored frame.
+    */
+  def aucRocFromPredictions(scored: DataFrame, scoreCol: String, labelCol: String,
+      threshold: Double = 0.5): Double = {
+    val m = thresholdMetrics(scored, scoreCol, labelCol, threshold).collect()(0)
+    (m.getAs[Double]("recall") + m.getAs[Double]("specificity")) / 2.0
+  }
+
+  /** The reference's PR-curve AUC quirk (Hap880_Final_Project.py:846-858,
+    * cell 68): `auc(x=p, y=r, reorder=True)` where `p, r` come from
+    * `precision_recall_curve` — the axes are SWAPPED vs conventional
+    * PR-AUC, so the integral runs over PRECISION ascending. Reproduced as
+    * a trapezoid over the distinct-margin PR points ordered by
+    * (precision, recall) — deterministic where numpy's `reorder` leaves
+    * tie order to an unstable argsort. One ordered pass over |distinct
+    * scores| points (already collapsed by [[prPoints]]'s groupBy, bounded
+    * by the test set — the metrics-tier cardinality contract of
+    * [[aucRocDf]]).
+    */
+  def aucPrReordered(scored: DataFrame, scoreCol: String, labelCol: String): Double = {
+    val pts = prPoints(scored, scoreCol, labelCol)
+    val w = Window.orderBy(col("precision_").asc, col("recall").asc)
+    val r = pts
+      .withColumn("_px", lag("precision_", 1).over(w))
+      .withColumn("_py", lag("recall", 1).over(w))
+      .agg(sum(
+        (col("precision_") - col("_px")) * (col("recall") + col("_py")) / 2.0)
+        .as("auc_pr"))
+      .collect()(0)
+    if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+  }
+
   /** Confusion matrix as a 2x2 count table (M11). */
   def confusionMatrix(scored: DataFrame, scoreCol: String, labelCol: String, threshold: Double): DataFrame =
     scored

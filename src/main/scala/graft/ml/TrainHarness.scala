@@ -50,15 +50,25 @@ object TrainHarness {
     finally if (own) df.unpersist()
   }
 
-  /** RF fit + P(class=1) scores on the test set (reference M5). */
+  /** RF fit + P(class=1) scores on the test set (reference M5).
+    * `maxDepth` defaults to MLlib's 5; the oversampled-train pathology
+    * row (reference cell 56) needs deeper trees — sklearn's fully-grown
+    * default is what lets the duplicated minority be memorized, which is
+    * the mechanism behind its published acc 0.934 / recall 0.003.
+    */
   def randomForestScores(
       train: DataFrame, test: DataFrame,
       featuresCol: String, labelCol: String,
-      numTrees: Int = 300, seed: Long = 42L
+      numTrees: Int = 300, seed: Long = 42L,
+      maxDepth: Int = 5, maxBins: Int = 32, maxMemoryMB: Int = 256
   ): DataFrame = {
     val rf = new RandomForestClassifier()
       .setFeaturesCol(featuresCol).setLabelCol(labelCol)
-      .setNumTrees(numTrees).setSeed(seed)
+      .setNumTrees(numTrees).setSeed(seed).setMaxDepth(maxDepth)
+      // maxMemoryMB bounds how many tree nodes split per data pass —
+      // deep trees at the default 256 MB degrade to one pass per few
+      // levels (measured 190 s → 42 s at 2 GB on the 67k × 3,019 matrix)
+      .setMaxBins(maxBins).setMaxMemoryInMB(maxMemoryMB)
     val model = withFitCache(train)(rf.fit(_))
     slim(model).transform(test)
       .withColumn("score", vector_to_array(col("probability"))(1))
@@ -100,17 +110,23 @@ object TrainHarness {
   def gridSearchLr(
       train: DataFrame, featuresCol: String, labelCol: String,
       regParams: Seq[Double] = Seq(0.1, 0.01, 0.001, 0.0001),
-      numFolds: Int = 5, seed: Long = 42L
+      numFolds: Int = 5, seed: Long = 42L, maxIter: Int = 50
   ): (Double, Double) = {
     val lr = new LogisticRegression()
       .setFeaturesCol(featuresCol).setLabelCol(labelCol)
-      .setElasticNetParam(1.0).setMaxIter(50)
+      .setElasticNetParam(1.0).setMaxIter(maxIter)
     val grid = new ParamGridBuilder().addGrid(lr.regParam, regParams).build()
     val cv = new CrossValidator()
       .setEstimator(lr)
       .setEvaluator(new MulticlassClassificationEvaluator()
         .setLabelCol(labelCol).setMetricName("accuracy"))
       .setEstimatorParamMaps(grid).setNumFolds(numFolds).setSeed(seed)
+      // fold×param fits are independent and individually UNDER-parallel
+      // (a metrics-scale train splits into far fewer row groups than the
+      // cluster has slots; each L-BFGS iteration is 2 tiny jobs) — run 4
+      // fits concurrently so the session's slots stay busy. Results are
+      // bit-identical to the serial order; only wall-clock changes.
+      .setParallelism(4)
     val model = withFitCache(train)(cv.fit(_))
     val bestIdx = model.avgMetrics.zipWithIndex.maxBy(_._1)._2
     val bestReg = model.getEstimatorParamMaps(bestIdx).get(lr.regParam).get
@@ -165,6 +181,92 @@ object TrainHarness {
       (n, Metrics.aucRoc(scored, "score", labelCol))
     }.toDF("n_features", "auc_roc")
     finally { train.unpersist(); test.unpersist() }
+  }
+
+  /** The reference's CULMINATING benchmark (cells 64-69,
+    * Hap880_Final_Project.py:796-861) at full fidelity: for each
+    * resampler — base / SMOTE / RandomOverSampler / NearMiss /
+    * RandomUnderSampler — tune the L1-LR regularization by `numFolds`-fold
+    * CV (scoring = accuracy, the reference's GridSearchCV config), retrain
+    * at the tuned value on the full resampled train, and read out the
+    * published metric row on the fixed test set:
+    * f1 / precision / recall / accuracy at threshold 0.5, the reference's
+    * `auc_roc` — which it computes from `roc_curve(y, pred)` on BINARY
+    * predictions, so it equals (recall + specificity) / 2; that quirk is
+    * why its base row lands at 0.501 under 6.5% prevalence — the
+    * swapped-axis `auc_pr` over decision margins ([[Metrics.aucPrReordered]]),
+    * and the confusion-matrix cells.
+    *
+    * Scale shape: each resampled train is cached once around the CV grid
+    * + final fit (every fit iterates the frame), released before the next
+    * strategy; metrics are two aggregations over one cached scored frame.
+    * The result is |strategies| driver-side scalar rows.
+    */
+  def resamplerBenchmark(
+      train: DataFrame, test: DataFrame,
+      idCol: String, featuresCol: String, labelCol: String,
+      // the reference's GridSearchCV C grid (sklearn C is INVERSE
+      // regularization normalized by n: λ ≈ 1/(n·C), so the faithful
+      // MLlib grid is per-strategy — computed from each resampled n)
+      cGrid: Seq[Double] = Seq(0.01, 0.1, 1.0, 10.0),
+      numFolds: Int = 5,
+      smoteRadius: Double = 3.0, smoteBucketLength: Double = 2.0,
+      nearMissRadius: Double = 3.0, nearMissSampleTarget: Long = 2000L,
+      seed: Long = 42L,
+      // the CV grid only RANKS the four λ values — half the iteration
+      // budget of the final fit is enough for a stable ranking and halves
+      // the dominant cost (20 fits × 5 strategies)
+      cvMaxIter: Int = 25
+  ): DataFrame = {
+    // the reference's cell-65 dataset order: base, SMOTE, ROS, NearMiss, RUS
+    val strategies: Seq[(String, () => DataFrame)] = Seq(
+      "base" -> (() => train),
+      "smote" -> (() => Resamplers.smote(train, idCol, labelCol, featuresCol,
+        seed, smoteBucketLength, 5, smoteRadius)),
+      "oversample" -> (() => Resamplers.randomOversample(train, labelCol, seed)),
+      "nearmiss" -> (() => Resamplers.nearMiss(train, idCol, labelCol, featuresCol,
+        seed, smoteBucketLength, nearMissRadius, nearMissSampleTarget)),
+      "undersample" -> (() => Resamplers.randomUndersample(train, labelCol, seed)))
+    val s = org.apache.spark.sql.SparkSession.active
+    import s.implicits._
+    strategies.map { case (name, mk) =>
+      // one materialized copy per strategy: the CV grid re-reads it
+      // numFolds × |regParams| times and the final fit maxIter more.
+      // Compacted to a few partitions first: a metrics-scale train
+      // spread over the session's full partition count makes every
+      // L-BFGS iteration a swarm of sub-millisecond tasks (measured
+      // 107 s → 17 s for the ROS grid at 8 partitions + 4-way fit
+      // parallelism); a genuinely large train would keep its natural
+      // partitioning — the clamp only ever shrinks toward ~8k rows/task.
+      val resampled = mk().select(col(featuresCol), col(labelCol))
+        .repartition(8).cache()
+      val nTrain = resampled.count()
+      try {
+        // sklearn-equivalent λ per C at THIS strategy's n (liblinear
+        // minimizes ||w||₁ + C·Σloss ⇒ λ = 1/(n·C) in MLlib's mean-loss
+        // parameterization)
+        val regParams = cGrid.map(c => 1.0 / (nTrain * c))
+        val (bestReg, cvAcc) =
+          gridSearchLr(resampled, featuresCol, labelCol, regParams, numFolds, seed, cvMaxIter)
+        val bestC = 1.0 / (nTrain * bestReg)
+        val scored = logisticL1Margins(resampled, test, featuresCol, labelCol,
+          regParam = bestReg).cache()
+        try {
+          val m = Metrics.thresholdMetrics(scored, "score", labelCol, 0.5).collect()(0)
+          val recall = m.getAs[Double]("recall")
+          val spec = m.getAs[Double]("specificity")
+          val aucPr = Metrics.aucPrReordered(scored, "margin", labelCol)
+          val prec = m.getAs[Double]("precision_")
+          val f1 = if (prec + recall == 0.0) 0.0 else 2 * prec * recall / (prec + recall)
+          (name, nTrain, bestC, cvAcc, f1, prec, recall,
+            m.getAs[Double]("accuracy"), (recall + spec) / 2.0, aucPr,
+            m.getAs[Long]("tn"), m.getAs[Long]("fp"),
+            m.getAs[Long]("fn"), m.getAs[Long]("tp"))
+        } finally scored.unpersist()
+      } finally resampled.unpersist()
+    }.toDF("strategy", "n_train", "best_c", "cv_accuracy", "f1",
+      "precision_", "recall", "accuracy", "auc_roc", "auc_pr",
+      "tn", "fp", "fn", "tp")
   }
 
   /** The M16 benchmark: resampling strategy × metrics table. Returns one

@@ -37,10 +37,19 @@ object MimicPipeline {
         .select(col("HADM_ID"), col("TEXT"))
       // missing-note rows stay in the matrix as all-zero text (the
       // reference's fillna(' '))
-      val withText = rows.join(notes, Seq("HADM_ID"), "left")
-        .na.fill(" ", Seq("TEXT"))
+      // tokenize ONCE and pin the token frame: synthetic TEXT generation
+      // (per-word hash draws) is the build's cost center, and the vocab
+      // count + the CountVectorizerModel transform + the assembler pass
+      // would each regenerate it (~20 s/pass cold). The pinned frame is
+      // |cohort| rows of ~35-token arrays — trivially memory-resident —
+      // and is released as soon as the assembled matrix is materialized.
+      // At 100 TB the same shape holds: one corpus scan, token arrays
+      // shuffled nowhere, downstream passes read the columnar cache.
       val toksed = new Tokenizer().setInputCol("TEXT").setOutputCol("_toks")
-        .transform(withText)
+        .transform(rows.join(notes, Seq("HADM_ID"), "left")
+          .na.fill(" ", Seq("TEXT")))
+        .drop("TEXT")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // deterministic top-3000 vocabulary (count desc, word asc — the
       // SAME tie-break the oracled mimic_notes_vocab query pins):
       // CountVectorizer.fit orders by frequency only, so ties at the cut
@@ -89,6 +98,7 @@ object MimicPipeline {
           col("split"), col("features"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       out.count()
+      toksed.unpersist()
       memo.put(s, out)
       out
     }

@@ -18,9 +18,18 @@ import org.apache.spark.sql.functions._
   *
   *   - ADMISSIONS rows         58,976   (= reference, py:77)
   *   - NEWBORN admissions       7,863   (= MIMIC-III)
-  *   - modeling cohort         45,076   (= reference, ipynb cell 22)
+  *   - death+newborn filter    45,321   (= reference ethnicity table sum,
+  *                                        ipynb cell 8 — recode runs HERE)
+  *   - ethnicity top-5         WHITE 32,501 / OTHER-UNKNOWN 5,640 /
+  *                             BLACK 4,471 / HISPANIC 1,625 / ASIAN 1,084
+  *                             (= reference, py:102-108) — EXACT
+  *   - modeling cohort         45,076   (= reference, ipynb cell 22 —
+  *                                        AFTER the diagnoses inner join:
+  *                                        245 admissions carry no
+  *                                        DIAGNOSES_ICD rows, see
+  *                                        [[NODIAG_T]])
   *   - positive labels          2,958   (= reference, py:267-269)
-  *   - in-hospital deaths       6,037   (58,976 − 7,863 − 45,076)
+  *   - in-hospital deaths       5,792   (58,976 − 7,863 − 45,321)
   *   - distinct ICD-9 codes     6,985   (= reference, py:116)
   *
   * Structure: 46,161 subjects — 37,998 with one admission (the first
@@ -54,7 +63,7 @@ object MimicSynth {
   val LOS_MOD      = 11L    // los = 1 + draw % 11 days
   val GAP_OFF      = 1L
   val GAP_MOD      = 111L   // gap = 1 + draw % 111 days, salt gb
-  val DEATH_T      = 15918L // of 100000, last non-newborn admissions
+  val DEATH_T      = 15315L // of 100000, last non-newborn admissions
   val BASE_MOD     = 2920L  // subject base day over 8 years
   val EPOCH_DATE   = "2100-01-01"
   val N_ICD        = 6985L  // distinct ICD-9 pool == reference nunique
@@ -64,24 +73,33 @@ object MimicSynth {
   /** Pre-recode ethnicity raw values with cumulative hash thresholds (of
     * 100,000): the raw strings exercise the reference's E5 regex recodes
     * (^WHITE\D* etc.), the E6 isin collapse, and the P13 top-5-else rule;
-    * after recoding, the top-5 ORDER matches the reference's table
-    * (WHITE > OTHER/UNKNOWN > BLACK > HISPANIC > ASIAN).
+    * after recoding over the death+newborn-filtered 45,321 rows, the
+    * top-5 table matches the reference's EXACTLY (BASELINE.md: WHITE
+    * 32,501 / OTHER-UNKNOWN 5,640 / BLACK 4,471 / HISPANIC 1,625 / ASIAN
+    * 1,084). The four recode-group boundaries (71,604 / 81,633 / 85,257 /
+    * 87,594, salt et0) are exact-count solutions — the per-subject draw
+    * staircase passes through each cumulative target (32,501 / 36,972 /
+    * 38,597 / 39,681) — and the within-group sub-thresholds keep the
+    * MIMIC-ish raw-value proportions. AMERICAN INDIAN (677) and MULTI
+    * RACE (496) stay below ASIAN's 1,084 so the P13 top-5 set is the
+    * published five.
     */
+  val ETH_SALT = "et0"
   val ethnicityThresholds: Seq[(Long, String)] = Seq(
-    64000L -> "WHITE",
-    67500L -> "WHITE - RUSSIAN",
-    71000L -> "WHITE - OTHER EUROPEAN",
-    78800L -> "BLACK/AFRICAN AMERICAN",
-    80800L -> "BLACK/CAPE VERDEAN",
-    83300L -> "HISPANIC OR LATINO",
-    84400L -> "HISPANIC/LATINO - PUERTO RICAN",
-    85900L -> "ASIAN",
-    86800L -> "ASIAN - CHINESE",
-    92000L -> "UNKNOWN/NOT SPECIFIED",
-    95000L -> "OTHER",
-    96500L -> "UNABLE TO OBTAIN",
-    97500L -> "PATIENT DECLINED TO ANSWER",
-    98800L -> "AMERICAN INDIAN/ALASKA NATIVE",
+    64545L -> "WHITE",
+    68074L -> "WHITE - RUSSIAN",
+    71604L -> "WHITE - OTHER EUROPEAN",
+    79586L -> "BLACK/AFRICAN AMERICAN",
+    81633L -> "BLACK/CAPE VERDEAN",
+    84150L -> "HISPANIC OR LATINO",
+    85257L -> "HISPANIC/LATINO - PUERTO RICAN",
+    86718L -> "ASIAN",
+    87594L -> "ASIAN - CHINESE",
+    92060L -> "UNKNOWN/NOT SPECIFIED",
+    95037L -> "OTHER",
+    96526L -> "UNABLE TO OBTAIN",
+    97518L -> "PATIENT DECLINED TO ANSWER",
+    98808L -> "AMERICAN INDIAN/ALASKA NATIVE",
     100000L -> "MULTI RACE ETHNICITY")
 
   /** The cross-engine draw: `md5(key ":salt") → first 60 bits → mod m`.
@@ -150,7 +168,7 @@ object MimicSynth {
           .otherwise(lit(null).cast("timestamp")).as("DEATHTIME"),
         col("admission_type").as("ADMISSION_TYPE"),
         ethnicityThresholds.foldRight(lit(null).cast("string")) {
-          case ((t, v), acc) => when(draw(col("s"), "et", 100000L) < t, v).otherwise(acc)
+          case ((t, v), acc) => when(draw(col("s"), ETH_SALT, 100000L) < t, v).otherwise(acc)
         }.as("ETHNICITY"))
   }
 
@@ -160,7 +178,7 @@ object MimicSynth {
     */
   def admissionsCtes: String = {
     val eth = ethnicityThresholds.map { case (t, v) =>
-      s"WHEN ${oracleDraw("s", "et", 100000L)} < $t THEN '${v.replace("'", "''")}'"
+      s"WHEN ${oracleDraw("s", ETH_SALT, 100000L)} < $t THEN '${v.replace("'", "''")}'"
     }.mkString("\n           ")
     s"""madm0 AS (
        |  SELECT i,
@@ -203,15 +221,42 @@ object MimicSynth {
        |)""".stripMargin
   }
 
+  /** The 245 no-diagnosis admissions (the reference's cell-22 gap: its
+    * ethnicity table sums to 45,321 post-filter rows but the modeling
+    * cohort is 45,076 — the difference is admissions the DIAGNOSES_ICD
+    * inner join drops). Candidates are single-admission non-newborn
+    * subjects that survive the death filter and carry a DOB, so the drop
+    * removes EXACTLY 245 label-0 rows from the filtered set and disturbs
+    * neither the 2,958 positives nor the 17-row dropna tier. Threshold
+    * solved so draw(i, xd) < 1,011 lands exactly 245.
+    */
+  val NODIAG_T = 1011L
+
+  private def noDiag(i: Column): Column =
+    i >= NEWBORN_SUBJ && i < B1_END &&
+      draw(i, "de", 100000L) >= DEATH_T &&
+      draw(i, "md", 100000L) >= MISSING_DOB_T &&
+      draw(i, "xd", 100000L) < NODIAG_T
+
+  /** DuckDB rendering of [[noDiag]]. */
+  private def noDiagSql(iSql: String): String =
+    s"($iSql >= $NEWBORN_SUBJ AND $iSql < $B1_END AND " +
+      s"${oracleDraw(iSql, "de", 100000L)} >= $DEATH_T AND " +
+      s"${oracleDraw(iSql, "md", 100000L)} >= $MISSING_DOB_T AND " +
+      s"${oracleDraw(iSql, "xd", 100000L)} < $NODIAG_T)"
+
   /** DIAGNOSES_ICD: HADM_ID, SEQ_NUM, ICD9_CODE — 1 + draw%21 codes per
-    * admission (mean 11, ≈649k rows), each drawn from a pool of EXACTLY
-    * 6,985 distinct codes: 6,600 numeric (3-digit prefix 001-999 ×
-    * suffix 0-6), 200 V-codes, 185 E-codes — the reference's nunique.
+    * admission (mean 11, ≈649k rows) except the 245 [[noDiag]]
+    * admissions, each drawn from a pool of EXACTLY 6,985 distinct codes:
+    * 6,600 numeric (3-digit prefix 001-999 × suffix 0-6), 200 V-codes,
+    * 185 E-codes — the reference's nunique.
     */
   def diagnoses(spark: SparkSession): DataFrame = {
-    val base = spark.range(N_ADM).select(
-      col("id").as("i"),
-      (lit(1L) + draw(col("id"), "nd", NDIAG_MOD)).as("ndiag"))
+    val base = spark.range(N_ADM)
+      .filter(!noDiag(col("id")))
+      .select(
+        col("id").as("i"),
+        (lit(1L) + draw(col("id"), "nd", NDIAG_MOD)).as("ndiag"))
     val perCode = base.select(col("i"),
       explode(sequence(lit(1L), col("ndiag"))).as("k"))
     val v = draw(concat(col("i").cast("string"), lit("_"), col("k").cast("string")),
@@ -233,6 +278,7 @@ object MimicSynth {
     s"""mdg0 AS (
        |  SELECT i, 1 + ${oracleDraw("i", "nd", NDIAG_MOD)} AS ndiag
        |  FROM range($N_ADM) r(i)
+       |  WHERE NOT ${noDiagSql("i")}
        |), diagnoses_icd AS (
        |  SELECT 100000 + i AS hadm_id, CAST(k AS INTEGER) AS seq_num,
        |    CASE WHEN $v < 6600 THEN
@@ -309,11 +355,12 @@ object MimicSynth {
   /** Hash train/test split over the 45,059 modeling rows, tuned to the
     * reference's published 80/20 seed-42 cut EXACTLY: train 36,047 with
     * 2,360 positives / test 9,012 with 598 (BASELINE.md "train / test"
-    * and "balanced undersampled train 4,720 = 2 × 2,360"). Salt sp23,
-    * boundary 801,468 of 1,000,000.
+    * and "balanced undersampled train 4,720 = 2 × 2,360"). Salt sp156,
+    * boundary 800,101 of 1,000,000 — re-solved for the no-diagnosis-join
+    * membership.
     */
-  val SPLIT_SALT  = "sp23"
-  val SPLIT_BOUND = 801468L
+  val SPLIT_SALT  = "sp156"
+  val SPLIT_BOUND = 800101L
 
   /** 'train'/'test' assignment for a modeling row key. */
   def trainTestSplit(hadmId: Column): Column =
@@ -333,7 +380,7 @@ object MimicSynth {
     * best text model: 0.640) instead of coin-flip on label-independent
     * noise. Mirrored exactly in SQL, so the vocab/BoW oracles stay green.
     */
-  val SIGNAL_P = 2L // of 100: risk-vocabulary mass on short-gap notes
+  val SIGNAL_P = 4L // of 100: risk-vocabulary mass on short-gap notes
   val RISK_WORDS = 25L // risk vocabulary = pool words w0000..w0024
 
   /** Hash-drawn word at position j of note i: 30% from [[noteWords]],
@@ -409,10 +456,15 @@ object MimicSynth {
   }
 
   /** The reference's MODELING MATRIX rows (cells 7-20 composed): cohort
-    * labeling + death/newborn filters + patients inner join + the dropna
-    * on missing DOB + the tuned train/test split. One row per matrix
-    * row: (HADM_ID, SUBJECT_ID, label, split). Golden shape: 45,059
-    * rows, train 36,047 (2,360 pos) / test 9,012 (598 pos).
+    * labeling + death/newborn filters + the DIAGNOSES_ICD inner join
+    * (drops the 245 no-diagnosis admissions — the reference's 45,321 →
+    * 45,076 cell-22 step) + patients inner join + the dropna on missing
+    * DOB + the tuned train/test split. One row per matrix row: (HADM_ID,
+    * SUBJECT_ID, label, split). Golden shape: 45,059 rows, train 36,047
+    * (2,360 pos) / test 9,012 (598 pos).
+    *
+    * Scale shape: the diagnoses semi-join is a hash-agg of the diagnosis
+    * table's keys broadcast against the cohort — no cohort shuffle.
     */
   def modelingRows(spark: SparkSession): DataFrame = {
     val coh = graft.ops.CohortOps.labelNextEvent(
@@ -421,22 +473,29 @@ object MimicSynth {
       excludedType = "ELECTIVE", horizonDays = 30.0, anchorCol = "DISCHTIME")
       .filter(col("DEATHTIME").isNull && col("ADMISSION_TYPE") =!= "NEWBORN")
     coh
+      .join(diagnoses(spark).select("HADM_ID"), Seq("HADM_ID"), "left_semi")
       .join(patients(spark).filter(col("DOB").isNotNull).select("SUBJECT_ID"),
         Seq("SUBJECT_ID"))
       .select(col("HADM_ID"), col("SUBJECT_ID"), col("label"),
         trainTestSplit(col("HADM_ID")).as("split"))
   }
 
-  /** DuckDB mirror of [[modelingRows]] → CTE `mmatrix`. */
+  /** DuckDB mirror of [[modelingRows]] → CTE `mmatrix` (includes the
+    * `diagnoses_icd` CTE for the semi-join — don't also splice
+    * [[diagnosesCtes]] into the same WITH).
+    */
   def modelingCtes: String =
     s"""$cohortCtes,
        |$patientsCtes,
+       |$diagnosesCtes,
        |mmatrix AS (
        |  SELECT c.hadm_id, c.subject_id, c.label,
        |         ${trainTestSplitSql("c.hadm_id")} AS split
        |  FROM mcohort c JOIN patients p ON c.subject_id = p.subject_id
        |  WHERE c.deathtime IS NULL AND c.admission_type <> 'NEWBORN'
        |    AND p.dob IS NOT NULL
+       |    AND EXISTS (SELECT 1 FROM diagnoses_icd d
+       |                WHERE d.hadm_id = c.hadm_id)
        |)""".stripMargin
 
   /** The reference's cohort SQL over the generated admissions — lead +

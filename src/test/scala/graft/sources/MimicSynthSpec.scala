@@ -14,10 +14,12 @@ class MimicSynthSpec extends SparkSpecBase {
 
   private lazy val adm = MimicSynth.admissions(spark).cache()
 
-  test("golden: 58,976 admissions; 7,863 newborns; 6,037 in-hospital deaths") {
+  test("golden: 58,976 admissions; 7,863 newborns; 5,792 in-hospital deaths") {
     assert(adm.count() == 58976L)
     assert(adm.filter(col("ADMISSION_TYPE") === "NEWBORN").count() == 7863L)
-    assert(adm.filter(col("DEATHTIME").isNotNull).count() == 6037L)
+    // 58,976 − 7,863 newborns − 5,792 deaths = the 45,321 filtered rows
+    // the reference's ethnicity table (cell 8) sums to
+    assert(adm.filter(col("DEATHTIME").isNotNull).count() == 5792L)
     // deaths only on final admissions of non-newborn subjects: a death
     // row's subject never has a LATER admission
     val afterDeath = adm.as("a")
@@ -32,7 +34,15 @@ class MimicSynthSpec extends SparkSpecBase {
       typeCol = "ADMISSION_TYPE", tieCol = "HADM_ID",
       excludedType = "ELECTIVE", horizonDays = 30.0, anchorCol = "DISCHTIME")
       .filter(col("DEATHTIME").isNull && col("ADMISSION_TYPE") =!= "NEWBORN")
-    val byLabel = labeled.groupBy("label").count().collect()
+    // pre-join (the reference's cell-8 frame): 45,321 rows, same positives
+    val preJoin = labeled.groupBy("label").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(preJoin == Map("1" -> 2958L, "0" -> 42363L), preJoin)
+    // the DIAGNOSES_ICD inner join (cell 22) drops the 245 no-diagnosis
+    // admissions — all negatives — landing the published cohort exactly
+    val byLabel = labeled
+      .join(MimicSynth.diagnoses(spark).select("HADM_ID"), Seq("HADM_ID"), "left_semi")
+      .groupBy("label").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(byLabel == Map("1" -> 2958L, "0" -> 42118L))
   }
@@ -45,7 +55,7 @@ class MimicSynthSpec extends SparkSpecBase {
     assert(dg.filter(col("ICD9_CODE").startsWith("E")).count() > 0)
   }
 
-  test("golden: ethnicity recode lands the reference's top-5 ORDER (py:102-108)") {
+  test("golden: ethnicity recode lands the reference's top-5 counts EXACTLY (py:102-108)") {
     val filtered = adm
       .filter(col("DEATHTIME").isNull && col("ADMISSION_TYPE") =!= "NEWBORN")
       .withColumn("eth",
@@ -59,13 +69,14 @@ class MimicSynthSpec extends SparkSpecBase {
     val top = graft.ops.Recodes.topKOrElse(filtered, "eth", 5, "OTHER/UNKNOWN")
       .groupBy("eth").count().orderBy(desc("count")).collect()
       .map(r => r.getString(0) -> r.getLong(1))
-    // the reference's order: WHITE > OTHER/UNKNOWN > BLACK > HISPANIC > ASIAN
-    assert(top.map(_._1).toSeq == Seq("WHITE", "OTHER/UNKNOWN",
-      "BLACK/AFRICAN AMERICAN", "HISPANIC/LATINO", "ASIAN"), top.toSeq)
-    // and the shares are in the reference's band (ref WHITE 32,501 of 45,076)
-    val counts = top.toMap
-    assert(math.abs(counts("WHITE") - 32501L) < 1000, counts)
-    assert(counts.values.sum == 45076L)
+    // the reference's table, value for value (BASELINE.md "ethnicity
+    // top-5 after recode" — ipynb cell 8, over the 45,321 filtered rows)
+    assert(top.toSeq == Seq(
+      "WHITE" -> 32501L,
+      "OTHER/UNKNOWN" -> 5640L,
+      "BLACK/AFRICAN AMERICAN" -> 4471L,
+      "HISPANIC/LATINO" -> 1625L,
+      "ASIAN" -> 1084L), top.toSeq)
   }
 
   test("golden: modeling matrix 45,059 rows; train 36,047/2,360 pos; test 9,012/598") {
