@@ -1,6 +1,6 @@
 package graft
 
-import graft.expr.{DotProduct, Lemmatize, LemmatizeAll, LemmatizeExpression}
+import graft.expr.{CompressVector, DotProduct, Lemmatize, LemmatizeAll, LemmatizeExpression}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -24,6 +24,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
   val dotProductInfo = new ExpressionInfo(classOf[DotProduct].getName, "dot_product")
+  val compressVectorInfo =
+    new ExpressionInfo(classOf[CompressVector].getName, "compress_vector")
 
   /** Arity-checked builder: a wrong-arity SQL call must fail analysis with
     * a clear message, not crash resolution with an IndexOutOfBounds.
@@ -42,7 +44,9 @@ object GraftExtensions {
     ("lemmatize_all", LemmatizeExpression.lemmatizeAllInfo,
       arity("lemmatize_all", 1)(c => LemmatizeAll(c.head))),
     ("dot_product", dotProductInfo,
-      arity("dot_product", 2)(c => DotProduct(c(0), c(1)))))
+      arity("dot_product", 2)(c => DotProduct(c(0), c(1)))),
+    ("compress_vector", compressVectorInfo,
+      arity("compress_vector", 1)(c => CompressVector(c.head))))
 
   /** Register the same functions into an already-running session
     * (extensions normally apply at session build time).

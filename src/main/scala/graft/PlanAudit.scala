@@ -63,6 +63,25 @@ object PlanAudit {
         |itself is a union of two ≤100-row lists → one hash-agg → a
         |TakeOrdered top-20 — rank arithmetic only, nothing corpus-sized
         |past the two producers.""",
+    "mimic_rrf_retrieval" ->
+      """The realistic-corpus hybrid: BM25 over the cohort's discharge
+        |summaries (one generated scan; the tf frame is |docs|·4-bounded
+        |by the query-term filter BEFORE any shuffle) fused with a
+        |BoW-cosine leg in the pipeline's own top-3000 vocabulary space.
+        |The dense leg's only data-sized exchange is the (hadm_id, word)
+        |count hash-agg; the ≤3,000-row query-side counts BROADCAST onto
+        |it, norms partial-agg map-side, and both legs end in
+        |TakeOrderedAndProject(100) cuts, so the rank windows and the RRF
+        |hash-agg run on ≤200 rows. At crawl scale the corpus is scanned
+        |twice (once per leg) and shuffled once.""",
+    "mimic_csv_roundtrip" ->
+      """The reference's persisted-artifact path (HapProjectCleaned.csv)
+        |at MIMIC scale: the cleaned cohort is written one CSV file per
+        |partition (never a driver-side collect), re-read as a distributed
+        |scan with the declared schema, and reduced by one hash-agg to a
+        |2-row readout. The plan's only exchanges are the cohort labeling
+        |window's subject shuffle and the final 2-group agg — the
+        |sink/source hop adds file IO, not plan shape.""",
     "ml_feature_select" ->
       """The MI ranking collapses the sampled feature table to ≤ a few
         |hundred contingency rows in one explode + hash-agg; the rank

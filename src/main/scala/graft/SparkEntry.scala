@@ -4057,6 +4057,100 @@ object SparkEntry {
           sum(col("n_inj")).as("sum_inj"))
     }),
 
+    // the reference's ONE persisted artifact (py:265 — df_adm_notes_clean
+    // .to_csv('HapProjectCleaned.csv')): the death/newborn-filtered
+    // labeled cohort with the last discharge-summary TEXT left-joined
+    // (the synth asserts ≤1 summary per admission, mirroring the
+    // reference's own duplicate assert at py:249). This row proves the S6
+    // CSV sink ROUND-TRIPS the 45,321-row cleaned table at MIMIC scale:
+    // write via Sinks.csv (distributed, one file per partition), re-read
+    // with the declared schema, and emit a per-label readout the oracle
+    // computes straight from the generated tables — any sink/source
+    // corruption (quoting, nulls, timestamp format) hash-mismatches.
+    "mimic_csv_roundtrip" -> ((s, d) => {
+      val cleaned = graft.ops.CohortOps.labelNextEvent(
+        graft.sources.MimicSynth.admissions(s),
+        entityCol = "SUBJECT_ID", timeCol = "ADMITTIME",
+        typeCol = "ADMISSION_TYPE", tieCol = "HADM_ID",
+        excludedType = "ELECTIVE", horizonDays = 30.0, anchorCol = "DISCHTIME")
+        .filter(col("DEATHTIME").isNull && col("ADMISSION_TYPE") =!= "NEWBORN")
+        .join(graft.sources.MimicSynth.notes(s)
+          .filter(col("CATEGORY") === "Discharge summary")
+          .select(col("HADM_ID"), col("TEXT")), Seq("HADM_ID"), "left")
+        .select(col("SUBJECT_ID"), col("HADM_ID"), col("ADMITTIME"),
+          col("ADMISSION_TYPE"), col("ETHNICITY"),
+          col("label").cast("int").as("OUTPUT_LABEL"), col("TEXT"))
+      val path = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_mimic_cleaned_${s.sparkContext.applicationId}").toString
+      graft.core.Sinks.csv(cleaned, path)
+      val back = s.read.option("header", "true").schema(cleaned.schema).csv(path)
+      back.groupBy(col("OUTPUT_LABEL").as("output_label"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("HADM_ID")).as("hadm_sum"),
+          sum(when(col("TEXT").isNull, 1L).otherwise(0L)).as("n_missing_text"),
+          sum(length(col("TEXT"))).as("text_chars"),
+          min(col("ADMITTIME")).as("admit_min"))
+    }),
+
+    // hybrid retrieval over the REALISTIC corpus (the round-8 verdict's
+    // composition ask): reciprocal-rank fusion of a BM25 lexical leg and
+    // a BoW-cosine dense leg, both over the cohort's discharge summaries
+    // — what a retrieval user of this engine actually runs. The query
+    // document is data-derived (the summary with the most tokens, lowest
+    // HADM_ID tiebreak); the dense space is the pipeline's own top-3000
+    // vocabulary, so the cosine is a sparse integer-count dot product —
+    // exactly oracle-able end to end. BM25's alpha-run tokenization
+    // collapses the synthetic `wNNNN` pool words to 'w' (every word here
+    // is all-alpha or w+digits, so one alpha run per word and dl still
+    // equals the word count); the query terms are core clinical words, so
+    // the collapse is inert and mirrored verbatim in the oracle.
+    // Scale shape: BM25 is one scan + |Q|-bounded tf frame; the dense leg
+    // shuffles counts once on word with the ≤3,000-term query side
+    // BROADCAST; both legs end in TakeOrdered(100) cuts and the fusion
+    // works on ≤200 rows.
+    "mimic_rrf_retrieval" -> ((s, d) => {
+      val docs = graft.sources.MimicSynth.notes(s)
+        .filter(col("CATEGORY") === "Discharge summary")
+        .join(graft.sources.MimicSynth.admissions(s)
+          .filter(col("DEATHTIME").isNull && col("ADMISSION_TYPE") =!= "NEWBORN")
+          .select("HADM_ID"), Seq("HADM_ID"), "left_semi")
+        .join(graft.sources.MimicSynth.diagnoses(s).select("HADM_ID"),
+          Seq("HADM_ID"), "left_semi")
+        .select(col("HADM_ID"), col("TEXT"))
+      val lex = graft.text.Bm25.scores(docs, "HADM_ID", "TEXT",
+          Seq("pneumonia", "chronic", "renal", "failure"))
+        .orderBy(desc("score"), asc("HADM_ID")).limit(100)
+        .withColumn("r", row_number().over(
+          Window.orderBy(desc("score"), asc("HADM_ID"))))
+        .select(col("HADM_ID").as("id"), col("r"))
+      val toks = docs.select(col("HADM_ID"),
+        explode(split(col("TEXT"), " ")).as("word"))
+      val vocab = toks.groupBy("word").agg(count(lit(1)).as("_c"))
+        .orderBy(desc("_c"), asc("word")).limit(3000).select("word")
+      val counts = toks.join(vocab, "word")
+        .groupBy("HADM_ID", "word").agg(count(lit(1)).cast("double").as("c"))
+      val qid = docs.select(col("HADM_ID"), size(split(col("TEXT"), " ")).as("n"))
+        .orderBy(desc("n"), asc("HADM_ID")).limit(1)
+        .select(col("HADM_ID").as("_qid"))
+      val qcounts = counts.join(qid, col("HADM_ID") === col("_qid"))
+        .select(col("word"), col("c").as("qc"))
+      val qnorm = qcounts.agg(sum(col("qc") * col("qc")).as("q2"))
+      val dnorm = counts.groupBy("HADM_ID").agg(sum(col("c") * col("c")).as("d2"))
+      // integer-count dot products in double: exact on both engines
+      val sem = counts.join(broadcast(qcounts), "word")
+        .groupBy("HADM_ID").agg(sum(col("c") * col("qc")).as("dot"))
+        .join(dnorm, "HADM_ID")
+        .crossJoin(broadcast(qnorm)).crossJoin(broadcast(qid))
+        .filter(col("HADM_ID") =!= col("_qid"))
+        .withColumn("cos", round(col("dot") / sqrt(col("d2") * col("q2")), 9))
+        .orderBy(desc("cos"), asc("HADM_ID")).limit(100)
+        .withColumn("r", row_number().over(
+          Window.orderBy(desc("cos"), asc("HADM_ID"))))
+        .select(col("HADM_ID").as("id"), col("r"))
+      graft.sim.Similarity.rrfFuse(Seq(lex, sem), "id", "r", kConst = 60, topK = 20)
+    }),
+
     // CUPED variance-reduced experiment readout: pre-period clicks as the
     // covariate, purchases as the metric, same hash arms as ab_ztest —
     // one per-user agg, one 1-row moments agg, scalar math after
@@ -7766,6 +7860,103 @@ object SparkEntry {
          |  CAST(SUM(n_circ) AS BIGINT) AS sum_circ,
          |  CAST(SUM(n_inj) AS BIGINT) AS sum_inj
          |FROM aged WHERE age <> 0 GROUP BY 1""".stripMargin,
+
+    // the CSV round-trip readout equals what DuckDB computes straight
+    // from the generated tables — the sink/source path must be lossless
+    "mimic_csv_roundtrip" ->
+      s"""WITH ${graft.sources.MimicSynth.cohortCtes},
+         |${graft.sources.MimicSynth.noteTokensCtes},
+         |nl AS (
+         |  SELECT hadm_id,
+         |         CAST(SUM(length(word)) + COUNT(*) - 1 AS BIGINT) AS text_len
+         |  FROM note_tokens GROUP BY 1
+         |)
+         |SELECT CAST(label AS INTEGER) AS output_label,
+         |       CAST(count(*) AS BIGINT) AS n_rows,
+         |       CAST(SUM(c.hadm_id) AS BIGINT) AS hadm_sum,
+         |       CAST(SUM(CASE WHEN nl.hadm_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_text,
+         |       CAST(SUM(text_len) AS BIGINT) AS text_chars,
+         |       MIN(admittime) AS admit_min
+         |FROM mcohort c LEFT JOIN nl ON c.hadm_id = nl.hadm_id
+         |WHERE deathtime IS NULL AND admission_type <> 'NEWBORN'
+         |GROUP BY 1""".stripMargin,
+
+    // hybrid retrieval over cohort summaries: BM25 from the token stream
+    // (each generated word is one alpha run, so the term of a word is
+    // regexp_replace(word, '[^a-z]', '') and dl = word count — identical
+    // to TextOps.tokens over the joined text), dense = vocab-restricted
+    // integer-count cosine, fused with the same exact-decimal RRF as
+    // sim_rrf_fusion
+    "mimic_rrf_retrieval" ->
+      s"""WITH ${graft.sources.MimicSynth.admissionsCtes},
+         |${graft.sources.MimicSynth.noteTokensCtes},
+         |${graft.sources.MimicSynth.diagnosesCtes},
+         |coh AS (
+         |  SELECT hadm_id FROM admissions a
+         |  WHERE deathtime IS NULL AND admission_type <> 'NEWBORN'
+         |    AND EXISTS (SELECT 1 FROM diagnoses_icd d
+         |                WHERE d.hadm_id = a.hadm_id)
+         |), vt AS (
+         |  SELECT t.hadm_id, t.word FROM note_tokens t JOIN coh USING (hadm_id)
+         |), lens AS (
+         |  SELECT hadm_id, CAST(count(*) AS DOUBLE) AS dl FROM vt GROUP BY 1
+         |), btf AS (
+         |  SELECT hadm_id, term, CAST(count(*) AS DOUBLE) AS tf FROM (
+         |    SELECT hadm_id, regexp_replace(word, '[^a-z]', '', 'g') AS term FROM vt
+         |  ) WHERE term IN ('pneumonia', 'chronic', 'renal', 'failure')
+         |  GROUP BY 1, 2
+         |), stats AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM lens
+         |), dfreq AS (
+         |  SELECT term, CAST(count(*) AS DOUBLE) AS df FROM btf GROUP BY 1
+         |), bm25 AS (
+         |  SELECT btf.hadm_id,
+         |         round(CAST(SUM(CAST(round(
+         |           ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+         |           (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+         |         , 9) AS DECIMAL(18,9))) AS DOUBLE), 6) AS score
+         |  FROM btf JOIN dfreq USING (term) JOIN lens USING (hadm_id), stats
+         |  GROUP BY 1
+         |), lexr AS (
+         |  SELECT id, r FROM (
+         |    SELECT hadm_id AS id,
+         |           row_number() OVER (ORDER BY score DESC, hadm_id) AS r
+         |    FROM bm25
+         |  ) WHERE r <= 100
+         |), vocab AS (
+         |  SELECT word FROM vt GROUP BY 1
+         |  ORDER BY count(*) DESC, word ASC LIMIT 3000
+         |), counts AS (
+         |  SELECT hadm_id, word, CAST(count(*) AS DOUBLE) AS c
+         |  FROM vt JOIN vocab USING (word) GROUP BY 1, 2
+         |), qid AS (
+         |  SELECT hadm_id AS q FROM vt GROUP BY 1
+         |  ORDER BY count(*) DESC, hadm_id ASC LIMIT 1
+         |), qc AS (
+         |  SELECT word, c AS qcnt FROM counts, qid WHERE counts.hadm_id = qid.q
+         |), q2 AS (SELECT SUM(qcnt * qcnt) AS q2 FROM qc),
+         |d2 AS (SELECT hadm_id, SUM(c * c) AS d2 FROM counts GROUP BY 1),
+         |dots AS (
+         |  SELECT c.hadm_id, SUM(c.c * qc.qcnt) AS dot
+         |  FROM counts c JOIN qc USING (word) GROUP BY 1
+         |), semr AS (
+         |  SELECT id, r FROM (
+         |    SELECT d.hadm_id AS id, row_number() OVER (ORDER BY
+         |      round(dot / sqrt(d2.d2 * q2.q2), 9) DESC, d.hadm_id) AS r
+         |    FROM dots d JOIN d2 USING (hadm_id), q2, qid
+         |    WHERE d.hadm_id <> qid.q
+         |  ) WHERE r <= 100
+         |), fused AS (
+         |  SELECT id,
+         |    round(CAST(SUM(CAST(round(1.0 / (60 + CAST(r AS DOUBLE)), 9)
+         |      AS DECIMAL(18,9))) AS DOUBLE), 6) AS rrf,
+         |    CAST(count(*) AS BIGINT) AS n_lists
+         |  FROM (SELECT id, r FROM lexr UNION ALL SELECT id, r FROM semr)
+         |  GROUP BY 1
+         |)
+         |SELECT id, rrf, n_lists FROM (
+         |  SELECT *, row_number() OVER (ORDER BY rrf DESC, id) AS rn FROM fused
+         |) WHERE rn <= 20""".stripMargin,
 
     "ab_cuped" -> graft.ops.ExperimentOps.cupedOracleSql(
       s"""  SELECT CASE WHEN ${permilleHashSql("user_id", ":ab", 1000L)} < 500

@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.expr.{DotProduct, Lemmatize, LemmatizeAll}
+import graft.expr.{CompressVector, DotProduct, Lemmatize, LemmatizeAll}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.graftshim.Shim
 
@@ -15,4 +15,7 @@ object GraftFunctions {
 
   def dot_product(a: Column, b: Column): Column =
     Shim.column(DotProduct(Shim.expression(a), Shim.expression(b)))
+
+  def compress_vector(c: Column): Column =
+    Shim.column(CompressVector(Shim.expression(c)))
 }

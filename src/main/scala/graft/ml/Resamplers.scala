@@ -109,8 +109,12 @@ object Resamplers {
       .withColumn("_f", pmod(col("_frac") + col("_rep") * 0.37, lit(1.0)))
       .select(
         lit(-1L).cast("long").as(idCol),
-        array_to_vector(
-          zip_with(col("_x"), col("_nbr"), (x, n) => x + col("_f") * (n - x)))
+        // array_to_vector is always dense; re-encode sparse when the
+        // interpolated support (union of the two parents') warrants it —
+        // at BoW widths this is the difference between a 3,019-double
+        // row and a ~70-nonzero one in every downstream fit pass
+        graft.functions.GraftFunctions.compress_vector(array_to_vector(
+          zip_with(col("_x"), col("_nbr"), (x, n) => x + col("_f") * (n - x))))
           .as(featuresCol),
         lit(minorityLabel).as(labelCol))
     base.unionByName(synth)

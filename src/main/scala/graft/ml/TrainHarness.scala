@@ -110,7 +110,8 @@ object TrainHarness {
   def gridSearchLr(
       train: DataFrame, featuresCol: String, labelCol: String,
       regParams: Seq[Double] = Seq(0.1, 0.01, 0.001, 0.0001),
-      numFolds: Int = 5, seed: Long = 42L, maxIter: Int = 50
+      numFolds: Int = 5, seed: Long = 42L, maxIter: Int = 50,
+      parallelism: Int = 4
   ): (Double, Double) = {
     val lr = new LogisticRegression()
       .setFeaturesCol(featuresCol).setLabelCol(labelCol)
@@ -123,10 +124,11 @@ object TrainHarness {
       .setEstimatorParamMaps(grid).setNumFolds(numFolds).setSeed(seed)
       // fold×param fits are independent and individually UNDER-parallel
       // (a metrics-scale train splits into far fewer row groups than the
-      // cluster has slots; each L-BFGS iteration is 2 tiny jobs) — run 4
-      // fits concurrently so the session's slots stay busy. Results are
-      // bit-identical to the serial order; only wall-clock changes.
-      .setParallelism(4)
+      // cluster has slots; each L-BFGS iteration is 2 tiny jobs) — run
+      // several fits concurrently so the session's slots stay busy.
+      // Results are bit-identical to the serial order; only wall-clock
+      // changes.
+      .setParallelism(parallelism)
     val model = withFitCache(train)(cv.fit(_))
     val bestIdx = model.avgMetrics.zipWithIndex.maxBy(_._1)._2
     val bestReg = model.getEstimatorParamMaps(bestIdx).get(lr.regParam).get
@@ -232,22 +234,28 @@ object TrainHarness {
     strategies.map { case (name, mk) =>
       // one materialized copy per strategy: the CV grid re-reads it
       // numFolds × |regParams| times and the final fit maxIter more.
-      // Compacted to a few partitions first: a metrics-scale train
-      // spread over the session's full partition count makes every
+      // Compacted to a few SIZE-ADAPTED partitions first: a metrics-scale
+      // train spread over the session's full partition count makes every
       // L-BFGS iteration a swarm of sub-millisecond tasks (measured
-      // 107 s → 17 s for the ROS grid at 8 partitions + 4-way fit
-      // parallelism); a genuinely large train would keep its natural
-      // partitioning — the clamp only ever shrinks toward ~8k rows/task.
-      val resampled = mk().select(col(featuresCol), col(labelCol))
-        .repartition(8).cache()
-      val nTrain = resampled.count()
+      // 107 s → 17 s for the ROS grid at 8 partitions + concurrent fits;
+      // the 4,720-row NearMiss/RUS trains go to 2 partitions — per-task
+      // gradient buffers are 3,019-wide, so 8 near-empty tasks cost more
+      // merge than compute). A genuinely large train would keep its
+      // natural partitioning — the clamp only ever shrinks.
+      val raw = mk().select(col(featuresCol), col(labelCol)).cache()
+      val nTrain = raw.count()
+      val resampled = raw.repartition(math.max(2,
+        math.min(8, (nTrain / 8192L).toInt))).cache()
+      resampled.count()
+      raw.unpersist()
       try {
         // sklearn-equivalent λ per C at THIS strategy's n (liblinear
         // minimizes ||w||₁ + C·Σloss ⇒ λ = 1/(n·C) in MLlib's mean-loss
         // parameterization)
         val regParams = cGrid.map(c => 1.0 / (nTrain * c))
         val (bestReg, cvAcc) =
-          gridSearchLr(resampled, featuresCol, labelCol, regParams, numFolds, seed, cvMaxIter)
+          gridSearchLr(resampled, featuresCol, labelCol, regParams, numFolds,
+            seed, cvMaxIter, parallelism = 8)
         val bestC = 1.0 / (nTrain * bestReg)
         val scored = logisticL1Margins(resampled, test, featuresCol, labelCol,
           regParam = bestReg).cache()

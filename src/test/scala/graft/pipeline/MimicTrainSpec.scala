@@ -68,4 +68,80 @@ class MimicTrainSpec extends SparkSpecBase {
     // the LR-with-the-exact-vocabulary ceiling
     assert(aucs(300) > 0.55 && aucs(300) < 0.75, s"RF AUC ${aucs(300)} outside the band")
   }
+
+  test("cell-66 resampler finding: RUS best in the 0.640 band, base worst at 0.501") {
+    // the published table's metric is roc_curve on BINARY predictions
+    // ((recall+specificity)/2); each strategy fits at the CV-winning C of
+    // the committed mimic_resampler_bench run (base 0.01 / ROS 10 / RUS
+    // 0.01) at λ = 1/(n·C) — the full 5-fold × 4-value grid runs in the
+    // query itself, the spec pins the finding at a fraction of the cost.
+    // SMOTE/NearMiss rows ride the query (their LSH generation dominates
+    // a local[4] suite); their published-ordering slots are interior, so
+    // the extremes pinned here are the finding.
+    val full = MimicPipeline.assembled(spark)
+    val train = full.filter(col("split") === "train").select("id", "features", "label")
+    val test = full.filter(col("split") === "test").select("id", "features", "label")
+    val strategies = Seq(
+      ("base", train, 0.01),
+      ("oversample", graft.ml.Resamplers.randomOversample(train, "label", 42L), 10.0),
+      ("undersample", graft.ml.Resamplers.randomUndersample(train, "label", 42L), 0.01))
+    val preds = strategies.map { case (name, tr, c) =>
+      val n = tr.count()
+      val scored = graft.ml.TrainHarness.logisticL1Margins(
+        tr, test, "features", "label", regParam = 1.0 / (n * c)).cache()
+      try name -> graft.ml.Metrics.aucRocFromPredictions(scored, "score", "label")
+      finally scored.unpersist()
+    }.toMap
+    // published: base 0.501 / ROS 0.588 / RUS 0.640 (best)
+    assert(preds("base") > 0.48 && preds("base") < 0.53,
+      s"base ${preds("base")} outside the 0.501 band")
+    assert(preds("oversample") > 0.54 && preds("oversample") < 0.65,
+      s"ROS ${preds("oversample")} outside the 0.588 band")
+    assert(preds("undersample") > 0.60 && preds("undersample") < 0.72,
+      s"RUS ${preds("undersample")} outside the 0.640 band")
+    assert(preds("base") < preds("oversample") &&
+      preds("oversample") < preds("undersample"),
+      s"published ordering violated: $preds")
+  }
+
+  test("the three published RF rows: 0.623 default / 0.695 n=300 / 0.701 oversampled") {
+    val full = MimicPipeline.assembled(spark)
+    val train = full.filter(col("split") === "train").select("id", "features", "label")
+    val test = full.filter(col("split") === "test").select("id", "features", "label")
+    val under = graft.ml.Resamplers.randomUndersample(train, "label", 42L)
+    // cell 44: sklearn-default RF on the undersampled train → 0.623;
+    // MLlib defaults (20 trees, depth 5) tell the same story
+    val defScored = graft.ml.TrainHarness.randomForestScores(
+      under, test, "features", "label", numTrees = 20).cache()
+    val aucDefault = graft.ml.Metrics.aucRoc(defScored, "score", "label")
+    val mUnder = graft.ml.Metrics.thresholdMetrics(defScored, "score", "label", 0.5)
+      .collect()(0)
+    defScored.unpersist()
+    assert(aucDefault > 0.55 && aucDefault < 0.72,
+      s"default-RF AUC $aucDefault outside the 0.623 band")
+    // (the 0.695 n=300 row is pinned by the test above)
+    // cell 56: RF on the RandomOverSampler train → probability AUC 0.701
+    // but acc 0.934 / recall 0.003 at threshold 0.5 — the duplicated
+    // minority gets memorized, the test readout collapses to the
+    // majority. A histogram-binned distributed RF SMOOTHS exact-split
+    // memorization, so the DIRECTION is pinned (accuracy inflates and
+    // recall collapses relative to the balanced-train row on BOTH axes),
+    // not sklearn's full 0.003 magnitude.
+    val over = graft.ml.Resamplers.randomOversample(train, "label", 42L)
+    val overScored = graft.ml.TrainHarness.randomForestScores(
+      over, test, "features", "label", numTrees = 10, seed = 42L,
+      maxDepth = 26, maxBins = 16, maxMemoryMB = 2048).cache()
+    val aucOver = graft.ml.Metrics.aucRoc(overScored, "score", "label")
+    val mOver = graft.ml.Metrics.thresholdMetrics(overScored, "score", "label", 0.5)
+      .collect()(0)
+    overScored.unpersist()
+    assert(aucOver > 0.60 && aucOver < 0.75,
+      s"oversampled-RF AUC $aucOver outside the 0.701 band")
+    assert(mOver.getAs[Double]("accuracy") > mUnder.getAs[Double]("accuracy"),
+      "pathology: oversampled accuracy must inflate past the balanced row")
+    assert(mOver.getAs[Double]("recall") < mUnder.getAs[Double]("recall"),
+      "pathology: oversampled recall must collapse below the balanced row")
+    assert(mOver.getAs[Double]("recall") < 0.5,
+      s"oversampled recall ${mOver.getAs[Double]("recall")} did not collapse")
+  }
 }
