@@ -1,6 +1,6 @@
 package graft
 
-import graft.expr.{CompressVector, DotProduct, Lemmatize, LemmatizeAll, LemmatizeExpression}
+import graft.expr.{CompressVector, DotProduct, Lemmatize, LemmatizeAll, LemmatizeExpression, VectorDot}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -26,6 +26,7 @@ object GraftExtensions {
   val dotProductInfo = new ExpressionInfo(classOf[DotProduct].getName, "dot_product")
   val compressVectorInfo =
     new ExpressionInfo(classOf[CompressVector].getName, "compress_vector")
+  val vectorDotInfo = new ExpressionInfo(classOf[VectorDot].getName, "vector_dot")
 
   /** Arity-checked builder: a wrong-arity SQL call must fail analysis with
     * a clear message, not crash resolution with an IndexOutOfBounds.
@@ -46,7 +47,9 @@ object GraftExtensions {
     ("dot_product", dotProductInfo,
       arity("dot_product", 2)(c => DotProduct(c(0), c(1)))),
     ("compress_vector", compressVectorInfo,
-      arity("compress_vector", 1)(c => CompressVector(c.head))))
+      arity("compress_vector", 1)(c => CompressVector(c.head))),
+    ("vector_dot", vectorDotInfo,
+      arity("vector_dot", 2)(c => VectorDot(c(0), c(1)))))
 
   /** Register the same functions into an already-running session
     * (extensions normally apply at session build time).

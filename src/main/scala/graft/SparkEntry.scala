@@ -4110,6 +4110,10 @@ object SparkEntry {
     // BROADCAST; both legs end in TakeOrdered(100) cuts and the fusion
     // works on ≤200 rows.
     "mimic_rrf_retrieval" -> ((s, d) => {
+      // cached: the BM25 leg, the token stream, and the query pick would
+      // each re-GENERATE the synthetic corpus (per-word md5 draws, the
+      // dominant cost — 3 passes → 1). ~12 MB; CacheManager dedups the
+      // canonical plan across invocations (PinHygieneSpec pins ≤1 entry)
       val docs = graft.sources.MimicSynth.notes(s)
         .filter(col("CATEGORY") === "Discharge summary")
         .join(graft.sources.MimicSynth.admissions(s)
@@ -4118,6 +4122,7 @@ object SparkEntry {
         .join(graft.sources.MimicSynth.diagnoses(s).select("HADM_ID"),
           Seq("HADM_ID"), "left_semi")
         .select(col("HADM_ID"), col("TEXT"))
+        .cache()
       val lex = graft.text.Bm25.scores(docs, "HADM_ID", "TEXT",
           Seq("pneumonia", "chronic", "renal", "failure"))
         .orderBy(desc("score"), asc("HADM_ID")).limit(100)

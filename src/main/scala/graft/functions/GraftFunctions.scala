@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.expr.{CompressVector, DotProduct, Lemmatize, LemmatizeAll}
+import graft.expr.{CompressVector, DotProduct, Lemmatize, LemmatizeAll, VectorDot}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.graftshim.Shim
 
@@ -18,4 +18,7 @@ object GraftFunctions {
 
   def compress_vector(c: Column): Column =
     Shim.column(CompressVector(Shim.expression(c)))
+
+  def vector_dot(a: Column, b: Column): Column =
+    Shim.column(VectorDot(Shim.expression(a), Shim.expression(b)))
 }

