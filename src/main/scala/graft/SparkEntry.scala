@@ -662,14 +662,34 @@ object SparkEntry {
 
     // the sketch twin: approx_percentile (Greenwald-Khanna) — the 100 TB
     // path (exact percentile sorts every group; the sketch is one pass,
-    // mergeable, bounded memory). Rows-only by nature; `a10_quantiles` is
-    // the green exact twin on the same data.
-    "a10_approx_quantiles" -> ((s, d) =>
-      t(s, d, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-          expr("approx_percentile(l_quantity, 0.5D, 10000)").as("qty_p50_approx"),
-          expr("approx_percentile(l_extendedprice, 0.9D, 10000)").as("price_p90_approx"))),
+    // mergeable, bounded memory). The estimate itself is engine-private,
+    // so the row is made EXACTLY oracle-able by error accounting instead:
+    // GK at accuracy k guarantees the returned element's rank band
+    // [count(<v)+1, count(≤v)] intersects [qn−εn, qn+εn] with ε=1/k — the
+    // audit recomputes both rank bounds from the data and hashes the
+    // boolean alongside the exact per-group count, so a sketch that ever
+    // drifts outside its guarantee hash-mismatches. `a10_quantiles` is
+    // the exact-value twin on the same data.
+    "a10_approx_quantiles" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .select("l_returnflag", "l_quantity", "l_extendedprice")
+      val ap = li.groupBy("l_returnflag").agg(
+        expr("approx_percentile(l_quantity, 0.5D, 10000)").as("q50a"),
+        expr("approx_percentile(l_extendedprice, 0.9D, 10000)").as("p90a"))
+      val eps = lit(1.0 / 10000.0)
+      li.join(broadcast(ap), "l_returnflag")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("l_quantity") < col("q50a"), 1L).otherwise(0L)).as("ltq"),
+          sum(when(col("l_quantity") <= col("q50a"), 1L).otherwise(0L)).as("leq"),
+          sum(when(col("l_extendedprice") < col("p90a"), 1L).otherwise(0L)).as("ltp"),
+          sum(when(col("l_extendedprice") <= col("p90a"), 1L).otherwise(0L)).as("lep"))
+        .select(col("l_returnflag"), col("n"),
+          (col("ltq") < col("n") * (eps + 0.5) && col("leq") >= col("n") * (lit(0.5) - eps))
+            .as("q50_in_bounds"),
+          (col("ltp") < col("n") * (eps + 0.9) && col("lep") >= col("n") * (lit(0.9) - eps))
+            .as("p90_in_bounds"))
+    }),
 
     // exact mode per group with a deterministic tiebreak (highest count,
     // then smallest value) — the mode-imputation primitive: one map-side-
@@ -1203,11 +1223,19 @@ object SparkEntry {
         .groupBy("part").agg(count(lit(1)).as("cnt"))
     }),
 
-    // A2 scale path: approximate distinct (HLL sketch); rows-only
+    // A2 scale path: approximate distinct (HLL++ sketch). The estimate is
+    // engine-private, so the row hashes the EXACT count plus an
+    // error-accounted audit flag instead: the default rsd is 0.05, so the
+    // relative error must sit inside 3σ = 15% (deterministic for a fixed
+    // dataset — the HLL hash is seedless); an estimator drifting outside
+    // its guarantee hash-mismatches against the oracle's literal TRUE.
     "a2_approx_distinct" -> ((s, d) =>
       t(s, d, "lineitem").agg(
-        approx_count_distinct(col("l_partkey")).as("approx_d_part"),
-        countDistinct(col("l_partkey")).as("exact_d_part"))),
+        approx_count_distinct(col("l_partkey")).as("approx_d"),
+        countDistinct(col("l_partkey")).as("exact_d_part"))
+        .select(col("exact_d_part"),
+          (abs(col("approx_d") - col("exact_d_part")).cast("double") /
+            col("exact_d_part") <= 0.15).as("within_3sigma"))),
 
     // full §3.1+§3.2+§3.3 composition (rows-only: LR internals)
     "pipeline_e2e" -> ((s, d) =>
@@ -3821,6 +3849,25 @@ object SparkEntry {
       aged.groupBy("age").agg(count(lit(1)).as("n"))
     }),
 
+    // the last reference plot input (py:66-70): the 30-day-binned
+    // DAYS_NEXT_ADMIT histogram — `plt.hist(days, bins=range(0,365,30))`
+    // over the PRE-FILTER labeled frame (the hist precedes the py:77
+    // death filter, so NEWBORN/death rows are in). matplotlib semantics
+    // reproduced exactly: edges 0,30,..,360, values outside [0,360]
+    // dropped, and the LAST bin [330,360] right-INCLUSIVE (the
+    // least(...,11) clamp)
+    "mimic_days_hist" -> ((s, d) =>
+      graft.ops.CohortOps.labelNextEvent(
+        graft.sources.MimicSynth.admissions(s),
+        entityCol = "SUBJECT_ID", timeCol = "ADMITTIME",
+        typeCol = "ADMISSION_TYPE", tieCol = "HADM_ID",
+        excludedType = "ELECTIVE", horizonDays = 30.0, anchorCol = "DISCHTIME")
+        .filter(col("days_next").isNotNull &&
+          col("days_next") >= 0 && col("days_next") <= 360)
+        .withColumn("bin_days",
+          (least(floor(col("days_next") / 30.0), lit(11L)) * 30).cast("long"))
+        .groupBy("bin_days").agg(count(lit(1)).as("n"))),
+
     // the reference's 80/20 split golden (BASELINE.md "train / test"):
     // the 45,059 modeling rows (cohort − the 17 missing-DOB dropna rows)
     // hash-split to EXACTLY train 36,047 / test 9,012 with 2,360 / 598
@@ -3870,10 +3917,11 @@ object SparkEntry {
       import s.implicits._
       strategies.map { case (name, tr) =>
         val n = tr.count()
-        // size-adapted compaction before the iterated fit (same contract
-        // as resamplerBenchmark — the clamp only ever shrinks)
-        val fit = tr.select(col("features"), col("label"))
-          .repartition(math.max(2, math.min(8, (n / 8192L).toInt))).cache()
+        // size-adapted compaction before the iterated fit (shared
+        // contract: ~8k rows/task, capped at the input's own parallelism,
+        // shuffle-free coalesce when shrinking)
+        val fit = graft.ml.TrainHarness.compactForFit(
+          tr.select(col("features"), col("label")), n).cache()
         fit.count()
         try {
           val scored = graft.ml.TrainHarness.logisticL1Scores(fit, test,
@@ -3895,12 +3943,13 @@ object SparkEntry {
       // compacted before the grid: the memoized matrix carries the
       // session's shuffle-partition count, and 20 L-BFGS fits over a
       // 36k-row frame in 32 near-empty partitions are a per-iteration
-      // task swarm (measured 33.6 s vs 11.6 s on the same HEAD at 8
-      // partitions); at a real cluster's train sizes the clamp never
-      // binds — it only ever shrinks toward ~8k rows/task
-      val train = graft.pipeline.MimicPipeline.assembled(s)
+      // task swarm (measured 33.6 s vs 11.6 s on the same HEAD after
+      // compaction); compactForFit targets ~8k rows/task, capped at the
+      // input's own parallelism — at real cluster train sizes it never
+      // binds
+      val raw = graft.pipeline.MimicPipeline.assembled(s)
         .filter(col("split") === "train").select("features", "label")
-        .repartition(8).cache()
+      val train = graft.ml.TrainHarness.compactForFit(raw, 36047L).cache()
       train.count()
       try {
         val (bestReg, bestAcc) = graft.ml.TrainHarness.gridSearchLr(
@@ -4075,16 +4124,21 @@ object SparkEntry {
           sum(col("n_inj")).as("sum_inj"))
     }),
 
-    // the reference's ONE persisted artifact (py:265 — df_adm_notes_clean
-    // .to_csv('HapProjectCleaned.csv')): the death/newborn-filtered
-    // labeled cohort with the last discharge-summary TEXT left-joined
-    // (the synth asserts ≤1 summary per admission, mirroring the
-    // reference's own duplicate assert at py:249). This row proves the S6
-    // CSV sink ROUND-TRIPS the 45,321-row cleaned table at MIMIC scale:
-    // write via Sinks.csv (distributed, one file per partition), re-read
-    // with the declared schema, and emit a per-label readout the oracle
-    // computes straight from the generated tables — any sink/source
-    // corruption (quoting, nulls, timestamp format) hash-mismatches.
+    // round-trips the CELL-8 cleaned cohort (df_adm_notes after the
+    // death/newborn filters + labeling, with the last discharge-summary
+    // TEXT left-joined; the synth asserts ≤1 summary per admission,
+    // mirroring the reference's own duplicate assert at py:249). Note:
+    // the reference's persisted artifact at py:265 is the LATER frame —
+    // post-diagnoses-inner-join, patients-merged, age≠0-filtered, with
+    // ICD category dummies (~45k rows after the 245-row drop); that
+    // frame's content is covered by the green mimic_pipeline_relational /
+    // mimic_age_hist / mimic_diag_categories rows. This row's job is the
+    // SINK: prove S6 CSV round-trips a 45,321-row mixed
+    // string/timestamp/null table at MIMIC scale — write via Sinks.csv
+    // (distributed, one file per partition), re-read with the declared
+    // schema, and emit a per-label readout the oracle computes straight
+    // from the generated tables — any sink/source corruption (quoting,
+    // nulls, timestamp format) hash-mismatches.
     "mimic_csv_roundtrip" -> ((s, d) => {
       val cleaned = graft.ops.CohortOps.labelNextEvent(
         graft.sources.MimicSynth.admissions(s),
@@ -4100,15 +4154,28 @@ object SparkEntry {
           col("label").cast("int").as("OUTPUT_LABEL"), col("TEXT"))
       val path = java.nio.file.Paths.get(
         System.getProperty("java.io.tmpdir"),
-        s"graft_mimic_cleaned_${s.sparkContext.applicationId}").toString
-      graft.core.Sinks.csv(cleaned, path)
-      val back = s.read.option("header", "true").schema(cleaned.schema).csv(path)
-      back.groupBy(col("OUTPUT_LABEL").as("output_label"))
-        .agg(count(lit(1)).as("n_rows"),
-          sum(col("HADM_ID")).as("hadm_sum"),
-          sum(when(col("TEXT").isNull, 1L).otherwise(0L)).as("n_missing_text"),
-          sum(length(col("TEXT"))).as("text_chars"),
-          min(col("ADMITTIME")).as("admit_min"))
+        s"graft_mimic_cleaned_${s.sparkContext.applicationId}")
+      graft.core.Sinks.csv(cleaned, path.toString)
+      try {
+        val back =
+          s.read.option("header", "true").schema(cleaned.schema).csv(path.toString)
+        val readout = back.groupBy(col("OUTPUT_LABEL").as("output_label"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("HADM_ID")).as("hadm_sum"),
+            sum(when(col("TEXT").isNull, 1L).otherwise(0L)).as("n_missing_text"),
+            sum(length(col("TEXT"))).as("text_chars"),
+            min(col("ADMITTIME")).as("admit_min"))
+        // materialize the 2-row readout BEFORE deleting the CSV, then hand
+        // back a local frame — callers get identical values and the multi-MB
+        // scratch dir doesn't accumulate one copy per session in tmpdir
+        val rows = readout.collect().toSeq
+        s.createDataFrame(s.sparkContext.parallelize(rows, 1), readout.schema)
+      } finally {
+        import scala.jdk.CollectionConverters._
+        if (java.nio.file.Files.exists(path))
+          java.nio.file.Files.walk(path).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
+      }
     }),
 
     // hybrid retrieval over the REALISTIC corpus (the round-8 verdict's
@@ -5534,6 +5601,11 @@ object SparkEntry {
       """SELECT count(DISTINCT l_partkey) AS d_part, count(DISTINCT l_suppkey) AS d_supp,
         |       count(*) AS n FROM lineitem""".stripMargin,
 
+    // error-accounted sketch audit (HLL++ rsd 0.05 → 3σ = 15% relative)
+    "a2_approx_distinct" ->
+      """SELECT count(DISTINCT l_partkey) AS exact_d_part,
+        |       TRUE AS within_3sigma FROM lineitem""".stripMargin,
+
     "a3_collect_sorted" ->
       """SELECT o_custkey, string_agg(o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses
         |FROM orders GROUP BY 1""".stripMargin,
@@ -6313,6 +6385,15 @@ object SparkEntry {
         |  round(quantile_cont(l_quantity, 0.75), 6) AS qty_p75,
         |  round(quantile_cont(l_extendedprice, 0.5), 6) AS price_p50,
         |  round(quantile_cont(l_extendedprice, 0.9), 6) AS price_p90
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    // error-accounted sketch audit: the oracle asserts the exact per-group
+    // count and that the GK estimates sat inside their rank guarantee
+    // (the Spark side recomputes the rank bounds from the data; a sketch
+    // outside its ±1/10000 rank band flips the boolean → hash mismatch)
+    "a10_approx_quantiles" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |       TRUE AS q50_in_bounds, TRUE AS p90_in_bounds
         |FROM lineitem GROUP BY 1""".stripMargin,
 
     "o10_stratified_hash" ->
@@ -7794,6 +7875,14 @@ object SparkEntry {
          |  SELECT CASE WHEN age_raw > 89 OR age_raw < 0 THEN 90 ELSE age_raw END AS age
          |  FROM aged
          |) WHERE age <> 0 GROUP BY 1""".stripMargin,
+
+    "mimic_days_hist" ->
+      s"""WITH ${graft.sources.MimicSynth.cohortCtes}
+         |SELECT CAST(LEAST(floor(days_next / 30.0), 11) * 30 AS BIGINT) AS bin_days,
+         |       CAST(count(*) AS BIGINT) AS n
+         |FROM mcohort
+         |WHERE days_next IS NOT NULL AND days_next >= 0 AND days_next <= 360
+         |GROUP BY 1""".stripMargin,
 
     "mimic_split_counts" ->
       s"""WITH ${graft.sources.MimicSynth.modelingCtes}

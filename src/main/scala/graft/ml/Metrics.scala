@@ -246,7 +246,14 @@ object Metrics {
     * [[aucRocDf]]).
     */
   def aucPrReordered(scored: DataFrame, scoreCol: String, labelCol: String): Double = {
+    // sklearn's precision_recall_curve appends a terminal
+    // (precision=1, recall=0) point that the threshold sweep itself never
+    // produces — union it in so the precision-ascending integral carries
+    // the same final segment the reference integrated
     val pts = prPoints(scored, scoreCol, labelCol)
+      .select(col("recall"), col("precision_"))
+      .union(scored.sparkSession.range(1)
+        .select(lit(0.0).as("recall"), lit(1.0).as("precision_")))
     val w = Window.orderBy(col("precision_").asc, col("recall").asc)
     val r = pts
       .withColumn("_px", lag("precision_", 1).over(w))

@@ -50,6 +50,22 @@ object TrainHarness {
     finally if (own) df.unpersist()
   }
 
+  /** Size-adapted compaction before an iterated fit. A metrics-scale
+    * train spread over the session's full shuffle-partition count makes
+    * every L-BFGS/tree pass a swarm of sub-millisecond tasks with
+    * 3,019-wide per-task gradient buffers, so the merge costs more than
+    * the compute (measured 107 s → 17 s for the ROS CV grid). The target
+    * is ~8k rows per task, floored at 2, and CAPPED AT THE INPUT'S OWN
+    * partition count so a genuinely large train keeps its natural
+    * parallelism; shrinking uses a shuffle-free `coalesce`. Returns the
+    * input unchanged when no shrink is needed.
+    */
+  def compactForFit(df: DataFrame, n: Long): DataFrame = {
+    val natural = df.rdd.getNumPartitions
+    val target = math.min(natural.toLong, math.max(2L, n / 8192L)).toInt
+    if (target < natural) df.coalesce(target) else df
+  }
+
   /** RF fit + P(class=1) scores on the test set (reference M5).
     * `maxDepth` defaults to MLlib's 5; the oversampled-train pathology
     * row (reference cell 56) needs deeper trees — sklearn's fully-grown
@@ -240,14 +256,15 @@ object TrainHarness {
       // 107 s → 17 s for the ROS grid at 8 partitions + concurrent fits;
       // the 4,720-row NearMiss/RUS trains go to 2 partitions — per-task
       // gradient buffers are 3,019-wide, so 8 near-empty tasks cost more
-      // merge than compute). A genuinely large train would keep its
-      // natural partitioning — the clamp only ever shrinks.
+      // merge than compute). The target is capped at the input's own
+      // partition count so a genuinely large train keeps its natural
+      // parallelism, and the shrink is a shuffle-free coalesce.
       val raw = mk().select(col(featuresCol), col(labelCol)).cache()
       val nTrain = raw.count()
-      val resampled = raw.repartition(math.max(2,
-        math.min(8, (nTrain / 8192L).toInt))).cache()
+      val compact = compactForFit(raw, nTrain)
+      val resampled = if (compact eq raw) raw else compact.cache()
       resampled.count()
-      raw.unpersist()
+      if (!(compact eq raw)) raw.unpersist()
       try {
         // sklearn-equivalent λ per C at THIS strategy's n (liblinear
         // minimizes ||w||₁ + C·Σloss ⇒ λ = 1/(n·C) in MLlib's mean-loss
