@@ -151,17 +151,32 @@ object Bench {
     // steady state. Flagged as jit_warmed in query_stats — numbers for
     // these rows are not comparable to pre-r6 rounds' rep-1-included ones.
     val jitWarmQueries = Set("ml_smote_counts", "ml_rf_sweep_full")
-    val results: Map[String, (List[Double], Int, Double)] = selected.map { case (name, fn) =>
+    // total stop-the-world GC time across all collectors (ms) — sampled
+    // around each rep so a rep inflated by GC (our own neighbors' garbage
+    // or a concurrent test harness in the same container) is flagged
+    // instead of silently deciding a median (r9: 9 rows read >2× the
+    // clean medians with n_contended 0 — the load probe alone misses
+    // GC/JIT inflation)
+    def gcMillis(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+        .map(b => math.max(b.getCollectionTime, 0L)).sum
+    }
+    val results: Map[String, (List[Double], Int, Double, Double)] = selected.map { case (name, fn) =>
       val times = scala.collection.mutable.ListBuffer[Double]()
       var failures = 0
       var maxLoad = -1.0
+      var maxGcFrac = 0.0
       var i = 0
       if (jitWarmQueries(name))
         try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       // one extra adjudication rep when the spread is pathological (a GC /
       // JIT spike can be 10× the true cost; with only 2 reps the spike
-      // would otherwise decide the reported number)
-      def spiky = times.size >= 2 && times.max > 3 * times.min
+      // would otherwise decide the reported number). GC inflation counts
+      // as a spike trigger too: a rep that spent >30% of its wall inside
+      // stop-the-world GC is not a measurement of the query.
+      def spiky = (times.size >= 2 && times.max > 3 * times.min) ||
+        (times.nonEmpty && maxGcFrac > 0.3)
       def maxReps = if (spiky) reps + 1 else reps
       // the spiky carve-out must also lift the budget stop: the spike
       // itself blows the budget in exactly the case that needs the extra
@@ -174,21 +189,27 @@ object Bench {
         // rides query_stats (load_max) and a run-level contended flag —
         // the spiky extra-rep logic above already re-reps the outlier.
         maxLoad = math.max(maxLoad, loadAvg())
+        val g0 = gcMillis()
         val t0 = System.nanoTime()
         // a failed query must surface as -1, not masquerade as a fast run
         try { fn(spark, sfDir).count() } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}"); failures += 1
         }
-        if (failures == 0) times += (System.nanoTime() - t0) / 1e9
+        if (failures == 0) {
+          val wall = (System.nanoTime() - t0) / 1e9
+          times += wall
+          if (wall > 0.2) // GC fraction of a sub-200ms rep is noise
+            maxGcFrac = math.max(maxGcFrac, ((gcMillis() - g0) / 1000.0) / wall)
+        }
         i += 1
       }
       // a transient failure on rep 2/3 must not discard rep 1's valid
       // measurement — only an immediate failure (no successful rep) is -1.
       // The failure count rides query_stats so a failure-truncated run is
       // machine-distinguishable from a repBudgetSec early stop (both n<3).
-      name -> (if (times.isEmpty) (List(-1.0), failures, maxLoad)
-               else (times.toList, failures, maxLoad))
+      name -> (if (times.isEmpty) (List(-1.0), failures, maxLoad, maxGcFrac)
+               else (times.toList, failures, maxLoad, maxGcFrac))
     }
     def median(ts: List[Double]): Double = {
       val s = ts.sorted
@@ -198,7 +219,7 @@ object Bench {
       // report the spike as the query's cost (r4: a 6 s query read 57 s)
       s((s.size - 1) / 2)
     }
-    val medians = results.map { case (k, (ts, _, _)) => k -> (if (ts.head < 0) -1.0 else median(ts)) }
+    val medians = results.map { case (k, (ts, _, _, _)) => k -> (if (ts.head < 0) -1.0 else median(ts)) }
     val total = medians.values.filter(_ >= 0).sum
     def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     // per-query DuckDB baseline times (tools/oracle_times.py writes
@@ -219,15 +240,27 @@ object Bench {
       } catch { case _: Throwable => Map.empty }
     val qs = medians.map { case (k, v) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
-    val stats = results.map { case (k, (ts, failures, load)) =>
+    val stats = results.map { case (k, (ts, failures, load, gcFrac)) =>
       val duck = duckTimes.get(k).map(d => ",\"duck_sec\":" + f(d)).getOrElse("")
       val warmed = if (jitWarmQueries(k)) ",\"jit_warmed\":true" else ""
       val contended = if (load > loadContendedAt) ",\"contended\":true" else ""
+      // the two disturbance flags a reader needs to discount a number
+      // without re-running it: residual rep spread > 2× (even after the
+      // spiky extra rep) and GC-dominated reps (>30% of some rep's wall
+      // inside stop-the-world collections)
+      val spread = if (ts.size >= 2 && ts.min > 0 && ts.max > 2 * ts.min)
+        ",\"high_spread\":true" else ""
+      val gcy = if (gcFrac > 0.3) ",\"gc_heavy\":true" else ""
       s"\"" + k + "\":{\"median\":" + f(medians(k)) + ",\"min\":" + f(ts.min) +
         ",\"max\":" + f(ts.max) + ",\"n\":" + ts.size + ",\"failures\":" + failures +
-        ",\"load_max\":" + f(load) + duck + warmed + contended + "}"
+        ",\"load_max\":" + f(load) + ",\"gc_frac_max\":" + f(gcFrac) +
+        duck + warmed + contended + spread + gcy + "}"
     }.mkString("{", ",", "}")
-    val nContended = results.count { case (_, (_, _, load)) => load > loadContendedAt }
+    val nContended = results.count { case (_, (_, _, load, _)) => load > loadContendedAt }
+    val nFlagged = results.count { case (_, (ts, _, load, gcFrac)) =>
+      load > loadContendedAt || gcFrac > 0.3 ||
+        (ts.size >= 2 && ts.min > 0 && ts.max > 2 * ts.min)
+    }
     // headline ratio over the queries BOTH engines time: <1 = Spark faster
     val comparable = medians.filter { case (k, v) => v >= 0 && duckTimes.contains(k) }
     val duckTotal = comparable.keys.map(duckTimes).sum
@@ -246,7 +279,7 @@ object Bench {
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "/root/repo/BENCH_DETAIL.json")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(detailPath),
-      s"""{"warmup_sec":${f(warmupSec)},"stream_fixed_sec":${f(streamFixedSec)},"reps":$reps,"sf":"$sfDir","load_start":${f(loadStart)},"load_contended_at":${f(loadContendedAt)},"n_contended":$nContended,"warmup_failures":${warmupFailures.map("\"" + _ + "\"").mkString("[", ",", "]")}$ratioJson,"medians":$qs,"query_stats":$stats}"""
+      s"""{"warmup_sec":${f(warmupSec)},"stream_fixed_sec":${f(streamFixedSec)},"reps":$reps,"sf":"$sfDir","load_start":${f(loadStart)},"load_contended_at":${f(loadContendedAt)},"n_contended":$nContended,"n_flagged":$nFlagged,"warmup_failures":${warmupFailures.map("\"" + _ + "\"").mkString("[", ",", "]")}$ratioJson,"medians":$qs,"query_stats":$stats}"""
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
     // The driver keeps only the LAST ~2000 chars of stdout and parses the

@@ -24,12 +24,21 @@ object MimicPipeline {
   val diagCats: Seq[String] =
     graft.SparkEntry.icd9Ranges.map(_._3).distinct
 
-  private val memo = new java.util.WeakHashMap[SparkSession, DataFrame]()
+  private val memo =
+    new java.util.WeakHashMap[SparkSession, (DataFrame, Array[String])]()
+
+  /** The matrix's top-3000 vocabulary IN SLOT ORDER (slot i of the
+    * assembled features vector is word i; slots 3000..3016 are
+    * [[diagCats]], 3017 age, 3018 gender_m).
+    */
+  def vocabulary(s: SparkSession): Array[String] = {
+    assembled(s); memo.synchronized(memo.get(s)._2)
+  }
 
   /** (HADM_ID, label, split, features) with features of width 3,019. */
   def assembled(s: SparkSession): DataFrame = memo.synchronized {
     val cur = memo.get(s)
-    if (cur != null) cur
+    if (cur != null) cur._1
     else {
       val rows = MimicSynth.modelingRows(s)
       val notes = MimicSynth.notes(s)
@@ -99,8 +108,102 @@ object MimicPipeline {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       out.count()
       toksed.unpersist()
-      memo.put(s, out)
+      memo.put(s, (out, vocab))
       out
     }
+  }
+
+  /** The reference's feature-selection ranking (py:633-638,
+    * `mutual_info_classif(X_train_tf, y_train)` → sort desc): plug-in MI
+    * of every matrix column against the label over the TRAIN rows,
+    * ranked on ROUND-6 MI with a feature-name tiebreak so a sub-ulp
+    * cross-engine drift in the term sum cannot flip an order — exactly
+    * DuckDB-oracle-able (the `mimic_feature_select` row).
+    *
+    * Computed in the feature-NAME space straight from the source tables
+    * (matrix cells ARE token/category counts, so the joint distribution
+    * is identical): nonzero cells from one token/diagnosis aggregation
+    * plus per-feature zero-completion for the sparse features, dense
+    * joints for age/gender. The feature universe is the DECLARED one
+    * (3,000 vocab words + 17 categories + age + gender) so constant
+    * columns still rank (MI exactly 0), like sklearn's.
+    *
+    * Scale shape: one token explode → two-level hash-agg (map-side
+    * combined), a broadcast vocab join, and windows over the ≤|features|
+    * × |values| × 2 joint-count frame — never over the data.
+    */
+  def miRanking(s: SparkSession): DataFrame = {
+    import s.implicits._
+    // not cached: the returned frame is LAZY (a cache here would be
+    // released before anything runs), and modelingRows is pure md5
+    // arithmetic over 59k generator rows — each of the four branch
+    // re-reads costs less than a pin + eager materialization would
+    val train = MimicSynth.modelingRows(s)
+      .filter(col("split") === "train")
+      .select(col("HADM_ID"), col("SUBJECT_ID"), col("label").as("y"))
+    val tot = train.groupBy("y").agg(count(lit(1)).as("ny"))
+    // the matrix vocabulary (slot order is irrelevant here; the sweep
+    // maps names back to slots via vocabulary())
+    val vocabDf = vocabulary(s).toSeq.toDF("word")
+    val bowPairs = MimicSynth.notes(s)
+      .filter(col("CATEGORY") === "Discharge summary")
+      .select(col("HADM_ID"), explode(split(col("TEXT"), " ")).as("word"))
+      .join(broadcast(vocabDf), "word")
+      .join(train.select("HADM_ID", "y"), "HADM_ID")
+      .groupBy(col("word"), col("HADM_ID"), col("y"))
+      .agg(count(lit(1)).as("v"))
+      .select(concat(lit("bow:"), col("word")).as("feature"), col("v"), col("y"))
+    val code3 = coalesce(
+      when(col("ICD9_CODE").rlike("[A-Za-z]"), lit(999))
+        .otherwise(substring(col("ICD9_CODE"), 1, 3).cast("int")),
+      lit(999))
+    val diagPairs = MimicSynth.diagnoses(s)
+      .withColumn("cat", graft.SparkEntry.icd9Category(code3))
+      .join(train.select("HADM_ID", "y"), "HADM_ID")
+      .groupBy(col("cat"), col("HADM_ID"), col("y"))
+      .agg(count(lit(1)).as("v"))
+      .select(concat(lit("diag_"), col("cat")).as("feature"), col("v"), col("y"))
+    // nonzero joint cells for the sparse features
+    val sparseJoint = bowPairs.unionByName(diagPairs)
+      .groupBy("feature", "v", "y").agg(count(lit(1)).as("nxy"))
+    // zero-completion over the DECLARED sparse universe: a feature absent
+    // from a label's rows still owes that label its all-zero cell
+    val declared = vocabDf.select(concat(lit("bow:"), col("word")).as("feature"))
+      .unionByName(diagCats.toDF("cat")
+        .select(concat(lit("diag_"), col("cat")).as("feature")))
+    val zeroCells = declared.crossJoin(tot)
+      .join(sparseJoint.groupBy("feature", "y").agg(sum("nxy").as("nfy")),
+        Seq("feature", "y"), "left")
+      .select(col("feature"), lit(0L).as("v"), col("y"),
+        (col("ny") - coalesce(col("nfy"), lit(0L))).as("nxy"))
+    // dense features: every train row carries a value (no completion);
+    // two plain hash-aggs over the 36k-row frame — an explode-of-structs
+    // unpivot here trips a Janino codegen failure (interpreted fallback)
+    // for zero benefit at 2 columns
+    val admMin = MimicSynth.admissions(s)
+      .groupBy("SUBJECT_ID").agg(min("ADMITTIME").as("_admit_min"))
+    val d0 = train
+      .join(admMin, Seq("SUBJECT_ID"))
+      .join(MimicSynth.patients(s), Seq("SUBJECT_ID"))
+      .withColumn("_age_raw",
+        floor(graft.ops.CohortOps.fractionalDays(col("_admit_min"), col("DOB")) / 365.0))
+      .withColumn("age",
+        when(col("_age_raw") > 89 || col("_age_raw") < 0, 90L)
+          .otherwise(col("_age_raw").cast("long")))
+      .withColumn("gender_m", when(col("GENDER") === "M", 1L).otherwise(0L))
+      .select(col("y"), col("age"), col("gender_m"))
+    val denseJoint = d0
+      .groupBy(col("age").as("v"), col("y")).agg(count(lit(1)).as("nxy"))
+      .select(lit("age").as("feature"), col("v"), col("y"), col("nxy"))
+      .unionByName(d0
+        .groupBy(col("gender_m").as("v"), col("y")).agg(count(lit(1)).as("nxy"))
+        .select(lit("gender_m").as("feature"), col("v"), col("y"), col("nxy")))
+    val mi = graft.ml.FeatureScoring.mutualInfoFromCounts(
+      sparseJoint.unionByName(zeroCells).unionByName(denseJoint))
+    mi.select(col("feature"), round(col("mutual_info"), 6).as("mi"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("mi").desc, col("feature").asc)))
+      .select(col("rank").cast("long").as("rank"), col("feature"), col("mi"))
   }
 }

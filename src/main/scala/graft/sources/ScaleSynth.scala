@@ -1,0 +1,102 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Zero-file corpus generator for SCALE-GROWTH measurement (the
+  * MimicSynth pattern: every cell is pure hash arithmetic over a
+  * `spark.range`, so a 100× corpus costs no storage and is
+  * bit-reproducible at any size on any cluster).
+  *
+  * Unlike MimicSynth this family is NOT DuckDB-mirrored — it feeds the
+  * scale-exponent harness ([[graft.Scale]]), not correctness oracles — so
+  * the draws ride codegen'd `xxhash64` instead of md5 (30 M word draws at
+  * the 100× scale would spend minutes in interpreted md5-string
+  * expressions for no benefit).
+  *
+  * Structure, chosen to make scale exponents MEANINGFUL:
+  *  - 10% of docs are near-duplicates: doc i with i%10==1 copies doc i−1
+  *    with ~2% of words mutated — a constant planted-dup rate, so true
+  *    near-dup pairs grow LINEARLY in n by construction.
+  *  - the vocabulary grows with the corpus (V(n) = max(2000, n/2)) —
+  *    Heaps' law, the property of real corpora that keeps posting lists
+  *    from densifying; with a FIXED vocabulary any inverted-index join is
+  *    inherently Θ(n²/V), which is a property of the data, not the
+  *    algorithm. SCALE.md documents this assumption.
+  */
+object ScaleSynth {
+
+  private def draw(key: Column, salt: String, m: Long): Column =
+    pmod(xxhash64(key, lit(salt)), lit(m))
+
+  /** doc i copies doc i−1 when i%10==1 (and i>0): the base id whose
+    * draws the copy re-reads.
+    */
+  private def baseId(i: Column): Column =
+    when(i % 10 === 1 && i > 0, i - 1).otherwise(i)
+
+  /** (doc_id, text): ~40–79 space-joined words; copies mutate ~2% of
+    * word slots ("m…" tokens never collide with the "w…" pool).
+    */
+  def documents(s: SparkSession, n: Long): DataFrame = {
+    val vocab = math.max(2000L, n / 2)
+    val i = col("id")
+    val b = baseId(i)
+    val len = lit(40L) + draw(b, "len", 40L)
+    // ~20% of slots carry an English marker word so the docs pass the
+    // curation funnel's language gate (and pull mean word length into a
+    // realistic range); the rest draw from the growing "w<id>" pool
+    val markers = array(Seq("the", "and", "of", "to", "in").map(lit): _*)
+    // pool ids render as LETTERS (digit→letter translate): the text
+    // operators tokenize on alpha runs (TextOps.tokens mirrors the
+    // reference's isalpha filter), so "w123"-style words would all
+    // collapse to "w" and every doc would look like a near-dup
+    def alphaWord(prefix: String, id: Column): Column =
+      concat(lit(prefix),
+        translate(id.cast("string"), "0123456789", "abcdefghij"))
+    val words = transform(sequence(lit(1L), len), j => {
+      val key = concat_ws("_", b, j)
+      val baseWord = when(draw(key, "mk", 5L) === 0L,
+        element_at(markers, (draw(key, "mkw", 5L) + 1L).cast("int")))
+        .otherwise(alphaWord("w", draw(key, "w", vocab)))
+      val mutated = alphaWord("m", draw(concat_ws("_", i, j), "mw", vocab))
+      when(i =!= b && draw(concat_ws("_", i, j), "mut", 100L) < 2, mutated)
+        .otherwise(baseWord)
+    })
+    s.range(n).select(i.as("doc_id"), concat_ws(" ", words).as("text"))
+  }
+
+  /** (vec_id, embedding float[dim]): components in [−1, 1]; copies get a
+    * ±0.01 per-component perturbation of their base vector.
+    */
+  def embeddings(s: SparkSession, n: Long, dim: Int = 64): DataFrame = {
+    val i = col("id")
+    val b = baseId(i)
+    val comps = transform(sequence(lit(0L), lit(dim - 1L)), d => {
+      val base = (draw(concat_ws("_", b, d), "e", 2001L) - 1000L)
+        .cast("double") / 1000.0
+      val jitter = (draw(concat_ws("_", i, d), "ej", 21L) - 10L)
+        .cast("double") / 1000.0
+      (when(i =!= b, base + jitter).otherwise(base)).cast("float")
+    })
+    s.range(n).select(i.as("vec_id"), comps.as("embedding"))
+  }
+
+  /** (key_id, key): 24-char hex-ish strings; copies substitute exactly
+    * one position with 'z' (never in the hex alphabet → edit distance 1).
+    */
+  def keys(s: SparkSession, n: Long): DataFrame = {
+    val i = col("id")
+    val b = baseId(i)
+    val base24 = concat(
+      lpad(hex(draw(b, "k1", Long.MaxValue)), 8, "0"),
+      lpad(hex(draw(b, "k2", Long.MaxValue)), 8, "0"),
+      lpad(hex(draw(b, "k3", Long.MaxValue)), 8, "0"))
+    val p = (draw(i, "kp", 24L) + 1L).cast("int")
+    val key = when(i =!= b,
+      concat(base24.substr(lit(1), p - 1), lit("z"),
+        base24.substr(p + 1, lit(24) - p)))
+      .otherwise(base24)
+    s.range(n).select(i.as("key_id"), key.as("key"))
+  }
+}

@@ -568,4 +568,24 @@ class PlansSpec extends SparkSpecBase {
     assert(s.contains("BroadcastExchange"), s)
     assert(!s.contains("CartesianProduct"), s)
   }
+
+  test("sparse radius join: vectors stay UDT end to end — no vector_to_array " +
+    "densification node anywhere in the plan (the r9 NearMiss/SMOTE win)") {
+    import org.apache.spark.ml.linalg.Vectors
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Vectors.sparse(3019, Array(0, 7), Array(1.0, 2.0))),
+      (2L, Vectors.sparse(3019, Array(0, 9), Array(1.0, 1.0))),
+      (3L, Vectors.sparse(3019, Array(7, 11), Array(3.0, 1.0)))
+    ).toDF("id", "features")
+    val df = graft.ml.NativeLsh.radiusJoin(
+      vecs, vecs, "id", "features", radius = 12.0, bucketLength = 6.0,
+      dim = 3019, sparseAware = true)
+    val s = explainStr(df)
+    // the sparse path bands and measures through the native vector_dot
+    // expression; a vector_to_array anywhere would re-materialize every
+    // 3,019-wide row as a 24 KB dense array per collision
+    assert(!s.contains("vector_to_array"), s)
+    assert(s.toLowerCase.contains("vector_dot"), s)
+  }
 }

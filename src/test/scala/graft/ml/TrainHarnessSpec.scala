@@ -40,6 +40,25 @@ class TrainHarnessSpec extends SparkSpecBase {
       s"RF AUC not flat past 300 trees: 300=${aucs(300)} 500=${aucs(500)} 900=${aucs(900)}")
   }
 
+  test("compactForFit: shrinks toward ~8k rows/task via coalesce, never " +
+    "below the input's own parallelism on a large train") {
+    val df32 = spark.range(0, 1000, 1, 32).toDF("id")
+    // metrics-scale trains compact hard (the r9 win this protects):
+    // 4,720 rows -> 2 tasks, 36,047 -> 4, 67,476 -> 8
+    assert(TrainHarness.compactForFit(df32, 4720L).rdd.getNumPartitions == 2)
+    assert(TrainHarness.compactForFit(df32, 36047L).rdd.getNumPartitions == 4)
+    assert(TrainHarness.compactForFit(df32, 67476L).rdd.getNumPartitions == 8)
+    // a genuinely large train KEEPS its natural partitioning — the clamp
+    // must never serialize a cluster-scale fit (r9 advisory)
+    assert(TrainHarness.compactForFit(df32, 10_000_000L) eq df32)
+    val df4 = spark.range(0, 100, 1, 4).toDF("id")
+    assert(TrainHarness.compactForFit(df4, 10_000_000L) eq df4)
+    // the shrink is shuffle-free: a coalesce, not a repartition exchange
+    val shrunk = TrainHarness.compactForFit(df32, 4720L)
+    val planStr = shrunk.queryExecution.executedPlan.toString
+    assert(!planStr.contains("Exchange"), s"compaction shuffled:\n$planStr")
+  }
+
   test("logisticL1Margins: margin sign agrees with probability threshold (M15)") {
     val scored = TrainHarness.logisticL1Margins(df, df, "features", "label")
     val rows = scored.select("margin", "score").collect()

@@ -69,39 +69,54 @@ class MimicTrainSpec extends SparkSpecBase {
     assert(aucs(300) > 0.55 && aucs(300) < 0.75, s"RF AUC ${aucs(300)} outside the band")
   }
 
-  test("cell-66 resampler finding: RUS best in the 0.640 band, base worst at 0.501") {
+  test("cell-66 resampler table: all FIVE rows land in per-row published bands, " +
+    "interior order included") {
     // the published table's metric is roc_curve on BINARY predictions
     // ((recall+specificity)/2); each strategy fits at the CV-winning C of
-    // the committed mimic_resampler_bench run (base 0.01 / ROS 10 / RUS
-    // 0.01) at λ = 1/(n·C) — the full 5-fold × 4-value grid runs in the
-    // query itself, the spec pins the finding at a fraction of the cost.
-    // SMOTE/NearMiss rows ride the query (their LSH generation dominates
-    // a local[4] suite); their published-ordering slots are interior, so
-    // the extremes pinned here are the finding.
+    // the committed mimic_resampler_bench run (base/NearMiss/RUS 0.01,
+    // SMOTE 0.1, ROS 10) at λ = 1/(n·C) — the full 5-fold × 4-value grid
+    // runs in the query itself, the spec pins the table at a fraction of
+    // the cost. Per-row bands bracket BOTH the published value and this
+    // engine's committed measurement (published/measured: base
+    // 0.501/0.502, NearMiss 0.510/0.510, SMOTE 0.581/0.572, ROS
+    // 0.588/0.582, RUS 0.640/0.676), so generator drift cannot silently
+    // reorder the interior slots (r9 verdict ask #5). LSH radii sized for
+    // the unstandardized feature space, same as the query.
     val full = MimicPipeline.assembled(spark)
     val train = full.filter(col("split") === "train").select("id", "features", "label")
     val test = full.filter(col("split") === "test").select("id", "features", "label")
     val strategies = Seq(
-      ("base", train, 0.01),
-      ("oversample", graft.ml.Resamplers.randomOversample(train, "label", 42L), 10.0),
-      ("undersample", graft.ml.Resamplers.randomUndersample(train, "label", 42L), 0.01))
-    val preds = strategies.map { case (name, tr, c) =>
+      ("base", () => train, 0.01),
+      ("smote", () => graft.ml.Resamplers.smote(
+        train, "id", "label", "features", 42L, 6.0, 5, 12.0), 0.1),
+      ("oversample", () => graft.ml.Resamplers.randomOversample(train, "label", 42L), 10.0),
+      ("nearmiss", () => graft.ml.Resamplers.nearMiss(
+        train, "id", "label", "features", 42L, 6.0, 12.0, 2000L), 0.01),
+      ("undersample", () => graft.ml.Resamplers.randomUndersample(train, "label", 42L), 0.01))
+    val preds = strategies.map { case (name, mk, c) =>
+      val tr = mk().select(col("features"), col("label"))
       val n = tr.count()
-      val scored = graft.ml.TrainHarness.logisticL1Margins(
-        tr, test, "features", "label", regParam = 1.0 / (n * c)).cache()
-      try name -> graft.ml.Metrics.aucRocFromPredictions(scored, "score", "label")
-      finally scored.unpersist()
+      val fit = graft.ml.TrainHarness.compactForFit(tr, n).cache()
+      fit.count()
+      try {
+        val scored = graft.ml.TrainHarness.logisticL1Margins(
+          fit, test, "features", "label", regParam = 1.0 / (n * c)).cache()
+        try name -> graft.ml.Metrics.aucRocFromPredictions(scored, "score", "label")
+        finally scored.unpersist()
+      } finally fit.unpersist()
     }.toMap
-    // published: base 0.501 / ROS 0.588 / RUS 0.640 (best)
-    assert(preds("base") > 0.48 && preds("base") < 0.53,
-      s"base ${preds("base")} outside the 0.501 band")
-    assert(preds("oversample") > 0.54 && preds("oversample") < 0.65,
-      s"ROS ${preds("oversample")} outside the 0.588 band")
-    assert(preds("undersample") > 0.60 && preds("undersample") < 0.72,
-      s"RUS ${preds("undersample")} outside the 0.640 band")
-    assert(preds("base") < preds("oversample") &&
+    val bands = Map(
+      "base" -> (0.48, 0.53), "nearmiss" -> (0.49, 0.56),
+      "smote" -> (0.54, 0.61), "oversample" -> (0.55, 0.62),
+      "undersample" -> (0.62, 0.71))
+    bands.foreach { case (name, (lo, hi)) =>
+      assert(preds(name) > lo && preds(name) < hi,
+        s"$name ${preds(name)} outside its published band ($lo, $hi)")
+    }
+    assert(preds("base") < preds("nearmiss") && preds("nearmiss") < preds("smote") &&
+      preds("smote") < preds("oversample") &&
       preds("oversample") < preds("undersample"),
-      s"published ordering violated: $preds")
+      s"published 5-row ordering violated: $preds")
   }
 
   test("the three published RF rows: 0.623 default / 0.695 n=300 / 0.701 oversampled") {
