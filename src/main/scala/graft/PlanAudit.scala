@@ -88,6 +88,16 @@ object PlanAudit {
         |window runs over the 5-row feature list (bounded by the declared
         |feature set, never data). The top-n cut is a broadcast crossJoin
         |of two tiny frames.""",
+    "mimic_feature_select" ->
+      """M14's selection half at MIMIC scale (3,019 features): the token
+        |stream explodes once and partial-aggs map-side to (word, doc,
+        |label) counts with the ≤3,000-word vocabulary BROADCAST onto it;
+        |zero-completion is a |features|×2 crossJoin of two tiny frames;
+        |the MI windows run over the ≤|features|×|values|×2 joint-count
+        |table (bounded by the value space, never the corpus), and the
+        |final rank window sees 3,019 rows. At crawl scale the corpus is
+        |scanned once per feature family and everything after the first
+        |hash-agg is feature-sized.""",
     "q1_agg" ->
       """Scan-level `PushedFilters` on `l_shipdate` and a `ReadSchema` of only
         |the 7 touched columns (of 16): the filter and projection reach the
