@@ -3868,6 +3868,19 @@ object SparkEntry {
           (least(floor(col("days_next") / 30.0), lit(11L)) * 30).cast("long"))
         .groupBy("bin_days").agg(count(lit(1)).as("n"))),
 
+    // the py:75-76 readout over the same pre-filter frame: "Number with a
+    // readmission / Total Number" — count of non-null DAYS_NEXT_ADMIT vs
+    // all admissions (NEWBORN/death rows included; the filters come later)
+    "mimic_readmit_counts" -> ((s, d) =>
+      graft.ops.CohortOps.labelNextEvent(
+        graft.sources.MimicSynth.admissions(s),
+        entityCol = "SUBJECT_ID", timeCol = "ADMITTIME",
+        typeCol = "ADMISSION_TYPE", tieCol = "HADM_ID",
+        excludedType = "ELECTIVE", horizonDays = 30.0, anchorCol = "DISCHTIME")
+        .agg(
+          sum(when(col("days_next").isNotNull, 1L).otherwise(0L)).as("n_readmit"),
+          count(lit(1)).as("n_total"))),
+
     // the reference's 80/20 split golden (BASELINE.md "train / test"):
     // the 45,059 modeling rows (cohort − the 17 missing-DOB dropna rows)
     // hash-split to EXACTLY train 36,047 / test 9,012 with 2,360 / 598
@@ -7934,6 +7947,13 @@ object SparkEntry {
          |FROM mcohort
          |WHERE days_next IS NOT NULL AND days_next >= 0 AND days_next <= 360
          |GROUP BY 1""".stripMargin,
+
+    "mimic_readmit_counts" ->
+      s"""WITH ${graft.sources.MimicSynth.cohortCtes}
+         |SELECT CAST(SUM(CASE WHEN days_next IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_readmit,
+         |       CAST(count(*) AS BIGINT) AS n_total
+         |FROM mcohort""".stripMargin,
 
     "mimic_split_counts" ->
       s"""WITH ${graft.sources.MimicSynth.modelingCtes}

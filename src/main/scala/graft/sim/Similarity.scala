@@ -215,6 +215,16 @@ object Similarity {
 
   /** Near-dup pairs via RHP-LSH candidates + exact cosine verify.
     * Output: (keep_id, dup_id, cosine) with keep_id < dup_id.
+    *
+    * SIZING RULE (measured, SCALE.md): `bitsPerBand` must grow with the
+    * corpus — expected candidates per band are Θ(n² / 2^bits), so a fixed
+    * bucket space turns the candidate join quadratic exactly like an
+    * undersized FAISS `nlist` (at 200k vectors the 6-bit default spilled
+    * ~80 GB of shuffle before dying). Target ~32 vectors per band-bucket:
+    * `bitsPerBand ≈ log2(n/32)`, i.e. 6 bits at 2k vectors (this default,
+    * which the exactly-oracled d_embed_neardup row pins at test scale),
+    * 13 bits at 200k, 23 bits at 200M. Recall per band falls as bits
+    * rise; compensate with `bands` if the dup cosine threshold is low.
     */
   def rhpNearDupPairs(
       emb: DataFrame,

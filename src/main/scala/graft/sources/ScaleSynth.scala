@@ -43,9 +43,13 @@ object ScaleSynth {
     val i = col("id")
     val b = baseId(i)
     val len = lit(40L) + draw(b, "len", 40L)
-    // ~20% of slots carry an English marker word so the docs pass the
-    // curation funnel's language gate (and pull mean word length into a
-    // realistic range); the rest draw from the growing "w<id>" pool
+    // ~5% of slots carry an English marker word so the docs pass the
+    // curation funnel's language gate (≈3 markers/doc). The rate is
+    // deliberately LOW: shared high-frequency tokens bias SimHash's
+    // majority-vote bits identically across unrelated docs, collapsing
+    // the pigeonhole chunks into hot buckets — at 20% markers the 500k
+    // SimHash candidate join went quadratic (a data-realism artifact:
+    // real stopword mass spreads over hundreds of types, not 5)
     val markers = array(Seq("the", "and", "of", "to", "in").map(lit): _*)
     // pool ids render as LETTERS (digit→letter translate): the text
     // operators tokenize on alpha runs (TextOps.tokens mirrors the
@@ -56,7 +60,7 @@ object ScaleSynth {
         translate(id.cast("string"), "0123456789", "abcdefghij"))
     val words = transform(sequence(lit(1L), len), j => {
       val key = concat_ws("_", b, j)
-      val baseWord = when(draw(key, "mk", 5L) === 0L,
+      val baseWord = when(draw(key, "mk", 20L) === 0L,
         element_at(markers, (draw(key, "mkw", 5L) + 1L).cast("int")))
         .otherwise(alphaWord("w", draw(key, "w", vocab)))
       val mutated = alphaWord("m", draw(concat_ws("_", i, j), "mw", vocab))
