@@ -4236,9 +4236,12 @@ object SparkEntry {
         s.createDataFrame(s.sparkContext.parallelize(rows, 1), readout.schema)
       } finally {
         import scala.jdk.CollectionConverters._
-        if (java.nio.file.Files.exists(path))
-          java.nio.file.Files.walk(path).iterator().asScala.toSeq
+        if (java.nio.file.Files.exists(path)) {
+          val walk = java.nio.file.Files.walk(path)
+          try walk.iterator().asScala.toSeq
             .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
+          finally walk.close()
+        }
       }
     }),
 
