@@ -676,7 +676,15 @@ object SparkEntry {
       val ap = li.groupBy("l_returnflag").agg(
         expr("approx_percentile(l_quantity, 0.5D, 10000)").as("q50a"),
         expr("approx_percentile(l_extendedprice, 0.9D, 10000)").as("p90a"))
-      val eps = lit(1.0 / 10000.0)
+      // Spark's documented accuracy contract (ApproximatePercentile):
+      // floor((p−err)·N) ≤ rank(x) ≤ ceil((p+err)·N) with err = 1/accuracy.
+      // rank(x) spans [count(<x)+1, count(≤x)], so the audit is
+      //   count(≤x) ≥ floor((p−err)·N)   and   count(<x) < ceil((p+err)·N)
+      // — floor/ceil matter: the real-valued bound is up to one rank
+      // stricter and a CONFORMING sketch could flip the boolean
+      val eps = 1.0 / 10000.0
+      def inBounds(lt: Column, le: Column, p: Double): Column =
+        le >= floor(col("n") * (p - eps)) && lt < ceil(col("n") * (p + eps))
       li.join(broadcast(ap), "l_returnflag")
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"),
@@ -685,10 +693,8 @@ object SparkEntry {
           sum(when(col("l_extendedprice") < col("p90a"), 1L).otherwise(0L)).as("ltp"),
           sum(when(col("l_extendedprice") <= col("p90a"), 1L).otherwise(0L)).as("lep"))
         .select(col("l_returnflag"), col("n"),
-          (col("ltq") < col("n") * (eps + 0.5) && col("leq") >= col("n") * (lit(0.5) - eps))
-            .as("q50_in_bounds"),
-          (col("ltp") < col("n") * (eps + 0.9) && col("lep") >= col("n") * (lit(0.9) - eps))
-            .as("p90_in_bounds"))
+          inBounds(col("ltq"), col("leq"), 0.5).as("q50_in_bounds"),
+          inBounds(col("ltp"), col("lep"), 0.9).as("p90_in_bounds"))
     }),
 
     // exact mode per group with a deterministic tiebreak (highest count,
@@ -4124,12 +4130,17 @@ object SparkEntry {
       val full = graft.pipeline.MimicPipeline.assembled(s)
       val train = full.filter(col("split") === "train").select("features", "label")
       val test = full.filter(col("split") === "test").select("features", "label")
+      // slot layout mirrors the VectorAssembler order: BoW block first,
+      // then diag cats, age, gender — offsets DERIVED from vocab.length
+      // (normally 3,000) so a smaller vocabulary cut can never silently
+      // misalign the slices
       val vocab = graft.pipeline.MimicPipeline.vocabulary(s)
+      val nv = vocab.length
+      val cats = graft.pipeline.MimicPipeline.diagCats
       val slotOf: Map[String, Int] =
         vocab.zipWithIndex.map { case (w, i) => s"bow:$w" -> i }.toMap ++
-          graft.pipeline.MimicPipeline.diagCats.zipWithIndex
-            .map { case (c, i) => s"diag_$c" -> (3000 + i) }.toMap ++
-          Map("age" -> 3017, "gender_m" -> 3018)
+          cats.zipWithIndex.map { case (c, i) => s"diag_$c" -> (nv + i) }.toMap ++
+          Map("age" -> (nv + cats.length), "gender_m" -> (nv + cats.length + 1))
       // bounded collect: the 2,900-name ranked prefix (the sweep's
       // declared depth), not data
       val ranked = graft.pipeline.MimicPipeline.miRanking(s)

@@ -106,28 +106,13 @@ object FeatureScoring {
     * one shuffle regardless of how many features are scored.
     */
   def mutualInfoAll(df: DataFrame, featureCols: Seq[String], labelCol: String): DataFrame = {
-    val s = org.apache.spark.sql.SparkSession.active
-    import s.implicits._
     val stacked = df.select(
       explode(array(featureCols.map(c =>
         struct(lit(c).as("feature"), col(c).cast("string").as("x"))): _*)).as("fx"),
       col(labelCol).cast("string").as("y"))
-      .select(col("fx.feature").as("feature"), col("fx.x").as("x"), col("y"))
-    // marginals via windows over the contingency table, not self-joins:
-    // window partitions group NULL category values together (null-safe,
-    // matching the driver-side mutualInfo), while an equi-join would drop
-    // every NULL-valued cell from the sum; also one pass, nothing cached
-    val wf = org.apache.spark.sql.expressions.Window.partitionBy("feature")
-    val wx = org.apache.spark.sql.expressions.Window.partitionBy("feature", "x")
-    val wy = org.apache.spark.sql.expressions.Window.partitionBy("feature", "y")
-    stacked.groupBy("feature", "x", "y").agg(count(lit(1)).as("nxy"))
-      .withColumn("n", sum("nxy").over(wf))
-      .withColumn("nx", sum("nxy").over(wx))
-      .withColumn("ny", sum("nxy").over(wy))
-      .withColumn("term",
-        (col("nxy") / col("n")) *
-          log((col("nxy") * col("n")).cast("double") / (col("nx") * col("ny"))))
-      .groupBy("feature").agg(sum("term").as("mutual_info"))
+      .select(col("fx.feature").as("feature"), col("fx.x").as("v"), col("y"))
+    mutualInfoFromCounts(
+      stacked.groupBy("feature", "v", "y").agg(count(lit(1)).as("nxy")))
   }
 
   /** Plug-in MI per feature from a PRE-AGGREGATED joint-count frame
@@ -138,6 +123,10 @@ object FeatureScoring {
     * cells are ignored (they contribute 0 to the sum). Cardinality:
     * |features| × |values| × |labels| rows in, |features| rows out — the
     * window partitions are bounded by the value-space, never data size.
+    * Marginals ride windows, not self-joins: window partitions group
+    * NULL category values together (null-safe, matching the driver-side
+    * [[mutualInfo]]) where an equi-join would drop every NULL-valued
+    * cell from the sum.
     */
   def mutualInfoFromCounts(cells: DataFrame): DataFrame = {
     val wf = org.apache.spark.sql.expressions.Window.partitionBy("feature")

@@ -246,11 +246,19 @@ object Metrics {
     * [[aucRocDf]]).
     */
   def aucPrReordered(scored: DataFrame, scoreCol: String, labelCol: String): Double = {
-    // sklearn's precision_recall_curve appends a terminal
-    // (precision=1, recall=0) point that the threshold sweep itself never
-    // produces — union it in so the precision-ascending integral carries
-    // the same final segment the reference integrated
-    val pts = prPoints(scored, scoreCol, labelCol)
+    // two sklearn `precision_recall_curve` boundary behaviors the raw
+    // threshold sweep doesn't have: (1) it appends a terminal
+    // (precision=1, recall=0) point — unioned in below; (2) it TRUNCATES
+    // the curve at the first threshold reaching full recall
+    // (_binary_clf_curve slices from tps.searchsorted(tps[-1])), so the
+    // sub-minimum-positive thresholds — where recall is pinned at 1 and
+    // precision decays toward prevalence — are never integrated. Keep
+    // every partial-recall point plus ONLY the highest-threshold
+    // full-recall point, then integrate precision-ascending.
+    val raw = prPoints(scored, scoreCol, labelCol)
+    val full = raw.filter(col("recall") >= 1.0)
+      .orderBy(desc("threshold")).limit(1)
+    val pts = raw.filter(col("recall") < 1.0).unionByName(full)
       .select(col("recall"), col("precision_"))
       .union(scored.sparkSession.range(1)
         .select(lit(0.0).as("recall"), lit(1.0).as("precision_")))

@@ -142,9 +142,19 @@ object MimicPipeline {
       .filter(col("split") === "train")
       .select(col("HADM_ID"), col("SUBJECT_ID"), col("label").as("y"))
     val tot = train.groupBy("y").agg(count(lit(1)).as("ny"))
-    // the matrix vocabulary (slot order is irrelevant here; the sweep
-    // maps names back to slots via vocabulary())
-    val vocabDf = vocabulary(s).toSeq.toDF("word")
+    // the matrix vocabulary, DERIVED here with the same query the matrix
+    // build runs (top-3000 by count desc, word asc over the modeling
+    // rows' notes) rather than via vocabulary(s): the ranking only needs
+    // the word SET, and forcing the full 45k × 3,019 assembly + its
+    // session-lifetime cache pin just to read a word list would make a
+    // select-only session pay the whole matrix build. The sweep, which
+    // needs SLOT ORDER, still goes through vocabulary(s).
+    val vocabDf = MimicSynth.notes(s)
+      .filter(col("CATEGORY") === "Discharge summary")
+      .select(col("HADM_ID"), explode(split(col("TEXT"), " ")).as("word"))
+      .join(MimicSynth.modelingRows(s).select("HADM_ID"), "HADM_ID")
+      .groupBy("word").agg(count(lit(1)).as("_c"))
+      .orderBy(desc("_c"), asc("word")).limit(3000).select("word")
     val bowPairs = MimicSynth.notes(s)
       .filter(col("CATEGORY") === "Discharge summary")
       .select(col("HADM_ID"), explode(split(col("TEXT"), " ")).as("word"))
