@@ -75,13 +75,16 @@ object PlanAudit {
         |hash-agg run on ≤200 rows. At crawl scale the corpus is scanned
         |twice (once per leg) and shuffled once.""",
     "mimic_csv_roundtrip" ->
-      """The reference's persisted-artifact path (HapProjectCleaned.csv)
-        |at MIMIC scale: the cleaned cohort is written one CSV file per
-        |partition (never a driver-side collect), re-read as a distributed
-        |scan with the declared schema, and reduced by one hash-agg to a
-        |2-row readout. The plan's only exchanges are the cohort labeling
-        |window's subject shuffle and the final 2-group agg — the
-        |sink/source hop adds file IO, not plan shape.""",
+      """The reference's persisted-artifact path at MIMIC scale. The
+        |roundtrip executes EAGERLY inside the query — the cohort is
+        |written one CSV file per partition by the distributed sink, re-
+        |read as a distributed scan with the declared schema, reduced by
+        |one hash-agg, and only the 2-row readout is collected (so the
+        |scratch CSV can be deleted before returning). The dumped plan is
+        |therefore just the 2-row local handoff; the distributed halves
+        |are pinned elsewhere: the sink's one-file-per-partition contract
+        |in Sinks.csv (+ its spec) and the content by the exact DuckDB
+        |oracle hash over all 45,321 rows.""",
     "ml_feature_select" ->
       """The MI ranking collapses the sampled feature table to ≤ a few
         |hundred contingency rows in one explode + hash-agg; the rank

@@ -55,9 +55,10 @@ object Scale {
     val docScales = scalesEnv("SPARK_GRAFT_SCALE_DOCS", Seq(5000L, 50000L, 500000L))
     val embScales = scalesEnv("SPARK_GRAFT_SCALE_EMBS", Seq(2000L, 20000L, 200000L))
     // the quadratic tier is measured only at small n (that is the point);
-    // sized so the larger point is COMPUTE-bound (128M pairs), not
-    // job-overhead-bound — otherwise its time exponent under-reads
-    val bruteScales = scalesEnv("SPARK_GRAFT_SCALE_BRUTE", Seq(4000L, 16000L))
+    // sized so BOTH points are COMPUTE-bound (32M / 512M pairs — ~0.3 s of
+    // Spark job overhead under-reads the exponent when a point's true
+    // compute is comparable to it)
+    val bruteScales = scalesEnv("SPARK_GRAFT_SCALE_BRUTE", Seq(8000L, 32000L))
 
     def cachedDocs(n: Long): DataFrame = {
       val d = graft.sources.ScaleSynth.documents(spark, n)
@@ -75,140 +76,120 @@ object Scale {
       k.count(); k
     }
 
-    // per (operator, n): generation is cached OUTSIDE the timed section;
-    // the measured body runs twice, min taken (damps JIT/GC noise).
-    // Deterministic side measurements (candidate counts) go in `once` —
-    // they'd otherwise re-run full-corpus jobs per rep for no benefit.
-    def measure(mk: () => DataFrame, run: DataFrame => Point,
-                once: DataFrame => Long = _ => -1L): Point = {
-      val in = mk()
-      try {
-        val cand = once(in)
-        val a = run(in); val b = run(in)
-        val best = if (a.sec <= b.sec) a else b
-        best.copy(candidates = cand)
-      } finally in.unpersist()
+    // An operator under measurement: `run` is timed (twice, min taken —
+    // damps JIT/GC noise); `once` carries deterministic side measurements
+    // (candidate counts) that would otherwise re-run full-corpus jobs per
+    // rep for no benefit. Corpora are generated and cached ONCE PER SCALE
+    // and shared by every operator at that scale — generation (the
+    // per-word hash draws) is the harness's cost center.
+    case class Op(name: String,
+                  run: DataFrame => (Long, Double),
+                  once: DataFrame => Long = _ => -1L)
+
+    def measureAll(scales: Seq[Long], mk: Long => DataFrame, ops: Seq[Op],
+                   results: scala.collection.mutable.LinkedHashMap[String, Seq[Point]]): Unit = {
+      ops.foreach(op => if (!results.contains(op.name)) results(op.name) = Seq())
+      scales.foreach { n =>
+        val in = mk(n)
+        try ops.foreach { op =>
+          val cand = op.once(in)
+          val (r1, s1) = op.run(in)
+          val (r2, s2) = op.run(in)
+          val p = if (s1 <= s2) Point(n, s1, r1, cand) else Point(n, s2, r2, cand)
+          results(op.name) = results(op.name) :+ p
+        } finally in.unpersist()
+      }
     }
 
     val results = scala.collection.mutable.LinkedHashMap[String, Seq[Point]]()
 
-    // ---- MinHash-LSH near-dup pairs -----------------------------------
-    results("d_minhash_pairs (MinHash-LSH)") = docScales.map { n =>
-      measure(() => cachedDocs(n), { docs =>
-        val (rows, sec) = timeIt(
-          graft.dedup.Dedup.minhashLshPairs(docs, "doc_id", "text").count())
-        Point(n, sec, rows, -1L)
-      }, once = { docs =>
+    val docOps = Seq(
+      Op("d_minhash_pairs (MinHash-LSH)",
+        run = docs => timeIt(
+          graft.dedup.Dedup.minhashLshPairs(docs, "doc_id", "text").count()),
         // candidate pairs = Σ (bucket size choose 2) over (band, bucket):
         // exactly what the band join materializes before the pair dedup
-        graft.dedup.Dedup
+        once = docs => graft.dedup.Dedup
           .minhashBandsPerRow(docs, "doc_id", "text")
           .groupBy("band", "bucket").agg(count(lit(1)).as("c"))
           .agg(sum((col("c") * (col("c") - 1) / 2).cast("long")).as("cand"))
-          .collect()(0).getLong(0)
-      })
-    }
-
-    // ---- prefix-filter Jaccard set-similarity join --------------------
-    results("d_prefix_jaccard (PPJoin prefix filter)") = docScales.map { n =>
-      measure(() => cachedDocs(n), { docs =>
-        val (pair, release) = graft.dedup.Dedup
-          .prefixJaccardPairsReleasable(docs, "doc_id", "text", threshold = 0.9)
-        val (rows, sec) = timeIt(pair.count())
-        release()
-        Point(n, sec, rows, -1L)
-      }, once = { docs =>
+          .collect()(0).getLong(0)),
+      Op("d_prefix_jaccard (PPJoin prefix filter)",
+        run = docs => {
+          val (pair, release) = graft.dedup.Dedup
+            .prefixJaccardPairsReleasable(docs, "doc_id", "text", threshold = 0.9)
+          val out = timeIt(pair.count())
+          release()
+          out
+        },
         // candidate upper bound the prefix index admits: Σ (posting-list
         // size choose 2) over indexed prefix tokens (before size filter)
-        val toks = docs.select(col("doc_id").as("_id"),
-          explode(array_distinct(graft.text.TextOps.tokens(col("text")))).as("tok"))
-        val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("_df"))
-        val ordered = toks.join(dfreq, "tok")
-          .groupBy("_id")
-          .agg(sort_array(collect_list(struct(col("_df"), col("tok")))).as("_ord"))
-          .select(col("_id"),
-            transform(col("_ord"), x => x.getField("tok")).as("_toks"),
-            size(col("_ord")).as("_sz"))
-        val prefLen = (col("_sz") - ceil(col("_sz") * lit(0.9)).cast("int") + 1)
-        ordered
-          .select(explode(slice(col("_toks"), lit(1), prefLen)).as("ptok"))
-          .groupBy("ptok").agg(count(lit(1)).as("c"))
-          .agg(sum((col("c") * (col("c") - 1) / 2).cast("long")).as("cand"))
-          .collect()(0).getLong(0)
-      })
-    }
+        once = docs => {
+          val toks = docs.select(col("doc_id").as("_id"),
+            explode(array_distinct(graft.text.TextOps.tokens(col("text")))).as("tok"))
+          val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("_df"))
+          val ordered = toks.join(dfreq, "tok")
+            .groupBy("_id")
+            .agg(sort_array(collect_list(struct(col("_df"), col("tok")))).as("_ord"))
+            .select(col("_id"),
+              transform(col("_ord"), x => x.getField("tok")).as("_toks"),
+              size(col("_ord")).as("_sz"))
+          val prefLen = (col("_sz") - ceil(col("_sz") * lit(0.9)).cast("int") + 1)
+          ordered
+            .select(explode(slice(col("_toks"), lit(1), prefLen)).as("ptok"))
+            .groupBy("ptok").agg(count(lit(1)).as("c"))
+            .agg(sum((col("c") * (col("c") - 1) / 2).cast("long")).as("cand"))
+            .collect()(0).getLong(0)
+        }),
+      Op("d_simhash_pairs (SimHash pigeonhole)",
+        run = docs => timeIt(
+          graft.dedup.Dedup.simhashPairs(docs, "doc_id", "text").count())),
+      Op("pipeline_curation (staged funnel)",
+        run = docs => timeIt(
+          graft.text.Curation.funnel(
+            docs.filter(col("doc_id") % 100 =!= 0),
+            docs.filter(col("doc_id") % 100 === 0),
+            "doc_id", "text",
+            minTokens = 15, maxTokens = 100000,
+            minMeanLen = 2.0, maxMeanLen = 8.0, minTtr = 0.2).count())))
+    measureAll(docScales, cachedDocs, docOps, results)
 
-    // ---- SimHash near-dup pairs (pigeonhole chunk blocking) -----------
-    results("d_simhash_pairs (SimHash pigeonhole)") = docScales.map { n =>
-      measure(() => cachedDocs(n), { docs =>
-        val (rows, sec) = timeIt(
-          graft.dedup.Dedup.simhashPairs(docs, "doc_id", "text").count())
-        Point(n, sec, rows, -1L)
-      })
-    }
-
-    // ---- embedding near-dup (RHP-LSH banding) -------------------------
     // the bucket space is SIZED TO THE CORPUS (the FAISS-nlist parameter
     // discipline): target ~32 vectors per band-bucket. This is the
     // harness's first real catch — with the fixed 6-bit default the
     // candidate join is Θ(n²/2⁶) and at 200k vectors it spilled the
     // machine's disk; with log-sized buckets it is near-linear. The
     // sizing rule is documented on rhpNearDupPairs.
-    results("d_embed_neardup (RHP-LSH, corpus-sized buckets)") = embScales.map { n =>
-      val bits = math.max(6, math.ceil(
-        math.log(n / 32.0) / math.log(2.0)).toInt)
-      measure(() => cachedEmb(n), { emb =>
-        val (rows, sec) = timeIt(
-          graft.sim.Similarity.rhpNearDupPairs(emb, "vec_id", "embedding",
-            dim = 64, threshold = 0.9, bitsPerBand = bits).count())
-        Point(n, sec, rows, -1L)
-      })
-    }
-
-    // ---- PassJoin edit-distance fuzzy keys ----------------------------
-    results("d_editdist_pairs (PassJoin segments)") = docScales.map { n =>
-      measure(() => cachedKeys(n), { keys =>
-        val (rows, sec) = timeIt(
-          graft.dedup.Dedup.editDistancePairs(keys, "key", maxDist = 2).count())
-        Point(n, sec, rows, -1L)
-      })
-    }
-
-    // ---- IVF-PQ ANN ----------------------------------------------------
-    results("sim_ivfpq_topk (IVF-PQ + rerank)") = embScales.map { n =>
-      measure(() => cachedEmb(n), { emb =>
-        val (rows, sec) = timeIt(
+    def rhpBits(n: Long): Int =
+      math.max(6, math.ceil(math.log(n / 32.0) / math.log(2.0)).toInt)
+    val embOps = Seq(
+      Op("d_embed_neardup (RHP-LSH, corpus-sized buckets)",
+        run = emb => {
+          val n = emb.count()
+          timeIt(graft.sim.Similarity.rhpNearDupPairs(emb, "vec_id", "embedding",
+            dim = 64, threshold = 0.9, bitsPerBand = rhpBits(n)).count())
+        }),
+      Op("sim_ivfpq_topk (IVF-PQ + rerank)",
+        run = emb => timeIt(
           graft.sim.Quantized.ivfPqTopK(emb, "vec_id", "embedding",
             dim = 64, m = 8, nCodes = 16, nPivots = 16, nprobe = 2,
-            nQueries = 10, rerank = 20, k = 5).count())
-        Point(n, sec, rows, -1L)
-      })
-    }
+            nQueries = 10, rerank = 20, k = 5).count())))
+    measureAll(embScales, cachedEmb, embOps, results)
 
-    // ---- curation funnel ------------------------------------------------
-    results("pipeline_curation (staged funnel)") = docScales.map { n =>
-      measure(() => cachedDocs(n), { docs =>
-        val (rows, sec) = timeIt(
-          graft.text.Curation.funnel(
-            docs.filter(col("doc_id") % 100 =!= 0),
-            docs.filter(col("doc_id") % 100 === 0),
-            "doc_id", "text",
-            minTokens = 15, maxTokens = 100000,
-            minMeanLen = 2.0, maxMeanLen = 8.0, minTtr = 0.2).count())
-        Point(n, sec, rows, -1L)
-      })
-    }
+    measureAll(docScales, cachedKeys, Seq(
+      Op("d_editdist_pairs (PassJoin segments)",
+        run = keys => timeIt(
+          graft.dedup.Dedup.editDistancePairs(keys, "key", maxDist = 2).count()))),
+      results)
 
     // ---- the quadratic counter-baseline --------------------------------
-    results("sim_cosine_pairs (exact all-pairs — the O(n²) oracle tier)") =
-      bruteScales.map { n =>
-        measure(() => cachedEmb(n), { emb =>
-          val (rows, sec) = timeIt(
-            graft.sim.Similarity.cosinePairs(emb, "vec_id", "embedding",
-              threshold = 0.8).count())
-          Point(n, sec, rows, -1L)
-        }, once = _ => n * (n - 1) / 2)
-      }
+    measureAll(bruteScales, cachedEmb, Seq(
+      Op("sim_cosine_pairs (exact all-pairs — the O(n²) oracle tier)",
+        run = emb => timeIt(
+          graft.sim.Similarity.cosinePairs(emb, "vec_id", "embedding",
+            threshold = 0.8).count()),
+        once = emb => { val n = emb.count(); n * (n - 1) / 2 })),
+      results)
 
     // ---- render ---------------------------------------------------------
     val sb = new StringBuilder

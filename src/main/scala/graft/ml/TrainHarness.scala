@@ -55,16 +55,15 @@ object TrainHarness {
     * every L-BFGS/tree pass a swarm of sub-millisecond tasks with
     * 3,019-wide per-task gradient buffers, so the merge costs more than
     * the compute (measured 107 s → 17 s for the ROS CV grid). The target
-    * is ~8k rows per task, floored at 2, and CAPPED AT THE INPUT'S OWN
-    * partition count so a genuinely large train keeps its natural
-    * parallelism; shrinking uses a shuffle-free `coalesce`. Returns the
-    * input unchanged when no shrink is needed.
+    * is ~8k rows per task, floored at 2; `coalesce` NEVER increases a
+    * frame's partition count, so a genuinely large train keeps its
+    * natural parallelism with no shuffle — and no plan execution: probing
+    * `df.rdd.getNumPartitions` instead would force AQE to materialize
+    * every shuffle stage of an uncached input once before the caller's
+    * own cache (a hidden double-execution of e.g. a SMOTE LSH join).
     */
-  def compactForFit(df: DataFrame, n: Long): DataFrame = {
-    val natural = df.rdd.getNumPartitions
-    val target = math.min(natural.toLong, math.max(2L, n / 8192L)).toInt
-    if (target < natural) df.coalesce(target) else df
-  }
+  def compactForFit(df: DataFrame, n: Long): DataFrame =
+    df.coalesce(math.min(Int.MaxValue.toLong, math.max(2L, n / 8192L)).toInt)
 
   /** RF fit + P(class=1) scores on the test set (reference M5).
     * `maxDepth` defaults to MLlib's 5; the oversampled-train pathology
@@ -261,10 +260,9 @@ object TrainHarness {
       // parallelism, and the shrink is a shuffle-free coalesce.
       val raw = mk().select(col(featuresCol), col(labelCol)).cache()
       val nTrain = raw.count()
-      val compact = compactForFit(raw, nTrain)
-      val resampled = if (compact eq raw) raw else compact.cache()
+      val resampled = compactForFit(raw, nTrain).cache()
       resampled.count()
-      if (!(compact eq raw)) raw.unpersist()
+      raw.unpersist()
       try {
         // sklearn-equivalent λ per C at THIS strategy's n (liblinear
         // minimizes ||w||₁ + C·Σloss ⇒ λ = 1/(n·C) in MLlib's mean-loss

@@ -132,6 +132,26 @@ object MimicPipeline {
     * combined), a broadcast vocab join, and windows over the ≤|features|
     * × |values| × 2 joint-count frame — never over the data.
     */
+  /** The MI ranking's own derivation of the matrix vocabulary: the
+    * top-3000 cut (count desc, word asc) over the modeling rows' note
+    * tokens — the SET [[assembled]] turns into BoW slots, without forcing
+    * the full 45k × 3,019 assembly + its session-lifetime cache pin (a
+    * select-only session shouldn't pay the matrix build). COUPLING
+    * CAUTION: this splits on a single space where the matrix build runs
+    * ml.Tokenizer (lowercase, \\s+) over the left-joined fillna(" ")
+    * frame — equivalent on the generated text (lowercase, single-spaced,
+    * non-empty notes), and MimicSynthSpec pins SET equality with
+    * [[vocabulary]] so a generator change that breaks the equivalence
+    * fails the suite instead of crashing the sweep's slot lookup.
+    */
+  private[graft] def rankingVocabulary(s: SparkSession): DataFrame =
+    MimicSynth.notes(s)
+      .filter(col("CATEGORY") === "Discharge summary")
+      .select(col("HADM_ID"), explode(split(col("TEXT"), " ")).as("word"))
+      .join(MimicSynth.modelingRows(s).select("HADM_ID"), "HADM_ID")
+      .groupBy("word").agg(count(lit(1)).as("_c"))
+      .orderBy(desc("_c"), asc("word")).limit(3000).select("word")
+
   def miRanking(s: SparkSession): DataFrame = {
     import s.implicits._
     // not cached: the returned frame is LAZY (a cache here would be
@@ -142,19 +162,7 @@ object MimicPipeline {
       .filter(col("split") === "train")
       .select(col("HADM_ID"), col("SUBJECT_ID"), col("label").as("y"))
     val tot = train.groupBy("y").agg(count(lit(1)).as("ny"))
-    // the matrix vocabulary, DERIVED here with the same query the matrix
-    // build runs (top-3000 by count desc, word asc over the modeling
-    // rows' notes) rather than via vocabulary(s): the ranking only needs
-    // the word SET, and forcing the full 45k × 3,019 assembly + its
-    // session-lifetime cache pin just to read a word list would make a
-    // select-only session pay the whole matrix build. The sweep, which
-    // needs SLOT ORDER, still goes through vocabulary(s).
-    val vocabDf = MimicSynth.notes(s)
-      .filter(col("CATEGORY") === "Discharge summary")
-      .select(col("HADM_ID"), explode(split(col("TEXT"), " ")).as("word"))
-      .join(MimicSynth.modelingRows(s).select("HADM_ID"), "HADM_ID")
-      .groupBy("word").agg(count(lit(1)).as("_c"))
-      .orderBy(desc("_c"), asc("word")).limit(3000).select("word")
+    val vocabDf = rankingVocabulary(s)
     val bowPairs = MimicSynth.notes(s)
       .filter(col("CATEGORY") === "Discharge summary")
       .select(col("HADM_ID"), explode(split(col("TEXT"), " ")).as("word"))

@@ -238,4 +238,24 @@ class MetricsSpec extends SparkSpecBase {
     assert(r.getAs[Double]("uncertainty") == 0.25)
     assert(r.getAs[Double]("brier_binned") == 0.3125)
   }
+
+  test("aucPrReordered reproduces sklearn's curve boundaries exactly " +
+    "(recall-tail truncation + terminal point) on a hand-computed example") {
+    // margins/labels: (3,1) (2,0) (1,1) (0.5,0) (0.2,0); P=2.
+    // sklearn precision_recall_curve truncates at the FIRST full-recall
+    // threshold (t=1: prec 2/3, rec 1) — the t=0.5/0.2 points (prec 1/2,
+    // 2/5 at rec 1) are never emitted — and appends the terminal (1, 0).
+    // Points: (prec, rec) = (2/3,1), (1/2,1/2), (1,1/2), (1,0).
+    // auc(x=p, y=r, reorder=True) over precision ascending:
+    //   (1/2→2/3): (1/6)·(1/2+1)/2 = 0.125
+    //   (2/3→1):   (1/3)·(1+0)/2   = 1/6      (tie order (1,0) before (1,1/2))
+    //   (1→1):     0
+    // = 0.2916666…; the untruncated tail would instead integrate from
+    // precision 2/5 and read ~0.4417 — the test distinguishes.
+    val df = Seq((3.0, 1.0), (2.0, 0.0), (1.0, 1.0), (0.5, 0.0), (0.2, 0.0))
+      .toDF("margin", "y")
+    val auc = graft.ml.Metrics.aucPrReordered(df, "margin", "y")
+    assert(math.abs(auc - (0.125 + 1.0 / 6.0)) < 1e-9,
+      s"auc_pr $auc != hand-computed 0.291666…")
+  }
 }

@@ -41,7 +41,7 @@ class TrainHarnessSpec extends SparkSpecBase {
   }
 
   test("compactForFit: shrinks toward ~8k rows/task via coalesce, never " +
-    "below the input's own parallelism on a large train") {
+    "below the input's own parallelism on a large train, no plan execution") {
     val df32 = spark.range(0, 1000, 1, 32).toDF("id")
     // metrics-scale trains compact hard (the r9 win this protects):
     // 4,720 rows -> 2 tasks, 36,047 -> 4, 67,476 -> 8
@@ -49,14 +49,25 @@ class TrainHarnessSpec extends SparkSpecBase {
     assert(TrainHarness.compactForFit(df32, 36047L).rdd.getNumPartitions == 4)
     assert(TrainHarness.compactForFit(df32, 67476L).rdd.getNumPartitions == 8)
     // a genuinely large train KEEPS its natural partitioning — the clamp
-    // must never serialize a cluster-scale fit (r9 advisory)
-    assert(TrainHarness.compactForFit(df32, 10_000_000L) eq df32)
+    // must never serialize a cluster-scale fit (r9 advisory): coalesce
+    // above the input's own partition count is a no-op
+    assert(TrainHarness.compactForFit(df32, 10_000_000L).rdd.getNumPartitions == 32)
     val df4 = spark.range(0, 100, 1, 4).toDF("id")
-    assert(TrainHarness.compactForFit(df4, 10_000_000L) eq df4)
+    assert(TrainHarness.compactForFit(df4, 10_000_000L).rdd.getNumPartitions == 4)
     // the shrink is shuffle-free: a coalesce, not a repartition exchange
     val shrunk = TrainHarness.compactForFit(df32, 4720L)
     val planStr = shrunk.queryExecution.executedPlan.toString
     assert(!planStr.contains("Exchange"), s"compaction shuffled:\n$planStr")
+    // and the helper itself must not EXECUTE the input plan (an .rdd
+    // partition probe under AQE would materialize an uncached input's
+    // shuffle stages once before the caller's cache — the hidden
+    // double-execution this contract forbids)
+    val acc = spark.sparkContext.longAccumulator("compact_probe")
+    val tracked = spark.range(0, 100, 1, 4).toDF("id")
+      .filter(udf((x: Long) => { acc.add(1L); true }).apply(col("id")))
+      .groupBy(col("id") % 7).count()
+    TrainHarness.compactForFit(tracked, 50L)
+    assert(acc.value == 0L, s"compactForFit executed the input plan (${acc.value} rows read)")
   }
 
   test("logisticL1Margins: margin sign agrees with probability threshold (M15)") {

@@ -137,4 +137,20 @@ class MimicSynthSpec extends SparkSpecBase {
     // text is non-trivial for the featurizer
     assert(summaries.filter(length(col("TEXT")) < 20).count() == 0L)
   }
+
+  test("miRanking's derived vocabulary is SET-equal to the matrix vocabulary " +
+    "(the coupling the feature sweep's slot lookup rides on)") {
+    // rankingVocabulary splits on ' ' over inner-joined notes; the matrix
+    // build runs ml.Tokenizer over the left-joined fillna(' ') frame —
+    // equivalent only while the generated text stays lowercase,
+    // single-spaced, non-empty. A generator change that breaks the
+    // equivalence must fail HERE, not as a NoSuchElementException inside
+    // mimic_feature_sweep's name→slot map.
+    val derived = graft.pipeline.MimicPipeline.rankingVocabulary(spark)
+      .collect().map(_.getString(0)).toSet
+    val matrix = graft.pipeline.MimicPipeline.vocabulary(spark).toSet
+    assert(derived.size == 3000 && matrix.size == 3000)
+    assert(derived == matrix,
+      s"vocab divergence: ${(derived -- matrix).take(5)} vs ${(matrix -- derived).take(5)}")
+  }
 }

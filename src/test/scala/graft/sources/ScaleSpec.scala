@@ -60,6 +60,36 @@ class ScaleSpec extends SparkSpecBase {
       s"pairs grew ${r}x over a 10x corpus ($p1 -> $p2); expected ~10x")
   }
 
+  test("SimHash pigeonhole: found pairs grow near-linearly over a 10x corpus " +
+    "(the blocking that densified on marker-heavy text — SCALE.md finding #2)") {
+    def pairs(n: Long): Long = {
+      val docs = ScaleSynth.documents(spark, n).cache()
+      try graft.dedup.Dedup.simhashPairs(docs, "doc_id", "text").count()
+      finally docs.unpersist()
+    }
+    val p1 = pairs(n1); val p2 = pairs(n2)
+    assert(p1 > 0, "no SimHash near-dup pairs at 1x — planted dups missed")
+    val r = p2.toDouble / p1
+    assert(r > 4 && r < supraLinear,
+      s"SimHash pairs grew ${r}x over a 10x corpus ($p1 -> $p2); a supra-" +
+        "linear blowup means the chunk buckets densified")
+  }
+
+  test("RHP-LSH with corpus-sized buckets finds exactly the planted copies " +
+    "at both scales (the nlist sizing rule — SCALE.md finding #1)") {
+    def pairs(n: Long): Long = {
+      val bits = math.max(6, math.ceil(math.log(n / 32.0) / math.log(2.0)).toInt)
+      val emb = ScaleSynth.embeddings(spark, n).cache()
+      try graft.sim.Similarity.rhpNearDupPairs(emb, "vec_id", "embedding",
+        dim = 64, threshold = 0.9, bitsPerBand = bits).count()
+      finally emb.unpersist()
+    }
+    // planted copies have cosine ≈ 0.999 (±0.01 jitter on a unit-scale
+    // base); random 64-dim pairs sit near 0 — the 0.9 cut is exact
+    assert(pairs(n1) == n1 / 10, "planted embedding copies missed at 1x")
+    assert(pairs(n2) == n2 / 10, "planted embedding copies missed at 10x")
+  }
+
   test("PassJoin edit distance: finds exactly the planted distance-1 copies " +
     "at both scales (lossless blocking, linear output)") {
     def pairs(n: Long): Long = {
