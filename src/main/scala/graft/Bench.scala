@@ -240,26 +240,55 @@ object Bench {
       } catch { case _: Throwable => Map.empty }
     val qs = medians.map { case (k, v) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
+    // cross-run anchor — closes the disturbance contract's THIRD state: a
+    // slowdown that inflates all reps UNIFORMLY produces neither GC
+    // fraction nor rep spread, so it sailed past both r10 guards (~20
+    // driver rows read 2-19x vs the committed clean run, unflagged).
+    // BENCH_ANCHOR.json carries the committed clean-run medians at this
+    // SF; a row whose BEST rep exceeds 2x its anchor is flagged
+    // env_inflated — the minimum over reps is the least-disturbed
+    // observation, so min > 2x a clean median cannot be single-rep noise.
+    // Trusted only at the anchor's own SF dir; queries without an anchor
+    // row (new since the anchored run) simply carry no flag. Refresh the
+    // file from a clean run's BENCH_DETAIL.json via tools/update_anchor.py.
+    val anchorPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_ANCHOR", "/root/repo/BENCH_ANCHOR.json")
+    val anchors: Map[String, Double] =
+      try {
+        val txt = new String(
+          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(anchorPath)),
+          java.nio.charset.StandardCharsets.UTF_8)
+        if (!txt.contains("\"sf\": \"" + sfDir + "\"")) Map.empty
+        else "\"([A-Za-z0-9_]+)\":\\s*([0-9][0-9.]*)".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          .filter { case (k, _) => medians.contains(k) }
+      } catch { case _: Throwable => Map.empty }
+    def isEnvInflated(k: String, ts: List[Double]): Boolean =
+      anchors.get(k).exists(a => ts.min > 0 && a > 0.1 && ts.min > 2 * a)
     val stats = results.map { case (k, (ts, failures, load, gcFrac)) =>
       val duck = duckTimes.get(k).map(d => ",\"duck_sec\":" + f(d)).getOrElse("")
       val warmed = if (jitWarmQueries(k)) ",\"jit_warmed\":true" else ""
       val contended = if (load > loadContendedAt) ",\"contended\":true" else ""
-      // the two disturbance flags a reader needs to discount a number
+      // the disturbance flags a reader needs to discount a number
       // without re-running it: residual rep spread > 2× (even after the
-      // spiky extra rep) and GC-dominated reps (>30% of some rep's wall
-      // inside stop-the-world collections)
+      // spiky extra rep), GC-dominated reps (>30% of some rep's wall
+      // inside stop-the-world collections), and the cross-run anchor
+      // (best rep > 2× the committed clean median — uniform inflation)
       val spread = if (ts.size >= 2 && ts.min > 0 && ts.max > 2 * ts.min)
         ",\"high_spread\":true" else ""
       val gcy = if (gcFrac > 0.3) ",\"gc_heavy\":true" else ""
+      val env = if (isEnvInflated(k, ts))
+        ",\"env_inflated\":true,\"anchor_sec\":" + f(anchors(k)) else ""
       s"\"" + k + "\":{\"median\":" + f(medians(k)) + ",\"min\":" + f(ts.min) +
         ",\"max\":" + f(ts.max) + ",\"n\":" + ts.size + ",\"failures\":" + failures +
         ",\"load_max\":" + f(load) + ",\"gc_frac_max\":" + f(gcFrac) +
-        duck + warmed + contended + spread + gcy + "}"
+        duck + warmed + contended + spread + gcy + env + "}"
     }.mkString("{", ",", "}")
     val nContended = results.count { case (_, (_, _, load, _)) => load > loadContendedAt }
-    val nFlagged = results.count { case (_, (ts, _, load, gcFrac)) =>
+    val nEnvInflated = results.count { case (k, (ts, _, _, _)) => isEnvInflated(k, ts) }
+    val nFlagged = results.count { case (k, (ts, _, load, gcFrac)) =>
       load > loadContendedAt || gcFrac > 0.3 ||
-        (ts.size >= 2 && ts.min > 0 && ts.max > 2 * ts.min)
+        (ts.size >= 2 && ts.min > 0 && ts.max > 2 * ts.min) ||
+        isEnvInflated(k, ts)
     }
     // headline ratio over the queries BOTH engines time: <1 = Spark faster
     val comparable = medians.filter { case (k, v) => v >= 0 && duckTimes.contains(k) }
@@ -279,7 +308,7 @@ object Bench {
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "/root/repo/BENCH_DETAIL.json")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(detailPath),
-      s"""{"warmup_sec":${f(warmupSec)},"stream_fixed_sec":${f(streamFixedSec)},"reps":$reps,"sf":"$sfDir","load_start":${f(loadStart)},"load_contended_at":${f(loadContendedAt)},"n_contended":$nContended,"n_flagged":$nFlagged,"warmup_failures":${warmupFailures.map("\"" + _ + "\"").mkString("[", ",", "]")}$ratioJson,"medians":$qs,"query_stats":$stats}"""
+      s"""{"warmup_sec":${f(warmupSec)},"stream_fixed_sec":${f(streamFixedSec)},"reps":$reps,"sf":"$sfDir","load_start":${f(loadStart)},"load_contended_at":${f(loadContendedAt)},"n_contended":$nContended,"n_flagged":$nFlagged,"n_env_inflated":$nEnvInflated,"n_anchored":${anchors.size},"warmup_failures":${warmupFailures.map("\"" + _ + "\"").mkString("[", ",", "]")}$ratioJson,"medians":$qs,"query_stats":$stats}"""
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
     // The driver keeps only the LAST ~2000 chars of stdout and parses the

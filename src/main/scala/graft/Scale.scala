@@ -114,7 +114,7 @@ object Scale {
           .groupBy("band", "bucket").agg(count(lit(1)).as("c"))
           .agg(sum((col("c") * (col("c") - 1) / 2).cast("long")).as("cand"))
           .collect()(0).getLong(0)),
-      Op("d_prefix_jaccard (PPJoin prefix filter)",
+      Op("d_prefix_jaccard (PPJoin prefix+size+positional filters)",
         run = docs => {
           val (pair, release) = graft.dedup.Dedup
             .prefixJaccardPairsReleasable(docs, "doc_id", "text", threshold = 0.9)
@@ -122,25 +122,12 @@ object Scale {
           release()
           out
         },
-        // candidate upper bound the prefix index admits: Σ (posting-list
-        // size choose 2) over indexed prefix tokens (before size filter)
-        once = docs => {
-          val toks = docs.select(col("doc_id").as("_id"),
-            explode(array_distinct(graft.text.TextOps.tokens(col("text")))).as("tok"))
-          val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("_df"))
-          val ordered = toks.join(dfreq, "tok")
-            .groupBy("_id")
-            .agg(sort_array(collect_list(struct(col("_df"), col("tok")))).as("_ord"))
-            .select(col("_id"),
-              transform(col("_ord"), x => x.getField("tok")).as("_toks"),
-              size(col("_ord")).as("_sz"))
-          val prefLen = (col("_sz") - ceil(col("_sz") * lit(0.9)).cast("int") + 1)
-          ordered
-            .select(explode(slice(col("_toks"), lit(1), prefLen)).as("ptok"))
-            .groupBy("ptok").agg(count(lit(1)).as("c"))
-            .agg(sum((col("c") * (col("c") - 1) / 2).cast("long")).as("cand"))
-            .collect()(0).getLong(0)
-        }),
+        // the pre-distinct match rows the operator's OWN filter chain
+        // admits into verification (prefix + size + positional, r11) —
+        // measured by the operator's instrumentation hook so the number
+        // cannot drift from the join's real cost
+        once = docs => graft.dedup.Dedup
+          .prefixJaccardCandidateCount(docs, "doc_id", "text", threshold = 0.9)),
       Op("d_simhash_pairs (SimHash pigeonhole)",
         run = docs => timeIt(
           graft.dedup.Dedup.simhashPairs(docs, "doc_id", "text").count())),
@@ -158,17 +145,15 @@ object Scale {
     // discipline): target ~32 vectors per band-bucket. This is the
     // harness's first real catch — with the fixed 6-bit default the
     // candidate join is Θ(n²/2⁶) and at 200k vectors it spilled the
-    // machine's disk; with log-sized buckets it is near-linear. The
-    // sizing rule is documented on rhpNearDupPairs.
-    def rhpBits(n: Long): Int =
-      math.max(6, math.ceil(math.log(n / 32.0) / math.log(2.0)).toInt)
+    // machine's disk; with log-sized buckets it is near-linear. Since
+    // r11 the operator derives the width ITSELF when no explicit
+    // bitsPerBand is passed (Similarity.autoBitsPerBand) — this harness
+    // exercises the default exactly as a caller would.
     val embOps = Seq(
       Op("d_embed_neardup (RHP-LSH, corpus-sized buckets)",
-        run = emb => {
-          val n = emb.count()
+        run = emb =>
           timeIt(graft.sim.Similarity.rhpNearDupPairs(emb, "vec_id", "embedding",
-            dim = 64, threshold = 0.9, bitsPerBand = rhpBits(n)).count())
-        }),
+            dim = 64, threshold = 0.9).count())),
       Op("sim_ivfpq_topk (IVF-PQ + rerank)",
         run = emb => timeIt(
           graft.sim.Quantized.ivfPqTopK(emb, "vec_id", "embedding",
@@ -190,6 +175,117 @@ object Scale {
             threshold = 0.8).count()),
         once = emb => { val n = emb.count(); n * (n - 1) / 2 })),
       results)
+
+    // ---- iterated-join graph family (r11): the cost axis is EDGES ------
+    // constant mean degree (nodes = edges/8), so density stays fixed and
+    // the fit isolates size growth. Each op is a bounded number of
+    // edge-keyed shuffle rounds — expected exponent ≈ 1.
+    val edgeScales = scalesEnv("SPARK_GRAFT_SCALE_EDGES",
+      Seq(20000L, 200000L, 2000000L))
+    def cachedEdges(n: Long): DataFrame = {
+      val e = graft.sources.ScaleSynth.edges(spark, n)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      e.count(); e
+    }
+    val graphOps = Seq(
+      Op("g_pagerank3 (3 damped Pregel-unrolled iterations)",
+        run = e => {
+          val (pr, release) = graft.ops.PageRank
+            .fixedPointReleasable(e, "src", "dst", iters = 3)
+          val out = timeIt(pr.count())
+          release()
+          out
+        }),
+      Op("g_bfs_dist (3-hop BFS from a 1/97 seed set)",
+        run = e => {
+          val n = e.count() // cached — a metadata-cheap read, outside the timer
+          val seeds = graft.sources.ScaleSynth.edgeNodes(e.sparkSession, n)
+            .filter(col("node_id") % 97 === 0)
+          timeIt(graft.ops.Bfs.kHopDistances(e, "src", "dst",
+            seeds, "node_id", maxHops = 3).count())
+        }),
+      Op("g_components (min-label pointer jumping)",
+        run = e => {
+          val n = e.count()
+          val nodes = graft.sources.ScaleSynth.edgeNodes(e.sparkSession, n)
+          timeIt(graft.dedup.Dedup.dupClusters(
+            e.select(least(col("src"), col("dst")).as("doc_a"),
+              greatest(col("src"), col("dst")).as("doc_b")),
+            nodes, "node_id").count())
+        }))
+    measureAll(edgeScales, cachedEdges, graphOps, results)
+
+    // ---- streaming near-dup drain (r11): the cost axis is BATCHES ------
+    // fixed 5k-doc micro-batches, so 1×/10×/100× corpora run 1/10/100
+    // batches through the flatMapGroupsWithState band-bucket state
+    // machine. Near-linear wall growth = per-batch cost stays O(batch +
+    // state-commit); state itself is O(buckets seen), which grows with
+    // the corpus — if store maintenance cost compounds per batch, the
+    // fit catches it (that is this harness's job).
+    {
+      val streamScales = scalesEnv("SPARK_GRAFT_SCALE_STREAM",
+        Seq(5000L, 50000L, 500000L))
+      val name = "d_stream_neardup (drain, 5k-doc micro-batches)"
+      if (!results.contains(name)) results(name) = Seq()
+      streamScales.foreach { n =>
+        val batches = math.max(1L, n / 5000L).toInt
+        val dir = java.nio.file.Files.createTempDirectory(s"graft_scale_stream_$n")
+        try {
+          graft.sources.ScaleSynth.documents(spark, n)
+            .repartition(batches).write.mode("overwrite").parquet(dir.toString)
+          def drain(tag: String): (Long, Double) = timeIt(
+            graft.streaming.StreamOps.nearDupDrainDir(
+              spark, dir.toString, s"graft_scale_neardup_${n}_$tag",
+              filesPerTrigger = 1).count())
+          // min-of-2 at the small scales only: the 100-batch drain is
+          // minutes long and batch-dominated (JIT noise is amortized)
+          val (r1, s1) = drain("a")
+          val p = if (batches >= 100) Point(n, s1, r1, batches.toLong)
+          else {
+            val (r2, s2) = drain("b")
+            if (s1 <= s2) Point(n, s1, r1, batches.toLong)
+            else Point(n, s2, r2, batches.toLong)
+          }
+          results(name) = results(name) :+ p
+        } finally {
+          import scala.jdk.CollectionConverters._
+          val walk = java.nio.file.Files.walk(dir)
+          try walk.iterator().asScala.toSeq
+            .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
+          finally walk.close()
+        }
+      }
+    }
+
+    // ---- the MIMIC flagship at 10× admissions (r11) --------------------
+    // MimicSynth.*At(f) scales every block constant linearly (proportions
+    // preserved — see the generator's scaladoc), so the fit measures the
+    // reference pipeline's own shape: the cohort-window + join relational
+    // prefix and the full tokenize→vocab→BoW→assemble matrix build.
+    {
+      val mimicScales = scalesEnv("SPARK_GRAFT_SCALE_MIMIC", Seq(1L, 10L))
+      val nameR = "mimic modeling rows (cohort windows + joins + split)"
+      val nameM = "mimic matrix build (tokenize→top-3000 vocab→BoW→assemble)"
+      Seq(nameR, nameM).foreach(k => if (!results.contains(k)) results(k) = Seq())
+      mimicScales.foreach { f =>
+        val nAdm = graft.sources.MimicSynth.N_ADM * f
+        def rowsOnce(): (Long, Double) = timeIt(
+          graft.sources.MimicSynth.modelingRowsAt(spark, f)
+            .groupBy("label", "split").count().count())
+        val (c1, t1) = rowsOnce(); val (c2, t2) = rowsOnce()
+        results(nameR) = results(nameR) :+
+          (if (t1 <= t2) Point(nAdm, t1, c1, -1L) else Point(nAdm, t2, c2, -1L))
+        // the matrix build is measured ONCE per scale (it is itself a
+        // multi-pass pipeline; its internal persists amortize JIT) and
+        // unpersisted immediately — the memoized f=1 session copy is not
+        // touched
+        val (mRows, mSec) = timeIt {
+          val m = graft.pipeline.MimicPipeline.assembledAt(spark, f)
+          val c = m.count(); m.unpersist(); c
+        }
+        results(nameM) = results(nameM) :+ Point(nAdm, mSec, mRows, -1L)
+      }
+    }
 
     // ---- render ---------------------------------------------------------
     val sb = new StringBuilder

@@ -1207,14 +1207,13 @@ object SparkEntry {
       a.unionByName(b).groupBy("o_orderstatus").agg(count(lit(1)).as("cnt"))
     }),
 
-    // O2: deterministic full shuffle (orderBy rand(seed)); rows-only —
-    // permutation is engine-specific, determinism pinned by spec
-    "o2_shuffle" -> ((s, d) =>
-      t(s, d, "orders").orderBy(rand(42)).limit(100).select("o_orderkey")),
-
-    // O2 the oracle-able way: the permutation IS the portable hash order,
-    // so the exact same "random" arrangement reproduces on any engine —
-    // the shuffle analog of the hash-sampling twins below
+    // O2 (seeded permutation) the oracle-able way: the permutation IS
+    // the portable hash order, so the exact same "random" arrangement
+    // reproduces on any engine — the shuffle analog of the hash-sampling
+    // twins below. The engine-RNG form (`orderBy(rand(42))`) is the same
+    // operator with an engine-private ordering key; its redundant
+    // rows-only demo row was retired in r11 (this green twin subsumes
+    // it; seeded-RNG determinism stays pinned in SparkEntrySpec)
     "o2_shuffle_hash" -> ((s, d) =>
       t(s, d, "orders")
         .orderBy(permilleHash1M(col("o_orderkey"), ":s42"), col("o_orderkey"))
@@ -1336,34 +1335,14 @@ object SparkEntry {
     // dedup — see pretrainPackedCached)
     "pipeline_pretrain" -> ((s, d) => SparkEntry.pretrainPackedCached(s, d)),
 
-    // seeded sampling: no cross-engine oracle (RNG streams differ);
-    // driver records rows-only. Determinism is pinned by specs.
-    "o3_sample_split" -> ((s, d) => {
-      val Array(train, test) = t(s, d, "orders").randomSplit(Array(0.8, 0.2), seed = 42)
-      train.select(lit("train").as("part"), col("o_orderkey"))
-        .unionByName(test.select(lit("test").as("part"), col("o_orderkey")))
-        .groupBy("part").agg(count(lit(1)).as("cnt"))
-    }),
-
-    "o4_undersample" -> ((s, d) => {
-      val labeled = cohort(s, d)
-      val pos = labeled.filter(col("label") === "1")
-      val neg = labeled.filter(col("label") === "0")
-      val nPos = pos.count().toDouble
-      val nNeg = neg.count().toDouble
-      val bal = pos.unionByName(neg.sample(withReplacement = false, nPos / nNeg, seed = 42))
-      bal.groupBy("label").agg(count(lit(1)).as("cnt"))
-    }),
-
-    "o8_oversample" -> ((s, d) => {
-      val labeled = cohort(s, d)
-      val pos = labeled.filter(col("label") === "1")
-      val neg = labeled.filter(col("label") === "0")
-      val nPos = pos.count().toDouble
-      val nNeg = neg.count().toDouble
-      val bal = neg.unionByName(pos.sample(withReplacement = true, nNeg / nPos, seed = 42))
-      bal.groupBy("label").agg(count(lit(1)).as("cnt"))
-    }),
+    // O3/O4/O8 engine-RNG forms (`randomSplit(…, 42)`, seeded
+    // `df.sample`): their redundant rows-only demo rows were retired in
+    // r11 — each was shadowed 1:1 by the green `_hash` twin below (the
+    // same sampling operator with a portable hash in place of the
+    // engine-private RNG stream), and the MIMIC tier pins the REAL
+    // operators' exact counts (`mimic_split_counts`,
+    // `mimic_resample_counts`). randomSplit/sample determinism stays
+    // spec-pinned in SparkEntrySpec.
 
     // O4/O8 the ORACLE-ABLE way: `df.sample` rides an engine-private RNG
     // stream, but a deterministic permille on a portable 60-bit md5 hash
@@ -1757,6 +1736,17 @@ object SparkEntry {
     // shortlist, and the refined final ranking
     "sim_ivfpq_topk" -> ((s, d) =>
       Quantized.ivfPqTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+        dim = 64, m = 8, nCodes = 16, nPivots = 16, nprobe = 2,
+        nQueries = 10, rerank = 20, k = 5)),
+
+    // recall accounting for the row above: per-query overlap between the
+    // PRODUCTION-config IVF-PQ top-k (nprobe=2 of 16 lists — the probe
+    // really skips 7/8 of the corpus) and the exact brute-force top-k,
+    // as exact integers. The ANN-recall analog of the a2/a10 sketch
+    // audits: the quality loss of the approximation is itself a
+    // hash-checked row, not a claim
+    "sim_ivfpq_recall" -> ((s, d) =>
+      Quantized.ivfPqRecall(t(s, d, "embeddings"), "vec_id", "embedding",
         dim = 64, m = 8, nCodes = 16, nPivots = 16, nprobe = 2,
         nQueries = 10, rerank = 20, k = 5)),
 
@@ -2509,15 +2499,11 @@ object SparkEntry {
         .orderBy(desc("df"), asc("term"))
         .limit(50)),
 
-    // M1/M2: the full clean→tokenize→stopword→lemmatize→CountVectorizer
-    // pipeline; emits (term, index) vocabulary rows (rows-only: vocab
-    // tie-order is model-internal)
-    "ml_text_vocab" -> ((s, d) => {
-      val (_, model) = graft.text.TextFeaturizer.fit(
-        t(s, d, "documents"), "text", vocabSize = 100)
-      import s.implicits._
-      model.vocabulary.zipWithIndex.toSeq.toDF("term", "vocab_idx")
-    }),
+    // M1/M2 note: the capped-vocab (term, index) demo row
+    // (`ml_text_vocab`, rows-only — tie order is model-internal) was
+    // retired in r11: the green row below runs the IDENTICAL fit path,
+    // and the capped form's exact 3,000-word vocabulary is green at
+    // MIMIC scale (`mimic_notes_vocab`, deterministic-tiebreak contract).
 
     // M1/M2 HASH-CHECKED: the same fit with the vocab cap lifted — the
     // vocabulary SET is then order-free ("distinct lemmas of kept
@@ -4230,8 +4216,12 @@ object SparkEntry {
       val path = java.nio.file.Paths.get(
         System.getProperty("java.io.tmpdir"),
         s"graft_mimic_cleaned_${s.sparkContext.applicationId}")
-      graft.core.Sinks.csv(cleaned, path.toString)
+      // the write lives INSIDE the try so a mid-write failure (task OOM,
+      // disk full) still hits the finally-block deletion — a partially
+      // written multi-MB scratch dir is exactly what the cleanup exists
+      // to prevent
       try {
+        graft.core.Sinks.csv(cleaned, path.toString)
         val back =
           s.read.option("header", "true").schema(cleaned.schema).csv(path.toString)
         val readout = back.groupBy(col("OUTPUT_LABEL").as("output_label"))
@@ -6647,6 +6637,11 @@ object SparkEntry {
 
     "sim_ivfpq_topk" ->
       Quantized.ivfPqTopKOracleSql("embeddings", "vec_id", "embedding",
+        dim = 64, m = 8, nCodes = 16, nPivots = 16, nprobe = 2,
+        nQueries = 10, rerank = 20, k = 5),
+
+    "sim_ivfpq_recall" ->
+      Quantized.ivfPqRecallOracleSql("embeddings", "vec_id", "embedding",
         dim = 64, m = 8, nCodes = 16, nPivots = 16, nprobe = 2,
         nQueries = 10, rerank = 20, k = 5),
 

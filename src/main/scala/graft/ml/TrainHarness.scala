@@ -61,6 +61,17 @@ object TrainHarness {
     * `df.rdd.getNumPartitions` instead would force AQE to materialize
     * every shuffle stage of an uncached input once before the caller's
     * own cache (a hidden double-execution of e.g. a SMOTE LSH join).
+    *
+    * CAVEAT (deliberate trade): `coalesce` is NARROW — the reduced
+    * partition count propagates upstream through any shuffle-free
+    * lineage, so an input whose compute is expensive but never shuffles
+    * (a generated frame, a scan + heavy per-row transform) would execute
+    * its ENTIRE computation at the compacted task count during the
+    * caller's cache materialization, not just its post-shuffle tail.
+    * Callers with expensive narrow lineage should cache (and materialize)
+    * BEFORE compacting. Every in-repo call site feeds a post-shuffle
+    * frame (resampled/assembled trains), where the narrow coalesce only
+    * re-groups the final stage — the measured 107 s → 17 s win.
     */
   def compactForFit(df: DataFrame, n: Long): DataFrame =
     df.coalesce(math.min(Int.MaxValue.toLong, math.max(2L, n / 8192L)).toInt)

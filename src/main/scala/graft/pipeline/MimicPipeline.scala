@@ -40,8 +40,23 @@ object MimicPipeline {
     val cur = memo.get(s)
     if (cur != null) cur._1
     else {
-      val rows = MimicSynth.modelingRows(s)
-      val notes = MimicSynth.notes(s)
+      val (out, vocab) = build(s, 1L)
+      memo.put(s, (out, vocab))
+      out
+    }
+  }
+
+  /** The matrix build at `f`× MIMIC scale — NOT memoized (the Scale
+    * harness times one build and unpersists the result; production
+    * sessions use [[assembled]]). Returned frame is persisted and
+    * materialized, like [[assembled]]'s.
+    */
+  def assembledAt(s: SparkSession, f: Long): DataFrame = build(s, f)._1
+
+  private def build(s: SparkSession, f: Long): (DataFrame, Array[String]) = {
+    {
+      val rows = MimicSynth.modelingRowsAt(s, f)
+      val notes = MimicSynth.notesAt(s, f)
         .filter(col("CATEGORY") === "Discharge summary")
         .select(col("HADM_ID"), col("TEXT"))
       // missing-note rows stay in the matrix as all-zero text (the
@@ -74,7 +89,7 @@ object MimicPipeline {
         .transform(toksed)
       // 17 per-admission diagnosis-category counts (explicit sums — no
       // pivot distinct-values pre-job)
-      val dg = MimicSynth.diagnoses(s)
+      val dg = MimicSynth.diagnosesAt(s, f)
       val code3 = coalesce(
         when(col("ICD9_CODE").rlike("[A-Za-z]"), lit(999))
           .otherwise(substring(col("ICD9_CODE"), 1, 3).cast("int")),
@@ -84,8 +99,8 @@ object MimicPipeline {
       val cats = dg.withColumn("cat", graft.SparkEntry.icd9Category(code3))
         .groupBy("HADM_ID")
         .agg(catCols.head, catCols.tail: _*)
-      val pat = MimicSynth.patients(s)
-      val admMin = MimicSynth.admissions(s)
+      val pat = MimicSynth.patientsAt(s, f)
+      val admMin = MimicSynth.admissionsAt(s, f)
         .groupBy("SUBJECT_ID").agg(min("ADMITTIME").as("_admit_min"))
       val aged = bowed
         .join(cats, Seq("HADM_ID"))
@@ -108,8 +123,7 @@ object MimicPipeline {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       out.count()
       toksed.unpersist()
-      memo.put(s, (out, vocab))
-      out
+      (out, vocab)
     }
   }
 

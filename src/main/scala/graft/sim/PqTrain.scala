@@ -89,7 +89,18 @@ object PqTrain {
         .select(col("j"), col("cluster_id"),
           transform(col("_s"), x => x.cast("double") / col("_n")).as("cm"))
     }
-    (assign(cent), cent) // final assignment = the encode
+    // materialize the trained codebook ONCE as a local m×kCodes-row table
+    // (128 rows at the registry config). Without this, a consumer that
+    // references the centroids twice — trainedTopK's encode side AND its
+    // query-LUT side — embeds the whole iterated training subtree twice
+    // in one plan and EXECUTES the training twice per action (measured:
+    // sim_pqtrain_topk 3.3 s → ~1.6 s). The collect is the session-memo
+    // pattern at its smallest: lineage truncation on a table whose size
+    // is a parameter product, never data-dependent.
+    val s = emb.sparkSession
+    val centLocal = s.createDataFrame(
+      s.sparkContext.parallelize(cent.collect().toSeq, 1), cent.schema)
+    (assign(centLocal), centLocal) // final assignment = the encode
   }
 
   /** Training diagnostics: per (subspace, trained cluster) member count

@@ -541,6 +541,68 @@ object Quantized {
        |  GROUP BY 1) h ON q.query_id = h.query_id""".stripMargin
   }
 
+  /** Recall@k of the full IVF-PQ composition (coarse probe → ADC →
+    * exact re-rank) against exact brute force, one hash-checked
+    * `(query_id, n_hits)` row per query — the sketch-audit pattern
+    * applied to ANN at the PRODUCTION config (nprobe < nPivots, so the
+    * probe actually skips inverted lists): what an operator tuning
+    * nprobe/rerank reads. The degenerate full-probe case is already
+    * property-pinned in QuantizedSpec; this makes the lossy config's
+    * recall a green exact row (both legs deterministic, both mirrored
+    * in the oracle).
+    */
+  def ivfPqRecall(emb: DataFrame, idCol: String, vecCol: String,
+                  dim: Int, m: Int, nCodes: Int, nPivots: Int, nprobe: Int,
+                  nQueries: Int, rerank: Int, k: Int): DataFrame = {
+    val embD = emb.select(
+      col(idCol), transform(col(vecCol), x => x.cast("double")).as(vecCol))
+    val queries = embD.filter(col(idCol) < nQueries)
+    val ann = ivfPqTopK(embD, idCol, vecCol, dim, m, nCodes, nPivots, nprobe,
+      nQueries, rerank, k)
+    val bf = Similarity.bruteForceTopK(embD, queries, idCol, vecCol, k)
+    val hits = bf.select("query_id", "neighbor_id")
+      .join(ann.select("query_id", "neighbor_id"), Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    queries.select(col(idCol).as("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+  }
+
+  /** DuckDB mirror of [[ivfPqRecall]]: the full [[ivfPqTopKOracleSql]]
+    * chain as the ANN leg (nested WITH inside a FROM subquery), the
+    * brute-force window as the exact leg.
+    */
+  def ivfPqRecallOracleSql(table: String, idCol: String, vecCol: String,
+                           dim: Int, m: Int, nCodes: Int, nPivots: Int, nprobe: Int,
+                           nQueries: Int, rerank: Int, k: Int): String = {
+    def dotSql(a: String, b: String): String =
+      s"list_sum(list_transform(range(1, ${dim + 1}), i -> $a[i] * $b[i]))"
+    def cosSql(a: String, b: String): String =
+      s"CASE WHEN sqrt(${dotSql(a, a)}) = 0 OR sqrt(${dotSql(b, b)}) = 0 THEN NULL " +
+        s"ELSE ${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})) END"
+    val annSql = ivfPqTopKOracleSql(table, idCol, vecCol, dim, m, nCodes,
+      nPivots, nprobe, nQueries, rerank, k)
+    s"""WITH ann AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |$annSql
+       |  ) t
+       |),
+       |ve AS (SELECT $idCol AS vid, CAST($vecCol AS DOUBLE[]) AS e FROM $table),
+       |q AS (SELECT vid AS query_id, e AS qe FROM ve WHERE vid < $nQueries),
+       |bf AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.query_id, c.vid AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY ${cosSql("q.qe", "c.e")} DESC NULLS LAST, c.vid ASC) AS rank
+       |    FROM ve c, q WHERE q.query_id <> c.vid) WHERE rank <= $k
+       |)
+       |SELECT q.query_id, CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hits
+       |FROM q LEFT JOIN (
+       |  SELECT bf.query_id, count(*) AS n
+       |  FROM bf JOIN ann ON bf.query_id = ann.query_id AND bf.neighbor_id = ann.neighbor_id
+       |  GROUP BY 1) h ON q.query_id = h.query_id""".stripMargin
+  }
+
   /** MMR (maximal marginal relevance) diversity re-rank — the RAG /
     * search-results op that trades raw relevance for novelty: from each
     * query's top-`nCand` candidates, greedily select `k` items maximizing

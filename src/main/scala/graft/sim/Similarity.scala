@@ -213,18 +213,31 @@ object Similarity {
       .select(col("vid"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
   }
 
+  /** Corpus-sized band width — the FAISS-`nlist` discipline in one
+    * function: target ~32 vectors per band-bucket, floored at 6 bits
+    * (the test-scale default the exactly-oracled d_embed_neardup row
+    * pins: every corpus ≤ 2k vectors lands here), capped at 62 so the
+    * bucket fits a signed long. 6 bits ≤ 2k vectors, 13 at 200k, 23 at
+    * 200M.
+    */
+  def autoBitsPerBand(n: Long): Int =
+    math.min(62, math.max(6,
+      math.ceil(math.log(math.max(n, 1L) / 32.0) / math.log(2.0)).toInt))
+
   /** Near-dup pairs via RHP-LSH candidates + exact cosine verify.
     * Output: (keep_id, dup_id, cosine) with keep_id < dup_id.
     *
     * SIZING RULE (measured, SCALE.md): `bitsPerBand` must grow with the
     * corpus — expected candidates per band are Θ(n² / 2^bits), so a fixed
     * bucket space turns the candidate join quadratic exactly like an
-    * undersized FAISS `nlist` (at 200k vectors the 6-bit default spilled
-    * ~80 GB of shuffle before dying). Target ~32 vectors per band-bucket:
-    * `bitsPerBand ≈ log2(n/32)`, i.e. 6 bits at 2k vectors (this default,
-    * which the exactly-oracled d_embed_neardup row pins at test scale),
-    * 13 bits at 200k, 23 bits at 200M. Recall per band falls as bits
-    * rise; compensate with `bands` if the dup cosine threshold is low.
+    * undersized FAISS `nlist` (at 200k vectors a fixed 6-bit width
+    * spilled ~80 GB of shuffle before dying). The default `bitsPerBand =
+    * 0` DERIVES the width from the corpus via [[autoBitsPerBand]] (one
+    * cheap `count()` of the input — callers whose `emb` has expensive
+    * uncached lineage should persist it first, the same contract the
+    * un-cached `base` below already states). Pass an explicit width only
+    * to pin behavior. Recall per band falls as bits rise; compensate
+    * with `bands` if the dup cosine threshold is low.
     */
   def rhpNearDupPairs(
       emb: DataFrame,
@@ -233,9 +246,10 @@ object Similarity {
       dim: Int,
       threshold: Double,
       bands: Int = 8,
-      bitsPerBand: Int = 6,
+      bitsPerBand: Int = 0,
       seed: Long = 42L
   ): DataFrame = {
+    val bits = if (bitsPerBand > 0) bitsPerBand else autoBitsPerBand(emb.count())
     // base is deliberately NOT cached: it re-evaluates for the banded
     // signatures and for each verify side (va/vb), but each evaluation is a
     // column-pruned parquet scan + per-row arithmetic — linear, shuffle-free
@@ -243,7 +257,7 @@ object Similarity {
     // the session lifetime; callers that near-dup the same corpus repeatedly
     // should pass in an already-persisted `emb`.
     val base = rhpBase(emb, idCol, vecCol)
-    val banded = rhpBanded(base, rhpSigns(bands, bitsPerBand, dim, seed), bands, bitsPerBand)
+    val banded = rhpBanded(base, rhpSigns(bands, bits, dim, seed), bands, bits)
     val cand = banded.as("a")
       .join(
         banded.as("b"),

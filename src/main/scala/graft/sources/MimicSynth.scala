@@ -118,19 +118,26 @@ object MimicSynth {
     floor(c / d.toDouble).cast("long")
 
   /** The (i → subject, seq, n_admissions) block mapping shared by every
-    * generated table.
+    * generated table. Every block constant is LINEAR in the table size
+    * (S2_0 = B1_END, S3_0 = S2_0 + 5,500, …), so scaling them all by a
+    * common factor `f` preserves every structural proportion — block
+    * mix, newborn share, per-subject partition bound (≤6 rows) — which
+    * is what makes the `At(f)` generators an apples-to-apples growth
+    * corpus for the Scale harness. Golden invariants (the exact 45,321 /
+    * 2,958 / 245 counts) are tuned — and spec-pinned — at f = 1 only.
     */
-  private def blockCols(i: Column): (Column, Column, Column) = {
-    val s = when(i < B1_END, i)
-      .when(i < B2_END, lit(S2_0) + floorDiv(i - B1_END, 2))
-      .when(i < B3_END, lit(S3_0) + floorDiv(i - B2_END, 3))
-      .otherwise(lit(S6_0) + floorDiv(i - B3_END, 6))
-    val q = when(i < B1_END, lit(0L))
-      .when(i < B2_END, (i - B1_END) % 2)
-      .when(i < B3_END, (i - B2_END) % 3)
-      .otherwise((i - B3_END) % 6)
-    val n = when(i < B1_END, lit(1L)).when(i < B2_END, lit(2L))
-      .when(i < B3_END, lit(3L)).otherwise(lit(6L))
+  private def blockCols(i: Column, f: Long = 1L): (Column, Column, Column) = {
+    val (b1, b2, b3) = (B1_END * f, B2_END * f, B3_END * f)
+    val s = when(i < b1, i)
+      .when(i < b2, lit(S2_0 * f) + floorDiv(i - b1, 2))
+      .when(i < b3, lit(S3_0 * f) + floorDiv(i - b2, 3))
+      .otherwise(lit(S6_0 * f) + floorDiv(i - b3, 6))
+    val q = when(i < b1, lit(0L))
+      .when(i < b2, (i - b1) % 2)
+      .when(i < b3, (i - b2) % 3)
+      .otherwise((i - b3) % 6)
+    val n = when(i < b1, lit(1L)).when(i < b2, lit(2L))
+      .when(i < b3, lit(3L)).otherwise(lit(6L))
     (s, q, n)
   }
 
@@ -140,18 +147,24 @@ object MimicSynth {
   /** ADMISSIONS: SUBJECT_ID, HADM_ID, ADMITTIME, DISCHTIME, DEATHTIME,
     * ADMISSION_TYPE, ETHNICITY.
     */
-  def admissions(spark: SparkSession): DataFrame = {
-    val base = spark.range(N_ADM).select(col("id").as("i"))
-    val (s, q, n) = blockCols(col("i"))
+  def admissions(spark: SparkSession): DataFrame = admissionsAt(spark, 1L)
+
+  /** [[admissions]] at `f`× the published scale (see [[blockCols]] —
+    * proportions preserved, golden counts pinned at f = 1 only). The
+    * Scale harness's MIMIC corpus.
+    */
+  def admissionsAt(spark: SparkSession, f: Long): DataFrame = {
+    val base = spark.range(N_ADM * f).select(col("id").as("i"))
+    val (s, q, n) = blockCols(col("i"), f)
     val typed = base.select(
       col("i"), s.as("s"), q.as("q"), n.as("nadm"),
-      when(s < NEWBORN_SUBJ, "NEWBORN")
+      when(s < NEWBORN_SUBJ * f, "NEWBORN")
         .when(draw(col("i"), "t6", 1000L) < ELECTIVE_T, "ELECTIVE")
         .when(draw(col("i"), "t6", 1000L) < URGENT_T, "URGENT")
         .otherwise("EMERGENCY").as("admission_type"),
       (lit(1L) + draw(col("i"), "lo", LOS_MOD)).as("los"),
       (lit(GAP_OFF) + draw(col("i"), "gb", GAP_MOD)).as("gap"),
-      (q === n - 1 && s >= NEWBORN_SUBJ &&
+      (q === n - 1 && s >= NEWBORN_SUBJ * f &&
         draw(col("i"), "de", 100000L) < DEATH_T).as("dies"),
       draw(s, "bd", BASE_MOD).as("base_day"))
     // per-subject cumulative (los + gap) prefix — partitions are ≤ 6 rows
@@ -232,8 +245,8 @@ object MimicSynth {
     */
   val NODIAG_T = 1011L
 
-  private def noDiag(i: Column): Column =
-    i >= NEWBORN_SUBJ && i < B1_END &&
+  private def noDiag(i: Column, f: Long = 1L): Column =
+    i >= NEWBORN_SUBJ * f && i < B1_END * f &&
       draw(i, "de", 100000L) >= DEATH_T &&
       draw(i, "md", 100000L) >= MISSING_DOB_T &&
       draw(i, "xd", 100000L) < NODIAG_T
@@ -251,9 +264,14 @@ object MimicSynth {
     * 6,600 numeric (3-digit prefix 001-999 × suffix 0-6), 200 V-codes,
     * 185 E-codes — the reference's nunique.
     */
-  def diagnoses(spark: SparkSession): DataFrame = {
-    val base = spark.range(N_ADM)
-      .filter(!noDiag(col("id")))
+  def diagnoses(spark: SparkSession): DataFrame = diagnosesAt(spark, 1L)
+
+  /** [[diagnoses]] at `f`× scale (no-diagnosis share ≈ proportional;
+    * exact 245 pinned at f = 1 only).
+    */
+  def diagnosesAt(spark: SparkSession, f: Long): DataFrame = {
+    val base = spark.range(N_ADM * f)
+      .filter(!noDiag(col("id"), f))
       .select(
         col("id").as("i"),
         (lit(1L) + draw(col("id"), "nd", NDIAG_MOD)).as("ndiag"))
@@ -297,15 +315,18 @@ object MimicSynth {
     * >89-or-negative clamp, pinned in ReadmissionFixtureSpec). Newborn
     * subjects' DOB equals their admission day (age 0).
     */
-  def patients(spark: SparkSession): DataFrame = {
+  def patients(spark: SparkSession): DataFrame = patientsAt(spark, 1L)
+
+  /** [[patients]] at `f`× scale. */
+  def patientsAt(spark: SparkSession, f: Long): DataFrame = {
     val s = col("id")
-    val missingDob = s >= NEWBORN_SUBJ && s < B1_END &&
+    val missingDob = s >= NEWBORN_SUBJ * f && s < B1_END * f &&
       draw(s, "md", 100000L) < MISSING_DOB_T
-    spark.range(N_SUBJECTS).select(
+    spark.range(N_SUBJECTS * f).select(
       s.as("SUBJECT_ID"),
       when(missingDob, lit(null).cast("timestamp"))
         .otherwise(dayToTs(
-          when(s < NEWBORN_SUBJ, draw(s, "bd", BASE_MOD))
+          when(s < NEWBORN_SUBJ * f, draw(s, "bd", BASE_MOD))
             .when(draw(s, "ov", 1000L) < 25L, draw(s, "bd", BASE_MOD) - 109500L)
             .otherwise(draw(s, "bd", BASE_MOD) -
               ((lit(16L) + draw(s, "ag", 74L)) * 365L + draw(s, "dd", 365L)))))
@@ -407,9 +428,12 @@ object MimicSynth {
     * the DuckDB CTEs, so note-derived vocab/BoW rows are exactly
     * oracle-able.
     */
-  def notes(spark: SparkSession): DataFrame = {
-    val base = spark.range(N_ADM).select(col("id").as("i"))
-    val (s, _, _) = blockCols(col("i"))
+  def notes(spark: SparkSession): DataFrame = notesAt(spark, 1L)
+
+  /** [[notes]] at `f`× scale. */
+  def notesAt(spark: SparkSession, f: Long): DataFrame = {
+    val base = spark.range(N_ADM * f).select(col("id").as("i"))
+    val (s, _, _) = blockCols(col("i"), f)
     val nWords = lit(20L) + draw(col("i"), "nw", 30L)
     val wordsArr = transform(sequence(lit(1L), nWords), j => noteWord(col("i"), j))
     val summaries = base
@@ -422,7 +446,9 @@ object MimicSynth {
     val nursing = base
       .filter(draw(col("i"), "nu", 1000L) < 300L)
       .select(
-        (lit(1000000L) + col("i")).as("ROW_ID"), s.as("SUBJECT_ID"),
+        // offset keeps nursing ROW_IDs disjoint from summaries at any f
+        // (= the published 1000000 at f = 1, where the oracles pin it)
+        (lit(math.max(1000000L, N_ADM * f * 2)) + col("i")).as("ROW_ID"), s.as("SUBJECT_ID"),
         (lit(100000L) + col("i")).as("HADM_ID"),
         lit("Nursing").as("CATEGORY"),
         lit("Vitals stable overnight.").as("TEXT"))
@@ -466,15 +492,22 @@ object MimicSynth {
     * Scale shape: the diagnoses semi-join is a hash-agg of the diagnosis
     * table's keys broadcast against the cohort — no cohort shuffle.
     */
-  def modelingRows(spark: SparkSession): DataFrame = {
+  def modelingRows(spark: SparkSession): DataFrame = modelingRowsAt(spark, 1L)
+
+  /** [[modelingRows]] at `f`× scale — the Scale harness's measurement of
+    * the reference pipeline's relational prefix (cohort labeling windows
+    * + death/newborn filters + diagnoses semi-join + patients join +
+    * dropna + split) on a 10× MIMIC.
+    */
+  def modelingRowsAt(spark: SparkSession, f: Long): DataFrame = {
     val coh = graft.ops.CohortOps.labelNextEvent(
-      admissions(spark), entityCol = "SUBJECT_ID", timeCol = "ADMITTIME",
+      admissionsAt(spark, f), entityCol = "SUBJECT_ID", timeCol = "ADMITTIME",
       typeCol = "ADMISSION_TYPE", tieCol = "HADM_ID",
       excludedType = "ELECTIVE", horizonDays = 30.0, anchorCol = "DISCHTIME")
       .filter(col("DEATHTIME").isNull && col("ADMISSION_TYPE") =!= "NEWBORN")
     coh
-      .join(diagnoses(spark).select("HADM_ID"), Seq("HADM_ID"), "left_semi")
-      .join(patients(spark).filter(col("DOB").isNotNull).select("SUBJECT_ID"),
+      .join(diagnosesAt(spark, f).select("HADM_ID"), Seq("HADM_ID"), "left_semi")
+      .join(patientsAt(spark, f).filter(col("DOB").isNotNull).select("SUBJECT_ID"),
         Seq("SUBJECT_ID"))
       .select(col("HADM_ID"), col("SUBJECT_ID"), col("label"),
         trainTestSplit(col("HADM_ID")).as("split"))

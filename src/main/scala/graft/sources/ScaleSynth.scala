@@ -103,4 +103,28 @@ object ScaleSynth {
       .otherwise(base24)
     s.range(n).select(i.as("key_id"), key.as("key"))
   }
+
+  /** (src, dst) edge list for the iterated-join graph family: nEdges
+    * hash-drawn edges over nEdges/8 nodes (constant mean degree ~16
+    * counting both endpoints, so density — the thing that makes an
+    * iterated join blow up — stays FIXED as the graph grows; only size
+    * scales). Self-loops are drawn-and-dropped (~1/nNodes of rows) so
+    * the realized edge count stays ∝ nEdges. No dedup: multi-edges are
+    * what a real co-occurrence extraction feeds these operators before
+    * their own `.distinct()`.
+    */
+  def edges(s: SparkSession, nEdges: Long): DataFrame = {
+    val nNodes = edgeNodeCount(nEdges)
+    s.range(nEdges).select(
+      draw(col("id"), "es", nNodes).as("src"),
+      draw(col("id"), "ed", nNodes).as("dst"))
+      .filter(col("src") =!= col("dst"))
+  }
+
+  /** Node universe size for [[edges]] (constant mean degree). */
+  def edgeNodeCount(nEdges: Long): Long = math.max(nEdges / 8L, 16L)
+
+  /** (node_id) universe matching [[edges]]. */
+  def edgeNodes(s: SparkSession, nEdges: Long): DataFrame =
+    s.range(edgeNodeCount(nEdges)).select(col("id").as("node_id"))
 }

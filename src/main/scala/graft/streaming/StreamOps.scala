@@ -285,6 +285,26 @@ object StreamOps {
     * per-band emissions to one flag per doc (dup iff dup in ANY band),
     * left-joined back onto the full table so shingle-less docs report
     * `false` — the row set the batch oracle produces. */
+  /** The near-dup state machine drained over an EXPLICIT landing
+    * directory with a micro-batch rate limit — the Scale harness's entry
+    * point: it stages a synthetic corpus as many files and measures the
+    * drain at 1×/10×/100× micro-batches (state must stay O(buckets), so
+    * wall time must grow with the corpus, not with batches × corpus).
+    * Same band generator, same state machine as [[nearDupViaStream]].
+    */
+  def nearDupDrainDir(spark: SparkSession, srcDir: String, queryName: String,
+                      filesPerTrigger: Int): DataFrame = {
+    import spark.implicits._
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", filesPerTrigger).parquet(srcDir)
+    val spread = stream.repartition(spark.sparkContext.defaultParallelism)
+    val bandRows = graft.dedup.Dedup
+      .minhashBandsPerRow(spread, "doc_id", "text")
+      .as[BandRow]
+    runToCompletion(nearDup(bandRows).toDF(), queryName, OutputMode.Append())
+  }
+
   def nearDupViaStream(spark: SparkSession, dir: String, queryName: String): DataFrame = {
     import spark.implicits._
     // the staged table is ONE parquet file -> one input split, which

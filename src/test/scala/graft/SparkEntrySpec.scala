@@ -15,16 +15,30 @@ class SparkEntrySpec extends SparkSpecBase {
     assert(missing.isEmpty, s"oracle entries without a query: $missing")
   }
 
+  // the engine-RNG sampling forms (randomSplit / seeded df.sample) lost
+  // their redundant rows-only registry entries in r11 (green hash-twins
+  // and the exact-count MIMIC rows cover the surfaces); their
+  // determinism contract stays pinned HERE, directly on the operators
   test("seeded sampling is deterministic: same seed, same counts twice") {
-    val q = SparkEntry.queries("o3_sample_split")
-    val a = q(spark, sfDir).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val b = q(spark, sfDir).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def counts(): Map[String, Long] = {
+      val Array(train, test) = graft.core.Tables.table(spark, sfDir, "orders")
+        .randomSplit(Array(0.8, 0.2), seed = 42)
+      Map("train" -> train.count(), "test" -> test.count())
+    }
+    val a = counts()
+    val b = counts()
     assert(a == b)
     assert(a.values.sum == 1500) // all orders land in exactly one split at sf0.001
   }
 
-  test("undersample balances classes to roughly 1:1") {
-    val counts = SparkEntry.queries("o4_undersample")(spark, sfDir)
+  test("seeded undersample balances classes to roughly 1:1") {
+    val labeled = graft.core.Tables.table(spark, sfDir, "orders")
+      .select(when(col("o_totalprice") > 300000, "1").otherwise("0").as("label"))
+    val pos = labeled.filter(col("label") === "1")
+    val neg = labeled.filter(col("label") === "0")
+    val frac = pos.count().toDouble / neg.count().toDouble
+    val bal = pos.unionByName(neg.sample(withReplacement = false, frac, seed = 42))
+    val counts = bal.groupBy("label").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val ratio = counts("0").toDouble / counts("1")
     assert(ratio > 0.5 && ratio < 2.0, s"unbalanced after undersample: $counts")

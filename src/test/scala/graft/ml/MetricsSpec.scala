@@ -258,4 +258,12 @@ class MetricsSpec extends SparkSpecBase {
     assert(math.abs(auc - (0.125 + 1.0 / 6.0)) < 1e-9,
       s"auc_pr $auc != hand-computed 0.291666…")
   }
+
+  test("aucPrReordered with ZERO positives returns NaN, not a silent 0/NaN " +
+    "integral (Spark orders NaN above every double, so unguarded 0/0 " +
+    "recalls would all route into the full-recall branch)") {
+    val df = Seq((0.9, 0.0), (0.4, 0.0), (0.1, 0.0)).toDF("margin", "y")
+    val auc = graft.ml.Metrics.aucPrReordered(df, "margin", "y")
+    assert(auc.isNaN, s"expected NaN on a zero-positive frame, got $auc")
+  }
 }

@@ -106,6 +106,22 @@ class QuantizedSpec extends SparkSpecBase {
     })
   }
 
+  test("ivfPqRecall: k everywhere under full probe + unbounded rerank, " +
+    "bounded by k at the lossy production config") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val full = Quantized.ivfPqRecall(emb, "vec_id", "embedding",
+      dim = 64, m = 8, nCodes = 16, nPivots = 8, nprobe = 8,
+      nQueries = 5, rerank = 1000, k = 5).collect()
+    assert(full.length == 5 && full.forall(_.getAs[Long]("n_hits") == 5L),
+      "full probe + full rerank must recover the exact top-k")
+    val lossy = Quantized.ivfPqRecall(emb, "vec_id", "embedding",
+      dim = 64, m = 8, nCodes = 16, nPivots = 16, nprobe = 2,
+      nQueries = 5, rerank = 20, k = 5).collect()
+    assert(lossy.length == 5 && lossy.forall { r =>
+      val h = r.getAs[Long]("n_hits"); h >= 0L && h <= 5L
+    })
+  }
+
   test("pqTopK rejects dim not divisible by m") {
     intercept[IllegalArgumentException] {
       Quantized.pqTopK(vecs, "vec_id", "embedding",

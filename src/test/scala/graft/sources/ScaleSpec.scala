@@ -78,10 +78,12 @@ class ScaleSpec extends SparkSpecBase {
   test("RHP-LSH with corpus-sized buckets finds exactly the planted copies " +
     "at both scales (the nlist sizing rule — SCALE.md finding #1)") {
     def pairs(n: Long): Long = {
-      val bits = math.max(6, math.ceil(math.log(n / 32.0) / math.log(2.0)).toInt)
+      // no caller-supplied bitsPerBand: the operator's own
+      // autoBitsPerBand default must size the bucket space (6 bits at
+      // 2k vectors, 10 at 20k) — the r10 sizing rule moved into code
       val emb = ScaleSynth.embeddings(spark, n).cache()
       try graft.sim.Similarity.rhpNearDupPairs(emb, "vec_id", "embedding",
-        dim = 64, threshold = 0.9, bitsPerBand = bits).count()
+        dim = 64, threshold = 0.9).count()
       finally emb.unpersist()
     }
     // planted copies have cosine ≈ 0.999 (±0.01 jitter on a unit-scale
