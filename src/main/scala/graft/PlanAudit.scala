@@ -409,8 +409,14 @@ object PlanAudit {
         |inverted index holds ~1/(1−t) fewer postings AND its hottest
         |(stopword) tokens are exactly the ones never indexed — prefix
         |filtering is skew relief with a lossless-recall proof, which the
-        |unrestricted-oracle hash match certifies. Verification joins the
-        |token arrays back only for surviving candidates.""",
+        |unrestricted-oracle hash match certifies. Since r11 the join is
+        |size-oriented with the INDEXED side pruned to its short
+        |2t/(1+t) prefix (the AllPairs asymmetric refinement), carries
+        |the PPJoin positional filter as a per-match-row predicate, and
+        |salts only postings above 1,024 entries (two-tier — the cold
+        |tail joins unreplicated). Verification joins the token arrays
+        |back only for surviving candidates (~430 match rows per
+        |verified pair, measured in SCALE.md; was ~2,400).""",
     "inc_agg_maintain" ->
       """The base table feeds ONE aggregation (the snapshot); the delta
         |aggregates separately with map-side ±1 signing, and the merge is
@@ -883,7 +889,22 @@ object PlanAudit {
         |round; assignment argmins are map-side-combining min_by
         |aggregates (never a window over corpus×k rows); centroid updates
         |are one (subspace, cluster, dim)-keyed hash-agg of exact longs.
-        |ADC scoring reuses the broadcast LUT + subspace-ordered fold.""",
+        |ADC scoring reuses the broadcast LUT + subspace-ordered fold.
+        |Since r11 the trained codebook is materialized once as a local
+        |m×kCodes-row table, so the encode and query-LUT legs — which
+        |both reference the centroids — structurally cannot re-run the
+        |iterated training subtree (previously exchange-reuse-dependent);
+        |the plan below shows the codebook as a local scan.""",
+    "sim_ivfpq_recall" ->
+      """The ANN recall audit's plan is the union of its two legs: the
+        |full production-config IVF-PQ composition (coarse probe → ADC →
+        |exact re-rank — sim_ivfpq_topk's audited shape) and ONE exact
+        |brute-force pass bounded to |queries|×|corpus| cosine rows with
+        |a per-query TopK window, joined on (query, neighbor) with a
+        |left-semi and reduced to |queries| exact hit counts. The
+        |expensive exactness leg is |queries|-bounded, never
+        |corpus×corpus — recall accounting costs one brute top-k more
+        |than the query it audits.""",
     "d_dup_spans" ->
       """Sequence-level dedup: window fingerprints are md5-narrowed
         |before the ONE corpus-wide hash-agg that issues duplicate

@@ -933,13 +933,18 @@ object Dedup {
     * in each ordered array — Xiao et al., WWW 2008) prune candidates
     * before verification. Output: (doc_a, doc_b, jacc) rounded to 6.
     *
-    * Scale shape: explode ONLY prefix tokens (≈(1−t)·len per doc) →
-    * equi-join on token (two-tier salted: only hot postings replicate)
-    * → per-match positional filter → distinct candidate pairs → verify
-    * by joining the two (sorted) token arrays back and intersecting.
-    * Versus the plain inverted-index join, the candidate stream shrinks
-    * by ~1/(1−t)² on the hot tokens — at t = 0.9 that's ~100× — and the
-    * positional filter cuts the survivors again before the distinct.
+    * Scale shape: explode ONLY prefix tokens (≈(1−t)·len per doc; the
+    * INDEXED side of the size-oriented self-join keeps just the
+    * ⌈(1−t)/(1+t)·len⌉-ish short prefix — the AllPairs asymmetric
+    * refinement, ~half the probe prefix at t = 0.9) → equi-join on
+    * token (two-tier salted: only hot postings replicate) → per-match
+    * positional filter → distinct candidate pairs → verify by joining
+    * the two (sorted) token arrays back and intersecting. Versus the
+    * plain inverted-index join, the candidate stream shrinks by
+    * ~1/(1−t)² on the hot tokens — at t = 0.9 that's ~100× — and the
+    * short index prefix and positional filter cut the survivors again
+    * — measured 1.13M → 203k pre-distinct match rows at 5k docs
+    * (5.6×, SCALE.md), verified pairs unchanged.
     */
   def prefixJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                          threshold: Double): DataFrame =
@@ -996,13 +1001,25 @@ object Dedup {
         transform(col("_ord"), s => s.getField("tok")).as("_toks"),
         size(col("_ord")).as("_sz"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ASYMMETRIC prefixes (AllPairs/PPJoin self-join refinement): orient
+    // every pair so the INDEXED side is the (size, id)-smaller doc. The
+    // probe side x needs the standard prefix |x| − ⌈t·|x|⌉ + 1 (its
+    // partner can be as small as t·|x|, so α ≥ t·|x|); the indexed side
+    // y only needs |y| − ⌈2t/(1+t)·|y|⌉ + 1 (its partner is AT LEAST as
+    // large, so α ≥ 2t/(1+t)·|y|) — roughly HALF the probe prefix at
+    // t = 0.9, which halves every posting join product. The 1e-9 slack
+    // errs the ceil small → the prefix slightly long → lossless.
     val prefLen = (col("_sz") - ceil(col("_sz") * lit(threshold)).cast("int") + 1)
+    val idxLen = (col("_sz") -
+      ceil(col("_sz") * lit(2.0 * threshold / (1.0 + threshold)) - lit(1e-9))
+        .cast("int") + 1)
     // posexplode keeps each prefix token's 1-based POSITION in the doc's
     // full globally-ordered token array — the input to the positional
-    // filter below
-    val pref = ordered.select(col("_id"), col("_sz"),
+    // filter below. One explode over the longer (probe) prefix; the
+    // index side is its position-bounded subset.
+    val pref = ordered.select(col("_id"), col("_sz"), idxLen.as("_il"),
         posexplode(slice(col("_toks"), lit(1), prefLen)))
-      .select(col("_id"), col("_sz"),
+      .select(col("_id"), col("_sz"), col("_il"),
         (col("pos") + 1).as("_pos"), col("col").as("ptok"))
     // the candidate self-join keys on the token — a low-cardinality, hot
     // key when the vocabulary is small (worst case: every posting list is
@@ -1025,9 +1042,13 @@ object Dedup {
     val prefA = prefMarked.withColumn("_salt",
       when(col("_hot"), pmod(xxhash64(col("_id")), lit(salts.toLong)))
         .otherwise(lit(0L)))
-    val prefB = prefMarked.withColumn("_salt",
-      explode(when(col("_hot"), sequence(lit(0L), lit(salts - 1L)))
-        .otherwise(array(lit(0L)))))
+    // the index side keeps only its SHORT prefix rows (filtered before
+    // the salt explode, so the replication cost applies to the already-
+    // halved posting lists)
+    val prefB = prefMarked.filter(col("_pos") <= col("_il"))
+      .withColumn("_salt",
+        explode(when(col("_hot"), sequence(lit(0L), lit(salts - 1L)))
+          .otherwise(array(lit(0L)))))
     // POSITIONAL filter (the filter that gives PPJoin its name — Xiao et
     // al., WWW 2008 §3.2): a token matching at 1-based positions (i, j)
     // of the two globally-ordered arrays bounds the overlap by
@@ -1046,15 +1067,20 @@ object Dedup {
     val posBound =
       least(col("a._pos"), col("b._pos")) +
         least(col("a._sz") - col("a._pos"), col("b._sz") - col("b._pos"))
+    // a = PROBE (full prefix), b = INDEX (short-prefix subset, enforced
+    // by the position bound below). Orientation: b is the (size, id)-
+    // smaller doc, so every unordered pair meets in exactly one
+    // orientation; b ≤ a in size makes a's ≥ ⌈t·|a|⌉ size filter the
+    // only one needed (the reverse is implied by b._sz ≤ a._sz).
     val matchRows = prefA.as("a")
       .join(prefB.as("b"),
         col("a.ptok") === col("b.ptok") && col("a._salt") === col("b._salt") &&
-          col("a._id") < col("b._id") &&
-          // size filter: |b| ≥ ⌈t·|a|⌉ and vice versa (join keeps both orders)
+          (col("b._sz") < col("a._sz") ||
+            (col("b._sz") === col("a._sz") && col("b._id") < col("a._id"))) &&
           col("b._sz") >= ceil(col("a._sz") * lit(threshold)) &&
-          col("a._sz") >= ceil(col("b._sz") * lit(threshold)) &&
           posBound >= alpha)
-      .select(col("a._id").as("doc_a"), col("b._id").as("doc_b"))
+      .select(least(col("a._id"), col("b._id")).as("doc_a"),
+        greatest(col("a._id"), col("b._id")).as("doc_b"))
     (matchRows, ordered, () => { ordered.unpersist(); () })
   }
 

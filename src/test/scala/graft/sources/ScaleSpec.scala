@@ -44,20 +44,36 @@ class ScaleSpec extends SparkSpecBase {
         "expected ~10x (constant planted-dup rate)")
   }
 
-  test("prefix-filter Jaccard: verified pairs grow near-linearly over a 10x corpus") {
-    def pairs(n: Long): Long = {
+  test("prefix-filter Jaccard: verified pairs AND the filtered candidate " +
+    "stream grow near-linearly over a 10x corpus, with the r11 filter " +
+    "chain (asymmetric index prefix + size + positional) holding the " +
+    "candidate:pair ratio under 1000:1 (pre-r11 it was ~2,400:1)") {
+    def stats(n: Long): (Long, Long) = {
       val docs = ScaleSynth.documents(spark, n).cache()
       try {
+        val cand = graft.dedup.Dedup
+          .prefixJaccardCandidateCount(docs, "doc_id", "text", threshold = 0.9)
         val (p, release) = graft.dedup.Dedup
           .prefixJaccardPairsReleasable(docs, "doc_id", "text", threshold = 0.9)
-        try p.count() finally release()
+        try (cand, p.count()) finally release()
       } finally docs.unpersist()
     }
-    val p1 = pairs(n1); val p2 = pairs(n2)
+    // measured ABOVE the generator's vocabulary floor (V = max(2000,
+    // n/2)): below 4k docs the vocab is pinned at 2000 types, so token
+    // posting lists densify ∝ n²/V by DATA, not by algorithm — the
+    // scaladoc'd Heaps-law caveat. 5k/50k are SCALE.md's own tiers.
+    val (c1, p1) = stats(5000L); val (c2, p2) = stats(50000L)
     assert(p1 > 0, "no qualifying pairs at 1x")
     val r = p2.toDouble / p1
     assert(r > 5 && r < supraLinear,
       s"pairs grew ${r}x over a 10x corpus ($p1 -> $p2); expected ~10x")
+    val cr = c2.toDouble / c1
+    assert(cr < supraLinear,
+      s"candidate stream densified: ${cr}x over a 10x corpus ($c1 -> $c2)")
+    assert(c1 < 1000 * p1 && c2 < 1000 * p2,
+      s"filter chain regressed: candidates per verified pair " +
+        s"${c1 / math.max(p1, 1)}:1 at 1x, ${c2 / math.max(p2, 1)}:1 at 10x " +
+        "(measured ~430:1 with the r11 chain; the prefix-only join was ~2,400:1)")
   }
 
   test("SimHash pigeonhole: found pairs grow near-linearly over a 10x corpus " +
