@@ -301,10 +301,14 @@ object PlanAudit {
     "a_spearman" ->
       """Spearman = Pearson on tie-averaged ranks, with BOTH rank tables
         |built by the distributed-CDF pattern (range-partitioned per-value
-        |counts + broadcast offsets — no SinglePartition window over the
-        |support). Two shuffle joins map rows to integer ranks; ONE
-        |all-moments hash-aggregate (decimal(38,0) sums) ends the plan. No
-        |global sort of the data anywhere.""",
+        |counts; partition offsets prefix-summed over ≤P rows and
+        |broadcast-JOINED back — since r11 fully lazy, so the whole
+        |derivation is ONE action with the ranged exchanges reused, where
+        |the r10 form paid an eager collect + pin per column: 20 AQE jobs
+        |/ 4.1 s → 7 / 1.5 s at sf0.1). Two shuffle joins map rows to
+        |integer ranks; ONE all-moments hash-aggregate (decimal(38,0)
+        |sums) ends the plan. No global sort of the DATA anywhere — the
+        |only SinglePartition exchanges feed the ≤P offset tables.""",
     "ml_map" ->
       """Average precision only ever ranks the TopKPerKey survivors (the
         |bounded-heap pair, ≤ k rows per group cross the exchange); the
@@ -523,11 +527,15 @@ object PlanAudit {
       """The revenue ranking collapses the fact table to |customers|
         |decimal sums first; the cumulative share is then a RunningTotal
         |distributed prefix sum in integer cents — range-partitioned
-        |per-partition windows plus broadcast partition offsets, NO
-        |SinglePartition exchange over the |customers| frame (at 100× that
-        |frame is ~10⁹ rows; a one-task running sum would be the plan's
-        |death). The class thresholds compare decimal·integer products, so
-        |the A/B/C boundary cannot flip on a double ulp at any scale.""",
+        |per-partition windows plus broadcast partition offsets (lazy
+        |since r11: the offsets and grand total are plan subtrees reusing
+        |the ranged exchange, not driver collects), NO SinglePartition
+        |exchange over the |customers| frame (at 100× that frame is ~10⁹
+        |rows; a one-task running sum would be the plan's death — the two
+        |SinglePartitions in the plan feed the ≤P offsets and the 1-row
+        |total, both plan-asserted in PlansSpec). The class thresholds
+        |compare decimal·integer products, so the A/B/C boundary cannot
+        |flip on a double ulp at any scale.""",
     "d_chunk_dedup" ->
       """Boilerplate-chunk removal is LINEAR in corpus size: the exploded
         |(doc, idx, chunk) rows hash-aggregate once on chunk text for

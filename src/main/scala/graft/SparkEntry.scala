@@ -2888,23 +2888,18 @@ object SparkEntry {
         .groupBy(col("o_custkey"))
         .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("spend"))
         .withColumn("_cents", (col("spend") * 100).cast("long"))
-      val (cum, totCents, release) = graft.ops.RunningTotal.withRunningSum(
+      val (cum, totCents) = graft.ops.RunningTotal.withRunningSum(
         per, col("_cents"), "_cum_cents",
         col("spend").desc, col("o_custkey").asc)
       val cumD = col("_cum_cents").cast("decimal(38,0)")
-      val totD = lit(totCents).cast("decimal(38,0)")
-      val out = cum
+      val totD = col("_rt_total").cast("decimal(38,0)")
+      cum.crossJoin(broadcast(totCents))
         .groupBy(
           when(cumD * 20 <= totD * 16, "A")
             .when(cumD * 20 <= totD * 19, "B")
             .otherwise("C").as("abc_class"))
         .agg(count(lit(1)).as("n_customers"),
           sum("spend").cast("double").as("class_spend"))
-      // 3-row result: materialize, then drop the prefix-sum pin
-      val collected = out.cache()
-      collected.count()
-      release()
-      collected
     }),
 
     // weight-of-evidence + information value over exact decile bins —

@@ -12,24 +12,28 @@ import org.apache.spark.sql.functions._
   * GlobalRowNumber shape):
   *
   *   1. range-repartition on the sort keys (executor-side sampled splits);
-  *   2. bring only the P per-partition VALUE TOTALS to the driver;
-  *   3. local per-partition cumsum (parallel windows) + the partition's
-  *      cumulative offset from a broadcast literal map.
+  *   2. prefix-sum the P per-partition VALUE TOTALS (a SinglePartition
+  *      window over ≤ P rows — bounded by parallelism, never by data)
+  *      and broadcast-JOIN them back as each partition's offset;
+  *   3. local per-partition cumsum (parallel windows) + the offset.
   *
-  * Two passes over the input ⇒ the ranged frame is pinned
-  * MEMORY_AND_DISK; call the release hook once the result is
-  * materialized (later actions recompute — correct, just unpinned).
+  * Entirely LAZY (the r11 form; until r10 step 2 collected the offsets
+  * to the driver, which forced an eager materialization + session pin
+  * per call and a release-hook contract on every consumer). The offsets
+  * subtree re-reads the ranged exchange, which exchange reuse dedups.
   */
 object RunningTotal {
 
   /** @return (frame + `outCol` = inclusive running sum of `value` in
-    *         `ord` order, grand total, release hook). `value` is cast to
-    *         long (nulls → 0); `ord` must be a total order (append a
-    *         unique key) or the prefix sums are nondeterministic.
+    *         `ord` order, 1-row grand-total frame with column
+    *         `_rt_total` — crossJoin(broadcast(...)) it wherever the
+    *         total is needed). `value` is cast to long (nulls → 0);
+    *         `ord` must be a total order (append a unique key) or the
+    *         prefix sums are nondeterministic.
     */
   def withRunningSum(
       df: DataFrame, value: Column, outCol: String,
-      ord: Column*): (DataFrame, Long, () => Unit) = {
+      ord: Column*): (DataFrame, DataFrame) = {
     require(ord.nonEmpty, "running sum needs at least one ordering column")
     val parts = math.max(1,
       df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
@@ -37,20 +41,17 @@ object RunningTotal {
       .withColumn("_rt_v", coalesce(value.cast("long"), lit(0L)))
       .repartitionByRange(parts, ord: _*)
       .withColumn("_pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // P longs to the driver — partition value totals, not rows
-    val totals: Map[Int, Long] = ranged.groupBy("_pid").agg(sum("_rt_v").as("t"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val offsets: Map[Int, Long] = (0 until parts)
-      .scanLeft(0L)((acc, p) => acc + totals.getOrElse(p, 0L))
-      .zipWithIndex.map { case (off, p) => p -> off }.toMap
-    val grand = (0 until parts).map(totals.getOrElse(_, 0L)).sum
+    val offs = ranged.groupBy("_pid").agg(sum("_rt_v").as("_pc"))
+      .withColumn("_poff",
+        coalesce(sum("_pc").over(Window.orderBy("_pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_pid"), col("_poff"))
+    val total = ranged.agg(coalesce(sum("_rt_v"), lit(0L)).as("_rt_total"))
     val w = Window.partitionBy("_pid").orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val out = ranged
-      .withColumn(outCol,
-        sum(col("_rt_v")).over(w) + element_at(typedlit(offsets), col("_pid")))
-      .drop("_rt_v", "_pid")
-    (out, grand, () => { ranged.unpersist(); () })
+    val out = ranged.join(broadcast(offs), "_pid")
+      .withColumn(outCol, sum(col("_rt_v")).over(w) + col("_poff"))
+      .drop("_rt_v", "_pid", "_poff")
+    (out, total)
   }
 }

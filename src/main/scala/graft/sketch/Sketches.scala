@@ -456,18 +456,14 @@ object Sketches {
             col("cnt")), 6).as("est"))
     // exact order statistics via the distributed CDF over per-value counts
     val perVal = base.groupBy(col("_v")).agg(count(lit(1)).as("_c"))
-    val (cumVal, n, release) = graft.ops.RunningTotal.withRunningSum(
+    val (cumVal, nTot) = graft.ops.RunningTotal.withRunningSum(
       perVal, col("_c"), "_cumv", col("_v").asc)
-    val exact = cumVal.crossJoin(broadcast(ps))
-      .filter(col("_cumv") * 1000 >= col("p_permille") * n)
+    val exact = cumVal.crossJoin(broadcast(nTot)).crossJoin(broadcast(ps))
+      .filter(col("_cumv") * 1000 >= col("p_permille") * col("_rt_total"))
       .groupBy("p_permille").agg(min(col("_v")).as("exact"))
-    val out = est.join(exact, "p_permille")
+    est.join(exact, "p_permille")
       .select(col("p_permille").cast("int").as("p_permille"), col("est"),
         col("exact"), round(abs(col("est") - col("exact")), 6).as("abs_err"))
-    val collected = out.cache()
-    collected.count()
-    release()
-    collected
   }
 
   /** Merge-equals-whole check for the histogram sketch: shard histograms

@@ -117,12 +117,28 @@ class PlansSpec extends SparkSpecBase {
     assert(!tree.contains("SinglePartition"), tree)
   }
 
-  test("a15_pareto_abc: cumulative share is a distributed prefix sum — no " +
-    "SinglePartition window over the |customers| frame") {
+  test("a15_pareto_abc: cumulative share is a distributed prefix sum — the " +
+    "only SinglePartition exchange feeds the ≤P-row offsets table, never " +
+    "the |customers| frame") {
     val df = SparkEntry.queries("a15_pareto_abc")(spark, sfDir)
     df.collect()
-    val tree = plan(df).toString
-    assert(!tree.contains("SinglePartition"), tree)
+    // adaptive toString prints Final + Initial sections — read the FINAL
+    // plan only
+    val full = plan(df).toString
+    val tree = full.indexOf("== Initial Plan ==") match {
+      case -1 => full
+      case i  => full.substring(0, i)
+    }
+    // r11: RunningTotal is fully lazy, so its bounded funnels are visible
+    // in the plan instead of hidden behind an eager persist — exactly
+    // two SinglePartition exchanges: the offsets prefix window (≤ P
+    // per-partition totals) and the 1-row grand-total aggregate, both
+    // broadcast back. The customer-sized path must stay partitioned
+    // (range + _pid clustering) with the ranged exchange REUSED, not
+    // recomputed, by the offsets/total subtrees.
+    assert(tree.split("SinglePartition").length - 1 == 2, tree)
+    assert(tree.contains("hashpartitioning(_pid"), tree)
+    assert(tree.contains("ReusedExchange"), tree)
   }
 
   test("ml_auc_rank: the partition-decomposed Mann-Whitney sum equals the " +
@@ -450,11 +466,21 @@ class PlansSpec extends SparkSpecBase {
     assert(countShuffles(plan(df)) <= 3, explainStr(df))
   }
 
-  test("a15_pareto_abc: distributed prefix sum + class agg — no funnel exchange") {
+  test("a15_pareto_abc: distributed prefix sum + class agg — duplicated " +
+    "subtrees collapse to reused exchanges at runtime") {
     val df = SparkEntry.queries("a15_pareto_abc")(spark, sfDir)
-    // RunningTotal's range exchange rides the persisted frame; the class
-    // agg adds its own hash exchange over 3 rows
-    assert(countShuffles(plan(df)) <= 2, explainStr(df))
+    // r11: the lazy RunningTotal references its ranged subtree from three
+    // places (main cumsum, offsets, grand total), so the STATIC plan
+    // repeats the upstream exchanges; what matters at scale is the
+    // EXECUTED plan, where AQE exchange reuse must collapse the
+    // duplicates — count after running. Distinct shuffles: custkey agg,
+    // range partition, _pid totals agg, offsets SinglePartition (≤P
+    // rows), the window's _pid clustering, class agg = 6.
+    df.collect()
+    assert(countShuffles(plan(df)) <= 6, explainStr(df))
+    val tree = plan(df).toString
+    assert(tree.contains("ReusedExchange"),
+      s"expected the ranged subtree's exchanges to be reused:\n$tree")
   }
 
   test("t_ngram_novelty: first-occurrence agg and join share the shingle exchange") {

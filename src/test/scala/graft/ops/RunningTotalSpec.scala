@@ -13,7 +13,7 @@ class RunningTotalSpec extends SparkSpecBase {
   ).toDF("id", "v")
 
   test("prefix sums equal the single-partition window form") {
-    val (got, grand, release) =
+    val (got, grandDf) =
       RunningTotal.withRunningSum(df, col("v"), "cum", col("id"))
     val g = got.select("id", "cum").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -23,32 +23,34 @@ class RunningTotalSpec extends SparkSpecBase {
       .select("id", "cum").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(g == want)
-    assert(grand == (10L to 100L by 10L).sum)
-    release()
-    assert(got.count() == 10L) // post-release actions recompute
+    assert(grandDf.collect().head.getLong(0) == (10L to 100L by 10L).sum)
+    assert(got.count() == 10L) // fully lazy: repeat actions stay correct
   }
 
   test("nulls count as zero; empty input gives grand total 0") {
     val withNull = df.withColumn("v", when(col("id") === 1L, lit(null)).otherwise(col("v")))
-    val (got, grand, release) =
+    val (got, grandDf) =
       RunningTotal.withRunningSum(withNull, col("v"), "cum", col("id"))
     val byId = got.select("id", "cum").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(byId(1L) == 0L && byId(2L) == 20L)
-    assert(grand == (10L to 100L by 10L).sum - 10L)
-    release()
-    val (_, g0, r0) = RunningTotal.withRunningSum(
+    assert(grandDf.collect().head.getLong(0) == (10L to 100L by 10L).sum - 10L)
+    val (_, g0) = RunningTotal.withRunningSum(
       df.filter(col("id") < 0), col("v"), "cum", col("id"))
-    assert(g0 == 0L)
-    r0()
+    assert(g0.collect().head.getLong(0) == 0L)
   }
 
-  test("no single-partition window in the plan") {
-    val (got, _, release) =
+  test("the only single-partition exchange feeds the <=P-row offsets table " +
+    "(the data path is range-partitioned + per-partition windows)") {
+    val (got, _) =
       RunningTotal.withRunningSum(df, col("v"), "cum", col("id"))
     val p = got.queryExecution.executedPlan.toString
-    assert(!p.contains("SinglePartition"), p)
-    release()
+    // exactly one SinglePartition, and it sits under the BroadcastExchange
+    // of the offsets prefix sum (input = the _pid-keyed aggregate, <=
+    // shuffle-partitions rows) - a parallelism-bounded funnel, never data
+    assert(p.split("SinglePartition").length - 1 == 1, p)
+    val broadcastIdx = p.indexOf("BroadcastExchange")
+    assert(broadcastIdx >= 0 && p.indexOf("SinglePartition") > broadcastIdx, p)
   }
 
   test("ntileFromRank matches ntile() for every (n, k) shape") {
