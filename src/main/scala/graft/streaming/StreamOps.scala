@@ -291,6 +291,17 @@ object StreamOps {
     * drain at 1×/10×/100× micro-batches (state must stay O(buckets), so
     * wall time must grow with the corpus, not with batches × corpus).
     * Same band generator, same state machine as [[nearDupViaStream]].
+    *
+    * SEMANTICS under multiple batches: the state machine is
+    * first-SEEN-wins — a doc is flagged iff a doc from an earlier batch
+    * (or a smaller-id doc in the same batch) shares a bucket. When file
+    * order does not respect id order, a colliding pair split across
+    * batches with the smaller id arriving later flags nobody, so the
+    * drain is a SUBSET of the batch min-id LSH answer (never a
+    * superset) — exactly the production streaming-dedup contract, and
+    * spec-pinned in StreamOpsSpec. The single-batch drain (one file, or
+    * filesPerTrigger ≥ file count — the oracled d_stream_neardup path)
+    * equals the batch answer exactly.
     */
   def nearDupDrainDir(spark: SparkSession, srcDir: String, queryName: String,
                       filesPerTrigger: Int): DataFrame = {

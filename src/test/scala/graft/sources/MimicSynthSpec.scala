@@ -153,4 +153,33 @@ class MimicSynthSpec extends SparkSpecBase {
     assert(derived == matrix,
       s"vocab divergence: ${(derived -- matrix).take(5)} vs ${(matrix -- derived).take(5)}")
   }
+
+  test("At(f) scaled generators preserve the structural proportions " +
+    "(the Scale harness's apples-to-apples contract)") {
+    val f = 2L
+    val adm1 = MimicSynth.admissions(spark)
+    val admF = MimicSynth.admissionsAt(spark, f)
+    assert(admF.count() == f * MimicSynth.N_ADM)
+    // newborn share identical (NEWBORN subjects scale with the block map)
+    def share(df: org.apache.spark.sql.DataFrame): Double =
+      df.filter(col("ADMISSION_TYPE") === "NEWBORN").count().toDouble / df.count()
+    assert(math.abs(share(admF) - share(adm1)) < 1e-9,
+      s"newborn share drifted: ${share(admF)} vs ${share(adm1)}")
+    // per-subject partition bound holds at any f (the window-cost contract)
+    val maxAdm = admF.groupBy("SUBJECT_ID").count()
+      .agg(max("count")).collect()(0).getLong(0)
+    assert(maxAdm <= 6L, s"subject with $maxAdm admissions at f=$f")
+    // HADM_IDs stay unique across the scaled table
+    assert(admF.select("HADM_ID").distinct().count() == f * MimicSynth.N_ADM)
+    // the modeling-row chain keeps prevalence in the f=1 band (the label
+    // mechanism is per-subject hash arithmetic — scale must not move it
+    // more than sampling noise)
+    def prevalence(fx: Long): Double = {
+      val m = MimicSynth.modelingRowsAt(spark, fx)
+        .agg(avg(col("label").cast("double"))).collect()(0).getDouble(0)
+      m
+    }
+    val p1 = prevalence(1L); val pf = prevalence(f)
+    assert(math.abs(pf - p1) < 0.01, s"prevalence drifted: $p1 -> $pf at f=$f")
+  }
 }

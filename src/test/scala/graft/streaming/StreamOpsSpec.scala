@@ -390,6 +390,51 @@ class StreamOpsSpec extends SparkSpecBase {
     assert(b1 == b2)
   }
 
+  test("nearDupDrainDir: the rate-limited multi-batch drain (the Scale " +
+    "harness's entry point) flags exactly the batch LSH answer however " +
+    "the files split the corpus") {
+    import spark.implicits._
+    val n = 400L
+    val docs = graft.sources.ScaleSynth.documents(spark, n)
+    val dir = java.nio.file.Files.createTempDirectory("graft_spec_neardup_dir")
+    try {
+      docs.repartition(4).write.mode("overwrite").parquet(dir.toString)
+      // batch answer: a doc is near-dup iff it shares a band bucket with a
+      // SMALLER doc id (the state machine's min-id contract)
+      val bands = graft.dedup.Dedup.minhashBandsPerRow(docs, "doc_id", "text")
+      val want = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+            col("b.doc_id") < col("a.doc_id"))
+        .select(col("a.doc_id")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      assert(want.nonEmpty, "no planted near-dups found — generator contract broken")
+      def flagged(filesPerTrigger: Int, tag: String): Set[Long] =
+        graft.streaming.StreamOps.nearDupDrainDir(
+            spark, dir.toString, s"nd_dir_spec_$tag", filesPerTrigger)
+          .filter(col("dup")).select("doc_id").distinct()
+          .collect().map(_.getLong(0)).toSet
+      // all 4 files in ONE trigger: within-batch min-id = the global
+      // batch LSH answer, exactly
+      val oneBatch = flagged(4, "one")
+      assert(oneBatch == want,
+        s"single-batch drain diverges from batch LSH: " +
+          s"only-stream=${(oneBatch -- want).take(5)} only-batch=${(want -- oneBatch).take(5)}")
+      // 4 micro-batches in ARBITRARY file order: the streaming contract is
+      // first-SEEN-wins, so a pair split across batches with the smaller
+      // id arriving later legitimately flags nobody — the drain must be a
+      // SUBSET of the batch answer (no false positives), never a superset
+      val multi = flagged(1, "multi")
+      assert(multi.nonEmpty && multi.subsetOf(want),
+        s"multi-batch drain invented flags: ${(multi -- want).take(5)}")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
+      finally walk.close()
+    }
+  }
+
   test("nearDupViaStream plan: band generation is stateless per-row (no " +
     "aggregate before the state machine)") {
     import spark.implicits._
