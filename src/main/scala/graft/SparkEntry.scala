@@ -1686,9 +1686,14 @@ object SparkEntry {
     // The DuckDB oracle mirrors the same deterministic algorithm (same
     // seeded sign matrix, integer-quantized projections), so correctness
     // is verified exactly without depending on LSH recall.
+    // bitsPerBand PINNED to the oracle's width: the operator's corpus-
+    // sized default (autoBitsPerBand) would silently diverge from the
+    // static 6-bit oracle CTEs the moment the embeddings table crosses
+    // 2048 rows — an oracled row pins ALL its params, like every other
+    // registry entry (production callers omit the width and get auto)
     "d_embed_neardup" -> ((s, d) =>
       Similarity.rhpNearDupPairs(t(s, d, "embeddings"), "vec_id", "embedding",
-        dim = 64, threshold = 0.45)),
+        dim = 64, threshold = 0.45, bitsPerBand = 6)),
 
     // SemDeDup composition (semantic dedup over embeddings): RHP-LSH
     // near-dup pairs → min-label connected components → keep ONE member
@@ -1700,7 +1705,7 @@ object SparkEntry {
     "sim_semantic_keep" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       val pairs = Similarity.rhpNearDupPairs(emb, "vec_id", "embedding",
-          dim = 64, threshold = 0.45)
+          dim = 64, threshold = 0.45, bitsPerBand = 6) // pinned to the oracle (see d_embed_neardup)
         .select(col("keep_id").as("doc_a"), col("dup_id").as("doc_b"))
       val clusters = Dedup.dupClusters(pairs, emb, "vec_id")
       val scored = emb.withColumn("_q", permilleHash1M(col("vec_id"), ":semq"))

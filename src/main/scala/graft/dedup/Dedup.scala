@@ -1009,7 +1009,14 @@ object Dedup {
     // large, so α ≥ 2t/(1+t)·|y|) — roughly HALF the probe prefix at
     // t = 0.9, which halves every posting join product. The 1e-9 slack
     // errs the ceil small → the prefix slightly long → lossless.
-    val prefLen = (col("_sz") - ceil(col("_sz") * lit(threshold)).cast("int") + 1)
+    // every ceil in the filter chain carries the same 1e-9 slack: at
+    // thresholds where sz·t is exactly integral, the double product can
+    // round UP one ulp (e.g. 100 × 0.07 = 7.000000000000001), which
+    // would shorten a prefix / raise a size bound past a genuinely
+    // qualifying boundary pair — a silent losslessness break. Erring
+    // 1e-9 small only ever admits an extra candidate.
+    val prefLen = (col("_sz") -
+      ceil(col("_sz") * lit(threshold) - lit(1e-9)).cast("int") + 1)
     val idxLen = (col("_sz") -
       ceil(col("_sz") * lit(2.0 * threshold / (1.0 + threshold)) - lit(1e-9))
         .cast("int") + 1)
@@ -1067,17 +1074,18 @@ object Dedup {
     val posBound =
       least(col("a._pos"), col("b._pos")) +
         least(col("a._sz") - col("a._pos"), col("b._sz") - col("b._pos"))
-    // a = PROBE (full prefix), b = INDEX (short-prefix subset, enforced
-    // by the position bound below). Orientation: b is the (size, id)-
-    // smaller doc, so every unordered pair meets in exactly one
-    // orientation; b ≤ a in size makes a's ≥ ⌈t·|a|⌉ size filter the
-    // only one needed (the reverse is implied by b._sz ≤ a._sz).
+    // a = PROBE (full prefix), b = INDEX (the short-prefix subset built
+    // above). Orientation: b is the (size, id)-smaller doc, so every
+    // unordered pair meets in exactly one orientation; b ≤ a in size
+    // makes a's ≥ ⌈t·|a|⌉ size filter the only one needed (the reverse
+    // is implied by b._sz ≤ a._sz).
     val matchRows = prefA.as("a")
       .join(prefB.as("b"),
         col("a.ptok") === col("b.ptok") && col("a._salt") === col("b._salt") &&
           (col("b._sz") < col("a._sz") ||
             (col("b._sz") === col("a._sz") && col("b._id") < col("a._id"))) &&
-          col("b._sz") >= ceil(col("a._sz") * lit(threshold)) &&
+          // size filter: |b| ≥ ⌈t·|a|⌉, slack-ceiled like prefLen above
+          col("b._sz") >= ceil(col("a._sz") * lit(threshold) - lit(1e-9)) &&
           posBound >= alpha)
       .select(least(col("a._id"), col("b._id")).as("doc_a"),
         greatest(col("a._id"), col("b._id")).as("doc_b"))

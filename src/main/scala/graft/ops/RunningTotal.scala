@@ -19,8 +19,23 @@ import org.apache.spark.sql.functions._
   *
   * Entirely LAZY (the r11 form; until r10 step 2 collected the offsets
   * to the driver, which forced an eager materialization + session pin
-  * per call and a release-hook contract on every consumer). The offsets
-  * subtree re-reads the ranged exchange, which exchange reuse dedups.
+  * per call and a release-hook contract on every consumer).
+  *
+  * CORRECTNESS CONTRACT — the offsets subtree MUST reuse the data
+  * path's range exchange, not re-evaluate it: Spark seeds the range-
+  * boundary reservoir sample per RDD id, so two INDEPENDENT evaluations
+  * of the same range exchange can pick different boundaries, and
+  * offsets computed against one partitioning would be applied to
+  * another. Reuse holds because both subtrees consume the exchange's
+  * identical column set: callers MUST pass slim frames (every column is
+  * an ordering key or the value — true of every in-repo caller; a
+  * column consumed by neither side prunes the two exchange children
+  * differently, defeats stage canonicalization, and re-evaluates).
+  * Plan-asserted in RunningTotalSpec, StatsOpsSpec, and the a15
+  * PlansSpec case, so a Spark upgrade or conf change
+  * (spark.sql.exchange.reuse=false) that breaks reuse fails the suite
+  * loudly — and the DuckDB oracle gate would catch the value drift on
+  * every hash-checked consumer regardless.
   */
 object RunningTotal {
 

@@ -128,9 +128,13 @@ object StatsOps {
     * r10 form collected the offsets to the driver, which forced one
     * eager materialization + persist PER COLUMN — 20 AQE jobs and
     * ~4.1 s for a two-column Spearman at sf0.1; this plan runs the same
-    * math in 7 jobs / ~1.5 s). The offsets subtree re-reads the ranged
-    * exchange, which exchange reuse dedups; the SinglePartition window
-    * inside it sorts ≤ `parts` rows — never data.
+    * math in 7 jobs / ~1.5 s). The offsets subtree MUST reuse the
+    * ranged exchange rather than re-evaluate it (range-boundary sampling
+    * is seeded per RDD id — see the contract note on
+    * [[graft.ops.RunningTotal]]); reuse holds because `perVal` is slim
+    * (both subtrees consume the identical (v, cnt) columns) and is
+    * plan-asserted in StatsOpsSpec. The SinglePartition window inside
+    * the offsets sorts ≤ `parts` rows — never data.
     */
   private def avgRank2(df: DataFrame, value: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -104,21 +104,23 @@ object ScaleSynth {
     s.range(n).select(i.as("key_id"), key.as("key"))
   }
 
-  /** (src, dst) edge list for the iterated-join graph family: nEdges
-    * hash-drawn edges over nEdges/8 nodes (constant mean degree ~16
-    * counting both endpoints, so density — the thing that makes an
+  /** (src, dst) edge list for the iterated-join graph family: EXACTLY
+    * nEdges hash-drawn edges over nEdges/8 nodes (constant mean degree
+    * ~16 counting both endpoints, so density — the thing that makes an
     * iterated join blow up — stays FIXED as the graph grows; only size
-    * scales). Self-loops are drawn-and-dropped (~1/nNodes of rows) so
-    * the realized edge count stays ∝ nEdges. No dedup: multi-edges are
-    * what a real co-occurrence extraction feeds these operators before
-    * their own `.distinct()`.
+    * scales). Self-loops are impossible BY CONSTRUCTION (dst is drawn
+    * as a nonzero offset from src, mod the universe), so the realized
+    * count equals the parameter and `edgeNodeCount(edges.count())`
+    * recovers the exact node universe the endpoints were drawn over.
+    * No dedup: multi-edges are what a real co-occurrence extraction
+    * feeds these operators before their own `.distinct()`.
     */
   def edges(s: SparkSession, nEdges: Long): DataFrame = {
     val nNodes = edgeNodeCount(nEdges)
+    val src = draw(col("id"), "es", nNodes)
     s.range(nEdges).select(
-      draw(col("id"), "es", nNodes).as("src"),
-      draw(col("id"), "ed", nNodes).as("dst"))
-      .filter(col("src") =!= col("dst"))
+      src.as("src"),
+      pmod(src + 1L + draw(col("id"), "ed", nNodes - 1), lit(nNodes)).as("dst"))
   }
 
   /** Node universe size for [[edges]] (constant mean degree). */

@@ -281,10 +281,6 @@ object StreamOps {
       }
   }
 
-  /** Drain [[nearDup]] over the document file-stream and reduce the
-    * per-band emissions to one flag per doc (dup iff dup in ANY band),
-    * left-joined back onto the full table so shingle-less docs report
-    * `false` — the row set the batch oracle produces. */
   /** The near-dup state machine drained over an EXPLICIT landing
     * directory with a micro-batch rate limit — the Scale harness's entry
     * point: it stages a synthetic corpus as many files and measures the
@@ -316,6 +312,12 @@ object StreamOps {
     runToCompletion(nearDup(bandRows).toDF(), queryName, OutputMode.Append())
   }
 
+  /** Drain [[nearDup]] over the document file-stream and reduce the
+    * per-band emissions to one flag per doc (dup iff dup in ANY band),
+    * left-joined back onto the full table so shingle-less docs report
+    * `false` — the row set the batch oracle produces (one staged file →
+    * one micro-batch, so the drain equals the batch min-id LSH answer
+    * exactly; see [[nearDupDrainDir]] for the multi-batch semantics). */
   def nearDupViaStream(spark: SparkSession, dir: String, queryName: String): DataFrame = {
     import spark.implicits._
     // the staged table is ONE parquet file -> one input split, which

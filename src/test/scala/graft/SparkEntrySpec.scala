@@ -31,6 +31,27 @@ class SparkEntrySpec extends SparkSpecBase {
     assert(a.values.sum == 1500) // all orders land in exactly one split at sf0.001
   }
 
+  test("seeded permutation is deterministic: orderBy(rand(42)) yields the " +
+    "same head twice (the retired o2_shuffle's contract)") {
+    def head(): Seq[Long] =
+      graft.core.Tables.table(spark, sfDir, "orders")
+        .orderBy(rand(42)).limit(20).select("o_orderkey")
+        .collect().map(_.getLong(0)).toSeq
+    assert(head() == head())
+  }
+
+  test("seeded with-replacement oversample is deterministic: same seed, " +
+    "same multiset twice (the retired o8_oversample's contract)") {
+    def counts(): Map[Long, Long] =
+      graft.core.Tables.table(spark, sfDir, "orders")
+        .sample(withReplacement = true, 2.0, seed = 42)
+        .groupBy("o_orderkey").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a = counts()
+    assert(a == counts())
+    assert(a.values.exists(_ > 1L), "with-replacement sample drew no duplicates")
+  }
+
   test("seeded undersample balances classes to roughly 1:1") {
     val labeled = graft.core.Tables.table(spark, sfDir, "orders")
       .select(when(col("o_totalprice") > 300000, "1").otherwise("0").as("label"))

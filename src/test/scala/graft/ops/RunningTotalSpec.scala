@@ -53,6 +53,33 @@ class RunningTotalSpec extends SparkSpecBase {
     assert(broadcastIdx >= 0 && p.indexOf("SinglePartition") > broadcastIdx, p)
   }
 
+  test("the offsets subtree REUSES the ranged exchange when the consumer is " +
+    "slim (the lazy design's correctness contract: range boundaries are " +
+    "sampled per RDD id, so an independent re-evaluation could partition " +
+    "differently than the data path)") {
+    val (got, _) =
+      RunningTotal.withRunningSum(df, col("v"), "cum", col("id"))
+    // SLIM consumption — every surviving column feeds both subtrees, so
+    // the two exchange children canonicalize identically and AQE reuses
+    // the materialized stage. A consumer that keeps a column NEITHER the
+    // ordering nor the value touches would prune the two sides
+    // differently and defeat reuse (the scaladoc's contract note); every
+    // in-repo caller passes slim (ord, value) frames, and each oracled
+    // consumer is additionally hash-checked end to end.
+    val slim = got.select("id", "cum")
+    slim.collect()
+    val full = slim.queryExecution.executedPlan.toString
+    val p = full.indexOf("== Initial Plan ==") match {
+      case -1 => full
+      case i  => full.substring(0, i)
+    }
+    assert(p.contains("ReusedExchange"),
+      s"offsets subtree re-evaluated the range exchange instead of reusing it:\n$p")
+    // and only ONE materialized range exchange — the second occurrence is
+    // the reuse reference's description, not a real node
+    assert(p.split("Exchange rangepartitioning").length - 1 <= 2, p)
+  }
+
   test("ntileFromRank matches ntile() for every (n, k) shape") {
     for (n <- Seq(1L, 4L, 5L, 7L, 23L, 100L); k <- Seq(2, 3, 5, 7)) {
       val rows = (1L to n).map(i => Tuple1(i)).toDF("r")

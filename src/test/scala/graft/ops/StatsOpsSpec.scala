@@ -73,6 +73,25 @@ class StatsOpsSpec extends SparkSpecBase {
     assert(down == -1.0)
   }
 
+  test("spearman's rank-table offsets REUSE their ranged exchanges (the lazy " +
+    "CDF's correctness contract — see RunningTotal's scaladoc)") {
+    val df = (1 to 500).map(i => (i.toDouble % 37, i.toDouble % 53)).toDF("x", "y")
+    val out = StatsOps.spearman(df, "x", "y")
+    out.collect()
+    val full = out.queryExecution.executedPlan.toString
+    val p = full.indexOf("== Initial Plan ==") match {
+      case -1 => full
+      case i  => full.substring(0, i)
+    }
+    assert(p.contains("ReusedExchange"),
+      s"an offsets subtree re-evaluated its range exchange:\n$p")
+    // two rank tables → two real range exchanges; their offsets subtrees
+    // must appear as reuse references, not additional materializations
+    val real = p.linesIterator.count(l =>
+      l.contains("Exchange rangepartitioning") && !l.contains("ReusedExchange"))
+    assert(real == 2, s"expected 2 materialized range exchanges, got $real:\n$p")
+  }
+
   test("spearman handles ties via average ranks (scipy-checked value)") {
     // x = [1,2,2,3], y = [10,20,20,40]: identical tie structure → rho = 1
     val tied = Seq((1.0, 10.0), (2.0, 20.0), (2.0, 20.0), (3.0, 40.0)).toDF("x", "y")
