@@ -219,27 +219,48 @@ object Bench {
       // report the spike as the query's cost (r4: a 6 s query read 57 s)
       s((s.size - 1) / 2)
     }
-    val medians = results.map { case (k, (ts, _, _, _)) => k -> (if (ts.head < 0) -1.0 else median(ts)) }
-    val total = medians.values.filter(_ >= 0).sum
     def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    // a per-query JSON side file (ORACLE_TIMES / BENCH_ANCHOR) is trusted
+    // only if it records THIS run's SF dir. The sf check tolerates any
+    // JSON whitespace ("sf":"x", "sf" : "x", indent variants) — r11's
+    // exact-substring form silently disabled all anchors on a reformatted
+    // file, surfaced only as n_anchored:0 (r11 advisory). A file that
+    // exists but yields zero rows at this SF now warns on stderr.
+    def loadTimesFile(path: String, what: String,
+                      keep: String => Boolean): Map[String, Double] = {
+      val p = java.nio.file.Paths.get(path)
+      if (!java.nio.file.Files.exists(p)) Map.empty
+      else try {
+        val txt = new String(java.nio.file.Files.readAllBytes(p),
+          java.nio.charset.StandardCharsets.UTF_8)
+        val sfOk = ("\"sf\"\\s*:\\s*\"" +
+          java.util.regex.Pattern.quote(sfDir) + "\"").r
+          .findFirstIn(txt).isDefined
+        val m =
+          if (!sfOk) Map.empty[String, Double]
+          else "\"([A-Za-z0-9_]+)\"\\s*:\\s*([0-9][0-9.]*)".r.findAllMatchIn(txt)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+            .filter { case (k, _) => keep(k) }
+        if (m.isEmpty) System.err.println(
+          s"[bench] WARNING: $what file $path exists but yields 0 rows at " +
+            s"sf=$sfDir (${if (sfOk) "no matching query keys" else "sf mismatch"}) — " +
+            (if (what == "anchor") "env_inflated flagging is DISABLED for this run"
+             else "duck_sec comparison is DISABLED for this run"))
+        m
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] WARNING: $what file $path unreadable " +
+            s"(${e.getMessage}) — its comparisons are disabled for this run")
+          Map.empty
+      }
+    }
     // per-query DuckDB baseline times (tools/oracle_times.py writes
     // ORACLE_TIMES.json; committed at the driver's bench SF) — merged as
     // duck_sec per query so the "within 2x of baseline" gate is
-    // computable per query, not just on the ML comparables. The file is
-    // trusted only if it was generated at THIS run's SF dir.
+    // computable per query, not just on the ML comparables.
     val oraclePath = sys.env.getOrElse("SPARK_GRAFT_ORACLE_TIMES", "/root/repo/ORACLE_TIMES.json")
     val duckTimes: Map[String, Double] =
-      try {
-        val txt = new String(
-          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(oraclePath)),
-          java.nio.charset.StandardCharsets.UTF_8)
-        if (!txt.contains("\"sf\": \"" + sfDir + "\"")) Map.empty
-        else "\"([A-Za-z0-9_]+)\": ([0-9][0-9.]*)".r.findAllMatchIn(txt)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-          .filter { case (k, _) => medians.contains(k) }
-      } catch { case _: Throwable => Map.empty }
-    val qs = medians.map { case (k, v) => s"\"" + k + "\":" + f(v) }
-      .mkString("{", ",", "}")
+      loadTimesFile(oraclePath, "oracle-times", results.contains)
     // cross-run anchor — closes the disturbance contract's THIRD state: a
     // slowdown that inflates all reps UNIFORMLY produces neither GC
     // fraction nor rep spread, so it sailed past both r10 guards (~20
@@ -248,22 +269,84 @@ object Bench {
     // SF; a row whose BEST rep exceeds 2x its anchor is flagged
     // env_inflated — the minimum over reps is the least-disturbed
     // observation, so min > 2x a clean median cannot be single-rep noise.
-    // Trusted only at the anchor's own SF dir; queries without an anchor
-    // row (new since the anchored run) simply carry no flag. Refresh the
-    // file from a clean run's BENCH_DETAIL.json via tools/update_anchor.py.
+    // Queries without an anchor row (new since the anchored run) simply
+    // carry no flag. Refresh the file from a clean run's
+    // BENCH_DETAIL.json via tools/update_anchor.py.
     val anchorPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_ANCHOR", "/root/repo/BENCH_ANCHOR.json")
     val anchors: Map[String, Double] =
-      try {
-        val txt = new String(
-          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(anchorPath)),
-          java.nio.charset.StandardCharsets.UTF_8)
-        if (!txt.contains("\"sf\": \"" + sfDir + "\"")) Map.empty
-        else "\"([A-Za-z0-9_]+)\":\\s*([0-9][0-9.]*)".r.findAllMatchIn(txt)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-          .filter { case (k, _) => medians.contains(k) }
-      } catch { case _: Throwable => Map.empty }
+      loadTimesFile(anchorPath, "anchor", results.contains)
     def isEnvInflated(k: String, ts: List[Double]): Boolean =
       anchors.get(k).exists(a => ts.min > 0 && a > 0.1 && ts.min > 2 * a)
+    // AUTO-ADJUDICATION (r12, closing the r11 verdict's #1): an
+    // env_inflated flag means "this number was measured under a
+    // disturbance the machine can see" — leaving it as the row's number
+    // ships a wrong artifact (r11's driver run read 1.139× while the
+    // engine sat at 0.980× clean). So every flagged row is RE-RUN
+    // ISOLATED at the end of the sweep (the manual SPARK_GRAFT_ONLY
+    // protocol of BENCH_NOTES.md, automated): wait for external load to
+    // drain (bounded), re-rep the query alone, and record a per-row
+    // verdict — `noise` if the isolated best rep is back within 2× its
+    // anchor (the disturbance was environmental; the adjudicated median
+    // replaces the disturbed one everywhere downstream) or `code` if it
+    // is still slow in isolation (a REAL regression; the adjudicated
+    // number is the honest cost and rides downstream too, with the flag
+    // kept so round-over-round attribution sees it). Disable with
+    // SPARK_GRAFT_NO_ADJUDICATE=1 (e.g. for anchor-mechanism tests).
+    val adjudicate = !sys.env.get("SPARK_GRAFT_NO_ADJUDICATE").contains("1")
+    val flaggedInflated = results.collect {
+      case (k, (ts, _, _, _)) if isEnvInflated(k, ts) => k
+    }.toList.sorted
+    val adjudications: Map[String, (List[Double], String)] =
+      if (!adjudicate || flaggedInflated.isEmpty) Map.empty
+      else {
+        System.err.println(
+          s"[bench] ${flaggedInflated.size} env_inflated rows — re-running isolated: " +
+            flaggedInflated.mkString(", "))
+        // bounded settle: give an external disturbance up to 90 s to
+        // drain before the isolated reps (load is a 1-min average, so a
+        // burst that just ended still reads high for a while)
+        var waited = 0
+        while (loadAvg() > loadContendedAt && waited < 90) {
+          Thread.sleep(5000); waited += 5
+        }
+        System.gc()
+        flaggedInflated.map { k =>
+          val fn = selected(k)
+          val ts = scala.collection.mutable.ListBuffer[Double]()
+          var i = 0
+          var failed = false
+          while (i < reps && !failed && (i == 0 || ts.sum < repBudgetSec)) {
+            val t0 = System.nanoTime()
+            try { fn(spark, sfDir).count() } catch {
+              case e: Throwable =>
+                System.err.println(s"[bench] adjudication rep failed ($k): ${e.getMessage}")
+                failed = true
+            }
+            if (!failed) ts += (System.nanoTime() - t0) / 1e9
+            i += 1
+          }
+          if (ts.isEmpty) k -> (List(-1.0), "error")
+          else {
+            val verdict = if (ts.min <= 2 * anchors(k)) "noise" else "code"
+            System.err.println(
+              s"[bench] adjudicated $k: isolated median ${f(median(ts.toList))} " +
+                s"(min ${f(ts.min)}) vs anchor ${f(anchors(k))} -> $verdict")
+            k -> (ts.toList, verdict)
+          }
+        }.toMap
+      }
+    // the reported number for an adjudicated row is the ISOLATED median —
+    // the disturbed sweep median is kept in query_stats (disturbed_median)
+    // for attribution, but totals/ratios/stdout use the honest cost
+    val medians = results.map { case (k, (ts, _, _, _)) =>
+      k -> (adjudications.get(k) match {
+        case Some((ats, v)) if v != "error" => median(ats)
+        case _ => if (ts.head < 0) -1.0 else median(ts)
+      })
+    }
+    val total = medians.values.filter(_ >= 0).sum
+    val qs = medians.map { case (k, v) => s"\"" + k + "\":" + f(v) }
+      .mkString("{", ",", "}")
     val stats = results.map { case (k, (ts, failures, load, gcFrac)) =>
       val duck = duckTimes.get(k).map(d => ",\"duck_sec\":" + f(d)).getOrElse("")
       val warmed = if (jitWarmQueries(k)) ",\"jit_warmed\":true" else ""
@@ -278,13 +361,24 @@ object Bench {
       val gcy = if (gcFrac > 0.3) ",\"gc_heavy\":true" else ""
       val env = if (isEnvInflated(k, ts))
         ",\"env_inflated\":true,\"anchor_sec\":" + f(anchors(k)) else ""
+      // adjudication record: the disturbed sweep median stays visible
+      // (disturbed_median) next to the isolated reps and the verdict, so
+      // a reader can see BOTH what the sweep measured and what the query
+      // actually costs — `median` above is already the adjudicated one
+      val adj = adjudications.get(k).map { case (ats, verdict) =>
+        ",\"adjudicated\":\"" + verdict + "\"" +
+          ",\"disturbed_median\":" + f(if (ts.head < 0) -1.0 else median(ts)) +
+          ",\"adj_min\":" + f(ats.min) + ",\"adj_n\":" + ats.size
+      }.getOrElse("")
       s"\"" + k + "\":{\"median\":" + f(medians(k)) + ",\"min\":" + f(ts.min) +
         ",\"max\":" + f(ts.max) + ",\"n\":" + ts.size + ",\"failures\":" + failures +
         ",\"load_max\":" + f(load) + ",\"gc_frac_max\":" + f(gcFrac) +
-        duck + warmed + contended + spread + gcy + env + "}"
+        duck + warmed + contended + spread + gcy + env + adj + "}"
     }.mkString("{", ",", "}")
     val nContended = results.count { case (_, (_, _, load, _)) => load > loadContendedAt }
     val nEnvInflated = results.count { case (k, (ts, _, _, _)) => isEnvInflated(k, ts) }
+    val nAdjNoise = adjudications.count(_._2._2 == "noise")
+    val nAdjCode = adjudications.count(_._2._2 == "code")
     val nFlagged = results.count { case (k, (ts, _, load, gcFrac)) =>
       load > loadContendedAt || gcFrac > 0.3 ||
         (ts.size >= 2 && ts.min > 0 && ts.max > 2 * ts.min) ||
@@ -308,7 +402,7 @@ object Bench {
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "/root/repo/BENCH_DETAIL.json")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(detailPath),
-      s"""{"warmup_sec":${f(warmupSec)},"stream_fixed_sec":${f(streamFixedSec)},"reps":$reps,"sf":"$sfDir","load_start":${f(loadStart)},"load_contended_at":${f(loadContendedAt)},"n_contended":$nContended,"n_flagged":$nFlagged,"n_env_inflated":$nEnvInflated,"n_anchored":${anchors.size},"warmup_failures":${warmupFailures.map("\"" + _ + "\"").mkString("[", ",", "]")}$ratioJson,"medians":$qs,"query_stats":$stats}"""
+      s"""{"warmup_sec":${f(warmupSec)},"stream_fixed_sec":${f(streamFixedSec)},"reps":$reps,"sf":"$sfDir","load_start":${f(loadStart)},"load_contended_at":${f(loadContendedAt)},"n_contended":$nContended,"n_flagged":$nFlagged,"n_env_inflated":$nEnvInflated,"n_adjudicated_noise":$nAdjNoise,"n_adjudicated_code":$nAdjCode,"n_anchored":${anchors.size},"warmup_failures":${warmupFailures.map("\"" + _ + "\"").mkString("[", ",", "]")}$ratioJson,"medians":$qs,"query_stats":$stats}"""
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
     // The driver keeps only the LAST ~2000 chars of stdout and parses the

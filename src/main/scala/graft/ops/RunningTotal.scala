@@ -36,8 +36,54 @@ import org.apache.spark.sql.functions._
   * (spark.sql.exchange.reuse=false) that breaks reuse fails the suite
   * loudly — and the DuckDB oracle gate would catch the value drift on
   * every hash-checked consumer regardless.
+  *
+  * The contract is additionally RUNTIME-ENFORCED (r12): the call throws
+  * up front if `spark.sql.exchange.reuse` is off, or if `df` carries a
+  * column that neither the ordering nor the value reads (a non-slim
+  * frame prunes the two exchange children differently, defeats stage
+  * canonicalization, and silently re-samples range boundaries). Misuse
+  * fails loudly instead of producing wrong running sums; callers with
+  * passthrough columns must project them out and join them back by key.
   */
 object RunningTotal {
+
+  /** Throws unless every column of `df` is consumed by `exprs` (the
+    * ordering keys + the value). Resolution rides the analyzer — the
+    * projection is analyzed against `df`'s plan (never executed), and
+    * the referenced attributes are matched to `df`'s output by exprId,
+    * so aliases/case quirks can't fake a pass. SortOrder wrappers
+    * (`col.asc`/`.desc`) are unwrapped before projecting. If the guard
+    * itself cannot resolve an exotic expression it stays permissive —
+    * the plan-level specs and the per-consumer oracle hashes remain the
+    * backstop there.
+    */
+  private def requireSlim(df: DataFrame, exprs: Seq[Column]): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.SortOrder
+    import org.apache.spark.sql.graftshim.Shim
+    try {
+      val plain = exprs.map { c =>
+        Shim.catalystExpression(df.sparkSession, c) match {
+          case so: SortOrder => Shim.column(so.child)
+          case _             => c
+        }
+      }
+      val analyzed = df.select(plain: _*).queryExecution.analyzed
+      val usedIds = analyzed.expressions.flatMap(_.references.map(_.exprId)).toSet
+      val extra = df.queryExecution.analyzed.output
+        .filterNot(a => usedIds.contains(a.exprId)).map(_.name)
+      require(extra.isEmpty,
+        s"RunningTotal.withRunningSum requires a SLIM frame (every column an " +
+          s"ordering key or the value): columns ${extra.mkString(", ")} are " +
+          "consumed by neither. A passthrough column prunes the data and " +
+          "offset subtrees differently, defeats exchange reuse, and the " +
+          "re-sampled range boundaries make the running sum silently wrong. " +
+          "Project the frame down to (ord..., value) and join passthrough " +
+          "columns back by key.")
+    } catch {
+      case e: IllegalArgumentException => throw e // the require above
+      case _: Throwable                => () // unresolvable guard input: stay permissive
+    }
+  }
 
   /** @return (frame + `outCol` = inclusive running sum of `value` in
     *         `ord` order, 1-row grand-total frame with column
@@ -50,6 +96,12 @@ object RunningTotal {
       df: DataFrame, value: Column, outCol: String,
       ord: Column*): (DataFrame, DataFrame) = {
     require(ord.nonEmpty, "running sum needs at least one ordering column")
+    require(
+      df.sparkSession.conf.get("spark.sql.exchange.reuse", "true").toBoolean,
+      "RunningTotal.withRunningSum requires spark.sql.exchange.reuse=true: " +
+        "the offset subtree must reuse the data path's range exchange, or " +
+        "independently re-sampled range boundaries make the sums wrong")
+    requireSlim(df, ord :+ value)
     val parts = math.max(1,
       df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
     val ranged = df

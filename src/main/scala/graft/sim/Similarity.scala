@@ -232,12 +232,12 @@ object Similarity {
     * bucket space turns the candidate join quadratic exactly like an
     * undersized FAISS `nlist` (at 200k vectors a fixed 6-bit width
     * spilled ~80 GB of shuffle before dying). The default `bitsPerBand =
-    * 0` DERIVES the width from the corpus via [[autoBitsPerBand]] (one
-    * cheap `count()` of the input — callers whose `emb` has expensive
-    * uncached lineage should persist it first, the same contract the
-    * un-cached `base` below already states). Pass an explicit width only
-    * to pin behavior. Recall per band falls as bits rise; compensate
-    * with `bands` if the dup cosine threshold is low.
+    * 6` is the pinned, corpus-independent test-scale width (reproducible
+    * results, no extra action — every oracled row uses it); production
+    * callers at unknown corpus size should call [[rhpNearDupPairsAuto]],
+    * which derives the width via [[autoBitsPerBand]]. Recall per band
+    * falls as bits rise; compensate with `bands` if the dup cosine
+    * threshold is low.
     */
   def rhpNearDupPairs(
       emb: DataFrame,
@@ -246,10 +246,13 @@ object Similarity {
       dim: Int,
       threshold: Double,
       bands: Int = 8,
-      bitsPerBand: Int = 0,
+      bitsPerBand: Int = 6,
       seed: Long = 42L
   ): DataFrame = {
-    val bits = if (bitsPerBand > 0) bitsPerBand else autoBitsPerBand(emb.count())
+    require(bitsPerBand > 0 && bitsPerBand <= 62,
+      s"bitsPerBand must be in [1,62] (got $bitsPerBand); " +
+        "use rhpNearDupPairsAuto for a corpus-derived width")
+    val bits = bitsPerBand
     // base is deliberately NOT cached: it re-evaluates for the banded
     // signatures and for each verify side (va/vb), but each evaluation is a
     // column-pruned parquet scan + per-row arithmetic — linear, shuffle-free
@@ -272,6 +275,26 @@ object Similarity {
       .filter(col("cosine") >= threshold)
       .select("keep_id", "dup_id", "cosine")
   }
+
+  /** [[rhpNearDupPairs]] with the band width DERIVED from the corpus via
+    * [[autoBitsPerBand]] — the scale-path entry point (the FAISS-`nlist`
+    * sizing rule in code). Pays one eager `count()` of `emb` to size the
+    * bucket space, so results are corpus-size-dependent by design; callers
+    * whose `emb` has expensive uncached lineage should persist it first.
+    * Kept SEPARATE from the pinned-default `rhpNearDupPairs` so existing
+    * defaulted calls stay reproducible and action-free (r11 advisory).
+    */
+  def rhpNearDupPairsAuto(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      threshold: Double,
+      bands: Int = 8,
+      seed: Long = 42L
+  ): DataFrame =
+    rhpNearDupPairs(emb, idCol, vecCol, dim, threshold, bands,
+      bitsPerBand = autoBitsPerBand(emb.count()), seed)
 
   /** DuckDB oracle for `rhpNearDupPairs`: the SAME algorithm (same sign
     * matrix, same integer quantization, same banding) rendered as ANSI-ish

@@ -80,6 +80,26 @@ class RunningTotalSpec extends SparkSpecBase {
     assert(p.split("Exchange rangepartitioning").length - 1 <= 2, p)
   }
 
+  test("non-slim frames and exchange.reuse=false fail LOUDLY at call time " +
+    "(the r12 runtime guard: misuse must throw, never silently mis-sum)") {
+    // a passthrough column consumed by neither ord nor value → throw
+    val fat = df.withColumn("extra", col("v") * 2)
+    val e = intercept[IllegalArgumentException] {
+      RunningTotal.withRunningSum(fat, col("v"), "cum", col("id"))
+    }
+    assert(e.getMessage.contains("extra"), e.getMessage)
+    // sort-order wrappers and computed values resolve through the guard:
+    // every column is consumed → no throw (a15's exact shape)
+    val (ok, _) = RunningTotal.withRunningSum(
+      df, col("v") + 0L, "cum", col("v").desc, col("id").asc)
+    assert(ok.columns.contains("cum"))
+    // reuse disabled → throw before any plan is built
+    spark.conf.set("spark.sql.exchange.reuse", "false")
+    try intercept[IllegalArgumentException] {
+      RunningTotal.withRunningSum(df, col("v"), "cum", col("id"))
+    } finally spark.conf.set("spark.sql.exchange.reuse", "true")
+  }
+
   test("ntileFromRank matches ntile() for every (n, k) shape") {
     for (n <- Seq(1L, 4L, 5L, 7L, 23L, 100L); k <- Seq(2, 3, 5, 7)) {
       val rows = (1L to n).map(i => Tuple1(i)).toDF("r")

@@ -53,7 +53,7 @@ class SimilaritySpec extends SparkSpecBase {
 
   test("rhpNearDupPairs: full recall on planted near-dups, subset of exact pairs") {
     val corpus = plantedCorpus()
-    val lsh = Similarity.rhpNearDupPairs(corpus, "vec_id", "embedding",
+    val lsh = Similarity.rhpNearDupPairsAuto(corpus, "vec_id", "embedding",
       dim = 16, threshold = 0.95)
       .collect().map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("dup_id"))).toSet
     val exact = Similarity.cosinePairs(corpus, "vec_id", "embedding", 0.95)
