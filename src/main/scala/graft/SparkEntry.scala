@@ -1,14 +1,7 @@
 package graft
 
-import graft.core.Tables
-import graft.dedup.Dedup
-import graft.functions.VectorOps
-import graft.ops.{CohortOps, Recodes}
-import graft.sim.{Quantized, Similarity}
-import graft.text.TextOps
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.registry._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,8639 +14,47 @@ import org.apache.spark.sql.functions._
   */
 object SparkEntry {
 
-  private def t(s: SparkSession, d: String, name: String): DataFrame = Tables.table(s, d, name)
-
-  /** Session-scoped memo of the MinHash dup-cluster labeling
-    * (doc_id, rep_id): the chain minhash → banded pairs → connected
-    * components is the most expensive dedup stage, and BOTH
-    * `d_dup_clusters` and `d_cluster_keep` need its output — compute it
-    * once per (session, dataset), pin the |docs|-sized 2-column result,
-    * and let retention policies re-derive from the labeling (the
-    * production shape: a dedup pass labels once, many policies read it).
-    *
-    * Timing semantics (BENCH_NOTES.md): Bench warms this memo, so the
-    * d_dup_clusters / d_cluster_keep rows measure reads of the persisted
-    * labeling; the build cost lands in warmup_sec. Weak session keys
-    * (same as Features.memo): entries for stopped-and-GC'd sessions drop
-    * away instead of pinning the session object for the process lifetime.
-    */
-  private val clusterMemo =
-    new java.util.WeakHashMap[SparkSession, java.util.HashMap[String, DataFrame]]()
-  private[graft] def dupClustersCached(s: SparkSession, d: String): DataFrame =
-    clusterMemo.synchronized {
-      val perSession = {
-        val cur = clusterMemo.get(s)
-        if (cur != null) cur
-        else { val m = new java.util.HashMap[String, DataFrame](); clusterMemo.put(s, m); m }
-      }
-      perSession.computeIfAbsent(d, _ => {
-        val docs = t(s, d, "documents")
-        val c = graft.dedup.Dedup
-          .dupClusters(graft.dedup.Dedup.minhashLshPairs(docs, "doc_id", "text"), docs, "doc_id")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        c.count()
-        c
-      })
-    }
-
-  /** Session-scoped memo of the CURATION LABELING (doc_id → funnel
-    * stage): the labeling is the corpus-sized artifact every downstream
-    * consumer reads — the pretrain packer, the RAG indexer, retention
-    * policies — and its lineage contains the typed MinHash kernel, whose
-    * closure defeats canonical-plan cache dedup (each reference would
-    * re-execute the whole funnel; measured ~8 re-executions inside
-    * pipeline_rag's outer joins). Same production shape and timing
-    * semantics as [[dupClustersCached]]: the funnel runs once per
-    * (session, dataset) — `pipeline_curation` still benchmarks the
-    * BUILD (it constructs its own fresh funnel); the composition rows
-    * measure reads of the persisted 2-column labeling.
-    */
-  private val curationMemo =
-    new java.util.WeakHashMap[SparkSession, java.util.HashMap[String, DataFrame]]()
-  private[graft] def curatedStagesCached(s: SparkSession, d: String): DataFrame =
-    curationMemo.synchronized {
-      val perSession = {
-        val cur = curationMemo.get(s)
-        if (cur != null) cur
-        else { val m = new java.util.HashMap[String, DataFrame](); curationMemo.put(s, m); m }
-      }
-      perSession.computeIfAbsent(d, _ => {
-        val docs = t(s, d, "documents")
-        val stages = graft.text.Curation.funnel(
-          docs.filter(col("doc_id") % 100 =!= 0),
-          docs.filter(col("doc_id") % 100 === 0),
-          "doc_id", "text",
-          minTokens = 15, maxTokens = 100000,
-          minMeanLen = 3.2, maxMeanLen = 4.65, minTtr = 0.32)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        stages.count()
-        stages
-      })
-    }
-
-  /** Session-scoped memo of the LSH BAND INDEX over the base (non-delta)
-    * corpus — the state incremental dedup maintenance is DEFINED against:
-    * a deployment persists its band table and each arriving batch signs
-    * only itself and probes. Computing the index inline per invocation
-    * would re-run the typed MinHash kernel over base every rep and
-    * measure an index REBUILD, not maintenance. Build lands in warmup;
-    * `inc_lsh_maintain` measures the true per-batch cost (sign the
-    * delta + probe the persisted index).
-    */
-  private val lshIndexMemo =
-    new java.util.WeakHashMap[SparkSession, java.util.HashMap[String, DataFrame]]()
-  private[graft] def lshBaseIndexCached(s: SparkSession, d: String): DataFrame =
-    lshIndexMemo.synchronized {
-      val perSession = {
-        val cur = lshIndexMemo.get(s)
-        if (cur != null) cur
-        else { val m = new java.util.HashMap[String, DataFrame](); lshIndexMemo.put(s, m); m }
-      }
-      perSession.computeIfAbsent(d, _ => {
-        val idx = graft.dedup.Dedup.minhashBandsPerRow(
-          t(s, d, "documents").filter(col("doc_id") % 10 =!= 0), "doc_id", "text")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        idx.count()
-        idx
-      })
-    }
-
-  /** Session-scoped memo of the `inc_join_maintain` base-join snapshot
-    * (orders ⋈ customer rollup): IVM's contract is "the snapshot exists;
-    * a refresh costs |Δ|-joins + |groups|" — a deployment materializes
-    * the rollup once and every CDC batch maintains it. Building the
-    * snapshot inside the timed query measured base-join + maintenance
-    * (the r7 verdict's `weak` call); with the memo the bench row measures
-    * what the contract says, exactly the [[lshBaseIndexCached]]
-    * treatment (an index rebuild is not maintenance). Build cost lands
-    * in Bench warmup, visibly.
-    */
-  private val joinSnapMemo =
-    new java.util.WeakHashMap[SparkSession, java.util.HashMap[String, DataFrame]]()
-  private[graft] def joinSnapshotCached(s: SparkSession, d: String): DataFrame =
-    joinSnapMemo.synchronized {
-      val perSession = {
-        val cur = joinSnapMemo.get(s)
-        if (cur != null) cur
-        else { val m = new java.util.HashMap[String, DataFrame](); joinSnapMemo.put(s, m); m }
-      }
-      perSession.computeIfAbsent(d, _ => {
-        val snap = graft.ops.JoinMaintenance.snapshot(
-          t(s, d, "orders"), t(s, d, "customer"),
-          "o_custkey", "c_custkey", "c_nationkey", "o_totalprice")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        snap.count()
-        snap
-      })
-    }
-
-  /** Session-scoped memo of the pretrain packing layout (curated keep-set
-    * → token counts → 512-token sequence packing): the funnel lineage
-    * contains a typed kernel (minhashBandsPerRow's flatMap closure), so
-    * Spark's canonical-plan cache dedup can NEVER unify two invocations —
-    * a per-invocation persist would leak one pin per bench rep
-    * (PinHygieneSpec). Same production shape as [[dupClustersCached]]:
-    * the shard layout is computed once per (session, dataset); consumers
-    * read it. The internal range-partition pin is released after the
-    * layout materializes.
-    */
-  private val pretrainMemo =
-    new java.util.WeakHashMap[SparkSession, java.util.HashMap[String, DataFrame]]()
-  private[graft] def pretrainPackedCached(s: SparkSession, d: String): DataFrame =
-    pretrainMemo.synchronized {
-      val perSession = {
-        val cur = pretrainMemo.get(s)
-        if (cur != null) cur
-        else { val m = new java.util.HashMap[String, DataFrame](); pretrainMemo.put(s, m); m }
-      }
-      perSession.computeIfAbsent(d, _ => {
-        val docs = t(s, d, "documents")
-        val corpus = docs.filter(col("doc_id") % 100 =!= 0)
-        // read the session-shared labeling (curatedStagesCached) instead
-        // of rebuilding the funnel — one build serves every composition
-        val kept = curatedStagesCached(s, d)
-          .filter(col("stage") === "kept").select("doc_id")
-        val base = corpus.join(kept, Seq("doc_id"))
-          .select(col("doc_id"),
-            coalesce(TextOps.tokenCount(col("text")).cast("bigint"), lit(0L))
-              .as("n_tokens"))
-        val packed = graft.ops.SequencePacking.packWindows(
-          base, col("n_tokens"), 512L, col("doc_id"))
-        val out = packed.df
-          .select("doc_id", "n_tokens", "start_off", "first_win", "last_win")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        out.count()
-        packed.release()
-        out
-      })
-    }
-
-  /** Exact money sum: decimal-cast accumulate (order-independent), emit double. */
-  private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
-
-  /** Engine-portable deterministic permille of (key, salt): 60-bit md5
-    * hash mod 1000. DuckDB mirror:
-    * `CAST('0x' || substr(md5(key || salt), 1, 15) AS BIGINT) % 1000` —
-    * the primitive that makes hash-sampling oracle-able (xxhash64 is
-    * engine-private).
-    */
-  private def permilleHash(key: Column, salt: String): Column =
-    pmod(TextOps.md5Hash60(concat(key.cast("string"), lit(salt))), lit(1000L))
-
-  /** Same, wider range (hash-order shuffles want fewer ties).
-    * `private[graft]` so the plan specs can build the exact query frame. */
-  private[graft] def permilleHash1M(key: Column, salt: String): Column =
-    pmod(TextOps.md5Hash60(concat(key.cast("string"), lit(salt))), lit(1000000L))
-
-  /** The DuckDB rendering of [[permilleHash]]/[[permilleHash1M]] — ONE
-    * definition feeds every hash-sampling oracle, so a change to the
-    * Scala side cannot silently diverge from a hand-copied SQL fragment.
-    */
-  private def permilleHashSql(keySql: String, salt: String, m: Long): String =
-    s"CAST(concat('0x', substr(md5(concat(CAST($keySql AS VARCHAR), '$salt')), 1, 15)) AS BIGINT) % $m"
-
-  // ---- cohort (SURVEY §3.1: the reference's flagship labeling query) ----
-  // orders as admissions: customer=patient, orderdate=admit time,
-  // orderpriority=admission type, '5-LOW'=ELECTIVE.
-  private def cohort(s: SparkSession, d: String): DataFrame =
-    CohortOps.labelNextEvent(
-      t(s, d, "orders"),
-      entityCol = "o_custkey", timeCol = "o_orderdate", typeCol = "o_orderpriority",
-      tieCol = "o_orderkey", excludedType = "5-LOW", horizonDays = 30.0
-    )
-
-  private val cohortSqlCore: String =
-    """WITH base AS (
-      |  SELECT o_orderkey, o_custkey, o_orderdate,
-      |         LEAD(o_orderdate) OVER w AS nxt_ts,
-      |         LEAD(o_orderpriority) OVER w AS nxt_ty
-      |  FROM orders
-      |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey)
-      |), nulled AS (
-      |  SELECT o_orderkey, o_custkey, o_orderdate,
-      |         CASE WHEN nxt_ty = '5-LOW' THEN NULL ELSE nxt_ts END AS nxt_ts2
-      |  FROM base
-      |), filled AS (
-      |  SELECT o_orderkey, o_custkey, o_orderdate,
-      |         first_value(nxt_ts2 IGNORE NULLS) OVER (
-      |           PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey
-      |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_time
-      |  FROM nulled
-      |)
-      |SELECT o_orderkey, next_time,
-      |       (epoch(next_time) - epoch(o_orderdate)) / 86400.0 AS days_next,
-      |       CASE WHEN (epoch(next_time) - epoch(o_orderdate)) / 86400.0 < 30
-      |            THEN '1' ELSE '0' END AS label
-      |FROM filled""".stripMargin
-
-  /** Shared by `ev_sessionize` (batch windows) and `ev_stream_sessions`
-    * (flatMapGroupsWithState drain) — stream/batch parity against one
-    * oracle text.
-    */
-  private val sessionizeSql: String =
-    """WITH x AS (
-      |  SELECT user_id, event_id, date_trunc('second', ts) AS ts2,
-      |         LAG(date_trunc('second', ts)) OVER (PARTITION BY user_id ORDER BY date_trunc('second', ts) NULLS FIRST, event_id) AS prev
-      |  FROM events
-      |), y AS (
-      |  SELECT user_id, event_id, ts2,
-      |         CASE WHEN prev IS NULL OR epoch(ts2) - epoch(prev) > 1800 THEN 1 ELSE 0 END AS is_new
-      |  FROM x
-      |), z AS (
-      |  SELECT user_id,
-      |         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts2 NULLS FIRST, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
-      |  FROM y
-      |)
-      |SELECT user_id, session_id, count(*) AS n_events FROM z GROUP BY 1, 2""".stripMargin
-
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    cohort(spark, "/root/testdata/sf0.001").groupBy("label").count()
-
-  // ----------------------------------------------------------------------
-
-  // Map literals silently last-win on duplicate keys — a re-used query
-  // name would shadow an existing query while the oracle map might keep
-  // the OTHER side's entry (observed once: instant hash-red). Both maps
-  // are built through this guard instead.
-  private def uniqueMap[V](kind: String)(pairs: (String, V)*): Map[String, V] = {
-    val dups = pairs.groupBy(_._1).collect { case (k, vs) if vs.size > 1 => k }
-    require(dups.isEmpty, s"duplicate $kind keys: ${dups.mkString(", ")}")
-    pairs.toMap
-  }
-
-  def queries: Map[String, (SparkSession, String) => DataFrame] = uniqueMap[(SparkSession, String) => DataFrame]("query")(
-
-    // ---- S*: scans / sources --------------------------------------------
-    "s2_scan_region" -> ((s, d) => t(s, d, "region").select("r_regionkey", "r_name")),
-
-    // S6 sink closed-loop: write nation to CSV, read it back with an
-    // explicit schema, hash-compare against the DuckDB view of the same
-    // parquet table — proves quoting/typing survive the roundtrip.
-    "s6_csv_roundtrip" -> ((s, d) => {
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_s6_csv_${new java.io.File(d).getName}"
-      graft.core.Sinks.csv(
-        t(s, d, "nation").select("n_nationkey", "n_name", "n_regionkey"),
-        out, singleFile = true)
-      s.read
-        .option("header", "true")
-        .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
-        .csv(out)
-    }),
-
-    // S8/S9: the other built-in formats, same closed loop as s6 — write,
-    // read back, hash against the DuckDB view of the ORIGINAL parquet
-    // table, proving types/values survive each format's encoding. ORC is
-    // the second columnar format (predicate pushdown + column pruning
-    // apply there too); JSON-lines is the schema-on-read text format.
-    "s8_orc_roundtrip" -> ((s, d) => {
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_s8_orc_${new java.io.File(d).getName}"
-      t(s, d, "supplier").select("s_suppkey", "s_name", "s_nationkey")
-        .write.mode("overwrite").orc(out)
-      s.read.orc(out)
-    }),
-
-    "s9_json_roundtrip" -> ((s, d) => {
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_s9_json_${new java.io.File(d).getName}"
-      t(s, d, "region").select("r_regionkey", "r_name")
-        .write.mode("overwrite").json(out)
-      s.read.schema("r_regionkey BIGINT, r_name STRING").json(out)
-    }),
-
-    // S7 partitioned-parquet sink closed-loop: write orders partitioned by
-    // o_orderpriority, read back filtered on the partition column. The
-    // filter never touches row data — it prunes whole directories at
-    // planning time (PartitionPruneSpec asserts exactly one of five
-    // partitions is scanned). At 100 TB this is the layout decision that
-    // turns "scan everything" into "scan 1/5th".
-    "s7_partitioned_prune" -> ((s, d) => {
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_s7_part_${new java.io.File(d).getName}"
-      graft.core.Sinks.parquet(
-        t(s, d, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"),
-        out, partitionBy = Seq("o_orderpriority"))
-      s.read.parquet(out)
-        .filter(col("o_orderpriority") === "1-URGENT")
-        .groupBy("o_orderstatus")
-        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sum_price"))
-    }),
-
-    // S2 alternative source: JDBC (embedded Derby) — write nation through
-    // the JDBC sink, read it back through the JDBC source, hash against
-    // the DuckDB view of the original parquet. The non-file ingestion
-    // surface, closed-loop. (In-memory Derby: this tests the format
-    // plumbing; production JDBC reads partition via
-    // partitionColumn/bounds — see Tables.jdbcTable.)
-    "s10_jdbc_roundtrip" -> ((s, d) => {
-      val url = s"jdbc:derby:memory:graft_${new java.io.File(d).getName};create=true"
-      Tables.jdbcWrite(
-        t(s, d, "nation").select("n_nationkey", "n_name", "n_regionkey"),
-        url, "nation_jdbc")
-      Tables.jdbcTable(s, url, "nation_jdbc")
-    }),
-
-    // Bucketed-layout co-located join: both sides written bucketBy the
-    // join key (pay the shuffle ONCE at write time), read back through the
-    // catalog, joined with zero exchanges on the join path — the canonical
-    // repeated-big-join layout at 100 TB. BucketingSpec pins the no-Exchange
-    // plan property with broadcast disabled; this declared query pins the
-    // ANSWER through the bucketed write→catalog→read path.
-    "s11_bucketed_join" -> ((s, d) => {
-      val tag = new java.io.File(d).getName.replace('.', '_')
-      val wh = s"${System.getProperty("java.io.tmpdir")}/graft_s11_wh_$tag"
-      val (ot, ct) = (s"graft_orders_b_$tag", s"graft_customer_b_$tag")
-      t(s, d, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
-        .write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
-        .option("path", s"$wh/orders_b").saveAsTable(ot)
-      t(s, d, "customer").select("c_custkey", "c_mktsegment")
-        .write.mode("overwrite").bucketBy(8, "c_custkey").sortBy("c_custkey")
-        .option("path", s"$wh/customer_b").saveAsTable(ct)
-      s.table(ot).join(s.table(ct), col("o_custkey") === col("c_custkey"))
-        .groupBy("c_mktsegment")
-        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("revenue"))
-    }),
-
-    // Dynamic partition pruning: fact partitioned on the join key, dim
-    // filtered at runtime — Spark injects the dim's surviving keys as a
-    // partition filter into the fact scan (the 100 TB star-join staple:
-    // scan only the partitions the dim selects, decided at execution
-    // time). PlansSpec asserts the `dynamicpruning` subquery is in the
-    // scan; this query pins the pruned answer.
-    "s12_dpp_prune" -> ((s, d) => {
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_s12_dpp_${new java.io.File(d).getName}"
-      graft.core.Sinks.parquet(
-        t(s, d, "orders").select("o_orderkey", "o_totalprice", "o_orderpriority"),
-        out, partitionBy = Seq("o_orderpriority"))
-      val dim = t(s, d, "orders").select(col("o_orderpriority").as("prio"))
-        .distinct()
-        .withColumn("is_rush", col("prio").startsWith("1-") || col("prio").startsWith("2-"))
-      s.read.parquet(out)
-        .join(broadcast(dim.filter(col("is_rush"))), col("o_orderpriority") === col("prio"))
-        .groupBy("o_orderpriority")
-        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sum_price"))
-    }),
-
-    // Z-order (Morton) layout verification: bucket orders by the
-    // bit-interleaved (custkey-bucket, price-bucket) z-value and report
-    // each bucket's bounding box — narrow boxes on BOTH dims is the
-    // property that lets parquet min/max stats skip files for predicates
-    // on either dimension (ZOrder.applyLayout is the write-side twin).
-    "s13_zorder_stats" -> ((s, d) =>
-      graft.ops.ZOrder.layoutStats(
-        t(s, d, "orders"),
-        x = pmod(col("o_custkey"), lit(1024)),
-        y = least(floor(col("o_totalprice") / 1000.0), lit(1023.0)).cast("long"),
-        tie = col("o_orderkey"),
-        bits = 10, nBuckets = 16)),
-
-    // Structured Streaming, oracled: the hourly windowed aggregation runs
-    // as a REAL stream (file source → watermark → incremental state →
-    // AvailableNow drain) and must produce the byte-identical answer to
-    // the batch/DuckDB form — stream/batch parity as a hash-checked
-    // invariant, not just a spec assertion.
-    "ev_stream_hourly" -> ((s, d) =>
-      graft.streaming.StreamOps.runToCompletion(
-        graft.streaming.StreamOps.windowedCountsExact(
-          graft.streaming.StreamOps.eventsStream(s, d)),
-        "graft_ev_stream_hourly")),
-
-    // streaming "trending now": the drained windowed-count state feeds the
-    // TopKPerKey bounded-heap operator — top-2 event types per hour. The
-    // streaming stage bounds state by watermark; the ranking stage never
-    // sorts more than k rows per key; one oracle pins the composition
-    "ev_stream_topk" -> ((s, d) => {
-      val counts = graft.streaming.StreamOps.runToCompletion(
-        graft.streaming.StreamOps.windowedCountsExact(
-          graft.streaming.StreamOps.eventsStream(s, d)),
-        "graft_ev_stream_topk")
-      graft.plans.TopKPerKey(
-        counts.select("hour_ts", "event_type", "cnt"),
-        Seq("hour_ts"), Seq(col("cnt").desc, col("event_type").asc), 2)
-    }),
-
-    // ONLINE histogram-sketch build: fixed a-priori grid (a stream can't
-    // min/max first — production metric pipelines declare bucket bounds),
-    // associative bucket counts through the incremental micro-batch path,
-    // state ≤ buckets rows at any volume; the drained build must equal
-    // the batch histogram bit-for-bit
-    "ev_stream_hist" -> ((s, d) =>
-      graft.streaming.StreamOps.histViaStream(
-        s, d, "graft_ev_stream_hist", lo = 0.0, hi = 512.0, buckets = 128)),
-
-    // ONLINE drift gate: (bin, slice) counts build incrementally in the
-    // state store (≤ buckets rows), the PSI readout runs over the drained
-    // counts with the SAME arithmetic as batch drift_psi — oracled against
-    // the batch answer on identical input
-    "ev_stream_psi" -> ((s, d) =>
-      graft.streaming.StreamOps.psiViaStream(
-        s, d, "graft_ev_stream_psi",
-        splitTs = "2024-01-16 00:00:00", binWidth = 50.0, buckets = 10)),
-
-    // STREAMING near-dup gate: documents stream through the stateless
-    // per-row MinHash band generator into a per-bucket min-id state
-    // machine; a doc is flagged iff any of its buckets saw an earlier
-    // doc. The drained flags must equal the batch LSH answer (the same
-    // banded CTE chain as d_minhash_pairs closes the oracle)
-    "d_stream_neardup" -> ((s, d) =>
-      graft.streaming.StreamOps.nearDupViaStream(s, d, "graft_d_stream_neardup")),
-
-    // the flatMapGroupsWithState session state machine, drained and
-    // hash-checked against the SAME DuckDB oracle as the batch
-    // `ev_sessionize` — custom streaming state semantics verified
-    // end-to-end, not just spec-pinned
-    "ev_stream_sessions" -> ((s, d) =>
-      graft.streaming.StreamOps.sessionCountsViaStream(s, d, "graft_ev_stream_sessions")),
-
-    // ONLINE last-touch attribution: per-user keyed state holds only the
-    // latest touch, conversions attribute as they arrive (exactly-once
-    // Append emissions), and the drained aggregate hash-matches the same
-    // DuckDB oracle as the batch window form `ev_attribution`
-    "ev_stream_attribution" -> ((s, d) =>
-      graft.streaming.StreamOps.attributionViaStream(s, d, "graft_ev_stream_attr")),
-
-    // STREAM-STATIC join, drained and hash-checked: the incremental side
-    // (events) joins a broadcast static dimension (customer) before the
-    // stateful aggregation — the enrich-then-aggregate shape every
-    // streaming pipeline needs; the static side is planned per micro-batch
-    // with the usual broadcast join, no state
-    "ev_stream_join" -> ((s, d) => {
-      val cust = t(s, d, "customer").select(col("c_custkey"), col("c_mktsegment"))
-      val agg = graft.streaming.StreamOps.eventsStream(s, d)
-        .join(broadcast(cust), col("user_id") === col("c_custkey"))
-        .groupBy("c_mktsegment")
-        .agg(count(lit(1)).as("cnt"),
-          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
-      graft.streaming.StreamOps.runToCompletion(agg, "graft_ev_stream_join")
-    }),
-
-    // STREAM-STREAM inner join with a time-range condition, drained and
-    // hash-checked: views joined to clicks of the same user within 30
-    // minutes — state on BOTH sides, evicted by watermark + range bound.
-    // The drained pairs aggregate in batch (bounded result) and must
-    // equal the batch self-join the DuckDB oracle runs.
-    "ev_stream_pairs" -> ((s, d) =>
-      graft.streaming.StreamOps
-        .streamStreamPairs(s, d, "graft_ev_stream_pairs")
-        .groupBy(col("v_user").as("user_id"))
-        .agg(
-          count(lit(1)).as("n_pairs"),
-          sum(unix_timestamp(col("c_ts")) - unix_timestamp(col("v_ts")))
-            .as("sum_gap_s"))),
-
-    // SLIDING event-time windows (1h length, 30min slide — each event in 2
-    // windows), drained and hash-checked: the overlap arithmetic the
-    // tumbling ev_stream_hourly can't exercise
-    "ev_stream_sliding" -> ((s, d) => {
-      val agg = graft.streaming.StreamOps.eventsStream(s, d)
-        .withWatermark("ts", "2 hours")
-        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
-        .agg(count(lit(1)).as("cnt"))
-        .select(col("w.start").as("win_start"), col("event_type"), col("cnt"))
-      graft.streaming.StreamOps.runToCompletion(agg, "graft_ev_stream_sliding")
-    }),
-
-    // streaming exact-dedup drained and hash-checked: keep-first per
-    // (user_id, event_type). Equality with batch DISTINCT requires that no
-    // key's state evicts mid-drain — for a bounded backfill that means
-    // choosing a watermark delay ≥ the data's time span (state is then
-    // bounded by |distinct keys|, not by the horizon). A live pipeline
-    // picks the horizon instead and accepts re-admittance past it — that
-    // trade is the operator's contract, not an accident of batching.
-    "ev_stream_dedup" -> ((s, d) => {
-      val deduped = graft.streaming.StreamOps.dedupStream(
-        graft.streaming.StreamOps.eventsStream(s, d), Seq("user_id", "event_type"),
-        watermark = "3650 days")
-      graft.streaming.StreamOps.runToCompletion(
-          deduped, "graft_ev_stream_dedup",
-          org.apache.spark.sql.streaming.OutputMode.Append())
-        .groupBy("event_type").agg(count(lit(1)).as("n_keys"))
-    }),
-
-    // streaming CDC materialization: foreachBatch latest-wins upsert into
-    // a keyed state table (atomic dir-swap stand-in for a transactional
-    // MERGE sink); "latest" is an associative max, so the materialized
-    // table — and this aggregate over it — is batching-invariant and the
-    // batch window oracle pins it exactly
-    "ev_stream_upsert" -> ((s, d) =>
-      graft.streaming.StreamOps.upsertViaStream(s, d, "graft_ev_stream_upsert")),
-
-    // ---- P*: projections / filters --------------------------------------
-    "p_proj_filter" -> ((s, d) =>
-      t(s, d, "customer")
-        .filter(col("c_acctbal").isNotNull && col("c_acctbal") > 0)
-        .select("c_custkey", "c_name", "c_acctbal")),
-
-    "p5_ne_agg" -> ((s, d) =>
-      t(s, d, "lineitem")
-        .filter(col("l_returnflag") =!= "A")
-        .groupBy("l_linestatus")
-        .agg(count(lit(1)).as("cnt"))),
-
-    "p8_regex_filter" -> ((s, d) =>
-      t(s, d, "part")
-        .filter(col("p_name").rlike("^(red|blue) "))
-        .select("p_partkey", "p_name")),
-
-    "p13_topk_recode" -> ((s, d) => {
-      val seg = Recodes.topKOrElse(t(s, d, "customer"), "c_mktsegment", 3, "OTHER/UNKNOWN")
-      seg.groupBy(col("c_mktsegment").as("seg")).agg(count(lit(1)).as("cnt"))
-    }),
-
-    // ---- E*: scalar expressions -----------------------------------------
-    "e1_ts_reparse" -> ((s, d) =>
-      t(s, d, "orders").select(
-        col("o_orderkey"),
-        to_timestamp(col("o_orderdate").cast("string"), "yyyy-MM-dd HH:mm:ss").as("reparsed"))),
-
-    "e3_ship_lag" -> ((s, d) =>
-      t(s, d, "lineitem").join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
-        .select(
-          col("l_orderkey"), col("l_linenumber"),
-          CohortOps.fractionalDays(col("l_shipdate"), col("o_orderdate")).as("ship_lag_days"))),
-
-    "e5_regex_recode" -> ((s, d) =>
-      t(s, d, "part")
-        .withColumn("color_std",
-          when(col("p_name").rlike("^red "), "RED")
-            .when(col("p_name").rlike("^blue "), "BLUE")
-            .when(col("p_name").rlike("^green "), "GREEN")
-            .otherwise("OTHER"))
-        .groupBy("color_std").agg(count(lit(1)).as("cnt"))),
-
-    // E6: literal-list membership recode
-    "e6_isin_recode" -> ((s, d) =>
-      t(s, d, "orders")
-        .withColumn("prio_grp",
-          when(col("o_orderpriority").isin("4-NOT SPECIFIED", "5-LOW"), "OTHER/UNKNOWN")
-            .otherwise(col("o_orderpriority")))
-        .groupBy("prio_grp").agg(count(lit(1)).as("cnt"))),
-
-    "e8_substr_cast" -> ((s, d) =>
-      t(s, d, "part")
-        .withColumn("brand_num", substring(col("p_brand"), 7, 2).cast("int"))
-        .groupBy("brand_num").agg(count(lit(1)).as("cnt"))),
-
-    "e10_bucket_chain" -> ((s, d) =>
-      t(s, d, "orders")
-        .withColumn("bucket", Recodes.rangeBucket(
-          col("o_totalprice"),
-          Seq((0.0, 100000.0, "xs"), (100000.0, 200000.0, "s"), (200000.0, 300000.0, "m"),
-              (300000.0, 400000.0, "l"), (400000.0, 1e9, "xl")),
-          lit("other")))
-        .groupBy("bucket").agg(count(lit(1)).as("cnt"))),
-
-    "e11_dict_decode" -> ((s, d) =>
-      t(s, d, "nation").select(
-        col("n_nationkey"),
-        Recodes.dictDecode(col("n_nationkey"),
-          Map(0 -> "ZERO", 1 -> "ONE", 2 -> "TWO", 5 -> "FIVE")).as("decoded"))),
-
-    // E12: age-in-years with negative clamp (MIMIC DOB-shift analog):
-    // deliberately reversed difference produces negatives -> clamp to 90
-    "e12_age_clamp" -> ((s, d) =>
-      t(s, d, "lineitem").join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
-        .withColumn("years_raw", floor(datediff(col("o_orderdate"), col("l_shipdate")) / 365.0))
-        .withColumn("years", when(col("years_raw") < 0, 90L).otherwise(col("years_raw")))
-        .groupBy("years").agg(count(lit(1)).as("cnt"))),
-
-    // P11: any-null row drop after an outer join
-    "p11_dropna" -> ((s, d) => {
-      val firstShip = t(s, d, "lineitem")
-        .groupBy("l_orderkey").agg(min("l_shipdate").as("first_ship"))
-      t(s, d, "orders")
-        .join(firstShip, col("o_orderkey") === col("l_orderkey"), "left")
-        .select("o_orderkey", "first_ship")
-        .na.drop()
-        .agg(count(lit(1)).as("cnt_after_dropna"))
-    }),
-
-    "e14_contains_frac" -> ((s, d) =>
-      t(s, d, "documents").agg(
-        avg(when(col("text").contains("spark"), 1.0).otherwise(0.0)).as("frac_spark"),
-        count(lit(1)).as("n"))),
-
-    "hist_totalprice" -> ((s, d) =>
-      t(s, d, "orders")
-        .withColumn("bucket", Recodes.histBucket(col("o_totalprice"), 50000.0))
-        .groupBy("bucket").agg(count(lit(1)).as("cnt"))),
-
-    // 2-D histogram (price × quantity grid) — the joint-distribution
-    // profile, one hash aggregation
-    "a13_hist2d" -> ((s, d) =>
-      t(s, d, "lineitem")
-        .groupBy(
-          Recodes.histBucket(col("l_extendedprice"), 20000.0).as("price_bucket"),
-          Recodes.histBucket(col("l_quantity"), 10.0).as("qty_bucket"))
-        .agg(count(lit(1)).as("cnt"))),
-
-    // exact grouped quantiles (linear interpolation — the ANSI
-    // percentile_cont definition both engines implement); rounded so the
-    // interpolation arithmetic is bit-stable across engines; scalar
-    // columns (the compare hashes values — arrays stay out of oracled
-    // output by convention, see a3)
-    "a10_quantiles" -> ((s, d) =>
-      t(s, d, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-          round(expr("percentile(l_quantity, 0.25D)"), 6).as("qty_p25"),
-          round(expr("percentile(l_quantity, 0.5D)"), 6).as("qty_p50"),
-          round(expr("percentile(l_quantity, 0.75D)"), 6).as("qty_p75"),
-          round(expr("percentile(l_extendedprice, 0.5D)"), 6).as("price_p50"),
-          round(expr("percentile(l_extendedprice, 0.9D)"), 6).as("price_p90"))),
-
-    // the sketch twin: approx_percentile (Greenwald-Khanna) — the 100 TB
-    // path (exact percentile sorts every group; the sketch is one pass,
-    // mergeable, bounded memory). The estimate itself is engine-private,
-    // so the row is made EXACTLY oracle-able by error accounting instead:
-    // GK at accuracy k guarantees the returned element's rank band
-    // [count(<v)+1, count(≤v)] intersects [qn−εn, qn+εn] with ε=1/k — the
-    // audit recomputes both rank bounds from the data and hashes the
-    // boolean alongside the exact per-group count, so a sketch that ever
-    // drifts outside its guarantee hash-mismatches. `a10_quantiles` is
-    // the exact-value twin on the same data.
-    "a10_approx_quantiles" -> ((s, d) => {
-      val li = t(s, d, "lineitem")
-        .select("l_returnflag", "l_quantity", "l_extendedprice")
-      val ap = li.groupBy("l_returnflag").agg(
-        expr("approx_percentile(l_quantity, 0.5D, 10000)").as("q50a"),
-        expr("approx_percentile(l_extendedprice, 0.9D, 10000)").as("p90a"))
-      // Spark's documented accuracy contract (ApproximatePercentile):
-      // floor((p−err)·N) ≤ rank(x) ≤ ceil((p+err)·N) with err = 1/accuracy.
-      // rank(x) spans [count(<x)+1, count(≤x)], so the audit is
-      //   count(≤x) ≥ floor((p−err)·N)   and   count(<x) < ceil((p+err)·N)
-      // — floor/ceil matter: the real-valued bound is up to one rank
-      // stricter and a CONFORMING sketch could flip the boolean
-      val eps = 1.0 / 10000.0
-      def inBounds(lt: Column, le: Column, p: Double): Column =
-        le >= floor(col("n") * (p - eps)) && lt < ceil(col("n") * (p + eps))
-      li.join(broadcast(ap), "l_returnflag")
-        .groupBy(col("l_returnflag"))
-        .agg(count(lit(1)).as("n"),
-          sum(when(col("l_quantity") < col("q50a"), 1L).otherwise(0L)).as("ltq"),
-          sum(when(col("l_quantity") <= col("q50a"), 1L).otherwise(0L)).as("leq"),
-          sum(when(col("l_extendedprice") < col("p90a"), 1L).otherwise(0L)).as("ltp"),
-          sum(when(col("l_extendedprice") <= col("p90a"), 1L).otherwise(0L)).as("lep"))
-        .select(col("l_returnflag"), col("n"),
-          inBounds(col("ltq"), col("leq"), 0.5).as("q50_in_bounds"),
-          inBounds(col("ltp"), col("lep"), 0.9).as("p90_in_bounds"))
-    }),
-
-    // exact mode per group with a deterministic tiebreak (highest count,
-    // then smallest value) — the mode-imputation primitive: one map-side-
-    // combined hash-agg to the |group × value| counts table, then the
-    // row_number runs over THAT table, never the data
-    "a14_mode_per_group" -> ((s, d) => {
-      val counts = t(s, d, "orders")
-        .groupBy(col("o_custkey"), col("o_orderpriority"))
-        .agg(count(lit(1)).as("cnt"))
-      val w = Window.partitionBy("o_custkey")
-        .orderBy(col("cnt").desc, col("o_orderpriority").asc)
-      counts.withColumn("_rn", row_number().over(w))
-        .filter(col("_rn") === 1)
-        .select(col("o_custkey"), col("o_orderpriority").as("mode_priority"),
-          col("cnt"))
-    }),
-
-    // ---- J*: joins -------------------------------------------------------
-    "j2_join_agg" -> ((s, d) =>
-      t(s, d, "orders")
-        .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
-        .groupBy("c_mktsegment")
-        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("revenue"))),
-
-    "j4_outer_join" -> ((s, d) => {
-      val ocnt = t(s, d, "orders").groupBy("o_custkey").agg(count(lit(1)).as("cnt"))
-      t(s, d, "customer")
-        .join(ocnt, col("c_custkey") === col("o_custkey"), "outer")
-        .select(
-          coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
-          col("c_name").as("name"),
-          coalesce(col("cnt"), lit(0L)).as("order_cnt"))
-    }),
-
-    "j5_left_join" -> ((s, d) => {
-      val firstShip = t(s, d, "lineitem")
-        .groupBy("l_orderkey").agg(min("l_shipdate").as("first_ship"))
-      t(s, d, "orders")
-        .join(firstShip, col("o_orderkey") === col("l_orderkey"), "left")
-        .select(col("o_orderkey"), col("first_ship"))
-    }),
-
-    "j7_anti_join" -> ((s, d) => {
-      val building = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
-      t(s, d, "orders")
-        .join(broadcast(building), col("o_custkey") === col("c_custkey"), "left_anti")
-        .select("o_orderkey", "o_custkey")
-    }),
-
-    // J3 analog: multi-hop dimension chain, all dims broadcast
-    "j3_threeway" -> ((s, d) =>
-      t(s, d, "lineitem")
-        .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
-        .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
-        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
-        .groupBy(col("r_name"))
-        .agg(count(lit(1)).as("cnt"), dsum(col("l_extendedprice")).as("revenue"))),
-
-    "j8_semi_join" -> ((s, d) => {
-      val bigOrders = t(s, d, "orders").filter(col("o_totalprice") > 400000)
-      t(s, d, "customer")
-        .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
-        .select("c_custkey", "c_name")
-    }),
-
-    // ---- A*: aggregations ------------------------------------------------
-    "q1_agg" -> ((s, d) => {
-      val one  = lit(1).cast("decimal(3,2)")
-      val ext  = col("l_extendedprice").cast("decimal(10,2)")
-      val disc = col("l_discount").cast("decimal(4,2)")
-      val tax  = col("l_tax").cast("decimal(4,2)")
-      t(s, d, "lineitem")
-        .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-          dsum(col("l_quantity")).as("sum_qty"),
-          dsum(col("l_extendedprice")).as("sum_base_price"),
-          sum(ext * (one - disc)).cast("double").as("sum_disc_price"),
-          sum(ext * (one - disc) * (one + tax)).cast("double").as("sum_charge"),
-          (sum(col("l_quantity").cast("decimal(18,2)")).cast("double") / count(lit(1)))
-            .as("avg_qty"),
-          count(lit(1)).as("count_order"))
-    }),
-
-    "a1_value_counts" -> ((s, d) =>
-      t(s, d, "orders").groupBy(col("o_orderpriority").as("value"))
-        .agg(count(lit(1)).as("cnt"))),
-
-    "a2_count_distinct" -> ((s, d) =>
-      t(s, d, "lineitem").agg(
-        countDistinct(col("l_partkey")).as("d_part"),
-        countDistinct(col("l_suppkey")).as("d_supp"),
-        count(lit(1)).as("n"))),
-
-    "a3_collect_sorted" -> ((s, d) =>
-      t(s, d, "orders").groupBy("o_custkey")
-        .agg(array_join(array_sort(collect_list("o_orderstatus")), ",").as("statuses"))),
-
-    "a4_pivot_status" -> ((s, d) =>
-      t(s, d, "orders").groupBy("o_custkey")
-        .pivot("o_orderstatus", Seq("F", "O", "P")).agg(count(lit(1)))
-        .na.fill(0, Seq("F", "O", "P"))
-        .withColumnRenamed("F", "status_f")
-        .withColumnRenamed("O", "status_o")
-        .withColumnRenamed("P", "status_p")),
-
-    "a5_group_minmax" -> ((s, d) =>
-      t(s, d, "orders").groupBy("o_custkey").agg(
-        min("o_orderdate").as("first_order"),
-        max("o_orderdate").as("last_order"),
-        count(lit(1)).as("n_orders"))),
-
-    "a6_dup_check" -> ((s, d) =>
-      t(s, d, "lineitem").groupBy("l_orderkey").agg(count(lit(1)).as("cnt"))
-        .filter(col("cnt") > 1)),
-
-    "a7_threshold_metrics" -> ((s, d) => {
-      val labeled = t(s, d, "orders").select(
-        when(col("o_totalprice") > 300000, 1).otherwise(0).as("label"),
-        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0).as("pred"))
-      labeled.agg(
-        sum(when(col("pred") === 1 && col("label") === 1, 1L).otherwise(0L)).as("tp"),
-        sum(when(col("pred") === 1 && col("label") === 0, 1L).otherwise(0L)).as("fp"),
-        sum(when(col("pred") === 0 && col("label") === 0, 1L).otherwise(0L)).as("tn"),
-        sum(when(col("pred") === 0 && col("label") === 1, 1L).otherwise(0L)).as("fn"))
-        .withColumn("accuracy", (col("tp") + col("tn")).cast("double") / (col("tp") + col("fp") + col("tn") + col("fn")))
-        .withColumn("recall", col("tp").cast("double") / (col("tp") + col("fn")))
-        .withColumn("precision_", col("tp").cast("double") / (col("tp") + col("fp")))
-        .withColumn("specificity", col("tn").cast("double") / (col("tn") + col("fp")))
-    }),
-
-    // ---- W*: windows -----------------------------------------------------
-    "w1_lead_next" -> ((s, d) => {
-      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
-      t(s, d, "orders").select(
-        col("o_orderkey"), col("o_custkey"),
-        lead(col("o_orderdate"), 1).over(w).as("next_order_ts"))
-    }),
-
-    // W2 standalone: null-out + forward-backfill within partition
-    "w2_backfill" -> ((s, d) => {
-      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
-      val wFwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-      t(s, d, "orders")
-        .withColumn("nxt", lead(col("o_orderdate"), 1).over(w))
-        .withColumn("nxt_ty", lead(col("o_orderpriority"), 1).over(w))
-        .withColumn("nxt", when(col("nxt_ty") === "5-LOW", lit(null)).otherwise(col("nxt")))
-        .withColumn("next_nonlow_ts", first(col("nxt"), ignoreNulls = true).over(wFwd))
-        .select("o_orderkey", "next_nonlow_ts")
-    }),
-
-    "w3_last_per_group" -> ((s, d) => {
-      // (l_orderkey, l_linenumber) is NOT unique in the test data — the
-      // order-by must fully determine the projected columns or the "last"
-      // pick is nondeterministic (SURVEY §7.5.4: never rely on row order).
-      val w = Window.partitionBy("l_orderkey").orderBy(desc("l_linenumber"), desc("l_partkey"))
-      t(s, d, "lineitem")
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select("l_orderkey", "l_linenumber", "l_partkey")
-    }),
-
-    "w4_topk" -> ((s, d) =>
-      t(s, d, "orders")
-        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
-        .limit(25)
-        .select("o_orderkey", "o_totalprice")),
-
-    // W3/W4 at scale: custom TopKPerKey physical operator (bounded heaps +
-    // map-side partial, one exchange) — verified against the window-SQL oracle
-    "w5_topk_per_key" -> ((s, d) =>
-      graft.plans.TopKPerKey(
-        t(s, d, "orders"), Seq("o_custkey"),
-        Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3)
-        .select("o_custkey", "o_orderkey", "o_totalprice")),
-
-    "cohort_label" -> ((s, d) =>
-      cohort(s, d).select("o_orderkey", "next_time", "days_next", "label")),
-
-    "cohort_counts" -> ((s, d) =>
-      cohort(s, d).groupBy("label").agg(count(lit(1)).as("cnt"))),
-
-    // A3+A4 literal composition (reference :156-164): group-collect →
-    // explode → pivot-count matrix
-    "a4_explode_pivot" -> ((s, d) =>
-      t(s, d, "lineitem")
-        .groupBy("l_orderkey").agg(collect_list("l_returnflag").as("cats"))
-        .select(col("l_orderkey"), explode(col("cats")).as("cat"))
-        .groupBy("l_orderkey").pivot("cat", Seq("A", "N", "R")).agg(count(lit(1)))
-        .na.fill(0, Seq("A", "N", "R"))
-        .withColumnRenamed("A", "cat_a")
-        .withColumnRenamed("N", "cat_n")
-        .withColumnRenamed("R", "cat_r")),
-
-    // skew-safe salted aggregation — exact same result as plain GROUP BY
-    "skew_salted_agg" -> ((s, d) =>
-      graft.ops.SkewOps.saltedAgg(
-        t(s, d, "lineitem"), "l_returnflag", col("l_quantity").cast("decimal(18,2)"))
-        .select(
-          col("l_returnflag"), col("cnt"),
-          col("sum_v").cast("double").as("sum_qty"),
-          col("min_v").cast("double").as("min_qty"),
-          col("max_v").cast("double").as("max_qty"))),
-
-    // salted JOIN for skewed keys: fact side salted, dim side replicated
-    // per salt — same answer as the plain join (the oracle), hot-key load
-    // spread over 16 reducers. SkewOpsSpec pins plain-join equality with
-    // broadcast disabled (the case where salting actually matters).
-    "j9_salted_join" -> ((s, d) =>
-      graft.ops.SkewOps.saltedJoin(
-        t(s, d, "lineitem").select("l_suppkey", "l_extendedprice"),
-        t(s, d, "supplier").select("s_suppkey", "s_nationkey"),
-        "l_suppkey", "s_suppkey")
-        .groupBy("s_nationkey")
-        .agg(count(lit(1)).as("cnt"), dsum(col("l_extendedprice")).as("revenue"))),
-
-    // bloom semi-join reduction (manual SPARK-32268): a distributed bloom
-    // sketch of the urgent orders' keys pre-filters lineitem AT THE SCAN
-    // (codegen'd might_contain, zero extra shuffles); the exact semi-join
-    // after clears false positives, so the answer EXACTLY equals the plain
-    // EXISTS — which is the oracle. At scale the join exchange moves
-    // |matching|+ε rows instead of |lineitem|.
-    "j12_bloom_semi" -> ((s, d) =>
-      graft.ops.BloomJoin.semiJoin(
-        t(s, d, "lineitem").select("l_orderkey", "l_returnflag", "l_extendedprice"),
-        "l_orderkey",
-        t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT"),
-        "o_orderkey",
-        expectedItems = 100000L)
-        .groupBy("l_returnflag")
-        .agg(count(lit(1)).as("cnt"), dsum(col("l_extendedprice")).as("revenue"))),
-
-    // the composite C4/Gopher-style document filter — the keep/drop
-    // decision an LLM-data pipeline actually ships: exact-dup removal
-    // (fingerprint keep-first), length floor, quality floors, repetition
-    // cap, applied in priority order with the drop REASON kept (reason
-    // counts are the pipeline's observability surface). One window
-    // shuffle (fingerprint groups); every signal is a codegen'd
-    // expression on the scan.
-    "d_filter_pipeline" -> ((s, d) => {
-      val sig = t(s, d, "documents")
-        .select(col("doc_id"), col("text"),
-          TextOps.fingerprintMd5(col("text")).as("fp"),
-          TextOps.tokens(col("text")).as("toks"))
-        .select(col("doc_id"), col("fp"),
-          size(col("toks")).as("n_toks"),
-          TextOps.alphaRatio(col("text")).as("alpha"),
-          when(size(col("toks")) === 0, lit(0.0)).otherwise(
-            size(filter(col("toks"), t => t.isin(TextOps.stopwords.map(w => w: Any): _*)))
-              .cast("double") / size(col("toks"))).as("stopr"),
-          when(size(col("toks")) < 3, lit(0.0)).otherwise(
-            lit(1.0) - size(TextOps.shinglesFromTokens(col("toks"), 3))
-              .cast("double") / (size(col("toks")) - 2)).as("dup_frac"))
-      sig
-        .withColumn("keeper", min("doc_id").over(Window.partitionBy("fp")))
-        .withColumn("reason",
-          when(col("doc_id") =!= col("keeper"), "exact_dup")
-            .when(col("n_toks") < 10, "too_short")
-            .when(col("alpha") < 0.5 || col("stopr") < 0.02, "low_quality")
-            .when(col("dup_frac") > 0.2, "repetitive")
-            .otherwise("keep"))
-        .groupBy("reason").agg(count(lit(1)).as("cnt"))
-    }),
-
-    // AS-OF join (backward): each event picks up the latest order of the
-    // same customer at or before the event — the union-tag single-window
-    // operator (ops/AsOfJoin), one shuffle of |L|+|R| rows, no range
-    // probe. DuckDB's native ASOF LEFT JOIN is the oracle: two
-    // independent asof implementations must agree row-for-row.
-    "j10_asof_join" -> ((s, d) => {
-      val ev = Tables.events(s, d).select(
-        col("event_id"), col("user_id"),
-        date_trunc("second", col("ts")).as("ts2"))
-      // asof contract: right unique per (key, time) — keep max orderkey
-      val ord = t(s, d, "orders")
-        .groupBy(col("o_custkey"), col("o_orderdate"))
-        .agg(max("o_orderkey").as("last_orderkey"))
-      graft.ops.AsOfJoin.backward(
-        ev, "user_id", "ts2", ord, "o_custkey", "o_orderdate",
-        Seq("last_orderkey"))
-        .select("event_id", "last_orderkey")
-    }),
-
-    // forward as-of: each event picks the customer's FIRST order at or
-    // after the event instant (time-to-next-action features) — same
-    // union-tag + one-window shape as j10, frame reversed
-    "j14_asof_forward" -> ((s, d) => {
-      val ev = Tables.events(s, d).select(
-        col("event_id"), col("user_id"),
-        date_trunc("second", col("ts")).as("ts2"))
-      val ord = t(s, d, "orders")
-        .groupBy(col("o_custkey"), col("o_orderdate"))
-        .agg(max("o_orderkey").as("next_orderkey"))
-      graft.ops.AsOfJoin.forward(
-        ev, "user_id", "ts2", ord, "o_custkey", "o_orderdate",
-        Seq("next_orderkey"))
-        .select("event_id", "next_orderkey")
-    }),
-
-    // NEAREST-event join (sensor/log alignment): closest purchase to each
-    // click in either direction — one backward + one forward as-of pass
-    // (both the linear union-window shape), per-row pick of the closer
-    // side, ties pinned to the backward match
-    "j15_nearest_event" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-      val clicks = ev.filter(col("event_type") === "click")
-        .select(col("event_id"), col("user_id"),
-          unix_timestamp(date_trunc("second", col("ts"))).as("sec"))
-      val purch = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"),
-          unix_timestamp(date_trunc("second", col("ts"))).as("psec"),
-          round(col("value"), 2).cast("decimal(18,2)").as("pval"))
-        .groupBy("user_id", "psec").agg(max("pval").as("pval"))
-      // exact decimal max inside; DOUBLE on the output boundary — decimal
-      // outputs render differently across the driver's two read paths
-      // (pyarrow Decimal vs DuckDB float), so portable outputs are
-      // BIGINT/DOUBLE/VARCHAR only
-      graft.ops.AsOfJoin.nearest(
-        clicks, "user_id", "sec", purch, "user_id", "psec", Seq("pval"))
-        .withColumn("pval", col("pval").cast("double"))
-    }),
-
-    // non-equi RANGE join: rows matched to interval buckets via
-    // lo <= v < hi. With a broadcast-sized dim, BroadcastNestedLoopJoin
-    // is the RIGHT plan (each probe row scans k intervals in memory —
-    // no shuffle at all); a shuffling SMJ would gain nothing. Large
-    // interval sets would instead bin both sides (equi-join on bin,
-    // residual range filter) — see histBucket for the degenerate
-    // fixed-width case.
-    "j11_range_join" -> ((s, d) => {
-      val bounds = Seq(
-        (0, 0.0, 50000.0), (1, 50000.0, 150000.0), (2, 150000.0, 300000.0),
-        (3, 300000.0, 600000.0)
-      )
-      val dim = s.createDataFrame(bounds).toDF("bucket_id", "lo", "hi")
-      t(s, d, "orders")
-        .join(broadcast(dim),
-          col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
-        .groupBy("bucket_id")
-        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sum_price"))
-    }),
-
-    // SQL front-end: the same engine through spark.sql (TPC-H Q3 shape)
-    "sql_q3_shipping" -> ((s, d) => {
-      Tables.customer(s, d).createOrReplaceTempView("customer")
-      Tables.orders(s, d).createOrReplaceTempView("orders")
-      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
-      s.sql(SparkEntry.q3Sql)
-    }),
-
-    // Q5-shaped 6-table star join through the SQL front-end: Catalyst
-    // must reorder and broadcast the dimension chain; the fact side
-    // never re-shuffles through nation/region
-    "sql_q5_local" -> ((s, d) => {
-      Seq("customer", "orders", "lineitem", "supplier", "nation", "region")
-        .foreach(tn => Tables.table(s, d, tn).createOrReplaceTempView(tn))
-      s.sql(SparkEntry.q5Sql)
-    }),
-
-    // Q7/Q8-shaped multi-dim star joins through the SQL front-end: the
-    // symmetric nation-pair OR predicate (q7) and the 8-table market-share
-    // star (q8) — dimension chains broadcast, the fact table shuffles once
-    "sql_q7_volume" -> ((s, d) => {
-      Seq("supplier", "lineitem", "orders", "customer", "nation")
-        .foreach(tn => Tables.table(s, d, tn).createOrReplaceTempView(tn))
-      s.sql(SparkEntry.q7Sql)
-    }),
-    "sql_q8_share" -> ((s, d) => {
-      Seq("part", "lineitem", "supplier", "orders", "customer", "nation", "region")
-        .foreach(tn => Tables.table(s, d, tn).createOrReplaceTempView(tn))
-      s.sql(SparkEntry.q8Sql)
-    }),
-
-    // Q13-shaped two-level aggregation over a LEFT join whose exclusion
-    // predicate lives in the ON clause (zero-order customers survive)
-    "sql_q13_custdist" -> ((s, d) => {
-      Seq("customer", "orders")
-        .foreach(tn => Tables.table(s, d, tn).createOrReplaceTempView(tn))
-      s.sql(SparkEntry.q13Sql)
-    }),
-
-    // Q15-shaped revenue-view max: CTE + uncorrelated scalar subquery —
-    // the 1-row max broadcasts back over the per-supplier aggregate
-    "sql_q15_topsupp" -> ((s, d) => {
-      Seq("lineitem", "supplier")
-        .foreach(tn => Tables.table(s, d, tn).createOrReplaceTempView(tn))
-      s.sql(SparkEntry.q15Sql)
-    }),
-
-    // Q17-shaped correlated scalar aggregate: Catalyst decorrelates the
-    // per-part mean into an aggregate joined back on l_partkey
-    "sql_q17_smallqty" -> ((s, d) => {
-      Seq("lineitem", "part")
-        .foreach(tn => Tables.table(s, d, tn).createOrReplaceTempView(tn))
-      s.sql(SparkEntry.q17Sql)
-    }),
-
-    // Q22-shaped scalar-threshold + NOT EXISTS recency anti-join
-    "sql_q22_idle" -> ((s, d) => {
-      Seq("customer", "orders", "nation")
-        .foreach(tn => Tables.table(s, d, tn).createOrReplaceTempView(tn))
-      s.sql(SparkEntry.q22Sql)
-    }),
-
-    // explicit GROUPING SETS + GROUPING() markers — the grouping-lattice
-    // surface beyond ROLLUP/CUBE, shared-text on both engines
-    "sql_grouping_sets" -> ((s, d) => {
-      Tables.orders(s, d).createOrReplaceTempView("orders")
-      s.sql(SparkEntry.groupingSetsSql)
-    }),
-
-    // SQL front-end, SHARED-TEXT tier: the identical SQL string is both the
-    // Spark query and the DuckDB oracle — one source of truth, proving the
-    // SQL surface speaks the ANSI dialect intersection (multi-dim ROLLUP,
-    // correlated EXISTS, SQL windows) rather than a private variant.
-    "sql_rollup_agg" -> ((s, d) => {
-      Tables.orders(s, d).createOrReplaceTempView("orders")
-      s.sql(SparkEntry.rollupSql)
-    }),
-
-    "sql_cube_agg" -> ((s, d) => {
-      Tables.orders(s, d).createOrReplaceTempView("orders")
-      s.sql(SparkEntry.cubeSql)
-    }),
-
-    "sql_exists_open" -> ((s, d) => {
-      Tables.orders(s, d).createOrReplaceTempView("orders")
-      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
-      s.sql(SparkEntry.existsSql)
-    }),
-
-    // the SQL row_number()=1 pattern — RowNumberTopKRule rewrites this into
-    // the bounded-heap TopKPerKey operator when installed (Verify/Bench do)
-    "sql_window_top" -> ((s, d) => {
-      Tables.orders(s, d).createOrReplaceTempView("orders")
-      s.sql(SparkEntry.windowTopSql)
-    }),
-
-    // per-label embedding centroids — the cluster-centroid aggregation
-    // (k-means step, class prototypes for near-dup/classification).
-    // Explode → (label, dim) hash-agg: partial averages combine map-side,
-    // so the shuffle carries |labels|×dims rows, not |corpus|×dims.
-    "sim_centroids" -> ((s, d) =>
-      t(s, d, "embeddings")
-        .select(col("label"), posexplode(col("embedding")))
-        .groupBy(col("label"), (col("pos") + 1).as("idx"))
-        .agg(round(avg(col("col").cast("double")), 6).as("centroid"))),
-
-    // rank / dense_rank / ntile — the remaining ranking-window surface
-    // (row_number is w3/w5; percent buckets are what a feature pipeline
-    // uses for decile binning). Total tiebreak (price, orderkey) keeps
-    // every rank deterministic — and makes rank = dense_rank = row_number
-    // (no ties in the full ordering), so all three ride ONE per-status
-    // GlobalRowNumber group rank instead of a window partitioned by the
-    // 3-value o_orderstatus (which would funnel the whole fact table
-    // through 3 tasks at any scale). The decile is exact ANSI ntile
-    // arithmetic on (rank, group size) — no data-sized window at all.
-    "w7_rank_ntile" -> ((s, d) => {
-      import graft.ops.GlobalRowNumber
-      // the internal range-partition pin stays for the session (the w6
-      // contract): it is slim (3 columns) and the cache manager dedups it
-      // across invocations by canonical plan, so 3 bench reps pin ONE
-      // frame — measured in PinHygieneSpec. (A per-invocation result
-      // cache does NOT dedup for this plan shape and leaks one entry per
-      // rep — the spec exists because that was shipped once.)
-      val (ranked, _) = GlobalRowNumber.withGroupRowNumberAndSize(
-        t(s, d, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice"),
-        "_rnk", "_n", Seq("o_orderstatus"),
-        col("o_totalprice").desc, col("o_orderkey").asc)
-      ranked.select(
-        col("o_orderkey"), col("o_orderstatus"),
-        col("_rnk").as("rnk"), col("_rnk").as("drnk"),
-        GlobalRowNumber.ntileFromRankCol(col("_rnk"), col("_n"), 10).as("decile"))
-    }),
-
-    // percent_rank/cume_dist complete the ranking-window surface (the
-    // distributional positions a feature pipeline feeds a model instead
-    // of raw magnitudes). Same bounded shape as w7: under the total
-    // tiebreak, percent_rank = (rank−1)/(n−1) and cume_dist = rank/n
-    // (no ties), so both are arithmetic on the per-status GlobalRowNumber
-    // group rank — no 3-task window over the fact table.
-    "w8_percent_rank" -> ((s, d) => {
-      import graft.ops.GlobalRowNumber
-      // session-lifetime internal pin, deduped across reps (see w7)
-      val (ranked, _) = GlobalRowNumber.withGroupRowNumberAndSize(
-        t(s, d, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice"),
-        "_rnk", "_n", Seq("o_orderstatus"),
-        col("o_totalprice").desc, col("o_orderkey").asc)
-      ranked.select(
-        col("o_orderkey"), col("o_orderstatus"),
-        round((col("_rnk") - 1).cast("double") /
-          greatest(col("_n") - 1, lit(1L)).cast("double"), 6).as("pr"),
-        round(col("_rnk").cast("double") / col("_n").cast("double"), 6).as("cd"))
-    }),
-
-    // EXCEPT / INTERSECT — the set-op surface beyond union (O7's
-    // anti-join is the keyed form; these are the whole-row forms)
-    "o6_except_intersect" -> ((s, d) => {
-      val oc = t(s, d, "orders").select(col("o_custkey").as("ck")).distinct()
-      val cc = t(s, d, "customer").select(col("c_custkey").as("ck"))
-      oc.intersect(cc).agg(count(lit(1)).as("n_both"))
-        .crossJoin(cc.except(oc).agg(count(lit(1)).as("n_cust_no_orders")))
-    }),
-
-    // ---- O*: set ops / sampling -----------------------------------------
-    "o5_union_agg" -> ((s, d) => {
-      val a = t(s, d, "orders").filter(col("o_totalprice") > 400000)
-      val b = t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT")
-      a.unionByName(b).groupBy("o_orderstatus").agg(count(lit(1)).as("cnt"))
-    }),
-
-    // O2 (seeded permutation) the oracle-able way: the permutation IS
-    // the portable hash order, so the exact same "random" arrangement
-    // reproduces on any engine — the shuffle analog of the hash-sampling
-    // twins below. The engine-RNG form (`orderBy(rand(42))`) is the same
-    // operator with an engine-private ordering key; its redundant
-    // rows-only demo row was retired in r11 (this green twin subsumes
-    // it; seeded-RNG determinism stays pinned in SparkEntrySpec)
-    "o2_shuffle_hash" -> ((s, d) =>
-      t(s, d, "orders")
-        .orderBy(permilleHash1M(col("o_orderkey"), ":s42"), col("o_orderkey"))
-        .limit(100).select("o_orderkey", "o_totalprice")),
-
-    // O3 the oracle-able way: permille buckets on the portable hash give
-    // the 80/20 split deterministically on both engines
-    "o3_split_hash" -> ((s, d) => {
-      val h = permilleHash(col("o_orderkey"), ":t42")
-      t(s, d, "orders")
-        .select(when(h < 800, "train").otherwise("test").as("part"))
-        .groupBy("part").agg(count(lit(1)).as("cnt"))
-    }),
-
-    // A2 scale path: approximate distinct (HLL++ sketch). The estimate is
-    // engine-private, so the row hashes the EXACT count plus an
-    // error-accounted audit flag instead: the default rsd is 0.05, so the
-    // relative error must sit inside 3σ = 15% (deterministic for a fixed
-    // dataset — the HLL hash is seedless); an estimator drifting outside
-    // its guarantee hash-mismatches against the oracle's literal TRUE.
-    "a2_approx_distinct" -> ((s, d) =>
-      t(s, d, "lineitem").agg(
-        approx_count_distinct(col("l_partkey")).as("approx_d"),
-        countDistinct(col("l_partkey")).as("exact_d_part"))
-        .select(col("exact_d_part"),
-          (abs(col("approx_d") - col("exact_d_part")).cast("double") /
-            col("exact_d_part") <= 0.15).as("within_3sigma"))),
-
-    // full §3.1+§3.2+§3.3 composition (rows-only: LR internals)
-    "pipeline_e2e" -> ((s, d) =>
-      graft.pipeline.ReadmissionPipeline.run(s, d)),
-
-    // the RELATIONAL prefix of pipeline_e2e as ONE exactly-oracled query —
-    // the reference's py:180-248 join chain: cohort labels ⋈ diagnosis
-    // pivot (inner, py:180) ⋈ patients dim (py:192) ⋈ first-admission min
-    // (py:199-212, the age anchor) ⋈ last-discharge-note per subject
-    // (groupby nth(-1) + left merge, py:241-248; documents keyed to
-    // customers by modulus, category filter = lang). Each stage is green
-    // individually (cohort_label / a4_pivot / w3-last / e12); this row
-    // pins their COMPOSITION. Missing notes coalesce to -1, not NULL —
-    // nullable ints render engine-dependently (SURVEY §5 portability).
-    "pipeline_relational" -> ((s, d) => {
-      val labeled = cohort(s, d)
-        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("label"))
-      val cats = graft.pipeline.ReadmissionPipeline.categoryMatrix(s, d)
-      val pats = t(s, d, "customer").select("c_custkey", "c_mktsegment")
-      val firstOrd = t(s, d, "orders").groupBy("o_custkey")
-        .agg(min(col("o_orderdate")).as("first_order"))
-      val nCust = t(s, d, "customer").count() // 1-value readout (scalar subquery in the oracle)
-      val wNote = Window.partitionBy("subj").orderBy(col("doc_id").desc)
-      val lastNote = t(s, d, "documents")
-        .filter(col("lang") === "en")
-        .withColumn("subj", pmod(col("doc_id"), lit(nCust)))
-        .withColumn("rn", row_number().over(wNote))
-        .filter(col("rn") === 1)
-        .select(col("subj"), col("doc_id").as("note_id"), col("n_chars").as("note_chars"))
-      labeled
-        .join(cats, col("o_orderkey") === col("l_orderkey"))
-        .join(broadcast(pats), col("o_custkey") === col("c_custkey"))
-        .join(firstOrd.withColumnRenamed("o_custkey", "_fck"),
-          col("o_custkey") === col("_fck"))
-        .join(lastNote, col("o_custkey") === col("subj"), "left")
-        .select(
-          col("o_orderkey"), col("label"),
-          col("cat_a").cast("long").as("cat_a"),
-          col("cat_n").cast("long").as("cat_n"),
-          col("cat_r").cast("long").as("cat_r"),
-          col("c_mktsegment").as("segment"),
-          datediff(col("o_orderdate"), col("first_order")).cast("long").as("tenure_days"),
-          coalesce(col("note_id"), lit(-1L)).cast("long").as("note_id"),
-          coalesce(col("note_chars"), lit(-1L)).cast("long").as("note_chars"))
-    }),
-
-    // the composed LLM-curation funnel as ONE exactly-oracled query:
-    // lang gate → quality cascade → exact dedup → MinHash-LSH near-dup →
-    // benchmark decontamination, each stage defined over the SURVIVORS of
-    // the previous (a near-dup of an already-dropped doc is NOT charged
-    // to near_dup — the staged composition a per-stage union of
-    // independent filters gets wrong). Every gate is green individually
-    // (t_lang_id / t_quality_cascade / d_exact_groups / d_stream_neardup
-    // / d_contamination); this row pins their composition, the
-    // curation analog of pipeline_relational. Output = (doc_id, stage).
-    "pipeline_curation" -> ((s, d) => {
-      val docs = t(s, d, "documents")
-      graft.text.Curation.funnel(
-        docs.filter(col("doc_id") % 100 =!= 0),
-        docs.filter(col("doc_id") % 100 === 0),
-        "doc_id", "text",
-        minTokens = 15, maxTokens = 100000,
-        minMeanLen = 3.2, maxMeanLen = 4.65, minTtr = 0.32)
-    }),
-
-    // RAG indexing composition: the curated keep-set becomes the
-    // retrieval index (embeddings of survivors ONLY — dup/contaminated/
-    // low-quality docs never enter the index), held-out probe docs are
-    // the queries, exact cosine top-5 per query with neighbor metadata.
-    // Queries broadcast; the index side is never shuffled.
-    "pipeline_rag" -> ((s, d) => {
-      val docs = t(s, d, "documents")
-      val emb = t(s, d, "embeddings")
-      val kept = curatedStagesCached(s, d)
-        .filter(col("stage") === "kept").select("doc_id")
-      val index = emb.join(kept, emb("vec_id") === kept("doc_id"))
-        .select(emb("vec_id"), emb("embedding"))
-      val queries = emb.filter(col("vec_id") % 100 === 0 && col("vec_id") < 2000)
-      Similarity.bruteForceTopK(index, queries, "vec_id", "embedding", k = 5)
-        .join(docs.select(col("doc_id"), col("lang"), col("n_chars")),
-          col("neighbor_id") === col("doc_id"))
-        .select(col("query_id"), col("neighbor_id"), col("cosine"),
-          col("rank"), col("lang"), col("n_chars"))
-    }),
-
-    // curated keep-set → token counts → greedy 512-token sequence packing
-    // (the pretraining shard layout over the funnel's SURVIVORS): the
-    // end-to-end "crawl in, packed windows out" composition. Packing
-    // rides the SequencePacking distributed two-pass cumsum — no
-    // single-task window over the corpus. Session-memoized (the typed
-    // MinHash kernel in the funnel lineage defeats canonical-plan cache
-    // dedup — see pretrainPackedCached)
-    "pipeline_pretrain" -> ((s, d) => SparkEntry.pretrainPackedCached(s, d)),
-
-    // O3/O4/O8 engine-RNG forms (`randomSplit(…, 42)`, seeded
-    // `df.sample`): their redundant rows-only demo rows were retired in
-    // r11 — each was shadowed 1:1 by the green `_hash` twin below (the
-    // same sampling operator with a portable hash in place of the
-    // engine-private RNG stream), and the MIMIC tier pins the REAL
-    // operators' exact counts (`mimic_split_counts`,
-    // `mimic_resample_counts`). randomSplit/sample determinism stays
-    // spec-pinned in SparkEntrySpec.
-
-    // O4/O8 the ORACLE-ABLE way: `df.sample` rides an engine-private RNG
-    // stream, but a deterministic permille on a portable 60-bit md5 hash
-    // is the same sampling operator with a cross-engine-replayable
-    // decision per row — so the seeded-sampling tier gets exact green
-    // rows, not rows-only trust. The class ratio is computed IN the plan
-    // (1-row agg, broadcast) — the identical arithmetic runs in the
-    // oracle, so both engines derive the same keep-threshold.
-    "o4_undersample_hash" -> ((s, d) => {
-      val labeled = cohort(s, d)
-      val cts = labeled.agg(
-        sum(when(col("label") === "1", 1L).otherwise(0L)).as("npos"),
-        sum(when(col("label") === "0", 1L).otherwise(0L)).as("nneg"))
-      labeled.crossJoin(cts)
-        .filter(col("label") === "1" ||
-          permilleHash(col("o_orderkey"), ":u42") <
-            floor(lit(1000.0) * col("npos") / col("nneg")).cast("long"))
-        .groupBy("label").agg(count(lit(1)).as("cnt"))
-    }),
-
-    // hash-deterministic oversample: every minority row gets
-    // floor(nNeg/nPos) copies, plus one extra for the hash-selected
-    // permille remainder — replication by explode(sequence), no RNG
-    "o8_oversample_hash" -> ((s, d) => {
-      val labeled = cohort(s, d)
-      val cts = labeled.agg(
-        sum(when(col("label") === "1", 1L).otherwise(0L)).as("npos"),
-        sum(when(col("label") === "0", 1L).otherwise(0L)).as("nneg"))
-      val withP = labeled.crossJoin(cts)
-        .withColumn("_mult", floor(col("nneg") / col("npos")).cast("long"))
-        .withColumn("_extra_p",
-          floor(lit(1000.0) * (col("nneg") - col("_mult") * col("npos")) / col("npos")).cast("long"))
-        .withColumn("_copies",
-          when(col("label") === "0", lit(1L)).otherwise(
-            col("_mult") +
-              when(permilleHash(col("o_orderkey"), ":o42") < col("_extra_p"), 1L).otherwise(0L)))
-      // sequence(1, 0) counts DOWN in Spark — guard the zero-copy case to
-      // an explicit empty array so those rows drop instead of duplicating
-      withP
-        .select(col("label"),
-          explode(when(col("_copies") >= 1L, sequence(lit(1L), col("_copies")))
-            .otherwise(array().cast("array<bigint>"))).as("_i"))
-        .groupBy("label").agg(count(lit(1)).as("cnt"))
-    }),
-
-    // stratified hash-sample: a per-stratum keep-rate applied through the
-    // engine-portable md5-permille — the "balance sources/classes while
-    // downsampling" primitive of a training-data pipeline, deterministic
-    // (resumable, re-runnable) unlike df.sampleBy's RNG stream
-    "o10_stratified_hash" -> ((s, d) => {
-      val rates = typedlit(Map("F" -> 1000L, "O" -> 200L, "P" -> 500L))
-      t(s, d, "orders")
-        .filter(permilleHash(col("o_orderkey"), ":st42") <
-          coalesce(try_element_at(rates, col("o_orderstatus")), lit(0L)))
-        .groupBy("o_orderstatus")
-        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sum_price"))
-    }),
-
-    // distributed global row-number: range-partition + per-partition
-    // window + count offsets (ops/GlobalRowNumber) — dense stable example
-    // ids without the single-task Window.orderBy funnel; byte-equal to
-    // the naive ROW_NUMBER the oracle runs
-    "w6_global_rownum" -> ((s, d) =>
-      graft.ops.GlobalRowNumber.withRowNumber(
-        t(s, d, "orders").select("o_orderkey", "o_orderdate"),
-        "rn", col("o_orderdate"), col("o_orderkey"))
-        .select(col("o_orderkey"), col("rn"))),
-
-    // ---- text analysis ---------------------------------------------------
-    "t_token_stats" -> ((s, d) =>
-      t(s, d, "documents").select(
-        col("doc_id"),
-        TextOps.tokenCount(col("text")).as("n_tokens"),
-        TextOps.stopwordCount(col("text")).as("n_stop"),
-        TextOps.alphaRatio(col("text")).as("alpha_ratio"))),
-
-    // BPE-ish subword-count estimate (alpha runs contribute ceil(len/4)
-    // pieces, digit runs 1 each) — the cheap deterministic token-budget
-    // proxy for an LLM-data pipeline, exactly mirrored in SQL
-    "t_token_bpe" -> ((s, d) =>
-      t(s, d, "documents").select(
-        col("doc_id"), TextOps.tokenCountBpeIsh(col("text")).as("n_bpe"))),
-
-    // text quality components (exact integer-ratio arithmetic)
-    "t_quality" -> ((s, d) =>
-      t(s, d, "documents").select(
-        col("doc_id"),
-        TextOps.alphaRatio(col("text")).as("alpha_ratio"),
-        TextOps.stopwordRatio(col("text")).as("stop_ratio"),
-        TextOps.meanTokenLen(col("text")).as("mean_tok_len"))),
-
-    "t_lang_id" -> ((s, d) =>
-      t(s, d, "documents")
-        .select(col("lang").as("actual_lang"), TextOps.langId(col("text")).as("pred_lang"))
-        .groupBy("actual_lang", "pred_lang").agg(count(lit(1)).as("cnt"))),
-
-    "t_fingerprint" -> ((s, d) =>
-      t(s, d, "documents").select(
-        col("doc_id"), TextOps.fingerprintMd5(col("text")).as("fingerprint"))),
-
-    "t_rolling_hash" -> ((s, d) =>
-      t(s, d, "documents").select(
-        col("doc_id"), TextOps.rollingHash(col("text")).as("rhash"))),
-
-    // Gopher/C4-style repetition quality signal: fraction of word 3-grams
-    // that are repeats within the document. Tokens materialize behind one
-    // projection boundary (the shingle transform references the token
-    // attribute, not the regex subtree — see TextOps.shingles PERF note).
-    "t_repetition" -> ((s, d) =>
-      t(s, d, "documents")
-        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-        .select(
-          col("doc_id"),
-          when(size(col("toks")) < 3, lit(0L)).otherwise(size(col("toks")) - 2).cast("bigint").as("n_shingles"),
-          // shinglesFromTokens is already distinct — one definition shared
-          // with the Jaccard/MinHash dedup path
-          size(TextOps.shinglesFromTokens(col("toks"), 3)).cast("bigint").as("n_distinct"))
-        .withColumn("dup_frac",
-          when(col("n_shingles") === 0, lit(0.0))
-            .otherwise(round(lit(1.0) - col("n_distinct").cast("double") / col("n_shingles"), 6)))),
-
-    // per-doc n-gram novelty: the fraction of a doc's distinct 3-shingles
-    // never seen in any LOWER-id doc — the dataset-curation novelty
-    // profile (a low-novelty doc is boilerplate/near-dup even when no
-    // single pair crosses a dedup threshold). One explode → hash-agg for
-    // the global first-occurrence table, one equi-join on the shingle
-    "t_ngram_novelty" -> ((s, d) => {
-      val sh = t(s, d, "documents")
-        .select(col("doc_id"), TextOps.tokens(col("text")).as("_toks"))
-        .select(col("doc_id"),
-          explode(TextOps.shinglesFromTokens(col("_toks"), 3)).as("shingle"))
-      val firstDoc = sh.groupBy("shingle").agg(min("doc_id").as("first_doc"))
-      sh.join(firstDoc, "shingle")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_shingles"),
-          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
-    }),
-
-    // fixed-size token-window chunking — the "split documents into model
-    // context windows" step of an LLM data pipeline. Emits one row per
-    // 40-token chunk with its token span and an md5 of the chunk text so
-    // the chunk CONTENT (not just the arithmetic) is hash-checked.
-    "t_chunk_tokens" -> ((s, d) =>
-      t(s, d, "documents")
-        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-        .filter(size(col("toks")) > 0)
-        .select(col("doc_id"), col("toks"),
-          posexplode(sequence(lit(0), ceil(size(col("toks")) / lit(40.0)).cast("int") - 1)))
-        .select(
-          col("doc_id"),
-          col("col").as("chunk_idx"),
-          (col("col") * 40).cast("bigint").as("tok_start"),
-          least(size(col("toks")).cast("bigint"), (col("col") + 1) * lit(40L)).as("tok_end"),
-          md5(concat_ws(" ", slice(col("toks"), col("col") * 40 + 1,
-            lit(40)))).as("chunk_md5"))),
-
-    // token-budget sequence packing: documents laid end-to-end on ONE
-    // global token axis (distributed two-pass cumsum — no single-partition
-    // window) and chopped into 512-token context windows; each doc reports
-    // its global start offset and the [first, last] window span it lands
-    // in — the packed-pretraining shard layout.
-    "t_pack_windows" -> ((s, d) => {
-      val docs = t(s, d, "documents")
-        .select(col("doc_id"), TextOps.tokenCount(col("text")).cast("bigint").as("n_tokens"))
-      graft.ops.SequencePacking.packWindows(
-        docs, col("n_tokens"), budget = 512L, col("doc_id"))
-        .df.select("doc_id", "n_tokens", "start_off", "first_win", "last_win")
-    }),
-
-    // OVERLAPPING chunks (40-token window, 20-token stride — each token in
-    // ≤2 chunks): the retrieval-context variant where boundary-spanning
-    // content must appear whole in at least one chunk. Starts at 0, 20, …
-    // while start < n_tokens; trailing chunks may be sub-window.
-    "t_chunk_overlap" -> ((s, d) =>
-      t(s, d, "documents")
-        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-        .filter(size(col("toks")) > 0)
-        .select(col("doc_id"), col("toks"),
-          posexplode(sequence(lit(0), ceil(size(col("toks")) / lit(20.0)).cast("int") - 1)))
-        .select(
-          col("doc_id"),
-          col("col").as("chunk_idx"),
-          (col("col") * 20).cast("bigint").as("tok_start"),
-          least(size(col("toks")).cast("bigint"), col("col") * 20 + lit(40L)).as("tok_end"),
-          md5(concat_ws(" ", slice(col("toks"), col("col") * 20 + 1,
-            lit(40)))).as("chunk_md5"))),
-
-    // E13/E16 standalone: the newline-scrub + punct/digit-strip normalize
-    // step, oracled directly (regexp_replace is in the dialect intersection)
-    "t_normalize" -> ((s, d) =>
-      t(s, d, "documents").select(
-        col("doc_id"), TextOps.normalize(col("text")).as("norm_text"))),
-
-    // E16's lemmatize step end-to-end through the native codegen'd
-    // Lemmatize expression, hash-checked: the oracle renders the SAME
-    // suffix/irregular rule engine into generated DuckDB SQL
-    // (Lemmatizer.oracleSql), closing the last spec-only E row
-    "t_lemmas" -> ((s, d) =>
-      t(s, d, "documents").select(
-        col("doc_id"),
-        array_join(
-          graft.functions.GraftFunctions.lemmatize_all(TextOps.tokens(col("text"))),
-          " ").as("lemmas"))),
-
-    // ---- dedup -----------------------------------------------------------
-    "d_exact_groups" -> ((s, d) =>
-      Dedup.exactGroups(t(s, d, "documents"), "doc_id", "text")),
-
-    // document-frequency cap ON: shingles in >100 docs are dropped before
-    // the inverted-index self-join (uncapped hot shingles are O(df²) pair
-    // bombs at scale — Dedup.scala skew note). Oracle applies the same cap.
-    "d_jaccard_pairs" -> ((s, d) =>
-      Dedup.jaccardPairs(t(s, d, "documents"), "doc_id", "text", n = 3, threshold = 0.05,
-        maxShingleDf = Some(100L))),
-
-    // benchmark decontamination: docs sharing any 3-gram with the probe
-    // ("benchmark") subset — probe shingle set broadcasts, corpus is never
-    // self-joined; production n is 8-13, scaled to n=3 for the short
-    // synthetic texts so the check exercises real overlap (~150 docs hit)
-    "d_contamination" -> ((s, d) => {
-      val docs = t(s, d, "documents")
-      Dedup.contamination(
-        docs.filter(col("doc_id") % 100 =!= 0),
-        docs.filter(col("doc_id") % 100 === 0),
-        "doc_id", "text", n = 3)
-    }),
-
-    "d_minhash_pairs" -> ((s, d) =>
-      Dedup.minhashLshPairs(t(s, d, "documents"), "doc_id", "text")),
-
-    // sketch quality as a hash-checked row: MinHash Jaccard estimate vs
-    // the true shingle Jaccard, per LSH candidate pair (truth computed
-    // only on the LSH-bounded candidates, never all pairs)
-    "d_minhash_est" -> ((s, d) =>
-      Dedup.minhashEstVsTruth(t(s, d, "documents"), "doc_id", "text")),
-
-    "d_simhash_sigs" -> ((s, d) =>
-      Dedup.simhashSignatures(t(s, d, "documents"), "doc_id", "text")),
-
-    // pair graph → dedup CLUSTERS: connected components over the MinHash
-    // LSH pairs (distributed min-label propagation), so transitive
-    // duplicates (A,B)+(B,C) collapse to one surviving representative.
-    // Exactly oracled: DuckDB regenerates the same pair graph and closes
-    // it with a recursive CTE.
-    "d_dup_clusters" -> ((s, d) => dupClustersCached(s, d)),
-
-    // SimHash near-dup PAIRS (hamming ≤ 3): 4×15-bit pigeonhole chunk
-    // blocking makes the candidate join an equi-join with ZERO recall
-    // loss at this radius — completes the simhash path from signatures
-    // to pairs; the oracle regenerates the signatures and repeats the
-    // identical block join (xor + bit_count)
-    "d_simhash_pairs" -> ((s, d) =>
-      Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text")),
-
-    // sub-document boilerplate scrub (CCNet/RefinedWeb duplicate-line
-    // removal at chunk granularity): a 3-token chunk seen in >2 distinct
-    // docs is dropped from every doc; the md5 over each doc's kept chunks
-    // hash-checks the REWRITTEN content, not just the drop counts
-    "d_chunk_dedup" -> ((s, d) =>
-      Dedup.chunkDedup(t(s, d, "documents"), "doc_id", "text",
-        chunkTokens = 3, maxDocs = 2L)),
-
-    // INCREMENTAL LSH maintenance: the 10%-delta "new crawl batch"
-    // probes the persisted band index — base is read zero times, output
-    // = only the NEW near-dup pairs (≥1 delta member). The full-
-    // recompute-minus-old-pairs equivalence is property-spec'd.
-    "inc_lsh_maintain" -> ((s, d) =>
-      Dedup.incrementalLshPairsOnIndex(
-        lshBaseIndexCached(s, d),
-        t(s, d, "documents").filter(col("doc_id") % 10 === 0),
-        "doc_id", "text")),
-
-    // exact duplicated-SPAN detection (Lee et al. 2021 sequence-level
-    // dedup): every 8-token window fingerprinted, windows repeated
-    // corpus-wide merge into maximal per-doc spans (gaps-and-islands on
-    // a doc_id-partitioned window — high-cardinality key, bounded by
-    // one doc's length). The readout sizes a span-removal pass.
-    "d_dup_spans" -> ((s, d) =>
-      graft.dedup.SpanDedup.dupSpans(t(s, d, "documents"), "doc_id", "text", L = 8)),
-
-    // ---- similarity search ----------------------------------------------
-    "sim_cosine_pairs" -> ((s, d) =>
-      Similarity.cosinePairs(t(s, d, "embeddings"), "vec_id", "embedding", threshold = 0.35)),
-
-    "sim_topk" -> ((s, d) => {
-      val emb = t(s, d, "embeddings")
-      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
-    }),
-
-    // HYBRID retrieval via reciprocal-rank fusion (Cormack et al. 2009,
-    // the BM25+dense production default): the lexical top-100 (BM25 over
-    // documents, t_bm25's exact query) fused with the dense top-100
-    // (cosine neighbors of vector 0) by pure rank arithmetic —
-    // 1/(60+rank) contributions summed as exact decimals. Both legs AND
-    // the fusion are exactly oracled; list depths bound every stage
-    "sim_rrf_fusion" -> ((s, d) => {
-      val emb = t(s, d, "embeddings")
-      val sem = Similarity.bruteForceTopK(
-        emb, emb.filter(col("vec_id") === 0), "vec_id", "embedding", k = 100)
-        .select(col("neighbor_id").as("id"), col("rank").as("r"))
-      val lexTop = graft.text.Bm25.scores(
-        t(s, d, "documents"), "doc_id", "text",
-        Seq("join", "window", "stream", "vector"))
-        .orderBy(desc("score"), asc("doc_id")).limit(100)
-      // rank over ≤100 rows — bounded by the declared list depth, never
-      // data-sized (the TakeOrdered cut above is the distributed part)
-      val lex = lexTop
-        .withColumn("r", row_number().over(
-          Window.orderBy(desc("score"), asc("doc_id"))))
-        .select(col("doc_id").as("id"), col("r"))
-      Similarity.rrfFuse(Seq(lex, sem), "id", "r", kConst = 60, topK = 20)
-    }),
-
-    // hard-negative mining: per query, top-k most-similar DIFFERENT-label
-    // vectors — broadcast queries, corpus never shuffled, label predicate
-    // fused into the join
-    "sim_hard_negatives" -> ((s, d) => {
-      val emb = t(s, d, "embeddings")
-      Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 10),
-        "vec_id", "embedding", "label", k = 5)
-    }),
-
-    "sim_ivf_topk" -> ((s, d) => {
-      val emb = t(s, d, "embeddings")
-      val centroids = Similarity.kmeansCentroids(emb, "embedding", k = 16)
-      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), centroids,
-        "vec_id", "embedding", k = 5, nprobe = 2)
-    }),
-
-    // ANN quality as a HASH-CHECKED row: recall@5 of the IVF path vs brute
-    // force, per query. Pivots are deterministic data points (IVF-Flat),
-    // so the oracle replays assignment/probing/ranking exactly — the
-    // kmeans variant above keeps exercising the model path (rows-only).
-    "sim_ivf_recall" -> ((s, d) =>
-      Similarity.ivfRecall(t(s, d, "embeddings"), "vec_id", "embedding",
-        k = 5, nprobe = 4, nPivots = 16, nQueries = 10)),
-
-    // embedding-cosine near-dup: the PRODUCTION path is RHP-LSH banding
-    // (sub-quadratic candidate generation + exact-cosine verify), not the
-    // O(n²) crossJoin — `sim_cosine_pairs` remains the exact oracle tier.
-    // The DuckDB oracle mirrors the same deterministic algorithm (same
-    // seeded sign matrix, integer-quantized projections), so correctness
-    // is verified exactly without depending on LSH recall.
-    // bitsPerBand PINNED to the oracle's width: the operator's corpus-
-    // sized default (autoBitsPerBand) would silently diverge from the
-    // static 6-bit oracle CTEs the moment the embeddings table crosses
-    // 2048 rows — an oracled row pins ALL its params, like every other
-    // registry entry (production callers omit the width and get auto)
-    "d_embed_neardup" -> ((s, d) =>
-      Similarity.rhpNearDupPairs(t(s, d, "embeddings"), "vec_id", "embedding",
-        dim = 64, threshold = 0.45, bitsPerBand = 6)),
-
-    // SemDeDup composition (semantic dedup over embeddings): RHP-LSH
-    // near-dup pairs → min-label connected components → keep ONE member
-    // per cluster by a deterministic hash-derived quality score (a stand-
-    // in for a real quality signal — perplexity, toxicity — that is
-    // exactly mirrorable in the oracle). Every stage reuses its
-    // individually-oracled machinery; this query hash-checks the composed
-    // pipeline — the embedding-space analog of d_cluster_keep
-    "sim_semantic_keep" -> ((s, d) => {
-      val emb = t(s, d, "embeddings")
-      val pairs = Similarity.rhpNearDupPairs(emb, "vec_id", "embedding",
-          dim = 64, threshold = 0.45, bitsPerBand = 6) // pinned to the oracle (see d_embed_neardup)
-        .select(col("keep_id").as("doc_a"), col("dup_id").as("doc_b"))
-      val clusters = Dedup.dupClusters(pairs, emb, "vec_id")
-      val scored = emb.withColumn("_q", permilleHash1M(col("vec_id"), ":semq"))
-      Dedup.clusterKeep(clusters, scored, "vec_id", "_q")
-    }),
-
-    // int8 scalar quantization: 4× smaller corpus, exact integer dots in
-    // the hot loop — ranking is hash-checked (the integer arithmetic makes
-    // the whole query bit-deterministic, unlike float-accumulation paths)
-    "sim_sq8_topk" -> ((s, d) =>
-      Quantized.sq8TopK(t(s, d, "embeddings"), "vec_id", "embedding",
-        nQueries = 10, k = 5)),
-
-    // binary quantization + oversampled rescoring: 32× smaller corpus
-    // (sign bits in packed words), popcount(XOR) shortlist in exact
-    // integers, float cosine only on the shortlist — the most aggressive
-    // point on the ANN compression curve, fully oracle-able
-    "sim_bq_topk" -> ((s, d) =>
-      Quantized.bqTopK(t(s, d, "embeddings"), "vec_id", "embedding",
-        dim = 64, nQueries = 10, shortlist = 16, k = 5)),
-
-    // product quantization + ADC: dim×4 bytes → m bytes per vector, m LUT
-    // lookups per candidate instead of a dim-length dot. Data-point
-    // codebook keeps encode/score exactly oracle-able.
-    "sim_pq_topk" -> ((s, d) =>
-      Quantized.pqTopK(t(s, d, "embeddings"), "vec_id", "embedding",
-        dim = 64, m = 8, nCodes = 16, nQueries = 10, k = 5)),
-
-    // IVF-PQ + exact re-rank: the production billion-vector composition
-    // (coarse quantizer → inverted-list ADC scan → exact top-`rerank`
-    // refine). Deterministic data-point codebooks keep the ENTIRE
-    // composition exactly oracled — coarse argmax, probe set, ADC fold,
-    // shortlist, and the refined final ranking
-    "sim_ivfpq_topk" -> ((s, d) =>
-      Quantized.ivfPqTopK(t(s, d, "embeddings"), "vec_id", "embedding",
-        dim = 64, m = 8, nCodes = 16, nPivots = 16, nprobe = 2,
-        nQueries = 10, rerank = 20, k = 5)),
-
-    // recall accounting for the row above: per-query overlap between the
-    // PRODUCTION-config IVF-PQ top-k (nprobe=2 of 16 lists — the probe
-    // really skips 7/8 of the corpus) and the exact brute-force top-k,
-    // as exact integers. The ANN-recall analog of the a2/a10 sketch
-    // audits: the quality loss of the approximation is itself a
-    // hash-checked row, not a claim
-    "sim_ivfpq_recall" -> ((s, d) =>
-      Quantized.ivfPqRecall(t(s, d, "embeddings"), "vec_id", "embedding",
-        dim = 64, m = 8, nCodes = 16, nPivots = 16, nprobe = 2,
-        nQueries = 10, rerank = 20, k = 5)),
-
-    // exactly-oracled distributed Lloyd k-means: 3 unrolled rounds of
-    // (broadcast-centroid argmin → per-cluster exact integer sums) over
-    // micro-quantized vectors; per-member distances round to integer
-    // micro² before the inertia sum so the readout is order-independent.
-    // The iterative-ML twin of the PageRank/BFS iterated-join oracles —
-    // MLlib's KMeans data path with every intermediate cross-engine-proof
-    "sim_kmeans_lloyd" -> ((s, d) =>
-      graft.sim.Lloyd.fitStats(t(s, d, "embeddings"), "vec_id", "embedding",
-        k = 8, iters = 3)),
-
-    // PQ ranking quality vs exact brute force as a hash-checked row
-    "sim_pq_recall" -> ((s, d) =>
-      Quantized.pqRecall(t(s, d, "embeddings"), "vec_id", "embedding",
-        dim = 64, m = 8, nCodes = 16, nQueries = 10, k = 5)),
-
-    // k-means-TRAINED PQ codebooks (the real FAISS training path): 2
-    // unrolled Lloyd rounds per subspace (the subspace axis rides INSIDE
-    // each round's frames — 8 subspaces cost the same job count as 1),
-    // then the corpus encode under the trained centroids; readout = per
-    // (subspace, cluster) member count + exact-integer inertia
-    "sim_pqtrain_stats" -> ((s, d) =>
-      graft.sim.PqTrain.trainStats(t(s, d, "embeddings"), "vec_id", "embedding",
-        dim = 64, m = 8, kCodes = 16, iters = 2)),
-
-    // the full train→index→query loop: ADC top-k against the TRAINED
-    // codebooks — LUT of query-subvector · trained-centroid dots,
-    // subspace-ordered fold, (adc DESC, id ASC) ranking; every stage
-    // cross-engine-checked
-    "sim_pqtrain_topk" -> ((s, d) =>
-      graft.sim.PqTrain.trainedTopK(t(s, d, "embeddings"), "vec_id", "embedding",
-        dim = 64, m = 8, kCodes = 16, iters = 2, nQueries = 10, k = 5)),
-
-    // Matryoshka-style prefix search: corpus-wide pass reads only the
-    // first 16 of 64 dims, exact rerank touches k×overfetch rows per query
-    "sim_prefix_rerank" -> ((s, d) =>
-      Similarity.prefixRerankTopK(t(s, d, "embeddings"), "vec_id", "embedding",
-        prefixDim = 16, nQueries = 10, k = 5, overfetch = 4)),
-
-    // retention policy on the dup-cluster graph: keep the best-quality
-    // member per cluster (longest text, tiebreak lowest id) — the final
-    // step of a dedup pass, one aggregate over the labeled corpus
-    // retention policy reads the memoized cluster labeling — the chain up
-    // to connected components is computed once per session (see
-    // dupClustersCached), not re-run per policy
-    "d_cluster_keep" -> ((s, d) =>
-      Dedup.clusterKeep(dupClustersCached(s, d), t(s, d, "documents"),
-        "doc_id", "n_chars")),
-
-    // ---- events / sessionization ----------------------------------------
-    "ev_hour_agg" -> ((s, d) =>
-      Tables.events(s, d)
-        .groupBy(date_trunc("hour", col("ts")).as("hour_ts"), col("event_type"))
-        .agg(
-          count(lit(1)).as("cnt"),
-          countDistinct(col("user_id")).as("d_users"),
-          dsum(col("value")).as("sum_value"))),
-
-    "ev_sessionize" -> ((s, d) => {
-      val ts2  = date_trunc("second", col("ts"))
-      val w    = Window.partitionBy("user_id").orderBy(col("ts2"), col("event_id"))
-      val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.events(s, d)
-        .withColumn("ts2", ts2)
-        .withColumn("prev", lag(col("ts2"), 1).over(w))
-        .withColumn("is_new",
-          when(col("prev").isNull ||
-            (unix_timestamp(col("ts2")) - unix_timestamp(col("prev"))) > 1800, 1L)
-            .otherwise(0L))
-        .withColumn("session_id", sum("is_new").over(wCum))
-        .groupBy("user_id", "session_id").agg(count(lit(1)).as("n_events"))
-    }),
-
-    // ordered funnel over the event stream: per-stage entity counts where
-    // each stage's earliest event strictly follows the previous stage's —
-    // the reference cohort query's "A then B" shape generalized to k
-    // stages (per-entity aggregation BEFORE every join; see FunnelOps)
-    "ev_funnel" -> ((s, d) =>
-      graft.ops.FunnelOps.funnel(
-        Tables.events(s, d), "user_id", "event_type", "ts",
-        Seq("view", "click", "purchase"))),
-
-    // conversion-window funnel: each stage must land within 7 days of the
-    // previous one — the "converted within X" product form; same k pruned
-    // scans + k entity-keyed joins, gap predicate fused into each stage
-    "ev_funnel_windowed" -> ((s, d) =>
-      graft.ops.FunnelOps.funnel(
-        Tables.events(s, d), "user_id", "event_type", "ts",
-        Seq("view", "click", "purchase"), maxGapSec = Some(7L * 86400L))),
-
-    // cohort retention matrix: entities cohorted by first-event date,
-    // distinct-active counts per (cohort_date, week_offset)
-    "ev_retention" -> ((s, d) =>
-      graft.ops.FunnelOps.retention(Tables.events(s, d), "user_id", "ts")),
-
-    // event-type transition frequencies (the Markov view): one window
-    // pass per entity, |types|²-bounded output
-    "ev_transitions" -> ((s, d) =>
-      graft.ops.FunnelOps.transitions(
-        Tables.events(s, d), "user_id", "event_type", "ts", "event_id")),
-
-    // last-touch attribution: every purchase credited to the user's most
-    // recent preceding touch within 7 days — ONE window pass on one
-    // entity exchange, never a conversions×touches range self-join
-    "ev_attribution" -> ((s, d) =>
-      graft.ops.FunnelOps.lastTouchAttribution(
-        Tables.events(s, d), "user_id", "event_type", "ts", "event_id",
-        touchTypes = Seq("view", "click", "signup"), convType = "purchase",
-        lookbackSec = 7L * 86400L)),
-
-    // two-proportion z-test between deterministic hash-split arms — the
-    // experiment readout: per-user conversion collapses first (one
-    // data-sized hash-agg), the test statistic is scalar math on one row;
-    // arm assignment rides the portable permille hash so the split —
-    // and therefore the z — replays exactly on any engine
-    "ab_ztest" -> ((s, d) => {
-      val perUser = Tables.events(s, d)
-        .groupBy(col("user_id"))
-        .agg(when(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)) >= 3L, 1L)
-          .otherwise(0L).as("conv"))
-        .select(
-          when(permilleHash(col("user_id"), ":ab") < 500, "A").otherwise("B").as("arm"),
-          col("conv"))
-      val c = perUser.agg(
-        sum(when(col("arm") === "A", 1L).otherwise(0L)).as("n_a"),
-        sum(when(col("arm") === "A", col("conv")).otherwise(0L)).as("conv_a"),
-        sum(when(col("arm") === "B", 1L).otherwise(0L)).as("n_b"),
-        sum(when(col("arm") === "B", col("conv")).otherwise(0L)).as("conv_b"))
-      val p = (col("conv_a") + col("conv_b")).cast("double") / (col("n_a") + col("n_b"))
-      // all-converted / none-converted pools have zero pooled variance —
-      // the proportions are equal by construction, so z is 0, not a ÷0
-      c.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
-        when(col("conv_a") + col("conv_b") === lit(0L) ||
-          col("conv_a") + col("conv_b") === col("n_a") + col("n_b"), lit(0.0))
-          .otherwise(round(
-            (col("conv_a").cast("double") / col("n_a") -
-              col("conv_b").cast("double") / col("n_b")) /
-              sqrt(p * (lit(1.0) - p) * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))),
-            6)).as("z_score"))
-    }),
-
-    // sample-ratio-mismatch guardrail on the same hash arms as ab_ztest:
-    // 1-df chi² of the realized split vs the designed 50/50 — the check
-    // an experiment platform runs before trusting any metric readout
-    "ab_srm" -> ((s, d) => {
-      val perUser = Tables.events(s, d).select(col("user_id")).distinct()
-        .select(when(permilleHash(col("user_id"), ":ab") < 500, "A")
-          .otherwise("B").as("arm"))
-      graft.ops.ExperimentOps.srmCheck(perUser, "arm", "A", "B", ratioA = 0.5)
-    }),
-
-    // semi-structured props extraction (regex form, engine-comparable)
-    "ev_props_extract" -> ((s, d) =>
-      Tables.events(s, d)
-        .withColumn("k", regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast("int"))
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("cnt"), sum(col("k").cast("long")).as("sum_k"),
-          min("k").as("min_k"), max("k").as("max_k"))),
-
-    // semi-structured props via NATIVE JSON parsing (from_json with an
-    // explicit schema — codegen'd Jackson parse, no UDF), oracled against
-    // DuckDB's json_extract. The schema-on-read contract is what scales:
-    // a typed struct column downstream, never per-query regexes.
-    "ev_props_json" -> ((s, d) =>
-      Tables.events(s, d)
-        .select(col("event_type"),
-          from_json(col("props"),
-            org.apache.spark.sql.types.StructType.fromDDL("k INT"))
-            .getField("k").as("k"))
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("cnt"), sum(col("k").cast("long")).as("sum_k"),
-          countDistinct(col("k")).as("d_k"))),
-
-    // M13 vector form: ml.stat.ChiSquareTest over the CATEGORICAL one-hot
-    // features (chi2 is a contingency test — continuous scaled features
-    // explode its per-distinct-value cardinality). The STATISTICS are the
-    // textbook Pearson sum over the contingency table, so they oracle
-    // exactly (round-6, same as ml_chi2); p-values stay available via
-    // FeatureScoring.chi2 but are model-library-specific CDF evaluations,
-    // so the declared query emits the hash-comparable statistics.
-    "ml_chi2_vec" -> ((s, d) => {
-      val raw = graft.ml.Features.orderFeatureTable(s, d)
-        .filter(pmod(col("id"), lit(10L)) === 0L)
-      val asm = new org.apache.spark.ml.feature.VectorAssembler()
-        .setInputCols(Array("prio_1", "prio_2", "prio_3", "prio_4", "prio_5"))
-        .setOutputCol("features")
-      graft.ml.FeatureScoring.chi2(asm.transform(raw), "features", "label")
-        .select(col("feature_idx"), round(col("chi2_stat"), 6).as("chi2_stat"))
-    }),
-
-    // ---- multimodal plumbing --------------------------------------------
-    "mm_binary_meta" -> ((s, d) =>
-      t(s, d, "documents").select(
-        col("doc_id"),
-        octet_length(col("text").cast("binary")).as("n_bytes"),
-        length(col("text")).as("n_chars"))),
-
-    // frame-sampling manifest from metadata only (plan WHICH frames to
-    // decode before any decode touches bytes): every stride-th frame with
-    // a deterministic per-doc hash phase, capped per doc — pure integer
-    // arithmetic + explode, zero shuffles
-    "mm_frame_sample" -> ((s, d) =>
-      graft.multimodal.Multimodal.frameSampleManifest(
-        t(s, d, "documents").select(col("doc_id"),
-          octet_length(col("text").cast("binary")).as("n_bytes")),
-        "doc_id", "n_bytes")),
-
-    // custom DataSource V2 connector end-to-end: TableProvider →
-    // ScanBuilder with column pruning + id-range predicate pushdown
-    // (the pushed range SHRINKS the generated splits — strictly less
-    // source work, plan-asserted) → parallel splits, zero files. The
-    // generator is the portable md5 permille, so a CUSTOM SOURCE is
-    // exactly oracle-checkable from DuckDB's range() + md5()
-    "s17_synth_source" -> ((s, d) =>
-      s.read.format("graft.sources.SynthSource")
-        .option("rows", 100000).option("parts", 8)
-        .load()
-        .filter(col("id") >= 20000L && col("id") < 60000L)
-        .groupBy("bucket").agg(count(lit(1)).as("n"))),
-
-    // the same custom source consumed as a STREAM: offsets are id
-    // positions, the AvailableNow drain pulls the bounded range through
-    // the normal micro-batch machinery, and the drained aggregate must
-    // equal the batch generator's answer — custom streaming source,
-    // oracle-checked
-    "s19_synth_stream" -> ((s, d) => {
-      val stream = s.readStream.format("graft.sources.SynthSource")
-        .option("rows", 50000).option("parts", 8).load()
-      graft.streaming.StreamOps.runToCompletion(
-        stream.groupBy("bucket").agg(count(lit(1)).as("n")),
-        "graft_s19_synth_stream")
-    }),
-
-    // P9: schema-predicate projection (select_dtypes analog)
-    "p9_numeric_proj" -> ((s, d) =>
-      graft.ops.SchemaOps.selectNumeric(t(s, d, "customer"))),
-
-    // E2: per-column null counts in one aggregation pass
-    "e2_null_counts" -> ((s, d) => {
-      val firstShip = t(s, d, "lineitem")
-        .groupBy("l_orderkey").agg(min("l_shipdate").as("first_ship"))
-      val joined = t(s, d, "orders")
-        .join(firstShip, col("o_orderkey") === col("l_orderkey"), "left")
-        .select("o_orderkey", "first_ship")
-      graft.ops.SchemaOps.nullCounts(joined)
-    }),
-
-    // M10: stepwise PR curve points
-    "ml_pr_points" -> ((s, d) => {
-      val scored = t(s, d, "orders").select(
-        round(col("o_totalprice") / 100000.0, 0).as("score"),
-        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1.0).otherwise(0.0).as("y"))
-      graft.ml.Metrics.prPoints(scored, "score", "y")
-    }),
-
-    // M8: 5-fold CV grid over L1-LR regularization (rows-only; fold RNG)
-    "ml_cv_grid" -> ((s, d) => {
-      val sub = graft.ml.Features.assembled(s, d).filter(pmod(col("id"), lit(5L)) === 0L)
-      val (bestReg, bestAcc) = graft.ml.TrainHarness.gridSearchLr(
-        sub, "features", "label", regParams = Seq(0.1, 0.01), numFolds = 3)
-      import s.implicits._
-      Seq((bestReg, bestAcc)).toDF("best_reg_param", "best_cv_accuracy")
-    }),
-
-    // M14: top-n feature-selection sweep ranked by mutual information
-    // (rows-only: LR internals)
-    // M14, the SELECTION half (reference :645-658 ranks by
-    // mutual_info_classif and keeps the top-n): rank continuous features
-    // by plug-in MI over bucketized copies, emit for each sweep point n
-    // the chosen top-n column set with its rank and rounded score —
-    // fully deterministic (rank on ROUND-6 MI with a name tiebreak, so a
-    // sub-ulp cross-engine drift in the float sum cannot flip an order)
-    // and exactly DuckDB-oracled. The retrain half (top-n slice → L1 LR
-    // → AUC, MLlib RNG) is pinned in TrainHarnessSpec.
-    "ml_feature_select" -> ((s, d) => {
-      // rank continuous features by plug-in MI over bucketized copies
-      // (reference M14 ranks by mutual_info_classif then takes top-n)
-      val disc = graft.ml.Features.orderFeatureTable(s, d)
-        .filter(pmod(col("id"), lit(10L)) === 0L)
-        .select(
-          col("label"),
-          floor(col("o_totalprice") / 100000.0).as("o_totalprice"),
-          col("n_lines"),
-          floor(col("sum_qty") / 50.0).as("sum_qty"),
-          floor(col("avg_discount") * 20.0).as("avg_discount"),
-          floor(col("c_acctbal") / 2000.0).as("c_acctbal"))
-      val mi = graft.ml.FeatureScoring.mutualInfoAll(
-        disc, Seq("o_totalprice", "n_lines", "sum_qty", "avg_discount", "c_acctbal"), "label")
-        .select(col("feature"), round(col("mutual_info"), 6).as("mi"))
-      // 5-row frame: the rank window's single partition is bounded by
-      // the declared feature list, never data size
-      val ranked = mi.withColumn("rank",
-        row_number().over(Window.orderBy(col("mi").desc, col("feature").asc)))
-      val s2 = s; import s2.implicits._
-      Seq(2, 5).toDF("n_top")
-        .crossJoin(ranked)
-        .filter(col("rank") <= col("n_top"))
-        .select(col("n_top"), col("rank"), col("feature"), col("mi"))
-    }),
-
-    // M6: RF tree-count sweep (rows-only)
-    "ml_rf_sweep" -> ((s, d) => {
-      val sub = graft.ml.Features.assembled(s, d).filter(pmod(col("id"), lit(5L)) === 0L)
-      val (train, test) = graft.ml.Features.splitByHash(sub, "id")
-      graft.ml.TrainHarness.rfSweep(train, test, "features", "label", Seq(20, 50))
-    }),
-
-    // M8 at REFERENCE fidelity (rows-only): 4-value reg grid × 5 folds,
-    // UNsubsampled — 20 LR fits over the full feature table, the 1:1
-    // BENCH comparable for the reference's ~6-min GridSearchCV
-    // (Hap880_Final_Project.py:796-801; λ grid spans the C grid's range)
-    "ml_cv_grid_full" -> ((s, d) => {
-      val full = graft.ml.Features.assembled(s, d)
-      val (bestReg, bestAcc) = graft.ml.TrainHarness.gridSearchLr(
-        full, "features", "label", regParams = Seq(10.0, 1.0, 0.1, 0.01), numFolds = 5)
-      import s.implicits._
-      Seq((bestReg, bestAcc)).toDF("best_reg_param", "best_cv_accuracy")
-    }),
-
-    // M6 at reference tree counts (rows-only): the reference sweeps
-    // n_estimators ∈ 100..900 (py:600-618); {100, 300, 500, 900} covers
-    // both ends and the middle of its sweep curve unsubsampled for an
-    // apples-to-apples BENCH row
-    "ml_rf_sweep_full" -> ((s, d) => {
-      val (train, test) = graft.ml.Features.splitByHash(graft.ml.Features.assembled(s, d), "id")
-      graft.ml.TrainHarness.rfSweep(train, test, "features", "label", Seq(100, 300, 500, 900))
-    }),
-
-    // multimodal decode plumbing (deterministic stub decoder — see
-    // graft.multimodal.Multimodal): binary payload → feature vector;
-    // byte-chunk frame sampling
-    // Exploded to (doc_id, idx, cnt) rows: the stub's float features are
-    // byte-histogram ratios, so value*n_bytes rounds exactly back to the
-    // integer bucket count — oracle-hashable (an array<float> column is
-    // not) and DuckDB-expressible via the hex low-nibble of each byte.
-    "mm_decode_stub" -> ((s, d) => {
-      val bt = graft.multimodal.Multimodal.toBinaryTable(
-        t(s, d, "documents"), "doc_id", "text", "text/plain")
-      val feat = graft.multimodal.Multimodal.decodeFeatures(bt, "doc_id", dim = 16)
-      // ratio * n rounds back to the EXACT integer nibble count while the
-      // count fits a float's 24-bit mantissa (< ~8.4M bytes per nibble
-      // bucket ≈ a 134 MB single document) — payloads here are KBs; a
-      // real decoder for larger media would emit counts, not ratios
-      feat
-        .join(bt.select(col("doc_id"), col("meta.n_bytes").as("_n")), Seq("doc_id"))
-        .select(col("doc_id"), col("_n"), posexplode(col("features")).as(Seq("idx", "value")))
-        .select(
-          col("doc_id"),
-          col("idx").cast("int").as("idx"),
-          round(col("value").cast("double") * col("_n")).cast("long").as("cnt"))
-    }),
-
-    // real multimodal ingestion surface: per-row payload FILES staged
-    // executor-side, read back through Spark's binaryFile source, hashed
-    // against the DuckDB view of the source text — the directory-of-media
-    // → binary-column path, closed-loop
-    "mm_binary_source" -> ((s, d) => {
-      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_mm_files_${new java.io.File(d).getName}"
-      // deterministic content per sf dir → staging is skippable on re-runs
-      // (bench reps measure the binaryFile READ, not tmp-file rewrites)
-      graft.multimodal.Multimodal.stageAsFiles(t(s, d, "documents"), "doc_id", "text", dir,
-        skipIfStaged = true)
-      graft.multimodal.Multimodal.readBinaryFiles(s, dir)
-        .select(col("doc_id"), col("n_bytes"))
-    }),
-
-    "mm_chunks" -> ((s, d) => {
-      val bt = graft.multimodal.Multimodal.toBinaryTable(
-        t(s, d, "documents"), "doc_id", "text", "text/plain")
-      graft.multimodal.Multimodal.sampleChunks(bt, "doc_id")
-        .groupBy("doc_id").agg(count(lit(1)).as("n_sampled"), sum("chunk_bytes").as("sum_bytes"))
-    }),
-
-    // perceptual-hash near-dup over the binary payloads: 60-bit
-    // positional-energy signature (aHash with luma stubbed to byte value —
-    // a real image decoder drops in without touching blocking or join),
-    // 4×15-bit pigeonhole chunk blocking, hamming ≤ 3 — hash-checked
-    // against DuckDB rebuilding the same sigs from the hex dump
-    // the signature table itself, hash-checked bit-for-bit — this is what
-    // makes the pairs query's (possibly empty) answer non-vacuous
-    "mm_phash_sigs" -> ((s, d) => {
-      val bt = graft.multimodal.Multimodal.toBinaryTable(
-        t(s, d, "documents"), "doc_id", "text", "text/plain")
-      graft.multimodal.Multimodal.phashSignatures(
-        bt.filter(octet_length(col("payload")) > 0), "doc_id")
-    }),
-
-    "mm_phash_pairs" -> ((s, d) => {
-      val bt = graft.multimodal.Multimodal.toBinaryTable(
-        t(s, d, "documents"), "doc_id", "text", "text/plain")
-      graft.multimodal.Multimodal.phashPairs(bt, "doc_id")
-    }),
-
-    // ---- ML layer (SURVEY §2.8) -----------------------------------------
-    // M3 one-hot: engine-comparable dummy columns
-    "m3_onehot" -> ((s, d) => {
-      val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
-      t(s, d, "customer").select(
-        col("c_custkey") +:
-          segs.map(g => when(col("c_mktsegment") === g, 1).otherwise(0)
-            .as("seg_" + g.toLowerCase.take(4))): _*)
-    }),
-
-    // M11/M12: confusion matrix + threshold metrics for a deterministic
-    // rule-based score (score = totalprice/500k, label = urgent|high)
-    "m11_confusion" -> ((s, d) => {
-      val scored = t(s, d, "orders").select(
-        (col("o_totalprice") / 500000.0).as("score"),
-        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1.0).otherwise(0.0).as("y"))
-      graft.ml.Metrics.confusionMatrix(scored, "score", "y", 0.5)
-    }),
-
-    // M9: exact Mann-Whitney AUC, distributed, engine-comparable
-    "ml_auc_rank" -> ((s, d) => {
-      val scored = t(s, d, "orders").select(
-        col("o_totalprice").as("score"),
-        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1.0).otherwise(0.0).as("y"))
-      graft.ml.Metrics.aucRocDf(scored, "score", "y")
-    }),
-
-    // M9: stepwise ROC curve points over distinct thresholds
-    "ml_roc_points" -> ((s, d) => {
-      val scored = t(s, d, "orders").select(
-        round(col("o_totalprice") / 100000.0, 0).as("score"),
-        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1.0).otherwise(0.0).as("y"))
-      graft.ml.Metrics.rocPoints(scored, "score", "y")
-    }),
-
-    // M9 companion: reliability-diagram calibration bins for the
-    // deterministic rule score (totalprice/600k clamped into [0,1]) —
-    // one hash aggregation, exact decimal mean per bucket
-    "ml_calibration" -> ((s, d) => {
-      val scored = t(s, d, "orders").select(
-        (col("o_totalprice") / 600000.0).as("score"),
-        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0).as("y"))
-      graft.ml.Metrics.calibrationBins(scored, "score", "y", 10)
-    }),
-
-    // split-conformal prediction interval at α = 0.1: exact-decimal mean
-    // predictor, nonconformity |y−μ|, half-width = the ⌈0.9(n+1)⌉-th
-    // smallest calibration score as an EXACT order statistic riding
-    // GlobalRowNumber (no single-task sort, no data-sized driver pull);
-    // readout = finite-sample-guaranteed coverage on the test split
-    "ml_conformal" -> ((s, d) =>
-      graft.ml.Metrics.conformalSplit(
-        t(s, d, "orders"), "o_totalprice",
-        permilleHash(col("o_orderkey").cast("string"), ":conf") < 100,
-        alpha = 0.1)),
-
-    // EXACT isotonic calibration via the minimax identity (fitted_i =
-    // max_{j<=i} min_{k>=i} range-avg): PAVA's merge loop closed-form
-    // over the bounded bin table — one corpus hash-agg, the fit on the
-    // B-row readout; every range average is one correctly-rounded divide
-    "ml_isotonic_bins" -> ((s, d) => {
-      val scored = t(s, d, "orders").select(
-        (col("o_totalprice") / 600000.0).as("score"),
-        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0).as("y"))
-      graft.ml.Metrics.isotonicBins(scored, "score", "y", 10)
-    }),
-
-    // ranking-eval pack: NDCG@10 per segment — only the top-10 rows per
-    // group are ever ranked (TopKPerKey bounded heaps, one exchange);
-    // micro-scaled integer DCG weights keep both engines bit-identical.
-    // Ideal DCG normalizes over the retrieved top-k pool (pool-NDCG)
-    "ml_ndcg" -> ((s, d) =>
-      graft.ml.RankingMetrics.ndcgAtK(
-        t(s, d, "orders"), "o_orderstatus", "o_totalprice", "o_orderkey",
-        col("o_orderpriority").isin("1-URGENT", "2-HIGH"), k = 10)),
-
-    // average precision at 10 per segment (the MAP readout): only the
-    // top-10 rows per group are ranked (TopKPerKey bounded heaps); the
-    // total-relevant denominator is one hash aggregation
-    "ml_map" -> ((s, d) =>
-      graft.ml.RankingMetrics.mapAtK(
-        t(s, d, "orders"), "o_orderstatus", "o_totalprice", "o_orderkey",
-        col("o_orderpriority").isin("1-URGENT", "2-HIGH"), k = 10)),
-
-    // first-relevant-rank / reciprocal rank per segment (the MRR readout)
-    "ml_mrr" -> ((s, d) =>
-      graft.ml.RankingMetrics.mrr(
-        t(s, d, "orders"), "o_orderstatus", "o_totalprice", "o_orderkey",
-        col("o_orderpriority").isin("1-URGENT", "2-HIGH"))),
-
-    // binary log-loss over a deterministic probability column (clamped),
-    // micro-int terms — the proper-scoring-rule companion to calibration
-    "ml_logloss" -> ((s, d) =>
-      graft.ml.RankingMetrics.logLoss(
-        t(s, d, "orders"), "o_orderstatus",
-        col("o_totalprice") / 600000.0,
-        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0))),
-
-    // M12 companion: decile lift/gain table — GLOBAL ranking without the
-    // single-task ROW_NUMBER window (GlobalRowNumber under the hood), then
-    // integer-arithmetic bucket splits any engine reproduces exactly
-    "ml_lift" -> ((s, d) => {
-      val scored = t(s, d, "orders").select(
-        col("o_totalprice").as("score"), col("o_orderkey"),
-        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0).as("y"))
-      graft.ml.Metrics.liftTable(scored, "score", "o_orderkey", "y", 10)
-    }),
-
-    // Kaplan–Meier time-to-event risk table: duration = order→ship days,
-    // event = returned line ('R'), others censored at their duration.
-    // One hash-agg keyed on duration; the n_risk window runs over
-    // per-timepoint rows (bounded by the time domain, not subject count)
-    "ml_survival_km" -> ((s, d) => {
-      val subjects = t(s, d, "lineitem")
-        .join(t(s, d, "orders").select("o_orderkey", "o_orderdate"),
-          col("l_orderkey") === col("o_orderkey"))
-        .select(datediff(col("l_shipdate"), col("o_orderdate")).as("dur"),
-          (col("l_returnflag") === "R").as("ev"))
-        .filter(col("dur") >= 0) // synthetic data has ship-before-order noise
-      graft.ops.Survival.kmTable(subjects, col("dur").cast("bigint"), col("ev"))
-    }),
-
-    // M9 per-segment: one exact Mann-Whitney AUC per order status — the
-    // cohort-drill/fairness view; the rank window is PARTITIONED by
-    // segment (no global distinct-score ordering through one task)
-    "ml_auc_by_segment" -> ((s, d) => {
-      val scored = t(s, d, "orders").select(
-        col("o_orderstatus").as("segment"),
-        col("o_totalprice").as("score"),
-        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1.0).otherwise(0.0).as("y"))
-      graft.ml.Metrics.aucRocBy(scored, "score", "y", "segment")
-    }),
-
-    // M13: chi-squared over the (priority × big-order) contingency table
-    "ml_chi2" -> ((s, d) => {
-      val xy = t(s, d, "orders").select(
-        col("o_orderpriority").as("prio"),
-        when(col("o_totalprice") > 300000, 1).otherwise(0).as("y"))
-      graft.ml.FeatureScoring.chi2Contingency(xy, "prio", "y")
-    }),
-
-    // M13: plug-in mutual information for two discrete features at once
-    "ml_mutual_info" -> ((s, d) => {
-      val xy = t(s, d, "orders").select(
-        col("o_orderpriority"), col("o_orderstatus"),
-        when(col("o_totalprice") > 300000, 1).otherwise(0).as("y"))
-      graft.ml.FeatureScoring.mutualInfoAll(xy, Seq("o_orderpriority", "o_orderstatus"), "y")
-        .select(col("feature"), round(col("mutual_info"), 6).as("mi"))
-    }),
-
-    // M1 extension: TF-IDF weights computed relationally (sklearn
-    // smooth-idf formula: ln((N+1)/(df+1)) + 1) — one tf aggregation, one
-    // df aggregation, a broadcast-size join on term. Exactly oracle-able
-    // (integer counts; one ln per term, round-6). Restricted to a bounded
-    // doc set for the gate; the plan is corpus-size-linear.
-    "t_tfidf" -> ((s, d) => {
-      val docs = t(s, d, "documents")
-      val nDocs = docs.count()
-      val tf = docs
-        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      tf.join(dfreq, "term")
-        .filter(col("doc_id") < 25)
-        .select(
-          col("doc_id"), col("term"), col("tf"), col("df"),
-          round(col("tf") *
-            (log(lit((nDocs + 1L).toDouble) / (col("df") + lit(1L)).cast("double")) + lit(1.0)),
-            6).as("tfidf"))
-    }),
-
-    // word-association mining: PMI over adjacent-token bigrams (count ≥ 5)
-    // — two hash aggregations (unigrams, bigrams) + two small joins; the
-    // corpus totals ride a broadcast scalar, and the log-ratio is a single
-    // identical op chain on both engines
-    "t_pmi_bigrams" -> ((s, d) => {
-      val toks = t(s, d, "documents").select(TextOps.tokens(col("text")).as("t"))
-      val uni = toks.select(explode(col("t")).as("w"))
-        .groupBy("w").agg(count(lit(1)).as("c"))
-      val bg = toks.filter(size(col("t")) >= 2)
-        .select(explode(transform(sequence(lit(1), size(col("t")) - 1),
-          i => concat_ws(" ", element_at(col("t"), i), element_at(col("t"), i + 1)))).as("bigram"))
-        .groupBy("bigram").agg(count(lit(1)).as("c_xy"))
-        .filter(col("c_xy") >= 5)
-      val totals = toks.agg(
-        sum(size(col("t")).cast("long")).as("n_uni"),
-        sum(greatest(size(col("t")) - 1, lit(0)).cast("long")).as("n_bi"))
-      bg
-        .join(uni.select(col("w").as("_w1"), col("c").as("c_x")),
-          element_at(split(col("bigram"), " "), 1) === col("_w1"))
-        .join(uni.select(col("w").as("_w2"), col("c").as("c_y")),
-          element_at(split(col("bigram"), " "), 2) === col("_w2"))
-        .crossJoin(broadcast(totals))
-        .select(col("bigram"), col("c_xy"),
-          round(log((col("c_xy").cast("double") * col("n_uni") * col("n_uni")) /
-            (col("n_bi").cast("double") * col("c_x") * col("c_y"))), 6).as("pmi"))
-    }),
-
-    // training-shard manifest: pack binary payload sizes onto a global
-    // byte axis (SequencePacking's two-pass distributed cumsum — no
-    // single-task window) and assign each doc its shard + in-shard offset
-    "mm_shard_manifest" -> ((s, d) => {
-      val sizes = t(s, d, "documents").select(
-        col("doc_id"),
-        octet_length(col("text").cast("binary")).cast("long").as("n_bytes"))
-      graft.ops.SequencePacking.packWindows(
-        sizes, col("n_bytes"), budget = 4096L, col("doc_id"))
-        .df.select(col("doc_id"), col("n_bytes"), col("start_off"),
-          col("first_win").as("shard_id"),
-          (col("start_off") - col("first_win") * 4096L).as("shard_off"))
-    }),
-
-    // Zipf-law fit over the corpus's top-200 terms: OLS slope of
-    // ln(freq) ~ ln(rank) — natural language reads ≈ −1, template/spam
-    // corpora bend it; one term-frequency hash-agg + TakeOrdered(200)
-    // overlapping token-window chunking (context-window prep with stride
-    // overlap): tokenize → sequence over starts → explode → slice, all
-    // executor-side, zero shuffles — output ≈ win/stride × input tokens
-    "t_chunk_windows" -> ((s, d) =>
-      graft.text.Chunking.chunkOverlap(
-        t(s, d, "documents"), "doc_id", "text", win = 64, stride = 32)),
-
-    // Gopher/C4-style quality cascade with first-failure drop accounting:
-    // token-count bounds → mean-token-length bounds → type/token-ratio
-    // repetition floor; ONE scan + a ≤4-row hash-agg
-    "t_quality_cascade" -> ((s, d) =>
-      graft.text.QualityCascade.cascade(
-        t(s, d, "documents"), "text",
-        minTokens = 50, maxTokens = 100000,
-        minMeanLen = 3.0, maxMeanLen = 4.8, minTtr = 0.35)),
-
-    // BPE merge training (5 rounds), exactly oracled: corpus read ONCE
-    // for word counts; each round counts adjacent symbol pairs on the
-    // |distinct words| frame, picks the argmax (lexicographic tiebreak),
-    // and applies the merge via a delimiter-bounded literal replace —
-    // the tokenizer-training step as deterministic unrolled rounds
-    "t_bpe_merges" -> ((s, d) =>
-      graft.text.BpeTrain.learnMerges(t(s, d, "documents"), "text", rounds = 5)),
-
-    // train→ENCODE round trip: per-doc BPE token counts under the learned
-    // merges next to raw char counts (the chars/token compression
-    // readout); the encode is a vocab join — each distinct word's final
-    // symbolization IS its encoding
-    "t_bpe_encode" -> ((s, d) =>
-      graft.text.BpeTrain.encodedTokenCounts(
-        t(s, d, "documents"), "doc_id", "text", rounds = 5)),
-
-    // unigram-LM tokenizer (SentencePiece's second algorithm) — the
-    // top-down counterpart of BPE: substring vocab with fixed-point
-    // micro-nat log-probs (integer argmax = engine-exact)
-    "t_unigram_vocab" -> ((s, d) =>
-      graft.text.UnigramLm.vocab(t(s, d, "documents"), "text",
-        maxPieceLen = 4, minFreq = 3)),
-
-    // max-likelihood Viterbi segmentation of every distinct corpus word
-    // under the unigram model: broadcast vocab + one shuffle-free typed
-    // pass; the oracle replays the SAME DP as unrolled MATERIALIZED CTEs
-    "t_unigram_segment" -> ((s, d) =>
-      graft.text.UnigramLm.segment(t(s, d, "documents"), "text",
-        maxPieceLen = 4, minFreq = 3, maxWordLen = 12)),
-
-    // ONE hard-EM (Viterbi-EM) round — SentencePiece's actual training
-    // step: segment under the count model, re-estimate piece scores from
-    // the segmentations (unused pieces fall out = EM vocabulary pruning),
-    // re-segment. Two broadcast-model typed passes; BOTH DPs and the
-    // re-scored model are cross-engine-checked
-    "t_unigram_em" -> ((s, d) =>
-      graft.text.UnigramLm.emSegment(t(s, d, "documents"), "text",
-        maxPieceLen = 4, minFreq = 3, maxWordLen = 12)),
-
-    // deploy-time unigram encode: model trained on `documents`, applied
-    // to the UNSEEN part-name corpus; words with characters the training
-    // corpus never produced drop out (no DP path) on both engines
-    "t_unigram_apply" -> ((s, d) =>
-      graft.text.UnigramLm.segmentApply(
-        t(s, d, "documents"), "text", t(s, d, "part"), "p_name",
-        maxPieceLen = 4, minFreq = 3, maxWordLen = 12)),
-
-    // WordPiece (BERT) tokenizer — the GREEDY longest-match counterpart
-    // of the unigram Viterbi: positional vocab (bare initial pieces,
-    // '##'-prefixed continuations), single-char cores always survive
-    "t_wordpiece_vocab" -> ((s, d) =>
-      graft.text.WordPiece.vocab(t(s, d, "documents"), "text",
-        maxPieceLen = 4, minFreq = 3)),
-
-    // greedy longest-match-first encode of every distinct corpus word:
-    // broadcast vocab + one shuffle-free typed pass; dead/over-long
-    // words map to the single [UNK] token (BERT max_input_chars rule);
-    // the oracle replays the SAME walk as unrolled MATERIALIZED CTEs
-    "t_wordpiece_encode" -> ((s, d) =>
-      graft.text.WordPiece.encode(t(s, d, "documents"), "text",
-        maxPieceLen = 4, minFreq = 3, maxWordLen = 12)),
-
-    // deploy-time WordPiece: vocab trained on `documents`, walked over
-    // the UNSEEN part-name corpus — unseen-char and over-long words
-    // surface as [UNK] on both engines
-    "t_wordpiece_apply" -> ((s, d) =>
-      graft.text.WordPiece.encodeApply(
-        t(s, d, "documents"), "text", t(s, d, "part"), "p_name",
-        maxPieceLen = 4, minFreq = 3, maxWordLen = 12)),
-
-    // tokenizer BAKE-OFF: coverage + occurrence-weighted fertility for
-    // the three trained families (BPE / unigram / WordPiece) on the same
-    // corpus — three |distinct words|-sized tables, three 1-row aggs,
-    // fixed-point micro ratio (exact longs, one correctly-rounded divide)
-    "t_tok_fertility" -> ((s, d) =>
-      graft.text.TokenizerEval.fertility(t(s, d, "documents"), "text",
-        bpeRounds = 5, maxPieceLen = 4, minFreq = 3, maxWordLen = 12)),
-
-    // deploy-time tokenizer: merges trained on `documents` applied to an
-    // UNSEEN corpus (part names) — the real encode path, not the vocab
-    // join (which only covers training words). The merge list is a
-    // bounded driver readout (|rounds| rows) compiled into ONE
-    // chained-replace codegen projection over the distinct-word frame
-    "t_bpe_apply" -> ((s, d) => {
-      val merges = graft.text.BpeTrain
-        .learnMerges(t(s, d, "documents"), "text", rounds = 5)
-        .collect().sortBy(_.getInt(0))
-        .map(r => (r.getString(1), r.getString(2))).toSeq
-      graft.text.BpeTrain.applyMerges(t(s, d, "part"), "p_partkey", "p_name", merges)
-    }),
-
-    "t_zipf" -> ((s, d) =>
-      graft.text.CorpusStats.zipfSlope(t(s, d, "documents"), col("text"), topN = 200)),
-
-    // keyword extraction: top-3 terms per document by smooth-idf TF-IDF
-    // with a deterministic (score desc, term asc) tiebreak — the per-doc
-    // top-k window rides the RowNumberTopKRule → TopKPerKey rewrite in
-    // Verify/Bench sessions (bounded heap, no full per-partition sort)
-    "t_keywords" -> ((s, d) => {
-      val docs = t(s, d, "documents")
-      val nDocs = docs.count()
-      val tf = docs
-        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      val scored = tf.join(dfreq, "term")
-        .select(
-          col("doc_id"), col("term"),
-          round(col("tf") *
-            (log(lit((nDocs + 1L).toDouble) / (col("df") + lit(1L)).cast("double")) + lit(1.0)),
-            6).as("tfidf"))
-      val w = Window.partitionBy("doc_id").orderBy(desc("tfidf"), asc("term"))
-      scored.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 3)
-        .select(col("doc_id"), col("term"), col("tfidf"), col("rank"))
-    }),
-
-    // M1-adjacent: corpus vocabulary by document frequency (top-50,
-    // deterministic tiebreak) — the relational core of CountVectorizer
-    "vocab_topdf" -> ((s, d) =>
-      t(s, d, "documents")
-        .select(explode(array_distinct(TextOps.tokens(col("text")))).as("term"))
-        .groupBy("term").agg(count(lit(1)).as("df"))
-        .orderBy(desc("df"), asc("term"))
-        .limit(50)),
-
-    // M1/M2 note: the capped-vocab (term, index) demo row
-    // (`ml_text_vocab`, rows-only — tie order is model-internal) was
-    // retired in r11: the green row below runs the IDENTICAL fit path,
-    // and the capped form's exact 3,000-word vocabulary is green at
-    // MIMIC scale (`mimic_notes_vocab`, deterministic-tiebreak contract).
-
-    // M1/M2 HASH-CHECKED: the same fit with the vocab cap lifted — the
-    // vocabulary SET is then order-free ("distinct lemmas of kept
-    // tokens"), so the full clean→tokenize→stopword→lemmatize→
-    // CountVectorizer pipeline verifies against generated DuckDB SQL
-    // (same stopword constant, same lemma rules)
-    "ml_text_vocab_full" -> ((s, d) => {
-      val (_, model) = graft.text.TextFeaturizer.fit(
-        t(s, d, "documents"), "text", vocabSize = 1 << 20)
-      import s.implicits._
-      model.vocabulary.toSeq.toDF("term")
-    }),
-
-    // M5+M9: RF scores → AUC (rows-only: tree RNG is engine-specific)
-    "ml_rf_auc" -> ((s, d) => {
-      val (train, test) = graft.ml.Features.splitByHash(graft.ml.Features.assembled(s, d), "id")
-      val scored = graft.ml.TrainHarness.randomForestScores(
-        train, test, "features", "label", numTrees = 50)
-      graft.ml.Metrics.aucRocDf(scored, "score", "label")
-    }),
-
-    // M16: resampler benchmark table over L1 LR (rows-only)
-    "ml_train_bench" -> ((s, d) => {
-      val (train, test) = graft.ml.Features.splitByHash(graft.ml.Features.assembled(s, d), "id")
-      val strategies = Seq(
-        "base" -> train,
-        "undersample" -> graft.ml.Resamplers.randomUndersample(train, "label"),
-        "oversample" -> graft.ml.Resamplers.randomOversample(train, "label"))
-      import s.implicits._
-      strategies.map { case (name, resampled) =>
-        // cache: AUC + threshold metrics are two actions on this frame
-        val scored = graft.ml.TrainHarness.logisticL1Scores(resampled, test, "features", "label").cache()
-        val auc = graft.ml.Metrics.aucRoc(scored, "score", "label")
-        val m = graft.ml.Metrics.thresholdMetrics(scored, "score", "label", 0.5).collect()(0)
-        scored.unpersist()
-        (name, auc, m.getAs[Double]("accuracy"), m.getAs[Double]("recall"))
-      }.toDF("strategy", "auc_roc", "accuracy", "recall")
-    }),
-
-    // M15: decision-function margin scores (rows-only: LR fit internals).
-    // Emits the margin/probability consistency counters — n_inconsistent
-    // must be 0 ((margin>0) ⇔ (prob>0.5)); the spec pins the same invariant.
-    "ml_lr_margin" -> ((s, d) => {
-      val sub = graft.ml.Features.assembled(s, d).filter(pmod(col("id"), lit(10L)) === 0L)
-      val (train, test) = graft.ml.Features.splitByHash(sub, "id")
-      val scored = graft.ml.TrainHarness.logisticL1Margins(train, test, "features", "label")
-      scored.agg(
-        count(lit(1)).as("n_test"),
-        sum(when(col("margin") > 0, 1L).otherwise(0L)).as("n_margin_pos"),
-        sum(when((col("margin") > 0) =!= (col("score") > 0.5), 1L).otherwise(0L))
-          .as("n_inconsistent"))
-    }),
-
-    // O9/O10: SMOTE + NearMiss class balance on a deterministic subsample
-    "ml_smote_counts" -> ((s, d) => {
-      // the resamplers re-evaluate `sub` several times (class counts, LSH
-      // sides) — but Features.assembled is already Spark-cached, so the
-      // re-evaluations are in-memory filters. A per-call .cache() here
-      // would leak one pinned copy per invocation (bench runs each query
-      // 3×) and make timings depend on which pass materialized it.
-      val sub = graft.ml.Features.assembled(s, d)
-        .filter(pmod(col("id"), lit(5L)) === 0L)
-      val sm = graft.ml.Resamplers.smote(sub, "id", "label", "features")
-        .groupBy("label").agg(count(lit(1)).as("cnt"))
-        .withColumn("strategy", lit("smote"))
-      val nm = graft.ml.Resamplers.nearMiss(sub, "id", "label", "features")
-        .groupBy("label").agg(count(lit(1)).as("cnt"))
-        .withColumn("strategy", lit("nearmiss"))
-      sm.unionByName(nm)
-    }),
-
-    // ---- drift monitoring: is the current slice distributed like the
-    // reference slice? The per-refresh gate of a production pipeline ----
-    "drift_psi" -> ((s, d) =>
-      graft.ops.DriftOps.psiBins(
-        t(s, d, "orders"),
-        isRef = permilleHash(col("o_orderkey"), ":dr42") < 500,
-        bin = least(floor(col("o_totalprice") / 60000), lit(9L)))),
-
-    "drift_ks" -> ((s, d) =>
-      graft.ops.DriftOps.ks(
-        t(s, d, "orders"),
-        value = col("o_totalprice"),
-        isRef = permilleHash(col("o_orderkey"), ":dr42") < 500)),
-
-    // model-monitoring compositions of the same machinery --------------
-    // KS separation between the score distributions of the two CLASSES —
-    // the credit-scoring "KS statistic" readout (max CDF gap); the
-    // distributed-CDF shape of drift_ks applied to (score | y)
-    "ml_score_ks" -> ((s, d) =>
-      graft.ops.DriftOps.ks(
-        t(s, d, "orders"),
-        value = col("o_totalprice"),
-        isRef = col("o_orderpriority").isin("1-URGENT", "2-HIGH"))),
-
-    // score PSI across TIME (deploy-gate form: has the scored population
-    // shifted since the reference window?) — reference slice = orders
-    // before the corpus midpoint date, same fixed bins as drift_psi
-    "ml_score_psi" -> ((s, d) =>
-      graft.ops.DriftOps.psiBins(
-        t(s, d, "orders"),
-        isRef = col("o_orderdate") < lit("1995-06-17").cast("date"),
-        bin = least(floor(col("o_totalprice") / 60000), lit(9L)))),
-
-    // symmetric bounded drift over a CATEGORICAL axis (event types): the
-    // JSD companion to PSI — saturates instead of exploding when a bin
-    // empties on one side; same one-hash-agg scale shape
-    "drift_jsd" -> ((s, d) =>
-      graft.ops.DriftOps.jsdBins(
-        Tables.events(s, d),
-        isRef = permilleHash(col("event_id"), ":dj42") < 500,
-        bin = col("event_type"))),
-
-    // Spearman rank correlation with tie-averaged ranks — the monotone-
-    // association readout Pearson misses; ranks ride a distributed CDF
-    // (range-partitioned counts + broadcast offsets), moments in
-    // decimal(38,0), one double formula at the end
-    "a_spearman" -> ((s, d) =>
-      graft.ops.StatsOps.spearman(
-        t(s, d, "lineitem"), "l_quantity", "l_extendedprice")),
-
-    // ---- feature engineering beyond one-hot: the transforms that keep
-    // working when the category set is unbounded ----
-    "fe_target_encode" -> ((s, d) =>
-      graft.ml.TargetEncoding.encode(
-        t(s, d, "orders"), "o_orderpriority",
-        label = col("o_orderstatus") === "F", alpha = 20.0)),
-
-    // k-fold cross-fitted target encoding: each (category, fold) cell is
-    // encoded from the OTHER folds' statistics (portable-md5 fold
-    // assignment) — the leakage guard for cross-validated training; all
-    // complements come from windows over the cell table, never the data
-    "fe_crossfit_encode" -> ((s, d) =>
-      graft.ml.TargetEncoding.crossfitEncode(
-        t(s, d, "orders"), "o_orderkey", "o_orderpriority",
-        label = col("o_orderstatus") === "F", alpha = 20.0, folds = 5)),
-
-    "fe_target_loo" -> ((s, d) =>
-      graft.ml.TargetEncoding.looEncode(
-          t(s, d, "orders").select("o_orderkey", "o_orderpriority", "o_orderstatus"),
-          "o_orderpriority",
-          label = col("o_orderstatus") === "F", alpha = 20.0)
-        .select("o_orderkey", "o_orderpriority", "cnt", "pos", "loo_encoding")),
-
-    "fe_feature_hash" -> ((s, d) =>
-      graft.ml.FeatureHashing.hashedFeatures(
-        t(s, d, "customer"), "c_custkey",
-        cats = Seq("c_mktsegment", "c_nationkey"), buckets = 32)),
-
-    // leakage-safe grouped split: the ENTITY (customer ≙ patient) is
-    // assigned to a split, so no entity's rows straddle train/test —
-    // the readmission-modeling must-have the reference's random
-    // train_test_split silently violates
-    "fe_group_split" -> ((s, d) => {
-      val cust = t(s, d, "customer").select(
-        col("c_custkey"),
-        when(permilleHash(col("c_custkey"), ":gs42") < 800, "train")
-          .otherwise("test").as("part"))
-      t(s, d, "orders")
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-        .groupBy("part")
-        .agg(
-          countDistinct(col("o_custkey")).as("n_customers"),
-          count(lit(1)).as("n_orders"),
-          sum(when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)).as("n_urgent"))
-    }),
-
-    // percentile winsorization: p01/p99 cutpoints per group (exact
-    // percentile, one pass over dim-sized groups), broadcast back, clamp
-    // + exact decimal sums — the outlier-robust scaling step
-    "fe_winsorize" -> ((s, d) => {
-      val li = t(s, d, "lineitem").select(col("l_returnflag"), col("l_extendedprice"))
-      val cut = li.groupBy("l_returnflag").agg(
-        round(expr("percentile(l_extendedprice, 0.01D)"), 6).as("p01"),
-        round(expr("percentile(l_extendedprice, 0.99D)"), 6).as("p99"))
-      li.join(broadcast(cut), "l_returnflag")
-        .select(col("l_returnflag"), col("l_extendedprice"), col("p01"), col("p99"),
-          least(greatest(col("l_extendedprice"), col("p01")), col("p99")).as("_w"))
-        .groupBy("l_returnflag")
-        .agg(
-          count(lit(1)).as("n"),
-          sum(when(col("l_extendedprice") < col("p01"), 1L).otherwise(0L)).as("n_low"),
-          sum(when(col("l_extendedprice") > col("p99"), 1L).otherwise(0L)).as("n_high"),
-          sum(col("l_extendedprice").cast("decimal(18,6)")).cast("double").as("sum_raw"),
-          sum(col("_w").cast("decimal(18,6)")).cast("double").as("sum_winsor"))
-    }),
-
-    // systematic sampling: every 7th row under a total order — the
-    // eval-set draw that is replayable and evenly spread by construction;
-    // global numbering via GlobalRowNumber (no single-task window)
-    "o12_systematic_sample" -> ((s, d) =>
-      graft.ops.GlobalRowNumber.withRowNumber(
-        t(s, d, "orders").select("o_orderkey", "o_orderdate"),
-        "rn", col("o_orderdate"), col("o_orderkey"))
-        .filter(pmod(col("rn"), lit(7L)) === 1L)
-        .select(col("o_orderkey"), col("rn"))),
-
-    // deterministic k-per-stratum uniform draw: order each stratum by the
-    // portable md5-permille of the key and keep the first k — a replayable
-    // "100 examples per class" eval sample. Rides the TopKPerKey physical
-    // operator (bounded per-group heaps, map-side partial, ONE exchange) —
-    // no full per-stratum sort, no window over the whole table
-    "o14_group_sample_k" -> ((s, d) =>
-      graft.plans.TopKPerKey(
-        t(s, d, "orders")
-          .withColumn("_h", permilleHash1M(col("o_orderkey"), ":gs4")),
-        Seq("o_orderpriority"),
-        Seq(col("_h").asc, col("o_orderkey").asc), 100)
-        .select("o_orderpriority", "o_orderkey", "o_totalprice")),
-
-    // deterministic hash-bucket negative sampling: k different-label
-    // negatives per anchor with no RNG state — candidates shuffle once
-    // into buckets, each probe scans one bucket, the per-(anchor,draw)
-    // argmin is a partial-aggregable min(struct), and the whole draw is
-    // replayable bit-for-bit on any engine (portable md5 salts)
-    "fe_neg_pairs" -> ((s, d) => {
-      val emb = t(s, d, "embeddings")
-      graft.ml.NegativeSampling.negativePairs(
-        emb, emb, "vec_id", "label", k = 3, buckets = 16)
-    }),
-
-    // ---- incremental-table maintenance: SCD2 history + CDC upsert ----
-    "scd2_merge" -> ((s, d) => {
-      graft.ops.MergeOps.scd2(
-          scd2Snapshots(s, d), "o_orderkey", "ts", tracked = Seq("o_orderstatus"))
-        .select("o_orderkey", "o_orderstatus", "valid_from", "valid_to", "is_current")
-    }),
-
-    "merge_upsert" -> ((s, d) => {
-      val base = t(s, d, "orders")
-        .select(col("o_orderkey"), col("o_orderdate").as("ts"), col("o_orderstatus"))
-      val upd = t(s, d, "orders")
-        .filter(permilleHash(col("o_orderkey"), ":up42") < 100)
-        .select(col("o_orderkey"),
-          (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("ts"),
-          lit("X").as("o_orderstatus"))
-      graft.ops.MergeOps.upsertLatest(
-          base.unionByName(upd), "o_orderkey", "ts", tie = "o_orderstatus")
-        .groupBy("o_orderstatus").agg(count(lit(1)).as("cnt"))
-    }),
-
-    // compaction roundtrip: many-small-files slice → Sinks.compact →
-    // read-back must aggregate identically to the source (and the file
-    // count drops to the target — asserted in SinksSpec)
-    "s13_compact_roundtrip" -> ((s, d) => {
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_s13_${new java.io.File(d).getName}"
-      t(s, d, "orders")
-        .filter(permilleHash(col("o_orderkey"), ":cp42") < 200)
-        .repartition(16) // simulate incremental small-file buildup
-        .write.mode("overwrite").parquet(s"$base/small")
-      graft.core.Sinks.compact(s, s"$base/small", 2, s"$base/compacted")
-      s.read.parquet(s"$base/compacted")
-        .groupBy("o_orderstatus")
-        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sum_price"))
-    }),
-
-    // schema evolution: two parquet generations (the later one adds a
-    // column) read back through ONE mergeSchema scan — old-generation rows
-    // surface the new column as null, exactly like a production landing
-    // zone mid-migration. The aggregate pins both the row routing and the
-    // null semantics of the evolved column
-    "s15_schema_evolution" -> ((s, d) => {
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_s15_${new java.io.File(d).getName}"
-      val orders = t(s, d, "orders")
-      orders.filter(permilleHash(col("o_orderkey"), ":se42") < 500)
-        .select("o_orderkey", "o_orderstatus")
-        .write.mode("overwrite").parquet(s"$base/gen1")
-      orders.filter(permilleHash(col("o_orderkey"), ":se42") >= 500)
-        .select("o_orderkey", "o_orderstatus", "o_totalprice")
-        .write.mode("overwrite").parquet(s"$base/gen2")
-      s.read.option("mergeSchema", "true")
-        .parquet(s"$base/gen1", s"$base/gen2")
-        .groupBy("o_orderstatus")
-        .agg(
-          count(lit(1)).as("cnt"),
-          sum(when(col("o_totalprice").isNull, 1L).otherwise(0L)).as("n_legacy"),
-          dsum(coalesce(col("o_totalprice"), lit(0.0))).as("sum_price"))
-    }),
-
-    // exact weighted quantiles: "price percentiles weighted by units" —
-    // integer cumulative-weight thresholds (1000·cum ≥ p·W) through the
-    // distributed-CDF machinery; no double comparison can flip on an ulp
-    "a16_weighted_quantiles" -> ((s, d) =>
-      graft.ops.WeightedStats.weightedQuantiles(
-        t(s, d, "lineitem"), col("l_extendedprice"), col("l_quantity"),
-        Seq(250, 500, 750, 900))),
-
-    // quantile matching: rewrite cohort F's price distribution onto
-    // cohort O's (batch-effect correction) — both global rankings ride
-    // GlobalRowNumber, endpoints arrive by integer equi-joins, and every
-    // float step mirrors the oracle token-for-token
-    "fe_quantile_match" -> ((s, d) => {
-      val orders = t(s, d, "orders")
-      graft.ops.QuantileMatch.matchQuantiles(
-        orders.filter(col("o_orderstatus") === "F"),
-        orders.filter(col("o_orderstatus") === "O"),
-        "o_orderkey", "o_totalprice")
-    }),
-
-    // corpus-level LM quality score (perplexity filter)
-    "t_bigram_lm" -> ((s, d) =>
-      graft.text.BigramLm.docScores(
-        t(s, d, "documents"), "doc_id", "text", minCount = 3L)),
-
-    // interpolated Kneser-Ney at D = 3/4: every probability an exact
-    // rational of corpus counts (context counts, not occurrences, drive
-    // the backoff — the smoothing every pre-neural LM shipped), ONE
-    // correctly-rounded divide per bigram; top-50 by count
-    "t_kn_bigram" -> ((s, d) =>
-      graft.text.BigramLm.kneserNey(t(s, d, "documents"), "text", topK = 50)),
-
-    // exact decimal-accumulated Pearson correlations — reproducible
-    // data-card statistics (builtin corr is merge-order-dependent)
-    "a11_corr" -> ((s, d) =>
-      graft.ops.StatsOps.corrPairs(
-        t(s, d, "lineitem"), Seq("l_quantity", "l_extendedprice", "l_discount"))),
-
-    // per-segment OLS trend coefficients with exact decimal moments —
-    // single scan for all five moment sums, scalar math on 1-row-per-group
-    "a12_ols_group" -> ((s, d) =>
-      graft.ops.RegressionOps.olsByGroup(
-        t(s, d, "lineitem"), Seq("l_returnflag"), "l_quantity", "l_extendedprice")),
-
-    // robust (median/MAD) outlier gate per segment — exact distributed
-    // percentiles, round-6 pinned stats so the gate can't flip on ulp
-    "fe_mad_outliers" -> ((s, d) =>
-      graft.ops.RobustStats.madOutliers(
-        t(s, d, "orders"), Seq("o_orderstatus"), "o_totalprice", k = 3.0)),
-
-    // equi-depth decile binning over exact global quantiles — the
-    // QuantileDiscretizer shape: one percentile pass, cutpoints broadcast
-    "fe_quantile_bin" -> ((s, d) =>
-      graft.ops.RobustStats.quantileBins(
-        t(s, d, "orders"), "o_totalprice", (1 to 9).map(_ / 10.0))),
-
-    // RFM quintile segmentation — recency/frequency/monetary scores per
-    // customer: ONE hash-agg collapses the data to the |customers| frame;
-    // each quintile is a GlobalRowNumber global rank (range-partitioned,
-    // parallel per-partition windows — NO SinglePartition window) turned
-    // into its exact ntile(5) bucket by integer arithmetic, with
-    // entity-key tiebreaks so every score is deterministic. At 100 TB the
-    // |customers| frame is ~10⁹ rows — three parallel ranked passes,
-    // never three one-task sorts
-    "fe_rfm" -> ((s, d) => {
-      import graft.ops.GlobalRowNumber
-      val per = t(s, d, "orders")
-        .groupBy(col("o_custkey"))
-        .agg(max(col("o_orderdate")).as("last_order"),
-          count(lit(1)).as("frequency"),
-          dsum(col("o_totalprice")).as("monetary"))
-        .withColumn("recency",
-          datediff(lit("1998-08-02").cast("date"), col("last_order")).cast("long"))
-      val (r1, n, rel1) = GlobalRowNumber.withRowNumberAndCount(
-        per, "_rr", col("recency").asc, col("o_custkey").asc)
-      val (r2, rel2) = GlobalRowNumber.withRowNumberReleasable(
-        r1, "_fr", col("frequency").desc, col("o_custkey").asc)
-      val (r3, rel3) = GlobalRowNumber.withRowNumberReleasable(
-        r2, "_mr", col("monetary").desc, col("o_custkey").asc)
-      val out = r3.select(
-        col("o_custkey"), col("recency"), col("frequency"), col("monetary"),
-        GlobalRowNumber.ntileFromRank(col("_rr"), n, 5).as("r_score"),
-        GlobalRowNumber.ntileFromRank(col("_fr"), n, 5).as("f_score"),
-        GlobalRowNumber.ntileFromRank(col("_mr"), n, 5).as("m_score"))
-      // materialize the |customers|-sized result once, then drop the three
-      // internal range-partition pins — one session pin instead of three
-      // widening ones (they otherwise accumulate across a 300-query bench)
-      val collected = out.cache()
-      collected.count()
-      rel1(); rel2(); rel3()
-      collected
-    }),
-
-    // Pareto/ABC analysis — rank customers by spend, classify by exact
-    // cumulative-share thresholds (A ≤ 80%, B ≤ 95%): the cumulative
-    // spend is a RunningTotal distributed prefix sum in integer CENTS
-    // (range-partitioned, parallel per-partition windows — NO
-    // SinglePartition window; grand total rides the same counts pass);
-    // the share compare is decimal×integer (cum·20 ≤ tot·16), so the
-    // class boundary can never flip on a double ulp
-    "a15_pareto_abc" -> ((s, d) => {
-      val per = t(s, d, "orders")
-        .groupBy(col("o_custkey"))
-        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("spend"))
-        .withColumn("_cents", (col("spend") * 100).cast("long"))
-      val (cum, totCents) = graft.ops.RunningTotal.withRunningSum(
-        per, col("_cents"), "_cum_cents",
-        col("spend").desc, col("o_custkey").asc)
-      val cumD = col("_cum_cents").cast("decimal(38,0)")
-      val totD = col("_rt_total").cast("decimal(38,0)")
-      cum.crossJoin(broadcast(totCents))
-        .groupBy(
-          when(cumD * 20 <= totD * 16, "A")
-            .when(cumD * 20 <= totD * 19, "B")
-            .otherwise("C").as("abc_class"))
-        .agg(count(lit(1)).as("n_customers"),
-          sum("spend").cast("double").as("class_spend"))
-    }),
-
-    // weight-of-evidence + information value over exact decile bins —
-    // the credit-scoring encoder: distributed-CDF cutpoints broadcast
-    // onto the scan, WOE/IV math on the |bins|-sized table
-    "fe_binned_woe" -> ((s, d) =>
-      graft.ml.TargetEncoding.woeBinned(
-        t(s, d, "orders").select(col("o_totalprice"), col("o_orderstatus")),
-        "o_totalprice", col("o_orderstatus") === "F", (1 to 9).map(_ / 10.0))),
-
-    // per-entity autoregressive lag features over observed daily sums —
-    // one hash-agg to the daily table, every lag from one window pass
-    "fe_lag_features" -> ((s, d) =>
-      graft.ops.TimeSeriesOps.lagFeatures(
-        Tables.events(s, d), "user_id", "ts", "value", Seq(1, 2))),
-
-    // gaps-and-islands: maximal consecutive-active-day streaks per user —
-    // anchor = day − row_number is constant within a run; two exchanges,
-    // both on the user key, no self-join, no gap rows materialized
-    "ev_streaks" -> ((s, d) =>
-      graft.ops.TimeSeriesOps.activityStreaks(Tables.events(s, d), "user_id", "ts")),
-
-    // lag-1..3 autocorrelation of the per-type daily value sums — the
-    // seasonality probe before any temporal model; exact DECIMAL daily
-    // sums, row-lags over observed days, corr rounded to 6 dp
-    "ts_acf" -> ((s, d) =>
-      graft.ops.TimeSeriesOps.autocorr(
-        Tables.events(s, d), "event_type", "ts", "value", maxLag = 3)),
-
-    // CUSUM change-point scores: the sequential max(0, s+(x−μ)) recursion
-    // expressed as cumulative-sum minus running-min — two window passes,
-    // one exchange, all-integer cents (no mean division ever happens)
-    "ts_cusum" -> ((s, d) =>
-      graft.ops.TimeSeriesOps.cusum(
-        Tables.events(s, d), "event_type", "ts", "value")),
-
-    // day-of-week seasonal indices of the daily event-count series — the
-    // decomposition step before deseasonalized anomaly checks; raw events
-    // collapse to the day grain in one hash-agg, the index table is 7 rows
-    "ts_seasonal_dow" -> ((s, d) =>
-      graft.ops.TimeSeriesOps.seasonalDow(Tables.events(s, d), "ts")),
-
-    // seasonal-naive forecast backtest: ŷ(day) = y(day − 7) per series,
-    // scored only where the lag is observed — MAE on exact cent-scale
-    // sums, MAPE via nano-scaled integer terms so the mean is
-    // order-independent; one hash-agg + one self-join on (type, day−7)
-    "ts_backtest_naive" -> ((s, d) => {
-      val daily = Tables.events(s, d)
-        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-        .agg(sum(col("value").cast("decimal(18,2)")).as("v"))
-      val prev = daily.select(col("event_type"),
-        date_add(col("day"), 7).as("day"), col("v").as("pv"))
-      daily.join(prev, Seq("event_type", "day"))
-        .filter(col("v") > 0)
-        .groupBy("event_type")
-        .agg(
-          count(lit(1)).as("n_days"),
-          // MAE accumulates in exact decimal; ONE double conversion
-          round(sum(abs(col("v") - col("pv"))).cast("double") / count(lit(1)), 6)
-            .as("mae"),
-          // MAPE terms are per-row doubles rounded to integer nanos, so
-          // the mean is an exact long sum — order-independent
-          round(sum(round(abs((col("v") - col("pv")).cast("double")) /
-              col("v").cast("double") * 1e9).cast("long"))
-            / count(lit(1)) / 1e9, 9).as("mape"))
-    }),
-
-    // weighted sampling WITHOUT replacement (Efraimidis–Spirakis clocks
-    // on the portable hash): key = −ln(u)/w, global TakeOrdered(k) — the
-    // "sample k docs ∝ quality" curation primitive, deterministic and
-    // resumable where an RNG sample is neither
-    // deterministic domain-mix rebalancing (DoReMi/Pile-style target
-    // weights): feasible total T = min_d(n_d/w_d) from the |domains|-row
-    // count table, each domain keeps its floor(w_d·T) smallest-hash
-    // members — reproducible, engine-portable, no RNG; the only
-    // data-sized exchange is the per-domain rank window
-    "o20_domain_mix" -> ((s, d) =>
-      graft.ops.DomainMix.mixCounts(
-        t(s, d, "documents"), "lang", "doc_id",
-        permilleHash1M(col("doc_id"), ":mix"),
-        Map("en" -> 0.4, "de" -> 0.15, "es" -> 0.15,
-          "fr" -> 0.15, "zh" -> 0.15))),
-
-    // temperature-scaled mixture (α = 1/2): weights √n_d derived from
-    // the data, quota k_d = ⌊√n_d · min√n_e⌋ — rare domains kept whole,
-    // big ones cut toward the geometric middle; sqrt/multiply are IEEE-
-    // correctly-rounded so the quota arithmetic is engine-exact. Rides
-    // the same GlobalRowNumber rank as o20 (no per-domain window sort)
-    "o21_temp_mix" -> ((s, d) =>
-      graft.ops.DomainMix.temperatureMixCounts(
-        t(s, d, "documents"), "lang", "doc_id",
-        permilleHash1M(col("doc_id"), ":mix"))),
-
-    "o18_priority_sample" -> ((s, d) =>
-      graft.ops.PrioritySampling.sample(
-        t(s, d, "documents"), "doc_id", "n_chars", k = 500)),
-
-    // one-pass table profile (multi-distinct Expand: one scan, one
-    // exchange for every column's null/distinct/min/max)
-    "dp_profile" -> ((s, d) =>
-      graft.ops.Profiler.profile(
-        t(s, d, "lineitem"),
-        Seq("l_quantity", "l_extendedprice", "l_discount", "l_returnflag", "l_linestatus"))),
-
-    // BM25 keyword relevance over the corpus — explode filtered to the
-    // query terms before aggregation; df/avgdl broadcast onto the scoring
-    "t_bm25" -> ((s, d) =>
-      graft.text.Bm25.scores(
-        t(s, d, "documents"), "doc_id", "text",
-        Seq("join", "window", "stream", "vector"))),
-
-    // fuzzy key matching: edit-distance pairs under lossless PassJoin
-    // segment blocking (d+1 exact segments, ±d aligned probes) — the
-    // oracle runs the UNBLOCKED quadratic, so the hash match proves zero
-    // recall loss from the blocking
-    "d_editdist_pairs" -> ((s, d) =>
-      graft.dedup.Dedup.editDistancePairs(
-        t(s, d, "part"), "p_name", maxDist = 3)),
-
-    // set-similarity join with PPJoin prefix filtering: only each doc's
-    // rarest (1−t)·len+1 tokens are indexed; the oracle runs the
-    // UNRESTRICTED inverted-index join, so the hash match proves the
-    // prefix + size pruning lost no qualifying pair
-    "d_prefix_jaccard" -> ((s, d) =>
-      graft.dedup.Dedup.prefixJaccardPairs(
-        t(s, d, "documents"), "doc_id", "text", threshold = 0.95)),
-
-    // incremental aggregate maintenance: snapshot ⊕ CDC delta must equal
-    // the full recompute the oracle runs — refreshing a rollup costs
-    // |delta| + |groups|, never a base-table rescan
-    "inc_agg_maintain" -> ((s, d) => {
-      val orders = t(s, d, "orders")
-      val h = permilleHash(col("o_orderkey"), ":inc42")
-      val deletes = orders.filter(h < 50).withColumn("op", lit("D"))
-      val inserts = orders.filter(h >= 950)
-        .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
-        .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
-        .withColumn("op", lit("I"))
-      val snap = graft.ops.IncrementalAgg.snapshot(
-        orders, Seq("o_orderstatus"), "o_totalprice")
-      graft.ops.IncrementalAgg.maintain(
-          snap, deletes.unionByName(inserts), Seq("o_orderstatus"), "o_totalprice")
-        .select(col("o_orderstatus"), col("cnt"),
-          col("sum_o_totalprice").cast("double").as("sum_price"))
-    }),
-
-    // incremental JOIN maintenance (the join analog of inc_agg_maintain):
-    // maintained = snapshot + ΔA⋈B + A⋈ΔB + ΔA⋈ΔB with multiplied signs —
-    // deltas on BOTH sides (order deletes+inserts, customer deletes), the
-    // base tables never re-join; the oracle recomputes the modified join
-    // from scratch and must agree bit-for-bit (exact decimal sums inside,
-    // ONE IEEE conversion at the DOUBLE output boundary)
-    "inc_join_maintain" -> ((s, d) => {
-      val orders = t(s, d, "orders")
-      val cust = t(s, d, "customer")
-      val hO = permilleHash(col("o_orderkey"), ":ijm")
-      val hC = permilleHash(col("c_custkey"), ":ijmc")
-      val delA = orders.filter(hO < 50).withColumn("sign", lit(-1L))
-      val insA = orders.filter(hO >= 950)
-        .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
-        .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
-        .withColumn("sign", lit(1L))
-      val delB = cust.filter(hC < 30).withColumn("sign", lit(-1L))
-      // the snapshot is session-memoized state (joinSnapshotCached): the
-      // timed work is |Δ|-joins + the |groups| merge, never the base join
-      val snap = joinSnapshotCached(s, d)
-      graft.ops.JoinMaintenance.maintain(
-        snap, orders, delA.unionByName(insA), cust, delB,
-        "o_custkey", "c_custkey", "c_nationkey", "o_totalprice")
-        .withColumn("sum_v", col("sum_v").cast("double"))
-    }),
-
-    // interval sweep-line: peak concurrent spans + earliest instant it is
-    // reached — distributed running sum over event time (no SinglePartition
-    // exchange), the DriftOps-CDF shape applied to interval analytics
-    "ev_peak_concurrency" -> ((s, d) => {
-      val start = unix_timestamp(date_trunc("second", col("ts")))
-      val dur = greatest(lit(1L), floor(col("value") * 10).cast("long"))
-      graft.ops.SweepLine.peakConcurrency(
-        Tables.events(s, d).select(start.as("st"), (start + dur).as("en")),
-        col("st"), col("en"))
-    }),
-
-    // trailing-24h rolling sum/count per event — RANGE frame over epoch
-    // seconds: one exchange on the entity, streaming accumulation inside
-    // each sorted partition (no self-join, no per-row probe)
-    "ev_rolling24h" -> ((s, d) =>
-      graft.ops.TimeSeriesOps.rollingAgg(
-        Tables.events(s, d), "user_id", "ts", "value", "event_id", 86400L)),
-
-    // dense daily panel with forward fill — sequence()+explode grid
-    // (executor-side, never a driver loop), daily agg BEFORE the grid
-    // join so everything past the first agg is |users×days|-sized
-    "ev_gapfill_daily" -> ((s, d) =>
-      graft.ops.TimeSeriesOps.gapFillDaily(
-        Tables.events(s, d), "user_id", "ts", "value")),
-
-    // cumulative distinct users per day — each user counted once on their
-    // FIRST day (one data-sized hash-agg); the running sum is over the
-    // |days|-sized daily table, never a growing distinct window state
-    "ev_cum_uniques" -> ((s, d) =>
-      graft.ops.TimeSeriesOps.cumulativeUniques(
-        Tables.events(s, d), "user_id", "ts")),
-
-    // rolling 7-day active users (WAU) — distinct (user, day) collapses
-    // the data first, each active day explodes onto the 7 days it is
-    // visible from, one distinct-count per day; never a sliding
-    // count-distinct over raw events
-    "ev_rolling_wau" -> ((s, d) =>
-      graft.ops.TimeSeriesOps.rollingActiveUsers(
-        Tables.events(s, d), "user_id", "ts", windowDays = 7)),
-
-    // weekly signup-cohort churn: one hash-agg to the per-user
-    // (first_day, last_day) frame; "churned" = inactive for the last 7
-    // days of the observation window, the horizon a window-max over the
-    // |users|-sized frame — the data is read once
-    "ev_churn_cohorts" -> ((s, d) => {
-      val per = Tables.events(s, d)
-        .groupBy(col("user_id"))
-        .agg(min(to_date(col("ts"))).as("first_day"),
-          max(to_date(col("ts"))).as("last_day"))
-      val wAll = Window.partitionBy()
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      per
-        .withColumn("horizon", date_sub(max(col("last_day")).over(wAll), 7))
-        .groupBy(date_trunc("week", col("first_day")).cast("date").as("cohort_week"))
-        .agg(count(lit(1)).as("n_users"),
-          sum(when(col("last_day") < col("horizon"), 1L).otherwise(0L)).as("n_churned"))
-    }),
-
-    // DAU/MAU stickiness per day — both sides collapse to per-day
-    // distinct counts first (the MAU side via the WAU explode shape), so
-    // the ratio join touches |days|-sized frames only
-    "ev_stickiness" -> ((s, d) => {
-      val dau = Tables.events(s, d)
-        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
-        .groupBy("day").agg(count(lit(1)).as("dau"))
-      val mau = graft.ops.TimeSeriesOps.rollingActiveUsers(
-        Tables.events(s, d), "user_id", "ts", windowDays = 28)
-        .withColumnRenamed("wau", "mau")
-      dau.join(mau, "day")
-        .select(col("day"), col("dau"), col("mau"),
-          round(col("dau").cast("double") / col("mau"), 6).as("stickiness"))
-    }),
-
-    // trailing-window z-score anomaly flag — both moments accumulate in
-    // DECIMAL inside the same single-exchange RANGE frame, so the alert
-    // can't flip with the executor count
-    "ev_anomaly" -> ((s, d) =>
-      graft.ops.TimeSeriesOps.rollingAnomaly(
-        Tables.events(s, d), "user_id", "ts", "value", "event_id",
-        horizonSec = 86400L, z = 1.5, minN = 5)),
-
-    // triangle counting over the part co-order graph — degree-ordered
-    // orientation bounds wedge generation at O(m^1.5) (a hub's oriented
-    // out-degree is √-bounded), every step an explicit-key hash join
-    "g_triangles" -> ((s, d) => {
-      val li = t(s, d, "lineitem").select("l_orderkey", "l_partkey")
-      // emit each co-order pair once (a < b) — the operator canonicalizes
-      // anyway, so the strict inequality just halves the pre-distinct volume
-      val edges = li.as("a")
-        .join(li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") < col("b.l_partkey"))
-        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
-      graft.ops.Triangles.triangleCount(edges, "src", "dst")
-    }),
-
-    // fact × fact interval-overlap join — grid-cell equi-join (both sides
-    // shuffle by time cell, no broadcast-nested-loop), duplicate pairs
-    // suppressed arithmetically by the first-overlap-cell-owns-the-pair
-    // rule instead of a post-join DISTINCT
-    "j13_interval_overlap" -> ((s, d) => {
-      val start = unix_timestamp(date_trunc("second", col("ts")))
-      val dur = greatest(lit(1L), floor(col("value") * 10).cast("long"))
-      val iv = Tables.events(s, d)
-        .select(col("event_id"), start.as("st"), (start + dur).as("en"))
-      graft.ops.IntervalJoin.overlapPairs(
-        iv.filter(col("event_id") % 2 === 0), iv.filter(col("event_id") % 2 === 1),
-        "event_id", "st", "en", "event_id", "st", "en", bucketWidth = 600L)
-        .groupBy("a_id").agg(count(lit(1)).as("n_overlap"))
-    }),
-
-    // fixed-point PageRank (3 damped iterations) over the part co-order
-    // graph — the Pregel iterated-join pattern with ALL arithmetic in e12
-    // scaled integers, so the scores hash-match the oracle's unrolled CTEs
-    "g_pagerank3" -> ((s, d) => {
-      val li = t(s, d, "lineitem").select("l_orderkey", "l_partkey")
-      val edges = li.as("a")
-        .join(li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") =!= col("b.l_partkey"))
-        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
-        .distinct()
-      graft.ops.PageRank.fixedPoint(edges, "src", "dst", iters = 3)
-    }),
-
-    // bounded-depth BFS over the same co-order graph: min hop distance
-    // from a deterministic seed set — the reachability/"blast radius"
-    // query; exact integer distances min-merge partition-invariantly,
-    // and the oracle unrolls the identical rounds as CTEs
-    "g_bfs_dist" -> ((s, d) => {
-      val li = t(s, d, "lineitem").select("l_orderkey", "l_partkey")
-      val edges = li.as("a")
-        .join(li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") =!= col("b.l_partkey"))
-        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
-        .distinct()
-      val seeds = t(s, d, "part")
-        .filter(pmod(col("p_partkey"), lit(97L)) === 0L)
-        .select(col("p_partkey"))
-      graft.ops.Bfs.kHopDistances(edges, "src", "dst", seeds, "p_partkey", maxHops = 3)
-    }),
-
-    // Cramér's V association between two categoricals — the normalized
-    // [0,1] companion of the chi² gate; marginals and distinct counts
-    // ride windows over the |cells|-sized contingency table
-    "a18_cramers_v" -> ((s, d) =>
-      graft.ml.FeatureScoring.cramersV(
-        t(s, d, "orders"), "o_orderpriority", "o_orderstatus")),
-
-    // deterministic source-interleaved training order (curriculum mixing):
-    // per-source rank on the portable hash, then a global (rank, source)
-    // order — round-robin across sources by construction. BOTH rankings
-    // ride GlobalRowNumber; the per-source rank falls out of the global
-    // (source, hash) numbering minus broadcast per-source offsets — no
-    // per-source window partition (a dominant source would skew it)
-    "o15_interleave" -> ((s, d) => {
-      val docs = t(s, d, "documents").select(
-        col("doc_id"), col("source"),
-        permilleHash1M(col("doc_id"), ":il4").as("_h"))
-      val g1 = graft.ops.GlobalRowNumber.withRowNumber(
-        docs, "_grn", col("source"), col("_h"), col("doc_id"))
-      val offs = g1.groupBy("source").agg((min(col("_grn")) - 1L).as("_off"))
-      val ranked = g1.join(broadcast(offs), "source")
-        .withColumn("rn", col("_grn") - col("_off"))
-        .select("doc_id", "source", "rn")
-      graft.ops.GlobalRowNumber.withRowNumber(
-          ranked, "seq", col("rn"), col("source"), col("doc_id"))
-        .select("doc_id", "source", "rn", "seq")
-    }),
-
-    // touch→conversion latency per channel: the same one-window-pass
-    // attribution machinery, collapsed to per-channel count / exact mean /
-    // exact interpolated p50+p90 (a10_quantiles parity contract)
-    "ev_time_to_convert" -> ((s, d) =>
-      graft.ops.FunnelOps.timeToConvert(
-        Tables.events(s, d), "user_id", "event_type", "ts", "event_id",
-        touchTypes = Seq("view", "click", "signup"), convType = "purchase",
-        lookbackSec = 7L * 86400L)),
-
-    // KMV mergeability as data: per-shard k-min sets union + re-truncate
-    // to the SAME k-th minimum as the whole stream — the property that
-    // lets executors sketch shards and the reduce combine k-sized sets
-    "sk_kmv_merge" -> ((s, d) =>
-      graft.sketch.Sketches.kmvMerge(t(s, d, "orders"), "o_custkey")),
-
-    // quantile member of the sketch family: 256-cell equi-width histogram,
-    // p50/p90/p99 estimates emitted NEXT TO the exact order statistics
-    // (error is data, not a claim); exact side rides the RunningTotal CDF
-    "sk_hist_quantiles" -> ((s, d) =>
-      graft.sketch.Sketches.histQuantiles(
-        t(s, d, "orders"), "o_totalprice", buckets = 256,
-        psPermille = Seq(500, 900, 990))),
-
-    // histogram merge linearity: per-shard histograms over the shared
-    // grid sum cell-wise to the whole-stream build (n_mismatch = 0) —
-    // the property that lets executors histogram shards independently
-    "sk_hist_merge" -> ((s, d) =>
-      graft.sketch.Sketches.histMergeCheck(
-        t(s, d, "orders"), "o_totalprice",
-        pmod(col("o_orderkey"), lit(8L)), buckets = 256)),
-
-    // KMV set-INTERSECTION estimate ("users in both segments") — two
-    // k-min sketches, union re-truncate, ρ·D̂(U); only k-row frames ever
-    // meet, the raw sets never co-shuffle. Estimate emitted beside the
-    // exact intersection so the error is data, not a claim
-    "sk_kmv_intersect" -> ((s, d) => {
-      val o = t(s, d, "orders")
-      graft.sketch.Sketches.kmvIntersect(
-        o.filter(col("o_orderstatus") === "O"), "o_custkey",
-        o.filter(col("o_orderstatus") === "F"), "o_custkey")
-    }),
-
-    // class-balanced training batches: per-label rank via GlobalRowNumber
-    // minus broadcast offsets (no per-label window funnel), batch id =
-    // (rank−1) mod B — every batch carries an equal slice of each class
-    "o16_balanced_batches" -> ((s, d) => {
-      val emb = t(s, d, "embeddings").select(
-        col("vec_id"), col("label"),
-        permilleHash1M(col("vec_id"), ":bb4").as("_h"))
-      val g = graft.ops.GlobalRowNumber.withRowNumber(
-        emb, "_grn", col("label"), col("_h"), col("vec_id"))
-      val offs = g.groupBy("label").agg((min(col("_grn")) - 1L).as("_off"))
-      g.join(broadcast(offs), "label")
-        .withColumn("batch", pmod(col("_grn") - col("_off") - 1L, lit(8L)))
-        .groupBy("batch", "label").agg(count(lit(1)).as("n"))
-    }),
-
-    // dynamic partition overwrite: rewrite ONLY the partitions present in
-    // the incoming frame (the lakehouse backfill primitive) — 'F' is
-    // replaced by a half-sized slice, other partitions must survive
-    "s16_dynamic_overwrite" -> ((s, d) => {
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_s16_${new java.io.File(d).getName}"
-      val orders = t(s, d, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
-      orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(base)
-      val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      try orders
-        .filter(col("o_orderstatus") === "F" &&
-          permilleHash(col("o_orderkey"), ":dow4") < 500)
-        .write.mode("overwrite").partitionBy("o_orderstatus").parquet(base)
-      finally prev match {
-        case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
-      }
-      s.read.parquet(base)
-        .groupBy("o_orderstatus")
-        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sum_price"))
-    }),
-
-    // dynamic two-phase pivot: distinct pivot values discovered at runtime
-    // (one k-row job), then the same one-pass pivot aggregate — the
-    // pattern for pivoting a column whose domain isn't known upfront
-    "p15_dynamic_pivot" -> ((s, d) => {
-      val orders = t(s, d, "orders")
-      val vals = orders.select("o_orderpriority").distinct()
-        .collect().map(_.getString(0)).sorted.toSeq
-      orders.groupBy("o_orderstatus")
-        .pivot("o_orderpriority", vals)
-        .agg(count(lit(1)))
-        .na.fill(0L)
-    }),
-
-    // 2-D Pareto frontier: customers no other customer beats on BOTH total
-    // spend and order count — bucket-chain skyline (hash exchange + B-row
-    // broadcast), never a self θ-join or single-reducer sort
-    "a21_skyline" -> ((s, d) => {
-      val agg = t(s, d, "orders").groupBy(col("o_custkey"))
-        .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
-          .as("spend_cents"),
-          count(lit(1)).as("n_orders"))
-      graft.ops.Skyline.frontier2D(agg, "spend_cents", "n_orders",
-        keep = Seq("o_custkey"), bucketWidth = 1000000L)
-    }),
-
-    // frequent co-ordered part pairs (market-basket support counts): the
-    // self-join is co-partitioned on the order key and baskets are
-    // bounded, so pair cardinality is Σ per-order C(items,2), not n²
-    "a22_itemsets" -> ((s, d) => {
-      val li = t(s, d, "lineitem")
-        .select(col("l_orderkey").as("k"), col("l_partkey").as("p")).distinct()
-      li.as("a").join(li.as("b"),
-          col("a.k") === col("b.k") && col("a.p") < col("b.p"))
-        .groupBy(col("a.p").as("part_a"), col("b.p").as("part_b"))
-        .agg(count(lit(1)).as("support"))
-        .filter(col("support") >= 2)
-    }),
-
-    // association RULES on top of the pair supports: both directions per
-    // pair, confidence = supp(ab)/supp(a), lift = conf/(supp(b)/N) — the
-    // market-basket readout. Item supports and the basket count broadcast
-    // onto the (already-small) pair table; nothing re-scans the baskets
-    "a23_assoc_rules" -> ((s, d) => {
-      val li = t(s, d, "lineitem")
-        .select(col("l_orderkey").as("k"), col("l_partkey").as("p")).distinct()
-      val itemSupp = li.groupBy(col("p")).agg(count(lit(1)).as("supp"))
-      val nBaskets = li.select("k").distinct().agg(count(lit(1)).as("n_baskets"))
-      val pairs = li.as("a").join(li.as("b"),
-          col("a.k") === col("b.k") && col("a.p") < col("b.p"))
-        .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
-        .agg(count(lit(1)).as("supp_ab"))
-        .filter(col("supp_ab") >= 2)
-      val rules = pairs.select(col("pa").as("antecedent"), col("pb").as("consequent"), col("supp_ab"))
-        .unionByName(pairs.select(col("pb").as("antecedent"), col("pa").as("consequent"), col("supp_ab")))
-      rules
-        .join(broadcast(itemSupp).withColumnRenamed("p", "antecedent")
-          .withColumnRenamed("supp", "supp_a"), "antecedent")
-        .join(broadcast(itemSupp).withColumnRenamed("p", "consequent")
-          .withColumnRenamed("supp", "supp_b"), "consequent")
-        .crossJoin(broadcast(nBaskets))
-        .select(
-          col("antecedent"), col("consequent"), col("supp_ab"),
-          round(col("supp_ab").cast("double") / col("supp_a"), 6).as("confidence"),
-          round((col("supp_ab").cast("double") / col("supp_a")) /
-            (col("supp_b").cast("double") / col("n_baskets")), 6).as("lift"))
-    }),
-
-    // per-source contribution quota (crawl-style capping): keep at most k
-    // docs per source in deterministic hash order — rides the native
-    // bounded-heap TopKPerKey operator, not a full per-source sort
-    "o17_source_quota" -> ((s, d) => {
-      val docs = t(s, d, "documents").select(
-        col("doc_id"), col("source"),
-        permilleHash1M(col("doc_id"), ":qta4").as("_h"))
-      graft.plans.TopKPerKey(docs, Seq("source"),
-          Seq(col("_h").asc, col("doc_id").asc), 10)
-        .select("source", "doc_id")
-    }),
-
-    // sorted-neighborhood blocking (merge/purge): global order by a text
-    // prefix key via GlobalRowNumber, compare each doc to its w−1
-    // successors — the deterministic-recall counterpart to LSH
-    "d_sorted_neighbors" -> ((s, d) =>
-      graft.dedup.Dedup.sortedNeighborPairs(
-        t(s, d, "documents"), "doc_id", "text",
-        window = 4, keyLen = 12, threshold = 0.2)),
-
-    // Fellegi–Sunter record linkage with known truth: customers linked to
-    // a hash-perturbed twin (case-typo'd name / shifted balance / lost
-    // segment), blocked on the stable name-digit fragment (≈100-member
-    // blocks at ANY scale — candidates grow linearly with data, never
-    // quadratically), integer agreement weights summed per pair; the
-    // (score, n_pairs, n_true) distribution is the threshold curve
-    "er_link_scores" -> ((s, d) => {
-      import graft.dedup.RecordLinkage
-      import graft.dedup.RecordLinkage.FieldRule
-      val cust = t(s, d, "customer")
-      val blk = substring(col("c_name"), 10, 7)
-      val a = cust.withColumn("blk", blk)
-      val b = cust.select(
-          col("c_custkey"),
-          when(permilleHash(col("c_custkey"), ":erN") < 300,
-            concat(lit("customer"), substring(col("c_name"), 9, 1000)))
-            .otherwise(col("c_name")).as("c_name"),
-          when(permilleHash(col("c_custkey"), ":erB") < 250,
-            col("c_acctbal") + 10.0).otherwise(col("c_acctbal")).as("c_acctbal"),
-          when(permilleHash(col("c_custkey"), ":erS") < 200, lit("UNKNOWN"))
-            .otherwise(col("c_mktsegment")).as("c_mktsegment"))
-        .withColumn("blk", blk)
-      val rules = Seq(
-        FieldRule("c_name", (x, y) => x === y, wAgree = 3L, wDisagree = 1L),
-        FieldRule("c_acctbal", (x, y) => abs(x - y) <= 0.005, wAgree = 2L, wDisagree = 2L),
-        FieldRule("c_mktsegment", (x, y) => x === y, wAgree = 1L, wDisagree = 1L))
-      RecordLinkage.scoreDistribution(
-        RecordLinkage.scorePairs(a, b, "c_custkey", Seq("blk"), rules))
-    }),
-
-    // STREAM-STREAM FULL OUTER drain: inner pairs + watermark-evicted
-    // unmatched rows from BOTH sides — the two-sided outer state machine,
-    // pinned by a batch oracle carrying both eviction predicates
-    "ev_stream_full" -> ((s, d) =>
-      graft.streaming.StreamOps
-        .streamStreamFullOuter(s, d, "graft_ev_stream_full")
-        .groupBy(coalesce(col("v_user"), col("c_user")).as("user_id"))
-        .agg(
-          count(when(col("v_id").isNotNull && col("c_id").isNotNull, 1)).as("n_pairs"),
-          sum(when(col("c_id").isNull, 1L).otherwise(0L)).as("n_unmatched_v"),
-          sum(when(col("v_id").isNull, 1L).otherwise(0L)).as("n_unmatched_c"))),
-
-    // exact higher moments per group: all four raw power sums accumulate
-    // in integer-cent decimals (one hash-agg), the normalized skewness /
-    // kurtosis formulas run scalar double math in fixed op order
-    // exact 10% trimmed mean per status — robust location from one window
-    // pass + one grouped decimal mean; trim membership deterministic via
-    // the unique o_orderkey tiebreak
-    "a24_trimmed_mean" -> ((s, d) =>
-      graft.ops.RobustStats.trimmedMean(
-        t(s, d, "orders"), Seq("o_orderstatus"), "o_totalprice",
-        "o_orderkey", trim = 0.1)),
-
-    "a20_moments" -> ((s, d) => {
-      val c = (col("o_totalprice").cast("decimal(18,2)") * 100).cast("decimal(12,0)")
-      val agg = t(s, d, "orders")
-        .select(col("o_orderstatus"), c.as("_c"),
-          (c * c).as("_c2"))
-        .withColumn("_c3", col("_c2") * col("_c"))
-        .withColumn("_c4", col("_c3") * col("_c"))
-        .groupBy("o_orderstatus")
-        .agg(count(lit(1)).as("n"), sum("_c").as("_s1"), sum("_c2").as("_s2"),
-          sum("_c3").as("_s3"), sum("_c4").as("_s4"))
-      def dd(s: String) = col(s).cast("double")
-      val n = dd("n"); val s1 = dd("_s1"); val s2 = dd("_s2")
-      val s3 = dd("_s3"); val s4 = dd("_s4")
-      val m = s1 / n
-      val v = s2 / n - m * m
-      agg.select(col("o_orderstatus"), col("n"),
-        when(v <= 0.0, lit(0.0)).otherwise(round(
-          (s3 / n - lit(3.0) * m * (s2 / n) + lit(2.0) * m * m * m) /
-            (v * sqrt(v)), 6)).as("skewness"),
-        when(v <= 0.0, lit(0.0)).otherwise(round(
-          (s4 / n - lit(4.0) * m * (s3 / n) + lit(6.0) * m * m * (s2 / n) -
-            lit(3.0) * m * m * m * m) / (v * v) - lit(3.0), 6)).as("kurtosis"))
-    }),
-
-    // degree distribution of the co-order part graph — the "is this graph
-    // power-law / is one hub a skew bomb" readout before any graph op
-    // connected components over a hash-sparsified co-order graph: the
-    // dupClusters min-label propagation applied as a graph op, readout =
-    // component size histogram; every part is labeled (singletons are
-    // their own component). The 3‰ edge sample keeps mean degree ≈ 0.3 —
-    // firmly SUBCRITICAL, so components (and the propagation's diameter,
-    // and the oracle's recursive closure) stay small at ANY scale; a
-    // near-critical sample (tried at 1%) grows a giant component whose
-    // diameter scales like n^(2/3) and label propagation with it
-    // k-core peeling over the (5%-sampled) co-order graph: the graph-
-    // mutating fixpoint (PageRank iterates values, components iterate
-    // labels — the peel iterates the GRAPH), 3 unrolled rounds at k=6;
-    // each round = one degree hash-agg + two node-keyed trims
-    "g_kcore" -> ((s, d) => {
-      val li = t(s, d, "lineitem").select("l_orderkey", "l_partkey")
-      val edges = li.as("a")
-        .join(li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") < col("b.l_partkey"))
-        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
-        .filter(permilleHash(
-          concat(col("src").cast("string"), lit(":"), col("dst").cast("string")),
-          ":kcore") < 50)
-        .distinct()
-      graft.ops.KCore.peel(edges, k = 6, rounds = 3)
-    }),
-
-    "g_components" -> ((s, d) => {
-      val li = t(s, d, "lineitem").select("l_orderkey", "l_partkey")
-      val pairs = li.as("a")
-        .join(li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") < col("b.l_partkey"))
-        .select(col("a.l_partkey").as("doc_a"), col("b.l_partkey").as("doc_b"))
-        .filter(permilleHash(
-          concat(col("doc_a").cast("string"), lit(":"), col("doc_b").cast("string")),
-          ":gcc") < 3)
-        .distinct()
-      val nodes = t(s, d, "part").select(col("p_partkey"))
-      Dedup.dupClusters(pairs, nodes, "p_partkey")
-        .groupBy("rep_id").agg(count(lit(1)).as("sz"))
-        .groupBy("sz").agg(count(lit(1)).as("n_components"))
-    }),
-
-    "g_degree_dist" -> ((s, d) => {
-      val li = t(s, d, "lineitem").select("l_orderkey", "l_partkey")
-      val edges = li.as("a")
-        .join(li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") < col("b.l_partkey"))
-        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
-        .distinct()
-      edges.select(col("src").as("node"))
-        .unionAll(edges.select(col("dst").as("node")))
-        .groupBy("node").agg(count(lit(1)).as("degree"))
-        .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
-    }),
-
-    // MMR diversity re-rank over SQ8 candidates: greedy λ=0.5 selection,
-    // every compared score from exact integer dots, k−1 bounded join
-    // rounds on the |queries|·nCand table — greedy made oracle-able
-    "sim_mmr_rerank" -> ((s, d) =>
-      Quantized.mmrRerank(t(s, d, "embeddings"), "vec_id", "embedding",
-        nQueries = 6, nCand = 8, k = 4)),
-
-    // expected calibration error: the Σ|Σy−Σscore|/N reduction keeps every
-    // term exact-decimal until one final division
-    "ml_ece" -> ((s, d) => {
-      val scored = t(s, d, "orders").select(
-        (col("o_totalprice") / 600000.0).as("score"),
-        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0).as("y"))
-      graft.ml.Metrics.ece(scored, "score", "y", 10)
-    }),
-
-    // dominant principal component, engine-exact: ONE moment aggregation
-    // (all k(k+1)/2+k sums in a single map-side-combined pass) builds the
-    // exact-integer scatter matrix; 12 pinned power steps close over the
-    // k×k readout — distributed linear algebra with a DuckDB-exact answer
-    "ml_pca_power" -> ((s, d) =>
-      graft.ml.Pca.powerIteration(
-        t(s, d, "lineitem"),
-        Seq(
-          "quantity" -> col("l_quantity"),
-          "extendedprice" -> col("l_extendedprice"),
-          "discount" -> col("l_discount"),
-          "tax" -> col("l_tax")),
-        iters = 12)),
-
-    // the CART split criterion as data: every (feature, threshold) Gini
-    // candidate a tree fit would argmin over, from ONE exploded hash-agg
-    // pass (4 features, 1 scan) + cumulative windows on the ≤77-row
-    // histogram — exact integer impurities, bit-identical cross-engine
-    "ml_cart_split" -> ((s, d) =>
-      graft.ml.TreeSplit.splitCandidates(
-        t(s, d, "lineitem"), (col("l_returnflag") === "R").cast("int"),
-        Seq(
-          "quantity" -> col("l_quantity"),
-          "discount" -> col("l_discount"),
-          "tax" -> col("l_tax"),
-          "linenumber" -> col("l_linenumber")))),
-
-    // Murphy decomposition of the binned Brier score: reliability −
-    // resolution + uncertainty. The rule score enters PRE-QUANTIZED as
-    // integer micros derived from exact cents (round(cents/60) — any .5
-    // is a true representable tie, identical on both engines), so every
-    // per-bin mean is ONE divide of exact longs; one corpus hash-agg
-    "ml_brier_decomp" -> ((s, d) => {
-      // exact cents ride a decimal(12,2) cast (the raw column is DOUBLE:
-      // a bare *100 long-cast truncates on Spark but rounds on DuckDB)
-      val cents = (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")
-      val scored = t(s, d, "orders").select(
-        round(cents / lit(60.0)).cast("long").as("sm"),
-        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0).as("y"))
-      graft.ml.Metrics.brierDecomp(scored, "sm", "y", 10)
-    }),
-
-    // order-invariant table content fingerprint: canonical row rendering →
-    // portable 60-bit hash → commutative combine (exact decimal SUM +
-    // bitwise XOR + count). Cross-copy/cross-engine data equality from ONE
-    // scan and three scalars — the oracle recomputing the same fingerprint
-    // from the same parquet IS the cross-engine check
-    "dq_table_checksum" -> ((s, d) =>
-      graft.ops.TableChecksum.checksum(
-        t(s, d, "orders"),
-        Seq(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
-          col("o_totalprice").cast("decimal(18,2)"),
-          col("o_orderdate").cast("date"), col("o_orderpriority")))),
-
-    // the WRITE-path twin of dq_table_checksum: rows flow through the
-    // custom DSv2 ChecksumSink, whose two-phase commit merges per-task
-    // (count, exact-sum, xor) triples — the committed fingerprint must
-    // equal the query-path checksum, pinned by the IDENTICAL oracle
-    "s18_checksum_sink" -> ((s, d) => {
-      val cols = Seq(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
-        col("o_totalprice").cast("decimal(18,2)"),
-        col("o_orderdate").cast("date"), col("o_orderpriority"))
-      t(s, d, "orders")
-        .select(graft.ops.TableChecksum.rowHash(cols).as("_h"))
-        .write.format("graft.sources.ChecksumSink")
-        .option("key", "s18").mode("append").save()
-      val (n, sum, x) = graft.sources.ChecksumSink.result("s18").get
-      import s.implicits._
-      Seq((n, sum.toString, x)).toDF("n_rows", "hash_sum", "hash_xor")
-    }),
-
-    // pipeline-health freshness: per-type last-arrival lag vs the global
-    // max — the "is a source stalled" monitoring readout; one hash-agg,
-    // one window over the |types|-sized result
-    "dq_freshness" -> ((s, d) =>
-      Tables.events(s, d)
-        .select(col("event_type"),
-          unix_timestamp(date_trunc("second", col("ts"))).as("_sec"))
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n_events"), max("_sec").as("last_sec"))
-        .withColumn("staleness_sec",
-          max(col("last_sec")).over(Window.partitionBy()) - col("last_sec"))),
-
-    // LINEAR multi-touch attribution: per-channel + total in-window touch
-    // counts from RANGE-frame windows sharing ONE user exchange (no
-    // conversions×touches join); integer ppm credits keep the sums exact
-    "ev_attribution_linear" -> ((s, d) =>
-      graft.ops.FunnelOps.linearAttribution(
-        Tables.events(s, d), "user_id", "event_type", "ts",
-        touchTypes = Seq("view", "click", "signup"), convType = "purchase",
-        lookbackSec = 7L * 86400L)),
-
-    // U-shaped attribution completes the family: 40/20/40 first/middle/
-    // last, first+last resolved via tie-safe encoded MIN/MAX in the SAME
-    // single window pass — still no touch×conversion join
-    "ev_attribution_position" -> ((s, d) =>
-      graft.ops.FunnelOps.positionAttribution(
-        Tables.events(s, d), "user_id", "event_type", "ts", "event_id",
-        touchTypes = Seq("view", "click", "signup"), convType = "purchase",
-        lookbackSec = 7L * 86400L)),
-
-    // gap-based sessions through Spark's NATIVE session_window operator
-    // (merging-session state machine, batch form) — oracled against the
-    // explicit lag/running-sum session reconstruction
-    "ev_session_native" -> ((s, d) =>
-      Tables.events(s, d)
-        .withColumn("ts2", date_trunc("second", col("ts")))
-        .groupBy(col("user_id"), session_window(col("ts2"), "30 minutes"))
-        .agg(count(lit(1)).as("n_events"))
-        .select(col("user_id"), col("session_window.start").as("session_start"),
-          col("n_events"))),
-
-    // web-crawl curation: URL extraction (regexp_extract_all) → host
-    // normalization (lowercase, strip www.) → per-domain link/doc counts;
-    // injection is deterministic so both engines see identical text
-    "t_url_hosts" -> ((s, d) => {
-      val id = col("doc_id")
-      val host = concat(
-        when(id % 2 === 0, lit("WWW.")).otherwise(lit("")),
-        lit("site"), pmod(id, lit(7)).cast("string"),
-        lit(".example"), when(id % 3 === 0, lit(".org")).otherwise(lit(".com")))
-      val injected = concat(col("text"),
-        when(id % 4 === 0,
-          concat(lit(" see https://"), host, lit("/p/"), id.cast("string")))
-          .otherwise(lit("")),
-        when(id % 6 === 0, concat(lit(" also http://"), host, lit("/q")))
-          .otherwise(lit("")))
-      Tables.documents(s, d)
-        .withColumn("inj", injected)
-        .select(col("doc_id"),
-          explode(expr("regexp_extract_all(inj, 'https?://([A-Za-z0-9.-]+)', 1)"))
-            .as("raw"))
-        .select(col("doc_id"),
-          regexp_replace(lower(col("raw")), "^www\\.", "").as("host"))
-        .groupBy("host")
-        .agg(count(lit(1)).as("n_links"), countDistinct(col("doc_id")).as("n_docs"))
-    }),
-
-    // Q12-shaped late-shipment severity split through the shared-text tier
-    "sql_q12_late" -> ((s, d) => {
-      Seq("orders", "lineitem").foreach(tn =>
-        Tables.table(s, d, tn).createOrReplaceTempView(tn))
-      s.sql(SparkEntry.q12Sql)
-    }),
-
-    // Q14-shaped promo revenue share (join + conditional decimal ratio)
-    "sql_q14_promo" -> ((s, d) => {
-      Seq("lineitem", "part").foreach(tn =>
-        Tables.table(s, d, tn).createOrReplaceTempView(tn))
-      s.sql(SparkEntry.q14Sql)
-    }),
-
-    // Q19 shape: OR'd conjunct groups referencing both join sides — the
-    // disjunction evaluates post-join; Catalyst still extracts the
-    // common p_brand IN (…) implication for the part-side scan
-    "sql_q19_parts" -> ((s, d) => {
-      Seq("lineitem", "part").foreach(tn =>
-        Tables.table(s, d, tn).createOrReplaceTempView(tn))
-      s.sql(SparkEntry.q19Sql)
-    }),
-
-    // the four partsupp decision-support shapes (Q2/Q11/Q16/Q20), over
-    // the deterministically DERIVED partsupp (see partsuppCte — the one
-    // TPC-H table the testdata lacks). Shared text: the same SQL string
-    // runs on Spark and DuckDB, so the derivation AND the query are both
-    // cross-engine-checked.
-    "sql_q2_mincost" -> ((s, d) => {
-      Seq("part", "supplier", "nation", "region").foreach(tn =>
-        Tables.table(s, d, tn).createOrReplaceTempView(tn))
-      s.sql(SparkEntry.q2Sql)
-    }),
-    "sql_q11_stockvalue" -> ((s, d) => {
-      Seq("part", "supplier", "nation").foreach(tn =>
-        Tables.table(s, d, tn).createOrReplaceTempView(tn))
-      s.sql(SparkEntry.q11Sql)
-    }),
-    "sql_q16_suppcnt" -> ((s, d) => {
-      Seq("part", "supplier").foreach(tn =>
-        Tables.table(s, d, tn).createOrReplaceTempView(tn))
-      s.sql(SparkEntry.q16Sql)
-    }),
-    "sql_q20_excess" -> ((s, d) => {
-      Seq("part", "supplier", "nation", "lineitem").foreach(tn =>
-        Tables.table(s, d, tn).createOrReplaceTempView(tn))
-      s.sql(SparkEntry.q20Sql)
-    }),
-
-    // ==== MIMIC-shaped synthetic dataset at the reference's PUBLISHED
-    // scale (58,976 admissions; sources/MimicSynth.scala): the engine's
-    // §3 answers checked against the reference's ACTUAL golden
-    // cardinalities, not a TPC-H analog. Both engines generate the
-    // tables from identical md5-hash arithmetic, so every row below is
-    // exactly DuckDB-oracled end-to-end (generation + pipeline). ====
-
-    // the reference's flagship labeling (py:39-86 + the py:77/267-269
-    // filters): lead/skip-ELECTIVE/backfill windows anchored on
-    // DISCHARGE, 30-day label, death + newborn exclusions, then the
-    // DIAGNOSES_ICD inner join (cell 22 — drops the 245 no-diagnosis
-    // admissions from the 45,321 filtered rows). Golden: cohort 45,076 =
-    // 2,958 pos + 42,118 neg, EXACTLY the reference's published counts
-    // (MimicSynthSpec pins them); hadm_sum pins WHICH admissions, not
-    // just how many
-    "mimic_cohort_counts" -> ((s, d) => {
-      val adm = graft.sources.MimicSynth.admissions(s)
-      graft.ops.CohortOps.labelNextEvent(
-        adm, entityCol = "SUBJECT_ID", timeCol = "ADMITTIME",
-        typeCol = "ADMISSION_TYPE", tieCol = "HADM_ID",
-        excludedType = "ELECTIVE", horizonDays = 30.0, anchorCol = "DISCHTIME")
-        .filter(col("DEATHTIME").isNull && col("ADMISSION_TYPE") =!= "NEWBORN")
-        .join(graft.sources.MimicSynth.diagnoses(s).select("HADM_ID"),
-          Seq("HADM_ID"), "left_semi")
-        .groupBy(col("label"))
-        .agg(count(lit(1)).as("n"), sum(col("HADM_ID")).as("hadm_sum"))
-    }),
-
-    // admissions profile: per-type counts and in-hospital deaths
-    // (py:79-84 death readout; 7,863 NEWBORN rows = MIMIC-III's own)
-    "mimic_adm_profile" -> ((s, d) =>
-      graft.sources.MimicSynth.admissions(s)
-        .groupBy(col("ADMISSION_TYPE").as("admission_type"))
-        .agg(count(lit(1)).as("n_adm"),
-          sum(when(col("DEATHTIME").isNotNull, 1L).otherwise(0L)).as("n_death"))),
-
-    // the reference's three-stage ethnicity collapse (py:102-108): E5
-    // regex recodes in the reference's ORDER, E6 isin collapse, P13
-    // top-5-else — over the death/newborn-filtered cohort, exactly as
-    // cells 7-9 sequence it
-    "mimic_ethnicity_top5" -> ((s, d) => {
-      val adm = graft.sources.MimicSynth.admissions(s)
-        .filter(col("DEATHTIME").isNull && col("ADMISSION_TYPE") =!= "NEWBORN")
-      val recoded = adm.withColumn("eth",
-        when(col("ETHNICITY").rlike("^ASIAN"), "ASIAN")
-          .when(col("ETHNICITY").rlike("^WHITE"), "WHITE")
-          .when(col("ETHNICITY").rlike("^HISPANIC"), "HISPANIC/LATINO")
-          .when(col("ETHNICITY").rlike("^BLACK"), "BLACK/AFRICAN AMERICAN")
-          .when(col("ETHNICITY").isin("UNABLE TO OBTAIN", "OTHER",
-            "PATIENT DECLINED TO ANSWER", "UNKNOWN/NOT SPECIFIED"), "OTHER/UNKNOWN")
-          .otherwise(col("ETHNICITY")))
-      graft.ops.Recodes.topKOrElse(recoded, "eth", 5, "OTHER/UNKNOWN")
-        .groupBy(col("eth").as("ethnicity")).agg(count(lit(1)).as("n"))
-    }),
-
-    // the reference's ICD-9 18-category recode (py:120-147): alpha/null
-    // codes → 999, 3-digit slice, FIRST-matching inclusive range —
-    // V/E codes landing in 'injury' via the 999 bucket is the
-    // reference's own (faithfully replicated) behavior
-    "mimic_diag_categories" -> ((s, d) => {
-      val dg = graft.sources.MimicSynth.diagnoses(s)
-      val code3 = coalesce(
-        when(col("ICD9_CODE").rlike("[A-Za-z]"), lit(999))
-          .otherwise(substring(col("ICD9_CODE"), 1, 3).cast("int")),
-        lit(999))
-      dg.withColumn("cat", SparkEntry.icd9Category(code3))
-        .groupBy("cat")
-        .agg(count(lit(1)).as("n_codes"),
-          countDistinct(col("HADM_ID")).as("n_adm"))
-    }),
-
-    // age at first (surviving) admission with the reference's >89
-    // date-shift clamp (py:205-215: the pandas int64-ns overflow form),
-    // age != 0 filter, per-age histogram
-    "mimic_age_hist" -> ((s, d) => {
-      val coh = graft.sources.MimicSynth.admissions(s)
-        .filter(col("DEATHTIME").isNull && col("ADMISSION_TYPE") =!= "NEWBORN")
-      val admMin = coh.groupBy("SUBJECT_ID").agg(min("ADMITTIME").as("admit_min"))
-      val aged = admMin
-        .join(graft.sources.MimicSynth.patients(s), Seq("SUBJECT_ID"))
-        .withColumn("age_raw",
-          floor(graft.ops.CohortOps.fractionalDays(col("admit_min"), col("DOB")) / 365.0))
-        .withColumn("age",
-          when(col("age_raw") > 89 || col("age_raw") < 0, 90L).otherwise(col("age_raw")))
-        .filter(col("age") =!= 0)
-      aged.groupBy("age").agg(count(lit(1)).as("n"))
-    }),
-
-    // the last reference plot input (py:66-70): the 30-day-binned
-    // DAYS_NEXT_ADMIT histogram — `plt.hist(days, bins=range(0,365,30))`
-    // over the PRE-FILTER labeled frame (the hist precedes the py:77
-    // death filter, so NEWBORN/death rows are in). matplotlib semantics
-    // reproduced exactly: edges 0,30,..,360, values outside [0,360]
-    // dropped, and the LAST bin [330,360] right-INCLUSIVE (the
-    // least(...,11) clamp)
-    "mimic_days_hist" -> ((s, d) =>
-      graft.ops.CohortOps.labelNextEvent(
-        graft.sources.MimicSynth.admissions(s),
-        entityCol = "SUBJECT_ID", timeCol = "ADMITTIME",
-        typeCol = "ADMISSION_TYPE", tieCol = "HADM_ID",
-        excludedType = "ELECTIVE", horizonDays = 30.0, anchorCol = "DISCHTIME")
-        .filter(col("days_next").isNotNull &&
-          col("days_next") >= 0 && col("days_next") <= 360)
-        .withColumn("bin_days",
-          (least(floor(col("days_next") / 30.0), lit(11L)) * 30).cast("long"))
-        .groupBy("bin_days").agg(count(lit(1)).as("n"))),
-
-    // the py:75-76 readout over the same pre-filter frame: "Number with a
-    // readmission / Total Number" — count of non-null DAYS_NEXT_ADMIT vs
-    // all admissions (NEWBORN/death rows included; the filters come later)
-    "mimic_readmit_counts" -> ((s, d) =>
-      graft.ops.CohortOps.labelNextEvent(
-        graft.sources.MimicSynth.admissions(s),
-        entityCol = "SUBJECT_ID", timeCol = "ADMITTIME",
-        typeCol = "ADMISSION_TYPE", tieCol = "HADM_ID",
-        excludedType = "ELECTIVE", horizonDays = 30.0, anchorCol = "DISCHTIME")
-        .agg(
-          sum(when(col("days_next").isNotNull, 1L).otherwise(0L)).as("n_readmit"),
-          count(lit(1)).as("n_total"))),
-
-    // the reference's 80/20 split golden (BASELINE.md "train / test"):
-    // the 45,059 modeling rows (cohort − the 17 missing-DOB dropna rows)
-    // hash-split to EXACTLY train 36,047 / test 9,012 with 2,360 / 598
-    // positives — the published seed-42 counts; hadm_sum pins membership
-    "mimic_split_counts" -> ((s, d) =>
-      graft.sources.MimicSynth.modelingRows(s)
-        .groupBy("split")
-        .agg(count(lit(1)).as("n"),
-          sum(col("label").cast("long")).as("n_pos"),
-          sum(col("HADM_ID")).as("hadm_sum"))),
-
-    // the reference's resampling-cardinality goldens (py:447-455,
-    // :683-687): balanced undersample = 2 × train positives = 4,720;
-    // oversample = 2 × train negatives = 33,687 + 33,687 — count
-    // identities of the split, so exactly oracle-able (the sampled
-    // MEMBERSHIP is the RNG surface, pinned by the o4/o8 hash-twins)
-    "mimic_resample_counts" -> ((s, d) => {
-      val t = graft.sources.MimicSynth.modelingRows(s)
-        .filter(col("split") === "train")
-        .agg(sum(col("label").cast("long")).as("tp"),
-          sum(lit(1L) - col("label").cast("long")).as("tn"))
-      t.select(lit("base").as("strategy"), (col("tp") + col("tn")).as("n_train"),
-          col("tp").as("n_pos"), col("tn").as("n_neg"))
-        .unionByName(t.select(lit("undersample").as("strategy"),
-          (col("tp") * 2).as("n_train"), col("tp").as("n_pos"), col("tp").as("n_neg")))
-        .unionByName(t.select(lit("oversample").as("strategy"),
-          (col("tn") * 2).as("n_train"), col("tn").as("n_pos"), col("tn").as("n_neg")))
-    }),
-
-    // §3.3 at reference scale (rows-only — MLlib LR internals): L1 LR on
-    // the 45,059 × 3,019 matrix, base vs balanced-undersampled train,
-    // at the sklearn-faithful regularization (λ = 1/(n·C) at the CV-
-    // winning C = 0.01). Emits BOTH the probability-ranking AUC and the
-    // reference's published readout — roc_curve on BINARY predictions =
-    // (recall+specificity)/2, the metric behind its 0.501 → 0.640
-    // finding: the imbalanced base fit predicts ~all-negative at 0.5 (so
-    // auc_pred ≈ 0.5 even though its RANKING is informative), while the
-    // balanced train predicts both classes. Bands pinned in
-    // MimicTrainSpec.
-    "mimic_train_bench" -> ((s, d) => {
-      val full = graft.pipeline.MimicPipeline.assembled(s)
-      val train = full.filter(col("split") === "train").select("id", "features", "label")
-      val test = full.filter(col("split") === "test").select("id", "features", "label")
-      val strategies = Seq(
-        "base" -> train,
-        "undersample" -> graft.ml.Resamplers.randomUndersample(train, "label", 42L))
-      import s.implicits._
-      strategies.map { case (name, tr) =>
-        val n = tr.count()
-        // size-adapted compaction before the iterated fit (shared
-        // contract: ~8k rows/task, capped at the input's own parallelism,
-        // shuffle-free coalesce when shrinking)
-        val fit = graft.ml.TrainHarness.compactForFit(
-          tr.select(col("features"), col("label")), n).cache()
-        fit.count()
-        try {
-          val scored = graft.ml.TrainHarness.logisticL1Scores(fit, test,
-            "features", "label", regParam = 1.0 / (n * 0.01)).cache()
-          try (name, n,
-            math.round(graft.ml.Metrics.aucRoc(scored, "score", "label") * 1000) / 1000.0,
-            math.round(graft.ml.Metrics.aucRocFromPredictions(scored, "score", "label") * 1000) / 1000.0)
-          finally scored.unpersist()
-        } finally fit.unpersist()
-      }.toDF("strategy", "n_train", "auc_roc", "auc_pred")
-    }),
-
-    // M8 at the reference's EXACT published benchmark config (rows-only):
-    // 4-value L1 grid × 5 folds = 20 LR fits on the 36,047 × 3,019 train
-    // matrix — the reference's only wall-clock golden (~6.0 min,
-    // ipynb cell 64); this row is the 1:1 BENCH comparable at identical
-    // data scale and shape
-    "mimic_cv_grid" -> ((s, d) => {
-      // compacted before the grid: the memoized matrix carries the
-      // session's shuffle-partition count, and 20 L-BFGS fits over a
-      // 36k-row frame in 32 near-empty partitions are a per-iteration
-      // task swarm (measured 33.6 s vs 11.6 s on the same HEAD after
-      // compaction); compactForFit targets ~8k rows/task, capped at the
-      // input's own parallelism — at real cluster train sizes it never
-      // binds
-      val raw = graft.pipeline.MimicPipeline.assembled(s)
-        .filter(col("split") === "train").select("features", "label")
-      val train = graft.ml.TrainHarness.compactForFit(raw, 36047L).cache()
-      train.count()
-      try {
-        val (bestReg, bestAcc) = graft.ml.TrainHarness.gridSearchLr(
-          train, "features", "label", regParams = Seq(10.0, 1.0, 0.1, 0.01),
-          numFolds = 5, parallelism = 8)
-        import s.implicits._
-        Seq((bestReg, bestAcc)).toDF("best_reg_param", "best_cv_accuracy")
-      } finally train.unpersist()
-    }),
-
-    // M5/M6 at reference scale (rows-only — tree RNG): RF on the
-    // balanced-undersampled 4,720 × 3,019 train at the reference's
-    // headline tree counts (their cell-40 config: n=300, AUC 0.695;
-    // sklearn-default band 0.623) — AUC bands pinned in MimicTrainSpec
-    "mimic_rf_bench" -> ((s, d) => {
-      val full = graft.pipeline.MimicPipeline.assembled(s)
-      val train = full.filter(col("split") === "train").select("id", "features", "label")
-      val test = full.filter(col("split") === "test").select("id", "features", "label")
-      val under = graft.ml.Resamplers.randomUndersample(train, "label", 42L)
-      graft.ml.TrainHarness.rfSweep(under, test, "features", "label", Seq(100, 300))
-    }),
-
-    // The reference's CULMINATING table at full scale (rows-only — MLlib
-    // LR + resampler RNG): cells 64-69 / py:796-861 — for each of the
-    // five resamplers, 5-fold CV over the 4-value L1 grid (= 20 fits per
-    // strategy at 36,047 × 3,019 and up to 67,374 × 3,019 resampled),
-    // final train at the tuned reg, and the published 8-metric row
-    // including the reference's binary-prediction auc_roc quirk
-    // ((recall+specificity)/2 — why base reads ≈ 0.501) and the
-    // swapped-axis auc_pr. Published ordering (RUS 0.640 best, base
-    // 0.501 worst) is pinned in MimicTrainSpec. The LSH radii are sized
-    // for the UNstandardized MIMIC feature space (age 16-90 dominates
-    // Euclidean distance — the same space imblearn saw).
-    "mimic_resampler_bench" -> ((s, d) => {
-      val full = graft.pipeline.MimicPipeline.assembled(s)
-      val train = full.filter(col("split") === "train").select("id", "features", "label")
-      val test = full.filter(col("split") === "test").select("id", "features", "label")
-      // radii sized from measured minority NN distances in this space
-      // (median ≈ 8, p25 pair ≈ 14): 12 captures the k-NN shell without
-      // bucket-cross-product blowup
-      val r = graft.ml.TrainHarness.resamplerBenchmark(
-        train, test, "id", "features", "label",
-        smoteRadius = 12.0, smoteBucketLength = 6.0,
-        nearMissRadius = 12.0)
-      r.select(col("strategy"), col("n_train"), col("best_c"),
-        round(col("cv_accuracy"), 3).as("cv_accuracy"),
-        round(col("f1"), 3).as("f1"),
-        round(col("precision_"), 3).as("precision_"),
-        round(col("recall"), 3).as("recall"),
-        round(col("accuracy"), 3).as("accuracy"),
-        round(col("auc_roc"), 3).as("auc_roc"),
-        round(col("auc_pr"), 3).as("auc_pr"),
-        col("tn"), col("fp"), col("fn"), col("tp"))
-    }),
-
-    // The reference's most instructive NEGATIVE result (cell 56 /
-    // py:683-737, rows-only — tree RNG): RF trained on the
-    // RandomOverSampler-duplicated train (33,687 × 2). sklearn's
-    // fully-grown exact-split trees memorize the duplicated minority, so
-    // its test readout collapses to the majority — the published
-    // acc 0.934 / recall 0.003 pathology next to a healthy-looking
-    // probability AUC (0.701). A distributed histogram-binned RF
-    // structurally SMOOTHS exact-split memorization, so the pathology's
-    // DIRECTION reproduces (recall collapses toward 0 while accuracy
-    // inflates toward prevalence — measured recall 0.16 / acc 0.87 at
-    // maxDepth 26, monotone worsening with depth: 0.28@d15 → 0.23@d20 →
-    // 0.16@d26) but not sklearn's full magnitude; bands pinned in
-    // MimicTrainSpec alongside the 0.695-under and 0.623-default rows,
-    // with the oversample row required to sit on the pathological side
-    // of the undersample row on BOTH axes.
-    "mimic_rf_oversample" -> ((s, d) => {
-      val full = graft.pipeline.MimicPipeline.assembled(s)
-      val train = full.filter(col("split") === "train").select("id", "features", "label")
-      val test = full.filter(col("split") === "test").select("id", "features", "label")
-      val over = graft.ml.Resamplers.randomOversample(train, "label", 42L)
-      val scored = graft.ml.TrainHarness.randomForestScores(
-        over, test, "features", "label", numTrees = 50, seed = 42L,
-        maxDepth = 26, maxBins = 16, maxMemoryMB = 2048).cache()
-      try {
-        val auc = graft.ml.Metrics.aucRoc(scored, "score", "label")
-        val m = graft.ml.Metrics.thresholdMetrics(scored, "score", "label", 0.5).collect()(0)
-        import s.implicits._
-        Seq(("oversample_rf",
-          math.round(auc * 1000) / 1000.0,
-          math.round(m.getAs[Double]("accuracy") * 1000) / 1000.0,
-          math.round(m.getAs[Double]("recall") * 1000) / 1000.0,
-          m.getAs[Long]("tp"), m.getAs[Long]("fn")))
-          .toDF("strategy", "auc_roc", "accuracy", "recall", "tp", "fn")
-      } finally scored.unpersist()
-    }),
-
-    // M1/M2 at reference scale: the CountVectorizer max_features=3000
-    // vocabulary over the cohort's discharge summaries (py:313-315) —
-    // top-3000 terms by count, term-ascending tiebreak, out of a
-    // 3,524-type candidate pool, so the cut is a real frequency cut.
-    // The note TEXT is hash-generated identically on both engines, so
-    // the vocabulary is exactly oracled end-to-end
-    "mimic_notes_vocab" -> ((s, d) => {
-      val coh = graft.sources.MimicSynth.admissions(s)
-        .filter(col("DEATHTIME").isNull && col("ADMISSION_TYPE") =!= "NEWBORN")
-        .join(graft.sources.MimicSynth.diagnoses(s).select("HADM_ID"),
-          Seq("HADM_ID"), "left_semi")
-        .select(col("HADM_ID"))
-      graft.sources.MimicSynth.notes(s)
-        .filter(col("CATEGORY") === "Discharge summary")
-        .select(col("HADM_ID"), explode(split(col("TEXT"), " ")).as("word"))
-        .join(coh, "HADM_ID")
-        .groupBy("word").agg(count(lit(1)).as("cnt"))
-        .orderBy(desc("cnt"), asc("word")).limit(3000)
-    }),
-
-    // the reference's bag-of-words matrix golden (BASELINE.md: 45,076 ×
-    // 3,000): matrix rows = the cohort (missing-note rows are all-zero),
-    // columns = the top-3000 vocabulary, plus the nonzero-cell and
-    // total-token mass that pin the matrix CONTENT, not just its shape
-    "mimic_bow_profile" -> ((s, d) => {
-      val coh = graft.sources.MimicSynth.admissions(s)
-        .filter(col("DEATHTIME").isNull && col("ADMISSION_TYPE") =!= "NEWBORN")
-        .join(graft.sources.MimicSynth.diagnoses(s).select("HADM_ID"),
-          Seq("HADM_ID"), "left_semi")
-        .select(col("HADM_ID"))
-      val toks = graft.sources.MimicSynth.notes(s)
-        .filter(col("CATEGORY") === "Discharge summary")
-        .select(col("HADM_ID"), explode(split(col("TEXT"), " ")).as("word"))
-        .join(coh, "HADM_ID")
-      val vocab = toks.groupBy("word").agg(count(lit(1)).as("_c"))
-        .orderBy(desc("_c"), asc("word")).limit(3000).select("word")
-      val inVocab = toks.join(vocab, "word")
-      coh.agg(count(lit(1)).as("n_rows"))
-        .crossJoin(inVocab.select("word").distinct()
-          .agg(count(lit(1)).as("n_features")))
-        .crossJoin(inVocab.select("HADM_ID", "word").distinct()
-          .agg(count(lit(1)).as("nnz")))
-        .crossJoin(inVocab.agg(count(lit(1)).as("total_tokens")))
-    }),
-
-    // M14's SELECTION half at MIMIC scale (py:633-638:
-    // mutual_info_classif over the 36,047 × 3,019 train matrix, sorted
-    // desc): plug-in MI of every matrix column vs the label, rank-listed
-    // to the sweep's deepest cut (2,900) — the top-100/1,000/2,900 sets
-    // the retrain sweep slices are all prefixes of this one exactly
-    // DuckDB-oracled ranking (round-6 MI, name tiebreak)
-    "mimic_feature_select" -> ((s, d) =>
-      graft.pipeline.MimicPipeline.miRanking(s).filter(col("rank") <= 2900)),
-
-    // M14's RETRAIN half at MIMIC scale (py:644-658: top-n MI columns →
-    // RandomForest(200) refit on the FULL train → probability AUC on
-    // test, n swept 100..2900; rows-only — tree RNG). The column sets are
-    // the exactly-oracled mimic_feature_select prefixes mapped to matrix
-    // slots, sliced with VectorSlicer so the fits read the same assembled
-    // matrix every other mimic_* row uses. Shape note (MimicTrainSpec
-    // pins it): the reference's plot rises then flattens because MIMIC's
-    // signal is spread across >100 clinical words; the synthetic corpus
-    // concentrates it in a smaller risk-word pool, so the curve here is
-    // already SATURATED at n=100 (measured 0.705/0.689/0.695) — the spec
-    // asserts the saturation plateau (all points within a band, all well
-    // above chance), the part of the published curve the data supports.
-    "mimic_feature_sweep" -> ((s, d) => {
-      val full = graft.pipeline.MimicPipeline.assembled(s)
-      val train = full.filter(col("split") === "train").select("features", "label")
-      val test = full.filter(col("split") === "test").select("features", "label")
-      // slot layout mirrors the VectorAssembler order: BoW block first,
-      // then diag cats, age, gender — offsets DERIVED from vocab.length
-      // (normally 3,000) so a smaller vocabulary cut can never silently
-      // misalign the slices
-      val vocab = graft.pipeline.MimicPipeline.vocabulary(s)
-      val nv = vocab.length
-      val cats = graft.pipeline.MimicPipeline.diagCats
-      val slotOf: Map[String, Int] =
-        vocab.zipWithIndex.map { case (w, i) => s"bow:$w" -> i }.toMap ++
-          cats.zipWithIndex.map { case (c, i) => s"diag_$c" -> (nv + i) }.toMap ++
-          Map("age" -> (nv + cats.length), "gender_m" -> (nv + cats.length + 1))
-      // bounded collect: the 2,900-name ranked prefix (the sweep's
-      // declared depth), not data
-      val ranked = graft.pipeline.MimicPipeline.miRanking(s)
-        .orderBy("rank").limit(2900).collect().map(_.getString(1))
-      import s.implicits._
-      Seq(100, 1000, 2900).map { n =>
-        val slots = ranked.take(n).map(slotOf).sorted
-        val slicer = new org.apache.spark.ml.feature.VectorSlicer()
-          .setInputCol("features").setOutputCol("fsel").setIndices(slots)
-        val trainN = slicer.transform(train)
-          .select(col("fsel").as("features"), col("label"))
-        val testN = slicer.transform(test)
-          .select(col("fsel").as("features"), col("label"))
-        val scored = graft.ml.TrainHarness.randomForestScores(
-          trainN, testN, "features", "label", numTrees = 200)
-        (n.toLong,
-          math.round(graft.ml.Metrics.aucRoc(scored, "score", "label") * 1000) / 1000.0)
-      }.toDF("n_attrs", "auc")
-    }),
-
-    // the composed §3 pipeline at reference scale: cohort labeling +
-    // filters + per-admission diagnosis-category matrix (inner) +
-    // patients/age (inner) + age filter — the reference's modeling table
-    // (cells 7-20), read out per label with membership-pinning sums
-    "mimic_pipeline_relational" -> ((s, d) => {
-      val adm = graft.sources.MimicSynth.admissions(s)
-      val coh = graft.ops.CohortOps.labelNextEvent(
-        adm, entityCol = "SUBJECT_ID", timeCol = "ADMITTIME",
-        typeCol = "ADMISSION_TYPE", tieCol = "HADM_ID",
-        excludedType = "ELECTIVE", horizonDays = 30.0, anchorCol = "DISCHTIME")
-        .filter(col("DEATHTIME").isNull && col("ADMISSION_TYPE") =!= "NEWBORN")
-      val dg = graft.sources.MimicSynth.diagnoses(s)
-      val code3 = coalesce(
-        when(col("ICD9_CODE").rlike("[A-Za-z]"), lit(999))
-          .otherwise(substring(col("ICD9_CODE"), 1, 3).cast("int")),
-        lit(999))
-      val cats = dg.withColumn("cat", SparkEntry.icd9Category(code3))
-        .groupBy("HADM_ID")
-        .agg(sum(when(col("cat") === "circulatory", 1L).otherwise(0L)).as("n_circ"),
-          sum(when(col("cat") === "injury", 1L).otherwise(0L)).as("n_inj"))
-      val admMin = coh.groupBy("SUBJECT_ID").agg(min("ADMITTIME").as("admit_min"))
-      coh
-        .join(cats, Seq("HADM_ID"))
-        .join(admMin, Seq("SUBJECT_ID"))
-        .join(graft.sources.MimicSynth.patients(s), Seq("SUBJECT_ID"))
-        .withColumn("age_raw",
-          floor(graft.ops.CohortOps.fractionalDays(col("admit_min"), col("DOB")) / 365.0))
-        .withColumn("age",
-          when(col("age_raw") > 89 || col("age_raw") < 0, 90L).otherwise(col("age_raw")))
-        .filter(col("age") =!= 0)
-        .groupBy(col("label"))
-        .agg(count(lit(1)).as("n_rows"),
-          countDistinct(col("SUBJECT_ID")).as("n_subjects"),
-          sum(col("age")).as("sum_age"),
-          sum(col("n_circ")).as("sum_circ"),
-          sum(col("n_inj")).as("sum_inj"))
-    }),
-
-    // round-trips the CELL-8 cleaned cohort (df_adm_notes after the
-    // death/newborn filters + labeling, with the last discharge-summary
-    // TEXT left-joined; the synth asserts ≤1 summary per admission,
-    // mirroring the reference's own duplicate assert at py:249). Note:
-    // the reference's persisted artifact at py:265 is the LATER frame —
-    // post-diagnoses-inner-join, patients-merged, age≠0-filtered, with
-    // ICD category dummies (~45k rows after the 245-row drop); that
-    // frame's content is covered by the green mimic_pipeline_relational /
-    // mimic_age_hist / mimic_diag_categories rows. This row's job is the
-    // SINK: prove S6 CSV round-trips a 45,321-row mixed
-    // string/timestamp/null table at MIMIC scale — write via Sinks.csv
-    // (distributed, one file per partition), re-read with the declared
-    // schema, and emit a per-label readout the oracle computes straight
-    // from the generated tables — any sink/source corruption (quoting,
-    // nulls, timestamp format) hash-mismatches.
-    "mimic_csv_roundtrip" -> ((s, d) => {
-      val cleaned = graft.ops.CohortOps.labelNextEvent(
-        graft.sources.MimicSynth.admissions(s),
-        entityCol = "SUBJECT_ID", timeCol = "ADMITTIME",
-        typeCol = "ADMISSION_TYPE", tieCol = "HADM_ID",
-        excludedType = "ELECTIVE", horizonDays = 30.0, anchorCol = "DISCHTIME")
-        .filter(col("DEATHTIME").isNull && col("ADMISSION_TYPE") =!= "NEWBORN")
-        .join(graft.sources.MimicSynth.notes(s)
-          .filter(col("CATEGORY") === "Discharge summary")
-          .select(col("HADM_ID"), col("TEXT")), Seq("HADM_ID"), "left")
-        .select(col("SUBJECT_ID"), col("HADM_ID"), col("ADMITTIME"),
-          col("ADMISSION_TYPE"), col("ETHNICITY"),
-          col("label").cast("int").as("OUTPUT_LABEL"), col("TEXT"))
-      val path = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"),
-        s"graft_mimic_cleaned_${s.sparkContext.applicationId}")
-      // the write lives INSIDE the try so a mid-write failure (task OOM,
-      // disk full) still hits the finally-block deletion — a partially
-      // written multi-MB scratch dir is exactly what the cleanup exists
-      // to prevent
-      try {
-        graft.core.Sinks.csv(cleaned, path.toString)
-        val back =
-          s.read.option("header", "true").schema(cleaned.schema).csv(path.toString)
-        val readout = back.groupBy(col("OUTPUT_LABEL").as("output_label"))
-          .agg(count(lit(1)).as("n_rows"),
-            sum(col("HADM_ID")).as("hadm_sum"),
-            sum(when(col("TEXT").isNull, 1L).otherwise(0L)).as("n_missing_text"),
-            sum(length(col("TEXT"))).as("text_chars"),
-            min(col("ADMITTIME")).as("admit_min"))
-        // materialize the 2-row readout BEFORE deleting the CSV, then hand
-        // back a local frame — callers get identical values and the multi-MB
-        // scratch dir doesn't accumulate one copy per session in tmpdir
-        val rows = readout.collect().toSeq
-        s.createDataFrame(s.sparkContext.parallelize(rows, 1), readout.schema)
-      } finally {
-        import scala.jdk.CollectionConverters._
-        if (java.nio.file.Files.exists(path)) {
-          val walk = java.nio.file.Files.walk(path)
-          try walk.iterator().asScala.toSeq
-            .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
-          finally walk.close()
-        }
-      }
-    }),
-
-    // hybrid retrieval over the REALISTIC corpus (the round-8 verdict's
-    // composition ask): reciprocal-rank fusion of a BM25 lexical leg and
-    // a BoW-cosine dense leg, both over the cohort's discharge summaries
-    // — what a retrieval user of this engine actually runs. The query
-    // document is data-derived (the summary with the most tokens, lowest
-    // HADM_ID tiebreak); the dense space is the pipeline's own top-3000
-    // vocabulary, so the cosine is a sparse integer-count dot product —
-    // exactly oracle-able end to end. BM25's alpha-run tokenization
-    // collapses the synthetic `wNNNN` pool words to 'w' (every word here
-    // is all-alpha or w+digits, so one alpha run per word and dl still
-    // equals the word count); the query terms are core clinical words, so
-    // the collapse is inert and mirrored verbatim in the oracle.
-    // Scale shape: BM25 is one scan + |Q|-bounded tf frame; the dense leg
-    // shuffles counts once on word with the ≤3,000-term query side
-    // BROADCAST; both legs end in TakeOrdered(100) cuts and the fusion
-    // works on ≤200 rows.
-    "mimic_rrf_retrieval" -> ((s, d) => {
-      // cached: the BM25 leg, the token stream, and the query pick would
-      // each re-GENERATE the synthetic corpus (per-word md5 draws, the
-      // dominant cost — 3 passes → 1). ~12 MB; CacheManager dedups the
-      // canonical plan across invocations (PinHygieneSpec pins ≤1 entry)
-      val docs = graft.sources.MimicSynth.notes(s)
-        .filter(col("CATEGORY") === "Discharge summary")
-        .join(graft.sources.MimicSynth.admissions(s)
-          .filter(col("DEATHTIME").isNull && col("ADMISSION_TYPE") =!= "NEWBORN")
-          .select("HADM_ID"), Seq("HADM_ID"), "left_semi")
-        .join(graft.sources.MimicSynth.diagnoses(s).select("HADM_ID"),
-          Seq("HADM_ID"), "left_semi")
-        .select(col("HADM_ID"), col("TEXT"))
-        .cache()
-      val lex = graft.text.Bm25.scores(docs, "HADM_ID", "TEXT",
-          Seq("pneumonia", "chronic", "renal", "failure"))
-        .orderBy(desc("score"), asc("HADM_ID")).limit(100)
-        .withColumn("r", row_number().over(
-          Window.orderBy(desc("score"), asc("HADM_ID"))))
-        .select(col("HADM_ID").as("id"), col("r"))
-      val toks = docs.select(col("HADM_ID"),
-        explode(split(col("TEXT"), " ")).as("word"))
-      val vocab = toks.groupBy("word").agg(count(lit(1)).as("_c"))
-        .orderBy(desc("_c"), asc("word")).limit(3000).select("word")
-      val counts = toks.join(vocab, "word")
-        .groupBy("HADM_ID", "word").agg(count(lit(1)).cast("double").as("c"))
-      val qid = docs.select(col("HADM_ID"), size(split(col("TEXT"), " ")).as("n"))
-        .orderBy(desc("n"), asc("HADM_ID")).limit(1)
-        .select(col("HADM_ID").as("_qid"))
-      val qcounts = counts.join(qid, col("HADM_ID") === col("_qid"))
-        .select(col("word"), col("c").as("qc"))
-      val qnorm = qcounts.agg(sum(col("qc") * col("qc")).as("q2"))
-      val dnorm = counts.groupBy("HADM_ID").agg(sum(col("c") * col("c")).as("d2"))
-      // integer-count dot products in double: exact on both engines
-      val sem = counts.join(broadcast(qcounts), "word")
-        .groupBy("HADM_ID").agg(sum(col("c") * col("qc")).as("dot"))
-        .join(dnorm, "HADM_ID")
-        .crossJoin(broadcast(qnorm)).crossJoin(broadcast(qid))
-        .filter(col("HADM_ID") =!= col("_qid"))
-        .withColumn("cos", round(col("dot") / sqrt(col("d2") * col("q2")), 9))
-        .orderBy(desc("cos"), asc("HADM_ID")).limit(100)
-        .withColumn("r", row_number().over(
-          Window.orderBy(desc("cos"), asc("HADM_ID"))))
-        .select(col("HADM_ID").as("id"), col("r"))
-      graft.sim.Similarity.rrfFuse(Seq(lex, sem), "id", "r", kConst = 60, topK = 20)
-    }),
-
-    // CUPED variance-reduced experiment readout: pre-period clicks as the
-    // covariate, purchases as the metric, same hash arms as ab_ztest —
-    // one per-user agg, one 1-row moments agg, scalar math after
-    "ab_cuped" -> ((s, d) => {
-      val perUser = Tables.events(s, d)
-        .groupBy(col("user_id"))
-        .agg(
-          sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
-          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
-        .select(
-          when(permilleHash(col("user_id"), ":ab") < 500, "A").otherwise("B").as("arm"),
-          col("x"), col("y"))
-      graft.ops.ExperimentOps.cuped(perUser, "arm", "A", "B", "x", "y")
-    }),
-
-    // stratified IPW (Horvitz–Thompson) treatment-effect estimate:
-    // stratum = order priority, "treatment" = hash-split, outcome = big
-    // order — one S-row hash-agg, positivity-violating strata dropped
-    "ab_ipw" -> ((s, d) =>
-      graft.ops.ExperimentOps.ipwEstimate(
-        t(s, d, "orders"), "o_orderpriority",
-        treated = permilleHash(col("o_orderkey"), ":ipw") < 300,
-        outcome = col("o_totalprice") > 300000)),
-
-    // one-pass Poisson bootstrap CI for the big-order rate: B=32
-    // hash-derived Poisson(1) weights per row, replicate estimates as
-    // micro-ints — the "random" weights themselves are oracle-checked
-    "ml_bootstrap_ci" -> ((s, d) =>
-      graft.ops.Bootstrap.poissonMeanCi(
-        t(s, d, "orders"), key = col("o_orderkey"),
-        y = when(col("o_totalprice") > 300000, 1L).otherwise(0L), b = 32)),
-
-    // Qini/uplift deciles for a (hash-split) treatment and a rule score:
-    // GlobalRowNumber ranking, integer decile splits, cumulative Qini
-    // over the 10-row bucket table
-    "ml_qini" -> ((s, d) => {
-      val scored = t(s, d, "orders").select(
-        col("o_totalprice").as("score"), col("o_orderkey"),
-        when(permilleHash(col("o_orderkey"), ":ipw") < 300, 1L).otherwise(0L).as("trt"),
-        when(col("o_totalprice") > 300000, 1L).otherwise(0L).as("y"))
-      graft.ml.Metrics.qiniTable(scored, "score", "o_orderkey", "trt", "y", 10)
-    }),
-
-    // exact Gini concentration of customer spend (integer cents), global
-    // ascending rank via GlobalRowNumber — no SinglePartition window
-    "a19_gini" -> ((s, d) => {
-      val per = t(s, d, "orders")
-        .groupBy(col("o_custkey"))
-        .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
-          .cast("long").as("cents"))
-      graft.ops.StatsOps.gini(per, col("cents"), col("o_custkey"))
-    }),
-
-    // 3-step behavioral paths: both leads from ONE window pass, counts on
-    // the |types|³-bounded path table
-    "ev_path3" -> ((s, d) =>
-      graft.ops.FunnelOps.pathTrigrams(
-        Tables.events(s, d), "user_id", "event_type", "ts", "event_id")),
-
-    // CDC with delete tombstones: updates at +30d, deletes at +60d; the
-    // winning record decides, deletes erase the key (GDPR propagation) —
-    // filter runs AFTER latest-wins so tombstones shadow older versions
-    "merge_tombstones" -> ((s, d) => {
-      val orders = t(s, d, "orders")
-      val base = orders.select(col("o_orderkey"), col("o_orderdate").as("ts"),
-        col("o_orderstatus"), lit("U").as("op"))
-      val upd = orders.filter(permilleHash(col("o_orderkey"), ":up43") < 100)
-        .select(col("o_orderkey"),
-          (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("ts"),
-          lit("X").as("o_orderstatus"), lit("U").as("op"))
-      val del = orders.filter(permilleHash(col("o_orderkey"), ":del43") < 80)
-        .select(col("o_orderkey"),
-          (col("o_orderdate") + expr("INTERVAL 60 DAYS")).as("ts"),
-          col("o_orderstatus"), lit("D").as("op"))
-      graft.ops.MergeOps.applyCdc(
-          base.unionByName(upd).unionByName(del), "o_orderkey", "ts", "op", "op")
-        .groupBy("o_orderstatus").agg(count(lit(1)).as("cnt"))
-    }),
-
-    // declarative data-quality gate: range / accepted-values / not-null
-    // rules in ONE scan, plus uniqueness and referential integrity
-    "dq_expectations" -> ((s, d) => {
-      val li = t(s, d, "lineitem")
-      graft.ops.Expectations.check(li, Seq(
-          "quantity_range" -> !(col("l_quantity") >= 1 && col("l_quantity") <= 50),
-          "discount_range" -> !(col("l_discount") >= 0 && col("l_discount") <= 0.1),
-          "shipdate_not_null" -> col("l_shipdate").isNull,
-          "flag_accepted" -> !col("l_returnflag").isin("A", "N", "R")))
-        .unionByName(graft.ops.Expectations.checkUnique(
-          li, Seq("l_orderkey", "l_linenumber"), "line_unique"))
-        .unionByName(graft.ops.Expectations.checkFk(
-          li, "l_orderkey", t(s, d, "orders"), "o_orderkey", "orderkey_fk"))
-    }),
-
-    // bounded-memory heavy hitters: MG sketch candidates + exact recount
-    // — answer provably equals the oracle's plain HAVING cnt·k > n
-    "hh_frequent" -> ((s, d) =>
-      graft.ops.HeavyHitters.frequentItems(
-        t(s, d, "lineitem"),
-        item = when(col("l_quantity") <= 25,
-          col("l_quantity").cast("int").cast("string")).otherwise(lit("BULK")),
-        k = 16)),
-
-    // weighted hash sampling: keep-probability ∝ a row attribute, decided
-    // by the engine-portable permille hash — deterministic importance
-    // sampling (price-weighted here), exactly replayable in the oracle
-    "o11_weighted_hash" -> ((s, d) => {
-      val w = least(col("o_totalprice") / 500000.0, lit(1.0))
-      t(s, d, "orders")
-        .filter(permilleHash1M(col("o_orderkey"), ":w42") < floor(lit(1000000.0) * w))
-        .groupBy("o_orderstatus")
-        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sum_price"))
-    }),
-
-    // snapshot diff: keyed added/removed/changed report between two table
-    // versions — fingerprints computed scan-side, one full-outer join of
-    // (key, digest) pairs
-    "diff_snapshots" -> ((s, d) => {
-      val h = permilleHash(col("o_orderkey"), ":df42")
-      val orders = t(s, d, "orders")
-      val before = orders.select(col("o_orderkey"), col("o_orderstatus"))
-      val after = orders.filter(h >= 50) // keys with h<50 disappear
-        .select(col("o_orderkey"),
-          when(h < 150, lit("X")).otherwise(col("o_orderstatus")).as("o_orderstatus"))
-        .unionByName(orders.filter(h < 50) // and a wave of brand-new keys
-          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
-            lit("N").as("o_orderstatus")))
-      graft.ops.SnapshotDiff.diff(before, after, Seq("o_orderkey"))
-        .select("o_orderkey", "change")
-    }),
-
-    // per-group feature scaling with exact decimal moments — the scaling
-    // constants are bit-reproducible under any partitioning
-    // z rounded to 9 at the GATE (the op itself returns raw doubles): the
-    // scaling constants are exact-in, but (x−μ)/σ is three dependent
-    // double ops and the last ulp can differ across engines for some data
-    "fe_group_zscore" -> ((s, d) =>
-      graft.ops.StatsOps.groupZScore(
-          t(s, d, "lineitem")
-            .select("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"),
-          group = Seq("l_returnflag"), value = "l_extendedprice")
-        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
-          round(col("z"), 9).as("z"))),
-
-    // feature-store composition: the SCD2 history (scd2_merge) consumed
-    // through the as-of join = point-in-time-correct feature lookup
-    // ("which version was valid at each order's +45d checkpoint")
-    "pit_asof_features" -> ((s, d) => {
-      val history = graft.ops.MergeOps.scd2(
-          scd2Snapshots(s, d), "o_orderkey", "ts", tracked = Seq("o_orderstatus"))
-        .select(col("o_orderkey").as("hist_key"), col("valid_from"),
-          col("o_orderstatus").as("status_asof"))
-      val checkpoints = t(s, d, "orders").select(
-        col("o_orderkey"),
-        (col("o_orderdate") + expr("INTERVAL 45 DAYS")).as("checkpoint"))
-      graft.ops.AsOfJoin.backward(
-        checkpoints, "o_orderkey", "checkpoint",
-        history, "hist_key", "valid_from", payload = Seq("status_asof"))
-    }),
-
-    // ---- portable sketches: the sketch VALUES are hash-checked, not
-    // trusted (the engine-private HLL/CMS/Bloom aggs can only be
-    // rows-only; these md5-built twins land in CORRECTNESS) ----
-
-    // count-min sketch over the corpus token stream: every distinct
-    // token's estimate next to its exact count — CMS's overestimate
-    // guarantee as data. Build is explode → hash-agg (the exchange moves
-    // O(depth×width) cells per partition, never the token stream)
-    "sk_cms_err" -> ((s, d) => {
-      val toks = Tables.documents(s, d)
-        .select(explode(TextOps.tokens(col("text"))).as("item"))
-      val cms = graft.sketch.Sketches.cmsBuild(toks, "item")
-      val exact = toks.groupBy("item").agg(count(lit(1)).as("exact_cnt"))
-      graft.sketch.Sketches.cmsEstimate(cms, exact, "item")
-        .join(exact, Seq("item"))
-        .select(col("item"), col("exact_cnt"), col("cms_est"))
-    }),
-
-    // k-minimum-values distinct sketch on the order→customer key: the
-    // (k-1)·2^60/h_k estimate and the exact distinct side by side, all
-    // arithmetic identical-op-order doubles so both engines agree bitwise
-    "sk_kmv_distinct" -> ((s, d) =>
-      graft.sketch.Sketches.kmvDistinct(t(s, d, "orders"), "o_custkey")),
-
-    // bloom membership accounting: suppliers as the member set, customers
-    // as probes — zero false negatives and the realized false-positive
-    // count as a single checkable row; the bit relation broadcasts
-    "sk_bloom_fp" -> ((s, d) =>
-      graft.sketch.Sketches.bloomMembership(
-        t(s, d, "supplier"), "s_suppkey", t(s, d, "customer"), "c_custkey")),
-
-    // PII redaction over the corpus: deterministic synthetic PII is
-    // injected (the test corpus carries none), then scrubbed email→URL→
-    // phone; the scrubbed text round-trips as an md5 so the oracle
-    // hash-checks every byte of every replacement. Pure regex chain —
-    // codegen'd, scan-speed, no shuffle
-    "t_scrub_pii" -> ((s, d) => {
-      val id = col("doc_id")
-      val injected = concat(
-        col("text"),
-        when(id % 3 === 0,
-          concat(lit(" mail user"), id.cast("string"), lit("@example.com")))
-          .otherwise(lit("")),
-        when(id % 4 === 0,
-          concat(lit(" see https://ex.org/p/"), id.cast("string"), lit("?q=1")))
-          .otherwise(lit("")),
-        when(id % 5 === 0,
-          concat(lit(" call 415-555-"), lpad(pmod(id, lit(10000)).cast("string"), 4, "0")))
-          .otherwise(lit("")))
-      val (ne, nu, np) = TextOps.piiCounts(col("inj"))
-      Tables.documents(s, d)
-        .withColumn("inj", injected)
-        .select(col("doc_id"),
-          ne.as("n_emails"), nu.as("n_urls"), np.as("n_phones"),
-          md5(TextOps.scrubPii(col("inj")).cast("binary")).as("scrub_md5"))
-    }),
-
-    // training-mixture resampling: per-domain keep fractions that realize
-    // target proportions (capped by the scarcest domain), decided row-wise
-    // by the portable hash — the "data mixing" step of a pretraining
-    // pipeline. No window, no per-domain sort: counts → a 4-row broadcast
-    // of keep thresholds → one scan filter, which is the only shape that
-    // survives domains of billions of rows
-    "fe_mix_sample" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-        .filter(col("source").isin("src0", "src1", "src2", "src3"))
-        .withColumn("share",
-          when(col("source") === "src0", 0.4)
-            .when(col("source") === "src1", 0.3)
-            .when(col("source") === "src2", 0.2)
-            .otherwise(0.1))
-      val counts = docs.groupBy("source", "share").agg(count(lit(1)).as("total"))
-      val tcap = counts.agg(min(col("total") / col("share")).as("tcap"))
-      // the domain DEFINING the cap keeps exactly 100%: tcap*share/total is
-      // mathematically 1 there but rounds to 0.999… in doubles, and
-      // floor(1e6·…) would shave ~1 ppm off the scarcest domain — compare
-      // against the identical total/share double instead of trusting the
-      // round-trip
-      val fracs = counts.crossJoin(tcap).select(
-        col("source"), col("total"),
-        when(col("tcap") === col("total") / col("share"), lit(1000000L))
-          .otherwise(floor(lit(1000000.0) *
-            least(lit(1.0), col("tcap") * col("share") / col("total")))).as("keep_ppm"))
-      docs.join(broadcast(fracs), Seq("source"))
-        .filter(permilleHash1M(col("doc_id"), ":mix42") < col("keep_ppm"))
-        .groupBy("source", "total", "keep_ppm")
-        .agg(count(lit(1)).as("kept"))
-    }),
-
-    // leakage-safe temporal split with an embargo gap: train strictly
-    // before the purge window, test strictly after — the time-series
-    // counterpart of fe_group_split's entity split (a random split on
-    // time-ordered data leaks future into train; the embargo also kills
-    // boundary leakage from windowed features)
-    "o13_time_split" -> ((s, d) => {
-      val od = col("o_orderdate")
-      t(s, d, "orders")
-        .withColumn("split",
-          when(od < lit("1997-01-01").cast("date"), "train")
-            .when(od >= lit("1997-04-01").cast("date"), "test")
-            .otherwise("embargo"))
-        .groupBy("split")
-        .agg(count(lit(1)).as("cnt"),
-          min(od).as("min_date"), max(od).as("max_date"))
-    }),
-
-    // OHLC hourly downsample of the event stream: open/close picked under
-    // an explicit (ts, id) total order via min_by/max_by on a struct key —
-    // ONE hash-agg pass, no per-(key,hour) window sort
-    "ev_ohlc" -> ((s, d) =>
-      graft.ops.TimeSeriesOps.ohlc(
-        Tables.events(s, d), "event_type", "ts", "value", "event_id")),
-
-    // EWMA over daily counts at α = 1/2 — the dyadic-exact recurrence:
-    // halving a double is exact, one correctly-rounded add per step, so
-    // the left-to-right fold is bit-identical cross-engine (arbitrary α
-    // wouldn't be). One (key, day) hash-agg; fold over each key's own
-    // bounded daily series
-    "ts_ewma" -> ((s, d) =>
-      graft.ops.TimeSeriesOps.ewmaDaily(Tables.events(s, d), "event_type", "ts")),
-
-    // Holt's linear-trend smoothing at α = β = 1/2 — ts_ewma's dyadic-
-    // exact argument applied to the TWO-state (level, trend) recurrence;
-    // h-step forecasts reported for h = 1, 7. Same one-hash-agg +
-    // bounded-per-key-fold scale shape
-    "ts_holt" -> ((s, d) =>
-      graft.ops.TimeSeriesOps.holtDaily(Tables.events(s, d), "event_type", "ts")),
-
-    // debounce/throttle: keep only each gap-session's first event —
-    // session cumsum and keeper-pick share one (user) exchange
-    "ev_debounce" -> ((s, d) =>
-      graft.ops.TimeSeriesOps.debounce(
-          Tables.events(s, d), "user_id", "ts", "event_id", gapSec = 1800L)
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n_kept"),
-          countDistinct(col("user_id")).as("n_users"))),
-
-    // recency-weighted engagement: per-segment half-life-decayed order
-    // counts — every weight a power of two, so the double sum is EXACT and
-    // order-independent (see TimeSeriesOps.decayedCounts)
-    "fe_decay" -> ((s, d) => {
-      val o = t(s, d, "orders").select("o_custkey", "o_orderdate")
-      val c = t(s, d, "customer").select("c_custkey", "c_mktsegment")
-      graft.ops.TimeSeriesOps.decayedCounts(
-        o.join(broadcast(c), o("o_custkey") === c("c_custkey")),
-        "c_mktsegment", "o_orderdate", refDate = "1998-08-01")
-    }),
-
-    // link prediction: non-adjacent part pairs sharing >=2 co-order
-    // neighbors in the bulk-quantity graph — wedge pairs generated
-    // array-side through degree-capped centers, never as a self-join's
-    // shuffled rows (oracle runs the naive wedge join: strategy vs
-    // textbook, hash-checked)
-    "g_common_neighbors" -> ((s, d) => {
-      val li = t(s, d, "lineitem")
-        .filter(col("l_quantity") >= 40)
-        .select("l_orderkey", "l_partkey")
-      val edges = li.as("x")
-        .join(li.as("y"),
-          col("x.l_orderkey") === col("y.l_orderkey") &&
-            col("x.l_partkey") < col("y.l_partkey"))
-        .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
-      graft.ops.Triangles.commonNeighbors(edges, "src", "dst",
-        maxDeg = 40, minCommon = 2L)
-    }),
-
-    // degree-weighted link prediction on the same graph: each common
-    // neighbor endorses with the exact integer round(1e6/deg) — hub
-    // endorsements count less (resource allocation, Zhou et al. 2009);
-    // integer weights make the pair score an order-free SUM
-    "g_link_ra" -> ((s, d) => {
-      val li = t(s, d, "lineitem")
-        .filter(col("l_quantity") >= 40)
-        .select("l_orderkey", "l_partkey")
-      val edges = li.as("x")
-        .join(li.as("y"),
-          col("x.l_orderkey") === col("y.l_orderkey") &&
-            col("x.l_partkey") < col("y.l_partkey"))
-        .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
-      graft.ops.Triangles.linkRA(edges, "src", "dst",
-        maxDeg = 40, minCommon = 2L)
-    }),
-
-    // Q6-shaped forecast agg + Q10-shaped returned-item top-20 through
-    // the shared-text SQL tier: the IDENTICAL string runs on both engines
-    "sql_q6_forecast" -> ((s, d) => {
-      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
-      s.sql(SparkEntry.q6Sql)
-    }),
-    "sql_q10_returns" -> ((s, d) => {
-      Tables.customer(s, d).createOrReplaceTempView("customer")
-      Tables.orders(s, d).createOrReplaceTempView("orders")
-      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
-      Tables.nation(s, d).createOrReplaceTempView("nation")
-      s.sql(SparkEntry.q10Sql)
-    }),
-
-    // Q18 shape: HAVING-subquery semi-filter + 3-table join + bounded
-    // top-100 — the aggregate-under-IN pattern a planner must turn into
-    // a semi-join, not a materialized subquery per probe
-    "sql_q18_bigorders" -> ((s, d) => {
-      Tables.customer(s, d).createOrReplaceTempView("customer")
-      Tables.orders(s, d).createOrReplaceTempView("orders")
-      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
-      s.sql(SparkEntry.q18Sql)
-    }),
-
-    // Q21 shape: correlated EXISTS + NOT EXISTS on a self-joined fact —
-    // the planner must turn both into semi/anti joins on the order key,
-    // never a per-row subquery probe (sole-blame supplier attribution:
-    // a returned line on a multi-supplier order where no OTHER supplier
-    // returned anything)
-    "sql_q21_blame" -> ((s, d) => {
-      Tables.supplier(s, d).createOrReplaceTempView("supplier")
-      Tables.orders(s, d).createOrReplaceTempView("orders")
-      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
-      s.sql(SparkEntry.q21Sql)
-    }),
-
-    // melt/unpivot: wide measure columns → long (id, measure, value) rows
-    // — the pandas-melt reshape; executor-side Expand, no shuffle at all
-    "p14_unpivot" -> ((s, d) =>
-      t(s, d, "lineitem")
-        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
-          "l_discount", "l_tax")
-        .unpivot(
-          Array(col("l_orderkey"), col("l_linenumber")),
-          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"),
-            col("l_tax")),
-          "measure", "value")),
-
-    // window-function completeness: first/nth/lag-with-default on the
-    // running frame, last_value over the full frame — one exchange for
-    // all four (same partition key + order)
-    "w9_window_suite" -> ((s, d) => {
-      val w = Window.partitionBy("o_orderstatus")
-        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
-      val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      t(s, d, "orders").select(
-        col("o_orderkey"), col("o_orderstatus"),
-        first(col("o_totalprice")).over(w).as("first_price"),
-        nth_value(col("o_totalprice"), 3).over(w).as("third_price"),
-        lag(col("o_totalprice"), 1, -1.0).over(w).as("prev_price"),
-        last(col("o_totalprice")).over(full).as("last_price"))
-    }),
-
-    // EXACT rolling median over a 7-row frame of the pre-aggregated daily
-    // series: the robust moving-centre a spikey metric needs (rolling mean
-    // is in fe_decay/ev_rollingh). percentile() runs per frame — bounded
-    // at 7 values — over the day-grain table, never the raw data
-    "w10_rolling_median" -> ((s, d) => {
-      val daily = t(s, d, "orders")
-        .groupBy(col("o_orderpriority").as("prio"), to_date(col("o_orderdate")).as("day"))
-        .agg(count(lit(1)).as("cnt"))
-      val w = Window.partitionBy("prio").orderBy("day").rowsBetween(-6, 0)
-      daily.select(col("prio"), col("day"), col("cnt"),
-        expr("percentile(cnt, 0.5)").over(w).as("med7"))
-    }),
-
-    // per-group Shannon entropy (nats) of a categorical — the data-card
-    // "how concentrated is this column" profile; each p·ln(p) term is
-    // micro-scaled to a LONG before summation (the t_bigram_lm pattern)
-    // so the sum is order-independent and engine-portable
-    "a17_entropy" -> ((s, d) => {
-      val counts = t(s, d, "orders")
-        .groupBy("o_orderpriority", "o_orderstatus")
-        .agg(count(lit(1)).as("c"))
-      val wn = Window.partitionBy("o_orderpriority")
-      counts
-        .withColumn("n", sum("c").over(wn))
-        .withColumn("_term_micro",
-          round((col("c").cast("double") / col("n")) *
-            log(col("c").cast("double") / col("n")) * 1e6).cast("long"))
-        .groupBy("o_orderpriority")
-        .agg(
-          count(lit(1)).as("n_cats"),
-          round(-sum("_term_micro").cast("double") / 1e6, 6).as("entropy_nats"))
-    }),
-
-    // STREAM-STREAM LEFT OUTER join drained and hash-checked: inner pairs
-    // emit immediately; unmatched views emit null-extended ONLY after the
-    // watermark proves no future click can match — the oracle applies the
-    // same eviction predicate, so the watermark-gated outer state machine
-    // itself is verified, not just the happy inner path
-    "ev_stream_outer" -> ((s, d) =>
-      graft.streaming.StreamOps
-        .streamStreamLeftOuter(s, d, "graft_ev_stream_outer")
-        .groupBy(col("v_user").as("user_id"))
-        .agg(
-          count(col("c_id")).as("n_pairs"),
-          sum(when(col("c_id").isNull, 1L).otherwise(0L)).as("n_unmatched"))),
-
-    // pipeline-health monitoring: per-type DAILY ingest volume, flagged by
-    // the partition-invariant rolling z-score machinery over a trailing
-    // 7-day window — volume anomalies (a stuck producer, a double-ship)
-    // surface as data, on |types × days| rows, never |events|
-    // Benford's-law conformance of order totals — the classic DQ/fraud
-    // screen: observed vs expected first-digit shares, exact integers
-    // everywhere (digit from the decimal's string rendering, expectation
-    // literals JVM-precomputed and shared with the oracle). One 9-group
-    // hash-agg with map-side combine
-    "dq_benford" -> ((s, d) =>
-      graft.ops.StatsOps.benford(t(s, d, "orders"),
-        col("o_totalprice").cast("decimal(12,2)"))),
-
-    "dq_volume_anomaly" -> ((s, d) => {
-      val daily = Tables.events(s, d)
-        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-        .agg(count(lit(1)).as("n_rows"))
-        .select(
-          concat(col("event_type"), lit(":"), col("day").cast("string")).as("rid"),
-          col("event_type"),
-          col("day").cast("timestamp").as("day_ts"),
-          col("n_rows"))
-      graft.ops.TimeSeriesOps.rollingAnomaly(
-        daily, "event_type", "day_ts", "n_rows", "rid",
-        horizonSec = 7L * 86400L, z = 2.0, minN = 4)
-    }),
-
-    // quote/subset detection: asymmetric shingle containment — the score
-    // Jaccard structurally misses (a short doc embedded in a long one);
-    // same inverted-index + DF-cap candidate shape as d_jaccard_pairs
-    "d_containment" -> ((s, d) =>
-      Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text",
-        n = 3, threshold = 0.5, maxShingleDf = Some(100L))),
-
-    // sketch MERGEABILITY as a hash-checked row: CMS is linear, so
-    // per-shard sketches summed cell-wise must equal the whole-stream
-    // sketch — the algebra that lets every executor summarize its shard
-    // and the reduce combine d×w cells, never rows. n_mismatch pins it
-    // at exactly 0
-    "sk_cms_merge" -> ((s, d) => {
-      def toks(p: Column => Column) = Tables.documents(s, d)
-        .filter(p(col("doc_id")))
-        .select(explode(TextOps.tokens(col("text"))).as("item"))
-      val full = graft.sketch.Sketches.cmsBuild(toks(_ => lit(true)), "item")
-      val even = graft.sketch.Sketches.cmsBuild(toks(id => id % 2 === 0), "item")
-      val odd = graft.sketch.Sketches.cmsBuild(toks(id => id % 2 === 1), "item")
-      val merged = graft.sketch.Sketches.cmsMerge(even, odd)
-      val joined = full.withColumnRenamed("cnt", "cnt_full")
-        .join(merged.withColumnRenamed("cnt", "cnt_merged"),
-          Seq("j", "bucket"), "full_outer")
-      joined.agg(
-        count(lit(1)).as("n_cells"),
-        sum(when(coalesce(col("cnt_full"), lit(-1L)) =!=
-          coalesce(col("cnt_merged"), lit(-1L)), 1L).otherwise(0L)).as("n_mismatch"))
-    })
-  )
-
-  /** Shared input for the SCD2 query and its oracle: base snapshot ∪ a
-    * status-changing update wave (+30 days, hash-selected 10%) ∪ a
-    * NO-change wave (+60 days, next 10%) that the merge must collapse.
-    */
-  private def scd2Snapshots(s: SparkSession, d: String): DataFrame = {
-    val orders = t(s, d, "orders")
-    val h = permilleHash(col("o_orderkey"), ":up42")
-    val base = orders
-      .select(col("o_orderkey"), col("o_orderdate").as("ts"), col("o_orderstatus"))
-    val changed = orders.filter(h < 100)
-      .select(col("o_orderkey"),
-        (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("ts"),
-        lit("X").as("o_orderstatus"))
-    val unchanged = orders.filter(h >= 100 && h < 200)
-      .select(col("o_orderkey"),
-        (col("o_orderdate") + expr("INTERVAL 60 DAYS")).as("ts"),
-        col("o_orderstatus"))
-    base.unionByName(changed).unionByName(unchanged)
-  }
-
-  /** TPC-H Q3 shape, written once in the dialect-intersection of Spark SQL
-    * and DuckDB — the engine runs it via spark.sql, the oracle verbatim.
-    */
-  val q3Sql: String =
-    """SELECT o_orderkey, o_orderdate,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
-      |FROM customer
-      |JOIN orders ON c_custkey = o_custkey
-      |JOIN lineitem ON l_orderkey = o_orderkey
-      |WHERE c_mktsegment = 'BUILDING'
-      |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
-      |  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
-      |GROUP BY o_orderkey, o_orderdate""".stripMargin
-
-  /** Q6-shaped forecasting filter-agg — one scan, every predicate pushed,
-    * revenue in exact decimal. Shared text: Spark and DuckDB run this
-    * string verbatim. */
-  val q6Sql: String =
-    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
-      |       CAST(COUNT(*) AS BIGINT) AS n_lines
-      |FROM lineitem
-      |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
-      |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
-      |  AND l_discount >= 0.05 AND l_discount <= 0.07
-      |  AND l_quantity < 24""".stripMargin
-
-  /** Q10-shaped returned-item ranking: 4-table join, decimal revenue,
-    * deterministic top-20 (revenue DESC, custkey tiebreak). Shared text. */
-  val q10Sql: String =
-    """SELECT c_custkey, c_name, n_name,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
-      |FROM customer
-      |JOIN orders ON c_custkey = o_custkey
-      |JOIN lineitem ON l_orderkey = o_orderkey
-      |JOIN nation ON c_nationkey = n_nationkey
-      |WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
-      |  AND o_orderdate < TIMESTAMP '1997-10-01 00:00:00'
-      |  AND l_returnflag = 'R'
-      |GROUP BY c_custkey, c_name, n_name
-      |ORDER BY revenue DESC, c_custkey
-      |LIMIT 20""".stripMargin
-
-  /** Q18-shaped large-volume-customer query: the HAVING-subquery + 3-table
-    * join + top-100 shape (aggregate pushed under a semi-filter). Shared
-    * text; quantities ride decimal sums, the ORDER BY carries a full
-    * tiebreak so LIMIT is deterministic on both engines.
-    */
-  val q18Sql: String =
-    """SELECT c_name, o_orderkey, o_orderdate,
-      |  CAST(o_totalprice AS DOUBLE) AS o_totalprice,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
-      |FROM customer
-      |JOIN orders ON c_custkey = o_custkey
-      |JOIN lineitem ON o_orderkey = l_orderkey
-      |WHERE o_orderkey IN (
-      |  SELECT l_orderkey FROM lineitem
-      |  GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 170
-      |)
-      |GROUP BY c_name, o_orderkey, o_orderdate, o_totalprice
-      |ORDER BY o_totalprice DESC, o_orderkey
-      |LIMIT 100""".stripMargin
-
-  /** Q21-shaped sole-blame attribution: EXISTS + NOT EXISTS correlated
-    * subqueries over a self-joined fact table (adapted to this schema's
-    * returnflag — the reference Q21 uses receipt/commit lateness). Shared
-    * text — Spark and DuckDB run this string verbatim; Spark must plan
-    * the two subqueries as LeftSemi and LeftAnti joins on l_orderkey.
-    */
-  val q21Sql: String =
-    """SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
-      |FROM supplier
-      |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
-      |JOIN orders ON o_orderkey = l1.l_orderkey
-      |WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
-      |  AND EXISTS (
-      |    SELECT 1 FROM lineitem l2
-      |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
-      |  )
-      |  AND NOT EXISTS (
-      |    SELECT 1 FROM lineitem l3
-      |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
-      |      AND l3.l_returnflag = 'R'
-      |  )
-      |GROUP BY s_name
-      |ORDER BY numwait DESC, s_name
-      |LIMIT 100""".stripMargin
-
-  /** Q12-shaped late-shipment severity split: join + conditional counts
-    * over a date-arithmetic predicate (`shipdate ≥ orderdate + 60 days`).
-    * Shared text — Spark and DuckDB run this string verbatim.
-    */
-  val q12Sql: String =
-    """SELECT l_linestatus,
-      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
-      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
-      |FROM orders
-      |JOIN lineitem ON o_orderkey = l_orderkey
-      |WHERE l_shipdate >= o_orderdate + INTERVAL 60 DAY
-      |  AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
-      |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
-      |GROUP BY l_linestatus""".stripMargin
-
-  /** Q14-shaped promo revenue share: dimension join + conditional decimal
-    * revenue ratio, one scalar row. Shared text; the two decimal sums are
-    * exact, the one double division runs in identical op order.
-    */
-  val q14Sql: String =
-    """SELECT round(CAST(SUM(CASE WHEN p_type = 'PROMO'
-      |                 THEN CAST(l_extendedprice AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
-      |                 ELSE CAST(0 AS DECIMAL(10,2)) END) AS DOUBLE) * 100.0
-      |             / CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 6) AS promo_revenue_pct,
-      |       CAST(COUNT(*) AS BIGINT) AS n_lines
-      |FROM lineitem
-      |JOIN part ON l_partkey = p_partkey
-      |WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
-      |  AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'""".stripMargin
-
-  /** TPC-H Q5-shaped 6-table star join — the join-reorder / broadcast-
-    * selection stress query of the shared-text tier; revenue rides exact
-    * decimal arithmetic so both engines agree bit-for-bit. Same
-    * verbatim-SQL contract as [[q3Sql]].
-    */
-  val q5Sql: String =
-    """SELECT n_name, count(*) AS cnt,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
-      |FROM customer
-      |JOIN orders ON c_custkey = o_custkey
-      |JOIN lineitem ON l_orderkey = o_orderkey
-      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
-      |JOIN nation ON s_nationkey = n_nationkey
-      |JOIN region ON n_regionkey = r_regionkey
-      |WHERE r_name = 'ASIA' AND o_orderpriority <> '5-LOW'
-      |GROUP BY n_name""".stripMargin
-
-  /** Explicit GROUPING SETS with GROUPING() null-vs-group disambiguation
-    * — the lattice form ROLLUP/CUBE compile down to; shared-text contract.
-    */
-  val groupingSetsSql: String =
-    """SELECT o_orderstatus, o_orderpriority,
-      |       CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
-      |       CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_prio,
-      |       count(*) AS cnt
-      |FROM orders
-      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), (o_orderstatus, o_orderpriority), ())""".stripMargin
-
-  /** Shared-text SQL: runs verbatim on Spark AND DuckDB. */
-  val rollupSql: String =
-    """SELECT o_orderpriority, o_orderstatus, count(*) AS cnt
-      |FROM orders
-      |GROUP BY ROLLUP (o_orderpriority, o_orderstatus)""".stripMargin
-
-  /** CUBE completes the grouping-sets surface (ROLLUP's lattice superset);
-    * same shared-text contract as [[rollupSql]].
-    */
-  val cubeSql: String =
-    """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
-      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
-      |FROM orders
-      |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin
-
-  val existsSql: String =
-    """SELECT o_orderpriority, count(*) AS order_count
-      |FROM orders
-      |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
-      |  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
-      |  AND EXISTS (SELECT 1 FROM lineitem
-      |              WHERE l_orderkey = o_orderkey
-      |                AND l_discount > 0.05 AND l_quantity > 30)
-      |GROUP BY o_orderpriority""".stripMargin
-
-  /** The reference's ICD-9 main-category ranges (py:128-141): FIRST
-    * matching range wins (np.where applied sequentially) and bounds are
-    * INCLUSIVE on both ends (pandas .between) — so 140 is 'infectious',
-    * 999 (the V/E/null bucket) is 'injury', both the reference's own
-    * behavior, faithfully replicated.
-    */
-  private[graft] val icd9Ranges: Seq[(Int, Int, String)] = Seq(
-    (1, 140, "infectious"), (140, 240, "neoplasms"), (240, 280, "endocrine"),
-    (280, 290, "blood"), (290, 320, "mental"), (320, 390, "nervous"),
-    (390, 460, "circulatory"), (460, 520, "respiratory"), (520, 580, "digestive"),
-    (580, 630, "genitourinary"), (630, 680, "pregnancy"), (680, 710, "skin"),
-    (710, 740, "muscular"), (740, 760, "congenital"), (760, 780, "prenatal"),
-    (780, 800, "misc"), (800, 1000, "injury"), (1000, 2000, "misc"))
-
-  private[graft] def icd9Category(code3: Column): Column =
-    icd9Ranges.foldRight(lit(null).cast("string")) { case ((lo, hi, cat), acc) =>
-      when(code3.between(lo, hi), cat).otherwise(acc)
-    }
-
-  private def icd9CategorySql(expr: String): String =
-    "CASE " + icd9Ranges.map { case (lo, hi, c) =>
-      s"WHEN $expr BETWEEN $lo AND $hi THEN '$c'"
-    }.mkString(" ") + " END"
-
-  /** The DuckDB code3 recode shared by the two diagnosis oracles. */
-  private val mimicCode3Sql: String =
-    "COALESCE(CASE WHEN regexp_matches(icd9_code, '[A-Za-z]') THEN 999 " +
-      "ELSE CAST(substr(icd9_code, 1, 3) AS INTEGER) END, 999)"
-
-  /** Derived `partsupp` — the one TPC-H table the test schema lacks.
-    * Each part gets exactly 4 suppliers by deterministic modular
-    * assignment over the ACTUAL supplier count (so the same text is
-    * correct at every SF): suppkey = (p·7 + i·13) mod S, distinct per
-    * part because 13·{1,2,3} mod S ≠ 0 for S ∈ {10, 100, 1000};
-    * availqty ∈ [1, 9999] and cost in integer CENTS ∈ [100, 99999] by
-    * the same arithmetic. Pure integer ops (+, ·, %) on BIGINT — no
-    * RNG, no floats — so Spark and DuckDB derive bit-identical rows
-    * from the same parquet and the Q2/Q11/Q16/Q20 shapes below are
-    * exactly shared-text-oracled. At scale this CTE is a zero-shuffle
-    * 4× flatMap of the part scan.
-    */
-  val partsuppCte: String =
-    """partsupp AS (
-      |  SELECT p_partkey AS ps_partkey,
-      |         (p_partkey * 7 + t.i * 13) % sc.s_cnt AS ps_suppkey,
-      |         (p_partkey * 11 + t.i * 17) % 9999 + 1 AS ps_availqty,
-      |         (p_partkey * 31 + t.i * 43) % 99900 + 100 AS ps_cost_cents
-      |  FROM part, (VALUES (0), (1), (2), (3)) AS t(i),
-      |       (SELECT count(*) AS s_cnt FROM supplier) AS sc
-      |)""".stripMargin
-
-  /** Q2-shaped minimum-cost supplier: for every STANDARD mid-size part,
-    * the EUROPE supplier(s) achieving the regional minimum supply cost —
-    * correlated scalar-min subquery over the derived partsupp, the
-    * classic decorrelation shape (Spark rewrites it to an aggregated
-    * self-join; no per-row probes). Total ORDER BY + LIMIT keeps the cut
-    * deterministic ((p_partkey, ps_suppkey) is unique). */
-  val q2Sql: String =
-    s"""WITH $partsuppCte
-       |SELECT s_acctbal, s_name, n_name, p_partkey, p_type,
-       |       CAST(ps_cost_cents AS DOUBLE) / 100.0 AS supplycost
-       |FROM partsupp, part, supplier, nation, region
-       |WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
-       |  AND p_size BETWEEN 10 AND 20 AND p_type = 'STANDARD'
-       |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
-       |  AND r_name = 'EUROPE'
-       |  AND ps_cost_cents = (
-       |    SELECT min(ps2.ps_cost_cents)
-       |    FROM partsupp ps2, supplier s2, nation n2, region r2
-       |    WHERE ps2.ps_partkey = p_partkey AND s2.s_suppkey = ps2.ps_suppkey
-       |      AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
-       |      AND r2.r_name = 'EUROPE')
-       |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, ps_suppkey
-       |LIMIT 100""".stripMargin
-
-  /** Q11-shaped important stock: per-part inventory value held by one
-    * nation's suppliers, kept where the part's value exceeds TWICE the
-    * average part value — Q11's fraction-of-total shape made scale-free
-    * (TPC-H's own 0.0001/SF fraction bakes the scale factor into the
-    * query; a count-relative cut selects a stable tail at every SF).
-    * All value math in exact integer cents; the global total is a 1-row
-    * uncorrelated scalar broadcast back; ONE double conversion at the
-    * output boundary. */
-  val q11Sql: String =
-    s"""WITH $partsuppCte,
-       |nat AS (
-       |  SELECT s_suppkey FROM supplier, nation
-       |  WHERE s_nationkey = n_nationkey AND n_name = 'NATION_7'
-       |), v AS (
-       |  SELECT ps_partkey, SUM(ps_cost_cents * ps_availqty) AS value_cents
-       |  FROM partsupp JOIN nat ON ps_suppkey = s_suppkey
-       |  GROUP BY ps_partkey
-       |), tot AS (
-       |  SELECT SUM(value_cents) AS total_cents,
-       |         CAST(count(*) AS BIGINT) AS n_parts
-       |  FROM v
-       |)
-       |SELECT ps_partkey, CAST(value_cents AS DOUBLE) / 100.0 AS value
-       |FROM v, tot
-       |WHERE value_cents * n_parts > 2 * total_cents""".stripMargin
-
-  /** Q16-shaped supplier diversity: distinct suppliers per surviving
-    * (brand, type, size) after excluding one brand, one type, the
-    * off-list sizes, and suppliers flagged by the NOT-IN probe (negative
-    * balance stands in for the comment-based complaints filter — the
-    * test schema has no s_comment). */
-  val q16Sql: String =
-    s"""WITH $partsuppCte
-       |SELECT p_brand, p_type, p_size,
-       |       CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
-       |FROM partsupp JOIN part ON p_partkey = ps_partkey
-       |WHERE p_brand <> 'Brand#11' AND p_type <> 'MEDIUM'
-       |  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
-       |  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
-       |GROUP BY p_brand, p_type, p_size""".stripMargin
-
-  /** Q20-shaped excess-stock probe: suppliers holding more than half the
-    * 1996 shipped quantity of any red part they stock. The correlated
-    * quantity sum rides exact decimals (NULL when the pair never shipped
-    * — excluded by comparison semantics on both engines, TPC-H's own
-    * behavior). Spark decorrelates the nested scalar into an aggregated
-    * join on (l_partkey, l_suppkey). */
-  val q20Sql: String =
-    s"""WITH $partsuppCte
-       |SELECT s_name, s_acctbal, n_name
-       |FROM supplier, nation
-       |WHERE s_nationkey = n_nationkey
-       |  AND s_suppkey IN (
-       |    SELECT ps_suppkey FROM partsupp
-       |    WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
-       |      AND CAST(ps_availqty AS DECIMAL(18,2)) * 2 > (
-       |        SELECT SUM(CAST(l_quantity AS DECIMAL(18,2)))
-       |        FROM lineitem
-       |        WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
-       |          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-       |          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'))""".stripMargin
-
-  /** Q19-shaped disjunctive join predicate (adapted to this schema's
-    * columns): three OR'd conjunct groups that each reference BOTH join
-    * sides, so the disjunction cannot fully push to either scan — the
-    * shape that punishes engines which refuse to extract the common
-    * `p_brand IN (…)` implication. Exact decimal revenue, DOUBLE emit.
-    * Shared text: the identical string runs on Spark and DuckDB. */
-  val q19Sql: String =
-    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) *
-      |  (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
-      |  CAST(count(*) AS BIGINT) AS n
-      |FROM lineitem
-      |JOIN part ON p_partkey = l_partkey
-      |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
-      |       AND l_quantity BETWEEN 1 AND 11 AND l_returnflag <> 'R')
-      |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
-      |       AND l_quantity BETWEEN 10 AND 20 AND l_returnflag <> 'R')
-      |   OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 35
-      |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin
-
-  val windowTopSql: String =
-    """SELECT o_custkey, o_orderkey, o_totalprice
-      |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
-      |             row_number() OVER (PARTITION BY o_custkey
-      |                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
-      |      FROM orders) t
-      |WHERE rn = 1""".stripMargin
-
-  /** Q7-shaped bilateral volume shipping: the 6-way join with the
-    * symmetric nation-pair OR predicate — Catalyst must keep the fact
-    * side shuffled once while both nation dims broadcast. Shared text. */
-  val q7Sql: String =
-    """SELECT supp_nation, cust_nation, l_year, CAST(SUM(volume) AS DOUBLE) AS revenue
-      |FROM (
-      |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-      |         CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
-      |         CAST(l_extendedprice AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) AS volume
-      |  FROM supplier
-      |  JOIN lineitem ON s_suppkey = l_suppkey
-      |  JOIN orders ON o_orderkey = l_orderkey
-      |  JOIN customer ON c_custkey = o_custkey
-      |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
-      |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
-      |  WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
-      |      OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
-      |    AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1997-12-31 00:00:00'
-      |) shipping
-      |GROUP BY supp_nation, cust_nation, l_year""".stripMargin
-
-  /** Q8-shaped market share: 8-table star, share = two exact decimal sums
-    * divided as DOUBLE (decimal÷decimal scale rules differ per engine —
-    * the division must happen after the portable cast). Shared text. */
-  val q8Sql: String =
-    """SELECT o_year,
-      |  CAST(SUM(CASE WHEN nation = 'NATION_5' THEN volume ELSE CAST(0 AS DECIMAL(10,2)) END) AS DOUBLE)
-      |    / CAST(SUM(volume) AS DOUBLE) AS mkt_share
-      |FROM (
-      |  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
-      |         CAST(l_extendedprice AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) AS volume,
-      |         n2.n_name AS nation
-      |  FROM part
-      |  JOIN lineitem ON p_partkey = l_partkey
-      |  JOIN supplier ON s_suppkey = l_suppkey
-      |  JOIN orders ON l_orderkey = o_orderkey
-      |  JOIN customer ON o_custkey = c_custkey
-      |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
-      |  JOIN region ON n1.n_regionkey = r_regionkey
-      |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
-      |  WHERE r_name = 'EUROPE' AND p_type = 'PROMO'
-      |    AND o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1997-12-31 00:00:00'
-      |) all_nations
-      |GROUP BY o_year""".stripMargin
-
-  /** Q13-shaped customer order-count distribution: LEFT join with an ON
-    * exclusion predicate (zero-order customers MUST survive), then a
-    * second aggregation over the first's result. Shared text. */
-  val q13Sql: String =
-    """SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
-      |FROM (
-      |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
-      |  FROM customer
-      |  LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
-      |  GROUP BY c_custkey
-      |) c_orders
-      |GROUP BY c_count""".stripMargin
-
-  /** Q15-shaped top supplier: CTE revenue view + uncorrelated scalar-MAX
-    * equality (exact because the decimal sum is cast to DOUBLE once on
-    * both engines — bit-identical, so `=` is portable). Shared text. */
-  val q15Sql: String =
-    """WITH revenue AS (
-      |  SELECT l_suppkey AS supplier_no,
-      |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS total_revenue
-      |  FROM lineitem
-      |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
-      |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
-      |  GROUP BY l_suppkey
-      |)
-      |SELECT s_suppkey, s_name, total_revenue
-      |FROM supplier JOIN revenue ON s_suppkey = supplier_no
-      |WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)""".stripMargin
-
-  /** Q17-shaped small-quantity revenue: CORRELATED scalar aggregate
-    * subquery (per-part mean decomposed as exact-decimal SUM / COUNT so
-    * the 0.2× threshold is order-independent on both engines) — Catalyst
-    * decorrelates to an aggregate + equi-join. Shared text. */
-  val q17Sql: String =
-    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2))) AS DOUBLE) / 7.0 AS avg_yearly
-      |FROM lineitem
-      |JOIN part ON p_partkey = l_partkey
-      |WHERE p_brand = 'Brand#23'
-      |  AND l_quantity < (SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*))
-      |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin
-
-  /** Q22-shaped idle-wealthy-customer query: uncorrelated scalar-AVG
-    * threshold (SUM/COUNT form for portability) + correlated NOT EXISTS
-    * recency anti-join, grouped by nation. Shared text. */
-  val q22Sql: String =
-    """SELECT n_name, CAST(COUNT(*) AS BIGINT) AS numcust,
-      |       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
-      |FROM customer
-      |JOIN nation ON c_nationkey = n_nationkey
-      |WHERE c_acctbal > (SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
-      |                   FROM customer c2 WHERE c2.c_acctbal > 0.0)
-      |  AND NOT EXISTS (SELECT 1 FROM orders
-      |                  WHERE o_custkey = c_custkey
-      |                    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
-      |GROUP BY n_name""".stripMargin
-
-  // ----------------------------------------------------------------------
-
-  def oracleSql: Map[String, String] = uniqueMap[String]("oracle")(
-    "sql_q3_shipping" -> q3Sql,
-    "sql_q5_local" -> q5Sql,
-    "sql_q7_volume" -> q7Sql,
-    "sql_q8_share" -> q8Sql,
-    "sql_q13_custdist" -> q13Sql,
-    "sql_q15_topsupp" -> q15Sql,
-    "sql_q17_smallqty" -> q17Sql,
-    "sql_q22_idle" -> q22Sql,
-    "sql_rollup_agg" -> rollupSql,
-    "sql_cube_agg" -> cubeSql,
-    "sql_grouping_sets" -> groupingSetsSql,
-
-    "ev_anomaly" -> graft.ops.TimeSeriesOps.rollingAnomalyOracleSql(
-      "events", "user_id", "ts", "value", "event_id",
-      horizonSec = 86400L, z = 1.5, minN = 5),
-
-    "fe_winsorize" ->
-      """WITH cut AS (
-        |  SELECT l_returnflag,
-        |         round(quantile_cont(l_extendedprice, 0.01), 6) AS p01,
-        |         round(quantile_cont(l_extendedprice, 0.99), 6) AS p99
-        |  FROM lineitem GROUP BY 1
-        |)
-        |SELECT l.l_returnflag, count(*) AS n,
-        |  CAST(SUM(CASE WHEN l_extendedprice < p01 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
-        |  CAST(SUM(CASE WHEN l_extendedprice > p99 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_raw,
-        |  CAST(SUM(CAST(LEAST(GREATEST(l_extendedprice, p01), p99) AS DECIMAL(18,6))) AS DOUBLE) AS sum_winsor
-        |FROM lineitem l JOIN cut USING (l_returnflag)
-        |GROUP BY 1""".stripMargin,
-
-    "o12_systematic_sample" ->
-      """SELECT o_orderkey, rn FROM (
-        |  SELECT o_orderkey,
-        |         ROW_NUMBER() OVER (ORDER BY o_orderdate NULLS FIRST, o_orderkey) AS rn
-        |  FROM orders
-        |) WHERE rn % 7 = 1""".stripMargin,
-
-    "o14_group_sample_k" ->
-      s"""SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
-         |  SELECT o_orderpriority, o_orderkey, o_totalprice,
-         |         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
-         |           ORDER BY ${permilleHashSql("o_orderkey", ":gs4", 1000000L)}, o_orderkey) AS rn
-         |  FROM orders
-         |) WHERE rn <= 100""".stripMargin,
-
-    "w8_percent_rank" ->
-      """SELECT o_orderkey, o_orderstatus,
-        |       round(percent_rank() OVER w, 6) AS pr,
-        |       round(cume_dist() OVER w, 6) AS cd
-        |FROM orders
-        |WINDOW w AS (PARTITION BY o_orderstatus
-        |             ORDER BY o_totalprice DESC NULLS LAST, o_orderkey)""".stripMargin,
-
-    "ml_auc_by_segment" ->
-      """WITH s AS (
-        |  SELECT o_orderstatus AS segment, o_totalprice AS score,
-        |         CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END AS y
-        |  FROM orders
-        |), g AS (
-        |  SELECT segment, score, SUM(y) AS np, SUM(1 - y) AS nn FROM s GROUP BY 1, 2
-        |), r AS (
-        |  SELECT segment, np, nn,
-        |         COALESCE(SUM(np + nn) OVER (PARTITION BY segment ORDER BY score
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
-        |  FROM g
-        |)
-        |SELECT segment,
-        |       (SUM(np * (cumb + (np + nn + 1) / 2.0)) - CAST(SUM(np) AS DOUBLE) * (SUM(np) + 1) / 2.0)
-        |       / (CAST(SUM(np) AS DOUBLE) * SUM(nn)) AS auc_roc
-        |FROM r GROUP BY segment""".stripMargin,
-
-    "t_pmi_bigrams" ->
-      """WITH toks AS (
-        |  SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '') AS t
-        |  FROM documents
-        |), uni AS (
-        |  SELECT w, count(*) AS c FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1
-        |), bg AS (
-        |  SELECT bigram, count(*) AS c_xy FROM (
-        |    SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
-        |    FROM toks WHERE len(t) >= 2
-        |  ) GROUP BY 1 HAVING count(*) >= 5
-        |), tot AS (
-        |  SELECT CAST(SUM(len(t)) AS BIGINT) AS n_uni,
-        |         CAST(SUM(GREATEST(len(t) - 1, 0)) AS BIGINT) AS n_bi
-        |  FROM toks
-        |)
-        |SELECT bg.bigram, bg.c_xy,
-        |       round(ln((CAST(bg.c_xy AS DOUBLE) * n_uni * n_uni) /
-        |                (CAST(n_bi AS DOUBLE) * u1.c * u2.c)), 6) AS pmi
-        |FROM bg
-        |JOIN uni u1 ON u1.w = split_part(bg.bigram, ' ', 1)
-        |JOIN uni u2 ON u2.w = split_part(bg.bigram, ' ', 2), tot""".stripMargin,
-
-    "mm_shard_manifest" ->
-      """WITH sz AS (
-        |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents
-        |), c AS (
-        |  SELECT doc_id, n_bytes,
-        |         CAST(COALESCE(SUM(n_bytes) OVER (ORDER BY doc_id
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |           AS BIGINT) AS start_off
-        |  FROM sz
-        |)
-        |SELECT doc_id, n_bytes, start_off,
-        |       CAST(start_off // 4096 AS BIGINT) AS shard_id,
-        |       CAST(start_off % 4096 AS BIGINT) AS shard_off
-        |FROM c""".stripMargin,
-
-    "sim_centroids" ->
-      """WITH v AS (SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-        |x AS (SELECT label, unnest(list_transform(range(1, len(e)+1),
-        |        i -> struct_pack(i := i, x := e[i]))) AS s FROM v)
-        |SELECT label, CAST(s.i AS INTEGER) AS idx, round(avg(s.x), 6) AS centroid
-        |FROM x GROUP BY 1, 2""".stripMargin,
-
-    // rank()/dense_rank()/ntile() are ANSI-identical; the DESC key is
-    // non-null so the engines' opposite DESC null placement can't bite,
-    // but the explicit NULLS LAST pins it anyway
-    "w7_rank_ntile" ->
-      """SELECT o_orderkey, o_orderstatus,
-        |  rank() OVER w AS rnk, dense_rank() OVER w AS drnk,
-        |  ntile(10) OVER w AS decile
-        |FROM orders
-        |WINDOW w AS (PARTITION BY o_orderstatus
-        |             ORDER BY o_totalprice DESC NULLS LAST, o_orderkey)""".stripMargin,
-
-    "o6_except_intersect" ->
-      """SELECT
-        |  (SELECT count(*) FROM
-        |    (SELECT DISTINCT o_custkey FROM orders INTERSECT SELECT c_custkey FROM customer))
-        |    AS n_both,
-        |  (SELECT count(*) FROM
-        |    (SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders))
-        |    AS n_cust_no_orders""".stripMargin,
-    "sql_exists_open" -> existsSql,
-    "sql_window_top" -> windowTopSql,
-
-    "a4_explode_pivot" ->
-      """SELECT l_orderkey,
-        |  CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS cat_a,
-        |  CAST(SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS cat_n,
-        |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS cat_r
-        |FROM lineitem GROUP BY 1""".stripMargin,
-
-    "skew_salted_agg" ->
-      """SELECT l_returnflag, count(*) AS cnt,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-        |  CAST(MIN(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS min_qty,
-        |  CAST(MAX(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS max_qty
-        |FROM lineitem GROUP BY 1""".stripMargin,
-    // the salted join must produce EXACTLY the plain join's answer —
-    // that equality is the operator's whole contract
-    "j9_salted_join" ->
-      """SELECT s_nationkey, count(*) AS cnt,
-        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey GROUP BY 1""".stripMargin,
-
-    // the bloom pre-filter must be invisible in the answer — plain EXISTS
-    "j12_bloom_semi" ->
-      """SELECT l_returnflag, count(*) AS cnt,
-        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-        |FROM lineitem
-        |WHERE EXISTS (SELECT 1 FROM orders
-        |              WHERE o_orderkey = l_orderkey AND o_orderpriority = '1-URGENT')
-        |GROUP BY 1""".stripMargin,
-
-    "d_filter_pipeline" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, text,
-         |         list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '') AS t
-         |  FROM documents
-         |), sig AS (
-         |  SELECT doc_id,
-         |    CASE WHEN len(t) = 0 THEN md5(lower(text))
-         |         ELSE md5(array_to_string(t, ' ')) END AS fp,
-         |    len(t) AS n_toks,
-         |    CASE WHEN length(text) = 0 THEN 0.0 ELSE
-         |      CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / length(text)
-         |    END AS alpha,
-         |    CASE WHEN len(t) = 0 THEN 0.0 ELSE
-         |      CAST(len(list_filter(t, x -> list_contains([${TextOps.stopwords.map(w => s"'$w'").mkString(",")}], x))) AS DOUBLE) / len(t)
-         |    END AS stopr,
-         |    CASE WHEN len(t) < 3 THEN 0.0 ELSE
-         |      1.0 - CAST(len(list_distinct(list_transform(range(1, len(t) - 1),
-         |              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS DOUBLE) / (len(t) - 2)
-         |    END AS dup_frac
-         |  FROM toks
-         |), keyed AS (
-         |  SELECT doc_id, n_toks, alpha, stopr, dup_frac,
-         |         min(doc_id) OVER (PARTITION BY fp) AS keeper
-         |  FROM sig
-         |)
-         |SELECT CASE WHEN doc_id <> keeper THEN 'exact_dup'
-         |            WHEN n_toks < 10 THEN 'too_short'
-         |            WHEN alpha < 0.5 OR stopr < 0.02 THEN 'low_quality'
-         |            WHEN dup_frac > 0.2 THEN 'repetitive'
-         |            ELSE 'keep' END AS reason,
-         |       count(*) AS cnt
-         |FROM keyed GROUP BY 1""".stripMargin,
-
-    // DuckDB's native ASOF implementation vs the union-window operator —
-    // equal output is the cross-engine correctness claim
-    "j10_asof_join" ->
-      """SELECT e.event_id, o.last_orderkey
-        |FROM (SELECT event_id, user_id, date_trunc('second', ts) AS ts2 FROM events) e
-        |ASOF LEFT JOIN (
-        |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS last_orderkey
-        |  FROM orders GROUP BY 1, 2
-        |) o ON e.user_id = o.o_custkey AND e.ts2 >= o.o_orderdate""".stripMargin,
-
-    "j11_range_join" ->
-      """WITH dim(bucket_id, lo, hi) AS (VALUES
-        |  (0, 0.0, 50000.0), (1, 50000.0, 150000.0),
-        |  (2, 150000.0, 300000.0), (3, 300000.0, 600000.0))
-        |SELECT bucket_id, count(*) AS cnt,
-        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
-        |FROM orders JOIN dim ON o_totalprice >= lo AND o_totalprice < hi
-        |GROUP BY 1""".stripMargin,
-
-    "s2_scan_region" -> "SELECT r_regionkey, r_name FROM region",
-
-    "p_proj_filter" ->
-      "SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_acctbal IS NOT NULL AND c_acctbal > 0",
-
-    "p5_ne_agg" ->
-      "SELECT l_linestatus, count(*) AS cnt FROM lineitem WHERE l_returnflag <> 'A' GROUP BY l_linestatus",
-
-    "p8_regex_filter" ->
-      "SELECT p_partkey, p_name FROM part WHERE regexp_matches(p_name, '^(red|blue) ')",
-
-    "p13_topk_recode" ->
-      """WITH top3 AS (
-        |  SELECT c_mktsegment FROM customer GROUP BY 1
-        |  ORDER BY count(*) DESC, c_mktsegment ASC LIMIT 3
-        |)
-        |SELECT CASE WHEN c_mktsegment IN (SELECT c_mktsegment FROM top3)
-        |            THEN c_mktsegment ELSE 'OTHER/UNKNOWN' END AS seg,
-        |       count(*) AS cnt
-        |FROM customer GROUP BY 1""".stripMargin,
-
-    "e1_ts_reparse" ->
-      "SELECT o_orderkey, CAST(CAST(o_orderdate AS VARCHAR) AS TIMESTAMP) AS reparsed FROM orders",
-
-    "e3_ship_lag" ->
-      """SELECT l_orderkey, l_linenumber,
-        |       (epoch(l_shipdate) - epoch(o_orderdate)) / 86400.0 AS ship_lag_days
-        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin,
-
-    "e5_regex_recode" ->
-      """SELECT CASE WHEN regexp_matches(p_name, '^red ') THEN 'RED'
-        |            WHEN regexp_matches(p_name, '^blue ') THEN 'BLUE'
-        |            WHEN regexp_matches(p_name, '^green ') THEN 'GREEN'
-        |            ELSE 'OTHER' END AS color_std, count(*) AS cnt
-        |FROM part GROUP BY 1""".stripMargin,
-
-    "e8_substr_cast" ->
-      "SELECT CAST(substr(p_brand, 7, 2) AS INTEGER) AS brand_num, count(*) AS cnt FROM part GROUP BY 1",
-
-    "e10_bucket_chain" ->
-      """SELECT CASE WHEN o_totalprice BETWEEN 0 AND 100000 THEN 'xs'
-        |            WHEN o_totalprice BETWEEN 100000 AND 200000 THEN 's'
-        |            WHEN o_totalprice BETWEEN 200000 AND 300000 THEN 'm'
-        |            WHEN o_totalprice BETWEEN 300000 AND 400000 THEN 'l'
-        |            WHEN o_totalprice BETWEEN 400000 AND 1000000000 THEN 'xl'
-        |            ELSE 'other' END AS bucket, count(*) AS cnt
-        |FROM orders GROUP BY 1""".stripMargin,
-
-    "e11_dict_decode" ->
-      """SELECT n_nationkey,
-        |       CASE WHEN n_nationkey = 0 THEN 'ZERO' WHEN n_nationkey = 1 THEN 'ONE'
-        |            WHEN n_nationkey = 2 THEN 'TWO' WHEN n_nationkey = 5 THEN 'FIVE'
-        |            ELSE CAST(n_nationkey AS VARCHAR) END AS decoded
-        |FROM nation""".stripMargin,
-
-    "e12_age_clamp" ->
-      """WITH x AS (
-        |  SELECT CAST(FLOOR(date_diff('day', l_shipdate, o_orderdate) / 365.0) AS BIGINT) AS years_raw
-        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |)
-        |SELECT CASE WHEN years_raw < 0 THEN 90 ELSE years_raw END AS years, count(*) AS cnt
-        |FROM x GROUP BY 1""".stripMargin,
-
-    "p11_dropna" ->
-      """SELECT count(*) AS cnt_after_dropna
-        |FROM orders LEFT JOIN
-        |  (SELECT l_orderkey, min(l_shipdate) AS first_ship FROM lineitem GROUP BY 1) f
-        |  ON o_orderkey = f.l_orderkey
-        |WHERE o_orderkey IS NOT NULL AND f.first_ship IS NOT NULL""".stripMargin,
-
-    "e14_contains_frac" ->
-      """SELECT avg(CASE WHEN text LIKE '%spark%' THEN 1.0 ELSE 0.0 END) AS frac_spark,
-        |       count(*) AS n FROM documents""".stripMargin,
-
-    "hist_totalprice" ->
-      "SELECT CAST(FLOOR(o_totalprice / 50000) * 50000 AS DOUBLE) AS bucket, count(*) AS cnt FROM orders GROUP BY 1",
-
-    "j2_join_agg" ->
-      """SELECT c_mktsegment, count(*) AS cnt,
-        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-        |FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1""".stripMargin,
-
-    "j4_outer_join" ->
-      """SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey, c.c_name AS name,
-        |       COALESCE(o.cnt, 0) AS order_cnt
-        |FROM customer c FULL OUTER JOIN
-        |  (SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY 1) o
-        |  ON c.c_custkey = o.o_custkey""".stripMargin,
-
-    "j5_left_join" ->
-      """SELECT o_orderkey, f.first_ship
-        |FROM orders LEFT JOIN
-        |  (SELECT l_orderkey, min(l_shipdate) AS first_ship FROM lineitem GROUP BY 1) f
-        |  ON o_orderkey = f.l_orderkey""".stripMargin,
-
-    "j7_anti_join" ->
-      """SELECT o_orderkey, o_custkey FROM orders
-        |WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey AND c_mktsegment = 'BUILDING')""".stripMargin,
-
-    "j3_threeway" ->
-      """SELECT r_name, count(*) AS cnt,
-        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-        |FROM lineitem
-        |JOIN supplier ON l_suppkey = s_suppkey
-        |JOIN nation ON s_nationkey = n_nationkey
-        |JOIN region ON n_regionkey = r_regionkey
-        |GROUP BY 1""".stripMargin,
-
-    "w2_backfill" ->
-      """WITH base AS (
-        |  SELECT o_orderkey, o_custkey, o_orderdate,
-        |         LEAD(o_orderdate) OVER w AS nxt,
-        |         LEAD(o_orderpriority) OVER w AS nxt_ty
-        |  FROM orders
-        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey)
-        |), nulled AS (
-        |  SELECT o_orderkey, o_custkey, o_orderdate,
-        |         CASE WHEN nxt_ty = '5-LOW' THEN NULL ELSE nxt END AS nxt2
-        |  FROM base
-        |)
-        |SELECT o_orderkey,
-        |       first_value(nxt2 IGNORE NULLS) OVER (
-        |         PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey
-        |         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_nonlow_ts
-        |FROM nulled""".stripMargin,
-
-    "e6_isin_recode" ->
-      """SELECT CASE WHEN o_orderpriority IN ('4-NOT SPECIFIED','5-LOW') THEN 'OTHER/UNKNOWN'
-        |            ELSE o_orderpriority END AS prio_grp, count(*) AS cnt
-        |FROM orders GROUP BY 1""".stripMargin,
-
-    "t_quality" ->
-      """WITH toks AS (
-        |  SELECT doc_id, text,
-        |         list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '') AS t
-        |  FROM documents
-        |)
-        |SELECT doc_id,
-        |  CASE WHEN length(text) = 0 THEN 0.0 ELSE
-        |    CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / length(text)
-        |  END AS alpha_ratio,
-        |  CASE WHEN len(t) = 0 THEN 0.0 ELSE
-        |    CAST(len(list_filter(t, x -> list_contains(['a','an','the','and','or','of','to','in','on','at','for','is','are','was','were','be','been','it','its','this','that','with','as','by','from','not','no','but','if','then','so'], x))) AS DOUBLE) / len(t)
-        |  END AS stop_ratio,
-        |  CASE WHEN len(t) = 0 THEN 0.0 ELSE
-        |    CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t)
-        |  END AS mean_tok_len
-        |FROM toks""".stripMargin,
-
-    "j8_semi_join" ->
-      """SELECT c_custkey, c_name FROM customer
-        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)""".stripMargin,
-
-    "q1_agg" ->
-      """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
-        |  COUNT(*) AS count_order
-        |FROM lineitem
-        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
-
-    "a1_value_counts" ->
-      "SELECT o_orderpriority AS value, count(*) AS cnt FROM orders GROUP BY 1",
-
-    "a2_count_distinct" ->
-      """SELECT count(DISTINCT l_partkey) AS d_part, count(DISTINCT l_suppkey) AS d_supp,
-        |       count(*) AS n FROM lineitem""".stripMargin,
-
-    // error-accounted sketch audit (HLL++ rsd 0.05 → 3σ = 15% relative)
-    "a2_approx_distinct" ->
-      """SELECT count(DISTINCT l_partkey) AS exact_d_part,
-        |       TRUE AS within_3sigma FROM lineitem""".stripMargin,
-
-    "a3_collect_sorted" ->
-      """SELECT o_custkey, string_agg(o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses
-        |FROM orders GROUP BY 1""".stripMargin,
-
-    "a4_pivot_status" ->
-      """SELECT o_custkey,
-        |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS status_f,
-        |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS status_o,
-        |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS status_p
-        |FROM orders GROUP BY 1""".stripMargin,
-
-    "a5_group_minmax" ->
-      """SELECT o_custkey, min(o_orderdate) AS first_order, max(o_orderdate) AS last_order,
-        |       count(*) AS n_orders FROM orders GROUP BY 1""".stripMargin,
-
-    "a6_dup_check" ->
-      "SELECT l_orderkey, count(*) AS cnt FROM lineitem GROUP BY 1 HAVING count(*) > 1",
-
-    "a7_threshold_metrics" ->
-      """WITH x AS (
-        |  SELECT CASE WHEN o_totalprice > 300000 THEN 1 ELSE 0 END AS label,
-        |         CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END AS pred
-        |  FROM orders
-        |), c AS (
-        |  SELECT
-        |    CAST(SUM(CASE WHEN pred = 1 AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
-        |    CAST(SUM(CASE WHEN pred = 1 AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
-        |    CAST(SUM(CASE WHEN pred = 0 AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
-        |    CAST(SUM(CASE WHEN pred = 0 AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn
-        |  FROM x
-        |)
-        |SELECT tp, fp, tn, fn,
-        |  CAST(tp + tn AS DOUBLE) / (tp + fp + tn + fn) AS accuracy,
-        |  CAST(tp AS DOUBLE) / (tp + fn) AS recall,
-        |  CAST(tp AS DOUBLE) / (tp + fp) AS precision_,
-        |  CAST(tn AS DOUBLE) / (tn + fp) AS specificity
-        |FROM c""".stripMargin,
-
-    "w1_lead_next" ->
-      """SELECT o_orderkey, o_custkey,
-        |       LEAD(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey) AS next_order_ts
-        |FROM orders""".stripMargin,
-
-    "w3_last_per_group" ->
-      """SELECT l_orderkey, l_linenumber, l_partkey FROM (
-        |  SELECT l_orderkey, l_linenumber, l_partkey,
-        |         ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber DESC NULLS LAST, l_partkey DESC NULLS LAST) AS rn
-        |  FROM lineitem
-        |) WHERE rn = 1""".stripMargin,
-
-    "w4_topk" ->
-      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC NULLS LAST, o_orderkey ASC LIMIT 25",
-
-    "w5_topk_per_key" ->
-      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
-        |  SELECT o_custkey, o_orderkey, o_totalprice,
-        |         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC NULLS LAST, o_orderkey ASC) AS rn
-        |  FROM orders
-        |) WHERE rn <= 3""".stripMargin,
-
-    "cohort_label" -> cohortSqlCore,
-
-    "cohort_counts" ->
-      s"SELECT label, count(*) AS cnt FROM (\n$cohortSqlCore\n) GROUP BY 1",
-
-    // py:180-248 chain: reuses cohortSqlCore verbatim; pivot via FILTER
-    // counts; last-note = ROW_NUMBER nth(-1); subject key = doc_id mod
-    // |customers| (scalar subquery — same count the Spark side reads)
-    "pipeline_relational" ->
-      s"""WITH coh AS (
-         |$cohortSqlCore
-         |), lab AS (
-         |  SELECT c.o_orderkey, o.o_custkey, o.o_orderdate, c.label
-         |  FROM coh c JOIN orders o USING (o_orderkey)
-         |), cats AS (
-         |  SELECT l_orderkey,
-         |         CAST(count(*) FILTER (WHERE l_returnflag = 'A') AS BIGINT) AS cat_a,
-         |         CAST(count(*) FILTER (WHERE l_returnflag = 'N') AS BIGINT) AS cat_n,
-         |         CAST(count(*) FILTER (WHERE l_returnflag = 'R') AS BIGINT) AS cat_r
-         |  FROM lineitem GROUP BY 1
-         |), firstord AS (
-         |  SELECT o_custkey, min(o_orderdate) AS first_order FROM orders GROUP BY 1
-         |), notes AS (
-         |  SELECT subj, doc_id AS note_id, n_chars AS note_chars FROM (
-         |    SELECT doc_id % (SELECT count(*) FROM customer) AS subj, doc_id, n_chars,
-         |           ROW_NUMBER() OVER (PARTITION BY doc_id % (SELECT count(*) FROM customer)
-         |             ORDER BY doc_id DESC) AS rn
-         |    FROM documents WHERE lang = 'en'
-         |  ) WHERE rn = 1
-         |)
-         |SELECT l.o_orderkey, l.label, c.cat_a, c.cat_n, c.cat_r,
-         |       cu.c_mktsegment AS segment,
-         |       CAST(date_diff('day', f.first_order, l.o_orderdate) AS BIGINT) AS tenure_days,
-         |       CAST(coalesce(n.note_id, -1) AS BIGINT) AS note_id,
-         |       CAST(coalesce(n.note_chars, -1) AS BIGINT) AS note_chars
-         |FROM lab l
-         |JOIN cats c ON l.o_orderkey = c.l_orderkey
-         |JOIN customer cu ON l.o_custkey = cu.c_custkey
-         |JOIN firstord f ON l.o_custkey = f.o_custkey
-         |LEFT JOIN notes n ON l.o_custkey = n.subj""".stripMargin,
-
-    "pipeline_curation" -> graft.text.Curation.funnelOracleSql(
-      "documents", "doc_id", "text",
-      corpusPredSql = "doc_id % 100 <> 0", probePredSql = "doc_id % 100 = 0",
-      minTokens = 15, maxTokens = 100000,
-      minMeanLen = 3.2, maxMeanLen = 4.65, minTtr = 0.32),
-
-    "pipeline_rag" -> graft.text.Curation.ragOracleSql(
-      "documents", "doc_id", "text", "embeddings", "vec_id", "embedding",
-      corpusPredSql = "doc_id % 100 <> 0", probePredSql = "doc_id % 100 = 0",
-      queryPredSql = "vec_id % 100 = 0",
-      minTokens = 15, maxTokens = 100000,
-      minMeanLen = 3.2, maxMeanLen = 4.65, minTtr = 0.32,
-      maxQueryId = 2000L, k = 5),
-
-    "pipeline_pretrain" -> graft.text.Curation.pretrainOracleSql(
-      "documents", "doc_id", "text",
-      corpusPredSql = "doc_id % 100 <> 0", probePredSql = "doc_id % 100 = 0",
-      minTokens = 15, maxTokens = 100000,
-      minMeanLen = 3.2, maxMeanLen = 4.65, minTtr = 0.32, budget = 512L),
-
-    "o5_union_agg" ->
-      """SELECT o_orderstatus, count(*) AS cnt FROM (
-        |  SELECT * FROM orders WHERE o_totalprice > 400000
-        |  UNION ALL
-        |  SELECT * FROM orders WHERE o_orderpriority = '1-URGENT'
-        |) GROUP BY 1""".stripMargin,
-
-    "t_token_stats" ->
-      """SELECT doc_id,
-        |  CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')) AS INTEGER) AS n_tokens,
-        |  CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
-        |       x -> list_contains(['a','an','the','and','or','of','to','in','on','at','for','is','are','was','were','be','been','it','its','this','that','with','as','by','from','not','no','but','if','then','so'], x))) AS INTEGER) AS n_stop,
-        |  CASE WHEN length(text) = 0 THEN 0.0 ELSE
-        |    CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / length(text)
-        |  END AS alpha_ratio
-        |FROM documents""".stripMargin,
-
-    "t_pack_windows" ->
-      """WITH tk AS (
-        |  SELECT doc_id,
-        |         CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')) AS BIGINT) AS n_tokens
-        |  FROM documents
-        |), c AS (
-        |  SELECT doc_id, n_tokens,
-        |         sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_off
-        |  FROM tk
-        |)
-        |SELECT doc_id, n_tokens,
-        |       CAST(end_off - n_tokens AS BIGINT) AS start_off,
-        |       CAST(floor((end_off - n_tokens) / 512.0) AS BIGINT) AS first_win,
-        |       CAST(CASE WHEN n_tokens > 0 THEN floor((end_off - 1) / 512.0)
-        |            ELSE floor((end_off - n_tokens) / 512.0) END AS BIGINT) AS last_win
-        |FROM c""".stripMargin,
-
-    "t_lang_id" ->
-      """WITH scored AS (
-        |  SELECT lang AS actual_lang,
-        |    regexp_matches(text, '[\x{4e00}-\x{9fff}]') AS is_cjk,
-        |    list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '') AS toks
-        |  FROM documents
-        |), h AS (
-        |  SELECT actual_lang, is_cjk,
-        |    len(list_filter(toks, x -> list_contains(['the','and','of','is','with'], x))) AS en,
-        |    len(list_filter(toks, x -> list_contains(['el','la','de','que','los'], x))) AS es,
-        |    len(list_filter(toks, x -> list_contains(['le','la','de','et','les'], x))) AS fr,
-        |    len(list_filter(toks, x -> list_contains(['der','die','und','das','ist'], x))) AS de
-        |  FROM scored
-        |)
-        |SELECT actual_lang,
-        |  CASE WHEN is_cjk THEN 'zh'
-        |       WHEN en >= es AND en >= fr AND en >= de THEN 'en'
-        |       WHEN es >= fr AND es >= de THEN 'es'
-        |       WHEN fr >= de THEN 'fr'
-        |       ELSE 'de' END AS pred_lang,
-        |  count(*) AS cnt
-        |FROM h GROUP BY 1, 2""".stripMargin,
-
-    "t_fingerprint" ->
-      """SELECT doc_id,
-        |  CASE WHEN len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')) = 0
-        |       THEN md5(lower(text))
-        |       ELSE md5(array_to_string(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> ''), ' '))
-        |  END AS fingerprint
-        |FROM documents""".stripMargin,
-
-    "d_exact_groups" ->
-      """SELECT CASE WHEN len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')) = 0
-        |       THEN md5(lower(text))
-        |       ELSE md5(array_to_string(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> ''), ' '))
-        |  END AS sig,
-        |       count(*) AS dup_cnt, min(doc_id) AS keep_id
-        |FROM documents GROUP BY 1""".stripMargin,
-
-    "d_jaccard_pairs" ->
-      """WITH toks AS (
-        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '') AS t
-        |  FROM documents
-        |), sh0 AS (
-        |  SELECT DISTINCT doc_id, shingle FROM (
-        |    SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
-        |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
-        |    FROM toks WHERE len(t) >= 3
-        |  )
-        |), keep AS (
-        |  SELECT shingle FROM sh0 GROUP BY 1 HAVING count(*) <= 100
-        |), sh AS (
-        |  SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN keep USING (shingle)
-        |), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        |pairs AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2
-        |)
-        |SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter_cnt,
-        |       CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
-        |FROM pairs JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
-        |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.05""".stripMargin,
-
-    "d_embed_neardup" ->
-      Similarity.rhpNearDupOracleSql("embeddings", "vec_id", "embedding",
-        dim = 64, threshold = 0.45),
-
-    "sim_semantic_keep" ->
-      Similarity.semanticKeepOracleSql("embeddings", "vec_id", "embedding",
-        dim = 64, threshold = 0.45,
-        qualitySql = permilleHashSql("d.vec_id", ":semq", 1000000L)),
-
-    "sim_kmeans_lloyd" -> graft.sim.Lloyd.fitStatsOracleSql(
-      "embeddings", "vec_id", "embedding", k = 8, iters = 3, dim = 64),
-
-    "d_dup_clusters" ->
-      Dedup.dupClustersOracleSql("documents", "doc_id", "text"),
-
-    "d_chunk_dedup" ->
-      Dedup.chunkDedupOracleSql("documents", "doc_id", "text",
-        chunkTokens = 3, maxDocs = 2L),
-
-    "d_dup_spans" ->
-      graft.dedup.SpanDedup.dupSpansOracleSql("documents", "doc_id", "text", L = 8),
-
-    "inc_lsh_maintain" ->
-      Dedup.incrementalLshOracleSql("documents", "doc_id", "text",
-        deltaPredSql = "%ID% % 10 = 0"),
-
-    "sim_cosine_pairs" ->
-      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
-        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |  list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i])) /
-        |  (sqrt(list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * a.e[i]))) *
-        |   sqrt(list_sum(list_transform(range(1, len(b.e) + 1), i -> b.e[i] * b.e[i])))) AS cosine
-        |FROM v a, v b
-        |WHERE a.vec_id < b.vec_id
-        |  AND list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i])) /
-        |      (sqrt(list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * a.e[i]))) *
-        |       sqrt(list_sum(list_transform(range(1, len(b.e) + 1), i -> b.e[i] * b.e[i])))) >= 0.35""".stripMargin,
-
-    "ev_hour_agg" ->
-      """SELECT date_trunc('hour', ts) AS hour_ts, event_type, count(*) AS cnt,
-        |       count(DISTINCT user_id) AS d_users,
-        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY 1, 2""".stripMargin,
-
-    "ev_props_extract" ->
-      """SELECT event_type, count(*) AS cnt,
-        |  CAST(SUM(TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER)) AS BIGINT) AS sum_k,
-        |  MIN(TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER)) AS min_k,
-        |  MAX(TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER)) AS max_k
-        |FROM events GROUP BY 1""".stripMargin,
-
-    "ev_props_json" ->
-      """SELECT event_type, count(*) AS cnt,
-        |  CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
-        |  count(DISTINCT CAST(json_extract(props, '$.k') AS INTEGER)) AS d_k
-        |FROM events GROUP BY 1""".stripMargin,
-
-    "ev_sessionize" -> sessionizeSql,
-
-    // the streaming drain must equal the batch window form exactly
-    "ev_stream_sessions" -> sessionizeSql,
-
-    "mm_binary_meta" ->
-      "SELECT doc_id, octet_length(encode(text)) AS n_bytes, length(text) AS n_chars FROM documents",
-
-    "mm_frame_sample" -> graft.multimodal.Multimodal.frameSampleOracleSql(
-      "documents", "doc_id", "text"),
-
-    "s17_synth_source" ->
-      """WITH g AS (
-        |  SELECT CAST(concat('0x', substr(md5(concat(CAST(t.id AS VARCHAR), ':synth')), 1, 15)) AS BIGINT) % 1000 AS bucket
-        |  FROM range(20000, 60000) t(id)
-        |)
-        |SELECT bucket, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY 1""".stripMargin,
-
-    "s19_synth_stream" ->
-      """WITH g AS (
-        |  SELECT CAST(concat('0x', substr(md5(concat(CAST(t.id AS VARCHAR), ':synth')), 1, 15)) AS BIGINT) % 1000 AS bucket
-        |  FROM range(0, 50000) t(id)
-        |)
-        |SELECT bucket, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY 1""".stripMargin,
-
-    "p9_numeric_proj" ->
-      "SELECT c_custkey, c_nationkey, c_acctbal FROM customer",
-
-    "e2_null_counts" ->
-      """SELECT count(*) AS total_rows,
-        |  CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_o_orderkey,
-        |  CAST(SUM(CASE WHEN f.first_ship IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_first_ship
-        |FROM orders LEFT JOIN
-        |  (SELECT l_orderkey, min(l_shipdate) AS first_ship FROM lineitem GROUP BY 1) f
-        |  ON o_orderkey = f.l_orderkey""".stripMargin,
-
-    "ml_pr_points" ->
-      """WITH s AS (
-        |  SELECT round(o_totalprice / 100000.0, 0) AS score,
-        |         CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END AS y
-        |  FROM orders
-        |), g AS (
-        |  SELECT score AS threshold, SUM(y) AS np, SUM(1 - y) AS nn FROM s GROUP BY 1
-        |)
-        |SELECT threshold,
-        |       CAST(SUM(np) OVER (ORDER BY threshold DESC ROWS UNBOUNDED PRECEDING) AS DOUBLE)
-        |         / SUM(np) OVER () AS recall,
-        |       CAST(SUM(np) OVER (ORDER BY threshold DESC ROWS UNBOUNDED PRECEDING) AS DOUBLE)
-        |         / (SUM(np) OVER (ORDER BY threshold DESC ROWS UNBOUNDED PRECEDING)
-        |            + SUM(nn) OVER (ORDER BY threshold DESC ROWS UNBOUNDED PRECEDING)) AS precision_
-        |FROM g""".stripMargin,
-
-    "mm_chunks" ->
-      """WITH x AS (
-        |  SELECT doc_id, octet_length(encode(text)) AS n,
-        |         GREATEST(CAST(CEIL(octet_length(encode(text)) / 64.0) AS INTEGER), 1) AS nc
-        |  FROM documents
-        |)
-        |SELECT doc_id,
-        |  CAST((nc - 1) // 4 + 1 AS BIGINT) AS n_sampled,
-        |  CAST(CASE WHEN n = 0 THEN 0
-        |       ELSE 64 * ((nc - 1) // 4 + 1) -
-        |            CASE WHEN (nc - 1) % 4 = 0 AND n % 64 <> 0 THEN 64 - (n % 64) ELSE 0 END
-        |       END AS BIGINT) AS sum_bytes
-        |FROM x""".stripMargin,
-
-    // stub decoder mirror: feature idx = byte % 16 = low nibble of each
-    // UTF-8 byte = 2nd hex char of each byte pair in hex(blob); cnt is the
-    // per-nibble byte count (all 16 idx rows emitted, zeros included)
-    "mm_decode_stub" ->
-      """WITH h AS (
-        |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
-        |  FROM documents
-        |), nib AS (
-        |  SELECT doc_id,
-        |         strpos('0123456789ABCDEF',
-        |                unnest(list_transform(range(1, n + 1), i -> substring(hx, 2*i, 1)))) - 1 AS idx
-        |  FROM h
-        |), cnt AS (
-        |  SELECT doc_id, idx, count(*) AS c FROM nib GROUP BY 1, 2
-        |), grid AS (
-        |  SELECT doc_id, unnest(range(0, 16)) AS idx FROM h
-        |)
-        |SELECT g.doc_id, CAST(g.idx AS INTEGER) AS idx,
-        |       CAST(COALESCE(c.c, 0) AS BIGINT) AS cnt
-        |FROM grid g LEFT JOIN cnt c ON g.doc_id = c.doc_id AND g.idx = c.idx""".stripMargin,
-
-    "m3_onehot" ->
-      """SELECT c_custkey,
-        |  CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END AS seg_auto,
-        |  CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS seg_buil,
-        |  CASE WHEN c_mktsegment = 'FURNITURE' THEN 1 ELSE 0 END AS seg_furn,
-        |  CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 1 ELSE 0 END AS seg_hous,
-        |  CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END AS seg_mach
-        |FROM customer""".stripMargin,
-
-    "m11_confusion" ->
-      """SELECT CASE WHEN o_totalprice / 500000.0 > 0.5 THEN 1 ELSE 0 END AS prediction,
-        |       CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END AS label,
-        |       count(*) AS cnt
-        |FROM orders GROUP BY 1, 2""".stripMargin,
-
-    "ml_auc_rank" ->
-      """WITH s AS (
-        |  SELECT o_totalprice AS score,
-        |         CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END AS y
-        |  FROM orders
-        |), g AS (
-        |  SELECT score, SUM(y) AS np, SUM(1 - y) AS nn FROM s GROUP BY 1
-        |), r AS (
-        |  SELECT np, nn,
-        |         COALESCE(SUM(np + nn) OVER (ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
-        |  FROM g
-        |)
-        |SELECT (SUM(np * (cumb + (np + nn + 1) / 2.0)) - CAST(SUM(np) AS DOUBLE) * (SUM(np) + 1) / 2.0)
-        |       / (CAST(SUM(np) AS DOUBLE) * SUM(nn)) AS auc_roc
-        |FROM r""".stripMargin,
-
-    "ml_roc_points" ->
-      """WITH s AS (
-        |  SELECT round(o_totalprice / 100000.0, 0) AS score,
-        |         CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END AS y
-        |  FROM orders
-        |), g AS (
-        |  SELECT score AS threshold, SUM(y) AS np, SUM(1 - y) AS nn FROM s GROUP BY 1
-        |)
-        |SELECT threshold,
-        |       CAST(SUM(nn) OVER (ORDER BY threshold DESC ROWS UNBOUNDED PRECEDING) AS DOUBLE)
-        |         / SUM(nn) OVER () AS fpr,
-        |       CAST(SUM(np) OVER (ORDER BY threshold DESC ROWS UNBOUNDED PRECEDING) AS DOUBLE)
-        |         / SUM(np) OVER () AS tpr
-        |FROM g""".stripMargin,
-
-    "ml_conformal" -> graft.ml.Metrics.conformalSplitOracleSql(
-      "orders", valueSql = "o_totalprice",
-      calPredSql = s"${permilleHashSql("o_orderkey", ":conf", 1000L)} < 100",
-      alpha = 0.1),
-
-    "ml_isotonic_bins" -> graft.ml.Metrics.isotonicBinsOracleSql(
-      "orders", scoreSql = "o_totalprice / 600000.0",
-      labelSql = "CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END",
-      bins = 10),
-
-    "ml_calibration" ->
-      """WITH s AS (
-        |  SELECT round(o_totalprice / 600000.0, 6) AS sr,
-        |         CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END AS y
-        |  FROM orders
-        |)
-        |SELECT CAST(LEAST(GREATEST(FLOOR(sr * 10), 0), 9) AS INTEGER) AS bin,
-        |       count(*) AS n,
-        |       round(CAST(SUM(CAST(sr AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6) AS mean_score,
-        |       round(CAST(SUM(y) AS DOUBLE) / count(*), 6) AS frac_pos
-        |FROM s GROUP BY 1""".stripMargin,
-
-    "ml_ndcg" -> graft.ml.RankingMetrics.ndcgOracleSql(
-      "orders", "o_orderstatus", "o_totalprice", "o_orderkey",
-      "CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END", k = 10),
-
-    "ml_mrr" -> graft.ml.RankingMetrics.mrrOracleSql(
-      "orders", "o_orderstatus", "o_totalprice", "o_orderkey",
-      "CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END"),
-
-    "ml_map" -> graft.ml.RankingMetrics.mapOracleSql(
-      "orders", "o_orderstatus", "o_totalprice", "o_orderkey",
-      "CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END", k = 10),
-
-    "t_zipf" -> graft.text.CorpusStats.zipfOracleSql("documents", "text", topN = 200),
-
-    "t_bpe_merges" ->
-      graft.text.BpeTrain.learnMergesOracleSql("documents", "text", rounds = 5),
-
-    "t_unigram_vocab" ->
-      graft.text.UnigramLm.vocabOracleSql("documents", "text",
-        maxPieceLen = 4, minFreq = 3),
-
-    "t_unigram_segment" ->
-      graft.text.UnigramLm.segmentOracleSql("documents", "text",
-        maxPieceLen = 4, minFreq = 3, maxWordLen = 12),
-
-    "t_unigram_apply" ->
-      graft.text.UnigramLm.segmentApplyOracleSql("documents", "text",
-        "part", "p_name", maxPieceLen = 4, minFreq = 3, maxWordLen = 12),
-
-    "t_unigram_em" ->
-      graft.text.UnigramLm.emSegmentOracleSql("documents", "text",
-        maxPieceLen = 4, minFreq = 3, maxWordLen = 12),
-
-    "t_tok_fertility" ->
-      graft.text.TokenizerEval.fertilityOracleSql("documents", "text",
-        bpeRounds = 5, maxPieceLen = 4, minFreq = 3, maxWordLen = 12),
-
-    "t_wordpiece_vocab" ->
-      graft.text.WordPiece.vocabOracleSql("documents", "text",
-        maxPieceLen = 4, minFreq = 3),
-
-    "t_wordpiece_encode" ->
-      graft.text.WordPiece.encodeOracleSql("documents", "text",
-        maxPieceLen = 4, minFreq = 3, maxWordLen = 12),
-
-    "t_wordpiece_apply" ->
-      graft.text.WordPiece.encodeApplyOracleSql("documents", "text",
-        "part", "p_name", maxPieceLen = 4, minFreq = 3, maxWordLen = 12),
-
-    "t_bpe_encode" ->
-      graft.text.BpeTrain.encodeOracleSql("documents", "doc_id", "text", rounds = 5),
-
-    "t_bpe_apply" -> graft.text.BpeTrain.applyMergesOracleSql(
-      "documents", "text", rounds = 5, "part", "p_partkey", "p_name"),
-
-    "t_chunk_windows" -> graft.text.Chunking.chunkOverlapOracleSql(
-      "documents", "doc_id", "text", win = 64, stride = 32),
-
-    "t_quality_cascade" -> graft.text.QualityCascade.cascadeOracleSql(
-      "documents", "text", minTokens = 50, maxTokens = 100000,
-      minMeanLen = 3.0, maxMeanLen = 4.8, minTtr = 0.35),
-
-    "o20_domain_mix" -> graft.ops.DomainMix.mixCountsOracleSql(
-      "documents", "lang", "doc_id",
-      permilleHashSql("doc_id", ":mix", 1000000L),
-      Map("en" -> 0.4, "de" -> 0.15, "es" -> 0.15,
-        "fr" -> 0.15, "zh" -> 0.15)),
-
-    "o21_temp_mix" -> graft.ops.DomainMix.temperatureMixOracleSql(
-      "documents", "lang", "doc_id",
-      permilleHashSql("doc_id", ":mix", 1000000L)),
-
-    "a_spearman" ->
-      """WITH base AS (
-        |  SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem
-        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
-        |), rx AS (
-        |  SELECT v, 2 * SUM(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt + 1 AS r2
-        |  FROM (SELECT x AS v, CAST(count(*) AS BIGINT) AS cnt FROM base GROUP BY 1)
-        |), ry AS (
-        |  SELECT v, 2 * SUM(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt + 1 AS r2
-        |  FROM (SELECT y AS v, CAST(count(*) AS BIGINT) AS cnt FROM base GROUP BY 1)
-        |), j AS (
-        |  SELECT rx.r2 AS a, ry.r2 AS b
-        |  FROM base JOIN rx ON base.x = rx.v JOIN ry ON base.y = ry.v
-        |), m AS (
-        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
-        |         SUM(a) AS sx, SUM(b) AS sy,
-        |         SUM(a * a) AS ssx, SUM(b * b) AS ssy, SUM(a * b) AS sp
-        |  FROM j
-        |)
-        |SELECT n,
-        |       round((CAST(n AS DOUBLE) * CAST(sp AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
-        |             sqrt((CAST(n AS DOUBLE) * CAST(ssx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
-        |                  (CAST(n AS DOUBLE) * CAST(ssy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 9) AS rho
-        |FROM m""".stripMargin,
-
-    "ml_logloss" -> graft.ml.RankingMetrics.logLossOracleSql(
-      "orders", "o_orderstatus", "o_totalprice / 600000.0",
-      "CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1.0 ELSE 0.0 END"),
-
-    "ml_survival_km" -> graft.ops.Survival.kmOracleSql(
-      """SELECT date_diff('day', o_orderdate, l_shipdate) AS t,
-        |       l_returnflag = 'R' AS ev
-        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |WHERE date_diff('day', o_orderdate, l_shipdate) >= 0""".stripMargin),
-
-    // the bucket boundary is (rn-1)*10 // n — same integer arithmetic as
-    // the engine's GlobalRowNumber split, so ntile() is deliberately NOT
-    // used (its "first r buckets get the extra row" rule differs)
-    "ml_lift" ->
-      """WITH s AS (
-        |  SELECT CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END AS y,
-        |         ROW_NUMBER() OVER (ORDER BY o_totalprice DESC NULLS LAST, o_orderkey) AS rn,
-        |         COUNT(*) OVER () AS n
-        |  FROM orders
-        |), g AS (
-        |  SELECT CAST((rn - 1) * 10 // n AS INTEGER) + 1 AS bucket,
-        |         count(*) AS n_rows, CAST(SUM(y) AS BIGINT) AS n_pos
-        |  FROM s GROUP BY 1
-        |)
-        |SELECT bucket, n_rows, n_pos,
-        |       round((CAST(n_pos AS DOUBLE) / n_rows) /
-        |             (CAST(SUM(n_pos) OVER () AS DOUBLE) / SUM(n_rows) OVER ()), 6) AS lift,
-        |       round(CAST(SUM(n_pos) OVER (ORDER BY bucket) AS DOUBLE) / SUM(n_pos) OVER (), 6) AS cum_gain
-        |FROM g""".stripMargin,
-
-    "ml_chi2" ->
-      """WITH joint AS (
-        |  SELECT o_orderpriority AS x,
-        |         CASE WHEN o_totalprice > 300000 THEN 1 ELSE 0 END AS y,
-        |         count(*) AS nxy
-        |  FROM orders GROUP BY 1, 2
-        |), e AS (
-        |  SELECT nxy,
-        |         SUM(nxy) OVER () AS n,
-        |         SUM(nxy) OVER (PARTITION BY x) AS nx,
-        |         SUM(nxy) OVER (PARTITION BY y) AS ny
-        |  FROM joint
-        |)
-        |SELECT round(SUM((nxy - CAST(nx AS DOUBLE) * ny / n) * (nxy - CAST(nx AS DOUBLE) * ny / n)
-        |         / (CAST(nx AS DOUBLE) * ny / n))
-        |         + (MAX(n) - SUM(CAST(nx AS DOUBLE) * ny / n)), 6) AS chi2_stat,
-        |       count(*) AS n_cells
-        |FROM e""".stripMargin,
-
-    "ml_mutual_info" ->
-      """WITH stacked AS (
-        |  SELECT 'o_orderpriority' AS feature, o_orderpriority AS x,
-        |         CAST(CASE WHEN o_totalprice > 300000 THEN 1 ELSE 0 END AS VARCHAR) AS y FROM orders
-        |  UNION ALL
-        |  SELECT 'o_orderstatus', o_orderstatus,
-        |         CAST(CASE WHEN o_totalprice > 300000 THEN 1 ELSE 0 END AS VARCHAR) FROM orders
-        |), joint AS (
-        |  SELECT feature, x, y, count(*) AS nxy FROM stacked GROUP BY 1, 2, 3
-        |), e AS (
-        |  SELECT feature, nxy,
-        |         SUM(nxy) OVER (PARTITION BY feature) AS n,
-        |         SUM(nxy) OVER (PARTITION BY feature, x) AS nx,
-        |         SUM(nxy) OVER (PARTITION BY feature, y) AS ny
-        |  FROM joint
-        |)
-        |SELECT feature,
-        |       round(SUM((CAST(nxy AS DOUBLE) / n) * ln(CAST(nxy AS DOUBLE) * n / (CAST(nx AS DOUBLE) * ny))), 6) AS mi
-        |FROM e GROUP BY 1""".stripMargin,
-
-    // M14 selection half: the SAME feature table (cohort label + lineitem
-    // aggregates + customer balance, id % 10 sample), the SAME buckets,
-    // the SAME plug-in MI, ranked on round-6 MI with a name tiebreak and
-    // cut at each sweep point n ∈ {2, 5}
-    "ml_feature_select" ->
-      s"""WITH c AS (
-         |$cohortSqlCore
-         |), la AS (
-         |  SELECT l_orderkey, CAST(count(*) AS DOUBLE) AS n_lines,
-         |         SUM(l_quantity) AS sum_qty, AVG(l_discount) AS avg_discount
-         |  FROM lineitem GROUP BY 1
-         |), f AS (
-         |  SELECT c.label AS y,
-         |         floor(o.o_totalprice / 100000.0) AS b_totalprice,
-         |         COALESCE(la.n_lines, 0) AS b_n_lines,
-         |         floor(COALESCE(la.sum_qty, 0) / 50.0) AS b_sum_qty,
-         |         floor(COALESCE(la.avg_discount, 0) * 20.0) AS b_avg_discount,
-         |         floor(COALESCE(cu.c_acctbal, 0) / 2000.0) AS b_c_acctbal
-         |  FROM c JOIN orders o ON c.o_orderkey = o.o_orderkey
-         |  LEFT JOIN la ON o.o_orderkey = la.l_orderkey
-         |  LEFT JOIN customer cu ON o.o_custkey = cu.c_custkey
-         |  WHERE o.o_orderkey % 10 = 0
-         |), stacked AS (
-         |  SELECT 'o_totalprice' AS feature, b_totalprice AS x, y FROM f
-         |  UNION ALL SELECT 'n_lines', b_n_lines, y FROM f
-         |  UNION ALL SELECT 'sum_qty', b_sum_qty, y FROM f
-         |  UNION ALL SELECT 'avg_discount', b_avg_discount, y FROM f
-         |  UNION ALL SELECT 'c_acctbal', b_c_acctbal, y FROM f
-         |), joint AS (
-         |  SELECT feature, x, y, count(*) AS nxy FROM stacked GROUP BY 1, 2, 3
-         |), e AS (
-         |  SELECT feature, nxy,
-         |         SUM(nxy) OVER (PARTITION BY feature) AS n,
-         |         SUM(nxy) OVER (PARTITION BY feature, x) AS nx,
-         |         SUM(nxy) OVER (PARTITION BY feature, y) AS ny
-         |  FROM joint
-         |), mi AS (
-         |  SELECT feature,
-         |         round(SUM((CAST(nxy AS DOUBLE) / n) *
-         |                   ln(CAST(nxy AS DOUBLE) * n / (CAST(nx AS DOUBLE) * ny))), 6) AS mi
-         |  FROM e GROUP BY 1
-         |), ranked AS (
-         |  SELECT feature, mi,
-         |         row_number() OVER (ORDER BY mi DESC, feature ASC) AS rank
-         |  FROM mi
-         |)
-         |SELECT CAST(t.n_top AS INTEGER) AS n_top, CAST(r.rank AS INTEGER) AS rank,
-         |       r.feature, r.mi
-         |FROM ranked r, (VALUES (2), (5)) t(n_top)
-         |WHERE r.rank <= t.n_top""".stripMargin,
-
-    "sim_topk" ->
-      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-        |q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10),
-        |scored AS (
-        |  SELECT q.query_id, c.vec_id AS neighbor_id,
-        |    list_sum(list_transform(range(1, len(c.e) + 1), i -> q.qe[i] * c.e[i])) /
-        |    (sqrt(list_sum(list_transform(range(1, len(q.qe) + 1), i -> q.qe[i] * q.qe[i]))) *
-        |     sqrt(list_sum(list_transform(range(1, len(c.e) + 1), i -> c.e[i] * c.e[i])))) AS cosine
-        |  FROM v c, q WHERE q.query_id <> c.vec_id
-        |)
-        |SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
-        |  FROM scored
-        |) WHERE rank <= 5""".stripMargin,
-
-    "sim_rrf_fusion" ->
-      s"""WITH ${graft.text.Bm25.scoresCtes("documents", "doc_id", "text",
-             Seq("join", "window", "stream", "vector"))},
-         |lexr AS (
-         |  SELECT id, r FROM (
-         |    SELECT doc_id AS id,
-         |           row_number() OVER (ORDER BY score DESC, doc_id) AS r
-         |    FROM bm25_scores
-         |  ) WHERE r <= 100
-         |), v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-         |q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
-         |semr AS (
-         |  SELECT id, r FROM (
-         |    SELECT c.vec_id AS id, row_number() OVER (ORDER BY
-         |      list_sum(list_transform(range(1, len(c.e) + 1), i -> q.qe[i] * c.e[i])) /
-         |      (sqrt(list_sum(list_transform(range(1, len(q.qe) + 1), i -> q.qe[i] * q.qe[i]))) *
-         |       sqrt(list_sum(list_transform(range(1, len(c.e) + 1), i -> c.e[i] * c.e[i])))) DESC,
-         |      c.vec_id) AS r
-         |    FROM v c, q WHERE c.vec_id <> 0
-         |  ) WHERE r <= 100
-         |), fused AS (
-         |  SELECT id,
-         |    round(CAST(SUM(CAST(round(1.0 / (60 + CAST(r AS DOUBLE)), 9)
-         |      AS DECIMAL(18,9))) AS DOUBLE), 6) AS rrf,
-         |    CAST(count(*) AS BIGINT) AS n_lists
-         |  FROM (SELECT id, r FROM lexr UNION ALL SELECT id, r FROM semr)
-         |  GROUP BY 1
-         |)
-         |SELECT id, rrf, n_lists FROM (
-         |  SELECT *, row_number() OVER (ORDER BY rrf DESC, id) AS rn FROM fused
-         |) WHERE rn <= 20""".stripMargin,
-
-    "sim_hard_negatives" ->
-      """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-        |q AS (SELECT vec_id AS query_id, label AS ql, e AS qe FROM v WHERE vec_id < 10),
-        |scored AS (
-        |  SELECT q.query_id, c.vec_id AS neighbor_id,
-        |    list_sum(list_transform(range(1, len(c.e) + 1), i -> q.qe[i] * c.e[i])) /
-        |    (sqrt(list_sum(list_transform(range(1, len(q.qe) + 1), i -> q.qe[i] * q.qe[i]))) *
-        |     sqrt(list_sum(list_transform(range(1, len(c.e) + 1), i -> c.e[i] * c.e[i])))) AS cosine
-        |  FROM v c, q WHERE q.query_id <> c.vec_id AND q.ql <> c.label
-        |)
-        |SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
-        |  FROM scored
-        |) WHERE rank <= 5""".stripMargin,
-
-    "d_contamination" -> Dedup.contaminationOracleSql(
-      "documents", "doc_id", "text", n = 3,
-      probePredSql = "doc_id % 100 = 0", candPredSql = "doc_id % 100 <> 0"),
-
-    "fe_neg_pairs" -> graft.ml.NegativeSampling.negativePairsOracleSql(
-      "embeddings", "vec_id", "label", k = 3, buckets = 16, anchorPredSql = "TRUE"),
-
-    "t_keywords" ->
-      """WITH tf AS (
-        |  SELECT doc_id, term, count(*) AS tf FROM (
-        |    SELECT doc_id,
-        |           unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')) AS term
-        |    FROM documents
-        |  ) GROUP BY 1, 2
-        |), dfreq AS (
-        |  SELECT term, count(*) AS df FROM tf GROUP BY 1
-        |), n AS (SELECT count(*) AS n_docs FROM documents),
-        |scored AS (
-        |  SELECT tf.doc_id, tf.term,
-        |         round(tf.tf * (ln(CAST(n_docs + 1 AS DOUBLE) / CAST(dfreq.df + 1 AS DOUBLE)) + 1.0), 6) AS tfidf
-        |  FROM tf JOIN dfreq USING (term), n
-        |)
-        |SELECT doc_id, term, tfidf, CAST(rank AS INTEGER) AS rank FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
-        |  FROM scored
-        |) WHERE rank <= 3""".stripMargin,
-
-    "t_normalize" ->
-      """SELECT doc_id,
-        |  trim(regexp_replace(regexp_replace(lower(text), '[\r\n]', ' ', 'g'), '[^a-z ]', ' ', 'g')) AS norm_text
-        |FROM documents""".stripMargin,
-
-    "s6_csv_roundtrip" ->
-      "SELECT n_nationkey, n_name, n_regionkey FROM nation",
-
-    "s8_orc_roundtrip" ->
-      "SELECT s_suppkey, s_name, s_nationkey FROM supplier",
-
-    "mm_binary_source" ->
-      "SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes FROM documents",
-
-    "s9_json_roundtrip" ->
-      "SELECT r_regionkey, r_name FROM region",
-
-    "s7_partitioned_prune" ->
-      """SELECT o_orderstatus, count(*) AS cnt,
-        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
-        |FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1""".stripMargin,
-
-    "s11_bucketed_join" ->
-      """SELECT c_mktsegment, count(*) AS cnt,
-        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-        |FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1""".stripMargin,
-
-    // the one-row-per-priority dim makes the join a pure partition filter
-    "s12_dpp_prune" ->
-      """SELECT o_orderpriority, count(*) AS cnt,
-        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
-        |FROM orders
-        |WHERE o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '2-%'
-        |GROUP BY 1""".stripMargin,
-
-    "a10_quantiles" ->
-      """SELECT l_returnflag,
-        |  round(quantile_cont(l_quantity, 0.25), 6) AS qty_p25,
-        |  round(quantile_cont(l_quantity, 0.5), 6) AS qty_p50,
-        |  round(quantile_cont(l_quantity, 0.75), 6) AS qty_p75,
-        |  round(quantile_cont(l_extendedprice, 0.5), 6) AS price_p50,
-        |  round(quantile_cont(l_extendedprice, 0.9), 6) AS price_p90
-        |FROM lineitem GROUP BY 1""".stripMargin,
-
-    // error-accounted sketch audit: the oracle asserts the exact per-group
-    // count and that the GK estimates sat inside their rank guarantee
-    // (the Spark side recomputes the rank bounds from the data; a sketch
-    // outside its ±1/10000 rank band flips the boolean → hash mismatch)
-    "a10_approx_quantiles" ->
-      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
-        |       TRUE AS q50_in_bounds, TRUE AS p90_in_bounds
-        |FROM lineitem GROUP BY 1""".stripMargin,
-
-    "o10_stratified_hash" ->
-      s"""SELECT o_orderstatus, count(*) AS cnt,
-         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
-         |FROM orders
-         |WHERE ${permilleHashSql("o_orderkey", ":st42", 1000L)}
-         |      < CASE o_orderstatus WHEN 'F' THEN 1000 WHEN 'O' THEN 200
-         |                           WHEN 'P' THEN 500 ELSE 0 END
-         |GROUP BY 1""".stripMargin,
-
-    "w6_global_rownum" ->
-      """SELECT o_orderkey,
-        |       ROW_NUMBER() OVER (ORDER BY o_orderdate NULLS FIRST, o_orderkey) AS rn
-        |FROM orders""".stripMargin,
-
-    "t_ngram_novelty" ->
-      """WITH toks AS (
-        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '') AS t
-        |  FROM documents
-        |), sh AS (
-        |  SELECT DISTINCT doc_id, shingle FROM (
-        |    SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
-        |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
-        |    FROM toks WHERE len(t) >= 3
-        |  )
-        |), fd AS (SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY 1)
-        |SELECT sh.doc_id, count(*) AS n_shingles,
-        |       CAST(SUM(CASE WHEN fd.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
-        |FROM sh JOIN fd USING (shingle)
-        |GROUP BY 1""".stripMargin,
-
-    "t_repetition" ->
-      """WITH toks AS (
-        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '') AS t
-        |  FROM documents
-        |), sh AS (
-        |  SELECT doc_id,
-        |         CASE WHEN len(t) < 3 THEN 0 ELSE len(t) - 2 END AS n_shingles,
-        |         CASE WHEN len(t) < 3 THEN 0
-        |              ELSE len(list_distinct(list_transform(range(1, len(t) - 1),
-        |                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) END AS n_distinct
-        |  FROM toks
-        |)
-        |SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
-        |       CAST(n_distinct AS BIGINT) AS n_distinct,
-        |       CASE WHEN n_shingles = 0 THEN 0.0
-        |            ELSE round(1.0 - CAST(n_distinct AS DOUBLE) / n_shingles, 6) END AS dup_frac
-        |FROM sh""".stripMargin,
-
-    "t_chunk_tokens" ->
-      """WITH toks AS (
-        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '') AS t
-        |  FROM documents
-        |), expl AS (
-        |  SELECT doc_id, t,
-        |         unnest(range(0, CAST(ceil(len(t) / 40.0) AS BIGINT))) AS i
-        |  FROM toks WHERE len(t) > 0
-        |)
-        |SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
-        |       CAST(i * 40 AS BIGINT) AS tok_start,
-        |       LEAST(CAST(len(t) AS BIGINT), (i + 1) * 40) AS tok_end,
-        |       md5(array_to_string(list_slice(t, i * 40 + 1, (i + 1) * 40), ' ')) AS chunk_md5
-        |FROM expl""".stripMargin,
-
-    "t_chunk_overlap" ->
-      """WITH toks AS (
-        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '') AS t
-        |  FROM documents
-        |), expl AS (
-        |  SELECT doc_id, t,
-        |         unnest(range(0, CAST(ceil(len(t) / 20.0) AS BIGINT))) AS i
-        |  FROM toks WHERE len(t) > 0
-        |)
-        |SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
-        |       CAST(i * 20 AS BIGINT) AS tok_start,
-        |       LEAST(CAST(len(t) AS BIGINT), i * 20 + 40) AS tok_end,
-        |       md5(array_to_string(list_slice(t, i * 20 + 1, i * 20 + 40), ' ')) AS chunk_md5
-        |FROM expl""".stripMargin,
-
-    "ev_stream_hourly" ->
-      """SELECT date_trunc('hour', ts) AS hour_ts, event_type, count(*) AS cnt,
-        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY 1, 2""".stripMargin,
-
-    "d_minhash_pairs" ->
-      Dedup.minhashLshOracleSql("documents", "doc_id", "text"),
-
-    "d_stream_neardup" ->
-      Dedup.streamNearDupOracleSql("documents", "doc_id", "text"),
-
-    "d_minhash_est" ->
-      Dedup.minhashEstOracleSql("documents", "doc_id", "text"),
-
-    "t_rolling_hash" ->
-      """SELECT doc_id,
-        |  list_reduce(list_prepend(CAST(17 AS BIGINT),
-        |    list_transform(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> ''),
-        |      t -> CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT))),
-        |    (acc, h) -> (acc * 31 + h) % 2147483647) AS rhash
-        |FROM documents""".stripMargin,
-
-    "d_simhash_sigs" ->
-      Dedup.simhashOracleSql("documents", "doc_id", "text"),
-
-    "o2_shuffle_hash" ->
-      s"""SELECT o_orderkey, o_totalprice FROM orders
-         |ORDER BY ${permilleHashSql("o_orderkey", ":s42", 1000000L)},
-         |         o_orderkey
-         |LIMIT 100""".stripMargin,
-
-    "o3_split_hash" ->
-      s"""SELECT CASE WHEN ${permilleHashSql("o_orderkey", ":t42", 1000L)} < 800
-         |            THEN 'train' ELSE 'test' END AS part,
-         |       count(*) AS cnt
-         |FROM orders GROUP BY 1""".stripMargin,
-
-    // hash-sampled resampling tier: identical permille arithmetic on the
-    // portable md5-60bit hash, identical floor-division ratio derivation
-    "o4_undersample_hash" ->
-      s"""WITH c AS (
-         |$cohortSqlCore
-         |), n AS (
-         |  SELECT CAST(SUM(CASE WHEN label = '1' THEN 1 ELSE 0 END) AS BIGINT) AS npos,
-         |         CAST(SUM(CASE WHEN label = '0' THEN 1 ELSE 0 END) AS BIGINT) AS nneg
-         |  FROM c
-         |)
-         |SELECT label, count(*) AS cnt
-         |FROM c, n
-         |WHERE label = '1'
-         |   OR ${permilleHashSql("o_orderkey", ":u42", 1000L)}
-         |      < CAST(FLOOR(1000.0 * npos / nneg) AS BIGINT)
-         |GROUP BY 1""".stripMargin,
-
-    "o8_oversample_hash" ->
-      s"""WITH c AS (
-         |$cohortSqlCore
-         |), n AS (
-         |  SELECT CAST(SUM(CASE WHEN label = '1' THEN 1 ELSE 0 END) AS BIGINT) AS npos,
-         |         CAST(SUM(CASE WHEN label = '0' THEN 1 ELSE 0 END) AS BIGINT) AS nneg
-         |  FROM c
-         |), m AS (
-         |  SELECT CAST(FLOOR(CAST(nneg AS DOUBLE) / npos) AS BIGINT) AS mult,
-         |         CAST(FLOOR(1000.0 * (nneg - CAST(FLOOR(CAST(nneg AS DOUBLE) / npos) AS BIGINT) * npos) / npos) AS BIGINT) AS extra_p
-         |  FROM n
-         |)
-         |SELECT label,
-         |  CAST(SUM(CASE WHEN label = '0' THEN 1
-         |       ELSE mult + (CASE WHEN ${permilleHashSql("o_orderkey", ":o42", 1000L)} < extra_p
-         |                    THEN 1 ELSE 0 END)
-         |       END) AS BIGINT) AS cnt
-         |FROM c, m GROUP BY 1""".stripMargin,
-
-    "sim_ivf_recall" ->
-      Similarity.ivfRecallOracleSql("embeddings", "vec_id", "embedding",
-        dim = 64, k = 5, nprobe = 4, nPivots = 16, nQueries = 10),
-
-    "sim_sq8_topk" ->
-      Quantized.sq8TopKOracleSql("embeddings", "vec_id", "embedding",
-        dim = 64, nQueries = 10, k = 5),
-
-    "sim_bq_topk" ->
-      Quantized.bqTopKOracleSql("embeddings", "vec_id", "embedding",
-        dim = 64, nQueries = 10, shortlist = 16, k = 5),
-
-    "sim_pq_topk" ->
-      Quantized.pqTopKOracleSql("embeddings", "vec_id", "embedding",
-        dim = 64, m = 8, nCodes = 16, nQueries = 10, k = 5),
-
-    "sim_pq_recall" ->
-      Quantized.pqRecallOracleSql("embeddings", "vec_id", "embedding",
-        dim = 64, m = 8, nCodes = 16, nQueries = 10, k = 5),
-
-    "sim_ivfpq_topk" ->
-      Quantized.ivfPqTopKOracleSql("embeddings", "vec_id", "embedding",
-        dim = 64, m = 8, nCodes = 16, nPivots = 16, nprobe = 2,
-        nQueries = 10, rerank = 20, k = 5),
-
-    "sim_ivfpq_recall" ->
-      Quantized.ivfPqRecallOracleSql("embeddings", "vec_id", "embedding",
-        dim = 64, m = 8, nCodes = 16, nPivots = 16, nprobe = 2,
-        nQueries = 10, rerank = 20, k = 5),
-
-    "sim_pqtrain_stats" ->
-      graft.sim.PqTrain.trainStatsOracleSql("embeddings", "vec_id", "embedding",
-        dim = 64, m = 8, kCodes = 16, iters = 2),
-
-    "sim_pqtrain_topk" ->
-      graft.sim.PqTrain.trainedTopKOracleSql("embeddings", "vec_id", "embedding",
-        dim = 64, m = 8, kCodes = 16, iters = 2, nQueries = 10, k = 5),
-
-    "sim_prefix_rerank" ->
-      Similarity.prefixRerankOracleSql("embeddings", "vec_id", "embedding",
-        dim = 64, prefixDim = 16, nQueries = 10, k = 5, overfetch = 4),
-
-    "d_cluster_keep" ->
-      Dedup.clusterKeepOracleSql("documents", "doc_id", "text", "n_chars"),
-
-    "s13_zorder_stats" ->
-      s"""WITH b AS (
-         |  SELECT o_custkey % 1024 AS x,
-         |         CAST(least(floor(o_totalprice / 1000.0), 1023.0) AS BIGINT) AS y,
-         |         o_orderkey AS tie
-         |  FROM orders
-         |), z AS (
-         |  SELECT x, y, tie, ${graft.ops.ZOrder.zValueSql("x", "y", 10)} AS zv FROM b
-         |), nt AS (
-         |  SELECT x, y, ntile(16) OVER (ORDER BY zv, tie) AS bucket FROM z
-         |)
-         |SELECT bucket, count(*) AS n,
-         |       min(x) AS min_x, max(x) AS max_x,
-         |       min(y) AS min_y, max(y) AS max_y
-         |FROM nt GROUP BY 1""".stripMargin,
-
-    // Pearson chi2 per one-hot feature. Unlike ml_chi2 (whose Spark side
-    // also sums only observed cells), ml.stat.ChiSquareTest sums over the
-    // FULL observed-values grid — a zero-observed (x, y) cell contributes
-    // (0−E)²/E = E. Mirror that: cross observed x values with observed y
-    // values per feature and coalesce missing joint counts to 0, so the
-    // oracle stays exact even when the subsample leaves a cell empty.
-    "ml_chi2_vec" ->
-      s"""WITH c AS (
-         |$cohortSqlCore
-         |), f AS (
-         |  SELECT o.o_orderpriority AS prio, c.label
-         |  FROM c JOIN orders o ON c.o_orderkey = o.o_orderkey
-         |  WHERE o.o_orderkey % 10 = 0
-         |), s AS (
-         |  SELECT 0 AS feature_idx, CASE WHEN prio = '1-URGENT' THEN 1 ELSE 0 END AS x, label AS y FROM f
-         |  UNION ALL SELECT 1, CASE WHEN prio = '2-HIGH' THEN 1 ELSE 0 END, label FROM f
-         |  UNION ALL SELECT 2, CASE WHEN prio = '3-MEDIUM' THEN 1 ELSE 0 END, label FROM f
-         |  UNION ALL SELECT 3, CASE WHEN prio = '4-NOT SPECIFIED' THEN 1 ELSE 0 END, label FROM f
-         |  UNION ALL SELECT 4, CASE WHEN prio = '5-LOW' THEN 1 ELSE 0 END, label FROM f
-         |), joint AS (
-         |  SELECT feature_idx, x, y, count(*) AS nxy FROM s GROUP BY 1, 2, 3
-         |), grid AS (
-         |  SELECT xs.feature_idx, xs.x, ys.y
-         |  FROM (SELECT DISTINCT feature_idx, x FROM s) xs
-         |  JOIN (SELECT DISTINCT feature_idx, y FROM s) ys
-         |    ON xs.feature_idx = ys.feature_idx
-         |), fullgrid AS (
-         |  SELECT g.feature_idx, g.x, g.y, COALESCE(j.nxy, 0) AS nxy
-         |  FROM grid g LEFT JOIN joint j
-         |    ON g.feature_idx = j.feature_idx AND g.x = j.x AND g.y = j.y
-         |), e AS (
-         |  SELECT feature_idx, nxy,
-         |         SUM(nxy) OVER (PARTITION BY feature_idx) AS n,
-         |         SUM(nxy) OVER (PARTITION BY feature_idx, x) AS nx,
-         |         SUM(nxy) OVER (PARTITION BY feature_idx, y) AS ny
-         |  FROM fullgrid
-         |)
-         |SELECT CAST(feature_idx AS INTEGER) AS feature_idx,
-         |       round(SUM((nxy - CAST(nx AS DOUBLE) * ny / n) * (nxy - CAST(nx AS DOUBLE) * ny / n)
-         |              / (CAST(nx AS DOUBLE) * ny / n)), 6) AS chi2_stat
-         |FROM e GROUP BY 1""".stripMargin,
-
-    "t_tfidf" ->
-      """WITH tf AS (
-        |  SELECT doc_id, term, count(*) AS tf FROM (
-        |    SELECT doc_id,
-        |           unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')) AS term
-        |    FROM documents
-        |  ) GROUP BY 1, 2
-        |), dfreq AS (
-        |  SELECT term, count(*) AS df FROM tf GROUP BY 1
-        |), n AS (SELECT count(*) AS n_docs FROM documents)
-        |SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
-        |       round(tf.tf * (ln(CAST(n_docs + 1 AS DOUBLE) / CAST(dfreq.df + 1 AS DOUBLE)) + 1.0), 6) AS tfidf
-        |FROM tf JOIN dfreq USING (term), n
-        |WHERE tf.doc_id < 25""".stripMargin,
-
-    "ev_stream_dedup" ->
-      """SELECT event_type, count(*) AS n_keys FROM (
-        |  SELECT DISTINCT user_id, event_type FROM events
-        |) GROUP BY 1""".stripMargin,
-
-    "ev_stream_topk" ->
-      """WITH c AS (
-        |  SELECT date_trunc('hour', ts) AS hour_ts, event_type, count(*) AS cnt
-        |  FROM events GROUP BY 1, 2
-        |)
-        |SELECT hour_ts, event_type, cnt FROM (
-        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY hour_ts
-        |    ORDER BY cnt DESC, event_type) AS rn
-        |  FROM c
-        |) WHERE rn <= 2""".stripMargin,
-
-    // batch mirror of the streaming fixed-grid histogram build:
-    // lo=0, hi=512, 128 cells → width 4.0 (exact binary), end clamps
-    "ev_stream_hist" ->
-      """SELECT CAST(least(greatest(floor((CAST(value AS DOUBLE) - 0.0) / 4.0), 0), 127) AS BIGINT) AS bucket,
-        |       CAST(count(*) AS BIGINT) AS cnt
-        |FROM events WHERE value IS NOT NULL
-        |GROUP BY 1""".stripMargin,
-
-    // the CDC-materialized table is "latest row per user" — the batch
-    // window form pins the foreachBatch merge exactly (second-truncated
-    // ts, event_id tiebreak, matching the engine's merge key)
-    "ev_stream_upsert" ->
-      """WITH e AS (
-        |  SELECT event_id, user_id, event_type, value,
-        |         date_trunc('second', ts) AS ts2
-        |  FROM events
-        |), r AS (
-        |  SELECT *, ROW_NUMBER() OVER (
-        |    PARTITION BY user_id ORDER BY ts2 DESC, event_id DESC) AS rn
-        |  FROM e
-        |)
-        |SELECT event_type, count(*) AS n_users,
-        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |FROM r WHERE rn = 1 GROUP BY 1""".stripMargin,
-
-    "ev_stream_join" ->
-      """SELECT c_mktsegment, count(*) AS cnt,
-        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |FROM events JOIN customer ON user_id = c_custkey
-        |GROUP BY 1""".stripMargin,
-
-    // sliding windows: each event lands in exactly two 30-min-aligned
-    // 1-hour windows (epoch-aligned, Spark's default startTime=0)
-    "ev_stream_sliding" ->
-      """WITH e AS (
-        |  SELECT event_type, CAST(FLOOR(epoch(ts) / 1800) AS BIGINT) * 1800 AS b FROM events
-        |), w AS (
-        |  SELECT event_type, b AS s FROM e
-        |  UNION ALL
-        |  SELECT event_type, b - 1800 FROM e
-        |)
-        |SELECT make_timestamp(s * 1000000) AS win_start, event_type, count(*) AS cnt
-        |FROM w GROUP BY 1, 2""".stripMargin,
-
-    "ev_stream_pairs" ->
-      """WITH e AS (
-        |  SELECT user_id, date_trunc('second', ts) AS ts2, event_type FROM events
-        |)
-        |SELECT v.user_id AS user_id, count(*) AS n_pairs,
-        |       CAST(SUM(epoch(c.ts2) - epoch(v.ts2)) AS BIGINT) AS sum_gap_s
-        |FROM e v JOIN e c
-        |  ON v.user_id = c.user_id
-        | AND c.ts2 >= v.ts2 AND c.ts2 <= v.ts2 + INTERVAL 30 MINUTE
-        |WHERE v.event_type = 'view' AND c.event_type = 'click'
-        |GROUP BY 1""".stripMargin,
-
-    "t_token_bpe" ->
-      """SELECT doc_id,
-        |  CAST(COALESCE(list_sum(list_transform(
-        |         list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> ''),
-        |         t -> CAST(CEIL(length(t) / 4.0) AS BIGINT))), 0)
-        |       + len(list_filter(regexp_split_to_array(text, '[^0-9]+'), x -> x <> '')) AS BIGINT) AS n_bpe
-        |FROM documents""".stripMargin,
-
-    "t_lemmas" ->
-      graft.text.Lemmatizer.oracleSql("documents", "doc_id", "text"),
-
-    "ml_text_vocab_full" ->
-      graft.text.TextFeaturizer.vocabularyOracleSql("documents", "text"),
-
-    "s10_jdbc_roundtrip" ->
-      "SELECT n_nationkey, n_name, n_regionkey FROM nation",
-
-    "vocab_topdf" ->
-      """WITH terms AS (
-        |  SELECT unnest(list_distinct(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> ''))) AS term
-        |  FROM documents
-        |), dfs AS (
-        |  SELECT term, count(*) AS df FROM terms GROUP BY 1
-        |)
-        |SELECT term, df FROM dfs ORDER BY df DESC, term ASC LIMIT 50""".stripMargin,
-
-    // smoothed rates are rational arithmetic (bit-identical); only the ln
-    // term is rounded (libm last-ulp divergence)
-    "drift_psi" ->
-      s"""WITH s AS (
-         |  SELECT least(CAST(floor(o_totalprice / 60000) AS BIGINT), 9) AS bin,
-         |         (${permilleHashSql("o_orderkey", ":dr42", 1000)}) < 500 AS isref
-         |  FROM orders
-         |), b AS (
-         |  SELECT bin,
-         |         CAST(SUM(CASE WHEN isref THEN 1 ELSE 0 END) AS BIGINT) AS ref_cnt,
-         |         CAST(SUM(CASE WHEN isref THEN 0 ELSE 1 END) AS BIGINT) AS cur_cnt
-         |  FROM s GROUP BY bin
-         |), tot AS (
-         |  SELECT CAST(SUM(ref_cnt) AS BIGINT) AS rt, CAST(SUM(cur_cnt) AS BIGINT) AS ct,
-         |         CAST(COUNT(*) AS BIGINT) AS nb
-         |  FROM b
-         |)
-         |SELECT bin, ref_cnt, cur_cnt,
-         |  round((ref_cnt + 0.5) / (rt + 0.5 * nb), 9) AS p_ref,
-         |  round((cur_cnt + 0.5) / (ct + 0.5 * nb), 9) AS p_cur,
-         |  round(((cur_cnt + 0.5) / (ct + 0.5 * nb) - (ref_cnt + 0.5) / (rt + 0.5 * nb))
-         |        * ln(((cur_cnt + 0.5) / (ct + 0.5 * nb)) / ((ref_cnt + 0.5) / (rt + 0.5 * nb))), 6) AS psi_term
-         |FROM b, tot""".stripMargin,
-
-    "ev_stream_psi" ->
-      """WITH s AS (
-        |  SELECT least(greatest(CAST(floor(value / 50.0) AS BIGINT), 0), 9) AS bin,
-        |         ts < TIMESTAMP '2024-01-16 00:00:00' AS isref
-        |  FROM events WHERE value IS NOT NULL
-        |), b AS (
-        |  SELECT bin,
-        |         CAST(SUM(CASE WHEN isref THEN 1 ELSE 0 END) AS BIGINT) AS ref_cnt,
-        |         CAST(SUM(CASE WHEN isref THEN 0 ELSE 1 END) AS BIGINT) AS cur_cnt
-        |  FROM s GROUP BY bin
-        |), tot AS (
-        |  SELECT CAST(SUM(ref_cnt) AS BIGINT) AS rt, CAST(SUM(cur_cnt) AS BIGINT) AS ct,
-        |         CAST(COUNT(*) AS BIGINT) AS nb
-        |  FROM b
-        |)
-        |SELECT bin, ref_cnt, cur_cnt,
-        |  round((ref_cnt + 0.5) / (rt + 0.5 * nb), 9) AS p_ref,
-        |  round((cur_cnt + 0.5) / (ct + 0.5 * nb), 9) AS p_cur,
-        |  round(((cur_cnt + 0.5) / (ct + 0.5 * nb) - (ref_cnt + 0.5) / (rt + 0.5 * nb))
-        |        * ln(((cur_cnt + 0.5) / (ct + 0.5 * nb)) / ((ref_cnt + 0.5) / (rt + 0.5 * nb))), 6) AS psi_term
-        |FROM b, tot""".stripMargin,
-
-    "drift_ks" ->
-      s"""WITH s AS (
-         |  SELECT o_totalprice AS v,
-         |         (${permilleHashSql("o_orderkey", ":dr42", 1000)}) < 500 AS isref
-         |  FROM orders WHERE o_totalprice IS NOT NULL
-         |), pv AS (
-         |  SELECT v, SUM(CASE WHEN isref THEN 1 ELSE 0 END) AS r,
-         |            SUM(CASE WHEN isref THEN 0 ELSE 1 END) AS c
-         |  FROM s GROUP BY v
-         |), cum AS (
-         |  SELECT SUM(r) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cr,
-         |         SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
-         |  FROM pv
-         |), tot AS (
-         |  SELECT CAST(SUM(r) AS BIGINT) AS n_ref, CAST(SUM(c) AS BIGINT) AS n_cur FROM pv
-         |)
-         |SELECT n_ref, n_cur,
-         |  round(MAX(ABS(CAST(cr AS DOUBLE) / n_ref - CAST(cc AS DOUBLE) / n_cur)), 9) AS ks
-         |FROM cum, tot GROUP BY n_ref, n_cur""".stripMargin,
-
-    "ml_score_ks" ->
-      """WITH s AS (
-        |  SELECT o_totalprice AS v,
-        |         o_orderpriority IN ('1-URGENT', '2-HIGH') AS isref
-        |  FROM orders WHERE o_totalprice IS NOT NULL
-        |), pv AS (
-        |  SELECT v, SUM(CASE WHEN isref THEN 1 ELSE 0 END) AS r,
-        |            SUM(CASE WHEN isref THEN 0 ELSE 1 END) AS c
-        |  FROM s GROUP BY v
-        |), cum AS (
-        |  SELECT SUM(r) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cr,
-        |         SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
-        |  FROM pv
-        |), tot AS (
-        |  SELECT CAST(SUM(r) AS BIGINT) AS n_ref, CAST(SUM(c) AS BIGINT) AS n_cur FROM pv
-        |)
-        |SELECT n_ref, n_cur,
-        |  round(MAX(ABS(CAST(cr AS DOUBLE) / n_ref - CAST(cc AS DOUBLE) / n_cur)), 9) AS ks
-        |FROM cum, tot GROUP BY n_ref, n_cur""".stripMargin,
-
-    "ml_score_psi" ->
-      """WITH s AS (
-        |  SELECT least(CAST(floor(o_totalprice / 60000) AS BIGINT), 9) AS bin,
-        |         o_orderdate < DATE '1995-06-17' AS isref
-        |  FROM orders
-        |), b AS (
-        |  SELECT bin,
-        |         CAST(SUM(CASE WHEN isref THEN 1 ELSE 0 END) AS BIGINT) AS ref_cnt,
-        |         CAST(SUM(CASE WHEN isref THEN 0 ELSE 1 END) AS BIGINT) AS cur_cnt
-        |  FROM s GROUP BY bin
-        |), tot AS (
-        |  SELECT CAST(SUM(ref_cnt) AS BIGINT) AS rt, CAST(SUM(cur_cnt) AS BIGINT) AS ct,
-        |         CAST(COUNT(*) AS BIGINT) AS nb
-        |  FROM b
-        |)
-        |SELECT bin, ref_cnt, cur_cnt,
-        |  round((ref_cnt + 0.5) / (rt + 0.5 * nb), 9) AS p_ref,
-        |  round((cur_cnt + 0.5) / (ct + 0.5 * nb), 9) AS p_cur,
-        |  round(((cur_cnt + 0.5) / (ct + 0.5 * nb) - (ref_cnt + 0.5) / (rt + 0.5 * nb))
-        |        * ln(((cur_cnt + 0.5) / (ct + 0.5 * nb)) / ((ref_cnt + 0.5) / (rt + 0.5 * nb))), 6) AS psi_term
-        |FROM b, tot""".stripMargin,
-
-    // JSD mirror: identical smoothed rates to drift_psi; the per-bin term
-    // is ½·p·ln(p/m) + ½·q·ln(q/m) with m = (p+q)/2 — written in the same
-    // operation order as the Spark side so the doubles agree bitwise
-    "drift_jsd" ->
-      s"""WITH s AS (
-         |  SELECT event_type AS bin,
-         |         (${permilleHashSql("event_id", ":dj42", 1000)}) < 500 AS isref
-         |  FROM events
-         |), b AS (
-         |  SELECT bin,
-         |         CAST(SUM(CASE WHEN isref THEN 1 ELSE 0 END) AS BIGINT) AS ref_cnt,
-         |         CAST(SUM(CASE WHEN isref THEN 0 ELSE 1 END) AS BIGINT) AS cur_cnt
-         |  FROM s GROUP BY bin
-         |), tot AS (
-         |  SELECT CAST(SUM(ref_cnt) AS BIGINT) AS rt, CAST(SUM(cur_cnt) AS BIGINT) AS ct,
-         |         CAST(COUNT(*) AS BIGINT) AS nb
-         |  FROM b
-         |)
-         |SELECT bin, ref_cnt, cur_cnt,
-         |  round((ref_cnt + 0.5) / (rt + 0.5 * nb), 9) AS p_ref,
-         |  round((cur_cnt + 0.5) / (ct + 0.5 * nb), 9) AS p_cur,
-         |  round(((ref_cnt + 0.5) / (rt + 0.5 * nb)
-         |           * ln(((ref_cnt + 0.5) / (rt + 0.5 * nb)) /
-         |               (((ref_cnt + 0.5) / (rt + 0.5 * nb) + (cur_cnt + 0.5) / (ct + 0.5 * nb)) / 2.0))
-         |         + (cur_cnt + 0.5) / (ct + 0.5 * nb)
-         |           * ln(((cur_cnt + 0.5) / (ct + 0.5 * nb)) /
-         |               (((ref_cnt + 0.5) / (rt + 0.5 * nb) + (cur_cnt + 0.5) / (ct + 0.5 * nb)) / 2.0))) / 2.0, 6) AS jsd_term
-         |FROM b, tot""".stripMargin,
-
-    // pure rational arithmetic over exact integer counts: every double op
-    // is IEEE-correctly-rounded in both engines, so NO rounding is needed
-    "fe_target_encode" ->
-      """WITH pc AS (
-        |  SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS cnt,
-        |         CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS pos
-        |  FROM orders GROUP BY 1
-        |), pr AS (SELECT CAST(SUM(pos) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS prior FROM pc)
-        |SELECT o_orderpriority, cnt, pos, prior,
-        |       (pos + 20.0 * prior) / (cnt + 20.0) AS encoding
-        |FROM pc, pr""".stripMargin,
-
-    "fe_target_loo" ->
-      """WITH pc AS (
-        |  SELECT o_orderpriority AS cat, CAST(COUNT(*) AS BIGINT) AS cnt,
-        |         CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS pos
-        |  FROM orders GROUP BY 1
-        |), pr AS (SELECT CAST(SUM(pos) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS prior FROM pc)
-        |SELECT o_orderkey, o_orderpriority, cnt, pos,
-        |       (pos - (CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) + 20.0 * prior)
-        |         / (cnt - 1 + 20.0) AS loo_encoding
-        |FROM orders JOIN pc ON o_orderpriority = pc.cat CROSS JOIN pr""".stripMargin,
-
-    "fe_feature_hash" ->
-      s"""WITH e AS (
-         |  SELECT c_custkey, 'c_mktsegment' AS f, CAST(c_mktsegment AS VARCHAR) AS v FROM customer
-         |  UNION ALL
-         |  SELECT c_custkey, 'c_nationkey' AS f, CAST(c_nationkey AS VARCHAR) AS v FROM customer
-         |), h AS (
-         |  SELECT c_custkey,
-         |         CAST(concat('0x', substr(md5(concat(f, '=', v)), 1, 15)) AS BIGINT) AS hh
-         |  FROM e WHERE v IS NOT NULL
-         |)
-         |SELECT c_custkey, hh % 32 AS bucket,
-         |       CAST(SUM(CASE WHEN (hh // 32) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS weight
-         |FROM h GROUP BY 1, 2""".stripMargin,
-
-    "fe_group_split" ->
-      s"""WITH c AS (
-         |  SELECT c_custkey,
-         |         CASE WHEN (${permilleHashSql("c_custkey", ":gs42", 1000)}) < 800
-         |              THEN 'train' ELSE 'test' END AS part
-         |  FROM customer
-         |)
-         |SELECT part,
-         |       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
-         |       CAST(COUNT(*) AS BIGINT) AS n_orders,
-         |       CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent
-         |FROM orders JOIN c ON o_custkey = c_custkey
-         |GROUP BY part""".stripMargin,
-
-    "scd2_merge" ->
-      s"""WITH snaps AS (
-         |  SELECT o_orderkey, o_orderdate AS ts, o_orderstatus FROM orders
-         |  UNION ALL
-         |  SELECT o_orderkey, o_orderdate + INTERVAL 30 DAY, 'X' FROM orders
-         |  WHERE (${permilleHashSql("o_orderkey", ":up42", 1000)}) < 100
-         |  UNION ALL
-         |  SELECT o_orderkey, o_orderdate + INTERVAL 60 DAY, o_orderstatus FROM orders
-         |  WHERE (${permilleHashSql("o_orderkey", ":up42", 1000)}) >= 100
-         |    AND (${permilleHashSql("o_orderkey", ":up42", 1000)}) < 200
-         |), flagged AS (
-         |  SELECT o_orderkey, ts, o_orderstatus,
-         |         lag(ts) OVER w IS NULL AS first_row,
-         |         o_orderstatus IS DISTINCT FROM lag(o_orderstatus) OVER w AS chg
-         |  FROM snaps WINDOW w AS (PARTITION BY o_orderkey ORDER BY ts)
-         |), kept AS (
-         |  SELECT o_orderkey, ts, o_orderstatus FROM flagged WHERE first_row OR chg
-         |)
-         |SELECT o_orderkey, o_orderstatus, ts AS valid_from,
-         |       lead(ts) OVER w2 AS valid_to,
-         |       lead(ts) OVER w2 IS NULL AS is_current
-         |FROM kept WINDOW w2 AS (PARTITION BY o_orderkey ORDER BY ts)""".stripMargin,
-
-    "merge_upsert" ->
-      s"""WITH snaps AS (
-         |  SELECT o_orderkey, o_orderdate AS ts, o_orderstatus FROM orders
-         |  UNION ALL
-         |  SELECT o_orderkey, o_orderdate + INTERVAL 30 DAY, 'X' FROM orders
-         |  WHERE (${permilleHashSql("o_orderkey", ":up42", 1000)}) < 100
-         |), r AS (
-         |  SELECT o_orderstatus,
-         |         row_number() OVER (PARTITION BY o_orderkey
-         |                            ORDER BY ts DESC, o_orderstatus DESC) AS rn
-         |  FROM snaps
-         |)
-         |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS cnt
-         |FROM r WHERE rn = 1 GROUP BY 1""".stripMargin,
-
-    // the compacted copy must aggregate exactly like the source slice
-    "s13_compact_roundtrip" ->
-      s"""SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS cnt,
-         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
-         |FROM orders
-         |WHERE (${permilleHashSql("o_orderkey", ":cp42", 1000)}) < 200
-         |GROUP BY 1""".stripMargin,
-
-    // gen-1 rows (hash < 500) have no price column after evolution →
-    // n_legacy counts exactly those; sum_price covers gen-2 rows only
-    "s15_schema_evolution" ->
-      s"""SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS cnt,
-         |       CAST(SUM(CASE WHEN ${permilleHashSql("o_orderkey", ":se42", 1000)} < 500
-         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_legacy,
-         |       CAST(SUM(CASE WHEN ${permilleHashSql("o_orderkey", ":se42", 1000)} >= 500
-         |                     THEN CAST(o_totalprice AS DECIMAL(18,2))
-         |                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_price
-         |FROM orders
-         |GROUP BY 1""".stripMargin,
-
-    "a16_weighted_quantiles" ->
-      graft.ops.WeightedStats.weightedQuantilesOracleSql(
-        "lineitem", "l_extendedprice", "l_quantity", Seq(250, 500, 750, 900)),
-
-    "fe_quantile_match" ->
-      graft.ops.QuantileMatch.matchQuantilesOracleSql(
-        "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'F'",
-        "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'O'",
-        "o_orderkey", "o_totalprice"),
-
-    // per-bigram log-probs are micro-scaled to integers BEFORE the per-doc
-    // sum, so the mean is order-independent on both engines
-    "t_bigram_lm" ->
-      """WITH toks AS (
-        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '') AS t
-        |  FROM documents
-        |), uni AS (
-        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS c1
-        |  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
-        |), v AS (SELECT CAST(COUNT(*) AS BIGINT) AS v_size FROM uni),
-        |bg AS (
-        |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
-        |  FROM toks, unnest(range(1, len(t))) AS r(i)
-        |), bc AS (
-        |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM bg GROUP BY w1, w2
-        |)
-        |SELECT bg.doc_id,
-        |  CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-        |  CAST(SUM(CASE WHEN bc.c2 >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
-        |  round(CAST(SUM(CAST(round(ln(CAST(bc.c2 + 1 AS DOUBLE) / (uni.c1 + v.v_size)) * 1e6) AS BIGINT)) AS DOUBLE)
-        |        / (COUNT(*) * 1e6), 6) AS avg_lp
-        |FROM bg JOIN bc ON bg.w1 = bc.w1 AND bg.w2 = bc.w2
-        |        JOIN uni ON bg.w1 = uni.w
-        |        CROSS JOIN v
-        |GROUP BY bg.doc_id""".stripMargin,
-
-    "t_kn_bigram" ->
-      graft.text.BigramLm.kneserNeyOracleSql("documents", "text", topK = 50),
-
-    // moment sums are exact decimals; the one floating-point formula at
-    // the end is identical rational+sqrt arithmetic in both engines
-    "a11_corr" ->
-      """WITH m AS (
-        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s_q,
-        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s_e,
-        |    CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS s_d,
-        |    CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS ss_q,
-        |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS ss_e,
-        |    CAST(SUM(CAST(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS ss_d,
-        |    CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS sp_qe,
-        |    CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS sp_qd,
-        |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS sp_ed
-        |  FROM lineitem
-        |)
-        |SELECT 'l_quantity' AS x, 'l_extendedprice' AS y,
-        |       round((n * sp_qe - s_q * s_e) / sqrt((n * ss_q - s_q * s_q) * (n * ss_e - s_e * s_e)), 9) AS corr FROM m
-        |UNION ALL
-        |SELECT 'l_quantity', 'l_discount',
-        |       round((n * sp_qd - s_q * s_d) / sqrt((n * ss_q - s_q * s_q) * (n * ss_d - s_d * s_d)), 9) FROM m
-        |UNION ALL
-        |SELECT 'l_extendedprice', 'l_discount',
-        |       round((n * sp_ed - s_e * s_d) / sqrt((n * ss_e - s_e * s_e) * (n * ss_d - s_d * s_d)), 9) FROM m""".stripMargin,
-
-    "a12_ols_group" -> graft.ops.RegressionOps.olsByGroupOracleSql(
-      "lineitem", Seq("l_returnflag"), "l_quantity", "l_extendedprice"),
-
-    "fe_mad_outliers" -> graft.ops.RobustStats.madOutliersOracleSql(
-      "orders", Seq("o_orderstatus"), "o_totalprice", k = 3.0),
-
-    "fe_quantile_bin" -> graft.ops.RobustStats.quantileBinsOracleSql(
-      "orders", "o_totalprice", (1 to 9).map(_ / 10.0)),
-
-    "fe_binned_woe" -> graft.ml.TargetEncoding.woeBinnedOracleSql(
-      "orders", "o_totalprice", "o_orderstatus = 'F'", (1 to 9).map(_ / 10.0)),
-
-    "fe_rfm" ->
-      """WITH per AS (
-        |  SELECT o_custkey, MAX(o_orderdate) AS last_order,
-        |         count(*) AS frequency,
-        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
-        |  FROM orders GROUP BY 1
-        |), r AS (
-        |  SELECT o_custkey,
-        |         date_diff('day', last_order, DATE '1998-08-02') AS recency,
-        |         frequency, monetary
-        |  FROM per
-        |)
-        |SELECT o_custkey, recency, frequency, monetary,
-        |  ntile(5) OVER (ORDER BY recency ASC, o_custkey ASC) AS r_score,
-        |  ntile(5) OVER (ORDER BY frequency DESC, o_custkey ASC) AS f_score,
-        |  ntile(5) OVER (ORDER BY monetary DESC, o_custkey ASC) AS m_score
-        |FROM r""".stripMargin,
-
-    "a15_pareto_abc" ->
-      """WITH per AS (
-        |  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
-        |  FROM orders GROUP BY 1
-        |), c AS (
-        |  SELECT o_custkey, spend,
-        |         SUM(spend) OVER (ORDER BY spend DESC, o_custkey ASC
-        |                          ROWS UNBOUNDED PRECEDING) AS cum,
-        |         SUM(spend) OVER () AS tot
-        |  FROM per
-        |)
-        |SELECT CASE WHEN cum * 20 <= tot * 16 THEN 'A'
-        |            WHEN cum * 20 <= tot * 19 THEN 'B'
-        |            ELSE 'C' END AS abc_class,
-        |       count(*) AS n_customers, CAST(SUM(spend) AS DOUBLE) AS class_spend
-        |FROM c GROUP BY 1""".stripMargin,
-
-    "fe_lag_features" -> graft.ops.TimeSeriesOps.lagFeaturesOracleSql(
-      "events", "user_id", "ts", "value", Seq(1, 2)),
-
-    "ev_streaks" -> graft.ops.TimeSeriesOps.activityStreaksOracleSql(
-      "events", "user_id", "ts"),
-
-    "ts_acf" -> graft.ops.TimeSeriesOps.autocorrOracleSql(
-      "events", "event_type", "ts", "value", maxLag = 3),
-
-    "ts_cusum" -> graft.ops.TimeSeriesOps.cusumOracleSql(
-      "events", "event_type", "ts", "value"),
-
-    "o18_priority_sample" -> graft.ops.PrioritySampling.oracleSql(
-      "documents", "doc_id", "n_chars", k = 500),
-
-    "d_simhash_pairs" -> graft.dedup.Dedup.simhashPairsOracleSql(
-      "documents", "doc_id", "text"),
-
-    "mm_phash_sigs" -> graft.multimodal.Multimodal.phashSignaturesOracleSql(
-      "documents", "doc_id", "text"),
-
-    "mm_phash_pairs" -> graft.multimodal.Multimodal.phashPairsOracleSql(
-      "documents", "doc_id", "text"),
-
-    "ab_ipw" -> graft.ops.ExperimentOps.ipwOracleSql(
-      s"""SELECT o_orderpriority AS s,
-         |       CASE WHEN (${permilleHashSql("o_orderkey", ":ipw", 1000)}) < 300
-         |            THEN 1 ELSE 0 END AS is_t,
-         |       CASE WHEN o_totalprice > 300000 THEN 1 ELSE 0 END AS y
-         |FROM orders""".stripMargin),
-
-    "ml_qini" -> graft.ml.Metrics.qiniOracleSql(
-      s"""  SELECT o_totalprice AS s, o_orderkey AS id,
-         |         CASE WHEN (${permilleHashSql("o_orderkey", ":ipw", 1000)}) < 300
-         |              THEN 1 ELSE 0 END AS t,
-         |         CASE WHEN o_totalprice > 300000 THEN 1 ELSE 0 END AS y
-         |  FROM orders""".stripMargin, k = 10),
-
-    "ml_bootstrap_ci" -> graft.ops.Bootstrap.poissonMeanCiOracleSql(
-      s"""  SELECT CAST(o_orderkey AS VARCHAR) AS k,
-         |         CASE WHEN o_totalprice > 300000 THEN 1 ELSE 0 END AS y
-         |  FROM orders""".stripMargin, b = 32),
-
-    "ts_seasonal_dow" ->
-      graft.ops.TimeSeriesOps.seasonalDowOracleSql("events", "ts"),
-
-    "ts_backtest_naive" ->
-      """WITH daily AS (
-        |  SELECT event_type, CAST(ts AS DATE) AS day,
-        |         SUM(CAST(value AS DECIMAL(18,2))) AS v
-        |  FROM events GROUP BY 1, 2
-        |), j AS (
-        |  SELECT d.event_type, d.v, p.v AS pv
-        |  FROM daily d JOIN daily p
-        |    ON d.event_type = p.event_type AND p.day = d.day - 7
-        |  WHERE d.v > 0
-        |)
-        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
-        |       round(CAST(SUM(abs(v - pv)) AS DOUBLE) / count(*), 6) AS mae,
-        |       round(CAST(SUM(CAST(round(abs(CAST(v - pv AS DOUBLE)) / CAST(v AS DOUBLE) * 1e9) AS BIGINT)) AS DOUBLE)
-        |             / count(*) / 1e9, 9) AS mape
-        |FROM j GROUP BY 1""".stripMargin,
-
-    "w10_rolling_median" ->
-      """WITH daily AS (
-        |  SELECT o_orderpriority AS prio, CAST(o_orderdate AS DATE) AS day,
-        |         CAST(count(*) AS BIGINT) AS cnt
-        |  FROM orders GROUP BY 1, 2
-        |)
-        |SELECT prio, day, cnt,
-        |       median(cnt) OVER (PARTITION BY prio ORDER BY day
-        |         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med7
-        |FROM daily""".stripMargin,
-
-    "ab_srm" -> graft.ops.ExperimentOps.srmOracleSql(
-      s"""SELECT CASE WHEN ${permilleHashSql("user_id", ":ab", 1000L)} < 500
-         |            THEN 'A' ELSE 'B' END AS arm
-         |FROM (SELECT DISTINCT user_id FROM events)""".stripMargin,
-      "A", "B", ratioA = 0.5),
-
-    "sk_kmv_intersect" -> graft.sketch.Sketches.kmvIntersectOracleSql(
-      "SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'",
-      "SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'"),
-
-    "a14_mode_per_group" ->
-      """WITH c AS (
-        |  SELECT o_custkey, o_orderpriority, count(*) AS cnt
-        |  FROM orders GROUP BY 1, 2
-        |), r AS (
-        |  SELECT *, row_number() OVER (
-        |    PARTITION BY o_custkey ORDER BY cnt DESC, o_orderpriority ASC) AS rn
-        |  FROM c
-        |)
-        |SELECT o_custkey, o_orderpriority AS mode_priority, cnt
-        |FROM r WHERE rn = 1""".stripMargin,
-
-    "dp_profile" -> graft.ops.Profiler.oracleSql(
-      "lineitem",
-      numericCols = Seq("l_quantity", "l_extendedprice", "l_discount"),
-      stringCols = Seq("l_returnflag", "l_linestatus")),
-
-    "t_bm25" -> graft.text.Bm25.oracleSql(
-      "documents", "doc_id", "text", Seq("join", "window", "stream", "vector")),
-
-    "d_editdist_pairs" -> graft.dedup.Dedup.editDistancePairsOracleSql(
-      "part", "p_name", maxDist = 3),
-
-    "d_prefix_jaccard" -> graft.dedup.Dedup.prefixJaccardOracleSql(
-      "documents", "doc_id", "text", threshold = 0.95),
-
-    "ev_peak_concurrency" -> graft.ops.SweepLine.peakConcurrencyOracleSql(
-      "events",
-      startSql = "CAST(epoch(date_trunc('second', ts)) AS BIGINT)",
-      endSql = "CAST(epoch(date_trunc('second', ts)) AS BIGINT) + " +
-        "GREATEST(1, CAST(FLOOR(value * 10) AS BIGINT))"),
-
-    "ev_rolling24h" -> graft.ops.TimeSeriesOps.rollingAggOracleSql(
-      "events", "user_id", "ts", "value", "event_id", 86400L),
-
-    "ev_gapfill_daily" -> graft.ops.TimeSeriesOps.gapFillDailyOracleSql(
-      "events", "user_id", "ts", "value"),
-
-    "ev_cum_uniques" -> graft.ops.TimeSeriesOps.cumulativeUniquesOracleSql(
-      "events", "user_id", "ts"),
-
-    "ev_rolling_wau" -> graft.ops.TimeSeriesOps.rollingActiveUsersOracleSql(
-      "events", "user_id", "ts", windowDays = 7),
-
-    "ev_churn_cohorts" ->
-      """WITH per AS (
-        |  SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day,
-        |         MAX(CAST(ts AS DATE)) AS last_day
-        |  FROM events GROUP BY 1
-        |), h AS (
-        |  SELECT *, MAX(last_day) OVER () - 7 AS horizon FROM per
-        |)
-        |SELECT CAST(date_trunc('week', first_day) AS DATE) AS cohort_week,
-        |       count(*) AS n_users,
-        |       CAST(SUM(CASE WHEN last_day < horizon THEN 1 ELSE 0 END) AS BIGINT) AS n_churned
-        |FROM h GROUP BY 1""".stripMargin,
-
-    "ev_stickiness" ->
-      """WITH active AS (
-        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
-        |), dau AS (
-        |  SELECT day, count(*) AS dau FROM active GROUP BY 1
-        |), vis AS (
-        |  SELECT user_id, CAST(unnest(generate_series(CAST(day AS TIMESTAMP),
-        |           CAST(day AS TIMESTAMP) + INTERVAL 27 DAY,
-        |           INTERVAL 1 DAY)) AS DATE) AS day2
-        |  FROM active
-        |), mau AS (
-        |  SELECT day2 AS day, count(DISTINCT user_id) AS mau FROM vis GROUP BY 1
-        |)
-        |SELECT d.day, d.dau, m.mau,
-        |       round(CAST(d.dau AS DOUBLE) / m.mau, 6) AS stickiness
-        |FROM dau d JOIN mau m ON d.day = m.day""".stripMargin,
-
-    "ev_funnel_windowed" -> graft.ops.FunnelOps.funnelOracleSql(
-      "events", "user_id", "event_type", "ts",
-      Seq("view", "click", "purchase"), maxGapSec = Some(7L * 86400L)),
-
-    // forward ASOF is native in DuckDB too: the <= inequality picks the
-    // nearest FOLLOWING right row
-    "j14_asof_forward" ->
-      """SELECT e.event_id, o.next_orderkey
-        |FROM (SELECT event_id, user_id, date_trunc('second', ts) AS ts2 FROM events) e
-        |ASOF LEFT JOIN (
-        |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS next_orderkey
-        |  FROM orders GROUP BY 1, 2
-        |) o ON e.user_id = o.o_custkey AND e.ts2 <= o.o_orderdate""".stripMargin,
-
-    "j15_nearest_event" ->
-      """WITH c AS (
-        |  SELECT event_id, user_id, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec
-        |  FROM events WHERE event_type = 'click'
-        |), p AS (
-        |  SELECT user_id, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS psec,
-        |         max(CAST(round(value, 2) AS DECIMAL(18,2))) AS pval
-        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
-        |)
-        |SELECT c.event_id, c.user_id, c.sec, CAST(m.pval AS DOUBLE) AS pval,
-        |       m.psec AS matched_t
-        |FROM c LEFT JOIN LATERAL (
-        |  SELECT p.pval, p.psec FROM p
-        |  WHERE p.user_id = c.user_id
-        |  ORDER BY abs(p.psec - c.sec), p.psec LIMIT 1
-        |) m ON true""".stripMargin,
-
-    "a13_hist2d" ->
-      """SELECT CAST(FLOOR(l_extendedprice / 20000) * 20000 AS DOUBLE) AS price_bucket,
-        |       CAST(FLOOR(l_quantity / 10) * 10 AS DOUBLE) AS qty_bucket,
-        |       count(*) AS cnt
-        |FROM lineitem GROUP BY 1, 2""".stripMargin,
-
-    "fe_crossfit_encode" ->
-      """WITH base AS (
-        |  SELECT o_orderpriority AS cat,
-        |         CAST(concat('0x', substr(md5(concat(CAST(o_orderkey AS VARCHAR), ':cf')), 1, 15)) AS BIGINT) % 5 AS fold,
-        |         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
-        |  FROM orders
-        |), cells AS (
-        |  SELECT cat, fold, count(*) AS cnt, CAST(SUM(y) AS BIGINT) AS pos
-        |  FROM base GROUP BY 1, 2
-        |), x AS (
-        |  SELECT cat, fold, cnt, pos,
-        |         SUM(cnt) OVER (PARTITION BY cat) AS tc, SUM(pos) OVER (PARTITION BY cat) AS tp,
-        |         SUM(cnt) OVER (PARTITION BY fold) AS fc, SUM(pos) OVER (PARTITION BY fold) AS fp,
-        |         SUM(cnt) OVER () AS gc, SUM(pos) OVER () AS gp
-        |  FROM cells
-        |)
-        |SELECT cat, fold, cnt, pos,
-        |       ((tp - pos) + 20.0 * (CAST(gp - fp AS DOUBLE) / (gc - fc)))
-        |       / ((tc - cnt) + 20.0) AS encoding
-        |FROM x""".stripMargin,
-
-    "g_pagerank3" -> graft.ops.PageRank.fixedPointOracleSql(
-      "SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst " +
-        "FROM lineitem a JOIN lineitem b " +
-        "ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey",
-      iters = 3),
-
-    "g_bfs_dist" -> graft.ops.Bfs.kHopOracleSql(
-      "SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst " +
-        "FROM lineitem a JOIN lineitem b " +
-        "ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey",
-      "SELECT p_partkey AS node FROM part WHERE p_partkey % 97 = 0",
-      maxHops = 3),
-
-    // the maintenance identity: snapshot ⊕ delta == aggregate(base ⊖ D ⊕ I)
-    "inc_agg_maintain" ->
-      s"""WITH del AS (
-         |  SELECT o_orderkey FROM orders
-         |  WHERE ${permilleHashSql("o_orderkey", ":inc42", 1000L)} < 50
-         |), ins AS (
-         |  SELECT o_orderstatus, o_totalprice + 1000.0 AS o_totalprice FROM orders
-         |  WHERE ${permilleHashSql("o_orderkey", ":inc42", 1000L)} >= 950
-         |), live AS (
-         |  SELECT o_orderstatus, o_totalprice FROM orders
-         |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM del)
-         |  UNION ALL SELECT * FROM ins
-         |)
-         |SELECT o_orderstatus, count(*) AS cnt,
-         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
-         |FROM live GROUP BY 1""".stripMargin,
-
-    // recompute of the maintained join over the MODIFIED base tables —
-    // the IVM identity the Spark side must hit bit-for-bit
-    "inc_join_maintain" ->
-      s"""WITH a AS (
-         |  SELECT o_custkey, o_totalprice FROM orders
-         |  WHERE NOT (${permilleHashSql("o_orderkey", ":ijm", 1000L)} < 50)
-         |  UNION ALL
-         |  SELECT o_custkey, o_totalprice + 1000.0 FROM orders
-         |  WHERE ${permilleHashSql("o_orderkey", ":ijm", 1000L)} >= 950
-         |), b AS (
-         |  SELECT c_custkey, c_nationkey FROM customer
-         |  WHERE NOT (${permilleHashSql("c_custkey", ":ijmc", 1000L)} < 30)
-         |)
-         |SELECT b.c_nationkey, count(*) AS cnt,
-         |       CAST(CAST(SUM(CAST(a.o_totalprice AS DECIMAL(18,2)))
-         |            AS DECIMAL(18,2)) AS DOUBLE) AS sum_v
-         |FROM a JOIN b ON a.o_custkey = b.c_custkey
-         |GROUP BY 1""".stripMargin,
-
-    "dq_table_checksum" -> graft.ops.TableChecksum.checksumOracleSql(
-      "orders",
-      Seq("o_orderkey", "o_custkey", "o_orderstatus",
-        "CAST(o_totalprice AS DECIMAL(18,2))",
-        "CAST(o_orderdate AS DATE)", "o_orderpriority")),
-
-    // identical oracle text as dq_table_checksum — the sink's committed
-    // fingerprint and the query-path aggregate must both hit it
-    "s18_checksum_sink" -> graft.ops.TableChecksum.checksumOracleSql(
-      "orders",
-      Seq("o_orderkey", "o_custkey", "o_orderstatus",
-        "CAST(o_totalprice AS DECIMAL(18,2))",
-        "CAST(o_orderdate AS DATE)", "o_orderpriority")),
-
-    "ev_funnel" -> graft.ops.FunnelOps.funnelOracleSql(
-      "events", "user_id", "event_type", "ts", Seq("view", "click", "purchase")),
-
-    "ev_retention" -> graft.ops.FunnelOps.retentionOracleSql(
-      "events", "user_id", "ts"),
-
-    "ev_transitions" -> graft.ops.FunnelOps.transitionsOracleSql(
-      "events", "user_id", "event_type", "ts", "event_id"),
-
-    "ev_attribution" -> graft.ops.FunnelOps.lastTouchAttributionOracleSql(
-      "events", "user_id", "event_type", "ts", "event_id",
-      touchTypes = Seq("view", "click", "signup"), convType = "purchase",
-      lookbackSec = 7L * 86400L),
-
-    "ev_time_to_convert" -> graft.ops.FunnelOps.timeToConvertOracleSql(
-      "events", "user_id", "event_type", "ts", "event_id",
-      touchTypes = Seq("view", "click", "signup"), convType = "purchase",
-      lookbackSec = 7L * 86400L),
-
-    "a18_cramers_v" ->
-      """WITH joint AS (
-        |  SELECT o_orderpriority AS x, o_orderstatus AS y, CAST(count(*) AS BIGINT) AS nxy
-        |  FROM orders GROUP BY 1, 2
-        |), m AS (
-        |  SELECT *,
-        |         SUM(nxy) OVER () AS n,
-        |         SUM(nxy) OVER (PARTITION BY x) AS nx,
-        |         SUM(nxy) OVER (PARTITION BY y) AS ny
-        |  FROM joint
-        |), terms AS (
-        |  SELECT n,
-        |         (nxy - CAST(nx AS DOUBLE) * ny / n) * (nxy - CAST(nx AS DOUBLE) * ny / n)
-        |           / (CAST(nx AS DOUBLE) * ny / n) AS term,
-        |         CAST(nx AS DOUBLE) * ny / n AS exp,
-        |         x, y
-        |  FROM m
-        |)
-        |SELECT round(SUM(term) + (MAX(n) - SUM(exp)), 6) AS chi2_stat,
-        |       CAST(MAX(n) AS BIGINT) AS n,
-        |       LEAST(COUNT(DISTINCT x) - 1, COUNT(DISTINCT y) - 1) AS df_min,
-        |       round(sqrt((SUM(term) + (MAX(n) - SUM(exp))) /
-        |             (MAX(n) * LEAST(COUNT(DISTINCT x) - 1, COUNT(DISTINCT y) - 1))), 6)
-        |         AS cramers_v
-        |FROM terms""".stripMargin,
-
-    "o15_interleave" ->
-      s"""WITH h AS (
-         |  SELECT doc_id, source,
-         |         ${permilleHashSql("doc_id", ":il4", 1000000L)} AS hh
-         |  FROM documents
-         |), r AS (
-         |  SELECT doc_id, source,
-         |         ROW_NUMBER() OVER (PARTITION BY source ORDER BY hh, doc_id) AS rn
-         |  FROM h
-         |)
-         |SELECT doc_id, source, rn,
-         |       ROW_NUMBER() OVER (ORDER BY rn, source, doc_id) AS seq
-         |FROM r""".stripMargin,
-
-    "sk_kmv_merge" -> graft.sketch.Sketches.kmvMergeOracleSql("o_custkey", "orders"),
-
-    "sk_hist_quantiles" -> graft.sketch.Sketches.histQuantilesOracleSql(
-      "orders", "o_totalprice", buckets = 256, psPermille = Seq(500, 900, 990)),
-
-    "sk_hist_merge" -> graft.sketch.Sketches.histMergeCheckOracleSql(
-      "orders", "o_totalprice", "o_orderkey % 8", buckets = 256),
-
-    "o16_balanced_batches" ->
-      s"""WITH h AS (
-         |  SELECT vec_id, label,
-         |         ${permilleHashSql("vec_id", ":bb4", 1000000L)} AS hh
-         |  FROM embeddings
-         |), r AS (
-         |  SELECT label,
-         |         row_number() OVER (PARTITION BY label ORDER BY hh, vec_id) AS rn
-         |  FROM h
-         |)
-         |SELECT (rn - 1) % 8 AS batch, label, CAST(count(*) AS BIGINT) AS n
-         |FROM r GROUP BY 1, 2""".stripMargin,
-
-    "s16_dynamic_overwrite" ->
-      s"""SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS cnt,
-         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
-         |FROM orders
-         |WHERE o_orderstatus <> 'F'
-         |   OR (${permilleHashSql("o_orderkey", ":dow4", 1000)}) < 500
-         |GROUP BY 1""".stripMargin,
-
-    "p15_dynamic_pivot" ->
-      """SELECT o_orderstatus,
-        |  CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS "1-URGENT",
-        |  CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS "2-HIGH",
-        |  CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS "3-MEDIUM",
-        |  CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS "4-NOT SPECIFIED",
-        |  CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS "5-LOW"
-        |FROM orders GROUP BY 1""".stripMargin,
-
-    "a21_skyline" -> graft.ops.Skyline.frontier2DOracleSql(
-      aggCte = """SELECT o_custkey,
-                 |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS spend_cents,
-                 |  COUNT(*) AS n_orders
-                 |FROM orders GROUP BY 1""".stripMargin,
-      idSql = "o_custkey", xSql = "spend_cents", ySql = "n_orders"),
-
-    "a22_itemsets" ->
-      """WITH li AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem)
-        |SELECT a.p AS part_a, b.p AS part_b, CAST(count(*) AS BIGINT) AS support
-        |FROM li a JOIN li b ON a.k = b.k AND a.p < b.p
-        |GROUP BY 1, 2
-        |HAVING count(*) >= 2""".stripMargin,
-
-    "a23_assoc_rules" ->
-      """WITH li AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem),
-        |supp AS (SELECT p, CAST(count(*) AS BIGINT) AS supp FROM li GROUP BY 1),
-        |nb AS (SELECT CAST(count(DISTINCT k) AS BIGINT) AS n_baskets FROM li),
-        |pairs AS (
-        |  SELECT a.p AS pa, b.p AS pb, CAST(count(*) AS BIGINT) AS supp_ab
-        |  FROM li a JOIN li b ON a.k = b.k AND a.p < b.p
-        |  GROUP BY 1, 2 HAVING count(*) >= 2
-        |),
-        |rules AS (
-        |  SELECT pa AS antecedent, pb AS consequent, supp_ab FROM pairs
-        |  UNION ALL
-        |  SELECT pb AS antecedent, pa AS consequent, supp_ab FROM pairs
-        |)
-        |SELECT r.antecedent, r.consequent, r.supp_ab,
-        |       round(CAST(r.supp_ab AS DOUBLE) / sa.supp, 6) AS confidence,
-        |       round((CAST(r.supp_ab AS DOUBLE) / sa.supp)
-        |             / (CAST(sb.supp AS DOUBLE) / nb.n_baskets), 6) AS lift
-        |FROM rules r
-        |JOIN supp sa ON r.antecedent = sa.p
-        |JOIN supp sb ON r.consequent = sb.p
-        |CROSS JOIN nb""".stripMargin,
-
-    "o17_source_quota" ->
-      s"""WITH h AS (
-         |  SELECT source, doc_id,
-         |         ${permilleHashSql("doc_id", ":qta4", 1000000L)} AS hh
-         |  FROM documents
-         |), r AS (
-         |  SELECT source, doc_id,
-         |         row_number() OVER (PARTITION BY source ORDER BY hh, doc_id) AS rn
-         |  FROM h
-         |)
-         |SELECT source, doc_id FROM r WHERE rn <= 10""".stripMargin,
-
-    "d_sorted_neighbors" -> graft.dedup.Dedup.sortedNeighborOracleSql(
-      "documents", "doc_id", "text", window = 4, keyLen = 12, threshold = 0.2),
-
-    "er_link_scores" ->
-      s"""WITH pert AS (
-         |  SELECT c_custkey,
-         |    CASE WHEN ${permilleHashSql("c_custkey", ":erN", 1000L)} < 300
-         |         THEN 'customer' || substr(c_name, 9, 1000) ELSE c_name END AS c_name,
-         |    CASE WHEN ${permilleHashSql("c_custkey", ":erB", 1000L)} < 250
-         |         THEN c_acctbal + 10.0 ELSE c_acctbal END AS c_acctbal,
-         |    CASE WHEN ${permilleHashSql("c_custkey", ":erS", 1000L)} < 200
-         |         THEN 'UNKNOWN' ELSE c_mktsegment END AS c_mktsegment
-         |  FROM customer
-         |), aa AS (
-         |  SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
-         |         substr(c_name, 10, 7) AS blk
-         |  FROM customer
-         |), bb AS (
-         |  SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
-         |         substr(c_name, 10, 7) AS blk
-         |  FROM pert
-         |), pairs AS (
-         |  SELECT aa.c_custkey AS id_a, bb.c_custkey AS id_b,
-         |    (CASE WHEN aa.c_name = bb.c_name THEN 3 ELSE -1 END +
-         |     CASE WHEN abs(aa.c_acctbal - bb.c_acctbal) <= 0.005 THEN 2 ELSE -2 END +
-         |     CASE WHEN aa.c_mktsegment = bb.c_mktsegment THEN 1 ELSE -1 END) AS score
-         |  FROM aa JOIN bb ON aa.blk = bb.blk
-         |)
-         |SELECT CAST(score AS BIGINT) AS score,
-         |       CAST(count(*) AS BIGINT) AS n_pairs,
-         |       CAST(SUM(CASE WHEN id_a = id_b THEN 1 ELSE 0 END) AS BIGINT) AS n_true
-         |FROM pairs GROUP BY 1""".stripMargin,
-
-    "ev_stream_full" ->
-      """WITH ev AS (
-        |  SELECT user_id, event_id, event_type, date_trunc('second', ts) AS ts2 FROM events
-        |), v AS (
-        |  SELECT user_id AS u, event_id AS vid, ts2 AS vt FROM ev WHERE event_type = 'view'
-        |), c AS (
-        |  SELECT user_id AS u, event_id AS cid, ts2 AS ct FROM ev WHERE event_type = 'click'
-        |), wm AS (
-        |  SELECT least((SELECT max(vt) FROM v), (SELECT max(ct) FROM c)) AS w
-        |), j AS (
-        |  SELECT coalesce(v.u, c.u) AS u, v.vid, v.vt, c.cid, c.ct
-        |  FROM v FULL JOIN c
-        |    ON v.u = c.u AND c.ct >= v.vt AND c.ct <= v.vt + INTERVAL 30 MINUTE
-        |)
-        |SELECT u AS user_id,
-        |       CAST(count(CASE WHEN vid IS NOT NULL AND cid IS NOT NULL THEN 1 END) AS BIGINT) AS n_pairs,
-        |       CAST(SUM(CASE WHEN cid IS NULL AND vt + INTERVAL 30 MINUTE < (SELECT w FROM wm)
-        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched_v,
-        |       CAST(SUM(CASE WHEN vid IS NULL AND ct < (SELECT w FROM wm)
-        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched_c
-        |FROM j GROUP BY 1
-        |HAVING count(CASE WHEN vid IS NOT NULL AND cid IS NOT NULL THEN 1 END) > 0
-        |    OR SUM(CASE WHEN cid IS NULL AND vt + INTERVAL 30 MINUTE < (SELECT w FROM wm)
-        |           THEN 1 ELSE 0 END) > 0
-        |    OR SUM(CASE WHEN vid IS NULL AND ct < (SELECT w FROM wm)
-        |           THEN 1 ELSE 0 END) > 0""".stripMargin,
-
-    "a24_trimmed_mean" -> graft.ops.RobustStats.trimmedMeanOracleSql(
-      "orders", Seq("o_orderstatus"), "o_totalprice", "o_orderkey", trim = 0.1),
-
-    "a20_moments" ->
-      """WITH b AS (
-        |  SELECT o_orderstatus,
-        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS HUGEINT) AS c
-        |  FROM orders
-        |), m AS (
-        |  SELECT o_orderstatus, count(*) AS n,
-        |         SUM(c) AS s1, SUM(c * c) AS s2,
-        |         SUM(c * c * c) AS s3, SUM(c * c * c * c) AS s4
-        |  FROM b GROUP BY 1
-        |), dm AS (
-        |  SELECT o_orderstatus, n,
-        |         CAST(n AS DOUBLE) AS nd, CAST(s1 AS DOUBLE) AS d1,
-        |         CAST(s2 AS DOUBLE) AS d2, CAST(s3 AS DOUBLE) AS d3,
-        |         CAST(s4 AS DOUBLE) AS d4
-        |  FROM m
-        |), f AS (
-        |  SELECT o_orderstatus, n, nd, d1, d2, d3, d4,
-        |         d1 / nd AS mu,
-        |         d2 / nd - (d1 / nd) * (d1 / nd) AS v
-        |  FROM dm
-        |)
-        |SELECT o_orderstatus, CAST(n AS BIGINT) AS n,
-        |       CASE WHEN v <= 0.0 THEN 0.0
-        |            ELSE round((d3 / nd - 3.0 * mu * (d2 / nd) + 2.0 * mu * mu * mu)
-        |                       / (v * sqrt(v)), 6) END AS skewness,
-        |       CASE WHEN v <= 0.0 THEN 0.0
-        |            ELSE round((d4 / nd - 4.0 * mu * (d3 / nd) + 6.0 * mu * mu * (d2 / nd)
-        |                        - 3.0 * mu * mu * mu * mu) / (v * v) - 3.0, 6) END AS kurtosis
-        |FROM f""".stripMargin,
-
-    "g_degree_dist" ->
-      """WITH e AS (
-        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
-        |  FROM lineitem a JOIN lineitem b
-        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-        |), nodes AS (
-        |  SELECT src AS node FROM e UNION ALL SELECT dst FROM e
-        |), deg AS (
-        |  SELECT node, CAST(count(*) AS BIGINT) AS degree FROM nodes GROUP BY 1
-        |)
-        |SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes FROM deg GROUP BY 1""".stripMargin,
-
-    "g_kcore" -> graft.ops.KCore.peelOracleSql(
-      s"""  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
-         |  FROM lineitem a JOIN lineitem b
-         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-         |  WHERE ${permilleHashSql(
-               "CAST(a.l_partkey AS VARCHAR) || ':' || CAST(b.l_partkey AS VARCHAR)",
-               ":kcore", 1000L)} < 50""".stripMargin,
-      k = 6, rounds = 3),
-
-    "g_components" ->
-      s"""WITH RECURSIVE pairs AS (
-         |  SELECT DISTINCT a.l_partkey AS doc_a, b.l_partkey AS doc_b
-         |  FROM lineitem a JOIN lineitem b
-         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-         |  WHERE ${permilleHashSql(
-               "CAST(a.l_partkey AS VARCHAR) || ':' || CAST(b.l_partkey AS VARCHAR)",
-               ":gcc", 1000L)} < 3
-         |), edges AS (
-         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-         |  UNION
-         |  SELECT doc_b AS src, doc_a AS dst FROM pairs
-         |), reach AS (
-         |  SELECT src, dst FROM edges
-         |  UNION
-         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
-         |), rep AS (
-         |  SELECT src AS doc_id, least(src, min(dst)) AS rep_id FROM reach GROUP BY src
-         |), lab AS (
-         |  SELECT p.p_partkey AS doc_id, COALESCE(rep.rep_id, p.p_partkey) AS rep_id
-         |  FROM part p LEFT JOIN rep ON p.p_partkey = rep.doc_id
-         |), comp AS (
-         |  SELECT rep_id, CAST(count(*) AS BIGINT) AS sz FROM lab GROUP BY 1
-         |)
-         |SELECT sz, CAST(count(*) AS BIGINT) AS n_components
-         |FROM comp GROUP BY 1""".stripMargin,
-
-    "sim_mmr_rerank" -> Quantized.mmrRerankOracleSql(
-      "embeddings", "vec_id", "embedding",
-      dim = 64, nQueries = 6, nCand = 8, k = 4),
-
-    "ml_ece" ->
-      """WITH s AS (
-        |  SELECT round(o_totalprice / 600000.0, 6) AS sr,
-        |         CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END AS y
-        |  FROM orders
-        |), b AS (
-        |  SELECT CAST(LEAST(GREATEST(FLOOR(sr * 10), 0), 9) AS INTEGER) AS bin,
-        |         count(*) AS n,
-        |         CAST(SUM(y) AS DECIMAL(28,6)) AS sy,
-        |         SUM(CAST(sr AS DECIMAL(28,6))) AS ss
-        |  FROM s GROUP BY 1
-        |)
-        |SELECT CAST(SUM(n) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS n_bins,
-        |       round(CAST(SUM(abs(sy - ss)) AS DOUBLE) / CAST(SUM(n) AS DOUBLE), 6) AS ece
-        |FROM b""".stripMargin,
-
-    "ml_pca_power" -> graft.ml.Pca.powerIterationOracleSql(
-      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-        .zipWithIndex
-        .map { case (c, i) =>
-          s"CAST(CAST($c AS DECIMAL(12,2)) * 100 AS BIGINT) AS c${i + 1}"
-        }
-        .mkString("SELECT ", ", ", " FROM lineitem"),
-      k = 4, iters = 12),
-
-    "ml_cart_split" -> graft.ml.TreeSplit.splitCandidatesOracleSql(
-      Seq("quantity" -> "l_quantity", "discount" -> "l_discount",
-        "tax" -> "l_tax", "linenumber" -> "l_linenumber")
-        .map { case (name, c) =>
-          s"SELECT '$name' AS feature, CAST($c AS DOUBLE) AS v, " +
-            "count(*) AS n, SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS pos " +
-            "FROM lineitem GROUP BY 2"
-        }.mkString(" UNION ALL ")),
-
-    "ml_brier_decomp" -> graft.ml.Metrics.brierDecompOracleSql(
-      "SELECT CAST(round(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) / 60.0) AS BIGINT) AS sm, " +
-        "CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END AS y " +
-        "FROM orders",
-      bins = 10),
-
-    "dq_benford" -> graft.ops.StatsOps.benfordOracleSql(
-      "orders", "CAST(o_totalprice AS DECIMAL(12,2))"),
-
-    "dq_freshness" ->
-      """WITH e AS (
-        |  SELECT event_type,
-        |         CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec
-        |  FROM events
-        |), t AS (
-        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
-        |         MAX(sec) AS last_sec
-        |  FROM e GROUP BY 1
-        |)
-        |SELECT event_type, n_events, last_sec,
-        |       MAX(last_sec) OVER () - last_sec AS staleness_sec
-        |FROM t""".stripMargin,
-
-    "ev_attribution_linear" -> graft.ops.FunnelOps.linearAttributionOracleSql(
-      "events", "user_id", "event_type", "ts",
-      touchTypes = Seq("view", "click", "signup"), convType = "purchase",
-      lookbackSec = 7L * 86400L),
-
-    "ev_attribution_position" -> graft.ops.FunnelOps.positionAttributionOracleSql(
-      "events", "user_id", "event_type", "ts", "event_id",
-      touchTypes = Seq("view", "click", "signup"), convType = "purchase",
-      lookbackSec = 7L * 86400L),
-
-    "ev_session_native" ->
-      """WITH e AS (
-        |  SELECT user_id, date_trunc('second', ts) AS ts2, event_id FROM events
-        |), s AS (
-        |  SELECT user_id, ts2, event_id,
-        |         CASE WHEN prev IS NULL
-        |                OR epoch(ts2) - epoch(prev) >= 1800 THEN 1 ELSE 0 END AS is_new
-        |  FROM (SELECT *, lag(ts2) OVER (PARTITION BY user_id ORDER BY ts2, event_id) AS prev
-        |        FROM e)
-        |), g AS (
-        |  SELECT user_id, ts2,
-        |         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts2, event_id
-        |                           ROWS UNBOUNDED PRECEDING) AS sid
-        |  FROM s
-        |)
-        |SELECT user_id, MIN(ts2) AS session_start, CAST(count(*) AS BIGINT) AS n_events
-        |FROM g GROUP BY user_id, sid""".stripMargin,
-
-    "t_url_hosts" ->
-      """WITH inj AS (
-        |  SELECT doc_id,
-        |         text
-        |         || CASE WHEN doc_id % 4 = 0 THEN ' see https://'
-        |              || CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END
-        |              || 'site' || CAST(doc_id % 7 AS VARCHAR) || '.example'
-        |              || CASE WHEN doc_id % 3 = 0 THEN '.org' ELSE '.com' END
-        |              || '/p/' || CAST(doc_id AS VARCHAR) ELSE '' END
-        |         || CASE WHEN doc_id % 6 = 0 THEN ' also http://'
-        |              || CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END
-        |              || 'site' || CAST(doc_id % 7 AS VARCHAR) || '.example'
-        |              || CASE WHEN doc_id % 3 = 0 THEN '.org' ELSE '.com' END
-        |              || '/q' ELSE '' END
-        |         AS t
-        |  FROM documents
-        |), u AS (
-        |  SELECT doc_id,
-        |         unnest(regexp_extract_all(t, 'https?://([A-Za-z0-9.-]+)', 1)) AS raw
-        |  FROM inj
-        |)
-        |SELECT regexp_replace(lower(raw), '^www\.', '') AS host,
-        |       CAST(count(*) AS BIGINT) AS n_links,
-        |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
-        |FROM u GROUP BY 1""".stripMargin,
-
-    "sql_q12_late" -> q12Sql,
-    "sql_q14_promo" -> q14Sql,
-
-    "sql_q19_parts" -> q19Sql,
-    "sql_q2_mincost" -> q2Sql,
-    "sql_q11_stockvalue" -> q11Sql,
-    "sql_q16_suppcnt" -> q16Sql,
-    "sql_q20_excess" -> q20Sql,
-
-    // ==== MIMIC-scale rows: DuckDB re-derives the same tables from the
-    // same md5 arithmetic (no source files at all) and replays the
-    // reference pipeline — generation AND query cross-engine-checked ====
-    "mimic_cohort_counts" ->
-      s"""WITH ${graft.sources.MimicSynth.cohortCtes},
-         |${graft.sources.MimicSynth.diagnosesCtes}
-         |SELECT label, CAST(count(*) AS BIGINT) AS n,
-         |       CAST(SUM(hadm_id) AS BIGINT) AS hadm_sum
-         |FROM mcohort c
-         |WHERE deathtime IS NULL AND admission_type <> 'NEWBORN'
-         |  AND EXISTS (SELECT 1 FROM diagnoses_icd d
-         |              WHERE d.hadm_id = c.hadm_id)
-         |GROUP BY 1""".stripMargin,
-
-    "mimic_adm_profile" ->
-      s"""WITH ${graft.sources.MimicSynth.admissionsCtes}
-         |SELECT admission_type, CAST(count(*) AS BIGINT) AS n_adm,
-         |       CAST(SUM(CASE WHEN deathtime IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_death
-         |FROM admissions GROUP BY 1""".stripMargin,
-
-    "mimic_ethnicity_top5" ->
-      s"""WITH ${graft.sources.MimicSynth.admissionsCtes}, recoded AS (
-         |  SELECT CASE
-         |    WHEN regexp_matches(ethnicity, '^ASIAN') THEN 'ASIAN'
-         |    WHEN regexp_matches(ethnicity, '^WHITE') THEN 'WHITE'
-         |    WHEN regexp_matches(ethnicity, '^HISPANIC') THEN 'HISPANIC/LATINO'
-         |    WHEN regexp_matches(ethnicity, '^BLACK') THEN 'BLACK/AFRICAN AMERICAN'
-         |    WHEN ethnicity IN ('UNABLE TO OBTAIN', 'OTHER',
-         |      'PATIENT DECLINED TO ANSWER', 'UNKNOWN/NOT SPECIFIED')
-         |      THEN 'OTHER/UNKNOWN'
-         |    ELSE ethnicity END AS eth
-         |  FROM admissions
-         |  WHERE deathtime IS NULL AND admission_type <> 'NEWBORN'
-         |), top AS (
-         |  SELECT eth FROM (
-         |    SELECT eth, row_number() OVER (ORDER BY count(*) DESC, eth ASC) AS rn
-         |    FROM recoded GROUP BY eth
-         |  ) WHERE rn <= 5
-         |)
-         |SELECT CASE WHEN r.eth IN (SELECT eth FROM top) THEN r.eth
-         |            ELSE 'OTHER/UNKNOWN' END AS ethnicity,
-         |       CAST(count(*) AS BIGINT) AS n
-         |FROM recoded r GROUP BY 1""".stripMargin,
-
-    "mimic_diag_categories" ->
-      s"""WITH ${graft.sources.MimicSynth.diagnosesCtes}, coded AS (
-         |  SELECT hadm_id, ${icd9CategorySql(mimicCode3Sql)} AS cat
-         |  FROM diagnoses_icd
-         |)
-         |SELECT cat, CAST(count(*) AS BIGINT) AS n_codes,
-         |       CAST(count(DISTINCT hadm_id) AS BIGINT) AS n_adm
-         |FROM coded GROUP BY 1""".stripMargin,
-
-    "mimic_age_hist" ->
-      s"""WITH ${graft.sources.MimicSynth.admissionsCtes},
-         |${graft.sources.MimicSynth.patientsCtes},
-         |coh AS (
-         |  SELECT * FROM admissions
-         |  WHERE deathtime IS NULL AND admission_type <> 'NEWBORN'
-         |), am AS (
-         |  SELECT subject_id, min(admittime) AS admit_min FROM coh GROUP BY 1
-         |), aged AS (
-         |  SELECT floor((epoch(admit_min) - epoch(dob)) / 86400.0 / 365.0) AS age_raw
-         |  FROM am JOIN patients USING (subject_id)
-         |)
-         |SELECT CAST(age AS BIGINT) AS age, CAST(count(*) AS BIGINT) AS n FROM (
-         |  SELECT CASE WHEN age_raw > 89 OR age_raw < 0 THEN 90 ELSE age_raw END AS age
-         |  FROM aged
-         |) WHERE age <> 0 GROUP BY 1""".stripMargin,
-
-    "mimic_days_hist" ->
-      s"""WITH ${graft.sources.MimicSynth.cohortCtes}
-         |SELECT CAST(LEAST(floor(days_next / 30.0), 11) * 30 AS BIGINT) AS bin_days,
-         |       CAST(count(*) AS BIGINT) AS n
-         |FROM mcohort
-         |WHERE days_next IS NOT NULL AND days_next >= 0 AND days_next <= 360
-         |GROUP BY 1""".stripMargin,
-
-    "mimic_readmit_counts" ->
-      s"""WITH ${graft.sources.MimicSynth.cohortCtes}
-         |SELECT CAST(SUM(CASE WHEN days_next IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-         |         AS n_readmit,
-         |       CAST(count(*) AS BIGINT) AS n_total
-         |FROM mcohort""".stripMargin,
-
-    "mimic_split_counts" ->
-      s"""WITH ${graft.sources.MimicSynth.modelingCtes}
-         |SELECT split, CAST(count(*) AS BIGINT) AS n,
-         |       CAST(SUM(CAST(label AS BIGINT)) AS BIGINT) AS n_pos,
-         |       CAST(SUM(hadm_id) AS BIGINT) AS hadm_sum
-         |FROM mmatrix GROUP BY 1""".stripMargin,
-
-    "mimic_resample_counts" ->
-      s"""WITH ${graft.sources.MimicSynth.modelingCtes},
-         |t AS (
-         |  SELECT CAST(SUM(CAST(label AS BIGINT)) AS BIGINT) AS tp,
-         |         CAST(SUM(1 - CAST(label AS BIGINT)) AS BIGINT) AS tn
-         |  FROM mmatrix WHERE split = 'train'
-         |)
-         |SELECT 'base' AS strategy, tp + tn AS n_train, tp AS n_pos, tn AS n_neg FROM t
-         |UNION ALL SELECT 'undersample', tp * 2, tp, tp FROM t
-         |UNION ALL SELECT 'oversample', tn * 2, tn, tn FROM t""".stripMargin,
-
-    "mimic_notes_vocab" ->
-      s"""WITH ${graft.sources.MimicSynth.admissionsCtes},
-         |${graft.sources.MimicSynth.noteTokensCtes},
-         |${graft.sources.MimicSynth.diagnosesCtes},
-         |coh AS (
-         |  SELECT hadm_id FROM admissions a
-         |  WHERE deathtime IS NULL AND admission_type <> 'NEWBORN'
-         |    AND EXISTS (SELECT 1 FROM diagnoses_icd d
-         |                WHERE d.hadm_id = a.hadm_id)
-         |)
-         |SELECT word, CAST(count(*) AS BIGINT) AS cnt
-         |FROM note_tokens JOIN coh USING (hadm_id)
-         |GROUP BY 1 ORDER BY cnt DESC, word ASC LIMIT 3000""".stripMargin,
-
-    "mimic_bow_profile" ->
-      s"""WITH ${graft.sources.MimicSynth.admissionsCtes},
-         |${graft.sources.MimicSynth.noteTokensCtes},
-         |${graft.sources.MimicSynth.diagnosesCtes},
-         |coh AS (
-         |  SELECT hadm_id FROM admissions a
-         |  WHERE deathtime IS NULL AND admission_type <> 'NEWBORN'
-         |    AND EXISTS (SELECT 1 FROM diagnoses_icd d
-         |                WHERE d.hadm_id = a.hadm_id)
-         |), vt AS (
-         |  SELECT t.hadm_id, t.word FROM note_tokens t JOIN coh USING (hadm_id)
-         |), vocab AS (
-         |  SELECT word FROM vt GROUP BY 1
-         |  ORDER BY count(*) DESC, word ASC LIMIT 3000
-         |), iv AS (
-         |  SELECT vt.hadm_id, vt.word FROM vt JOIN vocab USING (word)
-         |)
-         |SELECT
-         |  (SELECT CAST(count(*) AS BIGINT) FROM coh) AS n_rows,
-         |  (SELECT CAST(count(*) AS BIGINT) FROM (SELECT DISTINCT word FROM iv)) AS n_features,
-         |  (SELECT CAST(count(*) AS BIGINT) FROM (SELECT DISTINCT hadm_id, word FROM iv)) AS nnz,
-         |  (SELECT CAST(count(*) AS BIGINT) FROM iv) AS total_tokens""".stripMargin,
-
-    // the MI feature-selection ranking, replayed cell-for-cell: nonzero
-    // joint counts from the token/diagnosis aggregations, zero-completion
-    // over the DECLARED 3,017-feature sparse universe, dense age/gender
-    // joints, plug-in MI, round-6 rank with name tiebreak
-    "mimic_feature_select" ->
-      s"""WITH ${graft.sources.MimicSynth.modelingCtes},
-         |${graft.sources.MimicSynth.noteTokensCtes},
-         |tr AS (
-         |  SELECT hadm_id, subject_id, label AS y FROM mmatrix WHERE split = 'train'
-         |), tot AS (
-         |  SELECT y, CAST(count(*) AS BIGINT) AS ny FROM tr GROUP BY 1
-         |), vt AS (
-         |  SELECT t.hadm_id, t.word FROM note_tokens t JOIN mmatrix USING (hadm_id)
-         |), vocab AS (
-         |  SELECT word FROM vt GROUP BY 1 ORDER BY count(*) DESC, word ASC LIMIT 3000
-         |), bow AS (
-         |  SELECT 'bow:' || t.word AS feature, t.hadm_id, tr.y,
-         |         CAST(count(*) AS BIGINT) AS v
-         |  FROM note_tokens t JOIN vocab USING (word) JOIN tr USING (hadm_id)
-         |  GROUP BY 1, 2, 3
-         |), diag AS (
-         |  SELECT 'diag_' || cat AS feature, d.hadm_id, tr.y,
-         |         CAST(count(*) AS BIGINT) AS v
-         |  FROM (SELECT hadm_id, ${icd9CategorySql(mimicCode3Sql)} AS cat
-         |        FROM diagnoses_icd) d
-         |  JOIN tr USING (hadm_id) GROUP BY 1, 2, 3
-         |), sj AS (
-         |  SELECT feature, v, y, CAST(count(*) AS BIGINT) AS nxy
-         |  FROM (SELECT * FROM bow UNION ALL SELECT * FROM diag) GROUP BY 1, 2, 3
-         |), declared AS (
-         |  SELECT 'bow:' || word AS feature FROM vocab
-         |  UNION ALL
-         |  SELECT 'diag_' || cat FROM (VALUES ${graft.pipeline.MimicPipeline.diagCats
-              .map(c => s"('$c')").mkString(", ")}) t(cat)
-         |), zc AS (
-         |  SELECT d.feature, CAST(0 AS BIGINT) AS v, t.y,
-         |         t.ny - COALESCE(f.nfy, 0) AS nxy
-         |  FROM declared d CROSS JOIN tot t
-         |  LEFT JOIN (SELECT feature, y, SUM(nxy) AS nfy FROM sj GROUP BY 1, 2) f
-         |    ON f.feature = d.feature AND f.y = t.y
-         |), am AS (
-         |  SELECT subject_id, min(admittime) AS admit_min FROM admissions GROUP BY 1
-         |), dense0 AS (
-         |  SELECT tr.y,
-         |    CAST(CASE WHEN floor((epoch(am.admit_min) - epoch(p.dob)) / 86400.0 / 365.0) > 89
-         |               OR floor((epoch(am.admit_min) - epoch(p.dob)) / 86400.0 / 365.0) < 0
-         |         THEN 90
-         |         ELSE floor((epoch(am.admit_min) - epoch(p.dob)) / 86400.0 / 365.0)
-         |         END AS BIGINT) AS age,
-         |    CAST(CASE WHEN p.gender = 'M' THEN 1 ELSE 0 END AS BIGINT) AS gender_m
-         |  FROM tr
-         |  JOIN am ON tr.subject_id = am.subject_id
-         |  JOIN patients p ON tr.subject_id = p.subject_id
-         |), dj AS (
-         |  SELECT 'age' AS feature, age AS v, y, CAST(count(*) AS BIGINT) AS nxy
-         |  FROM dense0 GROUP BY 2, 3
-         |  UNION ALL
-         |  SELECT 'gender_m', gender_m, y, CAST(count(*) AS BIGINT)
-         |  FROM dense0 GROUP BY 2, 3
-         |), cells AS (
-         |  SELECT * FROM sj UNION ALL SELECT * FROM zc UNION ALL SELECT * FROM dj
-         |), mi AS (
-         |  SELECT feature,
-         |    SUM((CAST(nxy AS DOUBLE) / n) *
-         |        ln(CAST(nxy AS DOUBLE) * n / (CAST(nx AS DOUBLE) * ny))) AS mutual_info
-         |  FROM (SELECT feature, nxy,
-         |          SUM(nxy) OVER (PARTITION BY feature) AS n,
-         |          SUM(nxy) OVER (PARTITION BY feature, v) AS nx,
-         |          SUM(nxy) OVER (PARTITION BY feature, y) AS ny
-         |        FROM cells WHERE nxy > 0)
-         |  GROUP BY 1
-         |)
-         |SELECT rank, feature, mi FROM (
-         |  SELECT feature, round(mutual_info, 6) AS mi,
-         |    CAST(row_number() OVER (ORDER BY round(mutual_info, 6) DESC, feature ASC)
-         |         AS BIGINT) AS rank
-         |  FROM mi)
-         |WHERE rank <= 2900""".stripMargin,
-
-    "mimic_pipeline_relational" ->
-      s"""WITH ${graft.sources.MimicSynth.cohortCtes},
-         |${graft.sources.MimicSynth.diagnosesCtes},
-         |${graft.sources.MimicSynth.patientsCtes},
-         |filtered AS (
-         |  SELECT * FROM mcohort
-         |  WHERE deathtime IS NULL AND admission_type <> 'NEWBORN'
-         |), cats AS (
-         |  SELECT hadm_id,
-         |    CAST(SUM(CASE WHEN cat = 'circulatory' THEN 1 ELSE 0 END) AS BIGINT) AS n_circ,
-         |    CAST(SUM(CASE WHEN cat = 'injury' THEN 1 ELSE 0 END) AS BIGINT) AS n_inj
-         |  FROM (SELECT hadm_id, ${icd9CategorySql(mimicCode3Sql)} AS cat FROM diagnoses_icd)
-         |  GROUP BY 1
-         |), am AS (
-         |  SELECT subject_id, min(admittime) AS admit_min FROM filtered GROUP BY 1
-         |), joined AS (
-         |  SELECT f.label, f.subject_id, c.n_circ, c.n_inj,
-         |    floor((epoch(am.admit_min) - epoch(p.dob)) / 86400.0 / 365.0) AS age_raw
-         |  FROM filtered f
-         |  JOIN cats c ON f.hadm_id = c.hadm_id
-         |  JOIN am ON f.subject_id = am.subject_id
-         |  JOIN patients p ON f.subject_id = p.subject_id
-         |), aged AS (
-         |  SELECT label, subject_id, n_circ, n_inj,
-         |    CASE WHEN age_raw > 89 OR age_raw < 0 THEN 90 ELSE age_raw END AS age
-         |  FROM joined
-         |)
-         |SELECT label, CAST(count(*) AS BIGINT) AS n_rows,
-         |  CAST(count(DISTINCT subject_id) AS BIGINT) AS n_subjects,
-         |  CAST(SUM(age) AS BIGINT) AS sum_age,
-         |  CAST(SUM(n_circ) AS BIGINT) AS sum_circ,
-         |  CAST(SUM(n_inj) AS BIGINT) AS sum_inj
-         |FROM aged WHERE age <> 0 GROUP BY 1""".stripMargin,
-
-    // the CSV round-trip readout equals what DuckDB computes straight
-    // from the generated tables — the sink/source path must be lossless
-    "mimic_csv_roundtrip" ->
-      s"""WITH ${graft.sources.MimicSynth.cohortCtes},
-         |${graft.sources.MimicSynth.noteTokensCtes},
-         |nl AS (
-         |  SELECT hadm_id,
-         |         CAST(SUM(length(word)) + COUNT(*) - 1 AS BIGINT) AS text_len
-         |  FROM note_tokens GROUP BY 1
-         |)
-         |SELECT CAST(label AS INTEGER) AS output_label,
-         |       CAST(count(*) AS BIGINT) AS n_rows,
-         |       CAST(SUM(c.hadm_id) AS BIGINT) AS hadm_sum,
-         |       CAST(SUM(CASE WHEN nl.hadm_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_text,
-         |       CAST(SUM(text_len) AS BIGINT) AS text_chars,
-         |       MIN(admittime) AS admit_min
-         |FROM mcohort c LEFT JOIN nl ON c.hadm_id = nl.hadm_id
-         |WHERE deathtime IS NULL AND admission_type <> 'NEWBORN'
-         |GROUP BY 1""".stripMargin,
-
-    // hybrid retrieval over cohort summaries: BM25 from the token stream
-    // (each generated word is one alpha run, so the term of a word is
-    // regexp_replace(word, '[^a-z]', '') and dl = word count — identical
-    // to TextOps.tokens over the joined text), dense = vocab-restricted
-    // integer-count cosine, fused with the same exact-decimal RRF as
-    // sim_rrf_fusion
-    "mimic_rrf_retrieval" ->
-      s"""WITH ${graft.sources.MimicSynth.admissionsCtes},
-         |${graft.sources.MimicSynth.noteTokensCtes},
-         |${graft.sources.MimicSynth.diagnosesCtes},
-         |coh AS (
-         |  SELECT hadm_id FROM admissions a
-         |  WHERE deathtime IS NULL AND admission_type <> 'NEWBORN'
-         |    AND EXISTS (SELECT 1 FROM diagnoses_icd d
-         |                WHERE d.hadm_id = a.hadm_id)
-         |), vt AS (
-         |  SELECT t.hadm_id, t.word FROM note_tokens t JOIN coh USING (hadm_id)
-         |), lens AS (
-         |  SELECT hadm_id, CAST(count(*) AS DOUBLE) AS dl FROM vt GROUP BY 1
-         |), btf AS (
-         |  SELECT hadm_id, term, CAST(count(*) AS DOUBLE) AS tf FROM (
-         |    SELECT hadm_id, regexp_replace(word, '[^a-z]', '', 'g') AS term FROM vt
-         |  ) WHERE term IN ('pneumonia', 'chronic', 'renal', 'failure')
-         |  GROUP BY 1, 2
-         |), stats AS (
-         |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM lens
-         |), dfreq AS (
-         |  SELECT term, CAST(count(*) AS DOUBLE) AS df FROM btf GROUP BY 1
-         |), bm25 AS (
-         |  SELECT btf.hadm_id,
-         |         round(CAST(SUM(CAST(round(
-         |           ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
-         |           (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
-         |         , 9) AS DECIMAL(18,9))) AS DOUBLE), 6) AS score
-         |  FROM btf JOIN dfreq USING (term) JOIN lens USING (hadm_id), stats
-         |  GROUP BY 1
-         |), lexr AS (
-         |  SELECT id, r FROM (
-         |    SELECT hadm_id AS id,
-         |           row_number() OVER (ORDER BY score DESC, hadm_id) AS r
-         |    FROM bm25
-         |  ) WHERE r <= 100
-         |), vocab AS (
-         |  SELECT word FROM vt GROUP BY 1
-         |  ORDER BY count(*) DESC, word ASC LIMIT 3000
-         |), counts AS (
-         |  SELECT hadm_id, word, CAST(count(*) AS DOUBLE) AS c
-         |  FROM vt JOIN vocab USING (word) GROUP BY 1, 2
-         |), qid AS (
-         |  SELECT hadm_id AS q FROM vt GROUP BY 1
-         |  ORDER BY count(*) DESC, hadm_id ASC LIMIT 1
-         |), qc AS (
-         |  SELECT word, c AS qcnt FROM counts, qid WHERE counts.hadm_id = qid.q
-         |), q2 AS (SELECT SUM(qcnt * qcnt) AS q2 FROM qc),
-         |d2 AS (SELECT hadm_id, SUM(c * c) AS d2 FROM counts GROUP BY 1),
-         |dots AS (
-         |  SELECT c.hadm_id, SUM(c.c * qc.qcnt) AS dot
-         |  FROM counts c JOIN qc USING (word) GROUP BY 1
-         |), semr AS (
-         |  SELECT id, r FROM (
-         |    SELECT d.hadm_id AS id, row_number() OVER (ORDER BY
-         |      round(dot / sqrt(d2.d2 * q2.q2), 9) DESC, d.hadm_id) AS r
-         |    FROM dots d JOIN d2 USING (hadm_id), q2, qid
-         |    WHERE d.hadm_id <> qid.q
-         |  ) WHERE r <= 100
-         |), fused AS (
-         |  SELECT id,
-         |    round(CAST(SUM(CAST(round(1.0 / (60 + CAST(r AS DOUBLE)), 9)
-         |      AS DECIMAL(18,9))) AS DOUBLE), 6) AS rrf,
-         |    CAST(count(*) AS BIGINT) AS n_lists
-         |  FROM (SELECT id, r FROM lexr UNION ALL SELECT id, r FROM semr)
-         |  GROUP BY 1
-         |)
-         |SELECT id, rrf, n_lists FROM (
-         |  SELECT *, row_number() OVER (ORDER BY rrf DESC, id) AS rn FROM fused
-         |) WHERE rn <= 20""".stripMargin,
-
-    "ab_cuped" -> graft.ops.ExperimentOps.cupedOracleSql(
-      s"""  SELECT CASE WHEN ${permilleHashSql("user_id", ":ab", 1000L)} < 500
-         |              THEN 'A' ELSE 'B' END AS arm, x, y
-         |  FROM (SELECT user_id,
-         |               SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
-         |               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
-         |        FROM events GROUP BY 1)""".stripMargin,
-      treatArm = "A", controlArm = "B"),
-
-    "a19_gini" ->
-      """WITH per AS (
-        |  SELECT o_custkey,
-        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS v
-        |  FROM orders GROUP BY 1
-        |), r AS (
-        |  SELECT v,
-        |         row_number() OVER (ORDER BY v, o_custkey) AS rn,
-        |         count(*) OVER () AS n
-        |  FROM per
-        |)
-        |SELECT CAST(count(*) AS BIGINT) AS n_units,
-        |       CAST(SUM(CAST(v AS HUGEINT)) AS DOUBLE) AS total,
-        |       CASE WHEN SUM(CAST(v AS HUGEINT)) = 0 THEN 0.0
-        |            ELSE round(CAST(SUM(CAST(2 * rn - n - 1 AS HUGEINT) * v) AS DOUBLE)
-        |                       / (CAST(MAX(n) AS DOUBLE) *
-        |                          CAST(SUM(CAST(v AS HUGEINT)) AS DOUBLE)), 6)
-        |       END AS gini
-        |FROM r""".stripMargin,
-
-    "ev_path3" -> graft.ops.FunnelOps.pathTrigramsOracleSql(
-      "events", "user_id", "event_type", "ts", "event_id"),
-
-    "merge_tombstones" ->
-      s"""WITH recs AS (
-         |  SELECT o_orderkey, o_orderdate AS ts, o_orderstatus, 'U' AS op FROM orders
-         |  UNION ALL
-         |  SELECT o_orderkey, o_orderdate + INTERVAL 30 DAY, 'X', 'U' FROM orders
-         |  WHERE (${permilleHashSql("o_orderkey", ":up43", 1000)}) < 100
-         |  UNION ALL
-         |  SELECT o_orderkey, o_orderdate + INTERVAL 60 DAY, o_orderstatus, 'D' FROM orders
-         |  WHERE (${permilleHashSql("o_orderkey", ":del43", 1000)}) < 80
-         |), r AS (
-         |  SELECT o_orderstatus, op,
-         |         row_number() OVER (PARTITION BY o_orderkey
-         |                            ORDER BY ts DESC, op DESC) AS rn
-         |  FROM recs
-         |)
-         |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS cnt
-         |FROM r WHERE rn = 1 AND op <> 'D' GROUP BY 1""".stripMargin,
-
-    // the streaming drain answers the SAME question on the same input —
-    // one oracle pins both the window form and the state machine
-    "ev_stream_attribution" -> graft.ops.FunnelOps.lastTouchAttributionOracleSql(
-      "events", "user_id", "event_type", "ts", "event_id",
-      touchTypes = Seq("view", "click", "signup"), convType = "purchase",
-      lookbackSec = 7L * 86400L),
-
-    "ab_ztest" ->
-      s"""WITH pu AS (
-         |  SELECT user_id,
-         |         CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 3
-         |              THEN 1 ELSE 0 END AS conv
-         |  FROM events GROUP BY 1
-         |), arms AS (
-         |  SELECT CASE WHEN ${permilleHashSql("user_id", ":ab", 1000L)} < 500
-         |              THEN 'A' ELSE 'B' END AS arm, conv
-         |  FROM pu
-         |), c AS (
-         |  SELECT
-         |    CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
-         |    CAST(SUM(CASE WHEN arm = 'A' THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
-         |    CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
-         |    CAST(SUM(CASE WHEN arm = 'B' THEN conv ELSE 0 END) AS BIGINT) AS conv_b
-         |  FROM arms
-         |)
-         |SELECT n_a, conv_a, n_b, conv_b,
-         |       CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b THEN 0.0
-         |            ELSE round(
-         |              (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b) /
-         |              sqrt(CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)
-         |                   * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
-         |                   * (1.0 / n_a + 1.0 / n_b)), 6) END AS z_score
-         |FROM c""".stripMargin,
-
-    "g_triangles" -> graft.ops.Triangles.countOracleSql(
-      "SELECT a.l_partkey AS src, b.l_partkey AS dst FROM lineitem a " +
-        "JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey"),
-
-    "j13_interval_overlap" -> {
-      val iv = "SELECT event_id AS id, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS st, " +
-        "CAST(epoch(date_trunc('second', ts)) AS BIGINT) + " +
-        "GREATEST(1, CAST(FLOOR(value * 10) AS BIGINT)) AS en FROM events"
-      s"""WITH pairs AS (
-         |${graft.ops.IntervalJoin.overlapPairsOracleSql(
-        s"SELECT * FROM ($iv) WHERE id % 2 = 0", s"SELECT * FROM ($iv) WHERE id % 2 = 1")}
-         |)
-         |SELECT a_id, count(*) AS n_overlap FROM pairs GROUP BY 1""".stripMargin
-    },
-
-    // NULL predicate results fall to ELSE on both engines (a null row is
-    // not a violation of a range rule — the not-null rule catches it)
-    "dq_expectations" ->
-      """SELECT 'quantity_range' AS rule,
-        |       CAST(SUM(CASE WHEN NOT (l_quantity >= 1 AND l_quantity <= 50) THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
-        |       CAST(COUNT(*) AS BIGINT) AS n_checked FROM lineitem
-        |UNION ALL
-        |SELECT 'discount_range',
-        |       CAST(SUM(CASE WHEN NOT (l_discount >= 0 AND l_discount <= 0.1) THEN 1 ELSE 0 END) AS BIGINT),
-        |       CAST(COUNT(*) AS BIGINT) FROM lineitem
-        |UNION ALL
-        |SELECT 'shipdate_not_null',
-        |       CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
-        |       CAST(COUNT(*) AS BIGINT) FROM lineitem
-        |UNION ALL
-        |SELECT 'flag_accepted',
-        |       CAST(SUM(CASE WHEN NOT (l_returnflag IN ('A', 'N', 'R')) THEN 1 ELSE 0 END) AS BIGINT),
-        |       CAST(COUNT(*) AS BIGINT) FROM lineitem
-        |UNION ALL
-        |SELECT 'line_unique',
-        |       CAST(COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT),
-        |       CAST(COUNT(*) AS BIGINT) FROM lineitem
-        |UNION ALL
-        |SELECT 'orderkey_fk',
-        |       CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
-        |       CAST(COUNT(*) AS BIGINT)
-        |FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
-        |  ON l.l_orderkey = o.o_orderkey""".stripMargin,
-
-    // the MG sketch only shrinks the candidate set; the exact recount +
-    // threshold make the output equal this plain aggregation
-    "hh_frequent" ->
-      """WITH it AS (
-        |  SELECT CASE WHEN l_quantity <= 25 THEN CAST(CAST(l_quantity AS INTEGER) AS VARCHAR)
-        |              ELSE 'BULK' END AS item
-        |  FROM lineitem
-        |), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM it WHERE item IS NOT NULL)
-        |SELECT item, CAST(COUNT(*) AS BIGINT) AS cnt
-        |FROM it, tot
-        |WHERE item IS NOT NULL
-        |GROUP BY item, n
-        |HAVING COUNT(*) * 16 > n""".stripMargin,
-
-    "o11_weighted_hash" ->
-      s"""SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS cnt,
-         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
-         |FROM orders
-         |WHERE (${permilleHashSql("o_orderkey", ":w42", 1000000L)})
-         |      < CAST(floor(1000000.0 * least(o_totalprice / 500000.0, 1.0)) AS BIGINT)
-         |GROUP BY 1""".stripMargin,
-
-    // the oracle classifies changes by VALUE set logic — fingerprint
-    // equality on the Spark side must coincide exactly
-    "diff_snapshots" ->
-      s"""WITH b AS (
-         |  SELECT o_orderkey AS k, o_orderstatus AS st FROM orders
-         |), a AS (
-         |  SELECT o_orderkey AS k,
-         |         CASE WHEN (${permilleHashSql("o_orderkey", ":df42", 1000)}) < 150
-         |              THEN 'X' ELSE o_orderstatus END AS st
-         |  FROM orders WHERE (${permilleHashSql("o_orderkey", ":df42", 1000)}) >= 50
-         |  UNION ALL
-         |  SELECT o_orderkey + 10000000 AS k, 'N' AS st
-         |  FROM orders WHERE (${permilleHashSql("o_orderkey", ":df42", 1000)}) < 50
-         |)
-         |SELECT k AS o_orderkey, 'removed' AS change FROM b
-         |WHERE k NOT IN (SELECT k FROM a)
-         |UNION ALL
-         |SELECT k, 'added' FROM a WHERE k NOT IN (SELECT k FROM b)
-         |UNION ALL
-         |SELECT b.k, 'changed' FROM b JOIN a ON b.k = a.k
-         |WHERE b.st IS DISTINCT FROM a.st""".stripMargin,
-
-    // group moments are exact decimals cast to double; mean/std/z are
-    // identical rational+sqrt expression shapes on both engines
-    "fe_group_zscore" ->
-      """WITH g AS (
-        |  SELECT l_returnflag AS grp, CAST(COUNT(*) AS BIGINT) AS n,
-        |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s,
-        |         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS ss
-        |  FROM lineitem GROUP BY 1
-        |)
-        |SELECT l_orderkey, l_linenumber, l_returnflag,
-        |       round((CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) - s / n)
-        |         / sqrt((n * ss - s * s) / (n * (n - 1.0))), 9) AS z
-        |FROM lineitem JOIN g ON l_returnflag = g.grp""".stripMargin,
-
-    // DuckDB's native ASOF JOIN against the same collapsed SCD2 history
-    "pit_asof_features" ->
-      s"""WITH snaps AS (
-         |  SELECT o_orderkey, o_orderdate AS ts, o_orderstatus FROM orders
-         |  UNION ALL
-         |  SELECT o_orderkey, o_orderdate + INTERVAL 30 DAY, 'X' FROM orders
-         |  WHERE (${permilleHashSql("o_orderkey", ":up42", 1000)}) < 100
-         |  UNION ALL
-         |  SELECT o_orderkey, o_orderdate + INTERVAL 60 DAY, o_orderstatus FROM orders
-         |  WHERE (${permilleHashSql("o_orderkey", ":up42", 1000)}) >= 100
-         |    AND (${permilleHashSql("o_orderkey", ":up42", 1000)}) < 200
-         |), flagged AS (
-         |  SELECT o_orderkey, ts, o_orderstatus,
-         |         lag(ts) OVER w IS NULL AS first_row,
-         |         o_orderstatus IS DISTINCT FROM lag(o_orderstatus) OVER w AS chg
-         |  FROM snaps WINDOW w AS (PARTITION BY o_orderkey ORDER BY ts)
-         |), kept AS (
-         |  SELECT o_orderkey, ts, o_orderstatus FROM flagged WHERE first_row OR chg
-         |), chk AS (
-         |  SELECT o_orderkey, o_orderdate + INTERVAL 45 DAY AS checkpoint FROM orders
-         |)
-         |SELECT chk.o_orderkey, chk.checkpoint, k.o_orderstatus AS status_asof
-         |FROM chk ASOF LEFT JOIN kept k
-         |  ON chk.o_orderkey = k.o_orderkey AND k.ts <= chk.checkpoint""".stripMargin,
-
-    "sk_cms_err" -> graft.sketch.Sketches.cmsOracleSql(
-      "SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')) AS item FROM documents"),
-
-    "sk_kmv_distinct" -> graft.sketch.Sketches.kmvOracleSql("o_custkey", "orders"),
-
-    "sk_bloom_fp" -> graft.sketch.Sketches.bloomOracleSql(
-      "SELECT CAST(s_suppkey AS VARCHAR) AS k FROM supplier",
-      "SELECT CAST(c_custkey AS VARCHAR) AS k FROM customer"),
-
-    // identical injection + identical RE2∩Java regexes; the md5 pins every
-    // replacement byte
-    "t_scrub_pii" ->
-      """WITH inj AS (
-        |  SELECT doc_id,
-        |         text
-        |         || CASE WHEN doc_id % 3 = 0 THEN ' mail user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
-        |         || CASE WHEN doc_id % 4 = 0 THEN ' see https://ex.org/p/' || CAST(doc_id AS VARCHAR) || '?q=1' ELSE '' END
-        |         || CASE WHEN doc_id % 5 = 0 THEN ' call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
-        |         AS t
-        |  FROM documents
-        |)
-        |SELECT doc_id,
-        |       CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
-        |       CAST(len(regexp_extract_all(t, 'https?://[!-~]+')) AS INTEGER) AS n_urls,
-        |       CAST(len(regexp_extract_all(t, '\b\d{3}[-.]?\d{3}[-.]?\d{4}\b')) AS INTEGER) AS n_phones,
-        |       md5(regexp_replace(
-        |             regexp_replace(
-        |               regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |               'https?://[!-~]+', '<URL>', 'g'),
-        |             '\b\d{3}[-.]?\d{3}[-.]?\d{4}\b', '<PHONE>', 'g')) AS scrub_md5
-        |FROM inj""".stripMargin,
-
-    // keep thresholds derive from counts in identical-op-order double
-    // arithmetic; the row-wise keep decision replays via the portable hash
-    "fe_mix_sample" ->
-      s"""WITH docs AS (
-         |  SELECT doc_id, source,
-         |         CASE source WHEN 'src0' THEN CAST(0.4 AS DOUBLE)
-         |                     WHEN 'src1' THEN CAST(0.3 AS DOUBLE)
-         |                     WHEN 'src2' THEN CAST(0.2 AS DOUBLE)
-         |                     ELSE CAST(0.1 AS DOUBLE) END AS share
-         |  FROM documents WHERE source IN ('src0', 'src1', 'src2', 'src3')
-         |), counts AS (
-         |  SELECT source, share, CAST(count(*) AS BIGINT) AS total FROM docs GROUP BY 1, 2
-         |), t AS (SELECT min(total / share) AS tcap FROM counts
-         |), f AS (
-         |  SELECT source, total,
-         |         CASE WHEN tcap = total / share THEN 1000000
-         |              ELSE CAST(floor(1000000.0 * least(1.0, tcap * share / total)) AS BIGINT) END AS keep_ppm
-         |  FROM counts CROSS JOIN t
-         |)
-         |SELECT f.source, f.total, f.keep_ppm, CAST(count(*) AS BIGINT) AS kept
-         |FROM docs JOIN f ON docs.source = f.source
-         |WHERE (${permilleHashSql("doc_id", ":mix42", 1000000L)}) < f.keep_ppm
-         |GROUP BY 1, 2, 3""".stripMargin,
-
-    "o13_time_split" ->
-      """SELECT CASE WHEN o_orderdate < DATE '1997-01-01' THEN 'train'
-        |            WHEN o_orderdate >= DATE '1997-04-01' THEN 'test'
-        |            ELSE 'embargo' END AS split,
-        |       CAST(count(*) AS BIGINT) AS cnt,
-        |       min(o_orderdate) AS min_date, max(o_orderdate) AS max_date
-        |FROM orders GROUP BY 1""".stripMargin,
-
-    "ev_ohlc" -> graft.ops.TimeSeriesOps.ohlcOracleSql(
-      "events", "event_type", "ts", "value", "event_id"),
-
-    "ts_ewma" -> graft.ops.TimeSeriesOps.ewmaDailyOracleSql(
-      "events", "event_type", "ts"),
-
-    "ts_holt" -> graft.ops.TimeSeriesOps.holtDailyOracleSql(
-      "events", "event_type", "ts"),
-
-    // same sessionize core as ev_sessionize's oracle, then the keeper is
-    // row 1 of each (user, session) under the same (ts, id) total order
-    "ev_debounce" ->
-      """WITH x AS (
-        |  SELECT user_id, event_id, event_type, date_trunc('second', ts) AS ts2,
-        |         LAG(date_trunc('second', ts)) OVER (PARTITION BY user_id ORDER BY date_trunc('second', ts) NULLS FIRST, event_id) AS prev
-        |  FROM events
-        |), y AS (
-        |  SELECT user_id, event_id, event_type, ts2,
-        |         CASE WHEN prev IS NULL OR epoch(ts2) - epoch(prev) > 1800 THEN 1 ELSE 0 END AS is_new
-        |  FROM x
-        |), z AS (
-        |  SELECT user_id, event_id, event_type, ts2,
-        |         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts2 NULLS FIRST, event_id ROWS UNBOUNDED PRECEDING) AS sess
-        |  FROM y
-        |), k AS (
-        |  SELECT user_id, event_type,
-        |         row_number() OVER (PARTITION BY user_id, sess ORDER BY ts2 NULLS FIRST, event_id) AS rn
-        |  FROM z
-        |)
-        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept,
-        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
-        |FROM k WHERE rn = 1 GROUP BY 1""".stripMargin,
-
-    "fe_decay" -> graft.ops.TimeSeriesOps.decayedCountsOracleSql(
-      "(SELECT c_mktsegment, o_orderdate FROM orders JOIN customer ON o_custkey = c_custkey)",
-      "c_mktsegment", "o_orderdate", refDate = "1998-08-01"),
-
-    "g_common_neighbors" -> graft.ops.Triangles.commonNeighborsOracleSql(
-      "SELECT a.l_partkey AS src, b.l_partkey AS dst FROM lineitem a " +
-        "JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey " +
-        "WHERE a.l_quantity >= 40 AND b.l_quantity >= 40",
-      maxDeg = 40, minCommon = 2L),
-
-    "g_link_ra" -> graft.ops.Triangles.linkRAOracleSql(
-      "SELECT a.l_partkey AS src, b.l_partkey AS dst FROM lineitem a " +
-        "JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey " +
-        "WHERE a.l_quantity >= 40 AND b.l_quantity >= 40",
-      maxDeg = 40, minCommon = 2L),
-
-    "sql_q6_forecast" -> q6Sql,
-    "sql_q10_returns" -> q10Sql,
-
-    "sql_q18_bigorders" -> q18Sql,
-    "sql_q21_blame" -> q21Sql,
-
-    "p14_unpivot" ->
-      """SELECT l_orderkey, l_linenumber, m.measure, m.value
-        |FROM lineitem,
-        |LATERAL (VALUES ('l_quantity', l_quantity), ('l_extendedprice', l_extendedprice),
-        |                ('l_discount', l_discount), ('l_tax', l_tax)) AS m(measure, value)""".stripMargin,
-
-    "w9_window_suite" ->
-      """SELECT o_orderkey, o_orderstatus,
-        |  first_value(o_totalprice) OVER w AS first_price,
-        |  nth_value(o_totalprice, 3) OVER w AS third_price,
-        |  lag(o_totalprice, 1, -1.0) OVER w AS prev_price,
-        |  last_value(o_totalprice) OVER (
-        |    PARTITION BY o_orderstatus
-        |    ORDER BY o_orderdate NULLS FIRST, o_orderkey
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price
-        |FROM orders
-        |WINDOW w AS (PARTITION BY o_orderstatus
-        |             ORDER BY o_orderdate NULLS FIRST, o_orderkey)""".stripMargin,
-
-    "a17_entropy" ->
-      """WITH cn AS (
-        |  SELECT o_orderpriority, o_orderstatus, CAST(count(*) AS BIGINT) AS c
-        |  FROM orders GROUP BY 1, 2
-        |), t AS (
-        |  SELECT o_orderpriority, c,
-        |         SUM(c) OVER (PARTITION BY o_orderpriority) AS n
-        |  FROM cn
-        |)
-        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_cats,
-        |       round(-CAST(SUM(CAST(round((CAST(c AS DOUBLE) / n) *
-        |             ln(CAST(c AS DOUBLE) / n) * 1e6) AS BIGINT)) AS DOUBLE) / 1e6, 6)
-        |         AS entropy_nats
-        |FROM t GROUP BY 1""".stripMargin,
-
-    // the eviction predicate (vt + within < final watermark = min of the
-    // two sides' max event times, delay 0) IS the outer join's semantic:
-    // younger unmatched views are still awaiting a match when the bounded
-    // drain ends, so they emit nothing — mirrored by the HAVING guard
-    "ev_stream_outer" ->
-      """WITH ev AS (
-        |  SELECT user_id, event_id, event_type, date_trunc('second', ts) AS ts2 FROM events
-        |), v AS (
-        |  SELECT user_id AS u, event_id AS vid, ts2 AS vt FROM ev WHERE event_type = 'view'
-        |), c AS (
-        |  SELECT user_id AS u, event_id AS cid, ts2 AS ct FROM ev WHERE event_type = 'click'
-        |), wm AS (
-        |  SELECT least((SELECT max(vt) FROM v), (SELECT max(ct) FROM c)) AS w
-        |), j AS (
-        |  SELECT v.u, v.vid, v.vt, c.cid
-        |  FROM v LEFT JOIN c
-        |    ON v.u = c.u AND c.ct >= v.vt AND c.ct <= v.vt + INTERVAL 30 MINUTE
-        |)
-        |SELECT u AS user_id,
-        |       CAST(count(cid) AS BIGINT) AS n_pairs,
-        |       CAST(SUM(CASE WHEN cid IS NULL AND vt + INTERVAL 30 MINUTE < (SELECT w FROM wm)
-        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched
-        |FROM j GROUP BY 1
-        |HAVING count(cid) > 0
-        |    OR SUM(CASE WHEN cid IS NULL AND vt + INTERVAL 30 MINUTE < (SELECT w FROM wm)
-        |            THEN 1 ELSE 0 END) > 0""".stripMargin,
-
-    "dq_volume_anomaly" -> graft.ops.TimeSeriesOps.rollingAnomalyOracleSql(
-      "(SELECT concat(event_type, ':', CAST(CAST(ts AS DATE) AS VARCHAR)) AS rid, " +
-        "event_type, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day_ts, count(*) AS n_rows " +
-        "FROM events GROUP BY 1, 2, 3)",
-      "event_type", "day_ts", "n_rows", "rid",
-      horizonSec = 7L * 86400L, z = 2.0, minN = 4),
-
-    "sk_cms_merge" -> graft.sketch.Sketches.cmsMergeOracleSql(
-      "SELECT doc_id % 2 AS shard, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')) AS item FROM documents"),
-
-    "d_containment" ->
-      """WITH toks AS (
-        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '') AS t
-        |  FROM documents
-        |), sh0 AS (
-        |  SELECT DISTINCT doc_id, shingle FROM (
-        |    SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
-        |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
-        |    FROM toks WHERE len(t) >= 3
-        |  )
-        |), keep AS (
-        |  SELECT shingle FROM sh0 GROUP BY 1 HAVING count(*) <= 100
-        |), sh AS (
-        |  SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN keep USING (shingle)
-        |), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        |pairs AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2
-        |)
-        |SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter_cnt,
-        |       CAST(inter AS DOUBLE) / sa.n AS cont_a_in_b,
-        |       CAST(inter AS DOUBLE) / sb.n AS cont_b_in_a
-        |FROM pairs JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
-        |WHERE GREATEST(CAST(inter AS DOUBLE) / sa.n, CAST(inter AS DOUBLE) / sb.n) >= 0.5""".stripMargin
-  )
+    Shared.cohort(spark, "/root/testdata/sf0.001").groupBy("label").count()
+
+  // The registry slices (graft.registry.*Registry — the r12 split of this
+  // file) compose back into the SAME maps through the duplicate-key guard:
+  // a re-used query name across slices fails loudly instead of silently
+  // last-winning (Shared.uniqueMap).
+  private def slices = Seq(
+    SourcesRegistry.queries, RelationalRegistry.queries, TextRegistry.queries,
+    DedupSimRegistry.queries, EventsRegistry.queries, MultimodalRegistry.queries,
+    MlRegistry.queries, MaintenanceRegistry.queries, MimicRegistry.queries,
+    SketchRegistry.queries)
+
+  private def oracleSlices = Seq(
+    SourcesRegistry.oracles, RelationalRegistry.oracles, TextRegistry.oracles,
+    DedupSimRegistry.oracles, EventsRegistry.oracles, MultimodalRegistry.oracles,
+    MlRegistry.oracles, MaintenanceRegistry.oracles, MimicRegistry.oracles,
+    SketchRegistry.oracles)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Shared.uniqueMap[(SparkSession, String) => DataFrame]("query")(slices.flatten: _*)
+
+  def oracleSql: Map[String, String] =
+    Shared.uniqueMap[String]("oracle")(oracleSlices.flatten: _*)
+
+  // ---- forwarders: externally-referenced members whose definitions moved
+  // to registry.Shared in the r12 split (Bench warmups, MimicPipeline,
+  // specs) — the public surface is unchanged.
+  private[graft] def dupClustersCached(s: SparkSession, d: String): DataFrame =
+    Shared.dupClustersCached(s, d)
+  private[graft] def curatedStagesCached(s: SparkSession, d: String): DataFrame =
+    Shared.curatedStagesCached(s, d)
+  private[graft] def lshBaseIndexCached(s: SparkSession, d: String): DataFrame =
+    Shared.lshBaseIndexCached(s, d)
+  private[graft] def joinSnapshotCached(s: SparkSession, d: String): DataFrame =
+    Shared.joinSnapshotCached(s, d)
+  private[graft] def permilleHash1M(key: org.apache.spark.sql.Column, salt: String): org.apache.spark.sql.Column =
+    Shared.permilleHash1M(key, salt)
+  private[graft] val icd9Ranges: Seq[(Int, Int, String)] = Shared.icd9Ranges
+  private[graft] def icd9Category(code3: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    Shared.icd9Category(code3)
+  val windowTopSql: String = Shared.windowTopSql
 }

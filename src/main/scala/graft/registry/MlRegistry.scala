@@ -1,0 +1,1147 @@
+package graft
+package registry
+
+import graft.core.Tables
+import graft.dedup.Dedup
+import graft.functions.VectorOps
+import graft.ops.{CohortOps, Recodes}
+import graft.sim.{Quantized, Similarity}
+import graft.text.TextOps
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** the ML layer, drift monitoring, and feature engineering — one slice of the driver registry.
+  *
+  * Split out of Shared.scala in r12 (maintainability: the single file
+  * had reached 8.7k lines). PURE CODE MOTION: entry bodies and oracle SQL
+  * are byte-identical to the pre-split registry; SparkEntry composes the
+  * slices back into the same `queries`/`oracleSql` maps.
+  */
+private[graft] object MlRegistry {
+  import Shared._
+
+  val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    // M3 one-hot: engine-comparable dummy columns
+    "m3_onehot" -> ((s, d) => {
+      val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+      t(s, d, "customer").select(
+        col("c_custkey") +:
+          segs.map(g => when(col("c_mktsegment") === g, 1).otherwise(0)
+            .as("seg_" + g.toLowerCase.take(4))): _*)
+    }),
+
+    // M11/M12: confusion matrix + threshold metrics for a deterministic
+    // rule-based score (score = totalprice/500k, label = urgent|high)
+    "m11_confusion" -> ((s, d) => {
+      val scored = t(s, d, "orders").select(
+        (col("o_totalprice") / 500000.0).as("score"),
+        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1.0).otherwise(0.0).as("y"))
+      graft.ml.Metrics.confusionMatrix(scored, "score", "y", 0.5)
+    }),
+
+    // M9: exact Mann-Whitney AUC, distributed, engine-comparable
+    "ml_auc_rank" -> ((s, d) => {
+      val scored = t(s, d, "orders").select(
+        col("o_totalprice").as("score"),
+        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1.0).otherwise(0.0).as("y"))
+      graft.ml.Metrics.aucRocDf(scored, "score", "y")
+    }),
+
+    // M9: stepwise ROC curve points over distinct thresholds
+    "ml_roc_points" -> ((s, d) => {
+      val scored = t(s, d, "orders").select(
+        round(col("o_totalprice") / 100000.0, 0).as("score"),
+        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1.0).otherwise(0.0).as("y"))
+      graft.ml.Metrics.rocPoints(scored, "score", "y")
+    }),
+
+    // M9 companion: reliability-diagram calibration bins for the
+    // deterministic rule score (totalprice/600k clamped into [0,1]) —
+    // one hash aggregation, exact decimal mean per bucket
+    "ml_calibration" -> ((s, d) => {
+      val scored = t(s, d, "orders").select(
+        (col("o_totalprice") / 600000.0).as("score"),
+        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0).as("y"))
+      graft.ml.Metrics.calibrationBins(scored, "score", "y", 10)
+    }),
+
+    // split-conformal prediction interval at α = 0.1: exact-decimal mean
+    // predictor, nonconformity |y−μ|, half-width = the ⌈0.9(n+1)⌉-th
+    // smallest calibration score as an EXACT order statistic riding
+    // GlobalRowNumber (no single-task sort, no data-sized driver pull);
+    // readout = finite-sample-guaranteed coverage on the test split
+    "ml_conformal" -> ((s, d) =>
+      graft.ml.Metrics.conformalSplit(
+        t(s, d, "orders"), "o_totalprice",
+        permilleHash(col("o_orderkey").cast("string"), ":conf") < 100,
+        alpha = 0.1)),
+
+    // EXACT isotonic calibration via the minimax identity (fitted_i =
+    // max_{j<=i} min_{k>=i} range-avg): PAVA's merge loop closed-form
+    // over the bounded bin table — one corpus hash-agg, the fit on the
+    // B-row readout; every range average is one correctly-rounded divide
+    "ml_isotonic_bins" -> ((s, d) => {
+      val scored = t(s, d, "orders").select(
+        (col("o_totalprice") / 600000.0).as("score"),
+        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0).as("y"))
+      graft.ml.Metrics.isotonicBins(scored, "score", "y", 10)
+    }),
+
+    // ranking-eval pack: NDCG@10 per segment — only the top-10 rows per
+    // group are ever ranked (TopKPerKey bounded heaps, one exchange);
+    // micro-scaled integer DCG weights keep both engines bit-identical.
+    // Ideal DCG normalizes over the retrieved top-k pool (pool-NDCG)
+    "ml_ndcg" -> ((s, d) =>
+      graft.ml.RankingMetrics.ndcgAtK(
+        t(s, d, "orders"), "o_orderstatus", "o_totalprice", "o_orderkey",
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH"), k = 10)),
+
+    // average precision at 10 per segment (the MAP readout): only the
+    // top-10 rows per group are ranked (TopKPerKey bounded heaps); the
+    // total-relevant denominator is one hash aggregation
+    "ml_map" -> ((s, d) =>
+      graft.ml.RankingMetrics.mapAtK(
+        t(s, d, "orders"), "o_orderstatus", "o_totalprice", "o_orderkey",
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH"), k = 10)),
+
+    // first-relevant-rank / reciprocal rank per segment (the MRR readout)
+    "ml_mrr" -> ((s, d) =>
+      graft.ml.RankingMetrics.mrr(
+        t(s, d, "orders"), "o_orderstatus", "o_totalprice", "o_orderkey",
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH"))),
+
+    // binary log-loss over a deterministic probability column (clamped),
+    // micro-int terms — the proper-scoring-rule companion to calibration
+    "ml_logloss" -> ((s, d) =>
+      graft.ml.RankingMetrics.logLoss(
+        t(s, d, "orders"), "o_orderstatus",
+        col("o_totalprice") / 600000.0,
+        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0))),
+
+    // M12 companion: decile lift/gain table — GLOBAL ranking without the
+    // single-task ROW_NUMBER window (GlobalRowNumber under the hood), then
+    // integer-arithmetic bucket splits any engine reproduces exactly
+    "ml_lift" -> ((s, d) => {
+      val scored = t(s, d, "orders").select(
+        col("o_totalprice").as("score"), col("o_orderkey"),
+        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0).as("y"))
+      graft.ml.Metrics.liftTable(scored, "score", "o_orderkey", "y", 10)
+    }),
+
+    // Kaplan–Meier time-to-event risk table: duration = order→ship days,
+    // event = returned line ('R'), others censored at their duration.
+    // One hash-agg keyed on duration; the n_risk window runs over
+    // per-timepoint rows (bounded by the time domain, not subject count)
+    "ml_survival_km" -> ((s, d) => {
+      val subjects = t(s, d, "lineitem")
+        .join(t(s, d, "orders").select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(datediff(col("l_shipdate"), col("o_orderdate")).as("dur"),
+          (col("l_returnflag") === "R").as("ev"))
+        .filter(col("dur") >= 0) // synthetic data has ship-before-order noise
+      graft.ops.Survival.kmTable(subjects, col("dur").cast("bigint"), col("ev"))
+    }),
+
+    // M9 per-segment: one exact Mann-Whitney AUC per order status — the
+    // cohort-drill/fairness view; the rank window is PARTITIONED by
+    // segment (no global distinct-score ordering through one task)
+    "ml_auc_by_segment" -> ((s, d) => {
+      val scored = t(s, d, "orders").select(
+        col("o_orderstatus").as("segment"),
+        col("o_totalprice").as("score"),
+        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1.0).otherwise(0.0).as("y"))
+      graft.ml.Metrics.aucRocBy(scored, "score", "y", "segment")
+    }),
+
+    // M13: chi-squared over the (priority × big-order) contingency table
+    "ml_chi2" -> ((s, d) => {
+      val xy = t(s, d, "orders").select(
+        col("o_orderpriority").as("prio"),
+        when(col("o_totalprice") > 300000, 1).otherwise(0).as("y"))
+      graft.ml.FeatureScoring.chi2Contingency(xy, "prio", "y")
+    }),
+
+    // M13: plug-in mutual information for two discrete features at once
+    "ml_mutual_info" -> ((s, d) => {
+      val xy = t(s, d, "orders").select(
+        col("o_orderpriority"), col("o_orderstatus"),
+        when(col("o_totalprice") > 300000, 1).otherwise(0).as("y"))
+      graft.ml.FeatureScoring.mutualInfoAll(xy, Seq("o_orderpriority", "o_orderstatus"), "y")
+        .select(col("feature"), round(col("mutual_info"), 6).as("mi"))
+    }),
+
+    // M1 extension: TF-IDF weights computed relationally (sklearn
+    // smooth-idf formula: ln((N+1)/(df+1)) + 1) — one tf aggregation, one
+    // df aggregation, a broadcast-size join on term. Exactly oracle-able
+    // (integer counts; one ln per term, round-6). Restricted to a bounded
+    // doc set for the gate; the plan is corpus-size-linear.
+    "t_tfidf" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val nDocs = docs.count()
+      val tf = docs
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      tf.join(dfreq, "term")
+        .filter(col("doc_id") < 25)
+        .select(
+          col("doc_id"), col("term"), col("tf"), col("df"),
+          round(col("tf") *
+            (log(lit((nDocs + 1L).toDouble) / (col("df") + lit(1L)).cast("double")) + lit(1.0)),
+            6).as("tfidf"))
+    }),
+
+    // word-association mining: PMI over adjacent-token bigrams (count ≥ 5)
+    // — two hash aggregations (unigrams, bigrams) + two small joins; the
+    // corpus totals ride a broadcast scalar, and the log-ratio is a single
+    // identical op chain on both engines
+    "t_pmi_bigrams" -> ((s, d) => {
+      val toks = t(s, d, "documents").select(TextOps.tokens(col("text")).as("t"))
+      val uni = toks.select(explode(col("t")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      val bg = toks.filter(size(col("t")) >= 2)
+        .select(explode(transform(sequence(lit(1), size(col("t")) - 1),
+          i => concat_ws(" ", element_at(col("t"), i), element_at(col("t"), i + 1)))).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("c_xy"))
+        .filter(col("c_xy") >= 5)
+      val totals = toks.agg(
+        sum(size(col("t")).cast("long")).as("n_uni"),
+        sum(greatest(size(col("t")) - 1, lit(0)).cast("long")).as("n_bi"))
+      bg
+        .join(uni.select(col("w").as("_w1"), col("c").as("c_x")),
+          element_at(split(col("bigram"), " "), 1) === col("_w1"))
+        .join(uni.select(col("w").as("_w2"), col("c").as("c_y")),
+          element_at(split(col("bigram"), " "), 2) === col("_w2"))
+        .crossJoin(broadcast(totals))
+        .select(col("bigram"), col("c_xy"),
+          round(log((col("c_xy").cast("double") * col("n_uni") * col("n_uni")) /
+            (col("n_bi").cast("double") * col("c_x") * col("c_y"))), 6).as("pmi"))
+    }),
+
+    // training-shard manifest: pack binary payload sizes onto a global
+    // byte axis (SequencePacking's two-pass distributed cumsum — no
+    // single-task window) and assign each doc its shard + in-shard offset
+    "mm_shard_manifest" -> ((s, d) => {
+      val sizes = t(s, d, "documents").select(
+        col("doc_id"),
+        octet_length(col("text").cast("binary")).cast("long").as("n_bytes"))
+      graft.ops.SequencePacking.packWindows(
+        sizes, col("n_bytes"), budget = 4096L, col("doc_id"))
+        .df.select(col("doc_id"), col("n_bytes"), col("start_off"),
+          col("first_win").as("shard_id"),
+          (col("start_off") - col("first_win") * 4096L).as("shard_off"))
+    }),
+
+    // Zipf-law fit over the corpus's top-200 terms: OLS slope of
+    // ln(freq) ~ ln(rank) — natural language reads ≈ −1, template/spam
+    // corpora bend it; one term-frequency hash-agg + TakeOrdered(200)
+    // overlapping token-window chunking (context-window prep with stride
+    // overlap): tokenize → sequence over starts → explode → slice, all
+    // executor-side, zero shuffles — output ≈ win/stride × input tokens
+    "t_chunk_windows" -> ((s, d) =>
+      graft.text.Chunking.chunkOverlap(
+        t(s, d, "documents"), "doc_id", "text", win = 64, stride = 32)),
+
+    // Gopher/C4-style quality cascade with first-failure drop accounting:
+    // token-count bounds → mean-token-length bounds → type/token-ratio
+    // repetition floor; ONE scan + a ≤4-row hash-agg
+    "t_quality_cascade" -> ((s, d) =>
+      graft.text.QualityCascade.cascade(
+        t(s, d, "documents"), "text",
+        minTokens = 50, maxTokens = 100000,
+        minMeanLen = 3.0, maxMeanLen = 4.8, minTtr = 0.35)),
+
+    // BPE merge training (5 rounds), exactly oracled: corpus read ONCE
+    // for word counts; each round counts adjacent symbol pairs on the
+    // |distinct words| frame, picks the argmax (lexicographic tiebreak),
+    // and applies the merge via a delimiter-bounded literal replace —
+    // the tokenizer-training step as deterministic unrolled rounds
+    "t_bpe_merges" -> ((s, d) =>
+      graft.text.BpeTrain.learnMerges(t(s, d, "documents"), "text", rounds = 5)),
+
+    // train→ENCODE round trip: per-doc BPE token counts under the learned
+    // merges next to raw char counts (the chars/token compression
+    // readout); the encode is a vocab join — each distinct word's final
+    // symbolization IS its encoding
+    "t_bpe_encode" -> ((s, d) =>
+      graft.text.BpeTrain.encodedTokenCounts(
+        t(s, d, "documents"), "doc_id", "text", rounds = 5)),
+
+    // unigram-LM tokenizer (SentencePiece's second algorithm) — the
+    // top-down counterpart of BPE: substring vocab with fixed-point
+    // micro-nat log-probs (integer argmax = engine-exact)
+    "t_unigram_vocab" -> ((s, d) =>
+      graft.text.UnigramLm.vocab(t(s, d, "documents"), "text",
+        maxPieceLen = 4, minFreq = 3)),
+
+    // max-likelihood Viterbi segmentation of every distinct corpus word
+    // under the unigram model: broadcast vocab + one shuffle-free typed
+    // pass; the oracle replays the SAME DP as unrolled MATERIALIZED CTEs
+    "t_unigram_segment" -> ((s, d) =>
+      graft.text.UnigramLm.segment(t(s, d, "documents"), "text",
+        maxPieceLen = 4, minFreq = 3, maxWordLen = 12)),
+
+    // ONE hard-EM (Viterbi-EM) round — SentencePiece's actual training
+    // step: segment under the count model, re-estimate piece scores from
+    // the segmentations (unused pieces fall out = EM vocabulary pruning),
+    // re-segment. Two broadcast-model typed passes; BOTH DPs and the
+    // re-scored model are cross-engine-checked
+    "t_unigram_em" -> ((s, d) =>
+      graft.text.UnigramLm.emSegment(t(s, d, "documents"), "text",
+        maxPieceLen = 4, minFreq = 3, maxWordLen = 12)),
+
+    // deploy-time unigram encode: model trained on `documents`, applied
+    // to the UNSEEN part-name corpus; words with characters the training
+    // corpus never produced drop out (no DP path) on both engines
+    "t_unigram_apply" -> ((s, d) =>
+      graft.text.UnigramLm.segmentApply(
+        t(s, d, "documents"), "text", t(s, d, "part"), "p_name",
+        maxPieceLen = 4, minFreq = 3, maxWordLen = 12)),
+
+    // WordPiece (BERT) tokenizer — the GREEDY longest-match counterpart
+    // of the unigram Viterbi: positional vocab (bare initial pieces,
+    // '##'-prefixed continuations), single-char cores always survive
+    "t_wordpiece_vocab" -> ((s, d) =>
+      graft.text.WordPiece.vocab(t(s, d, "documents"), "text",
+        maxPieceLen = 4, minFreq = 3)),
+
+    // greedy longest-match-first encode of every distinct corpus word:
+    // broadcast vocab + one shuffle-free typed pass; dead/over-long
+    // words map to the single [UNK] token (BERT max_input_chars rule);
+    // the oracle replays the SAME walk as unrolled MATERIALIZED CTEs
+    "t_wordpiece_encode" -> ((s, d) =>
+      graft.text.WordPiece.encode(t(s, d, "documents"), "text",
+        maxPieceLen = 4, minFreq = 3, maxWordLen = 12)),
+
+    // deploy-time WordPiece: vocab trained on `documents`, walked over
+    // the UNSEEN part-name corpus — unseen-char and over-long words
+    // surface as [UNK] on both engines
+    "t_wordpiece_apply" -> ((s, d) =>
+      graft.text.WordPiece.encodeApply(
+        t(s, d, "documents"), "text", t(s, d, "part"), "p_name",
+        maxPieceLen = 4, minFreq = 3, maxWordLen = 12)),
+
+    // tokenizer BAKE-OFF: coverage + occurrence-weighted fertility for
+    // the three trained families (BPE / unigram / WordPiece) on the same
+    // corpus — three |distinct words|-sized tables, three 1-row aggs,
+    // fixed-point micro ratio (exact longs, one correctly-rounded divide)
+    "t_tok_fertility" -> ((s, d) =>
+      graft.text.TokenizerEval.fertility(t(s, d, "documents"), "text",
+        bpeRounds = 5, maxPieceLen = 4, minFreq = 3, maxWordLen = 12)),
+
+    // deploy-time tokenizer: merges trained on `documents` applied to an
+    // UNSEEN corpus (part names) — the real encode path, not the vocab
+    // join (which only covers training words). The merge list is a
+    // bounded driver readout (|rounds| rows) compiled into ONE
+    // chained-replace codegen projection over the distinct-word frame
+    "t_bpe_apply" -> ((s, d) => {
+      val merges = graft.text.BpeTrain
+        .learnMerges(t(s, d, "documents"), "text", rounds = 5)
+        .collect().sortBy(_.getInt(0))
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.text.BpeTrain.applyMerges(t(s, d, "part"), "p_partkey", "p_name", merges)
+    }),
+
+    "t_zipf" -> ((s, d) =>
+      graft.text.CorpusStats.zipfSlope(t(s, d, "documents"), col("text"), topN = 200)),
+
+    // keyword extraction: top-3 terms per document by smooth-idf TF-IDF
+    // with a deterministic (score desc, term asc) tiebreak — the per-doc
+    // top-k window rides the RowNumberTopKRule → TopKPerKey rewrite in
+    // Verify/Bench sessions (bounded heap, no full per-partition sort)
+    "t_keywords" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val nDocs = docs.count()
+      val tf = docs
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val scored = tf.join(dfreq, "term")
+        .select(
+          col("doc_id"), col("term"),
+          round(col("tf") *
+            (log(lit((nDocs + 1L).toDouble) / (col("df") + lit(1L)).cast("double")) + lit(1.0)),
+            6).as("tfidf"))
+      val w = Window.partitionBy("doc_id").orderBy(desc("tfidf"), asc("term"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("term"), col("tfidf"), col("rank"))
+    }),
+
+    // M1-adjacent: corpus vocabulary by document frequency (top-50,
+    // deterministic tiebreak) — the relational core of CountVectorizer
+    "vocab_topdf" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(explode(array_distinct(TextOps.tokens(col("text")))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("df"))
+        .orderBy(desc("df"), asc("term"))
+        .limit(50)),
+
+    // M1/M2 note: the capped-vocab (term, index) demo row
+    // (`ml_text_vocab`, rows-only — tie order is model-internal) was
+    // retired in r11: the green row below runs the IDENTICAL fit path,
+    // and the capped form's exact 3,000-word vocabulary is green at
+    // MIMIC scale (`mimic_notes_vocab`, deterministic-tiebreak contract).
+
+    // M1/M2 HASH-CHECKED: the same fit with the vocab cap lifted — the
+    // vocabulary SET is then order-free ("distinct lemmas of kept
+    // tokens"), so the full clean→tokenize→stopword→lemmatize→
+    // CountVectorizer pipeline verifies against generated DuckDB SQL
+    // (same stopword constant, same lemma rules)
+    "ml_text_vocab_full" -> ((s, d) => {
+      val (_, model) = graft.text.TextFeaturizer.fit(
+        t(s, d, "documents"), "text", vocabSize = 1 << 20)
+      import s.implicits._
+      model.vocabulary.toSeq.toDF("term")
+    }),
+
+    // M5+M9: RF scores → AUC (rows-only: tree RNG is engine-specific)
+    "ml_rf_auc" -> ((s, d) => {
+      val (train, test) = graft.ml.Features.splitByHash(graft.ml.Features.assembled(s, d), "id")
+      val scored = graft.ml.TrainHarness.randomForestScores(
+        train, test, "features", "label", numTrees = 50)
+      graft.ml.Metrics.aucRocDf(scored, "score", "label")
+    }),
+
+    // M16: resampler benchmark table over L1 LR (rows-only)
+    "ml_train_bench" -> ((s, d) => {
+      val (train, test) = graft.ml.Features.splitByHash(graft.ml.Features.assembled(s, d), "id")
+      val strategies = Seq(
+        "base" -> train,
+        "undersample" -> graft.ml.Resamplers.randomUndersample(train, "label"),
+        "oversample" -> graft.ml.Resamplers.randomOversample(train, "label"))
+      import s.implicits._
+      strategies.map { case (name, resampled) =>
+        val scored = graft.ml.TrainHarness.logisticL1Scores(resampled, test, "features", "label").cache()
+        val auc = graft.ml.Metrics.aucRoc(scored, "score", "label")
+        val m = graft.ml.Metrics.thresholdMetrics(scored, "score", "label", 0.5).collect()(0)
+        scored.unpersist()
+        (name, auc, m.getAs[Double]("accuracy"), m.getAs[Double]("recall"))
+      }.toDF("strategy", "auc_roc", "accuracy", "recall")
+    }),
+        // cache: AUC + threshold metrics are two actions on this frame
+
+    // M15: decision-function margin scores (rows-only: LR fit internals).
+    // Emits the margin/probability consistency counters — n_inconsistent
+    // must be 0 ((margin>0) ⇔ (prob>0.5)); the spec pins the same invariant.
+    "ml_lr_margin" -> ((s, d) => {
+      val sub = graft.ml.Features.assembled(s, d).filter(pmod(col("id"), lit(10L)) === 0L)
+      val (train, test) = graft.ml.Features.splitByHash(sub, "id")
+      val scored = graft.ml.TrainHarness.logisticL1Margins(train, test, "features", "label")
+      scored.agg(
+        count(lit(1)).as("n_test"),
+        sum(when(col("margin") > 0, 1L).otherwise(0L)).as("n_margin_pos"),
+        sum(when((col("margin") > 0) =!= (col("score") > 0.5), 1L).otherwise(0L))
+          .as("n_inconsistent"))
+    }),
+
+    // O9/O10: SMOTE + NearMiss class balance on a deterministic subsample
+    "ml_smote_counts" -> ((s, d) => {
+      val sub = graft.ml.Features.assembled(s, d)
+        .filter(pmod(col("id"), lit(5L)) === 0L)
+      val sm = graft.ml.Resamplers.smote(sub, "id", "label", "features")
+        .groupBy("label").agg(count(lit(1)).as("cnt"))
+        .withColumn("strategy", lit("smote"))
+      val nm = graft.ml.Resamplers.nearMiss(sub, "id", "label", "features")
+        .groupBy("label").agg(count(lit(1)).as("cnt"))
+        .withColumn("strategy", lit("nearmiss"))
+      sm.unionByName(nm)
+    }),
+    // reference slice? The per-refresh gate of a production pipeline ----
+    "drift_psi" -> ((s, d) =>
+      graft.ops.DriftOps.psiBins(
+        t(s, d, "orders"),
+        isRef = permilleHash(col("o_orderkey"), ":dr42") < 500,
+        bin = least(floor(col("o_totalprice") / 60000), lit(9L)))),
+
+    "drift_ks" -> ((s, d) =>
+      graft.ops.DriftOps.ks(
+        t(s, d, "orders"),
+        value = col("o_totalprice"),
+        isRef = permilleHash(col("o_orderkey"), ":dr42") < 500)),
+
+    // model-monitoring compositions of the same machinery --------------
+    // KS separation between the score distributions of the two CLASSES —
+    // the credit-scoring "KS statistic" readout (max CDF gap); the
+    // distributed-CDF shape of drift_ks applied to (score | y)
+    "ml_score_ks" -> ((s, d) =>
+      graft.ops.DriftOps.ks(
+        t(s, d, "orders"),
+        value = col("o_totalprice"),
+        isRef = col("o_orderpriority").isin("1-URGENT", "2-HIGH"))),
+
+    // score PSI across TIME (deploy-gate form: has the scored population
+    // shifted since the reference window?) — reference slice = orders
+    // before the corpus midpoint date, same fixed bins as drift_psi
+    "ml_score_psi" -> ((s, d) =>
+      graft.ops.DriftOps.psiBins(
+        t(s, d, "orders"),
+        isRef = col("o_orderdate") < lit("1995-06-17").cast("date"),
+        bin = least(floor(col("o_totalprice") / 60000), lit(9L)))),
+
+    // symmetric bounded drift over a CATEGORICAL axis (event types): the
+    // JSD companion to PSI — saturates instead of exploding when a bin
+    // empties on one side; same one-hash-agg scale shape
+    "drift_jsd" -> ((s, d) =>
+      graft.ops.DriftOps.jsdBins(
+        Tables.events(s, d),
+        isRef = permilleHash(col("event_id"), ":dj42") < 500,
+        bin = col("event_type"))),
+
+    // Spearman rank correlation with tie-averaged ranks — the monotone-
+    // association readout Pearson misses; ranks ride a distributed CDF
+    // (range-partitioned counts + broadcast offsets), moments in
+    // decimal(38,0), one double formula at the end
+    "a_spearman" -> ((s, d) =>
+      graft.ops.StatsOps.spearman(
+        t(s, d, "lineitem"), "l_quantity", "l_extendedprice")),
+    // working when the category set is unbounded ----
+    "fe_target_encode" -> ((s, d) =>
+      graft.ml.TargetEncoding.encode(
+        t(s, d, "orders"), "o_orderpriority",
+        label = col("o_orderstatus") === "F", alpha = 20.0)),
+
+    // k-fold cross-fitted target encoding: each (category, fold) cell is
+    // encoded from the OTHER folds' statistics (portable-md5 fold
+    // assignment) — the leakage guard for cross-validated training; all
+    // complements come from windows over the cell table, never the data
+    "fe_crossfit_encode" -> ((s, d) =>
+      graft.ml.TargetEncoding.crossfitEncode(
+        t(s, d, "orders"), "o_orderkey", "o_orderpriority",
+        label = col("o_orderstatus") === "F", alpha = 20.0, folds = 5)),
+
+    "fe_target_loo" -> ((s, d) =>
+      graft.ml.TargetEncoding.looEncode(
+          t(s, d, "orders").select("o_orderkey", "o_orderpriority", "o_orderstatus"),
+          "o_orderpriority",
+          label = col("o_orderstatus") === "F", alpha = 20.0)
+        .select("o_orderkey", "o_orderpriority", "cnt", "pos", "loo_encoding")),
+
+    "fe_feature_hash" -> ((s, d) =>
+      graft.ml.FeatureHashing.hashedFeatures(
+        t(s, d, "customer"), "c_custkey",
+        cats = Seq("c_mktsegment", "c_nationkey"), buckets = 32)),
+
+    // leakage-safe grouped split: the ENTITY (customer ≙ patient) is
+    // assigned to a split, so no entity's rows straddle train/test —
+    // the readmission-modeling must-have the reference's random
+    // train_test_split silently violates
+    "fe_group_split" -> ((s, d) => {
+      val cust = t(s, d, "customer").select(
+        col("c_custkey"),
+        when(permilleHash(col("c_custkey"), ":gs42") < 800, "train")
+          .otherwise("test").as("part"))
+      t(s, d, "orders")
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy("part")
+        .agg(
+          countDistinct(col("o_custkey")).as("n_customers"),
+          count(lit(1)).as("n_orders"),
+          sum(when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)).as("n_urgent"))
+    }),
+
+    // percentile winsorization: p01/p99 cutpoints per group (exact
+    // percentile, one pass over dim-sized groups), broadcast back, clamp
+    // + exact decimal sums — the outlier-robust scaling step
+    "fe_winsorize" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select(col("l_returnflag"), col("l_extendedprice"))
+      val cut = li.groupBy("l_returnflag").agg(
+        round(expr("percentile(l_extendedprice, 0.01D)"), 6).as("p01"),
+        round(expr("percentile(l_extendedprice, 0.99D)"), 6).as("p99"))
+      li.join(broadcast(cut), "l_returnflag")
+        .select(col("l_returnflag"), col("l_extendedprice"), col("p01"), col("p99"),
+          least(greatest(col("l_extendedprice"), col("p01")), col("p99")).as("_w"))
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("l_extendedprice") < col("p01"), 1L).otherwise(0L)).as("n_low"),
+          sum(when(col("l_extendedprice") > col("p99"), 1L).otherwise(0L)).as("n_high"),
+          sum(col("l_extendedprice").cast("decimal(18,6)")).cast("double").as("sum_raw"),
+          sum(col("_w").cast("decimal(18,6)")).cast("double").as("sum_winsor"))
+    }),
+
+    // systematic sampling: every 7th row under a total order — the
+    // eval-set draw that is replayable and evenly spread by construction;
+    // global numbering via GlobalRowNumber (no single-task window)
+    "o12_systematic_sample" -> ((s, d) =>
+      graft.ops.GlobalRowNumber.withRowNumber(
+        t(s, d, "orders").select("o_orderkey", "o_orderdate"),
+        "rn", col("o_orderdate"), col("o_orderkey"))
+        .filter(pmod(col("rn"), lit(7L)) === 1L)
+        .select(col("o_orderkey"), col("rn"))),
+
+    // deterministic k-per-stratum uniform draw: order each stratum by the
+    // portable md5-permille of the key and keep the first k — a replayable
+    // "100 examples per class" eval sample. Rides the TopKPerKey physical
+    // operator (bounded per-group heaps, map-side partial, ONE exchange) —
+    // no full per-stratum sort, no window over the whole table
+    "o14_group_sample_k" -> ((s, d) =>
+      graft.plans.TopKPerKey(
+        t(s, d, "orders")
+          .withColumn("_h", permilleHash1M(col("o_orderkey"), ":gs4")),
+        Seq("o_orderpriority"),
+        Seq(col("_h").asc, col("o_orderkey").asc), 100)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice")),
+
+    // deterministic hash-bucket negative sampling: k different-label
+    // negatives per anchor with no RNG state — candidates shuffle once
+    // into buckets, each probe scans one bucket, the per-(anchor,draw)
+    // argmin is a partial-aggregable min(struct), and the whole draw is
+    // replayable bit-for-bit on any engine (portable md5 salts)
+    "fe_neg_pairs" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      graft.ml.NegativeSampling.negativePairs(
+        emb, emb, "vec_id", "label", k = 3, buckets = 16)
+    }),
+  )
+
+  val oracles: Seq[(String, String)] = Seq(
+    "fe_winsorize" ->
+      """WITH cut AS (
+        |  SELECT l_returnflag,
+        |         round(quantile_cont(l_extendedprice, 0.01), 6) AS p01,
+        |         round(quantile_cont(l_extendedprice, 0.99), 6) AS p99
+        |  FROM lineitem GROUP BY 1
+        |)
+        |SELECT l.l_returnflag, count(*) AS n,
+        |  CAST(SUM(CASE WHEN l_extendedprice < p01 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+        |  CAST(SUM(CASE WHEN l_extendedprice > p99 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_raw,
+        |  CAST(SUM(CAST(LEAST(GREATEST(l_extendedprice, p01), p99) AS DECIMAL(18,6))) AS DOUBLE) AS sum_winsor
+        |FROM lineitem l JOIN cut USING (l_returnflag)
+        |GROUP BY 1""".stripMargin,
+
+    "o12_systematic_sample" ->
+      """SELECT o_orderkey, rn FROM (
+        |  SELECT o_orderkey,
+        |         ROW_NUMBER() OVER (ORDER BY o_orderdate NULLS FIRST, o_orderkey) AS rn
+        |  FROM orders
+        |) WHERE rn % 7 = 1""".stripMargin,
+
+    "o14_group_sample_k" ->
+      s"""SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+         |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         |         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+         |           ORDER BY ${permilleHashSql("o_orderkey", ":gs4", 1000000L)}, o_orderkey) AS rn
+         |  FROM orders
+         |) WHERE rn <= 100""".stripMargin,
+
+    "ml_auc_by_segment" ->
+      """WITH s AS (
+        |  SELECT o_orderstatus AS segment, o_totalprice AS score,
+        |         CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END AS y
+        |  FROM orders
+        |), g AS (
+        |  SELECT segment, score, SUM(y) AS np, SUM(1 - y) AS nn FROM s GROUP BY 1, 2
+        |), r AS (
+        |  SELECT segment, np, nn,
+        |         COALESCE(SUM(np + nn) OVER (PARTITION BY segment ORDER BY score
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+        |  FROM g
+        |)
+        |SELECT segment,
+        |       (SUM(np * (cumb + (np + nn + 1) / 2.0)) - CAST(SUM(np) AS DOUBLE) * (SUM(np) + 1) / 2.0)
+        |       / (CAST(SUM(np) AS DOUBLE) * SUM(nn)) AS auc_roc
+        |FROM r GROUP BY segment""".stripMargin,
+
+    "t_pmi_bigrams" ->
+      """WITH toks AS (
+        |  SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '') AS t
+        |  FROM documents
+        |), uni AS (
+        |  SELECT w, count(*) AS c FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1
+        |), bg AS (
+        |  SELECT bigram, count(*) AS c_xy FROM (
+        |    SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
+        |    FROM toks WHERE len(t) >= 2
+        |  ) GROUP BY 1 HAVING count(*) >= 5
+        |), tot AS (
+        |  SELECT CAST(SUM(len(t)) AS BIGINT) AS n_uni,
+        |         CAST(SUM(GREATEST(len(t) - 1, 0)) AS BIGINT) AS n_bi
+        |  FROM toks
+        |)
+        |SELECT bg.bigram, bg.c_xy,
+        |       round(ln((CAST(bg.c_xy AS DOUBLE) * n_uni * n_uni) /
+        |                (CAST(n_bi AS DOUBLE) * u1.c * u2.c)), 6) AS pmi
+        |FROM bg
+        |JOIN uni u1 ON u1.w = split_part(bg.bigram, ' ', 1)
+        |JOIN uni u2 ON u2.w = split_part(bg.bigram, ' ', 2), tot""".stripMargin,
+
+    "mm_shard_manifest" ->
+      """WITH sz AS (
+        |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents
+        |), c AS (
+        |  SELECT doc_id, n_bytes,
+        |         CAST(COALESCE(SUM(n_bytes) OVER (ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS BIGINT) AS start_off
+        |  FROM sz
+        |)
+        |SELECT doc_id, n_bytes, start_off,
+        |       CAST(start_off // 4096 AS BIGINT) AS shard_id,
+        |       CAST(start_off % 4096 AS BIGINT) AS shard_off
+        |FROM c""".stripMargin,
+
+    "m3_onehot" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END AS seg_auto,
+        |  CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS seg_buil,
+        |  CASE WHEN c_mktsegment = 'FURNITURE' THEN 1 ELSE 0 END AS seg_furn,
+        |  CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 1 ELSE 0 END AS seg_hous,
+        |  CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END AS seg_mach
+        |FROM customer""".stripMargin,
+
+    "m11_confusion" ->
+      """SELECT CASE WHEN o_totalprice / 500000.0 > 0.5 THEN 1 ELSE 0 END AS prediction,
+        |       CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END AS label,
+        |       count(*) AS cnt
+        |FROM orders GROUP BY 1, 2""".stripMargin,
+
+    "ml_auc_rank" ->
+      """WITH s AS (
+        |  SELECT o_totalprice AS score,
+        |         CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END AS y
+        |  FROM orders
+        |), g AS (
+        |  SELECT score, SUM(y) AS np, SUM(1 - y) AS nn FROM s GROUP BY 1
+        |), r AS (
+        |  SELECT np, nn,
+        |         COALESCE(SUM(np + nn) OVER (ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+        |  FROM g
+        |)
+        |SELECT (SUM(np * (cumb + (np + nn + 1) / 2.0)) - CAST(SUM(np) AS DOUBLE) * (SUM(np) + 1) / 2.0)
+        |       / (CAST(SUM(np) AS DOUBLE) * SUM(nn)) AS auc_roc
+        |FROM r""".stripMargin,
+
+    "ml_roc_points" ->
+      """WITH s AS (
+        |  SELECT round(o_totalprice / 100000.0, 0) AS score,
+        |         CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END AS y
+        |  FROM orders
+        |), g AS (
+        |  SELECT score AS threshold, SUM(y) AS np, SUM(1 - y) AS nn FROM s GROUP BY 1
+        |)
+        |SELECT threshold,
+        |       CAST(SUM(nn) OVER (ORDER BY threshold DESC ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+        |         / SUM(nn) OVER () AS fpr,
+        |       CAST(SUM(np) OVER (ORDER BY threshold DESC ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+        |         / SUM(np) OVER () AS tpr
+        |FROM g""".stripMargin,
+
+    "ml_conformal" -> graft.ml.Metrics.conformalSplitOracleSql(
+      "orders", valueSql = "o_totalprice",
+      calPredSql = s"${permilleHashSql("o_orderkey", ":conf", 1000L)} < 100",
+      alpha = 0.1),
+
+    "ml_isotonic_bins" -> graft.ml.Metrics.isotonicBinsOracleSql(
+      "orders", scoreSql = "o_totalprice / 600000.0",
+      labelSql = "CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END",
+      bins = 10),
+
+    "ml_calibration" ->
+      """WITH s AS (
+        |  SELECT round(o_totalprice / 600000.0, 6) AS sr,
+        |         CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END AS y
+        |  FROM orders
+        |)
+        |SELECT CAST(LEAST(GREATEST(FLOOR(sr * 10), 0), 9) AS INTEGER) AS bin,
+        |       count(*) AS n,
+        |       round(CAST(SUM(CAST(sr AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6) AS mean_score,
+        |       round(CAST(SUM(y) AS DOUBLE) / count(*), 6) AS frac_pos
+        |FROM s GROUP BY 1""".stripMargin,
+
+    "ml_ndcg" -> graft.ml.RankingMetrics.ndcgOracleSql(
+      "orders", "o_orderstatus", "o_totalprice", "o_orderkey",
+      "CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END", k = 10),
+
+    "ml_mrr" -> graft.ml.RankingMetrics.mrrOracleSql(
+      "orders", "o_orderstatus", "o_totalprice", "o_orderkey",
+      "CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END"),
+
+    "ml_map" -> graft.ml.RankingMetrics.mapOracleSql(
+      "orders", "o_orderstatus", "o_totalprice", "o_orderkey",
+      "CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END", k = 10),
+
+    "t_zipf" -> graft.text.CorpusStats.zipfOracleSql("documents", "text", topN = 200),
+
+    "t_bpe_merges" ->
+      graft.text.BpeTrain.learnMergesOracleSql("documents", "text", rounds = 5),
+
+    "t_unigram_vocab" ->
+      graft.text.UnigramLm.vocabOracleSql("documents", "text",
+        maxPieceLen = 4, minFreq = 3),
+
+    "t_unigram_segment" ->
+      graft.text.UnigramLm.segmentOracleSql("documents", "text",
+        maxPieceLen = 4, minFreq = 3, maxWordLen = 12),
+
+    "t_unigram_apply" ->
+      graft.text.UnigramLm.segmentApplyOracleSql("documents", "text",
+        "part", "p_name", maxPieceLen = 4, minFreq = 3, maxWordLen = 12),
+
+    "t_unigram_em" ->
+      graft.text.UnigramLm.emSegmentOracleSql("documents", "text",
+        maxPieceLen = 4, minFreq = 3, maxWordLen = 12),
+
+    "t_tok_fertility" ->
+      graft.text.TokenizerEval.fertilityOracleSql("documents", "text",
+        bpeRounds = 5, maxPieceLen = 4, minFreq = 3, maxWordLen = 12),
+
+    "t_wordpiece_vocab" ->
+      graft.text.WordPiece.vocabOracleSql("documents", "text",
+        maxPieceLen = 4, minFreq = 3),
+
+    "t_wordpiece_encode" ->
+      graft.text.WordPiece.encodeOracleSql("documents", "text",
+        maxPieceLen = 4, minFreq = 3, maxWordLen = 12),
+
+    "t_wordpiece_apply" ->
+      graft.text.WordPiece.encodeApplyOracleSql("documents", "text",
+        "part", "p_name", maxPieceLen = 4, minFreq = 3, maxWordLen = 12),
+
+    "t_bpe_encode" ->
+      graft.text.BpeTrain.encodeOracleSql("documents", "doc_id", "text", rounds = 5),
+
+    "t_bpe_apply" -> graft.text.BpeTrain.applyMergesOracleSql(
+      "documents", "text", rounds = 5, "part", "p_partkey", "p_name"),
+
+    "t_chunk_windows" -> graft.text.Chunking.chunkOverlapOracleSql(
+      "documents", "doc_id", "text", win = 64, stride = 32),
+
+    "t_quality_cascade" -> graft.text.QualityCascade.cascadeOracleSql(
+      "documents", "text", minTokens = 50, maxTokens = 100000,
+      minMeanLen = 3.0, maxMeanLen = 4.8, minTtr = 0.35),
+
+    "a_spearman" ->
+      """WITH base AS (
+        |  SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |), rx AS (
+        |  SELECT v, 2 * SUM(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt + 1 AS r2
+        |  FROM (SELECT x AS v, CAST(count(*) AS BIGINT) AS cnt FROM base GROUP BY 1)
+        |), ry AS (
+        |  SELECT v, 2 * SUM(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt + 1 AS r2
+        |  FROM (SELECT y AS v, CAST(count(*) AS BIGINT) AS cnt FROM base GROUP BY 1)
+        |), j AS (
+        |  SELECT rx.r2 AS a, ry.r2 AS b
+        |  FROM base JOIN rx ON base.x = rx.v JOIN ry ON base.y = ry.v
+        |), m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |         SUM(a) AS sx, SUM(b) AS sy,
+        |         SUM(a * a) AS ssx, SUM(b * b) AS ssy, SUM(a * b) AS sp
+        |  FROM j
+        |)
+        |SELECT n,
+        |       round((CAST(n AS DOUBLE) * CAST(sp AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |             sqrt((CAST(n AS DOUBLE) * CAST(ssx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |                  (CAST(n AS DOUBLE) * CAST(ssy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 9) AS rho
+        |FROM m""".stripMargin,
+
+    "ml_logloss" -> graft.ml.RankingMetrics.logLossOracleSql(
+      "orders", "o_orderstatus", "o_totalprice / 600000.0",
+      "CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1.0 ELSE 0.0 END"),
+
+    "ml_survival_km" -> graft.ops.Survival.kmOracleSql(
+      """SELECT date_diff('day', o_orderdate, l_shipdate) AS t,
+        |       l_returnflag = 'R' AS ev
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE date_diff('day', o_orderdate, l_shipdate) >= 0""".stripMargin),
+
+    // the bucket boundary is (rn-1)*10 // n — same integer arithmetic as
+    // the engine's GlobalRowNumber split, so ntile() is deliberately NOT
+    // used (its "first r buckets get the extra row" rule differs)
+    "ml_lift" ->
+      """WITH s AS (
+        |  SELECT CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END AS y,
+        |         ROW_NUMBER() OVER (ORDER BY o_totalprice DESC NULLS LAST, o_orderkey) AS rn,
+        |         COUNT(*) OVER () AS n
+        |  FROM orders
+        |), g AS (
+        |  SELECT CAST((rn - 1) * 10 // n AS INTEGER) + 1 AS bucket,
+        |         count(*) AS n_rows, CAST(SUM(y) AS BIGINT) AS n_pos
+        |  FROM s GROUP BY 1
+        |)
+        |SELECT bucket, n_rows, n_pos,
+        |       round((CAST(n_pos AS DOUBLE) / n_rows) /
+        |             (CAST(SUM(n_pos) OVER () AS DOUBLE) / SUM(n_rows) OVER ()), 6) AS lift,
+        |       round(CAST(SUM(n_pos) OVER (ORDER BY bucket) AS DOUBLE) / SUM(n_pos) OVER (), 6) AS cum_gain
+        |FROM g""".stripMargin,
+
+    "ml_chi2" ->
+      """WITH joint AS (
+        |  SELECT o_orderpriority AS x,
+        |         CASE WHEN o_totalprice > 300000 THEN 1 ELSE 0 END AS y,
+        |         count(*) AS nxy
+        |  FROM orders GROUP BY 1, 2
+        |), e AS (
+        |  SELECT nxy,
+        |         SUM(nxy) OVER () AS n,
+        |         SUM(nxy) OVER (PARTITION BY x) AS nx,
+        |         SUM(nxy) OVER (PARTITION BY y) AS ny
+        |  FROM joint
+        |)
+        |SELECT round(SUM((nxy - CAST(nx AS DOUBLE) * ny / n) * (nxy - CAST(nx AS DOUBLE) * ny / n)
+        |         / (CAST(nx AS DOUBLE) * ny / n))
+        |         + (MAX(n) - SUM(CAST(nx AS DOUBLE) * ny / n)), 6) AS chi2_stat,
+        |       count(*) AS n_cells
+        |FROM e""".stripMargin,
+
+    "ml_mutual_info" ->
+      """WITH stacked AS (
+        |  SELECT 'o_orderpriority' AS feature, o_orderpriority AS x,
+        |         CAST(CASE WHEN o_totalprice > 300000 THEN 1 ELSE 0 END AS VARCHAR) AS y FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', o_orderstatus,
+        |         CAST(CASE WHEN o_totalprice > 300000 THEN 1 ELSE 0 END AS VARCHAR) FROM orders
+        |), joint AS (
+        |  SELECT feature, x, y, count(*) AS nxy FROM stacked GROUP BY 1, 2, 3
+        |), e AS (
+        |  SELECT feature, nxy,
+        |         SUM(nxy) OVER (PARTITION BY feature) AS n,
+        |         SUM(nxy) OVER (PARTITION BY feature, x) AS nx,
+        |         SUM(nxy) OVER (PARTITION BY feature, y) AS ny
+        |  FROM joint
+        |)
+        |SELECT feature,
+        |       round(SUM((CAST(nxy AS DOUBLE) / n) * ln(CAST(nxy AS DOUBLE) * n / (CAST(nx AS DOUBLE) * ny))), 6) AS mi
+        |FROM e GROUP BY 1""".stripMargin,
+
+    "fe_neg_pairs" -> graft.ml.NegativeSampling.negativePairsOracleSql(
+      "embeddings", "vec_id", "label", k = 3, buckets = 16, anchorPredSql = "TRUE"),
+
+    "t_keywords" ->
+      """WITH tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM (
+        |    SELECT doc_id,
+        |           unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')) AS term
+        |    FROM documents
+        |  ) GROUP BY 1, 2
+        |), dfreq AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+        |), n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |         round(tf.tf * (ln(CAST(n_docs + 1 AS DOUBLE) / CAST(dfreq.df + 1 AS DOUBLE)) + 1.0), 6) AS tfidf
+        |  FROM tf JOIN dfreq USING (term), n
+        |)
+        |SELECT doc_id, term, tfidf, CAST(rank AS INTEGER) AS rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+        |  FROM scored
+        |) WHERE rank <= 3""".stripMargin,
+
+    "t_tfidf" ->
+      """WITH tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM (
+        |    SELECT doc_id,
+        |           unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')) AS term
+        |    FROM documents
+        |  ) GROUP BY 1, 2
+        |), dfreq AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+        |), n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+        |       round(tf.tf * (ln(CAST(n_docs + 1 AS DOUBLE) / CAST(dfreq.df + 1 AS DOUBLE)) + 1.0), 6) AS tfidf
+        |FROM tf JOIN dfreq USING (term), n
+        |WHERE tf.doc_id < 25""".stripMargin,
+
+    "ml_text_vocab_full" ->
+      graft.text.TextFeaturizer.vocabularyOracleSql("documents", "text"),
+
+    "vocab_topdf" ->
+      """WITH terms AS (
+        |  SELECT unnest(list_distinct(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> ''))) AS term
+        |  FROM documents
+        |), dfs AS (
+        |  SELECT term, count(*) AS df FROM terms GROUP BY 1
+        |)
+        |SELECT term, df FROM dfs ORDER BY df DESC, term ASC LIMIT 50""".stripMargin,
+
+    // smoothed rates are rational arithmetic (bit-identical); only the ln
+    // term is rounded (libm last-ulp divergence)
+    "drift_psi" ->
+      s"""WITH s AS (
+         |  SELECT least(CAST(floor(o_totalprice / 60000) AS BIGINT), 9) AS bin,
+         |         (${permilleHashSql("o_orderkey", ":dr42", 1000)}) < 500 AS isref
+         |  FROM orders
+         |), b AS (
+         |  SELECT bin,
+         |         CAST(SUM(CASE WHEN isref THEN 1 ELSE 0 END) AS BIGINT) AS ref_cnt,
+         |         CAST(SUM(CASE WHEN isref THEN 0 ELSE 1 END) AS BIGINT) AS cur_cnt
+         |  FROM s GROUP BY bin
+         |), tot AS (
+         |  SELECT CAST(SUM(ref_cnt) AS BIGINT) AS rt, CAST(SUM(cur_cnt) AS BIGINT) AS ct,
+         |         CAST(COUNT(*) AS BIGINT) AS nb
+         |  FROM b
+         |)
+         |SELECT bin, ref_cnt, cur_cnt,
+         |  round((ref_cnt + 0.5) / (rt + 0.5 * nb), 9) AS p_ref,
+         |  round((cur_cnt + 0.5) / (ct + 0.5 * nb), 9) AS p_cur,
+         |  round(((cur_cnt + 0.5) / (ct + 0.5 * nb) - (ref_cnt + 0.5) / (rt + 0.5 * nb))
+         |        * ln(((cur_cnt + 0.5) / (ct + 0.5 * nb)) / ((ref_cnt + 0.5) / (rt + 0.5 * nb))), 6) AS psi_term
+         |FROM b, tot""".stripMargin,
+
+    "drift_ks" ->
+      s"""WITH s AS (
+         |  SELECT o_totalprice AS v,
+         |         (${permilleHashSql("o_orderkey", ":dr42", 1000)}) < 500 AS isref
+         |  FROM orders WHERE o_totalprice IS NOT NULL
+         |), pv AS (
+         |  SELECT v, SUM(CASE WHEN isref THEN 1 ELSE 0 END) AS r,
+         |            SUM(CASE WHEN isref THEN 0 ELSE 1 END) AS c
+         |  FROM s GROUP BY v
+         |), cum AS (
+         |  SELECT SUM(r) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cr,
+         |         SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+         |  FROM pv
+         |), tot AS (
+         |  SELECT CAST(SUM(r) AS BIGINT) AS n_ref, CAST(SUM(c) AS BIGINT) AS n_cur FROM pv
+         |)
+         |SELECT n_ref, n_cur,
+         |  round(MAX(ABS(CAST(cr AS DOUBLE) / n_ref - CAST(cc AS DOUBLE) / n_cur)), 9) AS ks
+         |FROM cum, tot GROUP BY n_ref, n_cur""".stripMargin,
+
+    "ml_score_ks" ->
+      """WITH s AS (
+        |  SELECT o_totalprice AS v,
+        |         o_orderpriority IN ('1-URGENT', '2-HIGH') AS isref
+        |  FROM orders WHERE o_totalprice IS NOT NULL
+        |), pv AS (
+        |  SELECT v, SUM(CASE WHEN isref THEN 1 ELSE 0 END) AS r,
+        |            SUM(CASE WHEN isref THEN 0 ELSE 1 END) AS c
+        |  FROM s GROUP BY v
+        |), cum AS (
+        |  SELECT SUM(r) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cr,
+        |         SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+        |  FROM pv
+        |), tot AS (
+        |  SELECT CAST(SUM(r) AS BIGINT) AS n_ref, CAST(SUM(c) AS BIGINT) AS n_cur FROM pv
+        |)
+        |SELECT n_ref, n_cur,
+        |  round(MAX(ABS(CAST(cr AS DOUBLE) / n_ref - CAST(cc AS DOUBLE) / n_cur)), 9) AS ks
+        |FROM cum, tot GROUP BY n_ref, n_cur""".stripMargin,
+
+    "ml_score_psi" ->
+      """WITH s AS (
+        |  SELECT least(CAST(floor(o_totalprice / 60000) AS BIGINT), 9) AS bin,
+        |         o_orderdate < DATE '1995-06-17' AS isref
+        |  FROM orders
+        |), b AS (
+        |  SELECT bin,
+        |         CAST(SUM(CASE WHEN isref THEN 1 ELSE 0 END) AS BIGINT) AS ref_cnt,
+        |         CAST(SUM(CASE WHEN isref THEN 0 ELSE 1 END) AS BIGINT) AS cur_cnt
+        |  FROM s GROUP BY bin
+        |), tot AS (
+        |  SELECT CAST(SUM(ref_cnt) AS BIGINT) AS rt, CAST(SUM(cur_cnt) AS BIGINT) AS ct,
+        |         CAST(COUNT(*) AS BIGINT) AS nb
+        |  FROM b
+        |)
+        |SELECT bin, ref_cnt, cur_cnt,
+        |  round((ref_cnt + 0.5) / (rt + 0.5 * nb), 9) AS p_ref,
+        |  round((cur_cnt + 0.5) / (ct + 0.5 * nb), 9) AS p_cur,
+        |  round(((cur_cnt + 0.5) / (ct + 0.5 * nb) - (ref_cnt + 0.5) / (rt + 0.5 * nb))
+        |        * ln(((cur_cnt + 0.5) / (ct + 0.5 * nb)) / ((ref_cnt + 0.5) / (rt + 0.5 * nb))), 6) AS psi_term
+        |FROM b, tot""".stripMargin,
+
+    // JSD mirror: identical smoothed rates to drift_psi; the per-bin term
+    // is ½·p·ln(p/m) + ½·q·ln(q/m) with m = (p+q)/2 — written in the same
+    // operation order as the Spark side so the doubles agree bitwise
+    "drift_jsd" ->
+      s"""WITH s AS (
+         |  SELECT event_type AS bin,
+         |         (${permilleHashSql("event_id", ":dj42", 1000)}) < 500 AS isref
+         |  FROM events
+         |), b AS (
+         |  SELECT bin,
+         |         CAST(SUM(CASE WHEN isref THEN 1 ELSE 0 END) AS BIGINT) AS ref_cnt,
+         |         CAST(SUM(CASE WHEN isref THEN 0 ELSE 1 END) AS BIGINT) AS cur_cnt
+         |  FROM s GROUP BY bin
+         |), tot AS (
+         |  SELECT CAST(SUM(ref_cnt) AS BIGINT) AS rt, CAST(SUM(cur_cnt) AS BIGINT) AS ct,
+         |         CAST(COUNT(*) AS BIGINT) AS nb
+         |  FROM b
+         |)
+         |SELECT bin, ref_cnt, cur_cnt,
+         |  round((ref_cnt + 0.5) / (rt + 0.5 * nb), 9) AS p_ref,
+         |  round((cur_cnt + 0.5) / (ct + 0.5 * nb), 9) AS p_cur,
+         |  round(((ref_cnt + 0.5) / (rt + 0.5 * nb)
+         |           * ln(((ref_cnt + 0.5) / (rt + 0.5 * nb)) /
+         |               (((ref_cnt + 0.5) / (rt + 0.5 * nb) + (cur_cnt + 0.5) / (ct + 0.5 * nb)) / 2.0))
+         |         + (cur_cnt + 0.5) / (ct + 0.5 * nb)
+         |           * ln(((cur_cnt + 0.5) / (ct + 0.5 * nb)) /
+         |               (((ref_cnt + 0.5) / (rt + 0.5 * nb) + (cur_cnt + 0.5) / (ct + 0.5 * nb)) / 2.0))) / 2.0, 6) AS jsd_term
+         |FROM b, tot""".stripMargin,
+
+    // pure rational arithmetic over exact integer counts: every double op
+    // is IEEE-correctly-rounded in both engines, so NO rounding is needed
+    "fe_target_encode" ->
+      """WITH pc AS (
+        |  SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |         CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS pos
+        |  FROM orders GROUP BY 1
+        |), pr AS (SELECT CAST(SUM(pos) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS prior FROM pc)
+        |SELECT o_orderpriority, cnt, pos, prior,
+        |       (pos + 20.0 * prior) / (cnt + 20.0) AS encoding
+        |FROM pc, pr""".stripMargin,
+
+    "fe_target_loo" ->
+      """WITH pc AS (
+        |  SELECT o_orderpriority AS cat, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |         CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS pos
+        |  FROM orders GROUP BY 1
+        |), pr AS (SELECT CAST(SUM(pos) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS prior FROM pc)
+        |SELECT o_orderkey, o_orderpriority, cnt, pos,
+        |       (pos - (CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) + 20.0 * prior)
+        |         / (cnt - 1 + 20.0) AS loo_encoding
+        |FROM orders JOIN pc ON o_orderpriority = pc.cat CROSS JOIN pr""".stripMargin,
+
+    "fe_feature_hash" ->
+      s"""WITH e AS (
+         |  SELECT c_custkey, 'c_mktsegment' AS f, CAST(c_mktsegment AS VARCHAR) AS v FROM customer
+         |  UNION ALL
+         |  SELECT c_custkey, 'c_nationkey' AS f, CAST(c_nationkey AS VARCHAR) AS v FROM customer
+         |), h AS (
+         |  SELECT c_custkey,
+         |         CAST(concat('0x', substr(md5(concat(f, '=', v)), 1, 15)) AS BIGINT) AS hh
+         |  FROM e WHERE v IS NOT NULL
+         |)
+         |SELECT c_custkey, hh % 32 AS bucket,
+         |       CAST(SUM(CASE WHEN (hh // 32) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS weight
+         |FROM h GROUP BY 1, 2""".stripMargin,
+
+    "fe_group_split" ->
+      s"""WITH c AS (
+         |  SELECT c_custkey,
+         |         CASE WHEN (${permilleHashSql("c_custkey", ":gs42", 1000)}) < 800
+         |              THEN 'train' ELSE 'test' END AS part
+         |  FROM customer
+         |)
+         |SELECT part,
+         |       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+         |       CAST(COUNT(*) AS BIGINT) AS n_orders,
+         |       CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent
+         |FROM orders JOIN c ON o_custkey = c_custkey
+         |GROUP BY part""".stripMargin,
+
+    "fe_crossfit_encode" ->
+      """WITH base AS (
+        |  SELECT o_orderpriority AS cat,
+        |         CAST(concat('0x', substr(md5(concat(CAST(o_orderkey AS VARCHAR), ':cf')), 1, 15)) AS BIGINT) % 5 AS fold,
+        |         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        |  FROM orders
+        |), cells AS (
+        |  SELECT cat, fold, count(*) AS cnt, CAST(SUM(y) AS BIGINT) AS pos
+        |  FROM base GROUP BY 1, 2
+        |), x AS (
+        |  SELECT cat, fold, cnt, pos,
+        |         SUM(cnt) OVER (PARTITION BY cat) AS tc, SUM(pos) OVER (PARTITION BY cat) AS tp,
+        |         SUM(cnt) OVER (PARTITION BY fold) AS fc, SUM(pos) OVER (PARTITION BY fold) AS fp,
+        |         SUM(cnt) OVER () AS gc, SUM(pos) OVER () AS gp
+        |  FROM cells
+        |)
+        |SELECT cat, fold, cnt, pos,
+        |       ((tp - pos) + 20.0 * (CAST(gp - fp AS DOUBLE) / (gc - fc)))
+        |       / ((tc - cnt) + 20.0) AS encoding
+        |FROM x""".stripMargin,
+  )
+}
