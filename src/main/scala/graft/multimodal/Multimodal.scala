@@ -229,26 +229,82 @@ object Multimodal {
   def phashPairs(binTable: DataFrame, idCol: String, maxDist: Int = 3): DataFrame = {
     require(maxDist >= 0 && maxDist < 4,
       s"phashPairs blocking is recall-lossless only for maxDist < 4; got $maxDist")
+    phashPairsBlocked(binTable, idCol, maxDist, nChunks = 4)
+  }
+
+  /** Generalized recall-lossless pigeonhole blocking for pHash pairs at
+    * corpus scale (the multi-index idea of Manku et al.'s web-scale
+    * simhash dedup, WWW'07 §3): split the 60-bit signature into
+    * `nChunks` equal pieces; ≤ `maxDist` differing bits touch at most
+    * `maxDist` chunks, so every qualifying pair agrees EXACTLY on some
+    * combination of `nChunks − maxDist` chunks — block on all
+    * C(nChunks, nChunks−maxDist) combinations (key = signature masked to
+    * the combo's chunks). `nChunks = maxDist + 1` is the single-chunk
+    * pigeonhole [[phashPairs]] ships.
+    *
+    * The BLOCK-KEY WIDTH — (nChunks−maxDist)·(60/nChunks) bits — is the
+    * random-collision control, and it must be sized to the corpus: a
+    * fixed 15-bit key admits Θ(n²/2^15) ACCIDENTAL bucket collisions no
+    * matter how discriminative the signature is (measured in the r12
+    * scale band: candidates grew 124× over a 10× corpus at 15 bits —
+    * SCALE.md finding #5). [[phashPairsAuto]] derives the width from the
+    * corpus exactly like RHP-LSH's `autoBitsPerBand`. The trade is
+    * replication: C(nChunks, nChunks−maxDist) block rows per doc
+    * (4 → 4, 5 → 10, 6 → 20 at maxDist 3) — linear in n, against a
+    * quadratic collision term.
+    */
+  def phashPairsBlocked(binTable: DataFrame, idCol: String,
+                        maxDist: Int = 3, nChunks: Int = 4): DataFrame = {
+    require(maxDist >= 0 && nChunks > maxDist && 60 % nChunks == 0,
+      s"need 60 % nChunks == 0 and nChunks > maxDist (lossless pigeonhole); " +
+        s"got nChunks=$nChunks maxDist=$maxDist")
+    val w = 60 / nChunks
+    val combos = (0 until nChunks).combinations(nChunks - maxDist).zipWithIndex
+      .map { case (cs, idx) =>
+        (idx, cs.map(c => ((1L << w) - 1L) << (c * w)).reduce(_ | _))
+      }.toSeq
     // empty payloads have no signal — their all-zero sigs would pair every
     // empty doc with every other (hamming 0); exclude them up front
     val sigs = phashSignatures(
       binTable.filter(octet_length(col("payload")) > 0), idCol)
-    val chunked = sigs.select(
-      col(idCol), col("ph"),
-      posexplode(array((0 until 4).map { i =>
-        shiftright(col("ph"), i * 15).bitwiseAND(0x7fffL)
-      }: _*))
-    ).select(col(idCol).as("id"), col("ph"), col("pos").as("chunk_idx"), col("col").as("chunk"))
+    val keyed = sigs.select(
+      col(idCol).as("id"), col("ph"),
+      explode(array(combos.map { case (idx, mask) =>
+        struct(lit(idx).as("ci"), col("ph").bitwiseAND(lit(mask)).as("ck"))
+      }: _*)).as("c"))
     val hamming = bit_count(col("a.ph").bitwiseXOR(col("b.ph")))
-    chunked.as("a")
+    keyed.as("a")
       .join(
-        chunked.as("b"),
-        col("a.chunk_idx") === col("b.chunk_idx") && col("a.chunk") === col("b.chunk") &&
+        keyed.as("b"),
+        col("a.c.ci") === col("b.c.ci") && col("a.c.ck") === col("b.c.ck") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), hamming.as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDist)
   }
+
+  /** Smallest admissible chunk count whose block-key width covers
+    * log2(corpus) + 6 slack bits — the corpus-sizing rule that keeps the
+    * accidental-collision term n²/2^width sub-linear in n.
+    */
+  def autoChunks(n: Long, maxDist: Int = 3): Int = {
+    val target = 6 +
+      math.ceil(math.log(math.max(n, 2L).toDouble) / math.log(2.0)).toInt
+    Seq(4, 5, 6, 10, 12)
+      .filter(c => c > maxDist && 60 % c == 0)
+      .find(c => (c - maxDist) * (60 / c) >= target)
+      .getOrElse(12)
+  }
+
+  /** [[phashPairsBlocked]] with the chunk count derived from the corpus
+    * via [[autoChunks]] (one eager `count()` — persist expensive inputs
+    * first). The scale-path entry point; the pinned 4-chunk
+    * [[phashPairs]] stays the reproducible oracled default.
+    */
+  def phashPairsAuto(binTable: DataFrame, idCol: String,
+                     maxDist: Int = 3): DataFrame =
+    phashPairsBlocked(binTable, idCol, maxDist,
+      autoChunks(binTable.count(), maxDist))
 
   /** The shared signature-rebuild CTE chain (`h → pos → by → bk → tot →
     * sg`): DuckDB recomputes every payload's 60-bit signature from the

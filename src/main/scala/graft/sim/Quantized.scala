@@ -616,10 +616,17 @@ object Quantized {
     * replays the greedy loop as `k` generated CTE steps.
     *
     * Scale shape: candidate selection is the [[sq8TopK]] shape (corpus
-    * never shuffled, queries broadcast); the greedy loop then runs on the
-    * |queries|·nCand candidate table and its |queries|·nCand² pair table —
-    * bounded by parameters, never by corpus size. k−1 bounded join rounds,
-    * the Pregel-unrolled pattern of `g_pagerank3`.
+    * never shuffled, queries broadcast); the greedy loop then runs PER
+    * QUERY inside one task (`flatMapGroups` over the parameter-bounded
+    * |queries|·nCand candidate table) — ONE shuffle total, queries
+    * spread across executors, and the per-group work is the ≤ nCand²
+    * arithmetic MMR inherently costs. Until r11 the loop was k−1 chained
+    * join+window rounds over the whole table: correct, but ~19 sequential
+    * stages of local-mode scheduler floor (3.6 s for sub-KB data at
+    * sf0.1 — the r11 verdict's ask #8). The grouped form is bit-identical
+    * BY CONSTRUCTION: the same exact integer dots, the same single double
+    * division per pair, the same (score desc, vid asc) argmax — the
+    * DuckDB oracle is unchanged.
     *
     * Output: (query_id, step, sel_id, score) — step 1's score is the plain
     * relevance, later steps the MMR score, both rounded at emit only.
@@ -643,41 +650,59 @@ object Quantized {
       .withColumn("_rk", row_number().over(candW))
       .filter(col("_rk") <= nCand)
       .select(col("query_id"), col("vid"), col("q"), col("qq"), col("rel"))
-      .cache()
-    val pairs = cand.select(col("query_id"), col("vid").as("aid"),
-        col("q").as("qa2"), col("qq").as("qqa2"))
-      .join(cand.select(col("query_id"), col("vid").as("bid"),
-        col("q").as("qb2"), col("qq").as("qqb2")), Seq("query_id"))
-      .filter(col("aid") =!= col("bid"))
-      .select(col("query_id"), col("aid"), col("bid"),
-        (intDot(col("qa2"), col("qb2")).cast("double") /
-          (sqrt(col("qqa2").cast("double")) * sqrt(col("qqb2").cast("double"))))
-          .as("sim"))
-      .cache()
-    val pickW = Window.partitionBy("query_id").orderBy(desc("score"), asc("vid"))
-    var selected = cand
-      .withColumn("score", col("rel"))
-      .withColumn("_rk", row_number().over(pickW))
-      .filter(col("_rk") === 1)
-      .select(col("query_id"), col("vid").as("sel_id"), lit(1).as("step"), col("score"))
-    for (i <- 2 to k) {
-      val selSet = selected.select(col("query_id").as("_sq"), col("sel_id"))
-      val remaining = cand.join(
-        selSet.select(col("_sq").as("query_id"), col("sel_id").as("vid")),
-        Seq("query_id", "vid"), "left_anti")
-      val maxsim = pairs
-        .join(selSet, col("query_id") === col("_sq") && col("bid") === col("sel_id"))
-        .groupBy("query_id", "aid").agg(max("sim").as("maxsim"))
-      val scored = remaining
-        .join(maxsim.withColumnRenamed("aid", "vid"), Seq("query_id", "vid"))
-        .withColumn("score", lit(0.5) * col("rel") - lit(0.5) * col("maxsim"))
-        .withColumn("_rk", row_number().over(pickW))
-        .filter(col("_rk") === 1)
-        .select(col("query_id"), col("vid").as("sel_id"), lit(i).as("step"),
-          col("score"))
-      selected = selected.unionByName(scored)
-    }
-    selected.select(col("query_id"), col("step"), col("sel_id"),
+    val session = emb.sparkSession
+    import session.implicits._
+    val sel = cand
+      .groupByKey(_.getLong(0))
+      .flatMapGroups { (qid: Long, it: Iterator[org.apache.spark.sql.Row]) =>
+        // (vid, codes, qq, rel) — ≤ nCand rows per group by the window cut
+        val cs = it.map { r =>
+          (r.getLong(1), r.getSeq[Long](2).toArray, r.getLong(3), r.getDouble(4))
+        }.toArray
+        def dot(a: Array[Long], b: Array[Long]): Long = {
+          var s = 0L; var i = 0
+          while (i < a.length) { s += a(i) * b(i); i += 1 }
+          s
+        }
+        // the SAME fixed-shape arithmetic the unrolled form's pair table
+        // carried: exact integer dot, one double division
+        def sim(i: Int, j: Int): Double =
+          dot(cs(i)._2, cs(j)._2).toDouble /
+            (math.sqrt(cs(i)._3.toDouble) * math.sqrt(cs(j)._3.toDouble))
+        val taken = new Array[Boolean](cs.length)
+        val picks = scala.collection.mutable.ArrayBuffer[Int]()
+        val out = scala.collection.mutable.ArrayBuffer[(Long, Int, Long, Double)]()
+        var step = 1
+        while (step <= k && picks.size < cs.length) {
+          var best = -1
+          var bestScore = Double.NegativeInfinity
+          var i = 0
+          while (i < cs.length) {
+            if (!taken(i)) {
+              val score =
+                if (step == 1) cs(i)._4
+                else {
+                  var ms = Double.NegativeInfinity
+                  picks.foreach { j => val sv = sim(i, j); if (sv > ms) ms = sv }
+                  0.5 * cs(i)._4 - 0.5 * ms
+                }
+              // argmax with asc-vid tiebreak — exactly the unrolled
+              // form's row_number(desc score, asc vid) === 1
+              if (score > bestScore ||
+                  (score == bestScore && best >= 0 && cs(i)._1 < cs(best)._1)) {
+                best = i; bestScore = score
+              }
+            }
+            i += 1
+          }
+          taken(best) = true
+          picks += best
+          out += ((qid, step, cs(best)._1, bestScore))
+          step += 1
+        }
+        out.iterator
+      }.toDF("query_id", "step", "sel_id", "score")
+    sel.select(col("query_id"), col("step"), col("sel_id"),
       round(col("score"), 6).as("score"))
   }
 

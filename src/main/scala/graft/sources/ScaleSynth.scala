@@ -104,6 +104,103 @@ object ScaleSynth {
     s.range(n).select(i.as("key_id"), key.as("key"))
   }
 
+  /** Zipf(s)-truncated rank draw in [1, k] from a uniform hash draw —
+    * continuous inverse-CDF of the truncated power law: rank =
+    * (1 + u·(k^(1−s) − 1))^(1/(1−s)). At s=1.1 the hottest rank holds
+    * ~10% of all draws regardless of k — the power-law key profile real
+    * join/agg keys have (the reference's own SUBJECT_ID is power-law-ish)
+    * and the thing volume-only scaling cannot see: at 1000 reducers a 10%
+    * hot key is a 100× straggler unless the operator salts.
+    */
+  private def zipfRank(u: Column, k: Long, s: Double): Column = {
+    val a = 1.0 - s
+    val kPow = math.pow(k.toDouble, a)
+    least(greatest(
+      floor(pow(lit(1.0) + u * (kPow - 1.0), 1.0 / a)).cast("long"),
+      lit(1L)), lit(k))
+  }
+
+  private def unitDraw(key: Column, salt: String): Column =
+    (draw(key, salt, 1000000000L).cast("double") + 0.5) / 1.0e9
+
+  /** Key space for [[zipfKeyed]]: grows with the rows (n/10) so the fit
+    * isolates volume; the hot-key SHARE stays ~constant by Zipf shape.
+    */
+  def zipfKeySpace(nRows: Long): Long = math.max(nRows / 10L, 64L)
+
+  /** (row_id, key, v): the skew-tier fact table — keys Zipf(s≈1.1) over
+    * [[zipfKeySpace]] ranks (hottest key ≈ 10% of rows at any size),
+    * uniform numeric measure. Feeds the salted-agg/salted-join skew
+    * bands in [[graft.Scale]] and the deterministic reducer-load pins in
+    * ScaleSpec.
+    */
+  def zipfKeyed(sp: SparkSession, nRows: Long, s: Double = 1.1): DataFrame = {
+    val k = zipfKeySpace(nRows)
+    sp.range(nRows).select(
+      col("id").as("row_id"),
+      zipfRank(unitDraw(col("id"), "zu"), k, s).as("key"),
+      draw(col("id"), "zv", 1000L).cast("double").as("v"))
+  }
+
+  /** (dkey, grp): the dimension side matching [[zipfKeyed]]'s key space —
+    * one row per key, 32 rollup groups.
+    */
+  def zipfDim(sp: SparkSession, nRows: Long): DataFrame =
+    sp.range(1L, zipfKeySpace(nRows) + 1L).select(
+      col("id").as("dkey"), pmod(col("id"), lit(32L)).as("grp"))
+
+  /** [[documents]] with Zipf(s≈1.1)-distributed word ranks instead of
+    * uniform draws: token document-frequencies follow the power law real
+    * text has, so a handful of non-marker tokens appear in a large share
+    * of docs — the HOT-POSTING profile that makes un-salted inverted-
+    * index joins straggle. Same planted-dup structure (i%10==1 copies
+    * i−1, ~2% mutated slots), same Heaps vocabulary, same marker rate,
+    * so exponents are comparable with the uniform corpus and the only
+    * changed variable is key skew.
+    */
+  def zipfDocuments(sp: SparkSession, n: Long, s: Double = 1.1): DataFrame = {
+    val vocab = math.max(2000L, n / 2)
+    val i = col("id")
+    val b = baseId(i)
+    val len = lit(40L) + draw(b, "len", 40L)
+    val markers = array(Seq("the", "and", "of", "to", "in").map(lit): _*)
+    def alphaWord(prefix: String, id: Column): Column =
+      concat(lit(prefix),
+        translate(id.cast("string"), "0123456789", "abcdefghij"))
+    val words = transform(sequence(lit(1L), len), j => {
+      val key = concat_ws("_", b, j)
+      val baseWord = when(draw(key, "mk", 20L) === 0L,
+        element_at(markers, (draw(key, "mkw", 5L) + 1L).cast("int")))
+        .otherwise(alphaWord("w", zipfRank(unitDraw(key, "zw"), vocab, s)))
+      val mutated = alphaWord("m",
+        zipfRank(unitDraw(concat_ws("_", i, j), "zmw"), vocab, s))
+      when(i =!= b && draw(concat_ws("_", i, j), "mut", 100L) < 2, mutated)
+        .otherwise(baseWord)
+    })
+    sp.range(n).select(i.as("doc_id"), concat_ws(" ", words).as("text"))
+  }
+
+  /** (doc_id, text): 256-char uniform printable-ASCII payload strings for
+    * the multimodal pHash band — byte-level entropy like real media.
+    * The WORD corpus is the wrong payload here: its docs share one
+    * narrow character distribution, so their byte-histogram pHash bits
+    * collapse into a few values and every bucket goes hot (r12 finding —
+    * the text-payload analog of the SimHash marker-mass caveat). Copies
+    * (i%10==1) mutate ~2% of character slots, keeping the planted-dup
+    * rate and hamming-proximity structure of the other corpora.
+    */
+  def payloadStrings(s: SparkSession, n: Long, nChars: Int = 256): DataFrame = {
+    val i = col("id")
+    val b = baseId(i)
+    val chars = transform(sequence(lit(1L), lit(nChars.toLong)), j => {
+      val base = chr(lit(32L) + draw(concat_ws("_", b, j), "pc", 95L))
+      val mut = chr(lit(32L) + draw(concat_ws("_", i, j), "pmc", 95L))
+      when(i =!= b && draw(concat_ws("_", i, j), "mut", 100L) < 2, mut)
+        .otherwise(base)
+    })
+    s.range(n).select(i.as("doc_id"), concat_ws("", chars).as("text"))
+  }
+
   /** (src, dst) edge list for the iterated-join graph family: EXACTLY
     * nEdges hash-drawn edges over nEdges/8 nodes (constant mean degree
     * ~16 counting both endpoints, so density — the thing that makes an

@@ -30,7 +30,10 @@ class PinHygieneSpec extends SparkSpecBase {
       // rides a session memo (warmed below) like the LSH base index
       "t_zipf", "t_kn_bigram", "inc_join_maintain",
       // r9: the hybrid-retrieval corpus cache (3 generation passes → 1)
-      "mimic_rrf_retrieval")
+      "mimic_rrf_retrieval",
+      // r12: the grouped-greedy MMR needs NO pins at all (the r11
+      // unrolled form cached its cand + pair tables per canonical plan)
+      "sim_mmr_rerank")
 
   for (q <- releasePattern)
     test(s"$q: leaves at most one new pin, and re-running adds none") {

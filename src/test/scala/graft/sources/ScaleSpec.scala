@@ -94,11 +94,12 @@ class ScaleSpec extends SparkSpecBase {
   test("RHP-LSH with corpus-sized buckets finds exactly the planted copies " +
     "at both scales (the nlist sizing rule — SCALE.md finding #1)") {
     def pairs(n: Long): Long = {
-      // no caller-supplied bitsPerBand: the operator's own
-      // autoBitsPerBand default must size the bucket space (6 bits at
-      // 2k vectors, 10 at 20k) — the r10 sizing rule moved into code
+      // the scale-path entry point: rhpNearDupPairsAuto derives the
+      // bucket width via autoBitsPerBand (6 bits at 2k vectors, 10 at
+      // 20k) — the r10 sizing rule in code, kept separate from the
+      // pinned-default rhpNearDupPairs (r11 advisory)
       val emb = ScaleSynth.embeddings(spark, n).cache()
-      try graft.sim.Similarity.rhpNearDupPairs(emb, "vec_id", "embedding",
+      try graft.sim.Similarity.rhpNearDupPairsAuto(emb, "vec_id", "embedding",
         dim = 64, threshold = 0.9).count()
       finally emb.unpersist()
     }
@@ -106,6 +107,146 @@ class ScaleSpec extends SparkSpecBase {
     // base); random 64-dim pairs sit near 0 — the 0.9 cut is exact
     assert(pairs(n1) == n1 / 10, "planted embedding copies missed at 1x")
     assert(pairs(n2) == n2 / 10, "planted embedding copies missed at 10x")
+  }
+
+  test("Zipf(1.1) skew tier: salting bounds reducer load where the plain key " +
+    "funnels ~10% of rows into one partition — DETERMINISTIC " +
+    "HashPartitioning arithmetic, not task timing (r12, SCALE skew tier)") {
+    val n = 100000L
+    val z = ScaleSynth.zipfKeyed(spark, n).cache()
+    try {
+      // partition id exactly as HashPartitioning computes it:
+      // pmod(murmur3(exprs), P) — SQL hash() IS Murmur3Hash(seed 42)
+      val P = 32
+      def loadRatio(cols: org.apache.spark.sql.Column*): Double = {
+        val per = z.groupBy(pmod(hash(cols: _*), lit(P)).as("pid"))
+          .agg(count(lit(1)).as("c"))
+          .select("c").collect().map(_.getLong(0)).sorted
+        per.last.toDouble / per((per.length - 1) / 2)
+      }
+      val plain = loadRatio(col("key"))
+      // the EXACT salt expression SkewOps.contentSalt builds (xxhash64
+      // over every input column, mod 16): the hot key's rows spread over
+      // 16 sub-keys before the shuffle
+      val salted = loadRatio(col("key"),
+        pmod(xxhash64(z.columns.map(col).toIndexedSeq: _*), lit(16L)))
+      assert(plain >= 3.0,
+        s"generator lost its skew: plain-key max/median reducer load $plain " +
+          "(expected >=3 with a ~10% hot key at P=32) — the skew tier is " +
+          "measuring nothing")
+      assert(salted <= 1.8,
+        s"salted max/median reducer load $salted (expected ~1.2): the salt " +
+          "no longer spreads the hot key")
+      // and the IMPLEMENTATION actually shuffles on (key, _salt): the
+      // first exchange of the salted agg must carry the salt column, so
+      // a de-salting edit fails here even though results stay equal
+      val aggPlan = graft.ops.SkewOps.saltedAgg(z, "key", col("v"))
+        .queryExecution.executedPlan.toString
+      assert(aggPlan.contains("hashpartitioning") && aggPlan.contains("_salt"),
+        s"saltedAgg no longer partitions on (key, _salt):\n$aggPlan")
+      val joinPlan = graft.ops.SkewOps.saltedJoin(
+          z, ScaleSynth.zipfDim(spark, n), "key", "dkey",
+          saltCols = Seq("row_id"))
+        .queryExecution.executedPlan.toString
+      assert(joinPlan.contains("_salt"),
+        s"saltedJoin no longer joins on the salted key:\n$joinPlan")
+    } finally z.unpersist()
+  }
+
+  test("prefix join on the Zipf-1.1 TOKEN corpus: candidates and pairs stay " +
+    "near-linear under power-law document frequencies (the hot-posting " +
+    "profile the two-tier salting exists for)") {
+    def stats(n: Long): (Long, Long) = {
+      val docs = ScaleSynth.zipfDocuments(spark, n).cache()
+      try {
+        val cand = graft.dedup.Dedup
+          .prefixJaccardCandidateCount(docs, "doc_id", "text", threshold = 0.9)
+        val (p, release) = graft.dedup.Dedup
+          .prefixJaccardPairsReleasable(docs, "doc_id", "text", threshold = 0.9)
+        try (cand, p.count()) finally release()
+      } finally docs.unpersist()
+    }
+    val (c1, p1) = stats(5000L); val (c2, p2) = stats(50000L)
+    assert(p1 > 0, "no qualifying pairs at 1x on the Zipf corpus")
+    val r = p2.toDouble / p1
+    assert(r > 5 && r < supraLinear,
+      s"pairs grew ${r}x over a 10x Zipf corpus ($p1 -> $p2); expected ~10x")
+    val cr = c2.toDouble / c1
+    assert(cr < supraLinear,
+      s"candidate stream densified under token skew: ${cr}x over a 10x " +
+        s"corpus ($c1 -> $c2) — hot postings are no longer bounded")
+  }
+
+  test("BPE batched training: the merge count (and so the driver round " +
+    "count) is CONSTANT in corpus size — the property that keeps " +
+    "tokenizer training scale-safe") {
+    def merges(n: Long): Long = {
+      val docs = ScaleSynth.documents(spark, n).cache()
+      try graft.text.BpeTrain
+        .learnMergesBatched(docs, "text", totalMerges = 8, batch = 4).count()
+      finally docs.unpersist()
+    }
+    assert(merges(n1) == 8L, "merge inventory not filled at 1x")
+    assert(merges(n2) == 8L, "merge inventory not filled at 10x")
+  }
+
+  test("pHash multi-index blocking (corpus-sized key width): bucket " +
+    "candidates grow near-linearly over a 10x payload corpus — the fixed " +
+    "15-bit key measured 124x here (the r12 finding that motivated " +
+    "phashPairsAuto)") {
+    def cand(n: Long): Long = {
+      val docs = ScaleSynth.payloadStrings(spark, n).cache()
+      try {
+        val nChunks = graft.multimodal.Multimodal.autoChunks(n)
+        val w = 60 / nChunks
+        val combos = (0 until nChunks).combinations(nChunks - 3).zipWithIndex
+          .map { case (cs, idx) =>
+            (idx, cs.map(c => ((1L << w) - 1L) << (c * w)).reduce(_ | _))
+          }.toSeq
+        graft.multimodal.Multimodal.phashSignatures(
+            graft.multimodal.Multimodal.toBinaryTable(
+              docs, "doc_id", "text", "blob"), "doc_id")
+          .select(
+            explode(array(combos.map { case (idx, mask) =>
+              struct(lit(idx).as("ci"),
+                col("ph").bitwiseAND(lit(mask)).as("ck"))
+            }: _*)).as("c"))
+          .groupBy("c.ci", "c.ck").agg(count(lit(1)).as("cn"))
+          .agg(sum((col("cn") * (col("cn") - 1) / 2).cast("long")))
+          .collect()(0).getLong(0)
+      } finally docs.unpersist()
+    }
+    val c1 = cand(n1); val c2 = cand(n2)
+    assert(c1 > 0, "no pigeonhole candidates at 1x — planted dup payloads missed")
+    val cr = c2.toDouble / c1
+    assert(cr < supraLinear,
+      s"pHash blocking densified: candidates grew ${cr}x over a 10x corpus " +
+        s"($c1 -> $c2)")
+  }
+
+  test("phashPairsBlocked is recall-LOSSLESS at every admissible chunk " +
+    "count: identical pair sets to the brute-force hamming join " +
+    "(pigeonhole guarantee, nChunks in {4, 5, 6})") {
+    val docs = ScaleSynth.payloadStrings(spark, 300L).cache()
+    try {
+      val bin = graft.multimodal.Multimodal.toBinaryTable(
+        docs, "doc_id", "text", "blob")
+      val sigs = graft.multimodal.Multimodal.phashSignatures(bin, "doc_id")
+      val brute = sigs.as("a").join(sigs.as("b"),
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          bit_count(col("a.ph").bitwiseXOR(col("b.ph"))).as("h"))
+        .filter(col("h") <= 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(brute.nonEmpty, "no hamming<=3 pairs planted — the spec is vacuous")
+      for (nc <- Seq(4, 5, 6)) {
+        val got = graft.multimodal.Multimodal
+          .phashPairsBlocked(bin, "doc_id", maxDist = 3, nChunks = nc)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(got == brute,
+          s"nChunks=$nc lost/invented pairs: got ${got.size}, brute ${brute.size}")
+      }
+    } finally docs.unpersist()
   }
 
   test("PassJoin edit distance: finds exactly the planted distance-1 copies " +
