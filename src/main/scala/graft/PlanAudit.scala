@@ -612,10 +612,13 @@ object PlanAudit {
     "sim_mmr_rerank" ->
       """Greedy diversity re-ranking with the corpus never shuffled: the
         |candidate stage is the SQ8 shape (queries broadcast onto the
-        |corpus scan, per-query top-N window), and every later greedy round
-        |joins only the |queries|·nCand candidate/pair tables — the plan's
-        |joins after the first window are all on parameter-bounded inputs.
-        |Integer dots make each round's argmax engine-deterministic.""",
+        |corpus scan, per-query top-N window), then ONE grouping exchange
+        |feeds a per-query MapGroups that runs the whole k-step greedy
+        |argmax loop executor-locally over its ≤ nCand candidates (r12 —
+        |replacing k−1 chained join+window rounds; queries parallelize
+        |across executors, the per-group work is the ≤ nCand² arithmetic
+        |MMR inherently costs). Integer dots keep every argmax
+        |engine-deterministic, so the greedy output stays oracle-exact.""",
     "sk_kmv_merge" ->
       """Sketch mergeability exercised as a plan: the per-shard k-min pass
         |is ONE hash exchange on (shard) with a window row_number bounded

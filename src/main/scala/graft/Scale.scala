@@ -314,6 +314,7 @@ object Scale {
     // noisy to flag.
     val skewResults =
       scala.collection.mutable.LinkedHashMap[String, Seq[(Long, Double, Double)]]()
+    var skewLoads: Seq[(Long, Double, Double)] = Seq()
     locally {
       val zipfScales = scalesEnv("SPARK_GRAFT_SCALE_ZIPF",
         Seq(100000L, 1000000L, 10000000L))
@@ -344,6 +345,23 @@ object Scale {
         val z = graft.sources.ScaleSynth.zipfKeyed(spark, n)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         z.count()
+        // DETERMINISTIC reducer-load ratio (max/median rows per reduce
+        // partition, HashPartitioning arithmetic — the same computation
+        // ScaleSpec pins): local[32] task TIMES under-display a hot key
+        // (per-task overheads flatten a 4.5× row-load imbalance into
+        // ~1.5× wall), but the row-load ratio is exactly what 1000
+        // reducers would feel. Plain key vs the content salt the
+        // operators apply.
+        def loadRatio(cols: Seq[org.apache.spark.sql.Column]): Double = {
+          val per = z.groupBy(pmod(hash(cols: _*), lit(32)).as("pid"))
+            .agg(count(lit(1)).as("c"))
+            .select("c").collect().map(_.getLong(0)).sorted
+          per.last.toDouble / per((per.length - 1) / 2)
+        }
+        val plainLoad = loadRatio(Seq(col("key")))
+        val saltedLoad = loadRatio(Seq(col("key"),
+          pmod(xxhash64(z.columns.map(col).toIndexedSeq: _*), lit(16L))))
+        skewLoads = skewLoads :+ ((n, plainLoad, saltedLoad))
         try skewOps.foreach { op =>
           def rep(): (Double, Double) = {
             val l = new TaskSkewListener
@@ -512,12 +530,26 @@ object Scale {
       sb.append(f"| $name | $te%.2f | $ce | $verdict |\n")
     }
     sb.append("\n## Skew tier (Zipf s=1.1 keys/tokens — hottest key ~10% of rows at any size)\n\n")
-    sb.append("max/median = worst task-time straggler ratio across the dominant\n")
-    sb.append("stages (TaskSkewListener). The salted rows must stay FLAT in both\n")
-    sb.append("columns as volume grows; the un-salted contrasts show what the same\n")
-    sb.append("plan does without the mitigation. ScaleSpec pins the deterministic\n")
-    sb.append("reducer-load bound (HashPartitioning arithmetic) so de-salting fails\n")
-    sb.append("the suite even where local[32] task times are too coarse to flag.\n\n")
+    sb.append("Two complementary measurements. (a) The DETERMINISTIC reducer-load\n")
+    sb.append("ratio (max/median ROWS per reduce partition at P=32, exactly\n")
+    sb.append("HashPartitioning's arithmetic — what 1000 reducers would feel):\n\n")
+    sb.append("| n | plain-key load max/median | salted load max/median |\n|---:|---:|---:|\n")
+    skewLoads.foreach { case (n, p, s) =>
+      sb.append(f"| $n%,d | $p%.1f | $s%.2f |\n")
+    }
+    sb.append("\nThe hot key funnels a scale-invariant multiple of the median into\n")
+    sb.append("one reducer on the plain key; the content salt flattens it. This is\n")
+    sb.append("the bound ScaleSpec pins, so de-salting fails the suite.\n\n")
+    sb.append("(b) Wall + worst max/median task-TIME ratio across the dominant\n")
+    sb.append("stages (TaskSkewListener). Caveat honestly stated: at local[32]'s\n")
+    sb.append("task sizes, per-task fixed overheads flatten the row-load imbalance\n")
+    sb.append("(a 4.5× load ratio reads as ~1.5-2× task time, and the salted and\n")
+    sb.append("un-salted WALLS are close — salting here buys insurance measured by\n")
+    sb.append("(a), priced at the small replication cost visible in (b)). Partial\n")
+    sb.append("map-side aggregation also absorbs agg-side skew entirely — the agg\n")
+    sb.append("contrast pair documents that Spark's partial agg, not salting, is\n")
+    sb.append("the first line of defense for algebraic aggregates; salting matters\n")
+    sb.append("for joins and non-combinable aggregations.\n\n")
     sb.append("| operator | n | wall (s) | max/median task |\n")
     sb.append("|---|---:|---:|---:|\n")
     skewResults.foreach { case (name, pts) =>
@@ -542,14 +574,17 @@ object Scale {
         sb.append(f"\n## Streaming drain decomposition (r12, at $n%,d docs)\n\n")
         sb.append(f"Same corpus drained at 1 file/trigger (${fineTriggers.toLong}%,d micro-batches,\n")
         sb.append(f"${fp.sec}%.1f s) and 10 files/trigger ($coarseTriggers%,d micro-batches, $coarseSec%.1f s).\n")
+        val fineShare = 100.0 * c * fineTriggers / fp.sec
         sb.append(f"Solving wall = c*triggers + w*docs: **c = $c%.2f s per micro-batch\n")
         sb.append(f"fixed cost** (trigger planning + state-store commit) and **w = $w%.2f s\n")
-        sb.append("per million docs**. The drain family's high exponent is the\n")
-        sb.append("MICRO-BATCH FLOOR, not state growth: per-batch fixed cost times\n")
-        sb.append("100 triggers dominates the fine-grained drain, and a production\n")
-        sb.append("batch size (10x fewer triggers here) removes most of the wall.\n")
-        sb.append("State stays O(band-buckets seen) either way (the state-size spec\n")
-        sb.append("in StreamOpsSpec pins that).\n")
+        sb.append(f"per million docs**. Attribution of the drain's high fitted\n")
+        sb.append(f"exponent: the per-TRIGGER fixed cost is $fineShare%.0f%% of the\n")
+        sb.append("fine-grained drain's wall and amortizes away at production batch\n")
+        sb.append("sizes; the remaining per-doc term is LINEAR in corpus size (the\n")
+        sb.append("asymptote of c·triggers + w·docs is exponent 1.0 — a near-1 fit on\n")
+        sb.append("a linear-cost drain is the expected reading, not a compounding\n")
+        sb.append("state cost). State stays O(band-buckets seen) either way (the\n")
+        sb.append("state-size spec in StreamOpsSpec pins that).\n")
       }
     }
     sb.append("\nAxes per family: dedup/ANN rows grow the CORPUS; graph rows grow\n")
