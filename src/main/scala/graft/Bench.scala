@@ -399,6 +399,22 @@ object Bench {
         (ts.size >= 2 && ts.min > 0 && ts.max > 2 * ts.min) ||
         isEnvInflated(k, ts)
     }
+    // run-level drift vs the anchor era — the fourth disturbance state
+    // (r12): a UNIFORM sub-2× slowdown trips no per-row flag (each row
+    // is under 2× its anchor) yet moves the aggregate ratio. The median
+    // of (sweep median / anchor) over substantial anchored rows makes it
+    // a first-class readout: ~1.0 = same machine era as the anchor;
+    // 1.1-1.5 = the BOX drifted (r12 measured 1.07-1.18 while the
+    // unchanged DuckDB suite re-timed 1.34× — re-seed ORACLE_TIMES and
+    // the anchor together when this moves). Raw sweep medians, not
+    // adjudicated ones: this measures the run's environment.
+    val anchorDriftMedian: Double = {
+      val rs = results.toSeq.collect {
+        case (k, (ts, _, _, _)) if ts.head >= 0 && anchors.get(k).exists(_ > 0.2) =>
+          median(ts) / anchors(k)
+      }.sorted
+      if (rs.size < 20) -1.0 else rs((rs.size - 1) / 2)
+    }
     // headline ratio over the queries BOTH engines time: <1 = Spark faster
     val comparable = medians.filter { case (k, v) => v >= 0 && duckTimes.contains(k) }
     val duckTotal = comparable.keys.map(duckTimes).sum
@@ -417,7 +433,7 @@ object Bench {
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "/root/repo/BENCH_DETAIL.json")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(detailPath),
-      s"""{"warmup_sec":${f(warmupSec)},"stream_fixed_sec":${f(streamFixedSec)},"reps":$reps,"sf":"$sfDir","load_start":${f(loadStart)},"load_contended_at":${f(loadContendedAt)},"n_contended":$nContended,"n_flagged":$nFlagged,"n_env_inflated":$nEnvInflated,"n_adjudicated_noise":$nAdjNoise,"n_adjudicated_code":$nAdjCode,"n_anchored":${anchors.size},"warmup_failures":${warmupFailures.map("\"" + _ + "\"").mkString("[", ",", "]")}$ratioJson,"medians":$qs,"query_stats":$stats}"""
+      s"""{"warmup_sec":${f(warmupSec)},"stream_fixed_sec":${f(streamFixedSec)},"reps":$reps,"sf":"$sfDir","load_start":${f(loadStart)},"load_contended_at":${f(loadContendedAt)},"n_contended":$nContended,"n_flagged":$nFlagged,"n_env_inflated":$nEnvInflated,"n_adjudicated_noise":$nAdjNoise,"n_adjudicated_code":$nAdjCode,"n_anchored":${anchors.size},"anchor_drift_median":${f(anchorDriftMedian)},"warmup_failures":${warmupFailures.map("\"" + _ + "\"").mkString("[", ",", "]")}$ratioJson,"medians":$qs,"query_stats":$stats}"""
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
     // The driver keeps only the LAST ~2000 chars of stdout and parses the
