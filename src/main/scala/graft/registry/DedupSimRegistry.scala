@@ -137,10 +137,21 @@ private[graft] object DedupSimRegistry {
         "vec_id", "embedding", "label", k = 5)
     }),
 
+    // IVF top-k on a LEARNED coarse quantizer — r12 verdict #2: the
+    // quantizer is now the repo's own deterministic Lloyd (2 unrolled
+    // rounds, data-point init, exact-long micro sums) instead of MLlib
+    // k-means (RNG ⇒ was the one convertible no_oracle row), so the
+    // ENTIRE query — training, corpus/query assignment, probe set,
+    // in-list ranking — is exactly DuckDB-oracled. Embeddings are cast
+    // to double first (the ivfRecall discipline) so every dot product
+    // accumulates bit-identically to the oracle's list_sum fold.
     "sim_ivf_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
-      val centroids = Similarity.kmeansCentroids(emb, "embedding", k = 16)
-      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), centroids,
+      val embD = emb.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val centroids = graft.sim.Lloyd.fitCentroids(
+        embD, "vec_id", "embedding", k = 16, iters = 2)
+      Similarity.ivfTopK(embD, embD.filter(col("vec_id") < 10), centroids,
         "vec_id", "embedding", k = 5, nprobe = 2)
     }),
 
@@ -321,6 +332,10 @@ private[graft] object DedupSimRegistry {
 
     "sim_kmeans_lloyd" -> graft.sim.Lloyd.fitStatsOracleSql(
       "embeddings", "vec_id", "embedding", k = 8, iters = 3, dim = 64),
+
+    "sim_ivf_topk" -> graft.sim.Lloyd.ivfTopKOracleSql(
+      "embeddings", "vec_id", "embedding",
+      kClusters = 16, iters = 2, dim = 64, nprobe = 2, nQueries = 10, topK = 5),
 
     "d_dup_clusters" ->
       Dedup.dupClustersOracleSql("documents", "doc_id", "text"),

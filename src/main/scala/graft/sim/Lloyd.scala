@@ -47,11 +47,12 @@ object Lloyd {
       zip_with(q, m, (x, mm) => (x.cast("double") - mm) * (x.cast("double") - mm)),
       lit(0.0), (acc, v) => acc + v)
 
-  /** Run `iters` Lloyd rounds; returns the final per-cluster readout
-    * `(cluster_id, n_members, inertia_micro2)`.
+  /** Run `iters` Lloyd rounds; returns `(final assignment, final
+    * centroids)` — the shared core of [[fitStats]] (readout) and
+    * [[fitCentroids]] (coarse-quantizer export).
     */
-  def fitStats(emb: DataFrame, idCol: String, vecCol: String,
-               k: Int, iters: Int): DataFrame = {
+  private def fit(emb: DataFrame, idCol: String, vecCol: String,
+                  k: Int, iters: Int): (DataFrame, DataFrame) = {
     require(k > 0 && iters > 0, "Lloyd needs k > 0, iters > 0")
     val vecs = emb.select(col(idCol).as("vec_id"), quantize(col(vecCol)).as("q"))
     // init: data-point pivots, mean = the point itself
@@ -85,6 +86,15 @@ object Lloyd {
         .select(col("cluster_id"),
           transform(col("_s"), x => x.cast("double") / col("_n")).as("m"))
     }
+    (assigned, centroids)
+  }
+
+  /** Run `iters` Lloyd rounds; returns the final per-cluster readout
+    * `(cluster_id, n_members, inertia_micro2)`.
+    */
+  def fitStats(emb: DataFrame, idCol: String, vecCol: String,
+               k: Int, iters: Int): DataFrame = {
+    val (assigned, _) = fit(emb, idCol, vecCol, k, iters)
     assigned
       .groupBy("cluster_id")
       .agg(
@@ -93,11 +103,39 @@ object Lloyd {
       .select(col("cluster_id"), col("n_members"), col("inertia_micro2"))
   }
 
+  /** Deterministic coarse-quantizer export: the final Lloyd centroid
+    * table `(cluster_id, cvec)` after `iters` rounds, in the same shape
+    * `Similarity.ivfTopK` broadcasts. Centroid components are exact-long
+    * micro sums divided once, so the table is bit-reproducible in SQL —
+    * this is what lets an IVF top-k built on it be EXACTLY oracled,
+    * unlike the MLlib-seeded `Similarity.kmeansCentroids` (RNG init ⇒
+    * spec-only tier). Cosine is scale-invariant, so the micro-scale
+    * components rank identically to unit-scale ones — and bit-identically
+    * on both engines, since each computes the same fold on the same
+    * doubles. Scale shape: identical to [[fitStats]] (broadcast argmin +
+    * one hash-agg per round); the export itself is k rows.
+    */
+  def fitCentroids(emb: DataFrame, idCol: String, vecCol: String,
+                   k: Int, iters: Int): DataFrame = {
+    val (_, centroids) = fit(emb, idCol, vecCol, k, iters)
+    centroids.select(col("cluster_id"), col("m").as("cvec"))
+  }
+
   /** DuckDB mirror of [[fitStats]]: the Lloyd rounds unrolled as CTE
     * pairs (aN = assignment, cN = centroid update), token-matched to the
     * Spark arithmetic.
     */
   def fitStatsOracleSql(table: String, idCol: String, vecCol: String,
+                        k: Int, iters: Int, dim: Int): String =
+    s"""WITH ${lloydCtes(table, idCol, vecCol, k, iters, dim)}
+       |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+       |       CAST(SUM(CAST(round(d) AS BIGINT)) AS BIGINT) AS inertia_micro2
+       |FROM a$iters GROUP BY 1""".stripMargin
+
+  /** The shared Lloyd CTE chain (`v`, `c0`, `a1..c$iters`) — the WITH
+    * body both [[fitStatsOracleSql]] and [[ivfTopKOracleSql]] build on.
+    */
+  private def lloydCtes(table: String, idCol: String, vecCol: String,
                         k: Int, iters: Int, dim: Int): String = {
     def distSql(mExpr: String): String =
       s"list_sum(list_transform(range(1, ${dim + 1}), " +
@@ -124,7 +162,7 @@ object Lloyd {
          |  GROUP BY cluster_id, cnt0
          |)""".stripMargin
     }.mkString(", ")
-    s"""WITH v AS (
+    s"""v AS (
        |  SELECT $idCol AS vec_id,
        |         list_transform(CAST($vecCol AS DOUBLE[]), x -> CAST(round(x * 1000000) AS BIGINT)) AS q
        |  FROM $table
@@ -132,9 +170,48 @@ object Lloyd {
        |  SELECT CAST(vec_id AS INTEGER) AS cluster_id,
        |         list_transform(q, x -> CAST(x AS DOUBLE)) AS m
        |  FROM v WHERE vec_id < $k
-       |), $rounds
-       |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
-       |       CAST(SUM(CAST(round(d) AS BIGINT)) AS BIGINT) AS inertia_micro2
-       |FROM a$iters GROUP BY 1""".stripMargin
+       |), $rounds""".stripMargin
+  }
+
+  /** DuckDB mirror of `Similarity.ivfTopK` run over [[fitCentroids]]
+    * output: the Lloyd chain above feeds `p` (the coarse-quantizer
+    * table), then corpus/query assignment, probe-set selection, and the
+    * in-list cosine ranking replay `Similarity.ivfRecallOracleSql`'s
+    * argmax/probe/rank arithmetic exactly (same folds, same
+    * `DESC NULLS LAST`, same `COALESCE(cos, -2.0)` zero-vector sentinel).
+    */
+  def ivfTopKOracleSql(table: String, idCol: String, vecCol: String,
+                       kClusters: Int, iters: Int, dim: Int,
+                       nprobe: Int, nQueries: Int, topK: Int): String = {
+    def dotSql(a: String, b: String): String =
+      s"list_sum(list_transform(range(1, ${dim + 1}), i -> $a[i] * $b[i]))"
+    def cosSql(a: String, b: String): String =
+      s"CASE WHEN sqrt(${dotSql(a, a)}) = 0 OR sqrt(${dotSql(b, b)}) = 0 THEN NULL " +
+        s"ELSE ${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})) END"
+    s"""WITH ${lloydCtes(table, idCol, vecCol, kClusters, iters, dim)},
+       |p AS (SELECT cluster_id, m AS ce FROM c$iters),
+       |ve AS (SELECT $idCol AS vid, CAST($vecCol AS DOUBLE[]) AS e FROM $table),
+       |qq AS (SELECT vid AS query_id, e AS qe FROM ve WHERE vid < $nQueries),
+       |ca AS (
+       |  SELECT vid AS neighbor_id, cluster_id, e AS cv FROM (
+       |    SELECT c.vid, p.cluster_id, c.e,
+       |      row_number() OVER (PARTITION BY c.vid
+       |        ORDER BY COALESCE(${cosSql("c.e", "p.ce")}, -2.0) DESC NULLS LAST, p.cluster_id ASC) AS rn
+       |    FROM ve c, p) WHERE rn = 1
+       |),
+       |qa AS (
+       |  SELECT query_id, cluster_id, qe AS qv FROM (
+       |    SELECT q.query_id, p.cluster_id, q.qe,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY COALESCE(${cosSql("q.qe", "p.ce")}, -2.0) DESC NULLS LAST, p.cluster_id ASC) AS rn
+       |    FROM qq q, p) WHERE rn <= $nprobe
+       |)
+       |SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+       |  SELECT qa.query_id, ca.neighbor_id, ${cosSql("qa.qv", "ca.cv")} AS cosine,
+       |    row_number() OVER (PARTITION BY qa.query_id
+       |      ORDER BY ${cosSql("qa.qv", "ca.cv")} DESC NULLS LAST, ca.neighbor_id ASC) AS rank
+       |  FROM ca JOIN qa USING (cluster_id)
+       |  WHERE qa.query_id <> ca.neighbor_id
+       |) WHERE rank <= $topK""".stripMargin
   }
 }
