@@ -16,12 +16,37 @@ import org.apache.spark.sql.functions._
   * Split out of Shared.scala in r12 (maintainability: the single file
   * had reached 8.7k lines). PURE CODE MOTION: entry bodies and oracle SQL
   * are byte-identical to the pre-split registry; SparkEntry composes the
-  * slices back into the same `queries`/`oracleSql` maps.
+  * slices back into the same `queries`/`oracleSql` maps. r13: misfiled
+  * entries re-homed to their named family slice (pure motion again, same
+  * duplicate-key guard).
   */
 private[graft] object DedupSimRegistry {
   import Shared._
 
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    // MMR diversity re-rank over SQ8 candidates: greedy λ=0.5 selection,
+    // every compared score from exact integer dots, k−1 bounded join
+    // rounds on the |queries|·nCand table — greedy made oracle-able
+    "sim_mmr_rerank" -> ((s, d) =>
+      Quantized.mmrRerank(t(s, d, "embeddings"), "vec_id", "embedding",
+        nQueries = 6, nCand = 8, k = 4)),
+
+    // set-similarity join with PPJoin prefix filtering: only each doc's
+    // rarest (1−t)·len+1 tokens are indexed; the oracle runs the
+    // UNRESTRICTED inverted-index join, so the hash match proves the
+    // prefix + size pruning lost no qualifying pair
+    "d_prefix_jaccard" -> ((s, d) =>
+      graft.dedup.Dedup.prefixJaccardPairs(
+        t(s, d, "documents"), "doc_id", "text", threshold = 0.95)),
+
+    // fuzzy key matching: edit-distance pairs under lossless PassJoin
+    // segment blocking (d+1 exact segments, ±d aligned probes) — the
+    // oracle runs the UNBLOCKED quadratic, so the hash match proves zero
+    // recall loss from the blocking
+    "d_editdist_pairs" -> ((s, d) =>
+      graft.dedup.Dedup.editDistancePairs(
+        t(s, d, "part"), "p_name", maxDist = 3)),
+
     "d_exact_groups" -> ((s, d) =>
       Dedup.exactGroups(t(s, d, "documents"), "doc_id", "text")),
 
@@ -288,6 +313,16 @@ private[graft] object DedupSimRegistry {
   )
 
   val oracles: Seq[(String, String)] = Seq(
+    "sim_mmr_rerank" -> Quantized.mmrRerankOracleSql(
+      "embeddings", "vec_id", "embedding",
+      dim = 64, nQueries = 6, nCand = 8, k = 4),
+
+    "d_prefix_jaccard" -> graft.dedup.Dedup.prefixJaccardOracleSql(
+      "documents", "doc_id", "text", threshold = 0.95),
+
+    "d_editdist_pairs" -> graft.dedup.Dedup.editDistancePairsOracleSql(
+      "part", "p_name", maxDist = 3),
+
     "d_exact_groups" ->
       """SELECT CASE WHEN len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')) = 0
         |       THEN md5(lower(text))

@@ -16,7 +16,9 @@ import org.apache.spark.sql.functions._
   * Split out of Shared.scala in r12 (maintainability: the single file
   * had reached 8.7k lines). PURE CODE MOTION: entry bodies and oracle SQL
   * are byte-identical to the pre-split registry; SparkEntry composes the
-  * slices back into the same `queries`/`oracleSql` maps.
+  * slices back into the same `queries`/`oracleSql` maps. r13: misfiled
+  * entries re-homed to their named family slice (pure motion again, same
+  * duplicate-key guard).
   */
 private[graft] object MaintenanceRegistry {
   import Shared._
@@ -306,22 +308,6 @@ private[graft] object MaintenanceRegistry {
       graft.text.Bm25.scores(
         t(s, d, "documents"), "doc_id", "text",
         Seq("join", "window", "stream", "vector"))),
-
-    // fuzzy key matching: edit-distance pairs under lossless PassJoin
-    // segment blocking (d+1 exact segments, ±d aligned probes) — the
-    // oracle runs the UNBLOCKED quadratic, so the hash match proves zero
-    // recall loss from the blocking
-    "d_editdist_pairs" -> ((s, d) =>
-      graft.dedup.Dedup.editDistancePairs(
-        t(s, d, "part"), "p_name", maxDist = 3)),
-
-    // set-similarity join with PPJoin prefix filtering: only each doc's
-    // rarest (1−t)·len+1 tokens are indexed; the oracle runs the
-    // UNRESTRICTED inverted-index join, so the hash match proves the
-    // prefix + size pruning lost no qualifying pair
-    "d_prefix_jaccard" -> ((s, d) =>
-      graft.dedup.Dedup.prefixJaccardPairs(
-        t(s, d, "documents"), "doc_id", "text", threshold = 0.95)),
 
     // incremental aggregate maintenance: snapshot ⊕ CDC delta must equal
     // the full recompute the oracle runs — refreshing a rollup costs
@@ -841,63 +827,6 @@ private[graft] object MaintenanceRegistry {
         .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
     }),
 
-    // MMR diversity re-rank over SQ8 candidates: greedy λ=0.5 selection,
-    // every compared score from exact integer dots, k−1 bounded join
-    // rounds on the |queries|·nCand table — greedy made oracle-able
-    "sim_mmr_rerank" -> ((s, d) =>
-      Quantized.mmrRerank(t(s, d, "embeddings"), "vec_id", "embedding",
-        nQueries = 6, nCand = 8, k = 4)),
-
-    // expected calibration error: the Σ|Σy−Σscore|/N reduction keeps every
-    // term exact-decimal until one final division
-    "ml_ece" -> ((s, d) => {
-      val scored = t(s, d, "orders").select(
-        (col("o_totalprice") / 600000.0).as("score"),
-        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0).as("y"))
-      graft.ml.Metrics.ece(scored, "score", "y", 10)
-    }),
-
-    // dominant principal component, engine-exact: ONE moment aggregation
-    // (all k(k+1)/2+k sums in a single map-side-combined pass) builds the
-    // exact-integer scatter matrix; 12 pinned power steps close over the
-    // k×k readout — distributed linear algebra with a DuckDB-exact answer
-    "ml_pca_power" -> ((s, d) =>
-      graft.ml.Pca.powerIteration(
-        t(s, d, "lineitem"),
-        Seq(
-          "quantity" -> col("l_quantity"),
-          "extendedprice" -> col("l_extendedprice"),
-          "discount" -> col("l_discount"),
-          "tax" -> col("l_tax")),
-        iters = 12)),
-
-    // the CART split criterion as data: every (feature, threshold) Gini
-    // candidate a tree fit would argmin over, from ONE exploded hash-agg
-    // pass (4 features, 1 scan) + cumulative windows on the ≤77-row
-    // histogram — exact integer impurities, bit-identical cross-engine
-    "ml_cart_split" -> ((s, d) =>
-      graft.ml.TreeSplit.splitCandidates(
-        t(s, d, "lineitem"), (col("l_returnflag") === "R").cast("int"),
-        Seq(
-          "quantity" -> col("l_quantity"),
-          "discount" -> col("l_discount"),
-          "tax" -> col("l_tax"),
-          "linenumber" -> col("l_linenumber")))),
-
-    // Murphy decomposition of the binned Brier score: reliability −
-    // resolution + uncertainty. The rule score enters PRE-QUANTIZED as
-    // integer micros derived from exact cents (round(cents/60) — any .5
-    // is a true representable tie, identical on both engines), so every
-    // per-bin mean is ONE divide of exact longs; one corpus hash-agg
-    "ml_brier_decomp" -> ((s, d) => {
-      val cents = (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")
-      val scored = t(s, d, "orders").select(
-        round(cents / lit(60.0)).cast("long").as("sm"),
-        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0).as("y"))
-      graft.ml.Metrics.brierDecomp(scored, "sm", "y", 10)
-    }),
-      // exact cents ride a decimal(12,2) cast (the raw column is DOUBLE:
-      // a bare *100 long-cast truncates on Spark but rounds on DuckDB)
 
     // order-invariant table content fingerprint: canonical row rendering →
     // portable 60-bit hash → commutative combine (exact decimal SUM +
@@ -1275,12 +1204,6 @@ private[graft] object MaintenanceRegistry {
 
     "t_bm25" -> graft.text.Bm25.oracleSql(
       "documents", "doc_id", "text", Seq("join", "window", "stream", "vector")),
-
-    "d_editdist_pairs" -> graft.dedup.Dedup.editDistancePairsOracleSql(
-      "part", "p_name", maxDist = 3),
-
-    "d_prefix_jaccard" -> graft.dedup.Dedup.prefixJaccardOracleSql(
-      "documents", "doc_id", "text", threshold = 0.95),
 
     "ev_peak_concurrency" -> graft.ops.SweepLine.peakConcurrencyOracleSql(
       "events",
@@ -1667,49 +1590,6 @@ private[graft] object MaintenanceRegistry {
          |SELECT sz, CAST(count(*) AS BIGINT) AS n_components
          |FROM comp GROUP BY 1""".stripMargin,
 
-    "sim_mmr_rerank" -> Quantized.mmrRerankOracleSql(
-      "embeddings", "vec_id", "embedding",
-      dim = 64, nQueries = 6, nCand = 8, k = 4),
-
-    "ml_ece" ->
-      """WITH s AS (
-        |  SELECT round(o_totalprice / 600000.0, 6) AS sr,
-        |         CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END AS y
-        |  FROM orders
-        |), b AS (
-        |  SELECT CAST(LEAST(GREATEST(FLOOR(sr * 10), 0), 9) AS INTEGER) AS bin,
-        |         count(*) AS n,
-        |         CAST(SUM(y) AS DECIMAL(28,6)) AS sy,
-        |         SUM(CAST(sr AS DECIMAL(28,6))) AS ss
-        |  FROM s GROUP BY 1
-        |)
-        |SELECT CAST(SUM(n) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS n_bins,
-        |       round(CAST(SUM(abs(sy - ss)) AS DOUBLE) / CAST(SUM(n) AS DOUBLE), 6) AS ece
-        |FROM b""".stripMargin,
-
-    "ml_pca_power" -> graft.ml.Pca.powerIterationOracleSql(
-      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-        .zipWithIndex
-        .map { case (c, i) =>
-          s"CAST(CAST($c AS DECIMAL(12,2)) * 100 AS BIGINT) AS c${i + 1}"
-        }
-        .mkString("SELECT ", ", ", " FROM lineitem"),
-      k = 4, iters = 12),
-
-    "ml_cart_split" -> graft.ml.TreeSplit.splitCandidatesOracleSql(
-      Seq("quantity" -> "l_quantity", "discount" -> "l_discount",
-        "tax" -> "l_tax", "linenumber" -> "l_linenumber")
-        .map { case (name, c) =>
-          s"SELECT '$name' AS feature, CAST($c AS DOUBLE) AS v, " +
-            "count(*) AS n, SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS pos " +
-            "FROM lineitem GROUP BY 2"
-        }.mkString(" UNION ALL ")),
-
-    "ml_brier_decomp" -> graft.ml.Metrics.brierDecompOracleSql(
-      "SELECT CAST(round(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) / 60.0) AS BIGINT) AS sm, " +
-        "CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END AS y " +
-        "FROM orders",
-      bins = 10),
 
     "dq_freshness" ->
       """WITH e AS (

@@ -16,12 +16,28 @@ import org.apache.spark.sql.functions._
   * Split out of Shared.scala in r12 (maintainability: the single file
   * had reached 8.7k lines). PURE CODE MOTION: entry bodies and oracle SQL
   * are byte-identical to the pre-split registry; SparkEntry composes the
-  * slices back into the same `queries`/`oracleSql` maps.
+  * slices back into the same `queries`/`oracleSql` maps. r13: misfiled
+  * entries re-homed to their named family slice (pure motion again, same
+  * duplicate-key guard).
   */
 private[graft] object MultimodalRegistry {
   import Shared._
 
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    // training-shard manifest: pack binary payload sizes onto a global
+    // byte axis (SequencePacking's two-pass distributed cumsum — no
+    // single-task window) and assign each doc its shard + in-shard offset
+    "mm_shard_manifest" -> ((s, d) => {
+      val sizes = t(s, d, "documents").select(
+        col("doc_id"),
+        octet_length(col("text").cast("binary")).cast("long").as("n_bytes"))
+      graft.ops.SequencePacking.packWindows(
+        sizes, col("n_bytes"), budget = 4096L, col("doc_id"))
+        .df.select(col("doc_id"), col("n_bytes"), col("start_off"),
+          col("first_win").as("shard_id"),
+          (col("start_off") - col("first_win") * 4096L).as("shard_off"))
+    }),
+
     "mm_binary_meta" -> ((s, d) =>
       t(s, d, "documents").select(
         col("doc_id"),
@@ -62,101 +78,6 @@ private[graft] object MultimodalRegistry {
       graft.streaming.StreamOps.runToCompletion(
         stream.groupBy("bucket").agg(count(lit(1)).as("n")),
         "graft_s19_synth_stream")
-    }),
-
-    // P9: schema-predicate projection (select_dtypes analog)
-    "p9_numeric_proj" -> ((s, d) =>
-      graft.ops.SchemaOps.selectNumeric(t(s, d, "customer"))),
-
-    // E2: per-column null counts in one aggregation pass
-    "e2_null_counts" -> ((s, d) => {
-      val firstShip = t(s, d, "lineitem")
-        .groupBy("l_orderkey").agg(min("l_shipdate").as("first_ship"))
-      val joined = t(s, d, "orders")
-        .join(firstShip, col("o_orderkey") === col("l_orderkey"), "left")
-        .select("o_orderkey", "first_ship")
-      graft.ops.SchemaOps.nullCounts(joined)
-    }),
-
-    // M10: stepwise PR curve points
-    "ml_pr_points" -> ((s, d) => {
-      val scored = t(s, d, "orders").select(
-        round(col("o_totalprice") / 100000.0, 0).as("score"),
-        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1.0).otherwise(0.0).as("y"))
-      graft.ml.Metrics.prPoints(scored, "score", "y")
-    }),
-
-    // M8: 5-fold CV grid over L1-LR regularization (rows-only; fold RNG)
-    "ml_cv_grid" -> ((s, d) => {
-      val sub = graft.ml.Features.assembled(s, d).filter(pmod(col("id"), lit(5L)) === 0L)
-      val (bestReg, bestAcc) = graft.ml.TrainHarness.gridSearchLr(
-        sub, "features", "label", regParams = Seq(0.1, 0.01), numFolds = 3)
-      import s.implicits._
-      Seq((bestReg, bestAcc)).toDF("best_reg_param", "best_cv_accuracy")
-    }),
-
-    // M14: top-n feature-selection sweep ranked by mutual information
-    // (rows-only: LR internals)
-    // M14, the SELECTION half (reference :645-658 ranks by
-    // mutual_info_classif and keeps the top-n): rank continuous features
-    // by plug-in MI over bucketized copies, emit for each sweep point n
-    // the chosen top-n column set with its rank and rounded score —
-    // fully deterministic (rank on ROUND-6 MI with a name tiebreak, so a
-    // sub-ulp cross-engine drift in the float sum cannot flip an order)
-    // and exactly DuckDB-oracled. The retrain half (top-n slice → L1 LR
-    // → AUC, MLlib RNG) is pinned in TrainHarnessSpec.
-    "ml_feature_select" -> ((s, d) => {
-      val disc = graft.ml.Features.orderFeatureTable(s, d)
-        .filter(pmod(col("id"), lit(10L)) === 0L)
-        .select(
-          col("label"),
-          floor(col("o_totalprice") / 100000.0).as("o_totalprice"),
-          col("n_lines"),
-          floor(col("sum_qty") / 50.0).as("sum_qty"),
-          floor(col("avg_discount") * 20.0).as("avg_discount"),
-          floor(col("c_acctbal") / 2000.0).as("c_acctbal"))
-      val mi = graft.ml.FeatureScoring.mutualInfoAll(
-        disc, Seq("o_totalprice", "n_lines", "sum_qty", "avg_discount", "c_acctbal"), "label")
-        .select(col("feature"), round(col("mutual_info"), 6).as("mi"))
-      val ranked = mi.withColumn("rank",
-        row_number().over(Window.orderBy(col("mi").desc, col("feature").asc)))
-      val s2 = s; import s2.implicits._
-      Seq(2, 5).toDF("n_top")
-        .crossJoin(ranked)
-        .filter(col("rank") <= col("n_top"))
-        .select(col("n_top"), col("rank"), col("feature"), col("mi"))
-    }),
-      // rank continuous features by plug-in MI over bucketized copies
-      // (reference M14 ranks by mutual_info_classif then takes top-n)
-      // 5-row frame: the rank window's single partition is bounded by
-      // the declared feature list, never data size
-
-    // M6: RF tree-count sweep (rows-only)
-    "ml_rf_sweep" -> ((s, d) => {
-      val sub = graft.ml.Features.assembled(s, d).filter(pmod(col("id"), lit(5L)) === 0L)
-      val (train, test) = graft.ml.Features.splitByHash(sub, "id")
-      graft.ml.TrainHarness.rfSweep(train, test, "features", "label", Seq(20, 50))
-    }),
-
-    // M8 at REFERENCE fidelity (rows-only): 4-value reg grid × 5 folds,
-    // UNsubsampled — 20 LR fits over the full feature table, the 1:1
-    // BENCH comparable for the reference's ~6-min GridSearchCV
-    // (Hap880_Final_Project.py:796-801; λ grid spans the C grid's range)
-    "ml_cv_grid_full" -> ((s, d) => {
-      val full = graft.ml.Features.assembled(s, d)
-      val (bestReg, bestAcc) = graft.ml.TrainHarness.gridSearchLr(
-        full, "features", "label", regParams = Seq(10.0, 1.0, 0.1, 0.01), numFolds = 5)
-      import s.implicits._
-      Seq((bestReg, bestAcc)).toDF("best_reg_param", "best_cv_accuracy")
-    }),
-
-    // M6 at reference tree counts (rows-only): the reference sweeps
-    // n_estimators ∈ 100..900 (py:600-618); {100, 300, 500, 900} covers
-    // both ends and the middle of its sweep curve unsubsampled for an
-    // apples-to-apples BENCH row
-    "ml_rf_sweep_full" -> ((s, d) => {
-      val (train, test) = graft.ml.Features.splitByHash(graft.ml.Features.assembled(s, d), "id")
-      graft.ml.TrainHarness.rfSweep(train, test, "features", "label", Seq(100, 300, 500, 900))
     }),
 
     // multimodal decode plumbing (deterministic stub decoder — see
@@ -226,6 +147,21 @@ private[graft] object MultimodalRegistry {
   )
 
   val oracles: Seq[(String, String)] = Seq(
+    "mm_shard_manifest" ->
+      """WITH sz AS (
+        |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents
+        |), c AS (
+        |  SELECT doc_id, n_bytes,
+        |         CAST(COALESCE(SUM(n_bytes) OVER (ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS BIGINT) AS start_off
+        |  FROM sz
+        |)
+        |SELECT doc_id, n_bytes, start_off,
+        |       CAST(start_off // 4096 AS BIGINT) AS shard_id,
+        |       CAST(start_off % 4096 AS BIGINT) AS shard_off
+        |FROM c""".stripMargin,
+
     "mm_binary_meta" ->
       "SELECT doc_id, octet_length(encode(text)) AS n_bytes, length(text) AS n_chars FROM documents",
 
@@ -246,32 +182,6 @@ private[graft] object MultimodalRegistry {
         |)
         |SELECT bucket, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY 1""".stripMargin,
 
-    "p9_numeric_proj" ->
-      "SELECT c_custkey, c_nationkey, c_acctbal FROM customer",
-
-    "e2_null_counts" ->
-      """SELECT count(*) AS total_rows,
-        |  CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_o_orderkey,
-        |  CAST(SUM(CASE WHEN f.first_ship IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_first_ship
-        |FROM orders LEFT JOIN
-        |  (SELECT l_orderkey, min(l_shipdate) AS first_ship FROM lineitem GROUP BY 1) f
-        |  ON o_orderkey = f.l_orderkey""".stripMargin,
-
-    "ml_pr_points" ->
-      """WITH s AS (
-        |  SELECT round(o_totalprice / 100000.0, 0) AS score,
-        |         CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END AS y
-        |  FROM orders
-        |), g AS (
-        |  SELECT score AS threshold, SUM(y) AS np, SUM(1 - y) AS nn FROM s GROUP BY 1
-        |)
-        |SELECT threshold,
-        |       CAST(SUM(np) OVER (ORDER BY threshold DESC ROWS UNBOUNDED PRECEDING) AS DOUBLE)
-        |         / SUM(np) OVER () AS recall,
-        |       CAST(SUM(np) OVER (ORDER BY threshold DESC ROWS UNBOUNDED PRECEDING) AS DOUBLE)
-        |         / (SUM(np) OVER (ORDER BY threshold DESC ROWS UNBOUNDED PRECEDING)
-        |            + SUM(nn) OVER (ORDER BY threshold DESC ROWS UNBOUNDED PRECEDING)) AS precision_
-        |FROM g""".stripMargin,
 
     "mm_chunks" ->
       """WITH x AS (
@@ -308,56 +218,6 @@ private[graft] object MultimodalRegistry {
         |       CAST(COALESCE(c.c, 0) AS BIGINT) AS cnt
         |FROM grid g LEFT JOIN cnt c ON g.doc_id = c.doc_id AND g.idx = c.idx""".stripMargin,
 
-    // M14 selection half: the SAME feature table (cohort label + lineitem
-    // aggregates + customer balance, id % 10 sample), the SAME buckets,
-    // the SAME plug-in MI, ranked on round-6 MI with a name tiebreak and
-    // cut at each sweep point n ∈ {2, 5}
-    "ml_feature_select" ->
-      s"""WITH c AS (
-         |$cohortSqlCore
-         |), la AS (
-         |  SELECT l_orderkey, CAST(count(*) AS DOUBLE) AS n_lines,
-         |         SUM(l_quantity) AS sum_qty, AVG(l_discount) AS avg_discount
-         |  FROM lineitem GROUP BY 1
-         |), f AS (
-         |  SELECT c.label AS y,
-         |         floor(o.o_totalprice / 100000.0) AS b_totalprice,
-         |         COALESCE(la.n_lines, 0) AS b_n_lines,
-         |         floor(COALESCE(la.sum_qty, 0) / 50.0) AS b_sum_qty,
-         |         floor(COALESCE(la.avg_discount, 0) * 20.0) AS b_avg_discount,
-         |         floor(COALESCE(cu.c_acctbal, 0) / 2000.0) AS b_c_acctbal
-         |  FROM c JOIN orders o ON c.o_orderkey = o.o_orderkey
-         |  LEFT JOIN la ON o.o_orderkey = la.l_orderkey
-         |  LEFT JOIN customer cu ON o.o_custkey = cu.c_custkey
-         |  WHERE o.o_orderkey % 10 = 0
-         |), stacked AS (
-         |  SELECT 'o_totalprice' AS feature, b_totalprice AS x, y FROM f
-         |  UNION ALL SELECT 'n_lines', b_n_lines, y FROM f
-         |  UNION ALL SELECT 'sum_qty', b_sum_qty, y FROM f
-         |  UNION ALL SELECT 'avg_discount', b_avg_discount, y FROM f
-         |  UNION ALL SELECT 'c_acctbal', b_c_acctbal, y FROM f
-         |), joint AS (
-         |  SELECT feature, x, y, count(*) AS nxy FROM stacked GROUP BY 1, 2, 3
-         |), e AS (
-         |  SELECT feature, nxy,
-         |         SUM(nxy) OVER (PARTITION BY feature) AS n,
-         |         SUM(nxy) OVER (PARTITION BY feature, x) AS nx,
-         |         SUM(nxy) OVER (PARTITION BY feature, y) AS ny
-         |  FROM joint
-         |), mi AS (
-         |  SELECT feature,
-         |         round(SUM((CAST(nxy AS DOUBLE) / n) *
-         |                   ln(CAST(nxy AS DOUBLE) * n / (CAST(nx AS DOUBLE) * ny))), 6) AS mi
-         |  FROM e GROUP BY 1
-         |), ranked AS (
-         |  SELECT feature, mi,
-         |         row_number() OVER (ORDER BY mi DESC, feature ASC) AS rank
-         |  FROM mi
-         |)
-         |SELECT CAST(t.n_top AS INTEGER) AS n_top, CAST(r.rank AS INTEGER) AS rank,
-         |       r.feature, r.mi
-         |FROM ranked r, (VALUES (2), (5)) t(n_top)
-         |WHERE r.rank <= t.n_top""".stripMargin,
 
     "mm_binary_source" ->
       "SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes FROM documents",

@@ -16,12 +16,28 @@ import org.apache.spark.sql.functions._
   * Split out of Shared.scala in r12 (maintainability: the single file
   * had reached 8.7k lines). PURE CODE MOTION: entry bodies and oracle SQL
   * are byte-identical to the pre-split registry; SparkEntry composes the
-  * slices back into the same `queries`/`oracleSql` maps.
+  * slices back into the same `queries`/`oracleSql` maps. r13: misfiled
+  * entries re-homed to their named family slice (pure motion again, same
+  * duplicate-key guard).
   */
 private[graft] object RelationalRegistry {
   import Shared._
 
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    // E2: per-column null counts in one aggregation pass
+    "e2_null_counts" -> ((s, d) => {
+      val firstShip = t(s, d, "lineitem")
+        .groupBy("l_orderkey").agg(min("l_shipdate").as("first_ship"))
+      val joined = t(s, d, "orders")
+        .join(firstShip, col("o_orderkey") === col("l_orderkey"), "left")
+        .select("o_orderkey", "first_ship")
+      graft.ops.SchemaOps.nullCounts(joined)
+    }),
+
+    // P9: schema-predicate projection (select_dtypes analog)
+    "p9_numeric_proj" -> ((s, d) =>
+      graft.ops.SchemaOps.selectNumeric(t(s, d, "customer"))),
+
     "p_proj_filter" -> ((s, d) =>
       t(s, d, "customer")
         .filter(col("c_acctbal").isNotNull && col("c_acctbal") > 0)
@@ -888,6 +904,17 @@ private[graft] object RelationalRegistry {
   )
 
   val oracles: Seq[(String, String)] = Seq(
+    "e2_null_counts" ->
+      """SELECT count(*) AS total_rows,
+        |  CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_o_orderkey,
+        |  CAST(SUM(CASE WHEN f.first_ship IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_first_ship
+        |FROM orders LEFT JOIN
+        |  (SELECT l_orderkey, min(l_shipdate) AS first_ship FROM lineitem GROUP BY 1) f
+        |  ON o_orderkey = f.l_orderkey""".stripMargin,
+
+    "p9_numeric_proj" ->
+      "SELECT c_custkey, c_nationkey, c_acctbal FROM customer",
+
     "sql_q3_shipping" -> q3Sql,
     "sql_q5_local" -> q5Sql,
     "sql_q7_volume" -> q7Sql,

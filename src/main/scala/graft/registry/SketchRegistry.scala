@@ -16,7 +16,9 @@ import org.apache.spark.sql.functions._
   * Split out of Shared.scala in r12 (maintainability: the single file
   * had reached 8.7k lines). PURE CODE MOTION: entry bodies and oracle SQL
   * are byte-identical to the pre-split registry; SparkEntry composes the
-  * slices back into the same `queries`/`oracleSql` maps.
+  * slices back into the same `queries`/`oracleSql` maps. r13: misfiled
+  * entries re-homed to their named family slice (pure motion again, same
+  * duplicate-key guard).
   */
 private[graft] object SketchRegistry {
   import Shared._
@@ -52,31 +54,6 @@ private[graft] object SketchRegistry {
       graft.sketch.Sketches.bloomMembership(
         t(s, d, "supplier"), "s_suppkey", t(s, d, "customer"), "c_custkey")),
 
-    // PII redaction over the corpus: deterministic synthetic PII is
-    // injected (the test corpus carries none), then scrubbed email→URL→
-    // phone; the scrubbed text round-trips as an md5 so the oracle
-    // hash-checks every byte of every replacement. Pure regex chain —
-    // codegen'd, scan-speed, no shuffle
-    "t_scrub_pii" -> ((s, d) => {
-      val id = col("doc_id")
-      val injected = concat(
-        col("text"),
-        when(id % 3 === 0,
-          concat(lit(" mail user"), id.cast("string"), lit("@example.com")))
-          .otherwise(lit("")),
-        when(id % 4 === 0,
-          concat(lit(" see https://ex.org/p/"), id.cast("string"), lit("?q=1")))
-          .otherwise(lit("")),
-        when(id % 5 === 0,
-          concat(lit(" call 415-555-"), lpad(pmod(id, lit(10000)).cast("string"), 4, "0")))
-          .otherwise(lit("")))
-      val (ne, nu, np) = TextOps.piiCounts(col("inj"))
-      Tables.documents(s, d)
-        .withColumn("inj", injected)
-        .select(col("doc_id"),
-          ne.as("n_emails"), nu.as("n_urls"), np.as("n_phones"),
-          md5(TextOps.scrubPii(col("inj")).cast("binary")).as("scrub_md5"))
-    }),
 
     // training-mixture resampling: per-domain keep fractions that realize
     // target proportions (capped by the scarcest domain), decided row-wise
@@ -394,28 +371,6 @@ private[graft] object SketchRegistry {
       "SELECT CAST(s_suppkey AS VARCHAR) AS k FROM supplier",
       "SELECT CAST(c_custkey AS VARCHAR) AS k FROM customer"),
 
-    // identical injection + identical RE2∩Java regexes; the md5 pins every
-    // replacement byte
-    "t_scrub_pii" ->
-      """WITH inj AS (
-        |  SELECT doc_id,
-        |         text
-        |         || CASE WHEN doc_id % 3 = 0 THEN ' mail user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
-        |         || CASE WHEN doc_id % 4 = 0 THEN ' see https://ex.org/p/' || CAST(doc_id AS VARCHAR) || '?q=1' ELSE '' END
-        |         || CASE WHEN doc_id % 5 = 0 THEN ' call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
-        |         AS t
-        |  FROM documents
-        |)
-        |SELECT doc_id,
-        |       CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
-        |       CAST(len(regexp_extract_all(t, 'https?://[!-~]+')) AS INTEGER) AS n_urls,
-        |       CAST(len(regexp_extract_all(t, '\b\d{3}[-.]?\d{3}[-.]?\d{4}\b')) AS INTEGER) AS n_phones,
-        |       md5(regexp_replace(
-        |             regexp_replace(
-        |               regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |               'https?://[!-~]+', '<URL>', 'g'),
-        |             '\b\d{3}[-.]?\d{3}[-.]?\d{4}\b', '<PHONE>', 'g')) AS scrub_md5
-        |FROM inj""".stripMargin,
 
     // keep thresholds derive from counts in identical-op-order double
     // arithmetic; the row-wise keep decision replays via the portable hash

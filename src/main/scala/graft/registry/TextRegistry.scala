@@ -16,12 +16,224 @@ import org.apache.spark.sql.functions._
   * Split out of Shared.scala in r12 (maintainability: the single file
   * had reached 8.7k lines). PURE CODE MOTION: entry bodies and oracle SQL
   * are byte-identical to the pre-split registry; SparkEntry composes the
-  * slices back into the same `queries`/`oracleSql` maps.
+  * slices back into the same `queries`/`oracleSql` maps. r13: misfiled
+  * entries re-homed to their named family slice (pure motion again, same
+  * duplicate-key guard).
   */
 private[graft] object TextRegistry {
   import Shared._
 
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    // PII redaction over the corpus: deterministic synthetic PII is
+    // injected (the test corpus carries none), then scrubbed email→URL→
+    // phone; the scrubbed text round-trips as an md5 so the oracle
+    // hash-checks every byte of every replacement. Pure regex chain —
+    // codegen'd, scan-speed, no shuffle
+    "t_scrub_pii" -> ((s, d) => {
+      val id = col("doc_id")
+      val injected = concat(
+        col("text"),
+        when(id % 3 === 0,
+          concat(lit(" mail user"), id.cast("string"), lit("@example.com")))
+          .otherwise(lit("")),
+        when(id % 4 === 0,
+          concat(lit(" see https://ex.org/p/"), id.cast("string"), lit("?q=1")))
+          .otherwise(lit("")),
+        when(id % 5 === 0,
+          concat(lit(" call 415-555-"), lpad(pmod(id, lit(10000)).cast("string"), 4, "0")))
+          .otherwise(lit("")))
+      val (ne, nu, np) = TextOps.piiCounts(col("inj"))
+      Tables.documents(s, d)
+        .withColumn("inj", injected)
+        .select(col("doc_id"),
+          ne.as("n_emails"), nu.as("n_urls"), np.as("n_phones"),
+          md5(TextOps.scrubPii(col("inj")).cast("binary")).as("scrub_md5"))
+    }),
+
+    // keyword extraction: top-3 terms per document by smooth-idf TF-IDF
+    // with a deterministic (score desc, term asc) tiebreak — the per-doc
+    // top-k window rides the RowNumberTopKRule → TopKPerKey rewrite in
+    // Verify/Bench sessions (bounded heap, no full per-partition sort)
+    "t_keywords" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val nDocs = docs.count()
+      val tf = docs
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val scored = tf.join(dfreq, "term")
+        .select(
+          col("doc_id"), col("term"),
+          round(col("tf") *
+            (log(lit((nDocs + 1L).toDouble) / (col("df") + lit(1L)).cast("double")) + lit(1.0)),
+            6).as("tfidf"))
+      val w = Window.partitionBy("doc_id").orderBy(desc("tfidf"), asc("term"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("term"), col("tfidf"), col("rank"))
+    }),
+
+    "t_zipf" -> ((s, d) =>
+      graft.text.CorpusStats.zipfSlope(t(s, d, "documents"), col("text"), topN = 200)),
+
+    // tokenizer BAKE-OFF: coverage + occurrence-weighted fertility for
+    // the three trained families (BPE / unigram / WordPiece) on the same
+    // corpus — three |distinct words|-sized tables, three 1-row aggs,
+    // fixed-point micro ratio (exact longs, one correctly-rounded divide)
+    "t_tok_fertility" -> ((s, d) =>
+      graft.text.TokenizerEval.fertility(t(s, d, "documents"), "text",
+        bpeRounds = 5, maxPieceLen = 4, minFreq = 3, maxWordLen = 12)),
+
+    // deploy-time WordPiece: vocab trained on `documents`, walked over
+    // the UNSEEN part-name corpus — unseen-char and over-long words
+    // surface as [UNK] on both engines
+    "t_wordpiece_apply" -> ((s, d) =>
+      graft.text.WordPiece.encodeApply(
+        t(s, d, "documents"), "text", t(s, d, "part"), "p_name",
+        maxPieceLen = 4, minFreq = 3, maxWordLen = 12)),
+
+    // greedy longest-match-first encode of every distinct corpus word:
+    // broadcast vocab + one shuffle-free typed pass; dead/over-long
+    // words map to the single [UNK] token (BERT max_input_chars rule);
+    // the oracle replays the SAME walk as unrolled MATERIALIZED CTEs
+    "t_wordpiece_encode" -> ((s, d) =>
+      graft.text.WordPiece.encode(t(s, d, "documents"), "text",
+        maxPieceLen = 4, minFreq = 3, maxWordLen = 12)),
+
+    // WordPiece (BERT) tokenizer — the GREEDY longest-match counterpart
+    // of the unigram Viterbi: positional vocab (bare initial pieces,
+    // '##'-prefixed continuations), single-char cores always survive
+    "t_wordpiece_vocab" -> ((s, d) =>
+      graft.text.WordPiece.vocab(t(s, d, "documents"), "text",
+        maxPieceLen = 4, minFreq = 3)),
+
+    // deploy-time unigram encode: model trained on `documents`, applied
+    // to the UNSEEN part-name corpus; words with characters the training
+    // corpus never produced drop out (no DP path) on both engines
+    "t_unigram_apply" -> ((s, d) =>
+      graft.text.UnigramLm.segmentApply(
+        t(s, d, "documents"), "text", t(s, d, "part"), "p_name",
+        maxPieceLen = 4, minFreq = 3, maxWordLen = 12)),
+
+    // ONE hard-EM (Viterbi-EM) round — SentencePiece's actual training
+    // step: segment under the count model, re-estimate piece scores from
+    // the segmentations (unused pieces fall out = EM vocabulary pruning),
+    // re-segment. Two broadcast-model typed passes; BOTH DPs and the
+    // re-scored model are cross-engine-checked
+    "t_unigram_em" -> ((s, d) =>
+      graft.text.UnigramLm.emSegment(t(s, d, "documents"), "text",
+        maxPieceLen = 4, minFreq = 3, maxWordLen = 12)),
+
+    // max-likelihood Viterbi segmentation of every distinct corpus word
+    // under the unigram model: broadcast vocab + one shuffle-free typed
+    // pass; the oracle replays the SAME DP as unrolled MATERIALIZED CTEs
+    "t_unigram_segment" -> ((s, d) =>
+      graft.text.UnigramLm.segment(t(s, d, "documents"), "text",
+        maxPieceLen = 4, minFreq = 3, maxWordLen = 12)),
+
+    // unigram-LM tokenizer (SentencePiece's second algorithm) — the
+    // top-down counterpart of BPE: substring vocab with fixed-point
+    // micro-nat log-probs (integer argmax = engine-exact)
+    "t_unigram_vocab" -> ((s, d) =>
+      graft.text.UnigramLm.vocab(t(s, d, "documents"), "text",
+        maxPieceLen = 4, minFreq = 3)),
+
+    // deploy-time tokenizer: merges trained on `documents` applied to an
+    // UNSEEN corpus (part names) — the real encode path, not the vocab
+    // join (which only covers training words). The merge list is a
+    // bounded driver readout (|rounds| rows) compiled into ONE
+    // chained-replace codegen projection over the distinct-word frame
+    "t_bpe_apply" -> ((s, d) => {
+      val merges = graft.text.BpeTrain
+        .learnMerges(t(s, d, "documents"), "text", rounds = 5)
+        .collect().sortBy(_.getInt(0))
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.text.BpeTrain.applyMerges(t(s, d, "part"), "p_partkey", "p_name", merges)
+    }),
+
+    // train→ENCODE round trip: per-doc BPE token counts under the learned
+    // merges next to raw char counts (the chars/token compression
+    // readout); the encode is a vocab join — each distinct word's final
+    // symbolization IS its encoding
+    "t_bpe_encode" -> ((s, d) =>
+      graft.text.BpeTrain.encodedTokenCounts(
+        t(s, d, "documents"), "doc_id", "text", rounds = 5)),
+
+    // BPE merge training (5 rounds), exactly oracled: corpus read ONCE
+    // for word counts; each round counts adjacent symbol pairs on the
+    // |distinct words| frame, picks the argmax (lexicographic tiebreak),
+    // and applies the merge via a delimiter-bounded literal replace —
+    // the tokenizer-training step as deterministic unrolled rounds
+    "t_bpe_merges" -> ((s, d) =>
+      graft.text.BpeTrain.learnMerges(t(s, d, "documents"), "text", rounds = 5)),
+
+    // Gopher/C4-style quality cascade with first-failure drop accounting:
+    // token-count bounds → mean-token-length bounds → type/token-ratio
+    // repetition floor; ONE scan + a ≤4-row hash-agg
+    "t_quality_cascade" -> ((s, d) =>
+      graft.text.QualityCascade.cascade(
+        t(s, d, "documents"), "text",
+        minTokens = 50, maxTokens = 100000,
+        minMeanLen = 3.0, maxMeanLen = 4.8, minTtr = 0.35)),
+
+    // Zipf-law fit over the corpus's top-200 terms: OLS slope of
+    // ln(freq) ~ ln(rank) — natural language reads ≈ −1, template/spam
+    // corpora bend it; one term-frequency hash-agg + TakeOrdered(200)
+    // overlapping token-window chunking (context-window prep with stride
+    // overlap): tokenize → sequence over starts → explode → slice, all
+    // executor-side, zero shuffles — output ≈ win/stride × input tokens
+    "t_chunk_windows" -> ((s, d) =>
+      graft.text.Chunking.chunkOverlap(
+        t(s, d, "documents"), "doc_id", "text", win = 64, stride = 32)),
+
+    // word-association mining: PMI over adjacent-token bigrams (count ≥ 5)
+    // — two hash aggregations (unigrams, bigrams) + two small joins; the
+    // corpus totals ride a broadcast scalar, and the log-ratio is a single
+    // identical op chain on both engines
+    "t_pmi_bigrams" -> ((s, d) => {
+      val toks = t(s, d, "documents").select(TextOps.tokens(col("text")).as("t"))
+      val uni = toks.select(explode(col("t")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      val bg = toks.filter(size(col("t")) >= 2)
+        .select(explode(transform(sequence(lit(1), size(col("t")) - 1),
+          i => concat_ws(" ", element_at(col("t"), i), element_at(col("t"), i + 1)))).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("c_xy"))
+        .filter(col("c_xy") >= 5)
+      val totals = toks.agg(
+        sum(size(col("t")).cast("long")).as("n_uni"),
+        sum(greatest(size(col("t")) - 1, lit(0)).cast("long")).as("n_bi"))
+      bg
+        .join(uni.select(col("w").as("_w1"), col("c").as("c_x")),
+          element_at(split(col("bigram"), " "), 1) === col("_w1"))
+        .join(uni.select(col("w").as("_w2"), col("c").as("c_y")),
+          element_at(split(col("bigram"), " "), 2) === col("_w2"))
+        .crossJoin(broadcast(totals))
+        .select(col("bigram"), col("c_xy"),
+          round(log((col("c_xy").cast("double") * col("n_uni") * col("n_uni")) /
+            (col("n_bi").cast("double") * col("c_x") * col("c_y"))), 6).as("pmi"))
+    }),
+
+    // M1 extension: TF-IDF weights computed relationally (sklearn
+    // smooth-idf formula: ln((N+1)/(df+1)) + 1) — one tf aggregation, one
+    // df aggregation, a broadcast-size join on term. Exactly oracle-able
+    // (integer counts; one ln per term, round-6). Restricted to a bounded
+    // doc set for the gate; the plan is corpus-size-linear.
+    "t_tfidf" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val nDocs = docs.count()
+      val tf = docs
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      tf.join(dfreq, "term")
+        .filter(col("doc_id") < 25)
+        .select(
+          col("doc_id"), col("term"), col("tf"), col("df"),
+          round(col("tf") *
+            (log(lit((nDocs + 1L).toDouble) / (col("df") + lit(1L)).cast("double")) + lit(1.0)),
+            6).as("tfidf"))
+    }),
+
     "t_token_stats" -> ((s, d) =>
       t(s, d, "documents").select(
         col("doc_id"),
@@ -159,6 +371,137 @@ private[graft] object TextRegistry {
   )
 
   val oracles: Seq[(String, String)] = Seq(
+    // identical injection + identical RE2∩Java regexes; the md5 pins every
+    // replacement byte
+    "t_scrub_pii" ->
+      """WITH inj AS (
+        |  SELECT doc_id,
+        |         text
+        |         || CASE WHEN doc_id % 3 = 0 THEN ' mail user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+        |         || CASE WHEN doc_id % 4 = 0 THEN ' see https://ex.org/p/' || CAST(doc_id AS VARCHAR) || '?q=1' ELSE '' END
+        |         || CASE WHEN doc_id % 5 = 0 THEN ' call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+        |         AS t
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |       CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+        |       CAST(len(regexp_extract_all(t, 'https?://[!-~]+')) AS INTEGER) AS n_urls,
+        |       CAST(len(regexp_extract_all(t, '\b\d{3}[-.]?\d{3}[-.]?\d{4}\b')) AS INTEGER) AS n_phones,
+        |       md5(regexp_replace(
+        |             regexp_replace(
+        |               regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |               'https?://[!-~]+', '<URL>', 'g'),
+        |             '\b\d{3}[-.]?\d{3}[-.]?\d{4}\b', '<PHONE>', 'g')) AS scrub_md5
+        |FROM inj""".stripMargin,
+
+    "t_keywords" ->
+      """WITH tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM (
+        |    SELECT doc_id,
+        |           unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')) AS term
+        |    FROM documents
+        |  ) GROUP BY 1, 2
+        |), dfreq AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+        |), n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |         round(tf.tf * (ln(CAST(n_docs + 1 AS DOUBLE) / CAST(dfreq.df + 1 AS DOUBLE)) + 1.0), 6) AS tfidf
+        |  FROM tf JOIN dfreq USING (term), n
+        |)
+        |SELECT doc_id, term, tfidf, CAST(rank AS INTEGER) AS rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+        |  FROM scored
+        |) WHERE rank <= 3""".stripMargin,
+
+    "t_zipf" -> graft.text.CorpusStats.zipfOracleSql("documents", "text", topN = 200),
+
+    "t_tok_fertility" ->
+      graft.text.TokenizerEval.fertilityOracleSql("documents", "text",
+        bpeRounds = 5, maxPieceLen = 4, minFreq = 3, maxWordLen = 12),
+
+    "t_wordpiece_apply" ->
+      graft.text.WordPiece.encodeApplyOracleSql("documents", "text",
+        "part", "p_name", maxPieceLen = 4, minFreq = 3, maxWordLen = 12),
+
+    "t_wordpiece_encode" ->
+      graft.text.WordPiece.encodeOracleSql("documents", "text",
+        maxPieceLen = 4, minFreq = 3, maxWordLen = 12),
+
+    "t_wordpiece_vocab" ->
+      graft.text.WordPiece.vocabOracleSql("documents", "text",
+        maxPieceLen = 4, minFreq = 3),
+
+    "t_unigram_apply" ->
+      graft.text.UnigramLm.segmentApplyOracleSql("documents", "text",
+        "part", "p_name", maxPieceLen = 4, minFreq = 3, maxWordLen = 12),
+
+    "t_unigram_em" ->
+      graft.text.UnigramLm.emSegmentOracleSql("documents", "text",
+        maxPieceLen = 4, minFreq = 3, maxWordLen = 12),
+
+    "t_unigram_segment" ->
+      graft.text.UnigramLm.segmentOracleSql("documents", "text",
+        maxPieceLen = 4, minFreq = 3, maxWordLen = 12),
+
+    "t_unigram_vocab" ->
+      graft.text.UnigramLm.vocabOracleSql("documents", "text",
+        maxPieceLen = 4, minFreq = 3),
+
+    "t_bpe_apply" -> graft.text.BpeTrain.applyMergesOracleSql(
+      "documents", "text", rounds = 5, "part", "p_partkey", "p_name"),
+
+    "t_bpe_encode" ->
+      graft.text.BpeTrain.encodeOracleSql("documents", "doc_id", "text", rounds = 5),
+
+    "t_bpe_merges" ->
+      graft.text.BpeTrain.learnMergesOracleSql("documents", "text", rounds = 5),
+
+    "t_quality_cascade" -> graft.text.QualityCascade.cascadeOracleSql(
+      "documents", "text", minTokens = 50, maxTokens = 100000,
+      minMeanLen = 3.0, maxMeanLen = 4.8, minTtr = 0.35),
+
+    "t_chunk_windows" -> graft.text.Chunking.chunkOverlapOracleSql(
+      "documents", "doc_id", "text", win = 64, stride = 32),
+
+    "t_pmi_bigrams" ->
+      """WITH toks AS (
+        |  SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '') AS t
+        |  FROM documents
+        |), uni AS (
+        |  SELECT w, count(*) AS c FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1
+        |), bg AS (
+        |  SELECT bigram, count(*) AS c_xy FROM (
+        |    SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
+        |    FROM toks WHERE len(t) >= 2
+        |  ) GROUP BY 1 HAVING count(*) >= 5
+        |), tot AS (
+        |  SELECT CAST(SUM(len(t)) AS BIGINT) AS n_uni,
+        |         CAST(SUM(GREATEST(len(t) - 1, 0)) AS BIGINT) AS n_bi
+        |  FROM toks
+        |)
+        |SELECT bg.bigram, bg.c_xy,
+        |       round(ln((CAST(bg.c_xy AS DOUBLE) * n_uni * n_uni) /
+        |                (CAST(n_bi AS DOUBLE) * u1.c * u2.c)), 6) AS pmi
+        |FROM bg
+        |JOIN uni u1 ON u1.w = split_part(bg.bigram, ' ', 1)
+        |JOIN uni u2 ON u2.w = split_part(bg.bigram, ' ', 2), tot""".stripMargin,
+
+    "t_tfidf" ->
+      """WITH tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM (
+        |    SELECT doc_id,
+        |           unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')) AS term
+        |    FROM documents
+        |  ) GROUP BY 1, 2
+        |), dfreq AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+        |), n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+        |       round(tf.tf * (ln(CAST(n_docs + 1 AS DOUBLE) / CAST(dfreq.df + 1 AS DOUBLE)) + 1.0), 6) AS tfidf
+        |FROM tf JOIN dfreq USING (term), n
+        |WHERE tf.doc_id < 25""".stripMargin,
+
     "t_quality" ->
       """WITH toks AS (
         |  SELECT doc_id, text,
