@@ -226,6 +226,26 @@ object Bench {
     // exact-substring form silently disabled all anchors on a reformatted
     // file, surfaced only as n_anchored:0 (r11 advisory). A file that
     // exists but yields zero rows at this SF now warns on stderr.
+    // extract the `"medians": {...}` / `"times": {...}` object (balanced
+    // braces) and parse `"key": number` pairs INSIDE it only
+    def parseTimesBlock(txt: String): Map[String, Double] =
+      "\"(?:medians|times)\"\\s*:\\s*\\{".r.findFirstMatchIn(txt) match {
+        case None => Map.empty
+        case Some(mm) =>
+          var depth = 1
+          var i = mm.end
+          while (i < txt.length && depth > 0) {
+            txt.charAt(i) match {
+              case '{' => depth += 1
+              case '}' => depth -= 1
+              case _ =>
+            }
+            i += 1
+          }
+          val body = txt.substring(mm.end, math.max(mm.end, i - 1))
+          "\"([A-Za-z0-9_]+)\"\\s*:\\s*([0-9][0-9.]*)".r.findAllMatchIn(body)
+            .flatMap(m => m.group(2).toDoubleOption.map(m.group(1) -> _)).toMap
+      }
     def loadTimesFile(path: String, what: String,
                       keep: String => Boolean): Map[String, Double] = {
       val p = java.nio.file.Paths.get(path)
@@ -236,14 +256,18 @@ object Bench {
         val sfOk = ("\"sf\"\\s*:\\s*\"" +
           java.util.regex.Pattern.quote(sfDir) + "\"").r
           .findFirstIn(txt).isDefined
+        // scan ONLY the medians/times object, not the whole file: a flat
+        // whole-file regex also swallows top-level numerics (duck_total,
+        // reps, source_ratio) and would silently mis-read any future
+        // nesting — one malformed entry must not void the whole set
+        // (r12 advisory). parseTimesBlock extracts the balanced block.
         val m =
           if (!sfOk) Map.empty[String, Double]
-          else "\"([A-Za-z0-9_]+)\"\\s*:\\s*([0-9][0-9.]*)".r.findAllMatchIn(txt)
-            .map(m => m.group(1) -> m.group(2).toDouble).toMap
-            .filter { case (k, _) => keep(k) }
+          else parseTimesBlock(txt).filter { case (k, _) => keep(k) }
         if (m.isEmpty) System.err.println(
           s"[bench] WARNING: $what file $path exists but yields 0 rows at " +
-            s"sf=$sfDir (${if (sfOk) "no matching query keys" else "sf mismatch"}) — " +
+            s"sf=$sfDir (${if (sfOk) "no matching query keys or no medians/times block"
+                           else "sf mismatch"}) — " +
             (if (what == "anchor") "env_inflated flagging is DISABLED for this run"
              else "duck_sec comparison is DISABLED for this run"))
         m
@@ -277,6 +301,16 @@ object Bench {
       loadTimesFile(anchorPath, "anchor", results.contains)
     def isEnvInflated(k: String, ts: List[Double]): Boolean =
       anchors.get(k).exists(a => ts.min > 0 && a > 0.1 && ts.min > 2 * a)
+    // r13 (r12 verdict #1): the env flag keys on the MINIMUM rep, so a
+    // noisy-median/clean-min row — the expensive ML fits' signature under
+    // load spread (r12's mimic_feature_sweep: median 45.4 s, min 29.3 vs
+    // anchor 24.3) — ships an inflated median with no verdict attached.
+    // Flag on the MEDIAN too: median > 1.5x anchor while the best rep
+    // stayed in band (<= 1.3x — proof the code is fine and the spread is
+    // environmental), and adjudicate isolated exactly like env_inflated.
+    def isMedianInflated(k: String, ts: List[Double]): Boolean =
+      !isEnvInflated(k, ts) && anchors.get(k).exists(a =>
+        ts.min > 0 && a > 0.1 && median(ts) > 1.5 * a && ts.min <= 1.3 * a)
     // AUTO-ADJUDICATION (r12, closing the r11 verdict's #1): an
     // env_inflated flag means "this number was measured under a
     // disturbance the machine can see" — leaving it as the row's number
@@ -294,7 +328,7 @@ object Bench {
     // SPARK_GRAFT_NO_ADJUDICATE=1 (e.g. for anchor-mechanism tests).
     val adjudicate = !sys.env.get("SPARK_GRAFT_NO_ADJUDICATE").contains("1")
     val flaggedInflated = results.collect {
-      case (k, (ts, _, _, _)) if isEnvInflated(k, ts) => k
+      case (k, (ts, _, _, _)) if isEnvInflated(k, ts) || isMedianInflated(k, ts) => k
     }.toList.sorted
     val adjudications: Map[String, (List[Double], String, Double)] =
       if (!adjudicate || flaggedInflated.isEmpty) Map.empty
@@ -322,6 +356,13 @@ object Bench {
           var adjLoad = -1.0
           var i = 0
           var failed = false
+          // the sweep applied an UNTIMED warm pass to jitWarmQueries
+          // before their anchored reps, so the anchor is a warmed median —
+          // adjudication must measure the same steady state or a JIT-cold
+          // rep 1 overstates the isolated median and can fire a spurious
+          // `code` verdict (r12 advisory)
+          if (jitWarmQueries(k))
+            try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
           while (i < reps && !failed && (i == 0 || ts.sum < repBudgetSec)) {
             adjLoad = math.max(adjLoad, loadAvg())
             val t0 = System.nanoTime()
@@ -337,9 +378,15 @@ object Bench {
           else {
             // a code verdict is only trustworthy if the isolated reps ran
             // on a quiet machine — when the settle wait expired with load
-            // still high, say so instead of asserting a regression
+            // still high, say so instead of asserting a regression.
+            // The clean bar matches the flag that fired: env_inflated
+            // keys on the best rep (min <= 2x anchor), median_inflated on
+            // the recovered median (<= 1.5x anchor).
+            val recovered =
+              if (isEnvInflated(k, results(k)._1)) ts.min <= 2 * anchors(k)
+              else median(ts.toList) <= 1.5 * anchors(k)
             val verdict =
-              if (ts.min <= 2 * anchors(k)) "noise"
+              if (recovered) "noise"
               else if (adjLoad > settleAt) "still-contended"
               else "code"
             System.err.println(
@@ -351,11 +398,20 @@ object Bench {
       }
     // the reported number for an adjudicated row is the ISOLATED median —
     // the disturbed sweep median is kept in query_stats (disturbed_median)
-    // for attribution, but totals/ratios/stdout use the honest cost
+    // for attribution, but totals/ratios/stdout use the honest cost.
+    // EXCEPT still-contended rows: their isolated reps ran on a machine
+    // the settle wait failed to quiet, so the isolated median is itself
+    // possibly inflated — report the SMALLER of the two observations
+    // (neither is clean; the smaller is the lower bound on the honest
+    // cost) instead of presenting the contaminated one as adjudicated
+    // truth (r12 advisory).
     val medians = results.map { case (k, (ts, _, _, _)) =>
+      val sweepMed = if (ts.head < 0) -1.0 else median(ts)
       k -> (adjudications.get(k) match {
+        case Some((ats, "still-contended", _)) if sweepMed >= 0 =>
+          math.min(sweepMed, median(ats))
         case Some((ats, v, _)) if v != "error" => median(ats)
-        case _ => if (ts.head < 0) -1.0 else median(ts)
+        case _ => sweepMed
       })
     }
     val total = medians.values.filter(_ >= 0).sum
@@ -374,7 +430,10 @@ object Bench {
         ",\"high_spread\":true" else ""
       val gcy = if (gcFrac > 0.3) ",\"gc_heavy\":true" else ""
       val env = if (isEnvInflated(k, ts))
-        ",\"env_inflated\":true,\"anchor_sec\":" + f(anchors(k)) else ""
+        ",\"env_inflated\":true,\"anchor_sec\":" + f(anchors(k))
+      else if (isMedianInflated(k, ts))
+        ",\"median_inflated\":true,\"anchor_sec\":" + f(anchors(k))
+      else ""
       // adjudication record: the disturbed sweep median stays visible
       // (disturbed_median) next to the isolated reps and the verdict, so
       // a reader can see BOTH what the sweep measured and what the query
@@ -392,12 +451,17 @@ object Bench {
     }.mkString("{", ",", "}")
     val nContended = results.count { case (_, (_, _, load, _)) => load > loadContendedAt }
     val nEnvInflated = results.count { case (k, (ts, _, _, _)) => isEnvInflated(k, ts) }
+    val nMedianInflated = results.count { case (k, (ts, _, _, _)) => isMedianInflated(k, ts) }
     val nAdjNoise = adjudications.count(_._2._2 == "noise")
-    val nAdjCode = adjudications.count(v => v._2._2 == "code" || v._2._2 == "still-contended")
+    // code and still-contended are DIFFERENT claims (a regression vs "the
+    // machine never went quiet") — round-over-round tooling reading
+    // n_adjudicated_code must not misattribute contamination as code
+    val nAdjCode = adjudications.count(_._2._2 == "code")
+    val nAdjStillContended = adjudications.count(_._2._2 == "still-contended")
     val nFlagged = results.count { case (k, (ts, _, load, gcFrac)) =>
       load > loadContendedAt || gcFrac > 0.3 ||
         (ts.size >= 2 && ts.min > 0 && ts.max > 2 * ts.min) ||
-        isEnvInflated(k, ts)
+        isEnvInflated(k, ts) || isMedianInflated(k, ts)
     }
     // run-level drift vs the anchor era — the fourth disturbance state
     // (r12): a UNIFORM sub-2× slowdown trips no per-row flag (each row
@@ -425,6 +489,89 @@ object Bench {
         ",\"spark_total_comparable\":" + f(sparkComparable) +
         ",\"spark_vs_duck_ratio\":" + f(sparkComparable / math.max(duckTotal, 1e-9)) +
         ",\"n_comparable\":" + comparable.size
+    // AUTOMATED MACHINE-DRIFT RESPONSE (r13, closing r12 verdict #5): a
+    // uniform sub-2x box slowdown trips no per-row flag yet moves every
+    // ratio — r12 diagnosed it MANUALLY (drift_median high, zero code
+    // verdicts ⇒ re-time the unchanged DuckDB suite ⇒ 34-43% slower ⇒
+    // re-seed both baselines). Close that loop: when a full run ends with
+    // drift_median outside ~[0.8, 1.25] and no `code` verdict (i.e. the
+    // evidence says BOX, not code), re-time a fixed probe subset of the
+    // committed DuckDB oracles in this same window (tools/oracle_times.py
+    // on the ~12 most expensive oracles of this run) and carry the
+    // mini-ratio in the artifact next to the headline — a drifted run
+    // then documents itself. Disable with SPARK_GRAFT_NO_DRIFT_PROBE=1.
+    val driftProbe: Option[(Double, Double, Int)] = {
+      // SPARK_GRAFT_FORCE_DRIFT_PROBE=1 exercises the probe from a
+      // restricted run regardless of drift (the path fires rarely and
+      // exactly when the run is already suspect — it must be testable)
+      val forced = sys.env.get("SPARK_GRAFT_FORCE_DRIFT_PROBE").contains("1")
+      val enabled = adjudicate && (only.isEmpty || forced) &&
+        !sys.env.get("SPARK_GRAFT_NO_DRIFT_PROBE").contains("1")
+      val drifted = forced || (anchorDriftMedian > 0 &&
+        (anchorDriftMedian < 0.8 || anchorDriftMedian > 1.25))
+      if (!enabled || !drifted || nAdjCode > 0) None
+      else try {
+        val probeQs = duckTimes.toSeq.sortBy(-_._2).take(12).map(_._1)
+          .filter(SparkEntry.oracleSql.contains)
+        if (probeQs.isEmpty) None
+        else {
+          System.err.println(
+            s"[bench] anchor_drift_median ${f(anchorDriftMedian)} outside [0.8,1.25] " +
+              s"with 0 code verdicts — probing DuckDB on ${probeQs.size} oracles " +
+              "to attribute the drift (box vs engine)")
+          def esc(s: String) = s.flatMap {
+            case '"' => "\\\""
+            case '\\' => "\\\\"
+            case '\n' => "\\n"
+            case '\r' => ""
+            case '\t' => "\\t"
+            case c => c.toString
+          }
+          val inPath = java.nio.file.Files.createTempFile("graft_probe_sql", ".json")
+          val outPath = java.nio.file.Files.createTempFile("graft_probe_times", ".json")
+          java.nio.file.Files.write(inPath,
+            probeQs.map(q => "\"" + q + "\":\"" + esc(SparkEntry.oracleSql(q)) + "\"")
+              .mkString("{", ",", "}")
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          val pb = new ProcessBuilder("python3", "/root/repo/tools/oracle_times.py",
+            sfDir, inPath.toString, outPath.toString, "3")
+          pb.redirectErrorStream(true)
+          pb.redirectOutput(java.io.File.createTempFile("graft_probe_log", ".txt"))
+          val proc = pb.start()
+          val done = proc.waitFor(900, java.util.concurrent.TimeUnit.SECONDS)
+          if (!done) { proc.destroyForcibly(); None }
+          else {
+            val freshTimes = parseTimesBlock(new String(
+              java.nio.file.Files.readAllBytes(outPath),
+              java.nio.charset.StandardCharsets.UTF_8))
+            val both = probeQs.filter(freshTimes.contains)
+            val committed = both.map(duckTimes).sum
+            val fresh = both.map(freshTimes).sum
+            if (both.size < probeQs.size / 2 || committed <= 0) None
+            else {
+              val ratio = fresh / committed
+              System.err.println(
+                s"[bench] drift probe: same-window DuckDB reads ${f(ratio)}x the " +
+                  s"committed ORACLE_TIMES over ${both.size} oracles " +
+                  s"(${f(fresh)}s vs ${f(committed)}s)" +
+                  (if (ratio > 1.2 || ratio < 0.85)
+                     " — the BOX drifted: re-seed ORACLE_TIMES.json and BENCH_ANCHOR.json " +
+                       "from same-window runs (tools/oracle_times.py + tools/update_anchor.py)"
+                   else " — DuckDB did NOT drift; investigate the engine-side slowdown"))
+              Some((ratio, fresh, both.size))
+            }
+          }
+        }
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] drift probe failed: ${e.getMessage}")
+          None
+      }
+    }
+    val driftProbeJson = driftProbe.map { case (r, sec, n) =>
+      ",\"drift_probe_ratio\":" + f(r) + ",\"drift_probe_duck_sec\":" + f(sec) +
+        ",\"drift_probe_n\":" + n
+    }.getOrElse("")
     // Per-query spread stats go to a FILE, not stdout: with 100+ queries the
     // combined line exceeded the driver's stdout tail capture in r3 and the
     // bench JSON failed to parse ("parsed": null). The stdout line carries
@@ -433,7 +580,7 @@ object Bench {
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "/root/repo/BENCH_DETAIL.json")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(detailPath),
-      s"""{"warmup_sec":${f(warmupSec)},"stream_fixed_sec":${f(streamFixedSec)},"reps":$reps,"sf":"$sfDir","load_start":${f(loadStart)},"load_contended_at":${f(loadContendedAt)},"n_contended":$nContended,"n_flagged":$nFlagged,"n_env_inflated":$nEnvInflated,"n_adjudicated_noise":$nAdjNoise,"n_adjudicated_code":$nAdjCode,"n_anchored":${anchors.size},"anchor_drift_median":${f(anchorDriftMedian)},"restricted":${only.nonEmpty},"n_selected":${selected.size},"warmup_failures":${warmupFailures.map("\"" + _ + "\"").mkString("[", ",", "]")}$ratioJson,"medians":$qs,"query_stats":$stats}"""
+      s"""{"warmup_sec":${f(warmupSec)},"stream_fixed_sec":${f(streamFixedSec)},"reps":$reps,"sf":"$sfDir","load_start":${f(loadStart)},"load_contended_at":${f(loadContendedAt)},"n_contended":$nContended,"n_flagged":$nFlagged,"n_env_inflated":$nEnvInflated,"n_median_inflated":$nMedianInflated,"n_adjudicated_noise":$nAdjNoise,"n_adjudicated_code":$nAdjCode,"n_adjudicated_still_contended":$nAdjStillContended,"n_anchored":${anchors.size},"anchor_drift_median":${f(anchorDriftMedian)}$driftProbeJson,"restricted":${only.nonEmpty},"n_selected":${selected.size},"warmup_failures":${warmupFailures.map("\"" + _ + "\"").mkString("[", ",", "]")}$ratioJson,"medians":$qs,"query_stats":$stats}"""
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
     // The driver keeps only the LAST ~2000 chars of stdout and parses the

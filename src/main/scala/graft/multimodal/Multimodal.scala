@@ -286,14 +286,40 @@ object Multimodal {
   /** Smallest admissible chunk count whose block-key width covers
     * log2(corpus) + 6 slack bits — the corpus-sizing rule that keeps the
     * accidental-collision term n²/2^width sub-linear in n.
+    *
+    * REPLICATION PRICE PER TIER (block rows per doc at maxDist=3 =
+    * C(nChunks, nChunks−maxDist)): 4 → 4, 5 → 10, 6 → 20, **10 → 120,
+    * 12 → 220**. The two upper tiers exist because key width shrinks as
+    * chunks multiply — 10 chunks give a 7·6=42-bit key (admissible to
+    * n ≈ 2^36), 12 chunks a 9·5=45-bit key — but their replication is no
+    * longer a small constant: a caller landing there pays a 120–220×
+    * explode, linear in n but with a big constant. That beats the
+    * Θ(n²/2^width) collision floor of a too-narrow key (the r12 scale
+    * band measured 124× candidate densification at a fixed 15-bit key),
+    * yet it must never happen silently — [[phashPairsAuto]] logs a
+    * warning whenever the selection crosses into the ≥10-chunk tiers, so
+    * the cost is visible in the driver log (same no-silent-caps
+    * discipline as the bench's warmup/adjudication reporting). At maxDist
+    * 3 the 6-chunk tier's 3·10=30-bit key already covers n ≈ 2^24 (16M
+    * multimodal docs); the upper tiers are for billion-scale corpora.
     */
   def autoChunks(n: Long, maxDist: Int = 3): Int = {
     val target = 6 +
       math.ceil(math.log(math.max(n, 2L).toDouble) / math.log(2.0)).toInt
-    Seq(4, 5, 6, 10, 12)
+    val chosen = Seq(4, 5, 6, 10, 12)
       .filter(c => c > maxDist && 60 % c == 0)
       .find(c => (c - maxDist) * (60 / c) >= target)
       .getOrElse(12)
+    if (chosen >= 10) {
+      val repl = (0 until chosen).combinations(chosen - maxDist).size
+      System.err.println(
+        s"[multimodal] autoChunks(n=$n, maxDist=$maxDist) selected the " +
+          s"$chosen-chunk tier: ${repl}x block-row replication per doc " +
+          s"(key width ${(chosen - maxDist) * (60 / chosen)} bits). This is " +
+          "the documented large-corpus trade (linear with a big constant " +
+          "vs a quadratic collision floor) - see Multimodal.autoChunks.")
+    }
+    chosen
   }
 
   /** [[phashPairsBlocked]] with the chunk count derived from the corpus

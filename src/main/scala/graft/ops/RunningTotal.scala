@@ -72,18 +72,32 @@ object RunningTotal {
       val extra = df.queryExecution.analyzed.output
         .filterNot(a => usedIds.contains(a.exprId)).map(_.name)
       require(extra.isEmpty,
-        s"RunningTotal.withRunningSum requires a SLIM frame (every column an " +
-          s"ordering key or the value): columns ${extra.mkString(", ")} are " +
-          "consumed by neither. A passthrough column prunes the data and " +
-          "offset subtrees differently, defeats exchange reuse, and the " +
+        slimGuardTag +
+          s": columns ${extra.mkString(", ")} are consumed by neither an " +
+          "ordering key nor the value. A passthrough column prunes the data " +
+          "and offset subtrees differently, defeats exchange reuse, and the " +
           "re-sampled range boundaries make the running sum silently wrong. " +
           "Project the frame down to (ord..., value) and join passthrough " +
           "columns back by key.")
     } catch {
-      case e: IllegalArgumentException => throw e // the require above
-      case _: Throwable                => () // unresolvable guard input: stay permissive
+      // ONLY the guard's own require above may escape: the analyzer/Shim
+      // work inside the try can itself throw IllegalArgumentException for
+      // unrelated reasons (e.g. a malformed Column reaching
+      // Shim.catalystExpression), and rethrowing those would turn the
+      // intended stay-permissive path into a hard failure blamed on the
+      // slim-frame contract. The tag prefix distinguishes the two.
+      case e: IllegalArgumentException
+          if e.getMessage != null && e.getMessage.contains(slimGuardTag) =>
+        throw e
+      case _: Throwable => () // unresolvable guard input: stay permissive
     }
   }
+
+  /** Message prefix identifying the slim-frame guard's OWN violation —
+    * see the catch in [[requireSlim]]. */
+  private val slimGuardTag =
+    "RunningTotal.withRunningSum requires a SLIM frame (every column an " +
+      "ordering key or the value)"
 
   /** @return (frame + `outCol` = inclusive running sum of `value` in
     *         `ord` order, 1-row grand-total frame with column
