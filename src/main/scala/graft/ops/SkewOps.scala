@@ -19,6 +19,26 @@ import org.apache.spark.sql.functions._
   */
 object SkewOps {
 
+  /** Salt-bucket count sized to the REDUCER count (r13, from the P=1000
+    * reducer-load table in SCALE.md): with a hot key holding share `s` of
+    * the rows and `p` reduce partitions, a B-way salt leaves each salted
+    * sub-key `s·n/B` rows against a balanced partition's `n/p` — so the
+    * load ratio is ≈ `s·p/B + 1`, and B must GROW WITH p to hold a target
+    * ratio: `B ≥ s·p/(target−1)`. The local[32] default of 16 buckets
+    * bounds a 10% hot key to ~1.6x at P=32 but would read ~7x at P=1000 —
+    * production callers on real clusters must size the salt with this
+    * rule, exactly like RHP-LSH's autoBitsPerBand sizes buckets to the
+    * corpus. Result: B = max(16, ceil(s·p/(target−1))), e.g. 200 at
+    * (s=0.1, p=1000, target=1.5).
+    */
+  def autoSaltBuckets(reducers: Int, hotShare: Double = 0.1,
+                      targetRatio: Double = 1.5): Int = {
+    require(reducers > 0 && hotShare > 0 && hotShare <= 1 && targetRatio > 1,
+      s"need reducers > 0, hotShare in (0,1], targetRatio > 1; " +
+        s"got ($reducers, $hotShare, $targetRatio)")
+    math.max(16, math.ceil(hotShare * reducers / (targetRatio - 1)).toInt)
+  }
+
   /** DETERMINISTIC salt: a content hash over every input column. A salt
     * from `monotonically_increasing_id()`/`rand()` is a shuffle key that
     * changes on task retry (SPARK-23207-class): after a fetch failure the
