@@ -780,6 +780,18 @@ object PlanAudit {
         |update is a (cluster, dim)-keyed hash agg with map-side combine.
         |Three rounds = three such stages; no window over the corpus, no
         |driver-resident model state.""",
+    "sim_ivf_topk" ->
+      """The r13 shape: the coarse quantizer is the repo's deterministic
+        |Lloyd (2 rounds of broadcast-argmin + hash-agg — sim_kmeans_lloyd's
+        |audited plan), whose k=16-row centroid export then BROADCASTS into
+        |both IVF assignment joins: the corpus side argmaxes per row via a
+        |partial-aggregable max_by (one candidate per vector crosses the
+        |exchange, never the n×k frame), the 10-query side takes its nprobe
+        |probe set through a tiny window, and the in-list ranking windows
+        |only within (query, probed-cluster) candidates — the corpus is
+        |never self-joined and never globally sorted. Replacing the MLlib
+        |k-means kept the physical shape and made every stage
+        |DuckDB-replayable (the 355th green row).""",
     "sql_q21_blame" ->
       """Spark decorrelates both subqueries: the EXISTS becomes a
         |LeftSemi and the NOT EXISTS a LeftAnti join on l_orderkey
