@@ -39,4 +39,22 @@ class LloydSpec extends SparkSpecBase {
       .collect()
     assert(out.length == 1 && out(0).getLong(1) == 20L)
   }
+
+  test("fitCentroids exports the coarse-quantizer table sim_ivf_topk " +
+    "broadcasts (r13): one (cluster_id, cvec) row per surviving cluster, " +
+    "micro-scale means equal to the exact member averages") {
+    val cents = Lloyd.fitCentroids(emb, "vec_id", "embedding", k = 2, iters = 3)
+      .collect().map(r => r.getInt(0) ->
+        r.getSeq[Double](1).toArray).toMap
+    assert(cents.keySet == Set(0, 1), s"expected clusters {0,1}, got ${cents.keySet}")
+    assert(cents.values.forall(_.length == 4))
+    // the well-separated fixture's true means, in integer-micro scale
+    // (quantize = round(x*1e6)): cluster of i in 0..9 has mean micro
+    // sum(round(1000*i))/10 = 4500; cluster of 10..19 has
+    // sum(round(1e7 + 1000*i))/10 = 10,014,500 per dimension
+    val near = cents.minBy(_._2.head)._2
+    val far = cents.maxBy(_._2.head)._2
+    assert(near.forall(_ == 4500.0), s"near-origin centroid ${near.toSeq}")
+    assert(far.forall(_ == 10014500.0), s"far centroid ${far.toSeq}")
+  }
 }
