@@ -334,7 +334,8 @@ object Bench {
       if (!adjudicate || flaggedInflated.isEmpty) Map.empty
       else {
         System.err.println(
-          s"[bench] ${flaggedInflated.size} env_inflated rows — re-running isolated: " +
+          s"[bench] ${flaggedInflated.size} inflation-flagged rows " +
+            "(env_inflated or median_inflated) — re-running isolated: " +
             flaggedInflated.mkString(", "))
         // bounded settle BEFORE the isolated reps, against a threshold
         // TIGHTER than the in-sweep contended flag: at sweep end the
